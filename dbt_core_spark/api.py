@@ -1,0 +1,152 @@
+"""Engine facade — the programmatic entry point.
+
+Replicates ``dbtRunner().invoke([...])`` (ref: cli/main.py:41-97) as a
+Python API over a live SparkSession: ``Engine(spark, project).run()``,
+plus the task verbs run/test/build/seed/snapshot/show/compile_sql/ls
+(ref: click commands cli/main.py:347-580).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import uuid
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbt_core_spark.plans.compiler import compile_node
+from dbt_core_spark.plans.graph import Linker, select_nodes
+from dbt_core_spark.plans.nodes import Manifest, Node, NodeType
+from dbt_core_spark.plans.parser import parse_project
+from dbt_core_spark.project import ProjectDef
+from dbt_core_spark.run.runner import GraphRunner, RunResults
+from dbt_core_spark.sources.freshness import FreshnessResult, check_freshness
+
+
+class Engine:
+    """One project bound to one SparkSession and one target schema."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        project: ProjectDef,
+        schema: Optional[str] = None,
+        vars: Optional[dict[str, Any]] = None,
+        threads: int = 4,
+    ):
+        self.spark = spark
+        self.project = project
+        self.schema = schema or f"dbt_{uuid.uuid4().hex[:8]}"
+        self.cli_vars = vars or {}
+        self.threads = threads
+        self.manifest: Manifest = parse_project(project, cli_vars=self.cli_vars)
+
+    def _runner(self, full_refresh: bool = False, **kw) -> GraphRunner:
+        return GraphRunner(
+            self.spark, self.manifest, self.schema, cli_vars=self.cli_vars,
+            threads=self.threads, full_refresh=full_refresh,
+            on_run_start=self.project.on_run_start,
+            on_run_end=self.project.on_run_end, **kw,
+        )
+
+    # -- task verbs ----------------------------------------------------------
+
+    def run(self, select: Optional[str] = None, full_refresh: bool = False,
+            event_time_start: Optional[_dt.datetime] = None,
+            event_time_end: Optional[_dt.datetime] = None) -> RunResults:
+        """`dbt run`: models only (ref: cli/main.py:547-580)."""
+        return self._runner(
+            full_refresh, event_time_start=event_time_start,
+            event_time_end=event_time_end,
+        ).run(select=select, resource_types={NodeType.Model})
+
+    def seed(self, select: Optional[str] = None) -> RunResults:
+        return self._runner().run(select=select, resource_types={NodeType.Seed})
+
+    def snapshot(self, select: Optional[str] = None) -> RunResults:
+        return self._runner().run(select=select, resource_types={NodeType.Snapshot})
+
+    def test(self, select: Optional[str] = None) -> RunResults:
+        return self._runner().run(select=select, resource_types={NodeType.Test})
+
+    def build(self, select: Optional[str] = None, full_refresh: bool = False) -> RunResults:
+        """`dbt build`: seeds+models+snapshots+tests with test edges
+        (ref: task/build.py:1-219; compilation.py:197-249)."""
+        return self._runner(full_refresh).run(
+            select=select,
+            resource_types={NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test},
+            add_test_edges=True,
+        )
+
+    def source_freshness(self) -> dict[str, FreshnessResult]:
+        """`dbt source freshness` (ref: task/freshness.py:36-220)."""
+        runner = self._runner()
+        runner._prepare(None, None)
+        out = {}
+        for uid, src in self.manifest.sources.items():
+            if src.freshness or src.loaded_at_field:
+                out[uid] = check_freshness(self.spark, src, runner.relations[uid])
+        return out
+
+    # -- interactive path (ref: task/show.py; `dbt compile --inline`) --------
+
+    def compile_sql(self, sql: str) -> str:
+        node = Node(
+            unique_id=f"sql_operation.{self.project.name}.inline",
+            name="inline", package=self.project.name,
+            resource_type=NodeType.SqlOperation, raw_code=sql,
+        )
+        runner = self._runner()
+        runner._prepare(None, None)
+        # inline SQL may ref anything already built; resolve via catalog names
+        for uid, n in self.manifest.nodes.items():
+            if n.is_refable and not n.is_ephemeral:
+                runner.relations.setdefault(uid, runner.relation_for(n))
+        return compile_node(self.manifest, node, self.spark, runner.relations,
+                            cli_vars=self.cli_vars)
+
+    def show(self, sql: str, limit: int = 5) -> DataFrame:
+        """`dbt show --inline` (ref: task/show.py:19-58; default limit 5
+        cli/params.py:269-274)."""
+        return self.spark.sql(self.compile_sql(sql)).limit(limit)
+
+    def table(self, model_name: str) -> DataFrame:
+        """DataFrame over a built model's relation."""
+        target = self.manifest.resolve_ref(model_name)
+        if target is None or target.relation_name is None:
+            raise KeyError(f"model '{model_name}' not built")
+        return self.spark.table(target.relation_name)
+
+    def ls(self, select: Optional[str] = None,
+           resource_type: Optional[str] = None) -> list[str]:
+        """`dbt ls` (ref: task/list.py:1-212)."""
+        graph = Linker().link_graph(self.manifest)
+        selected = select_nodes(self.manifest, graph, select)
+        out = []
+        for uid, n in self.manifest.all_nodes().items():
+            if selected is not None and uid not in selected:
+                continue
+            if resource_type and n.resource_type.value != resource_type:
+                continue
+            out.append(uid)
+        return sorted(out)
+
+    def docs_generate(self) -> dict:
+        """catalog.json analog from spark.catalog
+        (ref: task/docs/generate.py)."""
+        nodes = {}
+        for uid, n in self.manifest.nodes.items():
+            if not n.relation_name or not self.spark.catalog.tableExists(n.relation_name):
+                continue
+            cols = {
+                f.name: {"type": f.dataType.simpleString(), "index": i}
+                for i, f in enumerate(self.spark.table(n.relation_name).schema.fields)
+            }
+            nodes[uid] = {"metadata": {"name": n.identifier, "schema": self.schema},
+                          "columns": cols}
+        return {"nodes": nodes}
+
+    def drop_schema(self) -> None:
+        self.spark.sql(f"DROP DATABASE IF EXISTS `{self.schema}` CASCADE")
+        self.spark.sql(f"DROP DATABASE IF EXISTS `{self.schema}__sources` CASCADE")
+        self.spark.sql(f"DROP DATABASE IF EXISTS `{self.schema}_dbt_test__audit` CASCADE")

@@ -1,0 +1,92 @@
+"""Relation (table/view) management against the Spark catalog.
+
+Replaces the reference's adapter relation cache + rename/swap dance
+(ref: task/runnable.py:460-486 cache population; atomic-replace tests
+tests/functional/materializations/test_runtime_materialization.py).
+
+Local/test format is **parquet** with a drop+rename swap; on a real
+cluster the same call sites would use Delta/Iceberg `CREATE OR REPLACE
+TABLE` for true atomicity — the strategy layer above is format-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_database(spark: SparkSession, db: str) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+
+
+def relation_exists(spark: SparkSession, rel: str) -> bool:
+    return spark.catalog.tableExists(rel)
+
+
+def relation_type(spark: SparkSession, rel: str) -> Optional[str]:
+    """'table' | 'view' | None."""
+    if not spark.catalog.tableExists(rel):
+        return None
+    db, _, name = rel.rpartition(".")
+    for t in spark.catalog.listTables(db or None):
+        if t.name == name.strip("`"):
+            return "view" if t.tableType == "VIEW" else "table"
+    return "table"
+
+
+def drop_relation(spark: SparkSession, rel: str) -> None:
+    # Spark 4 raises WRONG_COMMAND_FOR_OBJECT_TYPE if DROP VIEW hits a
+    # table (and vice versa) — inspect the catalog first.
+    rtype = relation_type(spark, rel)
+    if rtype == "view":
+        spark.sql(f"DROP VIEW IF EXISTS {rel}")
+    elif rtype == "table":
+        spark.sql(f"DROP TABLE IF EXISTS {rel}")
+
+
+def write_table(
+    spark: SparkSession,
+    rel: str,
+    df: DataFrame,
+    mode: str = "overwrite",
+    partition_by: Optional[list[str]] = None,
+    file_format: str = "parquet",
+) -> None:
+    """Write df as a managed table.  ``partition_by`` drives the on-disk
+    layout — the 100 TB lever for event-time pruning of incremental /
+    microbatch tables (SURVEY §4)."""
+    if relation_type(spark, rel) == "view":
+        drop_relation(spark, rel)
+    writer = df.write.format(file_format).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(rel)
+
+
+def rebuild_table(
+    spark: SparkSession,
+    rel: str,
+    df: DataFrame,
+    partition_by: Optional[list[str]] = None,
+    file_format: str = "parquet",
+) -> None:
+    """Rewrite ``rel`` from a plan that *reads* ``rel`` (merge/snapshot
+    fallback): write to a __dbt_tmp relation, then swap via rename —
+    the reference's adapters do the same intermediate-relation + rename
+    (pinned by test_runtime_materialization.py).  Delta MERGE replaces
+    this wholesale in production."""
+    tmp = f"{rel}__dbt_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    writer = df.write.format(file_format).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(tmp)
+    drop_relation(spark, rel)
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {rel}")
+
+
+def create_view(spark: SparkSession, rel: str, sql: str) -> None:
+    if relation_type(spark, rel) == "table":
+        drop_relation(spark, rel)
+    spark.sql(f"CREATE OR REPLACE VIEW {rel} AS {sql}")

@@ -1,0 +1,203 @@
+"""DAG construction, scheduling queue, and node selection.
+
+- Linker (ref: core/dbt/compilation.py:120-272 — link_graph :176,
+  find_cycles :132, add_test_edges :197-249)
+- GraphQueue (ref: core/dbt/graph/queue.py:19-214 — depth-score
+  priority :97-119, mark_done :176)
+- Node selection (ref: core/dbt/graph/selector_spec.py:15-22 spec
+  grammar; selector_methods.py:45-66; graph expansion graph.py:29-102;
+  union/intersection cli.py:27-151)
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+from typing import Iterable, Optional
+
+import networkx as nx
+
+from dbt_core_spark.exceptions import DagCycleError
+from dbt_core_spark.plans.nodes import Manifest, Node, NodeType
+
+
+class Linker:
+    """Build the networkx DiGraph from depends_on edges."""
+
+    def link_graph(self, manifest: Manifest) -> nx.DiGraph:
+        g = nx.DiGraph()
+        for uid in manifest.all_nodes():
+            g.add_node(uid)
+        for uid, node in manifest.nodes.items():
+            for dep in node.depends_on:
+                g.add_edge(dep, uid)
+        cycles = self.find_cycles(g)
+        if cycles:
+            raise DagCycleError(f"Found a cycle: {cycles}")
+        return g
+
+    @staticmethod
+    def find_cycles(g: nx.DiGraph) -> Optional[list]:
+        try:
+            return nx.find_cycle(g)
+        except nx.NetworkXNoCycle:
+            return None
+
+    @staticmethod
+    def add_test_edges(manifest: Manifest, g: nx.DiGraph) -> None:
+        """`dbt build` semantics: downstream models wait on upstream tests
+        (ref: compilation.py:197-249)."""
+        for uid, node in manifest.nodes.items():
+            if node.resource_type is not NodeType.Test:
+                continue
+            for parent in node.depends_on:
+                for child in list(g.successors(parent)):
+                    if child != uid and manifest.nodes.get(child) is not None:
+                        if manifest.nodes[child].resource_type is not NodeType.Test:
+                            g.add_edge(uid, child)
+        cycles = Linker.find_cycles(g)
+        if cycles:  # pragma: no cover — test edges can't create cycles
+            raise DagCycleError(f"test edges created a cycle: {cycles}")
+
+
+class GraphQueue:
+    """Thread-safe ready-queue over the DAG, prioritized by graph depth
+    (ref: graph/queue.py — score = max depth to a sink, so deep chains
+    start early; :97-119)."""
+
+    def __init__(self, graph: nx.DiGraph, include: Optional[set[str]] = None):
+        self.graph = graph.subgraph(include).copy() if include is not None else graph.copy()
+        self._scores = self._compute_scores(self.graph)
+        self._lock = threading.Condition()
+        self._in_progress: set[str] = set()
+        self._done: set[str] = set()
+
+    @staticmethod
+    def _compute_scores(g: nx.DiGraph) -> dict[str, int]:
+        scores: dict[str, int] = {}
+        for uid in nx.topological_sort(g.reverse()):
+            succ = list(g.successors(uid))
+            scores[uid] = 1 + max((scores[s] for s in succ), default=0)
+        return scores
+
+    def get(self) -> Optional[str]:
+        """Pop the highest-priority ready node; None when exhausted."""
+        with self._lock:
+            while True:
+                ready = [
+                    uid
+                    for uid in self.graph.nodes
+                    if uid not in self._in_progress
+                    and uid not in self._done
+                    and all(p in self._done for p in self.graph.predecessors(uid))
+                ]
+                if ready:
+                    uid = max(ready, key=lambda u: (self._scores.get(u, 0), u))
+                    self._in_progress.add(uid)
+                    return uid
+                if len(self._done) + len(self._in_progress) >= self.graph.number_of_nodes():
+                    if not self._in_progress:
+                        return None
+                if not self._in_progress:
+                    return None
+                self._lock.wait(timeout=0.5)
+
+    def mark_done(self, uid: str) -> None:
+        with self._lock:
+            self._in_progress.discard(uid)
+            self._done.add(uid)
+            self._lock.notify_all()
+
+    def empty(self) -> bool:
+        with self._lock:
+            return len(self._done) >= self.graph.number_of_nodes()
+
+
+_SPEC_RE = re.compile(
+    r"^(?P<childs_parents>\@)?(?P<parents>(?P<parents_depth>\d*)\+)?"
+    r"(?P<method>[\w.]+:)?(?P<value>[^+]+?)(?P<children>\+(?P<children_depth>\d*))?$"
+)
+
+
+def select_nodes(
+    manifest: Manifest, graph: nx.DiGraph, select: Optional[str]
+) -> Optional[set[str]]:
+    """dbt selection syntax subset: ``[@][N+]method:value[+N]``, space=union,
+    comma=intersection.  Methods: name/fqn (default), tag, resource_type,
+    path, source (ref: selector_spec.py:15-22, selector_methods.py)."""
+    if not select:
+        return None
+    union: set[str] = set()
+    for clause in select.split():
+        parts = clause.split(",")
+        sets = [_select_one(manifest, graph, p) for p in parts]
+        inter = set.intersection(*sets) if sets else set()
+        union |= inter
+    return union
+
+
+def _select_one(manifest: Manifest, graph: nx.DiGraph, spec: str) -> set[str]:
+    m = _SPEC_RE.match(spec.strip())
+    if not m:
+        return set()
+    method = (m.group("method") or "fqn:").rstrip(":")
+    value = m.group("value")
+    base = _method_match(manifest, method, value)
+    out = set(base)
+    if m.group("childs_parents"):  # @node: node + descendants + their ancestors
+        desc = set()
+        for uid in base:
+            desc |= nx.descendants(graph, uid)
+        for uid in base | desc:
+            out |= nx.ancestors(graph, uid)
+        out |= desc
+    if m.group("parents"):
+        depth = int(m.group("parents_depth") or 0) or None
+        for uid in base:
+            anc = (
+                nx.ancestors(graph, uid)
+                if depth is None
+                else {v for v, d in nx.single_source_shortest_path_length(
+                    graph.reverse(), uid, cutoff=depth).items() if d > 0}
+            )
+            out |= anc
+    if m.group("children"):
+        depth = int(m.group("children_depth") or 0) or None
+        for uid in base:
+            desc = (
+                nx.descendants(graph, uid)
+                if depth is None
+                else {v for v, d in nx.single_source_shortest_path_length(
+                    graph, uid, cutoff=depth).items() if d > 0}
+            )
+            out |= desc
+    return out
+
+
+def _fnmatch(name: str, pat: str) -> bool:
+    import fnmatch
+
+    return fnmatch.fnmatch(name, pat)
+
+
+def _method_match(manifest: Manifest, method: str, value: str) -> set[str]:
+    nodes = manifest.all_nodes()
+    if method in ("fqn", "name"):
+        return {uid for uid, n in nodes.items() if _fnmatch(n.name, value)}
+    if method == "tag":
+        return {
+            uid for uid, n in nodes.items() if value in (n.config.get("tags") or [])
+        }
+    if method == "resource_type":
+        return {uid for uid, n in nodes.items() if n.resource_type.value == value}
+    if method == "source":
+        return {
+            uid
+            for uid, n in manifest.sources.items()
+            if _fnmatch(f"{n.source_name}.{n.name}", value) or _fnmatch(n.source_name or "", value)
+        }
+    if method == "path":
+        return {uid for uid, n in nodes.items() if _fnmatch(n.path, value)}
+    if method == "config.materialized":
+        return {uid for uid, n in nodes.items() if n.config.get("materialized") == value}
+    return set()

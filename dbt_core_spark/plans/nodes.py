@@ -1,0 +1,181 @@
+"""Node & Manifest model.
+
+Re-expresses the reference's typed resource graph
+(ref: core/dbt/artifacts/resources/types.py:18-37 NodeType enum;
+core/dbt/contracts/graph/nodes.py BaseNode→ParsedNode→CompiledNode;
+core/dbt/contracts/graph/manifest.py:860 Manifest) as plain dataclasses.
+The warehouse-side data is Spark's; these nodes are the orchestration IR.
+
+unique_id format matches the reference: ``"<type>.<package>.<name>"``
+(e.g. tests/functional/basic/test_jaffle_shop.py:15).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Optional
+
+
+class NodeType(str, Enum):
+    """Executable resource taxonomy (ref: artifacts/resources/types.py:18-37)."""
+
+    Model = "model"
+    Seed = "seed"
+    Snapshot = "snapshot"
+    Test = "test"
+    UnitTest = "unit_test"
+    Source = "source"
+    Operation = "operation"
+    Analysis = "analysis"
+    SqlOperation = "sql_operation"
+
+
+# Default per-type config (ref: artifacts/resources/v1/config.py:78-128 —
+# materialized default is "view" at :81; on_schema_change default "ignore" :109)
+DEFAULT_CONFIG: dict[str, Any] = {
+    "enabled": True,
+    "materialized": "view",
+    "incremental_strategy": None,  # append | merge | delete+insert | insert_overwrite | microbatch
+    "unique_key": None,
+    "on_schema_change": "ignore",
+    "full_refresh": None,
+    "pre_hook": [],
+    "post_hook": [],
+    "tags": [],
+    "meta": {},
+    "persist_docs": {},
+    "partition_by": None,  # engine extension: partition columns for table writes
+    "event_time": None,  # microbatch (ref: v1/config.py:128)
+    "batch_size": None,  # hour|day|month|year (ref: types.py:73-77)
+    "lookback": 1,
+    "begin": None,
+    "merge_exclude_columns": [],
+    "incremental_predicates": [],
+}
+
+
+@dataclass
+class ColumnInfo:
+    """Per-column docs/contract info (ref: components.py:59-70)."""
+
+    name: str
+    description: str = ""
+    data_type: Optional[str] = None
+    constraints: list[dict] = field(default_factory=list)
+
+
+@dataclass
+class Node:
+    """A parsed (and later compiled) resource node.
+
+    Mirrors ParsedResource fields alias/checksum/config/tags/raw_code
+    (ref: artifacts/resources/v1/components.py:174-199) and
+    CompiledResource's refs/sources/depends_on/compiled_code/extra_ctes
+    (ref: components.py:210-240).
+    """
+
+    unique_id: str
+    name: str
+    package: str
+    resource_type: NodeType
+    raw_code: str = ""
+    language: str = "sql"  # sql | python (ref: types.py:54-57 ModelLanguage)
+    path: str = ""
+    alias: Optional[str] = None
+    config: dict[str, Any] = field(default_factory=dict)
+    columns: dict[str, ColumnInfo] = field(default_factory=dict)
+    description: str = ""
+
+    # dependency info filled by the parser (parse-time Jinja render)
+    refs: list[str] = field(default_factory=list)
+    sources: list[tuple[str, str]] = field(default_factory=list)
+    depends_on: list[str] = field(default_factory=list)
+
+    # compilation artifacts (runtime Jinja render)
+    compiled: bool = False
+    compiled_code: Optional[str] = None
+    extra_ctes: list[tuple[str, str]] = field(default_factory=list)  # (cte_name, sql)
+    relation_name: Optional[str] = None
+
+    # test-specific (ref: parser/generic_test_builders.py:69-378)
+    test_metadata: dict[str, Any] = field(default_factory=dict)
+    attached_node: Optional[str] = None
+    column_name: Optional[str] = None
+
+    # seed-specific
+    seed_rows: Optional[list[dict]] = None
+    seed_path: Optional[str] = None
+
+    # source-specific (ref: contracts/graph/nodes.py:1217 SourceDefinition)
+    source_name: Optional[str] = None
+    loaded_at_field: Optional[str] = None
+    freshness: Optional[dict] = None
+    external_location: Optional[str] = None
+    external_format: str = "parquet"
+
+    @property
+    def identifier(self) -> str:
+        return self.alias or self.name
+
+    @property
+    def checksum(self) -> str:
+        return hashlib.md5(self.raw_code.encode()).hexdigest()
+
+    @property
+    def is_ephemeral(self) -> bool:
+        return self.config.get("materialized") == "ephemeral"
+
+    @property
+    def is_refable(self) -> bool:
+        return self.resource_type in (NodeType.Model, NodeType.Seed, NodeType.Snapshot)
+
+    def cte_name(self) -> str:
+        """CTE alias used when this (ephemeral) node is inlined into a consumer
+        (ref: core/dbt/compilation.py:306-396 — ``__dbt__cte__<name>``)."""
+        return f"__dbt__cte__{self.name}"
+
+
+@dataclass
+class Manifest:
+    """Whole-project IR (ref: contracts/graph/manifest.py:860).
+
+    ``nodes`` holds models/seeds/snapshots/tests keyed by unique_id;
+    ``sources`` separately, like the reference's dict split.
+    """
+
+    nodes: dict[str, Node] = field(default_factory=dict)
+    sources: dict[str, Node] = field(default_factory=dict)
+    macros: dict[str, str] = field(default_factory=dict)  # name -> jinja source
+    project_name: str = "project"
+    vars: dict[str, Any] = field(default_factory=dict)
+
+    # lookup indexes (ref: manifest.py RefableLookup:174, SourceLookup:141)
+    _ref_index: dict[str, str] = field(default_factory=dict)
+    _source_index: dict[tuple[str, str], str] = field(default_factory=dict)
+
+    def add_node(self, node: Node) -> None:
+        if node.resource_type is NodeType.Source:
+            self.sources[node.unique_id] = node
+            self._source_index[(node.source_name or "", node.name)] = node.unique_id
+        else:
+            self.nodes[node.unique_id] = node
+            if node.is_refable:
+                self._ref_index[node.name] = node.unique_id
+
+    def resolve_ref(self, name: str) -> Optional[Node]:
+        uid = self._ref_index.get(name)
+        return self.nodes.get(uid) if uid else None
+
+    def resolve_source(self, source_name: str, table_name: str) -> Optional[Node]:
+        uid = self._source_index.get((source_name, table_name))
+        return self.sources.get(uid) if uid else None
+
+    def all_nodes(self) -> dict[str, Node]:
+        out = dict(self.nodes)
+        out.update(self.sources)
+        return out
+
+    def executable_nodes(self) -> list[Node]:
+        return [n for n in self.nodes.values() if n.config.get("enabled", True)]

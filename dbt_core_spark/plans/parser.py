@@ -1,0 +1,244 @@
+"""ProjectDef → Manifest.
+
+Mirrors the reference's load pipeline (ref: core/dbt/parser/
+manifest.py:265-486 — parse macros first, then model/seed/snapshot/test
+parsers, then resolve refs/sources into depends_on).  Per-node parsing
+renders Jinja once with *parse-time* resolvers that only record
+refs/sources/config (ref: providers.py:516-523,664-668; the reference
+uses the dbt-extractor static parser when possible, parser/models.py:379-434
+— same observable result).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from dbt_core_spark.exceptions import ParsingError
+from dbt_core_spark.functions.context import RenderContext, render
+from dbt_core_spark.plans.nodes import DEFAULT_CONFIG, Manifest, Node, NodeType
+from dbt_core_spark.project import ProjectDef, SourceTableDef
+
+# Generic built-in test types (ref: global project; pinned by
+# tests/functional/schema_tests/test_schema_v2_tests.py)
+GENERIC_TESTS = {"unique", "not_null", "accepted_values", "relationships"}
+
+
+def parse_project(project: ProjectDef, cli_vars: dict[str, Any] | None = None) -> Manifest:
+    manifest = Manifest(project_name=project.name, vars=dict(project.vars))
+    manifest.macros = dict(project.macros)
+
+    # -- sources (ref: parser/sources.py patch_sources) ----------------------
+    for source_name, tables in project.sources.items():
+        for table_name, tdef in tables.items():
+            _add_source(manifest, project.name, source_name, table_name, tdef)
+
+    # -- seeds: DAG roots, never compiled (ref: nodes.py:846-946) ------------
+    for seed_name, seed_src in project.seeds.items():
+        cfg = _merged_config(project, seed_name, project.seed_configs.get(seed_name))
+        cfg["materialized"] = "seed"
+        node = Node(
+            unique_id=f"seed.{project.name}.{seed_name}",
+            name=seed_name,
+            package=project.name,
+            resource_type=NodeType.Seed,
+            config=cfg,
+        )
+        if isinstance(seed_src, str):
+            node.seed_path = seed_src
+        else:
+            node.seed_rows = list(seed_src)
+        manifest.add_node(node)
+
+    # -- models --------------------------------------------------------------
+    for model_name, sql in project.models.items():
+        node = Node(
+            unique_id=f"model.{project.name}.{model_name}",
+            name=model_name,
+            package=project.name,
+            resource_type=NodeType.Model,
+            raw_code=sql,
+            config=_merged_config(project, model_name, project.model_configs.get(model_name)),
+        )
+        manifest.add_node(node)
+
+    # -- python models (ref: ModelLanguage types.py:54-57; ADR-004) ----------
+    for model_name, fn in project.python_models.items():
+        node = Node(
+            unique_id=f"model.{project.name}.{model_name}",
+            name=model_name,
+            package=project.name,
+            resource_type=NodeType.Model,
+            language="python",
+            config=_merged_config(project, model_name, project.model_configs.get(model_name)),
+        )
+        node.python_fn = fn  # type: ignore[attr-defined]
+        cfg_refs = node.config.get("depends_on") or node.config.get("refs") or []
+        node.refs.extend(cfg_refs)
+        manifest.add_node(node)
+
+    # -- snapshots (ref: SnapshotConfig v1/snapshot.py:19-76) ----------------
+    for snap_name, sdef in project.snapshots.items():
+        cfg = dict(DEFAULT_CONFIG)
+        cfg.update({k: v for k, v in sdef.items() if k != "sql"})
+        cfg["materialized"] = "snapshot"
+        node = Node(
+            unique_id=f"snapshot.{project.name}.{snap_name}",
+            name=snap_name,
+            package=project.name,
+            resource_type=NodeType.Snapshot,
+            raw_code=sdef["sql"],
+            config=cfg,
+        )
+        manifest.add_node(node)
+
+    # -- tests ---------------------------------------------------------------
+    for test_name, tdef in project.tests.items():
+        manifest.add_node(_build_test_node(project, test_name, tdef))
+
+    # -- parse-time render: capture refs/sources/config ----------------------
+    for node in list(manifest.nodes.values()):
+        if node.raw_code and node.language == "sql":
+            ctx = RenderContext(manifest, node, mode="parse", cli_vars=cli_vars)
+            try:
+                render(node.raw_code, ctx)
+            except Exception as e:
+                raise ParsingError(f"parse error in {node.unique_id}: {e}") from e
+            # in-file config() wins over schema-yml & project defaults
+            # (ref: context_config.py precedence)
+            node.config.update(ctx.captured_config)
+
+    # -- resolve depends_on (ref: manifest.py process_refs/process_sources) --
+    for node in manifest.nodes.values():
+        deps: list[str] = []
+        for ref_name in node.refs:
+            target = manifest.resolve_ref(ref_name)
+            if target is None:
+                raise ParsingError(
+                    f"{node.unique_id} depends on undefined ref '{ref_name}'"
+                )
+            deps.append(target.unique_id)
+        for source_name, table_name in node.sources:
+            target = manifest.resolve_source(source_name, table_name)
+            if target is None:
+                raise ParsingError(
+                    f"{node.unique_id} uses undefined source "
+                    f"'{source_name}.{table_name}'"
+                )
+            deps.append(target.unique_id)
+        # seeds may not depend on anything (ref: nodes.py:891-929)
+        if node.resource_type is NodeType.Seed and deps:
+            raise ParsingError(f"seed {node.name} cannot have dependencies")
+        node.depends_on = sorted(set(deps))
+
+    return manifest
+
+
+def _add_source(
+    manifest: Manifest,
+    package: str,
+    source_name: str,
+    table_name: str,
+    tdef: SourceTableDef,
+) -> None:
+    node = Node(
+        unique_id=f"source.{package}.{source_name}.{table_name}",
+        name=table_name,
+        package=package,
+        resource_type=NodeType.Source,
+        source_name=source_name,
+        external_location=tdef.location,
+        external_format=tdef.format,
+        loaded_at_field=tdef.loaded_at_field,
+        freshness=tdef.freshness,
+        config=dict(DEFAULT_CONFIG),
+    )
+    manifest.add_node(node)
+
+
+def _merged_config(
+    project: ProjectDef, name: str, explicit: dict | None
+) -> dict[str, Any]:
+    """Project-tree defaults < schema-yml/explicit config; in-file config()
+    is merged later at parse-render (ref: context_config.py MergeBehavior)."""
+    cfg = dict(DEFAULT_CONFIG)
+    for k, v in project.model_defaults.items():
+        cfg[k.lstrip("+")] = v
+    if explicit:
+        cfg.update(explicit)
+    return cfg
+
+
+def _build_test_node(project: ProjectDef, test_name: str, tdef: dict) -> Node:
+    """Generic + singular test nodes.
+
+    Generic tests compile to SELECTs returning *failing rows* (ref:
+    TestBuilder parser/generic_test_builders.py:318-378 builds
+    ``{{ test_<name>(...) }}`` against ``get_where_subquery(ref(...))``);
+    singular tests are raw SQL files (ref: nodes.py:973-987).
+    """
+    cfg = dict(DEFAULT_CONFIG)
+    cfg["materialized"] = "test"
+    # test config knobs (ref: TestConfig v1/config.py:164-229)
+    for k in ("severity", "where", "limit", "fail_calc", "warn_if", "error_if",
+              "store_failures", "store_failures_as"):
+        if k in tdef:
+            cfg[k] = tdef[k]
+    node = Node(
+        unique_id=f"test.{project.name}.{test_name}",
+        name=test_name,
+        package=project.name,
+        resource_type=NodeType.Test,
+        config=cfg,
+    )
+    if "sql" in tdef:  # singular test
+        node.raw_code = tdef["sql"]
+        node.test_metadata = {"kind": "singular"}
+        return node
+
+    ttype = tdef["type"]
+    model = tdef["model"]
+    column = tdef.get("column")
+    node.attached_node = model
+    node.column_name = column
+    node.test_metadata = {"kind": "generic", "name": ttype, "kwargs": dict(tdef)}
+    where = tdef.get("where")
+    base = f"{{{{ ref('{model}') }}}}"
+    subq = f"(select * from {base} where {where})" if where else base
+
+    if ttype == "unique":
+        node.raw_code = (
+            f"select {column} as unique_field, count(*) as n_records "
+            f"from {subq} where {column} is not null "
+            f"group by {column} having count(*) > 1"
+        )
+    elif ttype == "not_null":
+        node.raw_code = f"select {column} from {subq} where {column} is null"
+    elif ttype == "accepted_values":
+        vals = tdef["values"]
+        quote = tdef.get("quote", True)
+        lits = ", ".join(f"'{v}'" if quote else str(v) for v in vals)
+        node.raw_code = (
+            f"with all_values as (select {column} as value_field, count(*) as n_records "
+            f"from {subq} group by {column}) "
+            f"select * from all_values where value_field not in ({lits})"
+        )
+    elif ttype == "relationships":
+        to = tdef["to"]  # jinja like "ref('customers')"
+        to_field = tdef["field"]
+        node.raw_code = (
+            f"with child as (select {column} as from_field from {subq} "
+            f"where {column} is not null), "
+            f"parent as (select {to_field} as to_field from {{{{ {to} }}}}) "
+            f"select from_field from child "
+            f"left join parent on child.from_field = parent.to_field "
+            f"where parent.to_field is null"
+        )
+    elif ttype in project.macros:
+        # custom generic test macro: {% test <name>(model, column_name) %}
+        node.raw_code = (
+            f"{{{{ {('test_' + ttype) if ('test_' + ttype) in project.macros else ttype}"
+            f"({base}, '{column}') }}}}"
+        )
+    else:
+        raise ParsingError(f"unknown generic test type '{ttype}'")
+    return node

@@ -1,0 +1,198 @@
+"""Project definition & config model.
+
+The reference loads dbt_project.yml → Project (ref: core/dbt/config/
+project.py:596-640 — model_paths, seed_paths, vars, per-resource config
+trees) and merges node config by precedence project-tree < schema-yml <
+in-file ``{{ config(...) }}`` (ref: core/dbt/context/context_config.py).
+
+This engine supports two equivalent declaration styles:
+
+1. **In-code** (`ProjectDef(...)` with dicts) — used by tests and the
+   driver-facing queries, zero filesystem churn.
+2. **On-disk** (`ProjectDef.from_dir(path)`) — a dbt-compatible layout:
+   ``dbt_project.yml``, ``models/*.sql`` (+ ``schema.yml``),
+   ``seeds/*.csv``, ``snapshots/*.sql``, ``tests/*.sql``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from dbt_core_spark.exceptions import ParsingError
+
+try:  # PyYAML ships with pyspark deps in most distros; gate anyway
+    import yaml
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover
+    _HAVE_YAML = False
+
+
+@dataclass
+class SourceTableDef:
+    """One declared external table (ref: SourceDefinition nodes.py:1217).
+
+    ``location`` may be a parquet/csv/json path or an existing catalog
+    table name (``catalog:db.table``).
+    """
+
+    name: str
+    location: str
+    format: str = "parquet"
+    loaded_at_field: Optional[str] = None
+    freshness: Optional[dict] = None  # {"warn_after": {"count": 1, "period": "day"}, ...}
+    description: str = ""
+
+
+@dataclass
+class ProjectDef:
+    """A whole project: models, seeds, snapshots, sources, tests, config."""
+
+    name: str = "project"
+    models: dict[str, str] = field(default_factory=dict)  # name -> jinja-SQL
+    model_configs: dict[str, dict] = field(default_factory=dict)  # name -> config dict
+    python_models: dict[str, Any] = field(default_factory=dict)  # name -> callable(dbt, session)
+    seeds: dict[str, Any] = field(default_factory=dict)  # name -> csv path | list[dict]
+    seed_configs: dict[str, dict] = field(default_factory=dict)
+    snapshots: dict[str, dict] = field(default_factory=dict)  # name -> {"sql":..., **config}
+    sources: dict[str, dict[str, SourceTableDef]] = field(default_factory=dict)
+    tests: dict[str, dict] = field(default_factory=dict)  # name -> test def (see parser)
+    unit_tests: dict[str, dict] = field(default_factory=dict)
+    macros: dict[str, str] = field(default_factory=dict)  # name -> jinja macro source
+    vars: dict[str, Any] = field(default_factory=dict)
+    on_run_start: list[str] = field(default_factory=list)
+    on_run_end: list[str] = field(default_factory=list)
+    # project-tree default configs, lowest precedence (ref: context_config.py)
+    model_defaults: dict[str, Any] = field(default_factory=dict)
+
+    def add_source(
+        self,
+        source_name: str,
+        table_name: str,
+        location: str,
+        format: str = "parquet",
+        **kwargs: Any,
+    ) -> None:
+        self.sources.setdefault(source_name, {})[table_name] = SourceTableDef(
+            name=table_name, location=location, format=format, **kwargs
+        )
+
+    @classmethod
+    def from_dir(cls, path: str) -> "ProjectDef":
+        """Load a dbt-style project directory
+        (ref: config/project.py model_paths/seed_paths/... defaults)."""
+        if not _HAVE_YAML:  # pragma: no cover
+            raise ParsingError("PyYAML required for on-disk projects")
+        proj_file = os.path.join(path, "dbt_project.yml")
+        cfg: dict[str, Any] = {}
+        if os.path.exists(proj_file):
+            with open(proj_file) as f:
+                cfg = yaml.safe_load(f) or {}
+        p = cls(name=cfg.get("name", os.path.basename(path.rstrip("/"))))
+        p.vars = cfg.get("vars", {}) or {}
+        p.on_run_start = _as_list(cfg.get("on-run-start"))
+        p.on_run_end = _as_list(cfg.get("on-run-end"))
+        p.model_defaults = (cfg.get("models", {}) or {}).get(p.name, {}) or {}
+
+        for d in cfg.get("model-paths", ["models"]):
+            _load_sql_dir(os.path.join(path, d), p.models)
+            _load_schema_yml(os.path.join(path, d), p)
+        for d in cfg.get("seed-paths", ["seeds"]):
+            seed_dir = os.path.join(path, d)
+            if os.path.isdir(seed_dir):
+                for fn in sorted(os.listdir(seed_dir)):
+                    if fn.endswith(".csv"):
+                        p.seeds[fn[:-4]] = os.path.join(seed_dir, fn)
+        for d in cfg.get("snapshot-paths", ["snapshots"]):
+            snap_dir = os.path.join(path, d)
+            if os.path.isdir(snap_dir):
+                for fn in sorted(os.listdir(snap_dir)):
+                    if fn.endswith(".sql"):
+                        with open(os.path.join(snap_dir, fn)) as f:
+                            _parse_snapshot_blocks(f.read(), p)
+        for d in cfg.get("test-paths", ["tests"]):
+            _load_sql_dir(os.path.join(path, d), dest := {})
+            for name, sql in dest.items():
+                p.tests[name] = {"sql": sql}
+        for d in cfg.get("macro-paths", ["macros"]):
+            macro_dir = os.path.join(path, d)
+            if os.path.isdir(macro_dir):
+                for fn in sorted(os.listdir(macro_dir)):
+                    if fn.endswith(".sql"):
+                        with open(os.path.join(macro_dir, fn)) as f:
+                            p.macros[fn[:-4]] = f.read()
+        return p
+
+
+def _as_list(v: Any) -> list:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def _load_sql_dir(d: str, dest: dict[str, str]) -> None:
+    if not os.path.isdir(d):
+        return
+    for root, _dirs, files in os.walk(d):
+        for fn in sorted(files):
+            if fn.endswith(".sql"):
+                with open(os.path.join(root, fn)) as f:
+                    dest[fn[:-4]] = f.read()
+
+
+_SNAPSHOT_BLOCK = re.compile(
+    r"{%\s*snapshot\s+(\w+)\s*%}(.*?){%\s*endsnapshot\s*%}", re.DOTALL | re.IGNORECASE
+)
+
+
+def _parse_snapshot_blocks(text: str, p: "ProjectDef") -> None:
+    """Extract ``{% snapshot name %} ... {% endsnapshot %}`` blocks
+    (ref: snapshot block parsing, core/dbt/parser/snapshots.py)."""
+    for m in _SNAPSHOT_BLOCK.finditer(text):
+        p.snapshots[m.group(1)] = {"sql": m.group(2).strip()}
+
+
+def _load_schema_yml(d: str, p: "ProjectDef") -> None:
+    """Parse schema.yml files: per-model configs + generic tests + sources
+    (ref: core/dbt/parser/schemas.py, schema_generic_tests.py)."""
+    if not os.path.isdir(d):
+        return
+    for root, _dirs, files in os.walk(d):
+        for fn in sorted(files):
+            if not (fn.endswith(".yml") or fn.endswith(".yaml")):
+                continue
+            with open(os.path.join(root, fn)) as f:
+                doc = yaml.safe_load(f) or {}
+            for m in doc.get("models", []) or []:
+                mname = m["name"]
+                if m.get("config"):
+                    p.model_configs.setdefault(mname, {}).update(m["config"])
+                for col in m.get("columns", []) or []:
+                    for t in col.get("tests", col.get("data_tests", [])) or []:
+                        _add_generic_test(p, mname, col["name"], t)
+                for t in m.get("tests", m.get("data_tests", [])) or []:
+                    _add_generic_test(p, mname, None, t)
+            for s in doc.get("sources", []) or []:
+                sname = s["name"]
+                for t in s.get("tables", []) or []:
+                    loc = (t.get("meta") or {}).get("location") or (
+                        (t.get("external") or {}).get("location")
+                    )
+                    if loc:
+                        p.add_source(sname, t["name"], loc, (t.get("meta") or {}).get("format", "parquet"))
+
+
+def _add_generic_test(p: ProjectDef, model: str, column: Optional[str], t: Any) -> None:
+    """YAML test entry → test def (ref: parser/generic_test_builders.py:69-378)."""
+    if isinstance(t, str):
+        ttype, kwargs = t, {}
+    elif isinstance(t, dict):
+        ttype = next(iter(t))
+        kwargs = dict(t[ttype] or {})
+    else:
+        return
+    name = f"{ttype}_{model}" + (f"_{column}" if column else "")
+    p.tests[name] = {"type": ttype, "model": model, "column": column, **kwargs}

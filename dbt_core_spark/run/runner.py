@@ -1,0 +1,371 @@
+"""Thread-pooled DAG execution.
+
+Re-expresses GraphRunnableTask.execute_nodes/run_queue (ref:
+core/dbt/task/runnable.py:308-441): a pool of worker threads pops ready
+nodes from the GraphQueue, compiles each (Jinja render at execution
+time, ref: compilation.py:541-571), runs its materialization, marks
+done to release children; failures skip all descendants
+(ref: _mark_dependent_errors task/runnable.py:445-458).
+
+Spark-side concurrency: all workers share one SparkSession (job
+submission is thread-safe); each worker tags its jobs into a FAIR
+scheduler pool so concurrent model builds interleave on the cluster
+instead of convoying (SURVEY §4 "thread-pool pipelining").
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+from dbt_core_spark.exceptions import ExecutionError
+from dbt_core_spark.operators import relations as R
+from dbt_core_spark.operators.materializations import MATERIALIZATIONS
+from dbt_core_spark.operators.snapshot import materialize_snapshot
+from dbt_core_spark.operators.tests import execute_test
+from dbt_core_spark.plans.compiler import compile_node
+from dbt_core_spark.plans.graph import GraphQueue, Linker, select_nodes
+from dbt_core_spark.plans.nodes import Manifest, Node, NodeType
+from dbt_core_spark.sources.readers import register_source
+from dbt_core_spark.streaming.microbatch import MicrobatchBuilder
+from dbt_core_spark.functions.context import RenderContext, render
+
+
+@dataclass
+class NodeResult:
+    unique_id: str
+    status: str  # success | error | skipped | pass | warn | fail
+    execution_time: float = 0.0
+    message: str = ""
+    relation: Optional[str] = None
+    failures: Optional[int] = None
+    batch_results: Optional[list] = None
+
+
+@dataclass
+class RunResults:
+    results: list[NodeResult] = field(default_factory=list)
+    elapsed: float = 0.0
+
+    @property
+    def by_id(self) -> dict[str, NodeResult]:
+        return {r.unique_id: r for r in self.results}
+
+    def ok(self) -> bool:
+        return all(r.status in ("success", "pass", "warn") for r in self.results)
+
+
+class GraphRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        manifest: Manifest,
+        schema: str,
+        cli_vars: Optional[dict[str, Any]] = None,
+        threads: int = 4,
+        full_refresh: bool = False,
+        event_time_start: Optional[_dt.datetime] = None,
+        event_time_end: Optional[_dt.datetime] = None,
+        on_run_start: Optional[list[str]] = None,
+        on_run_end: Optional[list[str]] = None,
+    ):
+        self.spark = spark
+        self.manifest = manifest
+        self.schema = schema
+        self.cli_vars = cli_vars or {}
+        self.threads = threads
+        self.full_refresh = full_refresh
+        self.event_time_start = event_time_start
+        self.event_time_end = event_time_end
+        self.on_run_start = on_run_start or []
+        self.on_run_end = on_run_end or []
+        self.relations: dict[str, str] = {}
+
+    # -- relation naming (ref: relation_name components.py:174-199) ---------
+
+    def relation_for(self, node: Node) -> str:
+        return f"{self.schema}.{node.identifier}"
+
+    def _prepare(self, resource_types: Optional[set[NodeType]], select: Optional[str],
+                 add_test_edges: bool = False):
+        R.ensure_database(self.spark, self.schema)
+        for src in self.manifest.sources.values():
+            self.relations[src.unique_id] = register_source(self.spark, src, self.schema)
+        linker = Linker()
+        graph = linker.link_graph(self.manifest)
+        if add_test_edges:
+            Linker.add_test_edges(self.manifest, graph)
+        selected = select_nodes(self.manifest, graph, select)
+        include = set()
+        for uid, node in self.manifest.nodes.items():
+            if not node.config.get("enabled", True):
+                continue
+            if resource_types and node.resource_type not in resource_types:
+                continue
+            if selected is not None and uid not in selected:
+                continue
+            if node.is_ephemeral:
+                continue  # never materialized (ref: §2.A ephemeral)
+            include.add(uid)
+        # queue must include upstream placeholders so ordering works: build
+        # subgraph on included nodes with transitive edges preserved
+        full_order_graph = graph
+        import networkx as nx
+
+        condensed = nx.DiGraph()
+        condensed.add_nodes_from(include)
+        for uid in include:
+            for anc in nx.ancestors(full_order_graph, uid):
+                if anc in include:
+                    condensed.add_edge(anc, uid)
+        return GraphQueue(condensed), include
+
+    # -- public entry points -------------------------------------------------
+
+    def run(self, select: Optional[str] = None,
+            resource_types: Optional[set[NodeType]] = None,
+            add_test_edges: bool = False) -> RunResults:
+        t0 = time.time()
+        queue, _ = self._prepare(resource_types, select, add_test_edges)
+        results = RunResults()
+        self._run_hooks(self.on_run_start, "on-run-start")
+        failed: set[str] = set()
+
+        def worker() -> None:
+            while True:
+                uid = queue.get()
+                if uid is None:
+                    return
+                node = self.manifest.nodes[uid]
+                # skip if any ancestor failed (ref: runnable.py:445-458)
+                if any(p in failed for p in self._ancestors_in(queue.graph, uid)):
+                    results.results.append(
+                        NodeResult(uid, "skipped", message="upstream failure")
+                    )
+                    failed.add(uid)
+                    queue.mark_done(uid)
+                    continue
+                self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", uid)
+                res = self._run_node(node)
+                if res.status in ("error", "fail"):
+                    failed.add(uid)
+                results.results.append(res)
+                queue.mark_done(uid)
+
+        if self.threads <= 1:
+            worker()
+        else:
+            with ThreadPoolExecutor(max_workers=self.threads) as pool:
+                futs = [pool.submit(worker) for _ in range(self.threads)]
+                for f in futs:
+                    f.result()
+        self._run_hooks(self.on_run_end, "on-run-end")
+        results.elapsed = time.time() - t0
+        return results
+
+    @staticmethod
+    def _ancestors_in(graph, uid) -> set:
+        import networkx as nx
+
+        return nx.ancestors(graph, uid)
+
+    def _run_hooks(self, hooks: list[str], label: str) -> None:
+        """ref: RunTask.safe_run_hooks task/run.py:621-716"""
+        for h in hooks:
+            node = Node(unique_id=f"operation.{self.manifest.project_name}.{label}",
+                        name=label, package=self.manifest.project_name,
+                        resource_type=NodeType.Operation, raw_code=h)
+            ctx = RenderContext(self.manifest, node, mode="runtime", spark=self.spark,
+                                relations=self.relations, cli_vars=self.cli_vars)
+            self.spark.sql(render(h, ctx))
+
+    # -- node execution ------------------------------------------------------
+
+    def _run_node(self, node: Node) -> NodeResult:
+        t0 = time.time()
+        rel = self.relation_for(node)
+        try:
+            self._node_hooks(node, "pre_hook")
+            if node.resource_type is NodeType.Seed:
+                MATERIALIZATIONS["seed"](self.spark, node, rel)
+                status, msg = "success", "seed"
+            elif node.resource_type is NodeType.Snapshot:
+                self.relations[node.unique_id] = rel
+                sql = self._compile(node)
+                materialize_snapshot(self.spark, node, rel, sql)
+                status, msg = "success", "snapshot"
+            elif node.resource_type is NodeType.Test:
+                sql = self._compile(node)
+                outcome = execute_test(
+                    self.spark, node, sql, audit_schema=f"{self.schema}_dbt_test__audit"
+                )
+                self._node_hooks(node, "post_hook")
+                return NodeResult(
+                    node.unique_id, outcome.status,
+                    execution_time=time.time() - t0,
+                    failures=outcome.failures, relation=outcome.stored_at,
+                )
+            elif node.language == "python":
+                status, msg = self._run_python_model(node, rel)
+            else:
+                mat = node.config.get("materialized", "view")
+                if mat == "incremental" and node.config.get("incremental_strategy") == "microbatch":
+                    batches = self._run_microbatch(node, rel)
+                    self._node_hooks(node, "post_hook")
+                    return NodeResult(
+                        node.unique_id, "success", execution_time=time.time() - t0,
+                        relation=rel, batch_results=batches,
+                    )
+                self.relations[node.unique_id] = rel
+                is_inc = (
+                    mat == "incremental"
+                    and R.relation_exists(self.spark, rel)
+                    and not self.full_refresh
+                )
+                sql = self._compile(node, is_incremental=is_inc)
+                fn = MATERIALIZATIONS.get(mat)
+                if fn is None:
+                    raise ExecutionError(f"unknown materialization '{mat}'")
+                if mat == "incremental":
+                    fn(self.spark, node, rel, sql, full_refresh=self.full_refresh)
+                else:
+                    fn(self.spark, node, rel, sql)
+                status, msg = "success", mat
+            self.relations[node.unique_id] = rel
+            node.relation_name = rel
+            self._node_hooks(node, "post_hook")
+            return NodeResult(node.unique_id, status, time.time() - t0, msg, rel)
+        except Exception as e:
+            return NodeResult(
+                node.unique_id, "error", time.time() - t0,
+                f"{type(e).__name__}: {e}\n{traceback.format_exc(limit=3)}",
+            )
+
+    def _compile(self, node: Node, is_incremental: bool = False,
+                 event_time_filter: Optional[tuple[str, str, str]] = None) -> str:
+        return compile_node(
+            self.manifest, node, self.spark, self.relations,
+            cli_vars=self.cli_vars, is_incremental=is_incremental,
+            event_time_filter=event_time_filter,
+        )
+
+    def _node_hooks(self, node: Node, key: str) -> None:
+        hooks = node.config.get(key) or []
+        hooks = hooks if isinstance(hooks, list) else [hooks]
+        for h in hooks:
+            sql = h["sql"] if isinstance(h, dict) else h
+            ctx = RenderContext(self.manifest, node, mode="runtime", spark=self.spark,
+                                relations=self.relations, cli_vars=self.cli_vars)
+            self.spark.sql(render(sql, ctx))
+
+    # -- python models (ref: ADR-004; submit_python_job providers.py:1512) ---
+
+    def _run_python_model(self, node: Node, rel: str) -> tuple[str, str]:
+        """Python models are first-class here: ``session`` IS the live
+        SparkSession and ``dbt.ref()`` returns a real DataFrame."""
+        self.relations[node.unique_id] = rel
+
+        runner = self
+
+        class _DbtObj:
+            def __init__(self, n: Node):
+                self._node = n
+                self.config = _PyConfig(n)
+                self.this = rel
+
+            def ref(self, name: str):
+                target = runner.manifest.resolve_ref(name)
+                if target is None:
+                    raise ExecutionError(f"python model ref('{name}') not found")
+                return runner.spark.table(runner.relations[target.unique_id])
+
+            def source(self, source_name: str, table_name: str):
+                target = runner.manifest.resolve_source(source_name, table_name)
+                if target is None:
+                    raise ExecutionError(f"source('{source_name}','{table_name}') not found")
+                return runner.spark.table(runner.relations[target.unique_id])
+
+            def is_incremental(self) -> bool:
+                return (
+                    self._node.config.get("materialized") == "incremental"
+                    and R.relation_exists(runner.spark, rel)
+                    and not runner.full_refresh
+                )
+
+        class _PyConfig:
+            def __init__(self, n: Node):
+                self._cfg = n.config
+
+            def get(self, key: str, default=None):
+                return self._cfg.get(key, default)
+
+        df = node.python_fn(_DbtObj(node), self.spark)  # type: ignore[attr-defined]
+        mat = node.config.get("materialized", "table")
+        if mat == "incremental" and R.relation_exists(self.spark, rel) and not self.full_refresh:
+            df.createOrReplaceTempView(f"__py_{node.name}")
+            MATERIALIZATIONS["incremental"](
+                self.spark, node, rel, f"select * from __py_{node.name}"
+            )
+        else:
+            from dbt_core_spark.operators.materializations import check_contract, _as_list
+
+            check_contract(df, node)
+            R.write_table(self.spark, rel, df, mode="overwrite",
+                          partition_by=_as_list(node.config.get("partition_by")))
+        return "success", "python"
+
+    # -- microbatch loop (ref: task/run.py:483-562) --------------------------
+
+    def _run_microbatch(self, node: Node, rel: str) -> list[dict]:
+        cfg = node.config
+        event_time = cfg["event_time"]
+        batch_size = cfg["batch_size"]
+        begin = cfg.get("begin")
+        if isinstance(begin, str):
+            begin = _dt.datetime.fromisoformat(begin)
+        if begin is not None and begin.tzinfo is None:
+            begin = begin.replace(tzinfo=_dt.timezone.utc)
+        self.relations[node.unique_id] = rel
+        is_inc = R.relation_exists(self.spark, rel) and not self.full_refresh
+        builder = MicrobatchBuilder(
+            batch_size=batch_size, begin=begin, lookback=cfg.get("lookback", 1),
+            event_time_start=self.event_time_start, event_time_end=self.event_time_end,
+        )
+        out: list[dict] = []
+        for batch in builder.build_batches(is_incremental=is_inc):
+            start_iso = batch.start.strftime("%Y-%m-%d %H:%M:%S")
+            end_iso = batch.end.strftime("%Y-%m-%d %H:%M:%S")
+            try:
+                sql = self._compile(
+                    node, is_incremental=is_inc,
+                    event_time_filter=(event_time, start_iso, end_iso),
+                )
+                # idempotent per-batch write: delete+insert on the window
+                batch_node = Node(
+                    unique_id=node.unique_id, name=node.name, package=node.package,
+                    resource_type=node.resource_type, config=dict(node.config),
+                )
+                batch_node.config["incremental_strategy"] = "delete+insert"
+                if not R.relation_exists(self.spark, rel):
+                    df = self.spark.sql(sql)
+                    R.write_table(self.spark, rel, df,
+                                  partition_by=[c for c in [node.config.get("partition_by")] if c])
+                else:
+                    # replace rows in window, insert batch rows (retry-safe)
+                    existing = self.spark.table(rel).filter(
+                        f"NOT ({event_time} >= timestamp'{start_iso}' "
+                        f"AND {event_time} < timestamp'{end_iso}')"
+                    )
+                    df = self.spark.sql(sql)
+                    R.rebuild_table(self.spark, rel,
+                                    existing.unionByName(df, allowMissingColumns=True))
+                out.append({"batch": batch.batch_id, "status": "success"})
+            except Exception as e:  # per-batch failure → retryable
+                out.append({"batch": batch.batch_id, "status": "error", "message": str(e)})
+        return out

@@ -1,0 +1,234 @@
+"""End-to-end engine tests, modeled on the reference's functional suite
+(ref: tests/functional/basic/test_jaffle_shop.py — seed → run → models
+built; tests/functional/adapter/basic/)."""
+
+import pytest
+
+from dbt_core_spark import Engine, ProjectDef
+from dbt_core_spark.exceptions import DagCycleError, ParsingError
+
+
+def tpch_project(sf_dir: str) -> ProjectDef:
+    p = ProjectDef(name="jaffle")
+    for t in ["orders", "lineitem", "customer", "nation", "region"]:
+        p.add_source("tpch", t, f"{sf_dir}/{t}.parquet")
+    p.models["stg_orders"] = """
+        select o_orderkey as order_id, o_custkey as customer_id,
+               cast(o_orderdate as date) as order_date,
+               o_orderstatus as status, o_totalprice as total_price
+        from {{ source('tpch', 'orders') }}
+    """
+    p.models["stg_lineitem"] = """
+        {{ config(materialized='ephemeral') }}
+        select l_orderkey as order_id,
+               l_extendedprice * (1 - l_discount) as revenue
+        from {{ source('tpch', 'lineitem') }}
+    """
+    p.models["order_revenue"] = """
+        {{ config(materialized='table') }}
+        select o.order_id, o.customer_id, o.status, sum(l.revenue) as revenue
+        from {{ ref('stg_orders') }} o
+        join {{ ref('stg_lineitem') }} l on o.order_id = l.order_id
+        group by 1, 2, 3
+    """
+    return p
+
+
+def test_run_builds_all_models(spark, schema, sf_dir):
+    eng = Engine(spark, tpch_project(sf_dir), schema=schema)
+    res = eng.run()
+    assert res.ok(), [r.message for r in res.results if r.status == "error"]
+    # ephemeral model is never materialized (ref: §2.A ephemeral)
+    assert len(res.results) == 2
+    assert not spark.catalog.tableExists(f"{schema}.stg_lineitem")
+    assert eng.table("order_revenue").count() > 0
+    # view vs table types
+    types = {t.name: t.tableType for t in spark.catalog.listTables(schema)}
+    assert types["stg_orders"] == "VIEW"
+    assert types["order_revenue"] == "MANAGED"
+
+
+def test_ephemeral_cte_compilation(spark, schema, sf_dir):
+    eng = Engine(spark, tpch_project(sf_dir), schema=schema)
+    eng.run()
+    compiled = eng.compile_sql("select * from {{ ref('stg_lineitem') }} limit 1")
+    assert "__dbt__cte__stg_lineitem" in compiled
+
+
+def test_generic_tests_pass_and_fail(spark, schema, sf_dir):
+    p = tpch_project(sf_dir)
+    p.tests["unique_order_id"] = {
+        "type": "unique", "model": "order_revenue", "column": "order_id"}
+    p.tests["not_null_order_id"] = {
+        "type": "not_null", "model": "order_revenue", "column": "order_id"}
+    p.tests["accepted_status"] = {
+        "type": "accepted_values", "model": "order_revenue",
+        "column": "status", "values": ["O", "F", "P"]}
+    # deliberately failing test, severity warn (ref: task/test.py:294-329)
+    p.tests["bad_status_warn"] = {
+        "type": "accepted_values", "model": "order_revenue",
+        "column": "status", "values": ["O"], "severity": "warn"}
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    res = eng.test()
+    by_name = {r.unique_id.split(".")[-1]: r for r in res.results}
+    assert by_name["unique_order_id"].status == "pass"
+    assert by_name["not_null_order_id"].status == "pass"
+    assert by_name["accepted_status"].status == "pass"
+    assert by_name["bad_status_warn"].status == "warn"
+    assert by_name["bad_status_warn"].failures > 0
+
+
+def test_relationships_test(spark, schema, sf_dir):
+    p = tpch_project(sf_dir)
+    p.models["customers"] = """
+        select c_custkey as customer_id from {{ source('tpch', 'customer') }}
+    """
+    p.tests["rel_orders_customers"] = {
+        "type": "relationships", "model": "stg_orders", "column": "customer_id",
+        "to": "ref('customers')", "field": "customer_id"}
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    res = eng.test()
+    assert res.results[0].status == "pass"
+
+
+def test_store_failures(spark, schema, sf_dir):
+    p = tpch_project(sf_dir)
+    p.tests["fail_store"] = {
+        "type": "accepted_values", "model": "order_revenue", "column": "status",
+        "values": ["O"], "store_failures": True, "severity": "warn"}
+    eng = Engine(spark, p, schema=schema)
+    eng.run()
+    res = eng.test()
+    r = res.results[0]
+    assert r.relation == f"{schema}_dbt_test__audit.fail_store"
+    assert spark.table(r.relation).count() == r.failures
+
+
+def test_singular_test(spark, schema, sf_dir):
+    p = tpch_project(sf_dir)
+    p.tests["no_negative_revenue"] = {
+        "sql": "select * from {{ ref('order_revenue') }} where revenue < 0"}
+    eng = Engine(spark, p, schema=schema)
+    eng.run()
+    assert eng.test().results[0].status == "pass"
+
+
+def test_build_runs_dag_with_test_edges(spark, schema, sf_dir):
+    p = tpch_project(sf_dir)
+    p.tests["unique_order_id"] = {
+        "type": "unique", "model": "stg_orders", "column": "order_id"}
+    eng = Engine(spark, p, schema=schema)
+    res = eng.build()
+    assert res.ok()
+    assert len(res.results) == 3  # 2 models + 1 test
+
+
+def test_vars_and_env(spark, schema, sf_dir):
+    p = tpch_project(sf_dir)
+    p.vars["cutoff"] = 10
+    p.models["big_orders"] = """
+        select * from {{ ref('stg_orders') }} where total_price > {{ var('cutoff') }}
+    """
+    eng = Engine(spark, p, schema=schema, vars={"cutoff": 100000})
+    assert eng.run().ok()
+    # CLI var wins over project var (ref: base.py Var precedence)
+    assert "100000" in eng.compile_sql("select {{ var('cutoff') }} as v")
+
+
+def test_hooks(spark, schema, sf_dir):
+    p = tpch_project(sf_dir)
+    p.model_configs["stg_orders"] = {
+        "pre_hook": [f"create table if not exists {schema}.hook_log (id int) using parquet"],
+        "post_hook": [f"insert into {schema}.hook_log values (1)"],
+    }
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    assert spark.table(f"{schema}.hook_log").count() == 1
+
+
+def test_undefined_ref_raises(spark, schema):
+    p = ProjectDef(name="bad")
+    p.models["m"] = "select * from {{ ref('nope') }}"
+    with pytest.raises(ParsingError):
+        Engine(spark, p, schema=schema)
+
+
+def test_cycle_detection(spark, schema, sf_dir):
+    p = ProjectDef(name="cyc")
+    p.models["a"] = "select * from {{ ref('b') }}"
+    p.models["b"] = "select * from {{ ref('a') }}"
+    eng = Engine(spark, p, schema=schema)
+    with pytest.raises(DagCycleError):
+        eng.run()
+
+
+def test_failed_node_skips_descendants(spark, schema, sf_dir):
+    p = tpch_project(sf_dir)
+    p.models["broken"] = "select nonexistent_col from {{ ref('stg_orders') }}"
+    p.models["downstream"] = "select * from {{ ref('broken') }}"
+    eng = Engine(spark, p, schema=schema)
+    res = eng.run()
+    by_name = {r.unique_id.split(".")[-1]: r for r in res.results}
+    assert by_name["broken"].status == "error"
+    assert by_name["downstream"].status == "skipped"
+    assert by_name["order_revenue"].status == "success"
+
+
+def test_selection(spark, schema, sf_dir):
+    p = tpch_project(sf_dir)
+    eng = Engine(spark, p, schema=schema)
+    res = eng.run(select="stg_orders")
+    assert {r.unique_id for r in res.results} == {"model.jaffle.stg_orders"}
+    res2 = eng.run(select="stg_orders+")  # children too
+    assert {r.unique_id for r in res2.results} == {
+        "model.jaffle.stg_orders", "model.jaffle.order_revenue"}
+    res3 = eng.run(select="+order_revenue")  # ancestors (ephemeral excluded)
+    assert {r.unique_id for r in res3.results} == {
+        "model.jaffle.stg_orders", "model.jaffle.order_revenue"}
+
+
+def test_python_model(spark, schema, sf_dir):
+    """Python models get real DataFrames (ref: ADR-004; SURVEY §2.E)."""
+    p = tpch_project(sf_dir)
+
+    def orders_by_status(dbt, session):
+        from pyspark.sql import functions as F
+
+        df = dbt.ref("stg_orders")
+        return df.groupBy("status").agg(F.count("*").alias("n"))
+
+    p.python_models["orders_by_status"] = orders_by_status
+    p.model_configs["orders_by_status"] = {
+        "materialized": "table", "depends_on": ["stg_orders"]}
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    assert eng.table("orders_by_status").count() > 0
+
+
+def test_seed_from_rows(spark, schema):
+    p = ProjectDef(name="seeds")
+    p.seeds["countries"] = [
+        {"code": "US", "name": "United States"},
+        {"code": "FR", "name": "France"},
+    ]
+    p.models["m"] = "select code from {{ ref('countries') }}"
+    eng = Engine(spark, p, schema=schema)
+    assert eng.seed().ok()
+    assert eng.run().ok()
+    assert eng.table("m").count() == 2
+
+
+def test_show_limit(spark, schema, sf_dir):
+    eng = Engine(spark, tpch_project(sf_dir), schema=schema)
+    eng.run()
+    assert eng.show("select * from {{ ref('stg_orders') }}", limit=3).count() == 3
+
+
+def test_docs_generate(spark, schema, sf_dir):
+    eng = Engine(spark, tpch_project(sf_dir), schema=schema)
+    eng.run()
+    cat = eng.docs_generate()
+    assert "model.jaffle.order_revenue" in cat["nodes"]
+    assert "revenue" in cat["nodes"]["model.jaffle.order_revenue"]["columns"]
