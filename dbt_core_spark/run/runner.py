@@ -97,6 +97,15 @@ class GraphRunner:
         R.ensure_database(self.spark, self.schema)
         for src in self.manifest.sources.values():
             self.relations[src.unique_id] = register_source(self.spark, src, self.schema)
+        # pre-populate the relation cache with already-built relations, so
+        # refs across invocations resolve (ref: adapter relation cache,
+        # task/runnable.py:460-486)
+        for uid, node in self.manifest.nodes.items():
+            if node.is_refable and not node.is_ephemeral:
+                rel = self.relation_for(node)
+                if R.relation_exists(self.spark, rel):
+                    self.relations.setdefault(uid, rel)
+                    node.relation_name = rel
         linker = Linker()
         graph = linker.link_graph(self.manifest)
         if add_test_edges:

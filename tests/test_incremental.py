@@ -1,0 +1,178 @@
+"""Incremental materialization semantics
+(ref: tests/functional/adapter/incremental/ — test_incremental_unique_id.py,
+test_incremental_on_schema_change.py, test_incremental_predicates.py,
+test_incremental_merge_exclude_columns.py)."""
+
+import pytest
+
+from dbt_core_spark import Engine, ProjectDef
+from dbt_core_spark.plans.nodes import NodeType
+
+
+def _seed_project(rows):
+    p = ProjectDef(name="inc")
+    p.seeds["raw"] = rows
+    return p
+
+
+ROWS_V1 = [
+    {"id": 1, "name": "ann", "city": "nyc"},
+    {"id": 2, "name": "bob", "city": "sf"},
+]
+ROWS_V2 = [
+    {"id": 2, "name": "bobby", "city": "sf"},   # changed
+    {"id": 3, "name": "cyd", "city": "la"},     # new
+]
+
+
+def _run_twice(spark, schema, model_sql, config, rows1=ROWS_V1, rows2=ROWS_V2):
+    p = _seed_project(rows1)
+    p.models["m"] = model_sql
+    p.model_configs["m"] = config
+    eng = Engine(spark, p, schema=schema)
+    assert eng.seed().ok()
+    r1 = eng.run()
+    assert r1.ok(), [r.message for r in r1.results]
+    # replace seed data, run again
+    p.seeds["raw"] = rows2
+    eng2 = Engine(spark, p, schema=schema)
+    assert eng2.seed().ok()
+    r2 = eng2.run()
+    assert r2.ok(), [r.message for r in r2.results]
+    return eng2
+
+
+def test_incremental_append(spark, schema):
+    eng = _run_twice(
+        spark, schema, "select * from {{ ref('raw') }}",
+        {"materialized": "incremental", "incremental_strategy": "append"},
+    )
+    assert eng.table("m").count() == 4  # 2 + 2, no dedup
+
+
+def test_incremental_merge_unique_key(spark, schema):
+    eng = _run_twice(
+        spark, schema, "select * from {{ ref('raw') }}",
+        {"materialized": "incremental", "unique_key": "id"},
+    )
+    rows = {r["id"]: r["name"] for r in eng.table("m").collect()}
+    assert rows == {1: "ann", 2: "bobby", 3: "cyd"}  # upserted
+
+
+def test_incremental_composite_key(spark, schema):
+    rows1 = [{"state": "ca", "county": "sf", "pop": 1}, {"state": "ny", "county": "ny", "pop": 2}]
+    rows2 = [{"state": "ca", "county": "sf", "pop": 9}, {"state": "ca", "county": "la", "pop": 3}]
+    eng = _run_twice(
+        spark, schema, "select * from {{ ref('raw') }}",
+        {"materialized": "incremental", "unique_key": ["state", "county"]},
+        rows1, rows2,
+    )
+    rows = {(r["state"], r["county"]): r["pop"] for r in eng.table("m").collect()}
+    assert rows == {("ca", "sf"): 9, ("ny", "ny"): 2, ("ca", "la"): 3}
+
+
+def test_incremental_merge_exclude_columns(spark, schema):
+    eng = _run_twice(
+        spark, schema, "select * from {{ ref('raw') }}",
+        {"materialized": "incremental", "unique_key": "id",
+         "merge_exclude_columns": ["city"]},
+        [{"id": 1, "name": "ann", "city": "nyc"}],
+        [{"id": 1, "name": "anne", "city": "tokyo"}],
+    )
+    row = eng.table("m").collect()[0]
+    assert row["name"] == "anne" and row["city"] == "nyc"  # city kept
+
+
+def test_incremental_full_refresh(spark, schema):
+    p = _seed_project(ROWS_V1)
+    p.models["m"] = "select * from {{ ref('raw') }}"
+    p.model_configs["m"] = {"materialized": "incremental", "incremental_strategy": "append"}
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); eng.run(); eng.run()
+    assert eng.table("m").count() == 4
+    r = eng.run(full_refresh=True)
+    assert r.ok()
+    assert eng.table("m").count() == 2  # rebuilt from scratch
+
+
+def test_on_schema_change_fail(spark, schema):
+    p = _seed_project(ROWS_V1)
+    p.models["m"] = "select id, name from {{ ref('raw') }}"
+    p.model_configs["m"] = {"materialized": "incremental",
+                            "incremental_strategy": "append",
+                            "on_schema_change": "fail"}
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); assert eng.run().ok()
+    p.models["m"] = "select id, name, city from {{ ref('raw') }}"
+    eng2 = Engine(spark, p, schema=schema)
+    r = eng2.run()
+    assert r.results[0].status == "error"
+    assert "on_schema_change" in r.results[0].message
+
+
+def test_on_schema_change_append_new_columns(spark, schema):
+    p = _seed_project(ROWS_V1)
+    p.models["m"] = "select id, name from {{ ref('raw') }}"
+    p.model_configs["m"] = {"materialized": "incremental",
+                            "incremental_strategy": "append",
+                            "on_schema_change": "append_new_columns"}
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); assert eng.run().ok()
+    p.models["m"] = "select id, name, city from {{ ref('raw') }}"
+    eng2 = Engine(spark, p, schema=schema)
+    assert eng2.run().ok()
+    df = eng2.table("m")
+    assert "city" in df.columns
+    # old rows have null city, new rows have values
+    assert df.filter("city is null").count() == 2
+    assert df.filter("city is not null").count() == 2
+
+
+def test_on_schema_change_ignore_drops_new_cols(spark, schema):
+    p = _seed_project(ROWS_V1)
+    p.models["m"] = "select id, name from {{ ref('raw') }}"
+    p.model_configs["m"] = {"materialized": "incremental",
+                            "incremental_strategy": "append"}
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); assert eng.run().ok()
+    p.models["m"] = "select id, name, city from {{ ref('raw') }}"
+    eng2 = Engine(spark, p, schema=schema)
+    assert eng2.run().ok(), [r.message for r in eng2.run().results]
+    assert "city" not in eng2.table("m").columns
+
+
+def test_incremental_predicates_freeze_rows(spark, schema):
+    """Rows excluded by the predicate are never merged over
+    (ref: test_incremental_predicates.py)."""
+    eng = _run_twice(
+        spark, schema, "select * from {{ ref('raw') }}",
+        {"materialized": "incremental", "unique_key": "id",
+         "incremental_predicates": ["DBT_INTERNAL_DEST.id >= 2"]},
+        [{"id": 1, "name": "ann", "city": "nyc"}, {"id": 2, "name": "bob", "city": "sf"}],
+        [{"id": 1, "name": "HACKED", "city": "x"}, {"id": 2, "name": "bobby", "city": "sf"}],
+    )
+    rows = {r["id"]: r["name"] for r in eng.table("m").collect()}
+    # id=1 frozen (predicate excludes it from merge); duplicate insert of
+    # id=1 from source is the documented Delta behavior too
+    assert rows[2] == "bobby"
+    assert eng.table("m").filter("id = 1 and name = 'ann'").count() == 1
+
+
+def test_insert_overwrite_partitions(spark, schema):
+    p = _seed_project([
+        {"id": 1, "day": "2020-01-01", "v": 1},
+        {"id": 2, "day": "2020-01-02", "v": 1},
+    ])
+    p.models["m"] = "select * from {{ ref('raw') }}"
+    p.model_configs["m"] = {"materialized": "incremental",
+                            "incremental_strategy": "insert_overwrite",
+                            "partition_by": "day"}
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); assert eng.run().ok()
+    # second run: only day 2 present → day 1 rows untouched, day 2 replaced
+    p.seeds["raw"] = [{"id": 9, "day": "2020-01-02", "v": 2}]
+    eng2 = Engine(spark, p, schema=schema)
+    eng2.seed(); r = eng2.run()
+    assert r.ok(), [x.message for x in r.results]
+    rows = {(r["day"], r["id"]): r["v"] for r in eng2.table("m").collect()}
+    assert rows == {("2020-01-01", 1): 1, ("2020-01-02", 9): 2}

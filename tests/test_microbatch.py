@@ -1,0 +1,108 @@
+"""Microbatch batch construction + end-to-end event-time runs
+(ref: core/dbt/materializations/incremental/microbatch.py:12-181;
+tests/functional/microbatch/test_microbatch.py)."""
+
+import datetime as dt
+
+from dbt_core_spark import Engine, ProjectDef
+from dbt_core_spark.streaming.microbatch import (
+    MicrobatchBuilder,
+    offset_timestamp,
+    truncate_timestamp,
+)
+
+UTC = dt.timezone.utc
+
+
+def test_truncate_and_offset():
+    ts = dt.datetime(2020, 5, 15, 13, 45, 12, tzinfo=UTC)
+    assert truncate_timestamp(ts, "hour") == dt.datetime(2020, 5, 15, 13, tzinfo=UTC)
+    assert truncate_timestamp(ts, "day") == dt.datetime(2020, 5, 15, tzinfo=UTC)
+    assert truncate_timestamp(ts, "month") == dt.datetime(2020, 5, 1, tzinfo=UTC)
+    assert truncate_timestamp(ts, "year") == dt.datetime(2020, 1, 1, tzinfo=UTC)
+    assert offset_timestamp(ts, "day", 1) == dt.datetime(2020, 5, 16, tzinfo=UTC)
+    assert offset_timestamp(ts, "month", -5) == dt.datetime(2019, 12, 1, tzinfo=UTC)
+    assert offset_timestamp(ts, "year", 2) == dt.datetime(2022, 1, 1, tzinfo=UTC)
+
+
+def test_initial_run_batches_from_begin():
+    b = MicrobatchBuilder(
+        batch_size="day",
+        begin=dt.datetime(2020, 1, 1, tzinfo=UTC),
+        now=dt.datetime(2020, 1, 3, 7, tzinfo=UTC),
+    )
+    batches = b.build_batches(is_incremental=False)
+    assert [x.start.day for x in batches] == [1, 2, 3]
+    assert batches[0].end == dt.datetime(2020, 1, 2, tzinfo=UTC)
+
+
+def test_incremental_run_lookback():
+    b = MicrobatchBuilder(
+        batch_size="day",
+        begin=dt.datetime(2020, 1, 1, tzinfo=UTC),
+        lookback=1,
+        now=dt.datetime(2020, 1, 5, 7, tzinfo=UTC),
+    )
+    batches = b.build_batches(is_incremental=True)
+    assert [x.start.day for x in batches] == [4, 5]  # lookback 1 + current
+
+
+def test_explicit_event_time_window():
+    b = MicrobatchBuilder(
+        batch_size="day",
+        begin=dt.datetime(2020, 1, 1, tzinfo=UTC),
+        event_time_start=dt.datetime(2020, 1, 2, tzinfo=UTC),
+        event_time_end=dt.datetime(2020, 1, 3, tzinfo=UTC),
+        now=dt.datetime(2020, 6, 1, tzinfo=UTC),
+    )
+    batches = b.build_batches(is_incremental=True)
+    assert [x.start.day for x in batches] == [2, 3]
+
+
+def test_microbatch_end_to_end(spark, schema):
+    """Daily microbatch over a seeded event table: upstream reads are
+    filtered per batch, late rows picked up on the next run."""
+    p = ProjectDef(name="mb")
+    p.seeds["raw_events"] = [
+        {"id": 1, "event_time": "2020-01-01 01:00:00", "v": 1},
+        {"id": 2, "event_time": "2020-01-02 01:00:00", "v": 2},
+        {"id": 3, "event_time": "2020-01-03 01:00:00", "v": 3},
+    ]
+    p.seed_configs["raw_events"] = {
+        "column_types": {"event_time": "timestamp"},
+        "event_time": "event_time",  # enables upstream filter injection
+    }
+    p.models["daily"] = """
+        {{ config(materialized='incremental', incremental_strategy='microbatch',
+                  event_time='event_time', batch_size='day',
+                  begin='2020-01-01', unique_key='id') }}
+        select * from {{ ref('raw_events') }}
+    """
+    eng = Engine(spark, p, schema=schema)
+    assert eng.seed().ok()
+    r = eng.run(
+        event_time_start=dt.datetime(2020, 1, 1, tzinfo=UTC),
+        event_time_end=dt.datetime(2020, 1, 3, tzinfo=UTC),
+    )
+    assert r.ok(), [x.message for x in r.results]
+    batches = r.results[0].batch_results
+    assert len(batches) == 3 and all(b["status"] == "success" for b in batches)
+    assert spark.table(f"{schema}.daily").count() == 3
+
+    # late-arriving rows land in an already-processed window → re-run window
+    p.seeds["raw_events"] = [
+        {"id": 1, "event_time": "2020-01-01 01:00:00", "v": 1},
+        {"id": 2, "event_time": "2020-01-02 01:00:00", "v": 2},
+        {"id": 3, "event_time": "2020-01-03 01:00:00", "v": 3},
+        {"id": 4, "event_time": "2020-01-02 09:00:00", "v": 9},
+    ]
+    eng2 = Engine(spark, p, schema=schema)
+    eng2.seed()
+    r2 = eng2.run(
+        event_time_start=dt.datetime(2020, 1, 2, tzinfo=UTC),
+        event_time_end=dt.datetime(2020, 1, 2, tzinfo=UTC),
+    )
+    assert r2.ok()
+    df = spark.table(f"{schema}.daily")
+    assert df.count() == 4  # late row added, window replace idempotent
+    assert df.filter("id = 4").count() == 1
