@@ -1,0 +1,100 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers each operator family once: heavy relational
+(q1/q3/q5), windows (top-3, sessionize), time rollup, engine
+materialization end-to-end (view+ephemeral+table), incremental merge,
+microbatch, dedup (minhash LSH), similarity (LSH ANN — the scale path,
+not brute force), text stats, and the multimodal mapInPandas path.
+
+Additionally reports ``parse_ms_per_model`` — the analog of the
+reference's only published benchmark (dbt parse of 2000 trivial models,
+~36 ms/model at dbt 1.4.6; BASELINE.md) measured on a generated
+2000-model project.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from dbt_core_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_top3_orders_per_customer",
+    "sessionize_events",
+    "hourly_event_rollup",
+    "engine_view_table_ephemeral",
+    "engine_incremental_merge",
+    "engine_microbatch_day",
+    "minhash_lsh_docs",
+    "ann_lsh_topk_embeddings",
+    "text_quality_docs",
+    "multimodal_features_docs",
+]
+
+
+def bench_parse(n_models: int = 2000) -> float:
+    """Parse-throughput analog of the reference's 01_2000_simple_models
+    benchmark (ref: performance/README.md): n trivial models + full
+    manifest parse + DAG link; returns ms/model."""
+    from dbt_core_spark.plans.graph import Linker
+    from dbt_core_spark.plans.parser import parse_project
+    from dbt_core_spark.project import ProjectDef
+
+    p = ProjectDef(name="perf")
+    p.models["base"] = "select 1 as id"
+    for i in range(n_models - 1):
+        p.models[f"m{i}"] = "select id from {{ ref('base') }} where id = {{ var('x', 1) }}"
+    t0 = time.time()
+    manifest = parse_project(p)
+    Linker().link_graph(manifest)
+    elapsed = time.time() - t0
+    assert len(manifest.nodes) == n_models
+    return elapsed * 1000 / n_models
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(
+        app_name="dbt_core_spark_bench",
+        extra_conf={"spark.sql.warehouse.dir": f"/tmp/bench_wh_{os.getpid()}"},
+    )
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    parse_ms = round(bench_parse(2000), 3)
+    print(f"# parse: {parse_ms} ms/model", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "parse_ms_per_model": parse_ms,
+    }))
+
+
+if __name__ == "__main__":
+    main()

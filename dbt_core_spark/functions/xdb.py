@@ -115,8 +115,10 @@ def get_intervals_between(start_date: str, end_date: str, datepart: str) -> str:
 
 
 def get_powers_of_two(upper_bound: str | int) -> str:
-    """ref: utils/test_get_powers_of_two.py"""
-    return f"cast(ceil(log(2, {upper_bound})) as int)"
+    """ceil(log2(n)) via bit-length arithmetic — no float log, so the
+    result is exact at powers of two (ref: utils/test_get_powers_of_two.py)."""
+    n = upper_bound
+    return f"case when {n} <= 1 then 0 else length(bin({n} - 1)) end"
 
 
 # --- aggregate / conditional ----------------------------------------------

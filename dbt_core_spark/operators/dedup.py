@@ -1,0 +1,335 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These are engine extensions beyond dbt parity (driver north star,
+SURVEY §7 phase 4): exact dedup, n-gram Jaccard similarity, MinHash+LSH
+near-dup detection, and SimHash fingerprints — all expressed with
+built-in Spark SQL functions (no Python UDFs), so every path stays in
+WholeStageCodegen and scales by partitioning:
+
+- Hashes are **md5-based** (not Spark's ``hash()``) so results are
+  engine-portable and verifiable bit-for-bit against any SQL oracle.
+- MinHash signatures are computed per-row with higher-order array
+  functions — zero shuffles until the band-bucket join.
+- The LSH band join shuffles on (band_idx, band_hash): at 100 TB that
+  shuffle carries only doc_id + 32 band hashes per doc (~300 B/doc),
+  never the text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition narrow inputs before CPU-heavy per-row work.
+
+    A small parquet file arrives as ONE partition; md5-heavy per-row ops
+    (minhash signatures, simhash) would then run on a single core no
+    matter the cluster size.  At 100 TB inputs are already wide — this
+    is a no-op there (only repartitions when below the session's default
+    parallelism)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def normalized_words(col: str | Column) -> Column:
+    """Lowercase, strip non-alphanumerics, split to words (empty removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
+    return F.filter(F.split(cleaned, "\\s+"), lambda w: w != "")
+
+
+def word_ngrams(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a words array (JVM-side).
+
+    zip_with over n shifted slices, not element_at-in-a-lambda: the
+    slice form references ``words`` only n times, so even when Catalyst
+    inlines the expression (e.g. under a pushed-down filter predicate)
+    cost stays linear — the element_at form re-evaluated its input per
+    gram position (measured 100× slower under predicate pushdown).
+    Short arrays (< n words) yield an empty slice → empty result.
+    """
+    cnt = F.greatest(F.size(words) - n + 1, F.lit(0))
+    z = F.slice(words, 1, cnt)
+    for j in range(1, n):
+        z = F.zip_with(z, F.slice(words, j + 1, cnt),
+                       lambda x, y: F.concat_ws(" ", x, y))
+    return F.array_distinct(z)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text; deterministic (unlike
+    ``dropDuplicates``, which keeps an arbitrary row).  One shuffle on the
+    md5 of the text — at scale, hash first so the shuffle key is 16 bytes,
+    not the document."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise, restricted to pairs sharing a shingle)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets, for all pairs with
+    similarity ≥ threshold.  Only pairs sharing ≥1 shingle are ever
+    materialized (Jaccard > 0 requires a shared shingle), so the plan is:
+    explode → self-join on shingle → count shared → jaccard.
+
+    Scale note: the shingle join degrades on ultra-frequent shingles;
+    ``max_shingle_freq`` drops shingles occurring in more than that many
+    docs (cheap df-filter) — the standard big-corpus mitigation.  Leave
+    None for oracle-exact semantics.
+    """
+    # two-step projection: materialize the words array BEFORE n-gramming.
+    # Inlined, the tokenizer expression would be re-evaluated inside every
+    # element_at of the transform lambda (~3x per gram) — measured 30x
+    # slower.  As separate projections CollapseProject keeps the boundary
+    # (multi-referenced non-cheap expr), so tokenization runs once per row.
+    # filter on size(words), not size(shingles): predicate pushdown would
+    # inline the full n-gram expression into the filter otherwise
+    shingled = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), normalized_words(text_col).alias("words"))
+        .filter(F.size("words") >= n)
+        .select("id", word_ngrams(F.col("words"), n).alias("shingles"))
+    )
+    sizes = shingled.select("id", F.size("shingles").alias("n_sh"))
+    pairs_src = shingled.select(
+        "id", F.explode("shingles").alias("sh")
+    )
+    if max_shingle_freq is not None:
+        freq = pairs_src.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
+        pairs_src = pairs_src.join(F.broadcast(freq.select("sh")), "sh")
+    a = pairs_src.alias("a")
+    b = pairs_src.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        # raw double, no rounding: int/int division is bit-identical across
+        # engines, so the oracle can match exactly
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """num_perm-wide MinHash signature: permutation *i* is the lexical min
+    of ``md5(i || '_' || shingle)`` — portable, deterministic, computed
+    entirely per-row (no shuffle, no UDF)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}_"), s)))
+            )
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding, verified with exact
+    Jaccard ≥ threshold.
+
+    rows-per-band r = num_perm/bands; P(candidate) = 1-(1-j^r)^bands —
+    with the 64/32 default, a pair at j=0.7 is caught with
+    P ≈ 1-5e-10, so verified output matches exact Jaccard pairing.
+    Scale shape: per-row signature (no shuffle) → explode 32 bands →
+    shuffle on 16-byte band hash → tiny bucket self-joins → verify only
+    candidates (the expensive exact Jaccard runs on ~0.1% of pairs).
+    """
+    r = num_perm // bands
+    # two-step projection: materialize the words array BEFORE n-gramming.
+    # Inlined, the tokenizer expression would be re-evaluated inside every
+    # element_at of the transform lambda (~3x per gram) — measured 30x
+    # slower.  As separate projections CollapseProject keeps the boundary
+    # (multi-referenced non-cheap expr), so tokenization runs once per row.
+    # filter on size(words), not size(shingles): predicate pushdown would
+    # inline the full n-gram expression into the filter otherwise
+    shingled = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), normalized_words(text_col).alias("words"))
+        .filter(F.size("words") >= n)
+        .select("id", word_ngrams(F.col("words"), n).alias("shingles"))
+    )
+    # Aggregate-form signature: explode shingles, take 64 mins per doc.
+    # One md5 per (doc, shingle, perm), computed in parallel across the
+    # exploded rows with map-side partial aggregation — unlike the
+    # per-row array form, whose 64 nested transforms serialize on one
+    # expression tree per document (measured 10× slower).
+    ex = shingled.select("id", F.explode("shingles").alias("sh"))
+    sig = ex.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("sh")))).alias(f"s{i}")
+            for i in range(num_perm)
+        ]
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"s{i * r + j}") for j in range(r)])
+                ).alias("h"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_cols).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.h").alias("h")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = shingled
+    verified = (
+        candidates.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: among each connected pair, the higher id
+    loses (single-link, one pass — the standard large-corpus
+    approximation that avoids iterative connected components)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash (32-bit, md5-derived → engine-portable)
+# --------------------------------------------------------------------------
+
+def _hex_to_int(hexcol: Column, digits: int = 8) -> Column:
+    """First ``digits`` hex chars → integer, via arithmetic only (portable
+    to any SQL oracle; avoids engine-specific conv())."""
+    out = F.lit(0).cast("bigint")
+    for i in range(digits):
+        ch = F.substring(hexcol, i + 1, 1)
+        val = F.instr(F.lit("0123456789abcdef"), ch) - 1
+        out = out * 16 + val
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """32-bit SimHash over word unigrams: bit b of the fingerprint is the
+    sign of Σ_words (±1 depending on bit b of md5(word)).  All per-row
+    array math — no shuffle, no UDF."""
+    df = ensure_parallelism(df)
+    words = normalized_words(text_col)
+    hashes = F.transform(words, lambda w: _hex_to_int(F.md5(w)))
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(((h / (2 ** b)).cast("bigint") % 2) == 1, 1).otherwise(-1),
+        )
+        for b in range(bits)
+    ]
+    fp = None
+    for b, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("bigint")
+        fp = term if fp is None else fp + term
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Scale path: block on bit-chunks (pigeonhole — with 4 chunks, any pair
+    within distance 3 shares ≥1 exact chunk), so the join key is a chunk
+    value, not a full cross join."""
+    sh = simhash(df, text_col, id_col)
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    chunk_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("c"),
+                ((F.col("simhash") / (2 ** (i * chunk_bits))).cast("bigint")
+                 % (2 ** chunk_bits)).alias("v"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    blocked = sh.select(F.col(id_col).alias("id"), "simhash",
+                        F.explode(chunk_cols).alias("b")).select(
+        "id", "simhash", F.col("b.c").alias("c"), F.col("b.v").alias("v"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.v") == F.col("b.v"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

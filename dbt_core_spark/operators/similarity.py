@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Engine extension (driver north star).  Three tiers:
+
+- ``cosine_pairs`` / ``cosine_topk`` — exact brute force, the baseline.
+  Dot products run JVM-side via ``zip_with``/``aggregate`` (no UDF).
+  Brute force is O(n²) — correct reference + fine for ≤10⁵ vectors.
+- ``lsh_cosine_topk`` — random-hyperplane LSH: deterministic md5-seeded
+  hyperplanes, bucket on sign patterns, search only within buckets
+  (+ multiprobe via bit flips).  The 100 TB path: shuffle keys are
+  small ints, candidate sets shrink by ~2^planes.
+- ``ivf_topk`` — inverted-file: coarse-quantize to the nearest of k
+  sampled centroids, search only the probe-nearest cells.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize so cosine = dot (halves the pairwise math)."""
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        vec_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / n),
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (a < b). Exact."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        # raw double: dot/norm folds run in array order in both engines,
+        # so the oracle can match bit-for-bit
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (queries default to the
+    corpus itself, self-match excluded).  Ties broken by neighbor id for
+    determinism."""
+    corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
+    q = (queries or df).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"))
+    scored = (
+        q.join(corpus, F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH (random hyperplanes) — approximate, deterministic
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, planes: int, seed: str = "dbtspark") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG state,
+    reproducible across runs/engines."""
+    out = []
+    for p in range(planes):
+        vec = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            vec.append(int(h[:8], 16) / 0x7FFFFFFF - 1.0)  # ~U(-1, 1)
+        out.append(vec)
+    return out
+
+
+def lsh_bucket(vec_col: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-pattern bucket id (0..2^planes-1) via fixed hyperplanes."""
+    bucket = F.lit(0)
+    for i, hp in enumerate(_hyperplanes(dim, planes)):
+        lit = F.array(*[F.lit(x) for x in hp])
+        bucket = bucket + F.when(_dot(vec_col, lit) >= 0, 2 ** i).otherwise(0)
+    return bucket
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: join only within the same hyperplane bucket.
+    ~2^planes× less pairwise work; recall grows with fewer planes.
+    (Approximate — verify recall offline; no SQL oracle.)"""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    scored = (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") != F.col("c.id")))
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("c.id").alias("nbr_id"),
+            cosine(F.col("a.v"), F.col("c.v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat: centroids = deterministic corpus sample (lowest ids);
+    each vector assigned to its nearest cell; each query probes its
+    ``n_probe`` nearest cells only.  (Approximate; no SQL oracle.)"""
+    cents = (
+        df.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+    )
+    assigned_w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("cell").asc())
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    dists = base.crossJoin(F.broadcast(cents)).withColumn(
+        "d", -cosine(F.col("v"), F.col("cv"))
+    )
+    assign = (
+        dists.withColumn("r", F.row_number().over(assigned_w))
+        .filter(F.col("r") == 1)
+        .select("id", "v", "cell")
+    )
+    probes = (
+        dists.withColumn("r", F.row_number().over(assigned_w))
+        .filter(F.col("r") <= n_probe)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    )
+    scored = (
+        probes.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("nbr_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

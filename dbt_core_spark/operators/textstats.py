@@ -1,0 +1,115 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+fingerprinting.  Engine extensions (driver north star) — all built-in
+Spark SQL functions, no UDFs, so the whole surface runs inside
+WholeStageCodegen and scales linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_core_spark.operators.dedup import normalized_words
+
+# Tiny built-in stopword lists for the n-gram/stopword language heuristic.
+# Order matters: ties resolve to the first language listed.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"],
+    "es": ["el", "la", "los", "de", "y", "es", "en", "un", "una", "por"],
+}
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace tokens (BPE-ish subword estimate ≈ chars/4 available via
+    ``bpe_token_estimate``)."""
+    return F.size(normalized_words(col))
+
+
+def bpe_token_estimate(col: str | Column) -> Column:
+    """Cheap BPE token estimate: word pieces split on non-alnum boundaries
+    plus ceil(chars/4) for long words — a standard heuristic when no
+    tokenizer is shippable cluster-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = normalized_words(c)
+    return F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.greatest(F.lit(1), F.ceil(F.length(w) / 4)).cast("bigint"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features (length, word stats, punctuation &
+    stopword ratios) + a composite 0..1 score — the usual pre-training
+    corpus filters."""
+    t = F.col(text_col)
+    words = normalized_words(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(en_stop, w)))
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0).cast("bigint"),
+                    lambda acc, w: acc + F.length(w).cast("bigint")) / n_words,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    # raw doubles throughout: every value is an int/int division or a
+    # fixed-order fold of exact literals, bit-identical across engines
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def detect_language(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language heuristic: language with the most
+    stopword hits wins (ties → priority order en,fr,de,es; no hits →
+    'und' undetermined)."""
+    words = normalized_words(text_col)
+    scores = []
+    for lang, stops in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in stops])
+        scores.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # priority order preserved on ties: compare (hits, -index) via reverse scan
+    best = scores[0]
+    for s in scores[1:]:
+        best = F.when(s["hits"] > best["hits"], s).otherwise(best)
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("detected_lang"),
+        best["hits"].cast("bigint").alias("stopword_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of the normalized word sequence — the
+    canonical near-exact-dedup key (whitespace/punct/case-insensitive)."""
+    words = normalized_words(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", words)).alias("fingerprint"),
+    )

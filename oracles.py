@@ -1,0 +1,446 @@
+"""DuckDB oracle SQL for every entry in ``__spark_entry__.queries()``.
+
+Each oracle mirrors the Spark query's math exactly (same fold orders,
+same integer-cents aggregation, same tie-breakers) so the driver's
+value-hash comparison matches bit-for-bit.  Approximate ANN queries
+(`ann_*`) are deliberately absent — no exact SQL oracle exists.
+"""
+
+from __future__ import annotations
+
+# normalized word list (mirror of operators.dedup.normalized_words);
+# NOTE the 'g' flag — DuckDB regexp_replace is first-match by default
+_WORDS = (
+    "list_filter(string_split_regex("
+    "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'), w -> w <> '')"
+)
+
+# distinct word-3-gram shingles (mirror of operators.dedup.word_ngrams)
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)), "
+    "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))"
+)
+
+_JACCARD_BASE = f"""
+with sh0 as (
+    select doc_id as id, {_WORDS} as words from documents
+), sh as (
+    select id, case when len(words) >= 3 then {_SHINGLES} else [] end as shingles
+    from sh0
+), shn as (
+    select id, shingles, len(shingles) as n_sh from sh where len(shingles) > 0
+), f as (
+    select id, unnest(shingles) as s from shn
+), shared as (
+    select a.id as id_a, b.id as id_b, count(*) as shared
+    from f a join f b on a.s = b.s and a.id < b.id
+    group by 1, 2
+)
+select s.id_a, s.id_b,
+       s.shared / (na.n_sh + nb.n_sh - s.shared) as jaccard
+from shared s
+join shn na on na.id = s.id_a
+join shn nb on nb.id = s.id_b
+where s.shared / (na.n_sh + nb.n_sh - s.shared) >= {{thr}}
+"""
+
+
+def _hex2int(h: str, digits: int = 8) -> str:
+    """First `digits` hex chars of expr `h` → integer, arithmetic only
+    (mirror of operators.dedup._hex_to_int)."""
+    out = "0"
+    for i in range(digits):
+        ch = f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        out = f"(({out}) * 16 + {ch})"
+    return out
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    v = _hex2int("md5(word)")
+    sums = ",\n           ".join(
+        f"sum(case when (v // {1 << b}) % 2 = 1 then 1 else -1 end) as s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(case when s{b} > 0 then {1 << b} else 0 end)" for b in range(bits))
+    return f"""
+with w as (
+    select doc_id, unnest({_WORDS}) as word
+    from documents where text is not null
+), v as (
+    select doc_id, cast({v} as bigint) as v from w
+), s as (
+    select doc_id,
+           {sums}
+    from v group by doc_id
+), f as (
+    select doc_id, cast({fp} as bigint) as simhash from s
+)
+select d.doc_id, cast(coalesce(f.simhash, 0) as bigint) as simhash
+from documents d left join f using (doc_id)
+where d.text is not null
+"""
+
+
+_QUALITY_SQL = f"""
+with w as (
+    select doc_id, text, {_WORDS} as words from documents
+), m as (
+    select doc_id,
+           cast(length(text) as bigint) as n_chars,
+           cast(len(words) as bigint) as n_words,
+           cast(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) as bigint) as n_punct,
+           cast(len(list_filter(words, x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x))) as bigint) as n_stop,
+           cast(coalesce(list_sum(list_transform(words, x -> length(x))), 0) as bigint) as sum_wlen
+    from w
+)
+select doc_id, n_chars, n_words,
+       case when n_words > 0 then sum_wlen / n_words else 0.0 end as mean_word_len,
+       case when n_chars > 0 then n_punct / n_chars else 0.0 end as punct_ratio,
+       case when n_words > 0 then n_stop / n_words else 0.0 end as stopword_ratio,
+       (((case when n_words >= 10 and n_words <= 100000 then cast(0.4 as double) else cast(0.0 as double) end)
+         + (case when (case when n_words > 0 then sum_wlen / n_words else 0.0 end) >= 3
+                  and (case when n_words > 0 then sum_wlen / n_words else 0.0 end) <= 10
+                 then cast(0.2 as double) else cast(0.0 as double) end))
+         + (case when (case when n_words > 0 then n_stop / n_words else 0.0 end) >= 0.05
+                 then cast(0.2 as double) else cast(0.0 as double) end))
+         + (case when (case when n_chars > 0 then n_punct / n_chars else 0.0 end) <= 0.2
+                 then cast(0.2 as double) else cast(0.0 as double) end) as quality_score
+from m
+"""
+
+_LANGS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"],
+    "es": ["el", "la", "los", "de", "y", "es", "en", "un", "una", "por"],
+}
+
+
+def _language_sql() -> str:
+    hit_cols = ",\n           ".join(
+        "len(list_filter(words, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in lst)
+        + f"], x))) as h_{lang}"
+        for lang, lst in _LANGS.items()
+    )
+    # fold in dict order with strict > (mirror of textstats.detect_language)
+    folds = []
+    prev_h, prev_l = "h_en", "'en'"
+    for lang in list(_LANGS)[1:]:
+        folds.append(
+            f"case when h_{lang} > ({prev_h}) then h_{lang} else ({prev_h}) end"
+        )
+        prev_l = f"case when h_{lang} > ({prev_h}) then '{lang}' else ({prev_l}) end"
+        prev_h = folds[-1]
+    return f"""
+with w as (
+    select doc_id, {_WORDS} as words from documents
+), h as (
+    select doc_id,
+           {hit_cols}
+    from w
+)
+select doc_id,
+       case when ({prev_h}) > 0 then ({prev_l}) else 'und' end as detected_lang,
+       cast(({prev_h}) as bigint) as stopword_hits
+from h
+"""
+
+
+_COSINE_CTE = """
+with v as (
+    select vec_id, embedding::DOUBLE[] as e from embeddings
+), p as (
+    select a.vec_id as id_a, b.vec_id as id_b,
+           list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) as cosine
+    from v a join v b on {join_cond}
+)
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q1_pricing_summary"] = """
+select l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+       cast(sum(cast(round(l_extendedprice * 10000) as bigint)) / 10000.0 as double) as sum_base_price,
+       cast(sum(cast(round((l_extendedprice * (1 - l_discount)) * 10000) as bigint)) / 10000.0 as double) as sum_disc_price,
+       cast(count(*) as bigint) as count_order,
+       cast(sum(cast(round(l_discount * 10000) as bigint)) as bigint) as sum_disc_e4
+from lineitem
+where l_shipdate <= timestamp '1998-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_shipping_priority"] = """
+select o.o_orderkey as order_key,
+       cast(sum(cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)) / 10000.0 as double) as revenue,
+       cast(o.o_orderdate as varchar) as order_date,
+       o.o_orderpriority as order_priority
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+where c.c_mktsegment = 'BUILDING'
+  and o.o_orderdate < timestamp '1998-03-15 00:00:00'
+  and l.l_shipdate > timestamp '1995-03-15 00:00:00'
+group by o.o_orderkey, o.o_orderdate, o.o_orderpriority
+order by revenue desc, order_key
+limit 10
+"""
+
+ORACLES["q5_local_supplier_volume"] = """
+select n.n_name as nation,
+       cast(sum(cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)) / 10000.0 as double) as revenue
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+join supplier s on l.l_suppkey = s.s_suppkey
+join nation n on s.s_nationkey = n.n_nationkey
+join region r on n.n_regionkey = r.r_regionkey
+where r.r_name = 'ASIA'
+  and c.c_nationkey = s.s_nationkey
+  and o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+  and o.o_orderdate < timestamp '1998-01-01 00:00:00'
+group by n.n_name
+"""
+
+ORACLES["pivot_status_by_priority"] = """
+select o_orderpriority as priority,
+       cast(sum(case when o_orderstatus = 'O' then 1 else 0 end) as bigint) as n_open,
+       cast(sum(case when o_orderstatus = 'F' then 1 else 0 end) as bigint) as n_filled,
+       cast(sum(case when o_orderstatus = 'P' then 1 else 0 end) as bigint) as n_pending
+from orders
+group by o_orderpriority
+"""
+
+ORACLES["window_top3_orders_per_customer"] = """
+select o_custkey as customer_key, o_orderkey as order_key,
+       o_totalprice as total_price,
+       row_number() over (partition by o_custkey
+                          order by o_totalprice desc, o_orderkey) as rk
+from orders
+qualify rk <= 3
+"""
+
+ORACLES["running_revenue_by_customer"] = """
+select o_custkey as customer_key, o_orderkey as order_key,
+       cast(sum(cast(round(o_totalprice * 100) as bigint))
+            over (partition by o_custkey
+                  order by o_orderdate, o_orderkey
+                  rows between unbounded preceding and current row)
+            / 100.0 as double) as running_total
+from orders
+"""
+
+ORACLES["sessionize_events"] = """
+with gaps as (
+    select user_id, ts, event_id,
+           case when lag(ts) over w is null
+                  or (epoch(ts) - epoch(lag(ts) over w)) > 1800
+                then 1 else 0 end as is_new
+    from events
+    window w as (partition by user_id order by ts, event_id)
+), sess as (
+    select user_id, ts, event_id,
+           sum(is_new) over (partition by user_id order by ts, event_id
+                             rows between unbounded preceding and current row) as session_id
+    from gaps
+)
+select user_id, cast(session_id as bigint) as session_id,
+       cast(count(*) as bigint) as n_events,
+       cast(epoch_us(min(ts)) as bigint) as session_start_us,
+       cast(epoch_us(max(ts)) as bigint) as session_end_us
+from sess
+group by user_id, session_id
+"""
+
+ORACLES["hourly_event_rollup"] = """
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour_bucket,
+       event_type,
+       cast(count(*) as bigint) as n,
+       cast(count(distinct user_id) as bigint) as n_users,
+       cast(sum(cast(round(value * 10000) as bigint)) / 10000.0 as double) as sum_value
+from events
+group by 1, 2
+"""
+
+ORACLES["json_extract_props"] = """
+select cast(regexp_extract(props, '"k":\\s*(\\d+)', 1) as bigint) as k,
+       cast(count(*) as bigint) as n
+from events
+group by 1
+"""
+
+ORACLES["set_ops_statuses"] = """
+(
+  select o_custkey as customer_key from orders where o_orderstatus = 'O'
+  intersect
+  select o_custkey from orders where o_orderstatus = 'F'
+)
+except
+select o_custkey from orders where o_totalprice > 400000
+"""
+
+ORACLES["xdb_datetime_functions"] = """
+select o_orderkey as order_key,
+       cast(o_orderdate + interval 30 day as varchar) as due_date,
+       cast(datediff('month', timestamp '1995-01-01 00:00:00', o_orderdate) as bigint) as months_since_95,
+       cast(cast(date_trunc('month', o_orderdate) as timestamp) as varchar) as order_month,
+       cast(last_day(o_orderdate) as varchar) as month_end
+from orders
+where o_orderkey <= 5000
+"""
+
+ORACLES["xdb_string_functions"] = """
+select p_partkey as part_key,
+       p_brand || '#' || p_type as brand_type,
+       cast(length(p_name) as bigint) as name_len,
+       cast(position('a' in p_name) as bigint) as first_a,
+       replace(p_type, ' ', '_') as type_snake,
+       right(p_name, 4) as name_tail,
+       split_part(p_type, ' ', 1) as type_head,
+       md5(cast(p_partkey as varchar)) as key_hash,
+       try_cast(p_size as varchar) as size_str,
+       (p_brand is not distinct from 'Brand#1') as is_brand1
+from part
+where p_partkey <= 1000
+"""
+
+ORACLES["xdb_listagg_nations"] = """
+select r.r_name as region_name,
+       array_to_string(list_slice(list(n.n_name order by n.n_name), 1, 3), ',') as top3_nations,
+       cast(any_value(r.r_regionkey) as bigint) as region_key,
+       bool_or(n.n_nationkey > 20) as has_late_nation
+from region r join nation n on n.n_regionkey = r.r_regionkey
+group by r.r_name
+"""
+
+ORACLES["xdb_date_spine"] = """
+with spine as (
+    select unnest(generate_series(timestamp '1995-01-01',
+                                  timestamp '1995-01-31',
+                                  interval 1 day)) as date_day
+)
+select cast(s.date_day as varchar) as date_day,
+       cast(count(o.o_orderkey) as bigint) as n_orders
+from spine s
+left join orders o on o.o_orderdate = s.date_day
+group by s.date_day
+"""
+
+ORACLES["xdb_arrays"] = """
+select r_name as region_name,
+       cast(unnest([r_regionkey, r_regionkey * 10, 100, 999]) as bigint) as v
+from region
+"""
+
+ORACLES["generate_series_powers"] = """
+select cast(n as bigint) as generated_number,
+       cast(case when n <= 1 then 0 else length(bin(n - 1)) end as bigint) as pow2
+from (select unnest(generate_series(1, 64)) as n)
+"""
+
+ORACLES["engine_view_table_ephemeral"] = """
+select o.o_orderstatus as status,
+       cast(sum(cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)) / 10000.0 as double) as revenue,
+       cast(count(distinct o.o_orderkey) as bigint) as n_orders
+from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+group by o.o_orderstatus
+"""
+
+ORACLES["engine_incremental_merge"] = """
+select o_custkey as customer_key,
+       cast(count(*) as bigint) as n_orders,
+       cast(max(cast(o_orderdate as varchar)) as varchar) as last_order_date
+from orders
+group by o_custkey
+"""
+
+ORACLES["engine_snapshot_scd2"] = """
+with base as (
+    select c_custkey as customer_key, c_name as name,
+           cast(c_acctbal as double) as acctbal
+    from customer where c_custkey <= 200
+)
+select customer_key, name, acctbal,
+       '2020-01-01 00:00:00' as valid_from,
+       '2020-02-01 00:00:00' as valid_to
+from base where customer_key % 10 = 0
+union all
+select customer_key, name, acctbal + 100,
+       '2020-02-01 00:00:00', cast(null as varchar)
+from base where customer_key % 10 = 0
+union all
+select customer_key, name, acctbal,
+       '2020-01-01 00:00:00', cast(null as varchar)
+from base where customer_key % 10 <> 0
+"""
+
+ORACLES["engine_microbatch_day"] = """
+select event_id, cast(epoch_us(ts) as bigint) as ts_us, user_id, event_type,
+       cast(value as double) as value
+from events
+where ts >= timestamp '2024-01-01 00:00:00'
+  and ts < timestamp '2024-01-06 00:00:00'
+"""
+
+ORACLES["engine_generic_test_failures"] = """
+select event_type as value_field, cast(count(*) as bigint) as n_records
+from events
+group by event_type
+having event_type not in ('click', 'view')
+"""
+
+ORACLES["dedup_exact_docs"] = """
+select doc_id, lang, n_chars from documents
+qualify row_number() over (partition by md5(text) order by doc_id) = 1
+"""
+
+ORACLES["dedup_fingerprint_docs"] = f"""
+select doc_id, md5(array_to_string({_WORDS}, ' ')) as fingerprint
+from documents
+"""
+
+ORACLES["ngram_jaccard_docs"] = _JACCARD_BASE.format(thr=0.2)
+ORACLES["minhash_lsh_docs"] = _JACCARD_BASE.format(thr=0.7)
+ORACLES["simhash_docs"] = _simhash_sql(32)
+ORACLES["text_quality_docs"] = _QUALITY_SQL
+ORACLES["language_id_docs"] = _language_sql()
+
+ORACLES["token_counts_docs"] = f"""
+with w as (select doc_id, {_WORDS} as words from documents)
+select doc_id,
+       cast(len(words) as bigint) as n_tokens_ws,
+       cast(coalesce(list_sum(list_transform(words,
+            x -> cast(greatest(1, cast(ceil(length(x) / 4) as bigint)) as bigint))), 0) as bigint) as n_tokens_bpe
+from w
+"""
+
+ORACLES["cosine_pairs_embeddings"] = (
+    _COSINE_CTE.format(join_cond="a.vec_id < b.vec_id")
+    + "select id_a, id_b, cosine from p where cosine >= 0.4"
+)
+
+ORACLES["cosine_topk_embeddings"] = (
+    _COSINE_CTE.format(join_cond="a.vec_id <> b.vec_id")
+    + """
+select id_a as query_id, id_b as nbr_id, cosine,
+       row_number() over (partition by id_a order by cosine desc, id_b) as rank
+from p
+qualify rank <= 3
+"""
+)
+
+ORACLES["multimodal_features_docs"] = """
+select doc_id as media_id,
+       cast(octet_length(encode(text)) as bigint) as n_bytes,
+       cast(octet_length(encode(text)) % 97 as bigint) as feature
+from documents
+"""
+
+ORACLES["multimodal_frame_sample"] = """
+select doc_id as media_id,
+       cast(unnest(generate_series(0, (doc_id % 5 + 1) * 1000, 1000)) as bigint) as frame_ts_ms
+from documents
+"""

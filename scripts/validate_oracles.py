@@ -1,0 +1,111 @@
+"""Driver-gate rehearsal: run every queries() entry on Spark AND its
+oracle_sql() on DuckDB over the same parquet, compare row-count, schema
+(column names), and exact sorted values — the same bar as
+CORRECTNESS_r{N}.json.
+
+Usage: PYTHONPATH=/root/repo python3 scripts/validate_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from dbt_core_spark.session import get_spark
+
+TABLES = entrymod.TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"create view {t} as select * from '{path}'")
+    return con
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return v
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return v
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def compare(name: str, spark, con, sf_dir: str, fn, sql: str) -> tuple[bool, str]:
+    t0 = time.time()
+    sdf = fn(spark, sf_dir)
+    scols = list(sdf.columns)
+    srows = [tuple(r) for r in sdf.collect()]
+    t_spark = time.time() - t0
+    t0 = time.time()
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    t_duck = time.time() - t0
+
+    if sorted(scols) != sorted(dcols):
+        return False, f"SCHEMA spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return False, f"ROWCOUNT spark={len(srows)} duck={len(drows)}"
+    ns, nd = normalize(srows, scols), normalize(drows, dcols)
+    mism = [(a, b) for a, b in zip(ns, nd) if a != b]
+    if mism:
+        return False, f"VALUES {len(mism)}/{len(ns)} differ; first: {mism[0]}"
+    return True, f"{len(srows)} rows  spark={t_spark:.1f}s duck={t_duck:.1f}s"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(
+        app_name="oracle_validate",
+        extra_conf={"spark.sql.warehouse.dir": f"/tmp/oracle_wh_{os.getpid()}"},
+    )
+    con = duck_connect(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"  ~ {name}: no oracle (rows-only) → {n} rows")
+            except Exception as e:
+                failures.append(name)
+                print(f"  ✗ {name}: EXEC ERROR {type(e).__name__}: {e}")
+            continue
+        try:
+            ok, msg = compare(name, spark, con, sf_dir, fn, sql)
+        except Exception as e:
+            import traceback
+
+            ok, msg = False, f"ERROR {type(e).__name__}: {str(e)[:300]}\n{traceback.format_exc(limit=5)}"
+        print(f"  {'✓' if ok else '✗'} {name}: {msg}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
