@@ -146,6 +146,84 @@ class Engine:
                           "columns": cols}
         return {"nodes": nodes}
 
+    # -- unit tests (ref: task/test.py:206-282; parser/unit_tests.py) --------
+
+    def unit_test(self, name: Optional[str] = None):
+        """Run declared unit tests (project.unit_tests entries:
+        {"model": ..., "given": {input: rows}, "expect": rows})."""
+        from dbt_core_spark.operators.unit_tests import run_unit_test
+
+        runner = self._runner()
+        runner._prepare(None, None)
+        results = []
+        for tname, tdef in self.project.unit_tests.items():
+            if name and tname != name:
+                continue
+            results.append(
+                run_unit_test(
+                    self.spark, self.manifest, tname, tdef["model"],
+                    tdef.get("given", {}), tdef.get("expect", []),
+                    relations=runner.relations, cli_vars=self.cli_vars,
+                )
+            )
+        return results
+
+    # -- clone / retry / run-operation / state selection ---------------------
+
+    def clone(self, state_schema: str, select: Optional[str] = None) -> dict[str, str]:
+        """`dbt clone` (ref: task/clone.py)."""
+        from dbt_core_spark.plans.graph import Linker, select_nodes
+        from dbt_core_spark.run.tasks import clone_relations
+
+        names = None
+        if select:
+            graph = Linker().link_graph(self.manifest)
+            uids = select_nodes(self.manifest, graph, select) or set()
+            names = {self.manifest.nodes[u].name for u in uids if u in self.manifest.nodes}
+        return clone_relations(self.spark, self.manifest, state_schema,
+                               self.schema, names)
+
+    def retry(self, previous: RunResults) -> RunResults:
+        """`dbt retry` (ref: task/retry.py): re-run errored/skipped nodes."""
+        from dbt_core_spark.run.tasks import retry_selection
+
+        uids = retry_selection(previous)
+        if not uids:
+            return RunResults()
+        names = " ".join(
+            self.manifest.nodes[u].name for u in uids if u in self.manifest.nodes
+        )
+        return self._runner().run(select=names) if names else RunResults()
+
+    def run_operation(self, macro_name: str, args: Optional[dict] = None):
+        """`dbt run-operation` (ref: task/run_operation.py)."""
+        from dbt_core_spark.run.tasks import run_operation
+
+        return run_operation(self.spark, self.manifest, macro_name, args)
+
+    def modified_vs(self, state: "Engine | Manifest") -> set[str]:
+        """state:modified selection against a previous manifest
+        (ref: selector_methods.py:610-790)."""
+        from dbt_core_spark.run.tasks import modified_nodes
+
+        other = state.manifest if isinstance(state, Engine) else state
+        return modified_nodes(self.manifest, other)
+
+    def run_modified(self, state: "Engine | Manifest",
+                     include_children: bool = False) -> RunResults:
+        """`dbt run --select state:modified[+] --defer`-style: run only
+        changed nodes; unchanged upstream refs resolve to their existing
+        relations (the catalog pre-population in the runner is the defer
+        mechanism, ref: providers.py:587-608)."""
+        uids = self.modified_vs(state)
+        if not uids:
+            return RunResults()
+        names = " ".join(
+            (self.manifest.nodes[u].name + ("+" if include_children else ""))
+            for u in uids if u in self.manifest.nodes
+        )
+        return self._runner().run(select=names)
+
     def drop_schema(self) -> None:
         self.spark.sql(f"DROP DATABASE IF EXISTS `{self.schema}` CASCADE")
         self.spark.sql(f"DROP DATABASE IF EXISTS `{self.schema}__sources` CASCADE")

@@ -258,6 +258,26 @@ def materialize_seed(spark: SparkSession, node: Node, rel: str) -> int:
     return -1
 
 
+def materialize_materialized_view(
+    spark: SparkSession, node: Node, rel: str, sql: str
+) -> int:
+    """Spark has no native materialized view — emulate as table +
+    rebuild-on-run, honoring ``on_configuration_change``
+    (ref: v1/config.py:110-112; tests/functional/adapter/materialized_view/).
+    'continue' skips the rebuild when the relation already exists;
+    'apply' (default) refreshes; 'fail' errors on a changed definition."""
+    on_change = node.config.get("on_configuration_change", "apply")
+    if R.relation_exists(spark, rel):
+        if on_change == "continue":
+            return 0
+        if on_change == "fail":
+            raise ExecutionError(
+                f"{node.name}: materialized view exists and "
+                f"on_configuration_change='fail'"
+            )
+    return materialize_table(spark, node, rel, sql)
+
+
 # --------------------------------------------------------------------------
 # registry (custom materializations pluggable by name)
 # --------------------------------------------------------------------------
@@ -267,6 +287,7 @@ MATERIALIZATIONS: dict[str, Callable] = {
     "table": materialize_table,
     "incremental": materialize_incremental,
     "seed": materialize_seed,
+    "materialized_view": materialize_materialized_view,
 }
 
 

@@ -1,0 +1,119 @@
+"""Unit tests: run one model's SQL against mocked inputs.
+
+ref: definitions artifacts/resources/v1/unit_test_definition.py:25-77
+(given fixtures in csv/dict/sql formats); loader parser/unit_tests.py:43-245
+(each input becomes an ephemeral node replacing the real ref/source);
+execution + diff task/test.py:206-282; pinned by
+tests/functional/unit_testing/ (15 files).
+
+Spark-native approach: each ``given`` fixture becomes a temp view whose
+name replaces the model's ref()/source() relations at compile time; the
+model SQL runs against those; actual vs ``expect`` rows compare
+order-insensitively via exceptAll both ways (the daff-diff analog).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any, Optional
+
+from pyspark.sql import Row, SparkSession
+
+from dbt_core_spark.exceptions import ExecutionError
+from dbt_core_spark.plans.compiler import compile_node
+from dbt_core_spark.plans.nodes import Manifest, Node
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+
+@dataclass
+class UnitTestResult:
+    name: str
+    status: str  # pass | fail | error
+    actual_rows: list = field(default_factory=list)
+    missing_rows: list = field(default_factory=list)  # expected but absent
+    unexpected_rows: list = field(default_factory=list)  # present but not expected
+    message: str = ""
+
+
+def _rows_to_view(spark: SparkSession, rows: list[dict], like: Optional[str],
+                  name: str) -> None:
+    """Build a temp view from fixture rows.  If ``like`` names an existing
+    relation, absent columns are filled with NULLs of the right type
+    (ref: 'partial' unit-test input format)."""
+    if like and spark.catalog.tableExists(like):
+        schema = spark.table(like).schema
+        norm = []
+        for r in rows:
+            norm.append({f.name: r.get(f.name) for f in schema.fields})
+        df = spark.createDataFrame([Row(**r) for r in norm], schema=schema)
+    else:
+        df = spark.createDataFrame([Row(**r) for r in rows])
+    df.createOrReplaceTempView(name)
+
+
+def run_unit_test(
+    spark: SparkSession,
+    manifest: Manifest,
+    test_name: str,
+    model_name: str,
+    given: dict[str, list[dict]],
+    expect: list[dict],
+    relations: Optional[dict[str, str]] = None,
+    cli_vars: Optional[dict[str, Any]] = None,
+) -> UnitTestResult:
+    """``given`` maps a ref name ('model_a') or source ('src.tbl') to
+    fixture rows; ``expect`` is the expected output rows."""
+    model = manifest.resolve_ref(model_name)
+    if model is None:
+        raise ExecutionError(f"unit test {test_name}: model '{model_name}' not found")
+
+    suffix = uuid.uuid4().hex[:8]
+    mock_relations: dict[str, str] = dict(relations or {})
+    for input_name, rows in given.items():
+        view = f"__ut_{suffix}_{input_name.replace('.', '_')}"
+        if "." in input_name:
+            source_name, table_name = input_name.split(".", 1)
+            target = manifest.resolve_source(source_name, table_name)
+        else:
+            target = manifest.resolve_ref(input_name)
+        if target is None:
+            raise ExecutionError(
+                f"unit test {test_name}: input '{input_name}' not in manifest"
+            )
+        like = mock_relations.get(target.unique_id) or target.relation_name
+        _rows_to_view(spark, rows, like, view)
+        mock_relations[target.unique_id] = view
+
+    try:
+        sql = compile_node(manifest, model, spark, mock_relations, cli_vars=cli_vars)
+        actual = spark.sql(sql)
+        expected = spark.createDataFrame([Row(**r) for r in expect]) if expect else None
+        if expected is not None:
+            exp_cast = expected
+            # align expected column types to actual (fixtures are untyped)
+            for f in actual.schema.fields:
+                if f.name in exp_cast.columns:
+                    exp_cast = exp_cast.withColumn(
+                        f.name, exp_cast[f.name].cast(f.dataType)
+                    )
+            actual_proj = actual.select(*sorted(actual.columns))
+            exp_proj = exp_cast.select(*sorted(exp_cast.columns))
+            missing = [tuple(r) for r in exp_proj.exceptAll(actual_proj).collect()]
+            unexpected = [tuple(r) for r in actual_proj.exceptAll(exp_proj).collect()]
+        else:
+            missing, unexpected = [], [tuple(r) for r in actual.collect()]
+        status = "pass" if not missing and not unexpected else "fail"
+        return UnitTestResult(
+            test_name, status,
+            actual_rows=[tuple(r) for r in actual.limit(100).collect()],
+            missing_rows=missing, unexpected_rows=unexpected,
+        )
+    except Exception as e:
+        return UnitTestResult(test_name, "error", message=f"{type(e).__name__}: {e}")
+    finally:
+        for input_name in given:
+            view = f"__ut_{suffix}_{input_name.replace('.', '_')}"
+            spark.catalog.dropTempView(view)

@@ -1,0 +1,104 @@
+"""Structured Streaming surface.
+
+The reference has no true streaming — its closest construct is
+microbatch (SURVEY §2.A), which we port in streaming/microbatch.py.
+This module is the engine's forward-looking stretch goal (SURVEY §2.E
+note): the same event-time windowed semantics expressed as a real
+``readStream → withWatermark → window → writeStream`` pipeline, so a
+microbatch model can be promoted to continuous processing without
+rewriting its logic.
+
+All helpers are thin, typed wrappers over public Spark APIs — the value
+is the engine integration (models can opt in via
+``config(materialized='streaming_table')``-style future work).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    options: Optional[dict[str, str]] = None,
+) -> DataFrame:
+    """File-based streaming source (new files under ``path`` become
+    micro-batches).  Schema must be explicit — streaming sources do not
+    infer."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def windowed_rollup(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "30 minutes",
+    group_cols: Optional[list[str]] = None,
+    aggs: Optional[list] = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation — the streaming
+    equivalent of the batch ``hourly_event_rollup`` operator.  Late rows
+    beyond the watermark are dropped; state is bounded."""
+    w = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    out_aggs = aggs or [F.count("*").alias("n")]
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), *(group_cols or []))
+        .agg(*out_aggs)
+        .withColumn("window_start", F.col("win.start"))
+        .withColumn("window_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
+def run_to_memory(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drain all currently-available input into an in-memory table named
+    ``query_name`` (Trigger.AvailableNow) and stop — the deterministic
+    test/backfill mode.  Production sinks swap this for
+    format('parquet'/'delta') + checkpointLocation."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    partition_by: Optional[list[str]] = None,
+    available_now: bool = True,
+) -> None:
+    """Stream to a parquet lake with exactly-once file semantics via the
+    checkpoint; partition by event-time date for downstream pruning."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()

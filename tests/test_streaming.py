@@ -1,0 +1,81 @@
+"""Structured Streaming surface: file source → watermark+window →
+memory/parquet sink with AvailableNow (SURVEY §2.E streaming stretch)."""
+
+import json
+import os
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbt_core_spark.streaming.structured import (
+    run_to_memory,
+    run_to_parquet,
+    stream_source,
+    windowed_rollup,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("kind", T.StringType()),
+])
+
+
+def _write_events(path: str, rows: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, f"{uuid.uuid4().hex}.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+ROWS = [
+    {"event_id": 1, "ts": "2024-01-01T00:05:00.000Z", "kind": "a"},
+    {"event_id": 2, "ts": "2024-01-01T00:25:00.000Z", "kind": "a"},
+    {"event_id": 3, "ts": "2024-01-01T01:10:00.000Z", "kind": "b"},
+]
+
+
+def test_windowed_rollup_to_memory(spark, tmp_path):
+    src = str(tmp_path / "in")
+    _write_events(src, ROWS)
+    # sentinel far in the future: advances the watermark so the earlier
+    # windows close — append mode only emits watermark-closed windows
+    _write_events(src, [
+        {"event_id": 99, "ts": "2024-01-01T05:00:00.000Z", "kind": "z"}])
+    stream = stream_source(spark, src, SCHEMA, fmt="json")
+    assert stream.isStreaming
+    rolled = windowed_rollup(
+        stream, "ts", window_duration="1 hour", watermark="10 minutes",
+        group_cols=["kind"], aggs=[F.count("*").alias("n")],
+    )
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    run_to_memory(rolled, name)
+    got = {
+        (str(r["window_start"]), r["kind"]): r["n"]
+        for r in spark.table(name).collect()
+    }
+    # sentinel's own window [05:00, 06:00) is still open → not emitted
+    assert got == {
+        ("2024-01-01 00:00:00", "a"): 2,
+        ("2024-01-01 01:00:00", "b"): 1,
+    }
+
+
+def test_stream_to_parquet_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_events(src, ROWS)
+    stream = stream_source(spark, src, SCHEMA, fmt="json")
+    run_to_parquet(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == 3
+    # re-running with the same checkpoint must not duplicate rows
+    stream2 = stream_source(spark, src, SCHEMA, fmt="json")
+    run_to_parquet(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == 3
+    # new file arrives → only the delta lands
+    _write_events(src, [{"event_id": 4, "ts": "2024-01-01T02:00:00.000Z", "kind": "c"}])
+    stream3 = stream_source(spark, src, SCHEMA, fmt="json")
+    run_to_parquet(stream3, out, ckpt)
+    assert spark.read.parquet(out).count() == 4

@@ -1,0 +1,227 @@
+"""Unit-test harness, clone, retry, run-operation, state:modified,
+materialized view, contracts, custom materializations, freshness,
+on-run hooks (ref: tests/functional/unit_testing/, dbt_clone/,
+materialized_view/, constraints/, adapter/hooks/)."""
+
+import datetime as dt
+
+from dbt_core_spark import Engine, ProjectDef
+from dbt_core_spark.plans.nodes import ColumnInfo
+from dbt_core_spark.sources.freshness import check_freshness
+
+
+def base_project(sf_dir):
+    p = ProjectDef(name="tk")
+    p.add_source("tpch", "orders", f"{sf_dir}/orders.parquet")
+    p.models["stg"] = (
+        "select o_orderkey as id, o_orderstatus as status, o_totalprice as price "
+        "from {{ source('tpch','orders') }}"
+    )
+    return p
+
+
+# -- unit tests -------------------------------------------------------------
+
+def test_unit_test_pass_and_fail(spark, schema, sf_dir):
+    p = base_project(sf_dir)
+    p.models["summary"] = """
+        select status, count(*) as n, sum(cast(price as bigint)) as total
+        from {{ ref('stg') }} group by status
+    """
+    p.unit_tests["ut_summary_ok"] = {
+        "model": "summary",
+        "given": {"stg": [
+            {"id": 1, "status": "O", "price": 10.0},
+            {"id": 2, "status": "O", "price": 5.0},
+            {"id": 3, "status": "F", "price": 1.0},
+        ]},
+        "expect": [
+            {"status": "O", "n": 2, "total": 15},
+            {"status": "F", "n": 1, "total": 1},
+        ],
+    }
+    p.unit_tests["ut_summary_bad"] = {
+        "model": "summary",
+        "given": {"stg": [{"id": 1, "status": "O", "price": 10.0}]},
+        "expect": [{"status": "O", "n": 99, "total": 10}],
+    }
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    res = {r.name: r for r in eng.unit_test()}
+    assert res["ut_summary_ok"].status == "pass", res["ut_summary_ok"]
+    assert res["ut_summary_bad"].status == "fail"
+    assert res["ut_summary_bad"].missing_rows  # the n=99 row never appeared
+
+
+def test_unit_test_mocks_source(spark, schema, sf_dir):
+    p = base_project(sf_dir)
+    p.unit_tests["ut_stg"] = {
+        "model": "stg",
+        "given": {"tpch.orders": [
+            {"o_orderkey": 7, "o_orderstatus": "X", "o_totalprice": 1.5}]},
+        "expect": [{"id": 7, "status": "X", "price": 1.5}],
+    }
+    eng = Engine(spark, p, schema=schema)
+    eng.run()
+    assert eng.unit_test()[0].status == "pass"
+
+
+# -- clone ------------------------------------------------------------------
+
+def test_clone_from_state_schema(spark, schema, sf_dir):
+    state_schema = f"{schema}_state"
+    p = base_project(sf_dir)
+    p.model_configs["stg"] = {"materialized": "table"}
+    eng_state = Engine(spark, p, schema=state_schema)
+    assert eng_state.run().ok()
+    eng = Engine(spark, p, schema=schema)
+    cloned = eng.clone(state_schema)
+    assert cloned == {"model.tk.stg": f"{schema}.stg"}
+    assert spark.table(f"{schema}.stg").count() == spark.table(
+        f"{state_schema}.stg").count()
+    spark.sql(f"drop database if exists {state_schema} cascade")
+    spark.sql(f"drop database if exists {state_schema}__sources cascade")
+
+
+# -- retry ------------------------------------------------------------------
+
+def test_retry_reruns_only_failures(spark, schema, sf_dir):
+    p = base_project(sf_dir)
+    p.models["bad"] = "select no_such_col from {{ ref('stg') }}"
+    p.models["child"] = "select * from {{ ref('bad') }}"
+    eng = Engine(spark, p, schema=schema)
+    r1 = eng.run()
+    assert not r1.ok()
+    # fix the model, then retry — only bad+child run
+    p.models["bad"] = "select id from {{ ref('stg') }}"
+    eng2 = Engine(spark, p, schema=schema)
+    r2 = eng2.retry(r1)
+    assert {x.unique_id.split(".")[-1] for x in r2.results} == {"bad", "child"}
+    assert r2.ok(), [x.message for x in r2.results]
+
+
+# -- run-operation ----------------------------------------------------------
+
+def test_run_operation_macro(spark, schema, sf_dir):
+    p = base_project(sf_dir)
+    p.macros["greet"] = "{% macro greet(name) %}hello {{ name }}{% endmacro %}"
+    eng = Engine(spark, p, schema=schema)
+    out = eng.run_operation("greet", {"name": "spark"})
+    assert "hello spark" in out
+
+
+# -- state:modified ---------------------------------------------------------
+
+def test_state_modified_selection(spark, schema, sf_dir):
+    p_old = base_project(sf_dir)
+    p_old.models["mart"] = "select count(*) as n from {{ ref('stg') }}"
+    old = Engine(spark, p_old, schema=schema)
+    assert old.run().ok()
+
+    p_new = base_project(sf_dir)
+    p_new.models["mart"] = "select count(*) as n2 from {{ ref('stg') }}"  # changed
+    new = Engine(spark, p_new, schema=schema)
+    assert new.modified_vs(old) == {"model.tk.mart"}
+    r = new.run_modified(old)
+    assert {x.unique_id for x in r.results} == {"model.tk.mart"}
+    assert "n2" in spark.table(f"{schema}.mart").columns
+
+
+# -- materialized view emulation -------------------------------------------
+
+def test_materialized_view_on_configuration_change(spark, schema, sf_dir):
+    p = base_project(sf_dir)
+    p.models["mv"] = (
+        "{{ config(materialized='materialized_view', on_configuration_change='continue') }}"
+        "select status, count(*) as n from {{ ref('stg') }} group by status"
+    )
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    first = spark.table(f"{schema}.mv").count()
+    r2 = eng.run()  # continue → not rebuilt, still fine
+    assert r2.ok()
+    assert spark.table(f"{schema}.mv").count() == first
+
+
+# -- contracts --------------------------------------------------------------
+
+def test_contract_enforced_pass_and_fail(spark, schema, sf_dir):
+    p = base_project(sf_dir)
+    p.models["contracted"] = (
+        "{{ config(materialized='table') }}"
+        "select cast(1 as bigint) as id, 'x' as name"
+    )
+    p.model_configs["contracted"] = {"contract": {"enforced": True}}
+    eng = Engine(spark, p, schema=schema)
+    node = eng.manifest.nodes["model.tk.contracted"]
+    node.columns = {
+        "id": ColumnInfo("id", data_type="bigint"),
+        "name": ColumnInfo("name", data_type="string"),
+    }
+    assert eng.run(select="contracted").ok()
+    # wrong declared type → ContractError
+    node.columns["id"] = ColumnInfo("id", data_type="int")
+    r = eng.run(select="contracted")
+    assert r.results[0].status == "error"
+    assert "contract" in r.results[0].message.lower()
+
+
+# -- custom materialization -------------------------------------------------
+
+def test_custom_materialization_registry(spark, schema, sf_dir):
+    from dbt_core_spark.operators import relations as R
+    from dbt_core_spark.operators.materializations import register_materialization
+
+    def materialize_sample(spark_, node, rel, sql):
+        df = spark_.sql(sql).limit(5)
+        R.write_table(spark_, rel, df)
+        return 5
+
+    register_materialization("sample5", materialize_sample)
+    p = base_project(sf_dir)
+    p.models["sampled"] = (
+        "{{ config(materialized='sample5') }} select * from {{ ref('stg') }}"
+    )
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    assert spark.table(f"{schema}.sampled").count() == 5
+
+
+# -- source freshness -------------------------------------------------------
+
+def test_source_freshness_thresholds(spark, schema, sf_dir):
+    p = ProjectDef(name="tk")
+    p.add_source(
+        "ev", "orders", f"{sf_dir}/orders.parquet",
+        loaded_at_field="o_orderdate",
+        freshness={"warn_after": {"count": 1, "period": "day"}},
+    )
+    eng = Engine(spark, p, schema=schema)
+    res = eng.source_freshness()
+    (r,) = res.values()
+    assert r.status == "warn"  # 2001-era data is very stale
+    assert r.max_loaded_at is not None
+    # pinned "now" just after max(loaded_at) → pass
+    node = list(eng.manifest.sources.values())[0]
+    runner = eng._runner()
+    runner._prepare(None, None)
+    fresh = check_freshness(
+        spark, node, runner.relations[node.unique_id],
+        now=dt.datetime(2001, 8, 1, 12, tzinfo=dt.timezone.utc),
+    )
+    assert fresh.status == "pass"
+
+
+# -- project-level hooks ----------------------------------------------------
+
+def test_on_run_start_end_hooks(spark, schema, sf_dir):
+    p = base_project(sf_dir)
+    p.on_run_start = [
+        f"create table if not exists {schema}.audit (phase string) using parquet",
+        f"insert into {schema}.audit values ('start')",
+    ]
+    p.on_run_end = [f"insert into {schema}.audit values ('end')"]
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    phases = {r["phase"] for r in spark.table(f"{schema}.audit").collect()}
+    assert phases == {"start", "end"}
