@@ -174,6 +174,93 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS correlated subquery → Catalyst left-semi join (TPC-H Q4
+    shape, adapted to this schema)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select o_orderpriority as priority, cast(count(*) as bigint) as n_orders
+        from orders o
+        where o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+          and o.o_orderdate < timestamp '1996-07-01 00:00:00'
+          and exists (select 1 from lineitem l
+                      where l.l_orderkey = o.o_orderkey
+                        and l.l_shipdate > o.o_orderdate)
+        group by o_orderpriority
+    """)
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + two-level aggregation (TPC-H Q13 shape)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select c_count, cast(count(*) as bigint) as custdist
+        from (
+            select c.c_custkey, cast(count(o.o_orderkey) as bigint) as c_count
+            from customer c
+            left join orders o on c.c_custkey = o.o_custkey
+                 and o.o_orderpriority <> '1-URGENT'
+            group by c.c_custkey
+        ) group by c_count
+    """)
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): per-part average
+    threshold.  avg of integer-valued doubles is order-independent, so
+    no decimal dance needed."""
+    _reg(spark, sf_dir)
+    return spark.sql(f"""
+        select cast(count(*) as bigint) as n_small,
+               {_money_sum("l.l_extendedprice", "sum_price")}
+        from lineitem l join part p on p.p_partkey = l.l_partkey
+        where p.p_size <= 5
+          and l.l_quantity < (select 0.2 * avg(l2.l_quantity)
+                              from lineitem l2
+                              where l2.l_partkey = l.l_partkey)
+    """)
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery with group-by/having (TPC-H Q18 shape)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select o.o_orderkey as order_key,
+               cast(sum(cast(l.l_quantity as bigint)) as bigint) as total_qty
+        from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+        where o.o_orderkey in (
+            select l_orderkey from lineitem
+            group by l_orderkey
+            having sum(cast(l_quantity as bigint)) > 250)
+        group by o.o_orderkey
+    """)
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select c.c_custkey as customer_key, c.c_mktsegment as segment
+        from customer c
+        where not exists (select 1 from orders o where o.o_custkey = c.c_custkey
+                    and o.o_orderstatus = 'P')
+    """)
+
+
+def rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP + grouping() indicators (cube/rollup surface)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select coalesce(l_returnflag, 'ALL') as returnflag,
+               coalesce(l_linestatus, 'ALL') as linestatus,
+               cast(grouping(l_returnflag) as bigint) as g_flag,
+               cast(grouping(l_linestatus) as bigint) as g_status,
+               cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty
+        from lineitem
+        group by rollup(l_returnflag, l_linestatus)
+    """)
+
+
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-aggregation pivot (jaffle-shop 'orders' model shape,
     ref: tests/fixtures/jaffle_shop.py:8-156)."""
@@ -658,6 +745,35 @@ def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "embedding", "vec_id", k=3, n_cells=16, n_probe=4)
 
 
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end: parquet file stream →
+    watermark(1s) → 1h tumbling windows → AvailableNow drain to a memory
+    sink.  Emits exactly the windows closed by the final watermark
+    (max event ms − 1 s), which the SQL oracle reproduces."""
+    import uuid as _uuid
+
+    from dbt_core_spark.streaming.structured import (
+        run_to_memory,
+        stream_source,
+        windowed_rollup,
+    )
+
+    path = _events_us_path(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = stream_source(spark, path, schema, fmt="parquet")
+    rolled = windowed_rollup(
+        stream, "ts", window_duration="1 hour", watermark="1 second",
+        group_cols=["event_type"], aggs=[F.count("*").alias("n")],
+    )
+    name = f"stream_roll_{_uuid.uuid4().hex[:8]}"
+    run_to_memory(rolled, name)
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
 def multimodal_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing + Arrow-batched mapInPandas feature stub."""
     from dbt_core_spark.operators.multimodal import attach_media, extract_features
@@ -692,6 +808,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "customers_without_orders": customers_without_orders,
+        "rollup_quantity": rollup_quantity,
         "pivot_status_by_priority": pivot_status_by_priority,
         "window_top3_orders_per_customer": window_top3_orders_per_customer,
         "running_revenue_by_customer": running_revenue_by_customer,
@@ -725,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
+        "streaming_hourly_rollup": streaming_hourly_rollup,
         "multimodal_features_docs": multimodal_features_docs,
         "multimodal_frame_sample": multimodal_frame_sample,
     }

@@ -32,6 +32,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q18_large_orders",
     "window_top3_orders_per_customer",
     "sessionize_events",
     "hourly_event_rollup",
@@ -39,6 +40,7 @@ HEADLINE = [
     "engine_incremental_merge",
     "engine_microbatch_day",
     "minhash_lsh_docs",
+    "streaming_hourly_rollup",
     "ann_lsh_topk_embeddings",
     "text_quality_docs",
     "multimodal_features_docs",

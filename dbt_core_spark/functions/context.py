@@ -127,6 +127,7 @@ class RenderContext:
         event_time_filter: Optional[tuple[str, str, str]] = None,
         invocation_id: Optional[str] = None,
         run_started_at: Optional[_dt.datetime] = None,
+        resolve_limit: Optional[int] = None,
     ):
         self.manifest = manifest
         self.node = node
@@ -138,6 +139,10 @@ class RenderContext:
         self.event_time_filter = event_time_filter  # (col, start_iso, end_iso)
         self.invocation_id = invocation_id or str(uuid.uuid4())
         self.run_started_at = run_started_at or _dt.datetime.now(_dt.timezone.utc)
+        # --empty flag: refs/sources read with LIMIT 0 for dry-run schema
+        # checks (ref: resolve_limit providers.py:234-236,
+        # tests/functional/adapter/basic/test_empty.py)
+        self.resolve_limit = resolve_limit
         self.results_store: dict[str, AgateLikeTable] = {}
         self.captured_config: dict[str, Any] = {}
         self.sql_header: Optional[str] = None
@@ -181,6 +186,8 @@ class RenderContext:
     def _wrap_event_filter(self, rel: str, target: "Node") -> str:
         """Microbatch: push the event-time window into every upstream read
         (ref: providers.py:238-257 — the 100 TB partition-pruning lever)."""
+        if self.resolve_limit is not None:
+            return f"(select * from {rel} limit {self.resolve_limit})"
         if not self.event_time_filter:
             return rel
         upstream_et = target.config.get("event_time")

@@ -31,6 +31,7 @@ def compile_node(
     cli_vars: Optional[dict] = None,
     is_incremental: bool = False,
     event_time_filter: Optional[tuple[str, str, str]] = None,
+    resolve_limit: Optional[int] = None,
 ) -> str:
     """Render a node's Jinja → SQL, then prepend ephemeral CTEs."""
     node.extra_ctes = []
@@ -43,6 +44,7 @@ def compile_node(
         cli_vars=cli_vars,
         is_incremental=is_incremental,
         event_time_filter=event_time_filter,
+        resolve_limit=resolve_limit,
     )
     sql = render(node.raw_code, ctx).strip().rstrip(";")
     ctes = _gather_ctes(manifest, node, spark, relations, cli_vars, event_time_filter)

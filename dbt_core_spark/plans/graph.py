@@ -200,4 +200,19 @@ def _method_match(manifest: Manifest, method: str, value: str) -> set[str]:
         return {uid for uid, n in nodes.items() if _fnmatch(n.path, value)}
     if method == "config.materialized":
         return {uid for uid, n in nodes.items() if n.config.get("materialized") == value}
+    if method == "package":
+        return {uid for uid, n in nodes.items() if _fnmatch(n.package, value)}
+    if method == "test_type":
+        return {
+            uid for uid, n in nodes.items()
+            if n.resource_type is NodeType.Test
+            and n.test_metadata.get("kind") == value
+        }
+    if method == "test_name":
+        return {
+            uid for uid, n in nodes.items()
+            if n.test_metadata.get("name") == value
+        }
+    if method == "exposure":
+        return set()  # exposures are metadata-only; nothing executable
     return set()

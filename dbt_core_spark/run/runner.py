@@ -74,6 +74,7 @@ class GraphRunner:
         event_time_end: Optional[_dt.datetime] = None,
         on_run_start: Optional[list[str]] = None,
         on_run_end: Optional[list[str]] = None,
+        empty: bool = False,
     ):
         self.spark = spark
         self.manifest = manifest
@@ -85,6 +86,7 @@ class GraphRunner:
         self.event_time_end = event_time_end
         self.on_run_start = on_run_start or []
         self.on_run_end = on_run_end or []
+        self.empty = empty
         self.relations: dict[str, str] = {}
 
     # -- relation naming (ref: relation_name components.py:174-199) ---------
@@ -161,6 +163,10 @@ class GraphRunner:
                     queue.mark_done(uid)
                     continue
                 self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", uid)
+                # query-comment analog (ref: config/project.py:633):
+                # tag Spark jobs with the node id for cluster-UI attribution
+                self.spark.sparkContext.setJobDescription(
+                    f"{self.manifest.project_name}: {uid}")
                 res = self._run_node(node)
                 if res.status in ("error", "fail"):
                     failed.add(uid)
@@ -262,6 +268,7 @@ class GraphRunner:
             self.manifest, node, self.spark, self.relations,
             cli_vars=self.cli_vars, is_incremental=is_incremental,
             event_time_filter=event_time_filter,
+            resolve_limit=0 if self.empty else None,
         )
 
     def _node_hooks(self, node: Node, key: str) -> None:

@@ -205,6 +205,78 @@ where r.r_name = 'ASIA'
 group by n.n_name
 """
 
+ORACLES["q4_order_priority"] = """
+select o_orderpriority as priority, cast(count(*) as bigint) as n_orders
+from orders o
+where o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+  and o.o_orderdate < timestamp '1996-07-01 00:00:00'
+  and exists (select 1 from lineitem l
+              where l.l_orderkey = o.o_orderkey
+                and l.l_shipdate > o.o_orderdate)
+group by o_orderpriority
+"""
+
+ORACLES["q13_customer_distribution"] = """
+select c_count, cast(count(*) as bigint) as custdist
+from (
+    select c.c_custkey, cast(count(o.o_orderkey) as bigint) as c_count
+    from customer c
+    left join orders o on c.c_custkey = o.o_custkey
+         and o.o_orderpriority <> '1-URGENT'
+    group by c.c_custkey
+) group by c_count
+"""
+
+ORACLES["q17_small_quantity_revenue"] = """
+select cast(count(*) as bigint) as n_small,
+       cast(sum(cast(round(l.l_extendedprice * 10000) as bigint)) / 10000.0 as double) as sum_price
+from lineitem l join part p on p.p_partkey = l.l_partkey
+where p.p_size <= 5
+  and l.l_quantity < (select 0.2 * avg(l2.l_quantity)
+                      from lineitem l2
+                      where l2.l_partkey = l.l_partkey)
+"""
+
+ORACLES["q18_large_orders"] = """
+select o.o_orderkey as order_key,
+       cast(sum(cast(l.l_quantity as bigint)) as bigint) as total_qty
+from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+where o.o_orderkey in (
+    select l_orderkey from lineitem
+    group by l_orderkey
+    having sum(cast(l_quantity as bigint)) > 250)
+group by o.o_orderkey
+"""
+
+ORACLES["customers_without_orders"] = """
+select c.c_custkey as customer_key, c.c_mktsegment as segment
+from customer c
+where not exists (select 1 from orders o where o.o_custkey = c.c_custkey
+                    and o.o_orderstatus = 'P')
+"""
+
+ORACLES["rollup_quantity"] = """
+select coalesce(l_returnflag, 'ALL') as returnflag,
+       coalesce(l_linestatus, 'ALL') as linestatus,
+       cast(grouping(l_returnflag) as bigint) as g_flag,
+       cast(grouping(l_linestatus) as bigint) as g_status,
+       cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty
+from lineitem
+group by rollup(l_returnflag, l_linestatus)
+"""
+
+ORACLES["streaming_hourly_rollup"] = """
+with wm as (
+    select (epoch_us(max(ts)) // 1000) * 1000 - 1000000 as wm_us from events
+)
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as window_start,
+       event_type,
+       cast(count(*) as bigint) as n
+from events, wm
+where epoch_us(date_trunc('hour', ts) + interval 1 hour) <= wm.wm_us
+group by 1, 2
+"""
+
 ORACLES["pivot_status_by_priority"] = """
 select o_orderpriority as priority,
        cast(sum(case when o_orderstatus = 'O' then 1 else 0 end) as bigint) as n_open,

@@ -232,3 +232,30 @@ def test_docs_generate(spark, schema, sf_dir):
     cat = eng.docs_generate()
     assert "model.jaffle.order_revenue" in cat["nodes"]
     assert "revenue" in cat["nodes"]["model.jaffle.order_revenue"]["columns"]
+
+
+def test_empty_flag_builds_schemas_with_no_rows(spark, schema, sf_dir):
+    """--empty: refs/sources compiled with LIMIT 0
+    (ref: tests/functional/adapter/basic/test_empty.py)."""
+    eng = Engine(spark, tpch_project(sf_dir), schema=schema)
+    res = eng.run(empty=True)
+    assert res.ok(), [r.message for r in res.results]
+    assert spark.table(f"{schema}.order_revenue").count() == 0
+    assert set(spark.table(f"{schema}.order_revenue").columns) == {
+        "order_id", "customer_id", "status", "revenue"}
+    # a later real run over the empty build refreshes it
+    assert eng.run().ok()
+    assert eng.table("order_revenue").count() > 0
+
+
+def test_selection_extra_methods(spark, schema, sf_dir):
+    p = tpch_project(sf_dir)
+    p.tests["unique_order_id"] = {
+        "type": "unique", "model": "order_revenue", "column": "order_id"}
+    p.tests["sing"] = {"sql": "select 1 as x where false"}
+    eng = Engine(spark, p, schema=schema)
+    assert eng.ls(select="test_type:generic") == ["test.jaffle.unique_order_id"]
+    assert eng.ls(select="test_type:singular") == ["test.jaffle.sing"]
+    assert eng.ls(select="test_name:unique") == ["test.jaffle.unique_order_id"]
+    assert len(eng.ls(select="package:jaffle")) == len(eng.ls())
+    assert eng.ls(select="config.materialized:table") == ["model.jaffle.order_revenue"]
