@@ -41,6 +41,29 @@ class Engine:
         self.threads = threads
         self.manifest: Manifest = parse_project(project, cli_vars=self.cli_vars)
 
+    def reparse(self) -> int:
+        """Partial parse: re-read the project, skipping unchanged nodes
+        (ref: parser/partial.py).  Returns the number re-rendered."""
+        self.manifest = parse_project(
+            self.project, cli_vars=self.cli_vars, cache=self.manifest)
+        return self.manifest.reparse_count
+
+    def compile_analyses(self) -> dict[str, str]:
+        """Compile analysis nodes without running them
+        (ref: NodeType.Analysis — compile only)."""
+        runner = self._runner()
+        runner._prepare(None, None)
+        for uid, n in self.manifest.nodes.items():
+            if n.is_refable and not n.is_ephemeral:
+                runner.relations.setdefault(uid, runner.relation_for(n))
+        out = {}
+        for uid, n in self.manifest.nodes.items():
+            if n.resource_type is NodeType.Analysis:
+                out[n.name] = compile_node(
+                    self.manifest, n, self.spark, runner.relations,
+                    cli_vars=self.cli_vars)
+        return out
+
     def _runner(self, full_refresh: bool = False, **kw) -> GraphRunner:
         return GraphRunner(
             self.spark, self.manifest, self.schema, cli_vars=self.cli_vars,
@@ -132,6 +155,10 @@ class Engine:
             if resource_type and n.resource_type.value != resource_type:
                 continue
             out.append(uid)
+        if resource_type in (None, "exposure") and selected is None:
+            out += [f"exposure.{self.project.name}.{e}" for e in self.manifest.exposures]
+        if resource_type in (None, "metric") and selected is None:
+            out += [f"metric.{self.project.name}.{m}" for m in self.manifest.metrics]
         return sorted(out)
 
     def docs_generate(self) -> dict:

@@ -93,6 +93,11 @@ class Node:
     sources: list[tuple[str, str]] = field(default_factory=list)
     depends_on: list[str] = field(default_factory=list)
 
+    # in-file {{ config(...) }} kwargs captured at parse-render — kept
+    # separate from the merged config so partial parsing can re-merge
+    # against fresh schema-yml/project configs
+    captured_config: dict[str, Any] = field(default_factory=dict)
+
     # compilation artifacts (runtime Jinja render)
     compiled: bool = False
     compiled_code: Optional[str] = None
@@ -150,6 +155,10 @@ class Manifest:
     macros: dict[str, str] = field(default_factory=dict)  # name -> jinja source
     project_name: str = "project"
     vars: dict[str, Any] = field(default_factory=dict)
+
+    exposures: dict[str, dict] = field(default_factory=dict)
+    metrics: dict[str, dict] = field(default_factory=dict)
+    reparse_count: int = 0
 
     # lookup indexes (ref: manifest.py RefableLookup:174, SourceLookup:141)
     _ref_index: dict[str, str] = field(default_factory=dict)

@@ -23,9 +23,21 @@ from dbt_core_spark.project import ProjectDef, SourceTableDef
 GENERIC_TESTS = {"unique", "not_null", "accepted_values", "relationships"}
 
 
-def parse_project(project: ProjectDef, cli_vars: dict[str, Any] | None = None) -> Manifest:
+def parse_project(
+    project: ProjectDef,
+    cli_vars: dict[str, Any] | None = None,
+    cache: Manifest | None = None,
+) -> Manifest:
+    """Build the Manifest.  ``cache`` enables partial parsing (ref:
+    parser/partial.py:68-1090): nodes whose raw_code is byte-identical to
+    the cached manifest's skip the Jinja parse-render and copy their
+    recorded refs/sources/config.  A macro change invalidates the whole
+    cache (the reference forces a full reparse too)."""
     manifest = Manifest(project_name=project.name, vars=dict(project.vars))
     manifest.macros = dict(project.macros)
+    if cache is not None and cache.macros != manifest.macros:
+        cache = None  # macro changes force full reparse
+    manifest.reparse_count = 0
 
     # -- sources (ref: parser/sources.py patch_sources) ----------------------
     for source_name, tables in project.sources.items():
@@ -91,6 +103,19 @@ def parse_project(project: ProjectDef, cli_vars: dict[str, Any] | None = None) -
         )
         manifest.add_node(node)
 
+    # -- analyses: compiled but never run (ref: NodeType.Analysis) -----------
+    for a_name, a_sql in project.analyses.items():
+        manifest.add_node(Node(
+            unique_id=f"analysis.{project.name}.{a_name}",
+            name=a_name, package=project.name,
+            resource_type=NodeType.Analysis, raw_code=a_sql,
+            config=_merged_config(project, a_name, None),
+        ))
+
+    # -- exposures / metrics: metadata-only (ref: nodes.py:1334,1404) --------
+    manifest.exposures = dict(project.exposures)
+    manifest.metrics = dict(project.metrics)
+
     # -- tests ---------------------------------------------------------------
     for test_name, tdef in project.tests.items():
         manifest.add_node(_build_test_node(project, test_name, tdef))
@@ -98,6 +123,17 @@ def parse_project(project: ProjectDef, cli_vars: dict[str, Any] | None = None) -
     # -- parse-time render: capture refs/sources/config ----------------------
     for node in list(manifest.nodes.values()):
         if node.raw_code and node.language == "sql":
+            old = cache.nodes.get(node.unique_id) if cache else None
+            if old is not None and old.raw_code == node.raw_code:
+                # partial parse hit: reuse recorded deps + in-file config,
+                # but keep the freshly merged project/schema-yml config
+                # (it may have changed independently of the SQL)
+                node.refs = list(old.refs)
+                node.sources = list(old.sources)
+                node.captured_config = dict(old.captured_config)
+                node.config.update(old.captured_config)
+                continue
+            manifest.reparse_count += 1
             ctx = RenderContext(manifest, node, mode="parse", cli_vars=cli_vars)
             try:
                 render(node.raw_code, ctx)
@@ -105,6 +141,7 @@ def parse_project(project: ProjectDef, cli_vars: dict[str, Any] | None = None) -
                 raise ParsingError(f"parse error in {node.unique_id}: {e}") from e
             # in-file config() wins over schema-yml & project defaults
             # (ref: context_config.py precedence)
+            node.captured_config = dict(ctx.captured_config)
             node.config.update(ctx.captured_config)
 
     # -- resolve depends_on (ref: manifest.py process_refs/process_sources) --

@@ -60,6 +60,9 @@ class ProjectDef:
     snapshots: dict[str, dict] = field(default_factory=dict)  # name -> {"sql":..., **config}
     sources: dict[str, dict[str, SourceTableDef]] = field(default_factory=dict)
     tests: dict[str, dict] = field(default_factory=dict)  # name -> test def (see parser)
+    analyses: dict[str, str] = field(default_factory=dict)  # compile-only SQL
+    exposures: dict[str, dict] = field(default_factory=dict)  # metadata-only
+    metrics: dict[str, dict] = field(default_factory=dict)  # metadata-only
     unit_tests: dict[str, dict] = field(default_factory=dict)
     macros: dict[str, str] = field(default_factory=dict)  # name -> jinja macro source
     vars: dict[str, Any] = field(default_factory=dict)
@@ -113,6 +116,8 @@ class ProjectDef:
                     if fn.endswith(".sql"):
                         with open(os.path.join(snap_dir, fn)) as f:
                             _parse_snapshot_blocks(f.read(), p)
+        for d in cfg.get("analysis-paths", ["analyses"]):
+            _load_sql_dir(os.path.join(path, d), p.analyses)
         for d in cfg.get("test-paths", ["tests"]):
             _load_sql_dir(os.path.join(path, d), dest := {})
             for name, sql in dest.items():

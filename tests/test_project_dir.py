@@ -1,0 +1,107 @@
+"""On-disk dbt-style project loading (ref: config/project.py paths;
+parser/schemas.py for schema.yml; jaffle-shop layout)."""
+
+import os
+import textwrap
+
+from dbt_core_spark import Engine, ProjectDef
+
+
+def _write(root, rel, content):
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(textwrap.dedent(content))
+
+
+def make_project_dir(root: str, sf_dir: str) -> str:
+    _write(root, "dbt_project.yml", f"""
+        name: shop
+        vars:
+          min_price: 0
+        on-run-start:
+          - "select 1"
+        models:
+          shop:
+            +materialized: view
+    """)
+    _write(root, "models/staging/stg_orders.sql", """
+        select o_orderkey as order_id, o_custkey as customer_id,
+               o_totalprice as price, o_orderstatus as status
+        from {{ source('tpch', 'orders') }}
+        where o_totalprice > {{ var('min_price') }}
+    """)
+    _write(root, "models/marts/big_orders.sql", """
+        {{ config(materialized='table') }}
+        select status, count(*) as n, max(price) as max_price
+        from {{ ref('stg_orders') }} group by status
+    """)
+    _write(root, "models/schema.yml", f"""
+        sources:
+          - name: tpch
+            tables:
+              - name: orders
+                meta:
+                  location: "{sf_dir}/orders.parquet"
+        models:
+          - name: stg_orders
+            columns:
+              - name: order_id
+                tests: [unique, not_null]
+          - name: big_orders
+            config:
+              tags: [mart]
+            columns:
+              - name: status
+                tests:
+                  - accepted_values:
+                      values: ['O', 'F', 'P']
+    """)
+    _write(root, "seeds/channels.csv", "code,label\nweb,Web\napp,Mobile App\n")
+    _write(root, "snapshots/orders_snapshot.sql", """
+        {% snapshot orders_snap %}
+        select order_id, status from {{ ref('stg_orders') }}
+        {% endsnapshot %}
+    """)
+    _write(root, "tests/no_negative_prices.sql", """
+        select * from {{ ref('stg_orders') }} where price < 0
+    """)
+    _write(root, "macros/my_macros.sql", """
+        {% macro pct(num, den) %}round(100.0 * {{ num }} / {{ den }}, 1){% endmacro %}
+    """)
+    return root
+
+
+def test_from_dir_full_project(spark, schema, sf_dir, tmp_path):
+    root = make_project_dir(str(tmp_path / "proj"), sf_dir)
+    p = ProjectDef.from_dir(root)
+    assert p.name == "shop"
+    assert set(p.models) == {"stg_orders", "big_orders"}
+    assert "channels" in p.seeds
+    assert "orders_snap" in p.snapshots
+    assert "no_negative_prices" in p.tests
+    assert p.model_defaults.get("+materialized") == "view"
+    assert {t for t in p.tests} >= {
+        "unique_stg_orders_order_id", "not_null_stg_orders_order_id",
+        "accepted_values_big_orders_status", "no_negative_prices"}
+
+    eng = Engine(spark, p, schema=schema)
+    assert eng.seed().ok()
+    r = eng.run()
+    assert r.ok(), [x.message for x in r.results]
+    assert eng.table("big_orders").count() > 0
+    tr = eng.test()
+    assert tr.ok(), [(x.unique_id, x.status) for x in tr.results]
+    assert len(tr.results) == 4
+    # schema-yml tag config applied
+    assert eng.ls(select="tag:mart") == ["model.shop.big_orders"]
+    # macro from macros/ usable in inline SQL
+    compiled = eng.compile_sql("select {{ pct(1, 4) }} as p")
+    assert "round(100.0 * 1 / 4, 1)" in compiled
+    # snapshot block parsed from {% snapshot %} syntax runs
+    p.snapshots["orders_snap"].update(
+        {"unique_key": "order_id", "strategy": "check", "check_cols": ["status"],
+         "snapshot_at": "2020-01-01 00:00:00"})
+    eng2 = Engine(spark, p, schema=schema)
+    assert eng2.snapshot().ok()
+    assert spark.table(f"{schema}.orders_snap").count() > 0

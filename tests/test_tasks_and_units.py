@@ -225,3 +225,56 @@ def test_on_run_start_end_hooks(spark, schema, sf_dir):
     assert eng.run().ok()
     phases = {r["phase"] for r in spark.table(f"{schema}.audit").collect()}
     assert phases == {"start", "end"}
+
+
+# -- partial parsing / analyses / exposures ---------------------------------
+
+def test_partial_parse_skips_unchanged(spark, schema, sf_dir):
+    """ref: parser/partial.py — only changed nodes re-rendered."""
+    p = base_project(sf_dir)
+    for i in range(20):
+        p.models[f"m{i}"] = f"select id + {i} as id from {{{{ ref('stg') }}}}"
+    eng = Engine(spark, p, schema=schema)
+    assert eng.manifest.reparse_count == 21  # stg + 20
+    p.models["m3"] = "select id * 3 as id from {{ ref('stg') }}"
+    assert eng.reparse() == 1  # only m3
+    assert eng.manifest.nodes["model.tk.m3"].refs == ["stg"]
+    # macro change forces full reparse (ref: partial.py special macro handling)
+    p.macros["noop"] = "{% macro noop() %}{% endmacro %}"
+    assert eng.reparse() == 21
+
+
+def test_partial_parse_respects_config_change(spark, schema, sf_dir):
+    p = base_project(sf_dir)
+    p.models["m"] = "{{ config(unique_key='id') }} select id from {{ ref('stg') }}"
+    eng = Engine(spark, p, schema=schema)
+    p.model_configs["m"] = {"materialized": "incremental"}
+    eng.project = p
+    eng.reparse()
+    node = eng.manifest.nodes["model.tk.m"]
+    assert node.config["materialized"] == "incremental"  # fresh schema-yml cfg
+    assert node.config["unique_key"] == "id"  # cached in-file cfg kept
+
+
+def test_analyses_compile_only(spark, schema, sf_dir):
+    p = base_project(sf_dir)
+    p.analyses["order_share"] = (
+        "select status, count(*) as n from {{ ref('stg') }} group by status")
+    eng = Engine(spark, p, schema=schema)
+    r = eng.run()
+    assert r.ok()
+    # analysis never materialized (ref: §1.1 — compile only)
+    assert not spark.catalog.tableExists(f"{schema}.order_share")
+    compiled = eng.compile_analyses()
+    assert "order_share" in compiled
+    assert f"{schema}.stg" in compiled["order_share"]
+    assert spark.sql(compiled["order_share"]).count() > 0
+
+
+def test_exposures_and_metrics_listed(spark, schema, sf_dir):
+    p = base_project(sf_dir)
+    p.exposures["weekly_dash"] = {"type": "dashboard", "depends_on": ["ref('stg')"]}
+    p.metrics["order_count"] = {"model": "stg", "calculation": "count(*)"}
+    eng = Engine(spark, p, schema=schema)
+    assert "exposure.tk.weekly_dash" in eng.ls()
+    assert eng.ls(resource_type="metric") == ["metric.tk.order_count"]
