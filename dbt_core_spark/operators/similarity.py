@@ -108,10 +108,10 @@ def _hyperplanes(dim: int, planes: int, seed: str = "dbtspark") -> list[list[flo
     return out
 
 
-def lsh_bucket(vec_col: Column, dim: int, planes: int = 8) -> Column:
+def lsh_bucket(vec_col: Column, dim: int, planes: int = 8, seed: str = "dbtspark") -> Column:
     """Sign-pattern bucket id (0..2^planes-1) via fixed hyperplanes."""
     bucket = F.lit(0)
-    for i, hp in enumerate(_hyperplanes(dim, planes)):
+    for i, hp in enumerate(_hyperplanes(dim, planes, seed)):
         lit = F.array(*[F.lit(x) for x in hp])
         bucket = bucket + F.when(_dot(vec_col, lit) >= 0, 2 ** i).otherwise(0)
     return bucket
@@ -123,24 +123,41 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     k: int = 5,
     dim: int = 64,
-    planes: int = 6,
+    planes: int = 4,
+    tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: join only within the same hyperplane bucket.
-    ~2^planes× less pairwise work; recall grows with fewer planes.
-    (Approximate — verify recall offline; no SQL oracle.)"""
-    b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    """Approximate top-k via **multi-table** hyperplane LSH: L independent
+    hash tables of `planes` bits each; candidates = pairs colliding in
+    ANY table (the standard recall amplification — a single table's
+    recall collapses on high-dim data).
+
+    P(candidate | angle θ) = 1 − (1 − (1−θ/π)^planes)^tables.
+    Tune (planes, tables) per corpus: more planes → smaller buckets
+    (cheaper), more tables → higher recall.  Candidate distances are
+    computed once per distinct pair.  (Approximate — no SQL oracle.)
+    """
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(F.col(vec_col), dim, planes, seed=f"tbl{t}").alias("b"),
+            )
+            for t in range(tables)
+        ]
     )
-    a, c = b.alias("a"), b.alias("c")
-    scored = (
-        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") != F.col("c.id")))
-        .select(
-            F.col("a.id").alias("query_id"),
-            F.col("c.id").alias("nbr_id"),
-            cosine(F.col("a.v"), F.col("c.v")).alias("cosine"),
-        )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     F.explode(buckets).alias("tb")).select(
+        "id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    a, c = base.alias("a"), base.alias("c")
+    cand = (
+        a.join(c, (F.col("a.t") == F.col("c.t")) & (F.col("a.b") == F.col("c.b"))
+               & (F.col("a.id") != F.col("c.id")))
+        .select(F.col("a.id").alias("query_id"), F.col("c.id").alias("nbr_id"),
+                F.col("a.v").alias("qv"), F.col("c.v").alias("nv"))
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    scored = cand.select(
+        "query_id", "nbr_id", cosine(F.col("qv"), F.col("nv")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (

@@ -1,0 +1,92 @@
+"""Physical-plan assertions — the scale contract.
+
+These pin the Catalyst plan shapes that make the engine viable at
+100 TB: predicate pushdown into parquet scans, column pruning,
+broadcast joins for small dimensions, partial top-k (WindowGroupLimit),
+and map-side partial aggregation.  A regression here is a performance
+bug even if results stay correct (SURVEY §4).
+"""
+
+import __spark_entry__ as em
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString() + "\n" + (
+        df._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted(em.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 6 needed columns in ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    plan = _formatted(em.q5_local_supplier_volume(spark, sf_dir))
+    # 5 joins; every one should be broadcast at this dimension size
+    # (formatted explain mentions each operator in tree + details)
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    # the region filter is evaluated at the scan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_window_topk_uses_group_limit(spark, sf_dir):
+    plan = _formatted(em.window_top3_orders_per_customer(spark, sf_dir))
+    # partial top-k before the shuffle (Spark 3.5+ WindowGroupLimit)
+    assert "WindowGroupLimit" in plan
+
+
+def test_exists_becomes_semi_join(spark, sf_dir):
+    plan = _formatted(em.q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_not_exists_becomes_anti_join(spark, sf_dir):
+    plan = _formatted(em.customers_without_orders(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_minhash_band_join_not_cartesian(spark, sf_dir):
+    """The LSH candidate join must be an equi-join on (band, hash) —
+    never a cartesian/BNL product over documents."""
+    from dbt_core_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = em._t(spark, sf_dir, "documents")
+    plan = _formatted(minhash_lsh_pairs(docs, "text", "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_scan_prunes_columns_through_view(spark, sf_dir):
+    """Models reading a source via view must still push projection to the
+    file scan (view does not block pruning)."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    p = ProjectDef(name="pl")
+    p.add_source("tpch", "lineitem", f"{sf_dir}/lineitem.parquet")
+    p.models["narrow"] = (
+        "select l_orderkey from {{ source('tpch','lineitem') }} where l_linenumber = 1"
+    )
+    eng = Engine(spark, p, schema="plan_test")
+    assert eng.run().ok()
+    plan = _formatted(spark.table("plan_test.narrow"))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema
+    assert "EqualTo(l_linenumber,1)" in plan
+    spark.sql("drop database plan_test cascade")
+    spark.sql("drop database if exists plan_test__sources cascade")

@@ -79,3 +79,43 @@ def test_stream_to_parquet_exactly_once(spark, tmp_path):
     stream3 = stream_source(spark, src, SCHEMA, fmt="json")
     run_to_parquet(stream3, out, ckpt)
     assert spark.read.parquet(out).count() == 4
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState gap sessionization with event-time timeout."""
+    import uuid as _uuid
+
+    from dbt_core_spark.streaming.stateful import sessionize_stream
+    from dbt_core_spark.streaming.structured import run_to_memory
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = str(tmp_path / "sess_in")
+    # user 1: two sessions (gap > 30 min); user 2: one session
+    _write_events(src, [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00.000Z"},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00.000Z"},
+        {"user_id": 1, "ts": "2024-01-01T01:00:00.000Z"},  # new session
+        {"user_id": 2, "ts": "2024-01-01T00:30:00.000Z"},
+    ])
+    # second file: sentinel far ahead advances the watermark past all
+    # session close points → every session times out and is emitted
+    _write_events(src, [{"user_id": 99, "ts": "2024-01-01T12:00:00.000Z"}])
+
+    stream = spark.readStream.schema(schema).json(src)
+    sessions = sessionize_stream(stream, "user_id", "ts", gap_seconds=1800,
+                                 watermark="1 second")
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    run_to_memory(sessions, name)
+    got = {
+        (r["user_id"], str(r["session_start"])): (str(r["session_end"]), r["n_events"])
+        for r in spark.table(name).collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == ("2024-01-01 00:10:00", 2)
+    assert got[(1, "2024-01-01 01:00:00")] == ("2024-01-01 01:00:00", 1)
+    assert got[(2, "2024-01-01 00:30:00")] == ("2024-01-01 00:30:00", 1)
+    # sentinel's own session is still open → not emitted
+    assert not any(u == 99 for u, _ in got)
