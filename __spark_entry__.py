@@ -236,6 +236,56 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation ratio (TPC-H Q14 shape)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select cast(sum(case when p.p_type like 'a%' then
+                        cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)
+                        else 0 end) as bigint) as promo_e4,
+               cast(sum(cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)) as bigint) as total_e4
+        from lineitem l join part p on l.l_partkey = p.p_partkey
+        where l.l_shipdate >= timestamp '1997-01-01 00:00:00'
+          and l.l_shipdate < timestamp '1997-04-01 00:00:00'
+    """)
+
+
+def q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-clause predicate (TPC-H Q19 shape) — exercises
+    OR-pushdown/CNF handling."""
+    _reg(spark, sf_dir)
+    return spark.sql(f"""
+        select cast(count(*) as bigint) as n,
+               {_money_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        from lineitem l join part p on p.p_partkey = l.l_partkey
+        where (p.p_brand = 'Brand#12' and p.p_size between 1 and 15
+               and l.l_quantity >= 1 and l.l_quantity <= 30)
+           or (p.p_brand = 'Brand#23' and p.p_size between 1 and 25
+               and l.l_quantity >= 10 and l.l_quantity <= 40)
+           or (p.p_brand = 'Brand#34' and p.p_size between 1 and 35
+               and l.l_quantity >= 20 and l.l_quantity <= 50)
+    """)
+
+
+def q22_global_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery + anti-join (TPC-H Q22 shape):
+    above-average-balance customers with no open orders."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select c.c_mktsegment as segment,
+               cast(count(*) as bigint) as n_cust,
+               cast(sum(cast(round(c.c_acctbal * 100) as bigint)) as bigint) as sum_bal_e2
+        from customer c
+        where c.c_acctbal > (select sum(cast(round(c2.c_acctbal * 100) as bigint))
+                                    / count(*) / 100.0
+                             from customer c2 where c2.c_acctbal > 0)
+          and not exists (select 1 from orders o
+                          where o.o_custkey = c.c_custkey
+                            and o.o_orderstatus = 'O')
+        group by c.c_mktsegment
+    """)
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join."""
     _reg(spark, sf_dir)
@@ -624,6 +674,112 @@ def engine_microbatch_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def engine_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental insert_overwrite with dynamic partition overwrite:
+    second run rewrites only the partitions present in its batch."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    schema = "drv_iow"
+    _fresh_engine_schema(spark, schema)
+    p = ProjectDef(name="drv")
+    p.add_source("ev", "events", _events_us_path(spark, sf_dir))
+    p.models["daily_counts"] = """
+        {{ config(materialized='incremental',
+                  incremental_strategy='insert_overwrite',
+                  partition_by='day') }}
+        select cast(cast(ts as date) as string) as day,
+               event_type, cast(count(*) as bigint) as n
+        from {{ source('ev','events') }}
+        {% if is_incremental() %}
+          where ts >= timestamp '2024-01-15 00:00:00'
+        {% endif %}
+        group by 1, 2
+    """
+    eng = Engine(spark, p, schema=schema)
+    r1 = eng.run()
+    if not r1.ok():
+        raise RuntimeError(str([r.message for r in r1.results]))
+    eng2 = Engine(spark, p, schema=schema)
+    r2 = eng2.run()  # overwrites only days >= Jan 15; earlier days untouched
+    if not r2.ok():
+        raise RuntimeError(str([r.message for r in r2.results]))
+    return spark.table(f"{schema}.daily_counts")
+
+
+def engine_python_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python model (`def model(dbt, session)`) with a real DataFrame —
+    first-class citizen, no code shipping (ref: ADR-004)."""
+    from pyspark.sql import functions as PF
+
+    from dbt_core_spark import Engine, ProjectDef
+
+    schema = "drv_py"
+    _fresh_engine_schema(spark, schema)
+    p = ProjectDef(name="drv")
+    p.add_source("tpch", "orders", f"{sf_dir}/orders.parquet")
+    p.models["stg_orders"] = (
+        "select o_orderkey, o_custkey, o_totalprice from {{ source('tpch','orders') }}"
+    )
+
+    def top_customers(dbt, session):
+        df = dbt.ref("stg_orders")
+        return (
+            df.groupBy("o_custkey")
+            .agg(
+                PF.count("*").cast("bigint").alias("n_orders"),
+                (PF.sum(PF.round(PF.col("o_totalprice") * 100).cast("bigint")) / 100.0)
+                .cast("double").alias("total_spend"),
+            )
+            .filter(PF.col("n_orders") >= 10)
+            .withColumnRenamed("o_custkey", "customer_key")
+        )
+
+    p.python_models["top_customers"] = top_customers
+    p.model_configs["top_customers"] = {
+        "materialized": "table", "depends_on": ["stg_orders"]}
+    eng = Engine(spark, p, schema=schema)
+    res = eng.run()
+    if not res.ok():
+        raise RuntimeError(str([r.message for r in res.results]))
+    return eng.table("top_customers")
+
+
+def dedup_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: drop the higher id of any pair
+    with cosine ≥ threshold; return survivors."""
+    from dbt_core_spark.operators.similarity import cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, "embedding", "vec_id", threshold=0.45)
+    losers = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality filter → language filter
+    → near-dup removal (n-gram Jaccard ≥ 0.5 keeps lowest id) —
+    the canonical pre-training corpus cleaning flow as ONE lazy plan."""
+    from dbt_core_spark.operators.dedup import ngram_jaccard_pairs
+    from dbt_core_spark.operators.textstats import detect_language, quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    qual = quality_features(docs, "text", "doc_id").select(
+        "doc_id", "n_words", "quality_score")
+    lang = detect_language(docs, "text", "doc_id").select("doc_id", "detected_lang")
+    keep = (
+        docs.join(qual, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality_score") >= 0.6) & (F.col("detected_lang") == "en"))
+    )
+    dup_losers = (
+        ngram_jaccard_pairs(keep, "text", "doc_id", n=3, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id")).distinct()
+    )
+    return keep.join(dup_losers, "doc_id", "left_anti").select(
+        "doc_id", "detected_lang", "n_words",
+        F.col("quality_score").alias("quality_score"))
+
+
 def engine_generic_test_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic-test operator output: the failing rows of an
     accepted_values test (stored via store_failures)."""
@@ -813,6 +969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_orders": q18_large_orders,
         "customers_without_orders": customers_without_orders,
+        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+        "q19_or_predicates": q19_or_predicates,
+        "q22_global_avg_filter": q22_global_avg_filter,
         "rollup_quantity": rollup_quantity,
         "pivot_status_by_priority": pivot_status_by_priority,
         "window_top3_orders_per_customer": window_top3_orders_per_customer,
@@ -834,8 +993,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_snapshot_scd2": engine_snapshot_scd2,
         "engine_microbatch_day": engine_microbatch_day,
         "engine_generic_test_failures": engine_generic_test_failures,
+        "engine_insert_overwrite": engine_insert_overwrite,
+        "engine_python_model": engine_python_model,
         # LLM-pipeline operators
         "dedup_exact_docs": dedup_exact_docs,
+        "dedup_embedding_docs": dedup_embedding_docs,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
         "dedup_fingerprint_docs": dedup_fingerprint_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "minhash_lsh_docs": minhash_lsh_docs,

@@ -255,6 +255,66 @@ where not exists (select 1 from orders o where o.o_custkey = c.c_custkey
                     and o.o_orderstatus = 'P')
 """
 
+ORACLES["q14_promo_revenue_ratio"] = """
+select cast(sum(case when p.p_type like 'a%' then
+                cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)
+                else 0 end) as bigint) as promo_e4,
+       cast(sum(cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)) as bigint) as total_e4
+from lineitem l join part p on l.l_partkey = p.p_partkey
+where l.l_shipdate >= timestamp '1997-01-01 00:00:00'
+  and l.l_shipdate < timestamp '1997-04-01 00:00:00'
+"""
+
+ORACLES["q19_or_predicates"] = """
+select cast(count(*) as bigint) as n,
+       cast(sum(cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)) / 10000.0 as double) as revenue
+from lineitem l join part p on p.p_partkey = l.l_partkey
+where (p.p_brand = 'Brand#12' and p.p_size between 1 and 15
+       and l.l_quantity >= 1 and l.l_quantity <= 30)
+   or (p.p_brand = 'Brand#23' and p.p_size between 1 and 25
+       and l.l_quantity >= 10 and l.l_quantity <= 40)
+   or (p.p_brand = 'Brand#34' and p.p_size between 1 and 35
+       and l.l_quantity >= 20 and l.l_quantity <= 50)
+"""
+
+ORACLES["q22_global_avg_filter"] = """
+select c.c_mktsegment as segment,
+       cast(count(*) as bigint) as n_cust,
+       cast(sum(cast(round(c.c_acctbal * 100) as bigint)) as bigint) as sum_bal_e2
+from customer c
+where c.c_acctbal > (select sum(cast(round(c2.c_acctbal * 100) as bigint))
+                            / count(*) / 100.0
+                     from customer c2 where c2.c_acctbal > 0)
+  and not exists (select 1 from orders o
+                  where o.o_custkey = c.c_custkey
+                    and o.o_orderstatus = 'O')
+group by c.c_mktsegment
+"""
+
+ORACLES["engine_insert_overwrite"] = """
+select cast(cast(ts as date) as varchar) as day,
+       event_type, cast(count(*) as bigint) as n
+from events
+group by 1, 2
+"""
+
+ORACLES["engine_python_model"] = """
+select o_custkey as customer_key,
+       cast(count(*) as bigint) as n_orders,
+       cast(sum(cast(round(o_totalprice * 100) as bigint)) / 100.0 as double) as total_spend
+from orders
+group by o_custkey
+having count(*) >= 10
+"""
+
+ORACLES["dedup_embedding_docs"] = (
+    _COSINE_CTE.format(join_cond="a.vec_id < b.vec_id")
+    + """
+select e.vec_id, e.label from embeddings e
+where e.vec_id not in (select id_b from p where cosine >= 0.45)
+"""
+)
+
 ORACLES["rollup_quantity"] = """
 select coalesce(l_returnflag, 'ALL') as returnflag,
        coalesce(l_linestatus, 'ALL') as linestatus,
@@ -503,6 +563,38 @@ from p
 qualify rank <= 3
 """
 )
+
+ORACLES["pipeline_clean_corpus"] = f"""
+with q as (select * from ({_QUALITY_SQL}) tq),
+l as (select * from ({_language_sql()}) tl),
+keep as (
+    select d.doc_id, d.text, l.detected_lang, q.n_words, q.quality_score
+    from documents d join q using (doc_id) join l using (doc_id)
+    where q.quality_score >= 0.6 and l.detected_lang = 'en'
+),
+kw as (select doc_id as id, {_WORDS} as words from keep),
+ksh as (
+    select id, case when len(words) >= 3 then {_SHINGLES} else [] end as shingles
+    from kw
+),
+kshn as (select id, shingles, len(shingles) as n_sh from ksh where len(shingles) > 0),
+kf as (select id, unnest(shingles) as s from kshn),
+kshared as (
+    select a.id as id_a, b.id as id_b, count(*) as shared
+    from kf a join kf b on a.s = b.s and a.id < b.id
+    group by 1, 2
+),
+losers as (
+    select distinct s.id_b as doc_id
+    from kshared s
+    join kshn na on na.id = s.id_a
+    join kshn nb on nb.id = s.id_b
+    where s.shared / (na.n_sh + nb.n_sh - s.shared) >= 0.5
+)
+select k.doc_id, k.detected_lang, k.n_words, k.quality_score
+from keep k
+where k.doc_id not in (select doc_id from losers)
+"""
 
 ORACLES["multimodal_features_docs"] = """
 select doc_id as media_id,
