@@ -901,6 +901,63 @@ def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "embedding", "vec_id", k=3, n_cells=16, n_probe=4)
 
 
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time): each event matched to the user's most
+    recent order at-or-before the event time.  Custom operator — Spark
+    has no native ASOF JOIN; DuckDB's native one is the oracle."""
+    from dbt_core_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    # deduplicate right to one row per (key, ts) for determinism
+    r = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+            "last_order_key",
+        )
+    )
+    out = asof_join(events, r, on="user_id", left_ts="ts", right_ts="ots",
+                    right_values=["last_order_key"])
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "last_order_key"
+    )
+
+
+def multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate: hour AND day rollups in one
+    pass via GROUPING SETS."""
+    _reg(spark, sf_dir)
+    return spark.sql(f"""
+        with base as (
+            select date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') as hour_b,
+                   date_format(date_trunc('day', ts), 'yyyy-MM-dd') as day_b,
+                   value
+            from events
+        )
+        select coalesce(hour_b, '') as hour_bucket,
+               coalesce(day_b, '') as day_bucket,
+               cast(grouping(hour_b) as bigint) as g_hour,
+               cast(grouping(day_b) as bigint) as g_day,
+               cast(count(*) as bigint) as n,
+               {_money_sum("value", "sum_value")}
+        from base
+        group by grouping sets ((hour_b), (day_b))
+    """)
+
+
+def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance ≤ 8, found via
+    pigeonhole chunk blocking (never a cross join)."""
+    from dbt_core_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter("text is not null")
+    out = simhash_pairs(docs, "text", "doc_id", max_hamming=8, bits=32)
+    return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end: parquet file stream →
     watermark(1s) → 1h tumbling windows → AvailableNow drain to a memory
@@ -977,6 +1034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top3_orders_per_customer": window_top3_orders_per_customer,
         "running_revenue_by_customer": running_revenue_by_customer,
         "sessionize_events": sessionize_events,
+        "asof_join_events_orders": asof_join_events_orders,
+        "multi_granularity_rollup": multi_granularity_rollup,
         "hourly_event_rollup": hourly_event_rollup,
         "json_extract_props": json_extract_props,
         "set_ops_statuses": set_ops_statuses,
@@ -1003,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "minhash_lsh_docs": minhash_lsh_docs,
         "simhash_docs": simhash_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
         "text_quality_docs": text_quality_docs,
         "language_id_docs": language_id_docs,
         "token_counts_docs": token_counts_docs,

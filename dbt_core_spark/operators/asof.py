@@ -1,0 +1,99 @@
+"""As-of join — a custom operator Spark SQL lacks natively.
+
+For each left row, attach the most recent right row with
+``right.ts <= left.ts`` within the same key (the canonical
+point-in-time / trades-vs-quotes join).
+
+Spark-first implementation (composition of built-ins — SURVEY custom-
+operator rule (a)): tag both sides, union, and carry the latest right
+attributes forward with ``last(..., ignorenulls=True)`` over a
+(key, ts)-ordered window.  This is the scalable shape:
+
+- ONE shuffle on the key (the window's own partitioning) — no join
+  explosion, no per-key collect;
+- within each key the window is a linear scan, so cost is
+  O(n log n) for the sort regardless of match distances;
+- skewed keys fall to AQE; at the extreme, salt the key and union a
+  per-salt pass (documented, not needed here).
+
+Equivalent to DuckDB's native ``ASOF JOIN`` (used as the oracle).
+Ties on ts: the right row sorts before the left row at equal ts, so
+``<=`` semantics hold; callers must deduplicate the right side to one
+row per (key, ts) for deterministic results.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: Optional[list[str]] = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """Left as-of join.  ``direction='backward'`` matches the latest
+    right row at-or-before the left timestamp; ``'forward'`` the earliest
+    at-or-after."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    right_values = right_values or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+
+    lhs = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_values],
+    )
+    rhs = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            lhs.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+    )
+    unioned = lhs.unionByName(rhs)
+
+    if direction == "backward":
+        # right rows sort before left at equal ts → '<=' matching
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_values
+        ]
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_values
+        ]
+
+    out = (
+        unioned.select("*", *carried)
+        .filter(F.col("_is_left") == 1)
+        .select(
+            *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+            *[F.col(f"_m_{c}").alias(c) for c in right_values],
+        )
+    )
+    return out

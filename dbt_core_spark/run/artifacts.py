@@ -1,0 +1,107 @@
+"""Run artifacts: run_results.json / manifest.json / catalog.json.
+
+ref: artifact schemas under core/dbt/artifacts/schemas/ (run v5,
+manifest v12, catalog v1) — same shapes at the field level the
+functional tests assert on (status/execution_time/unique_id,
+nodes/depends_on/config, catalog columns), without the jsonschema
+versioning machinery.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from dbt_core_spark.api import Engine
+    from dbt_core_spark.run.runner import RunResults
+
+
+def write_run_results(results: "RunResults", path: str, elapsed: float | None = None) -> str:
+    """run_results.json analog (ref: artifacts/schemas/run/)."""
+    doc = {
+        "metadata": {
+            "generated_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "dbt_schema_version": "https://schemas.getdbt.com/dbt/run-results/v5.json",
+            "adapter_type": "spark",
+        },
+        "elapsed_time": elapsed if elapsed is not None else results.elapsed,
+        "results": [
+            {
+                "unique_id": r.unique_id,
+                "status": r.status,
+                "execution_time": r.execution_time,
+                "message": r.message,
+                "relation_name": r.relation,
+                "failures": r.failures,
+                "batch_results": r.batch_results,
+            }
+            for r in results.results
+        ],
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, default=str)
+    return path
+
+
+def write_manifest(engine: "Engine", path: str) -> str:
+    """manifest.json analog (ref: artifacts/schemas/manifest/)."""
+    m = engine.manifest
+    doc = {
+        "metadata": {
+            "project_name": m.project_name,
+            "dbt_schema_version": "https://schemas.getdbt.com/dbt/manifest/v12.json",
+            "adapter_type": "spark",
+        },
+        "nodes": {
+            uid: {
+                "name": n.name,
+                "resource_type": n.resource_type.value,
+                "package_name": n.package,
+                "raw_code": n.raw_code,
+                "compiled_code": n.compiled_code,
+                "relation_name": n.relation_name,
+                "config": {k: v for k, v in n.config.items() if v not in (None, [], {})},
+                "depends_on": {"nodes": n.depends_on},
+                "checksum": n.checksum,
+            }
+            for uid, n in m.nodes.items()
+        },
+        "sources": {
+            uid: {
+                "name": s.name,
+                "source_name": s.source_name,
+                "external_location": s.external_location,
+                "loaded_at_field": s.loaded_at_field,
+            }
+            for uid, s in m.sources.items()
+        },
+        "exposures": m.exposures,
+        "metrics": m.metrics,
+        "parent_map": {uid: n.depends_on for uid, n in m.nodes.items()},
+        "child_map": _child_map(m),
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, default=str)
+    return path
+
+
+def _child_map(m) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {uid: [] for uid in list(m.nodes) + list(m.sources)}
+    for uid, n in m.nodes.items():
+        for dep in n.depends_on:
+            out.setdefault(dep, []).append(uid)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def write_catalog(engine: "Engine", path: str) -> str:
+    """catalog.json analog (ref: task/docs/generate.py)."""
+    doc = engine.docs_generate()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, default=str)
+    return path

@@ -325,6 +325,43 @@ from lineitem
 group by rollup(l_returnflag, l_linestatus)
 """
 
+ORACLES["asof_join_events_orders"] = """
+with r as (
+    select o_custkey as user_id, o_orderdate as ots,
+           max(o_orderkey) as last_order_key
+    from orders group by 1, 2
+)
+select e.event_id, e.user_id, cast(epoch_us(e.ts) as bigint) as ts_us,
+       r.last_order_key
+from events e
+asof left join r on e.user_id = r.user_id and e.ts >= r.ots
+"""
+
+ORACLES["multi_granularity_rollup"] = """
+with base as (
+    select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour_b,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') as day_b,
+           value
+    from events
+)
+select coalesce(hour_b, '') as hour_bucket,
+       coalesce(day_b, '') as day_bucket,
+       cast(grouping(hour_b) as bigint) as g_hour,
+       cast(grouping(day_b) as bigint) as g_day,
+       cast(count(*) as bigint) as n,
+       cast(sum(cast(round(value * 10000) as bigint)) / 10000.0 as double) as sum_value
+from base
+group by grouping sets ((hour_b), (day_b))
+"""
+
+ORACLES["simhash_pairs_docs"] = f"""
+with f as (select * from ({_simhash_sql(32)}) tf)
+select a.doc_id as id_a, b.doc_id as id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as bigint) as hamming
+from f a join f b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
 ORACLES["streaming_hourly_rollup"] = """
 with wm as (
     select (epoch_us(max(ts)) // 1000) * 1000 - 1000000 as wm_us from events

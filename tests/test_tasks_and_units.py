@@ -278,3 +278,34 @@ def test_exposures_and_metrics_listed(spark, schema, sf_dir):
     eng = Engine(spark, p, schema=schema)
     assert "exposure.tk.weekly_dash" in eng.ls()
     assert eng.ls(resource_type="metric") == ["metric.tk.order_count"]
+
+
+# -- artifacts --------------------------------------------------------------
+
+def test_artifacts_written(spark, schema, sf_dir, tmp_path):
+    import json
+
+    from dbt_core_spark.run.artifacts import (
+        write_catalog,
+        write_manifest,
+        write_run_results,
+    )
+
+    p = base_project(sf_dir)
+    p.models["mart"] = "{{ config(materialized='table') }} select count(*) as n from {{ ref('stg') }}"
+    eng = Engine(spark, p, schema=schema)
+    res = eng.run()
+    assert res.ok()
+
+    rr = json.load(open(write_run_results(res, str(tmp_path / "run_results.json"))))
+    assert {r["unique_id"] for r in rr["results"]} == {
+        "model.tk.stg", "model.tk.mart"}
+    assert all(r["status"] == "success" for r in rr["results"])
+
+    mf = json.load(open(write_manifest(eng, str(tmp_path / "manifest.json"))))
+    assert mf["nodes"]["model.tk.mart"]["depends_on"]["nodes"] == ["model.tk.stg"]
+    assert mf["child_map"]["model.tk.stg"] == ["model.tk.mart"]
+    assert mf["nodes"]["model.tk.mart"]["config"]["materialized"] == "table"
+
+    cat = json.load(open(write_catalog(eng, str(tmp_path / "catalog.json"))))
+    assert "n" in cat["nodes"]["model.tk.mart"]["columns"]
