@@ -890,7 +890,7 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_core_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(emb, "embedding", "vec_id", k=3, dim=64, planes=4, tables=8)
+    return lsh_cosine_topk(emb, "embedding", "vec_id", k=3, dim=64, planes=5, tables=8)
 
 
 def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

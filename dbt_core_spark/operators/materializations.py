@@ -63,7 +63,11 @@ def materialize_table(spark: SparkSession, node: Node, rel: str, sql: str) -> in
     df = spark.sql(sql)
     check_contract(df, node)
     R.write_table(
-        spark, rel, df, mode="overwrite", partition_by=_as_list(node.config.get("partition_by"))
+        spark, rel, df, mode="overwrite",
+        partition_by=_as_list(node.config.get("partition_by")),
+        file_format=node.config.get("file_format") or "parquet",
+        bucket_by=_as_list(node.config.get("bucket_by")),
+        buckets=int(node.config.get("buckets") or 0),
     )
     return -1  # row counts only on demand — avoid an extra job at scale
 

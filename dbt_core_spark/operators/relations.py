@@ -52,15 +52,21 @@ def write_table(
     mode: str = "overwrite",
     partition_by: Optional[list[str]] = None,
     file_format: str = "parquet",
+    bucket_by: Optional[list[str]] = None,
+    buckets: int = 0,
 ) -> None:
     """Write df as a managed table.  ``partition_by`` drives the on-disk
     layout — the 100 TB lever for event-time pruning of incremental /
-    microbatch tables (SURVEY §4)."""
+    microbatch tables; ``bucket_by``+``buckets`` pre-shuffles on the join
+    key so downstream equi-joins between co-bucketed tables skip the
+    exchange entirely (SURVEY §4)."""
     if relation_type(spark, rel) == "view":
         drop_relation(spark, rel)
     writer = df.write.format(file_format).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if bucket_by and buckets:
+        writer = writer.bucketBy(buckets, *bucket_by).sortBy(*bucket_by)
     writer.saveAsTable(rel)
 
 

@@ -309,3 +309,26 @@ def test_artifacts_written(spark, schema, sf_dir, tmp_path):
 
     cat = json.load(open(write_catalog(eng, str(tmp_path / "catalog.json"))))
     assert "n" in cat["nodes"]["model.tk.mart"]["columns"]
+
+
+# -- bucketed tables --------------------------------------------------------
+
+def test_bucketed_table_materialization(spark, schema, sf_dir):
+    """bucket_by pre-shuffles on the join key: co-bucketed equi-joins
+    skip the exchange (SURVEY §4 co-located joins)."""
+    p = base_project(sf_dir)
+    p.models["b1"] = (
+        "{{ config(materialized='table', bucket_by='id', buckets=8) }}"
+        "select id, status from {{ ref('stg') }}")
+    p.models["b2"] = (
+        "{{ config(materialized='table', bucket_by='id', buckets=8) }}"
+        "select id, price from {{ ref('stg') }}")
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    desc = spark.sql(f"describe extended {schema}.b1").collect()
+    txt = "\n".join(str(r) for r in desc)
+    assert "8" in txt and "id" in txt  # Num Buckets: 8, Bucket Columns: [id]
+    joined = spark.table(f"{schema}.b1").join(spark.table(f"{schema}.b2"), "id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-bucketed join: SortMergeJoin with NO Exchange on either side
+    assert "Exchange hashpartitioning" not in plan
