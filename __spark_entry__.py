@@ -393,6 +393,70 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate statistics (mean/variance/stddev) computed from exact
+    integer sums — order-independent, unlike naive float stddev."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        with s as (
+            select l_returnflag,
+                   cast(count(*) as bigint) as n,
+                   sum(cast(l_quantity as bigint)) as sq,
+                   sum(cast(l_quantity as bigint) * cast(l_quantity as bigint)) as sq2
+            from lineitem group by l_returnflag
+        )
+        select l_returnflag,
+               n,
+               sq / n / 1.0 as mean_qty,
+               (sq2 - sq * sq / n / 1.0) / (n - 1) as var_qty,
+               sqrt((sq2 - sq * sq / n / 1.0) / (n - 1)) as stddev_qty
+        from s
+    """)
+
+
+def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont, linear interpolation)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select l_returnflag,
+               cast(percentile(l_quantity, 0.25) as double) as p25,
+               cast(percentile(l_quantity, 0.5) as double) as p50,
+               cast(percentile(l_quantity, 0.75) as double) as p75
+        from lineitem group by l_returnflag
+    """)
+
+
+def dynamic_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame pivot with explicit value list (deterministic column
+    set) — the relational PIVOT operator."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .select(
+            "user_id",
+            *[F.col(c).cast("bigint").alias(f"n_{c}")
+              for c in ["click", "view", "purchase", "signup", "error"]],
+        )
+    )
+
+
+def pandas_udf_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF in the hot path (the sanctioned slow
+    path when built-ins can't express the kernel): reversed-text md5 —
+    trivially a stand-in for tokenizers/scorers shipped as Python."""
+    from dbt_core_spark.functions.udfs import reverse_text
+    from dbt_core_spark.operators.dedup import ensure_parallelism
+
+    docs = _t(spark, sf_dir, "documents")
+    return ensure_parallelism(docs).select(
+        "doc_id", F.md5(reverse_text(F.col("text"))).alias("rev_md5")
+    )
+
+
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     _reg(spark, sf_dir)
     return spark.sql("""
@@ -1038,6 +1102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_granularity_rollup": multi_granularity_rollup,
         "hourly_event_rollup": hourly_event_rollup,
         "json_extract_props": json_extract_props,
+        "stats_by_returnflag": stats_by_returnflag,
+        "percentiles_by_group": percentiles_by_group,
+        "dynamic_pivot_events": dynamic_pivot_events,
+        "pandas_udf_text_features": pandas_udf_text_features,
         "set_ops_statuses": set_ops_statuses,
         # cross-db function surface
         "xdb_datetime_functions": xdb_datetime_functions,

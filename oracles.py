@@ -441,6 +441,45 @@ from events
 group by 1
 """
 
+ORACLES["stats_by_returnflag"] = """
+with s as (
+    select l_returnflag,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(l_quantity as bigint)) as bigint) as sq,
+           cast(sum(cast(l_quantity as bigint) * cast(l_quantity as bigint)) as bigint) as sq2
+    from lineitem group by l_returnflag
+)
+select l_returnflag,
+       n,
+       sq / n / 1.0 as mean_qty,
+       (sq2 - sq * sq / n / 1.0) / (n - 1) as var_qty,
+       sqrt((sq2 - sq * sq / n / 1.0) / (n - 1)) as stddev_qty
+from s
+"""
+
+ORACLES["percentiles_by_group"] = """
+select l_returnflag,
+       cast(quantile_cont(l_quantity, 0.25) as double) as p25,
+       cast(quantile_cont(l_quantity, 0.5) as double) as p50,
+       cast(quantile_cont(l_quantity, 0.75) as double) as p75
+from lineitem group by l_returnflag
+"""
+
+ORACLES["dynamic_pivot_events"] = """
+select user_id,
+       cast(count(*) filter (event_type = 'click') as bigint) as n_click,
+       cast(count(*) filter (event_type = 'view') as bigint) as n_view,
+       cast(count(*) filter (event_type = 'purchase') as bigint) as n_purchase,
+       cast(count(*) filter (event_type = 'signup') as bigint) as n_signup,
+       cast(count(*) filter (event_type = 'error') as bigint) as n_error
+from events
+group by user_id
+"""
+
+ORACLES["pandas_udf_text_features"] = """
+select doc_id, md5(reverse(text)) as rev_md5 from documents
+"""
+
 ORACLES["set_ops_statuses"] = """
 (
   select o_custkey as customer_key from orders where o_orderstatus = 'O'
