@@ -77,14 +77,14 @@ class Engine:
     def run(self, select: Optional[str] = None, full_refresh: bool = False,
             event_time_start: Optional[_dt.datetime] = None,
             event_time_end: Optional[_dt.datetime] = None,
-            empty: bool = False) -> RunResults:
+            empty: bool = False, exclude: Optional[str] = None) -> RunResults:
         """`dbt run`: models only (ref: cli/main.py:547-580).  ``empty``
         compiles every ref/source with LIMIT 0 — dry-run schema build
         (ref: tests/functional/adapter/basic/test_empty.py)."""
         return self._runner(
             full_refresh, event_time_start=event_time_start,
             event_time_end=event_time_end, empty=empty,
-        ).run(select=select, resource_types={NodeType.Model})
+        ).run(select=select, resource_types={NodeType.Model}, exclude=exclude)
 
     def seed(self, select: Optional[str] = None) -> RunResults:
         return self._runner().run(select=select, resource_types={NodeType.Seed})

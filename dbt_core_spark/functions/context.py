@@ -386,6 +386,26 @@ def jinja_env() -> jinja2.Environment:
     return _JINJA_ENV
 
 
+_TEST_BLOCK_RE = None
+
+
+def _preprocess_test_blocks(source: str) -> str:
+    """dbt's ``{% test foo(...) %}…{% endtest %}`` compiles to a macro
+    named ``test_foo`` (ref: clients/jinja.py materialization/test tag
+    handling).  Plain regex rewrite keeps Jinja stock."""
+    global _TEST_BLOCK_RE
+    if _TEST_BLOCK_RE is None:
+        import re as _re_mod
+
+        _TEST_BLOCK_RE = (
+            _re_mod.compile(r"{%\s*test\s+(\w+)", _re_mod.IGNORECASE),
+            _re_mod.compile(r"{%\s*endtest\s*%}", _re_mod.IGNORECASE),
+        )
+    head, tail = _TEST_BLOCK_RE
+    source = head.sub(lambda m: "{% macro test_" + m.group(1), source)
+    return tail.sub("{% endmacro %}", source)
+
+
 def render(template: str, ctx: RenderContext, extra: Optional[dict] = None) -> str:
     """Render a node's Jinja template with the given context, including any
     project macros (ref: MacroGenerator clients/jinja.py:31-113)."""
@@ -397,7 +417,7 @@ def render(template: str, ctx: RenderContext, extra: Optional[dict] = None) -> s
     # models can call them (locality: root package wins — manifest.py:563-664)
     for _mname, msrc in ctx.manifest.macros.items():
         try:
-            tmpl = env.from_string(msrc)
+            tmpl = env.from_string(_preprocess_test_blocks(msrc))
             mod = tmpl.make_module(vars=context)
             for attr in dir(mod):
                 if not attr.startswith("_") and callable(getattr(mod, attr)):

@@ -270,12 +270,40 @@ def _build_test_node(project: ProjectDef, test_name: str, tdef: dict) -> Node:
             f"left join parent on child.from_field = parent.to_field "
             f"where parent.to_field is null"
         )
-    elif ttype in project.macros:
-        # custom generic test macro: {% test <name>(model, column_name) %}
-        node.raw_code = (
-            f"{{{{ {('test_' + ttype) if ('test_' + ttype) in project.macros else ttype}"
-            f"({base}, '{column}') }}}}"
-        )
     else:
-        raise ParsingError(f"unknown generic test type '{ttype}'")
+        macro_name = _find_test_macro(project, ttype)
+        if macro_name is None:
+            raise ParsingError(f"unknown generic test type '{ttype}'")
+        # custom generic test: {% test <name>(model, column_name) %} or a
+        # plain macro; call with the model relation + column
+        # (ref: TestBuilder macro_name generic_test_builders.py:318-322)
+        extra = "".join(
+            f", {k}={v!r}" for k, v in tdef.items()
+            if k not in ("type", "model", "column", "severity", "where", "limit",
+                         "fail_calc", "warn_if", "error_if", "store_failures",
+                         "store_failures_as")
+        )
+        # the model arg is the bare ref() expression (evaluated inside the
+        # jinja call), not the braced form used in SQL-text templates
+        model_expr = f"ref('{model}')"
+        node.raw_code = f"{{{{ {macro_name}({model_expr}, '{column}'{extra}) }}}}"
     return node
+
+
+import re as _re_mod  # noqa: E402
+
+
+def _find_test_macro(project: ProjectDef, ttype: str) -> str | None:
+    """Locate a custom generic test across macro sources: a
+    ``{% test <name> %}`` block (compiled to test_<name>) or a macro
+    named test_<name> / <name>."""
+    esc = _re_mod.escape(ttype)
+    test_block = _re_mod.compile(r"{%-?\s*test\s+" + esc + r"\s*\(", _re_mod.IGNORECASE)
+    macro_pref = _re_mod.compile(r"{%-?\s*macro\s+test_" + esc + r"\s*\(", _re_mod.IGNORECASE)
+    macro_plain = _re_mod.compile(r"{%-?\s*macro\s+" + esc + r"\s*\(", _re_mod.IGNORECASE)
+    for src in project.macros.values():
+        if test_block.search(src) or macro_pref.search(src):
+            return f"test_{ttype}"
+        if macro_plain.search(src):
+            return ttype
+    return None

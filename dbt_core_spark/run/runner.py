@@ -95,7 +95,7 @@ class GraphRunner:
         return f"{self.schema}.{node.identifier}"
 
     def _prepare(self, resource_types: Optional[set[NodeType]], select: Optional[str],
-                 add_test_edges: bool = False):
+                 add_test_edges: bool = False, exclude: Optional[str] = None):
         R.ensure_database(self.spark, self.schema)
         for src in self.manifest.sources.values():
             self.relations[src.unique_id] = register_source(self.spark, src, self.schema)
@@ -113,6 +113,7 @@ class GraphRunner:
         if add_test_edges:
             Linker.add_test_edges(self.manifest, graph)
         selected = select_nodes(self.manifest, graph, select)
+        excluded = select_nodes(self.manifest, graph, exclude) or set()
         include = set()
         for uid, node in self.manifest.nodes.items():
             if not node.config.get("enabled", True):
@@ -120,6 +121,8 @@ class GraphRunner:
             if resource_types and node.resource_type not in resource_types:
                 continue
             if selected is not None and uid not in selected:
+                continue
+            if uid in excluded:
                 continue
             if node.is_ephemeral:
                 continue  # never materialized (ref: §2.A ephemeral)
@@ -141,9 +144,10 @@ class GraphRunner:
 
     def run(self, select: Optional[str] = None,
             resource_types: Optional[set[NodeType]] = None,
-            add_test_edges: bool = False) -> RunResults:
+            add_test_edges: bool = False,
+            exclude: Optional[str] = None) -> RunResults:
         t0 = time.time()
-        queue, _ = self._prepare(resource_types, select, add_test_edges)
+        queue, _ = self._prepare(resource_types, select, add_test_edges, exclude)
         results = RunResults()
         self._run_hooks(self.on_run_start, "on-run-start")
         failed: set[str] = set()

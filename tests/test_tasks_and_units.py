@@ -332,3 +332,32 @@ def test_bucketed_table_materialization(spark, schema, sf_dir):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     # co-bucketed join: SortMergeJoin with NO Exchange on either side
     assert "Exchange hashpartitioning" not in plan
+
+
+# -- custom generic test macros + exclude -----------------------------------
+
+def test_custom_generic_test_macro_block(spark, schema, sf_dir):
+    """{% test %} blocks compile to test_<name> macros
+    (ref: clients/jinja.py test-block handling)."""
+    p = base_project(sf_dir)
+    p.macros["my_tests"] = """
+        {% test is_positive(model, column_name) %}
+        select * from {{ model }} where {{ column_name }} <= 0
+        {% endtest %}
+    """
+    p.tests["positive_price"] = {
+        "type": "is_positive", "model": "stg", "column": "price"}
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    res = eng.test()
+    assert res.results[0].status == "pass", res.results[0]
+
+
+def test_exclude_flag(spark, schema, sf_dir):
+    p = base_project(sf_dir)
+    p.models["a"] = "select 1 as x from {{ ref('stg') }} limit 1"
+    p.models["b"] = "select 2 as x from {{ ref('stg') }} limit 1"
+    eng = Engine(spark, p, schema=schema)
+    r = eng.run(exclude="b")
+    names = {x.unique_id.split(".")[-1] for x in r.results}
+    assert "b" not in names and {"stg", "a"} <= names
