@@ -834,6 +834,9 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(qual, "doc_id")
         .join(lang, "doc_id")
         .filter((F.col("quality_score") >= 0.6) & (F.col("detected_lang") == "en"))
+        # persisted: the dedup stage consumes keep three times (sizes +
+        # both join sides); caching avoids recomputing the feature joins
+        .persist()
     )
     dup_losers = (
         ngram_jaccard_pairs(keep, "text", "doc_id", n=3, threshold=0.5)
@@ -1018,7 +1021,7 @@ def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_core_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents").filter("text is not null")
-    out = simhash_pairs(docs, "text", "doc_id", max_hamming=8, bits=32)
+    out = simhash_pairs(docs, "text", "doc_id", max_hamming=4, bits=32)
     return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 

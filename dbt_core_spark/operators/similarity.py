@@ -52,12 +52,20 @@ def cosine_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (a < b). Exact."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """All pairs with cosine ≥ threshold (a < b). Exact.
+
+    Norms are computed per ROW below the join (n folds), not per pair
+    (n² folds) — same float expression dot/(na*nb), 3× less work.
+    Exact all-pairs is inherently O(n²): the scale paths are
+    lsh_cosine_topk / ivf_topk."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  _norm(F.col(vec_col)).alias("na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  _norm(F.col(vec_col)).alias("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cosine",
+                    _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         # raw double: dot/norm folds run in array order in both engines,
         # so the oracle can match bit-for-bit
@@ -75,11 +83,15 @@ def cosine_topk(
     """Exact top-k neighbors per query vector (queries default to the
     corpus itself, self-match excluded).  Ties broken by neighbor id for
     determinism."""
-    corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
-    q = (queries or df).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"))
+    corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"),
+                       _norm(F.col(vec_col)).alias("nb"))
+    q = (queries or df).select(F.col(id_col).alias("query_id"),
+                               F.col(vec_col).alias("va"),
+                               _norm(F.col(vec_col)).alias("na"))
     scored = (
         q.join(corpus, F.col("query_id") != F.col("nbr_id"))
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cosine",
+                    _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id").asc()

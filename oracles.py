@@ -359,7 +359,7 @@ with f as (select * from ({_simhash_sql(32)}) tf)
 select a.doc_id as id_a, b.doc_id as id_b,
        cast(bit_count(xor(a.simhash, b.simhash)) as bigint) as hamming
 from f a join f b on a.doc_id < b.doc_id
-where bit_count(xor(a.simhash, b.simhash)) <= 8
+where bit_count(xor(a.simhash, b.simhash)) <= 4
 """
 
 ORACLES["streaming_hourly_rollup"] = """
