@@ -25,9 +25,7 @@ tests (the reference uses wall-clock now()).
 from __future__ import annotations
 
 import datetime as _dt
-from typing import Optional
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from dbt_core_spark.exceptions import ExecutionError

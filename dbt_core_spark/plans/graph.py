@@ -13,12 +13,12 @@ from __future__ import annotations
 
 import re
 import threading
-from typing import Iterable, Optional
+from typing import Optional
 
 import networkx as nx
 
 from dbt_core_spark.exceptions import DagCycleError
-from dbt_core_spark.plans.nodes import Manifest, Node, NodeType
+from dbt_core_spark.plans.nodes import Manifest, NodeType
 
 
 class Linker:
