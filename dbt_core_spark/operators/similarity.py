@@ -179,6 +179,37 @@ def lsh_cosine_topk(
     )
 
 
+def _lloyd_refine(
+    base: DataFrame, cents: DataFrame, iters: int
+) -> DataFrame:
+    """Refine centroids with Lloyd iterations, fully in DataFrame ops:
+    assign → element-wise mean via posexplode + (cell, dim) aggregation →
+    rebuild arrays.  Each iteration is two shuffles; centroids stay tiny
+    and broadcast."""
+    for _ in range(iters):
+        w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("cell").asc())
+        assign = (
+            base.crossJoin(F.broadcast(cents))
+            .withColumn("d", -cosine(F.col("v"), F.col("cv")))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("id", "v", "cell")
+        )
+        cents = (
+            assign.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -186,15 +217,19 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
-    """IVF-flat: centroids = deterministic corpus sample (lowest ids);
-    each vector assigned to its nearest cell; each query probes its
-    ``n_probe`` nearest cells only.  (Approximate; no SQL oracle.)"""
-    cents = (
+    """IVF-flat: coarse k-means cells (deterministic seed sample refined
+    by ``kmeans_iters`` Lloyd iterations); each vector assigned to its
+    nearest cell; each query probes its ``n_probe`` nearest cells only.
+    (Approximate; no SQL oracle.)"""
+    seed_cents = (
         df.orderBy(F.col(id_col))
         .limit(n_cells)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
     )
+    base0 = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = _lloyd_refine(base0, seed_cents, kmeans_iters)
     assigned_w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("cell").asc())
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     dists = base.crossJoin(F.broadcast(cents)).withColumn(

@@ -91,17 +91,30 @@ def materialize_snapshot(
     else:
         raise ExecutionError(f"unknown snapshot strategy '{strategy}'")
 
+    # dbt_valid_to_current: optional sentinel (e.g. '9999-12-31') stored
+    # instead of NULL for open rows (ref: SnapshotConfig v1/snapshot.py,
+    # tests/functional/snapshots/ test_snapshot_column_names.py family)
+    vto_current = cfg.get("dbt_valid_to_current")
+    open_vto = (
+        F.lit(vto_current).cast("timestamp") if vto_current
+        else F.lit(None).cast("timestamp")
+    )
+
     src = src.withColumn(vupd, src_version_ts).withColumn(
         scd, _scd_id(keys, src_version_ts)
-    ).withColumn(vfrom, src_version_ts).withColumn(vto, F.lit(None).cast("timestamp"))
+    ).withColumn(vfrom, src_version_ts).withColumn(vto, open_vto)
 
     if not R.relation_exists(spark, rel):
         R.write_table(spark, rel, src, mode="overwrite")
         return -1
 
     target = spark.table(rel)
-    current = target.filter(F.col(vto).isNull())
-    history = target.filter(F.col(vto).isNotNull())
+    is_open = (
+        F.col(vto).eqNullSafe(F.lit(vto_current).cast("timestamp"))
+        if vto_current else F.col(vto).isNull()
+    )
+    current = target.filter(is_open)
+    history = target.filter(~is_open)
 
     s = src.alias("s")
     c = current.alias("c")
@@ -158,7 +171,7 @@ def materialize_snapshot(
                 (
                     now
                     if cc in (vfrom, vupd)
-                    else F.lit(None).cast("timestamp")
+                    else open_vto
                     if cc == vto
                     else F.col(f"c.{cc}")
                 )

@@ -259,3 +259,22 @@ def test_selection_extra_methods(spark, schema, sf_dir):
     assert eng.ls(select="test_name:unique") == ["test.jaffle.unique_order_id"]
     assert len(eng.ls(select="package:jaffle")) == len(eng.ls())
     assert eng.ls(select="config.materialized:table") == ["model.jaffle.order_revenue"]
+
+
+def test_seed_csv_with_delimiter_and_types(spark, schema, tmp_path):
+    """Seed config delimiter + column_types (ref: v1/seed.py:15-24,
+    providers.py:1028-1053)."""
+    csv = tmp_path / "metrics.csv"
+    csv.write_text("id;ratio;when\n1;0.5;2020-01-01\n2;0.75;2020-06-01\n")
+    p = ProjectDef(name="sd")
+    p.seeds["metrics"] = str(csv)
+    p.seed_configs["metrics"] = {
+        "delimiter": ";",
+        "column_types": {"ratio": "decimal(5,2)", "when": "date"},
+    }
+    eng = Engine(spark, p, schema=schema)
+    assert eng.seed().ok()
+    df = spark.table(f"{schema}.metrics")
+    types = dict(df.dtypes)
+    assert types["ratio"] == "decimal(5,2)" and types["when"] == "date"
+    assert df.count() == 2

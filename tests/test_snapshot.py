@@ -117,3 +117,23 @@ def test_renamed_meta_columns(spark, schema):
     cols = spark.table(f"{schema}.people_snapshot").columns
     assert {"start_ts", "end_ts", "row_hash", "upd_ts"} <= set(cols)
     assert "dbt_valid_from" not in cols
+
+
+def test_valid_to_current_sentinel(spark, schema):
+    """dbt_valid_to_current: open rows carry a sentinel timestamp instead
+    of NULL (ref: v1/snapshot.py dbt_valid_to_current)."""
+    p = _snap_project(V1, {"strategy": "timestamp", "updated_at": "updated_at",
+                           "dbt_valid_to_current": "9999-12-31 00:00:00"})
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); assert eng.snapshot().ok()
+    snap = spark.table(f"{schema}.people_snapshot")
+    assert snap.filter("dbt_valid_to = timestamp'9999-12-31 00:00:00'").count() == 2
+    p.seeds["people"] = V2
+    eng2 = Engine(spark, p, schema=schema)
+    eng2.seed(); r = eng2.snapshot()
+    assert r.ok(), [x.message for x in r.results]
+    snap = spark.table(f"{schema}.people_snapshot")
+    cur = snap.filter("dbt_valid_to = timestamp'9999-12-31 00:00:00'")
+    assert cur.count() == 3  # all three keys open, sentinel intact
+    closed = snap.filter("dbt_valid_to <> timestamp'9999-12-31 00:00:00'")
+    assert closed.count() == 1 and closed.collect()[0]["id"] == 1
