@@ -352,6 +352,21 @@ def running_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def rolling_7day_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a calendar interval (vs ROWS frames elsewhere):
+    per-customer trailing-7-day order totals."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select o_custkey as customer_key, o_orderkey as order_key,
+               cast(o_orderdate as string) as order_date,
+               cast(sum(cast(round(o_totalprice * 100) as bigint))
+                    over (partition by o_custkey order by o_orderdate
+                          range between interval 7 days preceding and current row)
+                    / 100.0 as double) as trailing_7d_total
+        from orders
+    """)
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) — the batch analog of
     streaming session windows (SURVEY §2.E note)."""
@@ -1100,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status_by_priority": pivot_status_by_priority,
         "window_top3_orders_per_customer": window_top3_orders_per_customer,
         "running_revenue_by_customer": running_revenue_by_customer,
+        "rolling_7day_order_totals": rolling_7day_order_totals,
         "sessionize_events": sessionize_events,
         "asof_join_events_orders": asof_join_events_orders,
         "multi_granularity_rollup": multi_granularity_rollup,

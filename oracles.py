@@ -402,6 +402,16 @@ select o_custkey as customer_key, o_orderkey as order_key,
 from orders
 """
 
+ORACLES["rolling_7day_order_totals"] = """
+select o_custkey as customer_key, o_orderkey as order_key,
+       cast(o_orderdate as varchar) as order_date,
+       cast(sum(cast(round(o_totalprice * 100) as bigint))
+            over (partition by o_custkey order by o_orderdate
+                  range between interval 7 days preceding and current row)
+            / 100.0 as double) as trailing_7d_total
+from orders
+"""
+
 ORACLES["sessionize_events"] = """
 with gaps as (
     select user_id, ts, event_id,

@@ -90,3 +90,43 @@ def test_source_scan_prunes_columns_through_view(spark, sf_dir):
     assert "EqualTo(l_linenumber,1)" in plan
     spark.sql("drop database plan_test cascade")
     spark.sql("drop database if exists plan_test__sources cascade")
+
+
+def test_microbatch_filter_becomes_partition_pruning(spark, tmp_path):
+    """The event-time filter injected into upstream reads (microbatch)
+    must turn into PARTITION pruning on a date-partitioned source —
+    the 100 TB lever (SURVEY §4)."""
+    import __spark_entry__ as em
+    from dbt_core_spark import Engine, ProjectDef
+
+    src_path = str(tmp_path / "events_part")
+    ev = em._t(spark, "/root/testdata/sf0.001", "events")
+    from pyspark.sql import functions as F
+
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(src_path)
+
+    p = ProjectDef(name="pp")
+    p.add_source("ev", "events", src_path)
+    p.models["mb"] = """
+        {{ config(materialized='incremental', incremental_strategy='microbatch',
+                  event_time='ts', batch_size='day', begin='2024-01-01') }}
+        select event_id, ts, day from {{ source('ev','events') }}
+    """
+    eng = Engine(spark, p, schema="pp_test")
+    for node in eng.manifest.sources.values():
+        node.config["event_time"] = "day"  # partition column carries the filter
+    runner = eng._runner()
+    runner._prepare(None, None)
+    runner.relations["model.pp.mb"] = "pp_test.mb"
+    sql = runner._compile(
+        eng.manifest.nodes["model.pp.mb"],
+        event_time_filter=("day", "2024-01-03 00:00:00", "2024-01-04 00:00:00"),
+    )
+    plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    # only one day's partition should survive pruning
+    n = spark.sql(sql).count()
+    direct = spark.read.parquet(src_path).filter("day = date'2024-01-03'").count()
+    assert n == direct
+    spark.sql("drop database if exists pp_test cascade")
+    spark.sql("drop database if exists pp_test__sources cascade")

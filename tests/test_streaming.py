@@ -119,3 +119,26 @@ def test_stateful_sessionization(spark, tmp_path):
     assert got[(2, "2024-01-01 00:30:00")] == ("2024-01-01 00:30:00", 1)
     # sentinel's own session is still open → not emitted
     assert not any(u == 99 for u, _ in got)
+
+
+def test_stream_static_join_enrichment(spark, tmp_path):
+    """Stream-static join: enrich a stream with a static dimension
+    (no state, executed per micro-batch)."""
+    import uuid as _uuid
+
+    from dbt_core_spark.streaming.structured import run_to_memory, stream_source
+
+    src = str(tmp_path / "ss_in")
+    _write_events(src, [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "kind": "a"},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00.000Z", "kind": "b"},
+        {"event_id": 3, "ts": "2024-01-01T00:02:00.000Z", "kind": "zz"},
+    ])
+    dim = spark.createDataFrame(
+        [("a", "Alpha"), ("b", "Beta")], ["kind", "label"])
+    stream = stream_source(spark, src, SCHEMA, fmt="json")
+    enriched = stream.join(dim, "kind", "left")
+    name = f"ss_{_uuid.uuid4().hex[:8]}"
+    run_to_memory(enriched, name)
+    got = {r["event_id"]: r["label"] for r in spark.table(name).collect()}
+    assert got == {1: "Alpha", 2: "Beta", 3: None}
