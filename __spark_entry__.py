@@ -325,6 +325,23 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): wide per-priority status counts back to long form."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        with wide as (
+            select o_orderpriority as priority,
+                   cast(sum(case when o_orderstatus = 'O' then 1 else 0 end) as bigint) as n_open,
+                   cast(sum(case when o_orderstatus = 'F' then 1 else 0 end) as bigint) as n_filled,
+                   cast(sum(case when o_orderstatus = 'P' then 1 else 0 end) as bigint) as n_pending
+            from orders group by o_orderpriority
+        )
+        select priority, status, n
+        from wide
+        unpivot (n for status in (n_open as `O`, n_filled as `F`, n_pending as `P`))
+    """)
+
+
 def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     _reg(spark, sf_dir)
     return spark.sql("""
@@ -1113,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_global_avg_filter": q22_global_avg_filter,
         "rollup_quantity": rollup_quantity,
         "pivot_status_by_priority": pivot_status_by_priority,
+        "unpivot_status_counts": unpivot_status_counts,
         "window_top3_orders_per_customer": window_top3_orders_per_customer,
         "running_revenue_by_customer": running_revenue_by_customer,
         "rolling_7day_order_totals": rolling_7day_order_totals,

@@ -383,6 +383,21 @@ from orders
 group by o_orderpriority
 """
 
+ORACLES["unpivot_status_counts"] = """
+with wide as (
+    select o_orderpriority as priority,
+           cast(sum(case when o_orderstatus = 'O' then 1 else 0 end) as bigint) as n_open,
+           cast(sum(case when o_orderstatus = 'F' then 1 else 0 end) as bigint) as n_filled,
+           cast(sum(case when o_orderstatus = 'P' then 1 else 0 end) as bigint) as n_pending
+    from orders group by o_orderpriority
+)
+select priority, 'O' as status, n_open as n from wide
+union all
+select priority, 'F', n_filled from wide
+union all
+select priority, 'P', n_pending from wide
+"""
+
 ORACLES["window_top3_orders_per_customer"] = """
 select o_custkey as customer_key, o_orderkey as order_key,
        o_totalprice as total_price,
