@@ -74,6 +74,17 @@ def main() -> None:
         app_name="dbt_core_spark_bench",
         extra_conf={"spark.sql.warehouse.dir": f"/tmp/bench_wh_{os.getpid()}"},
     )
+    # warm the executor pool + codegen before timing (first job otherwise
+    # pays several seconds of JVM/session startup, misattributed to q1)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the Python worker pool too (mapInPandas spawn cost ~5s cold)
+    import pandas as _pd
+
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
+    entrymod._reg(spark, sf_dir)
+
     qs = entrymod.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:
