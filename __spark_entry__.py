@@ -1057,6 +1057,18 @@ def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (md5-portable, oracle-verifiable unlike
+    HLL) vs the exact distinct count, per event_type."""
+    from dbt_core_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = kmv_distinct(ev, "user_id", ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    return sketch.join(exact, "event_type")
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end: parquet file stream →
     watermark(1s) → 1h tumbling windows → AvailableNow drain to a memory
@@ -1168,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_docs": minhash_lsh_docs,
         "simhash_docs": simhash_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
+        "kmv_distinct_users": kmv_distinct_users,
         "text_quality_docs": text_quality_docs,
         "language_id_docs": language_id_docs,
         "token_counts_docs": token_counts_docs,

@@ -362,6 +362,35 @@ from f a join f b on a.doc_id < b.doc_id
 where bit_count(xor(a.simhash, b.simhash)) <= 4
 """
 
+def _kmv_sql(k: int = 64) -> str:
+    h15 = _hex2int("substr(md5(cast(user_id as varchar)), 1, 15)", digits=15)
+    return f"""
+with hashed as (
+    select distinct event_type,
+           (cast({h15} as double) + 1.0) / 1152921504606846976.0 as h
+    from events
+), topk as (
+    select event_type, h,
+           row_number() over (partition by event_type order by h asc) as rk
+    from hashed
+    qualify rk <= {k}
+), sk as (
+    select event_type, max(h) as rk_max, cast(count(*) as bigint) as n_hashes
+    from topk group by event_type
+), ex as (
+    select event_type, cast(count(distinct user_id) as bigint) as n_exact
+    from events group by event_type
+)
+select s.event_type,
+       case when s.n_hashes < {k} then cast(s.n_hashes as double)
+            else {k - 1} / s.rk_max end as kmv_estimate,
+       s.n_hashes, e.n_exact
+from sk s join ex e using (event_type)
+"""
+
+
+ORACLES["kmv_distinct_users"] = _kmv_sql(64)
+
 ORACLES["streaming_hourly_rollup"] = """
 with wm as (
     select (epoch_us(max(ts)) // 1000) * 1000 - 1000000 as wm_us from events

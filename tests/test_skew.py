@@ -43,3 +43,23 @@ def test_delta_compat_absent():
     from dbt_core_spark.operators.delta_compat import have_delta
 
     assert have_delta() is False  # this container has no delta-spark
+
+
+def test_kmv_sketch_accuracy(spark):
+    """KMV estimate within ~4/sqrt(k-2) of truth; exact below k."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_spark.operators.sketches import kmv_distinct
+
+    # floor(id/4) % 5000 covers 0..4999 fully within each id%4 group
+    # (plain id % 5000 would alias with the group: gcd(4,5000)=4)
+    df = spark.range(0, 100000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.floor(F.col("id") / 4) % 5000).alias("v"))
+    out = {r["g"]: r for r in kmv_distinct(df, "v", ["g"], k=128).collect()}
+    for g, r in out.items():
+        assert abs(r["kmv_estimate"] - 5000) / 5000 < 4 / (126 ** 0.5), r
+    # small group → exact
+    small = spark.range(0, 10).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    r = kmv_distinct(small, "v", ["g"], k=64).collect()[0]
+    assert r["kmv_estimate"] == 10.0 and r["n_hashes"] == 10
