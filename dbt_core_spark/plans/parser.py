@@ -189,6 +189,8 @@ def _add_source(
         freshness=tdef.freshness,
         config=dict(DEFAULT_CONFIG),
     )
+    node.config["stream"] = tdef.stream
+    node.config["watermark"] = tdef.watermark
     manifest.add_node(node)
 
 

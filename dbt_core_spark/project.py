@@ -45,6 +45,8 @@ class SourceTableDef:
     loaded_at_field: Optional[str] = None
     freshness: Optional[dict] = None  # {"warn_after": {"count": 1, "period": "day"}, ...}
     description: str = ""
+    stream: bool = False  # consumable as a readStream by streaming_table models
+    watermark: Optional[dict] = None  # {"column": ..., "delay": "10 minutes"}
 
 
 @dataclass

@@ -234,28 +234,38 @@ class GraphRunner:
                 status, msg = self._run_python_model(node, rel)
             else:
                 mat = node.config.get("materialized", "view")
-                if mat == "incremental" and node.config.get("incremental_strategy") == "microbatch":
+                if mat == "streaming_table":
+                    sql = self._compile_with_stream_sources(node)
+                    from dbt_core_spark.operators.streaming_table import (
+                        materialize_streaming_table,
+                    )
+
+                    self.relations[node.unique_id] = rel
+                    materialize_streaming_table(self.spark, node, rel, sql)
+                    status, msg = "success", "streaming_table"
+                elif mat == "incremental" and node.config.get("incremental_strategy") == "microbatch":
                     batches = self._run_microbatch(node, rel)
                     self._node_hooks(node, "post_hook")
                     return NodeResult(
                         node.unique_id, "success", execution_time=time.time() - t0,
                         relation=rel, batch_results=batches,
                     )
-                self.relations[node.unique_id] = rel
-                is_inc = (
-                    mat == "incremental"
-                    and R.relation_exists(self.spark, rel)
-                    and not self.full_refresh
-                )
-                sql = self._compile(node, is_incremental=is_inc)
-                fn = MATERIALIZATIONS.get(mat)
-                if fn is None:
-                    raise ExecutionError(f"unknown materialization '{mat}'")
-                if mat == "incremental":
-                    fn(self.spark, node, rel, sql, full_refresh=self.full_refresh)
                 else:
-                    fn(self.spark, node, rel, sql)
-                status, msg = "success", mat
+                    self.relations[node.unique_id] = rel
+                    is_inc = (
+                        mat == "incremental"
+                        and R.relation_exists(self.spark, rel)
+                        and not self.full_refresh
+                    )
+                    sql = self._compile(node, is_incremental=is_inc)
+                    fn = MATERIALIZATIONS.get(mat)
+                    if fn is None:
+                        raise ExecutionError(f"unknown materialization '{mat}'")
+                    if mat == "incremental":
+                        fn(self.spark, node, rel, sql, full_refresh=self.full_refresh)
+                    else:
+                        fn(self.spark, node, rel, sql)
+                    status, msg = "success", mat
             self.relations[node.unique_id] = rel
             node.relation_name = rel
             self._node_hooks(node, "post_hook")
@@ -265,6 +275,26 @@ class GraphRunner:
                 node.unique_id, "error", time.time() - t0,
                 f"{type(e).__name__}: {e}\n{traceback.format_exc(limit=3)}",
             )
+
+    def _compile_with_stream_sources(self, node: Node) -> str:
+        """Compile a streaming_table model: its ``stream: true`` sources
+        resolve to streaming temp views instead of catalog tables, so the
+        compiled SQL produces a streaming DataFrame."""
+        from dbt_core_spark.operators.streaming_table import (
+            streaming_view_for_source,
+        )
+
+        overridden = dict(self.relations)
+        for dep in node.depends_on:
+            src = self.manifest.sources.get(dep)
+            if src is not None and src.config.get("stream"):
+                view = f"__stream_{src.source_name}_{src.name}"
+                streaming_view_for_source(self.spark, src, view)
+                overridden[dep] = view
+        return compile_node(
+            self.manifest, node, self.spark, overridden,
+            cli_vars=self.cli_vars,
+        )
 
     def _compile(self, node: Node, is_incremental: bool = False,
                  event_time_filter: Optional[tuple[str, str, str]] = None) -> str:
