@@ -879,6 +879,31 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").alias("quality_score"))
 
 
+def engine_streaming_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_table materialization: the model runs as a checkpointed
+    Structured Streaming pipeline (AvailableNow) over a stream source;
+    re-runs are exactly-once no-ops until new files arrive."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    schema = "drv_stream"
+    p = ProjectDef(name="drv")
+    p.add_source("raw", "events", _events_us_path(spark, sf_dir), stream=True)
+    p.models["events_clean"] = """
+        {{ config(materialized='streaming_table') }}
+        select event_id, ts, user_id, upper(event_type) as event_type
+        from {{ source('raw', 'events') }}
+    """
+    eng = Engine(spark, p, schema=schema)
+    res = eng.run()
+    if not res.ok():
+        raise RuntimeError(str([r.message for r in res.results]))
+    eng.run()  # second run: checkpoint makes it a no-op (exactly-once)
+    spark.sql(f"refresh table {schema}.events_clean")
+    return spark.table(f"{schema}.events_clean").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type"
+    )
+
+
 def engine_generic_test_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic-test operator output: the failing rows of an
     accepted_values test (stored via store_failures)."""
@@ -1170,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_microbatch_day": engine_microbatch_day,
         "engine_generic_test_failures": engine_generic_test_failures,
         "engine_insert_overwrite": engine_insert_overwrite,
+        "engine_streaming_table": engine_streaming_table,
         "engine_python_model": engine_python_model,
         # LLM-pipeline operators
         "dedup_exact_docs": dedup_exact_docs,

@@ -647,6 +647,12 @@ where ts >= timestamp '2024-01-01 00:00:00'
   and ts < timestamp '2024-01-06 00:00:00'
 """
 
+ORACLES["engine_streaming_table"] = """
+select event_id, cast(epoch_us(ts) as bigint) as ts_us, user_id,
+       upper(event_type) as event_type
+from events
+"""
+
 ORACLES["engine_generic_test_failures"] = """
 select event_type as value_field, cast(count(*) as bigint) as n_records
 from events
