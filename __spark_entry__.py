@@ -34,7 +34,12 @@ TABLES = [
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table.  events.parquet stores TIMESTAMP(NANOS),
     which Spark's vectorized reader rejects — read ns-as-long and convert
-    to a microsecond timestamp (lossless here; DuckDB sees µs too)."""
+    to a microsecond timestamp (lossless here; DuckDB sees µs too).
+
+    Session timezone is pinned to UTC: DuckDB oracle timestamps are
+    naive, so any driver-session TZ other than UTC would shift
+    timestamp→string renderings and window boundaries."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
         return spark.read.parquet(path)
