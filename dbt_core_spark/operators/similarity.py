@@ -157,19 +157,23 @@ def lsh_cosine_topk(
             for t in range(tables)
         ]
     )
+    # norms computed once per ROW (below the join), dot once per pair
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     _norm(F.col(vec_col)).alias("n"),
                      F.explode(buckets).alias("tb")).select(
-        "id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        "id", "v", "n", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
     a, c = base.alias("a"), base.alias("c")
     cand = (
         a.join(c, (F.col("a.t") == F.col("c.t")) & (F.col("a.b") == F.col("c.b"))
                & (F.col("a.id") != F.col("c.id")))
         .select(F.col("a.id").alias("query_id"), F.col("c.id").alias("nbr_id"),
-                F.col("a.v").alias("qv"), F.col("c.v").alias("nv"))
+                F.col("a.v").alias("qv"), F.col("c.v").alias("nv"),
+                F.col("a.n").alias("qn"), F.col("c.n").alias("nn"))
         .dropDuplicates(["query_id", "nbr_id"])
     )
     scored = cand.select(
-        "query_id", "nbr_id", cosine(F.col("qv"), F.col("nv")).alias("cosine")
+        "query_id", "nbr_id",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (
@@ -238,12 +242,13 @@ def ivf_topk(
     assign = (
         dists.withColumn("r", F.row_number().over(assigned_w))
         .filter(F.col("r") == 1)
-        .select("id", "v", "cell")
+        .select("id", "v", "cell", _norm(F.col("v")).alias("n"))
     )
     probes = (
         dists.withColumn("r", F.row_number().over(assigned_w))
         .filter(F.col("r") <= n_probe)
-        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell")
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell",
+                _norm(F.col("v")).alias("qn"))
     )
     scored = (
         probes.join(assign, "cell")
@@ -251,7 +256,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("id").alias("nbr_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
