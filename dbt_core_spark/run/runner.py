@@ -396,23 +396,37 @@ class GraphRunner:
                     node, is_incremental=is_inc,
                     event_time_filter=(event_time, start_iso, end_iso),
                 )
-                # idempotent per-batch write: delete+insert on the window
-                batch_node = Node(
-                    unique_id=node.unique_id, name=node.name, package=node.package,
-                    resource_type=node.resource_type, config=dict(node.config),
+                # idempotent per-batch write (retry-safe)
+                partition_by = node.config.get("partition_by")
+                part_cols = (
+                    partition_by if isinstance(partition_by, list)
+                    else [partition_by] if partition_by else []
                 )
-                batch_node.config["incremental_strategy"] = "delete+insert"
+                df = self.spark.sql(sql)
                 if not R.relation_exists(self.spark, rel):
-                    df = self.spark.sql(sql)
-                    R.write_table(self.spark, rel, df,
-                                  partition_by=[c for c in [node.config.get("partition_by")] if c])
+                    R.write_table(self.spark, rel, df, partition_by=part_cols)
+                elif part_cols:
+                    # partitioned table: dynamic partition overwrite touches
+                    # only this batch's partitions — O(batch), not O(table);
+                    # this is what makes a 100 TB backfill tractable
+                    old = self.spark.conf.get(
+                        "spark.sql.sources.partitionOverwriteMode", "static")
+                    self.spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", "dynamic")
+                    try:
+                        target_cols = [
+                            f.name for f in self.spark.table(rel).schema.fields]
+                        df.select(*target_cols).write.mode("overwrite").insertInto(rel)
+                    finally:
+                        self.spark.conf.set(
+                            "spark.sql.sources.partitionOverwriteMode", old)
                 else:
-                    # replace rows in window, insert batch rows (retry-safe)
+                    # unpartitioned fallback: replace rows in window (full
+                    # rewrite — fine locally, configure partition_by at scale)
                     existing = self.spark.table(rel).filter(
                         f"NOT ({event_time} >= timestamp'{start_iso}' "
                         f"AND {event_time} < timestamp'{end_iso}')"
                     )
-                    df = self.spark.sql(sql)
                     R.rebuild_table(self.spark, rel,
                                     existing.unionByName(df, allowMissingColumns=True))
                 out.append({"batch": batch.batch_id, "status": "success"})

@@ -106,3 +106,47 @@ def test_microbatch_end_to_end(spark, schema):
     df = spark.table(f"{schema}.daily")
     assert df.count() == 4  # late row added, window replace idempotent
     assert df.filter("id = 4").count() == 1
+
+
+def test_microbatch_partitioned_dynamic_overwrite(spark, schema):
+    """With partition_by, each batch is a dynamic partition overwrite —
+    O(batch) writes, and late re-runs replace only their day partition."""
+    p = ProjectDef(name="mbp")
+    p.seeds["raw_events"] = [
+        {"id": 1, "event_time": "2020-01-01 01:00:00", "day": "2020-01-01", "v": 1},
+        {"id": 2, "event_time": "2020-01-02 01:00:00", "day": "2020-01-02", "v": 2},
+        {"id": 3, "event_time": "2020-01-03 01:00:00", "day": "2020-01-03", "v": 3},
+    ]
+    p.seed_configs["raw_events"] = {
+        "column_types": {"event_time": "timestamp"}, "event_time": "event_time"}
+    p.models["daily"] = """
+        {{ config(materialized='incremental', incremental_strategy='microbatch',
+                  event_time='event_time', batch_size='day',
+                  begin='2020-01-01', partition_by='day') }}
+        select * from {{ ref('raw_events') }}
+    """
+    eng = Engine(spark, p, schema=schema)
+    assert eng.seed().ok()
+    r = eng.run(event_time_start=dt.datetime(2020, 1, 1, tzinfo=UTC),
+                event_time_end=dt.datetime(2020, 1, 3, tzinfo=UTC))
+    assert r.ok(), [x.message for x in r.results]
+    assert spark.table(f"{schema}.daily").count() == 3
+    # partitioned on disk
+    assert spark.sql(f"show partitions {schema}.daily").count() == 3
+
+    # late correction lands in an already-processed day: re-run that window
+    p.seeds["raw_events"] = [
+        {"id": 1, "event_time": "2020-01-01 01:00:00", "day": "2020-01-01", "v": 1},
+        {"id": 2, "event_time": "2020-01-02 01:00:00", "day": "2020-01-02", "v": 99},
+        {"id": 4, "event_time": "2020-01-02 09:00:00", "day": "2020-01-02", "v": 9},
+        {"id": 3, "event_time": "2020-01-03 01:00:00", "day": "2020-01-03", "v": 3},
+    ]
+    eng2 = Engine(spark, p, schema=schema)
+    eng2.seed()
+    r2 = eng2.run(event_time_start=dt.datetime(2020, 1, 2, tzinfo=UTC),
+                  event_time_end=dt.datetime(2020, 1, 2, tzinfo=UTC))
+    assert r2.ok(), [x.message for x in r2.results]
+    df = spark.table(f"{schema}.daily")
+    assert df.count() == 4
+    # only the Jan-2 partition was replaced; Jan-1/Jan-3 untouched
+    assert {r["id"]: r["v"] for r in df.collect()} == {1: 1, 2: 99, 4: 9, 3: 3}
