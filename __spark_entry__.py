@@ -291,6 +291,273 @@ def q22_global_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate-min subquery selecting rows that achieve the
+    per-group minimum, plus a dimension-chain join (TPC-H Q2 shape; no
+    partsupp table here, so the min is over lineitem unit prices)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select distinct p.p_partkey as part_key, s.s_name as supplier,
+               n.n_name as nation,
+               cast(l.l_extendedprice as double) as min_price
+        from part p
+        join lineitem l on l.l_partkey = p.p_partkey
+        join supplier s on s.s_suppkey = l.l_suppkey
+        join nation n on n.n_nationkey = s.s_nationkey
+        join region r on r.r_regionkey = n.n_regionkey
+        where r.r_name = 'EUROPE'
+          and p.p_size = 15
+          and l.l_extendedprice = (select min(l2.l_extendedprice)
+                                   from lineitem l2
+                                   where l2.l_partkey = p.p_partkey)
+    """)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan filter + aggregate (TPC-H Q6 shape) — the pure
+    pushdown/pruning benchmark: predicate and 3-column projection should
+    reach the parquet scan."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select cast(sum(cast(round((l_extendedprice * l_discount) * 10000) as bigint)) as bigint) as revenue_e4,
+               cast(count(*) as bigint) as n_lines
+        from lineitem
+        where l_shipdate >= timestamp '1997-01-01 00:00:00'
+          and l_shipdate < timestamp '1998-01-01 00:00:00'
+          and l_discount >= cast(0.05 as double) and l_discount <= cast(0.07 as double)
+          and l_quantity < 24
+    """)
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair disjunction across a 5-way join, grouped by year
+    (TPC-H Q7 shape)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select supp_nation, cust_nation, l_year,
+               cast(sum(vol_e4) as bigint) as revenue_e4
+        from (
+            select n1.n_name as supp_nation, n2.n_name as cust_nation,
+                   cast(year(l.l_shipdate) as bigint) as l_year,
+                   cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint) as vol_e4
+            from supplier s
+            join lineitem l on s.s_suppkey = l.l_suppkey
+            join orders o on o.o_orderkey = l.l_orderkey
+            join customer c on c.c_custkey = o.o_custkey
+            join nation n1 on n1.n_nationkey = s.s_nationkey
+            join nation n2 on n2.n_nationkey = c.c_nationkey
+            where ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+                or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
+              and l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+              and l.l_shipdate < timestamp '1998-01-01 00:00:00'
+        ) shipping
+        group by supp_nation, cust_nation, l_year
+    """)
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share-by-year: conditional aggregation over a 6-way join
+    with a region filter (TPC-H Q8 shape).  Numerator and denominator
+    are emitted as exact integer ten-thousandths instead of dividing, so
+    the oracle compare is float-order-proof."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select cast(year(o.o_orderdate) as bigint) as o_year,
+               cast(sum(case when n1.n_name = 'NATION_3'
+                        then cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)
+                        else 0 end) as bigint) as nation_vol_e4,
+               cast(sum(cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)) as bigint) as total_vol_e4
+        from lineitem l
+        join part p on p.p_partkey = l.l_partkey
+        join supplier s on s.s_suppkey = l.l_suppkey
+        join orders o on o.o_orderkey = l.l_orderkey
+        join customer c on c.c_custkey = o.o_custkey
+        join nation n1 on n1.n_nationkey = s.s_nationkey
+        join nation n2 on n2.n_nationkey = c.c_nationkey
+        join region r on r.r_regionkey = n2.n_regionkey
+        where r.r_name = 'AMERICA'
+          and p.p_type = 'PROMO'
+          and o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+          and o.o_orderdate < timestamp '1998-01-01 00:00:00'
+        group by year(o.o_orderdate)
+    """)
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier-nation and order-year with a LIKE part filter
+    (TPC-H Q9 shape; no ps_supplycost column, so profit = discounted
+    revenue)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select n.n_name as nation,
+               cast(year(o.o_orderdate) as bigint) as o_year,
+               cast(sum(cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)) as bigint) as profit_e4
+        from lineitem l
+        join part p on p.p_partkey = l.l_partkey
+        join supplier s on s.s_suppkey = l.l_suppkey
+        join orders o on o.o_orderkey = l.l_orderkey
+        join nation n on n.n_nationkey = s.s_nationkey
+        where p.p_name like '%widget%'
+        group by n.n_name, year(o.o_orderdate)
+    """)
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 revenue ranking of customers with returned lineitems in a
+    quarter (TPC-H Q10 shape); unique tiebreaker keeps the limit
+    deterministic."""
+    _reg(spark, sf_dir)
+    return spark.sql(f"""
+        select c.c_custkey as customer_key, c.c_name as customer,
+               n.n_name as nation,
+               {_money_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+               cast(round(c.c_acctbal * 100) as bigint) as acctbal_e2
+        from customer c
+        join orders o on o.o_custkey = c.c_custkey
+        join lineitem l on l.l_orderkey = o.o_orderkey
+        join nation n on n.n_nationkey = c.c_nationkey
+        where o.o_orderdate >= timestamp '1997-01-01 00:00:00'
+          and o.o_orderdate < timestamp '1997-04-01 00:00:00'
+          and l.l_returnflag = 'R'
+        group by c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+        order by revenue desc, customer_key
+        limit 20
+    """)
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-HAVING against an uncorrelated global-scalar subquery
+    (TPC-H Q11 shape; part value measured from lineitem instead of
+    partsupp)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select l.l_partkey as part_key,
+               cast(sum(cast(round(l.l_extendedprice * 10000) as bigint)) as bigint) as value_e4
+        from lineitem l
+        join supplier s on s.s_suppkey = l.l_suppkey
+        join nation n on n.n_nationkey = s.s_nationkey
+        where n.n_name = 'NATION_3'
+        group by l.l_partkey
+        having sum(cast(round(l.l_extendedprice * 10000) as bigint)) >
+               (select cast(2.0 as double) * sum(v) / count(*) from (
+                    select sum(cast(round(l2.l_extendedprice * 10000) as bigint)) as v
+                    from lineitem l2
+                    join supplier s2 on s2.s_suppkey = l2.l_suppkey
+                    join nation n2 on n2.n_nationkey = s2.s_nationkey
+                    where n2.n_name = 'NATION_3'
+                    group by l2.l_partkey))
+    """)
+
+
+def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional priority-class counts over late shipments (TPC-H Q12
+    shape; lateness = shipped >60 days after order date, since this
+    schema has no commit/receipt dates)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select l.l_linestatus as linestatus,
+               cast(sum(case when o.o_orderpriority in ('1-URGENT', '2-HIGH')
+                             then 1 else 0 end) as bigint) as high_line_count,
+               cast(sum(case when o.o_orderpriority not in ('1-URGENT', '2-HIGH')
+                             then 1 else 0 end) as bigint) as low_line_count
+        from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+        where l.l_shipdate > o.o_orderdate + interval '60' day
+          and l.l_shipdate >= timestamp '1997-01-01 00:00:00'
+          and l.l_shipdate < timestamp '1998-01-01 00:00:00'
+        group by l.l_linestatus
+    """)
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate view + equality against its global max (TPC-H Q15
+    shape).  Revenue in exact integer ten-thousandths so the max-equality
+    join cannot drift between engines."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        with revenue as (
+            select l_suppkey as supplier_no,
+                   sum(cast(round((l_extendedprice * (1 - l_discount)) * 10000) as bigint)) as total_e4
+            from lineitem
+            where l_shipdate >= timestamp '1997-01-01 00:00:00'
+              and l_shipdate < timestamp '1997-04-01 00:00:00'
+            group by l_suppkey
+        )
+        select s.s_suppkey as supplier_key, s.s_name as supplier,
+               cast(r.total_e4 as bigint) as total_revenue_e4
+        from supplier s join revenue r on s.s_suppkey = r.supplier_no
+        where r.total_e4 = (select max(total_e4) from revenue)
+    """)
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per part attributes with a NOT-IN exclusion
+    subquery (TPC-H Q16 shape; exclusion predicate adapted to this
+    schema's supplier columns)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select p.p_brand as brand, p.p_type as type, p.p_size as size,
+               cast(count(distinct l.l_suppkey) as bigint) as supplier_cnt
+        from lineitem l join part p on p.p_partkey = l.l_partkey
+        where p.p_brand <> 'Brand#1'
+          and p.p_size in (1, 5, 10, 15, 20)
+          and l.l_suppkey not in (select s_suppkey from supplier
+                                  where s_acctbal < 1000)
+        group by p.p_brand, p.p_type, p.p_size
+    """)
+
+
+def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN-chains with a correlated share threshold (TPC-H Q20
+    shape): suppliers who shipped more than twice a matching part's mean
+    per-supplier volume (scale-invariant threshold).  Expressed as an
+    aggregate-join rather than a correlated HAVING — same semantics, and
+    Catalyst turns it into one shuffle on l_partkey plus a broadcast of
+    the part filter."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        with sp as (
+            select l_suppkey, l_partkey,
+                   sum(cast(l_quantity as bigint)) as supp_qty
+            from lineitem
+            where l_partkey in (select p_partkey from part
+                                where p_name like 'blue%')
+            group by l_suppkey, l_partkey),
+        pt as (
+            select l_partkey, sum(supp_qty) as part_qty,
+                   count(*) as n_supp
+            from sp group by l_partkey)
+        select s.s_suppkey as supplier_key, s.s_name as supplier
+        from supplier s
+        where s.s_suppkey in (
+            select sp.l_suppkey
+            from sp join pt on pt.l_partkey = sp.l_partkey
+            where sp.supp_qty > cast(2.0 as double) * pt.part_qty / pt.n_supp)
+    """)
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-correlated EXISTS + NOT-EXISTS (TPC-H Q21 shape): the
+    strictly-latest shipper in multi-supplier finished orders, shipped
+    >30 days after the order date."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select s.s_name as supplier, cast(count(*) as bigint) as numwait
+        from supplier s
+        join lineitem l1 on l1.l_suppkey = s.s_suppkey
+        join orders o on o.o_orderkey = l1.l_orderkey
+        where o.o_orderstatus = 'F'
+          and l1.l_shipdate > o.o_orderdate + interval '30' day
+          and exists (select 1 from lineitem l2
+                      where l2.l_orderkey = l1.l_orderkey
+                        and l2.l_suppkey <> l1.l_suppkey)
+          and not exists (select 1 from lineitem l3
+                          where l3.l_orderkey = l1.l_orderkey
+                            and l3.l_suppkey <> l1.l_suppkey
+                            and l3.l_shipdate > l1.l_shipdate)
+        group by s.s_name
+    """)
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join."""
     _reg(spark, sf_dir)
@@ -1160,7 +1427,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / TPC-H-ish
         "q1_pricing_summary": q1_pricing_summary,
+        "q2_min_price_supplier": q2_min_price_supplier,
         "q3_shipping_priority": q3_shipping_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_priority_lines": q12_late_priority_lines,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_part_share_suppliers": q20_part_share_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
