@@ -41,6 +41,21 @@ class Engine:
         self.threads = threads
         self.manifest: Manifest = parse_project(project, cli_vars=self.cli_vars)
 
+    def deps(self) -> dict[str, dict]:
+        """Installed dependency packages (ref: task ``dbt deps``,
+        deps/resolver.py).  Local packages resolve at project load; this
+        reports what is installed — the lockfile analog."""
+        return {
+            pname: {
+                "name": pname,
+                "source": "local",
+                "models": sorted(list(pkg.models) + list(pkg.python_models)),
+                "macros": sorted(pkg.macros),
+                "seeds": sorted(pkg.seeds),
+            }
+            for pname, pkg in self.project.packages.items()
+        }
+
     def reparse(self) -> int:
         """Partial parse: re-read the project, skipping unchanged nodes
         (ref: parser/partial.py).  Returns the number re-rendered."""

@@ -27,6 +27,7 @@ import json
 import os
 import re as _re
 import threading
+import types as _types
 import uuid
 from typing import TYPE_CHECKING, Any, Optional
 
@@ -149,10 +150,22 @@ class RenderContext:
 
     # --- ref / source (providers.py:516-720) -------------------------------
 
-    def ref(self, name: str, package: Optional[str] = None, version: Any = None) -> str:
-        target = self.manifest.resolve_ref(name)
+    def ref(self, *args: str, version: Any = None, v: Any = None) -> str:
+        """``ref('name')`` or ``ref('package', 'name')`` — two-arg form
+        is package-first, like the reference (RefArgs components.py:38-55)."""
+        if len(args) == 2:
+            package, name = args
+        elif len(args) == 1:
+            package, name = None, args[0]
+        else:
+            raise CompilationError("ref() takes 1 or 2 positional arguments")
+        target = self.manifest.resolve_ref(
+            name, package=package, current=self.node.package
+        )
         if self.mode == "parse":
-            self.node.refs.append(name)
+            # two-arg ref('pkg','name') records a (pkg, name) pair
+            # (ref: RefArgs components.py:38-55)
+            self.node.refs.append((package, name) if package else name)
             return f"__ref__{name}__"
         if target is None:
             raise CompilationError(
@@ -424,6 +437,24 @@ def render(template: str, ctx: RenderContext, extra: Optional[dict] = None) -> s
                     context.setdefault(attr, getattr(mod, attr))
         except Exception as e:  # macro definition errors surface at use time
             raise CompilationError(f"macro '{_mname}' failed to compile: {e}") from e
+    # dependency-package macros: exposed package-qualified
+    # (``{{ pkg.m() }}``) and bare where the root hasn't taken the name —
+    # locality Core < Imported < Root (ref: manifest.py:563-664)
+    for _pkg, _macs in ctx.manifest.package_macros.items():
+        ns = _types.SimpleNamespace()
+        for _mname, msrc in _macs.items():
+            try:
+                tmpl = env.from_string(_preprocess_test_blocks(msrc))
+                mod = tmpl.make_module(vars=context)
+                for attr in dir(mod):
+                    if not attr.startswith("_") and callable(getattr(mod, attr)):
+                        setattr(ns, attr, getattr(mod, attr))
+                        context.setdefault(attr, getattr(mod, attr))
+            except Exception as e:
+                raise CompilationError(
+                    f"macro '{_pkg}.{_mname}' failed to compile: {e}"
+                ) from e
+        context.setdefault(_pkg, ns)
     try:
         return env.from_string(template).render(**context)
     except jinja2.TemplateError as e:

@@ -11,7 +11,9 @@ TABLE` for true atomicity — the strategy layer above is format-agnostic.
 
 from __future__ import annotations
 
+import shutil
 from typing import Optional
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -60,14 +62,39 @@ def write_table(
     microbatch tables; ``bucket_by``+``buckets`` pre-shuffles on the join
     key so downstream equi-joins between co-bucketed tables skip the
     exchange entirely (SURVEY §4)."""
-    if relation_type(spark, rel) == "view":
+    rtype = relation_type(spark, rel)
+    if rtype == "view":
         drop_relation(spark, rel)
+    if rtype is None:
+        _clear_orphan_location(spark, rel)
     writer = df.write.format(file_format).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if bucket_by and buckets:
         writer = writer.bucketBy(buckets, *bucket_by).sortBy(*bucket_by)
     writer.saveAsTable(rel)
+
+
+def _clear_orphan_location(spark: SparkSession, rel: str) -> None:
+    """Remove a leftover managed-table directory that has no catalog
+    entry (e.g. a prior session's warehouse dir reused with a fresh
+    metastore) — Spark 4's saveAsTable raises LOCATION_ALREADY_EXISTS
+    otherwise.  Only file:// warehouses are handled; object-store
+    warehouses pair with a persistent metastore, where the catalog and
+    the location cannot diverge this way."""
+    db, _, name = rel.rpartition(".")
+    if not db:
+        return
+    try:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme not in ("", "file"):
+            return
+        shutil.rmtree(
+            f"{wh.path}/{db.strip('`')}.db/{name.strip('`')}",
+            ignore_errors=True,
+        )
+    except Exception:
+        pass  # saveAsTable will surface any real problem
 
 
 def rebuild_table(

@@ -153,6 +153,10 @@ class Manifest:
     nodes: dict[str, Node] = field(default_factory=dict)
     sources: dict[str, Node] = field(default_factory=dict)
     macros: dict[str, str] = field(default_factory=dict)  # name -> jinja source
+    # dependency-package macros, keyed by package then macro-file name;
+    # bare-name lookup loses to root macros (locality Core<Imported<Root,
+    # ref: manifest.py:563-664), package-qualified access always works
+    package_macros: dict[str, dict[str, str]] = field(default_factory=dict)
     project_name: str = "project"
     vars: dict[str, Any] = field(default_factory=dict)
 
@@ -162,6 +166,7 @@ class Manifest:
 
     # lookup indexes (ref: manifest.py RefableLookup:174, SourceLookup:141)
     _ref_index: dict[str, str] = field(default_factory=dict)
+    _ref_index_pkg: dict[tuple[str, str], str] = field(default_factory=dict)
     _source_index: dict[tuple[str, str], str] = field(default_factory=dict)
 
     def add_node(self, node: Node) -> None:
@@ -171,9 +176,29 @@ class Manifest:
         else:
             self.nodes[node.unique_id] = node
             if node.is_refable:
-                self._ref_index[node.name] = node.unique_id
+                self._ref_index_pkg[(node.package, node.name)] = node.unique_id
+                # bare-name lookup: the root project's node wins on
+                # collision (target-search order, ref: RefableLookup)
+                if node.name not in self._ref_index or node.package == self.project_name:
+                    self._ref_index[node.name] = node.unique_id
 
-    def resolve_ref(self, name: str) -> Optional[Node]:
+    def resolve_ref(
+        self,
+        name: str,
+        package: Optional[str] = None,
+        current: Optional[str] = None,
+    ) -> Optional[Node]:
+        """Two-arg ``ref('pkg', 'name')`` resolves within the named
+        package only; one-arg search prefers the calling node's own
+        package, then the global index (ref: RefArgs components.py:38-55;
+        RefableLookup search order)."""
+        if package is not None:
+            uid = self._ref_index_pkg.get((package, name))
+            return self.nodes.get(uid) if uid else None
+        if current is not None:
+            uid = self._ref_index_pkg.get((current, name))
+            if uid:
+                return self.nodes[uid]
         uid = self._ref_index.get(name)
         return self.nodes.get(uid) if uid else None
 

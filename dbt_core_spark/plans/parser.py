@@ -33,92 +33,36 @@ def parse_project(
     the cached manifest's skip the Jinja parse-render and copy their
     recorded refs/sources/config.  A macro change invalidates the whole
     cache (the reference forces a full reparse too)."""
-    manifest = Manifest(project_name=project.name, vars=dict(project.vars))
+    manifest = Manifest(project_name=project.name)
+    # package vars are that package's defaults; the root project's vars
+    # win globally (ref: Var resolution, context/base.py:139-184)
+    for pkg in project.packages.values():
+        manifest.vars.update(pkg.vars)
+    manifest.vars.update(project.vars)
     manifest.macros = dict(project.macros)
-    if cache is not None and cache.macros != manifest.macros:
+    manifest.package_macros = {
+        pname: dict(pkg.macros) for pname, pkg in project.packages.items()
+    }
+    if cache is not None and (
+        cache.macros != manifest.macros
+        or cache.package_macros != manifest.package_macros
+    ):
         cache = None  # macro changes force full reparse
     manifest.reparse_count = 0
 
-    # -- sources (ref: parser/sources.py patch_sources) ----------------------
-    for source_name, tables in project.sources.items():
-        for table_name, tdef in tables.items():
-            _add_source(manifest, project.name, source_name, table_name, tdef)
-
-    # -- seeds: DAG roots, never compiled (ref: nodes.py:846-946) ------------
-    for seed_name, seed_src in project.seeds.items():
-        cfg = _merged_config(project, seed_name, project.seed_configs.get(seed_name))
-        cfg["materialized"] = "seed"
-        node = Node(
-            unique_id=f"seed.{project.name}.{seed_name}",
-            name=seed_name,
-            package=project.name,
-            resource_type=NodeType.Seed,
-            config=cfg,
-        )
-        if isinstance(seed_src, str):
-            node.seed_path = seed_src
-        else:
-            node.seed_rows = list(seed_src)
-        manifest.add_node(node)
-
-    # -- models --------------------------------------------------------------
-    for model_name, sql in project.models.items():
-        node = Node(
-            unique_id=f"model.{project.name}.{model_name}",
-            name=model_name,
-            package=project.name,
-            resource_type=NodeType.Model,
-            raw_code=sql,
-            config=_merged_config(project, model_name, project.model_configs.get(model_name)),
-        )
-        manifest.add_node(node)
-
-    # -- python models (ref: ModelLanguage types.py:54-57; ADR-004) ----------
-    for model_name, fn in project.python_models.items():
-        node = Node(
-            unique_id=f"model.{project.name}.{model_name}",
-            name=model_name,
-            package=project.name,
-            resource_type=NodeType.Model,
-            language="python",
-            config=_merged_config(project, model_name, project.model_configs.get(model_name)),
-        )
-        node.python_fn = fn  # type: ignore[attr-defined]
-        cfg_refs = node.config.get("depends_on") or node.config.get("refs") or []
-        node.refs.extend(cfg_refs)
-        manifest.add_node(node)
-
-    # -- snapshots (ref: SnapshotConfig v1/snapshot.py:19-76) ----------------
-    for snap_name, sdef in project.snapshots.items():
-        cfg = dict(DEFAULT_CONFIG)
-        cfg.update({k: v for k, v in sdef.items() if k != "sql"})
-        cfg["materialized"] = "snapshot"
-        node = Node(
-            unique_id=f"snapshot.{project.name}.{snap_name}",
-            name=snap_name,
-            package=project.name,
-            resource_type=NodeType.Snapshot,
-            raw_code=sdef["sql"],
-            config=cfg,
-        )
-        manifest.add_node(node)
-
-    # -- analyses: compiled but never run (ref: NodeType.Analysis) -----------
-    for a_name, a_sql in project.analyses.items():
-        manifest.add_node(Node(
-            unique_id=f"analysis.{project.name}.{a_name}",
-            name=a_name, package=project.name,
-            resource_type=NodeType.Analysis, raw_code=a_sql,
-            config=_merged_config(project, a_name, None),
-        ))
+    # root project resources parse first so bare-name ref() collisions
+    # resolve to the root node (ref: RefableLookup search order); then
+    # each installed package contributes its own namespaced resources
+    # (ref: deps/local.py — a package is just another project)
+    for owner, defaults_override in [(project, None)] + [
+        (pkg, project.package_defaults.get(pname))
+        for pname, pkg in project.packages.items()
+    ]:
+        _parse_package(manifest, owner, defaults_override)
 
     # -- exposures / metrics: metadata-only (ref: nodes.py:1334,1404) --------
     manifest.exposures = dict(project.exposures)
     manifest.metrics = dict(project.metrics)
-
-    # -- tests ---------------------------------------------------------------
-    for test_name, tdef in project.tests.items():
-        manifest.add_node(_build_test_node(project, test_name, tdef))
 
     # -- parse-time render: capture refs/sources/config ----------------------
     for node in list(manifest.nodes.values()):
@@ -147,8 +91,13 @@ def parse_project(
     # -- resolve depends_on (ref: manifest.py process_refs/process_sources) --
     for node in manifest.nodes.values():
         deps: list[str] = []
-        for ref_name in node.refs:
-            target = manifest.resolve_ref(ref_name)
+        for ref_entry in node.refs:
+            if isinstance(ref_entry, (tuple, list)):  # ref('pkg', 'name')
+                pkg, ref_name = ref_entry
+                target = manifest.resolve_ref(ref_name, package=pkg)
+            else:
+                ref_name = ref_entry
+                target = manifest.resolve_ref(ref_name, current=node.package)
             if target is None:
                 raise ParsingError(
                     f"{node.unique_id} depends on undefined ref '{ref_name}'"
@@ -168,6 +117,99 @@ def parse_project(
         node.depends_on = sorted(set(deps))
 
     return manifest
+
+
+def _parse_package(
+    manifest: Manifest,
+    project: ProjectDef,
+    defaults_override: dict | None = None,
+) -> None:
+    """Add one project's resources (root or installed package) to the
+    manifest under its own namespace.  ``defaults_override`` is the root
+    project's config subtree for this package (root config wins over the
+    package's own defaults, ref: context_config.py precedence)."""
+
+    # -- sources (ref: parser/sources.py patch_sources) ----------------------
+    for source_name, tables in project.sources.items():
+        for table_name, tdef in tables.items():
+            _add_source(manifest, project.name, source_name, table_name, tdef)
+
+    # -- seeds: DAG roots, never compiled (ref: nodes.py:846-946) ------------
+    for seed_name, seed_src in project.seeds.items():
+        cfg = _merged_config(project, seed_name,
+                             project.seed_configs.get(seed_name), defaults_override)
+        cfg["materialized"] = "seed"
+        node = Node(
+            unique_id=f"seed.{project.name}.{seed_name}",
+            name=seed_name,
+            package=project.name,
+            resource_type=NodeType.Seed,
+            config=cfg,
+        )
+        if isinstance(seed_src, str):
+            node.seed_path = seed_src
+        else:
+            node.seed_rows = list(seed_src)
+        manifest.add_node(node)
+
+    # -- models --------------------------------------------------------------
+    for model_name, sql in project.models.items():
+        node = Node(
+            unique_id=f"model.{project.name}.{model_name}",
+            name=model_name,
+            package=project.name,
+            resource_type=NodeType.Model,
+            raw_code=sql,
+            config=_merged_config(project, model_name,
+                                  project.model_configs.get(model_name),
+                                  defaults_override),
+        )
+        manifest.add_node(node)
+
+    # -- python models (ref: ModelLanguage types.py:54-57; ADR-004) ----------
+    for model_name, fn in project.python_models.items():
+        node = Node(
+            unique_id=f"model.{project.name}.{model_name}",
+            name=model_name,
+            package=project.name,
+            resource_type=NodeType.Model,
+            language="python",
+            config=_merged_config(project, model_name,
+                                  project.model_configs.get(model_name),
+                                  defaults_override),
+        )
+        node.python_fn = fn  # type: ignore[attr-defined]
+        cfg_refs = node.config.get("depends_on") or node.config.get("refs") or []
+        node.refs.extend(cfg_refs)
+        manifest.add_node(node)
+
+    # -- snapshots (ref: SnapshotConfig v1/snapshot.py:19-76) ----------------
+    for snap_name, sdef in project.snapshots.items():
+        cfg = dict(DEFAULT_CONFIG)
+        cfg.update({k: v for k, v in sdef.items() if k != "sql"})
+        cfg["materialized"] = "snapshot"
+        node = Node(
+            unique_id=f"snapshot.{project.name}.{snap_name}",
+            name=snap_name,
+            package=project.name,
+            resource_type=NodeType.Snapshot,
+            raw_code=sdef["sql"],
+            config=cfg,
+        )
+        manifest.add_node(node)
+
+    # -- analyses: compiled but never run (ref: NodeType.Analysis) -----------
+    for a_name, a_sql in project.analyses.items():
+        manifest.add_node(Node(
+            unique_id=f"analysis.{project.name}.{a_name}",
+            name=a_name, package=project.name,
+            resource_type=NodeType.Analysis, raw_code=a_sql,
+            config=_merged_config(project, a_name, None, defaults_override),
+        ))
+
+    # -- tests ---------------------------------------------------------------
+    for test_name, tdef in project.tests.items():
+        manifest.add_node(_build_test_node(project, test_name, tdef))
 
 
 def _add_source(
@@ -195,13 +237,20 @@ def _add_source(
 
 
 def _merged_config(
-    project: ProjectDef, name: str, explicit: dict | None
+    project: ProjectDef,
+    name: str,
+    explicit: dict | None,
+    defaults_override: dict | None = None,
 ) -> dict[str, Any]:
-    """Project-tree defaults < schema-yml/explicit config; in-file config()
-    is merged later at parse-render (ref: context_config.py MergeBehavior)."""
+    """Project-tree defaults < root's per-package tree < schema-yml/
+    explicit config; in-file config() is merged later at parse-render
+    (ref: context_config.py MergeBehavior)."""
     cfg = dict(DEFAULT_CONFIG)
     for k, v in project.model_defaults.items():
         cfg[k.lstrip("+")] = v
+    for k, v in (defaults_override or {}).items():
+        if not isinstance(v, dict):
+            cfg[k.lstrip("+")] = v
     if explicit:
         cfg.update(explicit)
     return cfg
@@ -308,4 +357,12 @@ def _find_test_macro(project: ProjectDef, ttype: str) -> str | None:
             return f"test_{ttype}"
         if macro_plain.search(src):
             return ttype
+    # imported packages (macro candidate locality, ref: manifest.py:563-664);
+    # package-qualified so a root macro with the same name cannot shadow it
+    for pname, pkg in project.packages.items():
+        for src in pkg.macros.values():
+            if test_block.search(src) or macro_pref.search(src):
+                return f"{pname}.test_{ttype}"
+            if macro_plain.search(src):
+                return f"{pname}.{ttype}"
     return None

@@ -72,6 +72,19 @@ class ProjectDef:
     on_run_end: list[str] = field(default_factory=list)
     # project-tree default configs, lowest precedence (ref: context_config.py)
     model_defaults: dict[str, Any] = field(default_factory=dict)
+    # installed dependency packages, keyed by package name (ref: deps/
+    # resolver.py; only `local:` installs are supported here — registry/
+    # git/tarball need network access, documented gap).  The root
+    # project's dbt_project.yml `models:` tree may carry per-package
+    # config subtrees, stored in package_defaults (ref: fqn_search).
+    packages: dict[str, "ProjectDef"] = field(default_factory=dict)
+    package_defaults: dict[str, dict] = field(default_factory=dict)
+
+    def add_package(self, pkg: "ProjectDef") -> None:
+        """Install a dependency package (ref: deps/local.py — a local
+        package is just another project whose resources join the
+        manifest under its own namespace)."""
+        self.packages[pkg.name] = pkg
 
     def add_source(
         self,
@@ -98,6 +111,9 @@ class ProjectDef:
                 cfg = yaml.safe_load(f) or {}
         p = cls(name=cfg.get("name", os.path.basename(path.rstrip("/"))))
         p.vars = cfg.get("vars", {}) or {}
+        for pkg_name, tree in (cfg.get("models", {}) or {}).items():
+            if pkg_name != p.name and isinstance(tree, dict):
+                p.package_defaults[pkg_name] = tree
         p.on_run_start = _as_list(cfg.get("on-run-start"))
         p.on_run_end = _as_list(cfg.get("on-run-end"))
         p.model_defaults = (cfg.get("models", {}) or {}).get(p.name, {}) or {}
@@ -131,7 +147,43 @@ class ProjectDef:
                     if fn.endswith(".sql"):
                         with open(os.path.join(macro_dir, fn)) as f:
                             p.macros[fn[:-4]] = f.read()
+        for spec in _read_packages_yml(path):
+            if "local" in spec:
+                pkg_path = os.path.join(path, spec["local"])
+                if not os.path.isdir(pkg_path):
+                    raise ParsingError(f"local package not found: {pkg_path}")
+                p.add_package(cls.from_dir(pkg_path))
+            else:
+                # registry/git/tarball need network access (ref: deps/
+                # registry.py, git.py, tarball.py) — not available here
+                kind = next(iter(spec), "?")
+                raise ParsingError(
+                    f"unsupported package source '{kind}' "
+                    "(only `local:` packages are supported)"
+                )
+        # pre-installed packages (the reference's packages-install-path,
+        # default dbt_packages/): each subdir with a dbt_project.yml
+        install_dir = os.path.join(
+            path, cfg.get("packages-install-path", "dbt_packages")
+        )
+        if os.path.isdir(install_dir):
+            for sub in sorted(os.listdir(install_dir)):
+                sub_path = os.path.join(install_dir, sub)
+                if os.path.exists(os.path.join(sub_path, "dbt_project.yml")):
+                    pkg = cls.from_dir(sub_path)
+                    p.packages.setdefault(pkg.name, pkg)
         return p
+
+
+def _read_packages_yml(path: str) -> list[dict]:
+    """packages.yml / dependencies.yml package specs (ref: deps/resolver.py)."""
+    for fn in ("packages.yml", "dependencies.yml"):
+        f = os.path.join(path, fn)
+        if os.path.exists(f):
+            with open(f) as fh:
+                doc = yaml.safe_load(fh) or {}
+            return [s for s in (doc.get("packages") or []) if isinstance(s, dict)]
+    return []
 
 
 def _as_list(v: Any) -> list:
