@@ -1235,6 +1235,16 @@ def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              bands=32, threshold=0.7)
 
 
+def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints — MOSS-style;
+    per-(doc, fingerprint) rows, md5-portable so DuckDB reproduces them
+    bit-for-bit."""
+    from dbt_core_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_core_spark.operators.dedup import simhash
 
@@ -1488,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint_docs": dedup_fingerprint_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "minhash_lsh_docs": minhash_lsh_docs,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
         "simhash_docs": simhash_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "kmv_distinct_users": kmv_distinct_users,

@@ -60,6 +60,58 @@ def word_ngrams(words: Column, n: int = 3) -> Column:
     return F.array_distinct(z)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm): rolling word-k-gram hashes, keep the minimum of every
+    ``w``-window → any shared run of ≥ w+k-1 words between two documents
+    is guaranteed to share a fingerprint.  Output one row per distinct
+    (doc, fingerprint) — join on fingerprint for containment/plagiarism
+    candidates.
+
+    Hashes are md5-derived via arithmetic (engine-portable, exact SQL
+    oracle).  Each stage is its own projection so the multi-referenced
+    hash array is materialized once per row, not re-inlined per window
+    (CollapseProject keeps the boundary).  Shuffle-free until the caller
+    aggregates: fingerprinting is a pure per-row map."""
+    words = F.col("words")
+    cnt = F.greatest(F.size(words) - k + 1, F.lit(0))
+    grams = F.slice(words, 1, cnt)
+    for j in range(1, k):
+        grams = F.zip_with(grams, F.slice(words, j + 1, cnt),
+                           lambda x, y: F.concat_ws(" ", x, y))
+    n = F.size("hs")
+    wins = F.when(
+        n >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - w + 1),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min("hs")))
+    return (
+        ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        .select(F.col(id_col).alias("doc_id"),
+                normalized_words(text_col).alias("words"))
+        .filter(F.size("words") >= k)  # cheap filter BELOW the gram expr
+        .select("doc_id", grams.alias("grams"))
+        # md5 in its own projection: _hex_to_int references its input 8×
+        # (once per hex digit) — inlined, the digest would be recomputed
+        # 8× per gram
+        .select("doc_id",
+                F.transform("grams", lambda g: F.substring(F.md5(g), 1, 8)).alias("hx"))
+        .select("doc_id",
+                F.transform("hx", lambda h: _hex_to_int(h)).alias("hs"))
+        .select("doc_id", F.explode(wins).alias("fingerprint"))
+    )
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------

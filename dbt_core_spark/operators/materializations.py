@@ -16,7 +16,7 @@ from typing import TYPE_CHECKING, Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbt_core_spark.exceptions import ContractError, ExecutionError, SchemaChangeError
+from dbt_core_spark.exceptions import ExecutionError, SchemaChangeError
 from dbt_core_spark.operators import relations as R
 from dbt_core_spark.plans.nodes import Node
 
@@ -28,25 +28,6 @@ def _as_list(v) -> list[str]:
     if v is None:
         return []
     return v if isinstance(v, list) else [v]
-
-
-def check_contract(df: DataFrame, node: Node) -> None:
-    """Enforced-contract schema check (ref: ColumnInfo.data_type
-    components.py:59-70; checksum nodes.py:589-612)."""
-    contract = node.config.get("contract") or {}
-    if not (isinstance(contract, dict) and contract.get("enforced")):
-        return
-    declared = {c.name.lower(): (c.data_type or "").lower() for c in node.columns.values()}
-    actual = {f.name.lower(): f.dataType.simpleString() for f in df.schema.fields}
-    if set(declared) != set(actual):
-        raise ContractError(
-            f"{node.name}: contract columns {sorted(declared)} != actual {sorted(actual)}"
-        )
-    for name, dtype in declared.items():
-        if dtype and dtype != actual[name]:
-            raise ContractError(
-                f"{node.name}.{name}: contract type {dtype} != actual {actual[name]}"
-            )
 
 
 # --------------------------------------------------------------------------
@@ -61,7 +42,6 @@ def materialize_view(spark: SparkSession, node: Node, rel: str, sql: str) -> int
 
 def materialize_table(spark: SparkSession, node: Node, rel: str, sql: str) -> int:
     df = spark.sql(sql)
-    check_contract(df, node)
     R.write_table(
         spark, rel, df, mode="overwrite",
         partition_by=_as_list(node.config.get("partition_by")),
@@ -89,7 +69,6 @@ def materialize_incremental(
     partition_by = _as_list(node.config.get("partition_by"))
 
     if not exists or full_refresh or node.config.get("full_refresh"):
-        check_contract(df, node)
         R.write_table(spark, rel, df, mode="overwrite", partition_by=partition_by)
         return -1
 

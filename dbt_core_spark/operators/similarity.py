@@ -183,23 +183,43 @@ def lsh_cosine_topk(
     )
 
 
+def _materialize_tiny(df: DataFrame) -> DataFrame:
+    """Collect-and-recreate a tiny DataFrame (centroids: n_cells rows).
+
+    Iterative algorithms must seal each iteration's result — otherwise
+    every downstream action replays the whole lineage (all prior Lloyd
+    passes) per branch.  MLlib's KMeans collects centroids to the driver
+    each iteration for the same reason; n_cells rows is O(KB)."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+
 def _lloyd_refine(
     base: DataFrame, cents: DataFrame, iters: int
 ) -> DataFrame:
     """Refine centroids with Lloyd iterations, fully in DataFrame ops:
-    assign → element-wise mean via posexplode + (cell, dim) aggregation →
-    rebuild arrays.  Each iteration is two shuffles; centroids stay tiny
-    and broadcast."""
+    assign (min-struct argmin, map-side partial agg — no sort window) →
+    element-wise mean via posexplode + (cell, dim) aggregation → rebuild
+    arrays.  Centroids are materialized each iteration so one iteration
+    is exactly one pass over ``base``.
+
+    ``base`` carries a precomputed row norm ``vn``; centroids carry
+    ``cn`` — norms are factored below the crossJoin so the fold per
+    (row, cell) is one dot product, not three."""
     for _ in range(iters):
-        w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("cell").asc())
         assign = (
             base.crossJoin(F.broadcast(cents))
-            .withColumn("d", -cosine(F.col("v"), F.col("cv")))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select("id", "v", "cell")
+            .select(
+                "id", "v",
+                F.struct(
+                    (-_dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("d"),
+                    F.col("cell").alias("cell"),
+                ).alias("dc"),
+            )
+            .groupBy("id")
+            .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
+            .select(F.col("m.cell").alias("cell"), "v")
         )
-        cents = (
+        cents = _materialize_tiny(
             assign.select("cell", F.posexplode("v").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.avg("val").alias("m"))
@@ -210,6 +230,7 @@ def _lloyd_refine(
                     lambda s: s["m"],
                 ).alias("cv")
             )
+            .select("cell", "cv", _norm(F.col("cv")).alias("cn"))
         )
     return cents
 
@@ -226,29 +247,43 @@ def ivf_topk(
     """IVF-flat: coarse k-means cells (deterministic seed sample refined
     by ``kmeans_iters`` Lloyd iterations); each vector assigned to its
     nearest cell; each query probes its ``n_probe`` nearest cells only.
-    (Approximate; no SQL oracle.)"""
-    seed_cents = (
+    (Approximate; no SQL oracle.)
+
+    Scale shape: cell ranking shuffles only (id, cell, cos) — vectors are
+    re-attached by an id-join afterwards, so the wide arrays never go
+    through the top-k window; the pair scoring shuffles on ``cell``
+    (bounded by n_probe × n/n_cells candidates per query)."""
+    from dbt_core_spark.operators.dedup import ensure_parallelism
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).withColumn("vn", _norm(F.col("v")))
+    seed_cents = _materialize_tiny(
         df.orderBy(F.col(id_col))
         .limit(n_cells)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        .select("cell", "cv", _norm(F.col("cv")).alias("cn"))
     )
-    base0 = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cents = _lloyd_refine(base0, seed_cents, kmeans_iters)
-    assigned_w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("cell").asc())
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    dists = base.crossJoin(F.broadcast(cents)).withColumn(
-        "d", -cosine(F.col("v"), F.col("cv"))
-    )
-    assign = (
-        dists.withColumn("r", F.row_number().over(assigned_w))
-        .filter(F.col("r") == 1)
-        .select("id", "v", "cell", _norm(F.col("v")).alias("n"))
-    )
-    probes = (
-        dists.withColumn("r", F.row_number().over(assigned_w))
+    cents = _lloyd_refine(base, seed_cents, kmeans_iters)
+
+    # rank cells per vector on a slim projection (no arrays in the shuffle)
+    rank_w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("cell").asc())
+    ranked = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            "id", "cell",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("cos"),
+        )
+        .withColumn("r", F.row_number().over(rank_w))
         .filter(F.col("r") <= n_probe)
-        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell",
-                _norm(F.col("v")).alias("qn"))
+        .select("id", "cell", "r")
+    )
+    probes = ranked.join(base, "id").select(
+        F.col("id").alias("query_id"), "cell",
+        F.col("v").alias("qv"), F.col("vn").alias("qn"),
+    )
+    assign = ranked.filter(F.col("r") == 1).join(base, "id").select(
+        "id", "cell", "v", F.col("vn").alias("n")
     )
     scored = (
         probes.join(assign, "cell")

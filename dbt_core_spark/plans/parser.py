@@ -164,6 +164,7 @@ def _parse_package(
                                   project.model_configs.get(model_name),
                                   defaults_override),
         )
+        _attach_columns(project, node)
         manifest.add_node(node)
 
     # -- python models (ref: ModelLanguage types.py:54-57; ADR-004) ----------
@@ -181,6 +182,7 @@ def _parse_package(
         node.python_fn = fn  # type: ignore[attr-defined]
         cfg_refs = node.config.get("depends_on") or node.config.get("refs") or []
         node.refs.extend(cfg_refs)
+        _attach_columns(project, node)
         manifest.add_node(node)
 
     # -- snapshots (ref: SnapshotConfig v1/snapshot.py:19-76) ----------------
@@ -210,6 +212,21 @@ def _parse_package(
     # -- tests ---------------------------------------------------------------
     for test_name, tdef in project.tests.items():
         manifest.add_node(_build_test_node(project, test_name, tdef))
+
+
+def _attach_columns(project: ProjectDef, node: Node) -> None:
+    """Declared columns + model description from schema-yml
+    (ref: ColumnInfo components.py:59-70)."""
+    from dbt_core_spark.plans.nodes import ColumnInfo
+
+    node.description = project.model_descriptions.get(node.name, "")
+    for c in project.model_columns.get(node.name, []):
+        node.columns[c["name"]] = ColumnInfo(
+            name=c["name"],
+            description=c.get("description", ""),
+            data_type=c.get("data_type"),
+            constraints=list(c.get("constraints", [])),
+        )
 
 
 def _add_source(

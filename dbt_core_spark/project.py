@@ -56,6 +56,10 @@ class ProjectDef:
     name: str = "project"
     models: dict[str, str] = field(default_factory=dict)  # name -> jinja-SQL
     model_configs: dict[str, dict] = field(default_factory=dict)  # name -> config dict
+    # name -> ordered column declarations [{name, data_type, description,
+    # constraints}] (ref: ColumnInfo components.py:59-70; contracts §1.2)
+    model_columns: dict[str, list[dict]] = field(default_factory=dict)
+    model_descriptions: dict[str, str] = field(default_factory=dict)
     python_models: dict[str, Any] = field(default_factory=dict)  # name -> callable(dbt, session)
     seeds: dict[str, Any] = field(default_factory=dict)  # name -> csv path | list[dict]
     seed_configs: dict[str, dict] = field(default_factory=dict)
@@ -229,7 +233,16 @@ def _load_schema_yml(d: str, p: "ProjectDef") -> None:
                 mname = m["name"]
                 if m.get("config"):
                     p.model_configs.setdefault(mname, {}).update(m["config"])
+                if m.get("description"):
+                    p.model_descriptions[mname] = m["description"]
                 for col in m.get("columns", []) or []:
+                    if col.get("data_type") or col.get("description") or col.get("constraints"):
+                        p.model_columns.setdefault(mname, []).append({
+                            "name": col["name"],
+                            "data_type": col.get("data_type"),
+                            "description": col.get("description", ""),
+                            "constraints": col.get("constraints", []) or [],
+                        })
                     for t in col.get("tests", col.get("data_tests", [])) or []:
                         _add_generic_test(p, mname, col["name"], t)
                 for t in m.get("tests", m.get("data_tests", [])) or []:

@@ -258,6 +258,11 @@ class GraphRunner:
                         and not self.full_refresh
                     )
                     sql = self._compile(node, is_incremental=is_inc)
+                    # contract shape check = Catalyst analysis only, no job
+                    # (ref: ContractConfig v1/config.py:34-36)
+                    from dbt_core_spark.operators.contracts import enforce_contract
+
+                    enforce_contract(self.spark, node, sql=sql)
                     fn = MATERIALIZATIONS.get(mat)
                     if fn is None:
                         raise ExecutionError(f"unknown materialization '{mat}'")
@@ -268,6 +273,10 @@ class GraphRunner:
                     status, msg = "success", mat
             self.relations[node.unique_id] = rel
             node.relation_name = rel
+            if node.config.get("persist_docs"):
+                from dbt_core_spark.operators.contracts import persist_docs
+
+                persist_docs(self.spark, node, rel)
             self._node_hooks(node, "post_hook")
             return NodeResult(node.unique_id, status, time.time() - t0, msg, rel)
         except Exception as e:
@@ -363,9 +372,10 @@ class GraphRunner:
                 self.spark, node, rel, f"select * from __py_{node.name}"
             )
         else:
-            from dbt_core_spark.operators.materializations import check_contract, _as_list
+            from dbt_core_spark.operators.contracts import enforce_contract
+            from dbt_core_spark.operators.materializations import _as_list
 
-            check_contract(df, node)
+            enforce_contract(self.spark, node, df=df)
             R.write_table(self.spark, rel, df, mode="overwrite",
                           partition_by=_as_list(node.config.get("partition_by")))
         return "success", "python"

@@ -924,6 +924,30 @@ from keep k
 where k.doc_id not in (select doc_id from losers)
 """
 
+ORACLES["winnow_fingerprint_docs"] = f"""
+with wds as (
+    select doc_id, {_WORDS} as words
+    from documents where text is not null
+), g as (
+    select doc_id,
+           list_transform(range(1, len(words) - 3 + 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) as grams
+    from wds where len(words) >= 3
+), h as (
+    select doc_id,
+           list_transform(grams, g -> cast({_hex2int("md5(g)")} as bigint)) as hs
+    from g
+), f as (
+    select doc_id,
+           case when len(hs) >= 4
+                then list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                                                  j -> list_min(hs[j:j+3])))
+                else [list_min(hs)] end as fps
+    from h
+)
+select doc_id, cast(unnest(fps) as bigint) as fingerprint from f
+"""
+
 ORACLES["multimodal_features_docs"] = """
 select doc_id as media_id,
        cast(octet_length(encode(text)) as bigint) as n_bytes,
