@@ -87,19 +87,36 @@ class Engine:
             on_run_end=self.project.on_run_end, **kw,
         )
 
+    def resolve_selector(self, name: str) -> set[str]:
+        """Named YAML selector → unique_ids (ref: selectors.yml;
+        ``--selector`` flag)."""
+        from dbt_core_spark.plans.graph import resolve_selector
+
+        if name not in self.project.selectors:
+            raise KeyError(f"selector '{name}' not defined")
+        graph = Linker().link_graph(self.manifest)
+        return resolve_selector(self.manifest, graph, self.project.selectors[name])
+
+    def _sel(self, select, selector):
+        if selector is not None:
+            return self.resolve_selector(selector)
+        return select
+
     # -- task verbs ----------------------------------------------------------
 
     def run(self, select: Optional[str] = None, full_refresh: bool = False,
             event_time_start: Optional[_dt.datetime] = None,
             event_time_end: Optional[_dt.datetime] = None,
-            empty: bool = False, exclude: Optional[str] = None) -> RunResults:
+            empty: bool = False, exclude: Optional[str] = None,
+            selector: Optional[str] = None) -> RunResults:
         """`dbt run`: models only (ref: cli/main.py:547-580).  ``empty``
         compiles every ref/source with LIMIT 0 — dry-run schema build
         (ref: tests/functional/adapter/basic/test_empty.py)."""
         return self._runner(
             full_refresh, event_time_start=event_time_start,
             event_time_end=event_time_end, empty=empty,
-        ).run(select=select, resource_types={NodeType.Model}, exclude=exclude)
+        ).run(select=self._sel(select, selector),
+              resource_types={NodeType.Model}, exclude=exclude)
 
     def seed(self, select: Optional[str] = None) -> RunResults:
         return self._runner().run(select=select, resource_types={NodeType.Seed})
@@ -107,14 +124,17 @@ class Engine:
     def snapshot(self, select: Optional[str] = None) -> RunResults:
         return self._runner().run(select=select, resource_types={NodeType.Snapshot})
 
-    def test(self, select: Optional[str] = None) -> RunResults:
-        return self._runner().run(select=select, resource_types={NodeType.Test})
+    def test(self, select: Optional[str] = None,
+             selector: Optional[str] = None) -> RunResults:
+        return self._runner().run(select=self._sel(select, selector),
+                                  resource_types={NodeType.Test})
 
-    def build(self, select: Optional[str] = None, full_refresh: bool = False) -> RunResults:
+    def build(self, select: Optional[str] = None, full_refresh: bool = False,
+              selector: Optional[str] = None) -> RunResults:
         """`dbt build`: seeds+models+snapshots+tests with test edges
         (ref: task/build.py:1-219; compilation.py:197-249)."""
         return self._runner(full_refresh).run(
-            select=select,
+            select=self._sel(select, selector),
             resource_types={NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test},
             add_test_edges=True,
         )
@@ -159,10 +179,11 @@ class Engine:
         return self.spark.table(target.relation_name)
 
     def ls(self, select: Optional[str] = None,
-           resource_type: Optional[str] = None) -> list[str]:
+           resource_type: Optional[str] = None,
+           selector: Optional[str] = None) -> list[str]:
         """`dbt ls` (ref: task/list.py:1-212)."""
         graph = Linker().link_graph(self.manifest)
-        selected = select_nodes(self.manifest, graph, select)
+        selected = select_nodes(self.manifest, graph, self._sel(select, selector))
         out = []
         for uid, n in self.manifest.all_nodes().items():
             if selected is not None and uid not in selected:
@@ -246,15 +267,22 @@ class Engine:
 
         return run_operation(self.spark, self.manifest, macro_name, args)
 
-    def modified_vs(self, state: "Engine | Manifest") -> set[str]:
-        """state:modified selection against a previous manifest
+    def modified_vs(self, state: "Engine | Manifest | str") -> set[str]:
+        """state:modified selection against a previous manifest — an
+        Engine, an in-memory Manifest, or a ``--state`` path to written
+        artifacts (manifest.json file or its directory)
         (ref: selector_methods.py:610-790)."""
         from dbt_core_spark.run.tasks import modified_nodes
 
-        other = state.manifest if isinstance(state, Engine) else state
+        if isinstance(state, str):
+            from dbt_core_spark.run.artifacts import load_state_manifest
+
+            other = load_state_manifest(state)
+        else:
+            other = state.manifest if isinstance(state, Engine) else state
         return modified_nodes(self.manifest, other)
 
-    def run_modified(self, state: "Engine | Manifest",
+    def run_modified(self, state: "Engine | Manifest | str",
                      include_children: bool = False) -> RunResults:
         """`dbt run --select state:modified[+] --defer`-style: run only
         changed nodes; unchanged upstream refs resolve to their existing

@@ -120,13 +120,17 @@ _SPEC_RE = re.compile(
 
 
 def select_nodes(
-    manifest: Manifest, graph: nx.DiGraph, select: Optional[str]
+    manifest: Manifest, graph: nx.DiGraph, select
 ) -> Optional[set[str]]:
     """dbt selection syntax subset: ``[@][N+]method:value[+N]``, space=union,
     comma=intersection.  Methods: name/fqn (default), tag, resource_type,
-    path, source (ref: selector_spec.py:15-22, selector_methods.py)."""
-    if not select:
+    path, source (ref: selector_spec.py:15-22, selector_methods.py).
+    A pre-resolved set of unique_ids (from a YAML selector) passes
+    through unchanged."""
+    if select is None or select == "":
         return None
+    if isinstance(select, (set, frozenset)):
+        return set(select)
     union: set[str] = set()
     for clause in select.split():
         parts = clause.split(",")
@@ -134,6 +138,52 @@ def select_nodes(
         inter = set.intersection(*sets) if sets else set()
         union |= inter
     return union
+
+
+def resolve_selector(manifest: Manifest, graph: nx.DiGraph, definition) -> set[str]:
+    """YAML selector definition → unique_ids (ref: selectors.yml,
+    ``graph/cli.py:27-151`` set ops + `selector_spec` dict form).
+
+    Accepts the reference's three shapes: a plain selection string, a
+    method dict (``{method, value, parents/children[, *_depth]}``), and
+    ``union:`` / ``intersection:`` lists whose items may include an
+    ``{exclude: [...]}`` entry subtracted from the accumulated set."""
+    if isinstance(definition, str):
+        return select_nodes(manifest, graph, definition) or set()
+    if isinstance(definition, dict):
+        if "union" in definition or "intersection" in definition:
+            key = "union" if "union" in definition else "intersection"
+            acc: Optional[set[str]] = None
+            for item in definition[key]:
+                if isinstance(item, dict) and "exclude" in item:
+                    excl: set[str] = set()
+                    for e in item["exclude"]:
+                        excl |= resolve_selector(manifest, graph, e)
+                    acc = (acc or set()) - excl
+                    continue
+                s = resolve_selector(manifest, graph, item)
+                if acc is None:
+                    acc = s
+                elif key == "union":
+                    acc |= s
+                else:
+                    acc &= s
+            return acc or set()
+        if "method" in definition:
+            spec = f"{definition['method']}:{definition['value']}"
+            if definition.get("parents"):
+                spec = f"{definition.get('parents_depth', '') or ''}+{spec}"
+            if definition.get("children"):
+                spec = f"{spec}+{definition.get('children_depth', '') or ''}"
+            if definition.get("childrens_parents"):
+                spec = f"@{spec}"
+            return select_nodes(manifest, graph, spec) or set()
+        if "exclude" in definition:  # bare top-level exclude: everything minus
+            excl = set()
+            for e in definition["exclude"]:
+                excl |= resolve_selector(manifest, graph, e)
+            return set(manifest.nodes) - excl
+    raise ValueError(f"unsupported selector definition: {definition!r}")
 
 
 def _select_one(manifest: Manifest, graph: nx.DiGraph, spec: str) -> set[str]:

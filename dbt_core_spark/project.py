@@ -83,6 +83,9 @@ class ProjectDef:
     # config subtrees, stored in package_defaults (ref: fqn_search).
     packages: dict[str, "ProjectDef"] = field(default_factory=dict)
     package_defaults: dict[str, dict] = field(default_factory=dict)
+    # named YAML selectors: name -> definition (string or dict tree)
+    # (ref: selectors.yml; selector_spec + graph/cli.py set ops)
+    selectors: dict[str, Any] = field(default_factory=dict)
 
     def add_package(self, pkg: "ProjectDef") -> None:
         """Install a dependency package (ref: deps/local.py — a local
@@ -151,6 +154,13 @@ class ProjectDef:
                     if fn.endswith(".sql"):
                         with open(os.path.join(macro_dir, fn)) as f:
                             p.macros[fn[:-4]] = f.read()
+        sel_file = os.path.join(path, "selectors.yml")
+        if os.path.exists(sel_file):
+            with open(sel_file) as f:
+                sel_doc = yaml.safe_load(f) or {}
+            for s in sel_doc.get("selectors") or []:
+                if isinstance(s, dict) and "name" in s:
+                    p.selectors[s["name"]] = s.get("definition")
         for spec in _read_packages_yml(path):
             if "local" in spec:
                 pkg_path = os.path.join(path, spec["local"])

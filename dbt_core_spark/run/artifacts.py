@@ -90,6 +90,35 @@ def write_manifest(engine: "Engine", path: str) -> str:
     return path
 
 
+def load_state_manifest(path: str):
+    """Read a written ``manifest.json`` back into a Manifest for
+    ``--state``-style comparison/defer (ref: state manifest loading,
+    ``task/retry.py`` + ``selector_methods.py:610-790``).  ``path`` may
+    be the file itself or a directory containing it."""
+    from dbt_core_spark.plans.nodes import Manifest, Node, NodeType
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "manifest.json")
+    with open(path) as f:
+        doc = json.load(f)
+    m = Manifest(project_name=doc.get("metadata", {}).get("project_name", "state"))
+    for uid, nd in doc.get("nodes", {}).items():
+        rtype = uid.split(".", 1)[0]
+        node = Node(
+            unique_id=uid,
+            name=nd.get("name", uid),
+            package=nd.get("package_name", m.project_name),
+            resource_type=NodeType(nd.get("resource_type", rtype)),
+            raw_code=nd.get("raw_code") or "",
+            config=dict(nd.get("config") or {}),
+        )
+        node.compiled_code = nd.get("compiled_code")
+        node.relation_name = nd.get("relation_name")
+        node.depends_on = list((nd.get("depends_on") or {}).get("nodes", []))
+        m.add_node(node)
+    return m
+
+
 def _child_map(m) -> dict[str, list[str]]:
     out: dict[str, list[str]] = {uid: [] for uid in list(m.nodes) + list(m.sources)}
     for uid, n in m.nodes.items():

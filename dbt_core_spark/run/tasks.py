@@ -77,7 +77,18 @@ def run_operation(
 def modified_nodes(current: Manifest, state: Manifest) -> set[str]:
     """unique_ids in `current` that are new or changed vs `state`
     (ref: state:modified — body via checksum, configs via dict compare;
-    nodes.py:577-650 same_contents)."""
+    nodes.py:577-650 same_contents).
+
+    Config compare drops empty values on both sides: a state manifest
+    round-tripped through manifest.json omits them (write_manifest
+    filters None/[]/{}), and they are not semantic changes."""
+
+    def _cfg(n):
+        return {
+            k: v for k, v in n.config.items()
+            if k != "enabled" and v not in (None, [], {})
+        }
+
     out: set[str] = set()
     for uid, node in current.nodes.items():
         old = state.nodes.get(uid)
@@ -87,9 +98,7 @@ def modified_nodes(current: Manifest, state: Manifest) -> set[str]:
         if node.checksum != old.checksum:
             out.add(uid)
             continue
-        if {k: v for k, v in node.config.items() if k != "enabled"} != {
-            k: v for k, v in old.config.items() if k != "enabled"
-        }:
+        if _cfg(node) != _cfg(old):
             out.add(uid)
     return out
 
