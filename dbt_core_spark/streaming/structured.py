@@ -62,6 +62,27 @@ def windowed_rollup(
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key streaming deduplication — the ingest-side
+    dedup primitive for a continuously-fed corpus (duplicate fetches,
+    at-least-once upstream delivery).
+
+    With ``ts_col``, uses ``dropDuplicatesWithinWatermark``: duplicates
+    arriving within the watermark horizon of the first sighting are
+    dropped and the key's state expires afterwards — bounded state, the
+    only viable form for an unbounded 100 TB stream.  Without ``ts_col``
+    it falls back to global ``dropDuplicates`` (state grows forever;
+    test/backfill use only)."""
+    if ts_col is None:
+        return df.dropDuplicates(key_cols)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

@@ -130,3 +130,43 @@ def test_microbatch_filter_becomes_partition_pruning(spark, tmp_path):
     assert n == direct
     spark.sql("drop database if exists pp_test cascade")
     spark.sql("drop database if exists pp_test__sources cascade")
+
+
+def test_q6_pure_pushdown_scan(spark, sf_dir):
+    """TPC-H Q6: every predicate and the 3-column projection must reach
+    the parquet scan — the canonical pushdown benchmark."""
+    plan = _formatted(em.q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q10_broadcasts_dimensions_and_limits(spark, sf_dir):
+    """Q10: customer/nation are broadcast; the final top-20 is a
+    TakeOrderedAndProject (no global sort materialization)."""
+    plan = _formatted(em.q10_returned_items(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter pushed to the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q21_correlated_exists_become_joins(spark, sf_dir):
+    """Q21's double-correlated EXISTS / NOT EXISTS must decorrelate to
+    semi/anti joins — never a per-row subquery."""
+    plan = _formatted(em.q21_waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q15_single_subquery_reuse(spark, sf_dir):
+    """Q15: the revenue CTE feeds both the join and the max() scalar;
+    the scalar side must aggregate below the join (no re-read of
+    lineitem per row)."""
+    plan = _formatted(em.q15_top_supplier(spark, sf_dir))
+    assert "Subquery" in plan or "ReusedExchange" in plan

@@ -142,3 +142,27 @@ def test_stream_static_join_enrichment(spark, tmp_path):
     run_to_memory(enriched, name)
     got = {r["event_id"]: r["label"] for r in spark.table(name).collect()}
     assert got == {1: "Alpha", 2: "Beta", 3: None}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys delivered across micro-batches within the
+    watermark horizon are dropped; the survivor is the first sighting."""
+    from dbt_core_spark.streaming.structured import streaming_dedup
+
+    src = str(tmp_path / "dd_in")
+    _write_events(src, [
+        {"event_id": 1, "ts": "2024-01-01T00:05:00.000Z", "kind": "a"},
+        {"event_id": 1, "ts": "2024-01-01T00:06:00.000Z", "kind": "a-dup"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00.000Z", "kind": "b"},
+    ])
+    _write_events(src, [
+        {"event_id": 2, "ts": "2024-01-01T00:12:00.000Z", "kind": "b-dup"},
+        {"event_id": 3, "ts": "2024-01-01T00:20:00.000Z", "kind": "c"},
+    ])
+    stream = stream_source(spark, src, SCHEMA, fmt="json")
+    deduped = streaming_dedup(stream, ["event_id"], ts_col="ts", watermark="30 minutes")
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    run_to_memory(deduped, name)
+    rows = {r.event_id: r.kind for r in spark.table(name).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert "a-dup" not in rows.values() and "b-dup" not in rows.values()
