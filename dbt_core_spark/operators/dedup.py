@@ -243,23 +243,38 @@ def minhash_lsh_pairs(
         .select(F.col(id_col).alias("id"), normalized_words(text_col).alias("words"))
         .filter(F.size("words") >= n)
         .select("id", word_ngrams(F.col("words"), n).alias("shingles"))
+        # seal the shingle table: three consumers below (signatures +
+        # both sides of candidate verification) would each re-tokenize
+        # and re-n-gram the corpus otherwise.  At warehouse scale this
+        # materialization is the LSH "index build" stage.
+        .localCheckpoint()
     )
     # Aggregate-form signature: explode shingles, take num_perm mins per
-    # doc.  One hash per (doc, shingle, perm), computed in parallel across
-    # the exploded rows with map-side partial aggregation — unlike the
-    # per-row array form, whose nested transforms serialize on one
-    # expression tree per document (measured 10× slower).
+    # doc, computed in parallel across the exploded rows with map-side
+    # partial aggregation — unlike the per-row array form, whose nested
+    # transforms serialize on one expression tree per document (measured
+    # 10× slower).
     #
-    # Hash family is xxhash64 with the permutation index as seed —
-    # native 64-bit, ~10× cheaper than md5 hex strings.  The hash is an
+    # Each shingle is string-hashed ONCE (xxhash64); the num_perm
+    # permutations are universal hashes (a_i·h + b_i mod 2³¹−1) over
+    # that integer — 64 multiply-adds instead of 64 string hashes
+    # (measured ~2× on the signature stage), and products of two 31-bit
+    # values cannot overflow ANSI bigint math.  The hash family is an
     # INTERNAL candidate-generation detail: output pairs are verified
     # with exact Jaccard, so results are hash-family-independent
     # (P[miss at j≥0.7] ≈ 5e-10 with 64/32 banding).
-    ex = shingled.select("id", F.explode("shingles").alias("sh"))
+    p = (1 << 31) - 1  # Mersenne prime
+    rnd = __import__("random").Random(42)
+    coef = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
+    ex = (
+        shingled.select("id", F.explode("shingles").alias("sh"))
+        # pmod, not abs(x)%p: abs(Long.MIN_VALUE) overflows ANSI math
+        .select("id", F.pmod(F.xxhash64("sh"), F.lit(p)).alias("h"))
+    )
     sig = ex.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"s{i}")
-            for i in range(num_perm)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"s{i}")
+            for i, (a, b) in enumerate(coef)
         ]
     )
     band_cols = F.array(
