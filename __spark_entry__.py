@@ -1291,6 +1291,16 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, "embedding", "vec_id", k=3)
 
 
+def cosine_topk_blas_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k via Arrow+BLAS (broadcast index + mapInPandas matmul)
+    — same results as cosine_topk_embeddings; cosine rounded to 9 dp so
+    the oracle compare is reduction-order-independent."""
+    from dbt_core_spark.operators.similarity import cosine_topk_blas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_blas(emb, "embedding", "vec_id", k=3)
+
+
 def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate — no SQL oracle (driver records rows-only)."""
     from dbt_core_spark.operators.similarity import lsh_cosine_topk
@@ -1507,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": token_counts_docs,
         "cosine_pairs_embeddings": cosine_pairs_embeddings,
         "cosine_topk_embeddings": cosine_topk_embeddings,
+        "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "streaming_hourly_rollup": streaming_hourly_rollup,

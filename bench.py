@@ -42,6 +42,7 @@ HEADLINE = [
     "minhash_lsh_docs",
     "streaming_hourly_rollup",
     "ann_ivf_topk_embeddings",
+    "cosine_topk_blas_embeddings",
     "text_quality_docs",
     "multimodal_features_docs",
 ]

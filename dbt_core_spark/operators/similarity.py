@@ -103,6 +103,71 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blas(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k via Arrow + BLAS — the query-vs-index shape used in
+    production retrieval: the corpus is gathered once into a dense
+    normalized matrix and broadcast; queries stream through
+    ``mapInPandas`` in Arrow batches, each scored with one matmul and a
+    vectorized partial top-k.  ~100× less per-pair overhead than the
+    row-expression fold; the corpus side must fit in executor memory
+    (shard with ``ivf_topk`` cells beyond that — same scoring kernel per
+    cell).
+
+    Results equal ``cosine_topk`` to BLAS-vs-sequential-fold float
+    error (~1e-15); ``cosine`` is rounded to 9 dp so downstream
+    comparisons are reduction-order-independent."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    corpus_pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    ids = corpus_pdf["id"].to_numpy()
+    M = np.array(corpus_pdf["v"].tolist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    # tiebreak by ascending nbr_id: pre-sort the index so argsort's
+    # stable ordering resolves equal cosines the same way the SQL
+    # row_number() (cosine desc, nbr_id asc) does
+    order = np.argsort(ids, kind="stable")
+    bidx = spark.sparkContext.broadcast((ids[order], Mn[order]))
+
+    out_schema = "query_id long, nbr_id long, cosine double, rank int"
+
+    def score(batches):
+        nbr_ids, Mb = bidx.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf["id"].to_numpy()
+            Q = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            S = Qn @ Mb.T  # (q, n)
+            S[qids[:, None] == nbr_ids[None, :]] = -np.inf  # self-match
+            # partial top-k then exact ordering inside the slice
+            part = np.argpartition(-S, kth=min(k, S.shape[1] - 1), axis=1)[:, :k]
+            rows = []
+            for qi in range(len(qids)):
+                # np.sort first: index order == nbr_id order, so the
+                # stable score sort breaks cosine ties by ascending id,
+                # matching row_number() over (cosine desc, nbr_id asc)
+                cols = np.sort(part[qi])
+                cols = cols[np.argsort(-S[qi, cols], kind="stable")]
+                for rank, c in enumerate(cols, start=1):
+                    rows.append((int(qids[qi]), int(nbr_ids[c]),
+                                 round(float(S[qi, c]), 9), rank))
+            yield pd.DataFrame(rows, columns=["query_id", "nbr_id", "cosine", "rank"])
+
+    src = (queries or df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from dbt_core_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(src).mapInPandas(score, schema=out_schema)
+
+
 # --------------------------------------------------------------------------
 # LSH (random hyperplanes) — approximate, deterministic
 # --------------------------------------------------------------------------

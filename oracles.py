@@ -892,6 +892,16 @@ qualify rank <= 3
 """
 )
 
+ORACLES["cosine_topk_blas_embeddings"] = (
+    _COSINE_CTE.format(join_cond="a.vec_id <> b.vec_id")
+    + """
+select id_a as query_id, id_b as nbr_id, round(cosine, 9) as cosine,
+       cast(row_number() over (partition by id_a order by cosine desc, id_b) as int) as rank
+from p
+qualify rank <= 3
+"""
+)
+
 ORACLES["pipeline_clean_corpus"] = f"""
 with q as (select * from ({_QUALITY_SQL}) tq),
 l as (select * from ({_language_sql()}) tl),

@@ -1,0 +1,45 @@
+"""Similarity-search operators: exact JVM fold vs Arrow+BLAS parity,
+and ANN recall sanity (engine extension, driver north star)."""
+
+import pytest
+
+import __spark_entry__ as em
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return em._t(spark, sf_dir, "embeddings")
+
+
+def test_blas_topk_matches_fold_topk(spark, sf_dir):
+    """The Arrow+BLAS kernel must select the same neighbors in the same
+    order as the zip_with/aggregate fold (ties broken by nbr_id)."""
+    a = (
+        em.cosine_topk_embeddings(spark, sf_dir)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        em.cosine_topk_blas_embeddings(spark, sf_dir)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    assert (a[["query_id", "nbr_id", "rank"]]
+            == b[["query_id", "nbr_id", "rank"]]).all().all()
+    assert (a["cosine"].round(6) == b["cosine"].round(6)).all()
+
+
+def test_blas_topk_is_distributed(spark, sf_dir, emb):
+    """The query side must fan out over partitions — no single-partition
+    mapInPandas regardless of input file layout."""
+    from dbt_core_spark.operators.similarity import cosine_topk_blas
+
+    df = cosine_topk_blas(emb, "embedding", "vec_id", k=3)
+    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_ivf_recall_reasonable(spark, sf_dir):
+    """IVF with 4/16 probes should keep a majority of true neighbors
+    (sanity floor — exact value is data-dependent)."""
+    exact = {(r.query_id, r.nbr_id) for r in em.cosine_topk_embeddings(spark, sf_dir).collect()}
+    ivf = {(r.query_id, r.nbr_id) for r in em.ann_ivf_topk_embeddings(spark, sf_dir).collect()}
+    assert len(ivf & exact) / len(exact) > 0.4
