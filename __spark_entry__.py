@@ -1235,6 +1235,30 @@ def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              bands=32, threshold=0.7)
 
 
+_PII_AUG = (
+    "concat(text, ' contact u', cast(doc_id as string), '@example.com or +1 "
+    "555-123-', lpad(cast(doc_id % 10000 as string), 4, '0'), ' ssn 123-45-', "
+    "lpad(cast(doc_id % 10000 as string), 4, '0'), ' ip 10.0.', "
+    "cast(doc_id % 256 as string), '.7')"
+)
+
+
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (corpus hygiene): deterministic PII-shaped spans are
+    injected into the synthetic docs, then redacted by the operator —
+    output carries the scrubbed-text md5 + per-kind redaction counts so
+    the oracle verifies the exact replacement text."""
+    from dbt_core_spark.operators.textstats import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_PII_AUG} as text"
+    )
+    return scrub_pii(docs, "text", "doc_id").selectExpr(
+        "doc_id", "md5(scrubbed) as scrubbed_md5",
+        "n_email", "n_ssn", "n_phone", "n_ipv4",
+    )
+
+
 def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) document fingerprints — MOSS-style;
     per-(doc, fingerprint) rows, md5-portable so DuckDB reproduces them
@@ -1509,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "minhash_lsh_docs": minhash_lsh_docs,
         "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "pii_scrub_docs": pii_scrub_docs,
         "simhash_docs": simhash_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "kmv_distinct_users": kmv_distinct_users,

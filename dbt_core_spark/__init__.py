@@ -36,6 +36,8 @@ __version__ = "0.1.0"
 
 from dbt_core_spark.api import Engine  # noqa: E402,F401
 from dbt_core_spark.project import ProjectDef  # noqa: E402,F401
+from dbt_core_spark.run.cli import RunnerResult, SparkbtRunner  # noqa: E402,F401
 from dbt_core_spark.session import get_spark  # noqa: E402,F401
 
-__all__ = ["Engine", "ProjectDef", "get_spark", "__version__"]
+__all__ = ["Engine", "ProjectDef", "SparkbtRunner", "RunnerResult",
+           "get_spark", "__version__"]

@@ -113,3 +113,39 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.md5(F.concat_ws(" ", words)).alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (SURVEY §7 phase 4 — pre-training corpus hygiene)
+# --------------------------------------------------------------------------
+
+# Patterns use the Java-regex / RE2 common subset (no lookaround, no
+# backrefs) so a SQL oracle can replay them verbatim.  Order matters:
+# emails first (their local parts contain digit runs a later phone
+# pass would half-redact).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\+?\d{1,2}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, SSNs, phone numbers, IPv4s) and
+    count redactions per kind.  Pure JVM regexp_replace / regexp_count —
+    whole-stage-codegen'd, no UDF, shuffle-free per-row map."""
+    pats = patterns or PII_PATTERNS
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind, rx, token in pats:
+        counts.append(F.regexp_count(scrubbed, F.lit(rx)).cast("bigint").alias(f"n_{kind}"))
+        scrubbed = F.regexp_replace(scrubbed, rx, token)
+    return df.select(
+        F.col(id_col), scrubbed.alias("scrubbed"), *counts,
+    )

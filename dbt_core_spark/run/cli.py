@@ -1,0 +1,135 @@
+"""Programmatic invoker — the ``dbtRunner().invoke([...])`` analog.
+
+ref: core/dbt/cli/main.py:41-97 (dbtRunner wraps every click command and
+returns dbtRunnerResult{success, result, exception}); flag handling
+cli/flags.py.  Here the verbs dispatch straight onto Engine methods —
+no click layer — but argv-style invocation, flag names, and the result
+envelope match, so orchestration code written against dbtRunner ports
+by swapping the import.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+from dbt_core_spark.project import ProjectDef
+
+
+@dataclass
+class RunnerResult:
+    """dbtRunnerResult analog (ref: cli/main.py:52-60)."""
+
+    success: bool
+    result: Any = None
+    exception: Optional[BaseException] = None
+
+
+_BOOL_FLAGS = {"--full-refresh", "--empty", "--favor-state"}
+
+
+def _parse_args(argv: list[str]) -> tuple[list[str], dict[str, Any]]:
+    """Positional words + ``--flag value`` pairs (booleans flagless)."""
+    words: list[str] = []
+    flags: dict[str, Any] = {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            key = a[2:].replace("-", "_")
+            if a in _BOOL_FLAGS or i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                flags[key] = True
+            else:
+                flags[key] = argv[i + 1]
+                i += 1
+        elif a == "-s":  # --select shorthand
+            flags["select"] = argv[i + 1]
+            i += 1
+        else:
+            words.append(a)
+        i += 1
+    return words, flags
+
+
+class SparkbtRunner:
+    """Invoke engine verbs with dbt-style argv (ref: dbtRunner
+    cli/main.py:41-97).  Construct with a live Engine, or with
+    (spark, project[, schema]) to build one."""
+
+    def __init__(self, engine=None, spark: Optional[SparkSession] = None,
+                 project: Optional[ProjectDef] = None,
+                 schema: Optional[str] = None):
+        from dbt_core_spark.api import Engine
+
+        if engine is None:
+            if spark is None or project is None:
+                raise ValueError("need an Engine, or spark + project")
+            engine = Engine(spark, project, schema=schema)
+        self.engine = engine
+
+    def invoke(self, argv: list[str]) -> RunnerResult:
+        words, flags = _parse_args(argv)
+        if not words:
+            return RunnerResult(False, exception=ValueError("no command"))
+        verb, rest = words[0], words[1:]
+        eng = self.engine
+        try:
+            if flags.get("vars"):
+                eng.cli_vars.update(json.loads(flags["vars"]))
+            sel = dict(
+                select=flags.get("select"),
+                selector=flags.get("selector"),
+            )
+            if verb == "run":
+                res = eng.run(full_refresh=bool(flags.get("full_refresh")),
+                              empty=bool(flags.get("empty")),
+                              exclude=flags.get("exclude"), **sel)
+                return RunnerResult(res.ok(), res)
+            if verb == "seed":
+                res = eng.seed(select=flags.get("select"))
+                return RunnerResult(res.ok(), res)
+            if verb == "snapshot":
+                res = eng.snapshot(select=flags.get("select"))
+                return RunnerResult(res.ok(), res)
+            if verb == "test":
+                res = eng.test(**sel)
+                return RunnerResult(res.ok(), res)
+            if verb == "build":
+                res = eng.build(full_refresh=bool(flags.get("full_refresh")), **sel)
+                return RunnerResult(res.ok(), res)
+            if verb in ("ls", "list"):
+                return RunnerResult(True, eng.ls(
+                    select=flags.get("select"), selector=flags.get("selector"),
+                    resource_type=flags.get("resource_type")))
+            if verb == "parse":
+                n = eng.reparse()
+                return RunnerResult(True, {"reparsed": n,
+                                           "nodes": len(eng.manifest.nodes)})
+            if verb == "deps":
+                return RunnerResult(True, eng.deps())
+            if verb == "compile":
+                if flags.get("inline"):
+                    return RunnerResult(True, eng.compile_sql(flags["inline"]))
+                return RunnerResult(True, eng.compile_analyses())
+            if verb == "show":
+                df = eng.show(flags["inline"], limit=int(flags.get("limit", 5)))
+                return RunnerResult(True, df)
+            if verb == "docs" and rest[:1] == ["generate"]:
+                return RunnerResult(True, eng.docs_generate())
+            if verb == "run-operation":
+                args = json.loads(flags.get("args", "{}"))
+                return RunnerResult(True, eng.run_operation(rest[0], args))
+            if verb == "source" and rest[:1] == ["freshness"]:
+                out = eng.source_freshness()
+                ok = all(r.status != "error" for r in out.values())
+                return RunnerResult(ok, out)
+            if verb == "clone":
+                return RunnerResult(True, eng.clone(
+                    flags["state"], select=flags.get("select")))
+            return RunnerResult(False,
+                                exception=ValueError(f"unknown command {verb!r}"))
+        except Exception as e:  # the reference catches and wraps too
+            return RunnerResult(False, exception=e)

@@ -958,6 +958,43 @@ with wds as (
 select doc_id, cast(unnest(fps) as bigint) as fingerprint from f
 """
 
+_PII = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\d{1,2}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+# mirror of __spark_entry__._PII_AUG (DuckDB concat/lpad agree with Spark)
+_PII_AUG_SQL = (
+    "concat(text, ' contact u', cast(doc_id as varchar), '@example.com or +1 "
+    "555-123-', lpad(cast(doc_id % 10000 as varchar), 4, '0'), ' ssn 123-45-', "
+    "lpad(cast(doc_id % 10000 as varchar), 4, '0'), ' ip 10.0.', "
+    "cast(doc_id % 256 as varchar), '.7')"
+)
+
+ORACLES["pii_scrub_docs"] = f"""
+with aug as (
+    select doc_id, {_PII_AUG_SQL} as t0 from documents
+), s1 as (
+    select doc_id, t0,
+           regexp_replace(t0, '{_PII["email"]}', '[EMAIL]', 'g') as t1
+    from aug
+), s2 as (
+    select *, regexp_replace(t1, '{_PII["ssn"]}', '[SSN]', 'g') as t2 from s1
+), s3 as (
+    select *, regexp_replace(t2, '{_PII["phone"]}', '[PHONE]', 'g') as t3 from s2
+), s4 as (
+    select *, regexp_replace(t3, '{_PII["ipv4"]}', '[IP]', 'g') as t4 from s3
+)
+select doc_id, md5(t4) as scrubbed_md5,
+       cast(len(regexp_extract_all(t0, '{_PII["email"]}')) as bigint) as n_email,
+       cast(len(regexp_extract_all(t1, '{_PII["ssn"]}')) as bigint) as n_ssn,
+       cast(len(regexp_extract_all(t2, '{_PII["phone"]}')) as bigint) as n_phone,
+       cast(len(regexp_extract_all(t3, '{_PII["ipv4"]}')) as bigint) as n_ipv4
+from s4
+"""
+
 ORACLES["multimodal_features_docs"] = """
 select doc_id as media_id,
        cast(octet_length(encode(text)) as bigint) as n_bytes,

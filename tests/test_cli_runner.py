@@ -1,0 +1,64 @@
+"""SparkbtRunner.invoke — dbtRunner analog (ref: cli/main.py:41-97)."""
+
+from dbt_core_spark import ProjectDef, SparkbtRunner
+
+
+def _proj(sf_dir):
+    p = ProjectDef(name="cli")
+    p.add_source("tpch", "orders", f"{sf_dir}/orders.parquet")
+    p.models["stg"] = (
+        "select o_orderkey as id, o_orderstatus as status "
+        "from {{ source('tpch','orders') }} limit {{ var('lim', 10) }}"
+    )
+    p.models["agg"] = (
+        "{{ config(materialized='table') }}"
+        "select status, count(*) as n from {{ ref('stg') }} group by status"
+    )
+    p.tests["not_null_agg_status"] = {
+        "type": "not_null", "model": "agg", "column": "status"}
+    return p
+
+
+def test_invoke_run_test_ls(spark, schema, sf_dir):
+    r = SparkbtRunner(spark=spark, project=_proj(sf_dir), schema=schema)
+    res = r.invoke(["run"])
+    assert res.success and res.result.ok()
+    assert {x.unique_id for x in res.result.results} == {
+        "model.cli.stg", "model.cli.agg"}
+    assert r.invoke(["test"]).success
+    ls = r.invoke(["ls", "--resource-type", "model"])
+    assert ls.success and ls.result == ["model.cli.agg", "model.cli.stg"]
+
+
+def test_invoke_select_vars_show(spark, schema, sf_dir):
+    r = SparkbtRunner(spark=spark, project=_proj(sf_dir), schema=schema)
+    res = r.invoke(["run", "-s", "stg", "--vars", '{"lim": 3}'])
+    assert res.success
+    assert [x.unique_id for x in res.result.results] == ["model.cli.stg"]
+    assert spark.table(f"{schema}.stg").count() == 3
+    shown = r.invoke(["show", "--inline",
+                      "select count(*) as c from {{ ref('stg') }}"])
+    assert shown.success and shown.result.collect()[0].c == 3
+
+
+def test_invoke_errors_are_wrapped(spark, schema, sf_dir):
+    r = SparkbtRunner(spark=spark, project=_proj(sf_dir), schema=schema)
+    bad = r.invoke(["frobnicate"])
+    assert not bad.success and isinstance(bad.exception, ValueError)
+    res = r.invoke(["run-operation", "missing_macro"])
+    assert not res.success and res.exception is not None
+
+
+def test_invoke_parse_deps_docs(spark, schema, sf_dir):
+    p = _proj(sf_dir)
+    pkg = ProjectDef(name="pkg1")
+    pkg.macros["m"] = "{% macro shout(x) %}{{ x }}!{% endmacro %}"
+    p.add_package(pkg)
+    r = SparkbtRunner(spark=spark, project=p, schema=schema)
+    parsed = r.invoke(["parse"])
+    assert parsed.success and parsed.result["nodes"] == 3
+    deps = r.invoke(["deps"])
+    assert deps.success and "pkg1" in deps.result
+    assert r.invoke(["run"]).success
+    docs = r.invoke(["docs", "generate"])
+    assert docs.success and "nodes" in docs.result
