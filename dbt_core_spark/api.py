@@ -230,6 +230,7 @@ class Engine:
                     self.spark, self.manifest, tname, tdef["model"],
                     tdef.get("given", {}), tdef.get("expect", []),
                     relations=runner.relations, cli_vars=self.cli_vars,
+                    overrides=tdef.get("overrides"),
                 )
             )
         return results

@@ -63,12 +63,24 @@ def run_unit_test(
     expect: list[dict],
     relations: Optional[dict[str, str]] = None,
     cli_vars: Optional[dict[str, Any]] = None,
+    overrides: Optional[dict[str, Any]] = None,
 ) -> UnitTestResult:
     """``given`` maps a ref name ('model_a') or source ('src.tbl') to
-    fixture rows; ``expect`` is the expected output rows."""
+    fixture rows; ``expect`` is the expected output rows.
+
+    ``overrides`` mocks compile-time context for the test only
+    (ref: UnitTestOverrides unit_test_definition.py:25-43; pinned by
+    tests/functional/unit_testing/ override cases):
+    ``{"vars": {...}, "env_vars": {...}, "macros": {name: literal}}`` —
+    macro overrides shadow project macros with a literal-returning stub.
+    """
     model = manifest.resolve_ref(model_name)
     if model is None:
         raise ExecutionError(f"unit test {test_name}: model '{model_name}' not found")
+
+    ov = overrides or {}
+    compile_vars = dict(cli_vars or {})
+    compile_vars.update(ov.get("vars") or {})
 
     suffix = uuid.uuid4().hex[:8]
     mock_relations: dict[str, str] = dict(relations or {})
@@ -87,8 +99,25 @@ def run_unit_test(
         _rows_to_view(spark, rows, like, view)
         mock_relations[target.unique_id] = view
 
+    import os
+
+    old_macros = manifest.macros
+    macro_stubs = {
+        f"__ut_override_{i}": (
+            "{%% macro %s() %%}%s{%% endmacro %%}" % (name, val)
+        )
+        for i, (name, val) in enumerate((ov.get("macros") or {}).items())
+    }
+    env_patch = ov.get("env_vars") or {}
+    saved_env = {k: os.environ.get(k) for k in env_patch}
     try:
-        sql = compile_node(manifest, model, spark, mock_relations, cli_vars=cli_vars)
+        if macro_stubs:
+            # stubs FIRST: macro compilation is first-definition-wins
+            # (locality setdefault in functions/context.render)
+            manifest.macros = {**macro_stubs, **old_macros}
+        os.environ.update({k: str(v) for k, v in env_patch.items()})
+        sql = compile_node(manifest, model, spark, mock_relations,
+                           cli_vars=compile_vars)
         actual = spark.sql(sql)
         expected = spark.createDataFrame([Row(**r) for r in expect]) if expect else None
         if expected is not None:
@@ -114,6 +143,12 @@ def run_unit_test(
     except Exception as e:
         return UnitTestResult(test_name, "error", message=f"{type(e).__name__}: {e}")
     finally:
+        manifest.macros = old_macros
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
         for input_name in given:
             view = f"__ut_{suffix}_{input_name.replace('.', '_')}"
             spark.catalog.dropTempView(view)

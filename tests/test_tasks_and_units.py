@@ -361,3 +361,37 @@ def test_exclude_flag(spark, schema, sf_dir):
     r = eng.run(exclude="b")
     names = {x.unique_id.split(".")[-1] for x in r.results}
     assert "b" not in names and {"stg", "a"} <= names
+
+
+def test_unit_test_overrides(spark, schema, sf_dir):
+    """overrides mock vars, env_vars, and macros for the test compile
+    only (ref: UnitTestOverrides unit_test_definition.py:25-43)."""
+    import os
+
+    p = base_project(sf_dir)
+    p.macros["lims"] = "{% macro hard_limit() %}99{% endmacro %}"
+    p.models["ovr"] = (
+        "select {{ var('factor', 1) }} as f, "
+        "{{ hard_limit() }} as lim, "
+        "'{{ env_var('UT_REGION', 'none') }}' as region "
+        "from {{ ref('stg') }} limit 1"
+    )
+    p.unit_tests["ut_ovr"] = {
+        "model": "ovr",
+        "given": {"stg": [{"id": 1, "status": "O", "price": 1.0}]},
+        "expect": [{"f": 7, "lim": 5, "region": "eu"}],
+        "overrides": {
+            "vars": {"factor": 7},
+            "macros": {"hard_limit": 5},
+            "env_vars": {"UT_REGION": "eu"},
+        },
+    }
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    res = eng.unit_test("ut_ovr")
+    assert len(res) == 1
+    assert res[0].status == "pass", (res[0].message, res[0].missing_rows,
+                                     res[0].unexpected_rows)
+    # overrides must not leak out of the test
+    assert "UT_REGION" not in os.environ
+    assert "hard_limit" in p.macros["lims"]
