@@ -1341,6 +1341,16 @@ def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "embedding", "vec_id", k=3, n_cells=16, n_probe=4)
 
 
+def ann_ivf_blas_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate — no SQL oracle (driver records rows-only).  The
+    production IVF shape: sample-fit numpy centroids, one Arrow
+    assignment pass, per-cell applyInPandas matmul, global merge."""
+    from dbt_core_spark.operators.similarity import ivf_topk_blas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk_blas(emb, "embedding", "vec_id", k=3, n_cells=16, n_probe=4)
+
+
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (point-in-time): each event matched to the user's most
     recent order at-or-before the event time.  Custom operator — Spark
@@ -1545,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
+        "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "multimodal_features_docs": multimodal_features_docs,
         "multimodal_frame_sample": multimodal_frame_sample,

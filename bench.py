@@ -41,7 +41,7 @@ HEADLINE = [
     "engine_microbatch_day",
     "minhash_lsh_docs",
     "streaming_hourly_rollup",
-    "ann_ivf_topk_embeddings",
+    "ann_ivf_blas_topk_embeddings",
     "cosine_topk_blas_embeddings",
     "text_quality_docs",
     "multimodal_features_docs",

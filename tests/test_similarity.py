@@ -43,3 +43,17 @@ def test_ivf_recall_reasonable(spark, sf_dir):
     exact = {(r.query_id, r.nbr_id) for r in em.cosine_topk_embeddings(spark, sf_dir).collect()}
     ivf = {(r.query_id, r.nbr_id) for r in em.ann_ivf_topk_embeddings(spark, sf_dir).collect()}
     assert len(ivf & exact) / len(exact) > 0.4
+
+
+def test_ivf_blas_recall_and_shape(spark, sf_dir):
+    """The BLAS IVF path must keep recall parity with the JVM IVF and
+    emit at most k neighbors per query with valid ranks."""
+    exact = {(r.query_id, r.nbr_id) for r in em.cosine_topk_embeddings(spark, sf_dir).collect()}
+    rows = em.ann_ivf_blas_topk_embeddings(spark, sf_dir).collect()
+    blas = {(r.query_id, r.nbr_id) for r in rows}
+    assert len(blas & exact) / len(exact) > 0.4
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert max(len(v) for v in per_q.values()) <= 3
