@@ -1269,6 +1269,25 @@ def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
 
 
+def chunk_documents_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing: overlapping 40-word chunks (10 overlap),
+    one row per (doc, chunk) — shuffle-free per-row map."""
+    from dbt_core_spark.operators.textstats import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_words=40, overlap=10)
+
+
+def assign_splits_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test assignment (portable
+    md5 arithmetic — stable across engines and cluster sizes)."""
+    from dbt_core_spark.operators.textstats import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_splits(docs, "doc_id",
+                         {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_core_spark.operators.dedup import simhash
 
@@ -1544,6 +1563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_docs": minhash_lsh_docs,
         "winnow_fingerprint_docs": winnow_fingerprint_docs,
         "pii_scrub_docs": pii_scrub_docs,
+        "chunk_documents_docs": chunk_documents_docs,
+        "assign_splits_docs": assign_splits_docs,
         "simhash_docs": simhash_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "kmv_distinct_users": kmv_distinct_users,

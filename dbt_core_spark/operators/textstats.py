@@ -149,3 +149,77 @@ def scrub_pii(
     return df.select(
         F.col(id_col), scrubbed.alias("scrubbed"), *counts,
     )
+
+
+# --------------------------------------------------------------------------
+# chunking + deterministic splits (training-data preparation)
+# --------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Split documents into overlapping word windows — the
+    context-length packing step of a training pipeline.  One row per
+    (doc, chunk): ``chunk_idx`` (0-based), ``chunk_text``, ``n_words``.
+    Pure per-row map (words array → slice windows → explode);
+    shuffle-free, linear in corpus size."""
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be < chunk_words")
+    step = chunk_words - overlap
+    words = F.col("words")
+    n = F.size(words)
+    # window starts: 1, 1+step, ... — always ≥1 window (short docs get one)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - overlap, F.lit(1)),
+        F.lit(step),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"),
+                normalized_words(text_col).alias("words"))
+        .filter(F.size("words") > 0)
+        .select("doc_id",
+                F.posexplode(
+                    F.transform(starts, lambda s: F.slice(words, s, chunk_words))
+                ).alias("chunk_idx", "chunk_words_arr"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.array_join("chunk_words_arr", " ").alias("chunk_text"),
+            F.size("chunk_words_arr").cast("bigint").alias("n_words"),
+        )
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id — stable
+    across runs, engines, and cluster sizes (md5 arithmetic, no RNG).
+    Buckets 0..9999 cut by cumulative weights."""
+    from dbt_core_spark.operators.dedup import _hex_to_int
+
+    w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = F.pmod(
+        _hex_to_int(F.md5(F.concat(F.lit(salt + ":"),
+                                   F.col(id_col).cast("string")))),
+        F.lit(10000),
+    )
+    cum = 0.0
+    expr = None
+    for name, frac in w.items():
+        cum += frac
+        cond = bucket < int(round(cum * 10000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float-sum shortfall: last listed split absorbs the remainder
+    expr = expr.otherwise(list(w)[-1])
+    return df.select(F.col(id_col), bucket.cast("bigint").alias("bucket"),
+                     expr.alias("split"))

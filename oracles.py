@@ -995,6 +995,41 @@ select doc_id, md5(t4) as scrubbed_md5,
 from s4
 """
 
+ORACLES["chunk_documents_docs"] = f"""
+with w as (
+    select doc_id, {_WORDS} as words
+    from documents where text is not null
+), nz as (
+    select doc_id, words from w where len(words) > 0
+), s as (
+    select doc_id, words,
+           range(1, greatest(len(words) - 10, 1) + 1, 30) as starts
+    from nz
+)
+select doc_id, cast(ch['idx'] as bigint) as chunk_idx,
+       cast(ch['txt'] as varchar) as chunk_text,
+       cast(ch['nw'] as bigint) as n_words
+from (
+    select doc_id,
+           unnest(list_transform(range(1, len(starts) + 1),
+                  i -> {{'idx': i - 1,
+                        'txt': array_to_string(words[starts[i]:starts[i]+39], ' '),
+                        'nw': len(words[starts[i]:starts[i]+39])}})) as ch
+    from s
+)
+"""
+
+_SPLIT_BUCKET = _hex2int("md5('split:' || cast(doc_id as varchar))")
+
+ORACLES["assign_splits_docs"] = f"""
+select doc_id,
+       cast(({_SPLIT_BUCKET}) % 10000 as bigint) as bucket,
+       case when ({_SPLIT_BUCKET}) % 10000 < 9000 then 'train'
+            when ({_SPLIT_BUCKET}) % 10000 < 9500 then 'val'
+            else 'test' end as split
+from documents
+"""
+
 ORACLES["multimodal_features_docs"] = """
 select doc_id as media_id,
        cast(octet_length(encode(text)) as bigint) as n_bytes,
