@@ -1269,6 +1269,22 @@ def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
 
 
+def cc_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected components over the n-gram-Jaccard≥0.5 pair
+    graph (iterative min-label propagation; oracle = DuckDB recursive
+    CTE): one row per clustered doc with its component's min id."""
+    from dbt_core_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return connected_components(pairs).selectExpr(
+        "id as doc_id", "cast(component as bigint) as component"
+    )
+
+
 def chunk_documents_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length packing: overlapping 40-word chunks (10 overlap),
     one row per (doc, chunk) — shuffle-free per-row map."""
@@ -1563,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_docs": minhash_lsh_docs,
         "winnow_fingerprint_docs": winnow_fingerprint_docs,
         "pii_scrub_docs": pii_scrub_docs,
+        "cc_dedup_docs": cc_dedup_docs,
         "chunk_documents_docs": chunk_documents_docs,
         "assign_splits_docs": assign_splits_docs,
         "simhash_docs": simhash_docs,

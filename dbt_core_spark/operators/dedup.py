@@ -316,6 +316,56 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    pairs: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Exact connected components over a (near-duplicate) pair graph:
+    iterative min-label propagation — each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (dup clusters are shallow).  Each
+    iteration is sealed with localCheckpoint so round N+1 does not
+    replay rounds 1..N.  Output: (id, component) where component = the
+    smallest member id — upgrade over single-link one-pass dedup when
+    duplicate chains matter (A~B, B~C, A!~C still one cluster).
+
+    At extreme graph sizes the two-phase large-star/small-star variant
+    shrinks rounds further; the propagation join below is the same
+    building block."""
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

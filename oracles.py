@@ -995,6 +995,22 @@ select doc_id, md5(t4) as scrubbed_md5,
 from s4
 """
 
+ORACLES["cc_dedup_docs"] = f"""
+with recursive pairs as (
+    select id_a, id_b from ({_JACCARD_BASE.format(thr=0.5)}) tp
+), edges as (
+    select id_a as src, id_b as dst from pairs
+    union
+    select id_b as src, id_a as dst from pairs
+), reach(node, lab) as (
+    select distinct src, src from edges
+    union
+    select e.dst, r.lab from edges e join reach r on e.src = r.node
+)
+select node as doc_id, cast(min(lab) as bigint) as component
+from reach group by node
+"""
+
 ORACLES["chunk_documents_docs"] = f"""
 with w as (
     select doc_id, {_WORDS} as words
