@@ -99,6 +99,9 @@ class Engine:
 
     def _sel(self, select, selector):
         if selector is not None:
+            if select:
+                # the reference errors on --select + --selector together
+                raise ValueError("cannot combine select and selector")
             return self.resolve_selector(selector)
         return select
 

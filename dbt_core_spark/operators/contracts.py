@@ -49,10 +49,13 @@ def enforce_contract(
     node: "Node",
     sql: Optional[str] = None,
     df: Optional["DataFrame"] = None,
+    check_constraints: bool = True,
 ) -> None:
     """Shape + constraint enforcement for ``contract: {enforced: true}``
     models.  Accepts either compiled SQL or an already-built DataFrame
-    (python models)."""
+    (python models).  ``check_constraints=False`` runs only the
+    analysis-time shape check (streaming plans, where an aggregate pass
+    would be a separate query)."""
     contract = node.config.get("contract") or {}
     if not (isinstance(contract, dict) and contract.get("enforced")):
         return
@@ -81,7 +84,8 @@ def enforce_contract(
         raise ContractError(
             f"{node.unique_id}: contract mismatch\n" + "\n".join(problems)
         )
-    _enforce_constraints(node, df)
+    if check_constraints:
+        _enforce_constraints(node, df)
 
 
 def _enforce_constraints(node: "Node", df: "DataFrame") -> None:

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dbt_core_spark.exceptions import ExecutionError
+
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition narrow inputs before CPU-heavy per-row work.
@@ -363,6 +365,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # truncated propagation would silently split true components
+        raise ExecutionError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter — raise max_iter)"
+        )
     return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))
 
 

@@ -157,7 +157,11 @@ def cosine_topk_blas(
                 # matching row_number() over (cosine desc, nbr_id asc)
                 cols = np.sort(part[qi])
                 cols = cols[np.argsort(-S[qi, cols], kind="stable")]
-                for rank, c in enumerate(cols, start=1):
+                rank = 0
+                for c in cols:
+                    if not np.isfinite(S[qi, c]):
+                        continue  # -inf self-match lands in top-k when n <= k
+                    rank += 1
                     rows.append((int(qids[qi]), int(nbr_ids[c]),
                                  round(float(S[qi, c]), 9), rank))
             yield pd.DataFrame(rows, columns=["query_id", "nbr_id", "cosine", "rank"])

@@ -104,7 +104,12 @@ def run_unit_test(
     old_macros = manifest.macros
     macro_stubs = {
         f"__ut_override_{i}": (
-            "{%% macro %s() %%}%s{%% endmacro %%}" % (name, val)
+            # touching varargs/kwargs in the body lets the stub absorb
+            # any call arity (Jinja only collects extra args for macros
+            # that reference them) — overrides must mock macros however
+            # the model calls them
+            "{%% macro %s() %%}{%% if varargs or kwargs %%}{%% endif %%}"
+            "%s{%% endmacro %%}" % (name, val)
         )
         for i, (name, val) in enumerate((ov.get("macros") or {}).items())
     }

@@ -154,12 +154,13 @@ def resolve_selector(manifest: Manifest, graph: nx.DiGraph, definition) -> set[s
         if "union" in definition or "intersection" in definition:
             key = "union" if "union" in definition else "intersection"
             acc: Optional[set[str]] = None
+            excl: set[str] = set()
             for item in definition[key]:
                 if isinstance(item, dict) and "exclude" in item:
-                    excl: set[str] = set()
+                    # excludes subtract from the FINAL combined set,
+                    # regardless of position (ref: graph/cli.py set ops)
                     for e in item["exclude"]:
                         excl |= resolve_selector(manifest, graph, e)
-                    acc = (acc or set()) - excl
                     continue
                 s = resolve_selector(manifest, graph, item)
                 if acc is None:
@@ -168,7 +169,7 @@ def resolve_selector(manifest: Manifest, graph: nx.DiGraph, definition) -> set[s
                     acc |= s
                 else:
                     acc &= s
-            return acc or set()
+            return (acc or set()) - excl
         if "method" in definition:
             spec = f"{definition['method']}:{definition['value']}"
             if definition.get("parents"):

@@ -172,7 +172,12 @@ class Manifest:
     def add_node(self, node: Node) -> None:
         if node.resource_type is NodeType.Source:
             self.sources[node.unique_id] = node
-            self._source_index[(node.source_name or "", node.name)] = node.unique_id
+            key = (node.source_name or "", node.name)
+            # like _ref_index below: the root project's declaration wins —
+            # a package re-declaring the same source name/table must not
+            # silently redirect root models to its location
+            if key not in self._source_index or node.package == self.project_name:
+                self._source_index[key] = node.unique_id
         else:
             self.nodes[node.unique_id] = node
             if node.is_refable:

@@ -106,11 +106,19 @@ class ProjectDef:
         )
 
     @classmethod
-    def from_dir(cls, path: str) -> "ProjectDef":
+    def from_dir(cls, path: str, _seen: Optional[frozenset] = None) -> "ProjectDef":
         """Load a dbt-style project directory
-        (ref: config/project.py model_paths/seed_paths/... defaults)."""
+        (ref: config/project.py model_paths/seed_paths/... defaults).
+        ``_seen`` guards against cyclic local-package references."""
         if not _HAVE_YAML:  # pragma: no cover
             raise ParsingError("PyYAML required for on-disk projects")
+        real = os.path.realpath(path)
+        seen = _seen or frozenset()
+        if real in seen:
+            raise ParsingError(
+                f"circular local package dependency at {path!r}"
+            )
+        seen = seen | {real}
         proj_file = os.path.join(path, "dbt_project.yml")
         cfg: dict[str, Any] = {}
         if os.path.exists(proj_file):
@@ -166,7 +174,7 @@ class ProjectDef:
                 pkg_path = os.path.join(path, spec["local"])
                 if not os.path.isdir(pkg_path):
                     raise ParsingError(f"local package not found: {pkg_path}")
-                p.add_package(cls.from_dir(pkg_path))
+                p.add_package(cls.from_dir(pkg_path, _seen=seen))
             else:
                 # registry/git/tarball need network access (ref: deps/
                 # registry.py, git.py, tarball.py) — not available here
@@ -184,7 +192,7 @@ class ProjectDef:
             for sub in sorted(os.listdir(install_dir)):
                 sub_path = os.path.join(install_dir, sub)
                 if os.path.exists(os.path.join(sub_path, "dbt_project.yml")):
-                    pkg = cls.from_dir(sub_path)
+                    pkg = cls.from_dir(sub_path, _seen=seen)
                     p.packages.setdefault(pkg.name, pkg)
         return p
 

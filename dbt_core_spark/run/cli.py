@@ -71,14 +71,19 @@ class SparkbtRunner:
         self.engine = engine
 
     def invoke(self, argv: list[str]) -> RunnerResult:
-        words, flags = _parse_args(argv)
-        if not words:
-            return RunnerResult(False, exception=ValueError("no command"))
-        verb, rest = words[0], words[1:]
         eng = self.engine
+        saved_vars = dict(eng.cli_vars)
         try:
+            words, flags = _parse_args(argv)
+            if not words:
+                return RunnerResult(False, exception=ValueError("no command"))
+            verb, rest = words[0], words[1:]
             if flags.get("vars"):
+                # per-invocation, like the reference's flag handling —
+                # restored in the finally; reparse so parse-time var()
+                # captures (e.g. in config()) see the new values
                 eng.cli_vars.update(json.loads(flags["vars"]))
+                eng.reparse()
             sel = dict(
                 select=flags.get("select"),
                 selector=flags.get("selector"),
@@ -133,3 +138,8 @@ class SparkbtRunner:
                                 exception=ValueError(f"unknown command {verb!r}"))
         except Exception as e:  # the reference catches and wraps too
             return RunnerResult(False, exception=e)
+        finally:
+            if eng.cli_vars != saved_vars:
+                eng.cli_vars.clear()
+                eng.cli_vars.update(saved_vars)
+                eng.reparse()

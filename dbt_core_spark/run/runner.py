@@ -58,7 +58,10 @@ class RunResults:
         return {r.unique_id: r for r in self.results}
 
     def ok(self) -> bool:
-        return all(r.status in ("success", "pass", "warn") for r in self.results)
+        return all(
+            r.status in ("success", "pass", "warn", "partial success")
+            for r in self.results
+        )
 
 
 class GraphRunner:
@@ -236,19 +239,39 @@ class GraphRunner:
                 mat = node.config.get("materialized", "view")
                 if mat == "streaming_table":
                     sql = self._compile_with_stream_sources(node)
+                    from dbt_core_spark.operators.contracts import enforce_contract
                     from dbt_core_spark.operators.streaming_table import (
                         materialize_streaming_table,
                     )
 
+                    # shape check on the streaming plan (analysis only);
+                    # constraint aggregation would be a separate streaming
+                    # query — not run here (documented)
+                    enforce_contract(self.spark, node,
+                                     df=self.spark.sql(sql), check_constraints=False)
                     self.relations[node.unique_id] = rel
                     materialize_streaming_table(self.spark, node, rel, sql)
                     status, msg = "success", "streaming_table"
                 elif mat == "incremental" and node.config.get("incremental_strategy") == "microbatch":
                     batches = self._run_microbatch(node, rel)
                     self._node_hooks(node, "post_hook")
+                    # node status mirrors the reference's batch semantics
+                    # (task/run.py:483-562): every batch failed → error;
+                    # a mix → partial success (retryable; counts as ok)
+                    n_err = sum(1 for b in batches if b.get("status") == "error")
+                    if batches and n_err == len(batches):
+                        bstatus = "error"
+                    elif n_err:
+                        bstatus = "partial success"
+                    else:
+                        bstatus = "success"
+                    msgs = "; ".join(
+                        b.get("message", "") for b in batches
+                        if b.get("status") == "error")[:2000]
                     return NodeResult(
-                        node.unique_id, "success", execution_time=time.time() - t0,
-                        relation=rel, batch_results=batches,
+                        node.unique_id, bstatus,
+                        execution_time=time.time() - t0,
+                        message=msgs, relation=rel, batch_results=batches,
                     )
                 else:
                     self.relations[node.unique_id] = rel
@@ -413,6 +436,12 @@ class GraphRunner:
                     else [partition_by] if partition_by else []
                 )
                 df = self.spark.sql(sql)
+                # per-batch contract enforcement: the shape check is
+                # analysis-only; constraints aggregate only this batch's
+                # (event-time-filtered) rows, so cost stays O(batch)
+                from dbt_core_spark.operators.contracts import enforce_contract
+
+                enforce_contract(self.spark, node, df=df)
                 if not R.relation_exists(self.spark, rel):
                     R.write_table(self.spark, rel, df, partition_by=part_cols)
                 elif part_cols:

@@ -62,3 +62,14 @@ def test_invoke_parse_deps_docs(spark, schema, sf_dir):
     assert r.invoke(["run"]).success
     docs = r.invoke(["docs", "generate"])
     assert docs.success and "nodes" in docs.result
+
+
+def test_invoke_vars_do_not_leak(spark, schema, sf_dir):
+    """--vars apply per invocation (the reference's flag scoping)."""
+    r = SparkbtRunner(spark=spark, project=_proj(sf_dir), schema=schema)
+    assert r.invoke(["run", "-s", "stg", "--vars", '{"lim": 3}']).success
+    assert spark.table(f"{schema}.stg").count() == 3
+    assert r.invoke(["run", "-s", "stg"]).success  # default lim=10 again
+    assert spark.table(f"{schema}.stg").count() == 10
+    bad = r.invoke(["run", "-s"])  # malformed argv stays in the envelope
+    assert not bad.success and bad.exception is not None

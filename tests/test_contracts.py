@@ -133,3 +133,26 @@ def test_persist_docs_table_and_column_comments(spark, schema, sf_dir):
     assert any("the documented table" in (v or "") for v in props.values())
     cols = spark.catalog.listColumns(f"{schema}.doc_t")
     assert any(c.name == "id" and (c.description or "") == "primary key" for c in cols)
+
+
+def test_contract_enforced_on_microbatch(spark, schema, sf_dir):
+    """contract: {enforced: true} applies per microbatch batch too."""
+    import datetime as dt
+
+    p = _proj(sf_dir)
+    p.models["mb"] = (
+        "{{ config(materialized='incremental', incremental_strategy='microbatch', "
+        "event_time='o_orderdate', batch_size='year', "
+        "begin='1996-01-01', contract={'enforced': True}) }}"
+        "select o_orderkey as id, o_orderdate from {{ source('tpch','orders') }}"
+    )
+    p.model_columns["mb"] = [
+        {"name": "id", "data_type": "int"},  # wrong: actual bigint
+        {"name": "o_orderdate", "data_type": "timestamp_ntz"},
+    ]
+    eng = Engine(spark, p, schema=schema)
+    r = eng.run(event_time_start=dt.datetime(1996, 1, 1),
+                event_time_end=dt.datetime(1997, 1, 1))
+    assert not r.ok()
+    assert r.results[0].status == "error"  # every batch failed the contract
+    assert "declared int, got bigint" in r.results[0].message

@@ -198,3 +198,33 @@ def test_unsupported_package_source_raises(tmp_path):
         f.write("packages:\n  - git: https://example.com/repo.git\n")
     with pytest.raises(ParsingError, match="unsupported package source"):
         ProjectDef.from_dir(root)
+
+
+def test_root_source_wins_over_package_source(spark, schema, sf_dir, tmp_path):
+    """A package re-declaring the root's source name/table must not
+    redirect root models to the package's location."""
+    alt = str(tmp_path / "alt_orders")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").limit(1).write.parquet(alt)
+    p = ProjectDef(name="rootp")
+    p.add_source("tpch", "orders", f"{sf_dir}/orders.parquet")
+    pkg = ProjectDef(name="shadow")
+    pkg.add_source("tpch", "orders", alt)  # same names, different data
+    p.add_package(pkg)
+    p.models["m"] = (
+        "select count(*) as n from {{ source('tpch','orders') }}"
+    )
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    assert eng.table("m").collect()[0].n > 1  # root location, not the 1-row alt
+
+
+def test_cyclic_local_packages_rejected(tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for d, other in ((a, "../b"), (b, "../a")):
+        os.makedirs(d)
+        with open(os.path.join(d, "dbt_project.yml"), "w") as f:
+            f.write(f"name: {os.path.basename(d)}\n")
+        with open(os.path.join(d, "packages.yml"), "w") as f:
+            f.write(f"packages:\n  - local: {other}\n")
+    with pytest.raises(ParsingError, match="circular local package"):
+        ProjectDef.from_dir(a)

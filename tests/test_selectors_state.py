@@ -121,3 +121,23 @@ def test_state_manifest_roundtrip(tmp_path, spark, schema, sf_dir):
     assert {r.unique_id for r in res.results} == mods
     loaded = load_state_manifest(state_path)
     assert loaded.nodes["model.sel.mart"].relation_name == f"{schema}.mart"
+
+
+def test_selector_exclude_position_independent(spark, schema, sf_dir):
+    """exclude entries subtract from the FINAL union, wherever they
+    appear in the list (dbt set-op semantics)."""
+    p = _proj(sf_dir)
+    p.selectors["excl_first"] = {
+        "union": [{"exclude": ["tag:slow"]}, "tag:staging", "mart"],
+    }
+    eng = Engine(spark, p, schema=schema)
+    assert eng.resolve_selector("excl_first") == {
+        "model.sel.stg_a", "model.sel.mart"}
+
+
+def test_select_plus_selector_conflict(spark, schema, sf_dir):
+    p = _proj(sf_dir)
+    p.selectors["s1"] = "stg_a"
+    eng = Engine(spark, p, schema=schema)
+    with pytest.raises(ValueError, match="combine"):
+        eng.run(select="stg_b", selector="s1")

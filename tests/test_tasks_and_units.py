@@ -395,3 +395,24 @@ def test_unit_test_overrides(spark, schema, sf_dir):
     # overrides must not leak out of the test
     assert "UT_REGION" not in os.environ
     assert "hard_limit" in p.macros["lims"]
+
+
+def test_unit_test_macro_override_with_args(spark, schema, sf_dir):
+    """Overriding a macro the model calls WITH arguments must still
+    mock the value (stubs absorb any call arity)."""
+    p = base_project(sf_dir)
+    p.macros["calc"] = (
+        "{% macro taxed(amount, rate=0.1) %}({{ amount }} * (1 + {{ rate }}))"
+        "{% endmacro %}")
+    p.models["ovr2"] = (
+        "select {{ taxed('price', rate=0.2) }} as t from {{ ref('stg') }} limit 1")
+    p.unit_tests["ut_args"] = {
+        "model": "ovr2",
+        "given": {"stg": [{"id": 1, "status": "O", "price": 4.0}]},
+        "expect": [{"t": 42.0}],
+        "overrides": {"macros": {"taxed": 42.0}},
+    }
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    res = eng.unit_test("ut_args")
+    assert res[0].status == "pass", res[0].message
