@@ -253,17 +253,45 @@ class Engine:
         return clone_relations(self.spark, self.manifest, state_schema,
                                self.schema, names)
 
-    def retry(self, previous: RunResults) -> RunResults:
-        """`dbt retry` (ref: task/retry.py): re-run errored/skipped nodes."""
+    def retry(self, previous: "RunResults | str") -> RunResults:
+        """`dbt retry` (ref: task/retry.py; failed-batch retry
+        task/run.py:492-511): re-run errored/skipped nodes in full, and
+        for partial-success microbatch nodes re-run ONLY the failed
+        batches (each batch write is idempotent, so this is safe).
+        ``previous`` may be a RunResults or a path to a written
+        run_results.json (file or directory)."""
+        import datetime as _dtm
+
         from dbt_core_spark.run.tasks import retry_selection
 
+        if isinstance(previous, str):
+            from dbt_core_spark.run.artifacts import load_run_results
+
+            previous = load_run_results(previous)
         uids = retry_selection(previous)
-        if not uids:
-            return RunResults()
         names = " ".join(
             self.manifest.nodes[u].name for u in uids if u in self.manifest.nodes
         )
-        return self._runner().run(select=names) if names else RunResults()
+        out = self._runner().run(select=names) if names else RunResults()
+        for r in previous.results:
+            if r.status != "partial success" or not r.batch_results:
+                continue
+            node = self.manifest.nodes.get(r.unique_id)
+            if node is None:
+                continue
+            for b in r.batch_results:
+                if b.get("status") != "error" or not b.get("start"):
+                    continue
+                # end = the batch's own start: the builder's final batch
+                # is the period CONTAINING event_time_end, so this spans
+                # exactly the one failed window
+                res = self.run(
+                    select=node.name,
+                    event_time_start=_dtm.datetime.fromisoformat(b["start"]),
+                    event_time_end=_dtm.datetime.fromisoformat(b["start"]),
+                )
+                out.results.extend(res.results)
+        return out
 
     def run_operation(self, macro_name: str, args: Optional[dict] = None):
         """`dbt run-operation` (ref: task/run_operation.py)."""

@@ -90,6 +90,30 @@ def write_manifest(engine: "Engine", path: str) -> str:
     return path
 
 
+def load_run_results(path: str):
+    """Read a written run_results.json back into a RunResults —
+    `dbt retry` across processes (ref: task/retry.py reads the same
+    artifact).  ``path`` may be the file or its directory."""
+    from dbt_core_spark.run.runner import NodeResult, RunResults
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "run_results.json")
+    with open(path) as f:
+        doc = json.load(f)
+    out = RunResults()
+    for r in doc.get("results", []):
+        out.results.append(NodeResult(
+            unique_id=r.get("unique_id", ""),
+            status=r.get("status", "error"),
+            execution_time=r.get("execution_time") or 0.0,
+            message=r.get("message") or "",
+            relation=r.get("relation_name"),
+            failures=r.get("failures"),
+            batch_results=r.get("batch_results"),
+        ))
+    return out
+
+
 def load_state_manifest(path: str):
     """Read a written ``manifest.json`` back into a Manifest for
     ``--state``-style comparison/defer (ref: state manifest loading,

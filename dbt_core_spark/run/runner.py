@@ -468,7 +468,10 @@ class GraphRunner:
                     )
                     R.rebuild_table(self.spark, rel,
                                     existing.unionByName(df, allowMissingColumns=True))
-                out.append({"batch": batch.batch_id, "status": "success"})
+                out.append({"batch": batch.batch_id, "status": "success",
+                            "start": start_iso, "end": end_iso})
             except Exception as e:  # per-batch failure → retryable
-                out.append({"batch": batch.batch_id, "status": "error", "message": str(e)})
+                out.append({"batch": batch.batch_id, "status": "error",
+                            "start": start_iso, "end": end_iso,
+                            "message": str(e)})
         return out

@@ -150,3 +150,59 @@ def test_microbatch_partitioned_dynamic_overwrite(spark, schema):
     assert df.count() == 4
     # only the Jan-2 partition was replaced; Jan-1/Jan-3 untouched
     assert {r["id"]: r["v"] for r in df.collect()} == {1: 1, 2: 99, 4: 9, 3: 3}
+
+
+def test_retry_reruns_only_failed_batches(spark, schema, sf_dir, tmp_path):
+    """dbt retry semantics for microbatch (ref: task/retry.py +
+    task/run.py:492-511): a partial-success node re-runs ONLY its
+    failed batches; the artifact round-trips through run_results.json."""
+    import copy
+    import os
+
+    from dbt_core_spark import Engine, ProjectDef
+    from dbt_core_spark.run.artifacts import load_run_results, write_run_results
+
+    p = ProjectDef(name="mbr")
+    p.seeds["src"] = [
+        {"id": 1, "event_time": "2020-01-01 01:00:00", "v": 1},
+        {"id": 2, "event_time": "2020-01-02 01:00:00", "v": 2},
+        {"id": 3, "event_time": "2020-01-03 01:00:00", "v": 3},
+    ]
+    p.seed_configs["src"] = {
+        "column_types": {"event_time": "timestamp"},
+        "event_time": "event_time",
+    }
+    p.models["mb"] = (
+        "{{ config(materialized='incremental', incremental_strategy='microbatch', "
+        "event_time='event_time', batch_size='day', begin='2020-01-01') }}"
+        "select * from {{ ref('src') }}"
+    )
+    eng = Engine(spark, p, schema=schema)
+    assert eng.seed().ok()
+    first = eng.run(
+        event_time_start=dt.datetime(2020, 1, 1, tzinfo=UTC),
+        event_time_end=dt.datetime(2020, 1, 4, tzinfo=UTC),
+    )
+    assert first.ok()
+    assert spark.table(f"{schema}.mb").count() == 3
+
+    # simulate one failed batch in the recorded artifact
+    prev = copy.deepcopy(first)
+    node_res = prev.by_id["model.mbr.mb"]
+    node_res.status = "partial success"
+    assert node_res.batch_results and node_res.batch_results[1]["start"]
+    node_res.batch_results[1]["status"] = "error"
+    node_res.batch_results[1]["message"] = "simulated"
+    path = write_run_results(prev, os.path.join(str(tmp_path), "run_results.json"))
+    loaded = load_run_results(str(tmp_path))
+    assert loaded.by_id["model.mbr.mb"].status == "partial success"
+
+    retried = eng.retry(path)
+    # exactly one node execution — the failed day's window — and the
+    # table still holds all three rows (idempotent partition rewrite)
+    assert retried.ok()
+    assert len(retried.results) == 1
+    assert retried.results[0].batch_results is not None
+    assert len(retried.results[0].batch_results) == 1
+    assert retried.results[0].batch_results[0]["start"] == "2020-01-02 00:00:00"
+    assert spark.table(f"{schema}.mb").count() == 3
