@@ -174,6 +174,17 @@ class Engine:
         cli/params.py:269-274)."""
         return self.spark.sql(self.compile_sql(sql)).limit(limit)
 
+    def show_model(self, name: str, limit: int = 5) -> DataFrame:
+        """`dbt show --select <node>` (ref: ShowTask task/show.py:19-58):
+        preview a built model's relation; an unbuilt (or ephemeral)
+        model is compiled and executed on the fly."""
+        target = self.manifest.resolve_ref(name)
+        if target is None:
+            raise KeyError(f"model '{name}' not found")
+        if target.relation_name and not target.is_ephemeral:
+            return self.spark.table(target.relation_name).limit(limit)
+        return self.show(f"select * from {{{{ ref('{name}') }}}}", limit=limit)
+
     def table(self, model_name: str) -> DataFrame:
         """DataFrame over a built model's relation."""
         target = self.manifest.resolve_ref(model_name)
@@ -183,8 +194,11 @@ class Engine:
 
     def ls(self, select: Optional[str] = None,
            resource_type: Optional[str] = None,
-           selector: Optional[str] = None) -> list[str]:
-        """`dbt ls` (ref: task/list.py:1-212)."""
+           selector: Optional[str] = None,
+           output: str = "selector") -> list:
+        """`dbt ls` (ref: task/list.py:1-212).  ``output``: 'selector'
+        (unique_ids, default), 'name', 'path', or 'json' (dicts with
+        name/resource_type/package/config/depends_on)."""
         graph = Linker().link_graph(self.manifest)
         selected = select_nodes(self.manifest, graph, self._sel(select, selector))
         out = []
@@ -193,12 +207,31 @@ class Engine:
                 continue
             if resource_type and n.resource_type.value != resource_type:
                 continue
+            if output == "name":
+                out.append(n.name)
+                continue
+            if output == "path":
+                out.append(n.path or n.name)
+                continue
+            if output == "json":
+                out.append({
+                    "unique_id": uid, "name": n.name,
+                    "resource_type": n.resource_type.value,
+                    "package_name": n.package,
+                    "config": {k: v for k, v in n.config.items()
+                               if v not in (None, [], {})},
+                    "depends_on": {"nodes": n.depends_on},
+                })
+                continue
             out.append(uid)
-        if resource_type in (None, "exposure") and selected is None:
-            out += [f"exposure.{self.project.name}.{e}" for e in self.manifest.exposures]
-        if resource_type in (None, "metric") and selected is None:
-            out += [f"metric.{self.project.name}.{m}" for m in self.manifest.metrics]
-        return sorted(out)
+        if output == "selector":
+            if resource_type in (None, "exposure") and selected is None:
+                out += [f"exposure.{self.project.name}.{e}"
+                        for e in self.manifest.exposures]
+            if resource_type in (None, "metric") and selected is None:
+                out += [f"metric.{self.project.name}.{m}"
+                        for m in self.manifest.metrics]
+        return sorted(out, key=lambda x: x["unique_id"] if isinstance(x, dict) else x)
 
     def docs_generate(self) -> dict:
         """catalog.json analog from spark.catalog

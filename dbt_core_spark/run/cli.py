@@ -108,7 +108,8 @@ class SparkbtRunner:
             if verb in ("ls", "list"):
                 return RunnerResult(True, eng.ls(
                     select=flags.get("select"), selector=flags.get("selector"),
-                    resource_type=flags.get("resource_type")))
+                    resource_type=flags.get("resource_type"),
+                    output=flags.get("output", "selector")))
             if verb == "parse":
                 n = eng.reparse()
                 return RunnerResult(True, {"reparsed": n,
@@ -120,7 +121,11 @@ class SparkbtRunner:
                     return RunnerResult(True, eng.compile_sql(flags["inline"]))
                 return RunnerResult(True, eng.compile_analyses())
             if verb == "show":
-                df = eng.show(flags["inline"], limit=int(flags.get("limit", 5)))
+                if flags.get("inline"):
+                    df = eng.show(flags["inline"], limit=int(flags.get("limit", 5)))
+                else:
+                    df = eng.show_model(flags["select"],
+                                        limit=int(flags.get("limit", 5)))
                 return RunnerResult(True, df)
             if verb == "docs" and rest[:1] == ["generate"]:
                 return RunnerResult(True, eng.docs_generate())

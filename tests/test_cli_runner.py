@@ -73,3 +73,18 @@ def test_invoke_vars_do_not_leak(spark, schema, sf_dir):
     assert spark.table(f"{schema}.stg").count() == 10
     bad = r.invoke(["run", "-s"])  # malformed argv stays in the envelope
     assert not bad.success and bad.exception is not None
+
+
+def test_show_select_and_ls_outputs(spark, schema, sf_dir):
+    """dbt show --select <model> previews the relation; ls --output
+    name/path/json format variants (ref: ShowTask, task/list.py)."""
+    r = SparkbtRunner(spark=spark, project=_proj(sf_dir), schema=schema)
+    assert r.invoke(["run"]).success
+    shown = r.invoke(["show", "--select", "agg", "--limit", "2"])
+    assert shown.success and shown.result.count() <= 2
+    names = r.invoke(["ls", "--output", "name", "--resource-type", "model"])
+    assert names.success and names.result == ["agg", "stg"]
+    js = r.invoke(["ls", "--output", "json", "--select", "agg"])
+    assert js.success
+    assert js.result[0]["unique_id"] == "model.cli.agg"
+    assert js.result[0]["depends_on"]["nodes"] == ["model.cli.stg"]
