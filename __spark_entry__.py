@@ -558,6 +558,45 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def recursive_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month spine (new in Spark 4) joined to a per-month
+    revenue aggregate — the recursive-CTE surface with an exact DuckDB
+    mirror."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        with recursive months(m) as (
+            select timestamp '1996-01-01 00:00:00'
+            union all
+            select m + interval '1' month from months
+            where m < timestamp '1997-12-01 00:00:00'
+        )
+        select cast(m.m as string) as month_start,
+               cast(coalesce(sum(cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)), 0) as bigint) as revenue_e4,
+               cast(count(l.l_orderkey) as bigint) as n_lines
+        from months m
+        left join lineitem l
+          on l.l_shipdate >= m.m and l.l_shipdate < m.m + interval '1' month
+        group by m.m
+    """)
+
+
+def lateral_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT — per-segment
+    top-3 orders by price, the lateral-join surface (distinct from the
+    window-function top-k shape)."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        select s.segment, t.order_key,
+               cast(round(t.o_totalprice * 100) as bigint) as price_e2
+        from (select distinct c_mktsegment as segment from customer) s,
+        lateral (select o.o_orderkey as order_key, o.o_totalprice
+                 from orders o join customer c on o.o_custkey = c.c_custkey
+                 where c.c_mktsegment = s.segment
+                 order by o.o_totalprice desc, o.o_orderkey
+                 limit 3) t
+    """)
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join."""
     _reg(spark, sf_dir)
@@ -1535,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_orders": q18_large_orders,
         "customers_without_orders": customers_without_orders,
+        "recursive_month_revenue": recursive_month_revenue,
+        "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,
         "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
         "q19_or_predicates": q19_or_predicates,
         "q22_global_avg_filter": q22_global_avg_filter,

@@ -291,6 +291,33 @@ where c.c_acctbal > (select sum(cast(round(c2.c_acctbal * 100) as bigint))
 group by c.c_mktsegment
 """
 
+ORACLES["recursive_month_revenue"] = """
+with recursive months(m) as (
+    select timestamp '1996-01-01 00:00:00'
+    union all
+    select m + interval 1 month from months
+    where m < timestamp '1997-12-01 00:00:00'
+)
+select cast(m.m as varchar) as month_start,
+       cast(coalesce(sum(cast(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) as bigint)), 0) as bigint) as revenue_e4,
+       cast(count(l.l_orderkey) as bigint) as n_lines
+from months m
+left join lineitem l
+  on l.l_shipdate >= m.m and l.l_shipdate < m.m + interval 1 month
+group by m.m
+"""
+
+ORACLES["lateral_top3_orders_per_segment"] = """
+select s.segment, t.order_key,
+       cast(round(t.o_totalprice * 100) as bigint) as price_e2
+from (select distinct c_mktsegment as segment from customer) s,
+lateral (select o.o_orderkey as order_key, o.o_totalprice
+         from orders o join customer c on o.o_custkey = c.c_custkey
+         where c.c_mktsegment = s.segment
+         order by o.o_totalprice desc, o.o_orderkey
+         limit 3) t
+"""
+
 ORACLES["q2_min_price_supplier"] = """
 select distinct p.p_partkey as part_key, s.s_name as supplier,
        n.n_name as nation,
