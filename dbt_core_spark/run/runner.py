@@ -420,20 +420,19 @@ class GraphRunner:
             batch_size=batch_size, begin=begin, lookback=cfg.get("lookback", 1),
             event_time_start=self.event_time_start, event_time_end=self.event_time_end,
         )
-        out: list[dict] = []
-        for batch in builder.build_batches(is_incremental=is_inc):
+        partition_by = node.config.get("partition_by")
+        part_cols = (
+            partition_by if isinstance(partition_by, list)
+            else [partition_by] if partition_by else []
+        )
+
+        def run_one(batch) -> dict:
             start_iso = batch.start.strftime("%Y-%m-%d %H:%M:%S")
             end_iso = batch.end.strftime("%Y-%m-%d %H:%M:%S")
             try:
                 sql = self._compile(
                     node, is_incremental=is_inc,
                     event_time_filter=(event_time, start_iso, end_iso),
-                )
-                # idempotent per-batch write (retry-safe)
-                partition_by = node.config.get("partition_by")
-                part_cols = (
-                    partition_by if isinstance(partition_by, list)
-                    else [partition_by] if partition_by else []
                 )
                 df = self.spark.sql(sql)
                 # per-batch contract enforcement: the shape check is
@@ -448,17 +447,9 @@ class GraphRunner:
                     # partitioned table: dynamic partition overwrite touches
                     # only this batch's partitions — O(batch), not O(table);
                     # this is what makes a 100 TB backfill tractable
-                    old = self.spark.conf.get(
-                        "spark.sql.sources.partitionOverwriteMode", "static")
-                    self.spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", "dynamic")
-                    try:
-                        target_cols = [
-                            f.name for f in self.spark.table(rel).schema.fields]
-                        df.select(*target_cols).write.mode("overwrite").insertInto(rel)
-                    finally:
-                        self.spark.conf.set(
-                            "spark.sql.sources.partitionOverwriteMode", old)
+                    target_cols = [
+                        f.name for f in self.spark.table(rel).schema.fields]
+                    df.select(*target_cols).write.mode("overwrite").insertInto(rel)
                 else:
                     # unpartitioned fallback: replace rows in window (full
                     # rewrite — fine locally, configure partition_by at scale)
@@ -468,10 +459,41 @@ class GraphRunner:
                     )
                     R.rebuild_table(self.spark, rel,
                                     existing.unionByName(df, allowMissingColumns=True))
-                out.append({"batch": batch.batch_id, "status": "success",
-                            "start": start_iso, "end": end_iso})
+                return {"batch": batch.batch_id, "status": "success",
+                        "start": start_iso, "end": end_iso}
             except Exception as e:  # per-batch failure → retryable
-                out.append({"batch": batch.batch_id, "status": "error",
-                            "start": start_iso, "end": end_iso,
-                            "message": str(e)})
-        return out
+                return {"batch": batch.batch_id, "status": "error",
+                        "start": start_iso, "end": end_iso,
+                        "message": str(e)}
+
+        batches = builder.build_batches(is_incremental=is_inc)
+        # dynamic overwrite set ONCE around the whole run: the session
+        # conf is process-global, so per-batch toggling would race under
+        # concurrent batches
+        old_mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out: list[dict] = []
+            workers = int(cfg.get("concurrent_batches") or 1)
+            if batches and not R.relation_exists(self.spark, rel):
+                # first batch creates the table serially; the rest can fan out
+                out.append(run_one(batches[0]))
+                batches = batches[1:]
+            if workers > 1 and part_cols and len(batches) > 1:
+                # concurrent batches (ref: dbt concurrent_batches config):
+                # disjoint event-time windows → disjoint partitions, and
+                # dynamic partition overwrite is per-partition atomic, so
+                # parallel batches cannot clobber each other.  Requires
+                # partition_by — the unpartitioned fallback rewrites the
+                # whole table and must stay serial.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    out.extend(ex.map(run_one, batches))
+            else:
+                out.extend(run_one(b) for b in batches)
+            return out
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", old_mode)

@@ -206,3 +206,43 @@ def test_retry_reruns_only_failed_batches(spark, schema, sf_dir, tmp_path):
     assert len(retried.results[0].batch_results) == 1
     assert retried.results[0].batch_results[0]["start"] == "2020-01-02 00:00:00"
     assert spark.table(f"{schema}.mb").count() == 3
+
+
+def test_concurrent_batches_backfill(spark, schema, sf_dir, tmp_path):
+    """concurrent_batches fans the backfill out over a thread pool;
+    disjoint event-time windows write disjoint partitions, so results
+    equal the serial run."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    rows = [
+        {"id": d * 10 + i, "event_time": f"2020-01-{d:02d} 0{i}:00:00", "v": d}
+        for d in range(1, 9) for i in range(3)
+    ]
+    for schema_suffix, conc in (("ser", 1), ("par", 4)):
+        p = ProjectDef(name=f"mbc{schema_suffix}")
+        p.seeds["src"] = rows
+        p.seed_configs["src"] = {
+            "column_types": {"event_time": "timestamp"},
+            "event_time": "event_time",
+        }
+        p.models["mb"] = (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='event_time', "
+            "batch_size='day', begin='2020-01-01', "
+            "partition_by='event_date', concurrent_batches=%d) }}"
+            "select *, cast(event_time as date) as event_date "
+            "from {{ ref('src') }}" % conc
+        )
+        eng = Engine(spark, p, schema=f"{schema}_{schema_suffix}")
+        assert eng.seed().ok()
+        res = eng.run(
+            event_time_start=dt.datetime(2020, 1, 1, tzinfo=UTC),
+            event_time_end=dt.datetime(2020, 1, 8, tzinfo=UTC),
+        )
+        assert res.ok(), [r.message for r in res.results]
+    ser = spark.table(f"{schema}_ser.mb").orderBy("id").collect()
+    par = spark.table(f"{schema}_par.mb").orderBy("id").collect()
+    assert [r.id for r in ser] == [r.id for r in par] and len(ser) == 24
+    for sfx in ("ser", "par"):
+        for db in (f"{schema}_{sfx}", f"{schema}_{sfx}__sources"):
+            spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
