@@ -608,6 +608,34 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def map_struct_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: per-priority status→count MAP built with
+    map_from_entries over sorted struct entries, struct field access,
+    map cardinality, element_at lookup — then exploded back to rows so
+    the DuckDB oracle can verify the same relation without needing
+    engine-identical map internals."""
+    _reg(spark, sf_dir)
+    return spark.sql("""
+        with counts as (
+            select o_orderpriority as priority, o_orderstatus as status,
+                   cast(count(*) as bigint) as cnt
+            from orders group by 1, 2
+        ), m as (
+            select priority,
+                   map_from_entries(
+                       array_sort(collect_list(struct(status as k, cnt as v)))
+                   ) as status_map
+            from counts group by priority
+        )
+        select priority, e.k as status, e.v as n,
+               cast(cardinality(status_map) as bigint) as n_statuses,
+               cast(coalesce(element_at(status_map, 'O'), 0) as bigint) as n_open
+        from m lateral view explode(
+            transform(map_entries(status_map),
+                      x -> struct(x.key as k, x.value as v))) t as e
+    """)
+
+
 def rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP + grouping() indicators (cube/rollup surface)."""
     _reg(spark, sf_dir)
@@ -1580,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_or_predicates": q19_or_predicates,
         "q22_global_avg_filter": q22_global_avg_filter,
         "rollup_quantity": rollup_quantity,
+        "map_struct_status_counts": map_struct_status_counts,
         "pivot_status_by_priority": pivot_status_by_priority,
         "unpivot_status_counts": unpivot_status_counts,
         "window_top3_orders_per_customer": window_top3_orders_per_customer,

@@ -318,6 +318,21 @@ lateral (select o.o_orderkey as order_key, o.o_totalprice
          limit 3) t
 """
 
+ORACLES["map_struct_status_counts"] = """
+with counts as (
+    select o_orderpriority as priority, o_orderstatus as status,
+           cast(count(*) as bigint) as cnt
+    from orders group by 1, 2
+), agg as (
+    select priority,
+           cast(count(*) as bigint) as n_statuses,
+           cast(coalesce(sum(cnt) filter (status = 'O'), 0) as bigint) as n_open
+    from counts group by priority
+)
+select c.priority, c.status, c.cnt as n, a.n_statuses, a.n_open
+from counts c join agg a on a.priority = c.priority
+"""
+
 ORACLES["q2_min_price_supplier"] = """
 select distinct p.p_partkey as part_key, s.s_name as supplier,
        n.n_name as nation,
