@@ -48,6 +48,8 @@ def materialize_table(spark: SparkSession, node: Node, rel: str, sql: str) -> in
         file_format=node.config.get("file_format") or "parquet",
         bucket_by=_as_list(node.config.get("bucket_by")),
         buckets=int(node.config.get("buckets") or 0),
+        sort_by=_as_list(node.config.get("sort_by")),
+        analyze=bool(node.config.get("analyze")),
     )
     return -1  # row counts only on demand — avoid an extra job at scale
 

@@ -56,23 +56,40 @@ def write_table(
     file_format: str = "parquet",
     bucket_by: Optional[list[str]] = None,
     buckets: int = 0,
+    sort_by: Optional[list[str]] = None,
+    analyze: bool = False,
 ) -> None:
     """Write df as a managed table.  ``partition_by`` drives the on-disk
     layout — the 100 TB lever for event-time pruning of incremental /
     microbatch tables; ``bucket_by``+``buckets`` pre-shuffles on the join
     key so downstream equi-joins between co-bucketed tables skip the
-    exchange entirely (SURVEY §4)."""
+    exchange entirely (SURVEY §4).
+
+    ``sort_by`` clusters rows within each output file (range-partition +
+    sortWithinPartitions) so parquet row-group min/max statistics become
+    selective — the data-skipping lever for point/range predicates on
+    non-partition columns (the Z-ORDER-lite of a plain parquet lake).
+    ``analyze`` runs ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL
+    COLUMNS after the write, feeding Catalyst's CBO (join reordering,
+    broadcast decisions at real scale)."""
     rtype = relation_type(spark, rel)
     if rtype == "view":
         drop_relation(spark, rel)
     if rtype is None:
         _clear_orphan_location(spark, rel)
+    if sort_by and not (bucket_by and buckets):
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in sort_by]
+        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     writer = df.write.format(file_format).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if bucket_by and buckets:
-        writer = writer.bucketBy(buckets, *bucket_by).sortBy(*bucket_by)
+        writer = writer.bucketBy(buckets, *bucket_by).sortBy(*(sort_by or bucket_by))
     writer.saveAsTable(rel)
+    if analyze:
+        spark.sql(f"ANALYZE TABLE {rel} COMPUTE STATISTICS FOR ALL COLUMNS")
 
 
 def _clear_orphan_location(spark: SparkSession, rel: str) -> None:

@@ -278,3 +278,44 @@ def test_seed_csv_with_delimiter_and_types(spark, schema, tmp_path):
     types = dict(df.dtypes)
     assert types["ratio"] == "decimal(5,2)" and types["when"] == "date"
     assert df.count() == 2
+
+
+def test_sort_by_and_analyze_configs(spark, schema, sf_dir):
+    """sort_by clusters rows for row-group skipping; analyze records
+    column statistics for the CBO."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    p = ProjectDef(name="sa")
+    p.add_source("tpch", "orders", f"{sf_dir}/orders.parquet")
+    p.models["t"] = (
+        "{{ config(materialized='table', sort_by='o_orderdate', analyze=True) }}"
+        "select o_orderkey, o_orderdate, o_totalprice "
+        "from {{ source('tpch','orders') }}"
+    )
+    eng = Engine(spark, p, schema=schema)
+    # AQE would coalesce this tiny write into one range partition —
+    # disable it so the multi-file layout is observable (at real scale
+    # the ranges are many regardless)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        assert eng.run().ok(), [r.message for r in eng.run().results]
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # range clustering: files hold disjoint date ranges, so row-group
+    # min/max stats can actually skip for a date predicate
+    import pyspark.sql.functions as F
+
+    df = spark.table(f"{schema}.t")
+    ranges = sorted(
+        (r.lo, r.hi)
+        for r in df.groupBy(F.input_file_name().alias("f")).agg(
+            F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+        ).collect()
+    )
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 <= lo2  # non-overlapping, ordered
+    # column stats present for the CBO
+    desc = spark.sql(f"DESCRIBE EXTENDED {schema}.t o_totalprice").collect()
+    kv = {r.info_name: r.info_value for r in desc}
+    assert kv.get("distinct_count") not in (None, "NULL")
