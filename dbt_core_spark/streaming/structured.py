@@ -83,6 +83,35 @@ def streaming_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event matched
+    to right events with the same ``key`` whose ``right_ts`` falls in
+    [left_ts, left_ts + within] — the attribution/enrichment pattern
+    (click → conversion).  Both sides carry watermarks and the join
+    condition carries the time bound, so Spark can expire state for
+    both inputs (bounded memory on unbounded streams).  Outer variants
+    ('leftOuter'/'rightOuter'/'fullOuter') emit unmatched rows once the
+    watermark passes."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}")
+           <= F.col(f"l.{left_ts}") + F.expr(f"interval {within}"))
+    )
+    return l.join(r, cond, how)
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

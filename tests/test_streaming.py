@@ -166,3 +166,43 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = {r.event_id: r.kind for r in spark.table(name).collect()}
     assert set(rows) == {1, 2, 3}
     assert "a-dup" not in rows.values() and "b-dup" not in rows.values()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Click → purchase attribution: purchases join the preceding click
+    with the same user within 30 minutes, as a stream-stream join with
+    state bounded by watermarks on both sides."""
+    from dbt_core_spark.streaming.structured import stream_stream_join
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    click_schema = T.StructType([
+        T.StructField("user", T.LongType()),
+        T.StructField("click_ts", T.TimestampType()),
+        T.StructField("page", T.StringType()),
+    ])
+    buy_schema = T.StructType([
+        T.StructField("user", T.LongType()),
+        T.StructField("buy_ts", T.TimestampType()),
+        T.StructField("amount", T.LongType()),
+    ])
+    _write_events(clicks_dir, [
+        {"user": 1, "click_ts": "2024-01-01T10:00:00.000Z", "page": "a"},
+        {"user": 2, "click_ts": "2024-01-01T10:05:00.000Z", "page": "b"},
+        {"user": 3, "click_ts": "2024-01-01T10:10:00.000Z", "page": "c"},
+    ])
+    _write_events(buys_dir, [
+        {"user": 1, "buy_ts": "2024-01-01T10:20:00.000Z", "amount": 5},   # within 30m
+        {"user": 2, "buy_ts": "2024-01-01T11:30:00.000Z", "amount": 7},   # too late
+        {"user": 9, "buy_ts": "2024-01-01T10:15:00.000Z", "amount": 1},   # no click
+    ])
+    clicks = stream_source(spark, clicks_dir, click_schema, fmt="json")
+    buys = stream_source(spark, buys_dir, buy_schema, fmt="json")
+    joined = stream_stream_join(
+        clicks, buys, key="user", left_ts="click_ts", right_ts="buy_ts",
+        watermark="2 hours", within="30 minutes",
+    ).select("l.user", "page", "amount")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name)
+    rows = {(r.user, r.page, r.amount) for r in spark.table(name).collect()}
+    assert rows == {(1, "a", 5)}
