@@ -1580,67 +1580,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate checks the FIRST 50
+    # keys (insertion order).  Round 1 verified the relational+xdb surface;
+    # round 2 leads with the 32 entries that had no driver row yet
+    # (engine materializations, streaming, all LLM-pipeline ops), then
+    # new round-2 queries, then representative already-verified shapes.
+    # Keep any newly added query inside the first-50 window.
     return {
-        # relational / TPC-H-ish
-        "q1_pricing_summary": q1_pricing_summary,
-        "q2_min_price_supplier": q2_min_price_supplier,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_priority_lines": q12_late_priority_lines,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_count": q16_supplier_count,
-        "q20_part_share_suppliers": q20_part_share_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q4_order_priority": q4_order_priority,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_orders": q18_large_orders,
-        "customers_without_orders": customers_without_orders,
-        "recursive_month_revenue": recursive_month_revenue,
-        "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,
-        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
-        "q19_or_predicates": q19_or_predicates,
-        "q22_global_avg_filter": q22_global_avg_filter,
-        "rollup_quantity": rollup_quantity,
-        "map_struct_status_counts": map_struct_status_counts,
-        "pivot_status_by_priority": pivot_status_by_priority,
-        "unpivot_status_counts": unpivot_status_counts,
-        "window_top3_orders_per_customer": window_top3_orders_per_customer,
-        "running_revenue_by_customer": running_revenue_by_customer,
-        "rolling_7day_order_totals": rolling_7day_order_totals,
-        "sessionize_events": sessionize_events,
-        "asof_join_events_orders": asof_join_events_orders,
-        "multi_granularity_rollup": multi_granularity_rollup,
-        "hourly_event_rollup": hourly_event_rollup,
-        "json_extract_props": json_extract_props,
-        "stats_by_returnflag": stats_by_returnflag,
-        "percentiles_by_group": percentiles_by_group,
-        "dynamic_pivot_events": dynamic_pivot_events,
-        "pandas_udf_text_features": pandas_udf_text_features,
-        "set_ops_statuses": set_ops_statuses,
-        # cross-db function surface
-        "xdb_datetime_functions": xdb_datetime_functions,
-        "xdb_string_functions": xdb_string_functions,
-        "xdb_listagg_nations": xdb_listagg_nations,
-        "xdb_date_spine": xdb_date_spine,
-        "xdb_arrays": xdb_arrays,
-        "generate_series_powers": generate_series_powers,
-        # engine-driven materializations
-        "engine_view_table_ephemeral": engine_view_table_ephemeral,
-        "engine_incremental_merge": engine_incremental_merge,
+        # -- engine-driven materializations (unverified in r1) --
         "engine_snapshot_scd2": engine_snapshot_scd2,
         "engine_microbatch_day": engine_microbatch_day,
         "engine_generic_test_failures": engine_generic_test_failures,
         "engine_insert_overwrite": engine_insert_overwrite,
         "engine_streaming_table": engine_streaming_table,
         "engine_python_model": engine_python_model,
-        # LLM-pipeline operators
+        # -- LLM-pipeline operators (unverified in r1) --
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_embedding_docs": dedup_embedding_docs,
         "pipeline_clean_corpus": pipeline_clean_corpus,
@@ -1667,6 +1621,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "multimodal_features_docs": multimodal_features_docs,
         "multimodal_frame_sample": multimodal_frame_sample,
+        # -- new round-2 queries go HERE (inside the first-50 window) --
+        # -- representative verified-in-r1 fills (demote to keep <=50) --
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q9_product_profit": q9_product_profit,
+        "q18_large_orders": q18_large_orders,
+        "recursive_month_revenue": recursive_month_revenue,
+        "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,
+        "window_top3_orders_per_customer": window_top3_orders_per_customer,
+        "sessionize_events": sessionize_events,
+        "asof_join_events_orders": asof_join_events_orders,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "json_extract_props": json_extract_props,
+        "pandas_udf_text_features": pandas_udf_text_features,
+        "xdb_datetime_functions": xdb_datetime_functions,
+        "xdb_string_functions": xdb_string_functions,
+        "xdb_listagg_nations": xdb_listagg_nations,
+        "xdb_date_spine": xdb_date_spine,
+        "engine_view_table_ephemeral": engine_view_table_ephemeral,
+        "engine_incremental_merge": engine_incremental_merge,
+        # ---------------- past the 50-query gate cap ----------------
+        "q2_min_price_supplier": q2_min_price_supplier,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_priority_lines": q12_late_priority_lines,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_part_share_suppliers": q20_part_share_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "customers_without_orders": customers_without_orders,
+        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+        "q19_or_predicates": q19_or_predicates,
+        "q22_global_avg_filter": q22_global_avg_filter,
+        "rollup_quantity": rollup_quantity,
+        "map_struct_status_counts": map_struct_status_counts,
+        "unpivot_status_counts": unpivot_status_counts,
+        "running_revenue_by_customer": running_revenue_by_customer,
+        "rolling_7day_order_totals": rolling_7day_order_totals,
+        "multi_granularity_rollup": multi_granularity_rollup,
+        "hourly_event_rollup": hourly_event_rollup,
+        "stats_by_returnflag": stats_by_returnflag,
+        "percentiles_by_group": percentiles_by_group,
+        "dynamic_pivot_events": dynamic_pivot_events,
+        "set_ops_statuses": set_ops_statuses,
+        "xdb_arrays": xdb_arrays,
+        "generate_series_powers": generate_series_powers,
     }
 
 
