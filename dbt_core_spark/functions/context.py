@@ -147,6 +147,11 @@ class RenderContext:
         self.results_store: dict[str, AgateLikeTable] = {}
         self.captured_config: dict[str, Any] = {}
         self.sql_header: Optional[str] = None
+        # Ephemeral CTE refs collected DURING this render.  Kept on the
+        # context, not the shared Node: concurrent compiles of models
+        # sharing an ephemeral upstream (threads>1, concurrent_batches)
+        # would otherwise race on node.extra_ctes reset/append/read.
+        self.extra_ctes: list[tuple[str, str]] = []
 
     # --- ref / source (providers.py:516-720) -------------------------------
 
@@ -174,7 +179,7 @@ class RenderContext:
         if target.is_ephemeral:
             # ephemeral → CTE inlining (ref: compilation.py:306-396;
             # RuntimeRefResolver.create_relation providers.py:579-586)
-            self.node.extra_ctes.append((target.unique_id, target.cte_name()))
+            self.extra_ctes.append((target.unique_id, target.cte_name()))
             return target.cte_name()
         rel = self.relations.get(target.unique_id) or target.relation_name
         if rel is None:

@@ -87,7 +87,8 @@ def materialize_incremental(
         out = df.select(
             *[F.col(c) if c in df.columns else F.lit(None).alias(c) for c in target_cols]
         )
-        out.write.format("parquet").mode("append").saveAsTable(rel)
+        fmt = node.config.get("file_format") or "parquet"
+        out.write.format(fmt).mode("append").saveAsTable(rel)
         return -1
 
     if strategy == "insert_overwrite":
@@ -103,6 +104,9 @@ def materialize_incremental(
         return -1
 
     if strategy in ("merge", "delete+insert", "microbatch"):
+        if partition_by and _table_partition_cols(spark, rel) == partition_by:
+            _partition_scoped_merge(spark, node, rel, df, unique_key, partition_by)
+            return -1
         merged = _merge_frames(
             spark.table(rel),
             df,
@@ -115,6 +119,102 @@ def materialize_incremental(
         return -1
 
     raise ExecutionError(f"unknown incremental_strategy '{strategy}'")
+
+
+def _table_partition_cols(spark: SparkSession, rel: str) -> list[str]:
+    """Partition columns of ``rel`` as recorded in the catalog."""
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE {rel}").collect()
+    except Exception:
+        return []
+    cols: list[str] = []
+    in_part = False
+    for r in rows:
+        name = (r["col_name"] or "").strip()
+        if name.startswith("# Partition"):
+            in_part = True
+            continue
+        if in_part:
+            if not name or name.startswith("#"):
+                continue
+            cols.append(name)
+    return cols
+
+
+def _partition_scoped_merge(
+    spark: SparkSession,
+    node: Node,
+    rel: str,
+    df: DataFrame,
+    unique_key: list[str],
+    partition_by: list[str],
+) -> None:
+    """Merge that rewrites ONLY the partitions the increment touches.
+
+    The full-rewrite fallback is correct but rewrites the entire target —
+    at 100 TB an un-predicated merge would rewrite 100 TB.  Here:
+
+    1. touched = partitions of the source batch ∪ partitions of target
+       rows whose key matches a source key (a column-pruned key+partition
+       scan of the target, NOT a full-row read — handles keys whose
+       partition value changed between runs);
+    2. merge the source against only the touched slice of the target;
+    3. write back via dynamic partition overwrite (untouched partitions'
+       files are never rewritten — byte-identical, asserted in tests);
+    4. drop any touched partition the merge emptied (a key that moved
+       partitions could leave its old partition with zero output rows,
+       which dynamic overwrite would otherwise leave stale).
+
+    Mirrors what Delta/Iceberg MERGE achieves via file-level rewrite
+    (ref semantics: tests/functional/adapter/incremental/
+    test_incremental_unique_id.py); delta_compat.py takes over wholesale
+    when delta-spark is importable.
+    """
+    target = spark.table(rel)
+    src_parts = df.select(*partition_by).distinct()
+    # column-pruned scan: only key+partition columns of the target are
+    # read here; AQE broadcasts the source-key side when it is small
+    matched_parts = (
+        target.join(df.select(*unique_key).distinct(), unique_key, "leftsemi")
+        .select(*partition_by)
+        .distinct()
+    )
+    touched = src_parts.unionByName(matched_parts).distinct()
+    touched_vals = [tuple(r) for r in touched.collect()]  # bounded: #partitions
+
+    eligible = target.join(F.broadcast(touched), partition_by, "leftsemi")
+    merged = _merge_frames(
+        eligible,
+        df,
+        unique_key,
+        merge_exclude_columns=_as_list(node.config.get("merge_exclude_columns")),
+        incremental_predicates=_as_list(node.config.get("incremental_predicates")),
+        delete_insert=(node.config.get("incremental_strategy") == "delete+insert"),
+    )
+
+    # materialize to a tmp table: the merged plan reads `rel`, which Spark
+    # refuses to overwrite in-place
+    tmp = f"{rel}__dbt_increment_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    target_cols = [f.name for f in target.schema.fields]
+    merged.select(*target_cols).write.format("parquet").saveAsTable(tmp)
+    try:
+        out = spark.table(tmp)
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").insertInto(rel)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        out_parts = {tuple(r) for r in out.select(*partition_by).distinct().collect()}
+        for vals in touched_vals:
+            if tuple(vals) not in out_parts:
+                spec = ", ".join(
+                    f"`{c}` = '{v}'" for c, v in zip(partition_by, vals)
+                )
+                spark.sql(f"ALTER TABLE {rel} DROP IF EXISTS PARTITION ({spec})")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
 
 
 def _merge_frames(

@@ -104,7 +104,12 @@ def materialize_snapshot(
         scd, _scd_id(keys, src_version_ts)
     ).withColumn(vfrom, src_version_ts).withColumn(vto, open_vto)
 
+    is_del = meta["dbt_is_deleted"]
     if not R.relation_exists(spark, rel):
+        if hard_deletes == "new_record":
+            # reference writes 'False' on every inserted record so the
+            # flag is total (filters like dbt_is_deleted = 'False' work)
+            src = src.withColumn(is_del, F.lit("False"))
         R.write_table(spark, rel, src, mode="overwrite")
         return -1
 
@@ -125,7 +130,12 @@ def materialize_snapshot(
     tgt_cols = target.columns
 
     if strategy == "timestamp":
-        changed = F.col(f"s.{vupd}") > F.col(f"c.{vupd}")
+        # NULL source updated_at must read as "unchanged", not NULL —
+        # a NULL predicate would drop the key's current row entirely
+        # (reference MERGE leaves unmatched target rows untouched).
+        changed = F.coalesce(
+            F.col(f"s.{vupd}") > F.col(f"c.{vupd}"), F.lit(False)
+        )
     else:
         changed = (
             F.concat_ws(
@@ -165,7 +175,6 @@ def materialize_snapshot(
         deleted = deleted_cur.select(
             *[(now if cc == vto else F.col(f"c.{cc}")).alias(cc) for cc in tgt_cols]
         )
-        is_del = _meta_names(node)["dbt_is_deleted"]
         extra_new = deleted_cur.select(
             *[
                 (
@@ -188,6 +197,15 @@ def materialize_snapshot(
     ).unionByName(deleted, allowMissingColumns=True)
     if extra_new is not None:
         out = out.unionByName(extra_new, allowMissingColumns=True)
+    if hard_deletes == "new_record":
+        # make the flag total: rows that predate the column (or arrive
+        # via allowMissingColumns) read 'False', deletion records 'True'
+        if is_del in out.columns:
+            out = out.withColumn(
+                is_del, F.coalesce(F.col(is_del), F.lit("False"))
+            )
+        else:
+            out = out.withColumn(is_del, F.lit("False"))
 
     R.rebuild_table(spark, rel, out)
     return -1

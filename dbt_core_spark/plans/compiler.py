@@ -20,7 +20,10 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import SparkSession
 
 
-_WITH_RE = re.compile(r"^\s*(--.*?\n|/\*.*?\*/\s*)*\s*with\b", re.IGNORECASE | re.DOTALL)
+_WITH_RE = re.compile(
+    r"^\s*(--.*?\n|/\*.*?\*/\s*)*\s*with\b(\s+recursive\b)?",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def compile_node(
@@ -33,8 +36,12 @@ def compile_node(
     event_time_filter: Optional[tuple[str, str, str]] = None,
     resolve_limit: Optional[int] = None,
 ) -> str:
-    """Render a node's Jinja → SQL, then prepend ephemeral CTEs."""
-    node.extra_ctes = []
+    """Render a node's Jinja → SQL, then prepend ephemeral CTEs.
+
+    CTE accumulation is context-local (ctx.extra_ctes), never on the
+    shared Node — compile_node is called concurrently by worker threads
+    and per-batch microbatch runs for nodes sharing ephemeral upstreams.
+    """
     ctx = RenderContext(
         manifest,
         node,
@@ -47,9 +54,12 @@ def compile_node(
         resolve_limit=resolve_limit,
     )
     sql = render(node.raw_code, ctx).strip().rstrip(";")
-    ctes = _gather_ctes(manifest, node, spark, relations, cli_vars, event_time_filter)
+    ctes = _gather_ctes(
+        manifest, ctx.extra_ctes, spark, relations, cli_vars, event_time_filter
+    )
     if ctes:
         sql = inject_ctes_into_sql(sql, ctes)
+    node.extra_ctes = list(ctx.extra_ctes)  # for inspection only
     node.compiled = True
     node.compiled_code = sql
     return sql
@@ -57,34 +67,35 @@ def compile_node(
 
 def _gather_ctes(
     manifest: Manifest,
-    node: Node,
+    root_ctes: list[tuple[str, str]],
     spark: Optional["SparkSession"],
     relations: dict[str, str],
     cli_vars: Optional[dict],
     event_time_filter: Optional[tuple[str, str, str]],
 ) -> list[tuple[str, str]]:
     """Recursively collect ephemeral upstream CTEs in dependency order,
-    deduplicated (ref: _recursively_prepend_ctes compilation.py:306-396)."""
+    deduplicated (ref: _recursively_prepend_ctes compilation.py:306-396).
+    Each upstream render gets its own context; nothing is written to the
+    shared Node objects (thread-safe under the runner's worker pool)."""
     ordered: list[tuple[str, str]] = []
     seen: set[str] = set()
 
-    def visit(n: Node) -> None:
-        for uid, cte_name in n.extra_ctes:
+    def visit(entries: list[tuple[str, str]]) -> None:
+        for uid, cte_name in entries:
             if uid in seen:
                 continue
             seen.add(uid)
             upstream = manifest.nodes[uid]
-            upstream.extra_ctes = []
             ctx = RenderContext(
                 manifest, upstream, mode="runtime", spark=spark,
                 relations=relations, cli_vars=cli_vars,
                 event_time_filter=event_time_filter,
             )
             up_sql = render(upstream.raw_code, ctx).strip().rstrip(";")
-            visit(upstream)  # ephemeral-on-ephemeral chains first
+            visit(ctx.extra_ctes)  # ephemeral-on-ephemeral chains first
             ordered.append((cte_name, up_sql))
 
-    visit(node)
+    visit(root_ctes)
     return ordered
 
 

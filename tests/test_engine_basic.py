@@ -319,3 +319,22 @@ def test_sort_by_and_analyze_configs(spark, schema, sf_dir):
     desc = spark.sql(f"DESCRIBE EXTENDED {schema}.t o_totalprice").collect()
     kv = {r.info_name: r.info_value for r in desc}
     assert kv.get("distinct_count") not in (None, "NULL")
+
+
+def test_inject_ctes_preserves_with_recursive():
+    """Ephemeral CTE injection into a model starting WITH RECURSIVE must
+    splice AFTER the recursive keyword (it must stay first)."""
+    from dbt_core_spark.plans.compiler import inject_ctes_into_sql
+
+    out = inject_ctes_into_sql(
+        "with recursive r as (select 1 n union all select n+1 from r where n < 3) "
+        "select * from r",
+        [("__dbt__cte__e", "select 1 as x")],
+    )
+    low = out.lower()
+    assert low.startswith("with recursive __dbt__cte__e as (select 1 as x),")
+    # plain WITH still merges after the keyword
+    out2 = inject_ctes_into_sql(
+        "with a as (select 1) select * from a", [("c1", "select 2")]
+    )
+    assert out2.lower().startswith("with c1 as (select 2), a as (select 1)")

@@ -158,6 +158,76 @@ def test_incremental_predicates_freeze_rows(spark, schema):
     assert eng.table("m").filter("id = 1 and name = 'ann'").count() == 1
 
 
+def _table_files(spark, rel, subdir=""):
+    """{relative_path: md5} of data files under the table location."""
+    import hashlib, os
+    loc = None
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {rel}").collect():
+        if (r["col_name"] or "").strip() == "Location":
+            loc = r["data_type"]
+    assert loc and loc.startswith("file:")
+    root = loc[len("file:"):]
+    out = {}
+    for dirpath, _dirs, files in os.walk(os.path.join(root, subdir)):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(dirpath, f)
+            with open(full, "rb") as fh:
+                out[os.path.relpath(full, root)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_partition_scoped_merge_untouched_bytes(spark, schema):
+    """A merge whose increment touches one partition must leave the other
+    partitions' files byte-identical (no full-table rewrite)."""
+    p = _seed_project([
+        {"id": 1, "day": "2020-01-01", "v": 1},
+        {"id": 2, "day": "2020-01-02", "v": 1},
+        {"id": 3, "day": "2020-01-03", "v": 1},
+    ])
+    p.models["m"] = "select * from {{ ref('raw') }}"
+    p.model_configs["m"] = {"materialized": "incremental", "unique_key": "id",
+                            "partition_by": "day"}
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); assert eng.run().ok()
+    rel = f"{schema}.m"
+    before = _table_files(spark, rel, "day=2020-01-01")
+    # increment: update id=2 (day2) + insert id=4 (day2)
+    p.seeds["raw"] = [
+        {"id": 2, "day": "2020-01-02", "v": 9},
+        {"id": 4, "day": "2020-01-02", "v": 9},
+    ]
+    eng2 = Engine(spark, p, schema=schema)
+    eng2.seed(); r = eng2.run()
+    assert r.ok(), [x.message for x in r.results]
+    after = _table_files(spark, rel, "day=2020-01-01")
+    assert before == after  # untouched partition never rewritten
+    rows = {r["id"]: r["v"] for r in eng2.table("m").collect()}
+    assert rows == {1: 1, 2: 9, 3: 1, 4: 9}
+
+
+def test_partition_scoped_merge_key_moves_partition(spark, schema):
+    """A key whose partition value changes must not leave a stale copy in
+    its old partition; a fully-emptied partition is dropped."""
+    p = _seed_project([
+        {"id": 1, "day": "2020-01-01", "v": 1},   # only row in day1
+        {"id": 2, "day": "2020-01-02", "v": 1},
+    ])
+    p.models["m"] = "select * from {{ ref('raw') }}"
+    p.model_configs["m"] = {"materialized": "incremental", "unique_key": "id",
+                            "partition_by": "day"}
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); assert eng.run().ok()
+    # id=1 moves day1 → day3
+    p.seeds["raw"] = [{"id": 1, "day": "2020-01-03", "v": 5}]
+    eng2 = Engine(spark, p, schema=schema)
+    eng2.seed(); r = eng2.run()
+    assert r.ok(), [x.message for x in r.results]
+    rows = {(r["id"], r["day"]): r["v"] for r in eng2.table("m").collect()}
+    assert rows == {(1, "2020-01-03"): 5, (2, "2020-01-02"): 1}  # no dup in day1
+
+
 def test_insert_overwrite_partitions(spark, schema):
     p = _seed_project([
         {"id": 1, "day": "2020-01-01", "v": 1},

@@ -137,3 +137,43 @@ def test_valid_to_current_sentinel(spark, schema):
     assert cur.count() == 3  # all three keys open, sentinel intact
     closed = snap.filter("dbt_valid_to <> timestamp'9999-12-31 00:00:00'")
     assert closed.count() == 1 and closed.collect()[0]["id"] == 1
+
+
+def test_null_updated_at_keeps_current_row(spark, schema):
+    """A NULL source updated_at must read as 'unchanged' — not drop the
+    key's current row (reference MERGE leaves unmatched targets alone)."""
+    p = _snap_project(V1, {"strategy": "timestamp", "updated_at": "updated_at"})
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); assert eng.snapshot().ok()
+    p.seeds["people"] = [
+        {"id": 1, "email": "a@x.com", "updated_at": None},  # NULL ts
+        {"id": 2, "email": "b@x.com", "updated_at": "2020-01-01 00:00:00"},
+    ]
+    eng2 = Engine(spark, p, schema=schema)
+    eng2.seed(); r = eng2.snapshot()
+    assert r.ok(), [x.message for x in r.results]
+    snap = spark.table(f"{schema}.people_snapshot")
+    assert snap.count() == 2  # both keys still present, nothing dropped
+    cur = {r["id"]: r["email"] for r in snap.filter("dbt_valid_to is null").collect()}
+    assert cur == {1: "a@x.com", 2: "b@x.com"}
+
+
+def test_new_record_flag_is_total(spark, schema):
+    """With hard_deletes='new_record' every row carries dbt_is_deleted
+    ('False' for live rows, 'True' only on deletion records) so filters
+    like dbt_is_deleted = 'False' keep live rows."""
+    p = _snap_project(V1, {"strategy": "timestamp", "updated_at": "updated_at",
+                           "hard_deletes": "new_record",
+                           "snapshot_at": "2020-06-01 00:00:00"})
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); assert eng.snapshot().ok()
+    snap = spark.table(f"{schema}.people_snapshot")
+    assert snap.filter("dbt_is_deleted = 'False'").count() == 2  # initial write total
+    p.seeds["people"] = [V1[0]]  # id=2 deleted upstream
+    eng2 = Engine(spark, p, schema=schema)
+    eng2.seed(); assert eng2.snapshot().ok()
+    snap = spark.table(f"{schema}.people_snapshot")
+    assert snap.filter("dbt_is_deleted is null").count() == 0  # flag is total
+    assert snap.filter("dbt_is_deleted = 'True'").count() == 1
+    live = snap.filter("dbt_is_deleted = 'False'")
+    assert set(r["id"] for r in live.collect()) == {1, 2}  # closed id=2 row is 'False'
