@@ -39,7 +39,21 @@ class Engine:
         self.schema = schema or f"dbt_{uuid.uuid4().hex[:8]}"
         self.cli_vars = vars or {}
         self.threads = threads
-        self.manifest: Manifest = parse_project(project, cli_vars=self.cli_vars)
+        # on-disk partial parsing (ref: target/partial_parse.msgpack,
+        # parser/partial.py:68): for directory-loaded projects, reuse the
+        # persisted parse cache so a cold start skips unchanged renders,
+        # then refresh it
+        disk_cache = None
+        if project.project_root:
+            from dbt_core_spark.plans.partial import (
+                load_partial_parse, write_partial_parse,
+            )
+
+            disk_cache = load_partial_parse(project.project_root)
+        self.manifest: Manifest = parse_project(
+            project, cli_vars=self.cli_vars, cache=disk_cache)
+        if project.project_root:
+            write_partial_parse(self.manifest, project.project_root)
 
     def deps(self) -> dict[str, dict]:
         """Installed dependency packages (ref: task ``dbt deps``,
@@ -61,6 +75,10 @@ class Engine:
         (ref: parser/partial.py).  Returns the number re-rendered."""
         self.manifest = parse_project(
             self.project, cli_vars=self.cli_vars, cache=self.manifest)
+        if self.project.project_root:
+            from dbt_core_spark.plans.partial import write_partial_parse
+
+            write_partial_parse(self.manifest, self.project.project_root)
         return self.manifest.reparse_count
 
     def compile_analyses(self) -> dict[str, str]:
@@ -332,6 +350,53 @@ class Engine:
 
         return run_operation(self.spark, self.manifest, macro_name, args)
 
+    def _coerce_state(self, state: "Engine | Manifest | str") -> Manifest:
+        if isinstance(state, str):
+            from dbt_core_spark.run.artifacts import load_state_manifest
+
+            return load_state_manifest(state)
+        return state.manifest if isinstance(state, Engine) else state
+
+    def set_state(
+        self,
+        state: "Engine | Manifest | str | None" = None,
+        results: "RunResults | dict | str | None" = None,
+        sources: "dict | str | None" = None,
+    ) -> "Engine":
+        """Attach previous-invocation artifacts so ``state:*`` /
+        ``result:*`` / ``source_status:fresher`` selectors work in any
+        task verb (ref: --state loading task/base.py; selector_methods.py
+        :610-830).  ``state`` = Engine/Manifest/path to manifest.json;
+        ``results`` = RunResults/{uid: status}/path to run_results.json;
+        ``sources`` = {uid: iso_ts}/path to a previous sources.json
+        (current freshness is computed via source_freshness()).
+        Returns self for chaining."""
+        if state is not None:
+            self.manifest.state_manifest = self._coerce_state(state)
+        if results is not None:
+            if isinstance(results, str):
+                from dbt_core_spark.run.artifacts import load_run_results
+
+                results = load_run_results(results)
+            if isinstance(results, dict):
+                self.manifest.previous_results = dict(results)
+            else:
+                self.manifest.previous_results = {
+                    r.unique_id: r.status for r in results.results
+                }
+        if sources is not None:
+            if isinstance(sources, str):
+                from dbt_core_spark.run.artifacts import load_sources
+
+                sources = load_sources(sources)
+            self.manifest.previous_source_status = dict(sources)
+            cur = self.source_freshness()
+            self.manifest.current_source_status = {
+                uid: fr.max_loaded_at.isoformat() if fr.max_loaded_at else None
+                for uid, fr in cur.items()
+            }
+        return self
+
     def modified_vs(self, state: "Engine | Manifest | str") -> set[str]:
         """state:modified selection against a previous manifest — an
         Engine, an in-memory Manifest, or a ``--state`` path to written
@@ -339,28 +404,36 @@ class Engine:
         (ref: selector_methods.py:610-790)."""
         from dbt_core_spark.run.tasks import modified_nodes
 
-        if isinstance(state, str):
-            from dbt_core_spark.run.artifacts import load_state_manifest
-
-            other = load_state_manifest(state)
-        else:
-            other = state.manifest if isinstance(state, Engine) else state
-        return modified_nodes(self.manifest, other)
+        return modified_nodes(self.manifest, self._coerce_state(state))
 
     def run_modified(self, state: "Engine | Manifest | str",
-                     include_children: bool = False) -> RunResults:
+                     include_children: bool = False,
+                     favor_state: bool = False) -> RunResults:
         """`dbt run --select state:modified[+] --defer`-style: run only
         changed nodes; unchanged upstream refs resolve to their existing
         relations (the catalog pre-population in the runner is the defer
-        mechanism, ref: providers.py:587-608)."""
-        uids = self.modified_vs(state)
+        mechanism, ref: providers.py:587-608).  ``favor_state`` prefers
+        the STATE manifest's relations for unselected upstreams even when
+        a relation exists in this target schema
+        (ref: --defer --favor-state providers.py:594)."""
+        other = self._coerce_state(state)
+        from dbt_core_spark.run.tasks import modified_nodes
+
+        uids = modified_nodes(self.manifest, other)
         if not uids:
             return RunResults()
         names = " ".join(
             (self.manifest.nodes[u].name + ("+" if include_children else ""))
             for u in uids if u in self.manifest.nodes
         )
-        return self._runner().run(select=names)
+        defer_relations = {
+            uid: n.relation_name
+            for uid, n in other.nodes.items()
+            if n.relation_name and uid not in uids
+        }
+        return self._runner(
+            defer_relations=defer_relations, favor_state=favor_state,
+        ).run(select=names)
 
     def drop_schema(self) -> None:
         self.spark.sql(f"DROP DATABASE IF EXISTS `{self.schema}` CASCADE")

@@ -33,7 +33,7 @@ from typing import TYPE_CHECKING, Any, Optional
 
 import jinja2
 
-from dbt_core_spark.exceptions import CompilationError
+from dbt_core_spark.exceptions import CompilationError, ExecutionError
 from dbt_core_spark.functions import xdb
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -164,13 +164,36 @@ class RenderContext:
             package, name = None, args[0]
         else:
             raise CompilationError("ref() takes 1 or 2 positional arguments")
+        pin = version if version is not None else v
+        if pin is not None:
+            pin = int(pin)
         target = self.manifest.resolve_ref(
-            name, package=package, current=self.node.package
+            name, package=package, current=self.node.package, version=pin
         )
+        if pin is None and target is not None and target.version is not None:
+            # unpinned ref to a versioned model resolves to latest; warn
+            # when a newer prerelease exists (ref: UnpinnedRefNewVersionAvailable)
+            newer = any(
+                n.version is not None and n.name == name
+                and n.package == target.package
+                and (n.version or 0) > (target.latest_version or 0)
+                for n in self.manifest.nodes.values()
+            )
+            if newer:
+                import warnings
+
+                warnings.warn(
+                    f"unpinned ref('{name}') resolves to v{target.version}; "
+                    f"a newer prerelease version exists — pin with "
+                    f"ref('{name}', v=N)",
+                    stacklevel=2,
+                )
         if self.mode == "parse":
             # two-arg ref('pkg','name') records a (pkg, name) pair
-            # (ref: RefArgs components.py:38-55)
-            self.node.refs.append((package, name) if package else name)
+            # (ref: RefArgs components.py:38-55); version pins record the
+            # resolved search name so graph edges hit the right node
+            recorded = f"{name}.v{pin}" if pin is not None else name
+            self.node.refs.append((package, recorded) if package else recorded)
             return f"__ref__{name}__"
         if target is None:
             raise CompilationError(
@@ -249,11 +272,23 @@ class RenderContext:
 
     # --- statement/run_query backing (providers.py:920-992) ------------------
 
+    # dbt macros only ever pull small metadata through run_query(); an
+    # unbounded collect() of a user query could OOM the driver at scale,
+    # so cap the result and error loudly past it (scale hardening; the
+    # reference inherits the same risk via agate).
+    RUN_QUERY_MAX_ROWS = 10_000
+
     def run_query(self, sql: str) -> AgateLikeTable:
         if self.spark is None:
             raise CompilationError("run_query() requires runtime mode")
         df = self.spark.sql(sql)
-        rows = [tuple(r) for r in df.collect()]
+        cap = self.RUN_QUERY_MAX_ROWS
+        rows = [tuple(r) for r in df.limit(cap + 1).collect()]
+        if len(rows) > cap:
+            raise ExecutionError(
+                f"run_query() returned more than {cap} rows — results are "
+                f"collected to the driver; aggregate or LIMIT in SQL instead"
+            )
         return AgateLikeTable(list(df.columns), rows)
 
     def store_result(self, name: str, response: Any = None, agate_table: Any = None) -> str:

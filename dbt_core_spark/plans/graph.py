@@ -266,4 +266,72 @@ def _method_match(manifest: Manifest, method: str, value: str) -> set[str]:
         }
     if method == "exposure":
         return set()  # exposures are metadata-only; nothing executable
+    if method == "state":
+        # ref: StateSelectorMethod selector_methods.py:610-790
+        state_m = manifest.state_manifest
+        if state_m is None:
+            raise ValueError(
+                "state: selector requires a previous state "
+                "(Engine.set_state(...) / --state)"
+            )
+        from dbt_core_spark.run.tasks import state_selection
+
+        return state_selection(manifest, state_m, value)
+    if method == "result":
+        # ref: ResultSelectorMethod selector_methods.py:811 — statuses of
+        # the previous invocation (run_results.json)
+        if not manifest.previous_results:
+            raise ValueError(
+                "result: selector requires previous run results "
+                "(Engine.set_state(..., results=...))"
+            )
+        return {
+            uid for uid, st in manifest.previous_results.items()
+            if st == value and uid in nodes
+        }
+    if method == "source_status":
+        # ref: SourceStatusSelectorMethod selector_methods.py:823 —
+        # sources whose max_loaded_at advanced vs the previous
+        # sources.json artifact ('fresher')
+        if value != "fresher":
+            raise ValueError("source_status: only supports 'fresher'")
+        cur = manifest.current_source_status
+        prev = manifest.previous_source_status
+        if not cur:
+            raise ValueError(
+                "source_status: selector requires freshness results "
+                "(Engine.set_state(..., sources=...) after source_freshness())"
+            )
+        return {
+            uid for uid, ts in cur.items()
+            if uid in manifest.sources
+            and ts is not None
+            and (prev.get(uid) is None or str(ts) > str(prev[uid]))
+        }
+    if method == "version":
+        # ref: VersionSelectorMethod selector_methods.py:877
+        def _vmatch(n) -> bool:
+            if value == "none":
+                return n.resource_type is NodeType.Model and n.version is None
+            if n.version is None:
+                return False
+            if value == "latest":
+                return n.is_latest_version
+            if value == "old":
+                return (n.version or 0) < (n.latest_version or 0)
+            if value == "prerelease":
+                return (n.version or 0) > (n.latest_version or 0)
+            return False
+
+        return {uid for uid, n in nodes.items() if _vmatch(n)}
+    if method == "group":
+        return {
+            uid for uid, n in nodes.items()
+            if (n.config.get("group") or "") == value
+        }
+    if method == "access":
+        return {
+            uid for uid, n in nodes.items()
+            if (n.config.get("access") or "protected") == value
+        }
     return set()

@@ -109,6 +109,14 @@ class Node:
     attached_node: Optional[str] = None
     column_name: Optional[str] = None
 
+    # model versions (ref: nodes.py:490-491 ModelNode.version/latest_version;
+    # tests/functional/model_versions/)
+    version: Optional[int] = None
+    latest_version: Optional[int] = None
+
+    # group / access (ref: nodes.py group + access fields;
+    # tests/functional/access/)
+
     # seed-specific
     seed_rows: Optional[list[dict]] = None
     seed_path: Optional[str] = None
@@ -122,7 +130,21 @@ class Node:
 
     @property
     def identifier(self) -> str:
-        return self.alias or self.name
+        # alias may arrive as a direct field (state round-trip) or via
+        # config (schema-yml / {{ config(alias=...) }}), like the
+        # reference's alias resolution (components.py:174-199).
+        # Versioned models default to ``<name>_v<version>``
+        # (ref: ModelNode.search_name / fixed_version alias).
+        explicit = self.alias or self.config.get("alias")
+        if explicit:
+            return explicit
+        if self.version is not None:
+            return f"{self.name}_v{self.version}"
+        return self.name
+
+    @property
+    def is_latest_version(self) -> bool:
+        return self.version is not None and self.version == self.latest_version
 
     @property
     def checksum(self) -> str:
@@ -162,7 +184,19 @@ class Manifest:
 
     exposures: dict[str, dict] = field(default_factory=dict)
     metrics: dict[str, dict] = field(default_factory=dict)
+    groups: dict[str, dict] = field(default_factory=dict)  # name -> {owner: ...}
+    restricted_packages: set[str] = field(default_factory=set)  # restrict-access
     reparse_count: int = 0
+
+    # --state / result / source_status selector inputs, attached by
+    # Engine.set_state (ref: previous-state loading task/base.py +
+    # selector_methods.py:610-830).  macro_checksums carries the state
+    # manifest's {macro_name: md5} when loaded from manifest.json.
+    state_manifest: Optional["Manifest"] = None
+    previous_results: dict[str, str] = field(default_factory=dict)  # uid -> status
+    previous_source_status: dict[str, str] = field(default_factory=dict)  # uid -> iso ts
+    current_source_status: dict[str, str] = field(default_factory=dict)
+    macro_checksums: dict[str, str] = field(default_factory=dict)
 
     # lookup indexes (ref: manifest.py RefableLookup:174, SourceLookup:141)
     _ref_index: dict[str, str] = field(default_factory=dict)
@@ -181,6 +215,16 @@ class Manifest:
         else:
             self.nodes[node.unique_id] = node
             if node.is_refable:
+                if node.version is not None:
+                    # versioned model: pinned lookups use 'name.vN'; the
+                    # bare name resolves to latest_version only
+                    # (ref: RefableLookup + ModelNode.search_name)
+                    vkey = f"{node.name}.v{node.version}"
+                    self._ref_index_pkg[(node.package, vkey)] = node.unique_id
+                    if vkey not in self._ref_index or node.package == self.project_name:
+                        self._ref_index[vkey] = node.unique_id
+                    if not node.is_latest_version:
+                        return
                 self._ref_index_pkg[(node.package, node.name)] = node.unique_id
                 # bare-name lookup: the root project's node wins on
                 # collision (target-search order, ref: RefableLookup)
@@ -192,11 +236,15 @@ class Manifest:
         name: str,
         package: Optional[str] = None,
         current: Optional[str] = None,
+        version: Optional[int] = None,
     ) -> Optional[Node]:
         """Two-arg ``ref('pkg', 'name')`` resolves within the named
         package only; one-arg search prefers the calling node's own
         package, then the global index (ref: RefArgs components.py:38-55;
-        RefableLookup search order)."""
+        RefableLookup search order).  ``version`` pins a versioned model
+        (ref: ref('m', v=N), nodes.py:490-491)."""
+        if version is not None:
+            name = f"{name}.v{version}"
         if package is not None:
             uid = self._ref_index_pkg.get((package, name))
             return self.nodes.get(uid) if uid else None

@@ -63,6 +63,7 @@ def parse_project(
     # -- exposures / metrics: metadata-only (ref: nodes.py:1334,1404) --------
     manifest.exposures = dict(project.exposures)
     manifest.metrics = dict(project.metrics)
+    # groups accumulate in _parse_package (root first, then packages)
 
     # -- parse-time render: capture refs/sources/config ----------------------
     for node in list(manifest.nodes.values()):
@@ -102,6 +103,7 @@ def parse_project(
                 raise ParsingError(
                     f"{node.unique_id} depends on undefined ref '{ref_name}'"
                 )
+            _check_access(manifest, node, target)
             deps.append(target.unique_id)
         for source_name, table_name in node.sources:
             target = manifest.resolve_source(source_name, table_name)
@@ -129,6 +131,11 @@ def _parse_package(
     project's config subtree for this package (root config wins over the
     package's own defaults, ref: context_config.py precedence)."""
 
+    if getattr(project, "restrict_access", False):
+        manifest.restricted_packages.add(project.name)
+    for gname, gdef in (project.groups or {}).items():
+        manifest.groups.setdefault(gname, gdef)
+
     # -- sources (ref: parser/sources.py patch_sources) ----------------------
     for source_name, tables in project.sources.items():
         for table_name, tdef in tables.items():
@@ -153,7 +160,43 @@ def _parse_package(
         manifest.add_node(node)
 
     # -- models --------------------------------------------------------------
+    # versioned models first: their defined_in files are claimed and must
+    # not also parse as standalone models (ref: schema-yml versions:,
+    # nodes.py:490-491, tests/functional/model_versions/)
+    claimed: set[str] = set()
+    for base_name, vdef in project.model_versions.items():
+        versions = vdef.get("versions") or []
+        latest = vdef.get("latest_version")
+        if latest is None and versions:
+            latest = max(int(v["v"]) for v in versions)
+        for v in versions:
+            vnum = int(v["v"])
+            src_key = v.get("defined_in") or (
+                f"{base_name}_v{vnum}"
+                if f"{base_name}_v{vnum}" in project.models
+                else base_name
+            )
+            claimed.add(src_key)
+            cfg = _merged_config(project, base_name,
+                                 project.model_configs.get(base_name),
+                                 defaults_override)
+            cfg.update(v.get("config") or {})
+            node = Node(
+                unique_id=f"model.{project.name}.{base_name}.v{vnum}",
+                name=base_name,
+                package=project.name,
+                resource_type=NodeType.Model,
+                raw_code=project.models.get(src_key, ""),
+                config=cfg,
+                version=vnum,
+                latest_version=int(latest),
+            )
+            _attach_columns(project, node)
+            manifest.add_node(node)
+
     for model_name, sql in project.models.items():
+        if model_name in claimed or model_name in project.model_versions:
+            continue
         node = Node(
             unique_id=f"model.{project.name}.{model_name}",
             name=model_name,
@@ -212,6 +255,44 @@ def _parse_package(
     # -- tests ---------------------------------------------------------------
     for test_name, tdef in project.tests.items():
         manifest.add_node(_build_test_node(project, test_name, tdef))
+
+
+def _check_access(manifest: Manifest, node: Node, target: Node) -> None:
+    """Group/access enforcement at ref-resolution time (ref:
+    DbtReferenceError manifest.py; AccessType nodes.py; pinned by
+    tests/functional/access/):
+
+    - ``private``: only nodes in the SAME group may ref it;
+    - ``protected`` (default): only nodes in the same package/project;
+    - ``public``: anyone.
+    A configured ``group`` must be declared in groups.yml."""
+    grp = target.config.get("group")
+    if grp and manifest.groups and grp not in manifest.groups:
+        raise ParsingError(
+            f"{target.unique_id}: undefined group '{grp}'"
+        )
+    access = target.config.get("access") or "protected"
+    if access == "public":
+        return
+    if access == "private":
+        if (node.config.get("group") or None) != (grp or None):
+            raise ParsingError(
+                f"{node.unique_id} cannot ref private model "
+                f"'{target.name}' (group '{grp}')"
+            )
+        return
+    # protected (default): cross-package refs are blocked only when the
+    # owning package opts in via `restrict-access: true`
+    # (ref: dbt_project.yml restrict-access; ManifestLoader.check_valid_access)
+    if (
+        node.package != target.package
+        and target.package in manifest.restricted_packages
+    ):
+        raise ParsingError(
+            f"{node.unique_id} (package '{node.package}') cannot ref "
+            f"protected model '{target.name}' of restricted package "
+            f"'{target.package}'"
+        )
 
 
 def _attach_columns(project: ProjectDef, node: Node) -> None:

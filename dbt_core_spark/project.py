@@ -60,6 +60,18 @@ class ProjectDef:
     # constraints}] (ref: ColumnInfo components.py:59-70; contracts §1.2)
     model_columns: dict[str, list[dict]] = field(default_factory=dict)
     model_descriptions: dict[str, str] = field(default_factory=dict)
+    # versioned models (ref: schema-yml `versions:` + latest_version,
+    # nodes.py:490-491; tests/functional/model_versions/):
+    # name -> {"latest_version": N, "versions": [{"v": N,
+    #          "defined_in": other_model_key?, "config": {...}?}, ...]}
+    model_versions: dict[str, dict] = field(default_factory=dict)
+    # groups (ref: groups.yml; tests/functional/access/): name -> {owner: ...}
+    groups: dict[str, dict] = field(default_factory=dict)
+    # restrict-access: when true, this package's protected models cannot
+    # be ref'd from other packages (ref: dbt_project.yml restrict-access)
+    restrict_access: bool = False
+    # set by from_dir; enables target/partial_parse.json persistence
+    project_root: Optional[str] = None
     python_models: dict[str, Any] = field(default_factory=dict)  # name -> callable(dbt, session)
     seeds: dict[str, Any] = field(default_factory=dict)  # name -> csv path | list[dict]
     seed_configs: dict[str, dict] = field(default_factory=dict)
@@ -125,6 +137,8 @@ class ProjectDef:
             with open(proj_file) as f:
                 cfg = yaml.safe_load(f) or {}
         p = cls(name=cfg.get("name", os.path.basename(path.rstrip("/"))))
+        p.project_root = real  # enables on-disk partial parsing
+        p.restrict_access = bool(cfg.get("restrict-access"))
         p.vars = cfg.get("vars", {}) or {}
         for pkg_name, tree in (cfg.get("models", {}) or {}).items():
             if pkg_name != p.name and isinstance(tree, dict):
@@ -176,13 +190,28 @@ class ProjectDef:
                     raise ParsingError(f"local package not found: {pkg_path}")
                 p.add_package(cls.from_dir(pkg_path, _seen=seen))
             else:
-                # registry/git/tarball need network access (ref: deps/
-                # registry.py, git.py, tarball.py) — not available here
-                kind = next(iter(spec), "?")
-                raise ParsingError(
-                    f"unsupported package source '{kind}' "
-                    "(only `local:` packages are supported)"
+                # tarball/git/registry specs are installed by
+                # dbt_core_spark.deps.install() (offline sources only);
+                # from_dir just checks the install happened — the
+                # pre-installed scan below loads the extracted package
+                from dbt_core_spark import deps as _deps
+
+                lock = _deps.read_lock(path) or {}
+                key = spec.get("tarball") or spec.get("git") or spec.get("package")
+                entry = next(
+                    (e for e in lock.get("packages") or []
+                     if key in (e.get("tarball"), e.get("git"), e.get("package"))),
+                    None,
                 )
+                if entry is None or not os.path.isdir(os.path.join(
+                    path, cfg.get("packages-install-path", "dbt_packages"),
+                    entry.get("name") or "",
+                )):
+                    kind = next(iter(spec), "?")
+                    raise ParsingError(
+                        f"package {key!r} ({kind}) is not installed — run "
+                        f"dbt_core_spark.deps.install({path!r}) first"
+                    )
         # pre-installed packages (the reference's packages-install-path,
         # default dbt_packages/): each subdir with a dbt_project.yml
         install_dir = os.path.join(

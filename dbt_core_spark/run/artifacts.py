@@ -10,6 +10,7 @@ versioning machinery.
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 import json
 import os
 from typing import TYPE_CHECKING
@@ -59,6 +60,7 @@ def write_manifest(engine: "Engine", path: str) -> str:
         "nodes": {
             uid: {
                 "name": n.name,
+                "alias": n.alias,
                 "resource_type": n.resource_type.value,
                 "package_name": n.package,
                 "raw_code": n.raw_code,
@@ -67,8 +69,21 @@ def write_manifest(engine: "Engine", path: str) -> str:
                 "config": {k: v for k, v in n.config.items() if v not in (None, [], {})},
                 "depends_on": {"nodes": n.depends_on},
                 "checksum": n.checksum,
+                "columns": {
+                    cname: {
+                        "data_type": c.data_type,
+                        "constraints": c.constraints,
+                    }
+                    for cname, c in (n.columns or {}).items()
+                },
             }
             for uid, n in m.nodes.items()
+        },
+        # {macro_name: md5} — enough for state:modified.macros to detect
+        # changed definitions without shipping macro sources
+        "macros": {
+            name: hashlib.md5(src.encode()).hexdigest()
+            for name, src in m.macros.items()
         },
         "sources": {
             uid: {
@@ -125,6 +140,8 @@ def load_state_manifest(path: str):
         path = os.path.join(path, "manifest.json")
     with open(path) as f:
         doc = json.load(f)
+    from dbt_core_spark.plans.nodes import ColumnInfo
+
     m = Manifest(project_name=doc.get("metadata", {}).get("project_name", "state"))
     for uid, nd in doc.get("nodes", {}).items():
         rtype = uid.split(".", 1)[0]
@@ -134,13 +151,59 @@ def load_state_manifest(path: str):
             package=nd.get("package_name", m.project_name),
             resource_type=NodeType(nd.get("resource_type", rtype)),
             raw_code=nd.get("raw_code") or "",
+            alias=nd.get("alias"),
             config=dict(nd.get("config") or {}),
         )
         node.compiled_code = nd.get("compiled_code")
         node.relation_name = nd.get("relation_name")
         node.depends_on = list((nd.get("depends_on") or {}).get("nodes", []))
+        node.columns = {
+            cname: ColumnInfo(
+                name=cname,
+                data_type=cd.get("data_type"),
+                constraints=list(cd.get("constraints") or []),
+            )
+            for cname, cd in (nd.get("columns") or {}).items()
+        }
         m.add_node(node)
+    m.macro_checksums = dict(doc.get("macros") or {})
     return m
+
+
+def write_sources(freshness: dict, path: str) -> str:
+    """sources.json analog (ref: artifacts/schemas/freshness/) — feeds
+    the ``source_status:fresher+`` selector."""
+    doc = {
+        "metadata": {
+            "generated_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "dbt_schema_version": "https://schemas.getdbt.com/dbt/sources/v3.json",
+        },
+        "results": [
+            {
+                "unique_id": uid,
+                "status": fr.status,
+                "max_loaded_at": fr.max_loaded_at.isoformat() if fr.max_loaded_at else None,
+                "age": fr.age_seconds,
+            }
+            for uid, fr in freshness.items()
+        ],
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, default=str)
+    return path
+
+
+def load_sources(path: str) -> dict[str, str]:
+    """Read sources.json → {source unique_id: max_loaded_at iso}."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "sources.json")
+    with open(path) as f:
+        doc = json.load(f)
+    return {
+        r["unique_id"]: r.get("max_loaded_at")
+        for r in doc.get("results", [])
+    }
 
 
 def _child_map(m) -> dict[str, list[str]]:

@@ -139,6 +139,12 @@ class SparkbtRunner:
             if verb == "clone":
                 return RunnerResult(True, eng.clone(
                     flags["state"], select=flags.get("select")))
+            if verb == "retry":
+                # ref: task/retry.py — re-run errored/skipped nodes (and
+                # only the failed batches of partial-success microbatch
+                # nodes) from a written run_results.json
+                res = eng.retry(flags["state"])
+                return RunnerResult(res.ok(), res)
             return RunnerResult(False,
                                 exception=ValueError(f"unknown command {verb!r}"))
         except Exception as e:  # the reference catches and wraps too

@@ -78,6 +78,8 @@ class GraphRunner:
         on_run_start: Optional[list[str]] = None,
         on_run_end: Optional[list[str]] = None,
         empty: bool = False,
+        defer_relations: Optional[dict[str, str]] = None,
+        favor_state: bool = False,
     ):
         self.spark = spark
         self.manifest = manifest
@@ -90,6 +92,8 @@ class GraphRunner:
         self.on_run_start = on_run_start or []
         self.on_run_end = on_run_end or []
         self.empty = empty
+        self.defer_relations = defer_relations or {}
+        self.favor_state = favor_state
         self.relations: dict[str, str] = {}
 
     # -- relation naming (ref: relation_name components.py:174-199) ---------
@@ -111,6 +115,14 @@ class GraphRunner:
                 if R.relation_exists(self.spark, rel):
                     self.relations.setdefault(uid, rel)
                     node.relation_name = rel
+        # defer: unselected upstreams missing here resolve to the state
+        # environment's relations; --favor-state prefers state even over
+        # an existing local relation (ref: providers.py:587-608,594)
+        for uid, rel in self.defer_relations.items():
+            if self.favor_state:
+                self.relations[uid] = rel
+            else:
+                self.relations.setdefault(uid, rel)
         linker = Linker()
         graph = linker.link_graph(self.manifest)
         if add_test_edges:

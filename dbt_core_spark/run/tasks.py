@@ -74,33 +74,115 @@ def run_operation(
     return render(template, ctx)
 
 
-def modified_nodes(current: Manifest, state: Manifest) -> set[str]:
-    """unique_ids in `current` that are new or changed vs `state`
-    (ref: state:modified — body via checksum, configs via dict compare;
-    nodes.py:577-650 same_contents).
-
-    Config compare drops empty values on both sides: a state manifest
+def _cfg_sig(n) -> dict:
+    """Config compare drops empty values on both sides: a state manifest
     round-tripped through manifest.json omits them (write_manifest
     filters None/[]/{}), and they are not semantic changes."""
+    return {
+        k: v for k, v in n.config.items()
+        if k != "enabled" and v not in (None, [], {})
+    }
 
-    def _cfg(n):
-        return {
-            k: v for k, v in n.config.items()
-            if k != "enabled" and v not in (None, [], {})
+
+def _contract_sig(n) -> tuple:
+    """Contract signature: enforced flag + per-column declared types and
+    constraints (ref: same_contract nodes.py:577-650; build_contract_checksum)."""
+    contract = n.config.get("contract") or {}
+    cols = tuple(
+        sorted(
+            (name, c.data_type, tuple(sorted(map(str, c.constraints or []))))
+            for name, c in (n.columns or {}).items()
+        )
+    )
+    return (bool(isinstance(contract, dict) and contract.get("enforced")), cols)
+
+
+def _relation_sig(n) -> tuple:
+    """Target relation identity: custom database/schema config + identifier
+    (ref: RelationalNode same_database_representation)."""
+    return (n.config.get("database"), n.config.get("schema"), n.identifier)
+
+
+def changed_macro_names(current: Manifest, state: Manifest) -> set[str]:
+    """Macro names whose definition changed between manifests, closed
+    transitively over macro→macro calls in the CURRENT sources
+    (ref: check_modified_macros selector_methods.py:704-760 walks the
+    node's macro dependency graph; we rebuild it from source text)."""
+    import hashlib as _h
+
+    cur = {name: _h.md5(src.encode()).hexdigest() for name, src in current.macros.items()}
+    old = dict(getattr(state, "macro_checksums", None) or {})
+    if not old:
+        old = {name: _h.md5(src.encode()).hexdigest() for name, src in state.macros.items()}
+    changed = {n for n in set(cur) | set(old) if cur.get(n) != old.get(n)}
+    # transitive: a macro whose body calls a changed macro is changed too
+    while True:
+        grew = {
+            name for name, src in current.macros.items()
+            if name not in changed and any(m in src for m in changed)
         }
+        if not grew:
+            return changed
+        changed |= grew
 
-    out: set[str] = set()
-    for uid, node in current.nodes.items():
-        old = state.nodes.get(uid)
-        if old is None:
-            out.add(uid)  # state:new
-            continue
-        if node.checksum != old.checksum:
-            out.add(uid)
-            continue
-        if _cfg(node) != _cfg(old):
-            out.add(uid)
-    return out
+
+def state_selection(current: Manifest, state: Manifest, value: str) -> set[str]:
+    """``state:<value>`` selection vs a previous manifest.
+
+    Values (ref: StateSelectorMethod selector_methods.py:610-790):
+    ``new`` / ``old`` / ``unmodified`` / ``modified`` and the submethods
+    ``modified.body`` (checksum), ``modified.configs``,
+    ``modified.contract``, ``modified.relation``, ``modified.macros``.
+    Every submethod also selects brand-new nodes, like the reference
+    (a missing old node compares unequal on all dimensions)."""
+    checks = {
+        "body": lambda n, o: n.checksum != o.checksum,
+        "configs": lambda n, o: _cfg_sig(n) != _cfg_sig(o),
+        "contract": lambda n, o: _contract_sig(n) != _contract_sig(o),
+        "relation": lambda n, o: _relation_sig(n) != _relation_sig(o),
+    }
+    if value == "new":
+        return {uid for uid in current.nodes if uid not in state.nodes}
+    if value == "old":
+        return {uid for uid in current.nodes if uid in state.nodes}
+    if value in ("modified", "unmodified") or value.startswith("modified."):
+        sub = value.partition(".")[2] if "." in value else None
+        macro_changed = (
+            changed_macro_names(current, state)
+            if sub in (None, "macros") else set()
+        )
+
+        def _macro_dep(n) -> bool:
+            return any(m in (n.raw_code or "") for m in macro_changed)
+
+        out: set[str] = set()
+        for uid, node in current.nodes.items():
+            old = state.nodes.get(uid)
+            if old is None:
+                out.add(uid)
+                continue
+            if sub == "macros":
+                if _macro_dep(node):
+                    out.add(uid)
+            elif sub:
+                if checks[sub](node, old):
+                    out.add(uid)
+            else:
+                if (
+                    any(c(node, old) for c in checks.values())
+                    or _macro_dep(node)
+                ):
+                    out.add(uid)
+        if value == "unmodified":
+            return set(current.nodes) - out
+        return out
+    raise ValueError(f"unknown state selector 'state:{value}'")
+
+
+def modified_nodes(current: Manifest, state: Manifest) -> set[str]:
+    """unique_ids in `current` that are new or changed vs `state`
+    (ref: state:modified selector_methods.py:610-790)."""
+    return state_selection(current, state, "modified")
 
 
 def retry_selection(previous: "RunResults") -> set[str]:

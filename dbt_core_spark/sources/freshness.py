@@ -46,8 +46,12 @@ def check_freshness(
         df = spark.table(relation)
         if filter_sql:
             df = df.filter(filter_sql)
-        row = df.agg(F.max(node.loaded_at_field).alias("m")).collect()[0]
+        # loaded_at_field may be a SQL expression, not just a column name
+        # (ref: loaded_at_field docs; task/freshness.py renders it raw)
+        row = df.agg(F.max(F.expr(node.loaded_at_field)).alias("m")).collect()[0]
         max_loaded = row["m"]
+        if isinstance(max_loaded, _dt.date) and not isinstance(max_loaded, _dt.datetime):
+            max_loaded = _dt.datetime.combine(max_loaded, _dt.time())
     else:
         # metadata path: file mtimes of the external location
         loc = node.external_location or ""

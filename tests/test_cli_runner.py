@@ -88,3 +88,46 @@ def test_show_select_and_ls_outputs(spark, schema, sf_dir):
     assert js.success
     assert js.result[0]["unique_id"] == "model.cli.agg"
     assert js.result[0]["depends_on"]["nodes"] == ["model.cli.stg"]
+
+
+def test_retry_verb(tmp_path, spark, schema, sf_dir):
+    """`retry --state <dir>` re-runs only errored/skipped nodes
+    (ref: task/retry.py)."""
+    from dbt_core_spark import Engine, ProjectDef, SparkbtRunner
+    from dbt_core_spark.run.artifacts import write_run_results
+
+    p = ProjectDef(name="rt")
+    p.models["good"] = "select 1 as x"
+    p.models["bad"] = "select * from nonexistent_relation_xyz"
+    eng = Engine(spark, p, schema=schema)
+    res = eng.run()
+    assert not res.ok()
+    target = str(tmp_path / "target")
+    write_run_results(res, target + "/run_results.json")
+
+    # fix the model, retry from the artifact: only 'bad' re-runs
+    p.models["bad"] = "select 2 as x"
+    eng2 = Engine(spark, p, schema=schema)
+    rr = SparkbtRunner(eng2).invoke(["retry", "--state", target])
+    assert rr.success, rr.exception
+    ran = {r.unique_id for r in rr.result.results if r.status == "success"}
+    assert ran == {"model.rt.bad"}
+
+
+def test_run_query_row_cap(spark, schema, sf_dir):
+    """run_query() errors past the driver-collect cap instead of OOMing."""
+    import pytest as _pytest
+
+    from dbt_core_spark import Engine, ProjectDef
+    from dbt_core_spark.exceptions import ExecutionError
+    from dbt_core_spark.functions.context import RenderContext
+
+    p = ProjectDef(name="cap")
+    p.models["m"] = "select 1 as x"
+    eng = Engine(spark, p, schema=schema)
+    ctx = RenderContext(eng.manifest, eng.manifest.nodes["model.cap.m"],
+                        mode="runtime", spark=spark)
+    small = ctx.run_query("select id from range(10)")
+    assert len(small.rows) == 10
+    with _pytest.raises(ExecutionError, match="more than"):
+        ctx.run_query("select id from range(20000)")

@@ -189,15 +189,22 @@ def test_on_disk_local_package(tmp_path, spark, schema, sf_dir):
     assert eng.table("top").collect()[0].n == 10
 
 
-def test_unsupported_package_source_raises(tmp_path):
+def test_uninstalled_package_source_raises(tmp_path):
+    """Non-local specs must be installed via deps.install() before
+    from_dir; a clear error points there (remote URLs error at install
+    time — no network)."""
     root = str(tmp_path / "gitproj")
     os.makedirs(root)
     with open(os.path.join(root, "dbt_project.yml"), "w") as f:
         f.write("name: gitproj\n")
     with open(os.path.join(root, "packages.yml"), "w") as f:
         f.write("packages:\n  - git: https://example.com/repo.git\n")
-    with pytest.raises(ParsingError, match="unsupported package source"):
+    with pytest.raises(ParsingError, match="not installed"):
         ProjectDef.from_dir(root)
+    from dbt_core_spark import deps
+
+    with pytest.raises(ParsingError, match="network"):
+        deps.install(root)
 
 
 def test_root_source_wins_over_package_source(spark, schema, sf_dir, tmp_path):

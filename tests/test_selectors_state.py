@@ -141,3 +141,128 @@ def test_select_plus_selector_conflict(spark, schema, sf_dir):
     eng = Engine(spark, p, schema=schema)
     with pytest.raises(ValueError, match="combine"):
         eng.run(select="stg_b", selector="s1")
+
+
+def test_state_modified_submethods(tmp_path, spark, schema, sf_dir):
+    """state:modified.body/.configs/.contract/.relation/.macros select
+    exactly the nodes changed on THAT dimension across a manifest.json
+    round-trip (ref: selector_methods.py:610-790)."""
+    from dbt_core_spark.run.artifacts import write_manifest
+
+    p = _proj(sf_dir)
+    p.macros["greet"] = "{% macro greet() %}select 1{% endmacro %}"
+    p.models["uses_macro"] = "{{ greet() }}"
+    p.model_columns["mart"] = [{"name": "id", "data_type": "bigint"}]
+    eng = Engine(spark, p, schema=schema)
+    state_path = str(tmp_path / "target")
+    write_manifest(eng, os.path.join(state_path, "manifest.json"))
+
+    p2 = _proj(sf_dir)
+    p2.macros["greet"] = "{% macro greet() %}select 2{% endmacro %}"   # macro changed
+    p2.models["uses_macro"] = "{{ greet() }}"
+    p2.models["stg_a"] = "select o_orderkey as id from {{ source('tpch','orders') }} limit 9"  # body
+    p2.model_configs["stg_b"] = {"tags": ["staging", "slow"], "materialized": "table"}  # configs
+    p2.model_configs["mart"] = {"alias": "mart_v2"}                    # relation... via alias
+    p2.model_columns["mart"] = [{"name": "id", "data_type": "string"}] # contract
+    eng2 = Engine(spark, p2, schema=schema).set_state(state_path)
+
+    def sel(v):
+        return {u.split(".")[-1] for u in eng2.ls(select=f"state:{v}")}
+
+    assert sel("modified.body") == {"stg_a"}
+    assert sel("modified.configs") >= {"stg_b", "mart"}  # alias config also differs
+    assert sel("modified.contract") == {"mart"}
+    assert sel("modified.macros") == {"uses_macro"}
+    assert "mart" in sel("modified.relation")
+    assert sel("modified") >= {"stg_a", "stg_b", "mart", "uses_macro"}
+    assert sel("unmodified") == {"uses_macro", "stg_a", "stg_b", "mart"} - sel("modified")
+    assert sel("new") == set()
+    # state selector without set_state errors clearly
+    eng3 = Engine(spark, _proj(sf_dir), schema=schema)
+    with pytest.raises(ValueError, match="state"):
+        eng3.ls(select="state:modified")
+
+
+def test_result_selector(tmp_path, spark, schema, sf_dir):
+    """result:<status> re-selects by previous run_results.json statuses
+    (ref: ResultSelectorMethod selector_methods.py:811)."""
+    from dbt_core_spark.run.artifacts import write_run_results
+
+    p = _proj(sf_dir)
+    p.models["bad"] = "select * from {{ source('tpch','orders') }} where no_such_col = 1"
+    eng = Engine(spark, p, schema=schema)
+    res = eng.run()
+    assert not res.ok()
+    rr_path = str(tmp_path / "run_results.json")
+    write_run_results(res, rr_path)
+
+    eng2 = Engine(spark, p, schema=schema).set_state(results=rr_path)
+    errs = eng2.ls(select="result:error")
+    assert errs == ["model.sel.bad"]
+    ok = set(eng2.ls(select="result:success"))
+    assert "model.sel.stg_a" in ok and "model.sel.bad" not in ok
+
+
+def test_favor_state_defer(tmp_path, spark, schema, sf_dir):
+    """--defer --favor-state: unselected upstream refs resolve to the
+    STATE environment's relations even though a local relation exists
+    (ref: providers.py:594)."""
+    from dbt_core_spark.run.artifacts import write_manifest
+
+    # "prod" build in a separate schema
+    prod_schema = schema + "_prod"
+    p = _proj(sf_dir)
+    prod = Engine(spark, p, schema=prod_schema)
+    assert prod.run().ok()
+    state_path = str(tmp_path / "prod_target")
+    write_manifest(prod, os.path.join(state_path, "manifest.json"))
+
+    # dev: local build exists too, then mart changes; favor_state must
+    # read stg_a from PROD, not the local schema
+    dev = Engine(spark, p, schema=schema)
+    assert dev.run().ok()
+    # poison the local stg_a so reading it would be detectable
+    spark.sql(f"drop view if exists {schema}.stg_a")
+    spark.sql(f"create view {schema}.stg_a as select cast(-1 as bigint) as id")
+    p3 = _proj(sf_dir)
+    p3.models["mart"] = "select * from {{ ref('stg_a') }} where id >= 0"
+    dev3 = Engine(spark, p3, schema=schema)
+    res = dev3.run_modified(state_path, favor_state=True)
+    assert res.ok(), [r.message for r in res.results]
+    assert {r.unique_id for r in res.results} == {"model.sel.mart"}
+    assert spark.table(f"{schema}.mart").count() == 5  # prod rows, not poisoned
+    # without favor_state the poisoned local relation wins → 0 rows
+    dev4 = Engine(spark, p3, schema=schema)
+    res4 = dev4.run_modified(state_path, favor_state=False)
+    assert res4.ok()
+    assert spark.table(f"{schema}.mart").count() == 0
+    spark.sql(f"DROP DATABASE IF EXISTS {prod_schema} CASCADE")
+    spark.sql(f"DROP DATABASE IF EXISTS {prod_schema}__sources CASCADE")
+
+
+def test_source_status_fresher(tmp_path, spark, schema, sf_dir):
+    """source_status:fresher selects sources whose max_loaded_at advanced
+    vs the previous sources.json (ref: selector_methods.py:823)."""
+    from dbt_core_spark.run.artifacts import load_sources, write_sources
+
+    p = ProjectDef(name="sel")
+    p.add_source("ev", "orders", f"{sf_dir}/orders.parquet",
+                 loaded_at_field="cast(o_orderdate as timestamp)")
+    p.models["m"] = "select * from {{ source('ev','orders') }} limit 5"
+    eng = Engine(spark, p, schema=schema)
+    fresh = eng.source_freshness()
+    uid = "source.sel.ev.orders"
+    assert uid in fresh and fresh[uid].max_loaded_at is not None
+    src_path = str(tmp_path / "sources.json")
+    write_sources(fresh, src_path)
+
+    # same data → nothing fresher
+    eng2 = Engine(spark, p, schema=schema).set_state(sources=src_path)
+    assert eng2.ls(select="source_status:fresher") == []
+
+    # previous artifact older than current data → source + children selected
+    stale = {uid: "2000-01-01T00:00:00"}
+    eng3 = Engine(spark, p, schema=schema).set_state(sources=stale)
+    assert eng3.ls(select="source_status:fresher") == [uid]
+    assert set(eng3.ls(select="source_status:fresher+")) == {uid, "model.sel.m"}
+    assert load_sources(src_path)[uid] == fresh[uid].max_loaded_at.isoformat()
