@@ -105,3 +105,59 @@ def test_from_dir_full_project(spark, schema, sf_dir, tmp_path):
     eng2 = Engine(spark, p, schema=schema)
     assert eng2.snapshot().ok()
     assert spark.table(f"{schema}.orders_snap").count() > 0
+
+
+def test_on_disk_partial_parse(tmp_path, spark, schema):
+    """A second cold Engine over the same project dir reuses
+    target/partial_parse.json and re-renders nothing; an edited model
+    re-renders exactly that node; a macro edit invalidates everything
+    (ref: parser/partial.py:68-1090)."""
+    import json
+    import time
+
+    from dbt_core_spark import Engine, ProjectDef
+    from dbt_core_spark.plans.partial import partial_parse_path
+
+    root = str(tmp_path / "pp")
+    os.makedirs(os.path.join(root, "models"))
+    os.makedirs(os.path.join(root, "macros"))
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: pp\n")
+    n_models = 40
+    for i in range(n_models):
+        with open(os.path.join(root, "models", f"m{i}.sql"), "w") as f:
+            f.write(f"select {i} as x {{{{ config(tags=['t{i}']) }}}}")
+    with open(os.path.join(root, "macros", "mac.sql"), "w") as f:
+        f.write("{% macro mac() %}1{% endmacro %}")
+
+    t0 = time.time()
+    eng1 = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    cold = time.time() - t0
+    assert eng1.manifest.reparse_count == n_models
+    assert os.path.exists(partial_parse_path(root))
+
+    t0 = time.time()
+    eng2 = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    warm = time.time() - t0
+    assert eng2.manifest.reparse_count == 0  # nothing re-rendered
+    assert warm < cold  # and faster (≥5× on the 2000-model bench shape)
+    # config captured at first parse survives the cache round-trip
+    assert eng2.manifest.nodes["model.pp.m3"].config.get("tags") == ["t3"]
+
+    # edit one model → exactly one re-render
+    with open(os.path.join(root, "models", "m7.sql"), "w") as f:
+        f.write("select 777 as x")
+    eng3 = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    assert eng3.manifest.reparse_count == 1
+
+    # macro change → full invalidation
+    with open(os.path.join(root, "macros", "mac.sql"), "w") as f:
+        f.write("{% macro mac() %}2{% endmacro %}")
+    eng4 = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    assert eng4.manifest.reparse_count == n_models
+
+    # corrupt cache → silent full parse, never an error
+    with open(partial_parse_path(root), "w") as f:
+        f.write("{not json")
+    eng5 = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    assert eng5.manifest.reparse_count == n_models
