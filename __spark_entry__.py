@@ -1559,6 +1559,21 @@ def multimodal_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_media(docs, "text", "doc_id"))
 
 
+def multimodal_decode_wav_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL dependency-free codecs end-to-end: deterministic WAV/PPM
+    payloads synthesized per document, then struct+numpy decoded back —
+    features (duration/peak/RMS, width/height/brightness) are
+    analytically predictable, so the decode path has an exact SQL
+    oracle."""
+    from dbt_core_spark.operators.multimodal import decode_media, synth_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media(synth_media(docs, "text", "doc_id")).select(
+        "media_id", "kind", "width", "height", "sample_rate",
+        "n_samples", "duration_ms", "peak", "mean_value",
+    )
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_core_spark.operators.multimodal import attach_media, frame_sample
 
@@ -1622,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_docs": multimodal_features_docs,
         "multimodal_frame_sample": multimodal_frame_sample,
         # -- new round-2 queries go HERE (inside the first-50 window) --
+        "multimodal_decode_wav_ppm": multimodal_decode_wav_ppm,
         # -- representative verified-in-r1 fills (demote to keep <=50) --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1638,10 +1654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xdb_datetime_functions": xdb_datetime_functions,
         "xdb_string_functions": xdb_string_functions,
         "xdb_listagg_nations": xdb_listagg_nations,
-        "xdb_date_spine": xdb_date_spine,
         "engine_view_table_ephemeral": engine_view_table_ephemeral,
         "engine_incremental_merge": engine_incremental_merge,
         # ---------------- past the 50-query gate cap ----------------
+        "xdb_date_spine": xdb_date_spine,
         "q2_min_price_supplier": q2_min_price_supplier,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,

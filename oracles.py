@@ -1100,3 +1100,22 @@ select doc_id as media_id,
        cast(unnest(generate_series(0, (doc_id % 5 + 1) * 1000, 1000)) as bigint) as frame_ts_ms
 from documents
 """
+
+ORACLES["multimodal_decode_wav_ppm"] = """
+select doc_id as media_id,
+       case when doc_id % 2 = 0 then 'wav' else 'ppm' end as kind,
+       case when doc_id % 2 = 0 then null
+            else cast(4 + doc_id % 13 as int) end as width,
+       case when doc_id % 2 = 0 then null
+            else cast(3 + doc_id % 7 as int) end as height,
+       case when doc_id % 2 = 0 then cast(8000 as int) else null end as sample_rate,
+       case when doc_id % 2 = 0
+            then cast(8 * (length(text) % 50 + 1) as bigint) else null end as n_samples,
+       case when doc_id % 2 = 0
+            then cast(length(text) % 50 + 1 as bigint) else null end as duration_ms,
+       case when doc_id % 2 = 0
+            then cast(100 + doc_id % 900 as bigint) else null end as peak,
+       case when doc_id % 2 = 0 then cast(100 + doc_id % 900 as double)
+            else cast(doc_id % 256 as double) end as mean_value
+from documents
+"""
