@@ -109,15 +109,23 @@ def cosine_topk_blas(
     id_col: str = "vec_id",
     k: int = 5,
     queries: DataFrame | None = None,
+    max_driver_rows: int = 200_000,
+    shard_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k via Arrow + BLAS — the query-vs-index shape used in
     production retrieval: the corpus is gathered once into a dense
     normalized matrix and broadcast; queries stream through
     ``mapInPandas`` in Arrow batches, each scored with one matmul and a
     vectorized partial top-k.  ~100× less per-pair overhead than the
-    row-expression fold; the corpus side must fit in executor memory
-    (shard with ``ivf_topk`` cells beyond that — same scoring kernel per
-    cell).
+    row-expression fold.
+
+    Above ``max_driver_rows`` the corpus no longer fits a driver
+    broadcast: the call transparently switches to
+    ``_sharded_topk_blas`` — corpus hashed into ~``shard_rows`` shards,
+    queries replicated to every shard (exact search must visit all of
+    them), one matmul per shard via ``applyInPandas``, then a global
+    window merge of the ≤ shards·k candidates per query.  No driver
+    collect anywhere on that path.
 
     Results equal ``cosine_topk`` to BLAS-vs-sequential-fold float
     error (~1e-15); ``cosine`` is rounded to 9 dp so downstream
@@ -126,6 +134,11 @@ def cosine_topk_blas(
     import pandas as pd
 
     spark = df.sparkSession
+    n_corpus = df.count()
+    if n_corpus > max_driver_rows:
+        return _sharded_topk_blas(
+            df, vec_col, id_col, k, queries, n_corpus, shard_rows
+        )
     corpus_pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
     ids = corpus_pdf["id"].to_numpy()
     M = np.array(corpus_pdf["v"].tolist(), dtype=np.float64)
@@ -170,6 +183,82 @@ def cosine_topk_blas(
     from dbt_core_spark.operators.dedup import ensure_parallelism
 
     return ensure_parallelism(src).mapInPandas(score, schema=out_schema)
+
+
+def _sharded_topk_blas(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    queries: DataFrame | None,
+    n_corpus: int,
+    shard_rows: int,
+) -> DataFrame:
+    """Exact top-k without any driver collect: the distributed shape of
+    ``cosine_topk_blas`` for corpora past the broadcast budget.
+
+    corpus → hash-sharded (~``shard_rows`` rows/shard); queries are
+    replicated to EVERY shard (exactness requires visiting all of them);
+    each shard scores its queries×members block with one BLAS matmul in
+    ``applyInPandas``; a global window merges the ≤ shards·k candidates.
+    Cost: one shuffle of corpus, one shuffle of queries×S, no pairwise
+    row blowup.  Per-shard pandas blocks are bounded by ``shard_rows``
+    (members) and the query count per Arrow batch."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_shards = max(2, math.ceil(n_corpus / shard_rows))
+    corpus = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        F.lit(True).alias("is_member"),
+    )
+    shard_ids = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+    q = (
+        (queries or df)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(shard_ids))
+        .withColumn("is_member", F.lit(False))
+    )
+    routed = corpus.unionByName(q)
+
+    def score_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        members = pdf[pdf["is_member"]]
+        qs = pdf[~pdf["is_member"]]
+        if len(members) == 0 or len(qs) == 0:
+            return pd.DataFrame(columns=["query_id", "nbr_id", "cosine"])
+        mid = members["id"].to_numpy()
+        M = np.array(members["v"].tolist(), dtype=np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        qid = qs["id"].to_numpy()
+        Q = np.array(qs["v"].tolist(), dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = Qn @ Mn.T
+        S[qid[:, None] == mid[None, :]] = -np.inf  # self-match
+        kk = min(k, S.shape[1])
+        part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+        rows = []
+        for i in range(len(qid)):
+            for c in part[i]:
+                if np.isfinite(S[i, c]):
+                    rows.append((int(qid[i]), int(mid[c]), float(S[i, c])))
+        return pd.DataFrame(rows, columns=["query_id", "nbr_id", "cosine"])
+
+    scored = routed.groupBy("shard").applyInPandas(
+        score_shard, schema="query_id long, nbr_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.round("cosine", 9).alias("cosine"), "rank")
+    )
 
 
 def ivf_topk_blas(

@@ -57,3 +57,24 @@ def test_ivf_blas_recall_and_shape(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
     assert max(len(v) for v in per_q.values()) <= 3
+
+
+def test_sharded_blas_topk_matches_dense(spark, sf_dir, emb):
+    """Forcing the no-driver-collect sharded path (max_driver_rows below
+    corpus size) must return the exact same neighbors/ranks as the dense
+    broadcast path, and cosines equal to 9 dp."""
+    from dbt_core_spark.operators.similarity import cosine_topk_blas
+
+    dense = (
+        cosine_topk_blas(emb, "embedding", "vec_id", k=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    sharded = (
+        cosine_topk_blas(emb, "embedding", "vec_id", k=3,
+                         max_driver_rows=10, shard_rows=50)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(dense) == len(sharded) > 0
+    assert (dense[["query_id", "nbr_id", "rank"]]
+            == sharded[["query_id", "nbr_id", "rank"]]).all().all()
+    assert (dense["cosine"].round(9) == sharded["cosine"].round(9)).all()
