@@ -6,7 +6,7 @@ WholeStageCodegen and scales linearly with partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_core_spark.operators.dedup import normalized_words
@@ -223,3 +223,87 @@ def assign_splits(
     expr = expr.otherwise(list(w)[-1])
     return df.select(F.col(id_col), bucket.cast("bigint").alias("bucket"),
                      expr.alias("split"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public): per
+    document, the duplicate-word fraction and the share of bigrams
+    occupied by the single most frequent bigram — the standard signals
+    for dropping boilerplate/spam from a training corpus.
+
+    Plan shape: word stats are pure per-row HOFs (no shuffle); the
+    top-bigram pass is one explode → (id, bigram) count with map-side
+    partial aggregation → min-struct argmax per doc (no sort window) —
+    the wordcount shuffle shape, linear at 100 TB.  The bigram array is
+    built with zip_with over two shifted slices, NOT element_at-in-
+    lambda (which re-references the words array per gram and goes
+    quadratic under Catalyst inlining)."""
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        words.alias("words"),
+    ).select(
+        id_col,
+        "words",
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct_words"),
+    )
+    bigrams = base.filter(F.col("n_words") >= 2).select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("words"), 1, F.size("words") - 1),
+                F.slice(F.col("words"), 2, F.size("words") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bigram").count()
+        .groupBy(id_col)
+        .agg(
+            # max over (count, bigram): argmax with deterministic
+            # tiebreak by bigram text, one partial-aggregated pass
+            F.max(F.struct(F.col("count"), F.col("bigram"))).alias("m"),
+            F.sum("count").alias("n_bigrams"),
+        )
+        .select(
+            id_col,
+            F.col("m.bigram").alias("top_bigram"),
+            F.col("m.count").alias("top_bigram_count"),
+            "n_bigrams",
+        )
+    )
+    return (
+        base.drop("words")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            (1.0 - F.col("n_distinct_words") / F.col("n_words")).alias(
+                "dup_word_frac"),
+            "top_bigram",
+            F.col("top_bigram_count").cast("bigint").alias("top_bigram_count"),
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            (F.col("top_bigram_count") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"),
+        )
+    )
+
+
+def cap_per_group(df: DataFrame, group_col: str = "source",
+                  id_col: str = "doc_id", cap: int = 10) -> DataFrame:
+    """Per-domain/source document caps — the standard anti-domination
+    sampling step in corpus assembly (keep at most ``cap`` docs per
+    group, deterministically by ascending id).
+
+    One shuffle on the group key; Spark plans the rank≤cap filter as
+    WindowGroupLimit (partial top-k before the full sort at scale)."""
+    w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select(id_col, group_col, F.col("rn").cast("bigint").alias("rank_in_group"))
+    )

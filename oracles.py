@@ -1119,3 +1119,51 @@ select doc_id as media_id,
             else cast(doc_id % 256 as double) end as mean_value
 from documents
 """
+
+ORACLES["gopher_repetition_docs"] = """
+with w as (
+  select doc_id, string_split(text, ' ') as words from documents
+),
+base as (
+  select doc_id,
+         cast(len(words) as int) as n_words,
+         cast(len(list_distinct(words)) as int) as n_distinct_words
+  from w
+),
+bg as (
+  select doc_id, words[i] || ' ' || words[i+1] as bigram
+  from w, unnest(generate_series(1, len(words) - 1)) as t(i)
+  where len(words) >= 2
+),
+cnt as (
+  select doc_id, bigram, count(*) as c from bg group by 1, 2
+),
+top as (
+  select doc_id, bigram as top_bigram, c as top_bigram_count
+  from (
+    select doc_id, bigram, c,
+           row_number() over (partition by doc_id
+                              order by c desc, bigram desc) as rn
+    from cnt
+  ) where rn = 1
+)
+select b.doc_id,
+       b.n_words,
+       b.n_distinct_words,
+       1.0 - b.n_distinct_words / cast(b.n_words as double) as dup_word_frac,
+       t.top_bigram,
+       cast(t.top_bigram_count as bigint) as top_bigram_count,
+       cast(b.n_words - 1 as bigint) as n_bigrams,
+       t.top_bigram_count / cast(b.n_words - 1 as double) as top_bigram_frac
+from base b left join top t using (doc_id)
+"""
+
+ORACLES["source_cap_docs"] = """
+select doc_id, source, cast(rn as bigint) as rank_in_group
+from (
+  select doc_id, source,
+         row_number() over (partition by source order by doc_id) as rn
+  from documents
+)
+where rn <= 7
+"""

@@ -170,3 +170,56 @@ def test_q15_single_subquery_reuse(spark, sf_dir):
     lineitem per row)."""
     plan = _formatted(em.q15_top_supplier(spark, sf_dir))
     assert "Subquery" in plan or "ReusedExchange" in plan
+
+
+def test_gopher_repetition_partial_agg_no_window(spark, sf_dir):
+    """Top-bigram selection must be the min/max-struct argmax (map-side
+    partial agg), NOT a sort window; word stats stay shuffle-free HOFs."""
+    plan = _plan(em.gopher_repetition_docs(spark, sf_dir))
+    assert "Window" not in plan  # argmax via max(struct), no per-doc sort
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_source_cap_uses_group_limit(spark, sf_dir):
+    """rank<=cap per group should plan as WindowGroupLimit (partial
+    top-k before the full per-group sort at scale)."""
+    plan = _plan(em.source_cap_docs(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_partition_scoped_merge_prunes_scan(spark, tmp_path):
+    """The merge's eligible-slice read must carry the touched-partition
+    semi-join down to partition level, and the key-match probe must be a
+    column-pruned scan (never full rows)."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    schema = "plan_psm"
+    p = ProjectDef(name="psm")
+    p.seeds["raw"] = [
+        {"id": i, "day": f"2020-01-{1 + i % 3:02d}", "v": i} for i in range(30)
+    ]
+    p.models["m"] = "select * from {{ ref('raw') }}"
+    p.model_configs["m"] = {"materialized": "incremental", "unique_key": "id",
+                            "partition_by": "day"}
+    eng = Engine(spark, p, schema=schema)
+    try:
+        eng.seed(); assert eng.run().ok()
+        target = spark.table(f"{schema}.m")
+        inc = spark.createDataFrame(
+            [(1, "2020-01-02", 99)], "id bigint, day string, v bigint")
+        from pyspark.sql import functions as F
+
+        touched = inc.select("day").distinct()
+        eligible = target.join(F.broadcast(touched), ["day"], "leftsemi")
+        plan = _plan(eligible)
+        # partition filter reaches the scan as dynamic pruning or a
+        # broadcast hash semi join keyed ONLY on the partition column
+        assert "leftsemi" in plan.lower() or "LeftSemi" in plan
+        probe = target.join(inc.select("id").distinct(), ["id"], "leftsemi") \
+                      .select("day").distinct()
+        fplan = _formatted(probe)
+        read_schema = [l for l in fplan.splitlines() if "ReadSchema" in l]
+        assert read_schema and all("v:" not in l for l in read_schema)  # v pruned
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+        spark.sql(f"DROP DATABASE IF EXISTS {schema}__sources CASCADE")
