@@ -9,6 +9,7 @@ plus the task verbs run/test/build/seed/snapshot/show/compile_sql/ls
 from __future__ import annotations
 
 import datetime as _dt
+import os
 import uuid
 from typing import Any, Optional
 
@@ -32,13 +33,35 @@ class Engine:
         project: ProjectDef,
         schema: Optional[str] = None,
         vars: Optional[dict[str, Any]] = None,
-        threads: int = 4,
+        threads: Optional[int] = None,
+        target: Optional[str] = None,
+        profiles_dir: Optional[str] = None,
     ):
         self.spark = spark
         self.project = project
-        self.schema = schema or f"dbt_{uuid.uuid4().hex[:8]}"
+        # profile/target indirection (ref: config/profile.py): when the
+        # project names a profile, the selected output supplies the
+        # default schema/threads; explicit arguments always win
+        self.target = None
+        if project.profile:
+            from dbt_core_spark.profile import load_profiles, resolve_target
+
+            profiles = load_profiles(
+                profiles_dir
+                or (project.project_root if project.project_root and os.path.exists(
+                    os.path.join(project.project_root, "profiles.yml")) else None)
+            )
+            if profiles:
+                self.target = resolve_target(profiles, project.profile, target)
+        self.schema = (
+            schema
+            or (self.target.schema if self.target else None)
+            or f"dbt_{uuid.uuid4().hex[:8]}"
+        )
         self.cli_vars = vars or {}
-        self.threads = threads
+        self.threads = threads if threads is not None else (
+            self.target.threads if self.target else 4
+        )
         # on-disk partial parsing (ref: target/partial_parse.msgpack,
         # parser/partial.py:68): for directory-loaded projects, reuse the
         # persisted parse cache so a cold start skips unchanged renders,
@@ -54,6 +77,8 @@ class Engine:
             project, cli_vars=self.cli_vars, cache=disk_cache)
         if project.project_root:
             write_partial_parse(self.manifest, project.project_root)
+        if self.target is not None:
+            self.manifest.target_context = self.target.to_context()
 
     def deps(self) -> dict[str, dict]:
         """Installed dependency packages (ref: task ``dbt deps``,
@@ -125,19 +150,53 @@ class Engine:
 
     # -- task verbs ----------------------------------------------------------
 
+    def _defer_kw(self, defer: bool, favor_state: bool) -> dict:
+        """--defer/--favor-state: resolve unselected upstream refs to the
+        attached state manifest's relations (ref: providers.py:587-608)."""
+        if not defer:
+            return {}
+        state = self.manifest.state_manifest
+        if state is None:
+            raise ValueError("defer requires Engine.set_state(...) / --state")
+        return {
+            "defer_relations": {
+                uid: n.relation_name
+                for uid, n in state.nodes.items() if n.relation_name
+            },
+            "favor_state": favor_state,
+        }
+
+    def _write_artifacts(self, results: RunResults) -> None:
+        """Reference behavior: every task invocation refreshes target/
+        run_results.json + manifest.json (artifact consumers — retry,
+        result:/state: selectors — read them from there)."""
+        if not self.project.project_root:
+            return
+        from dbt_core_spark.run.artifacts import (
+            write_manifest, write_run_results,
+        )
+
+        target_dir = os.path.join(self.project.project_root, "target")
+        write_run_results(results, os.path.join(target_dir, "run_results.json"))
+        write_manifest(self, os.path.join(target_dir, "manifest.json"))
+
     def run(self, select: Optional[str] = None, full_refresh: bool = False,
             event_time_start: Optional[_dt.datetime] = None,
             event_time_end: Optional[_dt.datetime] = None,
             empty: bool = False, exclude: Optional[str] = None,
-            selector: Optional[str] = None) -> RunResults:
+            selector: Optional[str] = None, defer: bool = False,
+            favor_state: bool = False) -> RunResults:
         """`dbt run`: models only (ref: cli/main.py:547-580).  ``empty``
         compiles every ref/source with LIMIT 0 — dry-run schema build
         (ref: tests/functional/adapter/basic/test_empty.py)."""
-        return self._runner(
+        res = self._runner(
             full_refresh, event_time_start=event_time_start,
             event_time_end=event_time_end, empty=empty,
+            **self._defer_kw(defer, favor_state),
         ).run(select=self._sel(select, selector),
               resource_types={NodeType.Model}, exclude=exclude)
+        self._write_artifacts(res)
+        return res
 
     def seed(self, select: Optional[str] = None) -> RunResults:
         return self._runner().run(select=select, resource_types={NodeType.Seed})
@@ -146,28 +205,38 @@ class Engine:
         return self._runner().run(select=select, resource_types={NodeType.Snapshot})
 
     def test(self, select: Optional[str] = None,
-             selector: Optional[str] = None) -> RunResults:
-        return self._runner().run(select=self._sel(select, selector),
-                                  resource_types={NodeType.Test})
+             selector: Optional[str] = None, defer: bool = False,
+             favor_state: bool = False) -> RunResults:
+        return self._runner(**self._defer_kw(defer, favor_state)).run(
+            select=self._sel(select, selector),
+            resource_types={NodeType.Test})
 
     def build(self, select: Optional[str] = None, full_refresh: bool = False,
-              selector: Optional[str] = None) -> RunResults:
+              selector: Optional[str] = None, defer: bool = False,
+              favor_state: bool = False) -> RunResults:
         """`dbt build`: seeds+models+snapshots+tests with test edges
         (ref: task/build.py:1-219; compilation.py:197-249)."""
-        return self._runner(full_refresh).run(
+        res = self._runner(full_refresh, **self._defer_kw(defer, favor_state)).run(
             select=self._sel(select, selector),
             resource_types={NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test},
             add_test_edges=True,
         )
+        self._write_artifacts(res)
+        return res
 
     def source_freshness(self) -> dict[str, FreshnessResult]:
         """`dbt source freshness` (ref: task/freshness.py:36-220)."""
         runner = self._runner()
         runner._prepare(None, None)
-        out = {}
+        out: dict[str, FreshnessResult] = {}
         for uid, src in self.manifest.sources.items():
             if src.freshness or src.loaded_at_field:
                 out[uid] = check_freshness(self.spark, src, runner.relations[uid])
+        if self.project.project_root and out:
+            from dbt_core_spark.run.artifacts import write_sources
+
+            write_sources(out, os.path.join(
+                self.project.project_root, "target", "sources.json"))
         return out
 
     # -- interactive path (ref: task/show.py; `dbt compile --inline`) --------

@@ -309,7 +309,7 @@ class RenderContext:
             "config": cfg,
             "var": self.var,
             "env_var": lambda k, d=None: os.environ.get(k, d),
-            "target": {
+            "target": self.manifest.target_context or {
                 "name": "dev",
                 "type": "spark",
                 "schema": (this or "").split(".")[0] if this else "analytics",

@@ -197,6 +197,9 @@ class Manifest:
     previous_source_status: dict[str, str] = field(default_factory=dict)  # uid -> iso ts
     current_source_status: dict[str, str] = field(default_factory=dict)
     macro_checksums: dict[str, str] = field(default_factory=dict)
+    # resolved profile output for the Jinja `target` variable
+    # (ref: TargetContext context/base.py; config/profile.py)
+    target_context: Optional[dict] = None
 
     # lookup indexes (ref: manifest.py RefableLookup:174, SourceLookup:141)
     _ref_index: dict[str, str] = field(default_factory=dict)

@@ -72,6 +72,8 @@ class ProjectDef:
     restrict_access: bool = False
     # set by from_dir; enables target/partial_parse.json persistence
     project_root: Optional[str] = None
+    # profile name from dbt_project.yml (ref: config/profile.py)
+    profile: Optional[str] = None
     python_models: dict[str, Any] = field(default_factory=dict)  # name -> callable(dbt, session)
     seeds: dict[str, Any] = field(default_factory=dict)  # name -> csv path | list[dict]
     seed_configs: dict[str, dict] = field(default_factory=dict)
@@ -139,6 +141,7 @@ class ProjectDef:
         p = cls(name=cfg.get("name", os.path.basename(path.rstrip("/"))))
         p.project_root = real  # enables on-disk partial parsing
         p.restrict_access = bool(cfg.get("restrict-access"))
+        p.profile = cfg.get("profile")
         p.vars = cfg.get("vars", {}) or {}
         for pkg_name, tree in (cfg.get("models", {}) or {}).items():
             if pkg_name != p.name and isinstance(tree, dict):
