@@ -38,6 +38,41 @@ class UnitTestResult:
     message: str = ""
 
 
+def render_unit_diff(
+    columns: list[str],
+    matched: list[tuple],
+    missing: list[tuple],
+    unexpected: list[tuple],
+    max_rows: int = 20,
+) -> str:
+    """daff-style aligned row diff for failed unit tests (ref:
+    task/test.py:264-282 _render_daff_diff): one column-aligned table,
+    '' = row in both, '+' = actual-only (unexpected), '-' = expected-only
+    (missing)."""
+    marked = (
+        [("", r) for r in matched[:max_rows]]
+        + [("-", r) for r in missing[:max_rows]]
+        + [("+", r) for r in unexpected[:max_rows]]
+    )
+    header = ["", *columns]
+    rows = [[m, *("NULL" if v is None else str(v) for v in r)] for m, r in marked]
+    widths = [
+        max(len(header[i]), *(len(r[i]) for r in rows)) if rows else len(header[i])
+        for i in range(len(header))
+    ]
+
+    def line(cells: list[str]) -> str:
+        return "| " + " | ".join(c.ljust(w) for c, w in zip(cells, widths)) + " |"
+
+    out = ["actual differs from expected:", "", line(header),
+           line(["-" * w for w in widths])]
+    out += [line(r) for r in rows]
+    trunc = max(0, len(missing) - max_rows) + max(0, len(unexpected) - max_rows)
+    if trunc:
+        out.append(f"... {trunc} more differing row(s)")
+    return "\n".join(out)
+
+
 def _rows_to_view(spark: SparkSession, rows: list[dict], like: Optional[str],
                   name: str) -> None:
     """Build a temp view from fixture rows.  If ``like`` names an existing
@@ -140,10 +175,17 @@ def run_unit_test(
         else:
             missing, unexpected = [], [tuple(r) for r in actual.collect()]
         status = "pass" if not missing and not unexpected else "fail"
+        cols = sorted(actual.columns)
+        matched = (
+            [tuple(r) for r in actual_proj.intersectAll(exp_proj).limit(20).collect()]
+            if expected is not None and status == "fail" else []
+        )
         return UnitTestResult(
             test_name, status,
             actual_rows=[tuple(r) for r in actual.limit(100).collect()],
             missing_rows=missing, unexpected_rows=unexpected,
+            message="" if status == "pass" else render_unit_diff(
+                cols, matched, missing, unexpected),
         )
     except Exception as e:
         return UnitTestResult(test_name, "error", message=f"{type(e).__name__}: {e}")

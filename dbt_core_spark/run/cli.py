@@ -11,6 +11,7 @@ by swapping the import.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -88,10 +89,27 @@ class SparkbtRunner:
                 select=flags.get("select"),
                 selector=flags.get("selector"),
             )
+            if flags.get("state") and os.path.exists(flags["state"]):
+                # --state attaches previous artifacts (manifest.json +
+                # run_results.json + sources.json when present) so
+                # state:/result:/source_status: selectors and --defer work
+                # (ref: --state loading task/base.py).  `clone` passes a
+                # schema name instead — the path check skips it.
+                state_dir = flags["state"]
+                if os.path.exists(os.path.join(state_dir, "manifest.json")):
+                    eng.set_state(state_dir)
+                if os.path.exists(os.path.join(state_dir, "run_results.json")):
+                    eng.set_state(results=state_dir)
+                if os.path.exists(os.path.join(state_dir, "sources.json")):
+                    eng.set_state(sources=os.path.join(state_dir, "sources.json"))
+            defer_kw = dict(
+                defer=bool(flags.get("defer")),
+                favor_state=bool(flags.get("favor_state")),
+            )
             if verb == "run":
                 res = eng.run(full_refresh=bool(flags.get("full_refresh")),
                               empty=bool(flags.get("empty")),
-                              exclude=flags.get("exclude"), **sel)
+                              exclude=flags.get("exclude"), **sel, **defer_kw)
                 return RunnerResult(res.ok(), res)
             if verb == "seed":
                 res = eng.seed(select=flags.get("select"))

@@ -1,5 +1,7 @@
 """SparkbtRunner.invoke — dbtRunner analog (ref: cli/main.py:41-97)."""
 
+import os
+
 from dbt_core_spark import ProjectDef, SparkbtRunner
 
 
@@ -131,3 +133,30 @@ def test_run_query_row_cap(spark, schema, sf_dir):
     assert len(small.rows) == 10
     with _pytest.raises(ExecutionError, match="more than"):
         ctx.run_query("select id from range(20000)")
+
+
+def test_cli_state_modified_defer(tmp_path, spark, schema, sf_dir):
+    """Slim CI via CLI: run --select state:modified+ --state <dir> --defer
+    (ref: cli/main.py state flags; selector_methods.py:610)."""
+    from dbt_core_spark import Engine, ProjectDef, SparkbtRunner
+    from dbt_core_spark.run.artifacts import write_manifest
+
+    p = ProjectDef(name="ci")
+    p.add_source("tpch", "orders", f"{sf_dir}/orders.parquet")
+    p.models["stg"] = "select o_orderkey as id from {{ source('tpch','orders') }} limit 5"
+    p.models["mart"] = "select * from {{ ref('stg') }}"
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    target = str(tmp_path / "target")
+    write_manifest(eng, os.path.join(target, "manifest.json"))
+
+    p2 = ProjectDef(name="ci")
+    p2.add_source("tpch", "orders", f"{sf_dir}/orders.parquet")
+    p2.models["stg"] = p.models["stg"]
+    p2.models["mart"] = "select id, id * 2 as id2 from {{ ref('stg') }}"  # changed
+    eng2 = Engine(spark, p2, schema=schema)
+    rr = SparkbtRunner(eng2).invoke(
+        ["run", "--select", "state:modified", "--state", target, "--defer"])
+    assert rr.success, rr.exception
+    assert {r.unique_id for r in rr.result.results} == {"model.ci.mart"}
+    assert "id2" in spark.table(f"{schema}.mart").columns

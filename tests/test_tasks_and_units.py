@@ -416,3 +416,28 @@ def test_unit_test_macro_override_with_args(spark, schema, sf_dir):
     assert eng.run().ok()
     res = eng.unit_test("ut_args")
     assert res[0].status == "pass", res[0].message
+
+
+def test_unit_test_failure_renders_diff(spark, schema, sf_dir):
+    """Failed unit tests report a daff-style aligned diff: '-' for
+    expected-but-missing rows, '+' for unexpected rows
+    (ref: task/test.py:264-282)."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    p = ProjectDef(name="ud")
+    p.models["m"] = "select 1 as a, 'x' as b union all select 2, 'y'"
+    p.unit_tests["t_bad"] = {
+        "model": "m",
+        "given": {},
+        "expect": [{"a": 1, "b": "x"}, {"a": 3, "b": "z"}],
+    }
+    eng = Engine(spark, p, schema=schema)
+    res = eng.unit_test()
+    r = next(x for x in res if x.name == "t_bad")
+    assert r.status == "fail"
+    lines = r.message.splitlines()
+    assert lines[0].startswith("actual differs")
+    assert any(l.startswith("| -") and "3" in l and "z" in l for l in lines)
+    assert any(l.startswith("| +") and "2" in l and "y" in l for l in lines)
+    # matched row appears unmarked
+    assert any(l.startswith("|  ") and "x" in l for l in lines)
