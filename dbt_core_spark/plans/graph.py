@@ -249,8 +249,18 @@ def _method_match(manifest: Manifest, method: str, value: str) -> set[str]:
         }
     if method == "path":
         return {uid for uid, n in nodes.items() if _fnmatch(n.path, value)}
-    if method == "config.materialized":
-        return {uid for uid, n in nodes.items() if n.config.get("materialized") == value}
+    if method.startswith("config."):
+        # generic config.<key>:<value> (ref: ConfigSelectorMethod
+        # selector_methods.py — any config key; list configs match on
+        # containment, like tags)
+        key = method[len("config."):]
+        def _cmatch(n) -> bool:
+            got = n.config.get(key)
+            if isinstance(got, list):
+                return value in [str(x) for x in got]
+            return got is not None and str(got) == value
+
+        return {uid for uid, n in nodes.items() if _cmatch(n)}
     if method == "package":
         return {uid for uid, n in nodes.items() if _fnmatch(n.package, value)}
     if method == "test_type":

@@ -266,3 +266,15 @@ def test_source_status_fresher(tmp_path, spark, schema, sf_dir):
     assert eng3.ls(select="source_status:fresher") == [uid]
     assert set(eng3.ls(select="source_status:fresher+")) == {uid, "model.sel.m"}
     assert load_sources(src_path)[uid] == fresh[uid].max_loaded_at.isoformat()
+
+
+def test_generic_config_selector(spark, schema, sf_dir):
+    """config.<key>:<value> matches any config key; list values match on
+    containment (ref: ConfigSelectorMethod)."""
+    p = _proj(sf_dir)
+    p.model_configs["stg_a"] = {"tags": ["staging"], "meta_owner": "core"}
+    eng = Engine(spark, p, schema=schema)
+    assert eng.ls(select="config.meta_owner:core") == ["model.sel.stg_a"]
+    assert set(eng.ls(select="config.tags:staging")) == {
+        "model.sel.stg_a", "model.sel.stg_b"}
+    assert eng.ls(select="config.materialized:table") == []
