@@ -307,3 +307,62 @@ def cap_per_group(df: DataFrame, group_col: str = "source",
         .filter(F.col("rn") <= cap)
         .select(id_col, group_col, F.col("rn").cast("bigint").alias("rank_in_group"))
     )
+
+
+def _ngram_array(words, n: int):
+    """n-gram array via n shifted slices folded with zip_with — never
+    element_at-in-lambda, which re-references the array per gram and
+    goes quadratic under Catalyst expression inlining."""
+    out = F.slice(words, 1, F.size(words) - (n - 1))
+    for i in range(1, n):
+        nxt = F.slice(words, i + 1, F.size(words) - (n - 1))
+        out = F.zip_with(out, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Cross-document boilerplate signal (RefinedWeb/C4-style repetition
+    removal, public): an n-gram appearing in ≥ ``min_docs`` DISTINCT
+    documents is 'common'; per document, report the fraction of its
+    distinct n-grams that are common — high fractions flag templated/
+    boilerplate pages for removal from a training corpus.
+
+    Plan shape: within-doc dedup happens in the array (array_distinct —
+    each (doc, shingle) pair is emitted once), so corpus frequency is a
+    plain count(*) wordcount shuffle with map-side combine; membership
+    is a semi-join on the shingle key.  Two key shuffles total, linear
+    at corpus scale; no driver collect."""
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(_ngram_array(words, n)).alias("shingles"),
+    ).filter(F.size(F.col("shingles")) > 0)
+    ex = base.select(id_col, F.explode("shingles").alias("shingle"))
+    common = (
+        ex.groupBy("shingle").count()
+        .filter(F.col("count") >= min_docs)
+        .select("shingle")
+    )
+    per_common = (
+        ex.join(common, "shingle", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        base.select(id_col, F.size("shingles").alias("n_shingles"))
+        .join(per_common, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias(
+                "n_common_shingles"),
+            (F.coalesce(F.col("n_common"), F.lit(0))
+             / F.col("n_shingles").cast("double")).alias("common_frac"),
+        )
+    )

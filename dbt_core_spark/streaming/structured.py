@@ -62,6 +62,32 @@ def windowed_rollup(
     )
 
 
+def session_rollup(
+    df: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    group_cols: Optional[list[str]] = None,
+    aggs: Optional[list] = None,
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — dynamic-length
+    windows that close when ``gap`` passes with no event for the key.
+    The streaming equivalent of the batch islands-and-gaps
+    ``sessionize_events`` operator; state per open session is bounded by
+    the watermark (a session is emitted once watermark > last_event +
+    gap).  Session end = last event + gap, per Spark's definition."""
+    w = F.session_window(F.col(ts_col), gap)
+    out_aggs = aggs or [F.count("*").alias("n")]
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), *(group_cols or []))
+        .agg(*out_aggs)
+        .withColumn("session_start", F.col("win.start"))
+        .withColumn("session_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
 def streaming_dedup(
     df: DataFrame,
     key_cols: list[str],

