@@ -1394,6 +1394,18 @@ def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, "text", "doc_id")
 
 
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 3-gram with the
+    'benchmark' probe subset (doc_id % 50 == 0) are flagged with their
+    distinct-hit count."""
+    from dbt_core_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter("doc_id % 50 = 0")
+    corpus = docs.filter("doc_id % 50 <> 0")
+    return decontaminate(corpus, probes, n=3)
+
+
 def boilerplate_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb/C4-style cross-document boilerplate: fraction of each
     doc's distinct 3-grams that occur in ≥5 distinct documents."""
@@ -1700,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap_docs": source_cap_docs,
         "boilerplate_ngram_docs": boilerplate_ngram_docs,
         "streaming_session_rollup": streaming_session_rollup,
+        "decontaminate_docs": decontaminate_docs,
         # -- representative verified-in-r1 fills (demote to keep <=50) --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1709,12 +1722,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top3_orders_per_customer": window_top3_orders_per_customer,
         "sessionize_events": sessionize_events,
         "asof_join_events_orders": asof_join_events_orders,
-        "pivot_status_by_priority": pivot_status_by_priority,
         "xdb_datetime_functions": xdb_datetime_functions,
         "xdb_string_functions": xdb_string_functions,
         "engine_view_table_ephemeral": engine_view_table_ephemeral,
         "engine_incremental_merge": engine_incremental_merge,
         # ---------------- past the 50-query gate cap ----------------
+        "pivot_status_by_priority": pivot_status_by_priority,
         "json_extract_props": json_extract_props,
         "pandas_udf_text_features": pandas_udf_text_features,
         "q18_large_orders": q18_large_orders,

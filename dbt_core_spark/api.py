@@ -185,13 +185,15 @@ class Engine:
             event_time_end: Optional[_dt.datetime] = None,
             empty: bool = False, exclude: Optional[str] = None,
             selector: Optional[str] = None, defer: bool = False,
-            favor_state: bool = False) -> RunResults:
+            favor_state: bool = False, fail_fast: bool = False,
+            warn_error: bool = False) -> RunResults:
         """`dbt run`: models only (ref: cli/main.py:547-580).  ``empty``
         compiles every ref/source with LIMIT 0 — dry-run schema build
         (ref: tests/functional/adapter/basic/test_empty.py)."""
         res = self._runner(
             full_refresh, event_time_start=event_time_start,
             event_time_end=event_time_end, empty=empty,
+            fail_fast=fail_fast, warn_error=warn_error,
             **self._defer_kw(defer, favor_state),
         ).run(select=self._sel(select, selector),
               resource_types={NodeType.Model}, exclude=exclude)
@@ -206,17 +208,22 @@ class Engine:
 
     def test(self, select: Optional[str] = None,
              selector: Optional[str] = None, defer: bool = False,
-             favor_state: bool = False) -> RunResults:
-        return self._runner(**self._defer_kw(defer, favor_state)).run(
+             favor_state: bool = False, fail_fast: bool = False,
+             warn_error: bool = False) -> RunResults:
+        return self._runner(fail_fast=fail_fast, warn_error=warn_error,
+                            **self._defer_kw(defer, favor_state)).run(
             select=self._sel(select, selector),
             resource_types={NodeType.Test})
 
     def build(self, select: Optional[str] = None, full_refresh: bool = False,
               selector: Optional[str] = None, defer: bool = False,
-              favor_state: bool = False) -> RunResults:
+              favor_state: bool = False, fail_fast: bool = False,
+              warn_error: bool = False) -> RunResults:
         """`dbt build`: seeds+models+snapshots+tests with test edges
         (ref: task/build.py:1-219; compilation.py:197-249)."""
-        res = self._runner(full_refresh, **self._defer_kw(defer, favor_state)).run(
+        res = self._runner(full_refresh, fail_fast=fail_fast,
+                           warn_error=warn_error,
+                           **self._defer_kw(defer, favor_state)).run(
             select=self._sel(select, selector),
             resource_types={NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test},
             add_test_edges=True,

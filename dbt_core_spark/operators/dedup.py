@@ -462,3 +462,47 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def decontaminate(
+    df: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination (public recipe: GPT-3 appendix C /
+    PaLM / Llama eval-overlap removal): flag every training document
+    sharing at least one word n-gram with the probe set (the evaluation
+    benchmark), so contaminated docs can be dropped before training.
+
+    Plan shape: both sides reduce to DISTINCT n-gram keys; the probe
+    side is tiny relative to the corpus, so Catalyst broadcasts it into
+    the inner join; one corpus-side explode, no pairwise comparison.
+    Returns (id, n_hits, sample_hit) per CONTAMINATED document —
+    anti-join the ids to clean the corpus."""
+    corpus = df.select(
+        F.col(id_col),
+        F.explode(
+            word_ngrams(normalized_words(F.col(text_col)), n)
+        ).alias("shingle"),
+    )
+    probe_set = probes.select(
+        F.explode(
+            word_ngrams(normalized_words(F.col(probe_text_col)), n)
+        ).alias("shingle")
+    ).distinct()
+    return (
+        corpus.join(probe_set, "shingle", "inner")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("shingle").alias("sample_hit"),
+        )
+        .select(
+            id_col,
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            "sample_hit",
+        )
+    )

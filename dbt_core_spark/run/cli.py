@@ -105,6 +105,8 @@ class SparkbtRunner:
             defer_kw = dict(
                 defer=bool(flags.get("defer")),
                 favor_state=bool(flags.get("favor_state")),
+                fail_fast=bool(flags.get("fail_fast")),
+                warn_error=bool(flags.get("warn_error")),
             )
             if verb == "run":
                 res = eng.run(full_refresh=bool(flags.get("full_refresh")),
@@ -118,10 +120,11 @@ class SparkbtRunner:
                 res = eng.snapshot(select=flags.get("select"))
                 return RunnerResult(res.ok(), res)
             if verb == "test":
-                res = eng.test(**sel)
+                res = eng.test(**sel, **defer_kw)
                 return RunnerResult(res.ok(), res)
             if verb == "build":
-                res = eng.build(full_refresh=bool(flags.get("full_refresh")), **sel)
+                res = eng.build(full_refresh=bool(flags.get("full_refresh")),
+                                **sel, **defer_kw)
                 return RunnerResult(res.ok(), res)
             if verb in ("ls", "list"):
                 return RunnerResult(True, eng.ls(

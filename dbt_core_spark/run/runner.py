@@ -80,6 +80,8 @@ class GraphRunner:
         empty: bool = False,
         defer_relations: Optional[dict[str, str]] = None,
         favor_state: bool = False,
+        fail_fast: bool = False,
+        warn_error: bool = False,
     ):
         self.spark = spark
         self.manifest = manifest
@@ -94,6 +96,8 @@ class GraphRunner:
         self.empty = empty
         self.defer_relations = defer_relations or {}
         self.favor_state = favor_state
+        self.fail_fast = fail_fast
+        self.warn_error = warn_error
         self.relations: dict[str, str] = {}
 
     # -- relation naming (ref: relation_name components.py:174-199) ---------
@@ -166,6 +170,7 @@ class GraphRunner:
         results = RunResults()
         self._run_hooks(self.on_run_start, "on-run-start")
         failed: set[str] = set()
+        aborted: list[bool] = []  # non-empty once fail-fast tripped
 
         def worker() -> None:
             while True:
@@ -173,6 +178,15 @@ class GraphRunner:
                 if uid is None:
                     return
                 node = self.manifest.nodes[uid]
+                # --fail-fast: after the first failure, every not-yet-run
+                # node is marked skipped (ref: flags.FAIL_FAST,
+                # runnable.py fail_fast handling)
+                if aborted:
+                    results.results.append(
+                        NodeResult(uid, "skipped", message="fail-fast abort")
+                    )
+                    queue.mark_done(uid)
+                    continue
                 # skip if any ancestor failed (ref: runnable.py:445-458)
                 if any(p in failed for p in self._ancestors_in(queue.graph, uid)):
                     results.results.append(
@@ -187,8 +201,16 @@ class GraphRunner:
                 self.spark.sparkContext.setJobDescription(
                     f"{self.manifest.project_name}: {uid}")
                 res = self._run_node(node)
+                if res.status == "warn" and self.warn_error:
+                    # --warn-error: warnings are promoted to failures
+                    # (ref: flags.WARN_ERROR)
+                    res = NodeResult(res.unique_id, "fail", res.execution_time,
+                                     res.message or "warning escalated by warn_error",
+                                     res.relation, res.failures, res.batch_results)
                 if res.status in ("error", "fail"):
                     failed.add(uid)
+                    if self.fail_fast:
+                        aborted.append(True)
                 results.results.append(res)
                 queue.mark_done(uid)
 

@@ -1229,3 +1229,31 @@ select strftime(st, '%Y-%m-%d %H:%M:%S') as session_start,
 from agg, wm
 where epoch_us(en) <= wm.wm_us
 """
+
+ORACLES["decontaminate_docs"] = """
+with norm as (
+  select doc_id,
+         list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+           w -> w <> '') as words
+  from documents
+),
+sh as (
+  select doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in generate_series(1, len(words) - 2)]) as shingles
+  from norm where len(words) >= 3
+),
+probe as (
+  select distinct unnest(shingles) as shingle from sh where doc_id % 50 = 0
+),
+corpus as (
+  select doc_id, unnest(shingles) as shingle from sh where doc_id % 50 <> 0
+)
+select c.doc_id,
+       cast(count(*) as bigint) as n_hits,
+       min(c.shingle) as sample_hit
+from corpus c join probe p using (shingle)
+group by c.doc_id
+"""

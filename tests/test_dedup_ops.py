@@ -63,3 +63,23 @@ def test_boilerplate_ngram_stats(spark):
         assert out[i]["n_shingles"] == 4
         assert out[i]["n_common_shingles"] == 1
         assert abs(out[i]["common_frac"] - 0.25) < 1e-12
+
+
+def test_decontaminate(spark):
+    """Docs sharing an n-gram with the probe set are flagged; clean docs
+    are not."""
+    from dbt_core_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "totally unrelated content words"),
+         (3, "see the quick brown dog run")],
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate(corpus, probes, n=3).collect()}
+    assert set(out) == {1, 3}  # doc 2 clean
+    assert out[1]["n_hits"] == 2  # 'the quick brown', 'quick brown fox'
+    assert out[3]["n_hits"] == 1  # 'the quick brown'
+    assert out[3]["sample_hit"] == "the quick brown"

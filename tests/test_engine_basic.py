@@ -338,3 +338,43 @@ def test_inject_ctes_preserves_with_recursive():
         "with a as (select 1) select * from a", [("c1", "select 2")]
     )
     assert out2.lower().startswith("with c1 as (select 2), a as (select 1)")
+
+
+def test_fail_fast_skips_remaining(spark, schema, sf_dir):
+    """--fail-fast: after the first failure, not-yet-run nodes are
+    skipped (ref: flags.FAIL_FAST; runnable.py)."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    p = ProjectDef(name="ff")
+    # a_bad gets a 2-deep dependent chain => highest queue priority, runs
+    # first; m_solo is independent and healthy — only fail-fast skips it
+    p.models["a_bad"] = "select * from missing_relation_ff"
+    p.models["b_child"] = "select * from {{ ref('a_bad') }}"
+    p.models["c_grandchild"] = "select * from {{ ref('b_child') }}"
+    p.models["m_solo"] = "select 1 as x"
+    eng = Engine(spark, p, schema=schema, threads=1)
+    res = eng.run(fail_fast=True)
+    by = res.by_id
+    assert by["model.ff.a_bad"].status == "error"
+    assert by["model.ff.m_solo"].status == "skipped"
+    assert "fail-fast" in by["model.ff.m_solo"].message
+    # without fail_fast the independent node runs fine
+    res2 = eng.run()
+    assert res2.by_id["model.ff.m_solo"].status == "success"
+
+
+def test_warn_error_promotes_warnings(spark, schema, sf_dir):
+    """--warn-error: a warn-severity test failure becomes a hard fail."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    p = ProjectDef(name="we")
+    p.models["m"] = "select 1 as id union all select 1"
+    p.tests["uniq_warn"] = {"type": "unique", "model": "m", "column": "id",
+                            "severity": "warn"}
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    r1 = eng.test()
+    assert r1.by_id["test.we.uniq_warn"].status == "warn"  # baseline
+    r2 = eng.test(warn_error=True)
+    assert r2.by_id["test.we.uniq_warn"].status == "fail"
+    assert not r2.ok()
