@@ -506,3 +506,114 @@ def decontaminate(
             "sample_hit",
         )
     )
+
+
+def _minhash_coefs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients shared by index build
+    and match (same Random(42) family as minhash_lsh_pairs — an index
+    built yesterday matches a batch signed today)."""
+    import random as _random
+
+    p = (1 << 31) - 1
+    rnd = _random.Random(42)
+    return [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Persistable MinHash index: (id, shingles, s0..s{num_perm-1}).
+
+    The scale contract for a CONTINUOUSLY-FED corpus: sign each document
+    once, store the signature row, and dedup every future batch against
+    the stored index (minhash_match) without re-tokenizing 100 TB of
+    history.  Write this DataFrame as a table partitioned however the
+    corpus is partitioned; only the new batch is ever signed again."""
+    p = (1 << 31) - 1
+    shingled = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), normalized_words(text_col).alias("words"))
+        .filter(F.size("words") >= n)
+        .select("id", word_ngrams(F.col("words"), n).alias("shingles"))
+        .localCheckpoint()
+    )
+    ex = shingled.select("id", F.explode("shingles").alias("sh")).select(
+        "id", F.pmod(F.xxhash64("sh"), F.lit(p)).alias("h")
+    )
+    sig = ex.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"s{i}")
+            for i, (a, b) in enumerate(_minhash_coefs(num_perm))
+        ]
+    )
+    return shingled.join(sig, "id")
+
+
+def _banded(index: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    r = num_perm // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(*[F.col(f"s{i * r + j}") for j in range(r)]).alias("h"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return index.select("id", F.explode(band_cols).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.h").alias("h")
+    )
+
+
+def minhash_match(
+    batch_index: DataFrame,
+    corpus_index: DataFrame,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Match a NEW batch's index rows against a stored corpus index:
+    banded candidate join (batch bands × corpus bands — never a corpus
+    self-join), then exact-Jaccard verification of candidates only.
+    Returns (corpus_id, batch_id, jaccard ≥ threshold).
+
+    Cost is O(batch) signatures + one shuffle of batch∪matching-band
+    rows — the incremental shape that keeps continuous dedup linear in
+    the ARRIVING data, not in corpus history."""
+    cb = _banded(corpus_index, num_perm, bands).alias("c")
+    bb = _banded(batch_index, num_perm, bands).alias("n")
+    candidates = (
+        cb.join(
+            bb,
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.h") == F.col("n.h"))
+            & (F.col("c.id") != F.col("n.id")),
+        )
+        .select(F.col("c.id").alias("corpus_id"), F.col("n.id").alias("batch_id"))
+        .distinct()
+    )
+    verified = (
+        candidates
+        .join(
+            corpus_index.select(F.col("id").alias("corpus_id"),
+                                F.col("shingles").alias("sh_c")),
+            "corpus_id",
+        )
+        .join(
+            batch_index.select(F.col("id").alias("batch_id"),
+                               F.col("shingles").alias("sh_b")),
+            "batch_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_c", "sh_b"))
+            / F.size(F.array_union("sh_c", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "batch_id", "jaccard")
+    )
+    return verified

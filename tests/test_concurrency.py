@@ -49,3 +49,25 @@ def test_concurrent_incremental_distinct_models(spark, schema, sf_dir):
     assert eng.run().ok()  # second (merge) pass, still concurrent
     counts = {i: spark.table(f"{schema}.inc_{i}").count() for i in range(4)}
     assert len(set(counts.values())) == 1  # all equal, no cross-talk
+
+
+def test_concurrent_compiles_share_ephemeral_upstream(spark, schema, sf_dir):
+    """Many models ref'ing the SAME ephemeral upstream compiled by
+    4 worker threads: every compiled SQL must contain the CTE it
+    references (regression: CTE refs used to accumulate on the shared
+    Node — reset/append/read raced across workers)."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    p = ProjectDef(name="race")
+    p.models["eph"] = "select 1 as x, 2 as y"
+    p.model_configs["eph"] = {"materialized": "ephemeral"}
+    for i in range(12):
+        p.models[f"c{i}"] = "select x from {{ ref('eph') }}"
+    eng = Engine(spark, p, schema=schema, threads=4)
+    res = eng.run()
+    assert res.ok(), [r.message for r in res.results]
+    for i in range(12):
+        node = eng.manifest.nodes[f"model.race.c{i}"]
+        assert "__dbt__cte__eph" in node.compiled_code
+        assert node.compiled_code.lower().count("with ") >= 1
+    assert spark.table(f"{schema}.c7").collect()[0]["x"] == 1

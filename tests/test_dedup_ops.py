@@ -83,3 +83,23 @@ def test_decontaminate(spark):
     assert out[1]["n_hits"] == 2  # 'the quick brown', 'quick brown fox'
     assert out[3]["n_hits"] == 1  # 'the quick brown'
     assert out[3]["sample_hit"] == "the quick brown"
+
+
+def test_minhash_index_match_incremental(spark):
+    """minhash_index → minhash_match finds batch-vs-corpus near-dups
+    without a corpus self-join, matching exact Jaccard semantics."""
+    from dbt_core_spark.operators.dedup import minhash_index, minhash_match
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark engines")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, base + " tail"),                 # near-dup of 1
+         (101, "novel content never seen before in any corpus")],
+        "doc_id long, text string")
+    ci = minhash_index(corpus)
+    bi = minhash_match(minhash_index(batch), ci, threshold=0.5)
+    rows = bi.collect()
+    assert [(r["corpus_id"], r["batch_id"]) for r in rows] == [(1, 100)]
+    assert rows[0]["jaccard"] >= 0.5
