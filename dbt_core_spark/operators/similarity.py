@@ -565,3 +565,38 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric scalar quantization of embeddings (the FAISS SQ8 /
+    vector-DB int8 storage scheme, public): per vector, scale =
+    max|v_i|, q_i = floor(v_i/scale·(2^(bits-1)−1) + 0.5).  Cuts ANN
+    index memory 4× vs float32 (8× vs float64) with ~1e-2 recall cost —
+    the standard storage form for billion-vector corpora.
+
+    Pure JVM column expressions (transform/aggregate HOFs) — no UDF, no
+    shuffle; rows quantize in place at scan parallelism.  The explicit
+    floor(+0.5) rounding makes the output engine-independent (no
+    round-half-even ambiguity), so it is oracle-checked exactly."""
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.when(scale == 0, F.transform(v, lambda x: F.lit(0)))
+        .otherwise(
+            F.transform(
+                v,
+                lambda x: F.floor(x / scale * F.lit(qmax) + F.lit(0.5)).cast("int"),
+            )
+        )
+        .alias("q"),
+    )

@@ -1280,3 +1280,23 @@ join shn nc on nc.id = s.corpus_id
 join shn nb on nb.id = s.batch_id
 where s.shared / (nc.n_sh + nb.n_sh - s.shared) >= 0.7
 """
+
+ORACLES["quantize_embeddings_int8"] = """
+with v as (
+  select vec_id,
+         list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+),
+s as (
+  select vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) as scale
+  from v
+)
+select vec_id,
+       scale,
+       case when scale = 0
+            then list_transform(e, x -> 0)
+            else list_transform(e, x -> cast(floor(x / scale * 127 + 0.5) as int))
+       end as q
+from s
+"""

@@ -78,3 +78,22 @@ def test_sharded_blas_topk_matches_dense(spark, sf_dir, emb):
     assert (dense[["query_id", "nbr_id", "rank"]]
             == sharded[["query_id", "nbr_id", "rank"]]).all().all()
     assert (dense["cosine"].round(9) == sharded["cosine"].round(9)).all()
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark, emb):
+    """int8 quantization: values in [-127,127], scale = max|v|, and the
+    dequantized vector reconstructs within half a quantization step."""
+    from dbt_core_spark.operators.similarity import quantize_embeddings
+
+    out = quantize_embeddings(emb.limit(50), "embedding", "vec_id")
+    rows = out.collect()
+    assert len(rows) == 50
+    src = {r["vec_id"]: r["embedding"] for r in emb.limit(50).collect()}
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r["q"])
+        v = src[r["vec_id"]]
+        s = r["scale"]
+        assert abs(s - max(abs(float(x)) for x in v)) < 1e-12
+        step = s / 127
+        for x, q in zip(v, r["q"]):
+            assert abs(q * step - float(x)) <= step / 2 + 1e-9
