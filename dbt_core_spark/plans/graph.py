@@ -275,7 +275,12 @@ def _method_match(manifest: Manifest, method: str, value: str) -> set[str]:
             if n.test_metadata.get("name") == value
         }
     if method == "exposure":
-        return set()  # exposures are metadata-only; nothing executable
+        # ref: ExposureSelectorMethod — exposures are graph terminals;
+        # `+exposure:name` walks to their upstream models
+        return {
+            uid for uid, n in nodes.items()
+            if n.resource_type is NodeType.Exposure and _fnmatch(n.name, value)
+        }
     if method == "state":
         # ref: StateSelectorMethod selector_methods.py:610-790
         state_m = manifest.state_manifest

@@ -30,6 +30,7 @@ class NodeType(str, Enum):
     Operation = "operation"
     Analysis = "analysis"
     SqlOperation = "sql_operation"
+    Exposure = "exposure"
 
 
 # Default per-type config (ref: artifacts/resources/v1/config.py:78-128 —

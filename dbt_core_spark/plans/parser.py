@@ -11,6 +11,7 @@ uses the dbt-extractor static parser when possible, parser/models.py:379-434
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from dbt_core_spark.exceptions import ParsingError
@@ -60,9 +61,29 @@ def parse_project(
     ]:
         _parse_package(manifest, owner, defaults_override)
 
-    # -- exposures / metrics: metadata-only (ref: nodes.py:1334,1404) --------
+    # -- exposures / metrics (ref: nodes.py:1334,1404) -----------------------
+    # exposures join the GRAPH as terminal nodes (never executed) so
+    # `exposure:` and `+exposure:name` selection work like the reference
+    # (ExposureSelectorMethod; graph_selection tests); metrics stay
+    # metadata-only like the reference's semantic layer.
     manifest.exposures = dict(project.exposures)
     manifest.metrics = dict(project.metrics)
+    for ename, edef in project.exposures.items():
+        enode = Node(
+            unique_id=f"exposure.{project.name}.{ename}",
+            name=ename,
+            package=project.name,
+            resource_type=NodeType.Exposure,
+            config={"enabled": True},
+        )
+        for dep in edef.get("depends_on", []) or []:
+            m = re.match(r"ref\(\s*'([^']+)'\s*\)", str(dep))
+            ms = re.match(r"source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)", str(dep))
+            if ms:
+                enode.sources.append((ms.group(1), ms.group(2)))
+            else:
+                enode.refs.append(m.group(1) if m else str(dep))
+        manifest.add_node(enode)
     # groups accumulate in _parse_package (root first, then packages)
 
     # -- parse-time render: capture refs/sources/config ----------------------

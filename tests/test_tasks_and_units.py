@@ -441,3 +441,24 @@ def test_unit_test_failure_renders_diff(spark, schema, sf_dir):
     assert any(l.startswith("| +") and "2" in l and "y" in l for l in lines)
     # matched row appears unmarked
     assert any(l.startswith("|  ") and "x" in l for l in lines)
+
+
+def test_exposure_graph_selection(spark, schema, sf_dir):
+    """Exposures are graph terminals: exposure:<name> selects them,
+    +exposure:<name> pulls their upstream models, and they never
+    execute (ref: ExposureSelectorMethod)."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    p = ProjectDef(name="exp")
+    p.models["base"] = "select 1 as x"
+    p.models["mart"] = "select * from {{ ref('base') }}"
+    p.models["unrelated"] = "select 2 as y"
+    p.exposures["dash"] = {"type": "dashboard", "depends_on": ["ref('mart')"]}
+    eng = Engine(spark, p, schema=schema)
+    assert eng.ls(select="exposure:dash") == ["exposure.exp.dash"]
+    assert set(eng.ls(select="+exposure:dash")) == {
+        "exposure.exp.dash", "model.exp.mart", "model.exp.base"}
+    res = eng.run()  # exposures are not executable
+    assert res.ok()
+    assert {r.unique_id for r in res.results} == {
+        "model.exp.base", "model.exp.mart", "model.exp.unrelated"}
