@@ -54,10 +54,13 @@ def cosine_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (a < b). Exact.
 
+    **TEST-SCALE ONLY** — the all-pairs join is inherently O(n²); never
+    run this on a production corpus.  Production paths:
+    ``lsh_cosine_topk`` / ``ivf_topk`` / ``ivf_topk_blas`` (approximate)
+    or ``cosine_topk_blas`` (exact, matmul-batched, auto-sharded).
+
     Norms are computed per ROW below the join (n folds), not per pair
-    (n² folds) — same float expression dot/(na*nb), 3× less work.
-    Exact all-pairs is inherently O(n²): the scale paths are
-    lsh_cosine_topk / ivf_topk."""
+    (n² folds) — same float expression dot/(na*nb), 3× less work."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                   _norm(F.col(vec_col)).alias("na"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
@@ -82,7 +85,11 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (queries default to the
     corpus itself, self-match excluded).  Ties broken by neighbor id for
-    determinism."""
+    determinism.
+
+    **TEST-SCALE ONLY** — row-expression all-pairs scoring; use
+    ``cosine_topk_blas`` (same exact results, matmul-batched,
+    auto-sharded past the driver budget) in production."""
     corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"),
                        _norm(F.col(vec_col)).alias("nb"))
     q = (queries or df).select(F.col(id_col).alias("query_id"),

@@ -249,6 +249,15 @@ def _method_match(manifest: Manifest, method: str, value: str) -> set[str]:
         }
     if method == "path":
         return {uid for uid, n in nodes.items() if _fnmatch(n.path, value)}
+    if method == "file":
+        # ref: FileSelectorMethod — match on the file basename (with or
+        # without extension)
+        def _fmatch(n) -> bool:
+            base = (n.path or "").rsplit("/", 1)[-1]
+            stem = base.rsplit(".", 1)[0] if "." in base else base
+            return _fnmatch(base, value) or _fnmatch(stem, value)
+
+        return {uid for uid, n in nodes.items() if _fmatch(n)}
     if method.startswith("config."):
         # generic config.<key>:<value> (ref: ConfigSelectorMethod
         # selector_methods.py — any config key; list configs match on

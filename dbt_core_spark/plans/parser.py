@@ -224,6 +224,7 @@ def _parse_package(
             package=project.name,
             resource_type=NodeType.Model,
             raw_code=sql,
+            path=project.model_paths.get(model_name, ""),
             config=_merged_config(project, model_name,
                                   project.model_configs.get(model_name),
                                   defaults_override),

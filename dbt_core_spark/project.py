@@ -60,6 +60,9 @@ class ProjectDef:
     # constraints}] (ref: ColumnInfo components.py:59-70; contracts §1.2)
     model_columns: dict[str, list[dict]] = field(default_factory=dict)
     model_descriptions: dict[str, str] = field(default_factory=dict)
+    # name -> project-relative source file path (dir-loaded projects;
+    # backs the path:/file: selector methods)
+    model_paths: dict[str, str] = field(default_factory=dict)
     # versioned models (ref: schema-yml `versions:` + latest_version,
     # nodes.py:490-491; tests/functional/model_versions/):
     # name -> {"latest_version": N, "versions": [{"v": N,
@@ -151,7 +154,8 @@ class ProjectDef:
         p.model_defaults = (cfg.get("models", {}) or {}).get(p.name, {}) or {}
 
         for d in cfg.get("model-paths", ["models"]):
-            _load_sql_dir(os.path.join(path, d), p.models)
+            _load_sql_dir(os.path.join(path, d), p.models,
+                          paths=p.model_paths, project_root=path)
             _load_schema_yml(os.path.join(path, d), p)
         for d in cfg.get("seed-paths", ["seeds"]):
             seed_dir = os.path.join(path, d)
@@ -246,7 +250,12 @@ def _as_list(v: Any) -> list:
     return v if isinstance(v, list) else [v]
 
 
-def _load_sql_dir(d: str, dest: dict[str, str]) -> None:
+def _load_sql_dir(
+    d: str,
+    dest: dict[str, str],
+    paths: Optional[dict[str, str]] = None,
+    project_root: Optional[str] = None,
+) -> None:
     if not os.path.isdir(d):
         return
     for root, _dirs, files in os.walk(d):
@@ -254,6 +263,12 @@ def _load_sql_dir(d: str, dest: dict[str, str]) -> None:
             if fn.endswith(".sql"):
                 with open(os.path.join(root, fn)) as f:
                     dest[fn[:-4]] = f.read()
+                if paths is not None:
+                    full = os.path.join(root, fn)
+                    paths[fn[:-4]] = (
+                        os.path.relpath(full, project_root)
+                        if project_root else full
+                    )
 
 
 _SNAPSHOT_BLOCK = re.compile(

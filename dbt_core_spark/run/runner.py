@@ -82,6 +82,7 @@ class GraphRunner:
         favor_state: bool = False,
         fail_fast: bool = False,
         warn_error: bool = False,
+        on_event: Optional[Any] = None,
     ):
         self.spark = spark
         self.manifest = manifest
@@ -98,7 +99,23 @@ class GraphRunner:
         self.favor_state = favor_state
         self.fail_fast = fail_fast
         self.warn_error = warn_error
+        # structured-event callback (ref: the events/EventManager system,
+        # core/dbt/events/ — reduced to node lifecycle dicts here):
+        # receives {"event", "ts", "unique_id", ...} per node start/finish
+        self.on_event = on_event
         self.relations: dict[str, str] = {}
+
+    def _emit(self, event: str, **data: Any) -> None:
+        if self.on_event is None:
+            return
+        try:
+            self.on_event({
+                "event": event,
+                "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                **data,
+            })
+        except Exception:
+            pass  # observability must never fail the run
 
     # -- relation naming (ref: relation_name components.py:174-199) ---------
 
@@ -200,6 +217,8 @@ class GraphRunner:
                 # tag Spark jobs with the node id for cluster-UI attribution
                 self.spark.sparkContext.setJobDescription(
                     f"{self.manifest.project_name}: {uid}")
+                self._emit("NodeStart", unique_id=uid,
+                           resource_type=node.resource_type.value)
                 res = self._run_node(node)
                 if res.status == "warn" and self.warn_error:
                     # --warn-error: warnings are promoted to failures
@@ -211,6 +230,8 @@ class GraphRunner:
                     failed.add(uid)
                     if self.fail_fast:
                         aborted.append(True)
+                self._emit("NodeFinish", unique_id=uid, status=res.status,
+                           execution_time=round(res.execution_time, 3))
                 results.results.append(res)
                 queue.mark_done(uid)
 

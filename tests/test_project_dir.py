@@ -161,3 +161,41 @@ def test_on_disk_partial_parse(tmp_path, spark, schema):
         f.write("{not json")
     eng5 = Engine(spark, ProjectDef.from_dir(root), schema=schema)
     assert eng5.manifest.reparse_count == n_models
+
+
+def test_run_events_jsonl(tmp_path, spark, schema):
+    """Dir-loaded projects append node lifecycle events to
+    target/events.jsonl (ref: events/EventManager, reduced)."""
+    import json
+
+    from dbt_core_spark import Engine, ProjectDef
+
+    root = str(tmp_path / "ev")
+    os.makedirs(os.path.join(root, "models"))
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: ev\n")
+    with open(os.path.join(root, "models", "m.sql"), "w") as f:
+        f.write("select 1 as x")
+    eng = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    assert eng.run().ok()
+    with open(os.path.join(root, "target", "events.jsonl")) as f:
+        events = [json.loads(l) for l in f]
+    kinds = [(e["event"], e["unique_id"]) for e in events]
+    assert ("NodeStart", "model.ev.m") in kinds
+    fin = next(e for e in events if e["event"] == "NodeFinish")
+    assert fin["status"] == "success" and "ts" in fin
+
+
+def test_file_selector(tmp_path, spark, schema):
+    from dbt_core_spark import Engine, ProjectDef
+
+    root = str(tmp_path / "fs")
+    os.makedirs(os.path.join(root, "models"))
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: fs\n")
+    for name in ("alpha", "beta"):
+        with open(os.path.join(root, "models", f"{name}.sql"), "w") as f:
+            f.write("select 1 as x")
+    eng = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    assert eng.ls(select="file:alpha.sql") == ["model.fs.alpha"]
+    assert eng.ls(select="file:alpha") == ["model.fs.alpha"]
