@@ -295,6 +295,13 @@ class RenderContext:
         self.results_store[name] = agate_table
         return ""
 
+    def _try_or_compiler_error(self, message_if_exception: str, func, *args, **kwargs):
+        """ref: providers.py:1018 — run func, re-raise as CompilationError."""
+        try:
+            return func(*args, **kwargs)
+        except Exception:
+            raise CompilationError(message_if_exception) from None
+
     def load_result(self, name: str) -> Optional[AgateLikeTable]:
         return self.results_store.get(name)
 
@@ -341,6 +348,19 @@ class RenderContext:
             "local_md5": lambda s: hashlib.md5(s.encode()).hexdigest(),
             "flags": {"FULL_REFRESH": False, "WHICH": "run"},
             "diff_of_two_dicts": _diff_of_two_dicts,
+            # return(): short-circuit a macro with a (possibly non-string)
+            # value (ref: BaseContext.return_ context/base.py:347; the
+            # macro-call wrapper in render() catches _MacroReturn)
+            "return": _macro_return,
+            "set_strict": _set_strict,
+            "zip_strict": lambda *a: list(zip(*a, strict=True)),
+            "try_or_compiler_error": self._try_or_compiler_error,
+            "render": lambda s: render(s, self),
+            # selected resources of the current invocation (ref:
+            # providers.py:1503; populated by the runner before compile)
+            "selected_resources": list(
+                getattr(self.manifest, "selected_resources", []) or []
+            ),
             "model": {
                 "name": self.node.name,
                 "unique_id": self.node.unique_id,
@@ -459,6 +479,60 @@ def _preprocess_test_blocks(source: str) -> str:
     return tail.sub("{% endmacro %}", source)
 
 
+class _MacroReturn(Exception):
+    """Raised by the ``return()`` context function to short-circuit a
+    macro with a value (ref: MacroReturn dbt_common.exceptions)."""
+
+    def __init__(self, value: Any):
+        self.value = value
+
+
+def _macro_return(value: Any = None) -> Any:
+    raise _MacroReturn(value)
+
+
+def _set_strict(value: Any) -> set:
+    """ref: BaseContext.set_strict :495 — TypeError propagates."""
+    return set(value)
+
+
+def _wrap_macro(fn):
+    """Catch _MacroReturn so ``{{ return(x) }}`` inside a macro makes the
+    macro CALL evaluate to x (dbt's MacroGenerator.call_macro contract —
+    dbt_utils-style macros return lists/dicts this way)."""
+
+    def inner(*args: Any, **kwargs: Any):
+        try:
+            return fn(*args, **kwargs)
+        except _MacroReturn as r:
+            return r.value
+
+    return inner
+
+
+# Builtin "global project" macros available in every render, shadowable
+# by project macros (locality Core < Imported < Root, ref:
+# manifest.py:563-664).  ``statement`` is the call-block form backing
+# {% call statement('q', fetch_result=True) %}select …{% endcall %}
+# (ref: core macro statement(); tests/functional/statements/).
+_BUILTIN_MACRO_SOURCE = """
+{% macro statement(name=none, fetch_result=true, auto_begin=true) %}
+  {%- set sql = caller() -%}
+  {%- set res = run_query(sql) -%}
+  {%- if name is not none -%}
+    {%- do store_result(name, response='SUCCESS', agate_table=res) -%}
+  {%- endif -%}
+{% endmacro %}
+
+{% macro noop_statement(name=none, message=none) %}
+  {%- set sql = caller() -%}
+  {%- if name is not none -%}
+    {%- do store_result(name, response=message, agate_table=none) -%}
+  {%- endif -%}
+{% endmacro %}
+"""
+
+
 def render(template: str, ctx: RenderContext, extra: Optional[dict] = None) -> str:
     """Render a node's Jinja template with the given context, including any
     project macros (ref: MacroGenerator clients/jinja.py:31-113)."""
@@ -474,7 +548,7 @@ def render(template: str, ctx: RenderContext, extra: Optional[dict] = None) -> s
             mod = tmpl.make_module(vars=context)
             for attr in dir(mod):
                 if not attr.startswith("_") and callable(getattr(mod, attr)):
-                    context.setdefault(attr, getattr(mod, attr))
+                    context.setdefault(attr, _wrap_macro(getattr(mod, attr)))
         except Exception as e:  # macro definition errors surface at use time
             raise CompilationError(f"macro '{_mname}' failed to compile: {e}") from e
     # dependency-package macros: exposed package-qualified
@@ -488,13 +562,19 @@ def render(template: str, ctx: RenderContext, extra: Optional[dict] = None) -> s
                 mod = tmpl.make_module(vars=context)
                 for attr in dir(mod):
                     if not attr.startswith("_") and callable(getattr(mod, attr)):
-                        setattr(ns, attr, getattr(mod, attr))
-                        context.setdefault(attr, getattr(mod, attr))
+                        setattr(ns, attr, _wrap_macro(getattr(mod, attr)))
+                        context.setdefault(attr, _wrap_macro(getattr(mod, attr)))
             except Exception as e:
                 raise CompilationError(
                     f"macro '{_pkg}.{_mname}' failed to compile: {e}"
                 ) from e
         context.setdefault(_pkg, ns)
+    # builtin "global project" macros LAST (setdefault): any project or
+    # package macro of the same name shadows them (Core < Imported < Root)
+    _bmod = env.from_string(_BUILTIN_MACRO_SOURCE).make_module(vars=context)
+    for attr in dir(_bmod):
+        if not attr.startswith("_") and callable(getattr(_bmod, attr)):
+            context.setdefault(attr, _wrap_macro(getattr(_bmod, attr)))
     try:
         return env.from_string(template).render(**context)
     except jinja2.TemplateError as e:

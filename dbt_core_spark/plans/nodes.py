@@ -201,6 +201,9 @@ class Manifest:
     # resolved profile output for the Jinja `target` variable
     # (ref: TargetContext context/base.py; config/profile.py)
     target_context: Optional[dict] = None
+    # unique_ids selected by the current invocation (ref:
+    # selected_resources providers.py:1503)
+    selected_resources: list[str] = field(default_factory=list)
 
     # lookup indexes (ref: manifest.py RefableLookup:174, SourceLookup:141)
     _ref_index: dict[str, str] = field(default_factory=dict)

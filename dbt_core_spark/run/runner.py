@@ -163,6 +163,9 @@ class GraphRunner:
             if node.is_ephemeral:
                 continue  # never materialized (ref: §2.A ephemeral)
             include.add(uid)
+        # expose the selection to compile contexts (ref:
+        # selected_resources providers.py:1503)
+        self.manifest.selected_resources = sorted(include)
         # queue must include upstream placeholders so ordering works: build
         # subgraph on included nodes with transitive edges preserved
         full_order_graph = graph

@@ -139,3 +139,35 @@ def test_this_in_model_context(spark, schema, sf_dir):
     n1 = spark.table(f"{schema}.m").count()
     assert eng.run().ok()  # incremental: {{ this }} resolves, no new rows
     assert spark.table(f"{schema}.m").count() == n1
+
+def test_macro_return_value(eng):
+    """{{ return(x) }} short-circuits a macro with a NON-STRING value
+    (ref: BaseContext.return_ :347; dbt_utils relies on this)."""
+    eng.manifest.macros["give_list"] = (
+        "{% macro give_list() %}{{ return([1, 2, 3]) }}{% endmacro %}")
+    out = eng.show("select {{ give_list() | length }} as n")
+    assert out.collect()[0]["n"] == 3
+
+
+def test_statement_call_block(eng):
+    """{% call statement('q', fetch_result=True) %} runs the SQL and
+    stores the result for load_result (ref: core statement macro;
+    tests/functional/statements/)."""
+    sql = (
+        "{% call statement('probe', fetch_result=True) %}"
+        "select 41 + 1 as answer"
+        "{% endcall %}"
+        "{% set r = load_result('probe') %}"
+        "select {{ r.rows[0][0] }} as answer"
+    )
+    out = eng.show(sql)
+    assert out.collect()[0]["answer"] == 42
+
+
+def test_set_strict_and_zip_strict(eng):
+    out = eng.show(
+        "{% set s = set_strict([1, 2, 2]) %}"
+        "{% set z = zip_strict([1, 2], ['a', 'b']) %}"
+        "select {{ s | length }} as ns, {{ z | length }} as nz")
+    row = out.collect()[0]
+    assert row["ns"] == 2 and row["nz"] == 2
