@@ -200,6 +200,15 @@ class Engine:
         target_dir = os.path.join(self.project.project_root, "target")
         write_run_results(results, os.path.join(target_dir, "run_results.json"))
         write_manifest(self, os.path.join(target_dir, "manifest.json"))
+        # compiled SQL files (ref: target/compiled/<project>/ tree —
+        # audit tooling and dbt docs read these)
+        for n in self.manifest.nodes.values():
+            if n.compiled_code and n.resource_type is NodeType.Model:
+                fp = os.path.join(
+                    target_dir, "compiled", n.package, f"{n.name}.sql")
+                os.makedirs(os.path.dirname(fp), exist_ok=True)
+                with open(fp, "w") as f:
+                    f.write(n.compiled_code)
 
     def run(self, select: Optional[str] = None, full_refresh: bool = False,
             event_time_start: Optional[_dt.datetime] = None,
