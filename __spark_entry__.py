@@ -1582,6 +1582,46 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.join(exact, "event_type")
 
 
+def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (md5-derived registers, exact integer
+    harmonic sum — engine-portable, unlike stock HLL impls) vs the
+    exact distinct count, per event_type."""
+    from dbt_core_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = hll_distinct(ev, "event_id", ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").cast("bigint").alias("n_exact"))
+    return sketch.join(exact, "event_type")
+
+
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf·ln(N/df), term-ascending tiebreak."""
+    from dbt_core_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+def build_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build: corpus term counts → contiguous
+    token ids by (count desc, term asc)."""
+    from dbt_core_spark.operators.textstats import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", vocab_size=50000, min_count=2)
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: rebalance skewed sources to
+    ≈8 expected docs each via an exact-integer md5 keep-threshold."""
+    from dbt_core_spark.operators.textstats import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", "doc_id", per_group=8)
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end: parquet file stream →
     watermark(1s) → 1h tumbling windows → AvailableNow drain to a memory
@@ -1736,11 +1776,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
         "quantize_embeddings_int8": quantize_embeddings_int8,
+        "hll_distinct_events": hll_distinct_events,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "build_vocab_docs": build_vocab_docs,
+        "stratified_sample_docs": stratified_sample_docs,
         # -- representative verified-in-r1 fills (demote to keep <=50) --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
-        "q9_product_profit": q9_product_profit,
-        "recursive_month_revenue": recursive_month_revenue,
         "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,
         "window_top3_orders_per_customer": window_top3_orders_per_customer,
         "xdb_datetime_functions": xdb_datetime_functions,
@@ -1748,6 +1790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_view_table_ephemeral": engine_view_table_ephemeral,
         "engine_incremental_merge": engine_incremental_merge,
         # ---------------- past the 50-query gate cap ----------------
+        "q9_product_profit": q9_product_profit,
+        "recursive_month_revenue": recursive_month_revenue,
         "sessionize_events": sessionize_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pivot_status_by_priority": pivot_status_by_priority,

@@ -366,3 +366,133 @@ def boilerplate_ngram_stats(
              / F.col("n_shingles").cast("double")).alias("common_frac"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Classic TF-IDF keyword extraction: top-``k`` terms per document
+    by ``tf · ln(N/df)`` (ties broken by term ascending).
+
+    Plan shape (all JVM-side, no UDFs):
+
+    - explode normalized words → one wordcount shuffle for per-doc TF
+      (map-side combine applies);
+    - document frequency reuses the SAME exploded aggregate (``df`` =
+      count over distinct (doc, term), which the TF aggregate already
+      is — no second pass over the corpus);
+    - corpus size N joins in as a broadcast 1-row aggregate, and the
+      term→df side of the join is vocabulary-sized (≪ corpus), which
+      AQE converts to a broadcast join at runtime;
+    - per-doc top-k plans as WindowGroupLimit (partial top-k before the
+      per-doc sort).
+
+    At 100 TB: the only corpus-scale shuffle is the (doc, term)
+    wordcount; df/N are vocabulary/scalar-sized.  Score ordering is
+    deterministic cross-engine: exact ties (equal tf and df) fall to
+    the term tiebreak; unequal (tf, df) pairs can't collide in the
+    double ULP by transcendence of ln on rational arguments.
+    """
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(normalized_words(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df_docs"))
+    n_docs = (
+        df.filter(F.col(text_col).isNotNull())
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df_docs").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df_docs",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rn").cast("bigint").alias("term_rank"),
+        )
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Tokenizer-style vocabulary build: corpus-wide term counts →
+    contiguous token ids 0..V-1 assigned by (count desc, term asc).
+
+    One corpus-scale wordcount shuffle (map-side combine), then a
+    global row_number over the VOCABULARY (not the corpus) — the
+    single-partition window is bounded by vocab_size, which is capped
+    by construction, so it stays small even when the corpus is 100 TB.
+    """
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(normalized_words(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("bigint") - 1)
+        .filter(F.col("token_id") < vocab_size)
+        .select("token_id", "term", "n")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    per_group: int = 10,
+) -> DataFrame:
+    """Deterministic stratified (balanced) sampling: downsample each
+    group to ≈ ``per_group`` expected rows via an md5 keep-threshold —
+    the standard source-rebalancing step when assembling a training
+    mix from skewed web sources.
+
+    Keep rule, in exact integer math (no float rate, so the oracle
+    reproduces it bit-for-bit):
+
+        keep  ⇔  (md5_60bit(id) mod 1e6) · group_count  <  per_group · 1e6
+
+    i.e. keep-probability min(1, per_group/count) per group.  Unlike
+    ``cap_per_group`` (exact top-N, one window shuffle) this is
+    shuffle-free on the corpus: group counts are a tiny aggregate that
+    AQE broadcasts back, and the filter is a per-row hash compare —
+    the shape that survives 100 TB.  Sampling is stable under corpus
+    growth only in distribution (counts change ⇒ thresholds change);
+    use a frozen count table for reproducible incremental runs.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").cast("bigint").alias("_gn"))
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(1_000_000),
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .filter(h * F.col("_gn") < F.lit(int(per_group) * 1_000_000))
+        .select(id_col, group_col, F.col("_gn").alias("group_count"))
+    )

@@ -1300,3 +1300,89 @@ select vec_id,
        end as q
 from s
 """
+
+
+# -- deterministic HLL sketch (mirror of operators.sketches.hll_distinct:
+#    same md5→60-bit hash, bucket/rho integer math, exact scaled harmonic
+#    sum; C = alpha_256 * 256^2 * 2^40 injected as one double literal) --
+_HLL_C = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256 * float(1 << 40))
+_HLL_H = _hex2int("substr(md5(cast(event_id as varchar)), 1, 15)", digits=15)
+ORACLES["hll_distinct_events"] = f"""
+with h as (
+    select event_type, cast({_HLL_H} as bigint) as h from events
+), b as (
+    select event_type, h % 256 as bucket,
+           least(52 - length(bin(h >> 8)) + 1, 40) as rho
+    from h
+), regs as (
+    select event_type, bucket, max(rho) as m from b group by 1, 2
+), pg as (
+    select event_type,
+           sum(cast(1 as bigint) << (40 - m)) as s_ne,
+           cast(count(*) as bigint) as n_registers
+    from regs group by 1
+), est as (
+    select event_type, n_registers,
+           cast(s_ne + (256 - n_registers) * (cast(1 as bigint) << 40) as double)
+               as s_total,
+           256 - n_registers as zeros
+    from pg
+), ex as (
+    select event_type, cast(count(distinct event_id) as bigint) as n_exact
+    from events group by 1
+)
+select e.event_type,
+       round(case when {_HLL_C} / s_total <= 640.0 and zeros > 0
+                  then 256.0 * ln(256.0 / zeros)
+                  else {_HLL_C} / s_total end, 6) as hll_estimate,
+       e.n_registers, x.n_exact
+from est e join ex x using (event_type)
+"""
+
+ORACLES["tfidf_top_terms_docs"] = f"""
+with w as (
+    select doc_id, unnest({_WORDS}) as term from documents where text is not null
+), tf as (
+    select doc_id, term, cast(count(*) as bigint) as tf from w group by 1, 2
+), dfq as (
+    select term, cast(count(*) as bigint) as df_docs from tf group by 1
+), nd as (
+    select cast(count(*) as bigint) as n_docs from documents where text is not null
+), ranked as (
+    select tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+           tf.tf * ln(cast(n_docs as double) / cast(df_docs as double)) as tfidf,
+           row_number() over (
+               partition by tf.doc_id
+               order by tf.tf * ln(cast(n_docs as double) / cast(df_docs as double))
+                        desc, tf.term asc) as rn
+    from tf join dfq using (term) cross join nd
+)
+select doc_id, term, tf, df_docs, round(tfidf, 6) as tfidf,
+       cast(rn as bigint) as term_rank
+from ranked where rn <= 3
+"""
+
+ORACLES["build_vocab_docs"] = f"""
+with w as (
+    select unnest({_WORDS}) as term from documents where text is not null
+), c as (
+    select term, cast(count(*) as bigint) as n from w
+    group by 1 having count(*) >= 2
+), ranked as (
+    select cast(row_number() over (order by n desc, term asc) as bigint) - 1
+               as token_id,
+           term, n
+    from c
+)
+select token_id, term, n from ranked where token_id < 50000
+"""
+
+_SAMP_H = _hex2int("substr(md5(cast(doc_id as varchar)), 1, 15)", digits=15)
+ORACLES["stratified_sample_docs"] = f"""
+with c as (
+    select source, cast(count(*) as bigint) as gn from documents group by 1
+)
+select d.doc_id, d.source, c.gn as group_count
+from documents d join c using (source)
+where (cast({_SAMP_H} as bigint) % 1000000) * c.gn < 8 * 1000000
+"""

@@ -1,5 +1,7 @@
 """Dedup graph operators (engine extension)."""
 
+from pyspark.sql import functions as F
+
 from dbt_core_spark.operators.dedup import connected_components
 
 
@@ -103,3 +105,81 @@ def test_minhash_index_match_incremental(spark):
     rows = bi.collect()
     assert [(r["corpus_id"], r["batch_id"]) for r in rows] == [(1, 100)]
     assert rows[0]["jaccard"] >= 0.5
+
+
+def test_hll_distinct_accuracy_and_registers(spark):
+    """Deterministic HLL: estimate within ~3σ (σ≈1.04/√256 = 6.5%) of the
+    true cardinality, and registers bounded by m."""
+    from dbt_core_spark.operators.sketches import hll_distinct
+
+    df = spark.range(5000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v"))
+    out = {r["g"]: r for r in hll_distinct(df, "v", ["g"], p=8).collect()}
+    for g in (0, 1):
+        est, n_reg = out[g]["hll_estimate"], out[g]["n_registers"]
+        assert abs(est - 2500) / 2500 < 0.20
+        assert 0 < n_reg <= 256
+
+
+def test_hll_merge_by_register_max(spark):
+    """HLL's rollup property: the sketch of A∪B equals what register-max
+    merging would give — verified by estimating the union directly vs
+    unioning the inputs (same md5-derived registers either way)."""
+    from dbt_core_spark.operators.sketches import hll_distinct
+
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("v"))
+    direct = hll_distinct(a.union(b), "v", p=8).collect()[0]["hll_estimate"]
+    dedup = hll_distinct(
+        a.union(b).dropDuplicates(["v"]), "v", p=8).collect()[0]["hll_estimate"]
+    assert direct == dedup  # duplicates never move a register
+
+
+def test_tfidf_top_terms(spark):
+    """Common terms get ~zero idf; rare terms rank first; term-asc
+    tiebreak within equal scores."""
+    from dbt_core_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "common rare1 common"), (2, "common rare2"), (3, "common x y")],
+        "doc_id long, text string")
+    out = tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc[1][0]["term"] == "rare1" and by_doc[1][0]["df_docs"] == 1
+    assert by_doc[1][1]["term"] == "common"  # ln(3/3)=0 score, still ranked
+    assert by_doc[1][1]["tfidf"] == 0.0
+    assert by_doc[3][0]["term"] == "x" and by_doc[3][1]["term"] == "y"  # tie → asc
+
+
+def test_build_vocab_ids_and_min_count(spark):
+    from dbt_core_spark.operators.textstats import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d")], "doc_id long, text string")
+    rows = sorted(build_vocab(df, "text", vocab_size=2, min_count=2).collect(),
+                  key=lambda r: r["token_id"])
+    # a:3, b:3 tie → 'a' first; c,d dropped by min_count; vocab_size caps at 2
+    assert [(r["token_id"], r["term"], r["n"]) for r in rows] == [
+        (0, "a", 3), (1, "b", 3)]
+
+
+def test_stratified_sample_rates(spark):
+    """Expected per-group yield ≈ per_group; small groups kept whole
+    (rate clamps at 1 via the integer compare)."""
+    from dbt_core_spark.operators.textstats import stratified_sample
+
+    big = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit("big").alias("source"))
+    small = spark.range(9000, 9005).select(
+        F.col("id").alias("doc_id"), F.lit("small").alias("source"))
+    out = stratified_sample(big.union(small), "source", "doc_id", per_group=20)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 5            # rate 20/5 > 1 → keep all
+    assert 5 <= counts["big"] <= 60        # E=20, md5-deterministic
+    # deterministic: same inputs → same kept set
+    again = stratified_sample(big.union(small), "source", "doc_id", per_group=20)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
