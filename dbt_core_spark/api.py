@@ -239,16 +239,19 @@ class Engine:
     def test(self, select: Optional[str] = None,
              selector: Optional[str] = None, defer: bool = False,
              favor_state: bool = False, fail_fast: bool = False,
-             warn_error: bool = False) -> RunResults:
+             warn_error: bool = False,
+             indirect_selection: str = "eager") -> RunResults:
         return self._runner(fail_fast=fail_fast, warn_error=warn_error,
                             **self._defer_kw(defer, favor_state)).run(
             select=self._sel(select, selector),
-            resource_types={NodeType.Test})
+            resource_types={NodeType.Test},
+            indirect_selection=indirect_selection)
 
     def build(self, select: Optional[str] = None, full_refresh: bool = False,
               selector: Optional[str] = None, defer: bool = False,
               favor_state: bool = False, fail_fast: bool = False,
-              warn_error: bool = False) -> RunResults:
+              warn_error: bool = False,
+              indirect_selection: str = "eager") -> RunResults:
         """`dbt build`: seeds+models+snapshots+tests with test edges
         (ref: task/build.py:1-219; compilation.py:197-249)."""
         res = self._runner(full_refresh, fail_fast=fail_fast,
@@ -257,6 +260,7 @@ class Engine:
             select=self._sel(select, selector),
             resource_types={NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test},
             add_test_edges=True,
+            indirect_selection=indirect_selection,
         )
         self._write_artifacts(res)
         return res

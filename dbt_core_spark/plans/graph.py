@@ -119,6 +119,54 @@ _SPEC_RE = re.compile(
 )
 
 
+def expand_indirect_tests(
+    manifest: Manifest,
+    graph: nx.DiGraph,
+    selected: set[str],
+    mode: str = "eager",
+) -> set[str]:
+    """Indirect test selection: which NOT-directly-selected tests ride
+    along with the selected nodes (ref: graph/selector.py
+    expand_selection / indirect_selection modes, flags
+    INDIRECT_SELECTION; tests/functional/schema_tests/).
+
+    - ``eager``     (default): any parent selected
+    - ``cautious``: ALL parents selected
+    - ``buildable``: all parents selected OR ancestors of selected
+    - ``empty``:     no indirect tests (only tests named directly)
+
+    Returns the extra test unique_ids to add to the selection.
+    """
+    if mode == "empty" or not selected:
+        return set()
+    if mode not in ("eager", "cautious", "buildable"):
+        raise ValueError(f"unknown indirect_selection mode: {mode!r}")
+    buildable_base: Optional[set[str]] = None
+    extra: set[str] = set()
+    for uid, node in manifest.nodes.items():
+        if node.resource_type is not NodeType.Test or uid in selected:
+            continue
+        parents = {p for p in node.depends_on if p in manifest.nodes
+                   or p in manifest.sources}
+        if not parents:
+            continue
+        if mode == "eager":
+            if parents & selected:
+                extra.add(uid)
+        elif mode == "cautious":
+            if parents <= selected:
+                extra.add(uid)
+        else:  # buildable
+            if buildable_base is None:
+                buildable_base = set(selected)
+                for s in selected:
+                    if graph.has_node(s):
+                        buildable_base |= nx.ancestors(graph, s)
+            if parents <= buildable_base:
+                extra.add(uid)
+    return extra
+
+
 def select_nodes(
     manifest: Manifest, graph: nx.DiGraph, select
 ) -> Optional[set[str]]:

@@ -277,6 +277,24 @@ def _parse_package(
     # -- tests ---------------------------------------------------------------
     for test_name, tdef in project.tests.items():
         manifest.add_node(_build_test_node(project, test_name, tdef))
+    # column-level `tests:` lists in schema yml — dbt's most common test
+    # declaration form — expand to generic test nodes named
+    # `<test>_<model>_<column>` (ref: TestBuilder.get_synthetic_test_names
+    # parser/generic_test_builders.py; schemas.py SchemaYamlParser)
+    for model_name, cols in project.model_columns.items():
+        for c in cols:
+            for t in c.get("tests", []) or []:
+                if isinstance(t, str):
+                    ttype, targs = t, {}
+                else:  # {"accepted_values": {"values": [...], ...}}
+                    ttype, targs = next(iter(t.items()))
+                    targs = dict(targs or {})
+                tdef = {"type": ttype, "model": model_name,
+                        "column": c["name"], **targs}
+                test_name = f"{ttype}_{model_name}_{c['name']}"
+                if test_name not in project.tests:
+                    manifest.add_node(
+                        _build_test_node(project, test_name, tdef))
 
 
 def _check_access(manifest: Manifest, node: Node, target: Node) -> None:

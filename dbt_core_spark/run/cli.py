@@ -119,12 +119,13 @@ class SparkbtRunner:
             if verb == "snapshot":
                 res = eng.snapshot(select=flags.get("select"))
                 return RunnerResult(res.ok(), res)
+            ind = flags.get("indirect_selection", "eager")
             if verb == "test":
-                res = eng.test(**sel, **defer_kw)
+                res = eng.test(indirect_selection=ind, **sel, **defer_kw)
                 return RunnerResult(res.ok(), res)
             if verb == "build":
                 res = eng.build(full_refresh=bool(flags.get("full_refresh")),
-                                **sel, **defer_kw)
+                                indirect_selection=ind, **sel, **defer_kw)
                 return RunnerResult(res.ok(), res)
             if verb in ("ls", "list"):
                 return RunnerResult(True, eng.ls(

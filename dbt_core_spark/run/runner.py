@@ -123,7 +123,8 @@ class GraphRunner:
         return f"{self.schema}.{node.identifier}"
 
     def _prepare(self, resource_types: Optional[set[NodeType]], select: Optional[str],
-                 add_test_edges: bool = False, exclude: Optional[str] = None):
+                 add_test_edges: bool = False, exclude: Optional[str] = None,
+                 indirect_selection: str = "eager"):
         R.ensure_database(self.spark, self.schema)
         for src in self.manifest.sources.values():
             self.relations[src.unique_id] = register_source(self.spark, src, self.schema)
@@ -149,6 +150,14 @@ class GraphRunner:
         if add_test_edges:
             Linker.add_test_edges(self.manifest, graph)
         selected = select_nodes(self.manifest, graph, select)
+        if selected is not None:
+            # indirect selection: tests attached to the selected nodes
+            # ride along per the mode (ref: graph/selector.py
+            # expand_selection; eager is dbt's default)
+            from dbt_core_spark.plans.graph import expand_indirect_tests
+
+            selected |= expand_indirect_tests(
+                self.manifest, graph, selected, indirect_selection)
         excluded = select_nodes(self.manifest, graph, exclude) or set()
         include = set()
         for uid, node in self.manifest.nodes.items():
@@ -184,9 +193,11 @@ class GraphRunner:
     def run(self, select: Optional[str] = None,
             resource_types: Optional[set[NodeType]] = None,
             add_test_edges: bool = False,
-            exclude: Optional[str] = None) -> RunResults:
+            exclude: Optional[str] = None,
+            indirect_selection: str = "eager") -> RunResults:
         t0 = time.time()
-        queue, _ = self._prepare(resource_types, select, add_test_edges, exclude)
+        queue, _ = self._prepare(resource_types, select, add_test_edges, exclude,
+                                 indirect_selection)
         results = RunResults()
         self._run_hooks(self.on_run_start, "on-run-start")
         failed: set[str] = set()

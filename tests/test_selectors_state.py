@@ -278,3 +278,67 @@ def test_generic_config_selector(spark, schema, sf_dir):
     assert set(eng.ls(select="config.tags:staging")) == {
         "model.sel.stg_a", "model.sel.stg_b"}
     assert eng.ls(select="config.materialized:table") == []
+
+
+# -- indirect test selection (ref: graph/selector.py expand_selection;
+#    tests/functional/schema_tests/ indirect selection cases) ------------
+
+
+def _ind_proj(sf_dir):
+    p = ProjectDef(name="ind")
+    p.add_source("tpch", "orders", f"{sf_dir}/orders.parquet")
+    p.models["base"] = (
+        "select o_orderkey as id from {{ source('tpch','orders') }} limit 5")
+    p.models["child"] = "select id from {{ ref('base') }}"
+    p.model_columns["base"] = [{"name": "id", "tests": ["unique"]}]
+    # two-parent test: child.id ⊆ base.id
+    p.tests["rel_child_base"] = {
+        "type": "relationships", "model": "child", "column": "id",
+        "to": "ref('base')", "field": "id"}
+    return p
+
+
+def _test_names(res):
+    return {r.unique_id.split(".")[-1] for r in res.results}
+
+
+@pytest.mark.parametrize("mode,base_sel,expect", [
+    # select base: unique_base rides along in every non-empty mode; the
+    # two-parent relationship test needs child too (eager only)
+    ("eager", "base", {"unique_base_id", "rel_child_base"}),
+    ("cautious", "base", {"unique_base_id"}),
+    ("empty", "base", set()),
+    # select child: buildable accepts rel (base is an ancestor of child),
+    # cautious still refuses
+    ("cautious", "child", set()),
+    # buildable: base is an ancestor of child, so BOTH tests' parents
+    # fall inside selected ∪ ancestors(selected)
+    ("buildable", "child", {"rel_child_base", "unique_base_id"}),
+])
+def test_indirect_selection_modes(spark, schema, sf_dir, mode, base_sel, expect):
+    p = _ind_proj(sf_dir)
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    res = eng.test(select=base_sel, indirect_selection=mode)
+    assert _test_names(res) == expect
+
+
+def test_indirect_selection_direct_name_always_selected(spark, schema, sf_dir):
+    """empty mode still runs a test selected BY NAME."""
+    p = _ind_proj(sf_dir)
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    res = eng.test(select="rel_child_base", indirect_selection="empty")
+    assert _test_names(res) == {"rel_child_base"}
+
+
+def test_indirect_selection_cli_flag(spark, schema, sf_dir):
+    from dbt_core_spark.run.cli import SparkbtRunner
+
+    p = _ind_proj(sf_dir)
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    r = SparkbtRunner(engine=eng).invoke(
+        ["test", "--select", "base", "--indirect-selection", "cautious"])
+    assert r.success
+    assert _test_names(r.result) == {"unique_base_id"}
