@@ -50,6 +50,10 @@ HEADLINE = [
     "engine_snapshot_scd2",
     "cc_dedup_docs",
     "multimodal_decode_wav_ppm",
+    # session-3 additions: TF-IDF (corpus wordcount + WindowGroupLimit
+    # top-k) and the deterministic HLL sketch
+    "tfidf_top_terms_docs",
+    "hll_distinct_events",
 ]
 
 

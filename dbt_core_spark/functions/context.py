@@ -533,6 +533,22 @@ _BUILTIN_MACRO_SOURCE = """
 """
 
 
+# compiled-template cache for MACRO sources (builtin + project/package):
+# macro sources repeat identically across every node render, and Jinja
+# template compilation dominates parse time — compile once per distinct
+# source, re-execute via make_module per render (cheap).  Node templates
+# are NOT cached (each renders once per parse).
+_MACRO_TMPL_CACHE: dict[str, jinja2.Template] = {}
+
+
+def _compiled_macro_template(env: jinja2.Environment, src: str) -> jinja2.Template:
+    tmpl = _MACRO_TMPL_CACHE.get(src)
+    if tmpl is None:
+        tmpl = env.from_string(src)
+        _MACRO_TMPL_CACHE[src] = tmpl
+    return tmpl
+
+
 def render(template: str, ctx: RenderContext, extra: Optional[dict] = None) -> str:
     """Render a node's Jinja template with the given context, including any
     project macros (ref: MacroGenerator clients/jinja.py:31-113)."""
@@ -544,7 +560,7 @@ def render(template: str, ctx: RenderContext, extra: Optional[dict] = None) -> s
     # models can call them (locality: root package wins — manifest.py:563-664)
     for _mname, msrc in ctx.manifest.macros.items():
         try:
-            tmpl = env.from_string(_preprocess_test_blocks(msrc))
+            tmpl = _compiled_macro_template(env, _preprocess_test_blocks(msrc))
             mod = tmpl.make_module(vars=context)
             for attr in dir(mod):
                 if not attr.startswith("_") and callable(getattr(mod, attr)):
@@ -558,7 +574,7 @@ def render(template: str, ctx: RenderContext, extra: Optional[dict] = None) -> s
         ns = _types.SimpleNamespace()
         for _mname, msrc in _macs.items():
             try:
-                tmpl = env.from_string(_preprocess_test_blocks(msrc))
+                tmpl = _compiled_macro_template(env, _preprocess_test_blocks(msrc))
                 mod = tmpl.make_module(vars=context)
                 for attr in dir(mod):
                     if not attr.startswith("_") and callable(getattr(mod, attr)):
@@ -571,7 +587,8 @@ def render(template: str, ctx: RenderContext, extra: Optional[dict] = None) -> s
         context.setdefault(_pkg, ns)
     # builtin "global project" macros LAST (setdefault): any project or
     # package macro of the same name shadows them (Core < Imported < Root)
-    _bmod = env.from_string(_BUILTIN_MACRO_SOURCE).make_module(vars=context)
+    _bmod = _compiled_macro_template(env, _BUILTIN_MACRO_SOURCE).make_module(
+        vars=context)
     for attr in dir(_bmod):
         if not attr.startswith("_") and callable(getattr(_bmod, attr)):
             context.setdefault(attr, _wrap_macro(getattr(_bmod, attr)))

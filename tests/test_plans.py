@@ -223,3 +223,30 @@ def test_partition_scoped_merge_prunes_scan(spark, tmp_path):
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
         spark.sql(f"DROP DATABASE IF EXISTS {schema}__sources CASCADE")
+
+
+def test_tfidf_topk_group_limit_and_wordcount_partial_agg(spark, sf_dir):
+    """TF-IDF: per-doc top-k plans as WindowGroupLimit; the corpus-scale
+    (doc, term) wordcount keeps map-side partial aggregation; corpus
+    size N arrives as a broadcast, never a shuffle of the corpus."""
+    plan = _plan(em.tfidf_top_terms_docs(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_stratified_sample_no_corpus_shuffle(spark, sf_dir):
+    """Stratified sampling must be a per-row hash filter under a
+    broadcast of the tiny per-group counts — no window, no corpus-keyed
+    exchange (the shape that survives 100 TB)."""
+    plan = _plan(em.stratified_sample_docs(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hll_register_partial_agg(spark, sf_dir):
+    """HLL registers: the (group, bucket) max-rho aggregate keeps
+    map-side partial agg so per-row sketch state never shuffles raw."""
+    plan = _plan(em.hll_distinct_events(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
