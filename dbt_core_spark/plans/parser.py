@@ -295,6 +295,24 @@ def _parse_package(
                 if test_name not in project.tests:
                     manifest.add_node(
                         _build_test_node(project, test_name, tdef))
+    # source-table column tests → generic test nodes against
+    # `source(...)`, named source_<test>_<source>_<table>_<column>
+    # (ref: sources schema yml; tests/functional/sources/)
+    for sname, tables in project.sources.items():
+        for tname, sdef in tables.items():
+            for c in getattr(sdef, "columns", []) or []:
+                for t in c.get("tests", []) or []:
+                    if isinstance(t, str):
+                        ttype, targs = t, {}
+                    else:
+                        ttype, targs = next(iter(t.items()))
+                        targs = dict(targs or {})
+                    tdef = {"type": ttype, "source": [sname, tname],
+                            "column": c["name"], **targs}
+                    test_name = f"source_{ttype}_{sname}_{tname}_{c['name']}"
+                    if test_name not in project.tests:
+                        manifest.add_node(
+                            _build_test_node(project, test_name, tdef))
 
 
 def _check_access(manifest: Manifest, node: Node, target: Node) -> None:
@@ -422,13 +440,18 @@ def _build_test_node(project: ProjectDef, test_name: str, tdef: dict) -> Node:
         return node
 
     ttype = tdef["type"]
-    model = tdef["model"]
     column = tdef.get("column")
-    node.attached_node = model
+    if "source" in tdef:  # test attached to a source table
+        sname, tname = tdef["source"]
+        node.attached_node = f"source.{project.name}.{sname}.{tname}"
+        base = f"{{{{ source('{sname}', '{tname}') }}}}"
+    else:
+        model = tdef["model"]
+        node.attached_node = model
+        base = f"{{{{ ref('{model}') }}}}"
     node.column_name = column
     node.test_metadata = {"kind": "generic", "name": ttype, "kwargs": dict(tdef)}
     where = tdef.get("where")
-    base = f"{{{{ ref('{model}') }}}}"
     subq = f"(select * from {base} where {where})" if where else base
 
     if ttype == "unique":
@@ -468,13 +491,17 @@ def _build_test_node(project: ProjectDef, test_name: str, tdef: dict) -> Node:
         # (ref: TestBuilder macro_name generic_test_builders.py:318-322)
         extra = "".join(
             f", {k}={v!r}" for k, v in tdef.items()
-            if k not in ("type", "model", "column", "severity", "where", "limit",
-                         "fail_calc", "warn_if", "error_if", "store_failures",
-                         "store_failures_as")
+            if k not in ("type", "model", "source", "column", "severity", "where",
+                         "limit", "fail_calc", "warn_if", "error_if",
+                         "store_failures", "store_failures_as")
         )
-        # the model arg is the bare ref() expression (evaluated inside the
-        # jinja call), not the braced form used in SQL-text templates
-        model_expr = f"ref('{model}')"
+        # the model arg is the bare ref()/source() expression (evaluated
+        # inside the jinja call), not the braced form used in SQL-text
+        # templates
+        if "source" in tdef:
+            model_expr = f"source('{tdef['source'][0]}', '{tdef['source'][1]}')"
+        else:
+            model_expr = f"ref('{model}')"
         node.raw_code = f"{{{{ {macro_name}({model_expr}, '{column}'{extra}) }}}}"
     return node
 

@@ -47,6 +47,10 @@ class SourceTableDef:
     description: str = ""
     stream: bool = False  # consumable as a readStream by streaming_table models
     watermark: Optional[dict] = None  # {"column": ..., "delay": "10 minutes"}
+    # declared columns, each optionally carrying a `tests:` list — these
+    # expand to generic test nodes against the source (ref: source
+    # table columns in schema yml; tests/functional/sources/)
+    columns: list = field(default_factory=list)
 
 
 @dataclass

@@ -378,3 +378,25 @@ def test_warn_error_promotes_warnings(spark, schema, sf_dir):
     r2 = eng.test(warn_error=True)
     assert r2.by_id["test.we.uniq_warn"].status == "fail"
     assert not r2.ok()
+
+
+def test_source_column_tests(spark, schema, sf_dir):
+    """Source-table column `tests:` expand to generic test nodes against
+    source() (ref: sources schema yml; tests/functional/sources/)."""
+    p = ProjectDef(name="srct")
+    p.add_source("tpch", "orders", f"{sf_dir}/orders.parquet",
+                 columns=[{"name": "o_orderkey", "tests": ["unique", "not_null"]},
+                          {"name": "o_orderstatus",
+                           "tests": [{"accepted_values":
+                                      {"values": ["O", "F", "P"]}}]}])
+    p.models["stg"] = "select o_orderkey from {{ source('tpch','orders') }}"
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    res = eng.test()
+    by_name = {r.unique_id.split(".")[-1]: r for r in res.results}
+    assert by_name["source_unique_tpch_orders_o_orderkey"].status == "pass"
+    assert by_name["source_not_null_tpch_orders_o_orderkey"].status == "pass"
+    assert by_name["source_accepted_values_tpch_orders_o_orderstatus"].status == "pass"
+    # indirect selection: selecting the source pulls its tests along
+    res2 = eng.test(select="source:tpch.orders")
+    assert len(res2.results) == 3
