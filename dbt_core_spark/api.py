@@ -95,6 +95,23 @@ class Engine:
             for pname, pkg in self.project.packages.items()
         }
 
+    def clean(self) -> list[str]:
+        """`dbt clean`: remove the project's target/ and dbt_packages/
+        dirs (ref: task/clean.py; clean-targets dbt_project.yml key).
+        Returns the paths removed.  No-op without a project_root."""
+        import shutil
+
+        removed: list[str] = []
+        root = self.project.project_root
+        if not root:
+            return removed
+        for d in ("target", "dbt_packages"):
+            path = os.path.join(root, d)
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+        return removed
+
     def reparse(self) -> int:
         """Partial parse: re-read the project, skipping unchanged nodes
         (ref: parser/partial.py).  Returns the number re-rendered."""
@@ -352,13 +369,8 @@ class Engine:
                 })
                 continue
             out.append(uid)
-        if output == "selector":
-            if resource_type in (None, "exposure") and selected is None:
-                out += [f"exposure.{self.project.name}.{e}"
-                        for e in self.manifest.exposures]
-            if resource_type in (None, "metric") and selected is None:
-                out += [f"metric.{self.project.name}.{m}"
-                        for m in self.manifest.metrics]
+        # exposures and metrics are real graph nodes (all_nodes covers
+        # them) — no synthetic append needed
         return sorted(out, key=lambda x: x["unique_id"] if isinstance(x, dict) else x)
 
     def docs_generate(self) -> dict:

@@ -338,6 +338,14 @@ def _method_match(manifest: Manifest, method: str, value: str) -> set[str]:
             uid for uid, n in nodes.items()
             if n.resource_type is NodeType.Exposure and _fnmatch(n.name, value)
         }
+    if method == "metric":
+        # ref: MetricSelectorMethod selector_methods.py — metric nodes
+        # are graph terminals like exposures; `+metric:name` selects the
+        # models the metric reads
+        return {
+            uid for uid, n in nodes.items()
+            if n.resource_type is NodeType.Metric and _fnmatch(n.name, value)
+        }
     if method == "state":
         # ref: StateSelectorMethod selector_methods.py:610-790
         state_m = manifest.state_manifest

@@ -31,6 +31,7 @@ class NodeType(str, Enum):
     Analysis = "analysis"
     SqlOperation = "sql_operation"
     Exposure = "exposure"
+    Metric = "metric"
 
 
 # Default per-type config (ref: artifacts/resources/v1/config.py:78-128 —

@@ -62,12 +62,29 @@ def parse_project(
         _parse_package(manifest, owner, defaults_override)
 
     # -- exposures / metrics (ref: nodes.py:1334,1404) -----------------------
-    # exposures join the GRAPH as terminal nodes (never executed) so
-    # `exposure:` and `+exposure:name` selection work like the reference
-    # (ExposureSelectorMethod; graph_selection tests); metrics stay
-    # metadata-only like the reference's semantic layer.
+    # exposures and metrics join the GRAPH as terminal nodes (never
+    # executed) so `exposure:`/`metric:` and `+exposure:name` selection
+    # work like the reference (ExposureSelectorMethod,
+    # MetricSelectorMethod; graph_selection tests); metric CALCULATION
+    # stays out of scope like the reference's semantic layer (metadata
+    # consumed by external tooling).
     manifest.exposures = dict(project.exposures)
     manifest.metrics = dict(project.metrics)
+    for mname, mdef in project.metrics.items():
+        mnode = Node(
+            unique_id=f"metric.{project.name}.{mname}",
+            name=mname,
+            package=project.name,
+            resource_type=NodeType.Metric,
+            config={"enabled": True},
+        )
+        deps = list(mdef.get("depends_on", []) or [])
+        if mdef.get("model"):
+            deps.append(mdef["model"])
+        for dep in deps:
+            m = re.match(r"ref\(\s*'([^']+)'\s*\)", str(dep))
+            mnode.refs.append(m.group(1) if m else str(dep))
+        manifest.add_node(mnode)
     for ename, edef in project.exposures.items():
         enode = Node(
             unique_id=f"exposure.{project.name}.{ename}",

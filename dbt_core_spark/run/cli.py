@@ -138,6 +138,8 @@ class SparkbtRunner:
                                            "nodes": len(eng.manifest.nodes)})
             if verb == "deps":
                 return RunnerResult(True, eng.deps())
+            if verb == "clean":
+                return RunnerResult(True, {"removed": eng.clean()})
             if verb == "compile":
                 if flags.get("inline"):
                     return RunnerResult(True, eng.compile_sql(flags["inline"]))

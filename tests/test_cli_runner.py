@@ -160,3 +160,22 @@ def test_cli_state_modified_defer(tmp_path, spark, schema, sf_dir):
     assert rr.success, rr.exception
     assert {r.unique_id for r in rr.result.results} == {"model.ci.mart"}
     assert "id2" in spark.table(f"{schema}.mart").columns
+
+
+def test_clean_verb(tmp_path, spark, schema, sf_dir):
+    """dbt clean removes target/ and dbt_packages/ under project_root."""
+    import os
+
+    from dbt_core_spark import Engine, ProjectDef
+    from dbt_core_spark.run.cli import SparkbtRunner
+
+    root = str(tmp_path / "cp")
+    os.makedirs(os.path.join(root, "target"))
+    os.makedirs(os.path.join(root, "dbt_packages"))
+    p = ProjectDef(name="cp", project_root=root)
+    p.models["m"] = "select 1 as x"
+    eng = Engine(spark, p, schema=schema)
+    r = SparkbtRunner(engine=eng).invoke(["clean"])
+    assert r.success and len(r.result["removed"]) == 2
+    assert not os.path.exists(os.path.join(root, "target"))
+    assert not os.path.exists(os.path.join(root, "dbt_packages"))

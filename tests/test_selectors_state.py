@@ -342,3 +342,22 @@ def test_indirect_selection_cli_flag(spark, schema, sf_dir):
         ["test", "--select", "base", "--indirect-selection", "cautious"])
     assert r.success
     assert _test_names(r.result) == {"unique_base_id"}
+
+
+def test_metric_nodes_and_selector(spark, schema, sf_dir):
+    """Metrics join the graph as terminal nodes: metric: selects them,
+    +metric:name walks to the models the metric reads (ref:
+    MetricSelectorMethod; metric calculation stays external like the
+    reference's semantic layer)."""
+    p = _proj(sf_dir)
+    p.metrics["total_orders"] = {
+        "label": "Total orders", "calculation_method": "count",
+        "model": "ref('mart')", "expression": "id"}
+    eng = Engine(spark, p, schema=schema)
+    uids = set(eng.ls(select="metric:total_orders"))
+    assert uids == {"metric.sel.total_orders"}
+    up = set(eng.ls(select="+metric:total_orders"))
+    assert "model.sel.mart" in up and "model.sel.stg_a" in up
+    # metric nodes are never executed
+    assert eng.run().ok()
+    assert all(not r.unique_id.startswith("metric.") for r in eng.run().results)
