@@ -139,3 +139,63 @@ def hll_distinct(
         F.round(est, 6).alias("hll_estimate"),
         "n_registers",
     )
+
+
+def bloom_membership(
+    corpus: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    probe_col: str | None = None,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter membership: is each probe value possibly in the
+    corpus?  Deterministic md5-derived bit positions (``pos_i =
+    md5(value || '#i') mod m``), so an independent SQL engine
+    reproduces every bit — and the false-positive set — exactly.
+
+    The 100 TB shape: the corpus collapses to its DISTINCT set bits —
+    at most ``m_bits`` rows (a few KB) regardless of corpus size — via
+    one map-side-combined aggregate; that bit set then BROADCASTS to
+    the probe side, so probing is a per-row map with no corpus-keyed
+    shuffle.  FP rate ≈ (1 - e^(-k·n/m))^k; sized here for test-scale
+    demos, widen m_bits for production.
+
+    Returns probe rows + ``might_contain`` (bloom verdict, true for all
+    present values plus FPs).
+    """
+    probe_col = probe_col or value_col
+
+    def _positions(col: Column) -> Column:
+        parts = []
+        for i in range(k):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(f"#{i}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            parts.append(F.pmod(h, F.lit(m_bits)))
+        return F.array(*parts)
+
+    bits = (
+        corpus.select(
+            F.explode(_positions(F.col(value_col))).alias("bit"))
+        .distinct()
+    )
+    probe_bits = probes.select(
+        F.col(probe_col), F.explode(_positions(F.col(probe_col))).alias("bit")
+    )
+    hit_counts = (
+        probe_bits.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy(probe_col)
+        .agg(F.countDistinct("bit").alias("_hits"))
+    )
+    return (
+        probes.join(hit_counts, probe_col, "left")
+        .select(
+            probe_col,
+            (F.coalesce(F.col("_hits"), F.lit(0)) == k).alias("might_contain"),
+        )
+    )

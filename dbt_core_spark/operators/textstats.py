@@ -496,3 +496,45 @@ def stratified_sample(
         .filter(h * F.col("_gn") < F.lit(int(per_group) * 1_000_000))
         .select(id_col, group_col, F.col("_gn").alias("group_count"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget: int = 512,
+) -> DataFrame:
+    """Contiguous sequence packing: assign documents to fixed
+    token-budget bins (GPT-style sample packing) by running token
+    offset within each group, deterministically ordered by id.
+
+    ``bin_id = floor(start_offset / budget)`` where start_offset is the
+    exclusive running sum of token counts — pure integer math, so the
+    oracle reproduces bin boundaries exactly (a doc straddling a budget
+    boundary belongs to the bin its start falls in).
+
+    One shuffle on the group key; the cumulative window sorts within
+    groups only (never a global single-partition window).  Groups are
+    the packing domains — at 100 TB use shards (e.g. source × date) as
+    the group so no single window partition grows unbounded.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("_cum", F.sum("n_tokens").over(w))
+    start = F.col("_cum") - F.col("n_tokens")
+    return cum.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor(start / budget).cast("bigint").alias("bin_id"),
+        F.pmod(start, F.lit(budget)).cast("bigint").alias("bin_offset"),
+    )

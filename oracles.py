@@ -1386,3 +1386,59 @@ select d.doc_id, d.source, c.gn as group_count
 from documents d join c using (source)
 where (cast({_SAMP_H} as bigint) % 1000000) * c.gn < 8 * 1000000
 """
+
+
+# -- Bloom membership (mirror of operators.sketches.bloom_membership:
+#    pos_i = md5(value || '#i') mod 4096, k=3; contained ⇔ all k bits set) --
+def _bloom_pos(expr: str, i: int) -> str:
+    h = _hex2int(f"substr(md5(cast({expr} as varchar) || '#{i}'), 1, 15)",
+                 digits=15)
+    return f"(cast({h} as bigint) % 4096)"
+
+
+ORACLES["bloom_membership_docs"] = f"""
+with probes as (
+    select (i * 97 + 5) as probe_id from range(0, 200) t(i)
+), corpus_bits as (
+    select distinct bit from (
+        select unnest([{_bloom_pos('doc_id', 0)}, {_bloom_pos('doc_id', 1)},
+                       {_bloom_pos('doc_id', 2)}]) as bit
+        from documents
+    )
+), probe_hits as (
+    select probe_id, count(distinct bit) as hits from (
+        select probe_id,
+               unnest([{_bloom_pos('probe_id', 0)}, {_bloom_pos('probe_id', 1)},
+                       {_bloom_pos('probe_id', 2)}]) as bit
+        from probes
+    ) pb
+    where bit in (select bit from corpus_bits)
+    group by probe_id
+), present as (
+    select distinct doc_id as probe_id from documents
+)
+select p.probe_id,
+       coalesce(h.hits, 0) = 3 as might_contain,
+       pr.probe_id is not null as actually_present,
+       (coalesce(h.hits, 0) = 3) and pr.probe_id is null as false_positive
+from probes p
+left join probe_hits h using (probe_id)
+left join present pr using (probe_id)
+"""
+
+ORACLES["pack_sequences_docs"] = f"""
+with toks as (
+    select doc_id, source, cast(len({_WORDS}) as bigint) as n_tokens
+    from documents
+), cum as (
+    select doc_id, source, n_tokens,
+           sum(n_tokens) over (partition by source order by doc_id
+                               rows between unbounded preceding
+                               and current row) as c
+    from toks
+)
+select doc_id, source, n_tokens,
+       cast(floor((c - n_tokens) / 256) as bigint) as bin_id,
+       cast((c - n_tokens) % 256 as bigint) as bin_offset
+from cum
+"""

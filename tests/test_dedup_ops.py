@@ -183,3 +183,38 @@ def test_stratified_sample_rates(spark):
     again = stratified_sample(big.union(small), "source", "doc_id", per_group=20)
     assert sorted(r["doc_id"] for r in out.collect()) == \
         sorted(r["doc_id"] for r in again.collect())
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Every present value must report might_contain=True (Bloom
+    guarantees no false negatives); absent values mostly False at this
+    sizing; results deterministic."""
+    from dbt_core_spark.operators.sketches import bloom_membership
+
+    corpus = spark.range(500).select(F.col("id").alias("v"))
+    probes = spark.range(1000).select(F.col("id").alias("v"))
+    out = {r["v"]: r["might_contain"]
+           for r in bloom_membership(corpus, probes, "v", m_bits=8192, k=3).collect()}
+    assert all(out[i] for i in range(500))          # no false negatives
+    fps = sum(1 for i in range(500, 1000) if out[i])
+    assert fps < 100                                 # FP rate ~(1-e^-3*500/8192)^3
+    again = {r["v"]: r["might_contain"]
+             for r in bloom_membership(corpus, probes, "v", m_bits=8192, k=3).collect()}
+    assert out == again
+
+
+def test_pack_sequences_bins(spark):
+    """Contiguous packing: bin = floor(start_offset/budget) within each
+    group ordered by id; offsets restart per group."""
+    from dbt_core_spark.operators.textstats import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a", "w " * 6), (2, "a", "w " * 6), (3, "a", "w " * 6),
+         (10, "b", "w " * 4)],
+        "doc_id long, source string, text string")
+    rows = {r["doc_id"]: r for r in
+            pack_sequences(df, "text", "doc_id", "source", budget=10).collect()}
+    assert (rows[1]["bin_id"], rows[1]["bin_offset"]) == (0, 0)
+    assert (rows[2]["bin_id"], rows[2]["bin_offset"]) == (0, 6)   # starts at 6
+    assert (rows[3]["bin_id"], rows[3]["bin_offset"]) == (1, 2)   # starts at 12
+    assert (rows[10]["bin_id"], rows[10]["bin_offset"]) == (0, 0)  # new group
