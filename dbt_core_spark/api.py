@@ -261,7 +261,7 @@ class Engine:
         return self._runner(fail_fast=fail_fast, warn_error=warn_error,
                             **self._defer_kw(defer, favor_state)).run(
             select=self._sel(select, selector),
-            resource_types={NodeType.Test},
+            resource_types={NodeType.Test, NodeType.UnitTest},
             indirect_selection=indirect_selection)
 
     def build(self, select: Optional[str] = None, full_refresh: bool = False,
@@ -275,7 +275,8 @@ class Engine:
                            warn_error=warn_error,
                            **self._defer_kw(defer, favor_state)).run(
             select=self._sel(select, selector),
-            resource_types={NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test},
+            resource_types={NodeType.Model, NodeType.Seed, NodeType.Snapshot,
+                            NodeType.Test, NodeType.UnitTest},
             add_test_edges=True,
             indirect_selection=indirect_selection,
         )

@@ -48,6 +48,18 @@ class Linker:
         """`dbt build` semantics: downstream models wait on upstream tests
         (ref: compilation.py:197-249)."""
         for uid, node in manifest.nodes.items():
+            if node.resource_type is NodeType.UnitTest:
+                # unit tests gate THEIR model: it builds only after the
+                # unit test passes (ref: dbt build unit-test ordering)
+                target = None
+                for cand, n2 in manifest.nodes.items():
+                    if n2.resource_type is NodeType.Model and \
+                            n2.name == node.attached_node:
+                        target = cand
+                        break
+                if target is not None:
+                    g.add_edge(uid, target)
+                continue
             if node.resource_type is not NodeType.Test:
                 continue
             for parent in node.depends_on:
@@ -144,10 +156,20 @@ def expand_indirect_tests(
     buildable_base: Optional[set[str]] = None
     extra: set[str] = set()
     for uid, node in manifest.nodes.items():
-        if node.resource_type is not NodeType.Test or uid in selected:
+        if uid in selected or node.resource_type not in (
+                NodeType.Test, NodeType.UnitTest):
             continue
-        parents = {p for p in node.depends_on if p in manifest.nodes
-                   or p in manifest.sources}
+        if node.resource_type is NodeType.UnitTest:
+            # a unit test rides along when its tested model is selected
+            # (single logical parent — same answer in every mode)
+            parents = {
+                cand for cand, n2 in manifest.nodes.items()
+                if n2.resource_type is NodeType.Model
+                and n2.name == node.attached_node
+            }
+        else:
+            parents = {p for p in node.depends_on if p in manifest.nodes
+                       or p in manifest.sources}
         if not parents:
             continue
         if mode == "eager":
@@ -321,10 +343,17 @@ def _method_match(manifest: Manifest, method: str, value: str) -> set[str]:
     if method == "package":
         return {uid for uid, n in nodes.items() if _fnmatch(n.package, value)}
     if method == "test_type":
+        # ref: TestTypeSelectorMethod — 'unit' matches unit-test nodes
         return {
             uid for uid, n in nodes.items()
-            if n.resource_type is NodeType.Test
+            if n.resource_type in (NodeType.Test, NodeType.UnitTest)
             and n.test_metadata.get("kind") == value
+        }
+    if method == "unit_test":
+        # ref: UnitTestSelectorMethod selector_methods.py
+        return {
+            uid for uid, n in nodes.items()
+            if n.resource_type is NodeType.UnitTest and _fnmatch(n.name, value)
         }
     if method == "test_name":
         return {

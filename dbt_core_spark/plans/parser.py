@@ -312,6 +312,21 @@ def _parse_package(
                 if test_name not in project.tests:
                     manifest.add_node(
                         _build_test_node(project, test_name, tdef))
+    # unit tests join the graph as first-class nodes (ref: dbt 1.8
+    # UnitTestDefinition nodes; run during `test`, and before their
+    # model during `build` via add_test_edges) — the standalone
+    # api.unit_test() path remains for direct invocation
+    for utname, utdef in project.unit_tests.items():
+        utnode = Node(
+            unique_id=f"unit_test.{project.name}.{utname}",
+            name=utname,
+            package=project.name,
+            resource_type=NodeType.UnitTest,
+            config={"enabled": True, "materialized": "unit"},
+        )
+        utnode.attached_node = utdef.get("model")
+        utnode.test_metadata = {"kind": "unit", "def": dict(utdef)}
+        manifest.add_node(utnode)
     # source-table column tests → generic test nodes against
     # `source(...)`, named source_<test>_<source>_<table>_<column>
     # (ref: sources schema yml; tests/functional/sources/)

@@ -291,6 +291,24 @@ class GraphRunner:
                 sql = self._compile(node)
                 materialize_snapshot(self.spark, node, rel, sql)
                 status, msg = "success", "snapshot"
+            elif node.resource_type is NodeType.UnitTest:
+                from dbt_core_spark.operators.unit_tests import run_unit_test
+
+                tdef = node.test_metadata["def"]
+                ur = run_unit_test(
+                    self.spark, self.manifest, node.name, tdef["model"],
+                    tdef.get("given", {}), tdef.get("expect", []),
+                    relations=self.relations, cli_vars=self.cli_vars,
+                    overrides=tdef.get("overrides"),
+                )
+                self._node_hooks(node, "post_hook")
+                return NodeResult(
+                    node.unique_id,
+                    ur.status if ur.status != "fail" else "fail",
+                    message=ur.message,
+                    execution_time=time.time() - t0,
+                    failures=len(ur.missing_rows) + len(ur.unexpected_rows),
+                )
             elif node.resource_type is NodeType.Test:
                 sql = self._compile(node)
                 outcome = execute_test(

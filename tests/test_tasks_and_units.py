@@ -462,3 +462,43 @@ def test_exposure_graph_selection(spark, schema, sf_dir):
     assert res.ok()
     assert {r.unique_id for r in res.results} == {
         "model.exp.base", "model.exp.mart", "model.exp.unrelated"}
+
+
+def test_unit_tests_in_dag(spark, schema, sf_dir):
+    """Unit tests are graph nodes (dbt 1.8 semantics): they run during
+    test(), ride along with their model via indirect selection, and in
+    build() a FAILING unit test blocks the model from building."""
+    p = base_project(sf_dir)
+    p.models["doubler"] = "select id * 2 as dbl from {{ ref('stg') }}"
+    p.unit_tests["ut_doubler_ok"] = {
+        "model": "doubler",
+        "given": {"stg": [{"id": 2}, {"id": 5}]},
+        "expect": [{"dbl": 4}, {"dbl": 10}],
+    }
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    res = eng.test()
+    by_id = {r.unique_id: r for r in res.results}
+    assert by_id["unit_test.tk.ut_doubler_ok"].status == "pass"
+    # unit_test: selector + test_type:unit
+    assert eng.ls(select="unit_test:ut_doubler_ok") == [
+        "unit_test.tk.ut_doubler_ok"]
+    assert "unit_test.tk.ut_doubler_ok" in eng.ls(select="test_type:unit")
+    # indirect selection: selecting the model pulls its unit test
+    res2 = eng.test(select="doubler")
+    assert "unit_test.tk.ut_doubler_ok" in {r.unique_id for r in res2.results}
+
+    # failing unit test blocks the model in build()
+    p2 = base_project(sf_dir)
+    p2.models["doubler"] = "select id * 2 as dbl from {{ ref('stg') }}"
+    p2.unit_tests["ut_doubler_bad"] = {
+        "model": "doubler",
+        "given": {"stg": [{"id": 2}]},
+        "expect": [{"dbl": 5}],  # wrong on purpose
+    }
+    eng2 = Engine(spark, p2, schema=schema + "_b")
+    bres = eng2.build(select="doubler")
+    assert not bres.ok()
+    by_id2 = {r.unique_id: r for r in bres.results}
+    assert by_id2["unit_test.tk.ut_doubler_bad"].status == "fail"
+    assert by_id2["model.tk.doubler"].status == "skipped"
