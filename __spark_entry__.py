@@ -1654,6 +1654,18 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "text", "doc_id", "source", budget=256)
 
 
+def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch (deterministic t-digest
+    replacement): p50/p95/p99 of events.value per event_type from a
+    256-bin histogram — sketch state ≤256 rows/group at any scale."""
+    from dbt_core_spark.operators.sketches import histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_quantiles(
+        ev, "value", ["event_type"], quantiles=(0.5, 0.95, 0.99),
+        lo=0.0, hi=500.0, n_bins=256)
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end: parquet file stream →
     watermark(1s) → 1h tumbling windows → AvailableNow drain to a memory
@@ -1814,12 +1826,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "bloom_membership_docs": bloom_membership_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "quantile_sketch_events": quantile_sketch_events,
         # -- representative verified-in-r1 fills (demote to keep <=50) --
         "xdb_datetime_functions": xdb_datetime_functions,
-        "xdb_string_functions": xdb_string_functions,
         "engine_view_table_ephemeral": engine_view_table_ephemeral,
         "engine_incremental_merge": engine_incremental_merge,
         # ---------------- past the 50-query gate cap ----------------
+        "xdb_string_functions": xdb_string_functions,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,

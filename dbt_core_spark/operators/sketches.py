@@ -199,3 +199,65 @@ def bloom_membership(
             (F.coalesce(F.col("_hits"), F.lit(0)) == k).alias("might_contain"),
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    quantiles: tuple = (0.5, 0.95, 0.99),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Mergeable quantile sketch via fixed-width histograms — the
+    t-digest slot, made deterministic so a SQL oracle reproduces every
+    estimate bit-for-bit (t-digest centroids depend on merge order;
+    fixed binning does not).
+
+    ``bin = clamp(floor((v-lo)/(hi-lo)·n_bins), 0, n_bins-1)``; the
+    q-quantile estimate is the UPPER edge of the first bin whose
+    cumulative count reaches ``ceil(q·total)``.  Rank error ≤ one bin's
+    mass; value error ≤ one bin width.
+
+    Scale shape: one (group, bin) shuffle with map-side partial counts —
+    sketch state is ≤ n_bins rows per group regardless of cardinality,
+    histograms merge by addition (rollup-friendly), and the cumulative
+    window runs over n_bins rows per group, never the data.
+    """
+    group_cols = group_cols or []
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * n_bins),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("bigint")
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("_bin"))
+        .agg(F.count("*").cast("bigint").alias("_n"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("_cum", F.sum("_n").over(w_cum)).withColumn(
+        "_total", F.sum("_n").over(w_tot)
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("_cum") >= F.ceil(F.col("q") * F.col("_total")))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("_bin").alias("_qbin"))
+        .select(
+            *group_cols,
+            "q",
+            (F.lit(lo) + (F.col("_qbin") + 1) * F.lit(width)).alias("quantile_est"),
+        )
+    )

@@ -1442,3 +1442,32 @@ select doc_id, source, n_tokens,
        cast((c - n_tokens) % 256 as bigint) as bin_offset
 from cum
 """
+
+
+# -- histogram quantile sketch (mirror of
+#    operators.sketches.histogram_quantiles: lo=0, hi=500, 256 bins;
+#    width = 500/256 = 1.953125 exactly) --
+ORACLES["quantile_sketch_events"] = """
+with hist as (
+    select event_type,
+           cast(least(greatest(floor((value - 0.0) / 500.0 * 256), 0), 255)
+                as bigint) as bin,
+           cast(count(*) as bigint) as n
+    from events where value is not null
+    group by 1, 2
+), cum as (
+    select event_type, bin,
+           sum(n) over (partition by event_type order by bin
+                        rows between unbounded preceding and current row) as c,
+           sum(n) over (partition by event_type) as total
+    from hist
+), qs as (
+    select unnest([cast(0.5 as double), cast(0.95 as double),
+                   cast(0.99 as double)]) as q
+)
+select h.event_type, q.q,
+       0.0 + (min(h.bin) + 1) * 1.953125 as quantile_est
+from cum h cross join qs q
+where h.c >= ceil(q.q * h.total)
+group by 1, 2
+"""

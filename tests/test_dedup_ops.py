@@ -218,3 +218,26 @@ def test_pack_sequences_bins(spark):
     assert (rows[2]["bin_id"], rows[2]["bin_offset"]) == (0, 6)   # starts at 6
     assert (rows[3]["bin_id"], rows[3]["bin_offset"]) == (1, 2)   # starts at 12
     assert (rows[10]["bin_id"], rows[10]["bin_offset"]) == (0, 0)  # new group
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    """Quantile estimates land within one bin width of the exact
+    quantile, and histograms merge: sketching a union equals sketching
+    with pre-added counts (fixed bins are merge-order independent)."""
+    from dbt_core_spark.operators.sketches import histogram_quantiles
+
+    df = spark.range(10000).select((F.col("id") % 1000).cast("double").alias("v"))
+    out = {r["q"]: r["quantile_est"]
+           for r in histogram_quantiles(
+               df, "v", quantiles=(0.5, 0.99), lo=0.0, hi=1000.0,
+               n_bins=200).collect()}
+    assert abs(out[0.5] - 500.0) <= 5.0   # bin width = 5
+    assert abs(out[0.99] - 990.0) <= 5.0
+    # merge-order independence: two halves unioned == whole
+    a = spark.range(0, 5000).select((F.col("id") % 1000).cast("double").alias("v"))
+    b = spark.range(5000, 10000).select((F.col("id") % 1000).cast("double").alias("v"))
+    merged = {r["q"]: r["quantile_est"]
+              for r in histogram_quantiles(
+                  a.union(b), "v", quantiles=(0.5, 0.99), lo=0.0, hi=1000.0,
+                  n_bins=200).collect()}
+    assert merged == out
