@@ -323,7 +323,31 @@ def _load_schema_yml(d: str, p: "ProjectDef") -> None:
                         (t.get("external") or {}).get("location")
                     )
                     if loc:
-                        p.add_source(sname, t["name"], loc, (t.get("meta") or {}).get("format", "parquet"))
+                        cols = [
+                            {"name": c["name"],
+                             "tests": c.get("tests",
+                                            c.get("data_tests", [])) or []}
+                            for c in t.get("columns", []) or []
+                        ]
+                        p.add_source(
+                            sname, t["name"], loc,
+                            (t.get("meta") or {}).get("format", "parquet"),
+                            loaded_at_field=t.get("loaded_at_field"),
+                            freshness=t.get("freshness") or s.get("freshness"),
+                            columns=cols,
+                        )
+            # exposures / metrics / unit tests from schema yml
+            # (ref: parser/schemas.py ExposureParser, MetricParser;
+            # parser/unit_tests.py)
+            for e in doc.get("exposures", []) or []:
+                p.exposures[e["name"]] = {k: v for k, v in e.items()
+                                          if k != "name"}
+            for mt in doc.get("metrics", []) or []:
+                p.metrics[mt["name"]] = {k: v for k, v in mt.items()
+                                         if k != "name"}
+            for ut in doc.get("unit_tests", []) or []:
+                p.unit_tests[ut["name"]] = {k: v for k, v in ut.items()
+                                            if k != "name"}
 
 
 def _add_generic_test(p: ProjectDef, model: str, column: Optional[str], t: Any) -> None:
