@@ -1396,11 +1396,23 @@ def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column —
-    FAISS-SQ8-style storage reduction, pure JVM HOFs, exact oracle."""
+    FAISS-SQ8-style storage reduction, pure JVM HOFs, exact oracle.
+
+    The ``q`` array is posexploded to (vec_id, pos, qval) before return:
+    array cells must never reach the driver's pandas canonicalizer
+    (same convention as xdb_arrays)."""
     from dbt_core_spark.operators.similarity import quantize_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb, "embedding", "vec_id")
+    out = quantize_embeddings(emb, "embedding", "vec_id")
+    return out.select(
+        "vec_id", "scale", F.posexplode("q").alias("pos", "qval")
+    ).select(
+        "vec_id",
+        "scale",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("qval").cast("bigint").alias("qval"),
+    )
 
 
 def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1488,7 +1500,10 @@ def cosine_topk_blas_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate — no SQL oracle (driver records rows-only)."""
+    """Multi-table hyperplane LSH top-k.  "Approximate" refers to recall
+    vs exact search — the computation itself is fully deterministic
+    (md5-seeded hyperplanes), so the DuckDB oracle reproduces buckets,
+    candidate set, and cosines bit-for-bit."""
     from dbt_core_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1496,21 +1511,30 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate — no SQL oracle (driver records rows-only)."""
+    """IVF-flat top-k, gate variant: kmeans_iters=0 pins the centroids
+    to the deterministic id-ordered seed sample, making the entire
+    assign→probe→score path SQL-expressible (exact DuckDB oracle).
+    The Lloyd-refined production variant (kmeans_iters>=1) is recall-
+    tested in tests/test_similarity.py."""
     from dbt_core_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, "embedding", "vec_id", k=3, n_cells=16, n_probe=4)
+    return ivf_topk(emb, "embedding", "vec_id", k=3, n_cells=16, n_probe=4,
+                    kmeans_iters=0)
 
 
 def ann_ivf_blas_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate — no SQL oracle (driver records rows-only).  The
-    production IVF shape: sample-fit numpy centroids, one Arrow
-    assignment pass, per-cell applyInPandas matmul, global merge."""
+    """The production IVF shape: sample-fit numpy centroids, one Arrow
+    assignment pass, per-cell applyInPandas matmul, global merge.
+    Gate variant: kmeans_iters=0 → centroids are the id-ordered seed
+    sample, so the same deterministic SQL oracle as ann_ivf_topk
+    applies (BLAS vs fold reduction differences are absorbed by the
+    6 dp rounding, same as cosine_topk_blas)."""
     from dbt_core_spark.operators.similarity import ivf_topk_blas
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk_blas(emb, "embedding", "vec_id", k=3, n_cells=16, n_probe=4)
+    return ivf_topk_blas(emb, "embedding", "vec_id", k=3, n_cells=16, n_probe=4,
+                         kmeans_iters=0)
 
 
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -944,6 +944,108 @@ qualify rank <= 3
 """
 )
 
+# -- ANN oracles ------------------------------------------------------------
+# Both ANN families are deterministic given their fixed seeds, so "no exact
+# SQL oracle exists" stopped being true once the gate variants pinned their
+# randomness: LSH hyperplanes are md5-derived (similarity.py:_hyperplanes),
+# and the IVF gate queries run kmeans_iters=0 (centroids = the id-ordered
+# seed sample).  Dot products mirror Spark's zip_with/aggregate fold via
+# list_sum over an index range — the same bit-exact pattern _COSINE_CTE uses.
+
+def _dot_sql(a: str, b: str) -> str:
+    """Ordered dot product of two DOUBLE[] columns (bit-exact mirror of
+    operators.similarity._dot: sequential fold in array order)."""
+    return (f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i]))")
+
+
+# hyperplane value for (t, p, d): int(md5(f"tbl{t}:{p}:{d}")[:8], 16)
+# / 0x7FFFFFFF - 1.0  (similarity.py:_hyperplanes with seed=f"tbl{t}")
+_LSH_PV = _hex2int(
+    "md5('tbl' || cast(t as varchar) || ':' || cast(p as varchar)"
+    " || ':' || cast(d as varchar))",
+    digits=8,
+)
+
+ORACLES["ann_lsh_topk_embeddings"] = f"""
+with tpd as (
+    select t, p, d, ({_LSH_PV}) / 2147483647.0 - 1.0 as pv
+    from (select unnest(generate_series(0, 7)) as t),
+         (select unnest(generate_series(0, 4)) as p),
+         (select unnest(generate_series(0, 63)) as d)
+), pl as (
+    select t, p, list(pv order by d) as pl from tpd group by t, p
+), v0 as (
+    select vec_id, embedding::DOUBLE[] as e from embeddings
+), v as (
+    select vec_id, e, sqrt({_dot_sql('e', 'e')}) as n from v0
+), vb as (
+    select v.vec_id, pl.t,
+           sum(case when {_dot_sql('v.e', 'pl.pl')} >= 0
+                    then 1 << p else 0 end) as b
+    from v, pl
+    group by 1, 2
+), cand as (
+    select distinct a.vec_id as query_id, c.vec_id as nbr_id
+    from vb a join vb c on a.t = c.t and a.b = c.b and a.vec_id <> c.vec_id
+), scored as (
+    select cand.query_id, cand.nbr_id,
+           {_dot_sql('qa.e', 'qc.e')} / (qa.n * qc.n) as cosine
+    from cand
+    join v qa on qa.vec_id = cand.query_id
+    join v qc on qc.vec_id = cand.nbr_id
+)
+select query_id, nbr_id, round(cosine, 6) as cosine,
+       cast(row_number() over (partition by query_id
+                               order by cosine desc, nbr_id) as int) as rank
+from scored
+qualify rank <= 3
+"""
+
+# IVF with kmeans_iters=0: centroids = first 16 vectors by vec_id; every
+# vector assigned to its best cell (r=1); queries probe their 4 best cells;
+# exact cosine among probed members; global top-3.  Identical SQL serves
+# both the fold (ivf_topk) and BLAS (ivf_topk_blas) variants — their float
+# paths agree within 1e-15 and the output rounds to 6 dp.
+_IVF_SQL = f"""
+with v0 as (
+    select vec_id, embedding::DOUBLE[] as e from embeddings
+), v as (
+    select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
+), cents as (
+    select vec_id as cell, e as ce, vn as cn
+    from v order by vec_id limit 16
+), rk as (
+    select v.vec_id as id, c.cell,
+           {_dot_sql('v.e', 'c.ce')} / (v.vn * c.cn) as cos
+    from v, cents c
+), ranked as (
+    select id, cell,
+           row_number() over (partition by id order by cos desc, cell) as r
+    from rk
+), probes as (
+    select id as query_id, cell from ranked where r <= 4
+), assign as (
+    select id, cell from ranked where r = 1
+), scored as (
+    select p.query_id, a.id as nbr_id,
+           {_dot_sql('q.e', 'm.e')} / (q.vn * m.vn) as cosine
+    from probes p
+    join assign a using (cell)
+    join v q on q.vec_id = p.query_id
+    join v m on m.vec_id = a.id
+    where p.query_id <> a.id
+)
+select query_id, nbr_id, round(cosine, 6) as cosine,
+       cast(row_number() over (partition by query_id
+                               order by cosine desc, nbr_id) as int) as rank
+from scored
+qualify rank <= 3
+"""
+ORACLES["ann_ivf_topk_embeddings"] = _IVF_SQL
+ORACLES["ann_ivf_blas_topk_embeddings"] = _IVF_SQL
+
+
 ORACLES["pipeline_clean_corpus"] = f"""
 with q as (select * from ({_QUALITY_SQL}) tq),
 l as (select * from ({_language_sql()}) tl),
@@ -1291,14 +1393,21 @@ s as (
   select vec_id, e,
          list_max(list_transform(e, x -> abs(x))) as scale
   from v
+),
+q as (
+  select vec_id,
+         scale,
+         case when scale = 0
+              then list_transform(e, x -> 0)
+              else list_transform(e, x -> cast(floor(x / scale * 127 + 0.5) as int))
+         end as q
+  from s
 )
 select vec_id,
        scale,
-       case when scale = 0
-            then list_transform(e, x -> 0)
-            else list_transform(e, x -> cast(floor(x / scale * 127 + 0.5) as int))
-       end as q
-from s
+       unnest(generate_series(0, len(q) - 1)) as pos,
+       unnest(list_transform(q, x -> cast(x as bigint))) as qval
+from q
 """
 
 
