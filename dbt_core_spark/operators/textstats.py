@@ -440,10 +440,17 @@ def build_vocab(
     """Tokenizer-style vocabulary build: corpus-wide term counts →
     contiguous token ids 0..V-1 assigned by (count desc, term asc).
 
-    One corpus-scale wordcount shuffle (map-side combine), then a
-    global row_number over the VOCABULARY (not the corpus) — the
-    single-partition window is bounded by vocab_size, which is capped
-    by construction, so it stays small even when the corpus is 100 TB.
+    Scale shape: one corpus wordcount shuffle (map-side combine), then
+    a DISTRIBUTED per-partition top-V prune before the global ranking —
+    a term in the global top-V necessarily ranks in the top-V of
+    whichever partition holds it, so ranking within
+    ``spark_partition_id()`` first is lossless and cuts the
+    single-partition global window's input from |distinct terms|
+    (billions on 100 TB web text, min_count=1) to ≤ P·vocab_size rows.
+    Spark's InferWindowGroupLimit can't do this automatically here: it
+    skips empty-partition windows and limits above
+    ``windowGroupLimitThreshold`` (default 1000) — vocab_size is
+    typically 30k-100k.
     """
     counts = (
         df.filter(F.col(text_col).isNotNull())
@@ -452,11 +459,20 @@ def build_vocab(
         .agg(F.count("*").cast("bigint").alias("n"))
         .filter(F.col("n") >= min_count)
     )
+    pw = Window.partitionBy("_pid").orderBy(F.col("n").desc(), F.col("term").asc())
+    pruned = (
+        counts.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= vocab_size)
+        .drop("_pid", "_pr")
+    )
     w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
     return (
-        counts.withColumn("token_id", F.row_number().over(w).cast("bigint") - 1)
-        .filter(F.col("token_id") < vocab_size)
-        .select("token_id", "term", "n")
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= vocab_size)
+        .select(
+            (F.col("rn").cast("bigint") - 1).alias("token_id"), "term", "n"
+        )
     )
 
 

@@ -250,3 +250,14 @@ def test_hll_register_partial_agg(spark, sf_dir):
     plan = _plan(em.hll_distinct_events(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "Window" not in plan
+
+
+def test_build_vocab_per_partition_prefilter(spark, sf_dir):
+    """build_vocab must prune to per-partition top-V before the global
+    single-partition ranking — the prefilter window partitions by
+    spark_partition_id(), so the final sort's input is bounded by
+    P·vocab_size, not |distinct terms| (the 100 TB contract)."""
+    plan = _plan(em.build_vocab_docs(spark, sf_dir))
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    # two Window nodes: the distributed prefilter + the bounded global one
+    assert plan.count("Window [row_number()") >= 2 or plan.count("Window") >= 2
