@@ -72,11 +72,13 @@ class Engine:
                 load_partial_parse, write_partial_parse,
             )
 
-            disk_cache = load_partial_parse(project.project_root)
+            disk_cache = load_partial_parse(
+                project.project_root, cli_vars=self.cli_vars)
         self.manifest: Manifest = parse_project(
             project, cli_vars=self.cli_vars, cache=disk_cache)
         if project.project_root:
-            write_partial_parse(self.manifest, project.project_root)
+            write_partial_parse(
+                self.manifest, project.project_root, cli_vars=self.cli_vars)
         if self.target is not None:
             self.manifest.target_context = self.target.to_context()
 
@@ -120,7 +122,9 @@ class Engine:
         if self.project.project_root:
             from dbt_core_spark.plans.partial import write_partial_parse
 
-            write_partial_parse(self.manifest, self.project.project_root)
+            write_partial_parse(
+                self.manifest, self.project.project_root,
+                cli_vars=self.cli_vars)
         return self.manifest.reparse_count
 
     def compile_analyses(self) -> dict[str, str]:

@@ -305,6 +305,14 @@ class RenderContext:
     def load_result(self, name: str) -> Optional[AgateLikeTable]:
         return self.results_store.get(name)
 
+    def env_var(self, key: str, default: Any = None) -> Any:
+        """``env_var()`` context function; records the observed value so
+        the partial-parse cache invalidates when the environment changes
+        between invocations (ref: manifest env_vars validity checks)."""
+        val = os.environ.get(key)
+        self.manifest.used_env_vars[key] = val
+        return val if val is not None else default
+
     # --- context dict ---------------------------------------------------------
 
     def to_dict(self) -> dict[str, Any]:
@@ -315,7 +323,7 @@ class RenderContext:
             "source": self.source,
             "config": cfg,
             "var": self.var,
-            "env_var": lambda k, d=None: os.environ.get(k, d),
+            "env_var": self.env_var,
             "target": self.manifest.target_context or {
                 "name": "dev",
                 "type": "spark",

@@ -141,6 +141,22 @@ def _table_partition_cols(spark: SparkSession, rel: str) -> list[str]:
     return cols
 
 
+def _partition_literal(v) -> str:
+    """Partition-spec literal for ``ALTER TABLE ... DROP PARTITION``.
+
+    Values come from ``collect()``ed partition rows, so any type/content
+    a partition column can hold arrives here: quotes and backslashes are
+    escaped (a value containing ``'`` must not produce malformed —
+    injection-shaped — SQL), NULL maps to Hive's default-partition
+    sentinel (how Spark names a null partition directory), and
+    date/timestamp values render via their ISO ``str()`` form, which is
+    the partition-literal format Spark parses back."""
+    if v is None:
+        return "'__HIVE_DEFAULT_PARTITION__'"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
 def _partition_scoped_merge(
     spark: SparkSession,
     node: Node,
@@ -210,7 +226,8 @@ def _partition_scoped_merge(
         for vals in touched_vals:
             if tuple(vals) not in out_parts:
                 spec = ", ".join(
-                    f"`{c}` = '{v}'" for c, v in zip(partition_by, vals)
+                    f"`{c}` = {_partition_literal(v)}"
+                    for c, v in zip(partition_by, vals)
                 )
                 spark.sql(f"ALTER TABLE {rel} DROP IF EXISTS PARTITION ({spec})")
     finally:

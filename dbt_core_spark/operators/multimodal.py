@@ -147,6 +147,8 @@ def decode_wav(payload: bytes) -> Optional[dict]:
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated fmt chunk: malformed, not WAV
+                return None
             _fmt, channels, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -197,9 +199,12 @@ def decode_ppm(payload: bytes) -> Optional[dict]:
     except (ValueError, IndexError):
         return None
     ch = 3 if payload[:2] == b"P6" else 1
-    px = np.frombuffer(payload, dtype="u1", count=w * h * ch, offset=pos)
-    if len(px) < w * h * ch or maxval != 255:
+    need = w * h * ch
+    # pre-check the available byte count: frombuffer(count=need) raises
+    # ValueError when the header over-declares the payload size
+    if w <= 0 or h <= 0 or maxval != 255 or len(payload) - pos < need:
         return None
+    px = np.frombuffer(payload, dtype="u1", count=need, offset=pos)
     return {
         "kind": "ppm",
         "width": int(w),
@@ -240,14 +245,22 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "n_samples": None, "duration_ms": None, "peak": None,
                     "mean_value": None,
                 }
-                wav = decode_wav(payload)
+                # a malformed payload must degrade to byte stats, never
+                # crash the job (module contract)
+                try:
+                    wav = decode_wav(payload)
+                except Exception:
+                    wav = None
                 if wav is not None:
                     base.update(kind="wav", sample_rate=wav["sample_rate"],
                                 n_samples=wav["n_samples"],
                                 duration_ms=wav["duration_ms"],
                                 peak=wav["peak"], mean_value=wav["rms"])
                 else:
-                    ppm = decode_ppm(payload)
+                    try:
+                        ppm = decode_ppm(payload)
+                    except Exception:
+                        ppm = None
                     if ppm is not None:
                         base.update(kind="ppm", width=ppm["width"],
                                     height=ppm["height"],

@@ -53,7 +53,9 @@ def kmv_distinct(
     the estimate is exact).
     """
     group_cols = group_cols or []
-    hashed = df.select(
+    # COUNT(DISTINCT) semantics ignore NULLs; md5(NULL) would otherwise
+    # inject a NULL hash row
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols, _hash_unit(F.col(value_col)).alias("_h")
     ).dropDuplicates([*group_cols, "_h"])
     w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
@@ -115,7 +117,10 @@ def hll_distinct(
     h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
         "bigint"
     )
-    hashed = df.select(
+    # NULL values must not reach the registers: md5(NULL) -> NULL bucket
+    # and least() skipping the NULL rho would fabricate a phantom
+    # register with rho = rho_cap (COUNT(DISTINCT) ignores NULLs)
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols,
         F.pmod(h, F.lit(m)).alias("_bucket"),
         F.least(
@@ -180,24 +185,27 @@ def bloom_membership(
         return F.array(*parts)
 
     bits = (
-        corpus.select(
-            F.explode(_positions(F.col(value_col))).alias("bit"))
+        corpus.filter(F.col(value_col).isNotNull())
+        .select(F.explode(_positions(F.col(value_col))).alias("bit"))
         .distinct()
     )
-    probe_bits = probes.select(
-        F.col(probe_col), F.explode(_positions(F.col(probe_col))).alias("bit")
+    # a probe's k md5 positions can collide with each other; the verdict
+    # is "every DISTINCT position is set", not "k hits" — comparing to
+    # the constant k would read a genuinely present value as absent
+    # whenever its own positions collide (Bloom contract violation)
+    probe_bits = probes.select(F.col(probe_col)).distinct().select(
+        F.col(probe_col),
+        F.explode(F.array_distinct(_positions(F.col(probe_col)))).alias("bit"),
     )
-    hit_counts = (
-        probe_bits.join(F.broadcast(bits), "bit", "left_semi")
-        .groupBy(probe_col)
-        .agg(F.countDistinct("bit").alias("_hits"))
-    )
-    return (
-        probes.join(hit_counts, probe_col, "left")
-        .select(
-            probe_col,
-            (F.coalesce(F.col("_hits"), F.lit(0)) == k).alias("might_contain"),
+    verdicts = (
+        probe_bits.join(
+            F.broadcast(bits.withColumn("_hit", F.lit(True))), "bit", "left"
         )
+        .groupBy(probe_col)
+        .agg(F.min(F.coalesce(F.col("_hit"), F.lit(False))).alias("might_contain"))
+    )
+    return probes.join(verdicts, probe_col, "left").select(
+        probe_col, "might_contain"
     )
 
 

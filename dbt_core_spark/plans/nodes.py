@@ -183,6 +183,11 @@ class Manifest:
     package_macros: dict[str, dict[str, str]] = field(default_factory=dict)
     project_name: str = "project"
     vars: dict[str, Any] = field(default_factory=dict)
+    # env vars observed via env_var() during parse rendering, with the
+    # values seen — the partial-parse cache invalidates when any of
+    # these changes (ref: manifest env_vars validity checks,
+    # parser/manifest.py)
+    used_env_vars: dict[str, Any] = field(default_factory=dict)
 
     exposures: dict[str, dict] = field(default_factory=dict)
     metrics: dict[str, dict] = field(default_factory=dict)

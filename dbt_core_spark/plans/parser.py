@@ -11,6 +11,7 @@ uses the dbt-extractor static parser when possible, parser/models.py:379-434
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Any
 
@@ -47,8 +48,15 @@ def parse_project(
     if cache is not None and (
         cache.macros != manifest.macros
         or cache.package_macros != manifest.package_macros
+        or json.dumps(cache.vars, sort_keys=True, default=str)
+        != json.dumps(manifest.vars, sort_keys=True, default=str)
     ):
-        cache = None  # macro changes force full reparse
+        cache = None  # macro or project-vars changes force full reparse
+    if cache is not None:
+        # cache-hit nodes skip rendering, so their env_var() reads are
+        # not re-observed this parse — carry the recorded values forward
+        # or the next write would drop the invalidation inputs
+        manifest.used_env_vars.update(cache.used_env_vars)
     manifest.reparse_count = 0
 
     # root project resources parse first so bare-name ref() collisions

@@ -30,9 +30,19 @@ def partial_parse_path(project_root: str) -> str:
     return os.path.join(project_root, PARTIAL_PARSE_FILE)
 
 
-def write_partial_parse(manifest: Manifest, project_root: str) -> str:
+def write_partial_parse(
+    manifest: Manifest, project_root: str, cli_vars: dict | None = None
+) -> str:
     doc = {
         "version": _FORMAT_VERSION,
+        # invalidation inputs beyond raw_code/macros (ref: the
+        # reference's partial-parse validity checks re-parse on
+        # vars/env/profile changes, parser/manifest.py): project vars
+        # compare in parse_project; cli_vars + observed env values
+        # compare at load time
+        "vars": manifest.vars,
+        "cli_vars": cli_vars or {},
+        "env_vars": manifest.used_env_vars,
         "macros": manifest.macros,
         "package_macros": manifest.package_macros,
         "nodes": {
@@ -54,15 +64,24 @@ def write_partial_parse(manifest: Manifest, project_root: str) -> str:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(doc, f)
+        json.dump(doc, f, default=str)
     os.replace(tmp, path)  # atomic: a concurrent reader never sees a torn file
     return path
 
 
-def load_partial_parse(project_root: str) -> Optional[Manifest]:
+def _fingerprint(d: dict) -> str:
+    return json.dumps(d or {}, sort_keys=True, default=str)
+
+
+def load_partial_parse(
+    project_root: str, cli_vars: dict | None = None
+) -> Optional[Manifest]:
     """Rebuild a cache-manifest from disk; None when absent/unreadable/
     version-mismatched (a bad cache must never break parsing — the
-    reference falls back to a full parse the same way)."""
+    reference falls back to a full parse the same way).  Also None when
+    ``cli_vars`` or any env var observed by the cached parse differs
+    from the current invocation — a render that depends on var()/
+    env_var() must not silently reuse stale refs/config."""
     path = partial_parse_path(project_root)
     if not os.path.exists(path):
         return None
@@ -71,7 +90,16 @@ def load_partial_parse(project_root: str) -> Optional[Manifest]:
             doc = json.load(f)
         if doc.get("version") != _FORMAT_VERSION:
             return None
+        if cli_vars is not None and _fingerprint(
+            doc.get("cli_vars") or {}
+        ) != _fingerprint(cli_vars):
+            return None
+        for k, v in (doc.get("env_vars") or {}).items():
+            if os.environ.get(k) != v:  # v is null when unset at parse time
+                return None
         m = Manifest(project_name="partial_parse_cache")
+        m.vars = dict(doc.get("vars") or {})
+        m.used_env_vars = dict(doc.get("env_vars") or {})
         m.macros = dict(doc.get("macros") or {})
         m.package_macros = {
             k: dict(v) for k, v in (doc.get("package_macros") or {}).items()

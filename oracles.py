@@ -1514,24 +1514,26 @@ with probes as (
                        {_bloom_pos('doc_id', 2)}]) as bit
         from documents
     )
-), probe_hits as (
-    select probe_id, count(distinct bit) as hits from (
-        select probe_id,
+), verdicts as (
+    -- a probe's positions can self-collide: the verdict is "every
+    -- DISTINCT position set", mirroring sketches.bloom_membership
+    select probe_id, bool_and(bit in (select bit from corpus_bits)) as might_contain
+    from (
+        select distinct probe_id,
                unnest([{_bloom_pos('probe_id', 0)}, {_bloom_pos('probe_id', 1)},
                        {_bloom_pos('probe_id', 2)}]) as bit
         from probes
     ) pb
-    where bit in (select bit from corpus_bits)
     group by probe_id
 ), present as (
     select distinct doc_id as probe_id from documents
 )
 select p.probe_id,
-       coalesce(h.hits, 0) = 3 as might_contain,
+       v.might_contain,
        pr.probe_id is not null as actually_present,
-       (coalesce(h.hits, 0) = 3) and pr.probe_id is null as false_positive
+       v.might_contain and pr.probe_id is null as false_positive
 from probes p
-left join probe_hits h using (probe_id)
+left join verdicts v using (probe_id)
 left join present pr using (probe_id)
 """
 

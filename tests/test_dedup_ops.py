@@ -241,3 +241,36 @@ def test_histogram_quantiles_accuracy_and_merge(spark):
                   a.union(b), "v", quantiles=(0.5, 0.99), lo=0.0, hi=1000.0,
                   n_bins=200).collect()}
     assert merged == out
+
+
+def test_bloom_membership_self_colliding_positions(spark):
+    """A value whose own k md5 positions collide (v=50 has only 2
+    distinct positions at m_bits=128) must still read might_contain=True
+    when present — the verdict compares distinct hit bits to the probe's
+    own distinct positions, never to the constant k."""
+    from dbt_core_spark.operators.sketches import bloom_membership
+
+    corpus = spark.createDataFrame([(50,), (51,)], "v long")
+    probes = spark.createDataFrame([(50,), (51,), (52,)], "v long")
+    out = {r["v"]: r["might_contain"]
+           for r in bloom_membership(corpus, probes, "v", m_bits=128, k=3).collect()}
+    assert out[50] is True
+    assert out[51] is True
+
+
+def test_sketches_ignore_nulls(spark):
+    """KMV and HLL follow COUNT(DISTINCT) semantics: NULL values add no
+    sketch state (previously a NULL fabricated a phantom rho_cap
+    register in HLL, skewing the estimate)."""
+    from dbt_core_spark.operators.sketches import hll_distinct, kmv_distinct
+
+    with_nulls = spark.createDataFrame(
+        [("g", str(i)) for i in range(100)] + [("g", None)] * 5, "g string, v string"
+    )
+    without = spark.createDataFrame(
+        [("g", str(i)) for i in range(100)], "g string, v string"
+    )
+    for fn in (kmv_distinct, hll_distinct):
+        a = fn(with_nulls, "v", ["g"]).collect()[0]
+        b = fn(without, "v", ["g"]).collect()[0]
+        assert a == b

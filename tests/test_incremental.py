@@ -246,3 +246,24 @@ def test_insert_overwrite_partitions(spark, schema):
     assert r.ok(), [x.message for x in r.results]
     rows = {(r["day"], r["id"]): r["v"] for r in eng2.table("m").collect()}
     assert rows == {("2020-01-01", 1): 1, ("2020-01-02", 9): 2}
+
+
+def test_partition_scoped_merge_quoted_partition_value(spark, schema):
+    """A partition value containing a single quote must survive the
+    emptied-partition DROP path (escaped literal, not malformed SQL)."""
+    p = _seed_project([
+        {"id": 1, "day": "O'Brien", "v": 1},   # only row in its partition
+        {"id": 2, "day": "plain", "v": 1},
+    ])
+    p.models["m"] = "select * from {{ ref('raw') }}"
+    p.model_configs["m"] = {"materialized": "incremental", "unique_key": "id",
+                            "partition_by": "day"}
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); assert eng.run().ok()
+    # id=1 moves out of the quoted partition, emptying it → DROP PARTITION
+    p.seeds["raw"] = [{"id": 1, "day": "moved", "v": 5}]
+    eng2 = Engine(spark, p, schema=schema)
+    eng2.seed(); r = eng2.run()
+    assert r.ok(), [x.message for x in r.results]
+    rows = {(r["id"], r["day"]): r["v"] for r in eng2.table("m").collect()}
+    assert rows == {(1, "moved"): 5, (2, "plain"): 1}

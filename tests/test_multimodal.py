@@ -57,3 +57,28 @@ def test_decode_media_dispatch(spark, sf_dir):
     for _, r in ppms.iterrows():
         assert r["width"] == 4 + int(r["media_id"]) % 13
         assert r["mean_value"] == float(int(r["media_id"]) % 256)
+
+
+def test_decode_malformed_payloads_fall_through_to_raw(spark):
+    """Truncated fmt chunks and over-declared netpbm headers must yield
+    kind='raw' byte stats, never crash the decode job (ADVICE r2)."""
+    import struct
+
+    from dbt_core_spark.operators.multimodal import decode_media, decode_ppm, decode_wav
+
+    # WAV preamble + truncated fmt body (8 bytes < 16)
+    bad_wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 8) + b"\x00" * 8
+               + b"data" + struct.pack("<I", 0)) + b"\x00" * 8
+    # PPM header declaring 1000x1000 pixels with a 10-byte body
+    bad_ppm = b"P6\n1000 1000\n255\n" + b"\x00" * 10
+    assert decode_wav(bad_wav) is None
+    assert decode_ppm(bad_ppm) is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bad_wav)), (2, bytearray(bad_ppm)), (3, None)],
+        "media_id long, data binary")
+    rows = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert rows[1]["kind"] == "raw" and rows[1]["n_bytes"] == len(bad_wav)
+    assert rows[2]["kind"] == "raw" and rows[2]["n_bytes"] == len(bad_ppm)
+    assert rows[3]["kind"] == "raw" and rows[3]["n_bytes"] == 0

@@ -199,3 +199,59 @@ def test_file_selector(tmp_path, spark, schema):
     eng = Engine(spark, ProjectDef.from_dir(root), schema=schema)
     assert eng.ls(select="file:alpha.sql") == ["model.fs.alpha"]
     assert eng.ls(select="file:alpha") == ["model.fs.alpha"]
+
+
+def test_partial_parse_invalidates_on_vars_and_env(tmp_path, spark, schema):
+    """The on-disk cache must NOT be reused when --vars, project vars,
+    or an env_var() read during parse differ from the cached invocation
+    (ref: partial-parse validity checks, parser/manifest.py); identical
+    inputs still warm-parse."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    root = str(tmp_path / "ppv")
+    os.makedirs(os.path.join(root, "models"))
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: ppv\nvars:\n  thresh: 5\n")
+    with open(os.path.join(root, "models", "m0.sql"), "w") as f:
+        f.write("select {{ var('thresh') }} as x "
+                "{{ config(tags=[env_var('PPV_TEST_TAG', 'none')]) }}")
+    with open(os.path.join(root, "models", "m1.sql"), "w") as f:
+        f.write("select 1 as y")
+
+    os.environ.pop("PPV_TEST_TAG", None)
+    eng1 = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    assert eng1.manifest.reparse_count == 2
+
+    # identical invocation → warm
+    eng2 = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    assert eng2.manifest.reparse_count == 0
+
+    # different --vars → full reparse
+    eng3 = Engine(spark, ProjectDef.from_dir(root), schema=schema,
+                  vars={"thresh": 9})
+    assert eng3.manifest.reparse_count == 2
+    # and back again with the new vars recorded → warm
+    eng4 = Engine(spark, ProjectDef.from_dir(root), schema=schema,
+                  vars={"thresh": 9})
+    assert eng4.manifest.reparse_count == 0
+
+    # env var observed at parse changes → full reparse
+    os.environ["PPV_TEST_TAG"] = "tagged"
+    try:
+        eng5 = Engine(spark, ProjectDef.from_dir(root), schema=schema,
+                      vars={"thresh": 9})
+        assert eng5.manifest.reparse_count == 2
+        assert eng5.manifest.nodes["model.ppv.m0"].config.get("tags") == ["tagged"]
+        # stable env → warm again
+        eng6 = Engine(spark, ProjectDef.from_dir(root), schema=schema,
+                      vars={"thresh": 9})
+        assert eng6.manifest.reparse_count == 0
+    finally:
+        os.environ.pop("PPV_TEST_TAG", None)
+
+    # project-level vars edit → full reparse
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: ppv\nvars:\n  thresh: 7\n")
+    eng7 = Engine(spark, ProjectDef.from_dir(root), schema=schema,
+                  vars={"thresh": 9})
+    assert eng7.manifest.reparse_count == 2
