@@ -277,6 +277,7 @@ def ivf_topk_blas(
     n_probe: int = 4,
     kmeans_iters: int = 10,
     fit_sample: int = 4096,
+    max_cell_rows: int = 100_000,
 ) -> DataFrame:
     """IVF-flat with BLAS kernels — the production 100 TB shape:
 
@@ -284,13 +285,23 @@ def ivf_topk_blas(
        index-build step; FAISS trains on a sample the same way),
     2. one ``mapInPandas`` pass assigns every vector its cell and its
        ``n_probe`` query cells (matmul against broadcast centroids),
-    3. ONE shuffle on ``cell``; ``applyInPandas`` scores each cell's
-       queries against its members with a single matmul + local top-k,
+    3. ONE shuffle on ``(cell, subcell)``; ``applyInPandas`` scores each
+       group's queries against its members with a single matmul + local
+       top-k.  **Skew cap**: a cell with more than ``max_cell_rows``
+       members (skewed corpus → hot cell) is re-split by a secondary
+       hash of the member id into ``ceil(n/max_cell_rows)`` subcells,
+       with that cell's queries replicated to every subcell — each
+       pandas frame stays bounded by ``max_cell_rows`` members no
+       matter how skewed the corpus is, and the per-subcell top-k →
+       global merge stays exact (a global top-k member is top-k in its
+       own subcell a fortiori),
     4. a tiny global window merges the ≤ n_probe·k candidates per query.
 
     Only step 3 touches the full data and it shuffles each vector
-    n_probe+1 times — no pairwise blowup, BLAS throughput per cell.
-    (Approximate; no SQL oracle — rows-only check, like ivf_topk.)"""
+    ~n_probe+1 times (plus replication into split subcells) — no
+    pairwise blowup, BLAS throughput per cell.  With kmeans_iters=0 the
+    centroids are the deterministic id-ordered seed sample and the whole
+    path has an exact SQL oracle (see ann_ivf_blas_topk_embeddings)."""
     import numpy as np
     import pandas as pd
 
@@ -338,16 +349,46 @@ def ivf_topk_blas(
         assign, schema="id long, v array<double>, cell int, is_member boolean"
     )
 
-    # -- 3. per-cell matmul + local top-k ----------------------------------
+    # -- 3. skew-capped per-cell matmul + local top-k -----------------------
+    # hot-cell re-split: member count per cell is a tiny broadcast; a
+    # cell over the cap hashes its members into subcells and replicates
+    # its queries to each, so no pandas frame ever materializes more
+    # than max_cell_rows members
+    counts = routed.filter(F.col("is_member")).groupBy("cell").agg(
+        F.count("*").alias("_cn")
+    )
+    split = routed.join(F.broadcast(counts), "cell", "left").withColumn(
+        "_ns",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.coalesce(F.col("_cn"), F.lit(0)) / F.lit(max_cell_rows)),
+        ).cast("int"),
+    )
+    members = split.filter(F.col("is_member")).select(
+        "id", "v", "cell",
+        F.pmod(F.xxhash64("id"), F.col("_ns")).cast("int").alias("sub"),
+        F.lit(True).alias("is_member"),
+    )
+    # every routed row is a (query, probed-cell) pair; replicate to all
+    # subcells of that cell (exact within-cell search must visit every
+    # member)
+    probes_q = split.select(
+        "id", "v", "cell",
+        F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)).alias("sub"),
+        F.lit(False).alias("is_member"),
+    )
+    grouped = members.unionByName(probes_q)
+
     def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         members = pdf[pdf["is_member"]]
-        if len(members) == 0 or len(pdf) == 0:
+        qs = pdf[~pdf["is_member"]]
+        if len(members) == 0 or len(qs) == 0:
             return pd.DataFrame(columns=["query_id", "nbr_id", "cosine"])
         mid = members["id"].to_numpy()
         M = np.array(members["v"].tolist(), dtype=np.float64)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        qid = pdf["id"].to_numpy()
-        Q = np.array(pdf["v"].tolist(), dtype=np.float64)
+        qid = qs["id"].to_numpy()
+        Q = np.array(qs["v"].tolist(), dtype=np.float64)
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         S = Qn @ Mn.T
         S[qid[:, None] == mid[None, :]] = -np.inf
@@ -360,7 +401,7 @@ def ivf_topk_blas(
                     rows.append((int(qid[i]), int(mid[c]), float(S[i, c])))
         return pd.DataFrame(rows, columns=["query_id", "nbr_id", "cosine"])
 
-    scored = routed.groupBy("cell").applyInPandas(
+    scored = grouped.groupBy("cell", "sub").applyInPandas(
         score_cell, schema="query_id long, nbr_id long, cosine double"
     )
 

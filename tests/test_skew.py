@@ -63,3 +63,29 @@ def test_kmv_sketch_accuracy(spark):
     small = spark.range(0, 10).select(F.lit(0).alias("g"), F.col("id").alias("v"))
     r = kmv_distinct(small, "v", ["g"], k=64).collect()[0]
     assert r["kmv_estimate"] == 10.0 and r["n_hashes"] == 10
+
+
+def test_ivf_blas_hot_cell_resplit_exact(spark):
+    """Adversarially skewed corpus (≈90% of vectors cluster into one IVF
+    cell): with a tiny max_cell_rows the hot cell re-splits into
+    subcells, every pandas frame stays bounded, and results are identical to
+    the uncapped run (the re-split is exact, not approximate)."""
+    import math
+
+    from dbt_core_spark.operators.similarity import ivf_topk_blas
+
+    # 200 vectors in a tight cluster around e0, 20 spread elsewhere
+    rows = []
+    for i in range(200):
+        rows.append((i, [10.0, math.sin(i * 0.01), math.cos(i * 0.013), 0.1]))
+    for i in range(200, 220):
+        rows.append((i, [math.sin(i), math.cos(i), 5.0 + (i % 7), 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(k=3, n_cells=4, n_probe=2, kmeans_iters=0)
+    capped = ivf_topk_blas(df, "embedding", "vec_id", max_cell_rows=16, **kw)
+    uncapped = ivf_topk_blas(df, "embedding", "vec_id", max_cell_rows=10**9, **kw)
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(map(tuple, uncapped.collect()))
+    assert a == b
+    assert len(a) == 220 * 3
