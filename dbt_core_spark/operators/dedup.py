@@ -303,9 +303,41 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # -- signature-agreement prefilter before the exact verify -------------
+    # the verify join carries full shingle arrays (hundreds of bytes per
+    # row); signatures are num_perm longs.  The match fraction of the two
+    # signatures estimates Jaccard (E[agree/num_perm] = J), so candidates
+    # whose estimate sits 6 binomial sigmas below threshold are spurious
+    # band collisions and never survive the exact filter: P[drop | J >=
+    # threshold] <= ~1e-9 at 64 perms — the same design point as the
+    # banding's own miss probability, keeping output oracle-exact.
+    sigma = (threshold * (1.0 - threshold) / num_perm) ** 0.5
+    cut = max(0.0, threshold - 6.0 * sigma)
+    min_agree = int(cut * num_perm)  # floor: conservative (keeps more)
+    sig_arr = sig.select(
+        "id", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
+    )
+    prefiltered = (
+        candidates.join(
+            sig_arr.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}), "id_a")
+        .join(sig_arr.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}), "id_b")
+        .withColumn(
+            "_agree",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .filter(F.col("_agree") >= min_agree)
+        .select("id_a", "id_b")
+    )
     sh = shingled
     verified = (
-        candidates.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        prefiltered.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
         .withColumn(
             "jaccard",

@@ -274,3 +274,24 @@ def test_sketches_ignore_nulls(spark):
         a = fn(with_nulls, "v", ["g"]).collect()[0]
         b = fn(without, "v", ["g"]).collect()[0]
         assert a == b
+
+
+def test_minhash_prefilter_before_exact_verify(spark, sf_dir):
+    """The exact-Jaccard verify must be fed through the signature-
+    agreement prefilter (zip_with equality fold over the two signature
+    arrays) — shingle arrays only join for candidates passing it — and
+    the verified output stays identical to exact Jaccard pairing."""
+    import __spark_entry__ as em
+
+    out = em.minhash_lsh_docs(spark, sf_dir)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "zip_with" in plan and "aggregate(" in plan
+    rows = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # exact oracle: brute-force Jaccard over the same shingle sets
+    from dbt_core_spark.operators.dedup import ngram_jaccard_pairs
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(
+                 spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                 threshold=0.7).collect()}
+    assert rows == exact
