@@ -389,8 +389,14 @@ class Engine:
                 f.name: {"type": f.dataType.simpleString(), "index": i}
                 for i, f in enumerate(self.spark.table(n.relation_name).schema.fields)
             }
-            nodes[uid] = {"metadata": {"name": n.identifier, "schema": self.schema},
-                          "columns": cols}
+            entry = {"metadata": {"name": n.identifier, "schema": self.schema},
+                     "columns": cols}
+            if n.config.get("grants") is not None:
+                # recorded grant state (catalog truth, not just config)
+                from dbt_core_spark.operators.grants import current_grants
+
+                entry["grants"] = current_grants(self.spark, n.relation_name)
+            nodes[uid] = entry
         return {"nodes": nodes}
 
     # -- unit tests (ref: task/test.py:206-282; parser/unit_tests.py) --------

@@ -244,7 +244,17 @@ class RenderContext:
 
     def config(self, *args: Any, **kwargs: Any) -> str:
         if self.mode == "parse":
-            self.captured_config.update(kwargs)
+            for k, v in kwargs.items():
+                if k == "grants" and "grants" in self.captured_config:
+                    # repeated config(grants=...) calls append/clobber
+                    # per key rather than replacing the whole dict
+                    # (ref: test_grant_configs my_model_extend_twice)
+                    from dbt_core_spark.operators.grants import merge_grant_layers
+
+                    self.captured_config["grants"] = merge_grant_layers(
+                        self.captured_config["grants"], v)
+                else:
+                    self.captured_config[k] = v
         return ""
 
     def config_get(self, key: str, default: Any = None, validator: Any = None) -> Any:

@@ -122,7 +122,7 @@ def parse_project(
                 node.refs = list(old.refs)
                 node.sources = list(old.sources)
                 node.captured_config = dict(old.captured_config)
-                node.config.update(old.captured_config)
+                _apply_captured_config(node, old.captured_config)
                 continue
             manifest.reparse_count += 1
             ctx = RenderContext(manifest, node, mode="parse", cli_vars=cli_vars)
@@ -133,7 +133,15 @@ def parse_project(
             # in-file config() wins over schema-yml & project defaults
             # (ref: context_config.py precedence)
             node.captured_config = dict(ctx.captured_config)
-            node.config.update(ctx.captured_config)
+            _apply_captured_config(node, ctx.captured_config)
+
+    # grants finalize to {privilege: [grantees]} once all layers merged
+    # (append markers are a merge-time notation, not config state)
+    from dbt_core_spark.operators.grants import normalize_grants
+
+    for node in manifest.nodes.values():
+        if node.config.get("grants") is not None:
+            node.config["grants"] = normalize_grants(node.config["grants"])
 
     # -- resolve depends_on (ref: manifest.py process_refs/process_sources) --
     for node in manifest.nodes.values():
@@ -432,6 +440,19 @@ def _add_source(
     manifest.add_node(node)
 
 
+def _apply_captured_config(node: Node, captured: dict) -> None:
+    """Merge in-file ``config()`` keys onto the node config; ``grants``
+    follow DictKeyAppend semantics instead of clobbering (ref:
+    v1/config.py:113, tests/functional/configs/test_grant_configs.py)."""
+    from dbt_core_spark.operators.grants import merge_grant_layers
+
+    for k, v in captured.items():
+        if k == "grants":
+            node.config["grants"] = merge_grant_layers(node.config.get("grants"), v)
+        else:
+            node.config[k] = v
+
+
 def _merged_config(
     project: ProjectDef,
     name: str,
@@ -441,6 +462,8 @@ def _merged_config(
     """Project-tree defaults < root's per-package tree < schema-yml/
     explicit config; in-file config() is merged later at parse-render
     (ref: context_config.py MergeBehavior)."""
+    from dbt_core_spark.operators.grants import merge_grant_layers
+
     cfg = dict(DEFAULT_CONFIG)
     for k, v in project.model_defaults.items():
         cfg[k.lstrip("+")] = v
@@ -448,7 +471,14 @@ def _merged_config(
         if not isinstance(v, dict):
             cfg[k.lstrip("+")] = v
     if explicit:
-        cfg.update(explicit)
+        for k, v in explicit.items():
+            # grants use DictKeyAppend semantics across layers (ref:
+            # v1/config.py:113, test_grant_configs.py): '+priv' appends
+            # to the inherited grantee list, bare 'priv' clobbers
+            if k == "grants":
+                cfg["grants"] = merge_grant_layers(cfg.get("grants"), v)
+            else:
+                cfg[k] = v
     return cfg
 
 
