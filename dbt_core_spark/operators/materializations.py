@@ -11,7 +11,11 @@ tests/functional/materializations/test_custom_materialization.py).
 
 from __future__ import annotations
 
+import logging
+import os
+import re
 from typing import TYPE_CHECKING, Callable
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +26,14 @@ from dbt_core_spark.plans.nodes import Node
 
 if TYPE_CHECKING:  # pragma: no cover
     pass
+
+logger = logging.getLogger(__name__)
+
+# unpartitioned merge falls back to a full-table rewrite (inherent to
+# parquet until the Delta seam activates) — warn once per relation when
+# the target is big enough that the rewrite is the dominant cost
+FULL_REWRITE_WARN_BYTES = 10 * 1024 ** 3
+_warned_full_rewrite: set[str] = set()
 
 
 def _as_list(v) -> list[str]:
@@ -107,6 +119,7 @@ def materialize_incremental(
         if partition_by and _table_partition_cols(spark, rel) == partition_by:
             _partition_scoped_merge(spark, node, rel, df, unique_key, partition_by)
             return -1
+        _warn_unpartitioned_full_rewrite(spark, node, rel)
         merged = _merge_frames(
             spark.table(rel),
             df,
@@ -119,6 +132,64 @@ def materialize_incremental(
         return -1
 
     raise ExecutionError(f"unknown incremental_strategy '{strategy}'")
+
+
+def _table_size_bytes(spark: SparkSession, rel: str) -> int | None:
+    """Best-effort size of ``rel``: catalog statistics when present,
+    else a local-filesystem walk of the table location (None on remote
+    filesystems — sizing must never cost a Spark job)."""
+    location = None
+    try:
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {rel}").collect():
+            name = (r["col_name"] or "").strip()
+            if name == "Statistics":
+                m = re.search(r"(\d+)\s*bytes", r["data_type"] or "")
+                if m:
+                    return int(m.group(1))
+            elif name == "Location":
+                location = (r["data_type"] or "").strip()
+    except Exception:
+        return None
+    if location:
+        parsed = urlparse(location)
+        if parsed.scheme in ("file", ""):
+            path = parsed.path or location
+            if os.path.isdir(path):
+                total = 0
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        try:
+                            total += os.path.getsize(os.path.join(root, f))
+                        except OSError:
+                            pass
+                return total
+    return None
+
+
+def _warn_unpartitioned_full_rewrite(
+    spark: SparkSession, node: Node, rel: str
+) -> None:
+    """The remaining silent 100 TB trap: an incremental merge with no
+    partition_by rewrites the ENTIRE target every run (parquet has no
+    file-level MERGE; delta_compat.py upgrades this when available).
+    Warn once per relation when the target passes the size threshold —
+    'partition your large incrementals' must be loud, not a docstring.
+    """
+    if rel in _warned_full_rewrite:
+        return
+    threshold = int(
+        node.config.get("full_rewrite_warn_bytes", FULL_REWRITE_WARN_BYTES)
+    )
+    size = _table_size_bytes(spark, rel)
+    if size is not None and size >= threshold:
+        _warned_full_rewrite.add(rel)
+        logger.warning(
+            "incremental model %s (%s) has no partition_by: every merge "
+            "rewrites the whole %.1f MiB target. Add partition_by so "
+            "merges rewrite only touched partitions, or use a Delta/"
+            "Iceberg file_format for file-level MERGE.",
+            node.unique_id, rel, size / 1024 ** 2,
+        )
 
 
 def _table_partition_cols(spark: SparkSession, rel: str) -> list[str]:

@@ -267,3 +267,36 @@ def test_partition_scoped_merge_quoted_partition_value(spark, schema):
     assert r.ok(), [x.message for x in r.results]
     rows = {(r["id"], r["day"]): r["v"] for r in eng2.table("m").collect()}
     assert rows == {(1, "moved"): 5, (2, "plain"): 1}
+
+
+def test_unpartitioned_merge_warns_full_rewrite(spark, schema, caplog):
+    """An incremental merge without partition_by on a target past the
+    size threshold must warn (once) that every run rewrites the whole
+    table — the silent 100 TB trap made loud."""
+    import logging
+
+    p = _seed_project([{"id": i, "day": "2020-01-01", "v": i} for i in range(50)])
+    p.models["m"] = "select * from {{ ref('raw') }}"
+    p.model_configs["m"] = {"materialized": "incremental", "unique_key": "id",
+                            "full_rewrite_warn_bytes": 1}
+    eng = Engine(spark, p, schema=schema)
+    eng.seed(); assert eng.run().ok()
+    with caplog.at_level(logging.WARNING,
+                         logger="dbt_core_spark.operators.materializations"):
+        assert eng.run().ok()   # second run takes the merge path
+        assert eng.run().ok()   # third run: warning must not repeat
+    warns = [r for r in caplog.records if "rewrites the whole" in r.message]
+    assert len(warns) == 1
+    # partitioned targets never hit this path
+    caplog.clear()
+    p2 = _seed_project([{"id": i, "day": "2020-01-01", "v": i} for i in range(50)])
+    p2.models["mp"] = "select * from {{ ref('raw') }}"
+    p2.model_configs["mp"] = {"materialized": "incremental", "unique_key": "id",
+                              "partition_by": "day",
+                              "full_rewrite_warn_bytes": 1}
+    eng2 = Engine(spark, p2, schema=schema)
+    eng2.seed(); assert eng2.run().ok()
+    with caplog.at_level(logging.WARNING,
+                         logger="dbt_core_spark.operators.materializations"):
+        assert eng2.run().ok()
+    assert not [r for r in caplog.records if "rewrites the whole" in r.message]
