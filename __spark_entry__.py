@@ -32,22 +32,29 @@ TABLES = [
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a testdata table.  events.parquet stores TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects — read ns-as-long and convert
-    to a microsecond timestamp (lossless here; DuckDB sees µs too).
+    """Read a testdata table.  events.parquet's ``ts`` physical type has
+    varied across driver testdata generations — TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects: read ns-as-long, convert) and
+    naive TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ: cast to
+    the session type).  Normalize every form to a UTC TIMESTAMP so
+    downstream ts arithmetic/streaming event-time is storage-agnostic.
 
     Session timezone is pinned to UTC: DuckDB oracle timestamps are
-    naive, so any driver-session TZ other than UTC would shift
-    timestamp→string renderings and window boundaries."""
+    naive, so the NTZ→LTZ cast is value-preserving and any driver-
+    session TZ other than UTC would otherwise shift timestamp→string
+    renderings and window boundaries."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         # integer div, NOT `/`: float division loses ulps at 1.7e18 ns
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -1795,67 +1802,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # keys (insertion order).  Round 1 verified the relational+xdb surface;
-    # round 2 leads with the 32 entries that had no driver row yet
-    # (engine materializations, streaming, all LLM-pipeline ops), then
-    # new round-2 queries, then representative already-verified shapes.
-    # Keep any newly added query inside the first-50 window.
+    # keys (insertion order).  Rotation policy: every round the first-50
+    # window leads with queries whose CODE CHANGED this round, then fills
+    # with the least-recently-verified green queries, so no query goes
+    # two rounds unverified.  Round 3: the 4 formerly-red gate rows (now
+    # fixed) + 9 queries touched by this round's sketch/minhash/vocab/
+    # multimodal/merge changes, then 37 of the 47 r1-verified relational/
+    # xdb shapes (unverified in r2).  Past the cap: the r2-verified
+    # unchanged queries (r4 re-verifies them) and 10 r1 shapes whose
+    # machinery is redundantly covered in-window (rotate into r4 first).
     return {
-        # -- engine-driven materializations (unverified in r1) --
-        "engine_snapshot_scd2": engine_snapshot_scd2,
-        "engine_microbatch_day": engine_microbatch_day,
-        "engine_generic_test_failures": engine_generic_test_failures,
-        "engine_insert_overwrite": engine_insert_overwrite,
-        "engine_streaming_table": engine_streaming_table,
-        "engine_python_model": engine_python_model,
-        # -- LLM-pipeline operators (unverified in r1) --
-        "dedup_exact_docs": dedup_exact_docs,
-        "dedup_embedding_docs": dedup_embedding_docs,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        "dedup_fingerprint_docs": dedup_fingerprint_docs,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
-        "minhash_lsh_docs": minhash_lsh_docs,
-        "winnow_fingerprint_docs": winnow_fingerprint_docs,
-        "pii_scrub_docs": pii_scrub_docs,
-        "cc_dedup_docs": cc_dedup_docs,
-        "chunk_documents_docs": chunk_documents_docs,
-        "assign_splits_docs": assign_splits_docs,
-        "simhash_docs": simhash_docs,
-        "simhash_pairs_docs": simhash_pairs_docs,
-        "kmv_distinct_users": kmv_distinct_users,
-        "text_quality_docs": text_quality_docs,
-        "language_id_docs": language_id_docs,
-        "token_counts_docs": token_counts_docs,
-        "cosine_pairs_embeddings": cosine_pairs_embeddings,
-        "cosine_topk_embeddings": cosine_topk_embeddings,
-        "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
+        # -- changed this round (must re-verify) --
+        "quantize_embeddings_int8": quantize_embeddings_int8,
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
-        "streaming_hourly_rollup": streaming_hourly_rollup,
-        "multimodal_features_docs": multimodal_features_docs,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        # -- new round-2 queries go HERE (inside the first-50 window) --
-        "multimodal_decode_wav_ppm": multimodal_decode_wav_ppm,
-        "gopher_repetition_docs": gopher_repetition_docs,
-        "source_cap_docs": source_cap_docs,
-        "boilerplate_ngram_docs": boilerplate_ngram_docs,
-        "streaming_session_rollup": streaming_session_rollup,
-        "decontaminate_docs": decontaminate_docs,
-        "incremental_dedup_docs": incremental_dedup_docs,
-        "quantize_embeddings_int8": quantize_embeddings_int8,
-        "hll_distinct_events": hll_distinct_events,
-        "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "build_vocab_docs": build_vocab_docs,
-        "stratified_sample_docs": stratified_sample_docs,
         "bloom_membership_docs": bloom_membership_docs,
-        "pack_sequences_docs": pack_sequences_docs,
-        "quantile_sketch_events": quantile_sketch_events,
-        # -- representative verified-in-r1 fills (demote to keep <=50) --
-        "xdb_datetime_functions": xdb_datetime_functions,
-        "engine_view_table_ephemeral": engine_view_table_ephemeral,
+        "hll_distinct_events": hll_distinct_events,
+        "kmv_distinct_users": kmv_distinct_users,
+        "minhash_lsh_docs": minhash_lsh_docs,
+        "incremental_dedup_docs": incremental_dedup_docs,
+        "cc_dedup_docs": cc_dedup_docs,
+        "multimodal_decode_wav_ppm": multimodal_decode_wav_ppm,
         "engine_incremental_merge": engine_incremental_merge,
-        # ---------------- past the 50-query gate cap ----------------
+        # -- r1-verified relational/xdb rotation (no r2 row) --
         "xdb_string_functions": xdb_string_functions,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1872,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xdb_listagg_nations": xdb_listagg_nations,
         "xdb_date_spine": xdb_date_spine,
         "q2_min_price_supplier": q2_min_price_supplier,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -1882,17 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": q16_supplier_count,
         "q20_part_share_suppliers": q20_part_share_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q4_order_priority": q4_order_priority,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "customers_without_orders": customers_without_orders,
-        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
-        "q19_or_predicates": q19_or_predicates,
         "q22_global_avg_filter": q22_global_avg_filter,
-        "rollup_quantity": rollup_quantity,
         "map_struct_status_counts": map_struct_status_counts,
-        "unpivot_status_counts": unpivot_status_counts,
         "running_revenue_by_customer": running_revenue_by_customer,
         "rolling_7day_order_totals": rolling_7day_order_totals,
         "multi_granularity_rollup": multi_granularity_rollup,
@@ -1900,9 +1863,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_by_returnflag": stats_by_returnflag,
         "percentiles_by_group": percentiles_by_group,
         "dynamic_pivot_events": dynamic_pivot_events,
-        "set_ops_statuses": set_ops_statuses,
         "xdb_arrays": xdb_arrays,
+        # ---------------- past the 50-query gate cap ----------------
+        # r1 shapes redundantly covered in-window: rotate into r4 first
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_or_predicates": q19_or_predicates,
+        "customers_without_orders": customers_without_orders,
+        "rollup_quantity": rollup_quantity,
+        "unpivot_status_counts": unpivot_status_counts,
+        "set_ops_statuses": set_ops_statuses,
         "generate_series_powers": generate_series_powers,
+        # r2-verified, unchanged this round (r4 re-verifies)
+        "engine_snapshot_scd2": engine_snapshot_scd2,
+        "engine_microbatch_day": engine_microbatch_day,
+        "engine_generic_test_failures": engine_generic_test_failures,
+        "engine_insert_overwrite": engine_insert_overwrite,
+        "engine_streaming_table": engine_streaming_table,
+        "engine_python_model": engine_python_model,
+        "engine_view_table_ephemeral": engine_view_table_ephemeral,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_embedding_docs": dedup_embedding_docs,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "dedup_fingerprint_docs": dedup_fingerprint_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "chunk_documents_docs": chunk_documents_docs,
+        "assign_splits_docs": assign_splits_docs,
+        "simhash_docs": simhash_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "text_quality_docs": text_quality_docs,
+        "language_id_docs": language_id_docs,
+        "token_counts_docs": token_counts_docs,
+        "cosine_pairs_embeddings": cosine_pairs_embeddings,
+        "cosine_topk_embeddings": cosine_topk_embeddings,
+        "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
+        "streaming_hourly_rollup": streaming_hourly_rollup,
+        "streaming_session_rollup": streaming_session_rollup,
+        "multimodal_features_docs": multimodal_features_docs,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "gopher_repetition_docs": gopher_repetition_docs,
+        "source_cap_docs": source_cap_docs,
+        "boilerplate_ngram_docs": boilerplate_ngram_docs,
+        "decontaminate_docs": decontaminate_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        "pack_sequences_docs": pack_sequences_docs,
+        "quantile_sketch_events": quantile_sketch_events,
+        "xdb_datetime_functions": xdb_datetime_functions,
     }
 
 

@@ -104,21 +104,37 @@ def main() -> None:
     entrymod._reg(spark, sf_dir)
 
     qs = entrymod.queries()
+    # SPARK_GRAFT_REPEATS>1: per-query median + population sigma, for
+    # settling noise-vs-regression questions (driver default stays 1)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "1")))
+    only = [q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q]
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    sigmas: dict[str, float] = {}
+    for name in only or HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()  # force full execution
+            samples.append(time.time() - t0)
+        samples.sort()
+        med = samples[len(samples) // 2]
+        times[name] = round(med, 3)
+        if repeats > 1:
+            mean = sum(samples) / len(samples)
+            sigmas[name] = round(
+                (sum((s - mean) ** 2 for s in samples) / len(samples)) ** 0.5, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)"
+              + (f" sigma={sigmas[name]}s n={repeats}" if repeats > 1 else ""),
+              file=sys.stderr)
 
     parse_ms, parse_warm_ms = (round(x, 3) for x in bench_parse(2000))
     print(f"# parse: {parse_ms} ms/model cold, {parse_warm_ms} warm",
           file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -126,7 +142,11 @@ def main() -> None:
         "sf": sf,
         "parse_ms_per_model": parse_ms,
         "parse_warm_ms_per_model": parse_warm_ms,
-    }))
+    }
+    if sigmas:
+        out["queries_sigma"] = sigmas
+        out["repeats"] = repeats
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

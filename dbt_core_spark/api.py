@@ -97,6 +97,27 @@ class Engine:
             for pname, pkg in self.project.packages.items()
         }
 
+    def debug(self) -> dict[str, bool]:
+        """``dbt debug`` analog (ref: task/debug.py): connection check
+        (one trivial query), project parse status, and DAG validity —
+        each reported as a named boolean so callers mirror the
+        reference's pass/fail checklist output."""
+        checks: dict[str, bool] = {}
+        try:
+            self.spark.sql("select 1").collect()
+            checks["connection_ok"] = True
+        except Exception:
+            checks["connection_ok"] = False
+        checks["project_ok"] = bool(self.manifest.nodes or self.manifest.sources)
+        try:
+            from dbt_core_spark.plans.graph import Linker
+
+            Linker().link_graph(self.manifest)
+            checks["dag_ok"] = True
+        except Exception:
+            checks["dag_ok"] = False
+        return checks
+
     def clean(self) -> list[str]:
         """`dbt clean`: remove the project's target/ and dbt_packages/
         dirs (ref: task/clean.py; clean-targets dbt_project.yml key).

@@ -153,6 +153,32 @@ class SparkbtRunner:
                 return RunnerResult(True, df)
             if verb == "docs" and rest[:1] == ["generate"]:
                 return RunnerResult(True, eng.docs_generate())
+            if verb == "docs" and rest[:1] == ["serve"]:
+                # ref: task/docs/serve.py is a static file server over
+                # target/ — here we materialize the artifacts it would
+                # serve and return the directory (serve with any static
+                # server, e.g. `python -m http.server -d <dir>`)
+                from dbt_core_spark.run.artifacts import (
+                    write_catalog, write_manifest,
+                )
+
+                root = eng.project.project_root or "."
+                target = os.path.join(root, "target")
+                os.makedirs(target, exist_ok=True)
+                write_manifest(eng, os.path.join(target, "manifest.json"))
+                write_catalog(eng, os.path.join(target, "catalog.json"))
+                return RunnerResult(True, {
+                    "path": target,
+                    "note": "static docs artifacts written; serve the "
+                            "directory with any file server",
+                })
+            if verb == "init":
+                name = rest[0] if rest else "my_dbt_project"
+                root = flags.get("project_dir") or name
+                return RunnerResult(True, init_project(root, name))
+            if verb == "debug":
+                checks = eng.debug()
+                return RunnerResult(all(checks.values()), checks)
             if verb == "run-operation":
                 args = json.loads(flags.get("args", "{}"))
                 return RunnerResult(True, eng.run_operation(rest[0], args))
@@ -178,3 +204,84 @@ class SparkbtRunner:
                 eng.cli_vars.clear()
                 eng.cli_vars.update(saved_vars)
                 eng.reparse()
+
+
+_STARTER_PROJECT_YML = """name: '{name}'
+version: '1.0.0'
+profile: '{name}'
+
+model-paths: ["models"]
+analysis-paths: ["analyses"]
+test-paths: ["tests"]
+seed-paths: ["seeds"]
+macro-paths: ["macros"]
+snapshot-paths: ["snapshots"]
+
+clean-targets:
+  - "target"
+  - "dbt_packages"
+
+models:
+  {name}:
+    example:
+      +materialized: view
+"""
+
+_STARTER_MODEL_1 = """/*
+    Welcome to your first model!
+    Two tiers: a table of generated rows, and a view filtering it.
+*/
+
+{{ config(materialized='table') }}
+
+with source_data as (
+    select 1 as id
+    union all
+    select null as id
+)
+
+select * from source_data
+"""
+
+_STARTER_MODEL_2 = """select * from {{ ref('my_first_dbt_model') }} where id = 1
+"""
+
+_STARTER_SCHEMA_YML = """version: 2
+
+models:
+  - name: my_first_dbt_model
+    description: "A starter dbt model"
+    columns:
+      - name: id
+        tests: [unique]
+  - name: my_second_dbt_model
+    description: "A starter dbt model"
+    columns:
+      - name: id
+        tests: [unique, not_null]
+"""
+
+
+def init_project(root: str, name: str) -> dict:
+    """``dbt init`` analog: scaffold a runnable starter project
+    (ref: task/init.py + include/starter_project/ — same layout,
+    dbt_project.yml + models/example/{two models, schema.yml}).
+    Refuses to overwrite an existing dbt_project.yml."""
+    proj_yml = os.path.join(root, "dbt_project.yml")
+    if os.path.exists(proj_yml):
+        raise FileExistsError(f"{proj_yml} already exists")
+    example = os.path.join(root, "models", "example")
+    os.makedirs(example, exist_ok=True)
+    for d in ("analyses", "tests", "seeds", "macros", "snapshots"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    files = {
+        proj_yml: _STARTER_PROJECT_YML.format(name=name),
+        os.path.join(example, "my_first_dbt_model.sql"): _STARTER_MODEL_1,
+        os.path.join(example, "my_second_dbt_model.sql"): _STARTER_MODEL_2,
+        os.path.join(example, "schema.yml"): _STARTER_SCHEMA_YML,
+        os.path.join(root, ".gitignore"): "target/\ndbt_packages/\nlogs/\n",
+    }
+    for path, content in files.items():
+        with open(path, "w") as f:
+            f.write(content)
+    return {"project_dir": root, "name": name, "files": sorted(files)}

@@ -179,3 +179,64 @@ def test_clean_verb(tmp_path, spark, schema, sf_dir):
     assert r.success and len(r.result["removed"]) == 2
     assert not os.path.exists(os.path.join(root, "target"))
     assert not os.path.exists(os.path.join(root, "dbt_packages"))
+
+
+def test_init_scaffolds_runnable_project(tmp_path, spark, schema):
+    """`init` writes the starter layout (ref: task/init.py +
+    include/starter_project/) and the result parses AND runs."""
+    import pytest
+
+    from dbt_core_spark import Engine, ProjectDef
+    from dbt_core_spark.run.cli import SparkbtRunner
+
+    root = str(tmp_path / "starter")
+    eng0 = Engine(spark, ProjectDef(name="bootstrap"), schema=schema)
+    r = SparkbtRunner(engine=eng0).invoke(
+        ["init", "starter_proj", "--project-dir", root])
+    assert r.success, r.exception
+    assert set(r.result["files"]) >= {
+        f"{root}/dbt_project.yml",
+        f"{root}/models/example/my_first_dbt_model.sql",
+        f"{root}/models/example/schema.yml",
+    }
+    eng = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    res = eng.run()
+    assert res.ok(), [x.message for x in res.results]
+    assert eng.table("my_second_dbt_model").count() == 1
+    # refuses to clobber an existing project
+    r2 = SparkbtRunner(engine=eng0).invoke(
+        ["init", "starter_proj", "--project-dir", root])
+    assert not r2.success and isinstance(r2.exception, FileExistsError)
+
+
+def test_debug_checks(spark, schema):
+    from dbt_core_spark import Engine, ProjectDef
+    from dbt_core_spark.run.cli import SparkbtRunner
+
+    p = ProjectDef(name="dbg")
+    p.models["m"] = "select 1 as x"
+    r = SparkbtRunner(engine=Engine(spark, p, schema=schema)).invoke(["debug"])
+    assert r.success
+    assert r.result == {"connection_ok": True, "project_ok": True, "dag_ok": True}
+
+
+def test_docs_serve_writes_static_artifacts(tmp_path, spark, schema):
+    import json as _json
+    import os
+
+    from dbt_core_spark import Engine, ProjectDef
+    from dbt_core_spark.run.cli import SparkbtRunner
+
+    root = str(tmp_path / "dsrv")
+    os.makedirs(os.path.join(root, "models"))
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: dsrv\n")
+    with open(os.path.join(root, "models", "m.sql"), "w") as f:
+        f.write("select 1 as x")
+    eng = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    assert eng.run().ok()
+    r = SparkbtRunner(engine=eng).invoke(["docs", "serve"])
+    assert r.success
+    cat = _json.load(open(os.path.join(r.result["path"], "catalog.json")))
+    assert "nodes" in cat
+    assert os.path.exists(os.path.join(r.result["path"], "manifest.json"))
