@@ -14,10 +14,15 @@ with a warning, keeping behavior identical.
 
 from __future__ import annotations
 
+import logging
 from typing import TYPE_CHECKING
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import SparkSession
+
+logger = logging.getLogger(__name__)
+
+_warned_fallback: set[str] = set()
 
 
 def have_delta() -> bool:
@@ -30,6 +35,55 @@ def have_delta() -> bool:
         return False
 
 
+def effective_format(requested: str | None, rel: str = "") -> str:
+    """Resolve a model's ``file_format`` config against the runtime.
+
+    ``delta`` stays ``delta`` when delta-spark is importable; otherwise
+    it degrades to ``parquet`` with one warning per relation (the
+    anti-join + atomic-rename fallback has identical merge semantics —
+    pinned by the parametrized two-path test in tests/test_delta_seam.py
+    — but loses ACID concurrent-writer safety and file-level rewrite)."""
+    fmt = requested or "parquet"
+    if fmt == "delta" and not have_delta():
+        if rel not in _warned_fallback:
+            _warned_fallback.add(rel)
+            logger.warning(
+                "file_format=delta requested for %s but delta-spark is "
+                "not installed: falling back to parquet (same merge "
+                "results, no ACID/file-level MERGE)", rel or "<model>",
+            )
+        return "parquet"
+    return fmt
+
+
+def merge_build_sql(
+    target_rel: str,
+    source_view: str,
+    keys: list[str],
+    update_cols: list[str],
+    insert_cols: list[str],
+    extra_conditions: list[str] | None = None,
+) -> str:
+    """Build the ``MERGE INTO`` statement (split from execution so the
+    SQL shape is unit-testable without a Delta runtime).
+
+    ``extra_conditions`` carries ``incremental_predicates`` (raw SQL
+    against alias ``t``/``DBT_INTERNAL_DEST`` per the reference contract,
+    v1/config.py incremental_predicates) ANDed into the match condition —
+    at 100 TB these prune the target-side file scan before the join."""
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    for p in extra_conditions or []:
+        cond += f" AND ({p.replace('DBT_INTERNAL_DEST', 't')})"
+    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+    ins_cols = ", ".join(insert_cols)
+    ins_vals = ", ".join(f"s.{c}" for c in insert_cols)
+    return (
+        f"MERGE INTO {target_rel} t USING {source_view} s ON {cond} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
 def merge_into(
     spark: "SparkSession",
     target_rel: str,
@@ -37,18 +91,14 @@ def merge_into(
     keys: list[str],
     update_cols: list[str],
     insert_cols: list[str],
+    extra_conditions: list[str] | None = None,
 ) -> None:  # pragma: no cover — requires Delta runtime
     """ACID upsert via Delta ``MERGE INTO`` (the production path for the
     parquet `_merge_frames` fallback; semantics pinned by the same
     reference tests — tests/functional/adapter/incremental/)."""
     if not have_delta():
         raise RuntimeError("delta-spark not available; use the parquet fallback")
-    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
-    ins_cols = ", ".join(insert_cols)
-    ins_vals = ", ".join(f"s.{c}" for c in insert_cols)
-    spark.sql(
-        f"MERGE INTO {target_rel} t USING {source_view} s ON {cond} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
-    )
+    spark.sql(merge_build_sql(
+        target_rel, source_view, keys, update_cols, insert_cols,
+        extra_conditions,
+    ))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_core_spark.exceptions import ExecutionError, SchemaChangeError
+from dbt_core_spark.operators import delta_compat
 from dbt_core_spark.operators import relations as R
 from dbt_core_spark.plans.nodes import Node
 
@@ -81,9 +82,13 @@ def materialize_incremental(
     df = spark.sql(sql)
     exists = R.relation_exists(spark, rel)
     partition_by = _as_list(node.config.get("partition_by"))
+    fmt = delta_compat.effective_format(node.config.get("file_format"), rel)
 
     if not exists or full_refresh or node.config.get("full_refresh"):
-        R.write_table(spark, rel, df, mode="overwrite", partition_by=partition_by)
+        R.write_table(
+            spark, rel, df, mode="overwrite", partition_by=partition_by,
+            file_format=fmt,
+        )
         return -1
 
     df = _apply_on_schema_change(spark, node, rel, df)
@@ -99,7 +104,6 @@ def materialize_incremental(
         out = df.select(
             *[F.col(c) if c in df.columns else F.lit(None).alias(c) for c in target_cols]
         )
-        fmt = node.config.get("file_format") or "parquet"
         out.write.format(fmt).mode("append").saveAsTable(rel)
         return -1
 
@@ -116,6 +120,12 @@ def materialize_incremental(
         return -1
 
     if strategy in ("merge", "delete+insert", "microbatch"):
+        if fmt == "delta" and strategy == "merge":
+            # ACID file-level MERGE — the production path: Delta rewrites
+            # only the files holding matched keys, no full-table or even
+            # full-partition rewrite (delta_compat.py seam)
+            _delta_merge(spark, node, rel, df, unique_key)
+            return -1
         if partition_by and _table_partition_cols(spark, rel) == partition_by:
             _partition_scoped_merge(spark, node, rel, df, unique_key, partition_by)
             return -1
@@ -132,6 +142,30 @@ def materialize_incremental(
         return -1
 
     raise ExecutionError(f"unknown incremental_strategy '{strategy}'")
+
+
+def _delta_merge(
+    spark: SparkSession,
+    node: Node,
+    rel: str,
+    df: DataFrame,
+    unique_key: list[str],
+) -> None:  # pragma: no cover — requires Delta runtime (two-path parity
+    # pinned by tests/test_delta_seam.py, delta leg skipped without it)
+    """Route an incremental merge through Delta ``MERGE INTO``:
+    merge_exclude_columns drop out of the UPDATE SET list and
+    incremental_predicates AND into the match condition, mirroring the
+    parquet `_merge_frames` semantics exactly (ref:
+    tests/functional/adapter/incremental/test_incremental_merge_exclude_columns.py,
+    test_incremental_predicates.py)."""
+    exclude = set(_as_list(node.config.get("merge_exclude_columns")))
+    update_cols = [c for c in df.columns if c not in unique_key and c not in exclude]
+    src_view = f"{node.name}__dbt_merge_src"
+    df.createOrReplaceTempView(src_view)
+    delta_compat.merge_into(
+        spark, rel, src_view, unique_key, update_cols, list(df.columns),
+        extra_conditions=_as_list(node.config.get("incremental_predicates")),
+    )
 
 
 def _table_size_bytes(spark: SparkSession, rel: str) -> int | None:

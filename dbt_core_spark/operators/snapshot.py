@@ -29,6 +29,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from dbt_core_spark.exceptions import ExecutionError
+from dbt_core_spark.operators import delta_compat
 from dbt_core_spark.operators import relations as R
 from dbt_core_spark.plans.nodes import Node
 
@@ -110,7 +111,11 @@ def materialize_snapshot(
             # reference writes 'False' on every inserted record so the
             # flag is total (filters like dbt_is_deleted = 'False' work)
             src = src.withColumn(is_del, F.lit("False"))
-        R.write_table(spark, rel, src, mode="overwrite")
+        R.write_table(
+            spark, rel, src, mode="overwrite",
+            file_format=delta_compat.effective_format(
+                cfg.get("file_format"), rel),
+        )
         return -1
 
     target = spark.table(rel)
@@ -207,5 +212,8 @@ def materialize_snapshot(
         else:
             out = out.withColumn(is_del, F.lit("False"))
 
-    R.rebuild_table(spark, rel, out)
+    R.rebuild_table(
+        spark, rel, out,
+        file_format=delta_compat.effective_format(cfg.get("file_format"), rel),
+    )
     return -1
