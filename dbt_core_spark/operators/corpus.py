@@ -1,0 +1,324 @@
+"""Training-corpus composition operators: line-level boilerplate removal
+(CCNet-style), n-gram LM quality scoring, deterministic epoch
+shuffle/sharding, source-mixture sampling, and BPE pair statistics.
+
+These cover the corpus-assembly steps between raw filtered documents and
+a training-ready mixture (ref pipeline analog: dbt models staging a
+corpus; the operators themselves are engine extensions — the reference
+has no text surface).  Everything here is built-in Spark SQL functions —
+no UDFs — so the whole module runs inside WholeStageCodegen, and every
+aggregate is a wordcount-shaped shuffle with map-side combine.
+
+Determinism contract: all sampling/ordering decisions derive from md5 of
+row identity (+ an explicit seed), and all floating scores are reduced
+to exact integer arithmetic (micro-nat floors) before any cross-row sum,
+so each operator has a bit-exact ANSI-SQL oracle (oracles.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbt_core_spark.operators.dedup import normalized_words
+
+MICRO = 1_000_000
+
+
+def _md5_mod(col, mod: int, seed: str = ""):
+    """First 15 hex chars of md5(seed:col) as bigint, mod ``mod`` —
+    the same portable integer-uniform used across dedup/textstats
+    (mirrored in SQL by oracles._hex2int)."""
+    key = F.md5(F.concat(F.lit(f"{seed}:" if seed else ""),
+                         col.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"), F.lit(mod)
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Line-level boilerplate removal (CCNet / RefinedWeb preprocessing):
+    a line whose normalized form (lower+trim) appears in ≥ ``min_docs``
+    DISTINCT documents is boilerplate (nav bars, cookie banners, footers)
+    and is dropped from every document; surviving lines are re-joined in
+    original order.
+
+    Scale shape — three wordcount-class stages, nothing quadratic:
+
+    - split+posexplode (linear, no shuffle);
+    - per-line distinct-doc counts: one shuffle keyed on the normalized
+      line with partial aggregation;
+    - membership: left-anti join of corpus lines against the (far
+      smaller) boilerplate-line set, then one per-doc rebuild aggregate
+      (``array_sort(collect_list(struct(pos, line)))`` — no sort
+      window).
+
+    At 100 TB the boilerplate set is the distinct-frequent-line
+    vocabulary (≪ corpus); the anti-join shuffles on the line hash, the
+    rebuild on doc id — both well-distributed keys.  Whitespace-only
+    lines never count as boilerplate (they'd match across all docs).
+    """
+    lines = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("nline", F.trim(F.lower(F.col("line"))))
+    )
+    boiler = (
+        lines.filter(F.col("nline") != "")
+        .groupBy("nline")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("nline")
+    )
+    kept = lines.join(boiler, "nline", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_lines")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint").alias("n_removed"),
+        )
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: int = 1,
+) -> DataFrame:
+    """Corpus-trained bigram-LM quality score (the KenLM-perplexity
+    filtering step of CCNet/Gopher, self-trained): per document, the
+    mean add-k-smoothed bigram log-probability
+
+        lp(w1 w2) = ln( (c(w1,w2) + k) / (c(w1) + k·V) )
+
+    where counts come from the corpus itself and V = |vocabulary|.
+    Low scores flag gibberish / boilerplate; implausibly high scores
+    flag templated near-duplicates.
+
+    Float discipline: each bigram-TYPE log-prob is floored to integer
+    micro-nats BEFORE any cross-row sum, so per-doc totals are exact
+    bigint arithmetic — cross-engine float summation order can never
+    change a result (ln on rational args is reproducible; only its
+    6-dp floor crosses rows).
+
+    Scale shape: doc bigrams come from an index-slide over the words
+    array (pure HOF — no positional self-join); unigram/bigram count
+    tables are two wordcount shuffles with partial agg; scoring joins
+    the per-doc bigram types (≤ doc length) against the vocabulary-
+    sized count tables — the only corpus-scale shuffle keys are
+    (doc, bigram) and the bigram itself.
+    """
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), normalized_words(text_col).alias("ws")
+    )
+    doc_bg = (
+        words.filter(F.size("ws") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    doc_types = doc_bg.groupBy(id_col, "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("n_ij")
+    )
+    c12 = doc_bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    uni = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").cast("bigint").alias("v_size"))
+
+    scored = (
+        doc_types.join(c12, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp_micro",
+            F.floor(
+                F.log(
+                    (F.col("c12") + F.lit(k_smooth)).cast("double")
+                    / (F.col("c1") + F.lit(k_smooth) * F.col("v_size")).cast("double")
+                )
+                * MICRO
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum(F.col("n_ij") * F.col("lp_micro")).alias("sum_lp_micro"),
+            F.sum("n_ij").alias("n_bigrams"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_lp_micro",
+            F.round(
+                F.col("sum_lp_micro").cast("double")
+                / (F.col("n_bigrams") * MICRO),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Deterministic epoch shuffle + sharding for training data loading:
+    every row gets a pseudo-random (shard, position) from md5(seed:id) —
+    a reproducible global permutation any data loader can consume
+    shard-by-shard, re-derivable for any epoch by changing ``seed``.
+
+    Scale shape: NO global sort.  The shard assignment is a per-row hash
+    (shuffle-free); positions are a row_number window per shard, so the
+    largest single sort is corpus/num_shards — pick num_shards so a
+    shard fits an executor (4 M shards at 100 TB ⇒ ~25 MB each).  A
+    global-order equivalent (orderBy over everything) would funnel the
+    corpus through range partitioning; sharded order is what loaders
+    actually consume.
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"),
+        F.lit(num_shards),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("skey"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, F.col("shard").cast("int").alias("shard"), "pos")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights_ppm: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Down-sample sources to a target mixture (the data-mixing step:
+    e.g. web 70% / code 20% / books 10%).  ``weights_ppm`` gives each
+    source's target share in parts-per-million; the epoch budget is the
+    largest total the corpus can supply without repeating data
+    (bounded by the scarcest source relative to its weight):
+
+        B = min_s floor(n_s · 1e6 / w_s)         (total rows)
+        target_s = floor(w_s · B / 1e6)          (rows from source s)
+        keep row ⇔ (md5(seed:id) mod 1e6) · n_s < target_s · 1e6
+
+    All integer math — bit-exact in any engine.  Scale shape: per-source
+    counts are a tiny aggregate broadcast back; the keep decision is a
+    per-row hash compare — shuffle-free on the corpus, the same shape as
+    stratified_sample.  Sources absent from ``weights_ppm`` are dropped
+    (weight 0).
+    """
+    wdf = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(s, int(w)) for s, w in sorted(weights_ppm.items())],
+            f"{source_col} string, w_ppm bigint",
+        )
+    )
+    counts = df.groupBy(source_col).agg(
+        F.count("*").cast("bigint").alias("n_source")
+    )
+    budget = F.broadcast(
+        counts.join(wdf, source_col)
+        .select(
+            F.floor(F.col("n_source") * MICRO / F.col("w_ppm"))
+            .cast("bigint").alias("b")
+        )
+        .agg(F.min("b").alias("budget"))
+    )
+    h = _md5_mod(F.col(id_col), MICRO, seed=str(seed))
+    return (
+        df.join(F.broadcast(counts.join(wdf, source_col)), source_col)
+        .crossJoin(budget)
+        .withColumn(
+            "target_n",
+            F.floor(F.col("w_ppm") * F.col("budget") / MICRO).cast("bigint"),
+        )
+        .filter(h * F.col("n_source") < F.col("target_n") * MICRO)
+        .select(id_col, source_col, "n_source", "target_n")
+    )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Adjacent character-pair frequencies over the corpus — the count
+    table a BPE tokenizer trainer consumes each merge round (Sennrich
+    et al.; pairs here are within-word character bigrams, no
+    end-of-word marker).
+
+    Scale shape: the corpus collapses to the word-frequency vocabulary
+    first (one wordcount shuffle), pairs are generated from VOCABULARY
+    entries (substring slide — pure HOF) weighted by word count, and
+    the pair table is bounded by charset² regardless of corpus size —
+    so the final ranking window's single partition sees at most a few
+    thousand rows at ANY scale.
+    """
+    vocab = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(normalized_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_word"))
+        .filter(F.length("word") >= 2)
+    )
+    # substring with a dynamic start needs the expr form (F.substring
+    # takes a literal pos); the slide stays a JVM HOF either way
+    pairs = vocab.select(
+        "n_word",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), "
+                   "i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("n_word").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+        .select("pair", "n", "rank")
+    )

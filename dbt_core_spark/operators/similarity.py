@@ -648,3 +648,90 @@ def quantize_embeddings(
         )
         .alias("q"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau: float = 0.95,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): cluster embeddings into coarse k-means cells, then WITHIN
+    each cell mark any vector whose cosine to a lower-id cell member is
+    ≥ ``tau`` as a duplicate of that member (keeper = the lowest such
+    id — deterministic).  Returns one row per duplicate:
+    (vec_id, keeper_id, cosine to keeper, cell).
+
+    This is the embedding-space analog of MinHash dedup for paraphrased
+    / templated near-duplicates that share no shingles.
+
+    Scale shape: the quadratic step is confined within cells — exactly
+    the SemDeDup design (cells bound the pair count to Σ|cell|²; pick
+    n_cells so cells hold ~1e4-1e5 vectors at your scale).  Cell
+    assignment is one broadcast-centroid pass over the corpus with a
+    min-struct argmin (partial agg, no window); the within-cell
+    self-join shuffles both sides on the cell key only.  With
+    ``kmeans_iters=0`` the centroids are the first ``n_cells`` vectors
+    by id — fully deterministic, which is what the SQL oracle mirrors
+    (same convention as ivf_topk's oracle).
+    """
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("vn", _norm(F.col("v")))
+    )
+    seed_cents = _materialize_tiny(
+        df.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        .select("cell", "cv", _norm(F.col("cv")).alias("cn"))
+    )
+    cents = _lloyd_refine(base, seed_cents, kmeans_iters)
+    assign = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            "id", "v", "vn",
+            F.struct(
+                (-_dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("d"),
+                F.col("cell").alias("cell"),
+            ).alias("dc"),
+        )
+        .groupBy("id")
+        .agg(F.min("dc").alias("m"), F.first("v").alias("v"),
+             F.first("vn").alias("vn"))
+        .select("id", F.col("m.cell").alias("cell"), "v", "vn")
+    )
+    a = assign.select(
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    b = assign.select(
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell", "id_a", "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+    # duplicate = the higher id of each qualifying pair; keeper = lowest
+    # qualifying lower id (min-struct, partial agg — no sort window)
+    return (
+        pairs.groupBy(F.col("id_b").alias(id_col))
+        .agg(
+            F.min(F.struct(F.col("id_a"), F.col("cosine"), F.col("cell"))).alias("k")
+        )
+        .select(
+            id_col,
+            F.col("k.id_a").alias("keeper_id"),
+            F.round(F.col("k.cosine"), 6).alias("cosine"),
+            F.col("k.cell").alias("cell"),
+        )
+    )

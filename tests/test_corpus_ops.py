@@ -1,0 +1,156 @@
+"""Training-corpus composition operators (operators/corpus.py +
+similarity.semantic_dedup): line-level boilerplate removal, bigram-LM
+scoring, epoch shuffle/sharding, mixture sampling, BPE pair stats,
+semantic dedup.  Hand-checkable synthetic inputs; the driver gate
+re-verifies each against a DuckDB oracle on the documents/embeddings
+tables."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_core_spark.operators import corpus as C
+from dbt_core_spark.operators.similarity import semantic_dedup
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "unique alpha text\ncookie banner\nmore alpha words"),
+        (2, "beta content here\ncookie banner\nbeta tail"),
+        (3, "gamma opening\nCookie Banner \ngamma closing"),
+        (4, "delta only lines\nno shared content"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_line_dedup_removes_cross_doc_lines(docs):
+    out = {r["doc_id"]: r for r in C.line_dedup(docs, min_docs=3).collect()}
+    # 'cookie banner' appears (normalized) in docs 1,2,3 -> removed
+    assert out[1]["text_clean"] == "unique alpha text\nmore alpha words"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "beta content here\nbeta tail"
+    # normalization: case + surrounding whitespace don't protect a line
+    assert out[3]["text_clean"] == "gamma opening\ngamma closing"
+    assert out[4]["n_removed"] == 0 and out[4]["n_lines"] == 2
+
+
+def test_line_dedup_whitespace_lines_never_boilerplate(spark):
+    rows = [(i, "a unique line %d\n\nanother %d" % (i, i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = C.line_dedup(df, min_docs=2).collect()
+    # the empty middle line appears in all 5 docs but is kept
+    assert all(r["n_removed"] == 0 for r in out)
+    assert all(r["text_clean"].count("\n") == 2 for r in out)
+
+
+def test_line_dedup_doc_losing_all_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in C.line_dedup(df, min_docs=2).collect()}
+    assert out[1]["text_clean"] == "" and out[1]["n_removed"] == 1
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    # corpus: doc1 "a b a b", doc2 "a b"
+    # unigrams: a:3 b:3, V=2; bigrams: (a,b):3 (b,a):1
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in C.ngram_lm_score(df, k_smooth=1).collect()}
+    lp_ab = math.floor(math.log((3 + 1) / (3 + 1 * 2)) * 1e6)
+    lp_ba = math.floor(math.log((1 + 1) / (3 + 1 * 2)) * 1e6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_lp_micro"] == 2 * lp_ab + lp_ba
+    assert out[2]["sum_lp_micro"] == lp_ab
+    assert out[2]["avg_logprob"] == round(lp_ab / 1e6, 6)
+    # single-word/empty docs produce no bigrams -> absent from output
+    df1 = spark.createDataFrame([(1, "word"), (2, "a b")], "doc_id int, text string")
+    assert C.ngram_lm_score(df1).count() == 1
+
+
+def test_epoch_shuffle_is_permutation_and_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id int")
+    a = C.epoch_shuffle(df, seed=7, num_shards=4).collect()
+    b = C.epoch_shuffle(df, seed=7, num_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    assert len(a) == 100 and len({r["doc_id"] for r in a}) == 100
+    # positions within each shard are contiguous 1..n
+    from collections import defaultdict
+    shards = defaultdict(list)
+    for r in a:
+        shards[r["shard"]].append(r["pos"])
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed gives a different permutation
+    c = C.epoch_shuffle(df, seed=8, num_shards=4).collect()
+    assert sorted(map(tuple, c)) != sorted(map(tuple, a))
+
+
+def test_mixture_sample_hits_targets(spark):
+    rows = [(i, "web" if i < 800 else "code") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    # 50/50 mixture: code (200 rows at 500000 ppm) binds the budget
+    out = C.mixture_sample(
+        df, {"web": 500_000, "code": 500_000}
+    ).groupBy("source").agg(
+        F.count("*").alias("kept"),
+        F.first("target_n").alias("target"),
+    ).collect()
+    got = {r["source"]: r for r in out}
+    assert got["code"]["target"] == 200 and got["web"]["target"] == 200
+    # md5-threshold sampling is approximate: expected=target, binomial sd
+    assert abs(got["web"]["kept"] - 200) < 60
+    assert got["code"]["kept"] == 200  # rate 1.0 -> keeps everything
+
+
+def test_mixture_sample_drops_unweighted_sources(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id int, source string"
+    )
+    out = C.mixture_sample(df, {"a": 1_000_000})
+    assert [r["source"] for r in out.collect()] == ["a"]
+
+
+def test_bpe_pair_stats_counts_weighted_by_word_freq(spark):
+    df = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "lowest")], "doc_id int, text string"
+    )
+    out = {r["pair"]: r for r in C.bpe_pair_stats(df, top_n=100).collect()}
+    # 'lo' and 'ow' appear once in each of: low(x3), lower, lowest -> 5
+    assert out["lo"]["n"] == 5 and out["ow"]["n"] == 5
+    assert out["we"]["n"] == 2  # lower, lowest
+    assert out["st"]["n"] == 1  # lowest
+    # rank tie-break: equal counts order by pair ascending
+    assert out["lo"]["rank"] < out["ow"]["rank"]
+
+
+def test_semantic_dedup_within_cell_keeper(spark):
+    # 4 well-separated directions + near-duplicates of the first two
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (10, [0.999, 0.01, 0.0, 0.0]),   # dup of 0
+        (11, [0.998, 0.02, 0.0, 0.0]),   # dup of 0 (and of 10)
+        (12, [0.01, 0.999, 0.0, 0.0]),   # dup of 1
+        (13, [0.5, 0.5, 0.5, 0.5]),      # not a dup of anything
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, tau=0.95, n_cells=4, kmeans_iters=0).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[10]["keeper_id"] == 0
+    assert out[11]["keeper_id"] == 0  # lowest qualifying id, not 10
+    assert out[12]["keeper_id"] == 1
+    assert out[10]["cosine"] > 0.99
+
+
+def test_semantic_dedup_no_dups_empty(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    assert semantic_dedup(df, tau=0.9, n_cells=2).count() == 0
