@@ -1796,6 +1796,81 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_ms=1000)
 
 
+# -------------------------------------------------------------------------
+# corpus composition (operators/corpus.py + similarity.semantic_dedup)
+# -------------------------------------------------------------------------
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with text re-flowed into 3-word lines — the testdata
+    stores single-line texts, so line-level ops derive a deterministic
+    multi-line form (same derivation mirrored in the SQL oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text",
+        F.expr(
+            "concat_ws('\n', transform("
+            " sequence(0, int((size(split(text, ' ')) - 1) / 3)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i * 3 + 1, 3))))"
+        ),
+    )
+
+
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: lines appearing in
+    >= 3 distinct documents are dropped from every document."""
+    from dbt_core_spark.operators.corpus import line_dedup
+
+    return line_dedup(_lined_docs(spark, sf_dir), min_docs=3)
+
+
+def ngram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-1 bigram LM quality score per document
+    (micro-nat integer arithmetic — bit-exact cross-engine)."""
+    from dbt_core_spark.operators.corpus import ngram_lm_score
+
+    return ngram_lm_score(_t(spark, sf_dir, "documents"), k_smooth=1)
+
+
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: md5(seed:id) → (shard, position),
+    no global sort."""
+    from dbt_core_spark.operators.corpus import epoch_shuffle
+
+    return epoch_shuffle(_t(spark, sf_dir, "documents"), seed=42, num_shards=8)
+
+
+# target mixture: source src<i> gets weight (i+1)·4762 ppm — a skewed
+# spec so per-source sampling rates genuinely differ in the gate check
+MIXTURE_PPM = {f"src{i}": (i + 1) * 4762 for i in range(20)}
+
+
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture downsampling to skewed ppm weights; budget bound
+    by the scarcest source, exact integer keep rule."""
+    from dbt_core_spark.operators.corpus import mixture_sample
+
+    return mixture_sample(_t(spark, sf_dir, "documents"), MIXTURE_PPM, seed=0)
+
+
+def bpe_pair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics: top-50 adjacent character pairs
+    weighted by word frequency."""
+    from dbt_core_spark.operators.corpus import bpe_pair_stats
+
+    return bpe_pair_stats(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within coarse k-means cells (kmeans_iters=0 so centroid
+    seeding is deterministic: first 4 vec_ids).  tau=0.42 is tuned to
+    the synthetic embeddings (max pairwise cosine ≈ 0.47 — real corpora
+    use 0.9+); the op semantics are threshold-independent."""
+    from dbt_core_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, tau=0.42, n_cells=4, kmeans_iters=0)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -1807,10 +1882,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with the least-recently-verified green queries, so no query goes
     # two rounds unverified.  Round 3: the 4 formerly-red gate rows (now
     # fixed) + 9 queries touched by this round's sketch/minhash/vocab/
-    # multimodal/merge changes, then 37 of the 47 r1-verified relational/
-    # xdb shapes (unverified in r2).  Past the cap: the r2-verified
-    # unchanged queries (r4 re-verifies them) and 10 r1 shapes whose
-    # machinery is redundantly covered in-window (rotate into r4 first).
+    # multimodal/merge changes + 6 NEW corpus-composition queries, then
+    # 31 of the 47 r1-verified relational/xdb shapes (unverified in r2).
+    # Past the cap: the r2-verified unchanged queries (r4 re-verifies
+    # them) and 16 r1 shapes whose machinery is redundantly covered
+    # in-window (rotate into r4 first).
     return {
         # -- changed this round (must re-verify) --
         "quantize_embeddings_int8": quantize_embeddings_int8,
@@ -1826,6 +1902,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_dedup_docs": cc_dedup_docs,
         "multimodal_decode_wav_ppm": multimodal_decode_wav_ppm,
         "engine_incremental_merge": engine_incremental_merge,
+        # -- new round-3 corpus-composition operators --
+        "line_dedup_docs": line_dedup_docs,
+        "ngram_lm_docs": ngram_lm_docs,
+        "epoch_shuffle_docs": epoch_shuffle_docs,
+        "mixture_sample_docs": mixture_sample_docs,
+        "bpe_pair_docs": bpe_pair_docs,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         # -- r1-verified relational/xdb rotation (no r2 row) --
         "xdb_string_functions": xdb_string_functions,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1855,17 +1938,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_share_suppliers": q20_part_share_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_global_avg_filter": q22_global_avg_filter,
+        "hourly_event_rollup": hourly_event_rollup,
+        "percentiles_by_group": percentiles_by_group,
+        "xdb_arrays": xdb_arrays,
+        # ---------------- past the 50-query gate cap ----------------
+        # r1 shapes redundantly covered in-window: rotate into r4 first
         "map_struct_status_counts": map_struct_status_counts,
         "running_revenue_by_customer": running_revenue_by_customer,
         "rolling_7day_order_totals": rolling_7day_order_totals,
         "multi_granularity_rollup": multi_granularity_rollup,
-        "hourly_event_rollup": hourly_event_rollup,
         "stats_by_returnflag": stats_by_returnflag,
-        "percentiles_by_group": percentiles_by_group,
         "dynamic_pivot_events": dynamic_pivot_events,
-        "xdb_arrays": xdb_arrays,
-        # ---------------- past the 50-query gate cap ----------------
-        # r1 shapes redundantly covered in-window: rotate into r4 first
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue_ratio": q14_promo_revenue_ratio,

@@ -1582,3 +1582,201 @@ from cum h cross join qs q
 where h.c >= ceil(q.q * h.total)
 group by 1, 2
 """
+
+
+# -------------------------------------------------------------------------
+# corpus composition (operators/corpus.py + similarity.semantic_dedup)
+# -------------------------------------------------------------------------
+
+# 3-word line derivation mirrored from __spark_entry__._lined_docs
+_LINED = """
+lines0 as (
+    select doc_id,
+           i as pos,
+           array_to_string(list_slice(string_split(text, ' '),
+                                      i * 3 + 1, i * 3 + 3), ' ') as line
+    from documents,
+         unnest(generate_series(
+             0, cast(floor((len(string_split(text, ' ')) - 1) / 3) as int)
+         )) as t(i)
+    where text is not null
+), lines as (
+    select doc_id, pos, line, trim(lower(line)) as nline from lines0
+)
+"""
+
+ORACLES["line_dedup_docs"] = f"""
+with {_LINED},
+boiler as (
+    select nline from lines
+    where nline <> ''
+    group by nline
+    having count(distinct doc_id) >= 3
+),
+kept as (
+    select l.doc_id, l.pos, l.line
+    from lines l anti join boiler b on l.nline = b.nline
+),
+rebuilt as (
+    select doc_id,
+           string_agg(line, chr(10) order by pos) as text_clean,
+           cast(count(*) as bigint) as n_kept
+    from kept group by doc_id
+),
+totals as (
+    select doc_id, cast(count(*) as bigint) as n_lines
+    from lines group by doc_id
+)
+select t.doc_id,
+       coalesce(r.text_clean, '') as text_clean,
+       t.n_lines,
+       cast(t.n_lines - coalesce(r.n_kept, 0) as bigint) as n_removed
+from totals t left join rebuilt r on t.doc_id = r.doc_id
+"""
+
+ORACLES["ngram_lm_docs"] = f"""
+with w as (
+    select doc_id, {_WORDS} as ws from documents where text is not null
+),
+bg as (
+    select doc_id, ws[i - 1] as w1, ws[i] as w2
+    from w, unnest(generate_series(2, len(ws))) as t(i)
+    where len(ws) >= 2
+),
+dt as (
+    select doc_id, w1, w2, cast(count(*) as bigint) as n_ij
+    from bg group by 1, 2, 3
+),
+c12 as (
+    select w1, w2, cast(count(*) as bigint) as c12
+    from bg group by 1, 2
+),
+uni as (
+    select word as w1, cast(count(*) as bigint) as c1
+    from (select unnest(ws) as word from w) group by 1
+),
+vs as (select cast(count(*) as bigint) as v_size from uni),
+scored as (
+    select dt.doc_id, dt.n_ij,
+           cast(floor(ln((c12.c12 + 1) * 1.0 / (uni.c1 + 1 * vs.v_size))
+                      * 1000000) as bigint) as lp_micro
+    from dt
+    join c12 using (w1, w2)
+    join uni using (w1)
+    cross join vs
+)
+select doc_id,
+       cast(sum(n_ij) as bigint) as n_bigrams,
+       cast(sum(n_ij * lp_micro) as bigint) as sum_lp_micro,
+       round(cast(sum(n_ij * lp_micro) as double)
+             / (cast(sum(n_ij) as bigint) * 1000000), 6) as avg_logprob
+from scored group by doc_id
+"""
+
+# md5(seed:id) -> 60-bit int (same portable hex fold as stratified_sample)
+_ES_H15 = _hex2int("substr(skey, 1, 15)", digits=15)
+
+ORACLES["epoch_shuffle_docs"] = f"""
+with k as (
+    select doc_id, md5('42:' || cast(doc_id as varchar)) as skey
+    from documents
+),
+s as (
+    select doc_id, skey, cast(({_ES_H15}) % 8 as int) as shard from k
+)
+select doc_id, shard,
+       cast(row_number() over (partition by shard order by skey, doc_id)
+            as bigint) as pos
+from s
+"""
+
+_MIX_VALUES = ", ".join(f"('src{i}', {(i + 1) * 4762})" for i in range(20))
+_MX_H15 = _hex2int("substr(md5('0:' || cast(doc_id as varchar)), 1, 15)",
+                   digits=15)
+
+ORACLES["mixture_sample_docs"] = f"""
+with wts(source, w_ppm) as (values {_MIX_VALUES}),
+cnt as (
+    select source, cast(count(*) as bigint) as n_source
+    from documents group by 1
+),
+j as (
+    select c.source, c.n_source, w.w_ppm
+    from cnt c join wts w using (source)
+),
+b as (
+    select min(cast(floor(n_source * 1000000.0 / w_ppm) as bigint)) as budget
+    from j
+),
+tj as (
+    select j.source, j.n_source,
+           cast(floor(j.w_ppm * b.budget / 1000000.0) as bigint) as target_n
+    from j cross join b
+)
+select d.doc_id, d.source, tj.n_source, tj.target_n
+from documents d
+join tj using (source)
+where (({_MX_H15}) % 1000000) * tj.n_source < tj.target_n * 1000000
+"""
+
+ORACLES["bpe_pair_docs"] = f"""
+with vocab as (
+    select word, cast(count(*) as bigint) as n_word
+    from (select unnest({_WORDS}) as word
+          from documents where text is not null)
+    group by 1 having length(word) >= 2
+),
+pairs as (
+    select substr(word, i, 2) as pair, n_word
+    from vocab, unnest(generate_series(1, length(word) - 1)) as t(i)
+),
+c as (select pair, cast(sum(n_word) as bigint) as n from pairs group by 1)
+select pair, n,
+       cast(row_number() over (order by n desc, pair) as bigint) as rank
+from c qualify rank <= 50
+"""
+
+# SemDeDup with kmeans_iters=0: centroids = first 4 vec_ids (the ivf_topk
+# oracle convention); r=1 cell assignment; within-cell pairs id_a < id_b
+# at cosine >= 0.42; keeper = lowest qualifying id_a per duplicate.
+ORACLES["semantic_dedup_embeddings"] = f"""
+with v0 as (
+    select vec_id, embedding::DOUBLE[] as e from embeddings
+),
+v as (
+    select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
+),
+cents as (
+    select vec_id as cell, e as ce, vn as cn
+    from v order by vec_id limit 4
+),
+rk as (
+    select v.vec_id as id, c.cell,
+           {_dot_sql('v.e', 'c.ce')} / (v.vn * c.cn) as cos
+    from v, cents c
+),
+assign as (
+    select id, cell from (
+        select id, cell,
+               row_number() over (partition by id
+                                  order by cos desc, cell) as r
+        from rk
+    ) where r = 1
+),
+m as (
+    select a.id, a.cell, v.e, v.vn
+    from assign a join v on v.vec_id = a.id
+),
+p as (
+    select x.cell, x.id as id_a, y.id as id_b,
+           {_dot_sql('x.e', 'y.e')} / (x.vn * y.vn) as cosine
+    from m x join m y on x.cell = y.cell and x.id < y.id
+),
+q as (select * from p where cosine >= 0.42)
+select id_b as vec_id, id_a as keeper_id,
+       round(cosine, 6) as cosine, cell
+from (
+    select *, row_number() over (partition by id_b order by id_a) as r
+    from q
+) where r = 1
+"""
