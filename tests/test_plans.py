@@ -261,3 +261,61 @@ def test_build_vocab_per_partition_prefilter(spark, sf_dir):
     assert "SPARK_PARTITION_ID" in plan.upper()
     # two Window nodes: the distributed prefilter + the bounded global one
     assert plan.count("Window [row_number()") >= 2 or plan.count("Window") >= 2
+
+
+def test_epoch_shuffle_no_global_sort(spark, sf_dir):
+    """Epoch shuffle must be one per-shard window — a single exchange,
+    no global (empty-partitionBy) sort of the corpus."""
+    plan = _plan(em.epoch_shuffle_docs(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()  # no global orderBy
+
+
+def test_mixture_sample_corpus_shuffle_free(spark, sf_dir):
+    """Mixture sampling: the corpus path is a per-row hash filter under
+    broadcasts of the tiny counts/budget — no window, no corpus-keyed
+    sort-merge join."""
+    plan = _plan(em.mixture_sample_docs(spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # counts+weights, budget
+
+
+def test_bpe_pair_ranking_bounded(spark, sf_dir):
+    """BPE pair stats: corpus collapses to the vocabulary before pair
+    generation (wordcount partial agg), and the only window ranks the
+    charset^2-bounded pair table."""
+    plan = _plan(em.bpe_pair_docs(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # two partial+final aggs
+    # rank<=50 under the group-limit threshold: Spark pre-limits the
+    # window's input (TakeOrderedAndProject) — partial top-k, no full
+    # pair-table sort through one partition
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_line_dedup_anti_join_no_cartesian(spark, sf_dir):
+    """Line dedup: boilerplate membership must be an anti JOIN on the
+    normalized line (broadcast or shuffled-hash), never a nested-loop
+    over the corpus."""
+    plan = _plan(em.line_dedup_docs(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_lm_no_positional_self_join(spark, sf_dir):
+    """Bigram LM: doc bigrams come from an array slide (HOF), not a
+    positional self-join — no window anywhere, and count tables keep
+    map-side partial aggregation."""
+    plan = _plan(em.ngram_lm_docs(spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 6
+
+
+def test_semantic_dedup_pairs_join_on_cell(spark, sf_dir):
+    """SemDeDup: centroid assignment is a broadcast pass; the quadratic
+    step is an equi-join on the cell key (sort-merge or shuffled-hash),
+    never a corpus-level cartesian."""
+    plan = _plan(em.semantic_dedup_embeddings(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # within-cell pair join shuffles on cell only
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
