@@ -1805,13 +1805,20 @@ def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores single-line texts, so line-level ops derive a deterministic
     multi-line form (same derivation mirrored in the SQL oracle)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.withColumn(
-        "text",
-        F.expr(
-            "concat_ws('\n', transform("
-            " sequence(0, int((size(split(text, ' ')) - 1) / 3)),"
-            " i -> concat_ws(' ', slice(split(text, ' '), i * 3 + 1, 3))))"
-        ),
+    # materialize the split once: referencing split(text) inside the
+    # transform lambda re-evaluates it per line (~33x/doc) — measured
+    # 2x slower at sf0.1
+    return (
+        docs.withColumn("ws", F.split(F.col("text"), " "))
+        .withColumn(
+            "text",
+            F.expr(
+                "concat_ws('\n', transform("
+                " sequence(0, int((size(ws) - 1) / 3)),"
+                " i -> concat_ws(' ', slice(ws, i * 3 + 1, 3))))"
+            ),
+        )
+        .drop("ws")
     )
 
 
@@ -1860,15 +1867,29 @@ def bpe_pair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(_t(spark, sf_dir, "documents"), top_n=50)
 
 
+def tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-application tokenization: build_vocab over the corpus,
+    then map every word to its token id (OOV → -1), exploded to
+    (doc_id, pos, token_id)."""
+    from dbt_core_spark.operators.corpus import tokenize_with_vocab
+    from dbt_core_spark.operators.textstats import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", vocab_size=50000, min_count=2)
+    return tokenize_with_vocab(docs, vocab)
+
+
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup within coarse k-means cells (kmeans_iters=0 so centroid
-    seeding is deterministic: first 4 vec_ids).  tau=0.42 is tuned to
+    seeding is deterministic: first 16 vec_ids).  tau=0.42 is tuned to
     the synthetic embeddings (max pairwise cosine ≈ 0.47 — real corpora
-    use 0.9+); the op semantics are threshold-independent."""
+    use 0.9+); the op semantics are threshold-independent.  n_cells=16
+    bounds the within-cell quadratic to ~n²/16 pairs — at production
+    scale cells grow with the corpus (SemDeDup uses 10k+ clusters)."""
     from dbt_core_spark.operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, tau=0.42, n_cells=4, kmeans_iters=0)
+    return semantic_dedup(emb, tau=0.42, n_cells=16, kmeans_iters=0)
 
 
 # =========================================================================
@@ -1909,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": mixture_sample_docs,
         "bpe_pair_docs": bpe_pair_docs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "tokenize_docs": tokenize_docs,
         # -- r1-verified relational/xdb rotation (no r2 row) --
         "xdb_string_functions": xdb_string_functions,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1938,11 +1960,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_share_suppliers": q20_part_share_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_global_avg_filter": q22_global_avg_filter,
-        "hourly_event_rollup": hourly_event_rollup,
         "percentiles_by_group": percentiles_by_group,
         "xdb_arrays": xdb_arrays,
         # ---------------- past the 50-query gate cap ----------------
         # r1 shapes redundantly covered in-window: rotate into r4 first
+        "hourly_event_rollup": hourly_event_rollup,
         "map_struct_status_counts": map_struct_status_counts,
         "running_revenue_by_customer": running_revenue_by_customer,
         "rolling_7day_order_totals": rolling_7day_order_totals,

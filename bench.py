@@ -54,6 +54,11 @@ HEADLINE = [
     # top-k) and the deterministic HLL sketch
     "tfidf_top_terms_docs",
     "hll_distinct_events",
+    # round-3 corpus-composition additions: line-level boilerplate
+    # removal, corpus-trained bigram LM scoring, SemDeDup
+    "line_dedup_docs",
+    "ngram_lm_docs",
+    "semantic_dedup_embeddings",
 ]
 
 

@@ -322,3 +322,41 @@ def bpe_pair_stats(
         .filter(F.col("rank") <= top_n)
         .select("pair", "n", "rank")
     )
+
+
+def tokenize_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Apply a built vocabulary (``textstats.build_vocab`` output:
+    token_id, term, n) to tokenize documents — the corpus → token-id
+    sequence step before sequence packing.  Out-of-vocabulary words map
+    to ``unk_id``.
+
+    Output is exploded (doc_id, pos, token_id) rather than an id array:
+    arrays stay out of driver-side canonicalization, and the exploded
+    form is what sequence packing / loader sharding consume anyway.
+
+    Scale shape: one posexplode (linear), one join against the
+    vocabulary on the term — vocabulary-sized side, which AQE broadcasts
+    (≤ a few 100k rows at any corpus scale); no window, no corpus-keyed
+    shuffle beyond the token join.
+    """
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(normalized_words(text_col)).alias("pos", "term"),
+        )
+    )
+    return (
+        words.join(F.broadcast(vocab.select("term", "token_id")), "term", "left")
+        .select(
+            id_col,
+            F.col("pos").cast("bigint").alias("pos"),
+            F.coalesce("token_id", F.lit(unk_id)).cast("bigint").alias("token_id"),
+        )
+    )

@@ -1748,7 +1748,7 @@ v as (
 ),
 cents as (
     select vec_id as cell, e as ce, vn as cn
-    from v order by vec_id limit 4
+    from v order by vec_id limit 16
 ),
 rk as (
     select v.vec_id as id, c.cell,
@@ -1779,4 +1779,28 @@ from (
     select *, row_number() over (partition by id_b order by id_a) as r
     from q
 ) where r = 1
+"""
+
+
+ORACLES["tokenize_docs"] = f"""
+with w as (
+    select unnest({_WORDS}) as term from documents where text is not null
+), c as (
+    select term, cast(count(*) as bigint) as n from w
+    group by 1 having count(*) >= 2
+), vocab as (
+    select term,
+           cast(row_number() over (order by n desc, term asc) as bigint) - 1
+               as token_id
+    from c
+    qualify token_id < 50000
+), dws as (
+    select doc_id, {_WORDS} as ws from documents where text is not null
+), dw as (
+    select doc_id, ws[i] as term, cast(i - 1 as bigint) as pos
+    from dws, unnest(generate_series(1, len(ws))) as t(i)
+)
+select dw.doc_id, dw.pos,
+       cast(coalesce(v.token_id, -1) as bigint) as token_id
+from dw left join vocab v using (term)
 """

@@ -81,6 +81,21 @@ PICKS = {
         "broadcast to the probe side; per-probe distinct-position count "
         "(round-3 fix) keeps colliding hash positions from producing "
         "false negatives."),
+    "line_dedup_docs": (
+        "CCNet line-level boilerplate removal — per-line distinct-doc "
+        "counts (wordcount-shaped partial agg), anti-join membership, "
+        "per-doc in-order rebuild via array_sort(collect_list) — no "
+        "sort window, nothing quadratic."),
+    "ngram_lm_docs": (
+        "Corpus-trained bigram LM — doc bigrams from an array slide "
+        "(pure HOF, no positional self-join); unigram/bigram count "
+        "tables are wordcount shuffles; scoring joins per-doc bigram "
+        "types against vocabulary-sized sides; exact integer micro-nat "
+        "sums."),
+    "semantic_dedup_embeddings": (
+        "SemDeDup — centroid assignment is one broadcast pass with a "
+        "min-struct argmin; the quadratic step is an equi-join on the "
+        "cell key (bounded by cell size), never corpus-cartesian."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",

@@ -154,3 +154,19 @@ def test_semantic_dedup_no_dups_empty(spark):
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id int, embedding array<double>"
     )
     assert semantic_dedup(df, tau=0.9, n_cells=2).count() == 0
+
+
+def test_tokenize_with_vocab(spark):
+    from dbt_core_spark.operators.textstats import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird")], "doc_id int, text string"
+    )
+    vocab = build_vocab(df, vocab_size=10, min_count=2)
+    # cat:2 dog:2 -> ids by (count desc, term asc): cat=0, dog=1; bird OOV
+    out = C.tokenize_with_vocab(df, vocab)
+    got = {(r["doc_id"], r["pos"]): r["token_id"] for r in out.collect()}
+    assert got == {
+        (1, 0): 0, (1, 1): 1, (1, 2): 0,
+        (2, 0): 1, (2, 1): -1,
+    }
