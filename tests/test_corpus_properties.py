@@ -1,0 +1,163 @@
+"""Property-based tests (hypothesis) for the deterministic corpus ops:
+each op's integer/hash contract is re-implemented in pure Python and
+checked against the Spark result on randomized corpora.  This is the
+engine-independence property the DuckDB oracles rely on, pinned at the
+unit level (SURVEY §5 — the reference's test strategy mixes example and
+property tests the same way).
+
+One shared Spark action per example keeps runtime sane: corpora are
+small (≤ 40 docs) and settings cap examples.
+"""
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dbt_core_spark.operators import corpus as C
+
+WORD = st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "y2", "the"])
+TEXT = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _md5_mod(value: str, mod: int, seed: str = "") -> int:
+    h = hashlib.md5(f"{seed}:{value}".encode() if seed else value.encode())
+    return int(h.hexdigest()[:15], 16) % mod
+
+
+def _words(text: str) -> list[str]:
+    cleaned = re.sub(r"[^a-z0-9 ]", " ", text.lower())
+    return [w for w in re.split(r"\s+", cleaned) if w]
+
+
+@given(st.lists(TEXT, min_size=2, max_size=25))
+@settings(**SETTINGS)
+def test_ngram_lm_matches_python_reference(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_lp_micro"])
+        for r in C.ngram_lm_score(df, k_smooth=1).collect()
+    }
+
+    uni: Counter = Counter()
+    bg: Counter = Counter()
+    doc_bg: dict[int, Counter] = {}
+    for i, t in rows:
+        ws = _words(t)
+        uni.update(ws)
+        pairs = list(zip(ws, ws[1:]))
+        bg.update(pairs)
+        if pairs:
+            doc_bg[i] = Counter(pairs)
+    v = len(uni)
+    want = {}
+    for i, pairs in doc_bg.items():
+        total = 0
+        for (w1, w2), n_ij in pairs.items():
+            lp = math.floor(
+                math.log((bg[(w1, w2)] + 1) / (uni[w1] + v)) * 1e6
+            )
+            total += n_ij * lp
+        want[i] = (sum(pairs.values()), total)
+    assert got == want
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+       st.integers(0, 99), st.sampled_from([1, 3, 8]))
+@settings(**SETTINGS)
+def test_epoch_shuffle_matches_python_reference(spark, ids, seed, shards):
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: (r["shard"], r["pos"])
+           for r in C.epoch_shuffle(df, seed=seed, num_shards=shards).collect()}
+
+    by_shard = defaultdict(list)
+    for i in ids:
+        key = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        by_shard[int(key[:15], 16) % shards].append((key, i))
+    want = {}
+    for shard, members in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(members), start=1):
+            want[i] = (shard, pos)
+    assert got == want
+
+
+@given(st.lists(st.sampled_from(["web", "code", "books"]),
+                min_size=3, max_size=40),
+       st.sampled_from([{"web": 600_000, "code": 300_000, "books": 100_000},
+                        {"web": 500_000, "code": 500_000}]))
+@settings(**SETTINGS)
+def test_mixture_sample_matches_python_reference(spark, sources, weights):
+    if not all(s in {r for r in sources} for s in weights):
+        # budget needs every weighted source present
+        sources = sources + list(weights)
+    rows = [(i, s) for i, s in enumerate(sources)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    got = {r["doc_id"] for r in C.mixture_sample(df, weights, seed=0).collect()}
+
+    n = Counter(s for _, s in rows)
+    budget = min(math.floor(n[s] * 1e6 / w) for s, w in weights.items())
+    target = {s: math.floor(w * budget / 1e6) for s, w in weights.items()}
+    want = {
+        i for i, s in rows
+        if s in weights
+        and _md5_mod(str(i), 1_000_000, seed="0") * n[s] < target[s] * 1_000_000
+    }
+    assert got == want
+
+
+@given(st.lists(TEXT, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_bpe_pairs_match_python_reference(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {(r["pair"]): (r["n"], r["rank"])
+           for r in C.bpe_pair_stats(df, top_n=1000).collect()}
+
+    vocab = Counter()
+    for t in texts:
+        vocab.update(w for w in _words(t) if len(w) >= 2)
+    pairs: Counter = Counter()
+    for w, n in vocab.items():
+        for i in range(len(w) - 1):
+            pairs[w[i:i + 2]] += n
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {p: (n, rank) for rank, (p, n) in enumerate(ranked, start=1)}
+    assert got == want
+
+
+@given(st.lists(TEXT, min_size=1, max_size=20), st.sampled_from([2, 3]))
+@settings(**SETTINGS)
+def test_line_dedup_matches_python_reference(spark, texts, min_docs):
+    # multi-line docs: re-flow each text into 2-word lines
+    def reflow(t):
+        ws = t.split(" ") if t else [""]
+        return "\n".join(" ".join(ws[i:i + 2]) for i in range(0, len(ws), 2))
+
+    rows = [(i, reflow(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+           for r in C.line_dedup(df, min_docs=min_docs).collect()}
+
+    norm = lambda ln: ln.strip().lower()  # noqa: E731
+    docs_per_line = defaultdict(set)
+    for i, t in rows:
+        for ln in t.split("\n"):
+            if norm(ln):
+                docs_per_line[norm(ln)].add(i)
+    boiler = {ln for ln, ds in docs_per_line.items() if len(ds) >= min_docs}
+    want = {}
+    for i, t in rows:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if norm(ln) not in boiler]
+        want[i] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+    assert got == want
