@@ -36,9 +36,21 @@ class Engine:
         threads: Optional[int] = None,
         target: Optional[str] = None,
         profiles_dir: Optional[str] = None,
+        callbacks: Optional[list] = None,
     ):
         self.spark = spark
         self.project = project
+        # typed structured events (events.py; ref dbtRunner(callbacks=))
+        # — fan out to caller callbacks + target/logs jsonl for
+        # dir-loaded projects
+        from dbt_core_spark.events import EventManager
+
+        logfile = None
+        if project.project_root:
+            logdir = os.path.join(project.project_root, "logs")
+            os.makedirs(logdir, exist_ok=True)
+            logfile = os.path.join(logdir, "dbt.jsonl")
+        self.event_manager = EventManager(callbacks=callbacks, logfile=logfile)
         # profile/target indirection (ref: config/profile.py): when the
         # project names a profile, the selected output supplies the
         # default schema/threads; explicit arguments always win
@@ -166,6 +178,7 @@ class Engine:
 
     def _runner(self, full_refresh: bool = False, **kw) -> GraphRunner:
         kw.setdefault("on_event", self._event_sink())
+        kw.setdefault("event_manager", self.event_manager)
         return GraphRunner(
             self.spark, self.manifest, self.schema, cli_vars=self.cli_vars,
             threads=self.threads, full_refresh=full_refresh,

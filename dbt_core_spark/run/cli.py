@@ -62,16 +62,35 @@ class SparkbtRunner:
 
     def __init__(self, engine=None, spark: Optional[SparkSession] = None,
                  project: Optional[ProjectDef] = None,
-                 schema: Optional[str] = None):
+                 schema: Optional[str] = None,
+                 callbacks: Optional[list] = None):
         from dbt_core_spark.api import Engine
 
         if engine is None:
             if spark is None or project is None:
                 raise ValueError("need an Engine, or spark + project")
-            engine = Engine(spark, project, schema=schema)
+            engine = Engine(spark, project, schema=schema, callbacks=callbacks)
+        elif callbacks:
+            # dbtRunner(callbacks=...) parity on a pre-built Engine
+            for cb in callbacks:
+                engine.event_manager.add_callback(cb)
         self.engine = engine
 
     def invoke(self, argv: list[str]) -> RunnerResult:
+        import time as _time
+
+        from dbt_core_spark import events as E
+        from dbt_core_spark import __version__
+
+        eng = self.engine
+        eng.event_manager.fire(E.main_report_version(__version__))
+        _t0 = _time.time()
+        res = self._invoke(argv)
+        eng.event_manager.fire(E.command_completed(
+            " ".join(argv), res.success, _time.time() - _t0))
+        return res
+
+    def _invoke(self, argv: list[str]) -> RunnerResult:
         eng = self.engine
         saved_vars = dict(eng.cli_vars)
         try:

@@ -83,6 +83,7 @@ class GraphRunner:
         fail_fast: bool = False,
         warn_error: bool = False,
         on_event: Optional[Any] = None,
+        event_manager: Optional[Any] = None,
     ):
         self.spark = spark
         self.manifest = manifest
@@ -103,17 +104,34 @@ class GraphRunner:
         # core/dbt/events/ — reduced to node lifecycle dicts here):
         # receives {"event", "ts", "unique_id", ...} per node start/finish
         self.on_event = on_event
+        # typed-event fan-out (events.EventManager); on_event keeps the
+        # legacy flat-dict contract for existing consumers
+        self.event_manager = event_manager
         self.relations: dict[str, str] = {}
 
     def _emit(self, event: str, **data: Any) -> None:
+        """Fire a typed lifecycle event (events.py — reference codes) to
+        the EventManager when one is attached, and the same flat dict to
+        the legacy ``on_event`` callable.  Observability must never fail
+        the run."""
+        from dbt_core_spark import events as E
+
+        ctor = {
+            "NodeStart": lambda d: E.node_start(d.pop("unique_id"), **d),
+            "NodeFinish": lambda d: E.node_finished(
+                d.pop("unique_id"), d.pop("status"), **d),
+            "StatsLine": lambda d: E.stats_line(d.pop("stats")),
+            "RunResultError": lambda d: E.run_result_error(
+                d.pop("unique_id"), d.pop("message")),
+        }.get(event)
+        ev = ctor(dict(data)) if ctor else E.Event(
+            "Z999", "debug", event, event, dict(data))
+        if self.event_manager is not None:
+            self.event_manager.fire(ev)
         if self.on_event is None:
             return
         try:
-            self.on_event({
-                "event": event,
-                "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
-                **data,
-            })
+            self.on_event(ev.to_dict())
         except Exception:
             pass  # observability must never fail the run
 
@@ -258,6 +276,20 @@ class GraphRunner:
                     f.result()
         self._run_hooks(self.on_run_end, "on-run-end")
         results.elapsed = time.time() - t0
+        counts = {"pass": 0, "warn": 0, "error": 0, "skip": 0,
+                  "total": len(results.results)}
+        for r in results.results:
+            if r.status in ("error", "fail"):
+                counts["error"] += 1
+                self._emit("RunResultError", unique_id=r.unique_id,
+                           message=r.message or r.status)
+            elif r.status == "warn":
+                counts["warn"] += 1
+            elif r.status == "skipped":
+                counts["skip"] += 1
+            else:
+                counts["pass"] += 1
+        self._emit("StatsLine", stats=counts)
         return results
 
     @staticmethod
