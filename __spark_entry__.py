@@ -1892,6 +1892,17 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, tau=0.42, n_cells=16, kmeans_iters=0)
 
 
+def semantic_dedup_blas_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production BLAS variant of SemDeDup (per-cell matmul via
+    applyInPandas, hot-cell re-split) — identical results to the fold
+    variant after 6-dp rounding; shares its SQL oracle (the ivf_topk /
+    ivf_topk_blas precedent)."""
+    from dbt_core_spark.operators.similarity import semantic_dedup_blas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_blas(emb, tau=0.42, n_cells=16, kmeans_iters=0)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -1930,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": mixture_sample_docs,
         "bpe_pair_docs": bpe_pair_docs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
         "tokenize_docs": tokenize_docs,
         # -- r1-verified relational/xdb rotation (no r2 row) --
         "xdb_string_functions": xdb_string_functions,
@@ -1959,11 +1971,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": q16_supplier_count,
         "q20_part_share_suppliers": q20_part_share_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_global_avg_filter": q22_global_avg_filter,
         "percentiles_by_group": percentiles_by_group,
         "xdb_arrays": xdb_arrays,
         # ---------------- past the 50-query gate cap ----------------
         # r1 shapes redundantly covered in-window: rotate into r4 first
+        # (q22 scalar-subquery machinery rides in-window via q15)
+        "q22_global_avg_filter": q22_global_avg_filter,
         "hourly_event_rollup": hourly_event_rollup,
         "map_struct_status_counts": map_struct_status_counts,
         "running_revenue_by_customer": running_revenue_by_customer,

@@ -58,7 +58,7 @@ HEADLINE = [
     # removal, corpus-trained bigram LM scoring, SemDeDup
     "line_dedup_docs",
     "ngram_lm_docs",
-    "semantic_dedup_embeddings",
+    "semantic_dedup_blas_embeddings",
 ]
 
 

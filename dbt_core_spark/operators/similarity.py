@@ -735,3 +735,138 @@ def semantic_dedup(
             F.col("k.cell").alias("cell"),
         )
     )
+
+
+def semantic_dedup_blas(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau: float = 0.95,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+    fit_sample: int = 4096,
+    max_cell_rows: int = 100_000,
+) -> DataFrame:
+    """``semantic_dedup`` with BLAS kernels — the production 100 TB
+    shape (same relationship as ivf_topk vs ivf_topk_blas):
+
+    1. centroids fit on a bounded id-ordered driver sample (numpy
+       Lloyd; kmeans_iters=0 → the deterministic seed rows, assignment
+       identical to ``semantic_dedup``'s because cosine is
+       norm-invariant),
+    2. one ``mapInPandas`` pass assigns every vector its best cell,
+    3. ONE shuffle on ``(cell, subcell)``; ``applyInPandas`` computes
+       each group's pairwise cosine matrix with a single matmul and
+       emits (lower_id, higher_id) pairs at ≥ tau.  **Skew cap**: a hot
+       cell re-splits members by a secondary id-hash into bounded
+       subcells, with every member ALSO replicated as a probe to each
+       subcell — pair (a,b) is always observed in b's subcell, so the
+       within-cell pair set stays complete while no pandas frame
+       exceeds ``max_cell_rows`` members,
+    4. keeper selection is the same min-struct aggregate as the fold
+       variant.
+
+    Float path differs from the fold variant only in summation order
+    (BLAS vs sequential) — identical after 6-dp rounding, same oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from dbt_core_spark.operators.dedup import ensure_parallelism
+
+    spark = df.sparkSession
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+    spdf = base.orderBy("id").limit(fit_sample).toPandas()
+    sample = np.array(spdf["v"].tolist(), dtype=np.float64)
+    # cells keep the fold variant's labels: the seed centroid's original
+    # id (seed_cents convention — what the shared SQL oracle emits)
+    cell_ids = spdf["id"].to_numpy()[:n_cells].astype("int64")
+    Sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    C = Sn[:n_cells].copy()
+    for _ in range(kmeans_iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        a = (Sn @ Cn.T).argmax(axis=1)
+        for c in range(n_cells):
+            m = Sn[a == c]
+            if len(m):
+                C[c] = m.mean(axis=0)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bcast = spark.sparkContext.broadcast((Cn, cell_ids))
+
+    def assign(batches):
+        Cb, ids = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cell = ids[(Vn @ Cb.T).argmax(axis=1)]
+            yield pd.DataFrame({
+                "id": pdf["id"].astype("int64"),
+                "v": pdf["v"],
+                "cell": cell,
+            })
+
+    routed = base.mapInPandas(assign, schema="id long, v array<double>, cell long")
+
+    counts = routed.groupBy("cell").agg(F.count("*").alias("_cn"))
+    split = routed.join(F.broadcast(counts), "cell").withColumn(
+        "_ns",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_cn") / F.lit(max_cell_rows))
+        ).cast("int"),
+    )
+    members = split.select(
+        "id", "v", "cell",
+        F.pmod(F.xxhash64("id"), F.col("_ns")).cast("int").alias("sub"),
+        F.lit(True).alias("is_member"),
+    )
+    probes = split.select(
+        "id", "v", "cell",
+        F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)).alias("sub"),
+        F.lit(False).alias("is_member"),
+    )
+    grouped = members.unionByName(probes)
+
+    def pair_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mem = pdf[pdf["is_member"]]
+        pr = pdf[~pdf["is_member"]]
+        if len(mem) == 0 or len(pr) == 0:
+            return pd.DataFrame(
+                columns=["id_a", "id_b", "cosine", "cell"]
+            ).astype({"id_a": "int64", "id_b": "int64",
+                      "cosine": "float64", "cell": "int64"})
+        mid = mem["id"].to_numpy()
+        Mn = np.array(mem["v"].tolist(), dtype=np.float64)
+        Mn /= np.linalg.norm(Mn, axis=1, keepdims=True)
+        pid = pr["id"].to_numpy()
+        Pn = np.array(pr["v"].tolist(), dtype=np.float64)
+        Pn /= np.linalg.norm(Pn, axis=1, keepdims=True)
+        S = Pn @ Mn.T
+        # ordered pairs only: probe id strictly below member id
+        ii, jj = np.nonzero((S >= tau) & (pid[:, None] < mid[None, :]))
+        cell = int(pdf["cell"].iloc[0])
+        return pd.DataFrame({
+            "id_a": pid[ii].astype("int64"),
+            "id_b": mid[jj].astype("int64"),
+            "cosine": S[ii, jj],
+            "cell": np.full(len(ii), cell, dtype="int64"),
+        })
+
+    pairs = grouped.groupBy("cell", "sub").applyInPandas(
+        pair_cell, schema="id_a long, id_b long, cosine double, cell long"
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias(id_col))
+        .agg(
+            F.min(F.struct(F.col("id_a"), F.col("cosine"), F.col("cell"))).alias("k")
+        )
+        .select(
+            id_col,
+            F.col("k.id_a").alias("keeper_id"),
+            F.round(F.col("k.cosine"), 6).alias("cosine"),
+            F.col("k.cell").alias("cell"),
+        )
+    )

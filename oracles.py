@@ -1804,3 +1804,5 @@ select dw.doc_id, dw.pos,
        cast(coalesce(v.token_id, -1) as bigint) as token_id
 from dw left join vocab v using (term)
 """
+
+ORACLES["semantic_dedup_blas_embeddings"] = ORACLES["semantic_dedup_embeddings"]

@@ -170,3 +170,45 @@ def test_tokenize_with_vocab(spark):
         (1, 0): 0, (1, 1): 1, (1, 2): 0,
         (2, 0): 1, (2, 1): -1,
     }
+
+
+def test_semantic_dedup_blas_matches_fold(spark):
+    import math
+    # deterministic pseudo-random corpus with planted near-dup clusters
+    vecs = []
+    for i in range(60):
+        base = [math.sin(i * 0.7 + d) for d in range(8)]
+        vecs.append((i, base))
+        if i % 10 == 0:  # planted near-duplicate of every 10th vector
+            vecs.append((100 + i, [x + 0.001 * ((i + d) % 3) for d, x in
+                                   enumerate(base)]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    from dbt_core_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_blas,
+    )
+
+    fold = {tuple(r) for r in
+            semantic_dedup(df, tau=0.99, n_cells=8, kmeans_iters=0).collect()}
+    blas = {tuple(r) for r in
+            semantic_dedup_blas(df, tau=0.99, n_cells=8, kmeans_iters=0).collect()}
+    assert fold == blas and len(fold) >= 6  # the planted dups are found
+
+
+def test_semantic_dedup_blas_skew_cap(spark):
+    # 90% of vectors in ONE direction cluster -> one hot cell; the cap
+    # re-splits it and the pair set must stay complete
+    vecs = [(i, [1.0, i * 1e-4, 0.0]) for i in range(45)]
+    vecs += [(100 + i, [0.0, 1.0, i * 0.2]) for i in range(5)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    from dbt_core_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_blas,
+    )
+
+    fold = {tuple(r) for r in
+            semantic_dedup(df, tau=0.999, n_cells=4, kmeans_iters=0).collect()}
+    capped = {tuple(r) for r in
+              semantic_dedup_blas(df, tau=0.999, n_cells=4, kmeans_iters=0,
+                                  max_cell_rows=7).collect()}
+    assert capped == fold and len(fold) >= 40  # hot cluster all dups
