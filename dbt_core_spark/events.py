@@ -25,10 +25,26 @@ import datetime as _dt
 import json
 import logging
 import threading
+import uuid
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
 logger = logging.getLogger("dbt_core_spark.events")
+
+# one id per command invocation, stamped into every event and artifact
+# (ref: events EventInfo.invocation_id; artifacts metadata.invocation_id)
+_invocation_id = uuid.uuid4().hex
+
+
+def get_invocation_id() -> str:
+    return _invocation_id
+
+
+def reset_invocation_id() -> str:
+    """New id at each CLI command boundary (SparkbtRunner.invoke)."""
+    global _invocation_id
+    _invocation_id = uuid.uuid4().hex
+    return _invocation_id
 
 _LEVELS = {"debug": logging.DEBUG, "info": logging.INFO,
            "warn": logging.WARNING, "error": logging.ERROR}
@@ -55,6 +71,7 @@ class Event:
         return {
             "event": self.name, "code": self.code, "level": self.level,
             "msg": self.msg, "ts": self.ts, "thread": self.thread,
+            "invocation_id": get_invocation_id(),
             **self.data,
         }
 

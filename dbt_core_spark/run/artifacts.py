@@ -15,6 +15,12 @@ import json
 import os
 from typing import TYPE_CHECKING
 
+
+def _invocation_id() -> str:
+    from dbt_core_spark.events import get_invocation_id
+
+    return get_invocation_id()
+
 if TYPE_CHECKING:  # pragma: no cover
     from dbt_core_spark.api import Engine
     from dbt_core_spark.run.runner import RunResults
@@ -25,6 +31,7 @@ def write_run_results(results: "RunResults", path: str, elapsed: float | None = 
     doc = {
         "metadata": {
             "generated_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "invocation_id": _invocation_id(),
             "dbt_schema_version": "https://schemas.getdbt.com/dbt/run-results/v5.json",
             "adapter_type": "spark",
         },
@@ -176,6 +183,7 @@ def write_sources(freshness: dict, path: str) -> str:
     doc = {
         "metadata": {
             "generated_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "invocation_id": _invocation_id(),
             "dbt_schema_version": "https://schemas.getdbt.com/dbt/sources/v3.json",
         },
         "results": [

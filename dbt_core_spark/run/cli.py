@@ -83,6 +83,7 @@ class SparkbtRunner:
         from dbt_core_spark import __version__
 
         eng = self.engine
+        E.reset_invocation_id()
         eng.event_manager.fire(E.main_report_version(__version__))
         _t0 = _time.time()
         res = self._invoke(argv)

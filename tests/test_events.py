@@ -97,3 +97,30 @@ def test_stats_line_message_format():
     e = stats_line({"pass": 3, "error": 1, "total": 4})
     assert e.msg == "Done. PASS=3 WARN=0 ERROR=1 SKIP=0 TOTAL=4"
     assert e.code == "Z023" and e.level == "info"
+
+
+def test_invocation_id_stamped_and_rotates(tmp_path, spark, schema):
+    """invocation_id: one id per command, present in every event dict
+    and in artifact metadata (ref: EventInfo.invocation_id,
+    artifacts metadata.invocation_id)."""
+    from dbt_core_spark.events import get_invocation_id
+    from dbt_core_spark.run.artifacts import write_run_results
+
+    eng = Engine(spark, _proj(), schema=schema)
+    runner = SparkbtRunner(engine=eng)
+    assert runner.invoke(["parse"]).success
+    iid1 = get_invocation_id()
+    assert runner.invoke(["parse"]).success
+    iid2 = get_invocation_id()
+    assert iid1 != iid2  # rotates per command
+
+    seen = []
+    eng.event_manager.add_callback(seen.append)
+    assert runner.invoke(["seed"]).success
+    assert all(e.to_dict()["invocation_id"] == get_invocation_id()
+               for e in seen)
+
+    res = eng.run()
+    path = write_run_results(res, str(tmp_path / "rr.json"))
+    meta = json.load(open(path))["metadata"]
+    assert meta["invocation_id"] == get_invocation_id()
