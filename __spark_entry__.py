@@ -1879,6 +1879,16 @@ def tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_with_vocab(docs, vocab)
 
 
+def pool_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk->document mean-pooling: per-label element-wise mean of the
+    embedding vectors, exploded to (label, pos, mean_val); exact decimal
+    sums make the accumulation order-independent cross-engine."""
+    from dbt_core_spark.operators.similarity import pool_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pool_embeddings(emb, group_col="label")
+
+
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup within coarse k-means cells (kmeans_iters=0 so centroid
     seeding is deterministic: first 16 vec_ids).  tau=0.42 is tuned to
@@ -1943,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
         "tokenize_docs": tokenize_docs,
+        "pool_embeddings_by_label": pool_embeddings_by_label,
         # -- r1-verified relational/xdb rotation (no r2 row) --
         "xdb_string_functions": xdb_string_functions,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1971,11 +1982,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": q16_supplier_count,
         "q20_part_share_suppliers": q20_part_share_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        "percentiles_by_group": percentiles_by_group,
         "xdb_arrays": xdb_arrays,
         # ---------------- past the 50-query gate cap ----------------
         # r1 shapes redundantly covered in-window: rotate into r4 first
         # (q22 scalar-subquery machinery rides in-window via q15)
+        "percentiles_by_group": percentiles_by_group,
         "q22_global_avg_filter": q22_global_avg_filter,
         "hourly_event_rollup": hourly_event_rollup,
         "map_struct_status_counts": map_struct_status_counts,

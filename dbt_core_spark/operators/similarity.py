@@ -870,3 +870,43 @@ def semantic_dedup_blas(
             F.col("k.cell").alias("cell"),
         )
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool embeddings per group — the chunk→document (or
+    passage→page) pooling step before doc-level similarity/ANN.
+
+    Output is exploded (group, pos, mean_val): arrays never reach a
+    driver-side canonicalizer, and downstream ops consume either shape.
+
+    Determinism: element values are cast to DECIMAL(28,12) before the
+    SUM, so the cross-row accumulation is exact integer arithmetic in
+    any engine (float summation order can't change the result — the
+    same convention as the repo's decimal-sum oracles); the final
+    divide+round happens once per output cell.
+
+    Scale shape: one posexplode (linear) and ONE shuffle on
+    (group, pos) with map-side partial aggregation — the wordcount
+    shape; no window, no arrays through the exchange.
+    """
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(group_col), F.posexplode(vec_col).alias("pos", "v"))
+        .withColumn("vd", F.col("v").cast("decimal(28,12)"))
+        .groupBy(group_col, "pos")
+        .agg(F.sum("vd").alias("s"), F.count("*").cast("bigint").alias("n"))
+        .select(
+            group_col,
+            F.col("pos").cast("bigint").alias("pos"),
+            # exact decimal sum → double BEFORE the divide: decimal
+            # division scale rules differ across engines, double IEEE
+            # division doesn't
+            F.round(
+                F.col("s").cast("double") / F.col("n"), 6
+            ).alias("mean_val"),
+        )
+    )

@@ -1806,3 +1806,17 @@ from dw left join vocab v using (term)
 """
 
 ORACLES["semantic_dedup_blas_embeddings"] = ORACLES["semantic_dedup_embeddings"]
+
+
+ORACLES["pool_embeddings_by_label"] = """
+with e as (
+    select label,
+           cast(i - 1 as bigint) as pos,
+           cast(embedding[i] as decimal(28,12)) as vd
+    from embeddings, unnest(generate_series(1, len(embedding))) as t(i)
+    where embedding is not null
+)
+select label, pos,
+       round(cast(sum(vd) as double) / count(*), 6) as mean_val
+from e group by 1, 2
+"""

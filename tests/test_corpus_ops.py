@@ -212,3 +212,16 @@ def test_semantic_dedup_blas_skew_cap(spark):
               semantic_dedup_blas(df, tau=0.999, n_cells=4, kmeans_iters=0,
                                   max_cell_rows=7).collect()}
     assert capped == fold and len(fold) >= 40  # hot cluster all dups
+
+
+def test_pool_embeddings_mean(spark):
+    from dbt_core_spark.operators.similarity import pool_embeddings
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [10.0, 0.0])],
+        "label string, embedding array<double>",
+    )
+    got = {(r["label"], r["pos"]): r["mean_val"]
+           for r in pool_embeddings(df, group_col="label").collect()}
+    assert got == {("a", 0): 2.0, ("a", 1): 3.0,
+                   ("b", 0): 10.0, ("b", 1): 0.0}
