@@ -180,10 +180,15 @@ def test_run_events_jsonl(tmp_path, spark, schema):
     assert eng.run().ok()
     with open(os.path.join(root, "target", "events.jsonl")) as f:
         events = [json.loads(l) for l in f]
-    kinds = [(e["event"], e["unique_id"]) for e in events]
+    # the stream now also carries run-level events (StatsLine etc.) —
+    # node lifecycle lines are the ones with a unique_id
+    kinds = [(e["event"], e["unique_id"]) for e in events if "unique_id" in e]
     assert ("NodeStart", "model.ev.m") in kinds
-    fin = next(e for e in events if e["event"] == "NodeFinish")
+    fin = next(e for e in events if e["event"] == "NodeFinished")
     assert fin["status"] == "success" and "ts" in fin
+    # typed upgrade: every line carries a code and the run summary fires
+    assert all("code" in e for e in events)
+    assert any(e["code"] == "Z023" for e in events)
 
 
 def test_file_selector(tmp_path, spark, schema):
