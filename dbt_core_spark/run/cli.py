@@ -187,10 +187,13 @@ class SparkbtRunner:
                 os.makedirs(target, exist_ok=True)
                 write_manifest(eng, os.path.join(target, "manifest.json"))
                 write_catalog(eng, os.path.join(target, "catalog.json"))
+                with open(os.path.join(target, "index.html"), "w") as f:
+                    f.write(_DOCS_INDEX_HTML)
                 return RunnerResult(True, {
                     "path": target,
-                    "note": "static docs artifacts written; serve the "
-                            "directory with any file server",
+                    "note": "static docs site written (index.html + "
+                            "manifest/catalog json); serve the directory "
+                            "with any file server",
                 })
             if verb == "init":
                 name = rest[0] if rest else "my_dbt_project"
@@ -305,3 +308,75 @@ def init_project(root: str, name: str) -> dict:
         with open(path, "w") as f:
             f.write(content)
     return {"project_dir": root, "name": name, "files": sorted(files)}
+
+
+# Minimal self-contained docs site (ref: task/docs/serve.py serves the
+# dbt-docs SPA; this renders the same manifest.json + catalog.json pair
+# with no external assets — node list, searchable, per-node columns/
+# stats/compiled SQL).
+_DOCS_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>dbt_core_spark docs</title>
+<style>
+body{font-family:system-ui,sans-serif;margin:0;display:flex;height:100vh}
+#nav{width:320px;overflow:auto;border-right:1px solid #ddd;padding:12px}
+#main{flex:1;overflow:auto;padding:16px}
+#q{width:100%;padding:6px;margin-bottom:8px;box-sizing:border-box}
+.node{cursor:pointer;padding:3px 6px;border-radius:4px;font-size:14px}
+.node:hover{background:#eef}.rt{color:#888;font-size:11px;margin-left:4px}
+table{border-collapse:collapse;margin:8px 0}
+td,th{border:1px solid #ccc;padding:4px 8px;font-size:13px;text-align:left}
+pre{background:#f6f6f6;padding:10px;overflow:auto;font-size:12px}
+h2{margin-top:0}
+</style></head><body>
+<div id="nav"><input id="q" placeholder="filter nodes..."><div id="list"></div></div>
+<div id="main"><h2>dbt_core_spark docs</h2>
+<p>Select a node. Data: manifest.json + catalog.json in this directory.</p></div>
+<script>
+let M={},C={};
+async function load(){
+  M=await (await fetch('manifest.json')).json();
+  try{C=await (await fetch('catalog.json')).json()}catch(e){C={nodes:{}}}
+  render('');
+  document.getElementById('q').addEventListener('input',e=>render(e.target.value));
+}
+function nodes(){
+  const out=Object.entries(M.nodes||{});
+  for(const [k,v] of Object.entries(M.sources||{})) out.push([k,v]);
+  return out;
+}
+function render(filter){
+  const el=document.getElementById('list'); el.innerHTML='';
+  for(const [uid,n] of nodes()){
+    if(filter&&!uid.toLowerCase().includes(filter.toLowerCase()))continue;
+    const d=document.createElement('div'); d.className='node';
+    d.textContent=n.name||uid;
+    const s=document.createElement('span'); s.className='rt';
+    s.textContent=n.resource_type||''; d.appendChild(s);
+    d.onclick=()=>show(uid,n); el.appendChild(d);
+  }
+}
+function esc(x){const d=document.createElement('div');d.textContent=x==null?'':String(x);return d.innerHTML}
+function show(uid,n){
+  const cat=(C.nodes||{})[uid]||{};
+  let h='<h2>'+esc(n.name||uid)+'</h2>';
+  h+='<p><b>'+esc(n.resource_type||'')+'</b> &middot; '+esc(uid)+'</p>';
+  if(n.description) h+='<p>'+esc(n.description)+'</p>';
+  if(n.config&&n.config.materialized) h+='<p>materialized: <b>'+esc(n.config.materialized)+'</b></p>';
+  if(n.depends_on&&n.depends_on.nodes&&n.depends_on.nodes.length)
+    h+='<p>depends on: '+n.depends_on.nodes.map(esc).join(', ')+'</p>';
+  const cols=cat.columns||n.columns||{};
+  if(Object.keys(cols).length){
+    h+='<table><tr><th>column</th><th>type</th><th>comment</th></tr>';
+    for(const [c,info] of Object.entries(cols))
+      h+='<tr><td>'+esc(c)+'</td><td>'+esc(info.type||info.data_type||'')+
+         '</td><td>'+esc(info.comment||info.description||'')+'</td></tr>';
+    h+='</table>';
+  }
+  if(cat.stats) h+='<pre>'+esc(JSON.stringify(cat.stats,null,2))+'</pre>';
+  const sql=n.compiled_code||n.raw_code||n.raw_sql;
+  if(sql) h+='<h3>SQL</h3><pre>'+esc(sql)+'</pre>';
+  document.getElementById('main').innerHTML=h;
+}
+load();
+</script></body></html>
+"""

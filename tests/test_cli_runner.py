@@ -240,3 +240,5 @@ def test_docs_serve_writes_static_artifacts(tmp_path, spark, schema):
     cat = _json.load(open(os.path.join(r.result["path"], "catalog.json")))
     assert "nodes" in cat
     assert os.path.exists(os.path.join(r.result["path"], "manifest.json"))
+    html = open(os.path.join(r.result["path"], "index.html")).read()
+    assert "manifest.json" in html and "catalog.json" in html  # self-contained viewer
