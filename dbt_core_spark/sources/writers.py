@@ -55,3 +55,85 @@ def write_training_shards(
         ).save(path)
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+    payload_col: Optional[str] = None,
+    meta_cols: Optional[list[str]] = None,
+) -> None:
+    """WebDataset-style sharded tar sink (public format: tar archives
+    where a sample is consecutive entries sharing a basename —
+    ``<key>.json`` sidecar + optional ``<key>.bin`` payload; shards
+    named ``shard-%06d.tar``).  The loader-native layout for multimodal
+    training data: samples stream sequentially per shard, shards are
+    the unit of parallelism/resume.
+
+    Determinism contract (byte-stable files, same as
+    ``write_training_shards``): shard = ``pmod(xxhash64(key), n)`` —
+    a pure function of the key; samples sorted by key within each
+    shard; tar entry mtime/uid/gid pinned to 0; JSON sidecars use
+    sorted keys.  Re-runs at any cluster size produce identical bytes.
+
+    Scale shape: one repartition on the shard column (AQE coalesce
+    disabled so exactly ``n_shards`` tasks), sortWithinPartitions, then
+    each task streams its shard(s) straight into tar files — no
+    driver-side collection.  ``path`` must be storage every executor
+    can write (local dir in tests; a mounted shared/object store on a
+    cluster)."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    meta_cols = meta_cols or [
+        c for c in df.columns if c not in (payload_col,)
+    ]
+    spark = df.sparkSession
+    cols = list({key_col, *meta_cols, *( [payload_col] if payload_col else [] )})
+    out = (
+        df.select(*cols)
+        .withColumn("shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), F.col(key_col))
+    )
+
+    def write_partition(rows):
+        import io
+        import json as _json
+        import os
+        import tarfile
+
+        cur, tf = None, None
+        for row in rows:
+            sh = row["shard"]
+            if sh != cur:
+                if tf is not None:
+                    tf.close()
+                os.makedirs(path, exist_ok=True)
+                tf = tarfile.open(
+                    os.path.join(path, f"shard-{sh:06d}.tar"), "w"
+                )
+                cur = sh
+
+            def add(name: str, data: bytes) -> None:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                ti.mtime = 0  # byte-stable across reruns
+                tf.addfile(ti, io.BytesIO(data))
+
+            base = str(row[key_col])
+            meta = {c: row[c] for c in meta_cols}
+            add(f"{base}.json",
+                _json.dumps(meta, sort_keys=True, default=str).encode())
+            if payload_col is not None and row[payload_col] is not None:
+                add(f"{base}.bin", bytes(row[payload_col]))
+        if tf is not None:
+            tf.close()
+
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        out.foreachPartition(write_partition)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)

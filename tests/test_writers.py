@@ -29,3 +29,49 @@ def test_write_training_shards_fixed_count_and_deterministic(spark, sf_dir, tmp_
         assert ids_a == ids_b and ids_a == sorted(ids_a)
     total = sum(spark.read.parquet(d).count() for d in d1)
     assert total == docs.count()
+
+
+def test_webdataset_shards_roundtrip_and_byte_stable(tmp_path, spark):
+    """WebDataset tar sink: sample grouping (<key>.json + <key>.bin),
+    key-sorted order within shards, and byte-identical re-runs."""
+    import hashlib
+    import json
+    import os
+    import tarfile
+
+    from dbt_core_spark.sources.writers import write_webdataset_shards
+
+    rows = [(i, f"src{i % 3}", bytes([i % 256]) * (i + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, payload binary")
+
+    def write(to):
+        write_webdataset_shards(
+            df, str(to), n_shards=4, key_col="doc_id",
+            payload_col="payload", meta_cols=["doc_id", "source"],
+        )
+        return sorted(os.listdir(to))
+
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    names = write(d1)
+    assert write(d2) == names and len(names) == 4
+    assert names[0] == "shard-000000.tar"
+
+    seen = set()
+    for name in names:
+        # byte-stable: identical hashes across the two runs
+        h1 = hashlib.sha256((d1 / name).read_bytes()).hexdigest()
+        h2 = hashlib.sha256((d2 / name).read_bytes()).hexdigest()
+        assert h1 == h2
+        with tarfile.open(d1 / name) as tf:
+            members = tf.getnames()
+            # consecutive pairs: key.json then key.bin, keys ascending
+            keys = [m[:-5] for m in members if m.endswith(".json")]
+            assert keys == sorted(keys, key=int)
+            for k in keys:
+                assert f"{k}.bin" in members
+                meta = json.load(tf.extractfile(f"{k}.json"))
+                assert meta["doc_id"] == int(k) and meta["source"].startswith("src")
+                payload = tf.extractfile(f"{k}.bin").read()
+                assert payload == bytes([int(k) % 256]) * (int(k) + 1)
+                seen.add(int(k))
+    assert seen == set(range(40))  # every sample in exactly one shard
