@@ -137,3 +137,49 @@ def write_webdataset_shards(
         out.foreachPartition(write_partition)
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+
+
+def read_webdataset_shards(spark, path: str):
+    """Read ``write_webdataset_shards`` output back into a DataFrame of
+    (shard, key, meta, payload) — meta as the raw JSON sidecar string,
+    payload as binary (null when the sample had none).
+
+    Scale shape: ``binaryFile`` source lists/reads one tar per task
+    (a shard is the loader's unit of parallelism too) and an Arrow
+    ``mapInPandas`` streams entries out — no driver-side tar handling.
+    Sample pairing relies on the writer's contract: entries are
+    key-sorted with the ``.json`` sidecar preceding its ``.bin``."""
+    import io
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                shard = int(
+                    os.path.basename(row["path"]).split("-")[1].split(".")[0]
+                )
+                out: dict[str, tuple] = {}
+                with tarfile.open(fileobj=io.BytesIO(row["content"])) as tf:
+                    for m in tf.getmembers():
+                        base, ext = m.name.rsplit(".", 1)
+                        data = tf.extractfile(m).read()
+                        meta, payload = out.get(base, (None, None))
+                        if ext == "json":
+                            meta = data.decode()
+                        else:
+                            payload = data
+                        out[base] = (meta, payload)
+                yield pd.DataFrame(
+                    [(shard, k, m, p) for k, (m, p) in sorted(out.items())],
+                    columns=["shard", "key", "meta", "payload"],
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "shard-*.tar"))
+        .select("path", "content")
+        .mapInPandas(parse, schema="shard int, key string, meta string, payload binary")
+    )

@@ -75,3 +75,24 @@ def test_webdataset_shards_roundtrip_and_byte_stable(tmp_path, spark):
                 assert payload == bytes([int(k) % 256]) * (int(k) + 1)
                 seen.add(int(k))
     assert seen == set(range(40))  # every sample in exactly one shard
+
+
+def test_webdataset_reader_roundtrip(tmp_path, spark):
+    import json
+
+    from dbt_core_spark.sources.writers import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    rows = [(i, f"s{i}", bytes([65 + i % 26]) * 3) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, payload binary")
+    write_webdataset_shards(df, str(tmp_path / "wd"), n_shards=3,
+                            key_col="doc_id", payload_col="payload",
+                            meta_cols=["doc_id", "source"])
+    back = read_webdataset_shards(spark, str(tmp_path / "wd")).collect()
+    assert len(back) == 20
+    got = {int(r["key"]): (json.loads(r["meta"]), bytes(r["payload"]))
+           for r in back}
+    assert got[7] == ({"doc_id": 7, "source": "s7"}, b"HHH")
+    assert {r["shard"] for r in back} <= {0, 1, 2}
