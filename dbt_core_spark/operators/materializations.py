@@ -465,24 +465,71 @@ def materialize_seed(spark: SparkSession, node: Node, rel: str) -> int:
     return -1
 
 
+_MV_FP_PROP = "dbt_mv_fingerprint"
+
+
+def _table_property(spark: SparkSession, rel: str, key: str) -> str | None:
+    try:
+        for r in spark.sql(f"SHOW TBLPROPERTIES {rel}").collect():
+            if r["key"] == key:
+                return r["value"]
+    except Exception:
+        pass
+    return None
+
+
+def _mv_fingerprint(node: Node, sql: str) -> str:
+    import hashlib
+    import json as _json
+
+    cfg = {k: node.config.get(k) for k in
+           ("partition_by", "bucket_by", "buckets", "sort_by", "file_format")}
+    return hashlib.md5(
+        _json.dumps({"sql": sql, **cfg}, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
 def materialize_materialized_view(
     spark: SparkSession, node: Node, rel: str, sql: str
 ) -> int:
     """Spark has no native materialized view — emulate as table +
-    rebuild-on-run, honoring ``on_configuration_change``
-    (ref: v1/config.py:110-112; tests/functional/adapter/materialized_view/).
-    'continue' skips the rebuild when the relation already exists;
-    'apply' (default) refreshes; 'fail' errors on a changed definition."""
+    refresh-on-run, with ``on_configuration_change`` gating DEFINITION
+    drift, not refresh (ref: v1/config.py:110-112 OnConfigurationChange,
+    tests/functional/adapter/materialized_view/ — an unchanged MV always
+    refreshes its data; the modes only decide what happens when the
+    stored definition/config no longer matches the model):
+
+    - unchanged definition → refresh (every mode);
+    - changed + ``apply`` (default) → rebuild with the new definition;
+    - changed + ``continue`` → warn once and keep the existing MV;
+    - changed + ``fail`` → error.
+
+    The definition fingerprint (compiled SQL + layout configs) persists
+    as a table property, so drift detection survives across processes —
+    the analog of the reference's describe-then-diff configuration
+    changeset."""
+    fp = _mv_fingerprint(node, sql)
     on_change = node.config.get("on_configuration_change", "apply")
     if R.relation_exists(spark, rel):
-        if on_change == "continue":
-            return 0
-        if on_change == "fail":
-            raise ExecutionError(
-                f"{node.name}: materialized view exists and "
-                f"on_configuration_change='fail'"
-            )
-    return materialize_table(spark, node, rel, sql)
+        old = _table_property(spark, rel, _MV_FP_PROP)
+        if old is not None and old != fp:
+            if on_change == "continue":
+                logger.warning(
+                    "%s: materialized-view definition changed but "
+                    "on_configuration_change='continue' — keeping the "
+                    "existing relation (refresh skipped)", node.unique_id,
+                )
+                return 0
+            if on_change == "fail":
+                raise ExecutionError(
+                    f"{node.name}: materialized-view definition changed and "
+                    f"on_configuration_change='fail'"
+                )
+    n = materialize_table(spark, node, rel, sql)
+    spark.sql(
+        f"ALTER TABLE {rel} SET TBLPROPERTIES('{_MV_FP_PROP}'='{fp}')"
+    )
+    return n
 
 
 # --------------------------------------------------------------------------

@@ -502,3 +502,46 @@ def test_unit_tests_in_dag(spark, schema, sf_dir):
     by_id2 = {r.unique_id: r for r in bres.results}
     assert by_id2["unit_test.tk.ut_doubler_bad"].status == "fail"
     assert by_id2["model.tk.doubler"].status == "skipped"
+
+
+def test_materialized_view_config_change_modes(spark, schema, sf_dir):
+    """on_configuration_change gates DEFINITION drift, not refresh
+    (ref: OnConfigurationChange v1/config.py:110-112,
+    tests/functional/adapter/materialized_view/): unchanged always
+    refreshes; changed -> apply rebuilds / continue keeps / fail errors."""
+    import pytest
+
+    p = base_project(sf_dir)
+    p.models["mv2"] = (
+        "{{ config(materialized='materialized_view') }}"
+        "select status, count(*) as n from {{ ref('stg') }} group by status"
+    )
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run(select="+mv2").ok()
+    assert "n" in spark.table(f"{schema}.mv2").columns
+
+    # changed definition + continue -> old definition kept
+    p.models["mv2"] = (
+        "{{ config(materialized='materialized_view', on_configuration_change='continue') }}"
+        "select status, count(*) as n2 from {{ ref('stg') }} group by status"
+    )
+    eng2 = Engine(spark, p, schema=schema)
+    assert eng2.run(select="+mv2").ok()
+    assert "n" in spark.table(f"{schema}.mv2").columns  # NOT rebuilt
+
+    # changed + fail -> error status
+    p.models["mv2"] = p.models["mv2"].replace("'continue'", "'fail'")
+    eng3 = Engine(spark, p, schema=schema)
+    r = eng3.run(select="+mv2")
+    mv_res = r.by_id["model.tk.mv2"]
+    assert mv_res.status == "error"
+    assert "on_configuration_change" in mv_res.message
+
+    # changed + apply (default) -> rebuilt with the new definition
+    p.models["mv2"] = (
+        "{{ config(materialized='materialized_view') }}"
+        "select status, count(*) as n2 from {{ ref('stg') }} group by status"
+    )
+    eng4 = Engine(spark, p, schema=schema)
+    assert eng4.run(select="+mv2").ok()
+    assert "n2" in spark.table(f"{schema}.mv2").columns
