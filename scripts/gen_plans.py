@@ -96,6 +96,22 @@ PICKS = {
         "SemDeDup — centroid assignment is one broadcast pass with a "
         "min-struct argmin; the quadratic step is an equi-join on the "
         "cell key (bounded by cell size), never corpus-cartesian."),
+    "epoch_shuffle_docs": (
+        "Deterministic epoch shuffle — a single hash-partitioned "
+        "exchange and a per-shard row_number; NO range partitioning "
+        "(global sort) anywhere."),
+    "mixture_sample_docs": (
+        "Source-mixture downsampling — per-row integer hash compare "
+        "under broadcasts of the tiny counts/weights/budget sides; the "
+        "corpus path has no window and no sort-merge join."),
+    "tokenize_docs": (
+        "Vocabulary tokenization — posexplode + ONE join against the "
+        "broadcast vocabulary (itself built with the per-partition "
+        "top-V prefilter); OOV coalesce is a row expression."),
+    "pool_embeddings_by_label": (
+        "Embedding mean-pooling — posexplode then one (group, pos) "
+        "aggregate with map-side partial agg over exact decimals; no "
+        "arrays through the exchange."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",
