@@ -268,6 +268,92 @@ def _sharded_topk_blas(
     )
 
 
+# Score-matrix budget for the chunked BLAS kernels: ~16M float64 cells
+# ≈ 128 MB per matmul chunk, regardless of how many probe rows a group
+# holds.  Module-level so tests can shrink it to force chunking.
+_MATMUL_BUDGET = 16_000_000
+
+
+def _seal(df: DataFrame) -> DataFrame:
+    """Materialize a DataFrame once and cut its lineage
+    (``localCheckpoint``, MEMORY_AND_DISK) before branched reuse.
+
+    Both BLAS kernels branch their mapInPandas assignment pass several
+    ways (per-cell counts, then the member and probe block sides);
+    without sealing, Catalyst replays the full Arrow/Python pass once
+    PER BRANCH — a measured ~3× on the kernels' most expensive stage.
+    Same pattern as the per-iteration seal in
+    dedup.connected_components.
+
+    Lazy (eager=False): the first downstream job (the tiny per-cell
+    count aggregate) materializes and persists the partitions; every
+    later branch reads the cached blocks — one fewer full job than an
+    eager checkpoint, same single execution of the Python pass."""
+    return df.localCheckpoint(eager=False)
+
+
+def _skew_split_2d(
+    members: DataFrame,
+    probes: DataFrame,
+    max_cell_rows: int,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """2-D block a per-cell member × probe pairing so no pandas frame
+    materializes more than ``max_cell_rows`` rows of EITHER side, no
+    matter how hot a cell is.
+
+    Both inputs carry (id, v, cell).  Per cell, members hash into
+    ``ns = ceil(|members| / cap)`` member-blocks and probes into
+    ``np = ceil(|probes| / cap)`` probe-blocks; each member row
+    replicates to every probe-block and vice versa, so every
+    (member-block, probe-block) pair meets in exactly one
+    ``(cell, msub, psub)`` group — the standard blocked-matmul
+    decomposition.  A (probe p, member m) pair is observed in exactly
+    one group: ``(cell, hash(m) % ns, hash(p) % np)``.
+
+    In the common un-skewed case ns = np = 1: zero replication, plain
+    per-cell grouping.  Replication cost for a hot cell is members×np +
+    probes×ns — linear in the blocking factor, the unavoidable cost of
+    a bounded blocked product (vs the previous one-sided split, which
+    bounded members but put the ENTIRE probe side in every subcell).
+    Per-cell counts are a tiny aggregate broadcast to both sides.
+
+    ``counts`` may supply a precomputed (cell, _mc, _pc) frame so the
+    caller can derive both sides' counts in ONE pass over its sealed
+    input (both kernels do) instead of two aggregate scans here.
+
+    Returns the union frame (id, v, cell, msub, psub, is_member) to be
+    grouped by ``("cell", "msub", "psub")``."""
+    if counts is None:
+        mc = members.groupBy("cell").agg(F.count("*").alias("_mc"))
+        pc = probes.groupBy("cell").agg(F.count("*").alias("_pc"))
+        counts = mc.join(pc, "cell", "full_outer")
+    blocks = counts.select(
+        "cell",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.coalesce(F.col("_mc"), F.lit(0)) / F.lit(max_cell_rows)),
+        ).cast("int").alias("_ns"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.coalesce(F.col("_pc"), F.lit(0)) / F.lit(max_cell_rows)),
+        ).cast("int").alias("_np"),
+    )
+    m = members.join(F.broadcast(blocks), "cell").select(
+        "id", "v", "cell",
+        F.pmod(F.xxhash64("id"), F.col("_ns")).cast("int").alias("msub"),
+        F.explode(F.sequence(F.lit(0), F.col("_np") - 1)).alias("psub"),
+        F.lit(True).alias("is_member"),
+    )
+    p = probes.join(F.broadcast(blocks), "cell").select(
+        "id", "v", "cell",
+        F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)).alias("msub"),
+        F.pmod(F.xxhash64("id"), F.col("_np")).cast("int").alias("psub"),
+        F.lit(False).alias("is_member"),
+    )
+    return m.unionByName(p)
+
+
 def ivf_topk_blas(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -285,23 +371,29 @@ def ivf_topk_blas(
        index-build step; FAISS trains on a sample the same way),
     2. one ``mapInPandas`` pass assigns every vector its cell and its
        ``n_probe`` query cells (matmul against broadcast centroids),
-    3. ONE shuffle on ``(cell, subcell)``; ``applyInPandas`` scores each
-       group's queries against its members with a single matmul + local
-       top-k.  **Skew cap**: a cell with more than ``max_cell_rows``
-       members (skewed corpus → hot cell) is re-split by a secondary
-       hash of the member id into ``ceil(n/max_cell_rows)`` subcells,
-       with that cell's queries replicated to every subcell — each
-       pandas frame stays bounded by ``max_cell_rows`` members no
-       matter how skewed the corpus is, and the per-subcell top-k →
-       global merge stays exact (a global top-k member is top-k in its
-       own subcell a fortiori),
-    4. a tiny global window merges the ≤ n_probe·k candidates per query.
+    3. ONE shuffle on ``(cell, msub, psub)``; ``applyInPandas`` scores
+       each group's queries against its members with chunked matmuls +
+       local top-k.  **Skew cap (2-D)**: a hot cell is blocked on BOTH
+       sides — members hash into ``ceil(members/max_cell_rows)``
+       member-blocks, probes into ``ceil(probes/max_cell_rows)``
+       probe-blocks, and every block pair meets in exactly one group
+       (``_skew_split_2d``) — so no pandas frame holds more than
+       ``max_cell_rows`` rows of either side however skewed the corpus
+       is.  Inside the kernel the score matrix is chunked to
+       ``_MATMUL_BUDGET`` cells (~128 MB), so peak memory is bounded by
+       the frame rows + one chunk.  The per-block top-k → global merge
+       stays exact (a global top-k member is top-k in its own block a
+       fortiori),
+    4. a tiny global window merges the per-block candidates per query.
 
     Only step 3 touches the full data and it shuffles each vector
-    ~n_probe+1 times (plus replication into split subcells) — no
-    pairwise blowup, BLAS throughput per cell.  With kmeans_iters=0 the
-    centroids are the deterministic id-ordered seed sample and the whole
-    path has an exact SQL oracle (see ann_ivf_blas_topk_embeddings)."""
+    ~n_probe+1 times (plus replication into hot-cell blocks) — no
+    pairwise blowup, BLAS throughput per cell.  The assignment pass is
+    sealed (``_seal``/localCheckpoint) before the count/member/probe
+    branches so the Arrow/Python pass executes ONCE, not once per
+    branch.  With kmeans_iters=0 the centroids are the deterministic
+    id-ordered seed sample and the whole path has an exact SQL oracle
+    (see ann_ivf_blas_topk_embeddings)."""
     import numpy as np
     import pandas as pd
 
@@ -312,8 +404,11 @@ def ivf_topk_blas(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
     # -- 1. fit centroids on a deterministic bounded sample ----------------
+    # (sampled from the raw scan, not the repartitioned base — the fit
+    # is a driver-side limit job, parallelism buys it nothing)
     sample = np.array(
-        base.orderBy("id").limit(fit_sample).toPandas()["v"].tolist(),
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id").limit(fit_sample).toPandas()["v"].tolist(),
         dtype=np.float64,
     )
     Sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
@@ -345,39 +440,27 @@ def ivf_topk_blas(
                                 int(c), r == 0))
             yield pd.DataFrame(out, columns=["id", "v", "cell", "is_member"])
 
-    routed = base.mapInPandas(
-        assign, schema="id long, v array<double>, cell int, is_member boolean"
+    routed = _seal(
+        base.mapInPandas(
+            assign, schema="id long, v array<double>, cell int, is_member boolean"
+        )
     )
 
     # -- 3. skew-capped per-cell matmul + local top-k -----------------------
-    # hot-cell re-split: member count per cell is a tiny broadcast; a
-    # cell over the cap hashes its members into subcells and replicates
-    # its queries to each, so no pandas frame ever materializes more
-    # than max_cell_rows members
-    counts = routed.filter(F.col("is_member")).groupBy("cell").agg(
-        F.count("*").alias("_cn")
+    # every routed row is a (query, probed-cell) pair — the probe side;
+    # the is_member rows are the cell's members.  2-D block both sides
+    # so hot cells stay bounded (see _skew_split_2d); both counts come
+    # from one aggregate pass over the sealed assign output.
+    counts = routed.groupBy("cell").agg(
+        F.count(F.when(F.col("is_member"), 1)).alias("_mc"),
+        F.count("*").alias("_pc"),
     )
-    split = routed.join(F.broadcast(counts), "cell", "left").withColumn(
-        "_ns",
-        F.greatest(
-            F.lit(1),
-            F.ceil(F.coalesce(F.col("_cn"), F.lit(0)) / F.lit(max_cell_rows)),
-        ).cast("int"),
+    grouped = _skew_split_2d(
+        routed.filter(F.col("is_member")).select("id", "v", "cell"),
+        routed.select("id", "v", "cell"),
+        max_cell_rows,
+        counts=counts,
     )
-    members = split.filter(F.col("is_member")).select(
-        "id", "v", "cell",
-        F.pmod(F.xxhash64("id"), F.col("_ns")).cast("int").alias("sub"),
-        F.lit(True).alias("is_member"),
-    )
-    # every routed row is a (query, probed-cell) pair; replicate to all
-    # subcells of that cell (exact within-cell search must visit every
-    # member)
-    probes_q = split.select(
-        "id", "v", "cell",
-        F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)).alias("sub"),
-        F.lit(False).alias("is_member"),
-    )
-    grouped = members.unionByName(probes_q)
 
     def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         members = pdf[pdf["is_member"]]
@@ -387,21 +470,27 @@ def ivf_topk_blas(
         mid = members["id"].to_numpy()
         M = np.array(members["v"].tolist(), dtype=np.float64)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        qid = qs["id"].to_numpy()
+        qid_all = qs["id"].to_numpy()
         Q = np.array(qs["v"].tolist(), dtype=np.float64)
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        S = Qn @ Mn.T
-        S[qid[:, None] == mid[None, :]] = -np.inf
-        kk = min(k, S.shape[1])
-        part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+        Qn_all = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         rows = []
-        for i in range(len(qid)):
-            for c in part[i]:
-                if np.isfinite(S[i, c]):
-                    rows.append((int(qid[i]), int(mid[c]), float(S[i, c])))
+        # chunk the probe side so the score matrix stays ~_MATMUL_BUDGET
+        # cells; per-query top-k is unaffected (each query's full member
+        # row is computed within its chunk)
+        step = max(1, _MATMUL_BUDGET // max(1, len(mid)))
+        for s in range(0, len(qid_all), step):
+            qid = qid_all[s:s + step]
+            S = Qn_all[s:s + step] @ Mn.T
+            S[qid[:, None] == mid[None, :]] = -np.inf
+            kk = min(k, S.shape[1])
+            part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+            for i in range(len(qid)):
+                for c in part[i]:
+                    if np.isfinite(S[i, c]):
+                        rows.append((int(qid[i]), int(mid[c]), float(S[i, c])))
         return pd.DataFrame(rows, columns=["query_id", "nbr_id", "cosine"])
 
-    scored = grouped.groupBy("cell", "sub").applyInPandas(
+    scored = grouped.groupBy("cell", "msub", "psub").applyInPandas(
         score_cell, schema="query_id long, nbr_id long, cosine double"
     )
 
@@ -755,14 +844,16 @@ def semantic_dedup_blas(
        identical to ``semantic_dedup``'s because cosine is
        norm-invariant),
     2. one ``mapInPandas`` pass assigns every vector its best cell,
-    3. ONE shuffle on ``(cell, subcell)``; ``applyInPandas`` computes
-       each group's pairwise cosine matrix with a single matmul and
-       emits (lower_id, higher_id) pairs at ≥ tau.  **Skew cap**: a hot
-       cell re-splits members by a secondary id-hash into bounded
-       subcells, with every member ALSO replicated as a probe to each
-       subcell — pair (a,b) is always observed in b's subcell, so the
-       within-cell pair set stays complete while no pandas frame
-       exceeds ``max_cell_rows`` members,
+    3. ONE shuffle on ``(cell, msub, psub)``; ``applyInPandas`` computes
+       each group's probe × member cosine block with chunked matmuls
+       and emits (lower_id, higher_id) pairs at ≥ tau.  **Skew cap
+       (2-D)**: a hot cell is blocked on BOTH sides by
+       ``_skew_split_2d`` — pair (a, b) with a < b is observed exactly
+       once, in group ``(cell, hash(b) % ns, hash(a) % np)`` — so the
+       within-cell pair set stays complete while no pandas frame holds
+       more than ``max_cell_rows`` rows of either side, and the score
+       matrix is chunked to ``_MATMUL_BUDGET`` cells.  The assignment
+       pass is sealed (``_seal``) before branching so it executes once,
     4. keeper selection is the same min-struct aggregate as the fold
        variant.
 
@@ -778,7 +869,12 @@ def semantic_dedup_blas(
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
-    spdf = base.orderBy("id").limit(fit_sample).toPandas()
+    # sample from the raw scan, not the repartitioned base (driver-side
+    # limit job — parallelism buys it nothing)
+    spdf = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id").limit(fit_sample).toPandas()
+    )
     sample = np.array(spdf["v"].tolist(), dtype=np.float64)
     # cells keep the fold variant's labels: the seed centroid's original
     # id (seed_cents convention — what the shared SQL oracle emits)
@@ -809,26 +905,18 @@ def semantic_dedup_blas(
                 "cell": cell,
             })
 
-    routed = base.mapInPandas(assign, schema="id long, v array<double>, cell long")
+    routed = _seal(
+        base.mapInPandas(assign, schema="id long, v array<double>, cell long")
+    )
 
-    counts = routed.groupBy("cell").agg(F.count("*").alias("_cn"))
-    split = routed.join(F.broadcast(counts), "cell").withColumn(
-        "_ns",
-        F.greatest(
-            F.lit(1), F.ceil(F.col("_cn") / F.lit(max_cell_rows))
-        ).cast("int"),
+    # members and probes are the SAME rows (within-cell all-pairs);
+    # 2-D blocking keeps both sides of every frame bounded, with one
+    # shared count pass over the sealed assign output
+    sided = routed.select("id", "v", "cell")
+    counts = routed.groupBy("cell").agg(F.count("*").alias("_mc")).withColumn(
+        "_pc", F.col("_mc")
     )
-    members = split.select(
-        "id", "v", "cell",
-        F.pmod(F.xxhash64("id"), F.col("_ns")).cast("int").alias("sub"),
-        F.lit(True).alias("is_member"),
-    )
-    probes = split.select(
-        "id", "v", "cell",
-        F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)).alias("sub"),
-        F.lit(False).alias("is_member"),
-    )
-    grouped = members.unionByName(probes)
+    grouped = _skew_split_2d(sided, sided, max_cell_rows, counts=counts)
 
     def pair_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         mem = pdf[pdf["is_member"]]
@@ -841,21 +929,26 @@ def semantic_dedup_blas(
         mid = mem["id"].to_numpy()
         Mn = np.array(mem["v"].tolist(), dtype=np.float64)
         Mn /= np.linalg.norm(Mn, axis=1, keepdims=True)
-        pid = pr["id"].to_numpy()
-        Pn = np.array(pr["v"].tolist(), dtype=np.float64)
-        Pn /= np.linalg.norm(Pn, axis=1, keepdims=True)
-        S = Pn @ Mn.T
-        # ordered pairs only: probe id strictly below member id
-        ii, jj = np.nonzero((S >= tau) & (pid[:, None] < mid[None, :]))
+        pid_all = pr["id"].to_numpy()
+        Pn_all = np.array(pr["v"].tolist(), dtype=np.float64)
+        Pn_all /= np.linalg.norm(Pn_all, axis=1, keepdims=True)
         cell = int(pdf["cell"].iloc[0])
-        return pd.DataFrame({
-            "id_a": pid[ii].astype("int64"),
-            "id_b": mid[jj].astype("int64"),
-            "cosine": S[ii, jj],
-            "cell": np.full(len(ii), cell, dtype="int64"),
-        })
+        frames = []
+        step = max(1, _MATMUL_BUDGET // max(1, len(mid)))
+        for s in range(0, len(pid_all), step):
+            pid = pid_all[s:s + step]
+            S = Pn_all[s:s + step] @ Mn.T
+            # ordered pairs only: probe id strictly below member id
+            ii, jj = np.nonzero((S >= tau) & (pid[:, None] < mid[None, :]))
+            frames.append(pd.DataFrame({
+                "id_a": pid[ii].astype("int64"),
+                "id_b": mid[jj].astype("int64"),
+                "cosine": S[ii, jj],
+                "cell": np.full(len(ii), cell, dtype="int64"),
+            }))
+        return pd.concat(frames, ignore_index=True)
 
-    pairs = grouped.groupBy("cell", "sub").applyInPandas(
+    pairs = grouped.groupBy("cell", "msub", "psub").applyInPandas(
         pair_cell, schema="id_a long, id_b long, cosine double, cell long"
     )
     return (

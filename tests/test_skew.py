@@ -89,3 +89,52 @@ def test_ivf_blas_hot_cell_resplit_exact(spark):
     b = sorted(map(tuple, uncapped.collect()))
     assert a == b
     assert len(a) == 220 * 3
+
+
+def test_blas_kernels_seal_assign_pass(spark):
+    """The mapInPandas assignment pass must execute ONCE: after _seal
+    (localCheckpoint) the final plan scans the materialized RDD and
+    contains no MapInPandas — without the seal it appeared 3× (counts +
+    member side + probe side), tripling the most expensive stage."""
+    import math
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_topk_blas,
+        semantic_dedup_blas,
+    )
+
+    rows = [(i, [math.sin(i * 0.3 + d) for d in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for out in (
+        ivf_topk_blas(df, k=2, n_cells=4, n_probe=2, kmeans_iters=0),
+        semantic_dedup_blas(df, tau=0.99, n_cells=4, kmeans_iters=0),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan, plan
+        assert "FlatMapGroupsInPandas" in plan  # the scoring kernel remains
+        assert "Scan ExistingRDD" in plan  # the sealed assign output
+
+
+def test_blas_chunked_matmul_exact(spark, monkeypatch):
+    """Shrinking _MATMUL_BUDGET to force many probe chunks must not
+    change any result (chunking only bounds peak matrix memory)."""
+    import math
+
+    import dbt_core_spark.operators.similarity as sim
+
+    rows = [(i, [math.sin(i * 0.3 + d) for d in range(4)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(k=3, n_cells=4, n_probe=2, kmeans_iters=0)
+    whole = sorted(map(tuple, sim.ivf_topk_blas(df, **kw).collect()))
+    sd_whole = sorted(map(tuple, sim.semantic_dedup_blas(
+        df, tau=0.99, n_cells=4, kmeans_iters=0).collect()))
+
+    monkeypatch.setattr(sim, "_MATMUL_BUDGET", 8)  # ~2-row chunks
+    chunked = sorted(map(tuple, sim.ivf_topk_blas(df, **kw).collect()))
+    sd_chunked = sorted(map(tuple, sim.semantic_dedup_blas(
+        df, tau=0.99, n_cells=4, kmeans_iters=0).collect()))
+
+    assert chunked == whole
+    assert sd_chunked == sd_whole
