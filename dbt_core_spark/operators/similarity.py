@@ -16,9 +16,12 @@ Engine extension (driver north star).  Three tiers:
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -274,6 +277,25 @@ def _sharded_topk_blas(
 _MATMUL_BUDGET = 16_000_000
 
 
+def _resolve_n_cells(
+    df: DataFrame, n_cells: int | None, max_cell_rows: int
+) -> tuple[int, int | None]:
+    """Auto-size the coarse-cell count when the caller didn't pin one.
+
+    ``n_cells = max(16, ceil(rows / max_cell_rows))`` keeps the expected
+    cell population ≤ ``max_cell_rows``, so the within-cell quadratic /
+    per-cell matmul stays bounded without tuning — the SemDeDup paper
+    runs 10k+ clusters at corpus scale for the same reason, and a 10×
+    corpus automatically gets 10× cells.  Costs one count() job; pass
+    ``n_cells`` explicitly to skip it.
+
+    Returns ``(n_cells, rows)`` — rows is None when not counted."""
+    if n_cells is not None:
+        return n_cells, None
+    rows = df.count()
+    return max(16, -(-rows // max_cell_rows)), rows
+
+
 def _seal(df: DataFrame) -> DataFrame:
     """Materialize a DataFrame once and cut its lineage
     (``localCheckpoint``, MEMORY_AND_DISK) before branched reuse.
@@ -359,7 +381,7 @@ def ivf_topk_blas(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
     kmeans_iters: int = 10,
     fit_sample: int = 4096,
@@ -399,6 +421,8 @@ def ivf_topk_blas(
 
     from dbt_core_spark.operators.dedup import ensure_parallelism
 
+    n_cells, _ = _resolve_n_cells(df, n_cells, max_cell_rows)
+    fit_sample = max(fit_sample, n_cells)  # seed needs ≥ n_cells rows
     spark = df.sparkSession
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -642,14 +666,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
     kmeans_iters: int = 2,
+    max_cell_rows: int = 100_000,
 ) -> DataFrame:
     """IVF-flat: coarse k-means cells (deterministic seed sample refined
     by ``kmeans_iters`` Lloyd iterations); each vector assigned to its
     nearest cell; each query probes its ``n_probe`` nearest cells only.
     (Approximate; no SQL oracle.)
+
+    ``n_cells=None`` auto-sizes to ``max(16, ceil(rows /
+    max_cell_rows))`` (one count() job); pass n_cells to skip.
 
     Scale shape: cell ranking shuffles only (id, cell, cos) — vectors are
     re-attached by an id-join afterwards, so the wide arrays never go
@@ -657,6 +685,7 @@ def ivf_topk(
     (bounded by n_probe × n/n_cells candidates per query)."""
     from dbt_core_spark.operators.dedup import ensure_parallelism
 
+    n_cells, _ = _resolve_n_cells(df, n_cells, max_cell_rows)
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).withColumn("vn", _norm(F.col("v")))
@@ -744,8 +773,9 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     tau: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     kmeans_iters: int = 0,
+    max_cell_rows: int = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public): cluster embeddings into coarse k-means cells, then WITHIN
@@ -758,8 +788,13 @@ def semantic_dedup(
     / templated near-duplicates that share no shingles.
 
     Scale shape: the quadratic step is confined within cells — exactly
-    the SemDeDup design (cells bound the pair count to Σ|cell|²; pick
-    n_cells so cells hold ~1e4-1e5 vectors at your scale).  Cell
+    the SemDeDup design (cells bound the pair count to Σ|cell|²).
+    ``n_cells=None`` (default) auto-sizes to ``max(16, ceil(rows /
+    max_cell_rows))`` so expected cell population stays bounded without
+    tuning (one count() job); an explicit ``n_cells`` that leaves
+    ``rows / n_cells > max_cell_rows`` logs a brute-force-scale warning
+    (this fold variant has no hot-cell re-split — use
+    ``semantic_dedup_blas`` for frames bounded by construction).  Cell
     assignment is one broadcast-centroid pass over the corpus with a
     min-struct argmin (partial agg, no window); the within-cell
     self-join shuffles both sides on the cell key only.  With
@@ -767,6 +802,18 @@ def semantic_dedup(
     by id — fully deterministic, which is what the SQL oracle mirrors
     (same convention as ivf_topk's oracle).
     """
+    n_cells, rows = _resolve_n_cells(df, n_cells, max_cell_rows)
+    if rows is None:
+        rows = df.count()
+    if rows / n_cells > max_cell_rows:
+        logger.warning(
+            "semantic_dedup: %d rows over %d cells averages %.0f rows/cell "
+            "(> max_cell_rows=%d) — the within-cell pair step is "
+            "effectively brute-force at this density; raise n_cells (or "
+            "pass n_cells=None to auto-size), or use semantic_dedup_blas "
+            "whose 2-D hot-cell split bounds frames by construction.",
+            rows, n_cells, rows / n_cells, max_cell_rows,
+        )
     base = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("vn", _norm(F.col("v")))
@@ -831,7 +878,7 @@ def semantic_dedup_blas(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     tau: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     kmeans_iters: int = 0,
     fit_sample: int = 4096,
     max_cell_rows: int = 100_000,
@@ -857,6 +904,9 @@ def semantic_dedup_blas(
     4. keeper selection is the same min-struct aggregate as the fold
        variant.
 
+    ``n_cells=None`` (default) auto-sizes to ``max(16, ceil(rows /
+    max_cell_rows))`` — one count() job; pass n_cells to skip it.
+
     Float path differs from the fold variant only in summation order
     (BLAS vs sequential) — identical after 6-dp rounding, same oracle.
     """
@@ -865,6 +915,8 @@ def semantic_dedup_blas(
 
     from dbt_core_spark.operators.dedup import ensure_parallelism
 
+    n_cells, _ = _resolve_n_cells(df, n_cells, max_cell_rows)
+    fit_sample = max(fit_sample, n_cells)  # seed needs ≥ n_cells rows
     spark = df.sparkSession
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

@@ -225,3 +225,68 @@ def test_pool_embeddings_mean(spark):
            for r in pool_embeddings(df, group_col="label").collect()}
     assert got == {("a", 0): 2.0, ("a", 1): 3.0,
                    ("b", 0): 10.0, ("b", 1): 0.0}
+
+
+def test_auto_n_cells_scales_with_corpus(spark):
+    """n_cells=None auto-sizes to max(16, ceil(rows/max_cell_rows)):
+    a 10x corpus gets 10x cells, so the within-cell quadratic stays
+    bounded without caller tuning."""
+    from dbt_core_spark.operators.similarity import _resolve_n_cells
+
+    small = spark.range(2000).selectExpr("id as vec_id")
+    big = spark.range(20000).selectExpr("id as vec_id")
+    n_small, rows_small = _resolve_n_cells(small, None, 100)
+    n_big, rows_big = _resolve_n_cells(big, None, 100)
+    assert (n_small, rows_small) == (20, 2000)
+    assert (n_big, rows_big) == (200, 20000)
+    assert n_big == 10 * n_small
+    # floor of 16 cells, and explicit n_cells passes through uncounted
+    assert _resolve_n_cells(spark.range(10), None, 100) == (16, 10)
+    assert _resolve_n_cells(big, 7, 100) == (7, None)
+
+
+def test_auto_n_cells_end_to_end(spark):
+    import math
+
+    from dbt_core_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_blas,
+    )
+
+    vecs = [(i, [math.sin(i * 0.7 + d) for d in range(4)]) for i in range(40)]
+    vecs += [(100 + i, [x + 1e-4 for x in v]) for i, v in vecs[:4]]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    # auto (rows=44 < max_cell_rows -> 16-cell floor) vs pinned 16:
+    # identical results
+    auto = {tuple(r) for r in
+            semantic_dedup(df, tau=0.999, kmeans_iters=0).collect()}
+    pinned = {tuple(r) for r in
+              semantic_dedup(df, tau=0.999, n_cells=16,
+                             kmeans_iters=0).collect()}
+    assert auto == pinned and len(auto) >= 4
+    blas = {tuple(r) for r in
+            semantic_dedup_blas(df, tau=0.999, kmeans_iters=0).collect()}
+    assert blas == pinned
+
+
+def test_semantic_dedup_scale_warning(spark, caplog):
+    """An explicit n_cells that leaves rows/n_cells > max_cell_rows must
+    log the brute-force-scale warning (parity with cosine_pairs'
+    documented scale caveat); a well-sized call must not."""
+    import logging
+    import math
+
+    from dbt_core_spark.operators.similarity import semantic_dedup
+
+    vecs = [(i, [math.sin(i * 0.7 + d) for d in range(4)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    with caplog.at_level(logging.WARNING,
+                         logger="dbt_core_spark.operators.similarity"):
+        semantic_dedup(df, tau=0.999, n_cells=2, kmeans_iters=0,
+                       max_cell_rows=5).count()
+    assert any("brute-force" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="dbt_core_spark.operators.similarity"):
+        semantic_dedup(df, tau=0.999, n_cells=16, kmeans_iters=0).count()
+    assert not any("brute-force" in r.message for r in caplog.records)
