@@ -249,12 +249,15 @@ def mixture_sample(
     All integer math — bit-exact in any engine.  Scale shape: per-source
     counts are a tiny aggregate broadcast back; the keep decision is a
     per-row hash compare — shuffle-free on the corpus, the same shape as
-    stratified_sample.  Sources absent from ``weights_ppm`` are dropped
-    (weight 0).
+    stratified_sample.  Sources absent from ``weights_ppm`` — or given a
+    weight ≤ 0 — are dropped (the inner join below excludes them, and
+    filtering them here keeps the budget division away from w=0, which
+    would otherwise null/DIVIDE_BY_ZERO under ANSI mode).
     """
     wdf = F.broadcast(
         df.sparkSession.createDataFrame(
-            [(s, int(w)) for s, w in sorted(weights_ppm.items())],
+            [(s, int(w)) for s, w in sorted(weights_ppm.items())
+             if int(w) > 0],
             f"{source_col} string, w_ppm bigint",
         )
     )

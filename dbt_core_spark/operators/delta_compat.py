@@ -68,18 +68,31 @@ def merge_build_sql(
     SQL shape is unit-testable without a Delta runtime).
 
     ``extra_conditions`` carries ``incremental_predicates`` (raw SQL
-    against alias ``t``/``DBT_INTERNAL_DEST`` per the reference contract,
-    v1/config.py incremental_predicates) ANDed into the match condition —
-    at 100 TB these prune the target-side file scan before the join."""
+    against the ``DBT_INTERNAL_DEST``/``DBT_INTERNAL_SOURCE`` aliases
+    per the reference contract, v1/config.py incremental_predicates,
+    rewritten to the local ``t``/``s`` aliases) ANDed into the match
+    condition — at 100 TB these prune the target-side file scan before
+    the join.
+
+    When every non-key column is excluded (``update_cols`` empty) the
+    WHEN MATCHED clause is omitted entirely, matching the reference's
+    merge macro (an empty UPDATE SET list is invalid SQL)."""
     cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
     for p in extra_conditions or []:
-        cond += f" AND ({p.replace('DBT_INTERNAL_DEST', 't')})"
-    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+        rewritten = (
+            p.replace("DBT_INTERNAL_DEST", "t")
+            .replace("DBT_INTERNAL_SOURCE", "s")
+        )
+        cond += f" AND ({rewritten})"
     ins_cols = ", ".join(insert_cols)
     ins_vals = ", ".join(f"s.{c}" for c in insert_cols)
+    matched = ""
+    if update_cols:
+        sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
     return (
         f"MERGE INTO {target_rel} t USING {source_view} s ON {cond} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
 

@@ -127,7 +127,9 @@ def materialize_incremental(
             _delta_merge(spark, node, rel, df, unique_key)
             return -1
         if partition_by and _table_partition_cols(spark, rel) == partition_by:
-            _partition_scoped_merge(spark, node, rel, df, unique_key, partition_by)
+            _partition_scoped_merge(
+                spark, node, rel, df, unique_key, partition_by, fmt
+            )
             return -1
         _warn_unpartitioned_full_rewrite(spark, node, rel)
         merged = _merge_frames(
@@ -138,7 +140,12 @@ def materialize_incremental(
             incremental_predicates=_as_list(node.config.get("incremental_predicates")),
             delete_insert=(strategy == "delete+insert"),
         )
-        R.rebuild_table(spark, rel, merged, partition_by=partition_by)
+        # thread the EFFECTIVE format through the rewrite: a delta table
+        # merged via delete+insert/fallback must come back as delta, not
+        # silently flip to parquet (losing the Delta log/history)
+        R.rebuild_table(
+            spark, rel, merged, partition_by=partition_by, file_format=fmt
+        )
         return -1
 
     raise ExecutionError(f"unknown incremental_strategy '{strategy}'")
@@ -269,6 +276,7 @@ def _partition_scoped_merge(
     df: DataFrame,
     unique_key: list[str],
     partition_by: list[str],
+    file_format: str = "parquet",
 ) -> None:
     """Merge that rewrites ONLY the partitions the increment touches.
 
@@ -318,7 +326,7 @@ def _partition_scoped_merge(
     tmp = f"{rel}__dbt_increment_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     target_cols = [f.name for f in target.schema.fields]
-    merged.select(*target_cols).write.format("parquet").saveAsTable(tmp)
+    merged.select(*target_cols).write.format(file_format).saveAsTable(tmp)
     try:
         out = spark.table(tmp)
         old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

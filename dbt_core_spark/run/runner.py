@@ -131,7 +131,11 @@ class GraphRunner:
         if self.on_event is None:
             return
         try:
-            self.on_event(ev.to_dict())
+            # legacy contract: the flat dict keeps the ORIGINAL event
+            # name ("NodeFinish", not the typed "NodeFinished") so
+            # pre-typed consumers matching on it keep working; the
+            # typed code/level/msg keys are additive
+            self.on_event({**ev.to_dict(), "event": event})
         except Exception:
             pass  # observability must never fail the run
 

@@ -290,3 +290,22 @@ def test_semantic_dedup_scale_warning(spark, caplog):
                          logger="dbt_core_spark.operators.similarity"):
         semantic_dedup(df, tau=0.999, n_cells=16, kmeans_iters=0).count()
     assert not any("brute-force" in r.message for r in caplog.records)
+
+
+def test_mixture_sample_zero_weight_dropped_not_divided(spark):
+    """A weight of 0 (or negative) in weights_ppm means 'drop the
+    source' — it must not reach the budget division (null / ANSI
+    DIVIDE_BY_ZERO) or distort the budget of the surviving sources."""
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(10)],
+        "doc_id int, source string",
+    )
+    out = C.mixture_sample(df, {"a": 1_000_000, "b": 0})
+    rows = out.collect()
+    assert rows and all(r["source"] == "a" for r in rows)
+    # same result as simply omitting the source
+    ref = C.mixture_sample(df, {"a": 1_000_000})
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in ref.collect())
+    # all-zero weights -> empty output, not an error
+    assert C.mixture_sample(df, {"a": 0, "b": -5}).count() == 0

@@ -124,3 +124,23 @@ def test_merge_build_sql_shape():
     assert "ON t.id <=> s.id AND (t.ds > '2024-01-01')" in sql
     assert "UPDATE SET t.name = s.name " in sql  # note/id not updated
     assert "INSERT (id, name, note) VALUES (s.id, s.name, s.note)" in sql
+
+
+def test_merge_build_sql_empty_update_and_source_alias():
+    """Two contract edges: (1) when every non-key column is excluded the
+    WHEN MATCHED clause is omitted entirely (an empty UPDATE SET list is
+    invalid SQL — the reference's merge macro drops the clause); (2)
+    predicates referencing DBT_INTERNAL_SOURCE rewrite to the source
+    alias ``s``."""
+    sql = merge_build_sql("db.tgt", "src_v", ["id"], [], ["id", "name"])
+    assert "WHEN MATCHED" not in sql
+    assert "WHEN NOT MATCHED THEN INSERT (id, name)" in sql
+
+    sql = merge_build_sql(
+        "db.tgt", "src_v", ["id"], ["name"], ["id", "name"],
+        extra_conditions=[
+            "DBT_INTERNAL_SOURCE.ds >= DBT_INTERNAL_DEST.ds"
+        ],
+    )
+    assert "(s.ds >= t.ds)" in sql
+    assert "DBT_INTERNAL" not in sql

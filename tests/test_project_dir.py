@@ -184,7 +184,9 @@ def test_run_events_jsonl(tmp_path, spark, schema):
     # node lifecycle lines are the ones with a unique_id
     kinds = [(e["event"], e["unique_id"]) for e in events if "unique_id" in e]
     assert ("NodeStart", "model.ev.m") in kinds
-    fin = next(e for e in events if e["event"] == "NodeFinished")
+    # the jsonl stream rides the legacy on_event sink, so node
+    # lifecycle lines keep the pre-typed names (NodeFinish)
+    fin = next(e for e in events if e["event"] == "NodeFinish")
     assert fin["status"] == "success" and "ts" in fin
     # typed upgrade: every line carries a code and the run summary fires
     assert all("code" in e for e in events)
