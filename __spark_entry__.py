@@ -1867,6 +1867,52 @@ def bpe_pair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(_t(spark, sf_dir, "documents"), top_n=50)
 
 
+def webdataset_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline — the loader contract a training
+    job actually consumes, end to end: mixture-sample the corpus to the
+    target ppm weights, epoch-shuffle the survivors into (shard, pos),
+    stream them out as WebDataset tar shards (epoch shard = tar shard,
+    key = zero-padded position), read the tars back, and emit the
+    manifest (shard, key, payload md5, doc_id).  Every stage is
+    deterministic (integer/md5 math, byte-stable tars), so the whole
+    composition has an exact DuckDB oracle — the readback manifest must
+    equal the SQL-derived one bit for bit."""
+    import os
+    import shutil
+
+    from dbt_core_spark.operators.corpus import epoch_shuffle, mixture_sample
+    from dbt_core_spark.sources.writers import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    picked = mixture_sample(docs, MIXTURE_PPM, seed=0).select("doc_id")
+    sampled = docs.join(picked, "doc_id")
+    shuf = epoch_shuffle(sampled, seed=42, num_shards=8)
+    staged = sampled.join(shuf, "doc_id").select(
+        "doc_id",
+        "shard",
+        F.format_string("%03d-%08d-%d", "shard", "pos", "doc_id").alias("key"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    path = os.path.join(
+        "/tmp", f"wds_pipeline_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_webdataset_shards(
+        staged, path, n_shards=8, key_col="key", payload_col="payload",
+        meta_cols=["doc_id"], shard_col="shard",
+    )
+    rb = read_webdataset_shards(spark, path)
+    return rb.select(
+        "shard",
+        "key",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.get_json_object("meta", "$.doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
 def tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-application tokenization: build_vocab over the corpus,
     then map every word to its token id (OOV → -1), exploded to
@@ -1922,19 +1968,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (insertion order).  Rotation policy: every round the first-50
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 3: the 4 formerly-red gate rows (now
-    # fixed) + 9 queries touched by this round's sketch/minhash/vocab/
-    # multimodal/merge changes + 6 NEW corpus-composition queries, then
-    # 31 of the 47 r1-verified relational/xdb shapes (unverified in r2).
-    # Past the cap: the r2-verified unchanged queries (r4 re-verifies
-    # them) and 16 r1 shapes whose machinery is redundantly covered
-    # in-window (rotate into r4 first).
+    # two rounds unverified.  Round 4 window: 7 queries touched by this
+    # round's similarity/corpus/merge changes (incl. the NEW composed
+    # WebDataset pipeline), then ALL 19 queries last verified in r1 (two
+    # rounds stale — the rotation debt the r3 verdict flagged), then the
+    # 7 engine_* queries (the runner's event emission changed this
+    # round), then 17 of the 30 remaining r2-verified queries.  Past the
+    # cap: the other 13 r2-verified queries — every one of the 107 is
+    # green within the r3∪r4 union; the 13 deferred lead r5's window.
     return {
         # -- changed this round (must re-verify) --
-        "quantize_embeddings_int8": quantize_embeddings_int8,
-        "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
+        "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
+        "mixture_sample_docs": mixture_sample_docs,
+        "engine_incremental_merge": engine_incremental_merge,
+        # -- r1-stale (green r1 only; two rounds unverified) --
+        "percentiles_by_group": percentiles_by_group,
+        "q22_global_avg_filter": q22_global_avg_filter,
+        "hourly_event_rollup": hourly_event_rollup,
+        "map_struct_status_counts": map_struct_status_counts,
+        "running_revenue_by_customer": running_revenue_by_customer,
+        "rolling_7day_order_totals": rolling_7day_order_totals,
+        "multi_granularity_rollup": multi_granularity_rollup,
+        "stats_by_returnflag": stats_by_returnflag,
+        "dynamic_pivot_events": dynamic_pivot_events,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_or_predicates": q19_or_predicates,
+        "customers_without_orders": customers_without_orders,
+        "rollup_quantity": rollup_quantity,
+        "unpivot_status_counts": unpivot_status_counts,
+        "set_ops_statuses": set_ops_statuses,
+        "generate_series_powers": generate_series_powers,
+        # -- engine surface (runner event emission changed this round) --
+        "engine_snapshot_scd2": engine_snapshot_scd2,
+        "engine_microbatch_day": engine_microbatch_day,
+        "engine_generic_test_failures": engine_generic_test_failures,
+        "engine_insert_overwrite": engine_insert_overwrite,
+        "engine_streaming_table": engine_streaming_table,
+        "engine_python_model": engine_python_model,
+        "engine_view_table_ephemeral": engine_view_table_ephemeral,
+        # -- r2-verified fill (least-recently-verified first-come) --
+        "dedup_exact_docs": dedup_exact_docs,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "dedup_fingerprint_docs": dedup_fingerprint_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "chunk_documents_docs": chunk_documents_docs,
+        "assign_splits_docs": assign_splits_docs,
+        "simhash_docs": simhash_docs,
+        "text_quality_docs": text_quality_docs,
+        "language_id_docs": language_id_docs,
+        "token_counts_docs": token_counts_docs,
+        "cosine_pairs_embeddings": cosine_pairs_embeddings,
+        "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
+        "streaming_hourly_rollup": streaming_hourly_rollup,
+        "multimodal_features_docs": multimodal_features_docs,
+        "quantile_sketch_events": quantile_sketch_events,
+        # ---------------- past the 50-query gate cap ----------------
+        # r2/r3-verified, machinery redundantly covered in-window;
+        # these 13 lead the r5 rotation
+        "dedup_embedding_docs": dedup_embedding_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "cosine_topk_embeddings": cosine_topk_embeddings,
+        "streaming_session_rollup": streaming_session_rollup,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "gopher_repetition_docs": gopher_repetition_docs,
+        "source_cap_docs": source_cap_docs,
+        "boilerplate_ngram_docs": boilerplate_ngram_docs,
+        "decontaminate_docs": decontaminate_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        "pack_sequences_docs": pack_sequences_docs,
+        "xdb_datetime_functions": xdb_datetime_functions,
+        # r3-verified, unchanged this round (r5 re-verifies)
+        "quantize_embeddings_int8": quantize_embeddings_int8,
+        "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
         "build_vocab_docs": build_vocab_docs,
         "bloom_membership_docs": bloom_membership_docs,
         "hll_distinct_events": hll_distinct_events,
@@ -1943,18 +2058,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": incremental_dedup_docs,
         "cc_dedup_docs": cc_dedup_docs,
         "multimodal_decode_wav_ppm": multimodal_decode_wav_ppm,
-        "engine_incremental_merge": engine_incremental_merge,
-        # -- new round-3 corpus-composition operators --
         "line_dedup_docs": line_dedup_docs,
         "ngram_lm_docs": ngram_lm_docs,
         "epoch_shuffle_docs": epoch_shuffle_docs,
-        "mixture_sample_docs": mixture_sample_docs,
         "bpe_pair_docs": bpe_pair_docs,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
         "tokenize_docs": tokenize_docs,
         "pool_embeddings_by_label": pool_embeddings_by_label,
-        # -- r1-verified relational/xdb rotation (no r2 row) --
         "xdb_string_functions": xdb_string_functions,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1983,66 +2092,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_share_suppliers": q20_part_share_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "xdb_arrays": xdb_arrays,
-        # ---------------- past the 50-query gate cap ----------------
-        # r1 shapes redundantly covered in-window: rotate into r4 first
-        # (q22 scalar-subquery machinery rides in-window via q15)
-        "percentiles_by_group": percentiles_by_group,
-        "q22_global_avg_filter": q22_global_avg_filter,
-        "hourly_event_rollup": hourly_event_rollup,
-        "map_struct_status_counts": map_struct_status_counts,
-        "running_revenue_by_customer": running_revenue_by_customer,
-        "rolling_7day_order_totals": rolling_7day_order_totals,
-        "multi_granularity_rollup": multi_granularity_rollup,
-        "stats_by_returnflag": stats_by_returnflag,
-        "dynamic_pivot_events": dynamic_pivot_events,
-        "q4_order_priority": q4_order_priority,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_or_predicates": q19_or_predicates,
-        "customers_without_orders": customers_without_orders,
-        "rollup_quantity": rollup_quantity,
-        "unpivot_status_counts": unpivot_status_counts,
-        "set_ops_statuses": set_ops_statuses,
-        "generate_series_powers": generate_series_powers,
-        # r2-verified, unchanged this round (r4 re-verifies)
-        "engine_snapshot_scd2": engine_snapshot_scd2,
-        "engine_microbatch_day": engine_microbatch_day,
-        "engine_generic_test_failures": engine_generic_test_failures,
-        "engine_insert_overwrite": engine_insert_overwrite,
-        "engine_streaming_table": engine_streaming_table,
-        "engine_python_model": engine_python_model,
-        "engine_view_table_ephemeral": engine_view_table_ephemeral,
-        "dedup_exact_docs": dedup_exact_docs,
-        "dedup_embedding_docs": dedup_embedding_docs,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        "dedup_fingerprint_docs": dedup_fingerprint_docs,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
-        "winnow_fingerprint_docs": winnow_fingerprint_docs,
-        "pii_scrub_docs": pii_scrub_docs,
-        "chunk_documents_docs": chunk_documents_docs,
-        "assign_splits_docs": assign_splits_docs,
-        "simhash_docs": simhash_docs,
-        "simhash_pairs_docs": simhash_pairs_docs,
-        "text_quality_docs": text_quality_docs,
-        "language_id_docs": language_id_docs,
-        "token_counts_docs": token_counts_docs,
-        "cosine_pairs_embeddings": cosine_pairs_embeddings,
-        "cosine_topk_embeddings": cosine_topk_embeddings,
-        "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
-        "streaming_hourly_rollup": streaming_hourly_rollup,
-        "streaming_session_rollup": streaming_session_rollup,
-        "multimodal_features_docs": multimodal_features_docs,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "gopher_repetition_docs": gopher_repetition_docs,
-        "source_cap_docs": source_cap_docs,
-        "boilerplate_ngram_docs": boilerplate_ngram_docs,
-        "decontaminate_docs": decontaminate_docs,
-        "tfidf_top_terms_docs": tfidf_top_terms_docs,
-        "stratified_sample_docs": stratified_sample_docs,
-        "pack_sequences_docs": pack_sequences_docs,
-        "quantile_sketch_events": quantile_sketch_events,
-        "xdb_datetime_functions": xdb_datetime_functions,
     }
 
 

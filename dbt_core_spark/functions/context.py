@@ -29,6 +29,7 @@ import re as _re
 import threading
 import types as _types
 import uuid
+from collections.abc import Mapping as _Mapping
 from typing import TYPE_CHECKING, Any, Optional
 
 import jinja2
@@ -385,21 +386,56 @@ class RenderContext:
                 "config": self.node.config,
                 "tags": self.node.config.get("tags", []),
             },
-            "graph": {
-                "nodes": {
-                    uid: {"name": n.name, "resource_type": n.resource_type.value,
-                          "config": n.config, "tags": n.config.get("tags", [])}
-                    for uid, n in self.manifest.nodes.items()
-                },
-                "sources": {
-                    uid: {"name": n.name, "source_name": n.source_name}
-                    for uid, n in self.manifest.sources.items()
-                },
-            },
+            "graph": _LazyGraph(self.manifest),
         }
         if self.spark is not None:
             ctx["adapter"] = SparkAdapterShim(self.spark)
         return ctx
+
+
+class _LazyGraph(_Mapping):
+    """The Jinja ``graph`` context namespace, materialized on first
+    access and memoized on the manifest.
+
+    Building per-node summary dicts for EVERY node on EVERY render is
+    O(n²) across a parse — on the 2000-model parse benchmark it was
+    ~2/3 of total cold-parse time — while almost no model SQL ever
+    touches ``graph`` (the reference likewise only exposes a fully
+    populated graph at execute time, providers.py ``graph``).  The memo
+    is keyed by (len(nodes), len(sources)) so mid-parse additions
+    invalidate it."""
+
+    def __init__(self, manifest: Any) -> None:
+        self._manifest = manifest
+
+    def _build(self) -> dict[str, Any]:
+        m = self._manifest
+        key = (len(m.nodes), len(m.sources))
+        cached = getattr(m, "_graph_ctx_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        d = {
+            "nodes": {
+                uid: {"name": n.name, "resource_type": n.resource_type.value,
+                      "config": n.config, "tags": n.config.get("tags", [])}
+                for uid, n in m.nodes.items()
+            },
+            "sources": {
+                uid: {"name": n.name, "source_name": n.source_name}
+                for uid, n in m.sources.items()
+            },
+        }
+        m._graph_ctx_cache = (key, d)
+        return d
+
+    def __getitem__(self, k: str) -> Any:
+        return self._build()[k]
+
+    def __iter__(self):
+        return iter(self._build())
+
+    def __len__(self) -> int:
+        return len(self._build())
 
 
 class _ConfigWrapper:

@@ -64,6 +64,7 @@ def write_webdataset_shards(
     key_col: str = "doc_id",
     payload_col: Optional[str] = None,
     meta_cols: Optional[list[str]] = None,
+    shard_col: Optional[str] = None,
 ) -> None:
     """WebDataset-style sharded tar sink (public format: tar archives
     where a sample is consecutive entries sharing a basename —
@@ -78,6 +79,13 @@ def write_webdataset_shards(
     shard; tar entry mtime/uid/gid pinned to 0; JSON sidecars use
     sorted keys.  Re-runs at any cluster size produce identical bytes.
 
+    ``shard_col`` overrides the hash assignment with a caller-owned
+    shard id column (values must lie in ``[0, n_shards)``) — training
+    pipelines often need the loader's shard layout to be a specific
+    upstream assignment (e.g. ``epoch_shuffle``'s md5 shard, which is
+    also SQL-derivable for end-to-end oracle checks).  A shard with no
+    rows writes no tar (loaders tolerate missing indices).
+
     Scale shape: one repartition on the shard column (AQE coalesce
     disabled so exactly ``n_shards`` tasks), sortWithinPartitions, then
     each task streams its shard(s) straight into tar files — no
@@ -90,10 +98,16 @@ def write_webdataset_shards(
         c for c in df.columns if c not in (payload_col,)
     ]
     spark = df.sparkSession
-    cols = list({key_col, *meta_cols, *( [payload_col] if payload_col else [] )})
+    cols = list({key_col, *meta_cols,
+                 *([payload_col] if payload_col else []),
+                 *([shard_col] if shard_col else [])})
+    shard_expr = (
+        F.col(shard_col).cast("bigint") if shard_col
+        else F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    )
     out = (
         df.select(*cols)
-        .withColumn("shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)))
+        .withColumn("shard", shard_expr)
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions(F.col("shard"), F.col(key_col))
     )

@@ -1719,6 +1719,55 @@ join tj using (source)
 where (({_MX_H15}) % 1000000) * tj.n_source < tj.target_n * 1000000
 """
 
+# composed pipeline: mixture keep-rule -> epoch-shuffle (shard,pos) ->
+# the WebDataset readback manifest (tar bytes round-trip adds nothing
+# the SQL can't see: key embeds (shard,pos,doc_id), payload is the md5
+# of the utf-8 text, meta carries doc_id)
+ORACLES["webdataset_pipeline_docs"] = f"""
+with wts(source, w_ppm) as (values {_MIX_VALUES}),
+cnt as (
+    select source, cast(count(*) as bigint) as n_source
+    from documents group by 1
+),
+j as (
+    select c.source, c.n_source, w.w_ppm
+    from cnt c join wts w using (source)
+),
+b as (
+    select min(cast(floor(n_source * 1000000.0 / w_ppm) as bigint)) as budget
+    from j
+),
+tj as (
+    select j.source, j.n_source,
+           cast(floor(j.w_ppm * b.budget / 1000000.0) as bigint) as target_n
+    from j cross join b
+),
+picked as (
+    select d.doc_id, d.text
+    from documents d
+    join tj using (source)
+    where (({_MX_H15}) % 1000000) * tj.n_source < tj.target_n * 1000000
+),
+k as (
+    select doc_id, text, md5('42:' || cast(doc_id as varchar)) as skey
+    from picked
+),
+s as (
+    select doc_id, text, skey, cast(({_ES_H15}) % 8 as int) as shard from k
+),
+p as (
+    select doc_id, text, shard,
+           cast(row_number() over (partition by shard order by skey, doc_id)
+                as bigint) as pos
+    from s
+)
+select shard,
+       printf('%03d-%08d-%d', shard, pos, doc_id) as key,
+       md5(text) as payload_md5,
+       doc_id
+from p
+"""
+
 ORACLES["bpe_pair_docs"] = f"""
 with vocab as (
     select word, cast(count(*) as bigint) as n_word
