@@ -96,3 +96,28 @@ def test_webdataset_reader_roundtrip(tmp_path, spark):
            for r in back}
     assert got[7] == ({"doc_id": 7, "source": "s7"}, b"HHH")
     assert {r["shard"] for r in back} <= {0, 1, 2}
+
+
+def test_webdataset_caller_owned_shard_col(spark, tmp_path):
+    """shard_col overrides the xxhash64 assignment with an upstream
+    shard id (e.g. epoch_shuffle's) — tar membership must follow it
+    exactly, and readback round-trips."""
+    from dbt_core_spark.sources.writers import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"payload-{i}".encode()) for i in range(30)],
+        "doc_id long, myshard int, payload binary",
+    )
+    path = str(tmp_path / "wds_shardcol")
+    write_webdataset_shards(
+        df, path, n_shards=3, key_col="doc_id", payload_col="payload",
+        meta_cols=["doc_id"], shard_col="myshard",
+    )
+    rb = read_webdataset_shards(spark, path)
+    got = {(r["shard"], r["key"]) for r in rb.collect()}
+    assert got == {(i % 3, str(i)) for i in range(30)}
+    payloads = {r["key"]: bytes(r["payload"]) for r in rb.collect()}
+    assert payloads["7"] == b"payload-7"
