@@ -67,10 +67,13 @@ PICKS = {
         "global ranking window to <= P*vocab_size rows instead of every "
         "distinct term in the corpus."),
     "ann_ivf_blas_topk_embeddings": (
-        "IVF ANN with per-cell BLAS — sample-fit Lloyd centroids, one "
-        "assignment pass, per-cell matmul via applyInPandas; round-3 "
-        "fix caps hot cells (4x mean) and re-splits them by a secondary "
-        "hash so a skewed cell never exceeds executor memory."),
+        "IVF ANN with per-cell BLAS — sample-fit Lloyd centroids; the "
+        "assignment pass is SEALED (localCheckpoint → Scan ExistingRDD, "
+        "no MapInPandas in the final plan: it executes once, not once "
+        "per branch — the r3 3x recompute); hot cells 2-D block on "
+        "(msub, psub) so both member and probe sides of every pandas "
+        "frame stay bounded; in-kernel matmuls chunk to a 128 MB "
+        "budget."),
     "quantize_embeddings_int8": (
         "Int8 scalar quantization — pure JVM higher-order functions "
         "(transform/aggregate), no Python worker; output exploded to "
