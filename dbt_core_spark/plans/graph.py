@@ -375,6 +375,23 @@ def _method_match(manifest: Manifest, method: str, value: str) -> set[str]:
             uid for uid, n in nodes.items()
             if n.resource_type is NodeType.Metric and _fnmatch(n.name, value)
         }
+    if method == "semantic_model":
+        # ref: SemanticModelSelectorMethod selector_methods.py:380 —
+        # `+semantic_model:name` walks to the model it reads
+        return {
+            uid for uid, n in nodes.items()
+            if n.resource_type is NodeType.SemanticModel
+            and _fnmatch(n.name, value)
+        }
+    if method == "saved_query":
+        # ref: SavedQuerySelectorMethod selector_methods.py:405 —
+        # saved queries sit above metrics; `+saved_query:name` pulls the
+        # metrics (and transitively their models) it packages
+        return {
+            uid for uid, n in nodes.items()
+            if n.resource_type is NodeType.SavedQuery
+            and _fnmatch(n.name, value)
+        }
     if method == "state":
         # ref: StateSelectorMethod selector_methods.py:610-790
         state_m = manifest.state_manifest

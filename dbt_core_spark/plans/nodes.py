@@ -32,6 +32,11 @@ class NodeType(str, Enum):
     SqlOperation = "sql_operation"
     Exposure = "exposure"
     Metric = "metric"
+    # semantic-layer metadata nodes (ref: contracts/graph/nodes.py:1490
+    # SemanticModel, :1556 SavedQuery) — graph members for selection and
+    # lineage; CALCULATION stays external like the reference (MetricFlow)
+    SemanticModel = "semantic_model"
+    SavedQuery = "saved_query"
 
 
 # Default per-type config (ref: artifacts/resources/v1/config.py:78-128 —
@@ -191,6 +196,8 @@ class Manifest:
 
     exposures: dict[str, dict] = field(default_factory=dict)
     metrics: dict[str, dict] = field(default_factory=dict)
+    semantic_models: dict[str, dict] = field(default_factory=dict)
+    saved_queries: dict[str, dict] = field(default_factory=dict)
     groups: dict[str, dict] = field(default_factory=dict)  # name -> {owner: ...}
     restricted_packages: set[str] = field(default_factory=set)  # restrict-access
     reparse_count: int = 0

@@ -109,6 +109,41 @@ def parse_project(
             else:
                 enode.refs.append(m.group(1) if m else str(dep))
         manifest.add_node(enode)
+
+    # -- semantic models / saved queries (ref: nodes.py:1490,1556) ----------
+    # metadata-only like the reference (MetricFlow computes them
+    # externally); they join the graph so semantic_model:/saved_query:
+    # selection and `+semantic_model:name` upstream walks work
+    # (SemanticModelSelectorMethod, SavedQuerySelectorMethod
+    # selector_methods.py:380,405)
+    manifest.semantic_models = dict(project.semantic_models)
+    manifest.saved_queries = dict(project.saved_queries)
+    for sname, sdef in project.semantic_models.items():
+        snode = Node(
+            unique_id=f"semantic_model.{project.name}.{sname}",
+            name=sname,
+            package=project.name,
+            resource_type=NodeType.SemanticModel,
+            config={"enabled": True},
+        )
+        if sdef.get("model"):
+            m = re.match(r"ref\(\s*'([^']+)'\s*\)", str(sdef["model"]))
+            snode.refs.append(m.group(1) if m else str(sdef["model"]))
+        manifest.add_node(snode)
+    for qname, qdef in project.saved_queries.items():
+        qnode = Node(
+            unique_id=f"saved_query.{project.name}.{qname}",
+            name=qname,
+            package=project.name,
+            resource_type=NodeType.SavedQuery,
+            config={"enabled": True, **(qdef.get("config") or {})},
+        )
+        # saved queries depend on METRIC nodes (no ref() syntax for
+        # metrics) — recorded directly as unique_ids; the resolver below
+        # preserves metric-typed deps
+        for mref in qdef.get("metrics", []) or []:
+            qnode.depends_on.append(f"metric.{project.name}.{mref}")
+        manifest.add_node(qnode)
     # groups accumulate in _parse_package (root first, then packages)
 
     # -- parse-time render: capture refs/sources/config ----------------------
@@ -145,7 +180,12 @@ def parse_project(
 
     # -- resolve depends_on (ref: manifest.py process_refs/process_sources) --
     for node in manifest.nodes.values():
-        deps: list[str] = []
+        # metric-typed deps (saved queries) survive re-resolution: they
+        # are direct unique_ids, not ref()s
+        deps: list[str] = [
+            d for d in node.depends_on
+            if d.split(".", 1)[0] in ("metric", "semantic_model")
+        ]
         for ref_entry in node.refs:
             if isinstance(ref_entry, (tuple, list)):  # ref('pkg', 'name')
                 pkg, ref_name = ref_entry

@@ -90,6 +90,11 @@ class ProjectDef:
     analyses: dict[str, str] = field(default_factory=dict)  # compile-only SQL
     exposures: dict[str, dict] = field(default_factory=dict)  # metadata-only
     metrics: dict[str, dict] = field(default_factory=dict)  # metadata-only
+    # semantic-layer metadata (ref: schema-yml semantic_models: /
+    # saved_queries:, contracts/graph/nodes.py:1490,1556):
+    # name -> {"model": "ref('m')", ...} / name -> {"metrics": [...], ...}
+    semantic_models: dict[str, dict] = field(default_factory=dict)
+    saved_queries: dict[str, dict] = field(default_factory=dict)
     unit_tests: dict[str, dict] = field(default_factory=dict)
     macros: dict[str, str] = field(default_factory=dict)  # name -> jinja macro source
     vars: dict[str, Any] = field(default_factory=dict)
@@ -345,6 +350,12 @@ def _load_schema_yml(d: str, p: "ProjectDef") -> None:
             for mt in doc.get("metrics", []) or []:
                 p.metrics[mt["name"]] = {k: v for k, v in mt.items()
                                          if k != "name"}
+            for sm in doc.get("semantic_models", []) or []:
+                p.semantic_models[sm["name"]] = {k: v for k, v in sm.items()
+                                                 if k != "name"}
+            for sq in doc.get("saved_queries", []) or []:
+                p.saved_queries[sq["name"]] = {k: v for k, v in sq.items()
+                                               if k != "name"}
             for ut in doc.get("unit_tests", []) or []:
                 p.unit_tests[ut["name"]] = {k: v for k, v in ut.items()
                                             if k != "name"}

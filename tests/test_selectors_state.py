@@ -361,3 +361,40 @@ def test_metric_nodes_and_selector(spark, schema, sf_dir):
     # metric nodes are never executed
     assert eng.run().ok()
     assert all(not r.unique_id.startswith("metric.") for r in eng.run().results)
+
+
+def test_semantic_model_and_saved_query_selectors(spark, schema, sf_dir):
+    """Semantic-layer metadata nodes (ref: SemanticModelSelectorMethod
+    selector_methods.py:380, SavedQuerySelectorMethod :405): a semantic
+    model reads a model; a saved query packages metrics.  Both join the
+    graph for selection and upstream walks; neither ever executes —
+    calculation stays external (MetricFlow), like the reference."""
+    p = _proj(sf_dir)
+    p.metrics["total_orders"] = {
+        "label": "Total orders", "calculation_method": "count",
+        "model": "ref('mart')", "expression": "id"}
+    p.semantic_models["orders_sm"] = {
+        "model": "ref('mart')",
+        "dimensions": [{"name": "segment", "type": "categorical"}]}
+    p.saved_queries["weekly_orders"] = {
+        "metrics": ["total_orders"],
+        "group_by": ["segment"]}
+    eng = Engine(spark, p, schema=schema)
+
+    assert set(eng.ls(select="semantic_model:orders_sm")) == {
+        "semantic_model.sel.orders_sm"}
+    assert set(eng.ls(select="saved_query:weekly_orders")) == {
+        "saved_query.sel.weekly_orders"}
+    # upstream walks: semantic model -> its model; saved query ->
+    # its metrics -> their models
+    up = set(eng.ls(select="+semantic_model:orders_sm"))
+    assert "model.sel.mart" in up and "model.sel.stg_a" in up
+    upq = set(eng.ls(select="+saved_query:weekly_orders"))
+    assert "metric.sel.total_orders" in upq and "model.sel.mart" in upq
+    # never executed
+    assert eng.run().ok()
+    assert all(not r.unique_id.startswith(("semantic_model.", "saved_query."))
+               for r in eng.run().results)
+    # reparse keeps the metric-typed deps (no ref() syntax for metrics)
+    eng.reparse()
+    assert set(eng.ls(select="+saved_query:weekly_orders")) == upq
