@@ -1544,6 +1544,26 @@ def ann_ivf_blas_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                          kmeans_iters=0)
 
 
+def ann_ivf_index_query_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / search-many IVF: index the corpus (kmeans_iters=0 →
+    deterministic seed centroids; centroids + assignments are plain
+    DataFrames a production pipeline persists as tables), then search
+    it with the vec_id%20==0 batch — the incremental-ingest ANN shape.
+    Exact SQL oracle (the ann_ivf family's determinism conventions)."""
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, assigns = ivf_index_build(emb, n_cells=16, kmeans_iters=0)
+    # composing build+search in ONE job: seal the assignment pass so it
+    # executes once (production persists it as a table instead)
+    assigns = assigns.localCheckpoint(eager=False)
+    batch = emb.filter(F.col("vec_id") % 20 == 0)
+    return ivf_index_search(cents, assigns, batch, k=3, n_probe=4)
+
+
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (point-in-time): each event matched to the user's most
     recent order at-or-before the event time.  Custom operator — Spark
@@ -1968,17 +1988,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (insertion order).  Rotation policy: every round the first-50
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 4 window: 7 queries touched by this
+    # two rounds unverified.  Round 4 window: 8 queries touched by this
     # round's similarity/corpus/merge changes (incl. the NEW composed
-    # WebDataset pipeline), then ALL 19 queries last verified in r1 (two
-    # rounds stale — the rotation debt the r3 verdict flagged), then the
-    # 7 engine_* queries (the runner's event emission changed this
-    # round), then 17 of the 30 remaining r2-verified queries.  Past the
-    # cap: the other 13 r2-verified queries — every one of the 107 is
-    # green within the r3∪r4 union; the 13 deferred lead r5's window.
+    # WebDataset pipeline and the NEW persistable-IVF search), then ALL
+    # 19 queries last verified in r1 (two rounds stale — the rotation
+    # debt the r3 verdict flagged), then the 7 engine_* queries (the
+    # runner's event emission changed this round), then 16 of the 30
+    # remaining r2-verified queries.  Past the cap: the other 14
+    # r2-verified queries — every one of the 108 is green within the
+    # r3∪r4 union; the 14 deferred lead r5's window.
     return {
         # -- changed this round (must re-verify) --
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
+        "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -2030,10 +2052,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "multimodal_features_docs": multimodal_features_docs,
-        "quantile_sketch_events": quantile_sketch_events,
         # ---------------- past the 50-query gate cap ----------------
         # r2/r3-verified, machinery redundantly covered in-window;
-        # these 13 lead the r5 rotation
+        # these 14 lead the r5 rotation (quantile_sketch displaced by
+        # the new ann_ivf_index row)
+        "quantile_sketch_events": quantile_sketch_events,
         "dedup_embedding_docs": dedup_embedding_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "cosine_topk_embeddings": cosine_topk_embeddings,

@@ -59,6 +59,10 @@ HEADLINE = [
     "line_dedup_docs",
     "ngram_lm_docs",
     "semantic_dedup_blas_embeddings",
+    # round-4 additions: the composed mixture->shuffle->tar->readback
+    # loader contract, and build-once/search-many IVF
+    "webdataset_pipeline_docs",
+    "ann_ivf_index_query_embeddings",
 ]
 
 

@@ -376,6 +376,47 @@ def _skew_split_2d(
     return m.unionByName(p)
 
 
+def _topk_score_kernel(k: int, budget: int):
+    """Build the per-group applyInPandas kernel shared by
+    ``ivf_topk_blas`` and ``ivf_index_search``: score the group's
+    probes against its members with probe-chunked matmuls (score matrix
+    ≤ ``budget`` cells) and emit each probe's local top-k.  ``budget``
+    is captured as a plain value at DRIVER time so it serializes by
+    value with the closure (tests pin it deterministically)."""
+    import numpy as np
+    import pandas as pd
+
+    def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        members = pdf[pdf["is_member"]]
+        qs = pdf[~pdf["is_member"]]
+        if len(members) == 0 or len(qs) == 0:
+            return pd.DataFrame(columns=["query_id", "nbr_id", "cosine"])
+        mid = members["id"].to_numpy()
+        M = np.array(members["v"].tolist(), dtype=np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        qid_all = qs["id"].to_numpy()
+        Q = np.array(qs["v"].tolist(), dtype=np.float64)
+        Qn_all = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        rows = []
+        # chunk the probe side so the score matrix stays ~budget cells;
+        # per-query top-k is unaffected (each query's full member row
+        # is computed within its chunk)
+        step = max(1, budget // max(1, len(mid)))
+        for s in range(0, len(qid_all), step):
+            qid = qid_all[s:s + step]
+            S = Qn_all[s:s + step] @ Mn.T
+            S[qid[:, None] == mid[None, :]] = -np.inf
+            kk = min(k, S.shape[1])
+            part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+            for i in range(len(qid)):
+                for c in part[i]:
+                    if np.isfinite(S[i, c]):
+                        rows.append((int(qid[i]), int(mid[c]), float(S[i, c])))
+        return pd.DataFrame(rows, columns=["query_id", "nbr_id", "cosine"])
+
+    return score_cell
+
+
 def ivf_topk_blas(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -486,39 +527,172 @@ def ivf_topk_blas(
         counts=counts,
     )
 
-    def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        members = pdf[pdf["is_member"]]
-        qs = pdf[~pdf["is_member"]]
-        if len(members) == 0 or len(qs) == 0:
-            return pd.DataFrame(columns=["query_id", "nbr_id", "cosine"])
-        mid = members["id"].to_numpy()
-        M = np.array(members["v"].tolist(), dtype=np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        qid_all = qs["id"].to_numpy()
-        Q = np.array(qs["v"].tolist(), dtype=np.float64)
-        Qn_all = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        rows = []
-        # chunk the probe side so the score matrix stays ~_MATMUL_BUDGET
-        # cells; per-query top-k is unaffected (each query's full member
-        # row is computed within its chunk)
-        step = max(1, _MATMUL_BUDGET // max(1, len(mid)))
-        for s in range(0, len(qid_all), step):
-            qid = qid_all[s:s + step]
-            S = Qn_all[s:s + step] @ Mn.T
-            S[qid[:, None] == mid[None, :]] = -np.inf
-            kk = min(k, S.shape[1])
-            part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
-            for i in range(len(qid)):
-                for c in part[i]:
-                    if np.isfinite(S[i, c]):
-                        rows.append((int(qid[i]), int(mid[c]), float(S[i, c])))
-        return pd.DataFrame(rows, columns=["query_id", "nbr_id", "cosine"])
-
     scored = grouped.groupBy("cell", "msub", "psub").applyInPandas(
-        score_cell, schema="query_id long, nbr_id long, cosine double"
+        _topk_score_kernel(k, int(_MATMUL_BUDGET)),
+        schema="query_id long, nbr_id long, cosine double",
     )
 
     # -- 4. merge candidates globally --------------------------------------
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def ivf_index_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int | None = None,
+    kmeans_iters: int = 10,
+    fit_sample: int = 4096,
+    max_cell_rows: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Build a PERSISTABLE IVF index — the build-once / search-many ANN
+    shape (FAISS's index lifecycle re-expressed as DataFrames; the same
+    relationship incremental MinHash dedup has to the one-shot form).
+
+    Returns ``(centroids, assignments)``:
+
+    - ``centroids``: (cell int, cv array<double>) — UNIT-normalized
+      centroid per cell, n_cells rows;
+    - ``assignments``: (id long, v array<double>, cell int) — every
+      corpus vector with its nearest cell.
+
+    Both are plain DataFrames: ``saveAsTable``/parquet them once, then
+    search any number of later query batches with ``ivf_index_search``
+    WITHOUT re-assigning the corpus — per batch the cost is the batch's
+    own assignment pass plus joins against the probed cells only, never
+    a corpus pass.  At 100 TB the corpus assignment is the expensive
+    step; amortizing it across every ingest batch is the production
+    design.
+
+    Centroids fit on a bounded id-ordered driver sample (numpy Lloyd,
+    as in ``ivf_topk_blas``); the corpus assignment is ONE Arrow
+    ``mapInPandas`` matmul pass.  With ``kmeans_iters=0`` the centroids
+    are the deterministic seed sample, giving the whole index+search
+    composition an exact SQL oracle (ann_ivf_index_query gate row)."""
+    import numpy as np
+    import pandas as pd
+
+    from dbt_core_spark.operators.dedup import ensure_parallelism
+
+    n_cells, _ = _resolve_n_cells(df, n_cells, max_cell_rows)
+    fit_sample = max(fit_sample, n_cells)
+    spark = df.sparkSession
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+    sample = np.array(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id").limit(fit_sample).toPandas()["v"].tolist(),
+        dtype=np.float64,
+    )
+    Sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    C = Sn[:n_cells].copy()
+    for _ in range(kmeans_iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        a = (Sn @ Cn.T).argmax(axis=1)
+        for c in range(n_cells):
+            m = Sn[a == c]
+            if len(m):
+                C[c] = m.mean(axis=0)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in Cn[i]]) for i in range(n_cells)],
+        "cell int, cv array<double>",
+    )
+    bcast = spark.sparkContext.broadcast(Cn)
+
+    def assign(batches):
+        Cb = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "id": pdf["id"].astype("int64"),
+                "v": pdf["v"],
+                "cell": (Vn @ Cb.T).argmax(axis=1).astype("int32"),
+            })
+
+    assignments = base.mapInPandas(
+        assign, schema="id long, v array<double>, cell int"
+    )
+    return centroids, assignments
+
+
+def ivf_index_search(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_probe: int = 4,
+    max_cell_rows: int = 100_000,
+) -> DataFrame:
+    """Search a prebuilt IVF index (``ivf_index_build`` output, usually
+    reloaded from tables) with a query batch — NO corpus pass.
+
+    The centroid matrix is collected to the driver (n_cells rows —
+    bounded, the MLlib-KMeans precedent) and broadcast; queries get
+    their ``n_probe`` nearest cells in one Arrow pass over the BATCH.
+    Scoring then joins only the probed cells' assignment rows, 2-D
+    blocked by ``_skew_split_2d`` (hot cells stay bounded on both
+    sides) and scored with the shared chunked-matmul kernel.  Ids
+    shared between batch and corpus are treated as the same document —
+    self-matches are excluded, like ``ivf_topk_blas``.
+
+    Returns (query_id, nbr_id, cosine, rank), rank ≤ k per query."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    cpdf = centroids.orderBy("cell").toPandas()  # n_cells rows, bounded
+    Cn = np.array(cpdf["cv"].tolist(), dtype=np.float64)
+    cells = cpdf["cell"].to_numpy().astype("int64")
+    bcast = spark.sparkContext.broadcast((Cn, cells))
+    qbase = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def assign_q(batches):
+        Cb, cls = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Cb.T
+            top = np.argsort(-S, kind="stable", axis=1)[:, :n_probe]
+            out = []
+            for i in range(len(pdf)):
+                for c in top[i]:
+                    out.append(
+                        (int(pdf["id"].iloc[i]), pdf["v"].iloc[i], int(cls[c]))
+                    )
+            yield pd.DataFrame(out, columns=["id", "v", "cell"])
+
+    # the probe side is derived here and scanned twice (count + block
+    # side): seal it — it is bounded by batch × n_probe.  The
+    # ASSIGNMENTS side is caller-owned and usually table-backed (re-scan
+    # is a columnar read); when composing build+search in one job, seal
+    # it yourself (localCheckpoint) or write it out first — otherwise
+    # the build's assignment pass replays per branch.
+    probes = _seal(
+        qbase.mapInPandas(assign_q, schema="id long, v array<double>, cell int")
+    )
+    grouped = _skew_split_2d(
+        assignments.select("id", "v", "cell"), probes, max_cell_rows
+    )
+    scored = grouped.groupBy("cell", "msub", "psub").applyInPandas(
+        _topk_score_kernel(k, int(_MATMUL_BUDGET)),
+        schema="query_id long, nbr_id long, cosine double",
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id").asc()
     )
@@ -969,6 +1143,8 @@ def semantic_dedup_blas(
         "_pc", F.col("_mc")
     )
     grouped = _skew_split_2d(sided, sided, max_cell_rows, counts=counts)
+    # captured as a plain value at driver time (serializes by value)
+    budget = int(_MATMUL_BUDGET)
 
     def pair_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         mem = pdf[pdf["is_member"]]
@@ -986,7 +1162,7 @@ def semantic_dedup_blas(
         Pn_all /= np.linalg.norm(Pn_all, axis=1, keepdims=True)
         cell = int(pdf["cell"].iloc[0])
         frames = []
-        step = max(1, _MATMUL_BUDGET // max(1, len(mid)))
+        step = max(1, budget // max(1, len(mid)))
         for s in range(0, len(pid_all), step):
             pid = pid_all[s:s + step]
             S = Pn_all[s:s + step] @ Mn.T

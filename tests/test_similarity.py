@@ -97,3 +97,55 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark, emb):
         step = s / 127
         for x, q in zip(v, r["q"]):
             assert abs(q * step - float(x)) <= step / 2 + 1e-9
+
+
+def test_ivf_index_build_search_matches_oneshot(spark):
+    """The persisted-index path must return exactly what ivf_topk_blas
+    returns for the same queries: same centroids, same corpus
+    assignment, same scoring — build/search only amortizes the corpus
+    pass, it never changes results."""
+    import math
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        ivf_topk_blas,
+    )
+
+    rows = [(i, [math.sin(i * 0.37 + d) for d in range(6)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigns = ivf_index_build(df, n_cells=8, kmeans_iters=0)
+    batch = df.filter("vec_id % 5 = 0")
+    via_index = sorted(map(tuple, ivf_index_search(
+        cents, assigns, batch, k=3, n_probe=3).collect()))
+    oneshot = sorted(
+        t for t in map(tuple, ivf_topk_blas(
+            df, k=3, n_cells=8, n_probe=3, kmeans_iters=0).collect())
+        if t[0] % 5 == 0
+    )
+    assert via_index == oneshot and len(via_index) == 16 * 3
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    """The index survives a parquet roundtrip (the actual production
+    lifecycle: build -> save -> reload in a later job -> search)."""
+    import math
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+
+    rows = [(i, [math.sin(i * 0.37 + d) for d in range(6)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigns = ivf_index_build(df, n_cells=8, kmeans_iters=2)
+    cents.write.parquet(str(tmp_path / "cents"))
+    assigns.write.parquet(str(tmp_path / "assigns"))
+    batch = df.filter("vec_id % 7 = 0")
+    live = sorted(map(tuple, ivf_index_search(
+        cents, assigns, batch, k=2, n_probe=2).collect()))
+    reloaded = sorted(map(tuple, ivf_index_search(
+        spark.read.parquet(str(tmp_path / "cents")),
+        spark.read.parquet(str(tmp_path / "assigns")),
+        batch, k=2, n_probe=2).collect()))
+    assert live == reloaded and len(live) > 0
