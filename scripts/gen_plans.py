@@ -74,6 +74,17 @@ PICKS = {
         "(msub, psub) so both member and probe sides of every pandas "
         "frame stay bounded; in-kernel matmuls chunk to a 128 MB "
         "budget."),
+    "ann_ivf_index_query_embeddings": (
+        "Build-once/search-many IVF — the search plan touches NO corpus "
+        "scan: the sealed index assignments and the sealed batch-probe "
+        "pass both read as Scan ExistingRDD; scoring joins only the "
+        "probed cells (2-D blocked), then the tiny global merge "
+        "window."),
+    "semantic_dedup_incremental_embeddings": (
+        "Ingest-flow SemDeDup — batch-vs-corpus only: one Arrow "
+        "assignment pass over the BATCH (sealed), equi-join against the "
+        "indexed corpus cells, min-struct keeper aggregate; never a "
+        "batch or corpus self-join."),
     "quantize_embeddings_int8": (
         "Int8 scalar quantization — pure JVM higher-order functions "
         "(transform/aggregate), no Python worker; output exploded to "
