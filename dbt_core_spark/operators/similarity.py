@@ -320,9 +320,9 @@ def _skew_split_2d(
     max_cell_rows: int,
     counts: DataFrame | None = None,
 ) -> DataFrame:
-    """2-D block a per-cell member × probe pairing so no pandas frame
-    materializes more than ``max_cell_rows`` rows of EITHER side, no
-    matter how hot a cell is.
+    """2-D block a per-cell member × probe pairing so every pandas
+    frame's EXPECTED population is ≤ ``max_cell_rows`` rows per side,
+    no matter how hot a cell is.
 
     Both inputs carry (id, v, cell).  Per cell, members hash into
     ``ns = ceil(|members| / cap)`` member-blocks and probes into
@@ -332,6 +332,14 @@ def _skew_split_2d(
     ``(cell, msub, psub)`` group — the standard blocked-matmul
     decomposition.  A (probe p, member m) pair is observed in exactly
     one group: ``(cell, hash(m) % ns, hash(p) % np)``.
+
+    Boundedness is EXPECTATION-level, not adversarial-exact: the hash
+    assignment is balanced like any hash partitioning, so a block's
+    population concentrates at cap ± O(√cap) (at the production
+    cap=100k, exceeding even 1.05× is vanishingly unlikely), but tiny
+    caps in tests can collide.  Kernel memory is bounded REGARDLESS of
+    block size by the score-matrix chunking (``_MATMUL_BUDGET``) —
+    only the frame's row storage scales with a block.
 
     In the common un-skewed case ns = np = 1: zero replication, plain
     per-cell grouping.  Replication cost for a hot cell is members×np +
@@ -440,9 +448,9 @@ def ivf_topk_blas(
        sides — members hash into ``ceil(members/max_cell_rows)``
        member-blocks, probes into ``ceil(probes/max_cell_rows)``
        probe-blocks, and every block pair meets in exactly one group
-       (``_skew_split_2d``) — so no pandas frame holds more than
-       ``max_cell_rows`` rows of either side however skewed the corpus
-       is.  Inside the kernel the score matrix is chunked to
+       (``_skew_split_2d``) — frames hold ~``max_cell_rows`` rows per
+       side (hash-balanced expectation) however skewed the corpus is.
+       Inside the kernel the score matrix is chunked to
        ``_MATMUL_BUDGET`` cells (~128 MB), so peak memory is bounded by
        the frame rows + one chunk.  The per-block top-k → global merge
        stays exact (a global top-k member is top-k in its own block a
@@ -1179,9 +1187,10 @@ def semantic_dedup_blas(
        (2-D)**: a hot cell is blocked on BOTH sides by
        ``_skew_split_2d`` — pair (a, b) with a < b is observed exactly
        once, in group ``(cell, hash(b) % ns, hash(a) % np)`` — so the
-       within-cell pair set stays complete while no pandas frame holds
-       more than ``max_cell_rows`` rows of either side, and the score
-       matrix is chunked to ``_MATMUL_BUDGET`` cells.  The assignment
+       within-cell pair set stays complete while frames hold
+       ~``max_cell_rows`` rows per side (hash-balanced expectation),
+       and the score matrix is chunked to ``_MATMUL_BUDGET`` cells
+       regardless.  The assignment
        pass is sealed (``_seal``) before branching so it executes once,
     4. keeper selection is the same min-struct aggregate as the fold
        variant.

@@ -71,8 +71,8 @@ PICKS = {
         "assignment pass is SEALED (localCheckpoint → Scan ExistingRDD, "
         "no MapInPandas in the final plan: it executes once, not once "
         "per branch — the r3 3x recompute); hot cells 2-D block on "
-        "(msub, psub) so both member and probe sides of every pandas "
-        "frame stay bounded; in-kernel matmuls chunk to a 128 MB "
+        "(msub, psub) so both sides of every pandas frame stay "
+        "~max_cell_rows (hash-balanced expectation); in-kernel matmuls chunk to a 128 MB "
         "budget."),
     "ann_ivf_index_query_embeddings": (
         "Build-once/search-many IVF — the search plan touches NO corpus "
