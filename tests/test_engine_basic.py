@@ -400,3 +400,39 @@ def test_source_column_tests(spark, schema, sf_dir):
     # indirect selection: selecting the source pulls its tests along
     res2 = eng.test(select="source:tpch.orders")
     assert len(res2.results) == 3
+
+
+def test_python_model_runs_llm_pipeline_operators(spark, schema, sf_dir):
+    """The integration story the LLM-pipeline family is built for: a
+    Python model composes corpus operators over dbt.ref() DataFrames
+    inside the DAG — here MinHash dedup keeps one doc per near-dup
+    cluster, then quality filtering — materialized like any model and
+    ref-able downstream."""
+    p = ProjectDef(name="llm")
+    p.add_source("data", "documents", f"{sf_dir}/documents.parquet")
+    p.models["docs"] = "select * from {{ source('data','documents') }}"
+
+    def clean_corpus(dbt, session):
+        from pyspark.sql import functions as F
+
+        from dbt_core_spark.operators.dedup import minhash_dedup
+        from dbt_core_spark.operators.textstats import quality_features
+
+        docs = dbt.ref("docs")
+        kept = minhash_dedup(docs, "text", "doc_id")
+        scored = quality_features(kept, "text", "doc_id").filter(
+            F.col("quality_score") >= 0.3)
+        return kept.join(scored.select("doc_id", "quality_score"), "doc_id")
+
+    p.python_models["clean_corpus"] = clean_corpus
+    p.model_configs["clean_corpus"] = {
+        "materialized": "table", "depends_on": ["docs"]}
+    p.models["by_lang"] = (
+        "select lang, count(*) as n from {{ ref('clean_corpus') }} "
+        "group by lang")
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    n_docs = eng.table("docs").count()
+    n_clean = eng.table("clean_corpus").count()
+    assert 0 < n_clean <= n_docs
+    assert eng.table("by_lang").count() >= 1
