@@ -377,6 +377,19 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+
+    # convergence check: labels are MIN-monotone (each node's label
+    # never increases), so the exact label sum strictly decreases iff
+    # any label changed — one map-side partial aggregate per round
+    # instead of a full labels⋈labels join (at 1e9 nodes that join is a
+    # real per-round cost; the sum is not).  DECIMAL(38,0) keeps the
+    # sum exact at any node count / id magnitude.
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
@@ -387,16 +400,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         # truncated propagation would silently split true components
         raise ExecutionError(
