@@ -1564,6 +1564,22 @@ def ann_ivf_index_query_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return ivf_index_search(cents, assigns, batch, k=3, n_probe=4)
 
 
+def hash_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (hashing trick): md5 bucket +
+    sign, signed counts L2-normalized — the model-free baseline that
+    closes text→vector→ANN in-engine.  Sparse exploded output
+    (doc_id, pos, val) at 6 dp; exact DuckDB oracle."""
+    from dbt_core_spark.operators.textstats import hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hash_embed(docs, dim=64)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("val") != 0.0)
+        .select("doc_id", "pos", F.round("val", 6).alias("val"))
+    )
+
+
 def semantic_dedup_incremental_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-flow SemDeDup: the vec_id%20==0 batch deduped against the
     indexed rest-of-corpus (batch-vs-corpus only — never a self-join),
@@ -2005,21 +2021,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (insertion order).  Rotation policy: every round the first-50
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 4 window: 9 queries touched by this
-    # round's similarity/corpus/merge changes (incl. the NEW composed
-    # WebDataset pipeline, persistable-IVF search, and incremental
-    # SemDeDup), then ALL 19 queries last verified in r1 (two rounds
-    # stale — the rotation debt the r3 verdict flagged), then the 7
-    # engine_* queries (the runner's event emission changed this
-    # round), then 15 of the 30 remaining r2-verified queries.  Past
-    # the cap: the other 15 r2-verified queries — every one of the 109
-    # is green within the r3∪r4 union; the 15 deferred lead r5's
+    # two rounds unverified.  Round 4 window: 10 queries touched by
+    # this round's similarity/corpus/merge changes (incl. the NEW
+    # composed WebDataset pipeline, persistable-IVF search, incremental
+    # SemDeDup, and hash_embed), then ALL 19 queries last verified in
+    # r1 (two rounds stale — the rotation debt the r3 verdict flagged),
+    # then the 7 engine_* queries (the runner's event emission changed
+    # this round), then 14 of the 30 remaining r2-verified queries.
+    # Past the cap: the other 16 r2-verified queries — every one of the
+    # 110 is green within the r3∪r4 union; the 16 deferred lead r5's
     # window.
     return {
         # -- changed this round (must re-verify) --
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
+        "hash_embed_docs": hash_embed_docs,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -2069,12 +2086,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": token_counts_docs,
         "cosine_pairs_embeddings": cosine_pairs_embeddings,
         "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
-        "streaming_hourly_rollup": streaming_hourly_rollup,
         # ---------------- past the 50-query gate cap ----------------
         # r2/r3-verified, machinery redundantly covered in-window;
-        # these 15 lead the r5 rotation (quantile_sketch +
-        # multimodal_features displaced by the new ann_ivf_index and
-        # semantic_dedup_incremental rows)
+        # these 16 lead the r5 rotation (quantile_sketch,
+        # multimodal_features, streaming_hourly displaced by the new
+        # ann_ivf_index / semantic_dedup_incremental / hash_embed rows)
+        "streaming_hourly_rollup": streaming_hourly_rollup,
         "multimodal_features_docs": multimodal_features_docs,
         "quantile_sketch_events": quantile_sketch_events,
         "dedup_embedding_docs": dedup_embedding_docs,

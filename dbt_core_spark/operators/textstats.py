@@ -554,3 +554,68 @@ def pack_sequences(
         F.floor(start / budget).cast("bigint").alias("bin_id"),
         F.pmod(start, F.lit(budget)).cast("bigint").alias("bin_offset"),
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing text embeddings (the hashing trick, Weinberger
+    et al. 2009 — the standard model-free baseline): each word hashes
+    to a bucket in [0, dim) with a ±1 sign from an independent hash;
+    the doc vector is the signed bucket counts, L2-normalized.  Closes
+    the text→vector→ANN loop entirely in-engine: the output feeds
+    ``ivf_index_build`` / ``semantic_dedup`` / ``cosine_topk_blas``
+    directly, and unit tests of embedding pipelines get a vector column
+    with NO model dependency.
+
+    Determinism: md5-derived bucket and sign (portable integer
+    arithmetic); signed counts are integers, so the norm's sum of
+    squares is exact in float regardless of fold order — the whole
+    vector reproduces bit-for-bit in any engine (hash_embed_docs gate
+    row, values at 6 dp).
+
+    Scale shape: explode words → ONE wordcount-style shuffle on
+    (id, bucket) with map-side partial agg → per-doc map rebuild; the
+    dense array never passes through an exchange.  Docs with no words
+    (null/empty text) produce no row — there is nothing to embed.
+
+    Returns (id_col, embedding array<double>), unit-norm."""
+    from dbt_core_spark.operators.dedup import _hex_to_int
+
+    w = df.select(
+        F.col(id_col), F.explode(normalized_words(text_col)).alias("w")
+    )
+    signed = w.select(
+        id_col,
+        F.pmod(_hex_to_int(F.md5(F.col("w")), 15), F.lit(dim)).alias("b"),
+        (F.pmod(_hex_to_int(F.md5(F.concat(F.lit("s:"), F.col("w"))), 1), F.lit(2))
+         * 2 - 1).alias("sgn"),
+    )
+    g = signed.groupBy(id_col, "b").agg(
+        F.sum("sgn").cast("double").alias("v")
+    )
+    dense = (
+        g.groupBy(id_col)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct(F.col("b").cast("int"), F.col("v")))
+        ).alias("m"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                # element_at on a MAP is KEY lookup (buckets are 0-based)
+                lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
+            ).alias("raw"),
+        )
+    )
+    # integer-valued squares → exact norm in any fold order
+    nrm = F.sqrt(F.aggregate(
+        F.col("raw"), F.lit(0.0), lambda acc, x: acc + x * x
+    ))
+    return dense.select(
+        id_col,
+        F.transform(F.col("raw"), lambda x: x / nrm).alias("embedding"),
+    ).filter(nrm > 0)

@@ -1759,6 +1759,29 @@ join tj using (source)
 where (({_MX_H15}) % 1000000) * tj.n_source < tj.target_n * 1000000
 """
 
+# feature-hashing embeddings: md5 bucket (15-hex fold % dim) + sign
+# (1-hex fold % 2), signed integer counts L2-normalized — integer
+# squares make the norm exact in any fold order; sparse (pos, val)
+# output at 6 dp
+ORACLES["hash_embed_docs"] = f"""
+with w as (
+    select doc_id, unnest({_WORDS}) as word
+    from documents where text is not null
+), b as (
+    select doc_id,
+           cast(({_hex2int("md5(word)", 15)}) % 64 as bigint) as pos,
+           cast(({_hex2int("md5('s:' || word)", 1)}) % 2 as bigint) * 2 - 1 as sgn
+    from w
+), g as (
+    select doc_id, pos, cast(sum(sgn) as double) as v from b group by 1, 2
+), n as (
+    select doc_id, sqrt(sum(v * v)) as nrm from g group by 1
+)
+select g.doc_id, cast(g.pos as int) as pos, round(g.v / n.nrm, 6) as val
+from g join n using (doc_id)
+where n.nrm > 0 and g.v <> 0
+"""
+
 # ingest-flow SemDeDup on the persisted IVF index: the vec_id%20==0
 # batch vs the indexed rest-of-corpus.  Cell labels are the build's
 # 0-based seed index (row_number over seed order - 1); both sides

@@ -309,3 +309,47 @@ def test_mixture_sample_zero_weight_dropped_not_divided(spark):
         r["doc_id"] for r in ref.collect())
     # all-zero weights -> empty output, not an error
     assert C.mixture_sample(df, {"a": 0, "b": -5}).count() == 0
+
+
+def test_hash_embed_feeds_ann(spark):
+    """hash_embed closes the text->vector->ANN loop in-engine: its
+    output is unit-norm, matches a pure-Python hashing-trick reference,
+    and feeds semantic_dedup directly (near-identical texts dedup)."""
+    import hashlib
+    import math
+    import re
+
+    from dbt_core_spark.operators.similarity import semantic_dedup
+    from dbt_core_spark.operators.textstats import hash_embed
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy dog",  # exact dup
+        3: "entirely different words about spark engines",
+        4: "",          # no words -> no vector
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    emb = hash_embed(df, dim=16)
+    got = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert set(got) == {1, 2, 3}
+
+    def ref(text, dim=16):
+        words = [w for w in re.split(r"\s+",
+                 re.sub(r"[^a-z0-9 ]", " ", text.lower())) if w]
+        v = [0.0] * dim
+        for w in words:
+            bkt = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % dim
+            sgn = (int(hashlib.md5(f"s:{w}".encode()).hexdigest()[:1], 16) % 2) * 2 - 1
+            v[bkt] += sgn
+        nrm = math.sqrt(sum(x * x for x in v))
+        return [x / nrm for x in v]
+
+    for k in (1, 2, 3):
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got[k], ref(texts[k])))
+        assert abs(sum(x * x for x in got[k]) - 1.0) < 1e-9
+
+    dups = semantic_dedup(
+        emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        tau=0.999, n_cells=2, kmeans_iters=0,
+    ).collect()
+    assert [(r["vec_id"], r["keeper_id"]) for r in dups] == [(2, 1)]
