@@ -60,9 +60,11 @@ HEADLINE = [
     "ngram_lm_docs",
     "semantic_dedup_blas_embeddings",
     # round-4 additions: the composed mixture->shuffle->tar->readback
-    # loader contract, and build-once/search-many IVF
+    # loader contract, build-once/search-many IVF, and hashing-trick
+    # embeddings
     "webdataset_pipeline_docs",
     "ann_ivf_index_query_embeddings",
+    "hash_embed_docs",
 ]
 
 

@@ -262,3 +262,41 @@ def test_partial_parse_invalidates_on_vars_and_env(tmp_path, spark, schema):
     eng7 = Engine(spark, ProjectDef.from_dir(root), schema=schema,
                   vars={"thresh": 9})
     assert eng7.manifest.reparse_count == 2
+
+
+def test_semantic_layer_from_schema_yml(tmp_path, spark, schema):
+    """semantic_models: / saved_queries: blocks in schema yml load into
+    metadata graph nodes, selectable and walkable from a dir-loaded
+    project (ref: parser/schemas.py semantic-layer sections)."""
+    from dbt_core_spark import Engine, ProjectDef
+
+    root = str(tmp_path / "sl")
+    os.makedirs(os.path.join(root, "models"))
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: sl\n")
+    with open(os.path.join(root, "models", "mart.sql"), "w") as f:
+        f.write("select 1 as id, 'a' as segment")
+    _write(root, "models/schema.yml", """
+version: 2
+metrics:
+  - name: n_rows
+    model: ref('mart')
+    calculation_method: count
+    expression: id
+semantic_models:
+  - name: mart_sm
+    model: ref('mart')
+    dimensions:
+      - name: segment
+        type: categorical
+saved_queries:
+  - name: weekly
+    metrics: [n_rows]
+    group_by: [segment]
+""")
+    eng = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    assert eng.ls(select="semantic_model:mart_sm") == [
+        "semantic_model.sl.mart_sm"]
+    up = set(eng.ls(select="+saved_query:weekly"))
+    assert {"saved_query.sl.weekly", "metric.sl.n_rows",
+            "model.sl.mart"} <= up
