@@ -583,9 +583,10 @@ def hash_embed(
     (null/empty text) produce no row — there is nothing to embed.
 
     Returns (id_col, embedding array<double>), unit-norm."""
-    from dbt_core_spark.operators.dedup import _hex_to_int
+    from dbt_core_spark.operators.dedup import _hex_to_int, ensure_parallelism
 
-    w = df.select(
+    # md5-heavy per-word work: widen narrow (single-file) inputs first
+    w = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(normalized_words(text_col)).alias("w")
     )
     signed = w.select(
@@ -597,25 +598,27 @@ def hash_embed(
     g = signed.groupBy(id_col, "b").agg(
         F.sum("sgn").cast("double").alias("v")
     )
-    dense = (
+    # ONE aggregate yields both the sparse map and the norm (sum of
+    # integer-valued squares — exact in any fold order).  The norm must
+    # be a plain COLUMN before it enters the transform lambda: an
+    # expression there would be re-inlined and re-evaluated per element
+    # (the measured HOF pitfall — see line_dedup's derivation note).
+    stats = (
         g.groupBy(id_col)
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct(F.col("b").cast("int"), F.col("v")))
-        ).alias("m"))
-        .select(
-            id_col,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                # element_at on a MAP is KEY lookup (buckets are 0-based)
-                lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
-            ).alias("raw"),
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("b").cast("int"), F.col("v")))
+            ).alias("m"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"),
         )
+        .filter(F.col("nrm") > 0)
     )
-    # integer-valued squares → exact norm in any fold order
-    nrm = F.sqrt(F.aggregate(
-        F.col("raw"), F.lit(0.0), lambda acc, x: acc + x * x
-    ))
-    return dense.select(
+    return stats.select(
         id_col,
-        F.transform(F.col("raw"), lambda x: x / nrm).alias("embedding"),
-    ).filter(nrm > 0)
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            # element_at on a MAP is KEY lookup (buckets are 0-based)
+            lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0))
+            / F.col("nrm"),
+        ).alias("embedding"),
+    )
