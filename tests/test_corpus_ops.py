@@ -353,3 +353,106 @@ def test_hash_embed_feeds_ann(spark):
         tau=0.999, n_cells=2, kmeans_iters=0,
     ).collect()
     assert [(r["vec_id"], r["keeper_id"]) for r in dups] == [(2, 1)]
+
+
+def test_dup_ngram_spans_finds_copied_passage(spark):
+    from dbt_core_spark.operators.dedup import dup_ngram_spans
+
+    # docs 1 and 2 share the 6-word passage "the quick brown fox jumps
+    # over" embedded at different offsets; doc 3 is unrelated.
+    rows = [
+        (1, "intro words here the quick brown fox jumps over and more tail"),
+        (2, "the quick brown fox jumps over something entirely different"),
+        (3, "no shared content at all in this one document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = {
+        r["doc_id"]: r
+        for r in dup_ngram_spans(df, k=5, min_docs=2).collect()
+    }
+    # doc 1: passage at words 4..9 -> 5-gram starts 4,5 -> span [4,9]
+    assert spans[1]["span_start"] == 4 and spans[1]["span_end"] == 9
+    assert spans[1]["span_words"] == 6 and spans[1]["n_grams"] == 2
+    # doc 2: passage at words 1..6 -> span [1,6]
+    assert spans[2]["span_start"] == 1 and spans[2]["span_end"] == 6
+    assert 3 not in spans
+
+
+def test_dup_ngram_spans_merges_overlap_and_adjacent(spark):
+    from dbt_core_spark.operators.dedup import dup_ngram_spans
+
+    shared = "a b c d e f g h i j"  # 10 words shared verbatim
+    rows = [(1, shared + " unique one"), (2, shared + " other tail")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = dup_ngram_spans(df, k=5, min_docs=2).collect()
+    by_doc = {r["doc_id"]: r for r in spans}
+    # all six 5-gram hits merge into ONE span [1,10] per doc
+    assert len(spans) == 2
+    assert by_doc[1]["span_start"] == 1 and by_doc[1]["span_end"] == 10
+    assert by_doc[1]["n_grams"] == 6
+
+
+def test_dsir_score_prefers_target_like_docs(spark):
+    # target corpus is pure "alpha beta" language; raw corpus has one
+    # target-like doc and one out-of-domain doc -> the target-like doc
+    # must score strictly higher.
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta alpha beta gamma") for i in range(5)],
+        "doc_id int, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma beta"),
+            (2, "zulu yankee xray whiskey victor"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in C.dsir_score(raw, target, dim=64).collect()
+    }
+    assert out[1]["avg_logratio"] > out[2]["avg_logratio"]
+    # exact integer bookkeeping: sum == avg * n * 1e6 within rounding
+    for r in out.values():
+        assert r["n_tokens"] == 5
+        assert (
+            abs(
+                r["sum_lr_micro"]
+                - r["avg_logratio"] * r["n_tokens"] * 1_000_000
+            )
+            <= r["n_tokens"] * 1_000_000 * 1e-6 + 1
+        )
+
+
+def test_dsir_score_matches_python_reference(spark):
+    import hashlib
+
+    dim, k = 16, 1
+    t_rows = [(1, "red green blue"), (2, "red red green")]
+    r_rows = [(10, "red blue blue"), (11, "cyan magenta red")]
+    target = spark.createDataFrame(t_rows, "doc_id int, text string")
+    raw = spark.createDataFrame(r_rows, "doc_id int, text string")
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % dim
+
+    def hist(rows):
+        h = {}
+        for _, t in rows:
+            for w in t.split():
+                h[bucket(w)] = h.get(bucket(w), 0) + 1
+        return h, sum(h.values())
+
+    th, tn = hist(t_rows)
+    rh, rn = hist(r_rows)
+    lr = {
+        b: math.floor(math.log((th.get(b, 0) + k) / (tn + k * dim)) * 1e6)
+        - math.floor(math.log((rh.get(b, 0) + k) / (rn + k * dim)) * 1e6)
+        for b in range(dim)
+    }
+    expect = {}
+    for d, t in r_rows:
+        ws = t.split()
+        expect[d] = sum(lr[bucket(w)] for w in ws)
+    out = {r["doc_id"]: r for r in C.dsir_score(raw, target, dim=dim).collect()}
+    for d in (10, 11):
+        assert out[d]["sum_lr_micro"] == expect[d]
