@@ -65,6 +65,10 @@ HEADLINE = [
     "webdataset_pipeline_docs",
     "ann_ivf_index_query_embeddings",
     "hash_embed_docs",
+    # late-r4 additions: substring-level duplicate spans and DSIR
+    # hashed-unigram importance scoring
+    "dup_span_docs",
+    "dsir_score_docs",
 ]
 
 

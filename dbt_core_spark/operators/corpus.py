@@ -396,27 +396,39 @@ def dsir_score(
     broadcast; per-doc scoring is one wordcount-shaped shuffle on
     (doc, bucket) followed by a broadcast join.  The target corpus is
     only ever reduced to its ``dim``-row histogram, so it can be any
-    size, and the raw corpus is scanned once.
+    size, and the raw corpus is scanned ONCE: the raw histogram is
+    derived from the sealed per-doc bucket counts (localCheckpoint —
+    the same branched-lineage discipline as the similarity kernels),
+    not from a second corpus pass.
     """
     def bucketed(frame: DataFrame, with_id: bool):
+        from dbt_core_spark.operators.dedup import ensure_parallelism
+
         cols = [F.col(id_col)] if with_id else []
         return (
-            frame.filter(F.col(text_col).isNotNull())
+            ensure_parallelism(frame.filter(F.col(text_col).isNotNull()))
             .select(*cols, F.explode(normalized_words(text_col)).alias("w"))
             .withColumn("bucket", _md5_mod(F.col("w"), dim))
         )
 
-    def histogram(frame: DataFrame, total_name: str, count_name: str):
-        counts = bucketed(frame, with_id=False).groupBy("bucket").agg(
-            F.count("*").cast("bigint").alias(count_name)
-        )
-        total = counts.agg(
-            F.sum(count_name).cast("bigint").alias(total_name)
-        )
-        return counts, total
+    t_counts = bucketed(target, with_id=False).groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("c_t")
+    )
+    t_total = t_counts.agg(F.sum("c_t").cast("bigint").alias("n_t"))
 
-    t_counts, t_total = histogram(target, "n_t", "c_t")
-    r_counts, r_total = histogram(df, "n_r", "c_r")
+    # one raw-corpus pass: per-doc bucket counts, SEALED because they
+    # feed both the raw histogram and the final scoring join (without
+    # the seal Catalyst would replay the corpus explode per branch)
+    doc_buckets = (
+        bucketed(df, with_id=True)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    r_counts = doc_buckets.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("c_r")
+    )
+    r_total = r_counts.agg(F.sum("c_r").cast("bigint").alias("n_r"))
 
     # dense dim-row bucket table: missing buckets still carry the
     # smoothed floor probability on both sides
@@ -447,9 +459,6 @@ def dsir_score(
                 )
             ).cast("bigint").alias("lr_micro"),
         )
-    )
-    doc_buckets = bucketed(df, with_id=True).groupBy(id_col, "bucket").agg(
-        F.count("*").cast("bigint").alias("n")
     )
     return (
         doc_buckets.join(F.broadcast(lr), "bucket")

@@ -694,9 +694,9 @@ def dup_ngram_spans(
     windows order totally; md5 is engine-portable (DuckDB oracle is
     bit-exact).
     """
-    words = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), normalized_words(text_col).alias("ws")
-    )
+    words = ensure_parallelism(
+        df.filter(F.col(text_col).isNotNull())
+    ).select(F.col(id_col), normalized_words(text_col).alias("ws"))
     cnt = F.greatest(F.size("ws") - k + 1, F.lit(0))
     z = F.slice(F.col("ws"), 1, cnt)
     for j in range(1, k):
