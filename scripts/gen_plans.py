@@ -126,6 +126,18 @@ PICKS = {
         "Embedding mean-pooling — posexplode then one (group, pos) "
         "aggregate with map-side partial agg over exact decimals; no "
         "arrays through the exchange."),
+    "dup_span_docs": (
+        "Substring-level duplicate spans — positional k-grams from the "
+        "shifted-slice HOF (no self-join), md5 BEFORE the shuffle so "
+        "the distinct-doc count carries 16-byte keys, left-semi "
+        "membership, island merge in per-document windows (bounded by "
+        "doc length, never cross-document)."),
+    "dsir_score_docs": (
+        "DSIR importance scores — the target corpus reduces to a "
+        "dim-row broadcast histogram; ONE raw-corpus pass (sealed "
+        "per-doc bucket counts feed both the raw histogram and the "
+        "scoring join); scoring is a broadcast join + per-doc sum of "
+        "exact integer micro-nats."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",
