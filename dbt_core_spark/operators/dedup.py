@@ -161,12 +161,16 @@ def ngram_jaccard_pairs(
     # (multi-referenced non-cheap expr), so tokenization runs once per row.
     # filter on size(words), not size(shingles): predicate pushdown would
     # inline the full n-gram expression into the filter otherwise
+    # SEALED: shingled feeds sizes + both sides of the self-join — four
+    # downstream branches; without the checkpoint Catalyst replays the
+    # regex tokenizer + n-gram HOF once per branch (same defect the r3
+    # verdict flagged in the BLAS kernels)
     shingled = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), normalized_words(text_col).alias("words"))
         .filter(F.size("words") >= n)
         .select("id", word_ngrams(F.col("words"), n).alias("shingles"))
-    )
+    ).localCheckpoint(eager=False)
     sizes = shingled.select("id", F.size("shingles").alias("n_sh"))
     pairs_src = shingled.select(
         "id", F.explode("shingles").alias("sh")
