@@ -70,7 +70,10 @@ def line_dedup(
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
         )
         .withColumn("nline", F.trim(F.lower(F.col("line"))))
-    )
+        # sealed: lines feeds the boilerplate counts, the anti-join
+        # probe, and the per-doc totals — three branches that would
+        # each replay the split+posexplode otherwise
+    ).localCheckpoint(eager=False)
     boiler = (
         lines.filter(F.col("nline") != "")
         .groupBy("nline")

@@ -282,7 +282,9 @@ def minhash_lsh_pairs(
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"s{i}")
             for i, (a, b) in enumerate(coef)
         ]
-    )
+        # sealed: sig feeds the banding AND the agreement prefilter —
+        # unsealed, the explode + 64-way min aggregate executes twice
+    ).localCheckpoint(eager=False)
     band_cols = F.array(
         *[
             F.struct(
@@ -714,7 +716,9 @@ def dup_ngram_spans(
             (F.col("p0") + 1).cast("bigint").alias("start"),
             F.md5("gram").alias("gh"),
         )
-    )
+        # sealed: grams feeds the global dup-count AND the membership
+        # probe — unsealed, the tokenizer + k-gram HOF + md5 runs twice
+    ).localCheckpoint(eager=False)
     dup = (
         grams.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("nd"))
