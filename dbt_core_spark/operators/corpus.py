@@ -136,8 +136,12 @@ def ngram_lm_score(
     sized count tables — the only corpus-scale shuffle keys are
     (doc, bigram) and the bigram itself.
     """
-    words = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), normalized_words(text_col).alias("ws")
+    # sealed: words feeds the bigram slide AND the unigram explode —
+    # unsealed, the regex tokenizer replays per branch
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), normalized_words(text_col).alias("ws"))
+        .localCheckpoint(eager=False)
     )
     doc_bg = (
         words.filter(F.size("ws") >= 2)
@@ -154,6 +158,9 @@ def ngram_lm_score(
             ).alias("bg"),
         )
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        # sealed: doc_bg feeds the per-doc types AND the corpus bigram
+        # counts — unsealed, the bigram slide explode runs twice
+        .localCheckpoint(eager=False)
     )
     doc_types = doc_bg.groupBy(id_col, "w1", "w2").agg(
         F.count("*").cast("bigint").alias("n_ij")

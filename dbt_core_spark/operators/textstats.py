@@ -339,10 +339,17 @@ def boilerplate_ngram_stats(
     is a semi-join on the shingle key.  Two key shuffles total, linear
     at corpus scale; no driver collect."""
     words = F.split(F.col(text_col), " ")
-    base = df.select(
-        F.col(id_col),
-        F.array_distinct(_ngram_array(words, n)).alias("shingles"),
-    ).filter(F.size(F.col("shingles")) > 0)
+    base = (
+        df.select(
+            F.col(id_col),
+            F.array_distinct(_ngram_array(words, n)).alias("shingles"),
+        )
+        .filter(F.size(F.col("shingles")) > 0)
+        # sealed: base feeds the exploded counts (twice, via common +
+        # membership) and the per-doc denominator — unsealed, the
+        # n-gram HOF replays once per branch
+        .localCheckpoint(eager=False)
+    )
     ex = base.select(id_col, F.explode("shingles").alias("shingle"))
     common = (
         ex.groupBy("shingle").count()
@@ -401,6 +408,10 @@ def tfidf_top_terms(
         .select(F.col(id_col), F.explode(normalized_words(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        # sealed: tf feeds the df aggregate AND the scoring join — the
+        # "df reuses the SAME exploded aggregate" claim only holds if
+        # the lineage is cut; unsealed, the corpus wordcount runs twice
+        .localCheckpoint(eager=False)
     )
     docfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df_docs"))
     n_docs = (
