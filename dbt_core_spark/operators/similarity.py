@@ -1372,3 +1372,45 @@ def pool_embeddings(
             ).alias("mean_val"),
         )
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "nbr_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the standard ANN quality metric (what FAISS reports per index):
+    per query, |approx ∩ exact| / k.  Making recall measurement a
+    first-class operator keeps "approximate" honest: every index
+    configuration (n_cells, n_probe, LSH tables) can be scored on a
+    sample before committing the 100 TB build.
+
+    Inputs are any two top-k frames sharing (query, neighbor) columns —
+    e.g. ``cosine_topk_blas`` (exact, auto-sharded) vs ``ivf_topk`` /
+    ``lsh_cosine_topk`` on the same corpus sample.
+
+    Scale shape: one left-semi join keyed on (query, neighbor) and one
+    per-query count — both k-bounded per query, wordcount-class; no
+    corpus data moves.
+    """
+    hits = (
+        approx.select(query_col, neighbor_col)
+        .join(
+            exact.select(query_col, neighbor_col),
+            [query_col, neighbor_col],
+            "left_semi",
+        )
+        .groupBy(query_col)
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    qset = exact.select(query_col).distinct()
+    return qset.join(hits, query_col, "left").select(
+        query_col,
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6
+        ).alias("recall"),
+    )

@@ -2049,3 +2049,23 @@ select db.doc_id,
 from db join lr using (bucket)
 group by db.doc_id
 """
+
+
+# ANN recall@3: approximate (deterministic IVF) vs exact top-3 — both
+# sides reuse the proven oracle texts verbatim, so the recall math is
+# the only new logic
+ORACLES["ann_recall_ivf_embeddings"] = f"""
+with exact as (select * from ({ORACLES["cosine_topk_blas_embeddings"]}) e),
+approx as (select * from ({_IVF_SQL}) a),
+hits as (
+    select a.query_id, cast(count(*) as bigint) as n_hit
+    from approx a
+    join exact e on e.query_id = a.query_id and e.nbr_id = a.nbr_id
+    group by 1
+),
+q as (select distinct query_id from exact)
+select q.query_id,
+       cast(coalesce(h.n_hit, 0) as bigint) as n_hit,
+       round(coalesce(h.n_hit, 0) / 3.0, 6) as recall
+from q left join hits h using (query_id)
+"""

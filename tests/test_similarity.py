@@ -186,3 +186,34 @@ def test_semantic_dedup_incremental_batch_vs_corpus(spark):
     assert out[100]["keeper_id"] == 2 and out[100]["cosine"] >= 0.999
     assert 101 not in out  # novel vector survives
     assert 2 not in out  # not a duplicate of itself
+
+
+def test_ann_recall_math(spark):
+    from dbt_core_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id int, nbr_id int",
+    )
+    # query 1: approx finds 2 of 3; query 2: none (and one bogus hit)
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 98), (2, 97), (2, 96)],
+        "query_id int, nbr_id int",
+    )
+    out = {r["query_id"]: r for r in ann_recall(exact, approx, k=3).collect()}
+    assert out[1]["n_hit"] == 2 and abs(out[1]["recall"] - 0.666667) < 1e-9
+    assert out[2]["n_hit"] == 0 and out[2]["recall"] == 0.0
+
+
+def test_ann_recall_perfect_when_probing_all_cells(spark, emb):
+    from dbt_core_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    exact = cosine_topk(emb, "embedding", "vec_id", k=2)
+    approx = ivf_topk(emb, "embedding", "vec_id", k=2,
+                      n_cells=4, n_probe=4, kmeans_iters=0)
+    rec = ann_recall(exact, approx, k=2)
+    assert rec.agg({"recall": "min"}).collect()[0][0] == 1.0
