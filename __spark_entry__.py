@@ -1577,6 +1577,18 @@ def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_span_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed substring dedup: detect duplicated 5-gram spans, then
+    cut them out and rebuild the clean token stream — the full
+    detect→remove action of Lee et al. substring dedup, end to end
+    against one oracle."""
+    from dbt_core_spark.operators.dedup import cut_dup_spans, dup_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = dup_ngram_spans(docs, k=5, min_docs=2)
+    return cut_dup_spans(docs, spans)
+
+
 def dsir_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scores (Xie et al. 2023): hashed-unigram
     log-ratio of target (lang='en') vs raw corpus distributions,
@@ -2062,22 +2074,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (insertion order).  Rotation policy: every round the first-50
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 4 window: 13 queries touched by
+    # two rounds unverified.  Round 4 window: 14 queries touched by
     # this round's similarity/corpus/merge changes (incl. the NEW
     # composed WebDataset pipeline, persistable-IVF search, incremental
-    # SemDeDup, hash_embed, dup-span substring dedup, DSIR scoring,
-    # and ANN recall measurement), then ALL 19 queries last verified in
-    # r1 (two rounds stale — the rotation debt the r3 verdict flagged),
-    # then the 7 engine_* queries (the runner's event emission changed
-    # this round), then 11 of the 30 remaining r2-verified queries.
-    # Past the cap: the other 19 r2-verified queries — every one of the
-    # 113 is green within the r3∪r4 union (all 110 pre-existing
-    # re-validated vs their oracles at sf0.01 this round via
-    # scripts/validate_oracles.py); the deferred r2 rows lead r5's
-    # window.
+    # SemDeDup, hash_embed, dup-span substring dedup detect+cut, DSIR
+    # scoring, and ANN recall measurement), then ALL 19 queries last
+    # verified in r1 (two rounds stale — the rotation debt the r3
+    # verdict flagged), then the 7 engine_* queries (the runner's event
+    # emission changed this round), then 10 of the 30 remaining
+    # r2-verified queries.  Past the cap: the other 20 r2-verified
+    # queries — every one of the 114 is green within the r3∪r4 union
+    # (all 110 pre-existing re-validated vs their oracles at sf0.01
+    # this round via scripts/validate_oracles.py); the deferred r2
+    # rows lead r5's window.
     return {
         # -- changed this round (must re-verify) --
         "dup_span_docs": dup_span_docs,
+        "dup_span_cut_docs": dup_span_cut_docs,
         "dsir_score_docs": dsir_score_docs,
         "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
@@ -2129,8 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_splits_docs": assign_splits_docs,
         "simhash_docs": simhash_docs,
         "text_quality_docs": text_quality_docs,
-        "language_id_docs": language_id_docs,
         # ---------------- past the 50-query gate cap ----------------
+        "language_id_docs": language_id_docs,
         "token_counts_docs": token_counts_docs,
         "cosine_pairs_embeddings": cosine_pairs_embeddings,
         "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,

@@ -766,3 +766,74 @@ def dup_ngram_spans(
             "n_grams",
         )
     )
+
+
+def cut_dup_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`dup_ngram_spans` output — cut every duplicated word
+    span out of the normalized token stream and rebuild the document
+    (the "remove the repeated substring, keep the document" action of
+    substring-level dedup, vs dropping whole near-dup docs).
+
+    Output: ``(doc_id, text_clean, n_words, n_removed)`` — text_clean
+    is the surviving tokens joined by single spaces (the same
+    normalization the span indices refer to).
+
+    Scale shape: posexplode the token stream (linear), left-anti range
+    join is avoided — spans are k-bounded per doc, so membership is an
+    equi-join on doc id followed by a positional BETWEEN filter against
+    the doc's (few) spans collected into an array; rebuild is the same
+    array_sort(collect_list) in-order aggregate line_dedup uses.  No
+    windows over the corpus; everything keys on the doc id.
+    """
+    toks = (
+        ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        .select(F.col(id_col), F.posexplode(normalized_words(text_col)).alias("p0", "w"))
+        .select(id_col, (F.col("p0") + 1).cast("bigint").alias("pos"), "w")
+    )
+    doc_spans = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    flagged = (
+        toks.join(doc_spans, id_col, "left")
+        .withColumn(
+            "cut",
+            F.coalesce(
+                F.exists(
+                    "sp",
+                    lambda s: (F.col("pos") >= s["span_start"])
+                    & (F.col("pos") <= s["span_end"]),
+                ),
+                F.lit(False),
+            ),
+        )
+    )
+    kept = flagged.filter(~F.col("cut"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    totals = toks.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_words")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_words",
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

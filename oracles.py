@@ -2069,3 +2069,27 @@ select q.query_id,
        round(coalesce(h.n_hit, 0) / 3.0, 6) as recall
 from q left join hits h using (query_id)
 """
+
+
+# composed substring dedup: the dup_span oracle text verbatim as the
+# span set, then positional cut + in-order rebuild
+ORACLES["dup_span_cut_docs"] = f"""
+with spans as (select * from ({ORACLES["dup_span_docs"]}) s0),
+w as (select doc_id, {_WORDS} as ws from documents where text is not null),
+t as (
+    select doc_id, cast(i as bigint) as pos, ws[i] as w
+    from w, unnest(generate_series(1, len(ws))) as tt(i)
+),
+flag as (
+    select t.doc_id, t.pos, t.w, count(s.span_start) > 0 as cut
+    from t left join spans s
+      on s.doc_id = t.doc_id and t.pos between s.span_start and s.span_end
+    group by t.doc_id, t.pos, t.w
+)
+select doc_id,
+       coalesce(string_agg(w, ' ' order by pos) filter (where not cut), '')
+         as text_clean,
+       cast(count(*) as bigint) as n_words,
+       cast(sum(case when cut then 1 else 0 end) as bigint) as n_removed
+from flag group by doc_id
+"""

@@ -295,3 +295,25 @@ def test_minhash_prefilter_before_exact_verify(spark, sf_dir):
                  spark.read.parquet(f"{sf_dir}/documents.parquet"),
                  threshold=0.7).collect()}
     assert rows == exact
+
+
+def test_cut_dup_spans_removes_copied_passage(spark):
+    from dbt_core_spark.operators.dedup import cut_dup_spans, dup_ngram_spans
+
+    rows = [
+        (1, "intro words here the quick brown fox jumps over and more tail"),
+        (2, "the quick brown fox jumps over something entirely different"),
+        (3, "untouched document with no shared phrases inside it at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = dup_ngram_spans(df, k=5, min_docs=2)
+    out = {r["doc_id"]: r for r in cut_dup_spans(df, spans).collect()}
+    # doc 1: words 4..9 cut -> "intro words here and more tail"
+    assert out[1]["text_clean"] == "intro words here and more tail"
+    assert out[1]["n_words"] == 12 and out[1]["n_removed"] == 6
+    # doc 2: words 1..6 cut
+    assert out[2]["text_clean"] == "something entirely different"
+    assert out[2]["n_removed"] == 6
+    # doc 3 untouched
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text_clean"].startswith("untouched document")
