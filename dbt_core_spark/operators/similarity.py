@@ -1414,3 +1414,55 @@ def ann_recall(
             F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6
         ).alias("recall"),
     )
+
+
+def ivf_index_append(
+    centroids: DataFrame,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign a NEW ingest batch to an existing IVF index's centroids —
+    the append step of the build-once / search-many lifecycle
+    (FAISS ``index.add`` re-expressed): union (or INSERT INTO) the
+    returned rows with the persisted assignments table and the index
+    covers the new batch, with the corpus never re-assigned.
+
+    Same schema as ``ivf_index_build`` assignments:
+    ``(id long, v array<double>, cell int)``.  One Arrow matmul pass
+    over the BATCH only; the centroid matrix is driver-collected
+    (n_cells rows, bounded — the MLlib-KMeans precedent) and
+    broadcast.  Cell choice is the same argmax/lowest-cell tie rule as
+    build, so appended assignments are bit-identical to what a full
+    rebuild would assign (the gate row proves it against the SQL
+    oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from dbt_core_spark.operators.dedup import ensure_parallelism
+
+    spark = batch.sparkSession
+    cpdf = centroids.orderBy("cell").toPandas()  # n_cells rows, bounded
+    Cn = np.array(cpdf["cv"].tolist(), dtype=np.float64)
+    cells = cpdf["cell"].to_numpy().astype("int64")
+    bcast = spark.sparkContext.broadcast((Cn, cells))
+    base = ensure_parallelism(
+        batch.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+
+    def assign(batches):
+        Cb, cl = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "id": pdf["id"].astype("int64"),
+                "v": pdf["v"],
+                "cell": cl[(Vn @ Cb.T).argmax(axis=1)].astype("int32"),
+            })
+
+    return base.mapInPandas(
+        assign, schema="id long, v array<double>, cell int"
+    )

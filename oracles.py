@@ -2093,3 +2093,44 @@ select doc_id,
        cast(sum(case when cut then 1 else 0 end) as bigint) as n_removed
 from flag group by doc_id
 """
+
+
+# index APPEND lifecycle: centroids seeded from the vec_id%20<>0
+# corpus only; batch rows assigned by the same argmax rule (append ==
+# what a rebuild would assign), searched against corpus+batch
+ORACLES["ann_ivf_index_append_embeddings"] = f"""
+with v0 as (
+    select vec_id, embedding::DOUBLE[] as e from embeddings
+), v as (
+    select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
+), cents as (
+    select vec_id as cell, e as ce, vn as cn
+    from v where vec_id % 20 <> 0 order by vec_id limit 16
+), rk as (
+    select v.vec_id as id, c.cell,
+           {_dot_sql('v.e', 'c.ce')} / (v.vn * c.cn) as cos
+    from v, cents c
+), ranked as (
+    select id, cell,
+           row_number() over (partition by id order by cos desc, cell) as r
+    from rk
+), probes as (
+    select id as query_id, cell from ranked
+    where r <= 4 and id % 20 = 0
+), assign as (
+    select id, cell from ranked where r = 1
+), scored as (
+    select p.query_id, a.id as nbr_id,
+           {_dot_sql('q.e', 'm.e')} / (q.vn * m.vn) as cosine
+    from probes p
+    join assign a using (cell)
+    join v q on q.vec_id = p.query_id
+    join v m on m.vec_id = a.id
+    where p.query_id <> a.id
+)
+select query_id, nbr_id, round(cosine, 6) as cosine,
+       cast(row_number() over (partition by query_id
+                               order by cosine desc, nbr_id) as int) as rank
+from scored
+qualify rank <= 3
+"""

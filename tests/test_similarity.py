@@ -217,3 +217,28 @@ def test_ann_recall_perfect_when_probing_all_cells(spark, emb):
                       n_cells=4, n_probe=4, kmeans_iters=0)
     rec = ann_recall(exact, approx, k=2)
     assert rec.agg({"recall": "min"}).collect()[0][0] == 1.0
+
+
+def test_ivf_index_append_matches_rebuild(spark, emb):
+    """Appending a batch to an existing index must assign exactly the
+    cells a full rebuild (same centroids) would."""
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cents, _ = ivf_index_build(corpus, n_cells=4, kmeans_iters=0)
+    appended = {
+        r["id"]: r["cell"] for r in ivf_index_append(cents, batch).collect()
+    }
+    # rebuild: assign the SAME batch through build's own pass by
+    # searching with identical centroids — emulate via append on the
+    # full set and compare the batch subset
+    full = {
+        r["id"]: r["cell"] for r in ivf_index_append(cents, emb).collect()
+    }
+    assert len(appended) > 0
+    assert all(full[i] == c for i, c in appended.items())
