@@ -319,3 +319,34 @@ def test_semantic_dedup_pairs_join_on_cell(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # within-cell pair join shuffles on cell only
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_dup_span_semi_join_window_per_doc(spark, sf_dir):
+    """Dup-span detection: membership is a left-semi join on the md5
+    gram hash (never cartesian); island merging windows partition by
+    the doc id, so window state is bounded by document length."""
+    plan = _plan(em.dup_span_docs(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_dsir_scoring_is_broadcast(spark, sf_dir):
+    """DSIR: the dim-row log-ratio table must broadcast to the per-doc
+    bucket counts — the corpus side never shuffles for the join."""
+    plan = _plan(em.dsir_score_docs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_no_corpus_data_moves(spark, sf_dir):
+    """ANN recall: hit counting is a semi join + count on k-bounded
+    top-k frames; no vector arrays may appear past the two top-k
+    subplans' own exchanges."""
+    from dbt_core_spark.operators.similarity import ann_recall
+
+    exact = em.cosine_topk_blas_embeddings(spark, sf_dir)
+    approx = em.ann_ivf_topk_embeddings(spark, sf_dir)
+    plan = _plan(ann_recall(exact, approx, k=3))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
