@@ -26,62 +26,7 @@ from bench import HEADLINE
 from dbt_core_spark.session import get_spark
 
 
-def _metrics(node) -> dict[str, int]:
-    out = {}
-    it = node.metrics().iterator()
-    while it.hasNext():
-        kv = it.next()
-        out[kv._1()] = kv._2().value()
-    return out
-
-
-def _children(node):
-    ch = node.children()
-    out = [ch.apply(i) for i in range(ch.size())]
-    if not out:
-        # QueryStageExec (plan) and unary wrappers expose the subtree
-        # behind an accessor instead of children()
-        for acc in ("plan", "child"):
-            try:
-                sub = getattr(node, acc)()
-                if sub is not None and hasattr(sub, "nodeName"):
-                    out.append(sub)
-                    break
-            except Exception:
-                pass
-    return out
-
-
-def audit(df) -> dict[str, int]:
-    plan = df._jdf.queryExecution().executedPlan()
-    if plan.nodeName().startswith("AdaptiveSparkPlan"):
-        plan = plan.executedPlan()
-    agg = {"exchanges": 0, "shuffle_records": 0, "shuffle_bytes": 0,
-           "broadcasts": 0, "broadcast_bytes": 0}
-    seen: set[int] = set()
-
-    def walk(node):
-        nid = node.id()
-        name = node.nodeName()
-        if name.startswith("ReusedExchange"):
-            return  # metrics already counted at the original exchange
-        if nid in seen:
-            return
-        seen.add(nid)
-        if name == "Exchange":
-            m = _metrics(node)
-            agg["exchanges"] += 1
-            agg["shuffle_records"] += int(m.get("shuffleRecordsWritten", 0))
-            agg["shuffle_bytes"] += int(m.get("shuffleBytesWritten", 0))
-        elif name.startswith("BroadcastExchange"):
-            m = _metrics(node)
-            agg["broadcasts"] += 1
-            agg["broadcast_bytes"] += int(m.get("dataSize", 0))
-        for c in _children(node):
-            walk(c)
-
-    walk(plan)
-    return agg
+from dbt_core_spark.audit import exchange_stats
 
 
 def fmt_bytes(n: int) -> str:
@@ -109,7 +54,7 @@ def main() -> None:
         # one that actually ran — count() plans and executes a separate
         # aggregate whose metrics would stay at zero here
         n = len(df.collect())
-        a = audit(df)
+        a = exchange_stats(df)
         rows.append((name, n, a))
         print(name, n, a, file=sys.stderr)
 
