@@ -1586,6 +1586,18 @@ def ann_ivf_index_append_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     return ivf_index_search(cents, combined, batch, k=3, n_probe=4)
 
 
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (threshold 0.5 on either
+    side): the sub-document dedup filter that catches quoted/subset
+    documents symmetric Jaccard misses.  Exact DuckDB oracle (integer
+    division semantics shared with the jaccard oracle)."""
+    from dbt_core_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
 def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate spans (suffix-array-dedup
     approximation, Lee et al. 2022): maximal word spans covered by
@@ -2096,16 +2108,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (insertion order).  Rotation policy: every round the first-50
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 4 window: 15 queries touched by
+    # two rounds unverified.  Round 4 window: 16 queries touched by
     # this round's similarity/corpus/merge changes (incl. the NEW
     # composed WebDataset pipeline, persistable-IVF search/append,
     # incremental SemDeDup, hash_embed, dup-span substring dedup
     # detect+cut, DSIR scoring, and ANN recall measurement), then ALL
     # 19 queries last verified in r1 (two rounds stale — the rotation
     # debt the r3 verdict flagged), then the 7 engine_* queries (the
-    # runner's event emission changed this round), then 9 of the 30
-    # remaining r2-verified queries.  Past the cap: the other 21
-    # r2-verified queries — every one of the 115 is green within the
+    # runner's event emission changed this round), then 8 of the 30
+    # remaining r2-verified queries.  Past the cap: the other 22
+    # r2-verified queries — every one of the 116 is green within the
     # r3∪r4 union (all 110 pre-existing re-validated vs their oracles
     # at sf0.01 this round via scripts/validate_oracles.py); the
     # deferred r2 rows lead r5's window.
@@ -2113,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- changed this round (must re-verify) --
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
+        "containment_pairs_docs": containment_pairs_docs,
         "dsir_score_docs": dsir_score_docs,
         "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
         "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
@@ -2163,8 +2176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": pii_scrub_docs,
         "chunk_documents_docs": chunk_documents_docs,
         "assign_splits_docs": assign_splits_docs,
-        "simhash_docs": simhash_docs,
         # ---------------- past the 50-query gate cap ----------------
+        "simhash_docs": simhash_docs,
         "text_quality_docs": text_quality_docs,
         "language_id_docs": language_id_docs,
         "token_counts_docs": token_counts_docs,

@@ -136,35 +136,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # n-gram Jaccard (exact pairwise, restricted to pairs sharing a shingle)
 # --------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
+def _shingle_pair_counts(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.7,
-    max_shingle_freq: int | None = None,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_freq: int | None,
 ) -> DataFrame:
-    """Exact Jaccard over word-n-gram shingle sets, for all pairs with
-    similarity ≥ threshold.  Only pairs sharing ≥1 shingle are ever
-    materialized (Jaccard > 0 requires a shared shingle), so the plan is:
-    explode → self-join on shingle → count shared → jaccard.
+    """Shared machinery for exact pairwise shingle-set similarity:
+    (id_a, id_b, shared, n_a, n_b) for every pair of documents sharing
+    at least one word-n-gram shingle (a < b).
 
-    Scale note: the shingle join degrades on ultra-frequent shingles;
-    ``max_shingle_freq`` drops shingles occurring in more than that many
-    docs (cheap df-filter) — the standard big-corpus mitigation.  Leave
-    None for oracle-exact semantics.
+    - two-step projection: materialize the words array BEFORE
+      n-gramming — inlined, the tokenizer would re-evaluate inside
+      every element_at of the transform lambda (measured 30× slower);
+    - filter on size(words), not size(shingles), so predicate pushdown
+      can't inline the full n-gram expression into the filter;
+    - SEALED: shingled feeds sizes + both sides of the self-join —
+      four downstream branches; without the checkpoint Catalyst
+      replays the regex tokenizer + n-gram HOF once per branch (same
+      defect the r3 verdict flagged in the BLAS kernels).
     """
-    # two-step projection: materialize the words array BEFORE n-gramming.
-    # Inlined, the tokenizer expression would be re-evaluated inside every
-    # element_at of the transform lambda (~3x per gram) — measured 30x
-    # slower.  As separate projections CollapseProject keeps the boundary
-    # (multi-referenced non-cheap expr), so tokenization runs once per row.
-    # filter on size(words), not size(shingles): predicate pushdown would
-    # inline the full n-gram expression into the filter otherwise
-    # SEALED: shingled feeds sizes + both sides of the self-join — four
-    # downstream branches; without the checkpoint Catalyst replays the
-    # regex tokenizer + n-gram HOF once per branch (same defect the r3
-    # verdict flagged in the BLAS kernels)
     shingled = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), normalized_words(text_col).alias("words"))
@@ -188,6 +180,29 @@ def ngram_jaccard_pairs(
     return (
         shared.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets, for all pairs with
+    similarity ≥ threshold.  Only pairs sharing ≥1 shingle are ever
+    materialized (Jaccard > 0 requires a shared shingle), so the plan is:
+    explode → self-join on shingle → count shared → jaccard.
+
+    Scale note: the shingle join degrades on ultra-frequent shingles;
+    ``max_shingle_freq`` drops shingles occurring in more than that many
+    docs (cheap df-filter) — the standard big-corpus mitigation.  Leave
+    None for oracle-exact semantics.
+    """
+    return (
+        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_freq)
         .withColumn(
             "jaccard",
             F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
@@ -196,6 +211,38 @@ def ngram_jaccard_pairs(
         # raw double, no rounding: int/int division is bit-identical across
         # engines, so the oracle can match exactly
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT over word-n-gram shingle sets: pairs
+    where either document's shingles are ≥ ``threshold`` contained in
+    the other (``shared/n_a`` or ``shared/n_b``).  Catches what
+    symmetric Jaccard structurally misses — a short document quoted
+    wholesale inside a long one scores near-zero Jaccard but
+    containment ≈ 1 (the RefinedWeb/CCNet sub-document dedup filter).
+
+    Output: (id_a, id_b, containment_a, containment_b) with a < b;
+    containment_a = fraction of A's shingles present in B.  Same
+    scale shape and ``max_shingle_freq`` mitigation as
+    :func:`ngram_jaccard_pairs` (shared machinery).
+    """
+    return (
+        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_freq)
+        .withColumn("containment_a", F.col("shared") / F.col("n_a"))
+        .withColumn("containment_b", F.col("shared") / F.col("n_b"))
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b")
     )
 
 

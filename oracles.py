@@ -2134,3 +2134,31 @@ select query_id, nbr_id, round(cosine, 6) as cosine,
 from scored
 qualify rank <= 3
 """
+
+
+# asymmetric containment pairs: same shingle machinery as the jaccard
+# oracle; containment_a = shared/n_a (int/int division — bit-identical
+# across engines)
+ORACLES["containment_pairs_docs"] = f"""
+with sh0 as (
+    select doc_id as id, {_WORDS} as words from documents
+), sh as (
+    select id, case when len(words) >= 3 then {_SHINGLES} else [] end as shingles
+    from sh0
+), shn as (
+    select id, shingles, len(shingles) as n_sh from sh where len(shingles) > 0
+), f as (
+    select id, unnest(shingles) as s from shn
+), shared as (
+    select a.id as id_a, b.id as id_b, count(*) as shared
+    from f a join f b on a.s = b.s and a.id < b.id
+    group by 1, 2
+)
+select s.id_a, s.id_b,
+       s.shared / na.n_sh as containment_a,
+       s.shared / nb.n_sh as containment_b
+from shared s
+join shn na on na.id = s.id_a
+join shn nb on nb.id = s.id_b
+where s.shared / na.n_sh >= 0.5 or s.shared / nb.n_sh >= 0.5
+"""

@@ -317,3 +317,30 @@ def test_cut_dup_spans_removes_copied_passage(spark):
     # doc 3 untouched
     assert out[3]["n_removed"] == 0
     assert out[3]["text_clean"].startswith("untouched document")
+
+
+def test_containment_catches_quoted_subset(spark):
+    from dbt_core_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog tonight"
+    long = (
+        "opening paragraph with plenty of its own original material here "
+        + short
+        + " and then a very long tail of additional unrelated prose that "
+        "keeps going with many more original shingles to dilute jaccard "
+        "far below any symmetric threshold used in practice today"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id int, text string"
+    )
+    cont = ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert r["id_a"] == 1 and r["id_b"] == 2
+    assert r["containment_a"] == 1.0  # every shingle of A is in B
+    assert r["containment_b"] < 0.5
+    # symmetric jaccard misses the same pair at its usual threshold
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.7).count() == 0
