@@ -2099,6 +2099,30 @@ def semantic_dedup_blas_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return semantic_dedup_blas(emb, tau=0.42, n_cells=16, kmeans_iters=0)
 
 
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed point-in-interval join: every 200th event defines a
+    ±5-minute window; count and fixed-point-sum all events landing in
+    each window.  A naive Spark inequality join is a nested-loop
+    O(|events|·|windows|); range_join's temporal bucketing turns it into
+    one shuffle join on the bucket key (operators/asof.py)."""
+    from dbt_core_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    win = ev.filter("event_id % 200 = 0").select(
+        F.col("event_id").alias("window_id"),
+        (F.col("ts") - F.expr("INTERVAL 300 SECONDS")).alias("wstart"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("wend"),
+    )
+    joined = range_join(
+        ev.select("event_id", "ts", "value"), win,
+        "ts", "wstart", "wend", bucket_width=600,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("cast(round(value * 10000) as bigint)")).alias("value_e4"),
+    )
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2123,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deferred r2 rows lead r5's window.
     return {
         # -- changed this round (must re-verify) --
+        "range_join_events": range_join_events,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

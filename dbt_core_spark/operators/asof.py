@@ -97,3 +97,68 @@ def asof_join(
         )
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_ts: str,
+    range_start: str,
+    range_end: str,
+    bucket_width: int = 3600,
+    on: Optional[str] = None,
+    inclusive: str = "both",
+) -> DataFrame:
+    """Point-in-interval join (``range_start <= point_ts <= range_end``),
+    the second temporal join Spark SQL lacks a fast native plan for.
+
+    A naive inequality join with no equi-key compiles to
+    BroadcastNestedLoopJoin / CartesianProduct — O(|points| x |ranges|)
+    comparisons, which is unrunnable at 100 TB.  The scalable shape
+    (same trick DuckDB's IEJoin and the Databricks range-join hint use)
+    is *temporal bucketing*:
+
+    - each range row is exploded to every ``bucket_width``-second bucket
+      it overlaps (cost: span/width + 1 replicas — pick the width near
+      the typical span so this stays ~2);
+    - each point lands in exactly ONE bucket, so the equi-join on
+      ``(bucket [, on])`` finds every true pair exactly once — no
+      post-join dedup needed;
+    - the exact predicate is re-applied after the equi-join, so bucket
+      boundaries never change results, only cost.
+
+    The plan is a plain shuffle join on the bucket key — partial-agg,
+    AQE-skew, and broadcast (small ranges side) all apply.  ``on``
+    optionally adds an equality key (e.g. user_id) to both the join and
+    the bucketing.
+
+    Semantics match ``ASOF``-style interval containment; ``inclusive``
+    is 'both' (default), 'left' ([start, end)), or 'right' ((start, end]).
+    """
+    if inclusive not in ("both", "left", "right"):
+        raise ValueError("inclusive must be 'both', 'left', or 'right'")
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be a positive number of seconds")
+
+    r = (
+        ranges.withColumn("_bs", F.floor(F.col(range_start).cast("long") / w))
+        .withColumn("_be", F.floor(F.col(range_end).cast("long") / w))
+        .filter(F.col("_bs") <= F.col("_be"))
+        .withColumn("_bkt", F.explode(F.sequence(F.col("_bs"), F.col("_be"))))
+        .drop("_bs", "_be")
+    )
+    p = points.withColumn("_bkt", F.floor(F.col(point_ts).cast("long") / w))
+
+    keys = ["_bkt"] + ([on] if on else [])
+    lo = (
+        F.col(point_ts) >= F.col(range_start)
+        if inclusive in ("both", "left")
+        else F.col(point_ts) > F.col(range_start)
+    )
+    hi = (
+        F.col(point_ts) <= F.col(range_end)
+        if inclusive in ("both", "right")
+        else F.col(point_ts) < F.col(range_end)
+    )
+    return p.join(r, on=keys, how="inner").filter(lo & hi).drop("_bkt")

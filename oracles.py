@@ -2162,3 +2162,18 @@ join shn na on na.id = s.id_a
 join shn nb on nb.id = s.id_b
 where s.shared / na.n_sh >= 0.5 or s.shared / nb.n_sh >= 0.5
 """
+
+ORACLES["range_join_events"] = """
+with win as (
+  select event_id as window_id,
+         ts - interval '300 seconds' as wstart,
+         ts + interval '300 seconds' as wend
+  from events where event_id % 200 = 0
+)
+select w.window_id,
+       count(*) as n_events,
+       sum(cast(round(e.value * 10000) as bigint)) as value_e4
+from events e
+join win w on e.ts >= w.wstart and e.ts <= w.wend
+group by 1
+"""

@@ -53,3 +53,82 @@ def test_asof_no_cartesian_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" in plan  # single key-shuffle window, not a join blowup
+
+
+# ---------------- range_join ----------------
+
+from dbt_core_spark.operators.asof import range_join  # noqa: E402
+
+
+def _range_fixtures(spark):
+    base = dt.datetime(2024, 1, 1)
+    pts = _df(spark, [
+        (i, base + dt.timedelta(seconds=37 * i), i % 3) for i in range(200)
+    ], ["pid", "ts", "k"])
+    rng = _df(spark, [
+        (j, base + dt.timedelta(seconds=600 * j),
+         base + dt.timedelta(seconds=600 * j + 450), j % 3)
+        for j in range(12)
+    ], ["rid", "start", "end", "k"])
+    return pts, rng
+
+
+def _naive(pts, rng, on=None):
+    # reference result via cross join + filter (aliased to dodge ambiguity)
+    r2 = rng.select(rng.rid, rng.start, rng.end, rng.k.alias("rk"))
+    out = pts.crossJoin(r2).filter(
+        (pts.ts >= r2.start) & (pts.ts <= r2.end)
+        & ((pts.k == r2.rk) if on else (r2.rid == r2.rid))
+    )
+    return sorted((r["pid"], r["rid"]) for r in out.collect())
+
+
+def test_range_join_matches_naive(spark):
+    pts, rng = _range_fixtures(spark)
+    got = range_join(pts, rng.select("rid", "start", "end"),
+                     "ts", "start", "end", bucket_width=300)
+    assert sorted((r["pid"], r["rid"]) for r in got.collect()) == \
+        _naive(pts, rng)
+
+
+def test_range_join_keyed_matches_naive(spark):
+    pts, rng = _range_fixtures(spark)
+    got = range_join(pts, rng.select("rid", "start", "end", "k"),
+                     "ts", "start", "end", bucket_width=200, on="k")
+    assert sorted((r["pid"], r["rid"]) for r in got.collect()) == \
+        _naive(pts, rng, on="k")
+
+
+def test_range_join_bucket_width_is_cost_only(spark):
+    pts, rng = _range_fixtures(spark)
+    r3 = rng.select("rid", "start", "end")
+    a = sorted(map(tuple, range_join(pts, r3, "ts", "start", "end",
+                                     bucket_width=60).select("pid", "rid").collect()))
+    b = sorted(map(tuple, range_join(pts, r3, "ts", "start", "end",
+                                     bucket_width=7200).select("pid", "rid").collect()))
+    assert a == b
+
+
+def test_range_join_inclusive_bounds(spark):
+    base = dt.datetime(2024, 1, 1)
+    pts = _df(spark, [(1, base), (2, base + dt.timedelta(seconds=10))],
+              ["pid", "ts"])
+    rng = _df(spark, [(7, base, base + dt.timedelta(seconds=10))],
+              ["rid", "start", "end"])
+    both = range_join(pts, rng, "ts", "start", "end", bucket_width=5)
+    left = range_join(pts, rng, "ts", "start", "end", bucket_width=5,
+                      inclusive="left")
+    right = range_join(pts, rng, "ts", "start", "end", bucket_width=5,
+                       inclusive="right")
+    assert {r["pid"] for r in both.collect()} == {1, 2}
+    assert {r["pid"] for r in left.collect()} == {1}
+    assert {r["pid"] for r in right.collect()} == {2}
+
+
+def test_range_join_no_nested_loop_plan(spark):
+    pts, rng = _range_fixtures(spark)
+    got = range_join(pts, rng.select("rid", "start", "end"),
+                     "ts", "start", "end", bucket_width=300)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
