@@ -2123,6 +2123,16 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classifier_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear quality-classifier inference over
+    documents (derived md5 weights → zero-shuffle row-local fold;
+    operators/textstats.py:classifier_score)."""
+    from dbt_core_spark.operators.textstats import classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier_score(docs, "text", "doc_id", dim=256)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2148,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- changed this round (must re-verify) --
         "range_join_events": range_join_events,
+        "classifier_score_docs": classifier_score_docs,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

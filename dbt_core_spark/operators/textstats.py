@@ -633,3 +633,97 @@ def hash_embed(
             / F.col("nrm"),
         ).alias("embedding"),
     )
+
+
+def _bucket_of(word: Column, dim: int, seed: str) -> Column:
+    """Feature-hash bucket for a word (portable md5 integer-uniform,
+    mirror of oracles._hex2int) — pure expression, HOF-lambda safe."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), word))
+    return F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"), F.lit(dim)
+    )
+
+
+def _derived_weight_e6(bucket: Column, wseed: str) -> Column:
+    """Deterministic pseudo-weight for a bucket, integer micro-logits in
+    [-1000, 1000] (md5-derived, like the LSH hyperplanes)."""
+    key = F.md5(F.concat(F.lit(f"{wseed}:"), bucket.cast("string")))
+    return (
+        F.pmod(
+            F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"),
+            F.lit(2001),
+        )
+        - F.lit(1000)
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    weights: DataFrame | None = None,
+    seed: str = "clf",
+    wseed: str = "w",
+) -> DataFrame:
+    """fastText-style linear classifier INFERENCE: hashed bag-of-words →
+    mean bucket weight → keep/drop label (the standard learned quality
+    filter in front of LLM pretraining corpora — e.g. the CCNet/GPT-3
+    Wikipedia-vs-CommonCrawl classifier).
+
+    Training happens offline; this operator is the corpus-scale scoring
+    pass, in two shapes:
+
+    - ``weights=None`` (benchmark/demo): per-bucket micro-logit weights
+      are derived from md5 of the bucket id, so scoring is a pure
+      row-local fold (``F.aggregate`` over the words array) — ZERO
+      shuffles, whole-stage codegen, embarrassingly parallel at 100 TB.
+    - ``weights`` given (production): a (bucket, w_e6) table of trained
+      weights, ≤ ``dim`` rows — broadcast-joined against the exploded
+      words, then one groupBy(id) shuffle.  Never a driver-side loop.
+
+    Integer micro-logits (e6) keep the oracle bit-exact; ``logit_e6`` is
+    the floored mean weight, ``label`` is keep iff it is positive.
+    The words array is staged as a column referenced twice (size +
+    fold) so CollapseProject cannot inline the tokenizer into the
+    lambda and re-run it per element (see with_unit_vectors)."""
+    base = df.filter(F.col(text_col).isNotNull())
+    if weights is None:
+        staged = base.select(
+            F.col(id_col), normalized_words(F.col(text_col)).alias("__w")
+        )
+        scored = staged.select(
+            F.col(id_col),
+            F.size("__w").cast("bigint").alias("n_words"),
+            F.aggregate(
+                F.col("__w"),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc
+                + _derived_weight_e6(_bucket_of(x, dim, seed), wseed),
+            ).alias("__s"),
+        )
+    else:
+        ex = base.select(
+            F.col(id_col),
+            F.explode(normalized_words(F.col(text_col))).alias("word"),
+        ).select(F.col(id_col), _bucket_of(F.col("word"), dim, seed).alias("bucket"))
+        scored = (
+            ex.join(F.broadcast(weights), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_words"),
+                F.sum("w_e6").alias("__s"),
+            )
+        )
+    return (
+        scored.filter(F.col("n_words") > 0)
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.floor(F.col("__s") / F.col("n_words")).cast("bigint").alias("logit_e6"),
+        )
+        .withColumn(
+            "label",
+            F.when(F.col("logit_e6") > 0, F.lit("keep")).otherwise(F.lit("drop")),
+        )
+    )

@@ -2177,3 +2177,28 @@ from events e
 join win w on e.ts >= w.wstart and e.ts <= w.wend
 group by 1
 """
+
+# fastText-style hashed linear classifier (mirror of
+# textstats.classifier_score, derived-weight path): bucket =
+# md5('clf:'||word) first-15-hex % dim; weight = md5('w:'||bucket)
+# first-15-hex % 2001 - 1000 micro-logits.
+_CLF_BUCKET = _hex2int("substr(md5('clf:' || word), 1, 15)", digits=15)
+_CLF_W = _hex2int("substr(md5('w:' || cast(bucket as varchar)), 1, 15)",
+                  digits=15)
+ORACLES["classifier_score_docs"] = f"""
+with w as (
+  select doc_id, unnest({_WORDS}) as word
+  from documents where text is not null
+), b as (
+  select doc_id, ({_CLF_BUCKET}) % 256 as bucket from w
+), s as (
+  select doc_id, count(*) as n_words,
+         sum((({_CLF_W}) % 2001) - 1000) as s
+  from b group by doc_id
+)
+select doc_id,
+       cast(n_words as bigint) as n_words,
+       cast(floor(s / n_words) as bigint) as logit_e6,
+       case when floor(s / n_words) > 0 then 'keep' else 'drop' end as label
+from s where n_words > 0
+"""

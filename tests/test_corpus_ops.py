@@ -456,3 +456,80 @@ def test_dsir_score_matches_python_reference(spark):
     out = {r["doc_id"]: r for r in C.dsir_score(raw, target, dim=dim).collect()}
     for d in (10, 11):
         assert out[d]["sum_lr_micro"] == expect[d]
+
+
+# ---------------- classifier_score ----------------
+
+def test_classifier_score_derived_weights_match_python(spark):
+    """Derived-weight scoring == a plain-Python re-implementation."""
+    import hashlib
+    import math
+
+    from dbt_core_spark.operators.textstats import classifier_score
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "lorem ipsum dolor sit amet consectetur"),
+        (3, None),
+        (4, "!!! ???"),  # no words after normalization -> dropped
+        (5, "spark"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_words"], r["logit_e6"], r["label"])
+           for r in classifier_score(df, dim=32).collect()}
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    import re
+    exp = {}
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        words = [w for w in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split() if w]
+        if not words:
+            continue
+        s = 0
+        for w in words:
+            bucket = h15(f"clf:{w}") % 32
+            s += (h15(f"w:{bucket}") % 2001) - 1000
+        exp[doc_id] = (len(words), math.floor(s / len(words)),
+                       "keep" if math.floor(s / len(words)) > 0 else "drop")
+    assert got == exp
+
+
+def test_classifier_score_trained_weights_broadcast(spark):
+    """Trained-weights path: per-bucket table drives the score; the plan
+    broadcasts the weights side (never shuffles the corpus for it)."""
+    from dbt_core_spark.operators.textstats import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "good good good"), (2, "bad bad")], ["doc_id", "text"]
+    )
+    from dbt_core_spark.operators.textstats import _bucket_of
+    from pyspark.sql import functions as F
+
+    buckets = {
+        r["word"]: r["b"]
+        for r in spark.createDataFrame([("good",), ("bad",)], ["word"])
+        .select("word", _bucket_of(F.col("word"), 64, "clf").alias("b"))
+        .collect()
+    }
+    weights = spark.createDataFrame(
+        [(buckets["good"], 500_000), (buckets["bad"], -250_000)],
+        ["bucket", "w_e6"],
+    )
+    out = classifier_score(df, dim=64, weights=weights)
+    got = {r["doc_id"]: (r["n_words"], r["logit_e6"], r["label"])
+           for r in out.collect()}
+    assert got == {1: (3, 500_000, "keep"), 2: (2, -250_000, "drop")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_score_derived_is_shuffle_free(spark):
+    from dbt_core_spark.operators.textstats import classifier_score
+
+    df = spark.createDataFrame([(1, "alpha beta gamma")], ["doc_id", "text"])
+    plan = classifier_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure row-local fold
