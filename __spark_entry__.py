@@ -2133,6 +2133,19 @@ def classifier_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, "text", "doc_id", dim=256)
 
 
+def cms_heavy_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over document words: the 4×1024
+    deterministic md5 sketch, then distinct-word point queries ≥500.
+    Sketch shuffle is bounded by depth·width per partition regardless of
+    corpus size (operators/sketches.py:cms_heavy_hitters)."""
+    from dbt_core_spark.operators.dedup import normalized_words
+    from dbt_core_spark.operators.sketches import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents").filter("text is not null")
+    words = docs.select(F.explode(normalized_words(F.col("text"))).alias("word"))
+    return cms_heavy_hitters(words, "word", threshold=500, depth=4, width=1024)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2159,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- changed this round (must re-verify) --
         "range_join_events": range_join_events,
         "classifier_score_docs": classifier_score_docs,
+        "cms_heavy_words": cms_heavy_words,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

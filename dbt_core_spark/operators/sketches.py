@@ -269,3 +269,103 @@ def histogram_quantiles(
             (F.lit(lo) + (F.col("_qbin") + 1) * F.lit(width)).alias("quantile_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# and heavy hitters in fixed memory.  Like KMV/HLL above, every counter
+# position is md5-derived exact integer arithmetic, so an independent SQL
+# engine reproduces the sketch (and therefore the estimates) bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _cms_pos(col: Column, width: int, j: int, seed: str) -> Column:
+    """Row-j counter position for a value (portable md5 integer-uniform)."""
+    key = F.md5(F.concat(F.lit(f"{seed}{j}:"), col.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"), F.lit(width)
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of ``value_col`` as a (row, pos, cnt) counter
+    table — depth × width cells regardless of input cardinality.
+
+    One posexplode (each instance → its ``depth`` counter cells) and one
+    groupBy(row, pos) with map-side partial aggregation: shuffle volume
+    is bounded by depth·width per upstream partition, not by the data.
+    Sketches MERGE by unioning counter tables and re-summing
+    (``cms_merge``) — the property that makes per-shard / per-day
+    sketches roll up at 100 TB."""
+    cells = df.filter(F.col(value_col).isNotNull()).select(
+        F.posexplode(
+            F.array(*[_cms_pos(F.col(value_col), width, j, seed)
+                      for j in range(depth)])
+        ).alias("row", "pos")
+    )
+    return cells.groupBy("row", "pos").agg(F.count("*").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with identical (depth, width, seed)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for each item: estimate = min over the
+    ``depth`` rows of the counter at (j, h_j(item)) — an overestimate
+    within eN/width with probability 1 - exp(-depth).
+
+    The sketch is ≤ depth·width rows → broadcast; the probe side never
+    shuffles except the final groupBy(item) min, which is bounded by
+    |items| · depth."""
+    probes = items.select(
+        F.col(value_col),
+        F.posexplode(
+            F.array(*[_cms_pos(F.col(value_col), width, j, seed)
+                      for j in range(depth)])
+        ).alias("row", "pos"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "pos"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Values whose count-min estimate ≥ threshold (superset of the true
+    heavy hitters — CMS never underestimates).  Returns (value, est_cnt).
+
+    The candidate set is the DISTINCT values (one shuffle); the sketch
+    lookup is a broadcast join.  At 100 TB the distinct pass dominates;
+    when even that is too wide, feed a pre-aggregated candidate subset
+    (e.g. per-partition local top-k) as ``items`` to ``cms_estimate``."""
+    sketch = cms_build(df, value_col, depth=depth, width=width, seed=seed)
+    items = df.filter(F.col(value_col).isNotNull()).select(value_col).distinct()
+    est = cms_estimate(sketch, items, value_col,
+                       depth=depth, width=width, seed=seed)
+    return est.filter(F.col("est_cnt") >= threshold)

@@ -2202,3 +2202,35 @@ select doc_id,
        case when floor(s / n_words) > 0 then 'keep' else 'drop' end as label
 from s where n_words > 0
 """
+
+# Count-min sketch heavy hitters (mirror of sketches.cms_build/
+# cms_estimate/cms_heavy_hitters): position of value v in sketch row j
+# is first-15-hex(md5('cms{j}:{v}')) % width; estimate = min_j counter.
+_CMS_POS = _hex2int(
+    "substr(md5('cms' || cast(j as varchar) || ':' || word), 1, 15)",
+    digits=15,
+)
+ORACLES["cms_heavy_words"] = f"""
+with w as (
+  select unnest({_WORDS}) as word
+  from documents where text is not null
+), rows_j as (
+  select unnest(range(4)) as j
+), cells as (
+  select j, ({_CMS_POS}) % 1024 as pos
+  from w cross join rows_j
+), sketch as (
+  select j, pos, count(*) as cnt from cells group by 1, 2
+), items as (
+  select distinct word from w
+), probes as (
+  select word, j, ({_CMS_POS}) % 1024 as pos
+  from items cross join rows_j
+), est as (
+  select p.word, min(s.cnt) as est_cnt
+  from probes p join sketch s on s.j = p.j and s.pos = p.pos
+  group by 1
+)
+select word, cast(est_cnt as bigint) as est_cnt
+from est where est_cnt >= 500
+"""

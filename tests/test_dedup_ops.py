@@ -344,3 +344,56 @@ def test_containment_catches_quoted_subset(spark):
     assert r["containment_b"] < 0.5
     # symmetric jaccard misses the same pair at its usual threshold
     assert ngram_jaccard_pairs(df, n=3, threshold=0.7).count() == 0
+
+
+# ---------------- count-min sketch ----------------
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    from dbt_core_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [(f"w{i % 7}",) for i in range(70)] + [("rare",)]
+    df = spark.createDataFrame(rows, ["v"])
+    sketch = cms_build(df, "v", depth=4, width=512)
+    est = cms_estimate(sketch, df.select("v").distinct(), "v",
+                       depth=4, width=512)
+    true = {r["v"]: r["cnt"] for r in
+            df.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+    got = {r["v"]: r["est_cnt"] for r in est.collect()}
+    assert set(got) == set(true)
+    for v, t in true.items():
+        assert got[v] >= t          # CMS never underestimates
+        assert got[v] <= t + 3      # wide sketch: collisions are rare
+
+
+def test_cms_merge_equals_whole(spark):
+    from dbt_core_spark.operators.sketches import cms_build, cms_merge
+
+    a = spark.createDataFrame([(f"x{i % 5}",) for i in range(40)], ["v"])
+    b = spark.createDataFrame([(f"x{i % 9}",) for i in range(33)], ["v"])
+    merged = cms_merge(cms_build(a, "v"), cms_build(b, "v"))
+    whole = cms_build(a.unionByName(b), "v")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_cms_heavy_hitters_superset_of_true(spark):
+    from dbt_core_spark.operators.sketches import cms_heavy_hitters
+
+    rows = ([("hot",)] * 50 + [("warm",)] * 20
+            + [(f"cold{i}",) for i in range(30)])
+    df = spark.createDataFrame(rows, ["v"])
+    got = {r["v"] for r in cms_heavy_hitters(df, "v", threshold=20,
+                                             width=512).collect()}
+    assert {"hot", "warm"} <= got
+    # with width=512 and 32 distinct values, no false positives expected
+    assert got == {"hot", "warm"}
+
+
+def test_cms_sketch_size_is_bounded(spark):
+    from dbt_core_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(500)], ["v"])
+    sketch = cms_build(df, "v", depth=3, width=64)
+    assert sketch.count() <= 3 * 64
+    total = sketch.groupBy("row").sum("cnt").collect()
+    assert all(r["sum(cnt)"] == 500 for r in total)  # each row counts all
