@@ -2146,6 +2146,36 @@ def cms_heavy_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(words, "word", threshold=500, depth=4, width=1024)
 
 
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): 64-dim floats
+    → 4 subspace codes against a deterministic 16-code codebook — the
+    ~64× storage-compression tier under IVF
+    (operators/similarity.py:pq_encode)."""
+    from dbt_core_spark.operators.similarity import pq_codebook, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, dim=64, m=4, ks=16)
+    out = pq_encode(emb, cb, dim=64, m=4)
+    return out.select(
+        "vec_id", F.col("sub").cast("int").alias("sub"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+def pq_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-3 over PQ codes for the vec_id%50 query batch: per-query
+    LUT broadcast + one (sub, code) equi-join — raw vectors never
+    rescanned (operators/similarity.py:pq_search)."""
+    from dbt_core_spark.operators.similarity import (
+        pq_codebook, pq_encode, pq_search)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, dim=64, m=4, ks=16)
+    codes = pq_encode(emb, cb, dim=64, m=4)
+    queries = emb.filter("vec_id % 50 = 0")
+    return pq_search(codes, queries, cb, k=3, dim=64, m=4)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2173,6 +2203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": range_join_events,
         "classifier_score_docs": classifier_score_docs,
         "cms_heavy_words": cms_heavy_words,
+        "pq_encode_embeddings": pq_encode_embeddings,
+        "pq_search_embeddings": pq_search_embeddings,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

@@ -1466,3 +1466,151 @@ def ivf_index_append(
     return base.mapInPandas(
         assign, schema="id long, v array<double>, cell int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search") — the storage tier below IVF: each vector
+# is stored as m small codes (m bytes at ks=256) instead of dim floats, a
+# ~dim·4/m× compression, and queries scan codes with an ADC lookup table
+# instead of touching raw vectors.  At 100 TB of embeddings this is the
+# difference between scanning 100 TB and scanning ~1.5 TB of codes.
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Ordered squared-L2 distance fold (same sequential-fold convention
+    as ``_dot``; mirrored in SQL by oracles._l2sq_sql)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 4,
+    ks: int = 16,
+) -> DataFrame:
+    """Deterministic sampled PQ codebook: the ``ks`` lowest-id vectors
+    seed the codes (the same sampling-as-training convention as
+    ``ivf_topk``'s coarse centroids — production swaps in k-means-
+    trained codebooks, the table contract is identical).  Returns
+    (sub, code, cvec): m·ks tiny rows, always broadcast downstream.
+
+    ``dim`` must be divisible by ``m``; subspace s covers elements
+    [s·dim/m, (s+1)·dim/m)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sd = dim // m
+    seeds = df.orderBy(id_col).limit(ks).select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
+        F.col(vec_col).alias("_v"),
+    )
+    return seeds.select(
+        "code",
+        F.posexplode(
+            F.array(*[F.slice("_v", s * sd + 1, sd) for s in range(m)])
+        ).alias("sub", "cvec"),
+    ).select("sub", "code", "cvec")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 4,
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest code (long form:
+    one (id, sub, code) row per subspace; ties break to the lower code).
+
+    The corpus side cross-joins the BROADCAST m·ks-row codebook —
+    n·m·ks distance folds, all JVM-side — then ONE groupBy(id) computes
+    every subspace argmin in a single shuffle (min over (dist, code)
+    structs, so no second pass and no per-branch recompute)."""
+    sd = dim // m
+    ex = df.select(F.col(id_col), F.col(vec_col).alias("_v")).crossJoin(
+        F.broadcast(codebook)
+    )
+    scored = ex.select(
+        F.col(id_col),
+        "sub",
+        F.struct(
+            _l2sq(F.slice("_v", F.col("sub") * sd + 1, sd), F.col("cvec"))
+            .alias("d"),
+            F.col("code"),
+        ).alias("_dc"),
+    )
+    return (
+        scored.groupBy(id_col, "sub")
+        .agg(F.min("_dc").alias("_best"))
+        .select(F.col(id_col), "sub", F.col("_best.code").alias("code"))
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    m: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, build the m·ks lookup
+    table of exact subspace distances to every code, then score each
+    encoded vector as the SUM of its codes' LUT entries — the raw
+    corpus vectors are never touched.
+
+    Scale shape: the LUT (|Q|·m·ks rows) is broadcast; scoring is one
+    equi-join on (sub, code) against the long-form codes table, one
+    groupBy(query, id) SUM, and a per-query top-k window.  Distances
+    are summed as e6 fixed-point bigints so partial-aggregation order
+    can never flip a 6-dp rounding or a rank tie.  Returns
+    (query_id, nbr_id, dist_e6, rank)."""
+    sd = dim // m
+    lut = (
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_q")
+        )
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            query_id_col,
+            "sub",
+            "code",
+            F.round(
+                _l2sq(F.slice("_q", F.col("sub") * sd + 1, sd), F.col("cvec"))
+                * F.lit(1e6)
+            ).cast("bigint").alias("d_e6"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("d_e6").alias("dist_e6"))
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist_e6").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.select(
+            query_id_col,
+            F.col(id_col).alias("nbr_id"),
+            "dist_e6",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

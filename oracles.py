@@ -2234,3 +2234,76 @@ with w as (
 select word, cast(est_cnt as bigint) as est_cnt
 from est where est_cnt >= 500
 """
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    """Ordered squared-L2 fold of two DOUBLE[] columns (bit-exact mirror
+    of operators.similarity._l2sq)."""
+    return (f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+
+# Product quantization (mirror of similarity.pq_codebook/pq_encode/
+# pq_search): codebook seeds = 16 lowest-vec_id vectors, code j = seed
+# rank j; subspace s of a 64-dim vector covers elements 16s+1..16s+16.
+_PQ_COMMON = f"""
+with v0 as (
+    select vec_id, embedding::DOUBLE[] as e from embeddings
+), subs as (
+    select unnest(range(4)) as sub
+), seeds as (
+    select row_number() over (order by vec_id) - 1 as code, e
+    from (select * from v0 order by vec_id limit 16)
+), cb as (
+    select s.sub, seeds.code,
+           list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+                          i -> seeds.e[i]) as cvec
+    from seeds cross join subs s
+), sv as (
+    select v.vec_id, s.sub,
+           list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+                          i -> v.e[i]) as svec
+    from v0 v cross join subs s
+), d as (
+    select sv.vec_id, sv.sub, cb.code, {_l2sq_sql('sv.svec', 'cb.cvec')} as d
+    from sv join cb on cb.sub = sv.sub
+), enc as (
+    select vec_id, sub, code,
+           row_number() over (partition by vec_id, sub
+                              order by d, code) as r
+    from d
+)
+"""
+
+ORACLES["pq_encode_embeddings"] = _PQ_COMMON + """
+select vec_id, cast(sub as int) as sub, cast(code as int) as code
+from enc where r = 1
+"""
+
+ORACLES["pq_search_embeddings"] = _PQ_COMMON + f"""
+, codes as (
+    select vec_id, sub, code from enc where r = 1
+), qsub as (
+    select v.vec_id as query_id, s.sub,
+           list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+                          i -> v.e[i]) as svec
+    from v0 v cross join subs s
+    where v.vec_id % 50 = 0
+), lut as (
+    select q.query_id, cb.sub, cb.code,
+           cast(round({_l2sq_sql('q.svec', 'cb.cvec')} * 1e6) as bigint)
+               as d_e6
+    from qsub q join cb on cb.sub = q.sub
+), scored as (
+    select l.query_id, c.vec_id as nbr_id, sum(l.d_e6) as dist_e6
+    from codes c
+    join lut l on l.sub = c.sub and l.code = c.code
+    where l.query_id <> c.vec_id
+    group by 1, 2
+)
+select query_id, nbr_id, cast(dist_e6 as bigint) as dist_e6,
+       cast(row_number() over (partition by query_id
+                               order by dist_e6, nbr_id) as int) as rank
+from scored
+qualify rank <= 3
+"""

@@ -242,3 +242,105 @@ def test_ivf_index_append_matches_rebuild(spark, emb):
     }
     assert len(appended) > 0
     assert all(full[i] == c for i, c in appended.items())
+
+
+# ---------------- product quantization ----------------
+
+def _pq_fixture(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def _pq_reference(vecs, m=2, ks=4):
+    """Plain-python PQ with the same deterministic codebook (lowest-id
+    seeds) and tie-to-lower-code argmin."""
+    import numpy as np
+
+    n, dim = vecs.shape
+    sd = dim // m
+    cb = vecs[:ks].astype(np.float64)  # seeds = lowest ids
+    codes = np.zeros((n, m), dtype=int)
+    for i in range(n):
+        for s in range(m):
+            v = vecs[i, s * sd:(s + 1) * sd].astype(np.float64)
+            d = [float(((v - cb[j, s * sd:(s + 1) * sd]) ** 2).sum())
+                 for j in range(ks)]
+            codes[i, s] = int(np.lexsort((range(ks), d))[0])
+    return cb, codes
+
+
+def test_pq_encode_matches_reference(spark):
+    from dbt_core_spark.operators.similarity import pq_codebook, pq_encode
+
+    df, vecs = _pq_fixture(spark)
+    cb = pq_codebook(df, dim=8, m=2, ks=4)
+    enc = pq_encode(df, cb, dim=8, m=2)
+    got = {(r["vec_id"], r["sub"]): r["code"] for r in enc.collect()}
+    _, codes = _pq_reference(vecs)
+    exp = {(i, s): int(codes[i, s]) for i in range(20) for s in range(2)}
+    assert got == exp
+
+
+def test_pq_search_matches_reference_adc(spark):
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import (
+        pq_codebook, pq_encode, pq_search)
+
+    df, vecs = _pq_fixture(spark)
+    cb_df = pq_codebook(df, dim=8, m=2, ks=4)
+    enc = pq_encode(df, cb_df, dim=8, m=2)
+    queries = df.filter("vec_id < 3")
+    got = sorted(
+        (r["query_id"], r["rank"], r["nbr_id"], r["dist_e6"])
+        for r in pq_search(enc, queries, cb_df, k=2, dim=8, m=2).collect()
+    )
+
+    cb, codes = _pq_reference(vecs)
+    sd = 4
+    exp = []
+    for q in range(3):
+        luts = []
+        for s in range(2):
+            qv = vecs[q, s * sd:(s + 1) * sd].astype(np.float64)
+            luts.append([
+                int(round(float(((qv - cb[j, s * sd:(s + 1) * sd]) ** 2)
+                                .sum()) * 1e6))
+                for j in range(4)
+            ])
+        scored = sorted(
+            (sum(luts[s][codes[i, s]] for s in range(2)), i)
+            for i in range(20) if i != q
+        )
+        for rank, (d, i) in enumerate(scored[:2], 1):
+            exp.append((q, rank, i, d))
+    assert got == sorted(exp)
+
+
+def test_pq_plans_broadcast_not_shuffle(spark):
+    from dbt_core_spark.operators.similarity import (
+        pq_codebook, pq_encode, pq_search)
+
+    df, _ = _pq_fixture(spark)
+    cb = pq_codebook(df, dim=8, m=2, ks=4)
+    enc = pq_encode(df, cb, dim=8, m=2)
+    ep = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in ep  # intended broadcast cross of the tiny codebook
+    sp = pq_search(enc, df.filter("vec_id < 2"), cb, k=2, dim=8, m=2)
+    spp = sp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in spp  # LUT broadcast, codes side never replicated
+
+
+def test_pq_codebook_requires_divisible_dim(spark):
+    import pytest as _pytest
+
+    from dbt_core_spark.operators.similarity import pq_codebook
+
+    df, _ = _pq_fixture(spark)
+    with _pytest.raises(ValueError):
+        pq_codebook(df, dim=8, m=3)
