@@ -2176,6 +2176,16 @@ def pq_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(codes, queries, cb, k=3, dim=64, m=4)
 
 
+def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style text canonicalization (unicode punctuation → ASCII,
+    control-char strip, whitespace collapse) — zero-shuffle row-local
+    expressions (operators/textstats.py:normalize_text)."""
+    from dbt_core_spark.operators.textstats import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return normalize_text(docs, "text", "doc_id")
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2205,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_words": cms_heavy_words,
         "pq_encode_embeddings": pq_encode_embeddings,
         "pq_search_embeddings": pq_search_embeddings,
+        "normalize_text_docs": normalize_text_docs,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

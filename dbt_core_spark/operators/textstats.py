@@ -727,3 +727,44 @@ def classifier_score(
             F.when(F.col("logit_e6") > 0, F.lit("keep")).otherwise(F.lit("drop")),
         )
     )
+
+
+# Unicode canonicalization maps (1:1 chars go through translate() —
+# exact, regex-free, identical semantics in Spark and DuckDB including
+# delete-when-unmapped; multi-char rewrites use literal replace()).
+_XLATE_FROM = "‘’“”–— ­"
+_XLATE_TO = "''\"\"-- "  # soft hyphen (last) deletes
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonicalize raw scraped text before hashing/dedup/tokenizing —
+    the C4/CCNet-style cleanup pass that makes exact-dedup fingerprints
+    stable across mojibake-adjacent variants of the same page:
+
+    - '…' → '...'; curly quotes/dashes/NBSP → ASCII; soft hyphens
+      dropped (translate, not regex — exact and cheap);
+    - C0/C1-adjacent control characters stripped (tab/newline kept);
+    - horizontal whitespace runs collapsed to one space, spaces around
+      newlines trimmed, 3+ blank lines squeezed to one, ends trimmed.
+
+    Pure row-local string expressions — zero shuffles, whole-stage
+    codegen, trivially linear at 100 TB.  Returns
+    (id, text_norm, n_chars_before, n_chars_after)."""
+    t0 = F.col(text_col)
+    t = F.replace(t0, F.lit("…"), F.lit("..."))
+    t = F.translate(t, _XLATE_FROM, _XLATE_TO)
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, " *\\n *", "\n")
+    t = F.regexp_replace(t, "\\n{3,}", "\n\n")
+    t = F.trim(t)
+    return df.filter(t0.isNotNull()).select(
+        F.col(id_col),
+        t.alias("text_norm"),
+        F.length(t0).cast("bigint").alias("n_chars_before"),
+        F.length(t).cast("bigint").alias("n_chars_after"),
+    )

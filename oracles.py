@@ -2307,3 +2307,25 @@ select query_id, nbr_id, cast(dist_e6 as bigint) as dist_e6,
 from scored
 qualify rank <= 3
 """
+
+# Text canonicalization (mirror of textstats.normalize_text).  The 1:1
+# char maps go through translate() — same delete-when-unmapped semantics
+# in both engines; regex steps use e'' strings so newlines/tabs are
+# actual characters (RE2 replacement strings have no \n escape).
+_NORM_FROM = "‘’“”–— ­".replace("'", "''")
+_NORM_TO = "''\"\"-- ".replace("'", "''")
+_NORM_EXPR = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    f"translate(replace(text, '…', '...'), '{_NORM_FROM}', '{_NORM_TO}'), "
+    "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+    "e'[ \\t]+', ' ', 'g'), "
+    "e' *\\n *', e'\\n', 'g'), "
+    "e'\\n{3,}', e'\\n\\n', 'g'))"
+)
+ORACLES["normalize_text_docs"] = f"""
+select doc_id,
+       {_NORM_EXPR} as text_norm,
+       cast(length(text) as bigint) as n_chars_before,
+       cast(length({_NORM_EXPR}) as bigint) as n_chars_after
+from documents where text is not null
+"""

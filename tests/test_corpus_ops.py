@@ -533,3 +533,53 @@ def test_classifier_score_derived_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "alpha beta gamma")], ["doc_id", "text"])
     plan = classifier_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure row-local fold
+
+
+# ---------------- normalize_text ----------------
+
+def test_normalize_text_unicode_and_whitespace(spark):
+    from dbt_core_spark.operators.textstats import normalize_text
+
+    rows = [
+        (1, "“Smart” quotes — and ‘apostrophes’…"),
+        (2, "tabs\t\tand   runs\x00\x07 of junk"),
+        (3, "line one   \n   line two\n\n\n\n\nline three"),
+        (4, "soft­hyphen and nbsp"),
+        (5, None),
+        (6, "  padded  "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text_norm"] for r in normalize_text(df).collect()}
+    assert got == {
+        1: "\"Smart\" quotes - and 'apostrophes'...",
+        2: "tabs and runs of junk",
+        3: "line one\nline two\n\nline three",
+        4: "softhyphen and nbsp",
+        6: "padded",
+    }
+
+
+def test_normalize_text_counts_and_shuffle_free(spark):
+    from dbt_core_spark.operators.textstats import normalize_text
+
+    df = spark.createDataFrame([(1, "a  b")], ["doc_id", "text"])
+    out = normalize_text(df)
+    row = out.collect()[0]
+    assert (row["n_chars_before"], row["n_chars_after"]) == (4, 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_normalize_text_stabilizes_exact_dedup(spark):
+    """The motivating property: two mojibake-variant renderings of the
+    same page collapse to one fingerprint after normalization."""
+    from dbt_core_spark.operators.dedup import exact_dedup
+    from dbt_core_spark.operators.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "“Hello” — world"), (2, "\"Hello\" - world")],
+        ["doc_id", "text"],
+    )
+    norm = normalize_text(df).withColumnRenamed("text_norm", "text")
+    kept = exact_dedup(norm, "text", "doc_id")
+    assert kept.count() == 1
