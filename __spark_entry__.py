@@ -2186,6 +2186,17 @@ def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs, "text", "doc_id")
 
 
+def gram_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed X^T X over the embedding corpus in e8 fixed point —
+    per-term half-up rounding makes the integer sums order-free and
+    engine-portable; shuffle bounded by partitions·d²
+    (operators/similarity.py:gram_matrix; feeds pca_project)."""
+    from dbt_core_spark.operators.similarity import gram_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, "embedding", dim=64)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2216,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode_embeddings": pq_encode_embeddings,
         "pq_search_embeddings": pq_search_embeddings,
         "normalize_text_docs": normalize_text_docs,
+        "gram_matrix_embeddings": gram_matrix_embeddings,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

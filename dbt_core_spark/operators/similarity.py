@@ -1614,3 +1614,119 @@ def pq_search(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Covariance / PCA over embedding columns.  The Gram matrix X^T X is the
+# only corpus-scale pass (mapInPandas partial d x d accumulators, shuffle
+# bounded by partitions·d², not rows); eigenvectors come from a
+# deterministic driver-side power iteration on the d x d result — the
+# same driver-seals-tiny-state precedent as ivf_topk's centroids.
+# ---------------------------------------------------------------------------
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: float = 1e8,
+) -> DataFrame:
+    """X^T X in e8 fixed point: per row, every (i, j) product term is
+    rounded half-up (floor(t·scale + 0.5)) to an int64 BEFORE summing,
+    so the sum is exact integer arithmetic — order-free across
+    partitions and bit-reproducible by any SQL engine.
+
+    Each Arrow batch contributes a d×d partial accumulator; the only
+    shuffle moves partitions·d² rows (d=64 → 4096 per partition)
+    regardless of corpus size.  Row-chunked so the (chunk, d, d)
+    intermediate stays ~16 MB.  At ~1e12 rows the int64 cell sums
+    approach overflow — shard the corpus and cms-style merge the
+    partials (sum the (i, j, v) tables) with DECIMAL sums if needed.
+    Returns (i, j, gram_e8), full symmetric matrix."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            for lo in range(0, len(X), 256):
+                C = X[lo:lo + 256]
+                O = C[:, :, None] * C[:, None, :]
+                acc += np.floor(O * scale + 0.5).astype(np.int64).sum(axis=0)
+                seen = True
+        if seen:
+            ii, jj = np.indices((dim, dim))
+            yield pd.DataFrame({
+                "i": ii.ravel().astype("int32"),
+                "j": jj.ravel().astype("int32"),
+                "v": acc.ravel(),
+            })
+
+    parts = df.select(vec_col).mapInPandas(part, "i int, j int, v long")
+    return parts.groupBy("i", "j").agg(F.sum("v").alias("gram_e8"))
+
+
+def pca_project(
+    df: DataFrame,
+    gram: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_components: int = 4,
+    dim: int = 64,
+    iters: int = 100,
+    scale: float = 1e8,
+) -> DataFrame:
+    """Project embeddings onto the top principal directions of a
+    ``gram_matrix`` result.
+
+    Eigenvectors via deterministic power iteration + deflation on the
+    collected d×d matrix (bounded driver state — d² cells, the
+    ivf/MLlib tiny-state precedent; a fixed all-ones start vector and
+    fixed iteration count make the result reproducible).  Components
+    are then broadcast back as literal arrays and the projection is a
+    row-local JVM fold — one corpus pass, zero shuffles.  Sign
+    convention: each component's largest-|coordinate| entry is made
+    positive.  Returns id + ``pc`` (array<double>, length
+    n_components)."""
+    import numpy as np
+
+    rows = gram.collect()  # d*d bounded rows
+    G = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        G[r["i"], r["j"]] = r["gram_e8"] / scale
+    comps = []
+    for _ in range(n_components):
+        v = np.ones(dim) / np.sqrt(dim)
+        for _ in range(iters):
+            v = G @ v
+            n = np.linalg.norm(v)
+            if n == 0:
+                break
+            v = v / n
+        k = int(np.argmax(np.abs(v)))
+        if v[k] < 0:
+            v = -v
+        comps.append(v)
+        lam = float(v @ G @ v)
+        G = G - lam * np.outer(v, v)
+
+    out_cols = []
+    for c, v in enumerate(comps):
+        arr = F.array(*[F.lit(float(x)) for x in v])
+        out_cols.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), arr,
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias(f"_pc{c}")
+        )
+    staged = df.select(F.col(id_col), *out_cols)
+    return staged.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_pc{c}") for c in range(n_components)]).alias("pc"),
+    )

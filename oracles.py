@@ -2329,3 +2329,22 @@ select doc_id,
        cast(length({_NORM_EXPR}) as bigint) as n_chars_after
 from documents where text is not null
 """
+
+# Gram matrix X^T X in e8 fixed point (mirror of similarity.gram_matrix):
+# each per-row (i, j) product term is floor(t*1e8 + 0.5) as bigint BEFORE
+# the sum, so partial-aggregation order cannot change a single bit.
+ORACLES["gram_matrix_embeddings"] = """
+with v as (
+  select embedding::DOUBLE[] as e from embeddings
+), ii as (
+  select unnest(range(1, 65)) as i
+), jj as (
+  select unnest(range(1, 65)) as j
+)
+select cast(ii.i - 1 as int) as i,
+       cast(jj.j - 1 as int) as j,
+       cast(sum(cast(floor(v.e[ii.i] * v.e[jj.j] * 1e8 + 0.5) as bigint))
+            as bigint) as gram_e8
+from v cross join ii cross join jj
+group by 1, 2
+"""

@@ -344,3 +344,74 @@ def test_pq_codebook_requires_divisible_dim(spark):
     df, _ = _pq_fixture(spark)
     with _pytest.raises(ValueError):
         pq_codebook(df, dim=8, m=3)
+
+
+# ---------------- gram matrix + PCA ----------------
+
+def test_gram_matrix_matches_numpy_fixed_point(spark):
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import gram_matrix
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(30, 6).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    got = {(r["i"], r["j"]): r["gram_e8"]
+           for r in gram_matrix(df, dim=6).collect()}
+    Xd = X.astype(np.float64)
+    exp = {}
+    for i in range(6):
+        for j in range(6):
+            exp[(i, j)] = int(np.floor(Xd[:, i] * Xd[:, j] * 1e8 + 0.5).sum())
+    assert got == exp
+    # symmetric by construction
+    assert all(got[(i, j)] == got[(j, i)] for i in range(6) for j in range(6))
+
+
+def test_gram_partition_invariance(spark):
+    """Fixed-point terms make the sum order-free: 1 vs 7 partitions give
+    bit-identical matrices."""
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import gram_matrix
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(50, 4).astype("float32")
+    rows = [(i, [float(x) for x in X[i]]) for i in range(50)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .coalesce(1)
+    b = spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .repartition(7)
+    ga = sorted(map(tuple, gram_matrix(a, dim=4).collect()))
+    gb = sorted(map(tuple, gram_matrix(b, dim=4).collect()))
+    assert ga == gb
+
+
+def test_pca_project_recovers_dominant_direction(spark):
+    """Data generated along a known direction: PC1 aligns with it and
+    explains the spread; projection is a zero-shuffle row-local fold."""
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import gram_matrix, pca_project
+
+    rng = np.random.RandomState(5)
+    direction = np.array([3.0, 1.0, 0.5, 0.1])
+    direction /= np.linalg.norm(direction)
+    t = rng.randn(80) * 10
+    X = (np.outer(t, direction) + rng.randn(80, 4) * 0.01).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    gram = gram_matrix(df, dim=4)
+    out = pca_project(df, gram, n_components=2, dim=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # projection itself never shuffles
+    pcs = {r["vec_id"]: r["pc"] for r in out.collect()}
+    # PC1 projection should reproduce |t| ordering: corr(|pc1|, |t|) high
+    pc1 = np.array([pcs[i][0] for i in range(80)])
+    corr = np.corrcoef(pc1, t)[0, 1]
+    assert abs(corr) > 0.999
