@@ -2197,6 +2197,23 @@ def gram_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(emb, "embedding", dim=64)
 
 
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel per user: greedy earliest completion
+    with strictly-increasing times, ONE groupBy(user) shuffle + row-local
+    fold (operators/sequence.py:funnel; oracle = nested-min SQL form)."""
+    from dbt_core_spark.operators.sequence import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel(ev, ["view", "click", "purchase"], tiebreak_col="event_id")
+    return out.select(
+        "user_id",
+        "steps_completed",
+        F.element_at("step_ts", 1).alias("t1"),
+        F.element_at("step_ts", 2).alias("t2"),
+        F.element_at("step_ts", 3).alias("t3"),
+    )
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2228,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search_embeddings": pq_search_embeddings,
         "normalize_text_docs": normalize_text_docs,
         "gram_matrix_embeddings": gram_matrix_embeddings,
+        "funnel_events": funnel_events,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

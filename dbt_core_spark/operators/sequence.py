@@ -1,0 +1,94 @@
+"""Event-sequence analytics: funnel completion over per-user event
+streams (the batch complement of streaming/stateful.py's sessionizer).
+
+Funnel semantics (greedy earliest-completion, the standard product-
+analytics definition): a user completes step i+1 with the EARLIEST
+event of that type STRICTLY AFTER their step-i time; step 1 is the
+earliest step-1 event.  Greedy-earliest is optimal (taking an earlier
+step time never prevents a later completion), so the result equals the
+nested ``min(ts) where ts > prev`` formulation the SQL oracle uses.
+
+Scale shape: ONE shuffle (groupBy user collecting the sorted event
+structs), then a row-local JVM fold over each user's array — no
+k-step self-joins, no window cascade.  Per-user state is the event
+array: bounded by events-per-user.  For pathological users (millions
+of events) prefer the k-pass nested-min form (k grouped aggregations);
+at k=3 that is 3 shuffles vs 1 — the fold wins whenever user streams
+fit memory, which is the common case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-user funnel over ``steps`` (ordered event types).
+
+    Returns (user, steps_completed, step_ts): ``step_ts`` holds the
+    greedy-earliest timestamp of each completed step (length =
+    steps_completed); ``completed_at`` convenience column is the final
+    step's time when the whole funnel completed, else NULL.  Ties in
+    ``ts`` sort by ``tiebreak_col`` (recommended: a unique event id) so
+    the fold order is deterministic; equal-timestamp consecutive steps
+    do NOT chain (strictly-increasing times).
+    """
+    if not steps:
+        raise ValueError("steps must be a non-empty list of event types")
+    k = len(steps)
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    ev = df.filter(
+        F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            tb.alias("tb"),
+            F.col(type_col).alias("et"),
+        ).alias("e"),
+    )
+    grouped = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list("e")).alias("seq")
+    )
+
+    step_lit = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(
+        F.lit(0).cast("int").alias("n"),
+        F.lit(None).cast("timestamp").alias("last"),
+        F.array().cast("array<timestamp>").alias("times"),
+    )
+
+    def advance(acc: Column, e: Column) -> Column:
+        cond = (
+            (acc["n"] < F.lit(k))
+            & (e["et"] == F.element_at(step_lit, acc["n"] + 1))
+            & ((acc["n"] == 0) | (e["ts"] > acc["last"]))
+        )
+        return F.when(
+            cond,
+            F.struct(
+                (acc["n"] + 1).cast("int").alias("n"),
+                e["ts"].alias("last"),
+                F.concat(acc["times"], F.array(e["ts"])).alias("times"),
+            ),
+        ).otherwise(acc)
+
+    folded = grouped.select(
+        F.col(user_col),
+        F.aggregate("seq", init, advance).alias("_f"),
+    )
+    return folded.select(
+        F.col(user_col),
+        F.col("_f.n").alias("steps_completed"),
+        F.col("_f.times").alias("step_ts"),
+        F.when(F.col("_f.n") == k, F.element_at("_f.times", k))
+        .alias("completed_at"),
+    )

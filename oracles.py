@@ -2348,3 +2348,33 @@ select cast(ii.i - 1 as int) as i,
 from v cross join ii cross join jj
 group by 1, 2
 """
+
+# Funnel (mirror of sequence.funnel's greedy-earliest fold — equal by
+# the exchange argument to this nested strictly-greater min form).
+ORACLES["funnel_events"] = """
+with base as (
+  select distinct user_id from events
+  where event_type in ('view', 'click', 'purchase')
+), s1 as (
+  select user_id, min(ts) as t1 from events
+  where event_type = 'view' group by 1
+), s2 as (
+  select e.user_id, min(e.ts) as t2
+  from events e join s1 on s1.user_id = e.user_id
+  where e.event_type = 'click' and e.ts > s1.t1 group by 1
+), s3 as (
+  select e.user_id, min(e.ts) as t3
+  from events e join s2 on s2.user_id = e.user_id
+  where e.event_type = 'purchase' and e.ts > s2.t2 group by 1
+)
+select b.user_id,
+       cast(case when s3.t3 is not null then 3
+                 when s2.t2 is not null then 2
+                 when s1.t1 is not null then 1
+                 else 0 end as int) as steps_completed,
+       s1.t1 as t1, s2.t2 as t2, s3.t3 as t3
+from base b
+left join s1 on s1.user_id = b.user_id
+left join s2 on s2.user_id = b.user_id
+left join s3 on s3.user_id = b.user_id
+"""
