@@ -2214,6 +2214,16 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse JL projection 64→16 dims: md5-derived ±1/0 matrix baked
+    into the plan as literals, corpus pass is a zero-shuffle row-local
+    fold (operators/similarity.py:random_projection)."""
+    from dbt_core_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_projection(emb, dim=64, out_dim=16)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2246,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text_docs": normalize_text_docs,
         "gram_matrix_embeddings": gram_matrix_embeddings,
         "funnel_events": funnel_events,
+        "random_projection_embeddings": random_projection_embeddings,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

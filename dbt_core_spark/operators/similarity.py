@@ -1730,3 +1730,53 @@ def pca_project(
         F.col(id_col),
         F.array(*[F.col(f"_pc{c}") for c in range(n_components)]).alias("pc"),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: str = "jl",
+) -> DataFrame:
+    """Sparse Johnson–Lindenstrauss projection (Achlioptas 2003):
+    R[k][i] ∈ {+1, −1, 0} with probability {1/6, 1/6, 2/3}, entries
+    derived from md5(seed:k:i) — the same python-hashlib ↔ SQL-md5
+    determinism convention as the LSH hyperplanes.
+
+    The projection matrix is fixed at PLAN time (out_dim·dim literal
+    coefficients baked into the expression tree), so the corpus pass is
+    a pure row-local zip_with/fold — zero shuffles, no UDFs, no
+    broadcast.  Projections preserve pairwise distances within
+    (1 ± ε) for out_dim = O(log n / ε²); rescale by sqrt(3/out_dim)
+    when calibrated distances are needed (omitted here so the e6
+    fixed-point output stays integer-exact).  Returns
+    (id, k, proj_e6) long form."""
+    import hashlib
+
+    def coef(k: int, i: int) -> float:
+        h = int(hashlib.md5(f"{seed}:{k}:{i}".encode()).hexdigest()[:15], 16)
+        m = h % 6
+        return 1.0 if m == 0 else (-1.0 if m == 1 else 0.0)
+
+    outs = []
+    for k in range(out_dim):
+        rk = F.array(*[F.lit(coef(k, i)) for i in range(dim)])
+        outs.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col(vec_col), rk,
+                               lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                * F.lit(1e6)
+            ).cast("bigint").alias(f"_p{k}")
+        )
+    staged = df.select(F.col(id_col), *outs)
+    return staged.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"_p{k}") for k in range(out_dim)]))
+        .alias("k", "proj_e6"),
+    ).select(F.col(id_col), F.col("k").cast("int").alias("k"), "proj_e6")

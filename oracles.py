@@ -2378,3 +2378,25 @@ left join s1 on s1.user_id = b.user_id
 left join s2 on s2.user_id = b.user_id
 left join s3 on s3.user_id = b.user_id
 """
+
+# Sparse JL random projection (mirror of similarity.random_projection):
+# coefficient for (k, i) = +1/-1/0 as md5('jl:k:i') first-15-hex % 6 is
+# 0/1/other.  SQL i runs 1..64 <-> operator i runs 0..63, hence i-1.
+_JL_M = _hex2int(
+    "substr(md5('jl:' || cast(k as varchar) || ':' "
+    "|| cast(i - 1 as varchar)), 1, 15)",
+    digits=15,
+)
+ORACLES["random_projection_embeddings"] = f"""
+with v as (
+  select vec_id, embedding::DOUBLE[] as e from embeddings
+), ks as (
+  select unnest(range(16)) as k
+)
+select vec_id, cast(k as int) as k,
+       cast(round(list_sum(list_transform(range(1, 65),
+            i -> (case ({_JL_M}) % 6
+                    when 0 then 1.0 when 1 then -1.0 else 0.0 end)
+                 * e[i])) * 1e6) as bigint) as proj_e6
+from v cross join ks
+"""

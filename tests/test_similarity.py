@@ -415,3 +415,73 @@ def test_pca_project_recovers_dominant_direction(spark):
     pc1 = np.array([pcs[i][0] for i in range(80)])
     corr = np.corrcoef(pc1, t)[0, 1]
     assert abs(corr) > 0.999
+
+
+# ---------------- random projection ----------------
+
+def test_random_projection_matches_python(spark):
+    import hashlib
+
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import random_projection
+
+    rng = np.random.RandomState(9)
+    X = rng.randn(10, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["vec_id"], r["k"]): r["proj_e6"]
+           for r in random_projection(df, dim=8, out_dim=4).collect()}
+
+    def coef(k, i):
+        m = int(hashlib.md5(f"jl:{k}:{i}".encode()).hexdigest()[:15], 16) % 6
+        return 1.0 if m == 0 else (-1.0 if m == 1 else 0.0)
+
+    exp = {}
+    for v in range(10):
+        for k in range(4):
+            s = 0.0
+            for i in range(8):
+                s += float(np.float64(X[v, i])) * coef(k, i)
+            exp[(v, k)] = int(round(s * 1e6))
+    assert got == exp
+
+
+def test_random_projection_preserves_distances_roughly(spark):
+    """JL property sanity: relative pairwise distances correlate."""
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import random_projection
+
+    rng = np.random.RandomState(13)
+    # varying norms so pairwise distances actually spread (isotropic
+    # gaussians concentrate and make correlation meaningless)
+    X = (rng.randn(30, 64) * (1 + np.arange(30) / 4)[:, None]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_projection(df, dim=64, out_dim=32).collect()
+    P = np.zeros((30, 32))
+    for r in out:
+        P[r["vec_id"], r["k"]] = r["proj_e6"] / 1e6
+    P *= np.sqrt(3.0 / 32)
+    d0, d1 = [], []
+    for a in range(30):
+        for b in range(a + 1, 30):
+            d0.append(np.linalg.norm(X[a] - X[b]))
+            d1.append(np.linalg.norm(P[a] - P[b]))
+    corr = np.corrcoef(d0, d1)[0, 1]
+    assert corr > 0.7
+
+
+def test_random_projection_zero_shuffle(spark):
+    from dbt_core_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame([(0, [1.0] * 8)],
+                               "vec_id long, embedding array<float>")
+    plan = random_projection(df, dim=8, out_dim=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
