@@ -2224,6 +2224,26 @@ def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(emb, dim=64, out_dim=16)
 
 
+# fixed ranked merge list for the BPE gate query — training itself is
+# a driver-side loop (pytest-verified vs an independent reference);
+# the APPLICATION replace-chain is what the SQL oracle reproduces
+_BPE_GATE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus subword-token frequencies under a ranked BPE merge list:
+    word-count vocabulary (one bounded shuffle) → literal replace-chain
+    merge application on vocabulary entries, pure JVM
+    (operators/corpus.py:bpe_token_counts)."""
+    from dbt_core_spark.operators.corpus import bpe_token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, _BPE_GATE_MERGES)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2257,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix_embeddings": gram_matrix_embeddings,
         "funnel_events": funnel_events,
         "random_projection_embeddings": random_projection_embeddings,
+        "bpe_token_counts_docs": bpe_token_counts_docs,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

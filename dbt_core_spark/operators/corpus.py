@@ -488,3 +488,113 @@ def dsir_score(
             ).alias("avg_logratio"),
         )
     )
+
+
+def _bpe_merge_seq(sym_col, merges: list[tuple[str, str]]):
+    """Apply ranked BPE merges to a space-joined symbol string via a
+    literal replace() chain — leftmost non-overlapping replacement of
+    'a b' with 'ab' per rank is exactly the greedy merge-everywhere
+    step of classic BPE application, and is reproducible verbatim by
+    any SQL engine's replace()."""
+    t = sym_col
+    for a, b in merges:
+        t = F.replace(t, F.lit(f"{a} {b}"), F.lit(a + b))
+    return t
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    max_words: int = 10_000,
+) -> list[tuple[str, str]]:
+    """Train BPE merges (Sennrich et al. 2016) the way production
+    trainers do: the corpus collapses to the word-frequency VOCABULARY
+    first (one wordcount shuffle, the only corpus-scale pass), the
+    table is capped to the top ``max_words`` by (count desc, word) —
+    bounded driver state, same tiny-state precedent as ivf centroids —
+    and the merge loop runs driver-side over that table.
+
+    Deterministic: ties in pair count break to the lexicographically
+    smallest (a, b).  Returns the ranked merge list for
+    ``bpe_token_counts`` / ``bpe_tokenize``."""
+    vocab_rows = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(normalized_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(max_words)
+        .collect()
+    )
+    counts = {" ".join(r["word"]): int(r["n"]) for r in vocab_rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_n: dict[tuple[str, str], int] = {}
+        for sym, n in counts.items():
+            parts = sym.split(" ")
+            for i in range(len(parts) - 1):
+                p = (parts[i], parts[i + 1])
+                pair_n[p] = pair_n.get(p, 0) + n
+        if not pair_n:
+            break
+        # highest count wins; ties break to the lexicographically
+        # smallest pair
+        bn = max(pair_n.values())
+        cands = sorted(p for p, n in pair_n.items() if n == bn)
+        a, b = cands[0]
+        merges.append((a, b))
+        nxt = {}
+        pat, rep = f"{a} {b}", a + b
+        for sym, n in counts.items():
+            nxt[sym.replace(pat, rep)] = nxt.get(sym.replace(pat, rep), 0) + n
+        counts = nxt
+    return merges
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus subword-token frequencies under a trained merge list.
+
+    Scale shape: corpus → word-count vocabulary (one shuffle, bounded);
+    the replace-chain merge application runs on VOCABULARY entries as a
+    pure JVM literal chain (no UDF, no python worker); tokens explode
+    from vocabulary rows weighted by word count.  Returns (token, n)."""
+    vocab = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(normalized_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_word"))
+    )
+    sym = F.array_join(F.split(F.col("word"), ""), " ")
+    toks = vocab.select(
+        "n_word",
+        F.explode(F.split(_bpe_merge_seq(sym, merges), " ")).alias("token"),
+    )
+    return toks.groupBy("token").agg(F.sum("n_word").alias("n"))
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize each document under a trained merge list: per word,
+    split to characters and apply the ranked replace chain — row-local
+    JVM expressions, zero shuffles.  Returns (id, tokens array<string>)."""
+    words = normalized_words(F.col(text_col))
+    toks = F.flatten(
+        F.transform(
+            words,
+            lambda w: F.split(
+                _bpe_merge_seq(F.array_join(F.split(w, ""), " "), merges), " "
+            ),
+        )
+    )
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("tokens")
+    )

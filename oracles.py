@@ -2400,3 +2400,28 @@ select vec_id, cast(k as int) as k,
                  * e[i])) * 1e6) as bigint) as proj_e6
 from v cross join ks
 """
+
+# BPE application (mirror of corpus.bpe_token_counts with the gate's
+# fixed merge list): split word to chars, space-join, then the ranked
+# replace('a b' -> 'ab') chain — identical leftmost non-overlapping
+# semantics in both engines.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+_BPE_CHAIN = "array_to_string(string_split(word, ''), ' ')"
+for _a, _b in _BPE_MERGES:
+    _BPE_CHAIN = f"replace({_BPE_CHAIN}, '{_a} {_b}', '{_a}{_b}')"
+ORACLES["bpe_token_counts_docs"] = f"""
+with w as (
+  select unnest({_WORDS}) as word
+  from documents where text is not null
+), vocab as (
+  select word, count(*) as n_word from w group by 1
+), toks as (
+  select n_word, unnest(string_split({_BPE_CHAIN}, ' ')) as token
+  from vocab
+)
+select token, cast(sum(n_word) as bigint) as n
+from toks group by 1
+"""

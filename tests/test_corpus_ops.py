@@ -583,3 +583,75 @@ def test_normalize_text_stabilizes_exact_dedup(spark):
     norm = normalize_text(df).withColumnRenamed("text_norm", "text")
     kept = exact_dedup(norm, "text", "doc_id")
     assert kept.count() == 1
+
+
+# ---------------- BPE train / apply ----------------
+
+def test_bpe_train_learns_frequent_digraph(spark):
+    from dbt_core_spark.operators.corpus import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(df, n_merges=3)
+    # 'lo'+'w' path dominates: first merges build the 'low' stem
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Driver-side trainer == an independent dict-based reference."""
+    from dbt_core_spark.operators.corpus import bpe_train
+
+    corpus = "abab abab abc abc abc cab"
+    df = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    got = bpe_train(df, n_merges=4)
+
+    # reference: word counts -> merge loop (count desc, pair lex asc)
+    from collections import Counter
+    counts = Counter(" ".join(w) for w in corpus.split())
+    exp = []
+    for _ in range(4):
+        pairs = Counter()
+        for sym, n in counts.items():
+            parts = sym.split(" ")
+            for i in range(len(parts) - 1):
+                pairs[(parts[i], parts[i + 1])] += n
+        if not pairs:
+            break
+        bn = max(pairs.values())
+        a, b = sorted(p for p, n in pairs.items() if n == bn)[0]
+        exp.append((a, b))
+        counts = Counter(
+            {sym.replace(f"{a} {b}", a + b): n for sym, n in counts.items()})
+    assert got == exp
+
+
+def test_bpe_tokenize_roundtrip_and_counts(spark):
+    from dbt_core_spark.operators.corpus import (
+        bpe_token_counts, bpe_tokenize, bpe_train)
+
+    df = spark.createDataFrame(
+        [(1, "the then there"), (2, "the other")], ["doc_id", "text"])
+    merges = bpe_train(df, n_merges=2)
+    toks = {r["doc_id"]: r["tokens"] for r in
+            bpe_tokenize(df, merges).collect()}
+    # concatenating all tokens reconstructs the normalized text
+    assert "".join(toks[1]) == "thethenthere"
+    assert "".join(toks[2]) == "theother"
+    flat = {}
+    for tlist in toks.values():
+        for t in tlist:
+            flat[t] = flat.get(t, 0) + 1
+    got = {r["token"]: r["n"] for r in bpe_token_counts(df, merges).collect()}
+    assert got == flat
+
+
+def test_bpe_tokenize_zero_shuffle(spark):
+    from dbt_core_spark.operators.corpus import bpe_tokenize
+
+    df = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    plan = bpe_tokenize(df, [("a", "b")]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
