@@ -69,6 +69,12 @@ HEADLINE = [
     # hashed-unigram importance scoring
     "dup_span_docs",
     "dsir_score_docs",
+    # session-5 additions: PQ/ADC search (the compressed-storage ANN
+    # tier), bucketed range join, funnel fold, CMS heavy hitters
+    "pq_search_embeddings",
+    "range_join_events",
+    "funnel_events",
+    "cms_heavy_words",
 ]
 
 

@@ -178,3 +178,47 @@ def run_to_parquet(
     q = writer.start()
     if available_now:
         q.awaitTermination()
+
+
+def streaming_cms(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Windowed count-min sketch over an unbounded stream: per
+    event-time window, the SAME deterministic (row, pos, cnt) counter
+    table ``operators.sketches.cms_build`` produces in batch — so
+    window sketches from the stream merge (``cms_merge``) with batch
+    or other-shard sketches into day/epoch rollups, and frequency
+    estimates stay engine-portable.
+
+    State is bounded by open-windows × depth × width CELLS regardless
+    of stream cardinality — the property that makes per-window
+    heavy-hitter tracking viable on an unbounded 100 TB ingest where
+    a per-value groupBy would grow without limit."""
+    from dbt_core_spark.operators.sketches import _cms_pos
+
+    w = F.window(F.col(ts_col), window_duration)
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.posexplode(
+                F.array(*[_cms_pos(F.col(value_col), width, j, seed)
+                          for j in range(depth)])
+            ).alias("row", "pos"),
+        )
+    )
+    return (
+        cells.groupBy(w.alias("win"), "row", "pos")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("window_start", F.col("win.start"))
+        .withColumn("window_end", F.col("win.end"))
+        .drop("win")
+    )

@@ -2425,3 +2425,26 @@ with w as (
 select token, cast(sum(n_word) as bigint) as n
 from toks group by 1
 """
+
+# Streaming windowed CMS (mirror of streaming_cms + the hourly-rollup
+# closed-window rule: windows whose end <= final watermark, watermark =
+# ms-truncated max ts - 1 s).
+_CMS_POS_ET = _hex2int(
+    "substr(md5('cms' || cast(j as varchar) || ':' || event_type), 1, 15)",
+    digits=15,
+)
+ORACLES["streaming_cms_events"] = f"""
+with wm as (
+    select (epoch_us(max(ts)) // 1000) * 1000 - 1000000 as wm_us from events
+), rows_j as (
+    select unnest(range(3)) as j
+)
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as window_start,
+       cast(j as int) as "row",
+       cast(({_CMS_POS_ET}) % 64 as bigint) as pos,
+       cast(count(*) as bigint) as cnt
+from events, rows_j, wm
+where event_type is not null
+  and epoch_us(date_trunc('hour', ts) + interval 1 hour) <= wm.wm_us
+group by 1, 2, 3
+"""

@@ -138,6 +138,33 @@ PICKS = {
         "per-doc bucket counts feed both the raw histogram and the "
         "scoring join); scoring is a broadcast join + per-doc sum of "
         "exact integer micro-nats."),
+    "range_join_events": (
+        "Bucketed range join — intervals explode to overlapped time "
+        "buckets, points land in exactly one; the plan is a plain "
+        "shuffle join on the bucket key (NO BroadcastNestedLoopJoin / "
+        "CartesianProduct, which is what a naive inequality join "
+        "compiles to)."),
+    "pq_search_embeddings": (
+        "PQ/ADC search — the per-query LUT is broadcast "
+        "(BroadcastHashJoin on (sub, code)); the corpus side touches "
+        "only the integer code table, never raw vectors; e6 bigint "
+        "sums make partial-agg order irrelevant."),
+    "funnel_events": (
+        "Funnel fold — exactly ONE Exchange (the groupBy(user) "
+        "collect); the k-step state machine is a row-local aggregate "
+        "fold, no k-way self-joins or window cascades."),
+    "classifier_score_docs": (
+        "Hashed linear classifier — zero Exchange: tokenize + hash + "
+        "weight-sum run as one whole-stage-codegen projection per "
+        "row."),
+    "gram_matrix_embeddings": (
+        "Gram matrix — mapInPandas partial d×d accumulators; the only "
+        "exchange moves partitions·d² fixed-point rows, independent "
+        "of corpus size."),
+    "cms_heavy_words": (
+        "CMS heavy hitters — sketch build is posexplode + map-side "
+        "partial agg bounded by depth·width; the point-query side "
+        "broadcasts the 4096-cell sketch."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",

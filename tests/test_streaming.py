@@ -229,3 +229,38 @@ def test_streaming_session_rollup_matches_batch_islands(spark, sf_dir):
         sess.sort()
         for (s1, e1), (s2, _e2) in zip(sess, sess[1:]):
             assert s2 >= e1  # next session starts after previous closed
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    """Window sketches from the stream are bit-identical to batch
+    cms_build over the same window's rows — the merge contract."""
+    import uuid as _uuid
+
+    from dbt_core_spark.operators.sketches import cms_build
+    from dbt_core_spark.streaming.structured import (
+        run_to_memory, stream_source, streaming_cms)
+
+    src = str(tmp_path / "cms_in")
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T00:{i % 50:02d}:00.000Z",
+         "kind": f"k{i % 7}"}
+        for i in range(60)
+    ]
+    _write_events(src, rows)
+    _write_events(src, [
+        {"event_id": 999, "ts": "2024-01-01T09:00:00.000Z", "kind": "zz"}])
+    stream = stream_source(spark, src, SCHEMA, fmt="json")
+    sk = streaming_cms(stream, "ts", "kind", window_duration="1 hour",
+                       watermark="10 minutes", depth=3, width=32)
+    name = f"mem_{_uuid.uuid4().hex[:8]}"
+    run_to_memory(sk, name)
+    got = {
+        (r["row"], r["pos"]): r["cnt"]
+        for r in spark.table(name)
+        .filter("window_start = '2024-01-01 00:00:00'").collect()
+    }
+    batch = spark.createDataFrame(
+        [(r["kind"],) for r in rows], ["kind"])
+    exp = {(r["row"], r["pos"]): r["cnt"]
+           for r in cms_build(batch, "kind", depth=3, width=32).collect()}
+    assert got == exp
