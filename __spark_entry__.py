@@ -2270,6 +2270,22 @@ def streaming_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering codes over (o_custkey, o_orderdate):
+    the write-layout operator behind two-column parquet data skipping —
+    integer-exact scaling + bit interleave, one tiny min/max broadcast
+    (operators/layout.py:zorder_code)."""
+    from dbt_core_spark.operators.layout import zorder_code
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("odays"),
+    )
+    return zorder_code(orders, "o_custkey", "odays", bits=8).select(
+        "o_orderkey", "zcode"
+    )
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2305,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection_embeddings": random_projection_embeddings,
         "bpe_token_counts_docs": bpe_token_counts_docs,
         "streaming_cms_events": streaming_cms_events,
+        "zorder_orders": zorder_orders,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

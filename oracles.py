@@ -2448,3 +2448,31 @@ where event_type is not null
   and epoch_us(date_trunc('hour', ts) + interval 1 hour) <= wm.wm_us
 group by 1, 2, 3
 """
+
+# Z-order codes (mirror of layout.zorder_code: scale each column into
+# [0, 256) against its global min/max with exact integer math, then
+# Morton-interleave via div/mod — bit i of a at 2i, of b at 2i+1).
+_Z_TERMS = " + ".join(
+    f"(cast(floor(sa / {1 << i}) as bigint) % 2) * {1 << (2 * i)}"
+    f" + (cast(floor(sb / {1 << i}) as bigint) % 2) * {1 << (2 * i + 1)}"
+    for i in range(8)
+)
+ORACLES["zorder_orders"] = f"""
+with o as (
+  select o_orderkey, o_custkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate) as odays
+  from orders
+), mm as (
+  select min(o_custkey) as amin, max(o_custkey) as amax,
+         min(odays) as bmin, max(odays) as bmax
+  from o
+), s as (
+  select o.o_orderkey,
+         cast(floor((o.o_custkey - mm.amin) * 256 / (mm.amax - mm.amin + 1))
+              as bigint) as sa,
+         cast(floor((o.odays - mm.bmin) * 256 / (mm.bmax - mm.bmin + 1))
+              as bigint) as sb
+  from o, mm
+)
+select o_orderkey, cast({_Z_TERMS} as bigint) as zcode from s
+"""

@@ -1,0 +1,72 @@
+"""Z-order write-layout operators."""
+
+from pyspark.sql import functions as F
+
+from dbt_core_spark.operators.layout import zorder_code, zorder_repartition
+
+
+def _grid(spark, n=16):
+    rows = [(i, i % n, i // n) for i in range(n * n)]
+    return spark.createDataFrame(rows, ["rid", "a", "b"])
+
+
+def test_zorder_code_matches_python_morton(spark):
+    df = _grid(spark, 16)
+    got = {r["rid"]: r["zcode"] for r in zorder_code(df, "a", "b", bits=4).collect()}
+
+    def morton(a, b, bits=4):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    # min=0, max=15, span=16, scale is identity for 4 bits
+    exp = {i: morton(i % 16, i // 16) for i in range(256)}
+    assert got == exp
+
+
+def test_zorder_scaling_uses_global_range(spark):
+    df = spark.createDataFrame(
+        [(1, 100, 1000), (2, 115, 1000), (3, 131, 2000)], ["rid", "a", "b"])
+    got = {r["rid"]: r["zcode"]
+           for r in zorder_code(df, "a", "b", bits=2).collect()}
+    # a: min=100 span=32 -> scaled 0,1,3 ; b: min=1000 span=1001 -> 0,0,3
+    # morton2(a,b): interleave -> a bits at even, b at odd positions
+    def m(a, b):
+        z = 0
+        for i in range(2):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+    assert got == {1: m(0, 0), 2: m(1, 0), 3: m(3, 3)}
+
+
+def test_zorder_repartition_tightens_bounding_boxes(spark):
+    """The data-skipping proxy: per-partition (a, b) bounding boxes under
+    z-order cover far less area than under a single-column sort."""
+    df = _grid(spark, 32)  # 1024 rows over a 32x32 grid
+
+    def avg_box_area(frame):
+        stats = (
+            frame.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg((F.max("a") - F.min("a") + 1).alias("da"),
+                 (F.max("b") - F.min("b") + 1).alias("db"))
+            .collect()
+        )
+        return sum(r["da"] * r["db"] for r in stats) / len(stats)
+
+    z = zorder_repartition(df, "a", "b", num_partitions=16, bits=5)
+    lin = df.repartitionByRange(16, "a").sortWithinPartitions("a")
+    az, al = avg_box_area(z), avg_box_area(lin)
+    # 16 partitions of a 32x32 grid: z-order boxes ~8x8=64; a-sort
+    # slabs are 2x32=64 in a but full-range 32 in b -> identical area
+    # only in the degenerate uniform-grid case; require z to be at
+    # least as tight and bounded, and strictly tighter per-dimension
+    assert az <= al * 1.1
+    zb = (
+        z.withColumn("pid", F.spark_partition_id()).groupBy("pid")
+        .agg((F.max("b") - F.min("b") + 1).alias("db")).collect()
+    )
+    assert max(r["db"] for r in zb) <= 16  # every box spans <= half of b
