@@ -2286,6 +2286,56 @@ def zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between two corpus halves from k=256 KMV
+    sketches — "how much does the new crawl overlap the trained
+    corpus?" without a distinct-join
+    (operators/sketches.py:kmv_jaccard)."""
+    from dbt_core_spark.operators.dedup import normalized_words
+    from dbt_core_spark.operators.sketches import kmv_jaccard
+
+    docs = _t(spark, sf_dir, "documents").filter("text is not null")
+    words = docs.select(
+        "source", F.explode(normalized_words(F.col("text"))).alias("word")
+    )
+    a = words.filter(F.length("source") <= 4).select("word")   # src0..src9
+    b = words.filter(F.length("source") > 4).select("word")    # src10..src19
+    return kmv_jaccard(a, b, "word", k=256)
+
+
+def count_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume-anomaly flags per event type: |cnt−μ| > 2σ decided
+    in pure integer arithmetic ((cnt·n−s)² > 4·(ss·n−s²)) — float-free,
+    bit-reproducible (operators/sequence.py:count_anomalies)."""
+    from dbt_core_spark.operators.sequence import count_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = count_anomalies(ev, z=2)
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "cnt",
+        "is_anomaly",
+    )
+
+
+def pipeline_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality gate: normalize_text → hashed-classifier scoring
+    → keep-filter — the canonical front of a pretraining ingest,
+    operators chained as DataFrames (oracle chains the same CTEs)."""
+    from dbt_core_spark.operators.textstats import (
+        classifier_score, normalize_text)
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text(docs, "text", "doc_id").select(
+        "doc_id", F.col("text_norm").alias("text")
+    )
+    scored = classifier_score(norm, "text", "doc_id", dim=256)
+    return scored.filter("label = 'keep'").select(
+        "doc_id", "n_words", "logit_e6"
+    )
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2322,6 +2372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts_docs": bpe_token_counts_docs,
         "streaming_cms_events": streaming_cms_events,
         "zorder_orders": zorder_orders,
+        "kmv_jaccard_sources": kmv_jaccard_sources,
+        "count_anomalies_events": count_anomalies_events,
+        "pipeline_quality_docs": pipeline_quality_docs,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

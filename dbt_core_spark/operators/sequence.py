@@ -19,7 +19,7 @@ fit memory, which is the common case.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,4 +91,53 @@ def funnel(
         F.col("_f.times").alias("step_ts"),
         F.when(F.col("_f.n") == k, F.element_at("_f.times", k))
         .alias("completed_at"),
+    )
+
+
+def count_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    granularity: str = "hour",
+    z: int = 2,
+) -> DataFrame:
+    """Volume-anomaly detection on time-bucketed event counts: flag
+    buckets whose count deviates from the type's mean by more than
+    ``z`` population standard deviations — computed ENTIRELY in integer
+    arithmetic, so the flags are bit-reproducible on any engine.
+
+    |cnt − s/n| > z·σ  ⟺  (cnt·n − s)² > z²·(ss·n − s²)
+
+    where n, s = Σcnt, ss = Σcnt² per type are exact integer sums
+    (DECIMAL(38,0) for the squared comparison so 1e12-scale counts
+    cannot overflow).  Two shuffles, both over the bucket-rollup table
+    (|types|·|buckets| rows), never the raw events beyond the first
+    count.  Returns (type, bucket, cnt, is_anomaly)."""
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col),
+            F.date_trunc(granularity, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(type_col)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = counts.select(
+        type_col,
+        "bucket",
+        "cnt",
+        F.count("*").over(w).alias("_n"),
+        F.sum("cnt").over(w).alias("_s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("_ss"),
+    )
+    lhs = (d(F.col("cnt")) * d(F.col("_n")) - d(F.col("_s")))
+    rhs = d(F.lit(z * z)) * (
+        d(F.col("_ss")) * d(F.col("_n")) - d(F.col("_s")) * d(F.col("_s"))
+    )
+    return stats.select(
+        type_col,
+        "bucket",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (lhs * lhs > rhs).alias("is_anomaly"),
     )

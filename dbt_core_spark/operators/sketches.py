@@ -369,3 +369,51 @@ def cms_heavy_hitters(
     est = cms_estimate(sketch, items, value_col,
                        depth=depth, width=width, seed=seed)
     return est.filter(F.col("est_cnt") >= threshold)
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Corpus-overlap (Jaccard) estimate between two value sets from
+    their KMV sketches (Beyer et al. 2007): with S = the k smallest
+    distinct hashes of A ∪ B, J ≈ |{h ∈ S: h ∈ A and h ∈ B}| / |S|.
+    Exact when both distinct counts are < k.
+
+    The production question this answers at 100 TB: "how much does this
+    new crawl overlap the corpus we already trained on?" — WITHOUT a
+    distinct-join between the two corpora.  Each side reduces to ≤ k
+    hashes (TakeOrderedAndProject: per-partition partial top-k, driver
+    merges k rows); everything after is k-bounded.  Returns one row:
+    (n_union_k, n_common, jaccard_est)."""
+    def sig(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(_hash_unit(F.col(value_col)).alias("_h"))
+            .distinct()
+            .orderBy("_h")
+            .limit(k)
+        )
+
+    ha = sig(a).withColumn("_a", F.lit(1))
+    hb = sig(b).withColumn("_b", F.lit(1))
+    u = (
+        ha.unionByName(hb, allowMissingColumns=True)
+        .groupBy("_h")
+        .agg(F.max("_a").alias("_ia"), F.max("_b").alias("_ib"))
+        .orderBy("_h")
+        .limit(k)
+    )
+    return u.agg(
+        F.count("*").cast("bigint").alias("n_union_k"),
+        F.sum(
+            F.when((F.col("_ia") == 1) & (F.col("_ib") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("n_common"),
+    ).select(
+        "n_union_k",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_union_k"))
+        .alias("jaccard_est"),
+    )

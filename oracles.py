@@ -2476,3 +2476,88 @@ with o as (
 )
 select o_orderkey, cast({_Z_TERMS} as bigint) as zcode from s
 """
+
+# KMV Jaccard between the two source halves' vocabularies (mirror of
+# sketches.kmv_jaccard with the _hash_unit convention: first-15-hex of
+# md5(word) + 1, over 16^15).
+_KMV_H = _hex2int("substr(md5(word), 1, 15)", digits=15)
+ORACLES["kmv_jaccard_sources"] = f"""
+with w as (
+  select source, unnest({_WORDS}) as word
+  from documents where text is not null
+), ha as (
+  select distinct (cast({_KMV_H} as double) + 1.0) / 1152921504606846976.0 as h
+  from w where length(source) <= 4
+), hb as (
+  select distinct (cast({_KMV_H} as double) + 1.0) / 1152921504606846976.0 as h
+  from w where length(source) > 4
+), ka as (
+  select h from (select h, row_number() over (order by h) as rk from ha)
+  where rk <= 256
+), kb as (
+  select h from (select h, row_number() over (order by h) as rk from hb)
+  where rk <= 256
+), u as (
+  select h, max(ia) as ia, max(ib) as ib
+  from (
+    select h, 1 as ia, cast(null as int) as ib from ka
+    union all
+    select h, cast(null as int) as ia, 1 as ib from kb
+  ) group by h
+), topu as (
+  select * from (select u.*, row_number() over (order by h) as rk from u)
+  where rk <= 256
+)
+select cast(count(*) as bigint) as n_union_k,
+       cast(sum(case when ia = 1 and ib = 1 then 1 else 0 end) as bigint)
+           as n_common,
+       cast(sum(case when ia = 1 and ib = 1 then 1 else 0 end) as double)
+           / count(*) as jaccard_est
+from topu
+"""
+
+# Integer-exact volume anomalies (mirror of sequence.count_anomalies:
+# (cnt*n - s)^2 > z^2 * (ss*n - s^2) in 128-bit integers).
+ORACLES["count_anomalies_events"] = """
+with counts as (
+  select event_type, date_trunc('hour', ts) as bucket,
+         cast(count(*) as bigint) as cnt
+  from events where ts is not null
+  group by 1, 2
+), stats as (
+  select event_type, bucket, cnt,
+         cast(count(*) over (partition by event_type) as hugeint) as n,
+         cast(sum(cnt) over (partition by event_type) as hugeint) as s,
+         cast(sum(cnt * cnt) over (partition by event_type) as hugeint) as ss
+  from counts
+)
+select event_type,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') as bucket,
+       cnt,
+       (cast(cnt as hugeint) * n - s) * (cast(cnt as hugeint) * n - s)
+         > 4 * (ss * n - s * s) as is_anomaly
+from stats
+"""
+
+# Composed pipeline: normalize_text -> classifier_score(keep) — the
+# same CTE fragments chained (norm text feeds _WORDS via the `text`
+# alias).
+ORACLES["pipeline_quality_docs"] = f"""
+with norm as (
+  select doc_id, {_NORM_EXPR} as text
+  from documents where text is not null
+), w as (
+  select doc_id, unnest({_WORDS}) as word from norm
+), b as (
+  select doc_id, ({_CLF_BUCKET}) % 256 as bucket from w
+), s as (
+  select doc_id, count(*) as n_words,
+         sum((({_CLF_W}) % 2001) - 1000) as s
+  from b group by doc_id
+)
+select doc_id,
+       cast(n_words as bigint) as n_words,
+       cast(floor(s / n_words) as bigint) as logit_e6
+from s
+where n_words > 0 and floor(s / n_words) > 0
+"""

@@ -397,3 +397,39 @@ def test_cms_sketch_size_is_bounded(spark):
     assert sketch.count() <= 3 * 64
     total = sketch.groupBy("row").sum("cnt").collect()
     assert all(r["sum(cnt)"] == 500 for r in total)  # each row counts all
+
+
+# ---------------- KMV Jaccard ----------------
+
+def test_kmv_jaccard_exact_when_small(spark):
+    """Below k the sketch degenerates to the true Jaccard."""
+    from dbt_core_spark.operators.sketches import kmv_jaccard
+
+    a = spark.createDataFrame([(v,) for v in "abcdef"], ["v"])
+    b = spark.createDataFrame([(v,) for v in "defghi"], ["v"])
+    row = kmv_jaccard(a, b, "v", k=64).collect()[0]
+    assert row["n_union_k"] == 9
+    assert row["n_common"] == 3
+    assert abs(row["jaccard_est"] - 3 / 9) < 1e-12
+
+
+def test_kmv_jaccard_estimates_known_overlap(spark):
+    """1000 vs 1000 values with 50% true Jaccard: k=256 estimate lands
+    within ~3 standard errors (~0.1)."""
+    from dbt_core_spark.operators.sketches import kmv_jaccard
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(1000)], ["v"])
+    b = spark.createDataFrame([(f"x{i}",) for i in range(500, 1500)], ["v"])
+    row = kmv_jaccard(a, b, "v", k=256).collect()[0]
+    true_j = 500 / 1500
+    assert abs(row["jaccard_est"] - true_j) < 0.1
+
+
+def test_kmv_jaccard_disjoint_and_identical(spark):
+    from dbt_core_spark.operators.sketches import kmv_jaccard
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], ["v"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], ["v"])
+    assert kmv_jaccard(a, b, "v", k=128).collect()[0]["jaccard_est"] == 0.0
+    same = kmv_jaccard(a, a, "v", k=128).collect()[0]
+    assert same["jaccard_est"] == 1.0

@@ -65,3 +65,44 @@ def test_funnel_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # exactly one exchange: the groupBy(user) — no joins, no windows
     assert plan.count("Exchange") == 1
+
+
+# ---------------- count_anomalies ----------------
+
+def test_count_anomalies_flags_spike_only(spark):
+    rows = []
+    eid = 0
+    # type "a": 10 calm hours of 5 events, one spike hour of 50
+    for h in range(10):
+        for j in range(5):
+            rows.append((eid, 1, dt.datetime(2024, 1, 1, h, j), "a")); eid += 1
+    for j in range(50):
+        rows.append((eid, 1, dt.datetime(2024, 1, 1, 11, j % 60), "a")); eid += 1
+    df = _ev(spark, rows)
+    from dbt_core_spark.operators.sequence import count_anomalies
+
+    got = {(r["event_type"], r["bucket"].hour): r["is_anomaly"]
+           for r in count_anomalies(df, z=2).collect()}
+    assert got[("a", 11)] is True
+    assert all(v is False for k, v in got.items() if k[1] != 11)
+
+
+def test_count_anomalies_integer_threshold_exact(spark):
+    """Boundary check vs a python float reference on small numbers."""
+    import statistics
+
+    rows = []
+    eid = 0
+    counts = [4, 6, 5, 5, 9]  # mean 5.8, pstdev ~1.72 -> 9 is z~1.86 (not > 2)
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append((eid, 1, dt.datetime(2024, 1, 2, h, j), "b")); eid += 1
+    df = _ev(spark, rows)
+    from dbt_core_spark.operators.sequence import count_anomalies
+
+    got = {r["bucket"].hour: r["is_anomaly"]
+           for r in count_anomalies(df, z=2).collect()}
+    mu = statistics.fmean(counts)
+    sd = statistics.pstdev(counts)
+    for h, c in enumerate(counts):
+        assert got[h] == (abs(c - mu) > 2 * sd), (h, c)
