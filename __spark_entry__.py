@@ -2336,6 +2336,19 @@ def pipeline_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: coarse IVF cell pruning + residual-PQ ADC scan — the
+    combined 100 TB ANN architecture (candidates ÷ n_cells/n_probe,
+    bytes-per-candidate ÷ dim·4/m)
+    (operators/similarity.py:ivfpq_search)."""
+    from dbt_core_spark.operators.similarity import ivfpq_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 50 = 0")
+    return ivfpq_search(emb, queries, k=3, n_cells=16, n_probe=4,
+                        m=4, ks=16, dim=64)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2375,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_jaccard_sources": kmv_jaccard_sources,
         "count_anomalies_events": count_anomalies_events,
         "pipeline_quality_docs": pipeline_quality_docs,
+        "ivfpq_search_embeddings": ivfpq_search_embeddings,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

@@ -1780,3 +1780,128 @@ def random_projection(
         F.posexplode(F.array(*[F.col(f"_p{k}") for k in range(out_dim)]))
         .alias("k", "proj_e6"),
     ).select(F.col(id_col), F.col("k").cast("int").alias("k"), "proj_e6")
+
+
+def ivfpq_search(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): the full production ANN
+    architecture — a coarse IVF prunes the corpus to ``n_probe`` cells
+    per query, and within cells vectors are represented by PQ codes of
+    their RESIDUALS (v − centroid), scanned via an asymmetric-distance
+    LUT built from the query's own residual per probed cell.  Combines
+    the two independent 100 TB levers: IVF cuts candidates by
+    ~n_cells/n_probe, PQ cuts bytes-per-candidate by ~dim·4/m.
+
+    Determinism matches the repo's ANN conventions: coarse centroids =
+    the ``n_cells`` lowest-id vectors, PQ codebook = the ``ks``
+    lowest-id residuals (production swaps in k-means-trained tables —
+    contracts unchanged); L2² assignment ties break to the lower cell;
+    distances fold sequentially and accumulate as e6 fixed-point
+    bigints so no float-order effect can flip a rank.
+
+    Plan shape: centroids and the PQ codebook are broadcast; the
+    corpus-scale passes are the assignment argmin (one groupBy) and the
+    residual encode (one groupBy); scoring joins the integer code table
+    to the broadcast (query, cell) LUT on (cell, sub, code) — raw
+    vectors are never shuffled or rescanned at query time."""
+    sd = dim // m
+
+    cents = df.orderBy(id_col).limit(n_cells).select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
+        F.col(vec_col).alias("cvec"),
+    )
+
+    def assign(frame: DataFrame, fid: str, keep_rank: int) -> DataFrame:
+        """(id, cell[, rank]) by ascending L2² to each centroid."""
+        ex = frame.select(F.col(fid), F.col(vec_col).alias("_v")).crossJoin(
+            F.broadcast(cents)
+        )
+        scored = ex.select(
+            F.col(fid), "cell",
+            F.struct(_l2sq(F.col("_v"), F.col("cvec")).alias("d"),
+                     F.col("cell").alias("c")).alias("_dc"),
+        )
+        if keep_rank == 1:
+            return (
+                scored.groupBy(fid).agg(F.min("_dc").alias("_best"))
+                .select(F.col(fid), F.col("_best.c").alias("cell"))
+            )
+        w = Window.partitionBy(fid).orderBy(F.col("_dc.d").asc(),
+                                            F.col("_dc.c").asc())
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= keep_rank)
+            .select(F.col(fid), "cell")
+        )
+
+    # corpus: cell assignment + residuals (one broadcast join each).
+    # assigned feeds resid AND the code/cell join; resid feeds the
+    # codebook seeds AND the encode — seal both so the corpus-scale
+    # assignment executes once, not once per consumer (the BLAS-kernel
+    # lesson, see _seal)
+    assigned = _seal(assign(df, id_col, 1))
+    resid = _seal(
+        df.join(assigned, id_col)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            F.col(id_col), "cell",
+            F.zip_with(F.col(vec_col), F.col("cvec"),
+                       lambda x, y: x.cast("double") - y.cast("double"))
+            .alias(vec_col),
+        )
+    )
+    cb = pq_codebook(resid, vec_col, id_col, dim=dim, m=m, ks=ks)
+    codes = pq_encode(resid, cb, vec_col, id_col, dim=dim, m=m).join(
+        assigned, id_col
+    )
+
+    # queries: probe cells + per-(query, cell) residual LUTs
+    probes = assign(queries, id_col, n_probe).withColumnRenamed(
+        id_col, query_id_col
+    )
+    qres = (
+        queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("_q"))
+        .join(probes, query_id_col)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            query_id_col, "cell",
+            F.zip_with(F.col("_q"), F.col("cvec"),
+                       lambda x, y: x.cast("double") - y.cast("double"))
+            .alias("_qr"),
+        )
+    )
+    lut = qres.crossJoin(F.broadcast(cb)).select(
+        query_id_col, "cell", "sub", "code",
+        F.round(
+            _l2sq(F.slice("_qr", F.col("sub") * sd + 1, sd), F.col("cvec"))
+            * F.lit(1e6)
+        ).cast("bigint").alias("d_e6"),
+    )
+
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("d_e6").alias("dist_e6"))
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist_e6").asc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        query_id_col,
+        F.col(id_col).alias("nbr_id"),
+        "dist_e6",
+        F.row_number().over(w).cast("int").alias("rank"),
+    ).filter(F.col("rank") <= k)

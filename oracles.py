@@ -2561,3 +2561,87 @@ select doc_id,
 from s
 where n_words > 0 and floor(s / n_words) > 0
 """
+
+# IVFADC (mirror of similarity.ivfpq_search): L2 assignment to the 16
+# lowest-id coarse centroids (ties -> lower cell), residual vectors
+# PQ-encoded against the 16 lowest-id residual seeds, per-(query,
+# probed-cell) residual LUTs, e6 bigint ADC sums.
+ORACLES["ivfpq_search_embeddings"] = f"""
+with v0 as (
+    select vec_id, embedding::DOUBLE[] as e from embeddings
+), cents as (
+    select row_number() over (order by vec_id) - 1 as cell, e as ce
+    from (select * from v0 order by vec_id limit 16)
+), ad as (
+    select v.vec_id, c.cell, {_l2sq_sql('v.e', 'c.ce')} as d
+    from v0 v cross join cents c
+), assign as (
+    select vec_id, cell from (
+        select vec_id, cell,
+               row_number() over (partition by vec_id order by d, cell) as r
+        from ad
+    ) where r = 1
+), resid as (
+    select a.vec_id, a.cell,
+           list_transform(range(1, 65), i -> v.e[i] - c.ce[i]) as rv
+    from assign a
+    join v0 v using (vec_id)
+    join cents c using (cell)
+), subs as (
+    select unnest(range(4)) as sub
+), seeds as (
+    select row_number() over (order by vec_id) - 1 as code, rv
+    from (select * from resid order by vec_id limit 16)
+), cb as (
+    select s.sub, seeds.code,
+           list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+                          i -> seeds.rv[i]) as cvec
+    from seeds cross join subs s
+), rsv as (
+    select r.vec_id, s.sub,
+           list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+                          i -> r.rv[i]) as svec
+    from resid r cross join subs s
+), encd as (
+    select vec_id, sub, code from (
+        select rsv.vec_id, rsv.sub, cb.code,
+               row_number() over (partition by rsv.vec_id, rsv.sub
+                   order by {_l2sq_sql('rsv.svec', 'cb.cvec')}, cb.code) as r
+        from rsv join cb on cb.sub = rsv.sub
+    ) where r = 1
+), probes as (
+    select vec_id as query_id, cell from (
+        select vec_id, cell,
+               row_number() over (partition by vec_id order by d, cell) as r
+        from ad where vec_id % 50 = 0
+    ) where r <= 4
+), qres as (
+    select p.query_id, p.cell,
+           list_transform(range(1, 65), i -> v.e[i] - c.ce[i]) as qr
+    from probes p
+    join v0 v on v.vec_id = p.query_id
+    join cents c using (cell)
+), qsub as (
+    select q.query_id, q.cell, s.sub,
+           list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+                          i -> q.qr[i]) as svec
+    from qres q cross join subs s
+), lut as (
+    select q.query_id, q.cell, cb.sub, cb.code,
+           cast(round({_l2sq_sql('q.svec', 'cb.cvec')} * 1e6) as bigint)
+               as d_e6
+    from qsub q join cb on cb.sub = q.sub
+), cand as (
+    select l.query_id, e.vec_id as nbr_id, sum(l.d_e6) as dist_e6
+    from encd e
+    join assign a on a.vec_id = e.vec_id
+    join lut l on l.cell = a.cell and l.sub = e.sub and l.code = e.code
+    where l.query_id <> e.vec_id
+    group by 1, 2
+)
+select query_id, nbr_id, cast(dist_e6 as bigint) as dist_e6,
+       cast(row_number() over (partition by query_id
+                               order by dist_e6, nbr_id) as int) as rank
+from cand
+qualify rank <= 3
+"""

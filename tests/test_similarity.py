@@ -485,3 +485,82 @@ def test_random_projection_zero_shuffle(spark):
     plan = random_projection(df, dim=8, out_dim=2) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------- IVFPQ (IVFADC) ----------------
+
+def test_ivfpq_search_matches_reference(spark):
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import ivfpq_search
+
+    rng = np.random.RandomState(21)
+    n, dim, m, sd, ks, n_cells, n_probe, k = 40, 8, 2, 4, 4, 4, 2, 3
+    vecs = rng.randn(n, dim).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter("vec_id % 13 = 0")
+    got = sorted(
+        (r["query_id"], r["rank"], r["nbr_id"], r["dist_e6"])
+        for r in ivfpq_search(df, queries, k=k, n_cells=n_cells,
+                              n_probe=n_probe, m=m, ks=ks, dim=dim).collect()
+    )
+
+    V = vecs.astype(np.float64)
+    cents = V[:n_cells]
+
+    def l2(a, b):
+        return float(((a - b) ** 2).sum())
+
+    def assign_cells(v, nkeep):
+        ds = sorted((l2(v, cents[c]), c) for c in range(n_cells))
+        return [c for _, c in ds[:nkeep]]
+
+    cell = {i: assign_cells(V[i], 1)[0] for i in range(n)}
+    resid = {i: V[i] - cents[cell[i]] for i in range(n)}
+    cb = [resid[j] for j in range(ks)]  # seeds = lowest ids
+
+    def enc(r):
+        out = []
+        for s in range(m):
+            ds = sorted(
+                (l2(r[s * sd:(s + 1) * sd], cb[j][s * sd:(s + 1) * sd]), j)
+                for j in range(ks))
+            out.append(ds[0][1])
+        return out
+
+    codes = {i: enc(resid[i]) for i in range(n)}
+    exp = []
+    for q in [i for i in range(n) if i % 13 == 0]:
+        cands = []
+        for c in assign_cells(V[q], n_probe):
+            qr = V[q] - cents[c]
+            lut = [[int(np.floor(
+                l2(qr[s * sd:(s + 1) * sd], cb[j][s * sd:(s + 1) * sd])
+                * 1e6 + 0.5)) for j in range(ks)] for s in range(m)]
+            for i in range(n):
+                if cell[i] == c and i != q:
+                    cands.append(
+                        (sum(lut[s][codes[i][s]] for s in range(m)), i))
+        for rank, (d, i) in enumerate(sorted(cands)[:k], 1):
+            exp.append((q, rank, i, d))
+    assert got == sorted(exp)
+
+
+def test_ivfpq_plan_broadcasts_and_never_reshuffles_vectors(spark):
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import ivfpq_search
+
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(30, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivfpq_search(df, df.filter("vec_id < 2"), k=2,
+                       n_cells=4, n_probe=2, m=2, ks=4, dim=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # LUT side broadcast
