@@ -2349,6 +2349,22 @@ def ivfpq_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                         m=4, ks=16, dim=64)
 
 
+def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image geometry: gradient-pattern PPM synthesis → nearest-
+    neighbor 8×6 resize (integer index sampling) → pixel stats, all
+    Arrow mapInPandas; non-image (WAV) rows pass through with NULL dims
+    (operators/multimodal.py:resize_media)."""
+    from dbt_core_spark.operators.multimodal import resize_media, synth_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media(docs, pattern="gradient")
+    out = resize_media(media, out_w=8, out_h=6)
+    return out.select(
+        "media_id", "src_width", "src_height", "width", "height",
+        "sum_value", "mean_value",
+    )
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2389,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_anomalies_events": count_anomalies_events,
         "pipeline_quality_docs": pipeline_quality_docs,
         "ivfpq_search_embeddings": ivfpq_search_embeddings,
+        "multimodal_resize_ppm": multimodal_resize_ppm,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

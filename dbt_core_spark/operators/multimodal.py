@@ -173,13 +173,12 @@ def encode_ppm(pixels: "np.ndarray") -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + np.asarray(pixels, dtype="u1").tobytes()
 
 
-def decode_ppm(payload: bytes) -> Optional[dict]:
-    """Parse a binary netpbm payload (P6 RGB / P5 gray): whitespace-token
-    header then a numpy pixel decode.  Returns None when not netpbm."""
+def _ppm_header(payload: bytes) -> Optional[tuple[int, int, int, int]]:
+    """Parse a netpbm P6/P5 header: whitespace-separated magic, width,
+    height, maxval tokens ('#' comments skipped), then a single
+    whitespace byte.  Returns (w, h, maxval, pixel_offset) or None."""
     if payload is None or payload[:2] not in (b"P6", b"P5"):
         return None
-    # header = magic, width, height, maxval as whitespace-separated
-    # tokens (comments start with '#'), then a single whitespace byte
     tokens, pos = [], 2
     while len(tokens) < 3 and pos < len(payload):
         c = payload[pos:pos + 1]
@@ -195,9 +194,18 @@ def decode_ppm(payload: bytes) -> Optional[dict]:
             tokens.append(payload[start:pos])
     pos += 1  # the single whitespace after maxval
     try:
-        w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+        return int(tokens[0]), int(tokens[1]), int(tokens[2]), pos
     except (ValueError, IndexError):
         return None
+
+
+def decode_ppm(payload: bytes) -> Optional[dict]:
+    """Parse a binary netpbm payload (P6 RGB / P5 gray): whitespace-token
+    header then a numpy pixel decode.  Returns None when not netpbm."""
+    hdr = _ppm_header(payload)
+    if hdr is None:
+        return None
+    w, h, maxval, pos = hdr
     ch = 3 if payload[:2] == b"P6" else 1
     need = w * h * ch
     # pre-check the available byte count: frombuffer(count=need) raises
@@ -274,12 +282,17 @@ def decode_media(df: DataFrame) -> DataFrame:
 
 
 def synth_media(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id", pattern: str = "const") -> DataFrame:
     """Deterministic WAV/PPM payload synthesis — even ids become square-
     wave WAVs (amplitude 100+id%900, n = 8·(len(text)%50+1) samples),
-    odd ids become constant-brightness PPMs (value id%256,
-    (4+id%13)×(3+id%7)).  Features after decode are analytically
-    predictable, so the REAL codec path is oracle-checkable in SQL."""
+    odd ids become PPMs ((4+id%13)×(3+id%7)): ``pattern='const'`` fills
+    value id%256; ``pattern='gradient'`` fills pixel (y, x) with
+    (id + 3x + 7y) % 256 across all channels — spatially varying, so
+    geometric ops (resize/crop) have analytically predictable outputs.
+    Features after decode are predictable either way, so the REAL codec
+    path is oracle-checkable in SQL."""
+    if pattern not in ("const", "gradient"):
+        raise ValueError("pattern must be 'const' or 'gradient'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -293,7 +306,13 @@ def synth_media(df: DataFrame, text_col: str = "text",
                     payload = encode_wav(samples, sample_rate=8000)
                 else:
                     w, h = 4 + mid % 13, 3 + mid % 7
-                    px = np.full((h, w, 3), mid % 256, dtype="u1")
+                    if pattern == "gradient":
+                        xs = np.arange(w)[None, :] * 3
+                        ys = np.arange(h)[:, None] * 7
+                        plane = ((mid + xs + ys) % 256).astype("u1")
+                        px = np.repeat(plane[:, :, None], 3, axis=2)
+                    else:
+                        px = np.full((h, w, 3), mid % 256, dtype="u1")
                     payload = encode_ppm(px)
                 out.append((mid, payload))
             yield pd.DataFrame(out, columns=["media_id", "data"])
@@ -303,3 +322,75 @@ def synth_media(df: DataFrame, text_col: str = "text",
     return ensure_parallelism(
         df.select(F.col(id_col), F.col(text_col))
     ).mapInPandas(run, schema="media_id long, data binary")
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("src_width", T.IntegerType(), True),
+    T.StructField("src_height", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("sum_value", T.LongType(), True),
+    T.StructField("mean_value", T.DoubleType(), True),
+    T.StructField("data", T.BinaryType(), True),
+])
+
+
+def resize_media(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 6,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Nearest-neighbor image resize over binary netpbm payloads — the
+    geometric half of the multimodal pipeline (decode → index-sample →
+    re-encode + stats), Arrow-batched ``mapInPandas`` like the decoders.
+
+    Source pixel for target (ty, tx) is (ty·h÷out_h, tx·w÷out_w)
+    (floor) — pure integer index math, so outputs are exactly
+    reproducible (and, for synthetic gradient media, analytically
+    predictable in SQL).  Emits the re-encoded P6 payload plus integer
+    pixel-sum / mean stats.  Non-image payloads (or malformed headers)
+    pass through with NULL dims — same fallback contract as
+    ``decode_media``.  Linear in pixels, embarrassingly parallel; the
+    binary column never shuffles (project-only plan)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[data_col]):
+                mid = int(mid)
+                b = bytes(payload) if payload is not None else None
+                hdr = _ppm_header(b) if b else None
+                if hdr is None or hdr[2] != 255:
+                    rows.append((mid, None, None, None, None, None, None,
+                                 b))
+                    continue
+                w, h, _maxval, pos = hdr
+                ch = 3 if b[:2] == b"P6" else 1
+                need = w * h * ch
+                if w <= 0 or h <= 0 or len(b) - pos < need:
+                    rows.append((mid, None, None, None, None, None, None,
+                                 b))
+                    continue
+                px = np.frombuffer(b, dtype="u1", count=need,
+                                   offset=pos).reshape(h, w, ch)
+                sy = (np.arange(out_h) * h) // out_h
+                sx = (np.arange(out_w) * w) // out_w
+                res = px[sy[:, None], sx[None, :], :]
+                if ch == 1:
+                    res = np.repeat(res, 3, axis=2)
+                total = int(res.astype("i8").sum())
+                rows.append((
+                    mid, int(w), int(h), int(out_w), int(out_h),
+                    total, total / (out_w * out_h * 3),
+                    encode_ppm(res),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "src_width", "src_height", "width", "height",
+                "sum_value", "mean_value", "data"])
+
+    from dbt_core_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema=RESIZED_SCHEMA)

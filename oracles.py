@@ -2645,3 +2645,36 @@ select query_id, nbr_id, cast(dist_e6 as bigint) as dist_e6,
 from cand
 qualify rank <= 3
 """
+
+# Nearest-neighbor resize over synthetic gradient PPMs (mirror of
+# multimodal.resize_media on synth_media(pattern='gradient'): odd ids
+# are (4+id%13)x(3+id%7) images with pixel (y, x) = (id+3x+7y)%256;
+# target (ty, tx) samples source ((ty*h)//6, (tx*w)//8); even ids are
+# WAVs and pass through with NULL dims).
+ORACLES["multimodal_resize_ppm"] = """
+with tgt as (
+  select y.ty, x.tx
+  from (select unnest(range(6)) as ty) y
+  cross join (select unnest(range(8)) as tx) x
+), odd as (
+  select doc_id, 4 + doc_id % 13 as w, 3 + doc_id % 7 as h
+  from documents where doc_id % 2 = 1
+), sums as (
+  select o.doc_id, o.w, o.h,
+         3 * sum((o.doc_id + 3 * ((t.tx * o.w) // 8)
+                  + 7 * ((t.ty * o.h) // 6)) % 256) as s
+  from odd o cross join tgt t
+  group by 1, 2, 3
+)
+select doc_id as media_id,
+       cast(w as int) as src_width, cast(h as int) as src_height,
+       cast(8 as int) as width, cast(6 as int) as height,
+       cast(s as bigint) as sum_value,
+       s / 144.0 as mean_value
+from sums
+union all
+select doc_id as media_id,
+       cast(null as int), cast(null as int), cast(null as int),
+       cast(null as int), cast(null as bigint), cast(null as double)
+from documents where doc_id % 2 = 0
+"""

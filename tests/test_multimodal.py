@@ -82,3 +82,54 @@ def test_decode_malformed_payloads_fall_through_to_raw(spark):
     assert rows[1]["kind"] == "raw" and rows[1]["n_bytes"] == len(bad_wav)
     assert rows[2]["kind"] == "raw" and rows[2]["n_bytes"] == len(bad_ppm)
     assert rows[3]["kind"] == "raw" and rows[3]["n_bytes"] == 0
+
+
+# ---------------- resize_media ----------------
+
+def test_resize_media_matches_numpy_reference(spark):
+    import numpy as np
+
+    from dbt_core_spark.operators.multimodal import resize_media, synth_media
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i % 10)) for i in range(1, 12, 2)], ["doc_id", "text"])
+    media = synth_media(docs, pattern="gradient")
+    out = {r["media_id"]: r for r in resize_media(media, out_w=8,
+                                                  out_h=6).collect()}
+    for mid in range(1, 12, 2):
+        w, h = 4 + mid % 13, 3 + mid % 7
+        plane = (mid + 3 * np.arange(w)[None, :]
+                 + 7 * np.arange(h)[:, None]) % 256
+        sy = (np.arange(6) * h) // 6
+        sx = (np.arange(8) * w) // 8
+        res = plane[sy[:, None], sx[None, :]]
+        r = out[mid]
+        assert (r["src_width"], r["src_height"]) == (w, h)
+        assert (r["width"], r["height"]) == (8, 6)
+        assert r["sum_value"] == int(res.sum()) * 3
+        assert abs(r["mean_value"] - res.mean()) < 1e-9
+        # re-encoded payload round-trips through the decoder
+        from dbt_core_spark.operators.multimodal import decode_ppm
+        d = decode_ppm(bytes(r["data"]))
+        assert (d["width"], d["height"]) == (8, 6)
+        assert abs(d["mean_value"] - res.mean()) < 1e-9
+
+
+def test_resize_media_passthrough_non_images(spark):
+    from dbt_core_spark.operators.multimodal import resize_media, synth_media
+
+    docs = spark.createDataFrame([(2, "aud"), (4, "io")], ["doc_id", "text"])
+    media = synth_media(docs)  # even ids -> WAV
+    rows = resize_media(media).collect()
+    assert {r["media_id"] for r in rows} == {2, 4}
+    assert all(r["width"] is None and r["sum_value"] is None for r in rows)
+    assert all(r["data"] is not None for r in rows)  # payload untouched
+
+
+def test_resize_media_no_shuffle(spark):
+    from dbt_core_spark.operators.multimodal import resize_media, synth_media
+
+    docs = spark.createDataFrame([(1, "t")], ["doc_id", "text"])
+    plan = resize_media(synth_media(docs, pattern="gradient")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # binary column never shuffles
