@@ -2365,6 +2365,17 @@ def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wav_spectrogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FFT feature extraction: 8-point rfft magnitude spectrogram
+    of the synthetic square-wave WAVs — whose spectrum is analytically
+    a single Nyquist line of height amp·n_fft, so the numpy FFT path is
+    exactly oracle-checked (operators/multimodal.py:wav_spectrogram)."""
+    from dbt_core_spark.operators.multimodal import synth_media, wav_spectrogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return wav_spectrogram(synth_media(docs), n_fft=8)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2407,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_quality_docs": pipeline_quality_docs,
         "ivfpq_search_embeddings": ivfpq_search_embeddings,
         "multimodal_resize_ppm": multimodal_resize_ppm,
+        "wav_spectrogram_docs": wav_spectrogram_docs,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,

@@ -2678,3 +2678,25 @@ select doc_id as media_id,
        cast(null as int), cast(null as bigint), cast(null as double)
 from documents where doc_id % 2 = 0
 """
+
+# FFT spectrogram of the synthetic square-wave WAVs (mirror of
+# multimodal.wav_spectrogram on synth_media: even ids, amplitude
+# 100+id%900, 8*(len(text)%50+1) alternating samples -> every 8-sample
+# frame's rfft is a single Nyquist line of height amp*8).
+ORACLES["wav_spectrogram_docs"] = """
+with evens as (
+  select doc_id, 100 + doc_id % 900 as amp,
+         coalesce(length(text), 0) % 50 + 1 as nfr
+  from documents where doc_id % 2 = 0
+), b as (
+  select unnest(range(5)) as bin
+), fr as (
+  select doc_id, amp, unnest(range(nfr)) as frame from evens
+)
+select fr.doc_id as media_id,
+       cast(fr.frame as int) as frame,
+       cast(b.bin as int) as bin,
+       cast(case when b.bin = 4 then fr.amp * 8 else 0 end as bigint)
+           as mag_round
+from fr cross join b
+"""

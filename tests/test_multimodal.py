@@ -133,3 +133,53 @@ def test_resize_media_no_shuffle(spark):
     plan = resize_media(synth_media(docs, pattern="gradient")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # binary column never shuffles
+
+
+# ---------------- wav_spectrogram ----------------
+
+def test_wav_spectrogram_square_wave_line_spectrum(spark):
+    """The alternating square wave concentrates ALL energy in the
+    Nyquist bin: mag[n_fft/2] = amplitude*n_fft, every other bin 0."""
+    from dbt_core_spark.operators.multimodal import synth_media, wav_spectrogram
+
+    docs = spark.createDataFrame(
+        [(2, "x" * 3), (4, "y" * 5)], ["doc_id", "text"])  # even ids -> WAV
+    media = synth_media(docs)
+    rows = wav_spectrogram(media, n_fft=8).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], {})[(r["frame"], r["bin"])] = \
+            r["mag_round"]
+    for mid, text_len in [(2, 3), (4, 5)]:
+        amp = 100 + mid % 900
+        n_frames = text_len % 50 + 1
+        got = by_media[mid]
+        assert len(got) == n_frames * 5  # bins 0..4
+        for (f, k), m in got.items():
+            assert m == (amp * 8 if k == 4 else 0), (mid, f, k, m)
+
+
+def test_wav_spectrogram_matches_numpy_on_arbitrary_signal(spark):
+    import numpy as np
+
+    from dbt_core_spark.operators.multimodal import encode_wav, wav_spectrogram
+
+    rng = np.random.RandomState(6)
+    sig = (rng.randn(64) * 1000).astype("<i2")
+    df = spark.createDataFrame([(1, bytearray(encode_wav(sig)))],
+                               "media_id long, data binary")
+    got = {(r["frame"], r["bin"]): r["mag_round"]
+           for r in wav_spectrogram(df, n_fft=16).collect()}
+    exp = {}
+    for f in range(4):
+        mags = np.abs(np.fft.rfft(sig[f * 16:(f + 1) * 16].astype("f8")))
+        for k, m in enumerate(mags):
+            exp[(f, k)] = int(np.floor(m + 0.5))
+    assert got == exp
+
+
+def test_wav_spectrogram_skips_non_wav(spark):
+    from dbt_core_spark.operators.multimodal import synth_media, wav_spectrogram
+
+    docs = spark.createDataFrame([(1, "img")], ["doc_id", "text"])  # odd -> PPM
+    assert wav_spectrogram(synth_media(docs)).count() == 0
