@@ -2430,7 +2430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
         "hash_embed_docs": hash_embed_docs,
         "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
-        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
         "mixture_sample_docs": mixture_sample_docs,
         "engine_incremental_merge": engine_incremental_merge,
         # -- r1-stale (green r1 only; two rounds unverified) --
@@ -2457,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # result-preserving lineage seals (locally re-oracled) --
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
         # -- engine surface (runner event emission changed this round) --
         "engine_snapshot_scd2": engine_snapshot_scd2,
         "engine_microbatch_day": engine_microbatch_day,

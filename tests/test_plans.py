@@ -350,3 +350,30 @@ def test_ann_recall_no_corpus_data_moves(spark, sf_dir):
     plan = _plan(ann_recall(exact, approx, k=3))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gate_window_contains_all_r1_stale_queries():
+    """Rotation-policy guard: the driver verifies the FIRST 50 registry
+    keys; the 19 rows last driver-verified in round 1 (the r3 verdict's
+    rotation debt) must all sit inside that window, and new
+    never-driver-verified queries must lead it."""
+    import __spark_entry__ as e
+
+    qs = list(e.queries())
+    stale = [
+        "percentiles_by_group", "q22_global_avg_filter",
+        "hourly_event_rollup", "map_struct_status_counts",
+        "running_revenue_by_customer", "rolling_7day_order_totals",
+        "multi_granularity_rollup", "stats_by_returnflag",
+        "dynamic_pivot_events", "q4_order_priority",
+        "q13_customer_distribution", "q14_promo_revenue_ratio",
+        "q17_small_quantity_revenue", "q19_or_predicates",
+        "customers_without_orders", "rollup_quantity",
+        "unpivot_status_counts", "set_ops_statuses",
+        "generate_series_powers",
+    ]
+    window = set(qs[:50])
+    missing = [q for q in stale if q not in window]
+    assert not missing, f"r1-stale queries fell out of the gate window: {missing}"
+    # every registry row has an oracle (the exact-correctness invariant)
+    assert set(e.oracle_sql()) == set(qs)
