@@ -2142,7 +2142,12 @@ def cms_heavy_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_core_spark.operators.sketches import cms_heavy_hitters
 
     docs = _t(spark, sf_dir, "documents").filter("text is not null")
-    words = docs.select(F.explode(normalized_words(F.col("text"))).alias("word"))
+    # sealed: the exploded words feed TWO consumers (sketch build +
+    # distinct probe) — without the seal the tokenize/explode runs
+    # twice (the BLAS-kernel lineage lesson)
+    words = docs.select(
+        F.explode(normalized_words(F.col("text"))).alias("word")
+    ).localCheckpoint(eager=False)
     return cms_heavy_hitters(words, "word", threshold=500, depth=4, width=1024)
 
 
@@ -2295,9 +2300,10 @@ def kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_core_spark.operators.sketches import kmv_jaccard
 
     docs = _t(spark, sf_dir, "documents").filter("text is not null")
+    # sealed: both corpus halves consume the same exploded-words frame
     words = docs.select(
         "source", F.explode(normalized_words(F.col("text"))).alias("word")
-    )
+    ).localCheckpoint(eager=False)
     a = words.filter(F.length("source") <= 4).select("word")   # src0..src9
     b = words.filter(F.length("source") > 4).select("word")    # src10..src19
     return kmv_jaccard(a, b, "word", k=256)
@@ -2376,6 +2382,27 @@ def wav_spectrogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_spectrogram(synth_media(docs), n_fft=8)
 
 
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: difficulty buckets by fixed n_chars
+    thresholds → md5 shard + within-shard position; no global sort
+    anywhere (operators/corpus.py:curriculum_order)."""
+    from dbt_core_spark.operators.corpus import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return curriculum_order(docs, "n_chars", boundaries=[200.0, 300.0, 400.0],
+                            id_col="doc_id", n_shards=4)
+
+
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics on events.user_id: top-10 hottest keys with
+    corpus share and uniformity-relative skew factor, all integer
+    outputs (operators/skew.py:skew_report)."""
+    from dbt_core_spark.operators.skew import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_n=10)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2419,6 +2446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_search_embeddings": ivfpq_search_embeddings,
         "multimodal_resize_ppm": multimodal_resize_ppm,
         "wav_spectrogram_docs": wav_spectrogram_docs,
+        "curriculum_order_docs": curriculum_order_docs,
+        "skew_report_events": skew_report_events,
         "dup_span_docs": dup_span_docs,
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,
@@ -2429,8 +2458,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
         "hash_embed_docs": hash_embed_docs,
-        "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
-        "mixture_sample_docs": mixture_sample_docs,
         "engine_incremental_merge": engine_incremental_merge,
         # -- r1-stale (green r1 only; two rounds unverified) --
         "percentiles_by_group": percentiles_by_group,
@@ -2457,6 +2484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
+        "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
+        "mixture_sample_docs": mixture_sample_docs,
         # -- engine surface (runner event emission changed this round) --
         "engine_snapshot_scd2": engine_snapshot_scd2,
         "engine_microbatch_day": engine_microbatch_day,

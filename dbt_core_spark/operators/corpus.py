@@ -598,3 +598,43 @@ def bpe_tokenize(
     return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), toks.alias("tokens")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    boundaries: list[float],
+    id_col: str = "doc_id",
+    n_shards: int = 4,
+    seed: str = "cur0",
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum data ordering (easy→hard epochs): assign each doc a
+    difficulty BUCKET by fixed score thresholds, then a deterministic
+    md5 shard + within-shard position — a training job reads buckets in
+    order, shards within a bucket in any order.
+
+    NO global sort anywhere (the epoch_shuffle discipline): bucketing
+    is a broadcast CASE over ``boundaries`` (produce them once with
+    ``sketches.histogram_quantiles`` or domain knowledge), shard is an
+    md5 hash, position is a row_number partitioned by (bucket, shard) —
+    the only shuffle, and its partitions are corpus/(buckets·shards).
+    ``ascending=False`` reverses the curriculum (hard→easy).  Returns
+    (id, bucket, shard, pos)."""
+    b = F.lit(0)
+    for t in boundaries:
+        b = b + F.when(F.col(score_col) >= F.lit(t), 1).otherwise(0)
+    bucket = b if ascending else F.lit(len(boundaries)) - b
+    staged = df.select(
+        F.col(id_col),
+        bucket.cast("int").alias("bucket"),
+        _md5_mod(F.col(id_col), n_shards, seed).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.md5(F.concat(F.lit(f"{seed}:pos:"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return staged.select(
+        id_col, "bucket", "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )

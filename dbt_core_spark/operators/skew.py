@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,3 +64,39 @@ def salted_join(
         "_salt", (F.rand(seed=42) * salts).cast("int")
     )
     return salted_large.join(exploded_small, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Key-skew diagnostics — the measurement that decides whether a
+    join/aggregate on ``key_col`` needs salting or AQE skew handling
+    BEFORE it melts an executor at 100 TB.
+
+    One groupBy(key) pass (map-side combined), then a k-bounded top-N
+    (WindowGroupLimit shape via TakeOrdered).  Returns the ``top_n``
+    hottest keys with rank, count, corpus share (e6 fixed point) and
+    the skew factor count·distinct_keys/total (e4 fixed point; 1.0000
+    = perfectly uniform) — integer outputs so the report is
+    bit-reproducible."""
+    counts = df.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.count("*").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"),
+        F.count("*").alias("_nkeys"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    top = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col(key_col),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.floor(F.col("cnt") * F.lit(1_000_000) / F.col("_total"))
+            .cast("bigint").alias("share_e6"),
+            F.floor(F.col("cnt") * F.col("_nkeys") * F.lit(10_000) / F.col("_total"))
+            .cast("bigint").alias("skew_e4"),
+        )
+    )

@@ -2700,3 +2700,42 @@ select fr.doc_id as media_id,
            as mag_round
 from fr cross join b
 """
+
+# Curriculum ordering (mirror of corpus.curriculum_order: threshold
+# buckets, md5 shard, md5-ordered within-shard positions).
+_CUR_SHARD = _hex2int(
+    "substr(md5('cur0:' || cast(doc_id as varchar)), 1, 15)", digits=15)
+ORACLES["curriculum_order_docs"] = f"""
+with b as (
+  select doc_id,
+         cast((case when n_chars >= 200 then 1 else 0 end)
+            + (case when n_chars >= 300 then 1 else 0 end)
+            + (case when n_chars >= 400 then 1 else 0 end) as int) as bucket,
+         cast(({_CUR_SHARD}) % 4 as int) as shard,
+         md5('cur0:pos:' || cast(doc_id as varchar)) as poskey
+  from documents
+)
+select doc_id, bucket, shard,
+       cast(row_number() over (partition by bucket, shard
+                               order by poskey, doc_id) - 1 as bigint) as pos
+from b
+"""
+
+# Key-skew report (mirror of skew.skew_report).
+ORACLES["skew_report_events"] = """
+with counts as (
+  select user_id, cast(count(*) as bigint) as cnt
+  from events where user_id is not null group by 1
+), t as (
+  select sum(cnt) as total, count(*) as nkeys from counts
+), ranked as (
+  select c.user_id, c.cnt,
+         row_number() over (order by c.cnt desc, c.user_id asc) as rank
+  from counts c
+)
+select cast(r.rank as int) as rank, r.user_id, r.cnt,
+       cast(floor(r.cnt * 1000000 / t.total) as bigint) as share_e6,
+       cast(floor(r.cnt * t.nkeys * 10000 / t.total) as bigint) as skew_e4
+from ranked r, t
+where r.rank <= 10
+"""

@@ -655,3 +655,58 @@ def test_bpe_tokenize_zero_shuffle(spark):
     plan = bpe_tokenize(df, [("a", "b")]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------- curriculum_order ----------------
+
+def test_curriculum_buckets_and_determinism(spark):
+    from dbt_core_spark.operators.corpus import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], ["doc_id", "score"])
+    out = curriculum_order(df, "score", boundaries=[10.0, 20.0, 30.0],
+                           n_shards=2)
+    rows = {r["doc_id"]: (r["bucket"], r["shard"], r["pos"])
+            for r in out.collect()}
+    # thresholds: score>=10 -> 1, >=20 -> 2, >=30 -> 3
+    assert rows[5][0] == 0 and rows[10][0] == 1 and rows[29][0] == 2 \
+        and rows[39][0] == 3
+    # positions are dense 0..n-1 within each (bucket, shard)
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for _id, (b, s, p) in rows.items():
+        groups[(b, s)].append(p)
+    assert all(sorted(v) == list(range(len(v))) for v in groups.values())
+    # deterministic across runs
+    again = {r["doc_id"]: (r["bucket"], r["shard"], r["pos"])
+             for r in curriculum_order(df, "score",
+                                       boundaries=[10.0, 20.0, 30.0],
+                                       n_shards=2).collect()}
+    assert rows == again
+
+
+def test_curriculum_descending_reverses_buckets(spark):
+    from dbt_core_spark.operators.corpus import curriculum_order
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0)], ["doc_id", "score"])
+    up = {r["doc_id"]: r["bucket"] for r in curriculum_order(
+        df, "score", boundaries=[10.0]).collect()}
+    down = {r["doc_id"]: r["bucket"] for r in curriculum_order(
+        df, "score", boundaries=[10.0], ascending=False).collect()}
+    assert up == {1: 0, 2: 1} and down == {1: 1, 2: 0}
+
+
+# ---------------- skew_report ----------------
+
+def test_skew_report_ranks_and_factors(spark):
+    from dbt_core_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [(f"c{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = {r["rank"]: (r["k"], r["cnt"], r["share_e6"], r["skew_e4"])
+           for r in skew_report(df, "k", top_n=3).collect()}
+    # total=100, nkeys=12: hot share .6, skew 60*12/100 = 7.2
+    assert got[1] == ("hot", 60, 600000, 72000)
+    assert got[2] == ("warm", 30, 300000, 36000)
+    assert got[3][1] == 1
