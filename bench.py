@@ -70,11 +70,13 @@ HEADLINE = [
     "dup_span_docs",
     "dsir_score_docs",
     # session-5 additions: PQ/ADC search (the compressed-storage ANN
-    # tier), bucketed range join, funnel fold, CMS heavy hitters
+    # tier), bucketed range join, funnel fold, CMS heavy hitters,
+    # and the combined IVFADC architecture
     "pq_search_embeddings",
     "range_join_events",
     "funnel_events",
     "cms_heavy_words",
+    "ivfpq_search_embeddings",
 ]
 
 

@@ -215,3 +215,109 @@ def test_skew_split_2d_every_pair_exactly_once(spark, m_cells, p_cells, cap):
     }
     assert set(seen) == expected
     assert all(v == 1 for v in seen.values()), seen.most_common(3)
+
+
+# ---------------- session-5 operators ----------------
+
+@given(st.lists(st.tuples(st.integers(0, 3600), st.integers(0, 3000),
+                          st.integers(1, 900)),
+                min_size=1, max_size=25),
+       st.sampled_from([60, 300, 1000]))
+@settings(**SETTINGS)
+def test_range_join_equals_naive_on_random_intervals(spark, rows, width):
+    """Bucketed range join == brute-force containment on random point
+    and interval layouts, for any bucket width."""
+    import datetime as dt
+
+    from dbt_core_spark.operators.asof import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=p)) for i, (p, _, _) in enumerate(rows)],
+        ["pid", "ts"])
+    rng = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+         for i, (_, s, d) in enumerate(rows)],
+        ["rid", "start", "end"])
+    got = sorted((r["pid"], r["rid"]) for r in range_join(
+        pts, rng, "ts", "start", "end", bucket_width=width).collect())
+    exp = sorted(
+        (i, j)
+        for i, (p, _, _) in enumerate(rows)
+        for j, (_, s, d) in enumerate(rows)
+        if s <= p <= s + d
+    )
+    assert got == exp
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]),
+                min_size=1, max_size=60),
+       st.integers(2, 4), st.sampled_from([8, 64]))
+@settings(**SETTINGS)
+def test_cms_estimate_bounds_property(spark, values, depth, width):
+    """CMS never underestimates, and over-estimates at most by the
+    total count (trivial bound) — for any depth/width."""
+    from dbt_core_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    sk = cms_build(df, "v", depth=depth, width=width)
+    est = {r["v"]: r["est_cnt"] for r in cms_estimate(
+        sk, df.select("v").distinct(), "v", depth=depth, width=width).collect()}
+    true = Counter(values)
+    assert set(est) == set(true)
+    for v, t in true.items():
+        assert t <= est[v] <= len(values)
+
+
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 500)),
+                min_size=1, max_size=40, unique=True),
+       st.integers(2, 6))
+@settings(**SETTINGS)
+def test_zorder_code_interleave_property(spark, pairs, bits):
+    """zcode reproduces the pure-python Morton interleave of the scaled
+    coordinates, and is order-preserving per dimension at fixed other
+    coordinate."""
+    from dbt_core_spark.operators.layout import zorder_code
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], ["rid", "a", "b"])
+    got = {r["rid"]: r["zcode"]
+           for r in zorder_code(df, "a", "b", bits=bits).collect()}
+
+    amin, amax = min(a for a, _ in pairs), max(a for a, _ in pairs)
+    bmin, bmax = min(b for _, b in pairs), max(b for _, b in pairs)
+
+    def scale(v, lo, hi):
+        return math.floor((v - lo) * (1 << bits) / (hi - lo + 1))
+
+    def morton(a, b):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == morton(scale(a, amin, amax), scale(b, bmin, bmax))
+
+
+@given(st.lists(TEXT, min_size=1, max_size=20), st.integers(8, 64))
+@settings(**SETTINGS)
+def test_classifier_score_matches_python_reference_property(spark, texts, dim):
+    from dbt_core_spark.operators.textstats import classifier_score
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_words"], r["logit_e6"])
+           for r in classifier_score(df, dim=dim).collect()}
+    exp = {}
+    for i, t in rows:
+        ws = _words(t)
+        if not ws:
+            continue
+        s = 0
+        for w in ws:
+            bucket = _md5_mod(w, dim, "clf")
+            s += _md5_mod(str(bucket), 2001, "w") - 1000
+        exp[i] = (len(ws), math.floor(s / len(ws)))
+    assert got == exp
