@@ -111,3 +111,77 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_FUNNEL_STATE = T.StructType([
+    T.StructField("n", T.IntegerType()),
+    T.StructField("last_us", T.LongType()),
+])
+
+FUNNEL_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("completed_at", T.TimestampType()),
+])
+
+
+def _funnel_fn(steps: list):
+    k = len(steps)
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        n, last_us = tuple(state.get) if state.exists else (0, None)
+        done: list[int] = []
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values("ts")
+        for ts, et in zip(rows["ts"].astype("int64") // 1000,
+                          rows["event_type"]):
+            t = int(ts)
+            if n < k and et == steps[n] and (n == 0 or t > last_us):
+                n, last_us = n + 1, t
+                if n == k:
+                    done.append(t)
+                    n, last_us = 0, None  # re-arm for the next cycle
+        state.update((n, last_us))
+        if done:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(done),
+                "completed_at": [pd.Timestamp(t, unit="us") for t in done],
+            })
+
+    return fn
+
+
+def funnel_stream(
+    df: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming funnel detection — the continuous form of
+    ``operators.sequence.funnel``: per user, a tiny (step, last_ts)
+    state machine advances on each matching event with strictly
+    increasing time and emits a completion row the moment the final
+    step lands, then re-arms.
+
+    State is TWO scalars per user regardless of stream length — the
+    applyInPandasWithState shape that survives an unbounded 100 TB
+    stream where collecting per-user event lists cannot.  Rows are
+    processed in ts order WITHIN each micro-batch; an event arriving
+    after a later-step event has already advanced the machine does not
+    retro-advance it (the standard streaming state-machine contract —
+    batch ``funnel`` is the replayable exact form)."""
+    renamed = df.selectExpr(
+        f"{user_col} as user_id", f"{ts_col} as ts",
+        f"{type_col} as event_type")
+    return renamed.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn(list(steps)),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

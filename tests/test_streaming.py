@@ -264,3 +264,39 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
     exp = {(r["row"], r["pos"]): r["cnt"]
            for r in cms_build(batch, "kind", depth=3, width=32).collect()}
     assert got == exp
+
+
+def test_funnel_stream_detects_completion_and_rearms(spark, tmp_path):
+    import uuid as _uuid
+
+    from dbt_core_spark.streaming.stateful import funnel_stream
+    from dbt_core_spark.streaming.structured import run_to_memory, stream_source
+
+    src = str(tmp_path / "fun_in")
+    rows = [
+        # user 1: completes twice (re-arm), out-of-order click ignored
+        {"event_id": 1, "ts": "2024-01-01T00:00:01.000Z", "kind": "view"},
+        {"event_id": 2, "ts": "2024-01-01T00:00:02.000Z", "kind": "click"},
+        {"event_id": 3, "ts": "2024-01-01T00:00:03.000Z", "kind": "purchase"},
+        {"event_id": 4, "ts": "2024-01-01T00:01:00.000Z", "kind": "view"},
+        {"event_id": 5, "ts": "2024-01-01T00:01:30.000Z", "kind": "click"},
+        {"event_id": 6, "ts": "2024-01-01T00:02:00.000Z", "kind": "purchase"},
+    ]
+    for r in rows:
+        r["user"] = 1
+    rows.append({"event_id": 7, "ts": "2024-01-01T00:00:05.000Z",
+                 "kind": "click", "user": 2})  # never completes
+    _write_events(src, rows)
+    schema = SCHEMA.add("user", "long") if "user" not in \
+        [f.name for f in SCHEMA.fields] else SCHEMA
+    stream = stream_source(spark, src, schema, fmt="json")
+    out = funnel_stream(stream, ["view", "click", "purchase"],
+                        user_col="user", ts_col="ts", type_col="kind")
+    name = f"mem_{_uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name)
+    got = sorted((r["user_id"], str(r["completed_at"]))
+                 for r in spark.table(name).collect())
+    assert got == [
+        (1, "2024-01-01 00:00:03"),
+        (1, "2024-01-01 00:02:00"),
+    ]
