@@ -2403,6 +2403,27 @@ def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(ev, "user_id", top_n=10)
 
 
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by PMI over adjacent word pairs (word2vec's
+    phrase-detection step), micro-nat integers, ranking bounded by the
+    frequent-pair vocabulary (operators/corpus.py:pmi_collocations)."""
+    from dbt_core_spark.operators.corpus import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top_n=50)
+
+
+def tfidf_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine pairs via inverted-index join — only docs
+    sharing a surviving term ever pair; idf in integer milli-nats so
+    all accumulation is bigint (operators/textstats.py:
+    tfidf_cosine_pairs)."""
+    from dbt_core_spark.operators.textstats import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=0.6, max_df_frac=0.8)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2412,18 +2433,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (insertion order).  Rotation policy: every round the first-50
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 4 window (final): 17 BRAND-NEW
+    # two rounds unverified.  Round 4 window (final): 22 BRAND-NEW
     # queries from the second r4 session (range join, classifier, CMS
     # batch+streaming, PQ encode/search, IVFPQ, normalize_text, gram
     # matrix, funnel, JL projection, BPE, z-order, KMV-Jaccard,
-    # anomalies, composed quality pipeline, image resize) — never
-    # driver-verified, so they outrank everything — then 14 queries
-    # touched by the first r4 session (incl. its 10 own brand-new
-    # rows), then ALL 19 queries last verified in r1 (the rotation
-    # debt the r3 verdict flagged) = exactly 50.  Just past the cap:
-    # ann_ivf_topk + semantic_dedup (r3-verified; r4's changes were
-    # result-preserving lineage seals) and the engine_*/r2 fill rows —
-    # every one of the 133 was green in this round's FULL sf0.01
+    # anomalies, composed quality pipeline, image resize, FFT
+    # spectrogram, curriculum, skew report, PMI, sparse tf-idf cosine)
+    # — never driver-verified, so they outrank everything — then 9 of
+    # the first r4 session's 10 brand-new rows, then ALL 19 queries
+    # last verified in r1 (the rotation debt the r3 verdict flagged)
+    # = exactly 50 (pinned by tests/test_plans.py's rotation guard).
+    # Just past the cap: dup_span_cut (its span machinery is covered
+    # by in-window dup_span) and the r3-verified rows whose r4 changes
+    # were result-preserving lineage seals (ann_ivf_topk,
+    # semantic_dedup fold/BLAS, ann_ivf_blas, mixture_sample,
+    # engine_incremental_merge), then the engine_*/r2 fill rows —
+    # every one of the 138 was green in this round's FULL sf0.01
     # rehearsals (scripts/validate_oracles.py, the same compare logic
     # as the driver), and the displaced rows lead r5's window.
     return {
@@ -2448,8 +2473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_spectrogram_docs": wav_spectrogram_docs,
         "curriculum_order_docs": curriculum_order_docs,
         "skew_report_events": skew_report_events,
+        "pmi_collocations_docs": pmi_collocations_docs,
+        "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
         "dup_span_docs": dup_span_docs,
-        "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,
         "dsir_score_docs": dsir_score_docs,
         "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
@@ -2458,7 +2484,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
         "hash_embed_docs": hash_embed_docs,
-        "engine_incremental_merge": engine_incremental_merge,
         # -- r1-stale (green r1 only; two rounds unverified) --
         "percentiles_by_group": percentiles_by_group,
         "q22_global_avg_filter": q22_global_avg_filter,
@@ -2481,11 +2506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_series_powers": generate_series_powers,
         # -- just past the cap: r3-verified, r4 changes were
         # result-preserving lineage seals (locally re-oracled) --
+        "dup_span_cut_docs": dup_span_cut_docs,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
         "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
         "mixture_sample_docs": mixture_sample_docs,
+        "engine_incremental_merge": engine_incremental_merge,
         # -- engine surface (runner event emission changed this round) --
         "engine_snapshot_scd2": engine_snapshot_scd2,
         "engine_microbatch_day": engine_microbatch_day,

@@ -638,3 +638,71 @@ def curriculum_order(
         id_col, "bucket", "shard",
         (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Collocation (phrase) mining by pointwise mutual information:
+
+        PMI(w1, w2) = ln( c12 · N / (c1 · c2) )
+
+    over adjacent word pairs — the phrase-detection pass used to feed
+    multi-word tokens to a tokenizer (word2vec's phrase step).  Micro-
+    nat integer output (the ngram_lm float discipline: ln of exact
+    integer ratios, floored per TYPE before any ranking).
+
+    Scale shape: words/bigram counts are wordcount shuffles with
+    partial agg (bounded by vocabulary, not corpus); the final ranking
+    window sees only pairs with c12 ≥ min_count — at any corpus size a
+    table bounded by the frequent-pair vocabulary."""
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(normalized_words(text_col).alias("ws"))
+        .localCheckpoint(eager=False)  # feeds unigrams AND bigrams
+    )
+    uni = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # joined twice (w1 and w2 side)
+    )
+    n_total = uni.agg(F.sum("c").alias("n"))
+    bg = (
+        words.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    scored = (
+        bg.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1", "w2", "c12",
+            F.floor(
+                F.log(
+                    F.col("c12").cast("double") * F.col("n")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ) * F.lit(MICRO)
+            ).cast("bigint").alias("pmi_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi_micro").desc(), F.col("w1"), F.col("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+    )

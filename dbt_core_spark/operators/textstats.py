@@ -768,3 +768,77 @@ def normalize_text(
         F.length(t0).cast("bigint").alias("n_chars_before"),
         F.length(t).cast("bigint").alias("n_chars_after"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Sparse document cosine similarity via an INVERTED-INDEX join —
+    the sparse-vector complement of the dense-embedding ANN tier: only
+    documents sharing at least one term are ever paired, so cost is
+    Σ_term df(term)² over the surviving vocabulary instead of O(n²).
+
+    Weights are tf · idf with idf floored to integer milli-nats per
+    TERM (the type-level float discipline: ln of exact integer ratios,
+    floored once, then pure bigint tf·idf products and sums — no
+    cross-row float accumulation anywhere; the final cosine is one
+    double division, rounded to 6 dp).  Terms appearing in more than
+    ``max_df_frac`` of documents are dropped (stopword-class terms pair
+    everything with everything — the standard fan-out bound; tune down
+    at larger corpora).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold
+    applied on the ROUNDED value so engine float noise cannot flip the
+    boundary."""
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"),
+                F.explode(normalized_words(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)  # feeds df-counts AND weights
+    )
+    n_docs = tf.select("id").distinct().count()  # one tiny action
+    max_df = int(n_docs * max_df_frac)
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("id").cast("bigint").alias("df_t"))
+        .filter(F.col("df_t") <= max_df)
+        .select(
+            "term",
+            F.floor(F.log(F.lit(float(n_docs)) / F.col("df_t")) * 1000)
+            .cast("bigint").alias("idf_milli"),
+        )
+    )
+    w = tf.join(idf, "term").select(
+        "id", "term", (F.col("tf") * F.col("idf_milli")).alias("w")
+    ).localCheckpoint(eager=False)  # feeds norms AND both join sides
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
+    a = w.select(F.col("id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms.select(F.col("id").alias("id_a"),
+                               F.col("nsq").alias("nsq_a")), "id_a")
+        .join(norms.select(F.col("id").alias("id_b"),
+                           F.col("nsq").alias("nsq_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("nsq_a").cast("double"))
+                   * F.sqrt(F.col("nsq_b").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return cos.filter(F.col("cosine") >= threshold)

@@ -2739,3 +2739,76 @@ select cast(r.rank as int) as rank, r.user_id, r.cnt,
 from ranked r, t
 where r.rank <= 10
 """
+
+# PMI collocations (mirror of corpus.pmi_collocations: micro-nat floor
+# of ln(c12*N/(c1*c2)) per pair type, rank by (pmi desc, w1, w2)).
+ORACLES["pmi_collocations_docs"] = f"""
+with w as (
+    select doc_id, {_WORDS} as ws from documents where text is not null
+), bg as (
+    select ws[i - 1] as w1, ws[i] as w2
+    from w, unnest(generate_series(2, len(ws))) as t(i)
+    where len(ws) >= 2
+), c12t as (
+    select w1, w2, cast(count(*) as bigint) as c12
+    from bg group by 1, 2
+    having count(*) >= 5
+), uni as (
+    select word as wrd, cast(count(*) as bigint) as c
+    from (select unnest(ws) as word from w) group by 1
+), nt as (
+    select sum(c) as n from uni
+), scored as (
+    select b.w1, b.w2, b.c12,
+           cast(floor(ln(b.c12 * nt.n * 1.0 / (u1.c * u2.c)) * 1000000)
+                as bigint) as pmi_micro
+    from c12t b
+    join uni u1 on u1.wrd = b.w1
+    join uni u2 on u2.wrd = b.w2
+    cross join nt
+)
+select w1, w2, c12, pmi_micro,
+       cast(row_number() over (order by pmi_micro desc, w1, w2) as int)
+           as rank
+from scored
+qualify rank <= 50
+"""
+
+# Sparse tf-idf cosine pairs (mirror of textstats.tfidf_cosine_pairs:
+# idf = floor(ln(N/df)*1000) milli-nats per term; terms with df >
+# 0.8*N dropped; bigint tf*idf dot products; one double division
+# rounded to 6 dp, threshold applied on the rounded value).
+ORACLES["tfidf_cosine_pairs_docs"] = f"""
+with w as (
+  select doc_id as id, unnest({_WORDS}) as term
+  from documents where text is not null
+), tf as (
+  select id, term, cast(count(*) as bigint) as tf from w group by 1, 2
+), nd as (
+  select count(distinct id) as n from tf
+), idf as (
+  select t.term,
+         cast(floor(ln(nd.n * 1.0 / count(distinct t.id)) * 1000) as bigint)
+             as idf_milli
+  from tf t, nd
+  group by t.term, nd.n
+  having count(distinct t.id) <= floor(nd.n * 0.8)
+), wt as (
+  select tf.id, tf.term, tf.tf * idf.idf_milli as w
+  from tf join idf using (term)
+), norms as (
+  select id, sum(w * w) as nsq from wt group by 1
+), dots as (
+  select a.id as id_a, b.id as id_b, sum(a.w * b.w) as dot
+  from wt a join wt b on a.term = b.term and a.id < b.id
+  group by 1, 2
+)
+select * from (
+  select d.id_a, d.id_b,
+         round(d.dot * 1.0 / (sqrt(na.nsq * 1.0) * sqrt(nb.nsq * 1.0)), 6)
+             as cosine
+  from dots d
+  join norms na on na.id = d.id_a
+  join norms nb on nb.id = d.id_b
+) where cosine >= 0.6
+"""

@@ -710,3 +710,80 @@ def test_skew_report_ranks_and_factors(spark):
     assert got[1] == ("hot", 60, 600000, 72000)
     assert got[2] == ("warm", 30, 300000, 36000)
     assert got[3][1] == 1
+
+
+# ---------------- pmi_collocations ----------------
+
+def test_pmi_collocations_hand_computed(spark):
+    import math as _m
+
+    from dbt_core_spark.operators.corpus import pmi_collocations
+
+    # "new york" always together (strong collocation); "the cat"/"the
+    # dog" mix freely (weak)
+    df = spark.createDataFrame(
+        [(1, "new york new york new york"),
+         (2, "the cat the dog the cat the dog")],
+        ["doc_id", "text"])
+    out = {(r["w1"], r["w2"]): r for r in
+           pmi_collocations(df, min_count=2, top_n=10).collect()}
+    # counts: new:3 york:3 the:4 cat:2 dog:2, N=14
+    # bigrams: (new,york):3 (york,new):2 (the,cat):2 (cat,the):1 ...
+    ny = out[("new", "york")]
+    assert ny["c12"] == 3
+    assert ny["pmi_micro"] == _m.floor(_m.log(3 * 14 / (3 * 3)) * 1e6)
+    tc = out[("the", "cat")]
+    assert tc["pmi_micro"] == _m.floor(_m.log(2 * 14 / (4 * 2)) * 1e6)
+    assert ny["pmi_micro"] > tc["pmi_micro"]
+    assert ny["rank"] < tc["rank"]
+
+
+# ---------------- tfidf_cosine_pairs ----------------
+
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    import math as _m
+
+    from dbt_core_spark.operators.textstats import tfidf_cosine_pairs
+
+    # docs 1 and 2 share 'apple banana'; doc 3 shares nothing with them
+    df = spark.createDataFrame(
+        [(1, "apple banana cherry"),
+         (2, "apple banana dates"),
+         (3, "elder fig grape")],
+        ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(df, threshold=0.0,
+                                       max_df_frac=1.0).collect()}
+    # N=3; apple/banana df=2 -> idf_milli=floor(ln(1.5)*1000)=405;
+    # singles df=1 -> floor(ln(3)*1000)=1098
+    shared, single = 405, 1098
+    dot = 2 * shared * shared
+    norm = _m.sqrt(2 * shared ** 2 + single ** 2)
+    exp = round(dot / (norm * norm), 6)
+    assert out == {(1, 2): exp}  # doc 3 pairs with nobody
+    assert abs(out[(1, 2)] - 0.213915) < 1e-3
+
+
+def test_tfidf_cosine_pairs_stopword_cap_bounds_fanout(spark):
+    from dbt_core_spark.operators.textstats import tfidf_cosine_pairs
+
+    # 'the' appears in ALL docs: with the cap it cannot pair everything
+    rows = [(i, f"the unique{i} words{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert tfidf_cosine_pairs(df, threshold=0.0,
+                              max_df_frac=0.5).count() == 0
+    # without the cap every doc pairs via 'the'
+    assert tfidf_cosine_pairs(df, threshold=0.0,
+                              max_df_frac=1.0).count() == 15
+
+
+def test_tfidf_cosine_identical_docs_cosine_one(spark):
+    from dbt_core_spark.operators.textstats import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here"), (3, "other stuff")],
+        ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(df, threshold=0.9,
+                                       max_df_frac=1.0).collect()}
+    assert out == {(1, 2): 1.0}
