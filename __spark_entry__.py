@@ -2424,6 +2424,33 @@ def tfidf_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(docs, threshold=0.6, max_df_frac=0.8)
 
 
+def asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a merge_asof-style tolerance: the matched order
+    is nulled when more than 30 days older than the event — same
+    windowed plan, one extra carried column + row-local guard
+    (operators/asof.py:asof_join tolerance)."""
+    from dbt_core_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    r = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+            "last_order_key",
+        )
+    )
+    out = asof_join(events, r, on="user_id", left_ts="ts", right_ts="ots",
+                    right_values=["last_order_key"],
+                    tolerance=30 * 86400)
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "last_order_key",
+    )
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2475,8 +2502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_events": skew_report_events,
         "pmi_collocations_docs": pmi_collocations_docs,
         "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
+        "asof_tolerance_events": asof_tolerance_events,
         "dup_span_docs": dup_span_docs,
-        "containment_pairs_docs": containment_pairs_docs,
         "dsir_score_docs": dsir_score_docs,
         "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
         "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
@@ -2507,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- just past the cap: r3-verified, r4 changes were
         # result-preserving lineage seals (locally re-oracled) --
         "dup_span_cut_docs": dup_span_cut_docs,
+        "containment_pairs_docs": containment_pairs_docs,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,

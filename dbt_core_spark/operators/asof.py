@@ -38,22 +38,32 @@ def asof_join(
     right_ts: str,
     right_values: Optional[list[str]] = None,
     direction: str = "backward",
+    tolerance: Optional[float] = None,
 ) -> DataFrame:
     """Left as-of join.  ``direction='backward'`` matches the latest
     right row at-or-before the left timestamp; ``'forward'`` the earliest
-    at-or-after."""
+    at-or-after.  ``tolerance`` (seconds, like pandas ``merge_asof``)
+    nulls the matched values when the matched right row is further than
+    that from the left timestamp — same plan, one extra carried column
+    (the matched right ts) and a row-local guard."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be non-negative seconds")
     right_values = right_values or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    carry = list(right_values)
+    if tolerance is not None:
+        carry.append("__rts")
+        right = right.withColumn("__rts", F.col(right_ts))
 
     lhs = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_values],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in carry],
     )
     rhs = right.select(
         F.col(on).alias("_k"),
@@ -62,7 +72,7 @@ def asof_join(
         F.lit(None).cast(
             lhs.schema["_lrow"].dataType
         ).alias("_lrow"),
-        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+        *[F.col(c).alias(f"_rv_{c}") for c in carry],
     )
     unioned = lhs.unionByName(rhs)
 
@@ -75,7 +85,7 @@ def asof_join(
         )
         carried = [
             F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in right_values
+            for c in carry
         ]
     else:
         w = (
@@ -85,15 +95,29 @@ def asof_join(
         )
         carried = [
             F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in right_values
+            for c in carry
         ]
+
+    # date-typed ts columns need the timestamp hop before double
+    # (date→double is not a valid Spark cast); fractional seconds
+    # survive the double epoch either way
+    def _secs(c: str):
+        return F.col(c).cast("timestamp").cast("double")
+
+    if tolerance is None:
+        in_tol = F.lit(True)
+    elif direction == "backward":
+        in_tol = _secs("_m___rts") >= _secs("_ts") - tolerance
+    else:
+        in_tol = _secs("_m___rts") <= _secs("_ts") + tolerance
 
     out = (
         unioned.select("*", *carried)
         .filter(F.col("_is_left") == 1)
         .select(
             *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-            *[F.col(f"_m_{c}").alias(c) for c in right_values],
+            *[F.when(in_tol, F.col(f"_m_{c}")).alias(c)
+              for c in right_values],
         )
     )
     return out

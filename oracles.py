@@ -2812,3 +2812,18 @@ select * from (
   join norms nb on nb.id = d.id_b
 ) where cosine >= 0.6
 """
+
+# As-of with tolerance (mirror of asof_join tolerance=30 days: the
+# matched order nulls when ots is more than 2592000 s before the event).
+ORACLES["asof_tolerance_events"] = """
+with r as (
+    select o_custkey as user_id, o_orderdate as ots,
+           max(o_orderkey) as last_order_key
+    from orders group by 1, 2
+)
+select e.event_id, e.user_id, cast(epoch_us(e.ts) as bigint) as ts_us,
+       case when r.ots::timestamp >= e.ts - interval '2592000 seconds'
+            then r.last_order_key end as last_order_key
+from events e
+asof left join r on e.user_id = r.user_id and e.ts >= r.ots
+"""

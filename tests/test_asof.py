@@ -132,3 +132,38 @@ def test_range_join_no_nested_loop_plan(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """merge_asof-style tolerance: matches further than the window are
+    nulled, in both directions."""
+    trades = _df(spark, [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 30), "t1"),   # quote 25s old
+        (1, dt.datetime(2024, 1, 1, 10, 5, 0), "t2"),    # quote 295s old
+    ], ["sym", "ts", "trade"])
+    quotes = _df(spark, [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 5), 100.0),
+    ], ["sym", "qts", "price"])
+    within = {r["trade"]: r["price"] for r in asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        right_values=["price"], tolerance=60).collect()}
+    assert within == {"t1": 100.0, "t2": None}
+    loose = {r["trade"]: r["price"] for r in asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        right_values=["price"], tolerance=600).collect()}
+    assert loose == {"t1": 100.0, "t2": 100.0}
+    fwd = {r["trade"]: r["price"] for r in asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        right_values=["price"], direction="forward",
+        tolerance=60).collect()}
+    assert fwd == {"t1": None, "t2": None}  # quote precedes both
+
+
+def test_asof_without_tolerance_unchanged(spark):
+    trades = _df(spark, [(1, dt.datetime(2024, 1, 1, 12), "t")],
+                 ["sym", "ts", "trade"])
+    quotes = _df(spark, [(1, dt.datetime(2024, 1, 1, 0), 7.0)],
+                 ["sym", "qts", "price"])
+    out = asof_join(trades, quotes, on="sym", left_ts="ts",
+                    right_ts="qts", right_values=["price"])
+    assert out.collect()[0]["price"] == 7.0  # 12h-old match still carried
