@@ -165,6 +165,24 @@ PICKS = {
         "CMS heavy hitters — sketch build is posexplode + map-side "
         "partial agg bounded by depth·width; the point-query side "
         "broadcasts the 4096-cell sketch."),
+    "ivfpq_search_embeddings": (
+        "IVFADC — centroids and PQ codebook broadcast; corpus passes "
+        "(assignment argmin, residual encode) sealed to one execution "
+        "each; query scan joins the integer code table to the "
+        "broadcast (query, cell) LUT — raw vectors never rescanned."),
+    "tfidf_cosine_pairs_docs": (
+        "Sparse tf-idf cosine — inverted-index self-join on term: "
+        "only term-sharing docs pair (Σ df² cost, not n²); idf "
+        "milli-nat integers keep every accumulation bigint."),
+    "curriculum_order_docs": (
+        "Curriculum ordering — bucket via broadcast CASE thresholds, "
+        "shard via md5; the only exchange feeds the (bucket, shard) "
+        "row_number window: corpus/(buckets·shards) per partition, "
+        "NO global sort."),
+    "count_anomalies_events": (
+        "Integer-exact anomalies — one events rollup, then window "
+        "stats over the tiny (type, bucket) table; the z-test "
+        "compares 128-bit integers, no floats anywhere."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",
