@@ -140,3 +140,59 @@ def create_view(spark: SparkSession, rel: str, sql: str) -> None:
     if relation_type(spark, rel) == "table":
         drop_relation(spark, rel)
     spark.sql(f"CREATE OR REPLACE VIEW {rel} AS {sql}")
+
+
+def compact_table(
+    spark: SparkSession,
+    rel: str,
+    target_file_mb: int = 128,
+    zorder_by: Optional[list[str]] = None,
+) -> dict:
+    """Small-file compaction — the lake-maintenance OPTIMIZE analog.
+
+    Streaming sinks, microbatch overwrites, and high-parallelism writes
+    leave hundreds of KB-scale files per table; at 100 TB that is the
+    difference between a scan opening 10⁶ files and 10³.  Reads the
+    table, coalesces to ceil(bytes/target) output files (coalesce, not
+    repartition — no shuffle unless z-ordering), optionally Z-orders on
+    two columns (operators/layout.py) so the rewritten files also get
+    tight min/max bounding boxes, and swaps atomically via the same
+    tmp-table + rename protocol as rebuild_table.
+
+    Partitioned tables compact within the existing partition layout
+    (partition columns are preserved by saveAsTable).  Returns a report
+    dict: files/bytes before, target file count, rows."""
+    files = spark.table(rel).inputFiles()
+    n_files = len(files)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    n_bytes = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        n_bytes += p.getFileSystem(conf).getFileStatus(p).getLen()
+    fmt = "parquet"
+    try:
+        prov = [r for r in spark.sql(f"DESCRIBE EXTENDED {rel}").collect()
+                if r["col_name"] == "Provider"]
+        if prov:
+            fmt = prov[0]["data_type"].lower()
+    except Exception:
+        pass
+    target = max(1, -(-n_bytes // (target_file_mb << 20)))  # ceil
+
+    df = spark.table(rel)
+    if zorder_by:
+        from dbt_core_spark.operators.layout import zorder_repartition
+
+        a, b = zorder_by
+        df = zorder_repartition(df, a, b, num_partitions=target).drop("zcode")
+    else:
+        df = df.coalesce(target)
+    n_rows = df.count()
+    rebuild_table(spark, rel, df, file_format=fmt)
+    return {
+        "files_before": n_files,
+        "bytes_before": n_bytes,
+        "target_files": target,
+        "rows": n_rows,
+    }

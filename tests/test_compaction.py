@@ -1,0 +1,46 @@
+"""Small-file compaction (OPTIMIZE analog)."""
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from dbt_core_spark.operators.relations import compact_table
+
+
+def _fragmented_table(spark, schema, n_rows=2000, n_files=32):
+    rel = f"{schema}.frag_{uuid.uuid4().hex[:6]}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema.split('.')[0]}")
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 50).alias("a"),
+        (F.col("id") % 37).alias("b"))
+    df.repartition(n_files).write.saveAsTable(rel)
+    return rel
+
+
+def test_compact_reduces_file_count_preserves_rows(spark, schema):
+    rel = _fragmented_table(spark, schema)
+    before_files = len(spark.table(rel).inputFiles())
+    assert before_files >= 16  # genuinely fragmented
+    before = spark.table(rel).orderBy("id").collect()
+    rpt = compact_table(spark, rel, target_file_mb=128)
+    assert rpt["files_before"] == before_files
+    assert rpt["rows"] == 2000
+    after_files = len(spark.table(rel).inputFiles())
+    assert after_files <= rpt["target_files"] < before_files
+    assert spark.table(rel).orderBy("id").collect() == before
+
+
+def test_compact_with_zorder_clusters_files(spark, schema):
+    rel = _fragmented_table(spark, schema, n_rows=4000)
+    compact_table(spark, rel, target_file_mb=1, zorder_by=["a", "b"])
+    t = spark.table(rel)
+    assert t.count() == 4000
+    assert "zcode" not in t.columns  # helper column dropped
+    # clustered layout: within each file, the 'a' range is a subset
+    stats = (
+        t.withColumn("f", F.input_file_name())
+        .groupBy("f").agg((F.max("a") - F.min("a")).alias("spread"))
+        .collect()
+    )
+    if len(stats) > 1:  # tiny tables may compact to one file
+        assert min(r["spread"] for r in stats) < 49  # not all full-range
