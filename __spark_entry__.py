@@ -2451,6 +2451,17 @@ def asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events: distinct (user,
+    week) rollup → min-week cohorts → offset counts; shuffles keyed on
+    users / the tiny cohort×offset grid only
+    (operators/sequence.py:cohort_retention)."""
+    from dbt_core_spark.operators.sequence import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, granularity="week")
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2503,9 +2514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations_docs": pmi_collocations_docs,
         "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
         "asof_tolerance_events": asof_tolerance_events,
+        "cohort_retention_events": cohort_retention_events,
         "dup_span_docs": dup_span_docs,
         "dsir_score_docs": dsir_score_docs,
-        "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
         "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
@@ -2535,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # result-preserving lineage seals (locally re-oracled) --
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,
+        "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,

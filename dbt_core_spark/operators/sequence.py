@@ -141,3 +141,53 @@ def count_anomalies(
         F.col("cnt").cast("bigint").alias("cnt"),
         (lhs * lhs > rhs).alias("is_anomaly"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period (the cohort); each cell counts the cohort's distinct users
+    still active N periods later — the standard product-analytics
+    retention triangle.
+
+    Scale shape: one (user, period) distinct rollup (map-side partial
+    agg), a min-period-per-user aggregate, a broadcast-eligible join of
+    the per-user cohort back onto the rollup, and one (cohort, offset)
+    count — every shuffle is keyed on users or on the tiny
+    cohort×offset grid, never on raw events twice.  Period arithmetic
+    uses date_trunc + integer day offsets divided by the period length,
+    so offsets are exact integers on any engine.  Returns
+    (cohort, offset, n_users)."""
+    if granularity not in ("day", "week", "month"):
+        raise ValueError("granularity must be day, week, or month")
+    per = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            F.date_trunc(granularity, F.col(ts_col)).cast("date").alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds cohorts AND the join back
+    )
+    cohorts = per.groupBy("u").agg(F.min("p").alias("cohort"))
+    if granularity == "month":
+        # exact calendar months: truncated periods differ by whole months
+        off = (
+            (F.year("p") * 12 + F.month("p"))
+            - (F.year("cohort") * 12 + F.month("cohort"))
+        )
+    else:
+        off = F.datediff(F.col("p"), F.col("cohort")) / (
+            1 if granularity == "day" else 7
+        )
+    joined = per.join(cohorts, "u").select(
+        "u", "cohort", off.cast("int").alias("offset")
+    )
+    return (
+        joined.groupBy("cohort", "offset")
+        .agg(F.countDistinct("u").cast("bigint").alias("n_users"))
+    )

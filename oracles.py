@@ -2827,3 +2827,19 @@ select e.event_id, e.user_id, cast(epoch_us(e.ts) as bigint) as ts_us,
 from events e
 asof left join r on e.user_id = r.user_id and e.ts >= r.ots
 """
+
+# Weekly cohort retention (mirror of sequence.cohort_retention: both
+# engines truncate weeks to Monday; offsets are exact day-diffs / 7).
+ORACLES["cohort_retention_events"] = """
+with per as (
+  select distinct user_id as u, cast(date_trunc('week', ts) as date) as p
+  from events where ts is not null and user_id is not null
+), cohorts as (
+  select u, min(p) as cohort from per group by 1
+)
+select c.cohort,
+       cast(date_diff('day', c.cohort, per.p) / 7 as int) as "offset",
+       cast(count(distinct per.u) as bigint) as n_users
+from per join cohorts c on c.u = per.u
+group by 1, 2
+"""

@@ -106,3 +106,55 @@ def test_count_anomalies_integer_threshold_exact(spark):
     sd = statistics.pstdev(counts)
     for h, c in enumerate(counts):
         assert got[h] == (abs(c - mu) > 2 * sd), (h, c)
+
+
+# ---------------- cohort_retention ----------------
+
+def test_cohort_retention_triangle(spark):
+    from dbt_core_spark.operators.sequence import cohort_retention
+
+    rows = [
+        # user 1: active day 0 and day 7 (offset 1 week)
+        (1, 1, dt.datetime(2024, 1, 1, 10), "view"),
+        (2, 1, dt.datetime(2024, 1, 8, 9), "view"),
+        # user 2: same cohort week, never returns
+        (3, 2, dt.datetime(2024, 1, 3, 12), "click"),
+        # user 3: cohort week 2, returns in week 4 (offset 2)
+        (4, 3, dt.datetime(2024, 1, 10, 8), "view"),
+        (5, 3, dt.datetime(2024, 1, 24, 8), "view"),
+        # multiple events same week count once
+        (6, 1, dt.datetime(2024, 1, 1, 23), "click"),
+    ]
+    df = _ev(spark, rows)
+    got = {(str(r["cohort"]), r["offset"]): r["n_users"]
+           for r in cohort_retention(df, granularity="week").collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 1, 2
+        ("2024-01-01", 1): 1,   # user 1 returned
+        ("2024-01-08", 0): 1,   # user 3
+        ("2024-01-08", 2): 1,   # user 3 back two weeks later
+    }
+
+
+def test_cohort_retention_offsets_are_exact_integers(spark):
+    from dbt_core_spark.operators.sequence import cohort_retention
+
+    rows = [(i, 1, dt.datetime(2024, 1, 1) + dt.timedelta(days=7 * i), "x")
+            for i in range(5)]
+    df = _ev(spark, rows)
+    got = sorted(r["offset"] for r in
+                 cohort_retention(df, granularity="week").collect())
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_cohort_retention_month_is_calendar_exact(spark):
+    from dbt_core_spark.operators.sequence import cohort_retention
+
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 31), "x"),
+        (2, 1, dt.datetime(2024, 3, 1), "x"),   # Jan -> Mar = 2 months
+    ]
+    df = _ev(spark, rows)
+    got = {(str(r["cohort"]), r["offset"]): r["n_users"]
+           for r in cohort_retention(df, granularity="month").collect()}
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1}
