@@ -2462,6 +2462,38 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, granularity="week")
 
 
+def engine_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end: a deliberately fragmented
+    (32-file) orders table is compacted with a Z-order rewrite on
+    (custkey, orderdate-days); the query returns per-priority count +
+    fixed-point price sums read back AFTER the rewrite, proving the
+    compaction is byte-lossless (oracle computes straight from the
+    source parquet).  operators/relations.py:compact_table."""
+    from dbt_core_spark.operators.relations import compact_table
+
+    schema = "drv_compact"
+    _fresh_engine_schema(spark, schema)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{schema}`")
+    rel = f"{schema}.orders_frag"
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "odays", F.datediff("o_orderdate", F.lit("1970-01-01"))
+    )
+    orders.repartition(32).write.mode("overwrite").saveAsTable(rel)
+    rpt = compact_table(spark, rel, target_file_mb=256,
+                        zorder_by=["o_custkey", "odays"])
+    if rpt["files_before"] < 16:
+        raise RuntimeError(f"expected fragmentation, got {rpt}")
+    return (
+        spark.table(rel)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .alias("price_e2"),
+        )
+    )
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2515,9 +2547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
         "asof_tolerance_events": asof_tolerance_events,
         "cohort_retention_events": cohort_retention_events,
+        "engine_compaction": engine_compaction,
         "dup_span_docs": dup_span_docs,
         "dsir_score_docs": dsir_score_docs,
-        "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
@@ -2547,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,
         "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
+        "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,

@@ -2843,3 +2843,14 @@ select c.cohort,
 from per join cohorts c on c.u = per.u
 group by 1, 2
 """
+
+# Compaction end-to-end (mirror reads straight from the source parquet
+# — the compacted rewrite must be byte-lossless).
+ORACLES["engine_compaction"] = """
+select o_orderpriority,
+       cast(count(*) as bigint) as n,
+       cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+           as price_e2
+from orders
+group by 1
+"""
