@@ -2494,6 +2494,16 @@ def engine_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def detect_script_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-block script detection (multilingual-crawl triage before
+    language-ID): per-block regexp counts + fixed-priority dominant
+    label, zero shuffles (operators/textstats.py:detect_script)."""
+    from dbt_core_spark.operators.textstats import detect_script
+
+    docs = _t(spark, sf_dir, "documents")
+    return detect_script(docs, "text", "doc_id")
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2548,9 +2558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance_events": asof_tolerance_events,
         "cohort_retention_events": cohort_retention_events,
         "engine_compaction": engine_compaction,
+        "detect_script_docs": detect_script_docs,
         "dup_span_docs": dup_span_docs,
         "dsir_score_docs": dsir_score_docs,
-        "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
         "hash_embed_docs": hash_embed_docs,
@@ -2580,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_docs": containment_pairs_docs,
         "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
         "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
+        "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,

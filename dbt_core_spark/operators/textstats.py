@@ -842,3 +842,50 @@ def tfidf_cosine_pairs(
         )
     )
     return cos.filter(F.col("cosine") >= threshold)
+
+
+# unicode block ranges, embedded as literal characters so the same
+# pattern text works in both Java regex and RE2 (no \u escape dialects)
+_SCRIPT_PATTERNS = {
+    "latin": "[A-Za-z]",
+    "cyrillic": f"[{chr(0x0400)}-{chr(0x04FF)}]",
+    "greek": f"[{chr(0x0370)}-{chr(0x03FF)}]",
+    "cjk": f"[{chr(0x3040)}-{chr(0x30FF)}{chr(0x4E00)}-{chr(0x9FFF)}]",
+    "arabic": f"[{chr(0x0600)}-{chr(0x06FF)}]",
+}
+
+
+def detect_script(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Writing-system detection by unicode-block character counts —
+    the triage step before language-ID on a multilingual crawl (fast,
+    alphabet-level; ``detect_language`` refines within an alphabet).
+
+    Counts per script block plus digits, then labels the document by
+    the dominant block (ties resolve in the fixed order latin >
+    cyrillic > greek > cjk > arabic; documents with no script
+    characters at all label 'other').  Pure regexp_count expressions —
+    zero shuffles, whole-stage codegen, and the block patterns embed
+    literal range characters so Java regex and RE2 read them
+    identically."""
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("bigint")
+        for name, pat in _SCRIPT_PATTERNS.items()
+    }
+    counts["digit"] = F.regexp_count(t, F.lit("[0-9]")).cast("bigint")
+    staged = df.filter(t.isNotNull()).select(
+        F.col(id_col),
+        *[c.alias(f"n_{n}") for n, c in counts.items()],
+    )
+    order = ["latin", "cyrillic", "greek", "cjk", "arabic"]
+    best = F.greatest(*[F.col(f"n_{n}") for n in order])
+    label = F.lit("other")
+    for name in reversed(order):
+        label = F.when(
+            (best > 0) & (F.col(f"n_{name}") == best), F.lit(name)
+        ).otherwise(label)
+    return staged.withColumn("script", label)

@@ -2854,3 +2854,39 @@ select o_orderpriority,
 from orders
 group by 1
 """
+
+# Script detection (mirror of textstats.detect_script: per-block match
+# counts; literal unicode range characters so RE2 and Java regex read
+# the same pattern; dominant label ties resolve latin > cyrillic >
+# greek > cjk > arabic, no script chars at all -> 'other').
+_SCRIPTS_SQL = {
+    "latin": "[A-Za-z]",
+    "cyrillic": f"[{chr(0x0400)}-{chr(0x04FF)}]",
+    "greek": f"[{chr(0x0370)}-{chr(0x03FF)}]",
+    "cjk": f"[{chr(0x3040)}-{chr(0x30FF)}{chr(0x4E00)}-{chr(0x9FFF)}]",
+    "arabic": f"[{chr(0x0600)}-{chr(0x06FF)}]",
+    "digit": "[0-9]",
+}
+_SC_COUNTS = ",\n       ".join(
+    f"cast(len(regexp_extract_all(text, '{pat}', 0)) as bigint) as n_{name}"
+    for name, pat in _SCRIPTS_SQL.items()
+)
+ORACLES["detect_script_docs"] = f"""
+with c as (
+  select doc_id,
+       {_SC_COUNTS}
+  from documents where text is not null
+), m as (
+  select c.*,
+         greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) as best
+  from c
+)
+select doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit,
+       case when best = 0 then 'other'
+            when n_latin = best then 'latin'
+            when n_cyrillic = best then 'cyrillic'
+            when n_greek = best then 'greek'
+            when n_cjk = best then 'cjk'
+            else 'arabic' end as script
+from m
+"""

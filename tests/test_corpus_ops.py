@@ -787,3 +787,33 @@ def test_tfidf_cosine_identical_docs_cosine_one(spark):
            for r in tfidf_cosine_pairs(df, threshold=0.9,
                                        max_df_frac=1.0).collect()}
     assert out == {(1, 2): 1.0}
+
+
+# ---------------- detect_script ----------------
+
+def test_detect_script_blocks_and_ties(spark):
+    from dbt_core_spark.operators.textstats import detect_script
+
+    rows = [
+        (1, "hello world 123"),
+        (2, "Привет мир"),
+        (3, "ελληνικά κείμενο"),
+        (4, "日本語のテキスト"),
+        (5, "نص عربي"),
+        (6, "12345 !!!"),          # digits only -> no script -> other
+        (7, "abcПривет"),          # 3 latin vs 6 cyrillic
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["script"] for r in detect_script(df).collect()}
+    assert got == {1: "latin", 2: "cyrillic", 3: "greek", 4: "cjk",
+                   5: "arabic", 6: "other", 7: "cyrillic"}
+    row = {r["doc_id"]: r for r in detect_script(df).collect()}[7]
+    assert (row["n_latin"], row["n_cyrillic"]) == (3, 6)
+
+
+def test_detect_script_tie_prefers_fixed_order(spark):
+    from dbt_core_spark.operators.textstats import detect_script
+
+    df = spark.createDataFrame([(1, "abcабв")], ["doc_id", "text"])  # 3 vs 3
+    assert detect_script(df).collect()[0]["script"] == "latin"
