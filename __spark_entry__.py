@@ -2504,6 +2504,16 @@ def detect_script_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_script(docs, "text", "doc_id")
 
 
+def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix (sankey/markov input): one
+    user-keyed lead window, pair counts, integer e6 outgoing shares
+    (operators/sequence.py:event_transitions)."""
+    from dbt_core_spark.operators.sequence import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev, tiebreak_col="event_id")
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2562,10 +2572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_events": cohort_retention_events,
         "engine_compaction": engine_compaction,
         "detect_script_docs": detect_script_docs,
+        "event_transitions_events": event_transitions_events,
         "dup_span_docs": dup_span_docs,
         "dsir_score_docs": dsir_score_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
-        "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
         "hash_embed_docs": hash_embed_docs,
         # -- r1-stale (green r1 only; two rounds unverified) --
         "percentiles_by_group": percentiles_by_group,
@@ -2594,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
         "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
+        "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,

@@ -191,3 +191,41 @@ def cohort_retention(
         joined.groupBy("cohort", "offset")
         .agg(F.countDistinct("u").cast("bigint").alias("n_users"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """User-journey transition matrix: for consecutive events of each
+    user (ordered by time, deterministic tiebreak), count every
+    (current → next) event-type pair and its share of the current
+    type's outgoing transitions (e6 fixed point) — the input to sankey
+    / markov-chain journey analysis.
+
+    One window over (user, ts) — a single user-keyed shuffle — then a
+    pair count and a broadcast-sized per-source total join.  Integer
+    share arithmetic: share_e6 = floor(n·10⁶ / total)."""
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), tb.asc())
+    nxt = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col),
+            F.col(type_col).alias("cur"),
+            F.lead(type_col).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    counts = nxt.groupBy("cur", "nxt").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("cur").agg(F.sum("n").alias("_tot"))
+    return counts.join(F.broadcast(totals), "cur").select(
+        "cur", "nxt", "n",
+        F.floor(F.col("n") * F.lit(1_000_000) / F.col("_tot"))
+        .cast("bigint").alias("share_e6"),
+    )

@@ -2890,3 +2890,22 @@ select doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit,
             else 'arabic' end as script
 from m
 """
+
+# Event transitions (mirror of sequence.event_transitions: lead over
+# (user, ts, event_id), pair counts, floor(n*1e6/total) shares).
+ORACLES["event_transitions_events"] = """
+with nxt as (
+  select event_type as cur,
+         lead(event_type) over (partition by user_id
+                                order by ts, event_id) as nxt
+  from events where ts is not null
+), counts as (
+  select cur, nxt, cast(count(*) as bigint) as n
+  from nxt where nxt is not null group by 1, 2
+), totals as (
+  select cur, sum(n) as tot from counts group by 1
+)
+select c.cur, c.nxt, c.n,
+       cast(floor(c.n * 1000000 / t.tot) as bigint) as share_e6
+from counts c join totals t on t.cur = c.cur
+"""

@@ -158,3 +158,34 @@ def test_cohort_retention_month_is_calendar_exact(spark):
     got = {(str(r["cohort"]), r["offset"]): r["n_users"]
            for r in cohort_retention(df, granularity="month").collect()}
     assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1}
+
+
+# ---------------- event_transitions ----------------
+
+def test_event_transitions_counts_and_shares(spark):
+    from dbt_core_spark.operators.sequence import event_transitions
+
+    rows = [
+        (1, 1, _t(1), "view"), (2, 1, _t(2), "click"),
+        (3, 1, _t(3), "view"), (4, 1, _t(4), "buy"),
+        (5, 2, _t(1), "view"), (6, 2, _t(2), "click"),
+    ]
+    df = _ev(spark, rows)
+    got = {(r["cur"], r["nxt"]): (r["n"], r["share_e6"])
+           for r in event_transitions(df, tiebreak_col="event_id").collect()}
+    # view ->: click x2, buy x1; click -> view x1
+    assert got[("view", "click")] == (2, 666666)
+    assert got[("view", "buy")] == (1, 333333)
+    assert got[("click", "view")] == (1, 1000000)
+    # no cross-user pair (2's click never chains to another user)
+    assert ("click", "click") not in got
+
+
+def test_event_transitions_tiebreak_determinism(spark):
+    from dbt_core_spark.operators.sequence import event_transitions
+
+    rows = [(1, 1, _t(5), "a"), (2, 1, _t(5), "b")]  # same ts
+    df = _ev(spark, rows)
+    got = {(r["cur"], r["nxt"]) for r in
+           event_transitions(df, tiebreak_col="event_id").collect()}
+    assert got == {("a", "b")}  # event_id order breaks the tie
