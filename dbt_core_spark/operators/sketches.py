@@ -408,12 +408,17 @@ def kmv_jaccard(
     )
     return u.agg(
         F.count("*").cast("bigint").alias("n_union_k"),
-        F.sum(
-            F.when((F.col("_ia") == 1) & (F.col("_ib") == 1), 1).otherwise(0)
-        ).cast("bigint").alias("n_common"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("_ia") == 1) & (F.col("_ib") == 1), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("n_common"),  # empty inputs: 0, not null
     ).select(
         "n_union_k",
         "n_common",
-        (F.col("n_common").cast("double") / F.col("n_union_k"))
+        # try_divide: an empty union (0/0) is NULL, not an ANSI error
+        F.try_divide(F.col("n_common").cast("double"), F.col("n_union_k"))
         .alias("jaccard_est"),
     )
