@@ -2514,6 +2514,28 @@ def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(ev, tiebreak_col="event_id")
 
 
+def cms_merge_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability under the driver gate: CMS sketches of the
+    two corpus halves merged (cms_merge) must reproduce the whole-corpus
+    heavy hitters BIT-FOR-BIT — the property that lets per-shard /
+    per-day sketches roll up at 100 TB.  Shares cms_heavy_words'
+    oracle verbatim (merge == whole is the claim being tested)."""
+    from dbt_core_spark.operators.dedup import normalized_words
+    from dbt_core_spark.operators.sketches import (
+        cms_build, cms_estimate, cms_merge)
+
+    docs = _t(spark, sf_dir, "documents").filter("text is not null")
+    words = docs.select(
+        "doc_id", F.explode(normalized_words(F.col("text"))).alias("word")
+    ).localCheckpoint(eager=False)
+    a = cms_build(words.filter("doc_id < 250"), "word", depth=4, width=1024)
+    b = cms_build(words.filter("doc_id >= 250"), "word", depth=4, width=1024)
+    merged = cms_merge(a, b)
+    items = words.select("word").distinct()
+    est = cms_estimate(merged, items, "word", depth=4, width=1024)
+    return est.filter(F.col("est_cnt") >= 500)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2573,10 +2595,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_compaction": engine_compaction,
         "detect_script_docs": detect_script_docs,
         "event_transitions_events": event_transitions_events,
+        "cms_merge_halves": cms_merge_halves,
         "dup_span_docs": dup_span_docs,
         "dsir_score_docs": dsir_score_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
-        "hash_embed_docs": hash_embed_docs,
         # -- r1-stale (green r1 only; two rounds unverified) --
         "percentiles_by_group": percentiles_by_group,
         "q22_global_avg_filter": q22_global_avg_filter,
@@ -2605,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
+        "hash_embed_docs": hash_embed_docs,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,

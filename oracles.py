@@ -2909,3 +2909,8 @@ select c.cur, c.nxt, c.n,
        cast(floor(c.n * 1000000 / t.tot) as bigint) as share_e6
 from counts c join totals t on t.cur = c.cur
 """
+
+# CMS merge == whole (mirror: merging the two half-corpus sketches must
+# reproduce the whole-corpus heavy hitters exactly, so the oracle IS
+# the whole-corpus computation).
+ORACLES["cms_merge_halves"] = ORACLES["cms_heavy_words"]
