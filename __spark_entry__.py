@@ -2536,6 +2536,19 @@ def cms_merge_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.filter(F.col("est_cnt") >= 500)
 
 
+def contrastive_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triples for embedding models: adjacent-chunk
+    positives + deterministic md5-bucketed same-index negatives — never
+    a cross join, never RAND()
+    (operators/textstats.py:contrastive_pairs)."""
+    from dbt_core_spark.operators.textstats import (
+        chunk_documents, contrastive_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_words=40, overlap=10)
+    return contrastive_pairs(chunks)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2596,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_script_docs": detect_script_docs,
         "event_transitions_events": event_transitions_events,
         "cms_merge_halves": cms_merge_halves,
+        "contrastive_pairs_docs": contrastive_pairs_docs,
         "dup_span_docs": dup_span_docs,
         "dsir_score_docs": dsir_score_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,

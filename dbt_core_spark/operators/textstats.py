@@ -889,3 +889,84 @@ def detect_script(
             (best > 0) & (F.col(f"n_{name}") == best), F.lit(name)
         ).otherwise(label)
     return staged.withColumn("script", label)
+
+
+def contrastive_pairs(
+    chunks: DataFrame,
+    doc_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    text_col: str = "chunk_text",
+    neg_salt: str = "cneg",
+    neg_buckets: int | None = None,
+) -> DataFrame:
+    """Mine (anchor, positive, negative) text triples for contrastive
+    embedding training from a chunked corpus (``chunk_documents``
+    output): the positive is the document's NEXT chunk (adjacent spans
+    share topic — the standard in-document positive), the negative is a
+    same-index chunk from a DIFFERENT document chosen by deterministic
+    md5 bucketing.
+
+    Scale shape: positives are a self-join on (doc, idx+1) — one
+    doc-keyed shuffle; negatives bucket anchors by md5(doc) into
+    ``neg_buckets`` groups (default ≈ corpus/2 so buckets average two
+    docs) and pair each anchor with the bucket's other member via one
+    bucket-keyed shuffle — never a cross join, never RAND().  Anchors
+    whose bucket has no second document yield NULL negatives (filter or
+    re-salt; at corpus scale the fraction vanishes).  Returns
+    (doc_id, chunk_idx, anchor, positive, negative)."""
+    nxt = chunks.select(
+        F.col(doc_col), (F.col(idx_col) - 1).alias(idx_col),
+        F.col(text_col).alias("_pos"),
+    )
+    pos = chunks.join(nxt, [doc_col, idx_col]).select(
+        F.col(doc_col), F.col(idx_col),
+        F.col(text_col).alias("anchor"), F.col("_pos").alias("positive"),
+    ).localCheckpoint(eager=False)  # feeds the bucket join twice
+
+    if neg_buckets is None:
+        n_docs = pos.select(doc_col).distinct().count()
+        neg_buckets = max(1, n_docs // 2)
+    key = F.md5(F.concat(F.lit(f"{neg_salt}:"),
+                         F.col(doc_col).cast("string")))
+    bucket = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"),
+        F.lit(neg_buckets),
+    )
+    left = pos.withColumn("_b", bucket)
+    right = pos.select(
+        F.col(doc_col).alias("_nd"), F.col(idx_col).alias("_nidx"),
+        F.col("anchor").alias("_neg"),
+    ).withColumn(
+        "_nb",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{neg_salt}:"),
+                                   F.col("_nd").cast("string"))), 1, 15),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(neg_buckets),
+        ),
+    )
+    # self-exclusion INSIDE the join condition: an anchor whose bucket
+    # holds no other doc keeps its row with a NULL negative instead of
+    # vanishing
+    joined = left.join(
+        right,
+        (F.col("_b") == F.col("_nb"))
+        & (F.col(idx_col) == F.col("_nidx"))
+        & (F.col("_nd") != F.col(doc_col)),
+        "left",
+    )
+    # deterministic single negative: the lowest other doc id in-bucket
+    w = Window.partitionBy(doc_col, idx_col).orderBy(
+        F.col("_nd").asc_nulls_last()
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(doc_col), F.col(idx_col), "anchor", "positive",
+            F.col("_neg").alias("negative"),
+        )
+    )

@@ -2914,3 +2914,51 @@ from counts c join totals t on t.cur = c.cur
 # reproduce the whole-corpus heavy hitters exactly, so the oracle IS
 # the whole-corpus computation).
 ORACLES["cms_merge_halves"] = ORACLES["cms_heavy_words"]
+
+# Contrastive triples (mirror of textstats.contrastive_pairs over
+# chunk_documents(40, 10)): positive = next chunk of the same doc;
+# negative = the lowest-id other doc in the anchor's md5 bucket
+# (buckets = distinct anchor docs // 2) at the same chunk index.
+_CTR_B = _hex2int(
+    "substr(md5('cneg:' || cast(doc_id as varchar)), 1, 15)", digits=15)
+ORACLES["contrastive_pairs_docs"] = f"""
+with w as (
+    select doc_id, {_WORDS} as words
+    from documents where text is not null
+), nz as (
+    select doc_id, words from w where len(words) > 0
+), s as (
+    select doc_id, words,
+           range(1, greatest(len(words) - 10, 1) + 1, 30) as starts
+    from nz
+), chunks as (
+    select doc_id, cast(ch['idx'] as bigint) as chunk_idx,
+           cast(ch['txt'] as varchar) as txt
+    from (
+        select doc_id,
+               unnest(list_transform(range(1, len(starts) + 1),
+                      i -> {{'idx': i - 1,
+                            'txt': array_to_string(
+                                words[starts[i]:starts[i]+39], ' ')}})) as ch
+        from s
+    )
+), pos as (
+    select a.doc_id, a.chunk_idx, a.txt as anchor, b.txt as positive
+    from chunks a
+    join chunks b on b.doc_id = a.doc_id and b.chunk_idx = a.chunk_idx + 1
+), nb as (
+    select greatest(1, count(distinct doc_id) // 2) as m from pos
+), lb as (
+    select p.*, ({_CTR_B}) % nb.m as b from pos p, nb
+), neg as (
+    select l.doc_id, l.chunk_idx, min(r.doc_id) as nd
+    from lb l
+    join lb r on r.b = l.b and r.chunk_idx = l.chunk_idx
+             and r.doc_id <> l.doc_id
+    group by 1, 2
+)
+select l.doc_id, l.chunk_idx, l.anchor, l.positive, c2.txt as negative
+from lb l
+left join neg n on n.doc_id = l.doc_id and n.chunk_idx = l.chunk_idx
+left join chunks c2 on c2.doc_id = n.nd and c2.chunk_idx = l.chunk_idx
+"""

@@ -817,3 +817,40 @@ def test_detect_script_tie_prefers_fixed_order(spark):
 
     df = spark.createDataFrame([(1, "abcабв")], ["doc_id", "text"])  # 3 vs 3
     assert detect_script(df).collect()[0]["script"] == "latin"
+
+
+# ---------------- contrastive_pairs ----------------
+
+def test_contrastive_pairs_structure(spark):
+    from dbt_core_spark.operators.textstats import (
+        chunk_documents, contrastive_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(250))) for i in range(6)],
+        ["doc_id", "text"])
+    chunks = chunk_documents(docs, chunk_words=100, overlap=0)
+    out = contrastive_pairs(chunks).collect()
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out}
+    # every non-final chunk is an anchor exactly once
+    assert set(rows) == {(d, i) for d in range(6) for i in (0, 1)}
+    for (d, i), r in rows.items():
+        assert r["anchor"].startswith(f"d{d}w{i * 100} ")
+        assert r["positive"].startswith(f"d{d}w{(i + 1) * 100} ")
+        if r["negative"] is not None:
+            nd = int(r["negative"].split("w")[0][1:])
+            assert nd != d
+            # negative is a SAME-INDEX chunk of another doc
+            assert r["negative"].split(" ")[0].endswith(f"w{i * 100}")
+
+
+def test_contrastive_pairs_deterministic(spark):
+    from dbt_core_spark.operators.textstats import (
+        chunk_documents, contrastive_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"x{i}_{j}" for j in range(150))) for i in range(8)],
+        ["doc_id", "text"])
+    chunks = chunk_documents(docs, chunk_words=60, overlap=0)
+    a = sorted(map(tuple, contrastive_pairs(chunks).collect()))
+    b = sorted(map(tuple, contrastive_pairs(chunks).collect()))
+    assert a == b and len(a) > 0
