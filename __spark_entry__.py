@@ -2612,7 +2612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs_docs": contrastive_pairs_docs,
         "dup_span_docs": dup_span_docs,
         "dsir_score_docs": dsir_score_docs,
-        "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         # -- r1-stale (green r1 only; two rounds unverified) --
         "percentiles_by_group": percentiles_by_group,
         "q22_global_avg_filter": q22_global_avg_filter,
@@ -2642,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
         "hash_embed_docs": hash_embed_docs,
+        "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
