@@ -564,3 +564,31 @@ def test_ivfpq_plan_broadcasts_and_never_reshuffles_vectors(spark):
                        n_cells=4, n_probe=2, m=2, ks=4, dim=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # LUT side broadcast
+
+
+def test_ivfpq_finds_planted_near_duplicates(spark):
+    """Recall on structure that matters: for each query vector a planted
+    near-copy exists; IVFPQ must surface it in the top-3 for most
+    queries.  (On ISOTROPIC random vectors approximate-distance ranking
+    is statistically noise — distances concentrate — so raw-gaussian
+    recall floors are not a meaningful quality bar for ANY quantizing
+    index; planted-neighbor recovery is.)"""
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import ivfpq_search
+
+    rng = np.random.RandomState(31)
+    base = rng.randn(60, 16).astype("float32") * 3
+    rows = []
+    for i in range(60):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append((1000 + i,
+                     [float(x) for x in base[i] + rng.randn(16) * 0.05]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 60")
+    got = {}
+    for r in ivfpq_search(df, queries, k=3, n_cells=8, n_probe=4,
+                          m=4, ks=16, dim=16).collect():
+        got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    hits = sum(1 for q in range(60) if 1000 + q in got.get(q, set()))
+    assert hits / 60 > 0.6  # majority of planted copies recovered
