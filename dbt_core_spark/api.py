@@ -376,6 +376,25 @@ class Engine:
             raise KeyError(f"model '{model_name}' not built")
         return self.spark.table(target.relation_name)
 
+    def optimize(self, model_name: str, target_file_mb: int = 128,
+                 zorder_by: Optional[list] = None) -> dict:
+        """Lake-maintenance verb (the OPTIMIZE [ZORDER BY] analog dbt
+        itself lacks): compact a built table model's small files to
+        ~``target_file_mb`` outputs, optionally Z-order-clustering on
+        two columns for parquet data skipping — atomic tmp+rename swap
+        (operators/relations.py:compact_table).  Returns the
+        files/bytes/rows report."""
+        from dbt_core_spark.operators.relations import compact_table
+
+        target = self.manifest.resolve_ref(model_name)
+        if target is None or target.relation_name is None:
+            raise KeyError(f"model '{model_name}' not built")
+        if target.config.get("materialized", "view") == "view":
+            raise ValueError(f"'{model_name}' is a view — nothing to compact")
+        return compact_table(self.spark, target.relation_name,
+                             target_file_mb=target_file_mb,
+                             zorder_by=zorder_by)
+
     def ls(self, select: Optional[str] = None,
            resource_type: Optional[str] = None,
            selector: Optional[str] = None,

@@ -44,3 +44,29 @@ def test_compact_with_zorder_clusters_files(spark, schema):
     )
     if len(stats) > 1:  # tiny tables may compact to one file
         assert min(r["spread"] for r in stats) < 49  # not all full-range
+
+
+def test_engine_optimize_verb(spark, schema, sf_dir):
+    """eng.optimize(model) compacts a built table model in place."""
+    import pytest as _pytest
+
+    from dbt_core_spark import Engine, ProjectDef
+
+    p = ProjectDef(name="opt")
+    p.add_source("tpch", "orders", f"{sf_dir}/orders.parquet")
+    p.models["wide_orders"] = """
+        {{ config(materialized='table') }}
+        select o_orderkey, o_custkey, o_totalprice
+        from {{ source('tpch','orders') }}
+        distribute by o_orderkey % 24
+    """
+    p.models["v"] = "select 1 as one"
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    before = eng.table("wide_orders").orderBy("o_orderkey").collect()
+    rpt = eng.optimize("wide_orders", target_file_mb=256)
+    assert rpt["rows"] == len(before)
+    assert len(eng.table("wide_orders").inputFiles()) <= rpt["target_files"]
+    assert eng.table("wide_orders").orderBy("o_orderkey").collect() == before
+    with _pytest.raises(ValueError):
+        eng.optimize("v")  # views have nothing to compact
