@@ -205,6 +205,13 @@ class SparkbtRunner:
             if verb == "run-operation":
                 args = json.loads(flags.get("args", "{}"))
                 return RunnerResult(True, eng.run_operation(rest[0], args))
+            if verb == "optimize":
+                zo = flags.get("zorder-by")
+                return RunnerResult(True, eng.optimize(
+                    rest[0],
+                    target_file_mb=int(flags.get("target-file-mb", 128)),
+                    zorder_by=zo.split(",") if zo else None,
+                ))
             if verb == "source" and rest[:1] == ["freshness"]:
                 out = eng.source_freshness()
                 ok = all(r.status != "error" for r in out.values())

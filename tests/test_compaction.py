@@ -70,3 +70,20 @@ def test_engine_optimize_verb(spark, schema, sf_dir):
     assert eng.table("wide_orders").orderBy("o_orderkey").collect() == before
     with _pytest.raises(ValueError):
         eng.optimize("v")  # views have nothing to compact
+
+
+def test_cli_optimize_verb(spark, schema, sf_dir):
+    from dbt_core_spark.run.cli import SparkbtRunner
+
+    from dbt_core_spark import Engine, ProjectDef
+
+    p = ProjectDef(name="opt2")
+    p.add_source("tpch", "orders", f"{sf_dir}/orders.parquet")
+    p.models["t"] = ("{{ config(materialized='table') }} "
+                     "select * from {{ source('tpch','orders') }} "
+                     "distribute by o_orderkey % 16")
+    eng = Engine(spark, p, schema=schema)
+    assert eng.run().ok()
+    res = SparkbtRunner(engine=eng).invoke(
+        ["optimize", "t", "--target-file-mb", "256"])
+    assert res.success and res.result["rows"] > 0
