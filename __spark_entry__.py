@@ -2549,6 +2549,16 @@ def contrastive_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(chunks)
 
 
+def journey_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 event trigram paths across user journeys — path mining as
+    one lead window + wordcount shuffle over path strings
+    (operators/sequence.py:journey_paths)."""
+    from dbt_core_spark.operators.sequence import journey_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return journey_paths(ev, n=3, top_n=50, tiebreak_col="event_id")
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2610,8 +2620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions_events": event_transitions_events,
         "cms_merge_halves": cms_merge_halves,
         "contrastive_pairs_docs": contrastive_pairs_docs,
+        "journey_paths_events": journey_paths_events,
         "dup_span_docs": dup_span_docs,
-        "dsir_score_docs": dsir_score_docs,
         # -- r1-stale (green r1 only; two rounds unverified) --
         "percentiles_by_group": percentiles_by_group,
         "q22_global_avg_filter": q22_global_avg_filter,
@@ -2642,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
         "hash_embed_docs": hash_embed_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
+        "dsir_score_docs": dsir_score_docs,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,

@@ -229,3 +229,43 @@ def event_transitions(
         F.floor(F.col("n") * F.lit(1_000_000) / F.col("_tot"))
         .cast("bigint").alias("share_e6"),
     )
+
+
+def journey_paths(
+    df: DataFrame,
+    n: int = 3,
+    top_n: int = 50,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top event-type n-gram paths across user journeys — the
+    path-mining generalization of ``event_transitions`` (n=2): counts
+    every length-``n`` run of consecutive events per user and ranks the
+    most common paths.
+
+    One user-keyed window produces the n−1 lead columns; counts are a
+    wordcount-shaped shuffle over path strings; the ranking window sees
+    only the path vocabulary.  Returns (path, npath, rank) with ``path``
+    as '>'-joined event types."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), tb.asc())
+    cols = [F.col(type_col).alias("_e0")] + [
+        F.lead(type_col, i).over(w).alias(f"_e{i}") for i in range(1, n)
+    ]
+    runs = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(user_col), *cols)
+        .filter(F.col(f"_e{n - 1}").isNotNull())
+    )
+    counted = runs.groupBy(
+        F.concat_ws(">", *[F.col(f"_e{i}") for i in range(n)]).alias("path")
+    ).agg(F.count("*").cast("bigint").alias("npath"))
+    rw = Window.orderBy(F.col("npath").desc(), F.col("path").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= top_n)
+    )

@@ -1905,3 +1905,14 @@ def ivfpq_search(
         "dist_e6",
         F.row_number().over(w).cast("int").alias("rank"),
     ).filter(F.col("rank") <= k)
+
+
+def gram_merge(*grams: DataFrame) -> DataFrame:
+    """Merge ``gram_matrix`` partials from corpus shards: the fixed-point
+    cell sums add exactly (the CMS-style rollup property) — compute
+    per-shard/per-day Gram tables, merge, then run PCA once on the
+    combined d×d result."""
+    out = grams[0]
+    for g in grams[1:]:
+        out = out.unionByName(g)
+    return out.groupBy("i", "j").agg(F.sum("gram_e8").alias("gram_e8"))

@@ -2962,3 +2962,25 @@ from lb l
 left join neg n on n.doc_id = l.doc_id and n.chunk_idx = l.chunk_idx
 left join chunks c2 on c2.doc_id = n.nd and c2.chunk_idx = l.chunk_idx
 """
+
+# Journey trigram paths (mirror of sequence.journey_paths n=3:
+# two leads over (user, ts, event_id), '>'-joined, top-50 by
+# (count desc, path)).
+ORACLES["journey_paths_events"] = """
+with runs as (
+  select event_type as e0,
+         lead(event_type, 1) over w as e1,
+         lead(event_type, 2) over w as e2
+  from events where ts is not null
+  window w as (partition by user_id order by ts, event_id)
+), paths as (
+  select e0 || '>' || e1 || '>' || e2 as path,
+         cast(count(*) as bigint) as npath
+  from runs where e2 is not null
+  group by 1
+)
+select path, npath,
+       cast(row_number() over (order by npath desc, path) as int) as rank
+from paths
+qualify rank <= 50
+"""

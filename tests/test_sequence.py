@@ -189,3 +189,36 @@ def test_event_transitions_tiebreak_determinism(spark):
     got = {(r["cur"], r["nxt"]) for r in
            event_transitions(df, tiebreak_col="event_id").collect()}
     assert got == {("a", "b")}  # event_id order breaks the tie
+
+
+# ---------------- journey_paths ----------------
+
+def test_journey_paths_trigrams(spark):
+    from dbt_core_spark.operators.sequence import journey_paths
+
+    rows = [
+        (1, 1, _t(1), "a"), (2, 1, _t(2), "b"), (3, 1, _t(3), "c"),
+        (4, 1, _t(4), "a"), (5, 1, _t(5), "b"), (6, 1, _t(6), "c"),
+        (7, 2, _t(1), "a"), (8, 2, _t(2), "b"), (9, 2, _t(3), "c"),
+    ]
+    df = _ev(spark, rows)
+    got = {r["path"]: (r["npath"], r["rank"]) for r in
+           journey_paths(df, n=3, tiebreak_col="event_id").collect()}
+    # user1: abc, bca, cab, abc ; user2: abc -> abc x3
+    assert got["a>b>c"] == (3, 1)
+    assert got["b>c>a"] == (1, 2)
+    assert got["c>a>b"] == (1, 3)
+    assert len(got) == 3  # no cross-user runs
+
+
+def test_journey_paths_bigram_equals_transitions(spark):
+    from dbt_core_spark.operators.sequence import (
+        event_transitions, journey_paths)
+
+    rows = [(i, i % 3, _t(i), "xyz"[i % 3]) for i in range(30)]
+    df = _ev(spark, rows)
+    jp = {tuple(r["path"].split(">")): r["npath"] for r in
+          journey_paths(df, n=2, top_n=100, tiebreak_col="event_id").collect()}
+    tr = {(r["cur"], r["nxt"]): r["n"] for r in
+          event_transitions(df, tiebreak_col="event_id").collect()}
+    assert jp == tr

@@ -592,3 +592,20 @@ def test_ivfpq_finds_planted_near_duplicates(spark):
         got.setdefault(r["query_id"], set()).add(r["nbr_id"])
     hits = sum(1 for q in range(60) if 1000 + q in got.get(q, set()))
     assert hits / 60 > 0.6  # majority of planted copies recovered
+
+
+def test_gram_merge_equals_whole(spark):
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import gram_matrix, gram_merge
+
+    rng = np.random.RandomState(17)
+    X = rng.randn(40, 4).astype("float32")
+    rows = [(i, [float(x) for x in X[i]]) for i in range(40)]
+    whole = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = whole.filter("vec_id < 20")
+    b = whole.filter("vec_id >= 20")
+    merged = sorted(map(tuple, gram_merge(
+        gram_matrix(a, dim=4), gram_matrix(b, dim=4)).collect()))
+    direct = sorted(map(tuple, gram_matrix(whole, dim=4).collect()))
+    assert merged == direct  # bit-identical shard rollup
