@@ -2559,6 +2559,16 @@ def journey_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return journey_paths(ev, n=3, top_n=50, tiebreak_col="event_id")
 
 
+def lexical_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals: TTR, hapax fraction, unigram
+    entropy — e6 integer ratios + per-type micro-nat entropy terms
+    (operators/textstats.py:lexical_stats)."""
+    from dbt_core_spark.operators.textstats import lexical_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return lexical_stats(docs, "text", "doc_id")
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2621,7 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_merge_halves": cms_merge_halves,
         "contrastive_pairs_docs": contrastive_pairs_docs,
         "journey_paths_events": journey_paths_events,
-        "dup_span_docs": dup_span_docs,
+        "lexical_stats_docs": lexical_stats_docs,
         # -- r1-stale (green r1 only; two rounds unverified) --
         "percentiles_by_group": percentiles_by_group,
         "q22_global_avg_filter": q22_global_avg_filter,
@@ -2653,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed_docs": hash_embed_docs,
         "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
         "dsir_score_docs": dsir_score_docs,
+        "dup_span_docs": dup_span_docs,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,

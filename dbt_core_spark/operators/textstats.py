@@ -970,3 +970,59 @@ def contrastive_pairs(
             F.col("_neg").alias("negative"),
         )
     )
+
+
+def lexical_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical-diversity quality signals per document: type count,
+    type-token ratio, hapax-legomena fraction, and unigram entropy —
+    low diversity flags templated/boilerplate text, implausibly high
+    entropy flags gibberish (the complement of the Gopher repetition
+    filters).
+
+    Integer discipline: TTR and hapax are e6 fixed-point integer
+    ratios; entropy is computed from per-TYPE micro-nat floors of
+    ln(c/n) — sum_w c·floor(ln(c_w/n)·10⁶) is exact bigint, and the
+    final entropy_micro = −sum/n is one floored division.  Two
+    wordcount-shaped shuffles ((doc, word) then doc); nothing scales
+    beyond the doc-word table."""
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col),
+                F.explode(normalized_words(F.col(text_col))).alias("w"))
+    )
+    wc = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    totals = wc.groupBy(id_col).agg(F.sum("c").alias("_n"))
+    lp = (
+        wc.join(totals, id_col)
+        .withColumn(
+            "_lp",
+            F.floor(F.log(F.col("c").cast("double") / F.col("_n"))
+                    * F.lit(1_000_000)).cast("bigint"),
+        )
+    )
+    return (
+        lp.groupBy(id_col)
+        .agg(
+            F.max("_n").alias("n_words"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_hapax"),
+            F.sum(F.col("c") * F.col("_lp")).alias("_slp"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_words").cast("bigint").alias("n_words"),
+            "n_types",
+            "n_hapax",
+            F.floor(F.col("n_types") * F.lit(1_000_000) / F.col("n_words"))
+            .cast("bigint").alias("ttr_e6"),
+            F.floor(F.col("n_hapax") * F.lit(1_000_000) / F.col("n_types"))
+            .cast("bigint").alias("hapax_e6"),
+            F.floor(-F.col("_slp") / F.col("n_words"))
+            .cast("bigint").alias("entropy_micro"),
+        )
+    )

@@ -2984,3 +2984,35 @@ select path, npath,
 from paths
 qualify rank <= 50
 """
+
+# Lexical diversity (mirror of textstats.lexical_stats: e6 integer
+# ratios; entropy from per-type micro-nat floors of ln(c/n)).
+ORACLES["lexical_stats_docs"] = f"""
+with w as (
+  select doc_id, unnest({_WORDS}) as word
+  from documents where text is not null
+), wc as (
+  select doc_id, word, cast(count(*) as bigint) as c from w group by 1, 2
+), tot as (
+  select doc_id, sum(c) as n from wc group by 1
+), lp as (
+  select wc.doc_id, wc.c,
+         cast(floor(ln(wc.c * 1.0 / tot.n) * 1000000) as bigint) as lp
+  from wc join tot using (doc_id)
+), agg as (
+  select l.doc_id,
+         max(t.n) as n_words,
+         cast(count(*) as bigint) as n_types,
+         cast(sum(case when l.c = 1 then 1 else 0 end) as bigint) as n_hapax,
+         sum(l.c * l.lp) as slp
+  from lp l join tot t using (doc_id)
+  group by 1
+)
+select doc_id,
+       cast(n_words as bigint) as n_words,
+       n_types, n_hapax,
+       cast(floor(n_types * 1000000 / n_words) as bigint) as ttr_e6,
+       cast(floor(n_hapax * 1000000 / n_types) as bigint) as hapax_e6,
+       cast(floor(-slp * 1.0 / n_words) as bigint) as entropy_micro
+from agg
+"""

@@ -854,3 +854,24 @@ def test_contrastive_pairs_deterministic(spark):
     a = sorted(map(tuple, contrastive_pairs(chunks).collect()))
     b = sorted(map(tuple, contrastive_pairs(chunks).collect()))
     assert a == b and len(a) > 0
+
+
+# ---------------- lexical_stats ----------------
+
+def test_lexical_stats_hand_computed(spark):
+    import math as _m
+
+    from dbt_core_spark.operators.textstats import lexical_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in lexical_stats(df).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_types"], r1["n_hapax"]) == (4, 2, 1)
+    assert r1["ttr_e6"] == 500000 and r1["hapax_e6"] == 500000
+    slp = 3 * _m.floor(_m.log(3 / 4) * 1e6) + 1 * _m.floor(_m.log(1 / 4) * 1e6)
+    assert r1["entropy_micro"] == _m.floor(-slp / 4)
+    r2 = got[2]
+    assert r2["ttr_e6"] == 1000000 and r2["hapax_e6"] == 1000000
+    # uniform dist over 3 types: H = ln 3
+    assert abs(r2["entropy_micro"] / 1e6 - _m.log(3)) < 1e-5
