@@ -134,6 +134,11 @@ def rebuild_table(
     writer.saveAsTable(tmp)
     drop_relation(spark, rel)
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {rel}")
+    if partition_by:
+        # RENAME moves the table directory but the metastore's
+        # per-partition locations still point at the tmp paths —
+        # rediscover them from the moved directory layout
+        spark.sql(f"ALTER TABLE {rel} RECOVER PARTITIONS")
 
 
 def create_view(spark: SparkSession, rel: str, sql: str) -> None:
@@ -180,6 +185,10 @@ def compact_table(
         pass
     target = max(1, -(-n_bytes // (target_file_mb << 20)))  # ceil
 
+    # preserve hive-partition layout: compaction rewrites files WITHIN
+    # the partition scheme, it must never flatten it
+    part_cols = [c.name for c in spark.catalog.listColumns(rel)
+                 if c.isPartition]
     df = spark.table(rel)
     if zorder_by:
         from dbt_core_spark.operators.layout import zorder_repartition
@@ -189,7 +198,8 @@ def compact_table(
     else:
         df = df.coalesce(target)
     n_rows = df.count()
-    rebuild_table(spark, rel, df, file_format=fmt)
+    rebuild_table(spark, rel, df, partition_by=part_cols or None,
+                  file_format=fmt)
     return {
         "files_before": n_files,
         "bytes_before": n_bytes,

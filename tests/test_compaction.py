@@ -87,3 +87,23 @@ def test_cli_optimize_verb(spark, schema, sf_dir):
     res = SparkbtRunner(engine=eng).invoke(
         ["optimize", "t", "--target-file-mb", "256"])
     assert res.success and res.result["rows"] > 0
+
+
+def test_compact_preserves_partition_layout(spark, schema):
+    """Compacting a hive-partitioned table must keep the partition
+    scheme (the pruning lever), only merging files WITHIN partitions."""
+    rel = f"{schema}.part_frag"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema.split('.')[0]}")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("day"))
+    df.repartition(16).write.partitionBy("day").saveAsTable(rel)
+    before = spark.table(rel).orderBy("id").collect()
+    compact_table(spark, rel, target_file_mb=128)
+    after_cols = {c.name for c in spark.catalog.listColumns(rel)
+                  if c.isPartition}
+    assert after_cols == {"day"}  # layout survived
+    assert spark.table(rel).orderBy("id").collect() == before
+    # partition pruning still works on the compacted table
+    plan = spark.table(rel).filter("day = '2'") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
