@@ -1499,6 +1499,8 @@ def pq_codebook(
     dim: int = 64,
     m: int = 4,
     ks: int = 16,
+    kmeans_iters: int = 0,
+    sample_rows: int = 4096,
 ) -> DataFrame:
     """Deterministic sampled PQ codebook: the ``ks`` lowest-id vectors
     seed the codes (the same sampling-as-training convention as
@@ -1507,20 +1509,55 @@ def pq_codebook(
     (sub, code, cvec): m·ks tiny rows, always broadcast downstream.
 
     ``dim`` must be divisible by ``m``; subspace s covers elements
-    [s·dim/m, (s+1)·dim/m)."""
+    [s·dim/m, (s+1)·dim/m).
+
+    ``kmeans_iters > 0`` Lloyd-refines each subspace's codebook on a
+    bounded driver-side sample (``sample_rows`` lowest-id vectors — the
+    ivf/MLlib tiny-state precedent): init = the seed subvectors,
+    assignment by L2 argmin (ties → lower code), empty clusters keep
+    their previous centroid.  Deterministic; the refined table keeps
+    the identical (sub, code, cvec) contract, and PQ encode/search
+    downstream are unchanged.  The exact-oracle gate pins
+    kmeans_iters=0; refinement is reference-equality pytest-verified
+    (the ivf_topk precedent)."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sd = dim // m
-    seeds = df.orderBy(id_col).limit(ks).select(
-        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
-        F.col(vec_col).alias("_v"),
+    if kmeans_iters <= 0:
+        seeds = df.orderBy(id_col).limit(ks).select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
+            F.col(vec_col).alias("_v"),
+        )
+        return seeds.select(
+            "code",
+            F.posexplode(
+                F.array(*[F.slice("_v", s * sd + 1, sd) for s in range(m)])
+            ).alias("sub", "cvec"),
+        ).select("sub", "code", "cvec")
+
+    import numpy as np
+
+    rows = (
+        df.orderBy(id_col).limit(sample_rows)
+        .select(vec_col).collect()
     )
-    return seeds.select(
-        "code",
-        F.posexplode(
-            F.array(*[F.slice("_v", s * sd + 1, sd) for s in range(m)])
-        ).alias("sub", "cvec"),
-    ).select("sub", "code", "cvec")
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    out = []
+    for s in range(m):
+        S = X[:, s * sd:(s + 1) * sd]
+        C = S[:ks].copy()
+        for _ in range(kmeans_iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # ties -> lower code
+            for j in range(min(ks, len(C))):
+                mask = assign == j
+                if mask.any():
+                    C[j] = S[mask].mean(axis=0)
+        for j in range(len(C)):
+            out.append((s, j, [float(x) for x in C[j]]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "sub int, code int, cvec array<double>")
 
 
 def pq_encode(

@@ -609,3 +609,58 @@ def test_gram_merge_equals_whole(spark):
         gram_matrix(a, dim=4), gram_matrix(b, dim=4)).collect()))
     direct = sorted(map(tuple, gram_matrix(whole, dim=4).collect()))
     assert merged == direct  # bit-identical shard rollup
+
+
+def test_pq_codebook_lloyd_reduces_distortion(spark):
+    """Trained codebooks must quantize no worse than seed sampling, and
+    encode/search contracts stay intact."""
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import pq_codebook, pq_encode
+
+    rng = np.random.RandomState(41)
+    # clustered data: seeds rarely coincide with true centers
+    centers = rng.randn(6, 8) * 5
+    X = np.vstack([c + rng.randn(30, 8) * 0.3 for c in centers]) \
+        .astype("float32")
+    order = rng.permutation(len(X))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[order[i]]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>")
+
+    def distortion(cb_df):
+        cb = {}
+        for r in cb_df.collect():
+            cb.setdefault(r["sub"], {})[r["code"]] = np.array(r["cvec"])
+        total = 0.0
+        for v in X.astype(np.float64):
+            for s in range(2):
+                sub = v[s * 4:(s + 1) * 4]
+                total += min(((sub - c) ** 2).sum()
+                             for c in cb[s].values())
+        return total
+
+    seeded = pq_codebook(df, dim=8, m=2, ks=6)
+    trained = pq_codebook(df, dim=8, m=2, ks=6, kmeans_iters=8)
+    assert distortion(trained) < distortion(seeded) * 0.8
+    # contract intact: encode against the trained book still works
+    enc = pq_encode(df, trained, dim=8, m=2)
+    assert enc.count() == len(X) * 2
+    assert enc.select("code").distinct().count() <= 6
+
+
+def test_pq_codebook_lloyd_deterministic(spark):
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import pq_codebook
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(50, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    a = sorted(map(str, pq_codebook(df, dim=8, m=2, ks=4,
+                                    kmeans_iters=5).collect()))
+    b = sorted(map(str, pq_codebook(df, dim=8, m=2, ks=4,
+                                    kmeans_iters=5).collect()))
+    assert a == b
