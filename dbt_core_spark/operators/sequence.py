@@ -269,3 +269,46 @@ def journey_paths(
         counted.withColumn("rank", F.row_number().over(rw).cast("int"))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Batch gap sessionization (islands-and-gaps): a new session starts
+    whenever the inactivity gap exceeds ``gap_seconds`` — the batch
+    twin of ``streaming/stateful.sessionize_stream`` and the library
+    form of the engine's sessionize gate query.
+
+    Two windows over ONE (user, ts) sort order — the new-session flag
+    (lag) and its running sum share the same shuffle/sort, so the plan
+    carries a single user-keyed exchange; the final per-session rollup
+    is a second, smaller aggregation.  Returns (user, session_id,
+    n_events, session_start, session_end)."""
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), tb.asc())
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.col(ts_col).cast("timestamp").cast("double")
+            - prev.cast("timestamp").cast("double")) > gap_seconds),
+        1,
+    ).otherwise(0)
+    sess = (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("bigint"),
+        )
+    )
+    return sess.groupBy(user_col, "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )

@@ -222,3 +222,65 @@ def test_journey_paths_bigram_equals_transitions(spark):
     tr = {(r["cur"], r["nxt"]): r["n"] for r in
           event_transitions(df, tiebreak_col="event_id").collect()}
     assert jp == tr
+
+
+# ---------------- sessionize (batch) ----------------
+
+def test_sessionize_islands_and_gaps(spark):
+    from dbt_core_spark.operators.sequence import sessionize
+
+    rows = [
+        (1, 1, _t(0), "a"), (2, 1, _t(10), "a"),      # session 1
+        (3, 1, dt.datetime(2024, 1, 1, 2, 0, 0), "a"),  # gap > 30min -> s2
+        (4, 2, _t(5), "a"),                            # other user
+    ]
+    df = _ev(spark, rows)
+    got = {(r["user_id"], r["session_id"]): (r["n_events"],
+                                             r["session_start"].second)
+           for r in sessionize(df, gap_seconds=1800,
+                               tiebreak_col="event_id").collect()}
+    assert got == {(1, 1): (2, 0), (1, 2): (1, 0), (2, 1): (1, 5)}
+
+
+def test_sessionize_matches_gate_query_sql(spark):
+    """The operator must reproduce the engine gate query's SQL islands
+    logic exactly on shared data."""
+    from dbt_core_spark.operators.sequence import sessionize
+
+    rows = [(i, i % 5, _t(0) + dt.timedelta(minutes=7 * i), "x")
+            for i in range(60)]
+    df = _ev(spark, rows)
+    df.createOrReplaceTempView("ev_sess_parity")
+    sql = spark.sql("""
+        with gaps as (
+            select user_id, ts, event_id,
+                   case when lag(ts) over w is null
+                          or (cast(ts as double) - cast(lag(ts) over w as double)) > 1800
+                        then 1 else 0 end as is_new
+            from ev_sess_parity
+            window w as (partition by user_id order by ts, event_id)
+        ), sess as (
+            select user_id, ts,
+                   sum(is_new) over (partition by user_id order by ts, event_id
+                                     rows between unbounded preceding and current row) as session_id
+            from gaps
+        )
+        select user_id, cast(session_id as bigint) as session_id,
+               cast(count(*) as bigint) as n_events
+        from sess group by 1, 2
+    """)
+    a = sorted(map(tuple, sql.collect()))
+    b = sorted(map(tuple, sessionize(df, tiebreak_col="event_id")
+                   .select("user_id", "session_id", "n_events").collect()))
+    assert a == b
+
+
+def test_sessionize_single_exchange_plan(spark):
+    from dbt_core_spark.operators.sequence import sessionize
+
+    df = _ev(spark, [(1, 1, _t(0), "a")])
+    plan = sessionize(df, tiebreak_col="event_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the two windows share one sort order; only the final rollup may
+    # add a second (tiny) exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
