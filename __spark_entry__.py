@@ -2569,6 +2569,16 @@ def lexical_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_stats(docs, "text", "doc_id")
 
 
+def interarrival_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap stats in exact microsecond integers
+    (mean/min/max + raw Σ, Σ² for burstiness) — one lag window + one
+    rollup (operators/sequence.py:interarrival_stats)."""
+    from dbt_core_spark.operators.sequence import interarrival_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_stats(ev, tiebreak_col="event_id")
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2691,6 +2701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_docs": chunk_documents_docs,
         "assign_splits_docs": assign_splits_docs,
         # ---------------- past the 50-query gate cap ----------------
+        # (newest past-cap rows lead r5's window)
+        "interarrival_stats_events": interarrival_stats_events,
         "simhash_docs": simhash_docs,
         "text_quality_docs": text_quality_docs,
         "language_id_docs": language_id_docs,

@@ -312,3 +312,43 @@ def sessionize(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-user inter-event gap statistics in EXACT microsecond
+    integers: gap count, floored mean, min/max, and the raw (Σgap,
+    Σgap²) sums burstiness/variance derive from — no float crosses a
+    row boundary (the count_anomalies discipline), so any engine
+    reproduces every cell.
+
+    One lag window on the (user, ts) sort + one per-user rollup —
+    a single user-keyed exchange.  Σgap² is DECIMAL(38,0): a 30-day
+    gap is ~2.6e12 µs, squared ~6.7e24 — past bigint, fine in
+    128-bit.  Returns (user, n_gaps, mean_gap_us, min_gap_us,
+    max_gap_us, sum_gap_us, sum_gap_sq)."""
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), tb.asc())
+    gap = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
+    )
+    gaps = (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("_gap", gap)
+        .filter(F.col("_gap").isNotNull())
+    )
+    d = F.col("_gap").cast("decimal(38,0)")
+    return gaps.groupBy(user_col).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.floor(F.sum("_gap") / F.count("*")).cast("bigint")
+        .alias("mean_gap_us"),
+        F.min("_gap").cast("bigint").alias("min_gap_us"),
+        F.max("_gap").cast("bigint").alias("max_gap_us"),
+        F.sum("_gap").cast("bigint").alias("sum_gap_us"),
+        F.sum(d * d).cast("decimal(38,0)").cast("string").alias("sum_gap_sq"),
+    )

@@ -3016,3 +3016,24 @@ select doc_id,
        cast(floor(-slp * 1.0 / n_words) as bigint) as entropy_micro
 from agg
 """
+
+# Inter-arrival stats (mirror of sequence.interarrival_stats: exact
+# microsecond gaps from a lag window; sum of squares in 128-bit,
+# emitted as a decimal string on both engines).
+ORACLES["interarrival_stats_events"] = """
+with g as (
+  select user_id,
+         epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id
+                                               order by ts, event_id)) as gap
+  from events where ts is not null
+)
+select user_id,
+       cast(count(*) as bigint) as n_gaps,
+       cast(floor(sum(gap) * 1.0 / count(*)) as bigint) as mean_gap_us,
+       cast(min(gap) as bigint) as min_gap_us,
+       cast(max(gap) as bigint) as max_gap_us,
+       cast(sum(gap) as bigint) as sum_gap_us,
+       cast(sum(cast(gap as hugeint) * gap) as varchar) as sum_gap_sq
+from g where gap is not null
+group by 1
+"""

@@ -284,3 +284,24 @@ def test_sessionize_single_exchange_plan(spark):
     # the two windows share one sort order; only the final rollup may
     # add a second (tiny) exchange
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+# ---------------- interarrival_stats ----------------
+
+def test_interarrival_stats_exact(spark):
+    from dbt_core_spark.operators.sequence import interarrival_stats
+
+    rows = [
+        (1, 1, _t(0), "a"), (2, 1, _t(2), "a"), (3, 1, _t(5), "a"),
+        (4, 2, _t(9), "a"),  # single event: no gaps -> absent
+    ]
+    df = _ev(spark, rows)
+    got = {r["user_id"]: r for r in
+           interarrival_stats(df, tiebreak_col="event_id").collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r["n_gaps"] == 2
+    assert (r["min_gap_us"], r["max_gap_us"]) == (2_000_000, 3_000_000)
+    assert r["sum_gap_us"] == 5_000_000
+    assert r["mean_gap_us"] == 2_500_000
+    assert int(r["sum_gap_sq"]) == 2_000_000**2 + 3_000_000**2
