@@ -183,6 +183,18 @@ PICKS = {
         "Integer-exact anomalies — one events rollup, then window "
         "stats over the tiny (type, bucket) table; the z-test "
         "compares 128-bit integers, no floats anywhere."),
+    "journey_paths_events": (
+        "Journey path mining — n−1 leads share ONE user-keyed window "
+        "sort; path counts are a wordcount shuffle; the ranking "
+        "window sees only the path vocabulary."),
+    "lexical_stats_docs": (
+        "Lexical diversity — two wordcount-shaped shuffles ((doc, "
+        "word) then doc); entropy terms are per-type micro-nat "
+        "integers, partial-agg safe."),
+    "cohort_retention_events": (
+        "Cohort retention — distinct (user, period) rollup sealed "
+        "once; shuffles keyed on users and the tiny cohort×offset "
+        "grid, never raw events twice."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",
