@@ -1617,7 +1617,7 @@ with hist as (
                    cast(0.99 as double)]) as q
 )
 select h.event_type, q.q,
-       0.0 + (min(h.bin) + 1) * 1.953125 as quantile_est
+       (min(h.bin) + 1) * cast(1.953125 as double) as quantile_est
 from cum h cross join qs q
 where h.c >= ceil(q.q * h.total)
 group by 1, 2
@@ -2172,7 +2172,7 @@ with win as (
 )
 select w.window_id,
        count(*) as n_events,
-       sum(cast(round(e.value * 10000) as bigint)) as value_e4
+       cast(sum(cast(round(e.value * 10000) as bigint)) as bigint) as value_e4
 from events e
 join win w on e.ts >= w.wstart and e.ts <= w.wend
 group by 1
@@ -2354,7 +2354,7 @@ group by 1, 2
 ORACLES["funnel_events"] = """
 with base as (
   select distinct user_id from events
-  where event_type in ('view', 'click', 'purchase')
+  where event_type in ('view', 'click', 'purchase') and ts is not null
 ), s1 as (
   select user_id, min(ts) as t1 from events
   where event_type = 'view' group by 1

@@ -1,7 +1,13 @@
 """Driver-gate rehearsal: run every queries() entry on Spark AND its
 oracle_sql() on DuckDB over the same parquet, compare row-count, schema
-(column names), and exact sorted values — the same bar as
-CORRECTNESS_r{N}.json.
+(column names), exact sorted values, AND arrow-level type families — the
+same bar as CORRECTNESS_r{N}.json.
+
+The type-family leg exists because the driver's value hash is
+type-tagged: a DuckDB HUGEINT (sum of BIGINT uncast) hashes differently
+from Spark's int64 even at equal values, while a plain Python
+`int == int` compare passes.  That exact gap made range_join_events
+driver-red in r4 despite a green local rehearsal (VERDICT r4 §wrong #1).
 
 Usage: PYTHONPATH=/root/repo python3 scripts/validate_oracles.py [sf_dir] [query ...]
 """
@@ -48,20 +54,75 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+def arrow_family(t) -> str:
+    """Collapse a pyarrow type to the family the driver's type-tagged
+    hash distinguishes (int width, float width, decimal ≠ int)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_family(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct"
+    return str(t)
+
+
+def spark_family(dt: str) -> str:
+    """Collapse a Spark simpleString dtype to the same family space."""
+    m = {"bigint": "int64", "int": "int32", "smallint": "int16",
+         "tinyint": "int8", "double": "float64", "float": "float32",
+         "string": "str", "boolean": "bool", "date": "date",
+         "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+         "binary": "binary"}
+    if dt in m:
+        return m[dt]
+    if dt.startswith("array<") and dt.endswith(">"):
+        return f"list<{spark_family(dt[6:-1])}>"
+    if dt.startswith("decimal"):
+        return dt.replace(" ", "")
+    if dt.startswith("struct<"):
+        return "struct"
+    return dt
+
+
 def compare(name: str, spark, con, sf_dir: str, fn, sql: str) -> tuple[bool, str]:
     t0 = time.time()
     sdf = fn(spark, sf_dir)
     scols = list(sdf.columns)
+    stypes = dict(sdf.dtypes)
     srows = [tuple(r) for r in sdf.collect()]
     t_spark = time.time() - t0
     t0 = time.time()
-    res = con.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    tbl = con.execute(sql).fetch_arrow_table()
+    dcols = list(tbl.column_names)
+    dtypes = {f.name: f.type for f in tbl.schema}
+    drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
     t_duck = time.time() - t0
 
     if sorted(scols) != sorted(dcols):
         return False, f"SCHEMA spark={sorted(scols)} duck={sorted(dcols)}"
+    type_mism = [
+        (c, spark_family(stypes[c]), arrow_family(dtypes[c]))
+        for c in scols
+        if spark_family(stypes[c]) != arrow_family(dtypes[c])
+    ]
+    if type_mism:
+        return False, f"TYPES (spark vs duck-arrow) {type_mism}"
     if len(srows) != len(drows):
         return False, f"ROWCOUNT spark={len(srows)} duck={len(drows)}"
     ns, nd = normalize(srows, scols), normalize(drows, dcols)
