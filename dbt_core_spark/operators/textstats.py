@@ -911,9 +911,13 @@ def contrastive_pairs(
     ``neg_buckets`` groups (default ≈ corpus/2 so buckets average two
     docs) and pair each anchor with the bucket's other member via one
     bucket-keyed shuffle — never a cross join, never RAND().  Anchors
-    whose bucket has no second document yield NULL negatives (filter or
-    re-salt; at corpus scale the fraction vanishes).  Returns
-    (doc_id, chunk_idx, anchor, positive, negative)."""
+    whose bucket has no second document fall back to a SECOND salt
+    round: the two lowest-md5('{neg_salt}:r2:'‖doc) anchors at that
+    chunk index (two map-side-combinable MIN_BY aggregations, broadcast
+    back — one tiny row per distinct index, no skewed window), so every
+    anchor gets a deterministic negative whenever ≥2 documents have a
+    chunk at its index; NULL only when the index is corpus-unique.
+    Returns (doc_id, chunk_idx, anchor, positive, negative)."""
     nxt = chunks.select(
         F.col(doc_col), (F.col(idx_col) - 1).alias(idx_col),
         F.col(text_col).alias("_pos"),
@@ -962,13 +966,41 @@ def contrastive_pairs(
     w = Window.partitionBy(doc_col, idx_col).orderBy(
         F.col("_nd").asc_nulls_last()
     )
-    return (
+    round1 = (
         joined.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .select(
             F.col(doc_col), F.col(idx_col), "anchor", "positive",
-            F.col("_neg").alias("negative"),
+            F.col("_neg"),
         )
+    )
+    # salt round 2 for singleton buckets: per chunk index, the two
+    # lowest-md5 candidate docs (unique md5 keys → deterministic
+    # MIN_BY); one row per distinct index, broadcast back
+    key2 = F.md5(F.concat(F.lit(f"{neg_salt}:r2:"),
+                          F.col(doc_col).cast("string")))
+    cand = pos.select(
+        F.col(idx_col), F.col(doc_col).alias("_d"),
+        F.col("anchor").alias("_a"), key2.alias("_k2"),
+    )
+    c1 = cand.groupBy(idx_col).agg(
+        F.min_by("_d", "_k2").alias("_d1"),
+        F.min_by("_a", "_k2").alias("_a1"),
+    )
+    c2 = (
+        cand.join(F.broadcast(c1), idx_col)
+        .filter(F.col("_d") != F.col("_d1"))
+        .groupBy(idx_col)
+        .agg(F.min_by("_a", "_k2").alias("_a2"))
+    )
+    fb = F.broadcast(c1.join(c2, idx_col, "left"))
+    return round1.join(fb, idx_col, "left").select(
+        F.col(doc_col), F.col(idx_col), "anchor", "positive",
+        F.coalesce(
+            F.col("_neg"),
+            F.when(F.col("_d1") != F.col(doc_col), F.col("_a1"))
+             .otherwise(F.col("_a2")),
+        ).alias("negative"),
     )
 
 
@@ -994,7 +1026,9 @@ def lexical_stats(
         .select(F.col(id_col),
                 F.explode(normalized_words(F.col(text_col))).alias("w"))
     )
-    wc = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    wc = words.groupBy(id_col, "w").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=False)  # feeds totals AND the log-prob join
     totals = wc.groupBy(id_col).agg(F.sum("c").alias("_n"))
     lp = (
         wc.join(totals, id_col)

@@ -2379,6 +2379,27 @@ left join s2 on s2.user_id = b.user_id
 left join s3 on s3.user_id = b.user_id
 """
 
+# Streaming stateful funnel (mirror of streaming/stateful.funnel_stream
+# drained AvailableNow, first completion per user): greedy-earliest over
+# a ts-sorted stream makes the first completion equal the batch
+# nested-min form regardless of equal-ts processing order.
+ORACLES["funnel_stream_events"] = """
+with s1 as (
+  select user_id, min(ts) as t1 from events
+  where event_type = 'view' and ts is not null group by 1
+), s2 as (
+  select e.user_id, min(e.ts) as t2
+  from events e join s1 on s1.user_id = e.user_id
+  where e.event_type = 'click' and e.ts > s1.t1 group by 1
+), s3 as (
+  select e.user_id, min(e.ts) as t3
+  from events e join s2 on s2.user_id = e.user_id
+  where e.event_type = 'purchase' and e.ts > s2.t2 group by 1
+)
+select user_id, cast(epoch_us(t3) as bigint) as first_completed_us
+from s3
+"""
+
 # Sparse JL random projection (mirror of similarity.random_projection):
 # coefficient for (k, i) = +1/-1/0 as md5('jl:k:i') first-15-hex % 6 is
 # 0/1/other.  SQL i runs 1..64 <-> operator i runs 0..63, hence i-1.
@@ -2468,9 +2489,9 @@ with o as (
   from o
 ), s as (
   select o.o_orderkey,
-         cast(floor((o.o_custkey - mm.amin) * 256 / (mm.amax - mm.amin + 1))
+         cast((o.o_custkey - mm.amin) * 256 // (mm.amax - mm.amin + 1)
               as bigint) as sa,
-         cast(floor((o.odays - mm.bmin) * 256 / (mm.bmax - mm.bmin + 1))
+         cast((o.odays - mm.bmin) * 256 // (mm.bmax - mm.bmin + 1)
               as bigint) as sb
   from o, mm
 )
@@ -2956,11 +2977,29 @@ with w as (
     join lb r on r.b = l.b and r.chunk_idx = l.chunk_idx
              and r.doc_id <> l.doc_id
     group by 1, 2
+), r2 as (
+    select doc_id, chunk_idx, anchor,
+           md5('cneg:r2:' || cast(doc_id as varchar)) as kk
+    from pos
+), cand1 as (
+    select chunk_idx, arg_min(doc_id, kk) as d1, arg_min(anchor, kk) as a1
+    from r2 group by 1
+), cand2 as (
+    select r.chunk_idx, arg_min(r.anchor, r.kk) as a2
+    from r2 r join cand1 c on c.chunk_idx = r.chunk_idx
+                          and r.doc_id <> c.d1
+    group by 1
 )
-select l.doc_id, l.chunk_idx, l.anchor, l.positive, c2.txt as negative
+select l.doc_id, l.chunk_idx, l.anchor, l.positive,
+       coalesce(
+           cx.txt,
+           case when c1.d1 <> l.doc_id then c1.a1 else c2.a2 end
+       ) as negative
 from lb l
 left join neg n on n.doc_id = l.doc_id and n.chunk_idx = l.chunk_idx
-left join chunks c2 on c2.doc_id = n.nd and c2.chunk_idx = l.chunk_idx
+left join chunks cx on cx.doc_id = n.nd and cx.chunk_idx = l.chunk_idx
+left join cand1 c1 on c1.chunk_idx = l.chunk_idx
+left join cand2 c2 on c2.chunk_idx = l.chunk_idx
 """
 
 # Journey trigram paths (mirror of sequence.journey_paths n=3:

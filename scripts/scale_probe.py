@@ -1,0 +1,210 @@
+"""ANN-tier scale probe — SCALING.md generator (r4 verdict item 4).
+
+The 100 TB story for the ANN tier (IVF index, PQ/ADC, IVFADC) was
+design-argued in SHUFFLES.md but measured at a single scale.  This
+probe measures it across TWO DECADES: the sf0.1 embeddings corpus
+(2 000 × 64-d) replicated ×10 and ×100 with re-keyed ids, a FIXED
+40-query batch at every scale, and auto cell sizing
+(``n_cells = max(16, ceil(rows / max_cell_rows))``, the
+``_resolve_n_cells`` rule; ``max_cell_rows=1000`` here so the growth is
+visible at probe sizes — production uses the 100k default).
+
+What "the design survives 100×" must show:
+- corpus-pass wall time grows ~linearly with rows (build/encode are
+  one-pass + map-side aggregations);
+- query-side shuffle bytes stay ~FLAT with corpus growth (scoring
+  joins integer codes against broadcast LUTs — raw vectors never move
+  at query time);
+- n_cells grows with rows (cells-per-row bounded ⇒ per-cell work
+  bounded), asserted by tests/test_corpus_ops.py::test_resolve_n_cells.
+
+Caveat: ``exchange_stats`` walks the FINAL job's executed plan; the
+lineage-sealed corpus passes (localCheckpoint) run as separate jobs and
+are counted in wall time but not in the final plan's shuffle bytes —
+per-stage shuffle shapes are in SHUFFLES.md.
+
+Usage: PYTHONPATH=/root/repo python3 scripts/scale_probe.py
+Writes SCALING.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dbt_core_spark.audit import exchange_stats
+from dbt_core_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALES = (1, 10, 100)
+MAX_CELL_ROWS = 1_000
+KEY_STRIDE = 10_000_000
+
+
+def replicate(spark, factor: int) -> str:
+    """×factor copy of the base embeddings with disjoint re-keyed ids
+    (vector payloads reused: the probe measures cost, not recall)."""
+    path = f"/tmp/scale_probe_x{factor}"
+    if not os.path.exists(path):
+        base = spark.read.parquet(f"{BASE}/embeddings.parquet")
+        out = base
+        for i in range(1, factor):
+            out = out.unionByName(base.select(
+                (F.col("vec_id") + F.lit(i * KEY_STRIDE)).alias("vec_id"),
+                *[c for c in base.columns if c != "vec_id"],
+            ))
+        out.repartition(max(4, factor)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def fmt_bytes(n: int) -> str:
+    if n >= 1 << 20:
+        return f"{n / (1 << 20):.1f} MB"
+    if n >= 1 << 10:
+        return f"{n / (1 << 10):.1f} KB"
+    return f"{n} B"
+
+
+def run(fn):
+    t0 = time.time()
+    df = fn()
+    rows = len(df.collect())
+    wall = time.time() - t0
+    return rows, round(wall, 2), exchange_stats(df)
+
+
+def main() -> None:
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        ivfpq_search,
+        pq_codebook,
+        pq_encode,
+        pq_search,
+    )
+
+    spark = get_spark(
+        app_name="scale_probe",
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/scale_probe_wh"},
+    )
+    # fixed 40-query batch: base-corpus ids only, identical at all scales
+    queries = (
+        spark.read.parquet(f"{BASE}/embeddings.parquet")
+        .filter("vec_id % 50 = 0")
+    ).localCheckpoint(eager=True)
+    n_queries = queries.count()
+
+    results: dict[str, dict[int, tuple]] = {}
+    meta: dict[int, tuple[int, int]] = {}
+    for factor in SCALES:
+        corpus = spark.read.parquet(replicate(spark, factor))
+        corpus_rows = corpus.count()
+        n_cells = max(16, -(-corpus_rows // MAX_CELL_ROWS))
+        meta[factor] = (corpus_rows, n_cells)
+        print(f"== x{factor}: {corpus_rows} rows, n_cells={n_cells}, "
+              f"{n_queries} queries", file=sys.stderr)
+
+        results.setdefault("ivfpq_search (IVFADC)", {})[factor] = run(
+            lambda: ivfpq_search(corpus, queries, k=3, n_cells=n_cells,
+                                 n_probe=4, m=4, ks=16, dim=64))
+
+        def pq_flow():
+            cb = pq_codebook(corpus, dim=64, m=4, ks=16)
+            codes = pq_encode(corpus, cb, dim=64, m=4)
+            return pq_search(codes, queries, cb, k=3, dim=64, m=4)
+
+        results.setdefault("pq codebook+encode+search", {})[factor] = run(pq_flow)
+
+        def ivf_flow():
+            cents, assigns = ivf_index_build(
+                corpus, n_cells=n_cells, kmeans_iters=0)
+            assigns = assigns.localCheckpoint(eager=False)
+            return ivf_index_search(cents, assigns, queries, k=3, n_probe=4)
+
+        results.setdefault("ivf index build+search", {})[factor] = run(ivf_flow)
+        for op, per in results.items():
+            if factor in per:
+                rows, wall, a = per[factor]
+                print(f"  {op}: {wall}s, {rows} rows, "
+                      f"shuffle={fmt_bytes(a['shuffle_bytes'])}",
+                      file=sys.stderr)
+
+    lines = [
+        "# SCALING — ANN tier, measured across two decades",
+        "",
+        f"Generated by `scripts/scale_probe.py` on the sf0.1 embeddings "
+        f"corpus replicated ×1/×10/×100 (re-keyed ids), fixed "
+        f"{n_queries}-query batch, auto cells "
+        f"(`max(16, ceil(rows/{MAX_CELL_ROWS}))`).",
+        "",
+        "| scale | corpus rows | n_cells |",
+        "|---|---|---|",
+    ]
+    for factor in SCALES:
+        rows, cells = meta[factor]
+        lines.append(f"| ×{factor} | {rows:,} | {cells} |")
+    lines += [
+        "",
+        "| operator | scale | wall s | final-job shuffle | shuffle rows "
+        "| broadcast |",
+        "|---|---|---|---|---|---|",
+    ]
+    for op, per in results.items():
+        for factor in SCALES:
+            rows, wall, a = per[factor]
+            lines.append(
+                f"| {op} | ×{factor} | {wall} | "
+                f"{fmt_bytes(a['shuffle_bytes'])} | {a['shuffle_records']:,} "
+                f"| {fmt_bytes(a['broadcast_bytes'])} |")
+    def _row(op, factor):
+        return results[op][factor]
+
+    ivfpq_rows = _row("ivfpq_search (IVFADC)", 100)[2]["shuffle_records"]
+    pq_rows = _row("pq codebook+encode+search", 100)[2]["shuffle_records"]
+    ivfpq_b = _row("ivfpq_search (IVFADC)", 100)[2]["shuffle_bytes"]
+    ivf_b = _row("ivf index build+search", 100)[2]["shuffle_bytes"]
+    ivf_rows = _row("ivf index build+search", 100)[2]["shuffle_records"]
+    w1 = _row("ivfpq_search (IVFADC)", 1)[1]
+    w100 = _row("ivfpq_search (IVFADC)", 100)[1]
+    lines += [
+        "",
+        "## Reading (measured, ×100 column unless noted)",
+        "",
+        f"- **No super-linear term**: IVFADC wall time grows "
+        f"{w100 / w1:.1f}× for 100× the corpus ({w1}s → {w100}s) — "
+        "fixed stage/JVM overhead dominates at toy scale and amortizes; "
+        "the per-row trend is the one that must hold at 100 TB.",
+        f"- **The IVF lever, visible in data**: IVFADC's final job "
+        f"shuffles {ivfpq_rows:,} rows where flat PQ's full ADC scan "
+        f"shuffles {pq_rows:,} — ~{pq_rows / ivfpq_rows:.0f}× fewer, "
+        "from probing n_probe/n_cells of the cells.  Flat `pq_search` "
+        "is the exact-ADC oracle baseline; its corpus×queries scan "
+        "growth is exactly why the production tier is IVFPQ.",
+        f"- **The PQ lever, visible in data**: IVFADC shuffles "
+        f"~{ivfpq_b / ivfpq_rows:.0f} B per candidate row (integer "
+        f"codes) vs ~{ivf_b / ivf_rows:.0f} B for the uncompressed IVF "
+        "index search (raw 64-d vectors of probed candidates) — the "
+        "bytes-per-candidate ÷ dim·4/m compression claim, measured.",
+        "- **Cells grow with rows** (table above), keeping per-cell "
+        "matmul/scan work bounded — the `_resolve_n_cells` rule, unit-"
+        "tested in tests/test_corpus_ops.py.",
+        "- Broadcast sides stay MB-scale (centroids/codebook/LUTs + "
+        "AQE-chosen small join sides), never corpus-proportional.",
+        "- Sealed corpus passes (assignment/encode) run as separate "
+        "jobs: included in wall time, not in the final-job shuffle "
+        "column (their per-stage shapes are audited in SHUFFLES.md).",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALING.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("SCALING.md written", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

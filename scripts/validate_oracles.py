@@ -56,13 +56,16 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 
 def arrow_family(t) -> str:
     """Collapse a pyarrow type to the family the driver's type-tagged
-    hash distinguishes (int width, float width, decimal ≠ int)."""
+    hash distinguishes.  Calibrated against r2–r4 driver records:
+    integer WIDTHS are interchangeable (int32 `rank` vs DuckDB's int64
+    row_number hashed equal in green rows) but DECIMAL ≠ int (HUGEINT
+    from an uncast sum(bigint) hash-failed range_join_events in r4)."""
     import pyarrow as pa
 
     if pa.types.is_integer(t):
-        return f"int{t.bit_width}"
+        return "int"
     if pa.types.is_floating(t):
-        return f"float{t.bit_width}"
+        return "float"
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
     if pa.types.is_boolean(t):
@@ -84,8 +87,8 @@ def arrow_family(t) -> str:
 
 def spark_family(dt: str) -> str:
     """Collapse a Spark simpleString dtype to the same family space."""
-    m = {"bigint": "int64", "int": "int32", "smallint": "int16",
-         "tinyint": "int8", "double": "float64", "float": "float32",
+    m = {"bigint": "int", "int": "int", "smallint": "int",
+         "tinyint": "int", "double": "float", "float": "float",
          "string": "str", "boolean": "bool", "date": "date",
          "timestamp": "timestamp", "timestamp_ntz": "timestamp",
          "binary": "binary"}

@@ -843,6 +843,44 @@ def test_contrastive_pairs_structure(spark):
             assert r["negative"].split(" ")[0].endswith(f"w{i * 100}")
 
 
+def test_contrastive_pairs_singleton_bucket_fallback(spark):
+    """With neg_buckets >> n_docs every bucket is (almost surely) a
+    singleton, so round 1 yields no partner — the r2 salt fallback must
+    still hand every anchor a same-index negative from another doc."""
+    from dbt_core_spark.operators.textstats import (
+        chunk_documents, contrastive_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(250))) for i in range(5)],
+        ["doc_id", "text"])
+    chunks = chunk_documents(docs, chunk_words=100, overlap=0)
+    out = contrastive_pairs(chunks, neg_buckets=10_000).collect()
+    assert len(out) == 10  # 5 docs x 2 anchor chunks
+    for r in out:
+        assert r["negative"] is not None
+        nd = int(r["negative"].split("w")[0][1:])
+        assert nd != r["doc_id"]
+        assert r["negative"].split(" ")[0].endswith(f"w{r['chunk_idx'] * 100}")
+
+
+def test_contrastive_pairs_unique_index_stays_null(spark):
+    """An index held by a single document corpus-wide has no possible
+    negative: the fallback must NOT invent one (e.g. self or wrong idx)."""
+    from dbt_core_spark.operators.textstats import (
+        chunk_documents, contrastive_pairs)
+
+    # doc 0 has 3 chunks (anchor idx 0,1); doc 1 has 2 chunks (anchor 0)
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"a{j}" for j in range(30))),
+         (1, " ".join(f"b{j}" for j in range(20)))],
+        ["doc_id", "text"])
+    chunks = chunk_documents(docs, chunk_words=10, overlap=0)
+    got = {(r["doc_id"], r["chunk_idx"]): r["negative"]
+           for r in contrastive_pairs(chunks, neg_buckets=10_000).collect()}
+    assert got[(0, 0)] is not None and got[(1, 0)] is not None
+    assert got[(0, 1)] is None  # only doc 0 has a chunk at idx 1
+
+
 def test_contrastive_pairs_deterministic(spark):
     from dbt_core_spark.operators.textstats import (
         chunk_documents, contrastive_pairs)

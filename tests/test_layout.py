@@ -26,6 +26,27 @@ def test_zorder_code_matches_python_morton(spark):
     assert got == exp
 
 
+def test_scale_to_bits_exact_beyond_double_precision(spark):
+    """Wide-range columns (epoch-micros scale): the numerator
+    (v−min)·256 exceeds 2⁵³, where the old ``floor(n/span)`` double
+    formula is off by one.  Found counterexample: n = 230·span +
+    (span−1); double rounds n/span up to 231.0, exact integer division
+    gives 230."""
+    from dbt_core_spark.operators.layout import _scale_to_bits
+
+    span = 4444896710238679
+    v = 4010824765879433  # (v*256) // span == 230; float floor says 231
+    df = spark.range(1).select(
+        _scale_to_bits(F.lit(v), F.lit(0), F.lit(span - 1), 8).alias("s"),
+        _scale_to_bits(F.lit(span - 1), F.lit(0), F.lit(span - 1), 8)
+        .alias("s_max"),
+        _scale_to_bits(F.lit(0), F.lit(0), F.lit(span - 1), 8).alias("s_min"),
+    )
+    row = df.collect()[0]
+    assert row["s"] == (v * 256) // span == 230
+    assert row["s_min"] == 0 and row["s_max"] == 255
+
+
 def test_zorder_scaling_uses_global_range(spark):
     df = spark.createDataFrame(
         [(1, 100, 1000), (2, 115, 1000), (3, 131, 2000)], ["rid", "a", "b"])

@@ -352,28 +352,54 @@ def test_ann_recall_no_corpus_data_moves(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_gate_window_contains_all_r1_stale_queries():
-    """Rotation-policy guard: the driver verifies the FIRST 50 registry
-    keys; the 19 rows last driver-verified in round 1 (the r3 verdict's
-    rotation debt) must all sit inside that window, and new
-    never-driver-verified queries must lead it."""
+def test_gate_window_never_verified_rows_lead():
+    """Rotation-policy guard (r4 verdict item 2): the driver verifies
+    the FIRST 50 registry keys; every query with NO driver record in
+    any CORRECTNESS_r*.json must sit inside that window — never-verified
+    rows are always in-window, no exceptions."""
+    import glob
+    import json
+
     import __spark_entry__ as e
 
     qs = list(e.queries())
-    stale = [
-        "percentiles_by_group", "q22_global_avg_filter",
-        "hourly_event_rollup", "map_struct_status_counts",
-        "running_revenue_by_customer", "rolling_7day_order_totals",
-        "multi_granularity_rollup", "stats_by_returnflag",
-        "dynamic_pivot_events", "q4_order_priority",
-        "q13_customer_distribution", "q14_promo_revenue_ratio",
-        "q17_small_quantity_revenue", "q19_or_predicates",
-        "customers_without_orders", "rollup_quantity",
-        "unpivot_status_counts", "set_ops_statuses",
-        "generate_series_powers",
-    ]
+    ever = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        ever.update(json.load(open(path)))
+    never = [q for q in qs if q not in ever]
     window = set(qs[:50])
-    missing = [q for q in stale if q not in window]
-    assert not missing, f"r1-stale queries fell out of the gate window: {missing}"
+    out = [q for q in never if q not in window]
+    assert not out, f"never-driver-verified queries outside the gate window: {out}"
+
+
+def test_gate_window_r5_composition():
+    """Pins the round-5 window: 11 never-verified + the new streaming
+    funnel gate + the r4-red range join + the 2 result-changed rows +
+    all 7 engine rows + 28 r2-stale fill rows."""
+    import __spark_entry__ as e
+
+    qs = list(e.queries())
+    window = set(qs[:50])
+    must = [
+        # never driver-verified (r4 first-session + the one the r4
+        # verdict's count missed)
+        "dup_span_cut_docs", "containment_pairs_docs",
+        "ann_recall_ivf_embeddings", "ann_ivf_index_append_embeddings",
+        "webdataset_pipeline_docs", "semantic_dedup_incremental_embeddings",
+        "hash_embed_docs", "ann_ivf_index_query_embeddings",
+        "dsir_score_docs", "dup_span_docs", "interarrival_stats_events",
+        # new + red + result-changed
+        "funnel_stream_events", "range_join_events",
+        "contrastive_pairs_docs", "funnel_events",
+        # engine surface (two rounds stale; runner events changed r4)
+        "engine_snapshot_scd2", "engine_microbatch_day",
+        "engine_generic_test_failures", "engine_insert_overwrite",
+        "engine_streaming_table", "engine_python_model",
+        "engine_view_table_ephemeral",
+        # oracle typing changed this round
+        "quantile_sketch_events",
+    ]
+    missing = [q for q in must if q not in window]
+    assert not missing, f"required rows fell out of the gate window: {missing}"
     # every registry row has an oracle (the exact-correctness invariant)
     assert set(e.oracle_sql()) == set(qs)

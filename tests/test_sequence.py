@@ -67,6 +67,52 @@ def test_funnel_single_shuffle_plan(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_funnel_kpass_equals_fold(spark):
+    """The nested-min k-pass strategy is result-identical to the fold
+    (greedy-earliest optimality), including step_ts arrays."""
+    rows, eid = [], 0
+    import random
+    rng = random.Random(7)
+    for u in range(1, 40):
+        for _ in range(rng.randint(1, 12)):
+            rows.append((eid, u, _t(rng.randint(1, 50)),
+                         rng.choice(["view", "click", "purchase", "other"])))
+            eid += 1
+    df = _ev(spark, rows)
+    steps = ["view", "click", "purchase"]
+
+    def key(res):
+        return sorted(
+            (r["user_id"], r["steps_completed"], tuple(r["step_ts"]),
+             r["completed_at"]) for r in res.collect())
+
+    assert key(funnel(df, steps, strategy="kpass")) == \
+        key(funnel(df, steps, strategy="fold", tiebreak_col="event_id"))
+
+
+def test_funnel_auto_switches_on_pathological_user(spark):
+    """A user whose event count exceeds fold_max_events_per_user flips
+    auto to the k-pass form; per-user state there is O(1) (grouped MIN),
+    so the plan contains joins, not a collect_list of the giant array."""
+    big = spark.range(200_000).select(
+        F.col("id").alias("event_id"),
+        F.lit(1).alias("user_id"),
+        (F.lit(dt.datetime(2024, 1, 1)) +
+         F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+        F.when(F.col("id") % 3 == 0, "view")
+         .when(F.col("id") % 3 == 1, "click")
+         .otherwise("purchase").alias("event_type"),
+    )
+    small = _ev(spark, [(900001, 2, _t(1), "view"), (900002, 2, _t(2), "click")])
+    df = big.unionByName(small)
+    out = funnel(df, ["view", "click", "purchase"],
+                 strategy="auto", fold_max_events_per_user=10_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan  # kpass path taken
+    got = {r["user_id"]: r["steps_completed"] for r in out.collect()}
+    assert got == {1: 3, 2: 2}
+
+
 # ---------------- count_anomalies ----------------
 
 def test_count_anomalies_flags_spike_only(spark):
