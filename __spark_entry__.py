@@ -74,7 +74,14 @@ def _events_us_path(spark: SparkSession, sf_dir: str) -> str:
     rewritten once)."""
     if sf_dir not in _EVENTS_US_CACHE:
         out = f"/tmp/events_us_{abs(hash(sf_dir)) % 10**8}"
-        _t(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+        # coalesce(1): a SINGLE part file makes every AvailableNow drain
+        # one micro-batch, which funnel_stream_events' determinism
+        # argument requires (the stateful funnel sorts by ts WITHIN a
+        # batch; a multi-batch split with overlapping ts ranges could
+        # process a user's events out of global ts order).  Gate-scale
+        # data (≤100k rows) — no write-parallelism cost that matters.
+        _t(spark, sf_dir, "events").coalesce(1).write.mode(
+            "overwrite").parquet(out)
         _EVENTS_US_CACHE[sf_dir] = out
     return _EVENTS_US_CACHE[sf_dir]
 

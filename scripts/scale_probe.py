@@ -62,6 +62,67 @@ def replicate(spark, factor: int) -> str:
     return path
 
 
+def replicate_docs(spark, factor: int) -> str:
+    """×factor documents corpus for the DEDUP probe.  Exact replication
+    would be degenerate (every doc gains factor−1 identical twins →
+    candidate pairs grow quadratically with factor, a 99%-dup corpus,
+    not a bigger corpus), so each replica substitutes 'e'→digit in the
+    text: WITHIN-replica near-dup structure is preserved (the same
+    substitution hits both members of a pair), across replicas shingle
+    overlap collapses — duplicate DENSITY stays ~constant as rows grow,
+    the realistic scale-up."""
+    path = f"/tmp/scale_probe_docs_x{factor}"
+    if not os.path.exists(path):
+        base = spark.read.parquet(f"{BASE}/documents.parquet")
+        out = base
+        for i in range(1, factor):
+            # unique-per-replica token on EVERY vowel — two earlier
+            # attempts were degenerate: i%10 digits made replicas
+            # 3/13/23 exact copies, and substituting only 'e' left
+            # low-'e' docs near-identical across all replicas
+            # (100-doc band cliques → superlinear candidate pairs)
+            out = out.unionByName(base.select(
+                (F.col("doc_id") + F.lit(i * KEY_STRIDE)).alias("doc_id"),
+                F.regexp_replace("text", "[aeiou]", f"{i}x").alias("text"),
+                *[c for c in base.columns if c not in ("doc_id", "text")],
+            ))
+        out.repartition(max(4, factor)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def replicate_embeddings_perturbed(spark, factor: int) -> str:
+    """×factor embeddings for the SemDeDup probe: each replica offsets
+    every component by a replica-and-index-dependent term, so replicas
+    are NOT mutual semantic duplicates (exact copies would put 100
+    cosine-1.0 twins in every cell — a pathological 99%-dup corpus)."""
+    path = f"/tmp/scale_probe_emb_pert_x{factor}"
+    if not os.path.exists(path):
+        base = spark.read.parquet(f"{BASE}/embeddings.parquet")
+        out = base
+        # md5-derived per-(replica, component) offsets, amplitude 0.076
+        # on unit-norm vectors → |delta| ≈ 0.35, replica-pair cosine
+        # ≈ 0.89 < tau for EVERY pair.  (A periodic sin offset was
+        # tried first and nearly cancels for replicas 9 apart,
+        # 3.5·9 ≈ 10π, silently minting ~10 near-twins per vector.)
+        for i in range(1, factor):
+            def _off(j, _i=i):
+                h = F.conv(F.substring(F.md5(F.concat(
+                    F.lit(f"probe:{_i}:"), j.cast("string"))), 1, 15),
+                    16, 10).cast("bigint")
+                return (F.pmod(h, F.lit(2001)) - 1000) / 1000.0 * 0.076
+
+            out = out.unionByName(base.select(
+                (F.col("vec_id") + F.lit(i * KEY_STRIDE)).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x, j: x + _off(j),
+                ).alias("embedding"),
+                *[c for c in base.columns
+                  if c not in ("vec_id", "embedding")],
+            ))
+        out.repartition(max(4, factor)).write.mode("overwrite").parquet(path)
+    return path
+
+
 def fmt_bytes(n: int) -> str:
     if n >= 1 << 20:
         return f"{n / (1 << 20):.1f} MB"
@@ -134,8 +195,53 @@ def main() -> None:
                       f"shuffle={fmt_bytes(a['shuffle_bytes'])}",
                       file=sys.stderr)
 
+    # ---- dedup tier: MinHash-LSH (+ connected components) over text,
+    # SemDeDup-BLAS over perturbed vectors — duplicate density held
+    # ~constant while rows grow (see replicate_docs) ----
+    from dbt_core_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from dbt_core_spark.operators.similarity import semantic_dedup_blas
+
+    dedup_results: dict[str, dict[int, tuple]] = {}
+    dedup_meta: dict[int, int] = {}
+    for factor in SCALES:
+        docs = spark.read.parquet(replicate_docs(spark, factor))
+        dedup_meta[factor] = docs.count()
+        print(f"== dedup x{factor}: {dedup_meta[factor]} docs",
+              file=sys.stderr)
+
+        def mh_flow():
+            return minhash_lsh_pairs(docs, "text", "doc_id")
+
+        dedup_results.setdefault("minhash_lsh_pairs", {})[factor] = run(mh_flow)
+
+        def cc_flow():
+            pairs = minhash_lsh_pairs(docs, "text", "doc_id") \
+                .localCheckpoint(eager=False)
+            return connected_components(pairs.select("id_a", "id_b"))
+
+        dedup_results.setdefault("minhash→connected_components", {})[factor] \
+            = run(cc_flow)
+
+        emb = spark.read.parquet(replicate_embeddings_perturbed(spark, factor))
+        erows = emb.count()
+        ecells = max(16, -(-erows // MAX_CELL_ROWS))
+
+        def sd_flow():
+            return semantic_dedup_blas(emb, n_cells=ecells, tau=0.97)
+
+        dedup_results.setdefault("semantic_dedup_blas", {})[factor] = run(sd_flow)
+        for op, per in dedup_results.items():
+            if factor in per:
+                rows, wall, a = per[factor]
+                print(f"  {op}: {wall}s, {rows} rows, "
+                      f"shuffle={fmt_bytes(a['shuffle_bytes'])}",
+                      file=sys.stderr)
+
     lines = [
-        "# SCALING — ANN tier, measured across two decades",
+        "# SCALING — ANN + dedup tiers, measured across two decades",
         "",
         f"Generated by `scripts/scale_probe.py` on the sf0.1 embeddings "
         f"corpus replicated ×1/×10/×100 (re-keyed ids), fixed "
@@ -198,6 +304,57 @@ def main() -> None:
         "- Sealed corpus passes (assignment/encode) run as separate "
         "jobs: included in wall time, not in the final-job shuffle "
         "column (their per-stage shapes are audited in SHUFFLES.md).",
+        "",
+        "## Dedup tier",
+        "",
+        "Same two decades over documents/embeddings, with per-replica "
+        "perturbation so duplicate DENSITY stays ~constant as rows grow "
+        "(exact replication would instead measure a 99%-duplicate "
+        "corpus — quadratic candidate blowup by construction; see "
+        "`replicate_docs`).",
+        "",
+        "| scale | docs |",
+        "|---|---|",
+    ]
+    for factor in SCALES:
+        lines.append(f"| ×{factor} | {dedup_meta[factor]:,} |")
+    lines += [
+        "",
+        "| operator | scale | wall s | out rows | final-job shuffle | "
+        "shuffle rows |",
+        "|---|---|---|---|---|---|",
+    ]
+    for op, per in dedup_results.items():
+        for factor in SCALES:
+            rows, wall, a = per[factor]
+            lines.append(
+                f"| {op} | ×{factor} | {wall} | {rows:,} | "
+                f"{fmt_bytes(a['shuffle_bytes'])} | "
+                f"{a['shuffle_records']:,} |")
+    mh1 = dedup_results["minhash_lsh_pairs"][1]
+    mh100 = dedup_results["minhash_lsh_pairs"][100]
+    lines += [
+        "",
+        f"- **MinHash-LSH is banded, not all-pairs**: wall grows "
+        f"{mh100[1] / mh1[1]:.1f}× for 100× the docs "
+        f"({mh1[1]}s → {mh100[1]}s) — signature computation is one "
+        "linear pass and the candidate join only meets rows sharing a "
+        "(band, hash) bucket; an all-pairs design would have grown "
+        "~10,000×.",
+        "- **Connected components converge on dup-cluster diameter**: "
+        "min-label propagation over the candidate graph adds rounds "
+        "proportional to chain depth (constant here), each sealed so "
+        "round N+1 never replays rounds 1..N.",
+        "- **SemDeDup cell-shards**: auto n_cells growth keeps per-cell "
+        "matmul blocks bounded; the one shuffle is keyed on "
+        "(cell, msub, psub) with the 2-D hot-cell split capping both "
+        "sides of every block.  Out rows = duplicates found (the "
+        "perturbed corpus has essentially none by construction — the "
+        "probe measures the scan cost, not the dup yield).",
+        "- connected_components seals every propagation round "
+        "(localCheckpoint), so the FINAL plan reads an ExistingRDD and "
+        "the final-job shuffle column reads ~0 by construction — its "
+        "real per-round traffic is wall-time-visible only.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(

@@ -321,3 +321,41 @@ def test_classifier_score_matches_python_reference_property(spark, texts, dim):
             s += _md5_mod(str(bucket), 2001, "w") - 1000
         exp[i] = (len(ws), math.floor(s / len(ws)))
     assert got == exp
+
+
+# ---------------- funnel: fold vs k-pass strategy parity ----------------
+
+_FUNNEL_EVENT = st.tuples(
+    st.integers(1, 6),                       # user
+    st.integers(0, 30),                      # second offset
+    st.sampled_from(["view", "click", "purchase", "other"]),
+)
+
+
+@given(st.lists(_FUNNEL_EVENT, min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_funnel_fold_equals_kpass_property(spark, events):
+    """Greedy-earliest optimality: the single-shuffle array fold and the
+    k-pass nested-min form must agree on EVERY randomized event stream —
+    including equal-timestamp events, missing steps, and repeated
+    completions of early steps (the property the auto strategy switch
+    relies on)."""
+    import datetime as dt
+
+    from dbt_core_spark.operators.sequence import funnel
+
+    rows = [
+        (i, u, dt.datetime(2024, 1, 1, 0, 0, s), et)
+        for i, (u, s, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+
+    def key(res):
+        return sorted(
+            (r["user_id"], r["steps_completed"], tuple(r["step_ts"]),
+             r["completed_at"]) for r in res.collect())
+
+    assert key(funnel(df, steps, strategy="fold", tiebreak_col="event_id")) \
+        == key(funnel(df, steps, strategy="kpass"))
