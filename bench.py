@@ -139,10 +139,19 @@ def main() -> None:
     only = [q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q]
     times: dict[str, float] = {}
     sigmas: dict[str, float] = {}
+    import gc
+
     for name in only or HEADLINE:
         fn = qs[name]
         samples = []
         for _ in range(repeats):
+            # drop dangling DataFrame refs so the ContextCleaner can
+            # unpersist prior queries' localCheckpoint RDDs — without
+            # this, sealed RDDs accumulate across the 35-query session
+            # and late queries pay GC pressure that standalone runs
+            # don't (ivfpq measured 2.5 s alone vs 6.9 s in-session)
+            df = None
+            gc.collect()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()  # force full execution

@@ -153,6 +153,11 @@ def main() -> None:
         app_name="scale_probe",
         extra_conf={"spark.sql.warehouse.dir": "/tmp/scale_probe_wh"},
     )
+    # same warmups as bench.py: JVM codegen + the Python worker pool,
+    # so the ×1 row doesn't absorb one-time spawn cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long").count()
     # fixed 40-query batch: base-corpus ids only, identical at all scales
     queries = (
         spark.read.parquet(f"{BASE}/embeddings.parquet")
