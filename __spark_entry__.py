@@ -2217,12 +2217,16 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     out = funnel(ev, ["view", "click", "purchase"], tiebreak_col="event_id")
+    # epoch micros, not raw timestamps: collect() renders TimestampType
+    # in the PROCESS-local zone, so a non-UTC driver environment would
+    # shift values the DuckDB oracle reads naively (TZ-sweep finding;
+    # funnel_stream_events made the same choice from birth)
     return out.select(
         "user_id",
         "steps_completed",
-        F.element_at("step_ts", 1).alias("t1"),
-        F.element_at("step_ts", 2).alias("t2"),
-        F.element_at("step_ts", 3).alias("t3"),
+        F.unix_micros(F.element_at("step_ts", 1)).alias("t1_us"),
+        F.unix_micros(F.element_at("step_ts", 2)).alias("t2_us"),
+        F.unix_micros(F.element_at("step_ts", 3)).alias("t3_us"),
     )
 
 

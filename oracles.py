@@ -2372,7 +2372,9 @@ select b.user_id,
                  when s2.t2 is not null then 2
                  when s1.t1 is not null then 1
                  else 0 end as int) as steps_completed,
-       s1.t1 as t1, s2.t2 as t2, s3.t3 as t3
+       cast(epoch_us(s1.t1) as bigint) as t1_us,
+       cast(epoch_us(s2.t2) as bigint) as t2_us,
+       cast(epoch_us(s3.t3) as bigint) as t3_us
 from base b
 left join s1 on s1.user_id = b.user_id
 left join s2 on s2.user_id = b.user_id

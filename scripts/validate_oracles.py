@@ -145,10 +145,16 @@ def main() -> int:
     con = duck_connect(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    import gc
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # let the ContextCleaner unpersist earlier queries' sealed
+        # localCheckpoint RDDs (same session-accumulation fix as
+        # bench.py — late queries otherwise pay GC pressure)
+        gc.collect()
         sql = oracles.get(name)
         if sql is None:
             try:
