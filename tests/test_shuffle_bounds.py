@@ -64,3 +64,21 @@ def test_hll_sketch_shuffles_registers_not_rows(spark, sf_dir):
     parts = spark.sparkContext.defaultParallelism
     bound = 2 * (n_groups * 256 * max(parts, 1) + n_groups * max(parts, 1))
     assert 0 < stats["shuffle_records"] <= bound
+
+
+def test_contrastive_fallback_is_broadcast_shaped(spark, sf_dir):
+    """The singleton-bucket negative fallback must join its per-index
+    candidate table (one row per distinct chunk index) as a BROADCAST —
+    a sort-merge/shuffle join there would re-key the anchor corpus on
+    chunk_idx, which is skew city at scale (most docs share low
+    indexes)."""
+    from dbt_core_spark.operators.textstats import (
+        chunk_documents, contrastive_pairs)
+
+    docs = em._t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_words=40, overlap=10)
+    out = contrastive_pairs(chunks)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the fallback's fb join and its c1 feeder must both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
