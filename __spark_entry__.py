@@ -2620,6 +2620,45 @@ def interarrival_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_stats(ev, tiebreak_col="event_id")
 
 
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact distributed k-means (k=4, 2 Lloyd iterations) over
+    the embedding corpus: e4-quantized vectors, centroids broadcast as
+    literal expressions so assignment is a ZERO-shuffle narrow map; the
+    update shuffle is bounded by k·d·partitions records per iteration
+    (operators/clustering.py:kmeans_fixed).  Exact DuckDB oracle
+    replays the whole loop in bigint arithmetic."""
+    from dbt_core_spark.operators.clustering import kmeans_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_fixed(emb, k=4, iters=2)
+
+
+def cluster_curation_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-curate: md5-seeded balanced sample (25/cluster) ∪
+    farthest-from-centroid outliers (10/cluster) over the k-means
+    assignment — the diversity-sampling + pruning stage of an
+    embedding-curation pipeline.  Rank filters compile to
+    WindowGroupLimit so the per-cluster shuffle stays k·n·partitions
+    (operators/clustering.py:cluster_sample,cluster_outliers)."""
+    from dbt_core_spark.operators.clustering import (
+        cluster_outliers,
+        cluster_sample,
+        kmeans_fixed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_fixed(emb, k=4, iters=2).localCheckpoint(
+        eager=False
+    )  # feeds the sample AND outlier branches
+    samp = cluster_sample(assign, n_per=25).select(
+        "vec_id", "cluster", F.lit("sample").alias("tag"), "rk"
+    )
+    outl = cluster_outliers(assign, n_per=10).select(
+        "vec_id", "cluster", F.lit("outlier").alias("tag"), "rk"
+    )
+    return samp.unionByName(outl)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2632,20 +2671,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict's hard rule — then (b) rows whose results or oracles
     # changed this round, then (c) the least-recently-driver-green
     # rows, so no query goes two rounds unverified when slots allow.
-    # Round 5 window = 11 never-verified (the r4 first-session rows the
-    # verdict flagged, incl. interarrival_stats which its count of "10"
-    # missed) + funnel_stream_events (new) + range_join_events (r4-red;
-    # oracle HUGEINT cast fixed) + contrastive_pairs/funnel_events
-    # (result/oracle changes) + all 7 engine_* rows (two rounds stale
-    # AND runner event emission changed in r4) + 28 of the remaining 30
-    # r2-stale rows = exactly 50.  Displaced to lead r6: simhash_docs
-    # and cosine_topk_embeddings (same-machinery siblings simhash_pairs
-    # / cosine_pairs / cosine_topk_blas are in-window), plus the rows
-    # whose only change this round was a result-preserving lineage seal
-    # or exact-integer-division rewrite (zorder_orders, skew_report,
+    # Round 5 window = 2 brand-new rows (the integer-exact k-means
+    # clustering tier, second r5 session) + 11 never-verified (the r4
+    # first-session rows the verdict flagged, incl. interarrival_stats
+    # which its count of "10" missed) + funnel_stream_events (new) +
+    # range_join_events (r4-red; oracle HUGEINT cast fixed) +
+    # contrastive_pairs/funnel_events (result/oracle changes) + all 7
+    # engine_* rows (two rounds stale AND runner event emission changed
+    # in r4) + 26 of the remaining 30 r2-stale rows = exactly 50.
+    # Displaced to lead r6: simhash_docs and cosine_topk_embeddings
+    # (same-machinery siblings simhash_pairs / cosine_pairs /
+    # cosine_topk_blas are in-window), pack_sequences_docs and
+    # xdb_datetime_functions (displaced for the 2 new clustering rows —
+    # never-verified outranks stale per the policy hierarchy; the xdb
+    # macro machinery is exercised in-window-adjacent by
+    # generate_series_powers, driver-green r4, and both re-validate at
+    # sf0.01 under the type-strict validator), plus the rows whose only
+    # change this round was a result-preserving lineage seal or
+    # exact-integer-division rewrite (zorder_orders, skew_report,
     # event_transitions, lexical_stats — each re-validated at sf0.01 by
     # the now-type-strict validator, the accepted r4 seal precedent).
     return {
+        # ---- brand-new this session (never driver-verified — lead) ----
+        "kmeans_embeddings": kmeans_embeddings,
+        "cluster_curation_embeddings": cluster_curation_embeddings,
         # ---- never driver-verified (r4 first-session; lead per the
         # ---- never-verified-always-in-window policy) ----
         "dup_span_cut_docs": dup_span_cut_docs,
@@ -2704,17 +2753,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "stratified_sample_docs": stratified_sample_docs,
+        # ---------------- past the 50-query gate cap ----------------
+        # displaced for the 2 new clustering rows (lead r6; both
+        # re-validated at sf0.01 by the type-strict validator)
         "pack_sequences_docs": pack_sequences_docs,
         "xdb_datetime_functions": xdb_datetime_functions,
-        # ---------------- past the 50-query gate cap ----------------
         # Rotation policy: the window leads with never-driver-verified
         # and code/oracle-changed rows, then the least-recently-green.
-        # Round 5 window (pinned by the rotation-guard test) = the 11
-        # never-verified rows + the new streaming-funnel gate + the r4
-        # red row + 2 result-changed rows + all 7 engine rows + 28 of
-        # the 30 remaining r2-stale rows.  Displaced (lead r6):
-        # simhash_docs / cosine_topk_embeddings (their machinery is
-        # exercised in-window by simhash_pairs / cosine_pairs +
+        # Round 5 window (pinned by the rotation-guard test) = the 2
+        # new clustering rows + the 11 never-verified rows + the new
+        # streaming-funnel gate + the r4 red row + 2 result-changed
+        # rows + all 7 engine rows + 26 of the 30 remaining r2-stale
+        # rows.  Displaced (lead r6): pack_sequences_docs /
+        # xdb_datetime_functions (just above), simhash_docs /
+        # cosine_topk_embeddings (their machinery is exercised
+        # in-window by simhash_pairs / cosine_pairs +
         # cosine_topk_blas), the 4 result-preserving lineage-seal /
         # integer-div rows changed this round (zorder_orders,
         # skew_report, event_transitions, lexical_stats — re-validated

@@ -80,6 +80,10 @@ HEADLINE = [
     # round-5 addition: the streaming stateful funnel drained
     # AvailableNow (applyInPandasWithState end-to-end)
     "funnel_stream_events",
+    # round-5 second-session addition: integer-exact k-means +
+    # cluster-balanced sample/outlier curation (zero-shuffle
+    # assignment, k·d-bounded update shuffle)
+    "cluster_curation_embeddings",
 ]
 
 

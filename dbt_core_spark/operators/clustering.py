@@ -1,0 +1,183 @@
+"""Distributed k-means clustering + cluster-based curation (balanced
+sampling, outlier pruning) over embedding columns.
+
+The reference has no clustering surface (dbt-core is an orchestration
+engine); this module is part of the LLM-training-data extension tier:
+"cluster-then-curate" is the standard shape for diversity sampling and
+prototype/outlier pruning over web-scale embedding corpora (SemDeDup-
+style cluster balance, SSL-prototype pruning), and the same machinery
+is the full-corpus training path for the IVF coarse quantizer in
+operators/similarity.py (whose Lloyd refinement is float/cosine and
+driver-sample-seeded).
+
+Everything here is **integer-exact** so the whole Lloyd loop replays
+bit-identically in an exact DuckDB SQL oracle:
+
+- vectors are quantized once to e4 fixed point
+  (``cast(round(cast(x as double) * 10000) as bigint)``, the repo's
+  oracle discipline);
+- squared L2 distances are bigint sums (max term (2e5)^2 * d — no
+  overflow until d ~ 2e8);
+- centroid updates use **truncating** integer division (toward zero),
+  which is what both Spark's ``div`` and DuckDB's ``//`` implement —
+  the driver-side helper mirrors it exactly;
+- ties (equal distance) break to the lower cell id via struct-min
+  ordering, matching ``row_number() over (order by d2, cell)``.
+
+Scale shape (the MLlib KMeans architecture):
+
+- centroids live on the driver — k·d ints, O(KB) — and enter each
+  pass as a *broadcast literal expression*, so **assignment is a
+  narrow per-row map with ZERO shuffle**;
+- the update step is one ``posexplode`` + ``groupBy(cell, pos)``
+  partial aggregation whose shuffle is bounded by k·d·partitions
+  records per iteration, independent of corpus size;
+- corpus passes = iters + 1 over the quantized base, which is sealed
+  once (``localCheckpoint(eager=False)``, the repo's lineage-seal
+  convention) so no pass replays the parquet scan + quantize chain;
+- empty cells keep their previous centroid (deterministic; mirrors
+  the oracle's ``left join … coalesce``).
+
+``cluster_sample`` / ``cluster_outliers`` are rank-per-cluster
+filters; with only k distinct partition keys a naive window would be
+skew city, but Spark's WindowGroupLimit pushes the ``rank <= n``
+filter below the exchange (each map partition pre-truncates to n per
+cluster), bounding the shuffle by k·n·partitions — the same plan
+shape pinned for window_top3 in tests/test_shuffle_bounds.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "kmeans_fixed",
+    "cluster_sample",
+    "cluster_outliers",
+]
+
+_SCALE = 10_000
+
+
+def _truncdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero (Spark ``div``, DuckDB
+    ``//``).  Python's ``//`` floors, so negatives need the mirror."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _quantize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * _SCALE).cast("long"),
+        ).alias("vq"),
+    )
+
+
+def _nearest(cents: list[tuple[int, list[int]]]) -> Column:
+    """struct(dist2, cell) of the nearest centroid, as a narrow
+    zero-shuffle expression: centroids are literal arrays (k·d ints),
+    distance is an exact bigint fold, argmin is struct-min (ties →
+    lower cell)."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vq"),
+                        F.array(*[F.lit(v).cast("long") for v in cv]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(cell).cast("long").alias("cell"),
+            )
+            for cell, cv in cents
+        ]
+    )
+    return F.array_min(cands)
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Integer-exact distributed Lloyd k-means; returns one row per
+    input row: (id_col, cluster, dist2_e8) where dist2_e8 is the exact
+    squared L2 distance to the assigned centroid in e4^2 fixed point.
+
+    Init = the k lowest-``id_col`` vectors (deterministic, oracle-
+    replayable).  Each iteration: one zero-shuffle assignment pass +
+    one k·d-bounded partial-sum shuffle; new centroid coordinate =
+    truncdiv(sum, count); empty cells keep their previous centroid.
+    Driver state is k·d ints per iteration (MLlib-precedent, cf.
+    similarity._materialize_tiny)."""
+    base = _quantize(df, vec_col, id_col).localCheckpoint(eager=False)
+    seed = base.orderBy("id").limit(k).collect()  # k rows — bounded
+    cents = [(i, list(r["vq"])) for i, r in enumerate(seed)]
+    for _ in range(iters):
+        assigned = base.select(_nearest(cents)["cell"].alias("cell"), "vq")
+        sums = (
+            assigned.select("cell", F.posexplode("vq").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()  # <= k*d rows — bounded
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in sums:
+            upd.setdefault(r["cell"], {})[r["pos"]] = _truncdiv(r["s"], r["c"])
+        cents = [
+            (cell, [upd[cell][p] for p in range(len(cv))] if cell in upd else cv)
+            for cell, cv in cents
+        ]
+    m = _nearest(cents)
+    return base.select(
+        F.col("id").alias(id_col),
+        m["cell"].alias("cluster"),
+        m["d"].alias("dist2_e8"),
+    )
+
+
+def cluster_sample(
+    assign: DataFrame,
+    n_per: int = 25,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    salt: str = "cs1",
+) -> DataFrame:
+    """Deterministic cluster-balanced sample: the n_per rows per
+    cluster ranked lowest by md5(salt || id) — a seeded shuffle that is
+    reproducible across engines and runs.  WindowGroupLimit keeps the
+    per-cluster shuffle at k·n_per·partitions records."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(cluster_col).orderBy(key, F.col(id_col))
+    return (
+        assign.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per)
+    )
+
+
+def cluster_outliers(
+    assign: DataFrame,
+    n_per: int = 10,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    dist_col: str = "dist2_e8",
+) -> DataFrame:
+    """The n_per rows per cluster farthest from their centroid
+    (candidates for pruning / human review).  Exact: ranks the integer
+    dist2_e8 descending, ties to the lower id.  Same WindowGroupLimit
+    shuffle bound as cluster_sample."""
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(dist_col).desc(), F.col(id_col)
+    )
+    return (
+        assign.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per)
+    )

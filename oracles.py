@@ -3078,3 +3078,97 @@ select user_id,
 from g where gap is not null
 group by 1
 """
+
+
+# -- integer-exact k-means (mirror of operators.clustering.kmeans_fixed:
+#    e4 bigint quantization, k lowest-vec_id init, argmin ties -> lower
+#    cell, truncating-division centroid update (DuckDB // == Spark div),
+#    empty cells keep previous centroid) --
+def _kmeans_cte(k: int = 4, iters: int = 2) -> str:
+    """WITH-chain replaying the Lloyd loop; ends in CTE ``asg`` =
+    (vec_id, cluster, dist2_e8), all exact bigint arithmetic."""
+    d2 = (
+        "cast(list_sum(list_transform(range(1, len(b.vq) + 1), "
+        "i -> (b.vq[i] - c.cv[i]) * (b.vq[i] - c.cv[i]))) as bigint)"
+    )
+    parts = [
+        f"""base as (
+  select vec_id,
+         list_transform(embedding,
+           x -> cast(round(cast(x as double) * 10000) as bigint)) as vq
+  from embeddings
+), c0 as (
+  select cast(row_number() over (order by vec_id) - 1 as bigint) as cell,
+         vq as cv
+  from (select vec_id, vq from base order by vec_id limit {k})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} as (
+  select vec_id, vq, cell,
+         row_number() over (partition by vec_id order by d2, cell) as rn
+  from (select b.vec_id, b.vq, c.cell, {d2} as d2
+        from base b cross join c{i - 1} c) t
+), s{i} as (
+  select cell, u.s.pos as pos, sum(u.s.val) as sm, count(*) as cnt
+  from (select cell,
+               unnest(list_transform(range(1, len(vq) + 1),
+                      i -> {{'pos': i, 'val': vq[i]}})) as s
+        from a{i} where rn = 1) u
+  group by 1, 2
+), c{i} as (
+  select p.cell, coalesce(n.cv, p.cv) as cv
+  from c{i - 1} p
+  left join (select cell,
+                    list(cast(sm // cnt as bigint) order by pos) as cv
+             from s{i} group by cell) n
+    on p.cell = n.cell
+)"""
+        )
+    parts.append(
+        f"""af as (
+  select vec_id, cell, d2,
+         row_number() over (partition by vec_id order by d2, cell) as rn
+  from (select b.vec_id, c.cell, {d2} as d2
+        from base b cross join c{iters} c) t
+), asg as (
+  select vec_id, cell as cluster, d2 as dist2_e8 from af where rn = 1
+)"""
+    )
+    return "with " + ",\n".join(parts)
+
+
+ORACLES["kmeans_embeddings"] = (
+    _kmeans_cte(k=4, iters=2)
+    + "\nselect vec_id, cluster, dist2_e8 from asg"
+)
+
+ORACLES["cluster_curation_embeddings"] = (
+    _kmeans_cte(k=4, iters=2)
+    + """,
+r as (
+  select vec_id, cluster, dist2_e8,
+         md5('cs1' || cast(vec_id as varchar)) as sk
+  from asg
+),
+samp as (
+  select vec_id, cluster, 'sample' as tag, rk
+  from (select vec_id, cluster,
+               cast(row_number() over (partition by cluster
+                                       order by sk, vec_id) as int) as rk
+        from r) t
+  where rk <= 25
+),
+outl as (
+  select vec_id, cluster, 'outlier' as tag, rk
+  from (select vec_id, cluster,
+               cast(row_number() over (partition by cluster
+                                       order by dist2_e8 desc,
+                                                vec_id) as int) as rk
+        from r) t
+  where rk <= 10
+)
+select * from samp union all select * from outl
+"""
+)

@@ -195,6 +195,16 @@ PICKS = {
         "Cohort retention — distinct (user, period) rollup sealed "
         "once; shuffles keyed on users and the tiny cohort×offset "
         "grid, never raw events twice."),
+    "kmeans_embeddings": (
+        "Distributed k-means assignment — centroids are broadcast "
+        "literal expressions over the sealed quantized base: the "
+        "returned plan has ZERO exchanges (iteration updates shuffle "
+        "only k·d·partitions partial sums, off-plan via collect)."),
+    "cluster_curation_embeddings": (
+        "Cluster-then-curate — both rank branches compile to "
+        "WindowGroupLimit (per-map-partition truncation to n per "
+        "cluster before the k-keyed exchange); the assignment feeding "
+        "them is sealed once."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",

@@ -1,0 +1,209 @@
+"""Integer-exact k-means + cluster curation (operators/clustering.py).
+
+The exactness claim is the whole point: the distributed Lloyd loop
+must replay bit-identically against a trivial sequential reference
+(same quantization, same argmin tie-break, same truncating-division
+update, same empty-cell retention) — that is what makes the DuckDB
+gate oracle exact rather than tolerance-based."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from dbt_core_spark.operators.clustering import (
+    _truncdiv,
+    cluster_outliers,
+    cluster_sample,
+    kmeans_fixed,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _ref_kmeans(rows, k, iters):
+    """Sequential reference: returns {id: (cluster, dist2)}."""
+    base = [
+        (i, [int(_round_half_away(x * 10_000)) for x in v]) for i, v in rows
+    ]
+    cents = [
+        (c, list(vq))
+        for c, (_, vq) in enumerate(sorted(base, key=lambda r: r[0])[:k])
+    ]
+
+    def nearest(vq):
+        return min(
+            (sum((a - b) * (a - b) for a, b in zip(vq, cv)), cell)
+            for cell, cv in cents
+        )
+
+    for _ in range(iters):
+        members = {}
+        for _i, vq in base:
+            _, cell = nearest(vq)
+            members.setdefault(cell, []).append(vq)
+        cents = [
+            (
+                cell,
+                [
+                    _truncdiv(sum(m[p] for m in ms), len(ms))
+                    for p in range(len(cv))
+                ]
+                if (ms := members.get(cell))
+                else cv,
+            )
+            for cell, cv in cents
+        ]
+    return {i: (nearest(vq)[1], nearest(vq)[0]) for i, vq in base}
+
+
+def _round_half_away(x):
+    f = math.floor(abs(x) + 0.5)
+    return f if x >= 0 else -f
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-5, max_value=5, allow_nan=False, width=32
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=3,
+        max_size=24,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    iters=st.integers(min_value=0, max_value=3),
+)
+def test_kmeans_matches_sequential_reference(spark, data, k, iters):
+    rows = [(i, v) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist2_e8"])
+        for r in kmeans_fixed(df, k=k, iters=iters).collect()
+    }
+    assert got == _ref_kmeans(rows, k, iters)
+
+
+def test_empty_cell_keeps_previous_centroid(spark):
+    """Seeds 0 and 1 are identical vectors, so every tie breaks to the
+    lower cell and cell 1 empties on the first assignment; the emptied
+    cell must survive with its previous centroid (deterministic k-cell
+    frame), mirroring the oracle's left-join/coalesce — and stay empty
+    on every later pass."""
+    pts = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),
+        (2, [10.0, 10.0]),
+        (3, [10.0, 10.01]),
+        (4, [10.01, 10.0]),
+        (5, [9.99, 10.0]),
+    ]
+    df = spark.createDataFrame(pts, SCHEMA)
+    out = kmeans_fixed(df, k=3, iters=2).collect()
+    ref = _ref_kmeans(pts, 3, 2)
+    assert {r["vec_id"]: (r["cluster"], r["dist2_e8"]) for r in out} == ref
+    # the duplicate-seed tie always resolves to cell 0; cell 1 is empty
+    assert {r["cluster"] for r in out if r["vec_id"] in (0, 1)} == {0}
+    assert not [r for r in out if r["cluster"] == 1]
+
+
+def test_k_exceeding_n_degenerates_to_identity(spark):
+    pts = [(7, [1.0, 2.0]), (9, [3.0, 4.0])]
+    df = spark.createDataFrame(pts, SCHEMA)
+    out = {r["vec_id"]: r for r in kmeans_fixed(df, k=5, iters=1).collect()}
+    assert len(out) == 2
+    assert all(r["dist2_e8"] == 0 for r in out.values())
+
+
+def test_assignment_output_is_zero_shuffle(spark, sf_dir):
+    """The returned assignment frame is a narrow map over the sealed
+    quantized base — centroids are literal expressions, so the plan
+    must contain NO exchange at all (the 100 TB contract: query-side
+    assignment never shuffles the corpus)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = kmeans_fixed(emb, k=4, iters=1)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_curation_branches_are_group_limited(spark, sf_dir):
+    """Sample and outlier ranks must compile to WindowGroupLimit so
+    each map partition pre-truncates to n rows per cluster before the
+    k-keyed (skew-prone) exchange."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = kmeans_fixed(emb, k=4, iters=1).localCheckpoint(eager=False)
+    for branch in (
+        cluster_sample(assign, n_per=5),
+        cluster_outliers(assign, n_per=5),
+    ):
+        plan = branch._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+
+def test_sample_and_outliers_deterministic_and_bounded(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = kmeans_fixed(emb, k=4, iters=2).localCheckpoint(eager=False)
+    s1 = sorted(
+        (r["cluster"], r["rk"], r["vec_id"])
+        for r in cluster_sample(assign, n_per=7).collect()
+    )
+    s2 = sorted(
+        (r["cluster"], r["rk"], r["vec_id"])
+        for r in cluster_sample(assign, n_per=7).collect()
+    )
+    assert s1 == s2
+    per = {}
+    for c, rk, _ in s1:
+        per[c] = max(per.get(c, 0), rk)
+    assert all(v <= 7 for v in per.values())
+    # outliers: rank 1 carries the cluster's max distance
+    out = cluster_outliers(assign, n_per=3).collect()
+    top = {r["cluster"]: r["dist2_e8"] for r in out if r["rk"] == 1}
+    mx = {
+        r["cluster"]: r["mx"]
+        for r in assign.groupBy("cluster")
+        .agg(F.max("dist2_e8").alias("mx"))
+        .collect()
+    }
+    assert top == mx
+
+
+def test_salt_changes_sample(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = kmeans_fixed(emb, k=2, iters=1).localCheckpoint(eager=False)
+    a = {r["vec_id"] for r in cluster_sample(assign, n_per=10, salt="a").collect()}
+    b = {r["vec_id"] for r in cluster_sample(assign, n_per=10, salt="b").collect()}
+    assert a != b
+
+
+@pytest.mark.parametrize(
+    ("a", "b", "want"),
+    [(7, 2, 3), (-7, 2, -3), (6, 3, 2), (-6, 3, -2), (1, 2, 0), (-1, 2, 0)],
+)
+def test_truncdiv_matches_engines(a, b, want):
+    """Truncation toward zero — what Spark ``div`` and DuckDB ``//``
+    both implement (Python's ``//`` floors, hence the helper)."""
+    assert _truncdiv(a, b) == want
