@@ -2659,6 +2659,24 @@ def cluster_curation_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return samp.unionByName(outl)
 
 
+def kmeans_incremental_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once / assign-forever ingest flow: centroids trained on
+    the 95% standing corpus (vec_id % 20 != 0), persisted as a k-row
+    model table, and the held-out ingest batch assigned against it with
+    the zero-shuffle apply map — no retraining pass over corpus history
+    (operators/clustering.py:kmeans_centroids,kmeans_apply; the
+    ivf_index_build/search precedent)."""
+    from dbt_core_spark.operators.clustering import (
+        kmeans_apply,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = kmeans_centroids(emb.filter("vec_id % 20 != 0"), k=4, iters=2)
+    batch = emb.filter("vec_id % 20 = 0")
+    return kmeans_apply(batch, model)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2671,22 +2689,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict's hard rule — then (b) rows whose results or oracles
     # changed this round, then (c) the least-recently-driver-green
     # rows, so no query goes two rounds unverified when slots allow.
-    # Round 5 window = 2 brand-new rows (the integer-exact k-means
+    # Round 5 window = 3 brand-new rows (the integer-exact k-means
     # clustering tier, second r5 session) + 11 never-verified (the r4
     # first-session rows the verdict flagged, incl. interarrival_stats
     # which its count of "10" missed) + funnel_stream_events (new) +
     # range_join_events (r4-red; oracle HUGEINT cast fixed) +
     # contrastive_pairs/funnel_events (result/oracle changes) + all 7
     # engine_* rows (two rounds stale AND runner event emission changed
-    # in r4) + 26 of the remaining 30 r2-stale rows = exactly 50.
+    # in r4) + 25 of the remaining 30 r2-stale rows = exactly 50.
     # Displaced to lead r6: simhash_docs and cosine_topk_embeddings
     # (same-machinery siblings simhash_pairs / cosine_pairs /
-    # cosine_topk_blas are in-window), pack_sequences_docs and
-    # xdb_datetime_functions (displaced for the 2 new clustering rows —
-    # never-verified outranks stale per the policy hierarchy; the xdb
-    # macro machinery is exercised in-window-adjacent by
-    # generate_series_powers, driver-green r4, and both re-validate at
-    # sf0.01 under the type-strict validator), plus the rows whose only
+    # cosine_topk_blas are in-window), stratified_sample_docs /
+    # pack_sequences_docs / xdb_datetime_functions (displaced for the
+    # 3 new clustering rows — never-verified outranks stale per the
+    # policy hierarchy; the xdb macro machinery is exercised
+    # in-window-adjacent by generate_series_powers, driver-green r4,
+    # stratified_sample's shape by cluster_sample, and all three
+    # re-validate at sf0.01 under the type-strict validator), plus the rows whose only
     # change this round was a result-preserving lineage seal or
     # exact-integer-division rewrite (zorder_orders, skew_report,
     # event_transitions, lexical_stats — each re-validated at sf0.01 by
@@ -2695,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- brand-new this session (never driver-verified — lead) ----
         "kmeans_embeddings": kmeans_embeddings,
         "cluster_curation_embeddings": cluster_curation_embeddings,
+        "kmeans_incremental_embeddings": kmeans_incremental_embeddings,
         # ---- never driver-verified (r4 first-session; lead per the
         # ---- never-verified-always-in-window policy) ----
         "dup_span_cut_docs": dup_span_cut_docs,
@@ -2752,19 +2772,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngram_docs": boilerplate_ngram_docs,
         "decontaminate_docs": decontaminate_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
-        "stratified_sample_docs": stratified_sample_docs,
         # ---------------- past the 50-query gate cap ----------------
-        # displaced for the 2 new clustering rows (lead r6; both
-        # re-validated at sf0.01 by the type-strict validator)
+        # displaced for the 3 new clustering rows (lead r6; all
+        # re-validated at sf0.01 by the type-strict validator;
+        # stratified_sample's md5-ranked per-group machinery is
+        # exercised in-window by cluster_sample, the same plan shape)
+        "stratified_sample_docs": stratified_sample_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "xdb_datetime_functions": xdb_datetime_functions,
         # Rotation policy: the window leads with never-driver-verified
         # and code/oracle-changed rows, then the least-recently-green.
-        # Round 5 window (pinned by the rotation-guard test) = the 2
+        # Round 5 window (pinned by the rotation-guard test) = the 3
         # new clustering rows + the 11 never-verified rows + the new
         # streaming-funnel gate + the r4 red row + 2 result-changed
-        # rows + all 7 engine rows + 26 of the 30 remaining r2-stale
-        # rows.  Displaced (lead r6): pack_sequences_docs /
+        # rows + all 7 engine rows + 25 of the 30 remaining r2-stale
+        # rows.  Displaced (lead r6): stratified_sample_docs /
+        # pack_sequences_docs /
         # xdb_datetime_functions (just above), simhash_docs /
         # cosine_topk_embeddings (their machinery is exercised
         # in-window by simhash_pairs / cosine_pairs +

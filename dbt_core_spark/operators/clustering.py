@@ -53,6 +53,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "kmeans_fixed",
+    "kmeans_centroids",
+    "kmeans_apply",
     "cluster_sample",
     "cluster_outliers",
 ]
@@ -101,24 +103,14 @@ def _nearest(cents: list[tuple[int, list[int]]]) -> Column:
     return F.array_min(cands)
 
 
-def kmeans_fixed(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 8,
-    iters: int = 2,
-) -> DataFrame:
-    """Integer-exact distributed Lloyd k-means; returns one row per
-    input row: (id_col, cluster, dist2_e8) where dist2_e8 is the exact
-    squared L2 distance to the assigned centroid in e4^2 fixed point.
-
-    Init = the k lowest-``id_col`` vectors (deterministic, oracle-
+def _train(base: DataFrame, k: int, iters: int) -> list[tuple[int, list[int]]]:
+    """Lloyd loop over a sealed quantized base; returns the centroid
+    list.  Init = the k lowest-id vectors (deterministic, oracle-
     replayable).  Each iteration: one zero-shuffle assignment pass +
     one k·d-bounded partial-sum shuffle; new centroid coordinate =
     truncdiv(sum, count); empty cells keep their previous centroid.
     Driver state is k·d ints per iteration (MLlib-precedent, cf.
     similarity._materialize_tiny)."""
-    base = _quantize(df, vec_col, id_col).localCheckpoint(eager=False)
     seed = base.orderBy("id").limit(k).collect()  # k rows — bounded
     cents = [(i, list(r["vq"])) for i, r in enumerate(seed)]
     for _ in range(iters):
@@ -136,6 +128,61 @@ def kmeans_fixed(
             (cell, [upd[cell][p] for p in range(len(cv))] if cell in upd else cv)
             for cell, cv in cents
         ]
+    return cents
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Integer-exact distributed Lloyd k-means; returns one row per
+    input row: (id_col, cluster, dist2_e8) where dist2_e8 is the exact
+    squared L2 distance to the assigned centroid in e4^2 fixed point.
+    (Training mechanics: see _train.)"""
+    base = _quantize(df, vec_col, id_col).localCheckpoint(eager=False)
+    m = _nearest(_train(base, k, iters))
+    return base.select(
+        F.col("id").alias(id_col),
+        m["cell"].alias("cluster"),
+        m["d"].alias("dist2_e8"),
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """The persistable model half of the tier: train on today's corpus,
+    write the k-row (cell, cv) table, and assign every future ingest
+    batch with kmeans_apply — no retraining pass over 100 TB of history
+    (the ivf_index_build/search precedent, similarity.py:568).  cv is
+    the e4-quantized centroid (array<bigint>)."""
+    base = _quantize(df, vec_col, id_col).localCheckpoint(eager=False)
+    cents = _train(base, k, iters)
+    return df.sparkSession.createDataFrame(
+        [(cell, cv) for cell, cv in cents], "cell long, cv array<long>"
+    )
+
+
+def kmeans_apply(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign-only: collect the tiny centroid table (k rows — bounded,
+    the broadcast-literal precedent) and run the zero-shuffle nearest
+    map over the batch.  Same output contract as kmeans_fixed."""
+    cents = sorted(
+        (r["cell"], list(r["cv"])) for r in centroids.collect()
+    )
+    base = _quantize(df, vec_col, id_col)
     m = _nearest(cents)
     return base.select(
         F.col("id").alias(id_col),

@@ -3084,19 +3084,23 @@ group by 1
 #    e4 bigint quantization, k lowest-vec_id init, argmin ties -> lower
 #    cell, truncating-division centroid update (DuckDB // == Spark div),
 #    empty cells keep previous centroid) --
-def _kmeans_cte(k: int = 4, iters: int = 2) -> str:
-    """WITH-chain replaying the Lloyd loop; ends in CTE ``asg`` =
-    (vec_id, cluster, dist2_e8), all exact bigint arithmetic."""
-    d2 = (
-        "cast(list_sum(list_transform(range(1, len(b.vq) + 1), "
-        "i -> (b.vq[i] - c.cv[i]) * (b.vq[i] - c.cv[i]))) as bigint)"
-    )
+_KM_D2 = (
+    "cast(list_sum(list_transform(range(1, len(b.vq) + 1), "
+    "i -> (b.vq[i] - c.cv[i]) * (b.vq[i] - c.cv[i]))) as bigint)"
+)
+
+
+def _kmeans_cte(k: int = 4, iters: int = 2, where: str = "") -> str:
+    """WITH-chain replaying the Lloyd loop (optionally over a filtered
+    training corpus); ends in CTE ``asg`` = (vec_id, cluster,
+    dist2_e8), all exact bigint arithmetic."""
+    d2 = _KM_D2
     parts = [
         f"""base as (
   select vec_id,
          list_transform(embedding,
            x -> cast(round(cast(x as double) * 10000) as bigint)) as vq
-  from embeddings
+  from embeddings {where}
 ), c0 as (
   select cast(row_number() over (order by vec_id) - 1 as bigint) as cell,
          vq as cv
@@ -3170,5 +3174,30 @@ outl as (
   where rk <= 10
 )
 select * from samp union all select * from outl
+"""
+)
+
+
+# Train-once / assign-forever: centroids trained on the 95% standing
+# corpus (vec_id % 20 <> 0), the held-out ingest batch assigned against
+# the persisted model (mirror of clustering.kmeans_centroids +
+# kmeans_apply; the unreferenced af/asg CTEs are dead code DuckDB
+# never executes).
+ORACLES["kmeans_incremental_embeddings"] = (
+    _kmeans_cte(k=4, iters=2, where="where vec_id % 20 <> 0")
+    + f""",
+bq as (
+  select vec_id,
+         list_transform(embedding,
+           x -> cast(round(cast(x as double) * 10000) as bigint)) as vq
+  from embeddings where vec_id % 20 = 0
+),
+bf as (
+  select vec_id, cell, d2,
+         row_number() over (partition by vec_id order by d2, cell) as rn
+  from (select b.vec_id, c.cell, {_KM_D2} as d2
+        from bq b cross join c2 c) t
+)
+select vec_id, cell as cluster, d2 as dist2_e8 from bf where rn = 1
 """
 )

@@ -149,6 +149,33 @@ def test_assignment_output_is_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_update_shuffle_bounded_by_k_d_partitions(spark, sf_dir):
+    """The per-iteration centroid-update aggregation may shuffle at
+    most k·d partial sums per map partition (map-side combine over
+    (cell, pos)) — corpus-size-independent, the bound SCALING.md
+    measures across two decades."""
+    from dbt_core_spark.audit import exchange_stats
+    from dbt_core_spark.operators.clustering import _nearest, _quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k, d = 4, 64
+    base = _quantize(emb, "embedding", "vec_id").localCheckpoint(eager=False)
+    seed = [
+        (i, list(r["vq"]))
+        for i, r in enumerate(base.orderBy("id").limit(k).collect())
+    ]
+    upd = (
+        base.select(_nearest(seed)["cell"].alias("cell"), "vq")
+        .select("cell", F.posexplode("vq").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    upd.collect()
+    stats = exchange_stats(upd)
+    parts = spark.sparkContext.defaultParallelism
+    assert 0 < stats["shuffle_records"] <= 2 * k * d * max(parts, 1)
+
+
 def test_curation_branches_are_group_limited(spark, sf_dir):
     """Sample and outlier ranks must compile to WindowGroupLimit so
     each map partition pre-truncates to n rows per cluster before the
@@ -189,6 +216,45 @@ def test_sample_and_outliers_deterministic_and_bounded(spark, sf_dir):
         .collect()
     }
     assert top == mx
+
+
+def test_centroids_plus_apply_equals_fixed(spark, sf_dir):
+    """Persisted-model path: kmeans_centroids -> (write/read round
+    trip) -> kmeans_apply over the SAME corpus must reproduce
+    kmeans_fixed bit-for-bit — train-once/assign-forever is only safe
+    if apply is exactly the final assignment pass."""
+    from dbt_core_spark.operators.clustering import (
+        kmeans_apply,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = kmeans_centroids(emb, k=4, iters=2)
+    path = "/tmp/test_kmeans_model"
+    model.write.mode("overwrite").parquet(path)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist2_e8"])
+        for r in kmeans_apply(emb, spark.read.parquet(path)).collect()
+    }
+    want = {
+        r["vec_id"]: (r["cluster"], r["dist2_e8"])
+        for r in kmeans_fixed(emb, k=4, iters=2).collect()
+    }
+    assert got == want
+
+
+def test_apply_is_zero_shuffle(spark, sf_dir):
+    from dbt_core_spark.operators.clustering import (
+        kmeans_apply,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = kmeans_centroids(emb, k=4, iters=1)
+    out = kmeans_apply(emb.limit(50), model)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_salt_changes_sample(spark, sf_dir):

@@ -373,9 +373,9 @@ def test_gate_window_never_verified_rows_lead():
 
 
 def test_gate_window_r5_composition():
-    """Pins the round-5 window: 2 new clustering rows + 11
+    """Pins the round-5 window: 3 new clustering rows + 11
     never-verified + the new streaming funnel gate + the r4-red range
-    join + the 2 result-changed rows + all 7 engine rows + 26 r2-stale
+    join + the 2 result-changed rows + all 7 engine rows + 25 r2-stale
     fill rows."""
     import __spark_entry__ as e
 
@@ -384,6 +384,7 @@ def test_gate_window_r5_composition():
     must = [
         # brand-new this round (integer-exact k-means clustering tier)
         "kmeans_embeddings", "cluster_curation_embeddings",
+        "kmeans_incremental_embeddings",
         # never driver-verified (r4 first-session + the one the r4
         # verdict's count missed)
         "dup_span_cut_docs", "containment_pairs_docs",
