@@ -80,25 +80,28 @@ def _quantize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
 
 def _nearest(cents: list[tuple[int, list[int]]]) -> Column:
     """struct(dist2, cell) of the nearest centroid, as a narrow
-    zero-shuffle expression: centroids are literal arrays (k·d ints),
+    zero-shuffle expression: the k·d centroid matrix enters as ONE
+    nested-array literal (cell = row index — a k·d expression tree of
+    per-value literals costs visible analysis/codegen time per pass),
     distance is an exact bigint fold, argmin is struct-min (ties →
     lower cell)."""
-    cands = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("vq"),
-                        F.array(*[F.lit(v).cast("long") for v in cv]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(cell).cast("long").alias("cell"),
-            )
-            for cell, cv in cents
-        ]
+    ordered = sorted(cents)
+    assert [c for c, _ in ordered] == list(range(len(ordered)))
+    mat = F.lit([[int(v) for v in cv] for _, cv in ordered])
+    cands = F.transform(
+        mat,
+        lambda cv, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vq"),
+                    cv,
+                    lambda a, b: (a - b.cast("long")) * (a - b.cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.cast("long").alias("cell"),
+        ),
     )
     return F.array_min(cands)
 

@@ -273,3 +273,47 @@ def test_truncdiv_matches_engines(a, b, want):
     """Truncation toward zero — what Spark ``div`` and DuckDB ``//``
     both implement (Python's ``//`` floors, hence the helper)."""
     assert _truncdiv(a, b) == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2, max_value=2, allow_nan=False, width=32
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=4,
+        max_size=16,
+    ),
+    k=st.integers(min_value=2, max_value=3),
+)
+def test_kmeans_oracle_parity_on_random_data(spark, tmp_path_factory, data, k):
+    """Spark kmeans_fixed vs the generated DuckDB oracle CTE on RANDOM
+    vectors — the fixed-corpus gate can't probe the rounding/division/
+    tie-break boundary semantics the way arbitrary floats do (negative
+    sums hit the truncating division; float32 values hit the
+    cast-to-double-then-round rule on both engines)."""
+    import duckdb
+
+    from oracles import _kmeans_cte
+
+    rows = [(i, v) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path_factory.mktemp("kmp") / "emb.parquet")
+    df.write.mode("overwrite").parquet(path)
+    got = sorted(
+        (r["vec_id"], r["cluster"], r["dist2_e8"])
+        for r in kmeans_fixed(df, k=k, iters=2).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"create view embeddings as select * from '{path}/*.parquet'")
+    sql = _kmeans_cte(k=k, iters=2) + "\nselect vec_id, cluster, dist2_e8 from asg"
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want
