@@ -2220,13 +2220,18 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # epoch micros, not raw timestamps: collect() renders TimestampType
     # in the PROCESS-local zone, so a non-UTC driver environment would
     # shift values the DuckDB oracle reads naively (TZ-sweep finding;
-    # funnel_stream_events made the same choice from birth)
+    # funnel_stream_events made the same choice from birth).
+    # try_element_at, NOT element_at: step_ts has steps_completed
+    # entries, and under ANSI mode a partial funnel (every sf corpus
+    # user completes all 3 steps, so only the fuzz suite caught this)
+    # makes plain element_at THROW instead of yielding the oracle's
+    # NULL (gate-fuzz finding, tests/test_gate_fuzz.py).
     return out.select(
         "user_id",
         "steps_completed",
-        F.unix_micros(F.element_at("step_ts", 1)).alias("t1_us"),
-        F.unix_micros(F.element_at("step_ts", 2)).alias("t2_us"),
-        F.unix_micros(F.element_at("step_ts", 3)).alias("t3_us"),
+        F.unix_micros(F.try_element_at("step_ts", F.lit(1))).alias("t1_us"),
+        F.unix_micros(F.try_element_at("step_ts", F.lit(2))).alias("t2_us"),
+        F.unix_micros(F.try_element_at("step_ts", F.lit(3))).alias("t3_us"),
     )
 
 

@@ -116,6 +116,8 @@ def _train(base: DataFrame, k: int, iters: int) -> list[tuple[int, list[int]]]:
     similarity._materialize_tiny)."""
     seed = base.orderBy("id").limit(k).collect()  # k rows — bounded
     cents = [(i, list(r["vq"])) for i, r in enumerate(seed)]
+    if not cents:  # empty corpus — nothing to train
+        return []
     for _ in range(iters):
         assigned = base.select(_nearest(cents)["cell"].alias("cell"), "vq")
         sums = (
@@ -146,7 +148,10 @@ def kmeans_fixed(
     squared L2 distance to the assigned centroid in e4^2 fixed point.
     (Training mechanics: see _train.)"""
     base = _quantize(df, vec_col, id_col).localCheckpoint(eager=False)
-    m = _nearest(_train(base, k, iters))
+    cents = _train(base, k, iters)
+    if not cents:  # empty corpus: a 0-wide literal matrix can't resolve
+        return _empty_assign(base, id_col)
+    m = _nearest(cents)
     return base.select(
         F.col("id").alias(id_col),
         m["cell"].alias("cluster"),
@@ -186,12 +191,23 @@ def kmeans_apply(
         (r["cell"], list(r["cv"])) for r in centroids.collect()
     )
     base = _quantize(df, vec_col, id_col)
+    if not cents:  # empty model table (trained on an empty corpus)
+        return _empty_assign(base, id_col)
     m = _nearest(cents)
     return base.select(
         F.col("id").alias(id_col),
         m["cell"].alias("cluster"),
         m["d"].alias("dist2_e8"),
     )
+
+
+def _empty_assign(base: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row assignment frame with the contract schema."""
+    return base.select(
+        F.col("id").alias(id_col),
+        F.lit(None).cast("long").alias("cluster"),
+        F.lit(None).cast("long").alias("dist2_e8"),
+    ).limit(0)
 
 
 def cluster_sample(

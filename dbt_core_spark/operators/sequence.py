@@ -60,8 +60,14 @@ def funnel(
         raise ValueError(f"unknown funnel strategy {strategy!r}")
     k = len(steps)
     tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    # NULL users are excluded, not pooled: groupBy would fold every
+    # unattributable event into one pseudo-user (and the oracle's
+    # equi-joins can never match NULL) — gate-fuzz finding; same
+    # convention as interarrival_stats
     filtered = df.filter(
-        F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+        F.col(type_col).isin(steps)
+        & F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
     )
     if strategy == "auto":
         # one combinable aggregation: partial counts per partition,

@@ -22,6 +22,7 @@ from typing import Any, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -174,8 +175,12 @@ def funnel_stream(
     processed in ts order WITHIN each micro-batch; an event arriving
     after a later-step event has already advanced the machine does not
     retro-advance it (the standard streaming state-machine contract —
-    batch ``funnel`` is the replayable exact form)."""
-    renamed = df.selectExpr(
+    batch ``funnel`` is the replayable exact form).  NULL users are
+    excluded (they would pool into one pseudo-user state), matching
+    batch ``funnel`` and the equi-join oracle."""
+    renamed = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).selectExpr(
         f"{user_col} as user_id", f"{ts_col} as ts",
         f"{type_col} as event_type")
     return renamed.groupBy("user_id").applyInPandasWithState(

@@ -2355,6 +2355,7 @@ ORACLES["funnel_events"] = """
 with base as (
   select distinct user_id from events
   where event_type in ('view', 'click', 'purchase') and ts is not null
+    and user_id is not null
 ), s1 as (
   select user_id, min(ts) as t1 from events
   where event_type = 'view' group by 1

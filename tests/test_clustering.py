@@ -129,6 +129,26 @@ def test_empty_cell_keeps_previous_centroid(spark):
     assert not [r for r in out if r["cluster"] == 1]
 
 
+def test_empty_input_yields_empty_contract_frame(spark):
+    """Empty corpus (or a model trained on one): every path returns a
+    0-row frame with the (id, cluster, dist2_e8) schema instead of an
+    unresolvable 0-wide literal matrix."""
+    from dbt_core_spark.operators.clustering import (
+        kmeans_apply,
+        kmeans_centroids,
+    )
+
+    empty = spark.createDataFrame([], SCHEMA)
+    out = kmeans_fixed(empty, k=3, iters=2)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "cluster", "dist2_e8"]
+    model = kmeans_centroids(empty, k=3, iters=1)
+    assert model.collect() == []
+    batch = spark.createDataFrame([(1, [1.0, 2.0])], SCHEMA)
+    assert kmeans_apply(batch, model).collect() == []
+
+
 def test_k_exceeding_n_degenerates_to_identity(spark):
     pts = [(7, [1.0, 2.0]), (9, [3.0, 4.0])]
     df = spark.createDataFrame(pts, SCHEMA)

@@ -1,0 +1,152 @@
+"""Gate-vs-oracle FUZZING: random corpora driven through the real
+driver contract (queries()[k] vs oracle_sql()[k] via the validator's
+own compare) instead of the fixed testdata.
+
+The fixed sf corpora can silently under-exercise a gate — the r5
+ADVICE found funnel_events' oracle disagreed with the operator on
+users whose only funnel events have NULL ts, a row class the testdata
+happens not to contain.  This suite generates small corpora with
+exactly those hostile row classes (NULL ts/user_id/value, duplicate
+timestamps, empty/whitespace/unicode text, duplicate documents) and
+asserts Spark and DuckDB still agree bit-for-bit.
+
+Corpora are written with pyarrow using the driver testdata's physical
+types (naive TIMESTAMP_MICROS for events.ts — the NTZ form _t
+normalizes), so the fuzz exercises the same read path as the gate."""
+
+import importlib.util
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import __spark_entry__ as em
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "_validate_oracles_for_fuzz",
+    os.path.join(_ROOT, "scripts", "validate_oracles.py"),
+)
+_vo = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_vo)
+
+# events-only gates, cheap enough to run per-example
+EVENT_GATES = [
+    "funnel_events",
+    "interarrival_stats_events",
+    "event_transitions_events",
+    "cohort_retention_events",
+    "hourly_event_rollup",
+    "range_join_events",
+]
+# documents-only gates
+DOC_GATES = [
+    "token_counts_docs",
+    "normalize_text_docs",
+    "detect_script_docs",
+    "lexical_stats_docs",
+    "dedup_exact_docs",
+]
+
+_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+
+
+def _check(spark, tmpdir, con, names):
+    qs, osql = em.queries(), em.oracle_sql()
+    for name in names:
+        ok, msg = _vo.compare(name, spark, con, tmpdir, qs[name], osql[name])
+        assert ok, f"{name}: {msg}"
+
+
+_events_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3 * 24 * 3600)),  # ts offset s
+        st.one_of(st.none(), st.integers(1, 4)),              # user_id
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False,
+                                       width=32)),            # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_events_rows)
+def test_event_gates_on_hostile_corpora(spark, tmp_path_factory, rows):
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_ev"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [None if r[0] is None else _BASE_US + r[0] * 1_000_000
+                 for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(
+                ['{"k": %d}' % (i % 7) for i in range(len(rows))],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{tmpdir}/events.parquet'"
+    )
+    _check(spark, tmpdir, con, EVENT_GATES)
+
+
+_doc_text = st.one_of(
+    st.just(""),
+    st.just("   "),
+    st.text(alphabet="ab .,\n", max_size=60),
+    st.text(max_size=40),  # arbitrary unicode incl. CJK/Cyrillic/emoji
+    st.just("the the the same same words words words repeated"),
+)
+_docs_rows = st.lists(
+    st.tuples(_doc_text, st.sampled_from(["en", "de", "xx"])),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows, dup=st.booleans())
+def test_doc_gates_on_hostile_corpora(spark, tmp_path_factory, rows, dup):
+    if dup and rows:  # force exact-duplicate texts for the dedup gate
+        rows = rows + rows[:3]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_doc"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([r[0] for r in rows], pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array(
+                [["web", "books", "code"][i % 3] for i in range(len(rows))],
+                pa.string(),
+            ),
+            "n_chars": pa.array([len(r[0]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{tmpdir}/documents.parquet'"
+    )
+    _check(spark, tmpdir, con, DOC_GATES)
