@@ -816,15 +816,17 @@ def dynamic_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame pivot with explicit value list (deterministic column
     set) — the relational PIVOT operator."""
     ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
     return (
         ev.groupBy("user_id")
-        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .pivot("event_type", kinds)
         .count()
-        .na.fill(0)
+        # subset: a bare na.fill(0) would also clobber a NULL user_id
+        # group key to 0 (gate-fuzz finding)
+        .na.fill(0, subset=kinds)
         .select(
             "user_id",
-            *[F.col(c).cast("bigint").alias(f"n_{c}")
-              for c in ["click", "view", "purchase", "signup", "error"]],
+            *[F.col(c).cast("bigint").alias(f"n_{c}") for c in kinds],
         )
     )
 
@@ -1954,9 +1956,14 @@ def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # materialize the split once: referencing split(text) inside the
     # transform lambda re-evaluates it per line (~33x/doc) — measured
-    # 2x slower at sf0.1
+    # 2x slower at sf0.1.  Embedded newlines are flattened first: a
+    # reflowed "line" carrying its own \n would split again inside
+    # line_dedup while the oracle counts word-slice lines (gate-fuzz
+    # finding; testdata is single-line so the sf gate never saw it).
     return (
-        docs.withColumn("ws", F.split(F.col("text"), " "))
+        docs.withColumn(
+            "ws", F.split(F.regexp_replace(F.col("text"), "\n", " "), " ")
+        )
         .withColumn(
             "text",
             F.expr(

@@ -77,11 +77,15 @@ def cosine_pairs(
     or ``cosine_topk_blas`` (exact, matmul-batched, auto-sharded).
 
     Norms are computed per ROW below the join (n folds), not per pair
-    (n² folds) — same float expression dot/(na*nb), 3× less work."""
+    (n² folds) — same float expression dot/(na*nb), 3× less work.
+    Zero-norm vectors are excluded BEFORE the join: cosine is undefined
+    for them, the SQL oracle's NULL division result silently drops such
+    pairs, and Spark's ANSI mode would instead throw DIVIDE_BY_ZERO
+    (gate-fuzz finding)."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                  _norm(F.col(vec_col)).alias("na"))
+                  _norm(F.col(vec_col)).alias("na")).filter(F.col("na") > 0)
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                  _norm(F.col(vec_col)).alias("nb"))
+                  _norm(F.col(vec_col)).alias("nb")).filter(F.col("nb") > 0)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine",

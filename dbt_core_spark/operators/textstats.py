@@ -286,7 +286,11 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                 "dup_word_frac"),
             "top_bigram",
             F.col("top_bigram_count").cast("bigint").alias("top_bigram_count"),
-            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            # 0, not NULL, for sub-2-word docs (the oracle's n_words-1
+            # identity; gate-fuzz finding) — the frac below keeps the
+            # nullable denominator so no ANSI divide-by-zero can fire
+            F.coalesce(F.col("n_bigrams").cast("bigint"), F.lit(0)).alias(
+                "n_bigrams"),
             (F.col("top_bigram_count") / F.col("n_bigrams")).alias(
                 "top_bigram_frac"),
         )

@@ -899,8 +899,11 @@ select doc_id, lang, n_chars from documents
 qualify row_number() over (partition by md5(text) order by doc_id) = 1
 """
 
+# coalesce: DuckDB array_to_string([], ' ') is NULL where Spark
+# concat_ws(' ', []) is '' — an empty-normalized doc must fingerprint
+# as md5('') on both engines (gate-fuzz finding)
 ORACLES["dedup_fingerprint_docs"] = f"""
-select doc_id, md5(array_to_string({_WORDS}, ' ')) as fingerprint
+select doc_id, md5(coalesce(array_to_string({_WORDS}, ' '), '')) as fingerprint
 from documents
 """
 
@@ -1633,11 +1636,13 @@ _LINED = """
 lines0 as (
     select doc_id,
            i as pos,
-           array_to_string(list_slice(string_split(text, ' '),
-                                      i * 3 + 1, i * 3 + 3), ' ') as line
+           array_to_string(list_slice(
+               string_split(replace(text, chr(10), ' '), ' '),
+               i * 3 + 1, i * 3 + 3), ' ') as line
     from documents,
          unnest(generate_series(
-             0, cast(floor((len(string_split(text, ' ')) - 1) / 3) as int)
+             0, cast(floor((len(string_split(replace(text, chr(10), ' '),
+                                             ' ')) - 1) / 3) as int)
          )) as t(i)
     where text is not null
 ), lines as (

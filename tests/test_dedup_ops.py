@@ -37,7 +37,10 @@ def test_repetition_stats(spark):
     assert out[1]["top_bigram"] == "b a" and out[1]["top_bigram_count"] == 2
     assert abs(out[1]["top_bigram_frac"] - 0.5) < 1e-12
     assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_bigram_count"] == 1
-    assert out[3]["top_bigram"] is None and out[3]["n_bigrams"] is None
+    # sub-2-word doc: 0 bigrams (the oracle's n_words-1 identity —
+    # gate-fuzz alignment), no top bigram, NULL frac
+    assert out[3]["top_bigram"] is None and out[3]["n_bigrams"] == 0
+    assert out[3]["top_bigram_frac"] is None
 
 
 def test_cap_per_group(spark):

@@ -42,6 +42,11 @@ EVENT_GATES = [
     "cohort_retention_events",
     "hourly_event_rollup",
     "range_join_events",
+    "count_anomalies_events",
+    "journey_paths_events",
+    "skew_report_events",
+    "quantile_sketch_events",
+    "dynamic_pivot_events",
 ]
 # documents-only gates
 DOC_GATES = [
@@ -50,6 +55,35 @@ DOC_GATES = [
     "detect_script_docs",
     "lexical_stats_docs",
     "dedup_exact_docs",
+    "text_quality_docs",
+    "language_id_docs",
+    "pii_scrub_docs",
+    "dedup_fingerprint_docs",
+    "ngram_jaccard_docs",
+    "gopher_repetition_docs",
+    "winnow_fingerprint_docs",
+    "line_dedup_docs",
+    "chunk_documents_docs",
+    "assign_splits_docs",
+]
+# corpus-trained / multi-stage document gates — pricier per example,
+# fuzzed at lower example count
+DOC_GATES_HEAVY = [
+    "tfidf_top_terms_docs",
+    "classifier_score_docs",
+    "hash_embed_docs",
+    "dsir_score_docs",
+]
+# embeddings-only gates (zero-norm and duplicate vectors are the
+# hostile classes: cosine denominators, argmin ties, empty cells)
+EMB_GATES = [
+    "quantize_embeddings_int8",
+    "gram_matrix_embeddings",
+    "random_projection_embeddings",
+    "kmeans_embeddings",
+    "cluster_curation_embeddings",
+    "kmeans_incremental_embeddings",
+    "cosine_pairs_embeddings",
 ]
 
 _BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
@@ -122,16 +156,7 @@ _docs_rows = st.lists(
 )
 
 
-@settings(
-    max_examples=6,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
-@given(rows=_docs_rows, dup=st.booleans())
-def test_doc_gates_on_hostile_corpora(spark, tmp_path_factory, rows, dup):
-    if dup and rows:  # force exact-duplicate texts for the dedup gate
-        rows = rows + rows[:3]
-    tmpdir = str(tmp_path_factory.mktemp("fuzz_doc"))
+def _write_docs(tmpdir, rows):
     tbl = pa.table(
         {
             "doc_id": pa.array(range(len(rows)), pa.int64()),
@@ -149,4 +174,72 @@ def test_doc_gates_on_hostile_corpora(spark, tmp_path_factory, rows, dup):
     con.execute(
         f"create view documents as select * from '{tmpdir}/documents.parquet'"
     )
+    return con
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows, dup=st.booleans())
+def test_doc_gates_on_hostile_corpora(spark, tmp_path_factory, rows, dup):
+    if dup and rows:  # force exact-duplicate texts for the dedup gate
+        rows = rows + rows[:3]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_doc"))
+    con = _write_docs(tmpdir, rows)
     _check(spark, tmpdir, con, DOC_GATES)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows)
+def test_heavy_doc_gates_on_hostile_corpora(spark, tmp_path_factory, rows):
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_doch"))
+    con = _write_docs(tmpdir, rows)
+    _check(spark, tmpdir, con, DOC_GATES_HEAVY)
+
+
+_emb_rows = st.lists(
+    st.lists(
+        st.floats(min_value=-3, max_value=3, allow_nan=False, width=32),
+        min_size=64,
+        max_size=64,
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows, zero_first=st.booleans(), dup=st.booleans())
+def test_embedding_gates_on_hostile_corpora(
+    spark, tmp_path_factory, vecs, zero_first, dup
+):
+    if zero_first and vecs:  # all-zero vector: norm-0 denominators
+        vecs = [[0.0] * 64] + vecs[1:]
+    if dup and vecs:  # exact duplicates: distance/argmin ties
+        vecs = vecs + vecs[:2]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_emb"))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(
+                [i % 3 for i in range(len(vecs))], pa.int32()
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from '{tmpdir}/embeddings.parquet'"
+    )
+    _check(spark, tmpdir, con, EMB_GATES)
