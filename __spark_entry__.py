@@ -793,8 +793,12 @@ def stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         select l_returnflag,
                n,
                sq / n / 1.0 as mean_qty,
-               (sq2 - sq * sq / n / 1.0) / (n - 1) as var_qty,
-               sqrt((sq2 - sq * sq / n / 1.0) / (n - 1)) as stddev_qty
+               -- nullif: a singleton group's sample variance is
+               -- undefined; DuckDB's float division yields NULL where
+               -- Spark ANSI would throw DIVIDE_BY_ZERO (gate-fuzz
+               -- finding)
+               (sq2 - sq * sq / n / 1.0) / nullif(n - 1, 0) as var_qty,
+               sqrt((sq2 - sq * sq / n / 1.0) / nullif(n - 1, 0)) as stddev_qty
         from s
     """)
 

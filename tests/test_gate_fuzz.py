@@ -74,6 +74,21 @@ DOC_GATES_HEAVY = [
     "hash_embed_docs",
     "dsir_score_docs",
 ]
+# orders/lineitem gates — the hostile class here is TIES: tiny value
+# domains make duplicate (custkey, totalprice, date) rows abundant, so
+# any window or argmax without a total-order tiebreak diverges between
+# engines
+RELATIONAL_GATES = [
+    "unpivot_status_counts",
+    "set_ops_statuses",
+    "map_struct_status_counts",
+    "running_revenue_by_customer",
+    "window_top3_orders_per_customer",
+    "stats_by_returnflag",
+    "rollup_quantity",
+    "q4_order_priority",
+    "zorder_orders",
+]
 # embeddings-only gates (zero-norm and duplicate vectors are the
 # hostile classes: cosine denominators, argmin ties, empty cells)
 EMB_GATES = [
@@ -201,6 +216,100 @@ def test_heavy_doc_gates_on_hostile_corpora(spark, tmp_path_factory, rows):
     tmpdir = str(tmp_path_factory.mktemp("fuzz_doch"))
     con = _write_docs(tmpdir, rows)
     _check(spark, tmpdir, con, DOC_GATES_HEAVY)
+
+
+_order_rows = st.lists(
+    st.tuples(
+        st.integers(1, 3),                       # o_custkey (dups)
+        st.sampled_from(["O", "F", "P"]),
+        st.sampled_from([100.0, 250.5, 99.99]),  # ties by design
+        st.integers(0, 4),                        # day offset (ties)
+        st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+    ),
+    min_size=0,
+    max_size=30,
+)
+_line_rows = st.lists(
+    st.tuples(
+        st.integers(0, 29),                       # l_orderkey ref
+        st.sampled_from([1.0, 25.0, 50.0]),       # l_quantity
+        st.sampled_from([100.0, 2000.5]),         # l_extendedprice
+        st.sampled_from([0.0, 0.05, 0.1]),        # l_discount
+        st.sampled_from(["A", "N", "R"]),
+        st.sampled_from(["O", "F"]),
+        st.integers(0, 4),                        # shipdate offset
+    ),
+    min_size=0,
+    max_size=40,
+)
+_ORD_US = 1_644_105_600_000_000  # 1995-02-06-ish epoch — within the
+_DAY_US = 86_400_000_000          # testdata's 1995-2001 date domain
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(orows=_order_rows, lrows=_line_rows)
+def test_relational_gates_on_tied_corpora(
+    spark, tmp_path_factory, orows, lrows
+):
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_rel"))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(orows)), pa.int64()),
+                "o_custkey": pa.array([r[0] for r in orows], pa.int64()),
+                "o_orderstatus": pa.array([r[1] for r in orows], pa.string()),
+                "o_totalprice": pa.array([r[2] for r in orows], pa.float64()),
+                "o_orderdate": pa.array(
+                    [_ORD_US + r[3] * _DAY_US for r in orows],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    [r[4] for r in orows], pa.string()
+                ),
+            }
+        ),
+        f"{tmpdir}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lrows], pa.int64()),
+                "l_partkey": pa.array(
+                    [i % 5 for i in range(len(lrows))], pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    [i % 3 for i in range(len(lrows))], pa.int64()
+                ),
+                "l_linenumber": pa.array(range(len(lrows)), pa.int32()),
+                "l_quantity": pa.array([r[1] for r in lrows], pa.float64()),
+                "l_extendedprice": pa.array(
+                    [r[2] for r in lrows], pa.float64()
+                ),
+                "l_discount": pa.array([r[3] for r in lrows], pa.float64()),
+                "l_tax": pa.array(
+                    [0.08 if i % 2 else 0.0 for i in range(len(lrows))],
+                    pa.float64(),
+                ),
+                "l_returnflag": pa.array([r[4] for r in lrows], pa.string()),
+                "l_linestatus": pa.array([r[5] for r in lrows], pa.string()),
+                "l_shipdate": pa.array(
+                    [_ORD_US + r[6] * _DAY_US for r in lrows],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        f"{tmpdir}/lineitem.parquet",
+    )
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"create view {t} as select * from '{tmpdir}/{t}.parquet'"
+        )
+    _check(spark, tmpdir, con, RELATIONAL_GATES)
 
 
 _emb_rows = st.lists(
