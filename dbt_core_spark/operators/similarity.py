@@ -110,12 +110,16 @@ def cosine_topk(
 
     **TEST-SCALE ONLY** — row-expression all-pairs scoring; use
     ``cosine_topk_blas`` (same exact results, matmul-batched,
-    auto-sharded past the driver budget) in production."""
+    auto-sharded past the driver budget) in production.
+
+    Zero-norm vectors are excluded on both sides (cosine is undefined;
+    the cosine_pairs convention — ANSI would otherwise throw)."""
     corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"),
-                       _norm(F.col(vec_col)).alias("nb"))
+                       _norm(F.col(vec_col)).alias("nb")).filter(F.col("nb") > 0)
     q = (queries or df).select(F.col(id_col).alias("query_id"),
                                F.col(vec_col).alias("va"),
-                               _norm(F.col(vec_col)).alias("na"))
+                               _norm(F.col(vec_col)).alias("na")).filter(
+                                   F.col("na") > 0)
     scored = (
         q.join(corpus, F.col("query_id") != F.col("nbr_id"))
         .withColumn("cosine",
@@ -157,10 +161,19 @@ def cosine_topk_blas(
 
     Results equal ``cosine_topk`` to BLAS-vs-sequential-fold float
     error (~1e-15); ``cosine`` is rounded to 9 dp so downstream
-    comparisons are reduction-order-independent."""
+    comparisons are reduction-order-independent.
+
+    Zero-norm vectors are excluded on both sides BEFORE the matmul
+    (cosine undefined; the cosine_pairs convention) — previously they
+    were dropped only implicitly by the nan/isfinite guard inside the
+    kernel (gate-fuzz finding)."""
     import numpy as np
     import pandas as pd
 
+    nz = _norm(F.col(vec_col)) > 0
+    df = df.filter(nz)
+    if queries is not None:
+        queries = queries.filter(nz)
     spark = df.sparkSession
     n_corpus = df.count()
     if n_corpus > max_driver_rows:
@@ -168,6 +181,10 @@ def cosine_topk_blas(
             df, vec_col, id_col, k, queries, n_corpus, shard_rows
         )
     corpus_pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    if len(corpus_pdf) == 0:  # empty (or all-zero-norm) corpus
+        return spark.createDataFrame(
+            [], "query_id long, nbr_id long, cosine double, rank int"
+        )
     ids = corpus_pdf["id"].to_numpy()
     M = np.array(corpus_pdf["v"].tolist(), dtype=np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
@@ -483,6 +500,9 @@ def ivf_topk_blas(
     branch.  With kmeans_iters=0 the centroids are the deterministic
     id-ordered seed sample and the whole path has an exact SQL oracle
     (see ann_ivf_blas_topk_embeddings)."""
+    # zero-norm vectors excluded (cosine undefined; the
+    # cosine_pairs convention -- gate-fuzz finding)
+    df = df.filter(_norm(F.col(vec_col)) > 0)
     import numpy as np
     import pandas as pd
 
@@ -602,6 +622,9 @@ def ivf_index_build(
     ``mapInPandas`` matmul pass.  With ``kmeans_iters=0`` the centroids
     are the deterministic seed sample, giving the whole index+search
     composition an exact SQL oracle (ann_ivf_index_query gate row)."""
+    # zero-norm vectors excluded (cosine undefined; the
+    # cosine_pairs convention -- gate-fuzz finding)
+    df = df.filter(_norm(F.col(vec_col)) > 0)
     import numpy as np
     import pandas as pd
 
@@ -676,6 +699,9 @@ def ivf_index_search(
     self-matches are excluded, like ``ivf_topk_blas``.
 
     Returns (query_id, nbr_id, cosine, rank), rank ≤ k per query."""
+    # zero-norm vectors excluded (cosine undefined; the
+    # cosine_pairs convention -- gate-fuzz finding)
+    queries = queries.filter(_norm(F.col(vec_col)) > 0)
     import numpy as np
     import pandas as pd
 
@@ -759,6 +785,9 @@ def semantic_dedup_incremental(
     Returns (vec_id, keeper_id, cosine, cell) — one row per duplicate
     batch vector; deterministic (min-struct keeper, 6-dp rounding),
     exact SQL oracle when the index was built with kmeans_iters=0."""
+    # zero-norm vectors excluded (cosine undefined; the
+    # cosine_pairs convention -- gate-fuzz finding)
+    batch = batch.filter(_norm(F.col(vec_col)) > 0)
     import numpy as np
     import pandas as pd
 
@@ -881,7 +910,9 @@ def lsh_cosine_topk(
     Tune (planes, tables) per corpus: more planes → smaller buckets
     (cheaper), more tables → higher recall.  Candidate distances are
     computed once per distinct pair.  (Approximate — no SQL oracle.)
-    """
+    Zero-norm vectors are excluded (cosine undefined; the
+    cosine_pairs convention)."""
+    df = df.filter(_norm(F.col(vec_col)) > 0)
     buckets = F.array(
         *[
             F.struct(
@@ -991,6 +1022,9 @@ def ivf_topk(
     re-attached by an id-join afterwards, so the wide arrays never go
     through the top-k window; the pair scoring shuffles on ``cell``
     (bounded by n_probe × n/n_cells candidates per query)."""
+    # zero-norm vectors excluded (cosine undefined; the
+    # cosine_pairs convention -- gate-fuzz finding)
+    df = df.filter(_norm(F.col(vec_col)) > 0)
     from dbt_core_spark.operators.dedup import ensure_parallelism
 
     n_cells, _ = _resolve_n_cells(df, n_cells, max_cell_rows)
@@ -1120,6 +1154,9 @@ def semantic_dedup(
     by id — fully deterministic, which is what the SQL oracle mirrors
     (same convention as ivf_topk's oracle).
     """
+    # zero-norm vectors excluded (cosine undefined; the
+    # cosine_pairs convention -- gate-fuzz finding)
+    df = df.filter(_norm(F.col(vec_col)) > 0)
     n_cells, rows = _resolve_n_cells(df, n_cells, max_cell_rows)
     if rows is None:
         rows = df.count()
@@ -1229,6 +1266,9 @@ def semantic_dedup_blas(
     Float path differs from the fold variant only in summation order
     (BLAS vs sequential) — identical after 6-dp rounding, same oracle.
     """
+    # zero-norm vectors excluded (cosine undefined; the
+    # cosine_pairs convention -- gate-fuzz finding)
+    df = df.filter(_norm(F.col(vec_col)) > 0)
     import numpy as np
     import pandas as pd
 
@@ -1246,6 +1286,10 @@ def semantic_dedup_blas(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id").limit(fit_sample).toPandas()
     )
+    if len(spdf) == 0:  # empty corpus: nothing to cluster or dedup
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, keeper_id long, cosine double, cell long"
+        )
     sample = np.array(spdf["v"].tolist(), dtype=np.float64)
     # cells keep the fold variant's labels: the seed centroid's original
     # id (seed_cents convention — what the shared SQL oracle emits)
@@ -1440,6 +1484,9 @@ def ivf_index_append(
     build, so appended assignments are bit-identical to what a full
     rebuild would assign (the gate row proves it against the SQL
     oracle)."""
+    # zero-norm vectors excluded (cosine undefined; the
+    # cosine_pairs convention -- gate-fuzz finding)
+    batch = batch.filter(_norm(F.col(vec_col)) > 0)
     import numpy as np
     import pandas as pd
 

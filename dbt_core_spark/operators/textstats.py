@@ -316,10 +316,14 @@ def cap_per_group(df: DataFrame, group_col: str = "source",
 def _ngram_array(words, n: int):
     """n-gram array via n shifted slices folded with zip_with — never
     element_at-in-lambda, which re-references the array per gram and
-    goes quadratic under Catalyst expression inlining."""
-    out = F.slice(words, 1, F.size(words) - (n - 1))
+    goes quadratic under Catalyst expression inlining.  The slice
+    length is clamped at 0: a sub-n-word doc yields an empty gram
+    array, where the raw negative length THROWS under ANSI
+    (gate-fuzz finding)."""
+    length = F.greatest(F.lit(0), F.size(words) - (n - 1))
+    out = F.slice(words, 1, length)
     for i in range(1, n):
-        nxt = F.slice(words, i + 1, F.size(words) - (n - 1))
+        nxt = F.slice(words, i + 1, length)
         out = F.zip_with(out, nxt, lambda a, b: F.concat_ws(" ", a, b))
     return out
 

@@ -150,6 +150,11 @@ from h
 _COSINE_CTE = """
 with v as (
     select vec_id, embedding::DOUBLE[] as e from embeddings
+    -- zero-norm vectors carry no direction: excluded on both sides of
+    -- every cosine pairing, matching the operators' norm > 0 filters
+    -- (gate-fuzz finding; DuckDB's NULL division used to hide them as
+    -- never-matching rows, Spark ANSI throws)
+    where list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ), p as (
     select a.vec_id as id_a, b.vec_id as id_b,
            list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
@@ -1021,6 +1026,7 @@ with v0 as (
     select vec_id, embedding::DOUBLE[] as e from embeddings
 ), v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
+    where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
 ), cents as (
     select vec_id as cell, e as ce, vn as cn
     from v order by vec_id limit 16
@@ -1062,6 +1068,7 @@ with v0 as (
     select vec_id, embedding::DOUBLE[] as e from embeddings
 ), v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
+    where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
 ), cents as (
     select vec_id as cell, e as ce, vn as cn
     from v order by vec_id limit 16
@@ -1802,6 +1809,7 @@ with v0 as (
     select vec_id, embedding::DOUBLE[] as e from embeddings
 ), v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
+    where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
 ), corpus as (
     select * from v where vec_id % 20 <> 0
 ), batch as (
@@ -1919,6 +1927,7 @@ with v0 as (
 ),
 v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
+    where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
 ),
 cents as (
     select vec_id as cell, e as ce, vn as cn
@@ -2114,6 +2123,7 @@ with v0 as (
     select vec_id, embedding::DOUBLE[] as e from embeddings
 ), v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
+    where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
 ), cents as (
     select vec_id as cell, e as ce, vn as cn
     from v where vec_id % 20 <> 0 order by vec_id limit 16
@@ -2544,10 +2554,12 @@ with w as (
   where rk <= 256
 )
 select cast(count(*) as bigint) as n_union_k,
-       cast(sum(case when ia = 1 and ib = 1 then 1 else 0 end) as bigint)
-           as n_common,
+       -- coalesce: empty corpora must report 0 common, not NULL (the
+       -- operator's documented choice; gate-fuzz finding)
+       cast(coalesce(sum(case when ia = 1 and ib = 1 then 1 else 0 end), 0)
+            as bigint) as n_common,
        cast(sum(case when ia = 1 and ib = 1 then 1 else 0 end) as double)
-           / count(*) as jaccard_est
+           / nullif(count(*), 0) as jaccard_est
 from topu
 """
 

@@ -74,6 +74,19 @@ DOC_GATES_HEAVY = [
     "hash_embed_docs",
     "dsir_score_docs",
 ]
+# heaviest document gates (span dedup, sketches, corpus-trained BPE/PMI)
+DOC_GATES_HEAVY2 = [
+    "dup_span_docs",
+    "dup_span_cut_docs",
+    "containment_pairs_docs",
+    "decontaminate_docs",
+    "boilerplate_ngram_docs",
+    "cms_heavy_words",
+    "kmv_jaccard_sources",
+    "bpe_token_counts_docs",
+    "pmi_collocations_docs",
+    "curriculum_order_docs",
+]
 # orders/lineitem gates — the hostile class here is TIES: tiny value
 # domains make duplicate (custkey, totalprice, date) rows abundant, so
 # any window or argmax without a total-order tiebreak diverges between
@@ -218,6 +231,22 @@ def test_heavy_doc_gates_on_hostile_corpora(spark, tmp_path_factory, rows):
     _check(spark, tmpdir, con, DOC_GATES_HEAVY)
 
 
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows, dup=st.booleans())
+def test_heaviest_doc_gates_on_hostile_corpora(
+    spark, tmp_path_factory, rows, dup
+):
+    if dup and rows:  # duplicated texts feed the span/containment tier
+        rows = rows + rows[: len(rows) // 2 + 1]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_doch2"))
+    con = _write_docs(tmpdir, rows)
+    _check(spark, tmpdir, con, DOC_GATES_HEAVY2)
+
+
 _order_rows = st.lists(
     st.tuples(
         st.integers(1, 3),                       # o_custkey (dups)
@@ -323,20 +352,7 @@ _emb_rows = st.lists(
 )
 
 
-@settings(
-    max_examples=4,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
-@given(vecs=_emb_rows, zero_first=st.booleans(), dup=st.booleans())
-def test_embedding_gates_on_hostile_corpora(
-    spark, tmp_path_factory, vecs, zero_first, dup
-):
-    if zero_first and vecs:  # all-zero vector: norm-0 denominators
-        vecs = [[0.0] * 64] + vecs[1:]
-    if dup and vecs:  # exact duplicates: distance/argmin ties
-        vecs = vecs + vecs[:2]
-    tmpdir = str(tmp_path_factory.mktemp("fuzz_emb"))
+def _write_embeddings(tmpdir, vecs):
     tbl = pa.table(
         {
             "vec_id": pa.array(range(len(vecs)), pa.int64()),
@@ -351,4 +367,55 @@ def test_embedding_gates_on_hostile_corpora(
     con.execute(
         f"create view embeddings as select * from '{tmpdir}/embeddings.parquet'"
     )
+    return con
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows, zero_first=st.booleans(), dup=st.booleans())
+def test_embedding_gates_on_hostile_corpora(
+    spark, tmp_path_factory, vecs, zero_first, dup
+):
+    if zero_first and vecs:  # all-zero vector: norm-0 denominators
+        vecs = [[0.0] * 64] + vecs[1:]
+    if dup and vecs:  # exact duplicates: distance/argmin ties
+        vecs = vecs + vecs[:2]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_emb"))
+    con = _write_embeddings(tmpdir, vecs)
     _check(spark, tmpdir, con, EMB_GATES)
+
+
+# the ANN tier: BLAS matmul batches, IVF cell probing, SemDeDup folds,
+# PQ codebooks — all exact-oracle'd at kmeans_iters=0; duplicate and
+# zero-norm vectors hit argmin ties and cosine denominators inside
+# numpy as well as JVM expressions
+ANN_GATES = [
+    "cosine_topk_blas_embeddings",
+    "ann_ivf_topk_embeddings",
+    "semantic_dedup_embeddings",
+    "semantic_dedup_blas_embeddings",
+    "pq_encode_embeddings",
+    "pq_search_embeddings",
+    "ivfpq_search_embeddings",
+]
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows, zero_first=st.booleans(), dup=st.booleans())
+def test_ann_gates_on_hostile_corpora(
+    spark, tmp_path_factory, vecs, zero_first, dup
+):
+    if zero_first and vecs:
+        vecs = [[0.0] * 64] + vecs[1:]
+    if dup and vecs:
+        vecs = vecs + vecs[:2]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_ann"))
+    con = _write_embeddings(tmpdir, vecs)
+    _check(spark, tmpdir, con, ANN_GATES)
