@@ -102,6 +102,42 @@ RELATIONAL_GATES = [
     "q4_order_priority",
     "zorder_orders",
 ]
+# the full TPC-H join suite + xdb macro gates, runnable on the seven
+# relational tables; hostile classes: DANGLING foreign keys, empty
+# dimensions, tie-saturated ORDER BY ... LIMIT revenues
+TPCH_GATES = [
+    "q1_pricing_summary",
+    "q2_min_price_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_or_predicates",
+    "q20_part_share_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_avg_filter",
+    "customers_without_orders",
+    "lateral_top3_orders_per_segment",
+    "recursive_month_revenue",
+    "pivot_status_by_priority",
+    "percentiles_by_group",
+    "xdb_datetime_functions",
+    "xdb_string_functions",
+    "xdb_listagg_nations",
+    "xdb_date_spine",
+    "xdb_arrays",
+]
 # embeddings-only gates (zero-norm and duplicate vectors are the
 # hostile classes: cosine denominators, argmin ties, empty cells)
 EMB_GATES = [
@@ -339,6 +375,127 @@ def test_relational_gates_on_tied_corpora(
             f"create view {t} as select * from '{tmpdir}/{t}.parquet'"
         )
     _check(spark, tmpdir, con, RELATIONAL_GATES)
+
+
+_cust_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from([-100.0, 0.0, 500.5]),
+              st.sampled_from(["BUILDING", "AUTOMOBILE"])),
+    min_size=0, max_size=8,
+)
+_supp_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from([-10.0, 300.5])),
+    min_size=0, max_size=5,
+)
+_part_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["Brand#12", "Brand#23"]),
+        st.sampled_from(["PROMO BURNISHED COPPER", "STANDARD PLATED BRASS"]),
+        st.sampled_from([1, 5, 49]),
+        st.sampled_from([100.0, 900.5]),
+    ),
+    min_size=0, max_size=6,
+)
+_torder_rows = st.lists(
+    st.tuples(
+        st.integers(0, 9),                        # o_custkey (may dangle)
+        st.sampled_from(["O", "F", "P"]),
+        st.sampled_from([100.0, 250.5]),          # ties by design
+        st.integers(0, 1500),                     # day offset
+        st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+    ),
+    min_size=0, max_size=25,
+)
+_tline_rows = st.lists(
+    st.tuples(
+        st.integers(0, 27),                       # l_orderkey (may dangle)
+        st.integers(0, 7),                        # l_partkey (may dangle)
+        st.integers(0, 6),                        # l_suppkey (may dangle)
+        st.sampled_from([1.0, 24.0, 36.0, 50.0]),
+        st.sampled_from([100.0, 950.5]),
+        st.sampled_from([0.0, 0.05, 0.06, 0.1]),
+        st.sampled_from(["A", "N", "R"]),
+        st.sampled_from(["O", "F"]),
+        st.integers(0, 1500),                     # shipdate offset
+    ),
+    min_size=0, max_size=35,
+)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(crows=_cust_rows, srows=_supp_rows, prows=_part_rows,
+       orows=_torder_rows, lrows=_tline_rows)
+def test_tpch_gates_on_hostile_corpora(
+    spark, tmp_path_factory, crows, srows, prows, orows, lrows
+):
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_tpch"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["AMERICA", "ASIA"], pa.string()),
+    }), f"{tmpdir}/region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2, 3], pa.int32()),
+        "n_name": pa.array(["BRAZIL", "CANADA", "JAPAN", "INDIA"],
+                           pa.string()),
+        "n_regionkey": pa.array([0, 0, 1, 1], pa.int32()),
+    }), f"{tmpdir}/nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(len(crows)), pa.int64()),
+        "c_name": pa.array([f"Customer#{i}" for i in range(len(crows))],
+                           pa.string()),
+        "c_nationkey": pa.array([r[0] for r in crows], pa.int32()),
+        "c_acctbal": pa.array([r[1] for r in crows], pa.float64()),
+        "c_mktsegment": pa.array([r[2] for r in crows], pa.string()),
+    }), f"{tmpdir}/customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(len(srows)), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i}" for i in range(len(srows))],
+                           pa.string()),
+        "s_nationkey": pa.array([r[0] for r in srows], pa.int32()),
+        "s_acctbal": pa.array([r[1] for r in srows], pa.float64()),
+    }), f"{tmpdir}/supplier.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(len(prows)), pa.int64()),
+        "p_name": pa.array([f"part {i} metal" for i in range(len(prows))],
+                           pa.string()),
+        "p_brand": pa.array([r[0] for r in prows], pa.string()),
+        "p_type": pa.array([r[1] for r in prows], pa.string()),
+        "p_size": pa.array([r[2] for r in prows], pa.int32()),
+        "p_retailprice": pa.array([r[3] for r in prows], pa.float64()),
+    }), f"{tmpdir}/part.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(len(orows)), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in orows], pa.int64()),
+        "o_orderstatus": pa.array([r[1] for r in orows], pa.string()),
+        "o_totalprice": pa.array([r[2] for r in orows], pa.float64()),
+        "o_orderdate": pa.array(
+            [_ORD_US + r[3] * _DAY_US for r in orows], pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[4] for r in orows], pa.string()),
+    }), f"{tmpdir}/orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in lrows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in lrows], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in lrows], pa.int64()),
+        "l_linenumber": pa.array(range(len(lrows)), pa.int32()),
+        "l_quantity": pa.array([r[3] for r in lrows], pa.float64()),
+        "l_extendedprice": pa.array([r[4] for r in lrows], pa.float64()),
+        "l_discount": pa.array([r[5] for r in lrows], pa.float64()),
+        "l_tax": pa.array([0.08 if i % 2 else 0.0
+                           for i in range(len(lrows))], pa.float64()),
+        "l_returnflag": pa.array([r[6] for r in lrows], pa.string()),
+        "l_linestatus": pa.array([r[7] for r in lrows], pa.string()),
+        "l_shipdate": pa.array(
+            [_ORD_US + r[8] * _DAY_US for r in lrows], pa.timestamp("us")),
+    }), f"{tmpdir}/lineitem.parquet")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        con.execute(
+            f"create view {t} as select * from '{tmpdir}/{t}.parquet'")
+    _check(spark, tmpdir, con, TPCH_GATES)
 
 
 _emb_rows = st.lists(
