@@ -748,6 +748,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                           or (cast(ts as double) - cast(lag(ts) over w as double)) > 1800
                         then 1 else 0 end as is_new
             from events
+            -- NULL ts/users excluded (Spark NULLS FIRST vs DuckDB
+            -- NULLS LAST in the window sort; unattributable sessions
+            -- are meaningless) — gate-fuzz finding
+            where ts is not null and user_id is not null
             window w as (partition by user_id order by ts, event_id)
         ), sess as (
             select user_id, ts,

@@ -365,7 +365,12 @@ def sessionize(
     (lag) and its running sum share the same shuffle/sort, so the plan
     carries a single user-keyed exchange; the final per-session rollup
     is a second, smaller aggregation.  Returns (user, session_id,
-    n_events, session_start, session_end)."""
+    n_events, session_start, session_end).
+
+    NULL ts (no timeline position) and NULL users (sessions of an
+    unattributable pseudo-user; Spark/DuckDB also disagree on NULL
+    placement in the window sort — gate-fuzz finding) are excluded,
+    the funnel/interarrival convention."""
     tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), tb.asc())
     prev = F.lag(ts_col).over(w)
@@ -376,7 +381,7 @@ def sessionize(
         1,
     ).otherwise(0)
     sess = (
-        df.filter(F.col(ts_col).isNotNull())
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
         .withColumn("_new", is_new)
         .withColumn(
             "session_id",

@@ -708,6 +708,7 @@ with gaps as (
                   or (epoch(ts) - epoch(lag(ts) over w)) > 1800
                 then 1 else 0 end as is_new
     from events
+    where ts is not null and user_id is not null
     window w as (partition by user_id order by ts, event_id)
 ), sess as (
     select user_id, ts, event_id,

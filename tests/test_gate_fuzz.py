@@ -377,6 +377,56 @@ def test_relational_gates_on_tied_corpora(
     _check(spark, tmpdir, con, RELATIONAL_GATES)
 
 
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_events_rows, orows=_order_rows)
+def test_events_orders_gates_on_hostile_corpora(
+    spark, tmp_path_factory, rows, orows
+):
+    """Gates joining/registering events alongside orders (as-of join,
+    SQL-registered sessionize + granularity rollups)."""
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_evo"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [None if r[0] is None else _BASE_US + r[0] * 1_000_000
+                 for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(
+                ['{"k": %d}' % (i % 7) for i in range(len(rows))],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/events.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(len(orows)), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in orows], pa.int64()),
+        "o_orderstatus": pa.array([r[1] for r in orows], pa.string()),
+        "o_totalprice": pa.array([r[2] for r in orows], pa.float64()),
+        "o_orderdate": pa.array(
+            [_BASE_US + r[3] * _DAY_US for r in orows], pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[4] for r in orows], pa.string()),
+    }), f"{tmpdir}/orders.parquet")
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"create view {t} as select * from '{tmpdir}/{t}.parquet'")
+    _check(spark, tmpdir, con, [
+        "asof_join_events_orders",
+        "sessionize_events",
+        "multi_granularity_rollup",
+    ])
+
+
 _cust_rows = st.lists(
     st.tuples(st.integers(0, 3), st.sampled_from([-100.0, 0.0, 500.5]),
               st.sampled_from(["BUILDING", "AUTOMOBILE"])),
