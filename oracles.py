@@ -1358,9 +1358,13 @@ with wm as (
     select (epoch_us(max(ts)) // 1000) * 1000 - 1000000 as wm_us from events
 ),
 o as (
+    -- ts is not null: Spark's session_window DROPS null event-time
+    -- rows; the unfiltered oracle counted them into sessions
+    -- (gate-fuzz finding)
     select user_id, ts,
            lag(ts) over (partition by user_id order by ts) as prev
     from events
+    where ts is not null
 ),
 m as (
     select user_id, ts,

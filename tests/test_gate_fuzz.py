@@ -378,6 +378,47 @@ def test_relational_gates_on_tied_corpora(
 
 
 @settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_events_rows)
+def test_streaming_gates_on_hostile_corpora(spark, tmp_path_factory, rows):
+    """Structured Streaming gates (AvailableNow drains vs batch SQL
+    oracles) on random events — NULL event-times through watermarked
+    windows and the stateful funnel."""
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_strm"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [None if r[0] is None else _BASE_US + r[0] * 1_000_000
+                 for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(
+                ['{"k": %d}' % (i % 7) for i in range(len(rows))],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{tmpdir}/events.parquet'"
+    )
+    _check(spark, tmpdir, con, [
+        "streaming_hourly_rollup",
+        "streaming_session_rollup",
+        "streaming_cms_events",
+        "funnel_stream_events",
+    ])
+
+
+@settings(
     max_examples=4,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
