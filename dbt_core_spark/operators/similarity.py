@@ -522,6 +522,13 @@ def ivf_topk_blas(
         .orderBy("id").limit(fit_sample).toPandas()["v"].tolist(),
         dtype=np.float64,
     )
+    # tiny/empty corpus guard (cells = rows; zero rows short-circuits —
+    # an empty numpy array is 1-D and breaks axis-1 ops): gate-fuzz
+    n_cells = min(n_cells, len(sample))
+    if n_cells == 0:
+        return spark.createDataFrame(
+            [], "query_id long, nbr_id long, cosine double, rank int"
+        )
     Sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     C = Sn[:n_cells].copy()
     for _ in range(kmeans_iters):
@@ -641,6 +648,15 @@ def ivf_index_build(
         .orderBy("id").limit(fit_sample).toPandas()["v"].tolist(),
         dtype=np.float64,
     )
+    # tiny/empty corpus: fewer seed rows than requested cells is fine
+    # (cells = rows), zero rows short-circuits (an empty numpy array is
+    # 1-D and breaks axis-1 ops) — gate-fuzz finding
+    n_cells = min(n_cells, len(sample))
+    if n_cells == 0:
+        return (
+            spark.createDataFrame([], "cell int, cv array<double>"),
+            spark.createDataFrame([], "id long, v array<double>, cell int"),
+        )
     Sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     C = Sn[:n_cells].copy()
     for _ in range(kmeans_iters):
@@ -707,6 +723,10 @@ def ivf_index_search(
 
     spark = queries.sparkSession
     cpdf = centroids.orderBy("cell").toPandas()  # n_cells rows, bounded
+    if len(cpdf) == 0:  # index built on an empty corpus — gate-fuzz
+        return spark.createDataFrame(
+            [], "query_id long, nbr_id long, cosine double, rank int"
+        )
     Cn = np.array(cpdf["cv"].tolist(), dtype=np.float64)
     cells = cpdf["cell"].to_numpy().astype("int64")
     bcast = spark.sparkContext.broadcast((Cn, cells))
@@ -793,6 +813,11 @@ def semantic_dedup_incremental(
 
     spark = batch.sparkSession
     cpdf = centroids.orderBy("cell").toPandas()  # n_cells rows, bounded
+    if len(cpdf) == 0:  # index built on an empty corpus — gate-fuzz
+        return spark.createDataFrame(
+            [],
+            f"{id_col} long, keeper_id long, cosine double, cell long",
+        )
     Cn = np.array(cpdf["cv"].tolist(), dtype=np.float64)
     cells = cpdf["cell"].to_numpy().astype("int64")
     bcast = spark.sparkContext.broadcast((Cn, cells))
@@ -1406,7 +1431,9 @@ def pool_embeddings(
     return (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(group_col), F.posexplode(vec_col).alias("pos", "v"))
-        .withColumn("vd", F.col("v").cast("decimal(28,12)"))
+        # double-first: float32->decimal directly is engine-divergent
+        # (DuckDB scales in float32); float->double is exact everywhere
+        .withColumn("vd", F.col("v").cast("double").cast("decimal(28,12)"))
         .groupBy(group_col, "pos")
         .agg(F.sum("vd").alias("s"), F.count("*").cast("bigint").alias("n"))
         .select(
@@ -1414,10 +1441,11 @@ def pool_embeddings(
             F.col("pos").cast("bigint").alias("pos"),
             # exact decimal sum → double BEFORE the divide: decimal
             # division scale rules differ across engines, double IEEE
-            # division doesn't
-            F.round(
+            # division doesn't.  + 0.0 canonicalizes IEEE -0.0 (the
+            # oracle's double path can produce it; decimal sums can't)
+            (F.round(
                 F.col("s").cast("double") / F.col("n"), 6
-            ).alias("mean_val"),
+            ) + F.lit(0.0)).alias("mean_val"),
         )
     )
 
@@ -1494,6 +1522,10 @@ def ivf_index_append(
 
     spark = batch.sparkSession
     cpdf = centroids.orderBy("cell").toPandas()  # n_cells rows, bounded
+    if len(cpdf) == 0:  # index built on an empty corpus — gate-fuzz
+        return spark.createDataFrame(
+            [], "id long, v array<double>, cell int"
+        )
     Cn = np.array(cpdf["cv"].tolist(), dtype=np.float64)
     cells = cpdf["cell"].to_numpy().astype("int64")
     bcast = spark.sparkContext.broadcast((Cn, cells))

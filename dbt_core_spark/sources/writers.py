@@ -191,9 +191,16 @@ def read_webdataset_shards(spark, path: str):
                     columns=["shard", "key", "meta", "payload"],
                 )
 
+    import glob as _glob
+
+    schema = "shard int, key string, meta string, payload binary"
+    if not _glob.glob(os.path.join(path, "shard-*.tar")):
+        # an empty corpus writes zero shards; binaryFile would throw
+        # PATH_NOT_FOUND on the unmatched glob (gate-fuzz finding)
+        return spark.createDataFrame([], schema)
     return (
         spark.read.format("binaryFile")
         .load(os.path.join(path, "shard-*.tar"))
         .select("path", "content")
-        .mapInPandas(parse, schema="shard int, key string, meta string, payload binary")
+        .mapInPandas(parse, schema=schema)
     )

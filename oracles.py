@@ -575,11 +575,20 @@ with r as (
     select o_custkey as user_id, o_orderdate as ots,
            max(o_orderkey) as last_order_key
     from orders group by 1, 2
+),
+-- matched separately then re-joined: DuckDB's ASOF join MATCHES a
+-- NULL-ts probe (NULL sorts high) where the operator's ts >= ots
+-- predicate correctly yields no match (gate-fuzz finding)
+m as (
+    select e.event_id, r.last_order_key
+    from events e
+    asof join r on e.user_id = r.user_id and e.ts >= r.ots
+    where e.ts is not null
 )
 select e.event_id, e.user_id, cast(epoch_us(e.ts) as bigint) as ts_us,
-       r.last_order_key
+       m.last_order_key
 from events e
-asof left join r on e.user_id = r.user_id and e.ts >= r.ots
+left join m on m.event_id = e.event_id
 """
 
 ORACLES["multi_granularity_rollup"] = """
@@ -614,6 +623,10 @@ with hashed as (
     select distinct event_type,
            (cast({h15} as double) + 1.0) / 1152921504606846976.0 as h
     from events
+    -- NULL user_id hashes to NULL and must not count as a sketch
+    -- entry (the operator has no row to hash; a group with only NULL
+    -- values is absent on both sides) — gate-fuzz finding
+    where user_id is not null
 ), topk as (
     select event_type, h,
            row_number() over (partition by event_type order by h asc) as rk
@@ -994,6 +1007,7 @@ with tpd as (
     select vec_id, embedding::DOUBLE[] as e from embeddings
 ), v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as n from v0
+    where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
 ), vb as (
     select v.vec_id, pl.t,
            sum(case when {_dot_sql('v.e', 'pl.pl')} >= 0
@@ -2000,12 +2014,19 @@ ORACLES["pool_embeddings_by_label"] = """
 with e as (
     select label,
            cast(i - 1 as bigint) as pos,
-           cast(embedding[i] as decimal(28,12)) as vd
+           -- double-first: DuckDB's FLOAT->DECIMAL cast scales in
+           -- float32 (0.1f -> 0.099999997952) while Spark rounds the
+           -- exact value; FLOAT->DOUBLE->DECIMAL agrees bit-for-bit
+           -- on both engines (gate-fuzz finding)
+           cast(cast(embedding[i] as double) as decimal(28,12)) as vd
     from embeddings, unnest(generate_series(1, len(embedding))) as t(i)
     where embedding is not null
 )
 select label, pos,
-       round(cast(sum(vd) as double) / count(*), 6) as mean_val
+       -- + 0.0 canonicalizes IEEE -0.0 (a tiny negative sum rounds to
+       -- -0.0 here while Spark's DECIMAL sum has no signed zero) —
+       -- gate-fuzz finding
+       round(cast(sum(vd) as double) / count(*), 6) + 0.0 as mean_val
 from e group by 1, 2
 """
 

@@ -150,6 +150,55 @@ EMB_GATES = [
     "cosine_pairs_embeddings",
 ]
 
+# extended tiers (2 examples each): everything else that runs on a
+# single random table — leaves only the 8 engine_* materialization
+# flows un-fuzzed (they build warehouse state, not table->table maps)
+EVENT_GATES_EXT = [
+    "hll_distinct_events",
+    "kmv_distinct_users",
+    "json_extract_props",
+]
+DOC_GATES_EXT = [
+    "tokenize_docs",
+    "source_cap_docs",
+    "pandas_udf_text_features",
+    "epoch_shuffle_docs",
+    "stratified_sample_docs",
+    "pack_sequences_docs",
+    "build_vocab_docs",
+    "bpe_pair_docs",
+    "mixture_sample_docs",
+    "pipeline_clean_corpus",
+    "bloom_membership_docs",
+    "incremental_dedup_docs",
+    "simhash_docs",
+    "simhash_pairs_docs",
+    "cc_dedup_docs",
+    "minhash_lsh_docs",
+    "ngram_lm_docs",
+    "multimodal_features_docs",
+    "multimodal_decode_wav_ppm",
+    "multimodal_resize_ppm",
+    "multimodal_frame_sample",
+    "wav_spectrogram_docs",
+    "webdataset_pipeline_docs",
+    "generate_series_powers",
+    "cms_merge_halves",
+    "contrastive_pairs_docs",
+    "tfidf_cosine_pairs_docs",
+]
+EMB_GATES_EXT = [
+    "cosine_topk_embeddings",
+    "ann_lsh_topk_embeddings",
+    "ann_ivf_blas_topk_embeddings",
+    "ann_ivf_index_query_embeddings",
+    "ann_ivf_index_append_embeddings",
+    "ann_recall_ivf_embeddings",
+    "semantic_dedup_incremental_embeddings",
+    "pool_embeddings_by_label",
+    "dedup_embedding_docs",
+]
+
 _BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
 
 
@@ -204,6 +253,39 @@ def test_event_gates_on_hostile_corpora(spark, tmp_path_factory, rows):
         f"create view events as select * from '{tmpdir}/events.parquet'"
     )
     _check(spark, tmpdir, con, EVENT_GATES)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_events_rows)
+def test_event_gates_extended(spark, tmp_path_factory, rows):
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_evx"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [None if r[0] is None else _BASE_US + r[0] * 1_000_000
+                 for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(
+                ['{"k": %d}' % (i % 7) for i in range(len(rows))],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{tmpdir}/events.parquet'"
+    )
+    _check(spark, tmpdir, con, EVENT_GATES_EXT)
 
 
 _doc_text = st.one_of(
@@ -465,6 +547,8 @@ def test_events_orders_gates_on_hostile_corpora(
         "asof_join_events_orders",
         "sessionize_events",
         "multi_granularity_rollup",
+        "asof_tolerance_events",
+        "rolling_7day_order_totals",
     ])
 
 
@@ -667,3 +751,35 @@ def test_ann_gates_on_hostile_corpora(
     tmpdir = str(tmp_path_factory.mktemp("fuzz_ann"))
     con = _write_embeddings(tmpdir, vecs)
     _check(spark, tmpdir, con, ANN_GATES)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows, dup=st.booleans())
+def test_doc_gates_extended(spark, tmp_path_factory, rows, dup):
+    if dup and rows:
+        rows = rows + rows[: len(rows) // 2 + 1]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_docx"))
+    con = _write_docs(tmpdir, rows)
+    _check(spark, tmpdir, con, DOC_GATES_EXT)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows, zero_first=st.booleans(), dup=st.booleans())
+def test_embedding_gates_extended(
+    spark, tmp_path_factory, vecs, zero_first, dup
+):
+    if zero_first and vecs:
+        vecs = [[0.0] * 64] + vecs[1:]
+    if dup and vecs:
+        vecs = vecs + vecs[:2]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_embx"))
+    con = _write_embeddings(tmpdir, vecs)
+    _check(spark, tmpdir, con, EMB_GATES_EXT)
