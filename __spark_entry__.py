@@ -2705,134 +2705,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # keys (insertion order).  Rotation policy (pinned by the
     # rotation-guard tests in tests/test_plans.py): the window leads
-    # with (a) never-driver-verified queries — ALWAYS in-window, the r4
-    # verdict's hard rule — then (b) rows whose results or oracles
-    # changed this round, then (c) the least-recently-driver-green
-    # rows, so no query goes two rounds unverified when slots allow.
-    # Round 5 window = 3 brand-new rows (the integer-exact k-means
-    # clustering tier, second r5 session) + 11 never-verified (the r4
-    # first-session rows the verdict flagged, incl. interarrival_stats
-    # which its count of "10" missed) + funnel_stream_events (new) +
-    # range_join_events (r4-red; oracle HUGEINT cast fixed) +
-    # contrastive_pairs/funnel_events (result/oracle changes) + all 7
-    # engine_* rows (two rounds stale AND runner event emission changed
-    # in r4) + 25 of the remaining 30 r2-stale rows = exactly 50.
-    # Displaced to lead r6: simhash_docs and cosine_topk_embeddings
-    # (same-machinery siblings simhash_pairs / cosine_pairs /
-    # cosine_topk_blas are in-window), stratified_sample_docs /
-    # pack_sequences_docs / xdb_datetime_functions (displaced for the
-    # 3 new clustering rows — never-verified outranks stale per the
-    # policy hierarchy; the xdb macro machinery is exercised
-    # in-window-adjacent by generate_series_powers, driver-green r4,
-    # stratified_sample's shape by cluster_sample, and all three
-    # re-validate at sf0.01 under the type-strict validator), plus the rows whose only
-    # change this round was a result-preserving lineage seal or
-    # exact-integer-division rewrite (zorder_orders, skew_report,
-    # event_transitions, lexical_stats — each re-validated at sf0.01 by
-    # the now-type-strict validator, the accepted r4 seal precedent).
+    # with (a) never-driver-verified queries, then (b) rows whose
+    # results or oracles changed this round, then (c) the
+    # least-recently-driver-green rows, OLDEST FIRST — the r5 verdict
+    # upgraded (c) to a mechanical invariant: with 152 queries and a
+    # 50-row gate the steady-state rotation period is 3 rounds, so the
+    # window must always be exactly the staleness cohort (no in-window
+    # row may be fresher than any out-of-window row).
+    # Round 6 window (mandated verbatim by the r5 verdict, item 1) =
+    # the 5 rows last green in r2 (four rounds stale — the whole
+    # staleness debt) + 45 of the 50 rows last green in r3.  The 5
+    # displaced r3 rows (below the cap) are the ANN/SemDeDup family —
+    # ann_ivf_topk / ann_ivf_blas_topk / ann_lsh_topk /
+    # semantic_dedup / semantic_dedup_blas — whose shared machinery
+    # (IVF cells, BLAS kernels, cell-join SemDeDup fold) was
+    # driver-green in the r5 window via ann_recall_ivf,
+    # ann_ivf_index_query/append, cosine_topk_blas and
+    # semantic_dedup_incremental; they lead r7 as its mandatory
+    # staleness cohort.  No new gate rows this round: the staleness
+    # invariant fully books the window (the r5 verdict's rotation
+    # math), so new operators would displace mandated rows.
     return {
-        # ---- brand-new this session (never driver-verified — lead) ----
-        "kmeans_embeddings": kmeans_embeddings,
-        "cluster_curation_embeddings": cluster_curation_embeddings,
-        "kmeans_incremental_embeddings": kmeans_incremental_embeddings,
-        # ---- never driver-verified (r4 first-session; lead per the
-        # ---- never-verified-always-in-window policy) ----
-        "dup_span_cut_docs": dup_span_cut_docs,
-        "containment_pairs_docs": containment_pairs_docs,
-        "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
-        "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
-        "webdataset_pipeline_docs": webdataset_pipeline_docs,
-        "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
-        "hash_embed_docs": hash_embed_docs,
-        "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
-        "dsir_score_docs": dsir_score_docs,
-        "dup_span_docs": dup_span_docs,
-        "interarrival_stats_events": interarrival_stats_events,
-        # ---- brand-new this round (streaming stateful funnel gate) ----
-        "funnel_stream_events": funnel_stream_events,
-        # ---- driver-red r4: oracle HUGEINT typing fixed this round ----
-        "range_join_events": range_join_events,
-        # ---- results/oracle changed this round (negative-fallback
-        # ---- re-salt; funnel strategy param + oracle null-ts filter) ----
-        "contrastive_pairs_docs": contrastive_pairs_docs,
-        "funnel_events": funnel_events,
-        # ---- engine surface: two rounds driver-stale AND runner event
-        # ---- emission changed in r4 ----
-        "engine_snapshot_scd2": engine_snapshot_scd2,
-        "engine_microbatch_day": engine_microbatch_day,
-        "engine_generic_test_failures": engine_generic_test_failures,
-        "engine_insert_overwrite": engine_insert_overwrite,
-        "engine_streaming_table": engine_streaming_table,
-        "engine_python_model": engine_python_model,
-        "engine_view_table_ephemeral": engine_view_table_ephemeral,
-        # ---- r2-verified fill, two rounds driver-stale (incl.
-        # ---- quantile_sketch_events, whose oracle typing changed) ----
-        "dedup_exact_docs": dedup_exact_docs,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        "dedup_fingerprint_docs": dedup_fingerprint_docs,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
-        "winnow_fingerprint_docs": winnow_fingerprint_docs,
-        "pii_scrub_docs": pii_scrub_docs,
-        "chunk_documents_docs": chunk_documents_docs,
-        "assign_splits_docs": assign_splits_docs,
-        "text_quality_docs": text_quality_docs,
-        "language_id_docs": language_id_docs,
-        "token_counts_docs": token_counts_docs,
-        "cosine_pairs_embeddings": cosine_pairs_embeddings,
-        "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
-        "streaming_hourly_rollup": streaming_hourly_rollup,
-        "multimodal_features_docs": multimodal_features_docs,
-        "quantile_sketch_events": quantile_sketch_events,
-        "dedup_embedding_docs": dedup_embedding_docs,
-        "simhash_pairs_docs": simhash_pairs_docs,
-        "streaming_session_rollup": streaming_session_rollup,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "gopher_repetition_docs": gopher_repetition_docs,
-        "source_cap_docs": source_cap_docs,
-        "boilerplate_ngram_docs": boilerplate_ngram_docs,
-        "decontaminate_docs": decontaminate_docs,
-        "tfidf_top_terms_docs": tfidf_top_terms_docs,
-        # ---------------- past the 50-query gate cap ----------------
-        # displaced for the 3 new clustering rows (lead r6; all
-        # re-validated at sf0.01 by the type-strict validator;
-        # stratified_sample's md5-ranked per-group machinery is
-        # exercised in-window by cluster_sample, the same plan shape)
+        # ---- last green r2 — four rounds stale, the entire remaining
+        # ---- staleness debt (r5 verdict item 1: these lead) ----
         "stratified_sample_docs": stratified_sample_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "xdb_datetime_functions": xdb_datetime_functions,
-        # Rotation policy: the window leads with never-driver-verified
-        # and code/oracle-changed rows, then the least-recently-green.
-        # Round 5 window (pinned by the rotation-guard test) = the 3
-        # new clustering rows + the 11 never-verified rows + the new
-        # streaming-funnel gate + the r4 red row + 2 result-changed
-        # rows + all 7 engine rows + 25 of the 30 remaining r2-stale
-        # rows.  Displaced (lead r6): stratified_sample_docs /
-        # pack_sequences_docs /
-        # xdb_datetime_functions (just above), simhash_docs /
-        # cosine_topk_embeddings (their machinery is exercised
-        # in-window by simhash_pairs / cosine_pairs +
-        # cosine_topk_blas), the 4 result-preserving lineage-seal /
-        # integer-div rows changed this round (zorder_orders,
-        # skew_report, event_transitions, lexical_stats — re-validated
-        # at sf0.01 by the type-strict validator, r4 seal precedent),
-        # and the 6 r3 rows whose r4 change was a result-preserving
-        # seal.  The 44 unchanged r3 rows follow, then the 47 r4-green
-        # rows.
         "simhash_docs": simhash_docs,
         "cosine_topk_embeddings": cosine_topk_embeddings,
-        # result-preserving changes this round (validated sf0.01; r6 leads)
+        # ---- last green r3: TPC-H cohort ----
+        "q1_pricing_summary": q1_pricing_summary,
+        "q2_min_price_supplier": q2_min_price_supplier,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_priority_lines": q12_late_priority_lines,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_count": q16_supplier_count,
+        "q18_large_orders": q18_large_orders,
+        "q20_part_share_suppliers": q20_part_share_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        # ---- last green r3: xdb macro surface ----
+        "xdb_string_functions": xdb_string_functions,
+        "xdb_listagg_nations": xdb_listagg_nations,
+        "xdb_date_spine": xdb_date_spine,
+        "xdb_arrays": xdb_arrays,
+        # ---- last green r3: engine + dedup/corpus/sketch cohort ----
+        "engine_incremental_merge": engine_incremental_merge,
+        "minhash_lsh_docs": minhash_lsh_docs,
+        "incremental_dedup_docs": incremental_dedup_docs,
+        "cc_dedup_docs": cc_dedup_docs,
+        "line_dedup_docs": line_dedup_docs,
+        "ngram_lm_docs": ngram_lm_docs,
+        "epoch_shuffle_docs": epoch_shuffle_docs,
+        "bpe_pair_docs": bpe_pair_docs,
+        "tokenize_docs": tokenize_docs,
+        "build_vocab_docs": build_vocab_docs,
+        "bloom_membership_docs": bloom_membership_docs,
+        "hll_distinct_events": hll_distinct_events,
+        "kmv_distinct_users": kmv_distinct_users,
+        "quantize_embeddings_int8": quantize_embeddings_int8,
+        "pool_embeddings_by_label": pool_embeddings_by_label,
+        "mixture_sample_docs": mixture_sample_docs,
+        "multimodal_decode_wav_ppm": multimodal_decode_wav_ppm,
+        "pandas_udf_text_features": pandas_udf_text_features,
+        # ---- last green r3: sequence/relational shapes ----
+        "sessionize_events": sessionize_events,
+        "asof_join_events_orders": asof_join_events_orders,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "json_extract_props": json_extract_props,
+        "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,
+        "recursive_month_revenue": recursive_month_revenue,
+        "window_top3_orders_per_customer": window_top3_orders_per_customer,
+        # ---------------- past the 50-query gate cap ----------------
+        # Displaced r3 rows (staleness 4 entering r7 — MANDATORY r7
+        # leads; machinery gate-verified r5 via in-window siblings,
+        # see the policy note above).
+        "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
+        "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
+        "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
+        # last green r4 (staleness 3 entering r7 — r7 fill, oldest-first)
         "zorder_orders": zorder_orders,
         "skew_report_events": skew_report_events,
         "event_transitions_events": event_transitions_events,
         "lexical_stats_docs": lexical_stats_docs,
-        # r3-verified; r4 change was a result-preserving seal (r6)
-        "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
-        "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
-        "mixture_sample_docs": mixture_sample_docs,
-        "engine_incremental_merge": engine_incremental_merge,
-        # r3-verified, unchanged (r6 fill)
         "classifier_score_docs": classifier_score_docs,
         "cms_heavy_words": cms_heavy_words,
         "pq_encode_embeddings": pq_encode_embeddings,
@@ -2876,51 +2839,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_status_counts": unpivot_status_counts,
         "set_ops_statuses": set_ops_statuses,
         "generate_series_powers": generate_series_powers,
-        "quantize_embeddings_int8": quantize_embeddings_int8,
-        # r4-green, unchanged (r7)
-        "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
-        "build_vocab_docs": build_vocab_docs,
-        "bloom_membership_docs": bloom_membership_docs,
-        "hll_distinct_events": hll_distinct_events,
-        "kmv_distinct_users": kmv_distinct_users,
-        "minhash_lsh_docs": minhash_lsh_docs,
-        "incremental_dedup_docs": incremental_dedup_docs,
-        "cc_dedup_docs": cc_dedup_docs,
-        "multimodal_decode_wav_ppm": multimodal_decode_wav_ppm,
-        "line_dedup_docs": line_dedup_docs,
-        "ngram_lm_docs": ngram_lm_docs,
-        "epoch_shuffle_docs": epoch_shuffle_docs,
-        "bpe_pair_docs": bpe_pair_docs,
-        "tokenize_docs": tokenize_docs,
-        "pool_embeddings_by_label": pool_embeddings_by_label,
-        "xdb_string_functions": xdb_string_functions,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,
-        "window_top3_orders_per_customer": window_top3_orders_per_customer,
-        "q9_product_profit": q9_product_profit,
-        "recursive_month_revenue": recursive_month_revenue,
-        "sessionize_events": sessionize_events,
-        "asof_join_events_orders": asof_join_events_orders,
-        "pivot_status_by_priority": pivot_status_by_priority,
-        "json_extract_props": json_extract_props,
-        "pandas_udf_text_features": pandas_udf_text_features,
-        "q18_large_orders": q18_large_orders,
-        "xdb_listagg_nations": xdb_listagg_nations,
-        "xdb_date_spine": xdb_date_spine,
-        "q2_min_price_supplier": q2_min_price_supplier,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q10_returned_items": q10_returned_items,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_priority_lines": q12_late_priority_lines,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_count": q16_supplier_count,
-        "q20_part_share_suppliers": q20_part_share_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "xdb_arrays": xdb_arrays,
+        # last green r5 (freshest — r8 horizon)
+        "kmeans_embeddings": kmeans_embeddings,
+        "cluster_curation_embeddings": cluster_curation_embeddings,
+        "kmeans_incremental_embeddings": kmeans_incremental_embeddings,
+        "dup_span_cut_docs": dup_span_cut_docs,
+        "containment_pairs_docs": containment_pairs_docs,
+        "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
+        "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
+        "webdataset_pipeline_docs": webdataset_pipeline_docs,
+        "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
+        "hash_embed_docs": hash_embed_docs,
+        "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
+        "dsir_score_docs": dsir_score_docs,
+        "dup_span_docs": dup_span_docs,
+        "interarrival_stats_events": interarrival_stats_events,
+        "funnel_stream_events": funnel_stream_events,
+        "range_join_events": range_join_events,
+        "contrastive_pairs_docs": contrastive_pairs_docs,
+        "funnel_events": funnel_events,
+        "engine_snapshot_scd2": engine_snapshot_scd2,
+        "engine_microbatch_day": engine_microbatch_day,
+        "engine_generic_test_failures": engine_generic_test_failures,
+        "engine_insert_overwrite": engine_insert_overwrite,
+        "engine_streaming_table": engine_streaming_table,
+        "engine_python_model": engine_python_model,
+        "engine_view_table_ephemeral": engine_view_table_ephemeral,
+        "dedup_exact_docs": dedup_exact_docs,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "dedup_fingerprint_docs": dedup_fingerprint_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "chunk_documents_docs": chunk_documents_docs,
+        "assign_splits_docs": assign_splits_docs,
+        "text_quality_docs": text_quality_docs,
+        "language_id_docs": language_id_docs,
+        "token_counts_docs": token_counts_docs,
+        "cosine_pairs_embeddings": cosine_pairs_embeddings,
+        "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
+        "streaming_hourly_rollup": streaming_hourly_rollup,
+        "multimodal_features_docs": multimodal_features_docs,
+        "quantile_sketch_events": quantile_sketch_events,
+        "dedup_embedding_docs": dedup_embedding_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "streaming_session_rollup": streaming_session_rollup,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "gopher_repetition_docs": gopher_repetition_docs,
+        "source_cap_docs": source_cap_docs,
+        "boilerplate_ngram_docs": boilerplate_ngram_docs,
+        "decontaminate_docs": decontaminate_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
     }
 
 
