@@ -69,7 +69,12 @@ def _truncdiv(a: int, b: int) -> int:
 
 
 def _quantize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    return df.select(
+    # NULL embeddings are excluded at entry (contract pinned by the r5
+    # ADVICE): a NULL vector would yield a NULL distance struct field,
+    # and NULL-tie ordering diverges between Spark's array_min and the
+    # oracle's row_number NULLS LAST — same convention as
+    # pool_embeddings_by_label and the cosine-family operators' v-CTE.
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.transform(
             F.col(vec_col),

@@ -18,6 +18,8 @@ fully map-side-combinable, O(1) per-user state) is used INSTEAD —
 cheap combinable count and switches automatically above
 ``fold_max_events_per_user``.  Greedy-earliest optimality makes the
 two forms result-identical, so the switch is invisible to callers.
+The probe is an eager job, so ``auto`` is opt-in; the lazy default
+is ``fold`` (r5 ADVICE).
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     tiebreak_col: str | None = None,
-    strategy: str = "auto",
+    strategy: str = "fold",
     fold_max_events_per_user: int = 100_000,
 ) -> DataFrame:
     """Per-user funnel over ``steps`` (ordered event types).
@@ -46,13 +48,20 @@ def funnel(
     the fold order is deterministic; equal-timestamp consecutive steps
     do NOT chain (strictly-increasing times).
 
-    ``strategy``: ``"fold"`` = single-shuffle per-user array fold
-    (per-user state = their event array); ``"kpass"`` = k grouped
+    ``strategy``: ``"fold"`` (default) = single-shuffle per-user array
+    fold (per-user state = their event array); ``"kpass"`` = k grouped
     nested-min aggregations (k shuffles, O(1) per-user state, immune
-    to pathological users); ``"auto"`` (default) = one cheap
-    map-side-combinable count of max events-per-user, then fold unless
-    it exceeds ``fold_max_events_per_user``.  Greedy-earliest is
-    optimal, so both strategies return identical rows.
+    to pathological users); ``"auto"`` = one cheap map-side-combinable
+    count of max events-per-user, then fold unless it exceeds
+    ``fold_max_events_per_user``.  Greedy-earliest is optimal, so all
+    strategies return identical rows.
+
+    NOTE: ``"auto"`` runs a Spark JOB at call time (the probe is an
+    eager aggregation over the input) — the constructor is no longer
+    lazy, and plan-only inspection pays a full input pass.  The lazy
+    default is therefore ``"fold"``; pass ``"auto"`` when events-per-
+    user is unknown and may be pathological (millions per user), or
+    ``"kpass"`` directly when you know it is.
     """
     if not steps:
         raise ValueError("steps must be a non-empty list of event types")

@@ -192,11 +192,17 @@ def read_webdataset_shards(spark, path: str):
                 )
 
     import glob as _glob
+    from urllib.parse import urlparse
 
     schema = "shard int, key string, meta string, payload binary"
-    if not _glob.glob(os.path.join(path, "shard-*.tar")):
+    is_local = urlparse(path).scheme in ("", "file")
+    if is_local and not _glob.glob(os.path.join(path, "shard-*.tar")):
         # an empty corpus writes zero shards; binaryFile would throw
-        # PATH_NOT_FOUND on the unmatched glob (gate-fuzz finding)
+        # PATH_NOT_FOUND on the unmatched glob (gate-fuzz finding).
+        # Only short-circuit for LOCAL paths, where glob is authoritative;
+        # for remote URIs (s3://, hdfs://) glob always returns [] and the
+        # empty frame would silently mask real shards — let binaryFile
+        # list (and, on a genuinely empty prefix, raise).
         return spark.createDataFrame([], schema)
     return (
         spark.read.format("binaryFile")

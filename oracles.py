@@ -3145,12 +3145,17 @@ def _kmeans_cte(k: int = 4, iters: int = 2, where: str = "") -> str:
     training corpus); ends in CTE ``asg`` = (vec_id, cluster,
     dist2_e8), all exact bigint arithmetic."""
     d2 = _KM_D2
+    # NULL embeddings excluded at entry — mirrors clustering._quantize
+    # (contract pinned per the r5 ADVICE; NULL-distance tie ordering
+    # would otherwise diverge between engines)
+    nn = "where embedding is not null"
+    nn += f" and ({where[len('where '):]})" if where else ""
     parts = [
         f"""base as (
   select vec_id,
          list_transform(embedding,
            x -> cast(round(cast(x as double) * 10000) as bigint)) as vq
-  from embeddings {where}
+  from embeddings {nn}
 ), c0 as (
   select cast(row_number() over (order by vec_id) - 1 as bigint) as cell,
          vq as cv
@@ -3240,7 +3245,7 @@ bq as (
   select vec_id,
          list_transform(embedding,
            x -> cast(round(cast(x as double) * 10000) as bigint)) as vq
-  from embeddings where vec_id % 20 = 0
+  from embeddings where vec_id % 20 = 0 and embedding is not null
 ),
 bf as (
   select vec_id, cell, d2,

@@ -271,7 +271,11 @@ def test_apply_is_zero_shuffle(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     model = kmeans_centroids(emb, k=4, iters=1)
-    out = kmeans_apply(emb.limit(50), model)
+    # ingest batch = a narrow filter (the realistic shape); a global
+    # .limit() batch would add a single-partition CollectLimit exchange
+    # of its own once the NULL-embedding entry filter sits above it —
+    # that exchange belongs to limit, not to the assignment map
+    out = kmeans_apply(emb.filter("vec_id % 7 = 0"), model)
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

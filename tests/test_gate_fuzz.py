@@ -735,6 +735,48 @@ ANN_GATES = [
 ]
 
 
+# NULL-embedding hostile class (r5 ADVICE): the kmeans tier pins the
+# contract as "NULL vectors excluded at entry" (clustering._quantize +
+# the oracles' `embedding is not null`); this drives random corpora
+# where some rows ARE NULL through the gate compare to hold that pin.
+_emb_rows_nullable = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.floats(min_value=-3, max_value=3, allow_nan=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+KMEANS_GATES = [
+    "kmeans_embeddings",
+    "cluster_curation_embeddings",
+    "kmeans_incremental_embeddings",
+]
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows_nullable, dup=st.booleans())
+def test_kmeans_gates_with_null_embeddings(
+    spark, tmp_path_factory, vecs, dup
+):
+    if dup and vecs:
+        vecs = vecs + vecs[:2]
+    if all(v is None for v in vecs):
+        vecs = vecs + [[1.0] * 64]  # keep at least one trainable row
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_kmnull"))
+    con = _write_embeddings(tmpdir, vecs)
+    _check(spark, tmpdir, con, KMEANS_GATES)
+
+
 @settings(
     max_examples=3,
     deadline=None,
