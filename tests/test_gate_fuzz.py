@@ -151,8 +151,9 @@ EMB_GATES = [
 ]
 
 # extended tiers (2 examples each): everything else that runs on a
-# single random table — leaves only the 8 engine_* materialization
-# flows un-fuzzed (they build warehouse state, not table->table maps)
+# single random table (the engine_* materialization flows have their
+# own end-to-end tiers at the bottom of this file — every one of the
+# 152 registry gates is fuzz-covered as of round 6)
 EVENT_GATES_EXT = [
     "hll_distinct_events",
     "kmv_distinct_users",
@@ -170,6 +171,7 @@ DOC_GATES_EXT = [
     "mixture_sample_docs",
     "pipeline_clean_corpus",
     "bloom_membership_docs",
+    "pipeline_quality_docs",
     "incremental_dedup_docs",
     "simhash_docs",
     "simhash_pairs_docs",
@@ -825,3 +827,233 @@ def test_embedding_gates_extended(
     tmpdir = str(tmp_path_factory.mktemp("fuzz_embx"))
     con = _write_embeddings(tmpdir, vecs)
     _check(spark, tmpdir, con, EMB_GATES_EXT)
+
+
+# =========================================================================
+# engine_* materialization gates (r5 verdict item 4) — the last unfuzzed
+# tier.  These build real warehouse state (Engine.run / snapshot / test /
+# streaming drains), so each example is a full materialization flow on a
+# hostile corpus, compared against the gate's own DuckDB oracle through
+# the validator.  Hostile classes: duplicate + tie-saturated keys, NULL
+# group/partition keys (o_orderstatus, events.ts -> NULL day partition),
+# empty incremental batches (no rows past the cutoff), batches entirely
+# on one side of the cutoffs, dangling lineitem foreign keys, and empty
+# microbatch days inside the processed window.
+# =========================================================================
+
+_ENG_ORD_US = 788_918_400_000_000  # 1995-01-01T00:00:00Z in micros
+
+
+def _eng_order_row(i, r):
+    return {
+        "o_orderkey": i,
+        "o_custkey": r[0],
+        "o_orderstatus": r[1],
+        "o_totalprice": r[2],
+        "o_orderdate": _ENG_ORD_US + r[3] * _DAY_US,
+        "o_orderpriority": r[4],
+    }
+
+
+_eng_order_rows = st.lists(
+    st.tuples(
+        st.integers(0, 4),                   # o_custkey — tiny domain: dups
+        st.one_of(st.none(), st.sampled_from(["O", "F", "P"])),  # NULL group
+        st.sampled_from([100.0, 250.5]),     # tie-saturated prices
+        st.integers(0, 1460),                # 1995..1998 (merge cutoffs bite)
+        st.sampled_from(["1-URGENT", "3-MEDIUM"]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+_eng_line_rows = st.lists(
+    st.tuples(
+        st.integers(0, 80),                  # l_orderkey (may dangle)
+        st.sampled_from([100.0, 950.5]),     # l_extendedprice
+        st.sampled_from([0.0, 0.05, 0.1]),   # l_discount
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+ENGINE_ORDER_GATES = [
+    "engine_view_table_ephemeral",
+    "engine_incremental_merge",
+    "engine_python_model",
+    "engine_compaction",
+]
+
+
+def _write_eng_orders(tmpdir, orows, lrows):
+    # pad to 64 orders with deterministic filler: engine_compaction's
+    # fragmentation precondition needs >=32 non-empty partitions, and
+    # engine_python_model's `having count(*) >= 10` needs a populated
+    # branch; the random hostile rows ride on top
+    rows = [_eng_order_row(i, r) for i, r in enumerate(orows)]
+    for j in range(len(rows), 64):
+        rows.append({
+            "o_orderkey": j,
+            "o_custkey": j % 5,
+            "o_orderstatus": ["O", "F"][j % 2],
+            "o_totalprice": 100.0 + (j % 7),
+            "o_orderdate": _ENG_ORD_US + (j * 37 % 1460) * _DAY_US,
+            "o_orderpriority": "3-MEDIUM",
+        })
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r["o_custkey"] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array(
+            [r["o_orderstatus"] for r in rows], pa.string()),
+        "o_totalprice": pa.array(
+            [r["o_totalprice"] for r in rows], pa.float64()),
+        "o_orderdate": pa.array(
+            [r["o_orderdate"] for r in rows], pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            [r["o_orderpriority"] for r in rows], pa.string()),
+    }), f"{tmpdir}/orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in lrows], pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in lrows], pa.float64()),
+        "l_discount": pa.array([r[2] for r in lrows], pa.float64()),
+    }), f"{tmpdir}/lineitem.parquet")
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"create view {t} as select * from '{tmpdir}/{t}.parquet'")
+    return con
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(orows=_eng_order_rows, lrows=_eng_line_rows)
+def test_engine_order_gates_on_hostile_corpora(
+    spark, tmp_path_factory, orows, lrows
+):
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_engo"))
+    con = _write_eng_orders(tmpdir, orows, lrows)
+    _check(spark, tmpdir, con, ENGINE_ORDER_GATES)
+
+
+ENGINE_EVENT_GATES = [
+    "engine_microbatch_day",
+    "engine_insert_overwrite",
+    "engine_generic_test_failures",
+    "engine_streaming_table",
+]
+
+# 0..20-day offsets: the microbatch window (Jan 1-5) catches a strict
+# subset and insert_overwrite's Jan-15 incremental cutoff sometimes
+# selects nothing (empty second batch) and sometimes everything
+_eng_event_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 20 * 24 * 3600)),
+        st.one_of(st.none(), st.integers(1, 4)),
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False,
+                                       width=32)),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _reset_engine_streaming_state(spark):
+    """engine_streaming_table keys its checkpoint off the RELATION name,
+    so back-to-back fuzz examples (different corpora, same relation)
+    must clear checkpoint + catalog or exactly-once replays example 1's
+    data forever."""
+    import shutil
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(
+        os.path.join(wh, "_streaming", "drv_stream__events_clean"),
+        ignore_errors=True,
+    )
+    spark.sql("DROP DATABASE IF EXISTS drv_stream CASCADE")
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_eng_event_rows)
+def test_engine_event_gates_on_hostile_corpora(
+    spark, tmp_path_factory, rows
+):
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_enge"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [None if r[0] is None else _BASE_US + r[0] * 1_000_000
+                 for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(
+                ['{"k": %d}' % (i % 7) for i in range(len(rows))],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{tmpdir}/events.parquet'"
+    )
+    _reset_engine_streaming_state(spark)
+    _check(spark, tmpdir, con, ENGINE_EVENT_GATES)
+
+
+# snapshot SCD-2: hostile classes are NULL attribute values (NULL
+# acctbal must carry through both history rows and NULL+100 stays
+# NULL), NULL names, keys outside the snapshot's <=200 filter, and the
+# %10 update branch being empty or total.  Keys stay unique — a
+# primary-keyed source is the snapshot contract (dup unique_key
+# behavior is pinned at the operator level in test_snapshot.py).
+_cust_snap_rows = st.lists(
+    st.tuples(
+        st.integers(0, 30),                        # key stride selector
+        st.one_of(st.none(), st.sampled_from([-100.0, 0.0, 512.25])),
+        st.one_of(st.none(), st.just("")),         # name suffix class
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_cust_snap_rows)
+def test_engine_snapshot_gate_on_hostile_corpora(
+    spark, tmp_path_factory, rows
+):
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_engs"))
+    # unique custkeys spanning 0..600 (some past the gate's <=200 cut),
+    # dense around multiples of 10 so the SCD-2 update branch populates
+    keys = sorted({r[0] * 20 + i for i, r in enumerate(rows)})
+    by_key = {r[0] * 20 + i: r for i, r in enumerate(rows)}
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": pa.array(
+            [None if by_key[k][2] is None and by_key[k][1] is None
+             else f"Customer#{k}{by_key[k][2] or ''}" for k in keys],
+            pa.string()),
+        "c_acctbal": pa.array([by_key[k][1] for k in keys], pa.float64()),
+    }), f"{tmpdir}/customer.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view customer as select * from '{tmpdir}/customer.parquet'"
+    )
+    _check(spark, tmpdir, con, ["engine_snapshot_scd2"])
