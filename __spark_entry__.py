@@ -65,6 +65,20 @@ def _reg(spark: SparkSession, sf_dir: str) -> None:
             _t(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def _drop_stale_memory_sinks(spark: SparkSession, prefix: str) -> str:
+    """Memory-sink hygiene for the streaming gates: each invocation
+    drains into a fresh uuid-named in-memory table, and a long session
+    (bench repeats, rehearsal sweeps) would otherwise accumulate every
+    prior drain's rows in JVM memory.  Drop earlier invocations' sinks
+    for this gate, then mint the next name."""
+    import uuid as _uuid
+
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith(prefix):
+            spark.catalog.dropTempView(t.name)
+    return f"{prefix}{_uuid.uuid4().hex[:8]}"
+
+
 _EVENTS_US_CACHE: dict[str, str] = {}
 
 
@@ -1859,7 +1873,6 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark(1s) → 1h tumbling windows → AvailableNow drain to a memory
     sink.  Emits exactly the windows closed by the final watermark
     (max event ms − 1 s), which the SQL oracle reproduces."""
-    import uuid as _uuid
 
     from dbt_core_spark.streaming.structured import (
         run_to_memory,
@@ -1874,7 +1887,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "ts", window_duration="1 hour", watermark="1 second",
         group_cols=["event_type"], aggs=[F.count("*").alias("n")],
     )
-    name = f"stream_roll_{_uuid.uuid4().hex[:8]}"
+    name = _drop_stale_memory_sinks(spark, "stream_roll_")
     run_to_memory(rolled, name)
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -1912,7 +1925,6 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain.  Emits exactly the sessions closed by the final watermark
     (last_event + gap <= max ts − 1 s), which the SQL oracle reproduces
     with islands-and-gaps."""
-    import uuid as _uuid
 
     from dbt_core_spark.streaming.structured import (
         run_to_memory,
@@ -1927,7 +1939,7 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "ts", gap="10 minutes", watermark="1 second",
         group_cols=["user_id"], aggs=[F.count("*").alias("n")],
     )
-    name = f"stream_sess_{_uuid.uuid4().hex[:8]}"
+    name = _drop_stale_memory_sinks(spark, "stream_sess_")
     run_to_memory(sessions, name)
     return spark.table(name).select(
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -2285,7 +2297,6 @@ def streaming_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-hour (row, pos, cnt) counter tables, state bounded by
     windows·depth·width; bit-identical to batch cms_build per window
     (streaming/structured.py:streaming_cms)."""
-    import uuid as _uuid
 
     from dbt_core_spark.streaming.structured import (
         run_to_memory, stream_source, streaming_cms)
@@ -2296,7 +2307,7 @@ def streaming_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = streaming_cms(stream, "ts", "event_type",
                        window_duration="1 hour", watermark="1 second",
                        depth=3, width=64)
-    name = f"stream_cms_{_uuid.uuid4().hex[:8]}"
+    name = _drop_stale_memory_sinks(spark, "stream_cms_")
     run_to_memory(sk, name)
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -2313,7 +2324,6 @@ def funnel_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-order-invariant and equals the batch nested-min form — the
     same batch-replay-determinism gate streaming_cms established
     (streaming/stateful.py:funnel_stream)."""
-    import uuid as _uuid
 
     from dbt_core_spark.streaming.stateful import funnel_stream
     from dbt_core_spark.streaming.structured import (
@@ -2323,7 +2333,7 @@ def funnel_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     stream = stream_source(spark, path, schema, fmt="parquet")
     out = funnel_stream(stream, ["view", "click", "purchase"])
-    name = f"stream_funnel_{_uuid.uuid4().hex[:8]}"
+    name = _drop_stale_memory_sinks(spark, "stream_funnel_")
     run_to_memory(out, name)
     return (
         spark.table(name)

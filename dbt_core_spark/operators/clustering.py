@@ -111,16 +111,64 @@ def _nearest(cents: list[tuple[int, list[int]]]) -> Column:
     return F.array_min(cands)
 
 
-def _train(base: DataFrame, k: int, iters: int) -> list[tuple[int, list[int]]]:
+def _seed_centroids(
+    base: DataFrame, k: int, init: str
+) -> list[tuple[int, list[int]]]:
+    """Deterministic centroid seeding.
+
+    ``"lowest_id"`` (default, the oracle-replayable init): the k
+    lowest-id vectors.  Degenerate when ids correlate with content
+    (sorted/sharded corpora — all k seeds land in one region).
+
+    ``"kmeanspp"``: kmeans++-style farthest-first seeding on a BOUNDED
+    md5-ranked driver sample (the pq_codebook precedent) — seed 1 is
+    the lowest-md5(salt||id) sample row (a seeded uniform draw), each
+    further seed is the sample point maximizing min squared distance
+    to the chosen set (greedy k-center, the deterministic analog of
+    D²-weighted sampling; ties break to the earlier md5 rank).  All
+    arithmetic stays exact int64 on e4-quantized vectors.  Scale
+    shape: the md5 rank + limit plans as TakeOrdered (partial top-N
+    per partition, no global sort) and only sample_n·d ints reach the
+    driver."""
+    if init == "lowest_id":
+        seed = base.orderBy("id").limit(k).collect()  # k rows — bounded
+        return [(i, list(r["vq"])) for i, r in enumerate(seed)]
+    if init != "kmeanspp":
+        raise ValueError(f"unknown kmeans init {init!r}")
+    import numpy as np
+
+    n_sample = max(k, 256)
+    sample = (
+        base.withColumn(
+            "_rk", F.md5(F.concat(F.lit("kmpp"), F.col("id").cast("string")))
+        )
+        .orderBy("_rk", "id")
+        .limit(n_sample)  # TakeOrdered — bounded driver transfer
+        .collect()
+    )
+    if not sample:
+        return []
+    X = np.array([list(r["vq"]) for r in sample], dtype=np.int64)
+    chosen = [0]
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(X)):
+        nxt = int(d2.argmax())  # ties -> earliest md5 rank (argmax picks first)
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    return [(i, [int(v) for v in X[c]]) for i, c in enumerate(chosen)]
+
+
+def _train(
+    base: DataFrame, k: int, iters: int, init: str = "lowest_id"
+) -> list[tuple[int, list[int]]]:
     """Lloyd loop over a sealed quantized base; returns the centroid
-    list.  Init = the k lowest-id vectors (deterministic, oracle-
-    replayable).  Each iteration: one zero-shuffle assignment pass +
+    list.  Seeding per ``_seed_centroids`` (deterministic either way).
+    Each iteration: one zero-shuffle assignment pass +
     one k·d-bounded partial-sum shuffle; new centroid coordinate =
     truncdiv(sum, count); empty cells keep their previous centroid.
     Driver state is k·d ints per iteration (MLlib-precedent, cf.
     similarity._materialize_tiny)."""
-    seed = base.orderBy("id").limit(k).collect()  # k rows — bounded
-    cents = [(i, list(r["vq"])) for i, r in enumerate(seed)]
+    cents = _seed_centroids(base, k, init)
     if not cents:  # empty corpus — nothing to train
         return []
     for _ in range(iters):
@@ -147,13 +195,16 @@ def kmeans_fixed(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
+    init: str = "lowest_id",
 ) -> DataFrame:
     """Integer-exact distributed Lloyd k-means; returns one row per
     input row: (id_col, cluster, dist2_e8) where dist2_e8 is the exact
     squared L2 distance to the assigned centroid in e4^2 fixed point.
-    (Training mechanics: see _train.)"""
+    (Training mechanics: see _train; ``init="kmeanspp"`` opts into the
+    farthest-first sample seeding for sorted/sharded corpora — the
+    driver gates stay pinned at "lowest_id" for oracle stability.)"""
     base = _quantize(df, vec_col, id_col).localCheckpoint(eager=False)
-    cents = _train(base, k, iters)
+    cents = _train(base, k, iters, init)
     if not cents:  # empty corpus: a 0-wide literal matrix can't resolve
         return _empty_assign(base, id_col)
     m = _nearest(cents)
@@ -170,6 +221,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
+    init: str = "lowest_id",
 ) -> DataFrame:
     """The persistable model half of the tier: train on today's corpus,
     write the k-row (cell, cv) table, and assign every future ingest
@@ -177,7 +229,7 @@ def kmeans_centroids(
     (the ivf_index_build/search precedent, similarity.py:568).  cv is
     the e4-quantized centroid (array<bigint>)."""
     base = _quantize(df, vec_col, id_col).localCheckpoint(eager=False)
-    cents = _train(base, k, iters)
+    cents = _train(base, k, iters, init)
     return df.sparkSession.createDataFrame(
         [(cell, cv) for cell, cv in cents], "cell long, cv array<long>"
     )

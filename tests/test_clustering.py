@@ -341,3 +341,32 @@ def test_kmeans_oracle_parity_on_random_data(spark, tmp_path_factory, data, k):
     sql = _kmeans_cte(k=k, iters=2) + "\nselect vec_id, cluster, dist2_e8 from asg"
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     assert got == want
+
+
+def test_kmeanspp_seeding_beats_lowest_id_on_sorted_corpus(spark):
+    """r5 verdict item 5: lowest-id init degenerates when ids correlate
+    with content (sorted/sharded corpora — all k seeds in one region).
+    The deterministic kmeans++-style farthest-first init must give
+    strictly lower total distortion there, and must be reproducible."""
+    from dbt_core_spark.operators.clustering import kmeans_fixed
+
+    # ids sorted by content: 4 well-separated blobs, ids 0..39 ascending
+    # with the blob index — the k lowest ids all land in blob 0
+    rows = []
+    for i in range(40):
+        blob = i // 10
+        center = [float(5 * blob)] * 8
+        rows.append((i, [c + 0.01 * ((i * 7) % 5) for c in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def distortion(init):
+        out = kmeans_fixed(df, k=4, iters=2, init=init)
+        return sum(r["dist2_e8"] for r in out.collect())
+
+    d_low = distortion("lowest_id")
+    d_pp = distortion("kmeanspp")
+    assert d_pp < d_low, (d_pp, d_low)
+    # farthest-first on 4 separated blobs recovers one seed per blob ->
+    # near-zero within-cluster distortion
+    assert d_pp * 10 < d_low
+    assert distortion("kmeanspp") == d_pp  # deterministic replay
