@@ -77,7 +77,13 @@ def merge_build_sql(
     When every non-key column is excluded (``update_cols`` empty) the
     WHEN MATCHED clause is omitted entirely, matching the reference's
     merge macro (an empty UPDATE SET list is invalid SQL)."""
-    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    # PLAIN equality, matching dbt-spark's merge macro
+    # (`DBT_INTERNAL_SOURCE.key = DBT_INTERNAL_DEST.key`) and the
+    # parquet fallback's pinned NULL contract: a NULL key never
+    # matches, so NULL-key source rows insert verbatim.  (`<=>` was
+    # used through r5 — it silently upserted NULL-key rows onto each
+    # other, diverging from the fallback; merge-kernel fuzz finding.)
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     for p in extra_conditions or []:
         rewritten = (
             p.replace("DBT_INTERNAL_DEST", "t")

@@ -376,17 +376,36 @@ def _merge_frames(
         eligible = target.filter(pred)
         frozen = target.filter(f"NOT ({pred}) OR ({pred}) IS NULL")
 
-    src = source.dropDuplicates(keys) if not delete_insert else source
-    # de-dup on key for merge: Delta MERGE errors on dup keys; dbt's tested
-    # behavior for delete+insert keeps all source rows.
+    if not delete_insert:
+        # de-dup on key for merge: Delta MERGE errors on dup keys; the
+        # fallback keeps ONE source row per key (which one is
+        # unspecified).  Rows with ANY NULL key column are exempt: the
+        # MERGE match condition `t.k = s.k AND ...` can never be true
+        # for them, so every such row is WHEN NOT MATCHED and inserts
+        # verbatim — dropDuplicates would wrongly collapse them by
+        # treating NULL as a joinable value (merge-kernel fuzz finding).
+        all_keys_notnull = F.lit(True)
+        for k in keys:
+            all_keys_notnull = all_keys_notnull & F.col(k).isNotNull()
+        src = (
+            source.filter(all_keys_notnull)
+            .dropDuplicates(keys)
+            .unionByName(source.filter(~all_keys_notnull))
+        )
+    else:
+        # dbt's tested behavior for delete+insert keeps all source rows
+        src = source
 
     kept_target = eligible.join(src.select(*keys).distinct(), on=keys, how="left_anti")
 
     if merge_exclude_columns:
-        # matched rows: source values except excluded columns keep target's
+        # matched rows: source values except excluded columns keep target's.
+        # PLAIN equality, mirroring MERGE ON and the anti-join above —
+        # eqNullSafe here would let NULL keys "match" while the anti-join
+        # keeps the same target rows, emitting them twice (fuzz finding).
         t = eligible.alias("t")
         s = src.alias("s")
-        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+        cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
         matched = t.join(s, cond, "inner").select(
             *[
                 (F.col(f"t.{c}") if c in merge_exclude_columns else F.col(f"s.{c}")).alias(c)

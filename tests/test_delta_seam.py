@@ -121,7 +121,7 @@ def test_merge_build_sql_shape():
         extra_conditions=["DBT_INTERNAL_DEST.ds > '2024-01-01'"],
     )
     assert "MERGE INTO db.tgt t USING src_v s" in sql
-    assert "ON t.id <=> s.id AND (t.ds > '2024-01-01')" in sql
+    assert "ON t.id = s.id AND (t.ds > '2024-01-01')" in sql
     assert "UPDATE SET t.name = s.name " in sql  # note/id not updated
     assert "INSERT (id, name, note) VALUES (s.id, s.name, s.note)" in sql
 

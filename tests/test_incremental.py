@@ -300,3 +300,88 @@ def test_unpartitioned_merge_warns_full_rewrite(spark, schema, caplog):
                          logger="dbt_core_spark.operators.materializations"):
         assert eng2.run().ok()
     assert not [r for r in caplog.records if "rewrites the whole" in r.message]
+
+
+# ---- hostile unique-key property fuzz (r5 verdict item 4: "NULL and
+# duplicate unique_keys ... against full-refresh/oracle equivalence").
+# The engine-gate fuzz tiers drive the materialization FLOWS, but their
+# models aggregate by key, so NULL/duplicate source keys can never
+# reach the merge there; this pins the merge kernel's contract
+# directly:
+#   - a non-NULL key matches by equality: target rows with a key
+#     present in the source are replaced by exactly ONE source row per
+#     key (duplicate source keys collapse; WHICH duplicate survives is
+#     explicitly unspecified — Delta MERGE errors on them, the
+#     parquet fallback dedups — so values are only compared for keys
+#     with a unique source row);
+#   - NULL keys never match (SQL MERGE ON equality): NULL-key target
+#     rows survive untouched AND every NULL-key source row appends.
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+_kv_rows = _st.lists(
+    _st.tuples(_st.one_of(_st.none(), _st.integers(0, 3)),
+               _st.integers(0, 99)),
+    min_size=0, max_size=12,
+)
+
+
+@_settings(max_examples=12, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture])
+@_given(tgt=_kv_rows, src=_kv_rows)
+def test_merge_frames_null_and_duplicate_keys(spark, tgt, src):
+    from dbt_core_spark.operators.materializations import _merge_frames
+
+    schema_ = "id int, v int"
+    target = spark.createDataFrame(tgt, schema_)
+    source = spark.createDataFrame(src, schema_)
+    out = [(r["id"], r["v"]) for r in
+           _merge_frames(target, source, ["id"], [], [], False).collect()]
+
+    src_keys = {k for k, _ in src if k is not None}
+    expected_keys = sorted(
+        (
+            [k for k, _ in tgt if k is None]            # NULL targets kept
+            + [k for k, _ in tgt
+               if k is not None and k not in src_keys]  # unmatched kept
+            + [k for k, _ in src if k is None]          # NULL sources append
+            + sorted(src_keys)                          # one row per src key
+        ),
+        key=lambda x: (x is None, x),
+    )
+    assert sorted((k for k, _ in out),
+                  key=lambda x: (x is None, x)) == expected_keys
+    # value check where deterministic: unique-source-key rows
+    from collections import Counter
+    src_key_counts = Counter(k for k, _ in src if k is not None)
+    for k, v in src:
+        if k is not None and src_key_counts[k] == 1:
+            assert (k, v) in out
+    # NULL-key rows carry values verbatim from both sides
+    null_vals = sorted(v for k, v in out if k is None)
+    assert null_vals == sorted(
+        [v for k, v in tgt if k is None] + [v for k, v in src if k is None])
+
+
+@_settings(max_examples=6, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture])
+@_given(tgt=_kv_rows, src=_kv_rows)
+def test_merge_frames_delete_insert_keeps_all_source_rows(spark, tgt, src):
+    """delete+insert: ALL source rows land (dbt's tested behavior keeps
+    duplicates), matched target rows drop, NULL-key semantics as
+    above."""
+    from dbt_core_spark.operators.materializations import _merge_frames
+
+    schema_ = "id int, v int"
+    out = [(r["id"], r["v"]) for r in _merge_frames(
+        spark.createDataFrame(tgt, schema_),
+        spark.createDataFrame(src, schema_),
+        ["id"], [], [], True).collect()]
+    src_keys = {k for k, _ in src if k is not None}
+    expected = sorted(
+        [r for r in tgt if r[0] is None or r[0] not in src_keys] + src,
+        key=lambda r: (r[0] is None, r[0], r[1]),
+    )
+    assert sorted(out, key=lambda r: (r[0] is None, r[0], r[1])) == expected
