@@ -309,20 +309,31 @@ def main() -> None:
         print(f"== text x{factor}: {dedup_meta[factor]} docs",
               file=sys.stderr)
 
-        text_results.setdefault("dup_ngram_spans (k=5)", {})[factor] = \
-            run_count(lambda: dup_ngram_spans(docs, k=5, min_docs=2))
+        text_results.setdefault("dup_ngram_spans (k=5)", {})[factor] = run(
+            lambda: dup_ngram_spans(docs, k=5, min_docs=2))
 
-        text_results.setdefault("tfidf_cosine_pairs", {})[factor] = \
-            run_count(
+        # tfidf probes a 1/10 sub-corpus (500/5k/50k docs): the
+        # template-heavy synthetic docs yield ~1.3k ≥0.6-cosine pairs
+        # per doc, so the full corpus would cost hours at ×100 purely
+        # in pair YIELD.  max_df_frac scales as 0.8/factor so the
+        # per-replica document-frequency cutoff stays at the same
+        # absolute df at every scale — replica vocabularies are
+        # disjoint, so a FIXED fraction would silently stop filtering
+        # stopword-class terms as the corpus grows (a superlinear
+        # yield artifact of the corpus construction, not the
+        # operator).
+        tdocs = docs.filter("doc_id % 10 = 0")
+        text_results.setdefault("tfidf_cosine_pairs (1/10 corpus)", {})[
+            factor] = run(
                 lambda: tfidf_cosine_pairs(
-                    docs, threshold=0.6, max_df_frac=0.8))
+                    tdocs, threshold=0.6, max_df_frac=0.8 / factor))
 
         def ctr_flow():
             chunks = chunk_documents(docs, chunk_words=40, overlap=10)
             return contrastive_pairs(chunks)
 
         text_results.setdefault("contrastive_pairs", {})[factor] = \
-            run_count(ctr_flow)
+            run(ctr_flow)
         for op, per in text_results.items():
             if factor in per:
                 rows, wall, a = per[factor]
@@ -487,12 +498,13 @@ def main() -> None:
         "carried the largest final-job exchange of any sf0.1 headline "
         "query — the r5 verdict's one unmeasured scale curve) over the "
         "same perturbed docs.  Replica vocabularies are disjoint, so "
-        "span/pair density stays ~constant while rows grow.  This tier "
-        "is count()-driven (JVM-side full execution): the synthetic "
-        "docs are template-heavy, so the ≥0.6-cosine pair YIELD is "
-        "~1.3k pairs/doc by construction — collect()ing millions of "
-        "output rows would time the driver's deserializer, not the "
-        "operator.",
+        "span/pair density stays ~constant while rows grow.  tfidf runs "
+        "on a 1/10 sub-corpus with max_df_frac scaled 0.8/factor: the "
+        "template-heavy synthetic docs yield ~1.3k ≥0.6-cosine pairs "
+        "per doc, and replica-disjoint vocabularies would let a fixed "
+        "df-fraction cutoff admit ever more stopword-class terms as "
+        "the corpus grows — both corpus artifacts, not operator "
+        "costs.",
         "",
         "| operator | scale | wall s | out rows | final-job shuffle | "
         "shuffle rows |",
@@ -507,8 +519,8 @@ def main() -> None:
                 f"{a['shuffle_records']:,} |")
     ds1 = text_results["dup_ngram_spans (k=5)"][1]
     ds100 = text_results["dup_ngram_spans (k=5)"][100]
-    tc1 = text_results["tfidf_cosine_pairs"][1]
-    tc100 = text_results["tfidf_cosine_pairs"][100]
+    tc1 = text_results["tfidf_cosine_pairs (1/10 corpus)"][1]
+    tc100 = text_results["tfidf_cosine_pairs (1/10 corpus)"][100]
     cp1 = text_results["contrastive_pairs"][1]
     cp100 = text_results["contrastive_pairs"][100]
     lines += [
@@ -517,15 +529,22 @@ def main() -> None:
         f"{ds100[1] / ds1[1]:.1f}× and final-job shuffle "
         f"{ds100[2]['shuffle_bytes'] / max(ds1[2]['shuffle_bytes'], 1):.1f}× "
         f"for 100× the docs ({ds1[1]}s → {ds100[1]}s) — the positional "
-        "k-gram exchange is row-multiplying but strictly LINEAR in "
-        "corpus tokens (one (gram-hash)-keyed semi join + per-doc "
-        "island windows); nothing quadratic appears at scale.",
+        "k-gram exchange is row-multiplying but ~linear in corpus "
+        "tokens (one (gram-hash)-keyed semi join + per-doc island "
+        "windows); per-doc shuffle rows drift "
+        f"{ds100[2]['shuffle_records'] / (100 * ds1[2]['shuffle_records']):.2f}× "
+        "across two decades (vowel-free grams are shared across "
+        "replicas and pass the ≥2-doc filter — a corpus-construction "
+        "residue, not operator superlinearity).",
         f"- **tf-idf cosine stays Σdf², not n²**: wall grows "
         f"{tc100[1] / tc1[1]:.1f}× for 100× the docs "
         f"({tc1[1]}s → {tc100[1]}s) — the inverted-index join only "
         "pairs documents sharing a surviving term, and max_df_frac "
         "caps any term's fan-out; an all-pairs design would have grown "
-        "~10,000×.",
+        "~10,000×.  (The ×100 BYTE column jumps because AQE stops "
+        "broadcasting the doc-norm side and the candidate join goes "
+        "shuffle-both-sides — a plan-shape shift, visible in the "
+        "records column, not quadratic work.)",
         f"- **contrastive_pairs is bucket-keyed**: wall grows "
         f"{cp100[1] / cp1[1]:.1f}× for 100× the docs "
         f"({cp1[1]}s → {cp100[1]}s) — positives are one doc-keyed "
