@@ -441,7 +441,18 @@ def _apply_on_schema_change(
             f"and on_schema_change='fail'"
         )
     if mode == "ignore":
-        return df  # new source columns are simply not inserted (projection later)
+        # new source columns are NOT written and the target shape wins
+        # (ref contract: ignore inserts into the DEST column list).  The
+        # append/insert_overwrite paths re-project anyway, but the merge
+        # path unions by name with allowMissingColumns and would leak a
+        # new source column into the rebuilt target (schema-drift
+        # property-fuzz finding) — project here so every strategy sees
+        # the target's exact column set.
+        return df.select(*[
+            F.col(c) if c in df.columns
+            else F.lit(None).cast(existing.schema[c].dataType).alias(c)
+            for c in existing.columns
+        ])
     if mode == "append_new_columns":
         if new_cols:
             ddl = ", ".join(

@@ -385,3 +385,87 @@ def test_merge_frames_delete_insert_keeps_all_source_rows(spark, tgt, src):
         key=lambda r: (r[0] is None, r[0], r[1]),
     )
     assert sorted(out, key=lambda r: (r[0] is None, r[0], r[1])) == expected
+
+
+_col_pool = ["a", "b", "c"]
+
+
+@_settings(max_examples=8, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture])
+@_given(
+    cols1=_st.sets(_st.sampled_from(_col_pool), min_size=1),
+    cols2=_st.sets(_st.sampled_from(_col_pool), min_size=1),
+    mode=_st.sampled_from(
+        ["ignore", "append_new_columns", "sync_all_columns", "fail"]),
+)
+def test_on_schema_change_drift_property(spark, cols1, cols2, mode):
+    """Schema drift mid-stream (r5 verdict item 4): the second
+    incremental batch selects a RANDOM column subset under each
+    on_schema_change mode.  Expected schemas (the reference's
+    test_incremental_on_schema_change.py contract):
+      ignore             -> target keeps run-1 columns exactly
+      append_new_columns -> run-1 columns + new columns (old rows NULL)
+      sync_all_columns   -> exactly run-2 columns (+ key)
+      fail               -> run errors iff the column set changed
+    Values: updated/inserted rows carry batch values, columns the
+    batch lacks are NULL for those rows; surviving rows keep theirs."""
+    import uuid
+
+    from dbt_core_spark import Engine, ProjectDef
+
+    schema = f"drift_{uuid.uuid4().hex[:8]}"
+    c1, c2 = sorted(cols1), sorted(cols2)
+
+    def proj(cols, mult):
+        return ", ".join([f"id"] + [f"id * {mult * (i + 2)} as {c}"
+                                    for i, c in enumerate(cols)])
+
+    p = ProjectDef(name="d")
+    p.seeds["raw"] = [{"id": i} for i in range(4)]
+    p.models["m"] = (
+        "{{ config(materialized='incremental', unique_key='id', "
+        f"on_schema_change='{mode}') }}}}"
+        f" select {proj(c1, 1)} from {{{{ ref('raw') }}}} "
+        "{% if is_incremental() %} where id >= 2 {% endif %}"
+    ).replace("}}}} ", "}} ", 1)
+    eng = Engine(spark, p, schema=schema)
+    try:
+        eng.seed()
+        assert eng.run().ok()
+        # second run: same model name, drifted projection
+        p.models["m"] = (
+            "{{ config(materialized='incremental', unique_key='id', "
+            f"on_schema_change='{mode}') }}}}"
+            f" select {proj(c2, 10)} from {{{{ ref('raw') }}}} "
+            "{% if is_incremental() %} where id >= 2 {% endif %}"
+        ).replace("}}}} ", "}} ", 1)
+        eng2 = Engine(spark, p, schema=schema)
+        eng2.seed()
+        res = eng2.run()
+        drifted = c1 != c2
+        if mode == "fail" and drifted:
+            assert not res.ok()
+            return
+        assert res.ok(), str([r.message for r in res.results])
+        out = spark.table(f"{schema}.m")
+        got_cols = sorted(c for c in out.columns if c != "id")
+        if mode == "ignore":
+            want_cols = c1
+        elif mode == "append_new_columns":
+            want_cols = sorted(set(c1) | set(c2))
+        else:  # sync_all_columns, or fail without drift
+            want_cols = c2 if mode == "sync_all_columns" else c1
+        assert got_cols == want_cols, (mode, c1, c2, got_cols)
+        rows = {r["id"]: r.asDict() for r in out.collect()}
+        assert set(rows) == {0, 1, 2, 3}
+        for i, r in rows.items():
+            batch = i >= 2  # ids 2,3 came from the drifted second batch
+            for j, c in enumerate(want_cols):
+                if batch:
+                    exp = (10 * (c2.index(c) + 2) * i) if c in c2 else None
+                else:
+                    exp = (1 * (c1.index(c) + 2) * i) if c in c1 else None
+                assert r.get(c) == exp, (mode, c1, c2, i, c, r)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+        spark.sql(f"DROP DATABASE IF EXISTS {schema}__sources CASCADE")
