@@ -1606,6 +1606,9 @@ def pq_codebook(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sd = dim // m
+    # NULL vectors never seed or train the codebook (contract pinned in
+    # the oracles' v0 CTE; a NULL seed poisons every downstream code)
+    df = df.filter(F.col(vec_col).isNotNull())
     if kmeans_iters <= 0:
         seeds = df.orderBy(id_col).limit(ks).select(
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
@@ -1659,8 +1662,11 @@ def pq_encode(
     every subspace argmin in a single shuffle (min over (dist, code)
     structs, so no second pass and no per-branch recompute)."""
     sd = dim // m
-    ex = df.select(F.col(id_col), F.col(vec_col).alias("_v")).crossJoin(
-        F.broadcast(codebook)
+    # NULL vectors are unencodable — excluded, mirroring the oracle
+    ex = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(codebook))
     )
     scored = ex.select(
         F.col(id_col),
@@ -1701,8 +1707,11 @@ def pq_search(
     can never flip a 6-dp rounding or a rank tie.  Returns
     (query_id, nbr_id, dist_e6, rank)."""
     sd = dim // m
+    # NULL-vector queries have no defined distances — excluded (oracle
+    # v0 CTE carries the same filter)
     lut = (
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_q")
         )
         .crossJoin(F.broadcast(codebook))
@@ -1786,7 +1795,12 @@ def gram_matrix(
                 "v": acc.ravel(),
             })
 
-    parts = df.select(vec_col).mapInPandas(part, "i int, j int, v long")
+    # NULL vectors excluded at entry (the kmeans precedent, r6): a
+    # NULL row makes the Arrow batch ragged and np.array() throws
+    parts = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(vec_col).mapInPandas(part, "i int, j int, v long")
+    )
     return parts.groupBy("i", "j").agg(F.sum("v").alias("gram_e8"))
 
 
@@ -1936,6 +1950,11 @@ def ivfpq_search(
     to the broadcast (query, cell) LUT on (cell, sub, code) — raw
     vectors are never shuffled or rescanned at query time."""
     sd = dim // m
+    # NULL vectors excluded on BOTH sides at entry (the kmeans
+    # precedent): a NULL centroid/seed poisons every downstream code,
+    # and a NULL query has no defined LUT
+    df = df.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
 
     cents = df.orderBy(id_col).limit(n_cells).select(
         (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),

@@ -2295,7 +2295,9 @@ def _l2sq_sql(a: str, b: str) -> str:
 # rank j; subspace s of a 64-dim vector covers elements 16s+1..16s+16.
 _PQ_COMMON = f"""
 with v0 as (
+    -- NULL vectors excluded: mirrors the operators' entry filter
     select vec_id, embedding::DOUBLE[] as e from embeddings
+    where embedding is not null
 ), subs as (
     select unnest(range(4)) as sub
 ), seeds as (
@@ -2383,6 +2385,7 @@ from documents where text is not null
 ORACLES["gram_matrix_embeddings"] = """
 with v as (
   select embedding::DOUBLE[] as e from embeddings
+  where embedding is not null
 ), ii as (
   select unnest(range(1, 65)) as i
 ), jj as (
@@ -2641,7 +2644,9 @@ where n_words > 0 and floor(s / n_words) > 0
 # probed-cell) residual LUTs, e6 bigint ADC sums.
 ORACLES["ivfpq_search_embeddings"] = f"""
 with v0 as (
+    -- NULL vectors excluded: mirrors the operators' entry filter
     select vec_id, embedding::DOUBLE[] as e from embeddings
+    where embedding is not null
 ), cents as (
     select row_number() over (order by vec_id) - 1 as cell, e as ce
     from (select * from v0 order by vec_id limit 16)

@@ -737,10 +737,15 @@ ANN_GATES = [
 ]
 
 
-# NULL-embedding hostile class (r5 ADVICE): the kmeans tier pins the
-# contract as "NULL vectors excluded at entry" (clustering._quantize +
-# the oracles' `embedding is not null`); this drives random corpora
-# where some rows ARE NULL through the gate compare to hold that pin.
+# NULL-embedding hostile class (r5 ADVICE, widened to the whole
+# embedding family in r6): every embedding operator pins the contract
+# as "NULL vectors excluded at entry" on BOTH the operator and its
+# oracle (kmeans: clustering._quantize; PQ/IVFADC: codebook/encode/
+# search entry filters + the oracles' v0 CTE; gram_matrix: entry
+# filter — a NULL row made the Arrow batch ragged and np.array threw;
+# the cosine/IVF tiers' zero-norm entry filters already rejected
+# NULL).  These tiers drive random corpora where some rows ARE NULL
+# through the gate compare to hold that pin.
 _emb_rows_nullable = st.lists(
     st.one_of(
         st.none(),
@@ -777,6 +782,44 @@ def test_kmeans_gates_with_null_embeddings(
     tmpdir = str(tmp_path_factory.mktemp("fuzz_kmnull"))
     con = _write_embeddings(tmpdir, vecs)
     _check(spark, tmpdir, con, KMEANS_GATES)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows_nullable, dup=st.booleans())
+def test_embedding_gates_with_null_embeddings(
+    spark, tmp_path_factory, vecs, dup
+):
+    if dup and vecs:
+        vecs = vecs + vecs[:2]
+    if all(v is None for v in vecs):
+        vecs = vecs + [[1.0] * 64]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_embnull"))
+    con = _write_embeddings(tmpdir, vecs)
+    _check(spark, tmpdir, con, EMB_GATES + [
+        g for g in EMB_GATES_EXT if g != "dedup_embedding_docs"
+    ])
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows_nullable, dup=st.booleans())
+def test_ann_gates_with_null_embeddings(
+    spark, tmp_path_factory, vecs, dup
+):
+    if dup and vecs:
+        vecs = vecs + vecs[:2]
+    if all(v is None for v in vecs):
+        vecs = vecs + [[1.0] * 64]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_annnull"))
+    con = _write_embeddings(tmpdir, vecs)
+    _check(spark, tmpdir, con, ANN_GATES + ["dedup_embedding_docs"])
 
 
 @settings(
