@@ -1980,8 +1980,12 @@ def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reflowed "line" carrying its own \n would split again inside
     # line_dedup while the oracle counts word-slice lines (gate-fuzz
     # finding; testdata is single-line so the sf gate never saw it).
+    # NULL-text docs are excluded: they have no lines, and the oracle's
+    # _LINED CTE carries the same filter (r6 NULL-doc fuzz; the doc-
+    # operator convention — most doc oracles filter `text is not null`)
     return (
-        docs.withColumn(
+        docs.filter(F.col("text").isNotNull())
+        .withColumn(
             "ws", F.split(F.regexp_replace(F.col("text"), "\n", " "), " ")
         )
         .withColumn(

@@ -286,10 +286,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                 "dup_word_frac"),
             "top_bigram",
             F.col("top_bigram_count").cast("bigint").alias("top_bigram_count"),
-            # 0, not NULL, for sub-2-word docs (the oracle's n_words-1
-            # identity; gate-fuzz finding) — the frac below keeps the
-            # nullable denominator so no ANSI divide-by-zero can fire
-            F.coalesce(F.col("n_bigrams").cast("bigint"), F.lit(0)).alias(
+            # the oracle's n_words-1 identity (gate-fuzz finding): 0 for
+            # sub-2-word docs, NULL for NULL text (a flat lit(0)
+            # fallback leaked 0 into NULL-text rows — r6 NULL-doc fuzz);
+            # the frac below keeps the nullable denominator so no ANSI
+            # divide-by-zero can fire
+            F.coalesce(F.col("n_bigrams").cast("bigint"),
+                       (F.col("n_words") - 1).cast("bigint")).alias(
                 "n_bigrams"),
             (F.col("top_bigram_count") / F.col("n_bigrams")).alias(
                 "top_bigram_frac"),

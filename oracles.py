@@ -942,8 +942,11 @@ ORACLES["token_counts_docs"] = f"""
 with w as (select doc_id, {_WORDS} as words from documents)
 select doc_id,
        cast(len(words) as bigint) as n_tokens_ws,
-       cast(coalesce(list_sum(list_transform(words,
-            x -> cast(greatest(1, cast(ceil(length(x) / 4) as bigint)) as bigint))), 0) as bigint) as n_tokens_bpe
+       -- NULL text -> NULL count (the coalesce-to-0 is only for the
+       -- empty-words list; r6 NULL-doc fuzz)
+       cast(case when words is null then null
+            else coalesce(list_sum(list_transform(words,
+            x -> cast(greatest(1, cast(ceil(length(x) / 4) as bigint)) as bigint))), 0) end as bigint) as n_tokens_bpe
 from w
 """
 
@@ -1190,7 +1193,11 @@ _PII_AUG_SQL = (
 
 ORACLES["pii_scrub_docs"] = f"""
 with aug as (
-    select doc_id, {_PII_AUG_SQL} as t0 from documents
+    -- case: DuckDB concat() IGNORES NULL args where Spark concat
+    -- yields NULL — a NULL-text doc must stay NULL end-to-end
+    select doc_id,
+           case when text is null then null else {_PII_AUG_SQL} end as t0
+    from documents
 ), s1 as (
     select doc_id, t0,
            regexp_replace(t0, '{_PII["email"]}', '[EMAIL]', 'g') as t1

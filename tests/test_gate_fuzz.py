@@ -291,6 +291,7 @@ def test_event_gates_extended(spark, tmp_path_factory, rows):
 
 
 _doc_text = st.one_of(
+    st.none(),  # NULL text — r6 hostile class (every doc tier inherits)
     st.just(""),
     st.just("   "),
     st.text(alphabet="ab .,\n", max_size=60),
@@ -298,7 +299,8 @@ _doc_text = st.one_of(
     st.just("the the the same same words words words repeated"),
 )
 _docs_rows = st.lists(
-    st.tuples(_doc_text, st.sampled_from(["en", "de", "xx"])),
+    st.tuples(_doc_text,
+              st.one_of(st.none(), st.sampled_from(["en", "de", "xx"]))),
     min_size=0,
     max_size=25,
 )
@@ -314,7 +316,7 @@ def _write_docs(tmpdir, rows):
                 [["web", "books", "code"][i % 3] for i in range(len(rows))],
                 pa.string(),
             ),
-            "n_chars": pa.array([len(r[0]) for r in rows], pa.int64()),
+            "n_chars": pa.array([len(r[0] or "") for r in rows], pa.int64()),
         }
     )
     pq.write_table(tbl, f"{tmpdir}/documents.parquet")
