@@ -69,7 +69,10 @@ def line_dedup(
             F.col(id_col),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
         )
-        .withColumn("nline", F.trim(F.lower(F.col("line"))))
+        # İ→i pre-translate: see normalized_words — JVM full-mapping
+        # lower('İ') is two codepoints, utf8proc's is one; normalized
+        # lines must group identically across engines
+        .withColumn("nline", F.trim(F.lower(F.translate(F.col("line"), "İ", "i"))))
         # sealed: lines feeds the boilerplate counts, the anti-join
         # probe, and the per-doc totals — three branches that would
         # each replay the split+posexplode otherwise

@@ -38,9 +38,17 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
 
 
 def normalized_words(col: str | Column) -> Column:
-    """Lowercase, strip non-alphanumerics, split to words (empty removed)."""
+    """Lowercase, strip non-alphanumerics, split to words (empty removed).
+
+    U+0130 (İ) pre-translates to plain ``i``: it is the only Unicode
+    codepoint whose full lowercase mapping (JVM ``lower``) is
+    multi-codepoint (``i`` + combining dot U+0307), which the strip
+    pass would turn into a word boundary, while utf8proc engines
+    (DuckDB) use the single-codepoint simple mapping.  Verified by an
+    exhaustive U+0020–U+2FFFF sweep (tests/test_gate_fuzz.py) — no
+    other codepoint diverges through this pipeline."""
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
+    cleaned = F.regexp_replace(F.lower(F.translate(c, "İ", "i")), "[^a-z0-9 ]", " ")
     return F.filter(F.split(cleaned, "\\s+"), lambda w: w != "")
 
 

@@ -290,12 +290,31 @@ def test_event_gates_extended(spark, tmp_path_factory, rows):
     _check(spark, tmpdir, con, EVENT_GATES_EXT)
 
 
+# Targeted unicode-hostile texts (r6): each string aims at a specific
+# engine-divergence surface — NFC-vs-combining normalization, full-vs-
+# simple case mapping (ß→SS, Turkish İ), Java-regex-\s vs RE2-\s on
+# non-ASCII whitespace (NBSP/LS/PS/ideographic space), ZWJ emoji and
+# flag sequences (non-BMP + grapheme clusters), RTL runs, and long
+# combining-mark tails feeding the n-gram/slice paths.
+_UNICODE_HOSTILE = [
+    "caf\u00e9 cafe\u0301 na\u00efve",  # precomposed vs combining
+    "stra\u00dfe STRASSE \u1e9eTRA\u1e9eE",  # sharp-s case mapping
+    "\u0130stanbul \u0131l\u0131k i\u0307",  # Turkish dotted/dotless i
+    "a\u00a0b\u2028c\u2029d\u3000e\u200bf",  # unicode spaces + ZWSP
+    "\U0001f469\u200d\U0001f469\u200d\U0001f467 "
+    "\U0001f1e9\U0001f1ea ok",  # ZWJ family + flag (non-BMP clusters)
+    "\u05e9\u05dc\u05d5\u05dd abc \u05e2\u05d5\u05dc\u05dd",  # RTL
+    "\u4e16\u754c\u3001\u4e16\u754c\u3002 "
+    "\u3053\u3093\u306b\u3061\u306f",  # CJK + ideographic punct
+    "e" + "\u0301" * 12 + " plain",  # combining-mark tail
+]
 _doc_text = st.one_of(
     st.none(),  # NULL text — r6 hostile class (every doc tier inherits)
     st.just(""),
     st.just("   "),
     st.text(alphabet="ab .,\n", max_size=60),
     st.text(max_size=40),  # arbitrary unicode incl. CJK/Cyrillic/emoji
+    st.sampled_from(_UNICODE_HOSTILE),
     st.just("the the the same same words words words repeated"),
 )
 _docs_rows = st.lists(
@@ -1102,3 +1121,45 @@ def test_engine_snapshot_gate_on_hostile_corpora(
         f"create view customer as select * from '{tmpdir}/customer.parquet'"
     )
     _check(spark, tmpdir, con, ["engine_snapshot_scd2"])
+
+
+def test_lower_normalize_parity_exhaustive(spark):
+    """EXHAUSTIVE cross-engine case-mapping contract: every codepoint
+    U+0020–U+2FFFF (BMP + SMP, surrogates excluded) projected through
+    the normalized_words cleanup (lower → strip non-[a-z0-9 ]) must
+    normalize identically on Spark (JVM full case mapping) and DuckDB
+    (utf8proc simple mapping).  The one divergent codepoint — U+0130 İ,
+    whose full lowercase is 'i'+U+0307 and whose simple lowercase is
+    'i' — is pinned by the İ→i pre-translate in normalized_words; this
+    sweep proves there is no second such character hiding in either
+    engine's Unicode tables."""
+    import pandas as pd
+
+    cps = [i for i in range(0x20, 0x30000) if not (0xD800 <= i <= 0xDFFF)]
+    pdf = pd.DataFrame({"cp": cps, "s": [chr(i) for i in cps]})
+    from pyspark.sql import functions as F
+
+    fixed = F.translate(F.col("s"), "İ", "i")
+    sp = (
+        spark.createDataFrame(pdf)
+        .select(
+            "cp",
+            F.regexp_replace(F.lower(fixed), "[^a-z0-9 ]", " ").alias("norm"),
+        )
+        .toPandas()
+        .set_index("cp")["norm"]
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    dk = (
+        con.sql(
+            "select cp, regexp_replace(lower(s), '[^a-z0-9 ]', ' ', 'g')"
+            " as norm from t"
+        )
+        .df()
+        .set_index("cp")["norm"]
+    )
+    diff = [cp for cp in cps if sp[cp] != dk[cp]]
+    assert diff == [], [
+        (hex(cp), chr(cp), repr(sp[cp]), repr(dk[cp])) for cp in diff[:10]
+    ]
