@@ -72,13 +72,16 @@ def attach_media(df: DataFrame, text_col: str = "text",
     )
 
 
-def _decode_image_stub(payload: bytes) -> int:
+def _decode_image_stub(payload: bytes) -> int | None:
     """STUB decode kernel — deterministic fake feature (payload length
     mod 97).  A real deployment replaces this with e.g.
     ``PIL.Image.open(io.BytesIO(payload))`` + a feature extractor;
-    everything around it (batching, schema, partitioning) is unchanged."""
+    everything around it (batching, schema, partitioning) is unchanged.
+    NULL payload → NULL feature (the NULL-in/NULL-out family contract —
+    r6 doc-gate fuzz finding: the old ``-1`` sentinel diverged from the
+    SQL oracle's ``octet_length(NULL) IS NULL``)."""
     if payload is None:
-        return -1
+        return None
     return len(payload) % 97
 
 
@@ -92,11 +95,16 @@ def extract_features(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             data = pdf["data"]
+            # nullable Int64: a NULL payload yields NULL stats (not 0/-1
+            # sentinels), and the Arrow path needs a nullable integer
+            # dtype — plain int64 would silently float-ify the Nones
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": data.map(lambda b: len(b) if b is not None else 0),
-                    "feature": data.map(_decode_image_stub),
+                    "n_bytes": data.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                    "feature": data.map(_decode_image_stub).astype("Int64"),
                 }
             )
 
@@ -290,7 +298,12 @@ def synth_media(df: DataFrame, text_col: str = "text",
     (id + 3x + 7y) % 256 across all channels — spatially varying, so
     geometric ops (resize/crop) have analytically predictable outputs.
     Features after decode are predictable either way, so the REAL codec
-    path is oracle-checkable in SQL."""
+    path is oracle-checkable in SQL.
+
+    TOTAL function contract: NULL text synthesizes as EMPTY text
+    (``len(text or "")``) — every document gets a payload.  This
+    differs deliberately from ``attach_media``, which wraps an existing
+    column and so propagates NULL payloads to NULL features."""
     if pattern not in ("const", "gradient"):
         raise ValueError("pattern must be 'const' or 'gradient'")
 

@@ -1289,10 +1289,14 @@ select doc_id as media_id,
        case when doc_id % 2 = 0 then null
             else cast(3 + doc_id % 7 as int) end as height,
        case when doc_id % 2 = 0 then cast(8000 as int) else null end as sample_rate,
+       -- coalesce: synth_media is a TOTAL deterministic function —
+       -- NULL text synthesizes as empty text (len 0), unlike the
+       -- attach_media family where a NULL payload stays NULL
+       -- (r6 doc-gate fuzz finding)
        case when doc_id % 2 = 0
-            then cast(8 * (length(text) % 50 + 1) as bigint) else null end as n_samples,
+            then cast(8 * (coalesce(length(text), 0) % 50 + 1) as bigint) else null end as n_samples,
        case when doc_id % 2 = 0
-            then cast(length(text) % 50 + 1 as bigint) else null end as duration_ms,
+            then cast(coalesce(length(text), 0) % 50 + 1 as bigint) else null end as duration_ms,
        case when doc_id % 2 = 0
             then cast(100 + doc_id % 900 as bigint) else null end as peak,
        case when doc_id % 2 = 0 then cast(100 + doc_id % 900 as double)
