@@ -36,6 +36,33 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _rounded_topk_cols(srow, kk: int, dp: int):
+    """Top-``kk`` column indices of a score row by (round(s, dp) DESC,
+    index ASC) — the cross-engine rank contract for the BLAS kernels.
+
+    Selection AND ordering happen on the ROUNDED score: numpy matmul
+    and SQL fold summation differ in last-ulp ways, so ranking raw
+    doubles can flip the order (or boundary membership) of two
+    neighbors whose displayed 6/9-dp cosines are equal — a real
+    divergence the r6 NULL-embedding gate fuzz caught on a duplicate-
+    heavy corpus.  Rounding the rank key aligns rank divergence exactly
+    with value divergence.  Callers must pass score rows whose index
+    order is ascending-id so the stable sort's tie-break matches
+    ``row_number() over (... order by round(cosine, dp) desc, nbr_id)``.
+    """
+    import numpy as np
+
+    r = np.round(srow, dp)
+    if len(r) <= kk:
+        cand = np.arange(len(r))
+    else:
+        # boundary value of the kk-th largest, then every index tied
+        # with it — an argpartition alone picks arbitrarily among ties
+        b = np.partition(r, len(r) - kk)[len(r) - kk]
+        cand = np.where(r >= b)[0]
+    return cand[np.argsort(-r[cand], kind="stable")][:kk]
+
+
 def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Pre-normalize so cosine = dot (halves the pairwise math).
 
@@ -206,17 +233,15 @@ def cosine_topk_blas(
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
             S = Qn @ Mb.T  # (q, n)
             S[qids[:, None] == nbr_ids[None, :]] = -np.inf  # self-match
-            # partial top-k then exact ordering inside the slice
-            part = np.argpartition(-S, kth=min(k, S.shape[1] - 1), axis=1)[:, :k]
+            kk = min(k, S.shape[1])
             rows = []
             for qi in range(len(qids)):
-                # np.sort first: index order == nbr_id order, so the
-                # stable score sort breaks cosine ties by ascending id,
-                # matching row_number() over (cosine desc, nbr_id asc)
-                cols = np.sort(part[qi])
-                cols = cols[np.argsort(-S[qi, cols], kind="stable")]
+                # rounded-rank contract (index order == nbr_id order —
+                # Mb is pre-sorted by id above): selection + ordering on
+                # round(S, 9), ties by ascending id, matching
+                # row_number() over (round(cosine, 9) desc, nbr_id)
                 rank = 0
-                for c in cols:
+                for c in _rounded_topk_cols(S[qi], kk, 9):
                     if not np.isfinite(S[qi, c]):
                         continue  # -inf self-match lands in top-k when n <= k
                     rank += 1
@@ -278,17 +303,21 @@ def _sharded_topk_blas(
             return pd.DataFrame(columns=["query_id", "nbr_id", "cosine"])
         mid = members["id"].to_numpy()
         M = np.array(members["v"].tolist(), dtype=np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        # id-sort members so the rounded-rank tie-break (index asc ==
+        # id asc) holds for the local cut — a boundary tie dropped here
+        # could be the globally-ranked row
+        order = np.argsort(mid, kind="stable")
+        mid = mid[order]
+        Mn = (M / np.linalg.norm(M, axis=1, keepdims=True))[order]
         qid = qs["id"].to_numpy()
         Q = np.array(qs["v"].tolist(), dtype=np.float64)
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         S = Qn @ Mn.T
         S[qid[:, None] == mid[None, :]] = -np.inf  # self-match
         kk = min(k, S.shape[1])
-        part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
         rows = []
         for i in range(len(qid)):
-            for c in part[i]:
+            for c in _rounded_topk_cols(S[i], kk, 9):
                 if np.isfinite(S[i, c]):
                     rows.append((int(qid[i]), int(mid[c]), float(S[i, c])))
         return pd.DataFrame(rows, columns=["query_id", "nbr_id", "cosine"])
@@ -296,8 +325,9 @@ def _sharded_topk_blas(
     scored = routed.groupBy("shard").applyInPandas(
         score_shard, schema="query_id long, nbr_id long, cosine double"
     )
+    # rounded-rank contract: see _rounded_topk_cols
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("nbr_id").asc()
+        F.round("cosine", 9).desc(), F.col("nbr_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -436,7 +466,11 @@ def _topk_score_kernel(k: int, budget: int):
             return pd.DataFrame(columns=["query_id", "nbr_id", "cosine"])
         mid = members["id"].to_numpy()
         M = np.array(members["v"].tolist(), dtype=np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        # id-sort members: the rounded-rank local cut breaks ties by
+        # index, which must mean ascending nbr_id (see _rounded_topk_cols)
+        order = np.argsort(mid, kind="stable")
+        mid = mid[order]
+        Mn = (M / np.linalg.norm(M, axis=1, keepdims=True))[order]
         qid_all = qs["id"].to_numpy()
         Q = np.array(qs["v"].tolist(), dtype=np.float64)
         Qn_all = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -450,9 +484,8 @@ def _topk_score_kernel(k: int, budget: int):
             S = Qn_all[s:s + step] @ Mn.T
             S[qid[:, None] == mid[None, :]] = -np.inf
             kk = min(k, S.shape[1])
-            part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
             for i in range(len(qid)):
-                for c in part[i]:
+                for c in _rounded_topk_cols(S[i], kk, 6):
                     if np.isfinite(S[i, c]):
                         rows.append((int(qid[i]), int(mid[c]), float(S[i, c])))
         return pd.DataFrame(rows, columns=["query_id", "nbr_id", "cosine"])
@@ -549,7 +582,10 @@ def ivf_topk_blas(
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = Vn @ Cb.T
+            # rounded cell-rank contract: probe/assign selection on
+            # round(cos, 6) so BLAS-vs-fold ulp noise cannot flip cell
+            # choice at mathematical ties (see _rounded_topk_cols)
+            S = np.round(Vn @ Cb.T, 6)
             top = np.argsort(-S, kind="stable", axis=1)[:, :n_probe]
             out = []
             for i in range(len(pdf)):
@@ -586,8 +622,9 @@ def ivf_topk_blas(
     )
 
     # -- 4. merge candidates globally --------------------------------------
+    # rounded-rank contract: see _rounded_topk_cols
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("nbr_id").asc()
+        F.round("cosine", 6).desc(), F.col("nbr_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -683,7 +720,7 @@ def ivf_index_build(
             yield pd.DataFrame({
                 "id": pdf["id"].astype("int64"),
                 "v": pdf["v"],
-                "cell": (Vn @ Cb.T).argmax(axis=1).astype("int32"),
+                "cell": np.round(Vn @ Cb.T, 6).argmax(axis=1).astype("int32"),
             })
 
     assignments = base.mapInPandas(
@@ -739,7 +776,10 @@ def ivf_index_search(
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = Vn @ Cb.T
+            # rounded cell-rank contract: probe/assign selection on
+            # round(cos, 6) so BLAS-vs-fold ulp noise cannot flip cell
+            # choice at mathematical ties (see _rounded_topk_cols)
+            S = np.round(Vn @ Cb.T, 6)
             top = np.argsort(-S, kind="stable", axis=1)[:, :n_probe]
             out = []
             for i in range(len(pdf)):
@@ -765,8 +805,9 @@ def ivf_index_search(
         _topk_score_kernel(k, int(_MATMUL_BUDGET)),
         schema="query_id long, nbr_id long, cosine double",
     )
+    # rounded-rank contract: see _rounded_topk_cols
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("nbr_id").asc()
+        F.round("cosine", 6).desc(), F.col("nbr_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -833,7 +874,7 @@ def semantic_dedup_incremental(
             yield pd.DataFrame({
                 "id": pdf["id"].astype("int64"),
                 "v": pdf["v"],
-                "cell": cls[(Vn @ Cb.T).argmax(axis=1)].astype("int32"),
+                "cell": cls[np.round(Vn @ Cb.T, 6).argmax(axis=1)].astype("int32"),
             })
 
     probes = _seal(
@@ -865,7 +906,7 @@ def semantic_dedup_incremental(
             S = Pn_all[s:s + step] @ Mn.T
             # batch id vs corpus id are distinct namespaces here; only a
             # literally re-ingested id is a self-match to skip
-            ii, jj = np.nonzero((S >= tau) & (pid[:, None] != mid[None, :]))
+            ii, jj = np.nonzero((np.round(S, 6) >= tau) & (pid[:, None] != mid[None, :]))
             frames.append(pd.DataFrame({
                 "id_a": mid[jj].astype("int64"),       # corpus keeper side
                 "id_b": pid[ii].astype("int64"),       # batch duplicate
@@ -965,7 +1006,9 @@ def lsh_cosine_topk(
         "query_id", "nbr_id",
         (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    # rounded-rank contract: see _rounded_topk_cols
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 6).desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -1065,7 +1108,9 @@ def ivf_topk(
     cents = _lloyd_refine(base, seed_cents, kmeans_iters)
 
     # rank cells per vector on a slim projection (no arrays in the shuffle)
-    rank_w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("cell").asc())
+    # rounded cell-rank contract (see _rounded_topk_cols)
+    rank_w = Window.partitionBy("id").orderBy(
+        F.round("cos", 6).desc(), F.col("cell").asc())
     ranked = (
         base.crossJoin(F.broadcast(cents))
         .select(
@@ -1092,7 +1137,9 @@ def ivf_topk(
             (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    # rounded-rank contract: see _rounded_topk_cols
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 6).desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -1210,7 +1257,10 @@ def semantic_dedup(
         .select(
             "id", "v", "vn",
             F.struct(
-                (-_dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("d"),
+                # rounded cell-rank contract (see _rounded_topk_cols)
+                (-F.round(
+                    _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")), 6
+                )).alias("d"),
                 F.col("cell").alias("cell"),
             ).alias("dc"),
         )
@@ -1235,7 +1285,9 @@ def semantic_dedup(
             (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
             .alias("cosine"),
         )
-        .filter(F.col("cosine") >= tau)
+        # rounded threshold: boundary crossings must agree with the
+        # BLAS variant and the SQL oracle at 6 dp
+        .filter(F.round(F.col("cosine"), 6) >= tau)
     )
     # duplicate = the higher id of each qualifying pair; keeper = lowest
     # qualifying lower id (min-struct, partial agg — no sort window)
@@ -1338,7 +1390,7 @@ def semantic_dedup_blas(
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            cell = ids[(Vn @ Cb.T).argmax(axis=1)]
+            cell = ids[np.round(Vn @ Cb.T, 6).argmax(axis=1)]
             yield pd.DataFrame({
                 "id": pdf["id"].astype("int64"),
                 "v": pdf["v"],
@@ -1381,7 +1433,7 @@ def semantic_dedup_blas(
             pid = pid_all[s:s + step]
             S = Pn_all[s:s + step] @ Mn.T
             # ordered pairs only: probe id strictly below member id
-            ii, jj = np.nonzero((S >= tau) & (pid[:, None] < mid[None, :]))
+            ii, jj = np.nonzero((np.round(S, 6) >= tau) & (pid[:, None] < mid[None, :]))
             frames.append(pd.DataFrame({
                 "id_a": pid[ii].astype("int64"),
                 "id_b": mid[jj].astype("int64"),

@@ -969,7 +969,7 @@ ORACLES["cosine_topk_blas_embeddings"] = (
     _COSINE_CTE.format(join_cond="a.vec_id <> b.vec_id")
     + """
 select id_a as query_id, id_b as nbr_id, round(cosine, 9) as cosine,
-       cast(row_number() over (partition by id_a order by cosine desc, id_b) as int) as rank
+       cast(row_number() over (partition by id_a order by round(cosine, 9) desc, id_b) as int) as rank
 from p
 qualify rank <= 3
 """
@@ -1029,7 +1029,7 @@ with tpd as (
 )
 select query_id, nbr_id, round(cosine, 6) as cosine,
        cast(row_number() over (partition by query_id
-                               order by cosine desc, nbr_id) as int) as rank
+                               order by round(cosine, 6) desc, nbr_id) as int) as rank
 from scored
 qualify rank <= 3
 """
@@ -1054,7 +1054,7 @@ with v0 as (
     from v, cents c
 ), ranked as (
     select id, cell,
-           row_number() over (partition by id order by cos desc, cell) as r
+           row_number() over (partition by id order by round(cos, 6) desc, cell) as r
     from rk
 ), probes as (
     select id as query_id, cell from ranked where r <= 4
@@ -1071,7 +1071,7 @@ with v0 as (
 )
 select query_id, nbr_id, round(cosine, 6) as cosine,
        cast(row_number() over (partition by query_id
-                               order by cosine desc, nbr_id) as int) as rank
+                               order by round(cosine, 6) desc, nbr_id) as int) as rank
 from scored
 qualify rank <= 3
 """
@@ -1096,7 +1096,7 @@ with v0 as (
     from v, cents c
 ), ranked as (
     select id, cell,
-           row_number() over (partition by id order by cos desc, cell) as r
+           row_number() over (partition by id order by round(cos, 6) desc, cell) as r
     from rk
 ), probes as (
     select id as query_id, cell from ranked
@@ -1114,7 +1114,7 @@ with v0 as (
 )
 select query_id, nbr_id, round(cosine, 6) as cosine,
        cast(row_number() over (partition by query_id
-                               order by cosine desc, nbr_id) as int) as rank
+                               order by round(cosine, 6) desc, nbr_id) as int) as rank
 from scored
 qualify rank <= 3
 """
@@ -1852,7 +1852,8 @@ with v0 as (
     select c.vec_id as id, t.cell,
            row_number() over (
                partition by c.vec_id
-               order by {_dot_sql('c.e', 't.ce')} / (c.vn * t.cn) desc, t.cell
+               order by round({_dot_sql('c.e', 't.ce')} / (c.vn * t.cn), 6)
+                        desc, t.cell
            ) as r
     from corpus c, cents t
 ), cassign as (
@@ -1861,7 +1862,8 @@ with v0 as (
     select b.vec_id as id, t.cell,
            row_number() over (
                partition by b.vec_id
-               order by {_dot_sql('b.e', 't.ce')} / (b.vn * t.cn) desc, t.cell
+               order by round({_dot_sql('b.e', 't.ce')} / (b.vn * t.cn), 6)
+                        desc, t.cell
            ) as r
     from batch b, cents t
 ), bassign as (
@@ -1874,7 +1876,7 @@ with v0 as (
     join cassign ca using (cell)
     join batch b on b.vec_id = ba.id
     join corpus m on m.vec_id = ca.id
-    where {_dot_sql('b.e', 'm.e')} / (b.vn * m.vn) >= 0.2
+    where round({_dot_sql('b.e', 'm.e')} / (b.vn * m.vn), 6) >= 0.2
       and ba.id <> ca.id
 )
 select vec_id, keeper_id, round(cosine, 6) as cosine, cell
@@ -1972,7 +1974,7 @@ assign as (
     select id, cell from (
         select id, cell,
                row_number() over (partition by id
-                                  order by cos desc, cell) as r
+                                  order by round(cos, 6) desc, cell) as r
         from rk
     ) where r = 1
 ),
@@ -1985,7 +1987,7 @@ p as (
            {_dot_sql('x.e', 'y.e')} / (x.vn * y.vn) as cosine
     from m x join m y on x.cell = y.cell and x.id < y.id
 ),
-q as (select * from p where cosine >= 0.42)
+q as (select * from p where round(cosine, 6) >= 0.42)
 select id_b as vec_id, id_a as keeper_id,
        round(cosine, 6) as cosine, cell
 from (
@@ -2170,7 +2172,7 @@ with v0 as (
     from v, cents c
 ), ranked as (
     select id, cell,
-           row_number() over (partition by id order by cos desc, cell) as r
+           row_number() over (partition by id order by round(cos, 6) desc, cell) as r
     from rk
 ), probes as (
     select id as query_id, cell from ranked
@@ -2188,7 +2190,7 @@ with v0 as (
 )
 select query_id, nbr_id, round(cosine, 6) as cosine,
        cast(row_number() over (partition by query_id
-                               order by cosine desc, nbr_id) as int) as rank
+                               order by round(cosine, 6) desc, nbr_id) as int) as rank
 from scored
 qualify rank <= 3
 """
