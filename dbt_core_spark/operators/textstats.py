@@ -855,6 +855,118 @@ def tfidf_cosine_pairs(
     return cos.filter(F.col("cosine") >= threshold)
 
 
+def bm25_rank(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "doc_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a set of text queries —
+    the lexical complement of the ANN tier (and the classic half of
+    hybrid RAG retrieval).  Okapi BM25 with the Robertson/Lucene
+    positive idf, k1 = 1.2, b = 0.75 (the universal defaults, embedded
+    as EXACT rationals 6/5 and 3/4 so the saturation term reduces to an
+    integer-coefficient form).
+
+    Score discipline (the tfidf_cosine_pairs convention): idf is
+    floored to integer milli-nats per term; the per-(query-term, doc)
+    contribution
+
+        idf · 2.2·tf / (tf + 0.3 + 0.9·dl·N/total)
+      = idf · 44·tf·total / (20·tf·total + 6·total + 18·dl·N)
+
+    is evaluated as ONE deterministic double expression over exact
+    integers and floored to micro-units; per-(query, doc) totals are
+    then pure bigint sums — no cross-row float accumulation, so ranks
+    hash identically across engines.
+
+    Plan shape: inverted-index join of the (broadcast-size) distinct
+    query-term list against corpus postings — cost is Σ df(t) over
+    query terms, never |queries|×|corpus|; top-k per query is a
+    WindowGroupLimit (rank window with pushed k), not a global sort.
+    Two tiny driver scalars (N, total token count) are collected once.
+
+    Query terms are DISTINCT per query (standard short-query BM25 —
+    query-side tf omitted).  Returns (query_id, doc_id, score_micro,
+    rank) with rank 1..top_k ordered by (score desc, doc_id)."""
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"),
+                F.explode(normalized_words(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)  # feeds dl, df_t, and postings
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total"),
+    ).collect()[0]
+    n_docs, total = stats["n"], stats["total"]
+    out_schema = (
+        "query_id bigint, doc_id bigint, score_micro bigint, rank int"
+    )
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame([], out_schema)
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("id").cast("bigint").alias("df_t"))
+        .select(
+            "term",
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
+                    / (F.col("df_t") + F.lit(0.5))
+                )
+                * 1000
+            ).cast("bigint").alias("idf_milli"),
+        )
+    )
+    qterms = (
+        queries.filter(F.col(query_text_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                normalized_words(F.col(query_text_col))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    postings = tf.join(idf, "term").join(dl, "id")
+    contrib = F.floor(
+        F.col("idf_milli").cast("double")
+        * (F.lit(44.0) * F.col("tf") * F.lit(float(total)))
+        / (
+            F.lit(20.0) * F.col("tf") * F.lit(float(total))
+            + F.lit(6.0) * F.lit(float(total))
+            + F.lit(18.0) * F.col("dl") * F.lit(float(n_docs))
+        )
+        * F.lit(1000.0)
+    ).cast("bigint")
+    scored = (
+        qterms.join(postings, "term")
+        .groupBy("query_id", "id")
+        .agg(F.sum(contrib).alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            F.col("id").alias("doc_id"),
+            F.col("score_micro").cast("bigint").alias("score_micro"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # unicode block ranges, embedded as literal characters so the same
 # pattern text works in both Java regex and RE2 (no \u escape dialects)
 _SCRIPT_PATTERNS = {

@@ -334,6 +334,20 @@ def main() -> None:
 
         text_results.setdefault("contrastive_pairs", {})[factor] = \
             run(ctr_flow)
+
+        # bm25: FIXED query set (1/13 of replica 0) against the growing
+        # corpus — the retrieval scale question is "what does a bigger
+        # corpus cost a constant query workload".  Corpus-side tf/df
+        # stats rebuild every run (linear, wordcount-class); the
+        # query-postings join is bounded by Σ df(t) over query terms.
+        # Replica vocab divergence means cross-replica df growth is
+        # partial — noted, same caveat as the tfidf probe.
+        from dbt_core_spark.operators.textstats import bm25_rank
+
+        qdocs = spark.read.parquet(replicate_docs(spark, 1)).filter(
+            "doc_id % 13 = 0")
+        text_results.setdefault("bm25_rank (fixed queries)", {})[factor] = \
+            run(lambda: bm25_rank(docs, qdocs, top_k=10))
         for op, per in text_results.items():
             if factor in per:
                 rows, wall, a = per[factor]

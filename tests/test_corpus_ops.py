@@ -913,3 +913,74 @@ def test_lexical_stats_hand_computed(spark):
     assert r2["ttr_e6"] == 1000000 and r2["hapax_e6"] == 1000000
     # uniform dist over 3 types: H = ln 3
     assert abs(r2["entropy_micro"] / 1e6 - _m.log(3)) < 1e-5
+
+
+def test_bm25_rank_hand_computed(spark):
+    """BM25 ranks docs containing rarer query terms higher; a doc with
+    none of the query's terms never appears."""
+    from dbt_core_spark.operators.textstats import bm25_rank
+
+    corpus = spark.createDataFrame(
+        [(1, "spark engine shuffles data fast"),
+         (2, "spark spark spark spark spark"),
+         (3, "cooking pasta with tomato sauce"),
+         (4, "engine maintenance and tuning guide")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "spark engine")], "doc_id long, text string")
+    out = bm25_rank(corpus, queries, top_k=3).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 1
+    assert {r["doc_id"] for r in out} == {1, 2, 4}  # doc 3 shares no term
+    assert all(r["query_id"] == 100 for r in out)
+
+
+def test_bm25_rank_matches_duckdb_oracle(spark, sf_dir):
+    """Full cross-engine equivalence on the real documents table — the
+    exact integer-score discipline must make every (query, doc, score,
+    rank) row identical to a DuckDB evaluation of the same recipe."""
+    import duckdb
+
+    from dbt_core_spark.operators.textstats import bm25_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.filter("doc_id % 13 = 0")
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score_micro"], r["rank"])
+        for r in bm25_rank(docs, queries, top_k=5).collect()
+    )
+    words = ("list_filter(string_split_regex(regexp_replace(lower(text),"
+             " '[^a-z0-9 ]', ' ', 'g'), '\\s+'), w -> w <> '')")
+    sql = f"""
+with w as (select doc_id as id, unnest({words}) as term
+           from docs where text is not null),
+tf as (select id, term, cast(count(*) as bigint) as tf from w group by 1, 2),
+dl as (select id, cast(sum(tf) as bigint) as dl from tf group by 1),
+st as (select cast(count(*) as bigint) as n,
+              cast(sum(dl) as bigint) as total from dl),
+idf as (select term, cast(floor(ln(1.0 + (cast(st.n as double) - df_t + 0.5)
+                 / (df_t + 0.5)) * 1000) as bigint) as idf_milli
+        from (select term, cast(count(distinct id) as bigint) as df_t
+              from tf group by 1) d, st),
+qt as (select distinct doc_id as query_id, unnest({words}) as term
+       from docs where doc_id % 13 = 0 and text is not null),
+sc as (select q.query_id, p.id,
+              sum(cast(floor(cast(idf_milli as double)
+                  * (44.0 * tf * total)
+                  / (20.0 * tf * total + 6.0 * total + 18.0 * dl * n)
+                  * 1000.0) as bigint)) as score_micro
+       from qt q
+       join tf p using (term)
+       join idf using (term)
+       join dl on dl.id = p.id, st
+       group by 1, 2)
+select query_id, id as doc_id, score_micro,
+       cast(row_number() over (partition by query_id
+            order by score_micro desc, id) as int) as rank
+from sc qualify rank <= 5
+"""
+    con = duckdb.connect()
+    con.execute(
+        f"create view docs as select * from '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want and len(got) > 0

@@ -436,3 +436,54 @@ def test_kmv_jaccard_disjoint_and_identical(spark):
     assert kmv_jaccard(a, b, "v", k=128).collect()[0]["jaccard_est"] == 0.0
     same = kmv_jaccard(a, a, "v", k=128).collect()[0]
     assert same["jaccard_est"] == 1.0
+
+
+def test_decontaminate_bloom_matches_exact(spark, sf_dir):
+    """The Bloom-prefiltered scale path returns BIT-IDENTICAL results to
+    exact decontaminate — the Bloom test only prunes, the confirm join
+    removes every false positive.  Checked on the real documents table
+    with a probe set sliced from it (guaranteed hits) plus synthetic
+    probes (guaranteed misses)."""
+    from dbt_core_spark.operators.dedup import decontaminate, decontaminate_bloom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = docs.filter("doc_id % 7 = 0").select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(10**6, "zzz qqq www eee rrr ttt yyy uuu")],
+            "doc_id long, text string",
+        )
+    )
+    exact = {
+        r["doc_id"]: (r["n_hits"], r["sample_hit"])
+        for r in decontaminate(docs, probes, n=5).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_hits"], r["sample_hit"])
+        for r in decontaminate_bloom(docs, probes, n=5).collect()
+    }
+    assert exact == bloom
+    assert exact  # non-vacuous: the sliced probes contaminate something
+
+
+def test_decontaminate_bloom_hostile(spark):
+    """NULL/empty/unicode-hostile corpus; empty probe set yields an
+    empty (schema-stable) result."""
+    from dbt_core_spark.operators.dedup import decontaminate, decontaminate_bloom
+
+    corpus = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "İstanbul ılık i̇ gün batımı ve deniz"),
+         (4, "the quick brown fox jumps over dogs")],
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(9, "İstanbul ılık i̇ gün batımı ve deniz kenarı")],
+        "doc_id long, text string")
+    exact = {(r["doc_id"], r["n_hits"]) for r in
+             decontaminate(corpus, probes, n=3).collect()}
+    bloom = {(r["doc_id"], r["n_hits"]) for r in
+             decontaminate_bloom(corpus, probes, n=3).collect()}
+    assert exact == bloom and {d for d, _ in exact} == {3}
+
+    empty_probes = spark.createDataFrame([], "doc_id long, text string")
+    out = decontaminate_bloom(corpus, empty_probes, n=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_hits", "sample_hit"]

@@ -450,3 +450,35 @@ def test_gate_window_r6_composition():
     ]
     # every registry row has an oracle (the exact-correctness invariant)
     assert set(e.oracle_sql()) == set(qs)
+
+
+def test_bm25_inverted_index_shape(spark, sf_dir):
+    """BM25: inverted-index join (never queries×corpus cartesian), the
+    per-query top-k is a partial-rank WindowGroupLimit, and aggregates
+    keep map-side partials."""
+    from dbt_core_spark.operators.textstats import bm25_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.filter("doc_id % 13 = 0")
+    df = bm25_rank(docs, queries, top_k=5)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    fmt = _formatted(df)
+    assert fmt.count("HashAggregate") >= 2
+
+
+def test_decontaminate_bloom_prefilter_shape(spark, sf_dir):
+    """Bloom decontamination: the bitset membership test must sit in a
+    Filter BEFORE the confirm join (that's the entire point — corpus
+    rows die pre-shuffle), expressed over the literal long-array; no
+    cartesian anywhere."""
+    from dbt_core_spark.operators.dedup import decontaminate_bloom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+    plan = _plan(decontaminate_bloom(docs, probes, n=5))
+    assert "CartesianProduct" not in plan
+    # the membership conjunction compiles to shiftright(element_at(...))
+    # bit tests inside a Filter on the corpus side
+    assert "shiftright" in plan and "element_at" in plan
