@@ -74,7 +74,16 @@ def _quantize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     # and NULL-tie ordering diverges between Spark's array_min and the
     # oracle's row_number NULLS LAST — same convention as
     # pool_embeddings_by_label and the cosine-family operators' v-CTE.
-    return df.filter(F.col(vec_col).isNotNull()).select(
+    # finite contract (r6 NaN/Inf fuzz class): a NaN/Inf component makes
+    # the e4 quantization cast engine-divergent (DuckDB errors, Spark
+    # nulls) — corrupt vectors are excluded whole, same predicate as
+    # similarity._finite_components (NaN orders above +inf everywhere)
+    finite = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    ) < F.lit(float("inf"))
+    return df.filter(F.col(vec_col).isNotNull() & finite).select(
         F.col(id_col).alias("id"),
         F.transform(
             F.col(vec_col),

@@ -36,6 +36,30 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _finite_components(col: Column) -> Column:
+    """True iff every component is finite: max-|x| < inf (NaN orders
+    above +inf on both engines, so one bound covers NaN and ±Inf).  The
+    non-cosine embedding families' entry contract alongside isNotNull —
+    a corrupt vector is excluded whole (r6 NaN/Inf fuzz class; the
+    quantizing tiers would otherwise hit engine-divergent NaN→int
+    casts)."""
+    return F.aggregate(
+        F.transform(col, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    ) < F.lit(float("inf"))
+
+
+def _finite_pos_norm(col: Column) -> Column:
+    """Entry contract of the cosine family: 0 < norm < inf.  Excludes
+    zero-norm (cosine undefined), NaN-norm (any NaN component — both
+    engines order NaN ABOVE +inf, so ``norm < inf`` is false for NaN on
+    both), and inf-norm vectors (r6 NaN/Inf fuzz class; NULL vectors
+    yield a NULL predicate and drop too)."""
+    n = _norm(col)
+    return (n > 0) & (n < F.lit(float("inf")))
+
+
 def _rounded_topk_cols(srow, kk: int, dp: int):
     """Top-``kk`` column indices of a score row by (round(s, dp) DESC,
     index ASC) — the cross-engine rank contract for the BLAS kernels.
@@ -110,9 +134,9 @@ def cosine_pairs(
     pairs, and Spark's ANSI mode would instead throw DIVIDE_BY_ZERO
     (gate-fuzz finding)."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                  _norm(F.col(vec_col)).alias("na")).filter(F.col("na") > 0)
+                  _norm(F.col(vec_col)).alias("na")).filter((F.col("na") > 0) & (F.col("na") < F.lit(float("inf"))))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                  _norm(F.col(vec_col)).alias("nb")).filter(F.col("nb") > 0)
+                  _norm(F.col(vec_col)).alias("nb")).filter((F.col("nb") > 0) & (F.col("nb") < F.lit(float("inf"))))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine",
@@ -142,11 +166,12 @@ def cosine_topk(
     Zero-norm vectors are excluded on both sides (cosine is undefined;
     the cosine_pairs convention — ANSI would otherwise throw)."""
     corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"),
-                       _norm(F.col(vec_col)).alias("nb")).filter(F.col("nb") > 0)
+                       _norm(F.col(vec_col)).alias("nb")).filter((F.col("nb") > 0) & (F.col("nb") < F.lit(float("inf"))))
     q = (queries or df).select(F.col(id_col).alias("query_id"),
                                F.col(vec_col).alias("va"),
                                _norm(F.col(vec_col)).alias("na")).filter(
-                                   F.col("na") > 0)
+                                   (F.col("na") > 0)
+                                   & (F.col("na") < F.lit(float("inf"))))
     scored = (
         q.join(corpus, F.col("query_id") != F.col("nbr_id"))
         .withColumn("cosine",
@@ -197,7 +222,7 @@ def cosine_topk_blas(
     import numpy as np
     import pandas as pd
 
-    nz = _norm(F.col(vec_col)) > 0
+    nz = _finite_pos_norm(F.col(vec_col))
     df = df.filter(nz)
     if queries is not None:
         queries = queries.filter(nz)
@@ -535,7 +560,7 @@ def ivf_topk_blas(
     (see ann_ivf_blas_topk_embeddings)."""
     # zero-norm vectors excluded (cosine undefined; the
     # cosine_pairs convention -- gate-fuzz finding)
-    df = df.filter(_norm(F.col(vec_col)) > 0)
+    df = df.filter(_finite_pos_norm(F.col(vec_col)))
     import numpy as np
     import pandas as pd
 
@@ -668,7 +693,7 @@ def ivf_index_build(
     composition an exact SQL oracle (ann_ivf_index_query gate row)."""
     # zero-norm vectors excluded (cosine undefined; the
     # cosine_pairs convention -- gate-fuzz finding)
-    df = df.filter(_norm(F.col(vec_col)) > 0)
+    df = df.filter(_finite_pos_norm(F.col(vec_col)))
     import numpy as np
     import pandas as pd
 
@@ -754,7 +779,7 @@ def ivf_index_search(
     Returns (query_id, nbr_id, cosine, rank), rank ≤ k per query."""
     # zero-norm vectors excluded (cosine undefined; the
     # cosine_pairs convention -- gate-fuzz finding)
-    queries = queries.filter(_norm(F.col(vec_col)) > 0)
+    queries = queries.filter(_finite_pos_norm(F.col(vec_col)))
     import numpy as np
     import pandas as pd
 
@@ -848,7 +873,7 @@ def semantic_dedup_incremental(
     exact SQL oracle when the index was built with kmeans_iters=0."""
     # zero-norm vectors excluded (cosine undefined; the
     # cosine_pairs convention -- gate-fuzz finding)
-    batch = batch.filter(_norm(F.col(vec_col)) > 0)
+    batch = batch.filter(_finite_pos_norm(F.col(vec_col)))
     import numpy as np
     import pandas as pd
 
@@ -978,7 +1003,7 @@ def lsh_cosine_topk(
     computed once per distinct pair.  (Approximate — no SQL oracle.)
     Zero-norm vectors are excluded (cosine undefined; the
     cosine_pairs convention)."""
-    df = df.filter(_norm(F.col(vec_col)) > 0)
+    df = df.filter(_finite_pos_norm(F.col(vec_col)))
     buckets = F.array(
         *[
             F.struct(
@@ -1092,7 +1117,7 @@ def ivf_topk(
     (bounded by n_probe × n/n_cells candidates per query)."""
     # zero-norm vectors excluded (cosine undefined; the
     # cosine_pairs convention -- gate-fuzz finding)
-    df = df.filter(_norm(F.col(vec_col)) > 0)
+    df = df.filter(_finite_pos_norm(F.col(vec_col)))
     from dbt_core_spark.operators.dedup import ensure_parallelism
 
     n_cells, _ = _resolve_n_cells(df, n_cells, max_cell_rows)
@@ -1176,6 +1201,11 @@ def quantize_embeddings(
             v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
         ).alias("scale"),
     )
+    # finite contract (r6 NaN/Inf fuzz class): any NaN/Inf component
+    # makes scale non-finite (both engines order NaN above +inf, so one
+    # predicate drops both); NULL vectors yield NULL scale and drop too
+    # (they produced zero exploded rows on either engine anyway)
+    staged = staged.filter(F.col("scale") < F.lit(float("inf")))
     return staged.select(
         F.col(id_col),
         F.col("scale"),
@@ -1228,7 +1258,7 @@ def semantic_dedup(
     """
     # zero-norm vectors excluded (cosine undefined; the
     # cosine_pairs convention -- gate-fuzz finding)
-    df = df.filter(_norm(F.col(vec_col)) > 0)
+    df = df.filter(_finite_pos_norm(F.col(vec_col)))
     n_cells, rows = _resolve_n_cells(df, n_cells, max_cell_rows)
     if rows is None:
         rows = df.count()
@@ -1345,7 +1375,7 @@ def semantic_dedup_blas(
     """
     # zero-norm vectors excluded (cosine undefined; the
     # cosine_pairs convention -- gate-fuzz finding)
-    df = df.filter(_norm(F.col(vec_col)) > 0)
+    df = df.filter(_finite_pos_norm(F.col(vec_col)))
     import numpy as np
     import pandas as pd
 
@@ -1480,8 +1510,12 @@ def pool_embeddings(
     (group, pos) with map-side partial aggregation — the wordcount
     shape; no window, no arrays through the exchange.
     """
+    # finite contract (r6 NaN/Inf fuzz class): a vector with any
+    # NaN/Inf component is corrupt and excluded whole — max-|x| is
+    # non-finite iff any component is, and NaN orders above +inf on
+    # both engines so one predicate covers both
     return (
-        df.filter(F.col(vec_col).isNotNull())
+        df.filter(F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
         .select(F.col(group_col), F.posexplode(vec_col).alias("pos", "v"))
         # double-first: float32->decimal directly is engine-divergent
         # (DuckDB scales in float32); float->double is exact everywhere
@@ -1566,7 +1600,7 @@ def ivf_index_append(
     oracle)."""
     # zero-norm vectors excluded (cosine undefined; the
     # cosine_pairs convention -- gate-fuzz finding)
-    batch = batch.filter(_norm(F.col(vec_col)) > 0)
+    batch = batch.filter(_finite_pos_norm(F.col(vec_col)))
     import numpy as np
     import pandas as pd
 
@@ -1660,7 +1694,7 @@ def pq_codebook(
     sd = dim // m
     # NULL vectors never seed or train the codebook (contract pinned in
     # the oracles' v0 CTE; a NULL seed poisons every downstream code)
-    df = df.filter(F.col(vec_col).isNotNull())
+    df = df.filter(F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
     if kmeans_iters <= 0:
         seeds = df.orderBy(id_col).limit(ks).select(
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
@@ -1716,7 +1750,7 @@ def pq_encode(
     sd = dim // m
     # NULL vectors are unencodable — excluded, mirroring the oracle
     ex = (
-        df.filter(F.col(vec_col).isNotNull())
+        df.filter(F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
         .select(F.col(id_col), F.col(vec_col).alias("_v"))
         .crossJoin(F.broadcast(codebook))
     )
@@ -1762,7 +1796,7 @@ def pq_search(
     # NULL-vector queries have no defined distances — excluded (oracle
     # v0 CTE carries the same filter)
     lut = (
-        queries.filter(F.col(vec_col).isNotNull())
+        queries.filter(F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
         .select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_q")
         )
@@ -1850,7 +1884,7 @@ def gram_matrix(
     # NULL vectors excluded at entry (the kmeans precedent, r6): a
     # NULL row makes the Arrow batch ragged and np.array() throws
     parts = (
-        df.filter(F.col(vec_col).isNotNull())
+        df.filter(F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
         .select(vec_col).mapInPandas(part, "i int, j int, v long")
     )
     return parts.groupBy("i", "j").agg(F.sum("v").alias("gram_e8"))
@@ -1938,7 +1972,14 @@ def random_projection(
     (1 ± ε) for out_dim = O(log n / ε²); rescale by sqrt(3/out_dim)
     when calibrated distances are needed (omitted here so the e6
     fixed-point output stays integer-exact).  Returns
-    (id, k, proj_e6) long form."""
+    (id, k, proj_e6) long form.
+
+    NULL vectors pass through (NULL projections — the historical
+    contract); non-finite vectors are excluded whole (finite contract,
+    r6 NaN/Inf fuzz class — NaN→bigint casts diverge by engine)."""
+    df = df.filter(
+        F.col(vec_col).isNull() | _finite_components(F.col(vec_col))
+    )
     import hashlib
 
     def coef(k: int, i: int) -> float:
@@ -2005,8 +2046,8 @@ def ivfpq_search(
     # NULL vectors excluded on BOTH sides at entry (the kmeans
     # precedent): a NULL centroid/seed poisons every downstream code,
     # and a NULL query has no defined LUT
-    df = df.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    df = df.filter(F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
+    queries = queries.filter(F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
 
     cents = df.orderBy(id_col).limit(n_cells).select(
         (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),

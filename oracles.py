@@ -155,6 +155,9 @@ with v as (
     -- (gate-fuzz finding; DuckDB's NULL division used to hide them as
     -- never-matching rows, Spark ANSI throws)
     where list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+      -- finite contract (r6 NaN/Inf fuzz): NaN orders above +inf on
+      -- both engines, so one upper bound drops NaN and Inf vectors
+      and list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) < 'infinity'::double
 ), p as (
     select a.vec_id as id_a, b.vec_id as id_b,
            list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
@@ -1011,6 +1014,7 @@ with tpd as (
 ), v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as n from v0
     where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
+      and {_dot_sql('e', 'e')} < 'infinity'::double  -- finite contract (r6 NaN/Inf fuzz)
 ), vb as (
     select v.vec_id, pl.t,
            sum(case when {_dot_sql('v.e', 'pl.pl')} >= 0
@@ -1045,6 +1049,7 @@ with v0 as (
 ), v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
     where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
+      and {_dot_sql('e', 'e')} < 'infinity'::double  -- finite contract (r6 NaN/Inf fuzz)
 ), cents as (
     select vec_id as cell, e as ce, vn as cn
     from v order by vec_id limit 16
@@ -1087,6 +1092,7 @@ with v0 as (
 ), v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
     where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
+      and {_dot_sql('e', 'e')} < 'infinity'::double  -- finite contract (r6 NaN/Inf fuzz)
 ), cents as (
     select vec_id as cell, e as ce, vn as cn
     from v order by vec_id limit 16
@@ -1488,6 +1494,10 @@ q as (
               else list_transform(e, x -> cast(floor(x / scale * 127 + 0.5) as int))
          end as q
   from s
+  -- finite contract (r6 NaN/Inf fuzz): NaN/Inf components make the
+  -- max-|x| scale non-finite; NULL embeddings yield NULL scale — both
+  -- drop (they produced zero exploded rows on either engine anyway)
+  where scale < 'infinity'::double
 )
 select vec_id,
        scale,
@@ -1840,6 +1850,7 @@ with v0 as (
 ), v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
     where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
+      and {_dot_sql('e', 'e')} < 'infinity'::double  -- finite contract (r6 NaN/Inf fuzz)
 ), corpus as (
     select * from v where vec_id % 20 <> 0
 ), batch as (
@@ -1960,6 +1971,7 @@ with v0 as (
 v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
     where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
+      and {_dot_sql('e', 'e')} < 'infinity'::double  -- finite contract (r6 NaN/Inf fuzz)
 ),
 cents as (
     select vec_id as cell, e as ce, vn as cn
@@ -2034,6 +2046,8 @@ with e as (
            cast(cast(embedding[i] as double) as decimal(28,12)) as vd
     from embeddings, unnest(generate_series(1, len(embedding))) as t(i)
     where embedding is not null
+      -- finite contract (r6 NaN/Inf fuzz): corrupt vectors excluded whole
+      and list_max(list_transform(embedding, x -> abs(cast(x as double)))) < 'infinity'::double
 )
 select label, pos,
        -- + 0.0 canonicalizes IEEE -0.0 (a tiny negative sum rounds to
@@ -2163,6 +2177,7 @@ with v0 as (
 ), v as (
     select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
     where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
+      and {_dot_sql('e', 'e')} < 'infinity'::double  -- finite contract (r6 NaN/Inf fuzz)
 ), cents as (
     select vec_id as cell, e as ce, vn as cn
     from v where vec_id % 20 <> 0 order by vec_id limit 16
@@ -2311,6 +2326,7 @@ with v0 as (
     -- NULL vectors excluded: mirrors the operators' entry filter
     select vec_id, embedding::DOUBLE[] as e from embeddings
     where embedding is not null
+      and list_max(list_transform(embedding, x -> abs(cast(x as double)))) < 'infinity'::double  -- finite contract (r6 NaN/Inf fuzz)
 ), subs as (
     select unnest(range(4)) as sub
 ), seeds as (
@@ -2399,6 +2415,7 @@ ORACLES["gram_matrix_embeddings"] = """
 with v as (
   select embedding::DOUBLE[] as e from embeddings
   where embedding is not null
+    and list_max(list_transform(embedding, x -> abs(cast(x as double)))) < 'infinity'::double  -- finite contract (r6 NaN/Inf fuzz)
 ), ii as (
   select unnest(range(1, 65)) as i
 ), jj as (
@@ -2477,6 +2494,10 @@ _JL_M = _hex2int(
 ORACLES["random_projection_embeddings"] = f"""
 with v as (
   select vec_id, embedding::DOUBLE[] as e from embeddings
+  -- NULLs pass through (NULL projections); non-finite vectors excluded
+  -- whole (finite contract, r6 NaN/Inf fuzz)
+  where embedding is null
+     or list_max(list_transform(embedding, x -> abs(cast(x as double)))) < 'infinity'::double
 ), ks as (
   select unnest(range(16)) as k
 )
@@ -2660,6 +2681,7 @@ with v0 as (
     -- NULL vectors excluded: mirrors the operators' entry filter
     select vec_id, embedding::DOUBLE[] as e from embeddings
     where embedding is not null
+      and list_max(list_transform(embedding, x -> abs(cast(x as double)))) < 'infinity'::double  -- finite contract (r6 NaN/Inf fuzz)
 ), cents as (
     select row_number() over (order by vec_id) - 1 as cell, e as ce
     from (select * from v0 order by vec_id limit 16)
@@ -3166,7 +3188,9 @@ def _kmeans_cte(k: int = 4, iters: int = 2, where: str = "") -> str:
     # NULL embeddings excluded at entry — mirrors clustering._quantize
     # (contract pinned per the r5 ADVICE; NULL-distance tie ordering
     # would otherwise diverge between engines)
-    nn = "where embedding is not null"
+    nn = ("where embedding is not null and "
+          "list_max(list_transform(embedding, x -> abs(cast(x as double))))"
+          " < 'infinity'::double")  # finite contract (r6 NaN/Inf fuzz)
     nn += f" and ({where[len('where '):]})" if where else ""
     parts = [
         f"""base as (
@@ -3264,6 +3288,7 @@ bq as (
          list_transform(embedding,
            x -> cast(round(cast(x as double) * 10000) as bigint)) as vq
   from embeddings where vec_id % 20 = 0 and embedding is not null
+    and list_max(list_transform(embedding, x -> abs(cast(x as double)))) < 'infinity'::double  -- finite contract (r6 NaN/Inf fuzz)
 ),
 bf as (
   select vec_id, cell, d2,

@@ -15,6 +15,7 @@ types (naive TIMESTAMP_MICROS for events.ts — the NTZ form _t
 normalizes), so the fuzz exercises the same read path as the gate."""
 
 import importlib.util
+import math
 import os
 
 import duckdb
@@ -1163,3 +1164,60 @@ def test_lower_normalize_parity_exhaustive(spark):
     assert diff == [], [
         (hex(cp), chr(cp), repr(sp[cp]), repr(dk[cp])) for cp in diff[:10]
     ]
+
+
+# NaN/Inf hostile class (r6): the finite contract — corrupt vectors
+# (any NaN/±Inf component) are excluded whole by every embedding
+# operator AND its oracle, via a single cross-engine-safe predicate
+# (max|x| < inf resp. 0 < norm < inf; NaN orders ABOVE +inf in both
+# Spark and DuckDB, so one upper bound drops NaN and Inf).  Without
+# the contract, NaN reaches engine-divergent paths: DuckDB errors on
+# NaN→int casts where Spark nulls, and NaN cosines rank first in desc
+# windows on both engines but with different tie structure.
+_emb_rows_nonfinite = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.floats(min_value=-3, max_value=3, allow_nan=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+        st.lists(  # corrupt: finite values with NaN/±Inf mixed in
+            st.one_of(
+                st.floats(min_value=-3, max_value=3, allow_nan=False,
+                          width=32),
+                st.sampled_from(
+                    [float("nan"), float("inf"), float("-inf")]
+                ),
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+_ALL_EMB_GATES = sorted(
+    set(EMB_GATES + EMB_GATES_EXT + ANN_GATES + KMEANS_GATES)
+)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows_nonfinite, dup=st.booleans())
+def test_embedding_gates_with_nonfinite_components(
+    spark, tmp_path_factory, vecs, dup
+):
+    if dup and vecs:
+        vecs = vecs + vecs[:2]
+    if not any(
+        v is not None and all(math.isfinite(x) for x in v) for v in vecs
+    ):
+        vecs = vecs + [[1.0] * 64]  # at least one clean trainable row
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_nonfin"))
+    con = _write_embeddings(tmpdir, vecs)
+    _check(spark, tmpdir, con, _ALL_EMB_GATES)
