@@ -743,7 +743,10 @@ def classifier_score(
 # Unicode canonicalization maps (1:1 chars go through translate() —
 # exact, regex-free, identical semantics in Spark and DuckDB including
 # delete-when-unmapped; multi-char rewrites use literal replace()).
-_XLATE_FROM = "‘’“”–— ­"
+# explicit \u escapes: a literal NBSP in source was once silently
+# mangled to a plain space by tooling, breaking the oracle mirror
+# (r6 unicode fuzz finding)
+_XLATE_FROM = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0\u00ad"
 _XLATE_TO = "''\"\"-- "  # soft hyphen (last) deletes
 
 

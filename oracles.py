@@ -2390,7 +2390,10 @@ qualify rank <= 3
 # char maps go through translate() — same delete-when-unmapped semantics
 # in both engines; regex steps use e'' strings so newlines/tabs are
 # actual characters (RE2 replacement strings have no \n escape).
-_NORM_FROM = "‘’“”–— ­".replace("'", "''")
+# explicit \u escapes -- a literal NBSP here was silently mangled to a
+# plain space, so the oracle left NBSP untouched while the operator
+# translated it (r6 unicode fuzz finding); mirrors textstats._XLATE_*
+_NORM_FROM = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0\u00ad".replace("'", "''")
 _NORM_TO = "''\"\"-- ".replace("'", "''")
 _NORM_EXPR = (
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
