@@ -858,6 +858,147 @@ def tfidf_cosine_pairs(
     return cos.filter(F.col("cosine") >= threshold)
 
 
+def _bm25_qterms(
+    queries: DataFrame, query_text_col: str, query_id_col: str
+) -> DataFrame:
+    """DISTINCT (query_id, term) — short-query BM25, query-side tf
+    omitted (shared by bm25_rank and bm25_query)."""
+    return (
+        queries.filter(F.col(query_text_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                normalized_words(F.col(query_text_col))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+
+
+def _bm25_contrib(n_docs: int, total: int) -> Column:
+    """Per-(query-term, doc) BM25 contribution in integer micro-units —
+    ONE deterministic double expression over exact integers, floored
+    (see bm25_rank for the k1=6/5, b=3/4 rational reduction)."""
+    return F.floor(
+        F.col("idf_milli").cast("double")
+        * (F.lit(44.0) * F.col("tf") * F.lit(float(total)))
+        / (
+            F.lit(20.0) * F.col("tf") * F.lit(float(total))
+            + F.lit(6.0) * F.lit(float(total))
+            + F.lit(18.0) * F.col("dl") * F.lit(float(n_docs))
+        )
+        * F.lit(1000.0)
+    ).cast("bigint")
+
+
+_BM25_INDEX_SCHEMA = (
+    "term string, id bigint, tf bigint, dl bigint, idf_milli bigint, "
+    "n_docs bigint, total bigint"
+)
+
+
+def bm25_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Persistable BM25 postings index — the build-once/search-many
+    scale contract for lexical retrieval (the ivf_index_build analog):
+    compute corpus statistics ONCE per corpus snapshot, store the
+    result as a table, and serve every future query batch from it
+    without re-tokenizing 100 TB of history (the corpus tf/df rebuild
+    is the dominant cost of bm25_rank at scale — SCALING.md).
+
+    One row per posting: (term, id, tf, dl, idf_milli, n_docs, total).
+    The two corpus scalars ride along as constant columns — columnar
+    RLE compresses them to nothing, and the index stays ONE
+    self-contained table.  Store it bucketed/partitioned by ``term``
+    (or a hash of it) so query-term lookups prune.
+
+    ``bm25_query(bm25_index(df), q)`` is row-identical to
+    ``bm25_rank(df, q)`` (pytest-pinned)."""
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"),
+                F.explode(normalized_words(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)  # feeds dl, df_t, and postings
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total"),
+    ).collect()[0]
+    n_docs, total = stats["n"], stats["total"]
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame([], _BM25_INDEX_SCHEMA)
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("id").cast("bigint").alias("df_t"))
+        .select(
+            "term",
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
+                    / (F.col("df_t") + F.lit(0.5))
+                )
+                * 1000
+            ).cast("bigint").alias("idf_milli"),
+        )
+    )
+    return (
+        tf.join(idf, "term")
+        .join(dl, "id")
+        .select(
+            "term", "id", "tf", "dl", "idf_milli",
+            F.lit(int(n_docs)).cast("bigint").alias("n_docs"),
+            F.lit(int(total)).cast("bigint").alias("total"),
+        )
+    )
+
+
+def bm25_query(
+    index: DataFrame,
+    queries: DataFrame,
+    query_text_col: str = "text",
+    query_id_col: str = "doc_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval against a PERSISTED ``bm25_index`` table: the
+    per-batch cost is tokenizing the batch plus one inverted-index join
+    bounded by Σ df(t) over the batch's terms — the corpus is never
+    rescanned.  Returns the bm25_rank contract:
+    (query_id, doc_id, score_micro, rank)."""
+    out_schema = (
+        "query_id bigint, doc_id bigint, score_micro bigint, rank int"
+    )
+    head = index.select("n_docs", "total").first()  # one tiny action
+    if head is None:
+        return index.sparkSession.createDataFrame([], out_schema)
+    n_docs, total = int(head["n_docs"]), int(head["total"])
+    qterms = _bm25_qterms(queries, query_text_col, query_id_col)
+    scored = (
+        qterms.join(index, "term")
+        .groupBy("query_id", "id")
+        .agg(F.sum(_bm25_contrib(n_docs, total)).alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            F.col("id").alias("doc_id"),
+            F.col("score_micro").cast("bigint").alias("score_micro"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def bm25_rank(
     df: DataFrame,
     queries: DataFrame,
@@ -895,78 +1036,12 @@ def bm25_rank(
     Query terms are DISTINCT per query (standard short-query BM25 —
     query-side tf omitted).  Returns (query_id, doc_id, score_micro,
     rank) with rank 1..top_k ordered by (score desc, doc_id)."""
-    tf = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"),
-                F.explode(normalized_words(F.col(text_col))).alias("term"))
-        .groupBy("id", "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-        .localCheckpoint(eager=False)  # feeds dl, df_t, and postings
-    )
-    dl = tf.groupBy("id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total"),
-    ).collect()[0]
-    n_docs, total = stats["n"], stats["total"]
-    out_schema = (
-        "query_id bigint, doc_id bigint, score_micro bigint, rank int"
-    )
-    if n_docs == 0:
-        return df.sparkSession.createDataFrame([], out_schema)
-    idf = (
-        tf.groupBy("term")
-        .agg(F.countDistinct("id").cast("bigint").alias("df_t"))
-        .select(
-            "term",
-            F.floor(
-                F.log(
-                    F.lit(1.0)
-                    + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
-                    / (F.col("df_t") + F.lit(0.5))
-                )
-                * 1000
-            ).cast("bigint").alias("idf_milli"),
-        )
-    )
-    qterms = (
-        queries.filter(F.col(query_text_col).isNotNull())
-        .select(
-            F.col(query_id_col).alias("query_id"),
-            F.explode(
-                normalized_words(F.col(query_text_col))
-            ).alias("term"),
-        )
-        .distinct()
-    )
-    postings = tf.join(idf, "term").join(dl, "id")
-    contrib = F.floor(
-        F.col("idf_milli").cast("double")
-        * (F.lit(44.0) * F.col("tf") * F.lit(float(total)))
-        / (
-            F.lit(20.0) * F.col("tf") * F.lit(float(total))
-            + F.lit(6.0) * F.lit(float(total))
-            + F.lit(18.0) * F.col("dl") * F.lit(float(n_docs))
-        )
-        * F.lit(1000.0)
-    ).cast("bigint")
-    scored = (
-        qterms.join(postings, "term")
-        .groupBy("query_id", "id")
-        .agg(F.sum(contrib).alias("score_micro"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_micro").desc(), F.col("id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select(
-            "query_id",
-            F.col("id").alias("doc_id"),
-            F.col("score_micro").cast("bigint").alias("score_micro"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+    return bm25_query(
+        bm25_index(df, text_col=text_col, id_col=id_col),
+        queries,
+        query_text_col=query_text_col,
+        query_id_col=query_id_col,
+        top_k=top_k,
     )
 
 

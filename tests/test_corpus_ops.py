@@ -984,3 +984,32 @@ from sc qualify rank <= 5
     )
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_bm25_index_parquet_roundtrip_matches_rank(spark, sf_dir, tmp_path):
+    """The build-once/search-many contract: an index WRITTEN to parquet
+    and reloaded serves queries row-identically to the one-shot
+    bm25_rank — corpus stats survive persistence (the ivf_index
+    precedent for lexical retrieval)."""
+    from dbt_core_spark.operators.textstats import (
+        bm25_index,
+        bm25_query,
+        bm25_rank,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.filter("doc_id % 17 = 0")
+    path = str(tmp_path / "bm25_index")
+    bm25_index(docs).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    got = sorted(tuple(r) for r in bm25_query(reloaded, queries, top_k=4).collect())
+    want = sorted(tuple(r) for r in bm25_rank(docs, queries, top_k=4).collect())
+    assert got == want and len(got) > 0
+
+    empty = bm25_query(
+        bm25_index(docs.filter("doc_id < 0")), queries, top_k=4
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "doc_id", "score_micro", "rank",
+    ]
