@@ -1056,6 +1056,60 @@ _SCRIPT_PATTERNS = {
 }
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    top_k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public) — the
+    standard hybrid-retrieval merge of heterogeneous rankers (BM25 +
+    dense ANN being the RAG-classic pair): fused(d) = Σ_r 1/(k +
+    rank_r(d)) over every ranking that returned d.
+
+    Integer-exact by construction: each term is floor(1e9 / (k +
+    rank)) — ranks are small integers, so the per-source contribution
+    is a pure bigint and the cross-source sum is order-free (no float
+    accumulation; the repo's micro/nano fixed-point discipline).
+    Missing docs contribute nothing (the standard convention).
+
+    Plan shape: a union of the (already tiny, top-k-bounded) ranking
+    frames, one (query, doc)-keyed aggregation with map-side partials,
+    and a WindowGroupLimit top-k — cost is bounded by Σ|rankings|,
+    never the corpus.  Returns (query_id, doc_id, rrf_nano, rank),
+    ties broken by doc_id."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
+    contrib = F.floor(
+        F.lit(1_000_000_000) / (F.lit(k) + F.col(rank_col))
+    ).cast("bigint")
+    slim = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            contrib.alias("c"),
+        )
+        for r in rankings
+    ]
+    allr = slim[0]
+    for s in slim[1:]:
+        allr = allr.unionByName(s)
+    fused = allr.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("rrf_nano")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_nano").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "rrf_nano",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def detect_script(
     df: DataFrame,
     text_col: str = "text",

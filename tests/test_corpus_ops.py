@@ -1013,3 +1013,103 @@ def test_bm25_index_parquet_roundtrip_matches_rank(spark, sf_dir, tmp_path):
     assert [f.name for f in empty.schema.fields] == [
         "query_id", "doc_id", "score_micro", "rank",
     ]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF: a doc ranked well by both sources beats a doc ranked top by
+    only one; missing docs contribute nothing; ties break by doc_id."""
+    from dbt_core_spark.operators.textstats import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int")
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)],
+        "query_id long, doc_id long, rank int")
+    out = {r["doc_id"]: (r["rrf_nano"], r["rank"])
+           for r in rrf_fuse([lex, dense], k=60, top_k=4).collect()}
+    # by-hand nano scores: floor(1e9/61)=16393442, /62=16129032, /63=15873015
+    assert out[11] == (16393442 + 16129032, 1)   # rank2 + rank1
+    assert out[10] == (16393442 + 15873015, 2)   # rank1 + rank3
+    assert out[13][0] == 16129032 and out[12][0] == 15873015
+    assert out[13][1] == 3 and out[12][1] == 4   # tie? no — 16129032 > 15873015
+
+
+def test_rrf_fuse_hybrid_matches_duckdb(spark, sf_dir):
+    """End-to-end hybrid retrieval (BM25 lexical + exact dense cosine)
+    fused with RRF, verified against one DuckDB query replaying both
+    rankers and the fusion — the full hybrid-RAG path is cross-engine
+    exact."""
+    import duckdb
+
+    from dbt_core_spark.operators.similarity import cosine_topk
+    from dbt_core_spark.operators.textstats import bm25_rank, rrf_fuse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lex = bm25_rank(docs, docs.filter("doc_id % 29 = 0"), top_k=5)
+    dense = cosine_topk(emb, "embedding", "vec_id", k=5).filter(
+        "query_id % 29 = 0").withColumnRenamed("nbr_id", "doc_id")
+    got = sorted(tuple(r) for r in rrf_fuse([lex, dense], k=60,
+                                            top_k=5).collect())
+    words = ("list_filter(string_split_regex(regexp_replace(lower(text),"
+             " '[^a-z0-9 ]', ' ', 'g'), '\\s+'), w -> w <> '')")
+    sql = f"""
+with w as (select doc_id as id, unnest({words}) as term
+           from docs where text is not null),
+tf as (select id, term, cast(count(*) as bigint) as tf from w group by 1, 2),
+dl as (select id, cast(sum(tf) as bigint) as dl from tf group by 1),
+st as (select cast(count(*) as bigint) as n,
+              cast(sum(dl) as bigint) as total from dl),
+idf as (select term, cast(floor(ln(1.0 + (cast(st.n as double) - df_t + 0.5)
+                 / (df_t + 0.5)) * 1000) as bigint) as idf_milli
+        from (select term, cast(count(distinct id) as bigint) as df_t
+              from tf group by 1) d, st),
+qt as (select distinct doc_id as query_id, unnest({words}) as term
+       from docs where doc_id % 29 = 0 and text is not null),
+sc as (select q.query_id, p.id,
+              sum(cast(floor(cast(idf_milli as double)
+                  * (44.0 * tf * total)
+                  / (20.0 * tf * total + 6.0 * total + 18.0 * dl * n)
+                  * 1000.0) as bigint)) as score_micro
+       from qt q join tf p using (term) join idf using (term)
+       join dl on dl.id = p.id, st group by 1, 2),
+lex as (select query_id, id as doc_id,
+               cast(row_number() over (partition by query_id
+                    order by score_micro desc, id) as int) as rank
+        from sc qualify rank <= 5),
+v as (select vec_id, embedding::DOUBLE[] as e from embs
+      where list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+        and list_sum(list_transform(embedding::DOUBLE[], x -> x * x))
+            < 'infinity'::double),
+p as (select a.vec_id as qid, b.vec_id as did,
+             list_sum(list_transform(range(1, len(a.e) + 1),
+                 i -> a.e[i] * b.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1),
+                     i -> a.e[i] * a.e[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.e) + 1),
+                       i -> b.e[i] * b.e[i])))) as cosine
+      from v a join v b on a.vec_id <> b.vec_id),
+dense as (select qid as query_id, did as doc_id,
+                 cast(row_number() over (partition by qid
+                      order by cosine desc, did) as int) as rank
+          from p qualify rank <= 5),
+uni as (
+    select query_id, doc_id, cast(floor(1000000000.0 / (60 + rank))
+           as bigint) as c from lex
+    union all
+    select query_id, doc_id, cast(floor(1000000000.0 / (60 + rank))
+           as bigint) as c from dense where query_id % 29 = 0
+),
+fused as (select query_id, doc_id, cast(sum(c) as bigint) as rrf_nano
+          from uni group by 1, 2)
+select query_id, doc_id, rrf_nano,
+       cast(row_number() over (partition by query_id
+            order by rrf_nano desc, doc_id) as int) as rank
+from fused qualify rank <= 5
+"""
+    con = duckdb.connect()
+    con.execute(f"create view docs as select * from '{sf_dir}/documents.parquet'")
+    con.execute(f"create view embs as select * from '{sf_dir}/embeddings.parquet'")
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want and len(got) > 0
