@@ -664,3 +664,29 @@ def test_pq_codebook_lloyd_deterministic(spark):
     b = sorted(map(str, pq_codebook(df, dim=8, m=2, ks=4,
                                     kmeans_iters=5).collect()))
     assert a == b
+
+
+def test_rounded_topk_cols_matches_bruteforce():
+    """Property: _rounded_topk_cols == brute-force sort by
+    (round(s, dp) desc, index asc) cut to k — including boundary ties
+    (argpartition alone picks arbitrarily among equal rounded scores;
+    the helper must keep the LOWEST indices).  Non-finite scores ride
+    along like any smallest/largest value; callers skip them after."""
+    import numpy as np
+
+    from dbt_core_spark.operators.similarity import _rounded_topk_cols
+
+    rng = np.random.RandomState(7)
+    for trial in range(200):
+        n = rng.randint(1, 30)
+        # coarse grid → many exact ties at 6dp; sprinkle ulp noise and
+        # the occasional -inf self-match marker
+        s = rng.randint(-3, 4, size=n) / 4.0
+        s = s + rng.choice([0.0, 1e-12, -1e-12], size=n)
+        if n > 2 and trial % 3 == 0:
+            s[rng.randint(n)] = -np.inf
+        k = rng.randint(1, n + 1)
+        got = list(_rounded_topk_cols(s, k, 6))
+        r = np.round(s, 6)
+        want = sorted(range(n), key=lambda i: (-r[i], i))[:k]
+        assert got == want, (trial, s.tolist(), k, got, want)
