@@ -3305,17 +3305,12 @@ select vec_id, cell as cluster, d2 as dist2_e8 from bf where rn = 1
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR ROUND 7 (not in ORACLES — the r6 gate window is pinned to the
-# staleness cohort, so these three r6-second-session operators carry
-# pytest-level DuckDB equivalence this round and enter the registry when
-# the r7 window recomposes).  The r7 session: add queries() entries
-# (bm25_rank_docs / decontaminate_bloom_docs / rrf_hybrid_docs), move these
-# into ORACLES under the same keys, and put the three rows inside the
-# 50-row window (never-verified rows must lead).
+# The r6 retrieval tier (staged through ORACLES_STAGED_R7 during round 6,
+# promoted to the live registry at the r7 window recomposition — r6
+# verdict item 1).
 # ---------------------------------------------------------------------------
-ORACLES_STAGED_R7: dict[str, str] = {}
 
-ORACLES_STAGED_R7["bm25_rank_docs"] = f"""
+ORACLES["bm25_rank_docs"] = f"""
 with w as (select doc_id as id, unnest({_WORDS}) as term
            from documents where text is not null),
 tf as (select id, term, cast(count(*) as bigint) as tf from w group by 1, 2),
@@ -3329,10 +3324,10 @@ idf as (select term, cast(floor(ln(1.0 + (cast(st.n as double) - df_t + 0.5)
 qt as (select distinct doc_id as query_id, unnest({_WORDS}) as term
        from documents where doc_id % 13 = 0 and text is not null),
 sc as (select q.query_id, p.id,
-              sum(cast(floor(cast(idf_milli as double)
+              cast(sum(cast(floor(cast(idf_milli as double)
                   * (44.0 * tf * total)
                   / (20.0 * tf * total + 6.0 * total + 18.0 * dl * n)
-                  * 1000.0) as bigint)) as score_micro
+                  * 1000.0) as bigint)) as bigint) as score_micro
        from qt q join tf p using (term) join idf using (term)
        join dl on dl.id = p.id, st group by 1, 2)
 select query_id, id as doc_id, score_micro,
@@ -3345,7 +3340,7 @@ from sc qualify rank <= 5
 # construction (the confirm join kills every false positive), so its
 # staged oracle IS the decontaminate oracle with the same probe split
 # the gate function will use (probes = doc_id % 7 = 0).
-ORACLES_STAGED_R7["decontaminate_bloom_docs"] = f"""
+ORACLES["decontaminate_bloom_docs"] = f"""
 with corpus as (
     select doc_id, unnest(list_distinct(
         list_transform(range(1, greatest(len(w) - 3, 1)),

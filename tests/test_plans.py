@@ -373,20 +373,23 @@ def test_gate_window_never_verified_rows_lead():
 
 
 def _gate_ledger():
-    """(current_round, {query: last_driver_green_round}) derived from
-    the driver's CORRECTNESS_r*.json records (r5 verdict item 1: the
-    staleness invariant must be computed from the records, not
-    hand-maintained)."""
+    """(current_round, {query: last_driver_green_round}, latest_record_keys)
+    derived from the driver's CORRECTNESS_r*.json records (r5 verdict
+    item 1: the staleness invariant must be computed from the records,
+    not hand-maintained)."""
     import glob
     import json
     import re
 
     hist: dict[str, int] = {}
     latest = 0
+    latest_keys: set[str] = set()
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
-        latest = max(latest, rnd)
-        for k, v in json.load(open(path)).items():
+        rec = json.load(open(path))
+        if rnd > latest:
+            latest, latest_keys = rnd, set(rec)
+        for k, v in rec.items():
             ok = (
                 v.get("rows_match")
                 and v.get("schema_match")
@@ -395,7 +398,7 @@ def _gate_ledger():
             )
             if ok:
                 hist[k] = max(rnd, hist.get(k, 0))
-    return latest + 1, hist
+    return latest + 1, hist, latest_keys
 
 
 def test_gate_window_max_staleness_invariant():
@@ -403,14 +406,32 @@ def test_gate_window_max_staleness_invariant():
     whose driver-staleness entering this round is >= 4 rounds MUST be
     in the 50-row window; (b) the window is filled strictly oldest-
     first — no in-window row may be fresher (greater last-green round)
-    than any out-of-window ever-verified row.  With 152 queries and a
-    50-row gate the steady-state period is 3 rounds; this test keeps
-    the debt at that floor."""
+    than any out-of-window ever-verified row.  With ~154 queries and a
+    50-row gate the steady-state period is ~3 rounds; this test keeps
+    the debt at that floor.
+
+    Pending-rotation grace (r6 verdict item 5): the instant the driver
+    drops CORRECTNESS_rN.json, the registry still encodes the
+    just-verified round-N window — rows that crossed the staleness
+    bound *in that record* are pending rotation, not a defect.  When
+    the current window is exactly the latest record's key set, the
+    oldest-first checks are deferred to the rotation commit and only a
+    hard >=5-round backstop is enforced (so a full round can never pass
+    without rotating)."""
     import __spark_entry__ as e
 
-    current, hist = _gate_ledger()
+    current, hist, latest_keys = _gate_ledger()
     qs = list(e.queries())
     window, rest = qs[:50], qs[50:]
+    if set(window) == latest_keys:
+        # driver just verified this exact window — rotation pending;
+        # enforce only the hard backstop (one extra round of grace)
+        overdue = [q for q in rest if q in hist and current - hist[q] >= 5]
+        assert not overdue, (
+            f"rotation overdue a full round — rows >=5 rounds driver-stale "
+            f"outside the window: {overdue}"
+        )
+        return
     # (a) hard staleness bound: nothing 4+ rounds stale stays outside
     overdue = [q for q in rest if q in hist and current - hist[q] >= 4]
     assert not overdue, f"rows >=4 rounds driver-stale outside the window: {overdue}"
@@ -425,28 +446,26 @@ def test_gate_window_max_staleness_invariant():
         )
 
 
-def test_gate_window_r6_composition():
-    """Pins the round-6 window (the r5 verdict, item 1, verbatim): the
-    5 four-round-stale rows lead, then 45 of the 50 r3-stale rows; the
-    5 displaced r3 rows are the ANN/SemDeDup family whose machinery was
-    r5-gate-verified via siblings, and they sit at positions 51-55 so
-    they mechanically lead round 7."""
+def test_gate_window_r7_composition():
+    """Pins the round-7 window (the r6 verdict, item 1, verbatim): the
+    2 never-driver-verified retrieval rows lead, then the 5
+    four-round-stale ANN/SemDeDup rows, then 43 of the 47 r4-stale
+    rows; the 4 displaced r4 rows are plain-relational TPC-H shapes
+    whose machinery was r6-gate-verified via 16 sibling TPC-H rows,
+    and they sit at positions 51-54 so they mechanically lead round 8."""
     import __spark_entry__ as e
 
     qs = list(e.queries())
-    window = set(qs[:50])
-    must = [
-        "stratified_sample_docs", "pack_sequences_docs",
-        "xdb_datetime_functions", "simhash_docs", "cosine_topk_embeddings",
-    ]
-    missing = [q for q in must if q not in window]
-    assert not missing, f"four-round-stale rows fell out of the gate window: {missing}"
-    assert qs[:5] == must  # the staleness debt leads
-    # the displaced cohort must lead round 7
-    assert qs[50:55] == [
+    assert qs[:2] == ["bm25_rank_docs", "decontaminate_bloom_docs"]
+    assert qs[2:7] == [
         "ann_ivf_topk_embeddings", "ann_ivf_blas_topk_embeddings",
         "ann_lsh_topk_embeddings", "semantic_dedup_embeddings",
         "semantic_dedup_blas_embeddings",
+    ]
+    # the displaced cohort must lead round 8
+    assert qs[50:54] == [
+        "q4_order_priority", "q13_customer_distribution",
+        "q14_promo_revenue_ratio", "q17_small_quantity_revenue",
     ]
     # every registry row has an oracle (the exact-correctness invariant)
     assert set(e.oracle_sql()) == set(qs)
