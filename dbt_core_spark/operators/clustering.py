@@ -77,12 +77,17 @@ def _quantize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     # finite contract (r6 NaN/Inf fuzz class): a NaN/Inf component makes
     # the e4 quantization cast engine-divergent (DuckDB errors, Spark
     # nulls) — corrupt vectors are excluded whole, same predicate as
-    # similarity._finite_components (NaN orders above +inf everywhere)
-    finite = F.aggregate(
-        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, x),
-    ) < F.lit(float("inf"))
+    # similarity._finite_components (NaN orders above +inf everywhere);
+    # the size>0 guard matches the oracles' list_max(), which is NULL
+    # for an empty list and drops the row (r6 ADVICE empty-array class)
+    finite = (F.size(F.col(vec_col)) > 0) & (
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        < F.lit(float("inf"))
+    )
     return df.filter(F.col(vec_col).isNotNull() & finite).select(
         F.col(id_col).alias("id"),
         F.transform(
@@ -158,12 +163,20 @@ def _seed_centroids(
     if not sample:
         return []
     X = np.array([list(r["vq"]) for r in sample], dtype=np.int64)
+    # chosen rows are masked to -1 so argmax can never re-pick them
+    # (r6 ADVICE): on a duplicate-heavy sample min-distances go all
+    # zero and an unmasked argmax would return index 0 forever,
+    # silently collapsing to fewer effective clusters — with the mask,
+    # exhausted-distance ties fall back to the next unchosen
+    # md5-ranked sample row (argmax picks the first 0 > -1).
     chosen = [0]
     d2 = ((X - X[0]) ** 2).sum(axis=1)
+    d2[0] = -1
     while len(chosen) < min(k, len(X)):
         nxt = int(d2.argmax())  # ties -> earliest md5 rank (argmax picks first)
         chosen.append(nxt)
         d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+        d2[nxt] = -1
     return [(i, [int(v) for v in X[c]]) for i, c in enumerate(chosen)]
 
 

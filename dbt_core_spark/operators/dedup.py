@@ -699,14 +699,20 @@ def decontaminate_bloom(
             word_ngrams(normalized_words(F.col(text_col)), n)
         ).alias("shingle"),
     )
-    pos_cols = _positions(F.col("shingle"))
-    might_contain = None
-    for p in pos_cols:
-        word = F.element_at(bf, F.shiftright(p, 6).cast("int") + F.lit(1))
-        hit = F.call_function(
-            "shiftright", word, p.bitwiseAND(F.lit(63)).cast("int")
-        ).bitwiseAND(F.lit(1)) == F.lit(1)
-        might_contain = hit if might_contain is None else (might_contain & hit)
+    # ONE forall over the positions array, not a k-way conjunction: the
+    # bitset literal must appear exactly once in the plan — at the
+    # advertised 10^7-shingle scale the array is ~2M longs (~16 MB
+    # serialized), so k lexical copies of it would blow up plan size
+    # and task binaries long before the 2^31-bit guard trips.
+    pos_arr = F.array(*_positions(F.col("shingle")))
+    might_contain = F.forall(
+        pos_arr,
+        lambda p: F.call_function(
+            "shiftright",
+            F.element_at(bf, F.shiftright(p, 6).cast("int") + F.lit(1)),
+            p.bitwiseAND(F.lit(63)).cast("int"),
+        ).bitwiseAND(F.lit(1)) == F.lit(1),
+    )
     candidates = corpus.filter(might_contain)
     return (
         candidates.join(probe_set, "shingle", "inner")

@@ -37,17 +37,25 @@ def _norm(a: Column) -> Column:
 
 
 def _finite_components(col: Column) -> Column:
-    """True iff every component is finite: max-|x| < inf (NaN orders
-    above +inf on both engines, so one bound covers NaN and ±Inf).  The
-    non-cosine embedding families' entry contract alongside isNotNull —
-    a corrupt vector is excluded whole (r6 NaN/Inf fuzz class; the
-    quantizing tiers would otherwise hit engine-divergent NaN→int
-    casts)."""
-    return F.aggregate(
-        F.transform(col, lambda x: F.abs(x.cast("double"))),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, x),
-    ) < F.lit(float("inf"))
+    """True iff the vector is non-empty and every component is finite:
+    size > 0 AND max-|x| < inf (NaN orders above +inf on both engines,
+    so one bound covers NaN and ±Inf).  The non-cosine embedding
+    families' entry contract alongside isNotNull — a corrupt vector is
+    excluded whole (r6 NaN/Inf fuzz class; the quantizing tiers would
+    otherwise hit engine-divergent NaN→int casts).  The size guard
+    aligns the empty-array contract with the oracles (r6 ADVICE): the
+    fold's 0.0 init made an empty array pass, while the oracles'
+    ``list_max(...) < 'infinity'`` is NULL for an empty list and drops
+    the row — and a kept empty vector poisons downstream kernels
+    (random_projection would emit all-NULL projections)."""
+    return (F.size(col) > 0) & (
+        F.aggregate(
+            F.transform(col, lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        < F.lit(float("inf"))
+    )
 
 
 def _finite_pos_norm(col: Column) -> Column:

@@ -970,14 +970,34 @@ def bm25_query(
     per-batch cost is tokenizing the batch plus one inverted-index join
     bounded by Σ df(t) over the batch's terms — the corpus is never
     rescanned.  Returns the bm25_rank contract:
-    (query_id, doc_id, score_micro, rank)."""
+    (query_id, doc_id, score_micro, rank).
+
+    The corpus scalars (n_docs, total) ride the index as constant
+    columns and MUST be single-valued: a union of two index snapshots
+    or a filtered index would otherwise silently score against one
+    snapshot's constants (r6 ADVICE) — the min/max invariant check
+    (one cheap scan of two RLE-constant parquet columns) fails loudly
+    instead."""
+    from dbt_core_spark.exceptions import ExecutionError
+
     out_schema = (
         "query_id bigint, doc_id bigint, score_micro bigint, rank int"
     )
-    head = index.select("n_docs", "total").first()  # one tiny action
-    if head is None:
+    stats = index.agg(
+        F.min("n_docs").alias("n_lo"), F.max("n_docs").alias("n_hi"),
+        F.min("total").alias("t_lo"), F.max("total").alias("t_hi"),
+    ).first()  # one bounded action
+    if stats["n_lo"] is None:
         return index.sparkSession.createDataFrame([], out_schema)
-    n_docs, total = int(head["n_docs"]), int(head["total"])
+    if stats["n_lo"] != stats["n_hi"] or stats["t_lo"] != stats["t_hi"]:
+        raise ExecutionError(
+            "bm25_query: index carries mixed corpus constants "
+            f"(n_docs {stats['n_lo']}..{stats['n_hi']}, total "
+            f"{stats['t_lo']}..{stats['t_hi']}) — it looks like a union "
+            "of different index snapshots or a partial index; rebuild "
+            "with bm25_index over ONE corpus snapshot"
+        )
+    n_docs, total = int(stats["n_lo"]), int(stats["t_lo"])
     qterms = _bm25_qterms(queries, query_text_col, query_id_col)
     scored = (
         qterms.join(index, "term")

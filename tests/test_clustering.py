@@ -370,3 +370,27 @@ def test_kmeanspp_seeding_beats_lowest_id_on_sorted_corpus(spark):
     # near-zero within-cluster distortion
     assert d_pp * 10 < d_low
     assert distortion("kmeanspp") == d_pp  # deterministic replay
+
+
+def test_kmeanspp_duplicate_heavy_sample_picks_distinct_rows(spark):
+    """r6 ADVICE: with fewer distinct points than k in the md5 sample,
+    min-distances go all-zero and an unmasked argmax re-picked index 0
+    forever — the chosen-index mask must instead fall back to distinct
+    unchosen sample rows, and every distinct coordinate must still be
+    seeded before any duplicate row is."""
+    from dbt_core_spark.operators.clustering import (
+        _quantize,
+        _seed_centroids,
+    )
+
+    # 2 distinct coordinates, 30 rows, k=5 — the degenerate class
+    rows = [(i, [1.0] * 8 if i % 2 else [9.0] * 8) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = _quantize(df, "embedding", "vec_id")
+    cents = _seed_centroids(base, k=5, init="kmeanspp")
+    assert len(cents) == 5
+    coords = [tuple(c) for _, c in cents]
+    # both distinct coordinates are seeded (old code could fill every
+    # slot after the first with copies of sample row 0)
+    assert len(set(coords)) == 2
+    assert coords[0] != coords[1]  # seed 2 is the farthest point, not a dup

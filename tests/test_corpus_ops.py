@@ -1015,6 +1015,29 @@ def test_bm25_index_parquet_roundtrip_matches_rank(spark, sf_dir, tmp_path):
     ]
 
 
+def test_bm25_query_rejects_mixed_snapshot_index(spark):
+    """A union of two different index snapshots (or a filtered index)
+    carries mixed n_docs/total constants — scoring against an arbitrary
+    row's constants would be silently wrong, so bm25_query must fail
+    loudly (r6 ADVICE)."""
+    import pytest
+
+    from dbt_core_spark.exceptions import ExecutionError
+    from dbt_core_spark.operators.textstats import bm25_index, bm25_query
+
+    corpus_v1 = spark.createDataFrame(
+        [(1, "spark engine"), (2, "pasta sauce")],
+        "doc_id long, text string")
+    corpus_v2 = spark.createDataFrame(
+        [(1, "spark engine"), (2, "pasta sauce"), (3, "engine tuning")],
+        "doc_id long, text string")
+    mixed = bm25_index(corpus_v1).unionByName(bm25_index(corpus_v2))
+    queries = spark.createDataFrame(
+        [(100, "engine")], "doc_id long, text string")
+    with pytest.raises(ExecutionError, match="mixed corpus constants"):
+        bm25_query(mixed, queries, top_k=3)
+
+
 def test_rrf_fuse_hand_computed(spark):
     """RRF: a doc ranked well by both sources beats a doc ranked top by
     only one; missing docs contribute nothing; ties break by doc_id."""

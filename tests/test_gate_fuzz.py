@@ -771,6 +771,11 @@ ANN_GATES = [
 _emb_rows_nullable = st.lists(
     st.one_of(
         st.none(),
+        # empty vector (r6 ADVICE): must be dropped at entry by the
+        # size>0 leg of the finite contract on BOTH engines — the
+        # operators' fold init (0.0) would otherwise keep it while the
+        # oracles' list_max() is NULL for an empty list and drops it
+        st.just([]),
         st.lists(
             st.floats(min_value=-3, max_value=3, allow_nan=False, width=32),
             min_size=64,
@@ -799,7 +804,7 @@ def test_kmeans_gates_with_null_embeddings(
 ):
     if dup and vecs:
         vecs = vecs + vecs[:2]
-    if all(v is None for v in vecs):
+    if all(v is None or len(v) == 0 for v in vecs):
         vecs = vecs + [[1.0] * 64]  # keep at least one trainable row
     tmpdir = str(tmp_path_factory.mktemp("fuzz_kmnull"))
     con = _write_embeddings(tmpdir, vecs)
@@ -817,7 +822,7 @@ def test_embedding_gates_with_null_embeddings(
 ):
     if dup and vecs:
         vecs = vecs + vecs[:2]
-    if all(v is None for v in vecs):
+    if all(v is None or len(v) == 0 for v in vecs):
         vecs = vecs + [[1.0] * 64]
     tmpdir = str(tmp_path_factory.mktemp("fuzz_embnull"))
     con = _write_embeddings(tmpdir, vecs)
@@ -837,11 +842,35 @@ def test_ann_gates_with_null_embeddings(
 ):
     if dup and vecs:
         vecs = vecs + vecs[:2]
-    if all(v is None for v in vecs):
+    if all(v is None or len(v) == 0 for v in vecs):
         vecs = vecs + [[1.0] * 64]
     tmpdir = str(tmp_path_factory.mktemp("fuzz_annnull"))
     con = _write_embeddings(tmpdir, vecs)
     _check(spark, tmpdir, con, ANN_GATES + ["dedup_embedding_docs"])
+
+
+def test_embedding_gates_with_deterministic_empty_vectors(
+    spark, tmp_path_factory
+):
+    """Deterministic pin of the r6 ADVICE empty-array class (hypothesis
+    may not draw it in the few fuzz examples): a corpus mixing empty,
+    NULL, and valid vectors must agree with the oracles on every
+    embedding-family gate — the size>0 leg of the finite contract drops
+    empties on the Spark side exactly where the oracles' NULL-valued
+    list_max() drops them."""
+    vecs = (
+        [[], None]
+        + [[float(i % 5) + 0.25, *([0.5] * 62 + [float(i)])] for i in range(8)]
+        + [[]]
+    )
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_embempty"))
+    con = _write_embeddings(tmpdir, vecs)
+    _check(
+        spark, tmpdir, con,
+        EMB_GATES
+        + [g for g in EMB_GATES_EXT if g != "dedup_embedding_docs"]
+        + ANN_GATES,
+    )
 
 
 @settings(

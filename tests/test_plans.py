@@ -496,8 +496,16 @@ def test_decontaminate_bloom_prefilter_shape(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     probes = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
-    plan = _plan(decontaminate_bloom(docs, probes, n=5))
+    df = decontaminate_bloom(docs, probes, n=5)
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
-    # the membership conjunction compiles to shiftright(element_at(...))
-    # bit tests inside a Filter on the corpus side
+    # the membership test compiles to shiftright(element_at(...)) bit
+    # tests inside a Filter on the corpus side
     assert "shiftright" in plan and "element_at" in plan
+    # the bitset literal must be bound exactly ONCE (r6 ADVICE: a k-way
+    # conjunction lexically duplicated the ~m/64-long array per hash,
+    # blowing up plan/task-binary size at 10^7-shingle scale) — one
+    # forall over the positions array references it a single time
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("forall") == 1
+    assert analyzed.count("element_at") == 1
