@@ -2739,6 +2739,39 @@ def decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_bloom(docs, probes, n=5)
 
 
+def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full hybrid-RAG retrieval path in one composed gate (the
+    webdataset_pipeline_docs precedent): bm25_index (build-once) →
+    bm25_query (lexical top-5 for every 29th document) fused via
+    reciprocal-rank fusion with an exact dense cosine top-5 over the
+    matching embedding queries.  Integer-exact end to end — BM25
+    micro-unit scores, floor(1e9/(60+rank)) bigint RRF terms — so the
+    fused ranking hashes identically across engines.
+
+    STAGED for the round-8 gate window (oracles.ORACLES_STAGED_R8;
+    never-verified rows must lead the window, and the r7 window is
+    fully booked by the r6 verdict's staleness mandate) — until wired,
+    correctness evidence is the pytest pre-verification that drives
+    this exact function against the staged SQL through the
+    validator's own compare."""
+    from dbt_core_spark.operators.similarity import cosine_topk
+    from dbt_core_spark.operators.textstats import (
+        bm25_index,
+        bm25_query,
+        rrf_fuse,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    index = bm25_index(docs)  # the persisted build-once leg
+    lex = bm25_query(index, docs.filter("doc_id % 29 = 0"), top_k=5)
+    dense = cosine_topk(
+        emb, "embedding", "vec_id", k=5,
+        queries=emb.filter("vec_id % 29 = 0"),
+    ).withColumnRenamed("nbr_id", "doc_id")
+    return rrf_fuse([lex, dense], k=60, top_k=5)
+
+
 # =========================================================================
 # registry
 # =========================================================================

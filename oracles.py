@@ -3363,3 +3363,72 @@ select c.doc_id, cast(count(*) as bigint) as n_hits,
 from corpus c join probe p using (shingle)
 group by 1
 """
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR ROUND 8 (not in ORACLES — the r7 gate window is fully booked
+# by the r6 verdict's staleness mandate, and never-verified rows must lead
+# the window).  The composed hybrid-retrieval gate carries pytest-level
+# DuckDB equivalence this round (tests/test_corpus_ops.py drives
+# __spark_entry__.hybrid_retrieval_docs against this exact SQL through the
+# validator's compare) and enters the registry when the r8 window
+# recomposes: move it into ORACLES under the same key and put the row
+# inside the 50-row window.
+# ---------------------------------------------------------------------------
+ORACLES_STAGED_R8: dict[str, str] = {}
+
+ORACLES_STAGED_R8["hybrid_retrieval_docs"] = f"""
+with w as (select doc_id as id, unnest({_WORDS}) as term
+           from documents where text is not null),
+tf as (select id, term, cast(count(*) as bigint) as tf from w group by 1, 2),
+dl as (select id, cast(sum(tf) as bigint) as dl from tf group by 1),
+st as (select cast(count(*) as bigint) as n,
+              cast(sum(dl) as bigint) as total from dl),
+idf as (select term, cast(floor(ln(1.0 + (cast(st.n as double) - df_t + 0.5)
+                 / (df_t + 0.5)) * 1000) as bigint) as idf_milli
+        from (select term, cast(count(distinct id) as bigint) as df_t
+              from tf group by 1) d, st),
+qt as (select distinct doc_id as query_id, unnest({_WORDS}) as term
+       from documents where doc_id % 29 = 0 and text is not null),
+sc as (select q.query_id, p.id,
+              cast(sum(cast(floor(cast(idf_milli as double)
+                  * (44.0 * tf * total)
+                  / (20.0 * tf * total + 6.0 * total + 18.0 * dl * n)
+                  * 1000.0) as bigint)) as bigint) as score_micro
+       from qt q join tf p using (term) join idf using (term)
+       join dl on dl.id = p.id, st group by 1, 2),
+lex as (select query_id, id as doc_id,
+               cast(row_number() over (partition by query_id
+                    order by score_micro desc, id) as int) as rank
+        from sc qualify rank <= 5),
+v as (select vec_id, embedding::DOUBLE[] as e from embeddings
+      where list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+        and list_sum(list_transform(embedding::DOUBLE[], x -> x * x))
+            < 'infinity'::double),
+cp as (select a.vec_id as qid, b.vec_id as did,
+              list_sum(list_transform(range(1, len(a.e) + 1),
+                  i -> a.e[i] * b.e[i]))
+              / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1),
+                      i -> a.e[i] * a.e[i])))
+                 * sqrt(list_sum(list_transform(range(1, len(b.e) + 1),
+                        i -> b.e[i] * b.e[i])))) as cosine
+       from v a join v b on a.vec_id <> b.vec_id
+       where a.vec_id % 29 = 0),
+dense as (select qid as query_id, did as doc_id,
+                 cast(row_number() over (partition by qid
+                      order by cosine desc, did) as int) as rank
+          from cp qualify rank <= 5),
+uni as (
+    select query_id, doc_id,
+           cast(floor(1000000000.0 / (60 + rank)) as bigint) as c from lex
+    union all
+    select query_id, doc_id,
+           cast(floor(1000000000.0 / (60 + rank)) as bigint) as c from dense
+),
+fused as (select query_id, doc_id, cast(sum(c) as bigint) as rrf_nano
+          from uni group by 1, 2)
+select query_id, doc_id, rrf_nano,
+       cast(row_number() over (partition by query_id
+            order by rrf_nano desc, doc_id) as int) as rank
+from fused qualify rank <= 5
+"""

@@ -1038,6 +1038,77 @@ def test_bm25_query_rejects_mixed_snapshot_index(spark):
         bm25_query(mixed, queries, top_k=3)
 
 
+def test_rrf_fuse_tie_saturated_property(spark):
+    """Integer-exactness makes RRF immune to tie-saturated inputs (r6
+    verdict item 3): random rankings — including many docs sharing the
+    same rank structure across sources — must fuse identically to a
+    pure-Python bigint reference, with (rrf_nano desc, doc_id) total
+    order deciding every tie the same way."""
+    from collections import defaultdict
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dbt_core_spark.operators.textstats import rrf_fuse
+
+    ranking = st.lists(
+        st.integers(0, 7), min_size=0, max_size=8, unique=True
+    )  # doc ids in rank order 1..n
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(r1=ranking, r2=ranking, r3=ranking)
+    def run(r1, r2, r3):
+        frames, ref = [], defaultdict(int)
+        for src in (r1, r2, r3):
+            rows = [(1, d, i + 1) for i, d in enumerate(src)]
+            frames.append(spark.createDataFrame(
+                rows, "query_id long, doc_id long, rank int"))
+            for i, d in enumerate(src):
+                ref[d] += 1_000_000_000 // (60 + i + 1)
+        got = sorted(
+            (r["doc_id"], r["rrf_nano"], r["rank"])
+            for r in rrf_fuse(frames, k=60, top_k=5).collect()
+        )
+        order = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        want = sorted(
+            (d, s, i + 1) for i, (d, s) in enumerate(order)
+        )
+        assert got == want, (got, want)
+
+    run()
+
+
+def test_hybrid_retrieval_staged_gate_matches_oracle(spark, sf_dir):
+    """Pre-verifies the STAGED round-8 gate row end to end: the exact
+    __spark_entry__.hybrid_retrieval_docs callable vs the exact
+    oracles.ORACLES_STAGED_R8 SQL, through the validator's own compare
+    (types + row hash), on the real sf corpus — so wiring it into the
+    r8 window is a pure dict move with no new behavior."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from oracles import ORACLES_STAGED_R8
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_vo_hybrid", os.path.join(root, "scripts", "validate_oracles.py"))
+    vo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vo)
+
+    con = duckdb.connect()
+    for tbl in ("documents", "embeddings"):
+        con.execute(
+            f"create view {tbl} as select * from '{sf_dir}/{tbl}.parquet'")
+    ok, msg = vo.compare(
+        "hybrid_retrieval_docs", spark, con, sf_dir,
+        em.hybrid_retrieval_docs, ORACLES_STAGED_R8["hybrid_retrieval_docs"])
+    assert ok, msg
+
+
 def test_rrf_fuse_hand_computed(spark):
     """RRF: a doc ranked well by both sources beats a doc ranked top by
     only one; missing docs contribute nothing; ties break by doc_id."""

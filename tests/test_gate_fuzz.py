@@ -75,18 +75,22 @@ DOC_GATES_HEAVY = [
     "hash_embed_docs",
     "dsir_score_docs",
 ]
-# heaviest document gates (span dedup, sketches, corpus-trained BPE/PMI)
+# heaviest document gates (span dedup, sketches, corpus-trained BPE/PMI,
+# and the r7 retrieval tier — bm25's corpus stats and the Bloom bitset
+# are rebuilt per example, so these live in the low-example tier)
 DOC_GATES_HEAVY2 = [
     "dup_span_docs",
     "dup_span_cut_docs",
     "containment_pairs_docs",
     "decontaminate_docs",
+    "decontaminate_bloom_docs",
     "boilerplate_ngram_docs",
     "cms_heavy_words",
     "kmv_jaccard_sources",
     "bpe_token_counts_docs",
     "pmi_collocations_docs",
     "curriculum_order_docs",
+    "bm25_rank_docs",
 ]
 # orders/lineitem gates — the hostile class here is TIES: tiny value
 # domains make duplicate (custkey, totalprice, date) rows abundant, so
@@ -387,6 +391,38 @@ def test_heaviest_doc_gates_on_hostile_corpora(
     tmpdir = str(tmp_path_factory.mktemp("fuzz_doch2"))
     con = _write_docs(tmpdir, rows)
     _check(spark, tmpdir, con, DOC_GATES_HEAVY2)
+
+
+def test_retrieval_gates_deterministic_hostile_classes(
+    spark, tmp_path_factory
+):
+    """Deterministic pin of the retrieval tier's hostile classes (r6
+    verdict item 3) — hypothesis may not draw all of them in the
+    2-example heavy tier: a NULL-text query doc (doc 0), a
+    tie-saturated query whose corpus is full of identical docs
+    (integer-exact scores must tie-break identically by doc_id on both
+    engines), the U+0130 İ case-mapping through BM25's tokenizer, a
+    doc whose terms appear in no other document, and empty/whitespace
+    texts.  Probes for the Bloom gate (doc_id % 7) and queries for
+    BM25 (doc_id % 13) both land on hostile rows."""
+    texts = [None] * 28
+    texts[0] = None                       # NULL-text query (bm25) + probe (bloom)
+    texts[13] = "tie words tie words shared five gram run"  # tie query
+    texts[26] = "İstanbul İ recursion İstanbul casefold"    # İ query
+    for i in (2, 3, 4, 5):                # tie saturation: identical docs
+        texts[i] = "tie words tie words shared five gram run"
+    texts[7] = "shared five gram run appears here too"      # probe w/ overlap
+    texts[14] = "xylophone quagga zyzzyva unique only"      # terms nowhere else
+    texts[21] = ""                        # empty probe
+    texts[6] = "   "
+    texts[8] = "İstanbul İ recursion İstanbul casefold"     # İ corpus twin
+    for i in range(28):
+        if texts[i] is None and i not in (0,):
+            texts[i] = texts[i] or f"filler document number {i} with some words"
+    rows = [(t, "en") for t in texts]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_retrieval"))
+    con = _write_docs(tmpdir, rows)
+    _check(spark, tmpdir, con, ["bm25_rank_docs", "decontaminate_bloom_docs"])
 
 
 _order_rows = st.lists(
