@@ -2763,13 +2763,45 @@ def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    index = bm25_index(docs)  # the persisted build-once leg
+    # sealed: bm25_query consumes the ephemeral index twice (constants
+    # agg + postings join) — the ≥2-branch lineage rule
+    index = bm25_index(docs).localCheckpoint(eager=False)
     lex = bm25_query(index, docs.filter("doc_id % 29 = 0"), top_k=5)
     dense = cosine_topk(
         emb, "embedding", "vec_id", k=5,
         queries=emb.filter("vec_id % 29 = 0"),
     ).withColumnRenamed("nbr_id", "doc_id")
     return rrf_fuse([lex, dense], k=60, top_k=5)
+
+
+def bm25_index_append_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental lexical-index maintenance (the ann_ivf_index_append
+    analog): an index built on the 90% standing corpus
+    (doc_id % 10 != 0) absorbs the held-out ingest batch via
+    bm25_index_append — only the batch is tokenized, df/idf and the
+    corpus constants are refreshed from merged integer postings — and
+    then serves the standard query workload.  The oracle is the full
+    one-shot BM25 over the union, so the gate pins
+    append ≡ rebuild end to end.
+
+    STAGED for the round-8 gate window (oracles.ORACLES_STAGED_R8; the
+    r7 window is booked — see hybrid_retrieval_docs)."""
+    from dbt_core_spark.operators.textstats import (
+        bm25_index,
+        bm25_index_append,
+        bm25_query,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # both indexes are ephemeral here (a real deployment reads them
+    # from parquet): sealed because append consumes the standing index
+    # three times (constants, overlap probe, merge) and bm25_query
+    # consumes the merged one twice
+    index = bm25_index(
+        docs.filter("doc_id % 10 != 0")).localCheckpoint(eager=False)
+    merged = bm25_index_append(
+        index, docs.filter("doc_id % 10 = 0")).localCheckpoint(eager=False)
+    return bm25_query(merged, docs.filter("doc_id % 13 = 0"), top_k=5)
 
 
 # =========================================================================

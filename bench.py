@@ -84,6 +84,13 @@ HEADLINE = [
     # cluster-balanced sample/outlier curation (zero-shuffle
     # assignment, k·d-bounded update shuffle)
     "cluster_curation_embeddings",
+    # round-7 additions: the ranked-retrieval tier — BM25 one-shot,
+    # Bloom-prefiltered decontamination, and the composed hybrid
+    # (bm25_index→bm25_query + dense cosine → RRF) production path
+    # (hybrid is r8-staged: resolved from the module, not queries())
+    "bm25_rank_docs",
+    "decontaminate_bloom_docs",
+    "hybrid_retrieval_docs",
 ]
 
 
@@ -147,7 +154,10 @@ def main() -> None:
     import gc
 
     for name in only or HEADLINE:
-        fn = qs[name]
+        # staged-for-next-round gates aren't in queries() yet but are
+        # real module callables — bench them so their first driver
+        # BENCH row lands the same round they're wired
+        fn = qs.get(name) or getattr(entrymod, name)
         samples = []
         for _ in range(repeats):
             # drop dangling DataFrame refs so the ContextCleaner can

@@ -3432,3 +3432,10 @@ select query_id, doc_id, rrf_nano,
             order by rrf_nano desc, doc_id) as int) as rank
 from fused qualify rank <= 5
 """
+
+# append ≡ rebuild: the staged append gate serves the standard query
+# workload from an index that absorbed an ingest batch incrementally,
+# so its oracle IS the one-shot BM25 over the full corpus (same SQL as
+# bm25_rank_docs) — any divergence in merged postings, refreshed idf,
+# or constants surfaces as a score/rank mismatch.
+ORACLES_STAGED_R8["bm25_index_append_docs"] = ORACLES["bm25_rank_docs"]

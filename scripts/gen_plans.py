@@ -205,6 +205,26 @@ PICKS = {
         "WindowGroupLimit (per-map-partition truncation to n per "
         "cluster before the k-keyed exchange); the assignment feeding "
         "them is sealed once."),
+    "bm25_rank_docs": (
+        "BM25 ranked retrieval — distinct query terms inverted-index-"
+        "joined to corpus postings (cost Σ df(t), no queries×corpus "
+        "product), integer micro-unit scores summed map-side, per-query "
+        "top-k as WindowGroupLimit; the ephemeral index is sealed so "
+        "the constants check and the postings join share one "
+        "tokenize/tf/idf pass."),
+    "decontaminate_bloom_docs": (
+        "Bloom-prefiltered decontamination — the probe shingle bitset "
+        "is ONE array<bigint> literal bound once inside a single "
+        "forall() membership filter that kills corpus shingles before "
+        "the confirm join; the join then sees ~fp·corpus rows, and "
+        "results stay bit-identical to exact decontaminate."),
+    "hybrid_retrieval_docs": (
+        "Composed hybrid retrieval (r8-staged) — bm25_index→bm25_query "
+        "lexical top-k and dense cosine top-k fused by reciprocal-rank "
+        "fusion: a union of two already-top-k-bounded frames, one "
+        "(query,doc)-keyed aggregation with map-side partials, and a "
+        "WindowGroupLimit — fusion cost is bounded by Σ|rankings|, "
+        "never the corpus."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",
@@ -215,7 +235,8 @@ out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",
        "is a test failure, not just a slower run.", ""]
 qs = e.queries()
 for name, blurb in PICKS.items():
-    plan = fmt(qs[name](spark, sf))
+    fn = qs.get(name) or getattr(e, name)  # r8-staged gates live on the module
+    plan = fmt(fn(spark, sf))
     # keep the operator tree + the scan details; drop the (long) codegen ids
     lines = plan.splitlines()
     keep = []

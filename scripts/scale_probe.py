@@ -132,6 +132,15 @@ def fmt_bytes(n: int) -> str:
 
 
 def run(fn):
+    # drop dangling refs so the ContextCleaner can unpersist prior
+    # queries' localCheckpoint RDDs before timing (the bench.py
+    # guard): without this, tiers late in the session inherit GC
+    # pressure earlier tiers created — the first retrieval-tier run
+    # measured 13-15s batches at ×1 (right after the text ×100 tier)
+    # vs 1.6-3.2s at ×100 once cleanup had caught up
+    import gc
+
+    gc.collect()
     t0 = time.time()
     df = fn()
     rows = len(df.collect())
@@ -146,6 +155,9 @@ def run_count(fn):
     deserializing rows into Python and the probe would measure the
     driver, not the operator.  count() still executes the full join/
     shuffle pipeline JVM-side."""
+    import gc
+
+    gc.collect()
     t0 = time.time()
     df = fn()
     rows = df.count()
@@ -354,6 +366,36 @@ def main() -> None:
                 print(f"  {op}: {wall}s, {rows} rows, "
                       f"shuffle={fmt_bytes(a['shuffle_bytes'])}",
                       file=sys.stderr)
+
+    # ---- retrieval-index tier (r6 verdict item 4): the bm25_rank row
+    # above rebuilds corpus tf/df/dl stats on EVERY call — its shuffle
+    # grew 22× across the ×10→×100 decade in r6.  The production answer
+    # is build-once/search-many (the ivf_index precedent): bm25_index
+    # persisted to parquet once per corpus snapshot, then every query
+    # batch joins the (term-pruned) postings — per-batch cost bounded by
+    # tokenize(batch) + Σ df(t) over the batch's terms, with NO
+    # corpus-stats rebuild.  Three sequential batches per scale show the
+    # marginal batch cost directly. ----
+    from dbt_core_spark.operators.textstats import bm25_index, bm25_query
+
+    ret_build: dict[int, float] = {}
+    ret_batches: dict[int, list[tuple]] = {}
+    for factor in SCALES:
+        docs = spark.read.parquet(replicate_docs(spark, factor))
+        idx_path = f"/tmp/scale_probe_bm25_idx_x{factor}"
+        t0 = time.time()
+        bm25_index(docs).write.mode("overwrite").parquet(idx_path)
+        ret_build[factor] = round(time.time() - t0, 2)
+        index = spark.read.parquet(idx_path)
+        base_docs = spark.read.parquet(replicate_docs(spark, 1))
+        ret_batches[factor] = []
+        for b in range(3):  # three fixed query batches, replica-0 ids
+            qb = base_docs.filter(f"doc_id % 13 = {b}")
+            ret_batches[factor].append(run(
+                lambda: bm25_query(index, qb, top_k=10)))
+        walls = [w for _, w, _ in ret_batches[factor]]
+        print(f"== retrieval x{factor}: index build {ret_build[factor]}s, "
+              f"batches {walls}", file=sys.stderr)
 
     lines = [
         "# SCALING — ANN + dedup tiers, measured across two decades",
@@ -565,6 +607,57 @@ def main() -> None:
         "self-join, negatives one md5-bucket-keyed join plus two "
         "map-side-combinable MIN_BY fallback aggregations; no cross "
         "join, no RAND(), no skewed window at any scale.",
+        "",
+        "## Retrieval-index tier (build-once / search-many)",
+        "",
+        "The bm25_rank row above rebuilds corpus tf/df/dl on every "
+        "call — the right shape for ad-hoc use, the wrong one for a "
+        "standing query workload (its shuffle grows with corpus "
+        "postings matched).  `bm25_index` persisted to parquet once "
+        "per corpus snapshot + `bm25_query` per batch is the "
+        "production path (the `ivf_index_build`/`search` precedent): "
+        "three sequential fixed query batches (replica-0 ids, "
+        "doc_id % 13 ∈ {0,1,2}) are served per scale below.",
+        "",
+        "| scale | index build s (once) | batch walls s | batch out "
+        "rows | batch shuffle |",
+        "|---|---|---|---|---|",
+    ]
+    for factor in SCALES:
+        walls = ", ".join(str(w) for _, w, _ in ret_batches[factor])
+        outs = ", ".join(f"{r:,}" for r, _, _ in ret_batches[factor])
+        shf = ", ".join(fmt_bytes(a["shuffle_bytes"])
+                        for _, _, a in ret_batches[factor])
+        lines.append(
+            f"| ×{factor} | {ret_build[factor]} | {walls} | {outs} "
+            f"| {shf} |")
+    rb1 = ret_batches[1][-1]
+    rb100 = ret_batches[100][-1]
+    os1 = text_results["bm25_rank (fixed queries)"][1]
+    os100 = text_results["bm25_rank (fixed queries)"][100]
+    lines += [
+        "",
+        f"- **Per-batch cost never pays the corpus-stats rebuild**: "
+        f"the steady-state batch (third column, last batch) grows "
+        f"{rb100[1] / max(rb1[1], 0.01):.1f}× across two decades "
+        f"({rb1[1]}s → {rb100[1]}s) where the one-shot bm25_rank grows "
+        f"{os100[1] / max(os1[1], 0.01):.1f}× ({os1[1]}s → {os100[1]}s) "
+        "— the batch pays tokenize(batch) + one inverted-index join "
+        "bounded by Σ df(t) over ITS terms (residual growth is the "
+        "postings matched by the fixed vocabulary, partially "
+        "suppressed by replica-disjoint vocab — same caveat as the "
+        "one-shot row), never a corpus scan.",
+        f"- **Build amortizes across every future batch**: "
+        f"{ret_build[100]}s once at ×100, vs {os100[1]}s per one-shot "
+        "call — a standing workload of B batches pays "
+        "build + B·batch instead of B·(build+batch).  At 100 TB the "
+        "index table is stored partitioned/bucketed by term hash so a "
+        "batch's term lookups prune partitions instead of scanning "
+        "the postings table.",
+        "- The index is ONE self-contained table (corpus scalars ride "
+        "as RLE-constant columns) — `bm25_query` validates they are "
+        "single-valued and refuses a mixed-snapshot union "
+        "(tests/test_corpus_ops.py).",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(

@@ -48,7 +48,9 @@ def main() -> None:
             # whose final frame is a table read — the audit would see
             # only the read; skip (their plans are in PLANS.md)
             continue
-        fn = qs[name]
+        # r8-staged gates (benched, not yet in queries()) resolve
+        # from the module
+        fn = qs.get(name) or getattr(entrymod, name)
         df = fn(spark, sf_dir)
         # collect() (not count()) so the audited queryExecution is the
         # one that actually ran — count() plans and executes a separate

@@ -1015,6 +1015,71 @@ def test_bm25_index_parquet_roundtrip_matches_rank(spark, sf_dir, tmp_path):
     ]
 
 
+def test_bm25_index_append_matches_full_rebuild(spark, sf_dir):
+    """The incremental-index contract (the ivf_index_append precedent,
+    lexical leg): appending a batch to an index built on the rest of
+    the corpus is row-identical to rebuilding over the full corpus —
+    postings, recomputed idf_milli, and the refreshed (n_docs, total)
+    constants all match, so queries served from either are identical."""
+    from dbt_core_spark.operators.textstats import (
+        bm25_index,
+        bm25_index_append,
+        bm25_query,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter("doc_id % 10 != 0")
+    batch = docs.filter("doc_id % 10 = 0")
+    appended = bm25_index_append(bm25_index(old), batch)
+    rebuilt = bm25_index(docs)
+    cols = ["term", "id", "tf", "dl", "idf_milli", "n_docs", "total"]
+    got = sorted(tuple(r) for r in appended.select(cols).collect())
+    want = sorted(tuple(r) for r in rebuilt.select(cols).collect())
+    assert got == want and len(got) > 0
+    # and the served ranking is identical too
+    queries = docs.filter("doc_id % 13 = 0")
+    got_q = sorted(tuple(r)
+                   for r in bm25_query(appended, queries, top_k=5).collect())
+    want_q = sorted(tuple(r)
+                    for r in bm25_query(rebuilt, queries, top_k=5).collect())
+    assert got_q == want_q and len(got_q) > 0
+
+
+def test_bm25_index_append_edges(spark):
+    """Empty-index append degrades to a build; an empty or all-NULL
+    batch returns the index unchanged; an id already present in the
+    index fails loudly (double-counted postings)."""
+    import pytest
+
+    from dbt_core_spark.exceptions import ExecutionError
+    from dbt_core_spark.operators.textstats import (
+        bm25_index,
+        bm25_index_append,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(1, "spark engine"), (2, "pasta sauce")], schema)
+    empty = spark.createDataFrame([], schema)
+    cols = ["term", "id", "tf", "dl", "idf_milli", "n_docs", "total"]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.select(cols).collect())
+
+    # empty index + batch == build(batch)
+    assert rows(bm25_index_append(bm25_index(empty), corpus)) == rows(
+        bm25_index(corpus))
+    # empty / all-NULL batch == unchanged index
+    idx = bm25_index(corpus)
+    assert rows(bm25_index_append(idx, empty)) == rows(idx)
+    nulls = spark.createDataFrame([(9, None)], schema)
+    assert rows(bm25_index_append(idx, nulls)) == rows(idx)
+    # overlapping id -> loud failure
+    dup = spark.createDataFrame([(1, "already indexed")], schema)
+    with pytest.raises(ExecutionError, match="already"):
+        bm25_index_append(idx, dup)
+
+
 def test_bm25_query_rejects_mixed_snapshot_index(spark):
     """A union of two different index snapshots (or a filtered index)
     carries mixed n_docs/total constants — scoring against an arbitrary
@@ -1079,12 +1144,16 @@ def test_rrf_fuse_tie_saturated_property(spark):
     run()
 
 
-def test_hybrid_retrieval_staged_gate_matches_oracle(spark, sf_dir):
-    """Pre-verifies the STAGED round-8 gate row end to end: the exact
-    __spark_entry__.hybrid_retrieval_docs callable vs the exact
-    oracles.ORACLES_STAGED_R8 SQL, through the validator's own compare
-    (types + row hash), on the real sf corpus — so wiring it into the
-    r8 window is a pure dict move with no new behavior."""
+@pytest.mark.parametrize("staged_name", [
+    "hybrid_retrieval_docs",
+    "bm25_index_append_docs",
+])
+def test_staged_r8_gates_match_oracles(spark, sf_dir, staged_name):
+    """Pre-verifies every STAGED round-8 gate row end to end: the exact
+    __spark_entry__ callable vs the exact oracles.ORACLES_STAGED_R8 SQL,
+    through the validator's own compare (types + row hash), on the real
+    sf corpus — so wiring them into the r8 window is a pure dict move
+    with no new behavior."""
     import importlib.util
     import os
 
@@ -1095,7 +1164,7 @@ def test_hybrid_retrieval_staged_gate_matches_oracle(spark, sf_dir):
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "_vo_hybrid", os.path.join(root, "scripts", "validate_oracles.py"))
+        "_vo_staged", os.path.join(root, "scripts", "validate_oracles.py"))
     vo = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(vo)
 
@@ -1104,9 +1173,43 @@ def test_hybrid_retrieval_staged_gate_matches_oracle(spark, sf_dir):
         con.execute(
             f"create view {tbl} as select * from '{sf_dir}/{tbl}.parquet'")
     ok, msg = vo.compare(
-        "hybrid_retrieval_docs", spark, con, sf_dir,
-        em.hybrid_retrieval_docs, ORACLES_STAGED_R8["hybrid_retrieval_docs"])
+        staged_name, spark, con, sf_dir,
+        getattr(em, staged_name), ORACLES_STAGED_R8[staged_name])
     assert ok, msg
+
+
+def test_bm25_bucketed_index_roundtrip_and_append(spark, sf_dir, tmp_path):
+    """Term-hash-bucketed index (n_buckets): query results are
+    row-identical to the unbucketed one-shot, survive a
+    partitionBy("bucket") parquet round-trip, and append preserves the
+    bucketing with the same mapping (append == bucketed rebuild)."""
+    from dbt_core_spark.operators.textstats import (
+        bm25_index,
+        bm25_index_append,
+        bm25_query,
+        bm25_rank,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.filter("doc_id % 17 = 0")
+    path = str(tmp_path / "bm25_bucketed")
+    bm25_index(docs, n_buckets=8).write.partitionBy("bucket").parquet(path)
+    reloaded = spark.read.parquet(path)
+    got = sorted(tuple(r)
+                 for r in bm25_query(reloaded, queries, top_k=4).collect())
+    want = sorted(tuple(r)
+                  for r in bm25_rank(docs, queries, top_k=4).collect())
+    assert got == want and len(got) > 0
+    # append to the bucketed index == bucketed rebuild over the union
+    old = docs.filter("doc_id % 10 != 0")
+    batch = docs.filter("doc_id % 10 = 0")
+    appended = bm25_index_append(
+        bm25_index(old, n_buckets=8).localCheckpoint(eager=False), batch)
+    rebuilt = bm25_index(docs, n_buckets=8)
+    cols = ["term", "id", "tf", "dl", "idf_milli", "n_docs", "total",
+            "bucket", "n_buckets"]
+    assert sorted(map(tuple, appended.select(cols).collect())) == sorted(
+        map(tuple, rebuilt.select(cols).collect()))
 
 
 def test_rrf_fuse_hand_computed(spark):

@@ -487,6 +487,42 @@ def test_bm25_inverted_index_shape(spark, sf_dir):
     assert fmt.count("HashAggregate") >= 2
 
 
+def test_bm25_bucketed_query_prunes_partitions(spark, sf_dir, tmp_path):
+    """A term-hash-bucketed index stored partitionBy("bucket") must let
+    bm25_query prune the postings scan to the query terms' buckets —
+    the literal bucket IN filter has to reach the scan's
+    PartitionFilters (file-listing-level pruning, the 100 TB serving
+    contract), and the scan must read fewer than all bucket
+    directories for a narrow query."""
+    import glob as _glob
+
+    from dbt_core_spark.operators.textstats import bm25_index, bm25_query
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25_bucketed_plan")
+    bm25_index(docs, n_buckets=16).write.partitionBy("bucket").parquet(path)
+    n_dirs = len(_glob.glob(f"{path}/bucket=*"))
+    assert n_dirs > 4  # the corpus vocabulary fills most buckets
+    queries = spark.createDataFrame(
+        [(1, "lorem")], "doc_id long, text string")
+    df = bm25_query(spark.read.parquet(path), queries, top_k=3)
+    plan = _plan(df)
+    # the bucket restriction must be in the scan's PartitionFilters
+    # (file-listing pruning), not a post-scan Filter; a single-term
+    # query touches exactly 1 bucket, which Catalyst renders as
+    # `bucket = k` (an IN over one literal folds to equality)
+    import re as _re
+
+    m = _re.search(
+        r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+    assert m, plan[:2000]
+    pf = m.group(1)
+    eq = _re.findall(r"bucket#\d+ = \d+", pf)
+    inlist = _re.search(r"bucket#\d+ IN \(([^)]*)\)", pf)
+    assert (len(eq) == 1 and not inlist) or (
+        inlist and len(inlist.group(1).split(",")) == 1), pf
+
+
 def test_decontaminate_bloom_prefilter_shape(spark, sf_dir):
     """Bloom decontamination: the bitset membership test must sit in a
     Filter BEFORE the confirm join (that's the entire point — corpus
