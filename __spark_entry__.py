@@ -2804,6 +2804,53 @@ def bm25_index_append_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_query(merged, docs.filter("doc_id % 13 = 0"), top_k=5)
 
 
+_DOCS_STREAM_CACHE: dict[str, str] = {}
+
+
+def _docs_stream_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a multi-file copy of documents for the streaming
+    decontamination gate (a file-stream source needs a directory; multi
+    file → the AvailableNow drain really exercises micro-batching —
+    the operator is stateless, so the split can't change results)."""
+    if sf_dir not in _DOCS_STREAM_CACHE:
+        out = f"/tmp/docs_stream_{abs(hash(sf_dir)) % 10**8}"
+        _t(spark, sf_dir, "documents").repartition(4).write.mode(
+            "overwrite").parquet(out)
+        _DOCS_STREAM_CACHE[sf_dir] = out
+    return _DOCS_STREAM_CACHE[sf_dir]
+
+
+def streaming_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time benchmark decontamination: the documents table
+    streamed as micro-batches (2 files/trigger), Bloom-prefiltered
+    against the static probe subset (doc_id % 11 = 0) and exact-
+    confirmed by a stream-static join — stateless/append-mode, drained
+    AvailableNow.  Emits the (doc_id, shingle) match stream, which is
+    deterministic under ANY micro-batch split and equals the batch
+    recipe's matches (streaming/structured.py:streaming_decontaminate).
+
+    STAGED for the round-8 gate window (oracles.ORACLES_STAGED_R8; see
+    hybrid_retrieval_docs)."""
+    from dbt_core_spark.streaming.structured import (
+        run_to_memory,
+        stream_source,
+        streaming_decontaminate,
+    )
+
+    path = _docs_stream_path(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    stream = stream_source(
+        spark, path, spark.read.parquet(path).schema, fmt="parquet",
+        options={"maxFilesPerTrigger": "2"},
+    )
+    matches = streaming_decontaminate(
+        stream, docs.filter("doc_id % 11 = 0"), n=5)
+    name = _drop_stale_memory_sinks(spark, "stream_decon_")
+    run_to_memory(matches, name)
+    return spark.table(name).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "shingle")
+
+
 # =========================================================================
 # registry
 # =========================================================================

@@ -609,6 +609,78 @@ def decontaminate(
     )
 
 
+def _bloom_bitset(
+    probe_set: DataFrame,
+    n_keys: int,
+    bits_per_key: int,
+    num_hashes: int,
+):
+    """Fold a distinct-shingle frame into a Bloom bitset, shipped as a
+    ONE-ROW broadcast frame (data, not plan — a Literal would serialize
+    the whole array into every task binary and cost seconds of py4j
+    per-element conversion to even build).  Returns ``(bits_df,
+    might_contain)`` where ``bits_df`` is the single-row ``bf
+    array<bigint>`` frame to cross-join (broadcast) against the probed
+    side, and ``might_contain(col)`` builds the membership predicate —
+    ONE forall over the hash-positions array, so the bitset column
+    appears exactly once in the expression (plan test pins one
+    element_at / one forall).  Shared by the batch and streaming
+    decontamination legs."""
+    m = 1024
+    while m < n_keys * bits_per_key:
+        m <<= 1
+    if m > (1 << 31):
+        raise ExecutionError(
+            f"bloom bitset: probe set of {n_keys} shingles needs a "
+            f"{m}-bit filter (> 2^31); shard the probe set and union results"
+        )
+    mask = m - 1
+
+    def _positions(shingle: Column) -> list[Column]:
+        return [
+            F.xxhash64(F.lit(i), shingle).bitwiseAND(F.lit(mask))
+            for i in range(num_hashes)
+        ]
+
+    set_words = (
+        probe_set.select(
+            F.explode(F.array(*_positions(F.col("shingle")))).alias("pos")
+        )
+        .select(
+            F.shiftright("pos", 6).alias("w"),
+            # call_function: the F.shiftleft wrapper only takes a
+            # Python-int bit count, the SQL function takes a column
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                F.col("pos").bitwiseAND(F.lit(63)).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    longs = [0] * (m // 64)
+    for row in set_words:
+        longs[row["w"]] = row["bits"]
+    bits_df = probe_set.sparkSession.createDataFrame(
+        [(longs,)], "bf array<bigint>")
+
+    def might_contain(shingle: Column) -> Column:
+        pos_arr = F.array(*_positions(shingle))
+        return F.forall(
+            pos_arr,
+            lambda p: F.call_function(
+                "shiftright",
+                F.element_at(
+                    F.col("bf"), F.shiftright(p, 6).cast("int") + F.lit(1)),
+                p.bitwiseAND(F.lit(63)).cast("int"),
+            ).bitwiseAND(F.lit(1)) == F.lit(1),
+        )
+
+    return bits_df, might_contain
+
+
 def decontaminate_bloom(
     df: DataFrame,
     probes: DataFrame,
@@ -660,49 +732,8 @@ def decontaminate_bloom(
     )
     if n_keys == 0:
         return df.sparkSession.createDataFrame([], out_schema)
-    m = 1024
-    while m < n_keys * bits_per_key:
-        m <<= 1
-    if m > (1 << 31):
-        raise ExecutionError(
-            f"decontaminate_bloom: probe set of {n_keys} shingles needs a "
-            f"{m}-bit filter (> 2^31); shard the probe set and union results"
-        )
-    mask = m - 1
-
-    def _positions(shingle: Column) -> list[Column]:
-        return [
-            F.xxhash64(F.lit(i), shingle).bitwiseAND(F.lit(mask))
-            for i in range(num_hashes)
-        ]
-
-    set_words = (
-        probe_set.select(
-            F.explode(F.array(*_positions(F.col("shingle")))).alias("pos")
-        )
-        .select(
-            F.shiftright("pos", 6).alias("w"),
-            # call_function: the F.shiftleft wrapper only takes a
-            # Python-int bit count, the SQL function takes a column
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("bigint"),
-                F.col("pos").bitwiseAND(F.lit(63)).cast("int"),
-            ).alias("bit"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("bit").alias("bits"))
-        .collect()
-    )
-    longs = [0] * (m // 64)
-    for row in set_words:
-        longs[row["w"]] = row["bits"]
-    # the bitset as a ONE-ROW broadcast frame, not a Literal: one Arrow
-    # batch to the JVM, one broadcast to executors, zero plan-size
-    # footprint (see docstring)
-    bits_df = df.sparkSession.createDataFrame(
-        [(longs,)], "bf array<bigint>")
-    bf = F.col("bf")
+    bits_df, might_contain = _bloom_bitset(
+        probe_set, n_keys, bits_per_key, num_hashes)
 
     # widen a narrow corpus scan first: the shingle explode + 7-hash
     # membership filter is CPU-heavy per row, and a single-file corpus
@@ -713,21 +744,9 @@ def decontaminate_bloom(
             word_ngrams(normalized_words(F.col(text_col)), n)
         ).alias("shingle"),
     )
-    # ONE forall over the positions array, not a k-way conjunction: the
-    # bitset column must appear exactly once in the membership
-    # expression (plan test pins one element_at / one forall).
-    pos_arr = F.array(*_positions(F.col("shingle")))
-    might_contain = F.forall(
-        pos_arr,
-        lambda p: F.call_function(
-            "shiftright",
-            F.element_at(bf, F.shiftright(p, 6).cast("int") + F.lit(1)),
-            p.bitwiseAND(F.lit(63)).cast("int"),
-        ).bitwiseAND(F.lit(1)) == F.lit(1),
-    )
     candidates = (
         corpus.join(F.broadcast(bits_df))  # single-row scalar broadcast
-        .filter(might_contain)
+        .filter(might_contain(F.col("shingle")))
         .drop("bf")
     )
     return (

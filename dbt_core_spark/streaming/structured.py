@@ -222,3 +222,70 @@ def streaming_cms(
         .withColumn("window_end", F.col("win.end"))
         .drop("win")
     )
+
+
+def streaming_decontaminate(
+    stream: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    n: int = 5,
+    bits_per_key: int = 12,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Benchmark decontamination over a document INGEST STREAM — flag
+    contaminated docs before they ever land in the training lake,
+    instead of sweeping the corpus after the fact (the batch
+    ``decontaminate``/``decontaminate_bloom`` recipe, GPT-3 appendix C,
+    applied at ingest time).
+
+    STATELESS by construction, so it runs in append mode with zero
+    streaming state and no watermark: a document's shingles are
+    row-local, the Bloom bitset (built ONCE from the static probe side
+    at plan time — ``dedup._bloom_bitset``) rides a one-row broadcast
+    cross join, and the exact confirm is a stream-static inner join
+    against the distinct probe shingles.  Emits the MATCH stream
+    ``(id, shingle)`` — one row per (document, contaminated shingle),
+    exactly the rows batch decontaminate aggregates into n_hits;
+    downstream either counts per doc or anti-joins the distinct ids to
+    drop contaminated documents.  Per-micro-batch cost is the batch
+    operator's: shingle explode + 7 JVM hash probes + ~fp·batch
+    confirm-join rows.  Returns an empty-schema stream when the probe
+    corpus is empty (nothing can be contaminated)."""
+    from dbt_core_spark.operators.dedup import (
+        _bloom_bitset,
+        ensure_parallelism,
+        normalized_words,
+        word_ngrams,
+    )
+
+    probe_set = (
+        ensure_parallelism(probes)
+        .select(
+            F.explode(
+                word_ngrams(normalized_words(F.col(probe_text_col)), n)
+            ).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_keys = probe_set.count()
+    shingled = stream.select(
+        F.col(id_col),
+        F.explode(
+            word_ngrams(normalized_words(F.col(text_col)), n)
+        ).alias("shingle"),
+    )
+    if n_keys == 0:
+        return shingled.filter(F.lit(False))
+    bits_df, might_contain = _bloom_bitset(
+        probe_set, n_keys, bits_per_key, num_hashes)
+    candidates = (
+        shingled.crossJoin(F.broadcast(bits_df))
+        .filter(might_contain(F.col("shingle")))
+        .drop("bf")
+    )
+    return candidates.join(probe_set, "shingle", "inner").select(
+        id_col, "shingle"
+    )

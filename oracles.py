@@ -3368,12 +3368,14 @@ group by 1
 # ---------------------------------------------------------------------------
 # STAGED FOR ROUND 8 (not in ORACLES — the r7 gate window is fully booked
 # by the r6 verdict's staleness mandate, and never-verified rows must lead
-# the window).  The composed hybrid-retrieval gate carries pytest-level
-# DuckDB equivalence this round (tests/test_corpus_ops.py drives
-# __spark_entry__.hybrid_retrieval_docs against this exact SQL through the
-# validator's compare) and enters the registry when the r8 window
-# recomposes: move it into ORACLES under the same key and put the row
-# inside the 50-row window.
+# the window).  Three r7 gates carry pytest-level DuckDB equivalence this
+# round (tests/test_corpus_ops.py::test_staged_r8_gates_match_oracles
+# drives each exact __spark_entry__ callable against its exact SQL through
+# the validator's compare): hybrid_retrieval_docs, bm25_index_append_docs,
+# and streaming_decontaminate_docs.  The r8 session: move these into
+# ORACLES under the same keys and put the three rows inside the 50-row
+# window, leading (never-verified first), ahead of the 4 displaced TPC-H
+# rows (q4/q13/q14/q17) and the oldest r5-stale fill.
 # ---------------------------------------------------------------------------
 ORACLES_STAGED_R8: dict[str, str] = {}
 
@@ -3439,3 +3441,21 @@ from fused qualify rank <= 5
 # bm25_rank_docs) — any divergence in merged postings, refreshed idf,
 # or constants surfaces as a score/rank mismatch.
 ORACLES_STAGED_R8["bm25_index_append_docs"] = ORACLES["bm25_rank_docs"]
+
+
+# ingest-time decontamination: the streaming leg is stateless, so its
+# AvailableNow drain equals the batch 5-gram match pairs regardless of
+# micro-batch split — the oracle is the plain corpus×probe shingle join
+# at match granularity (batch decontaminate's pre-aggregation rows).
+ORACLES_STAGED_R8["streaming_decontaminate_docs"] = f"""
+with sh as (
+    select doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(w) - 3, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4]))) as shingle
+    from (select doc_id, {_WORDS} as w from documents) t
+    where len(w) >= 5
+),
+probe as (select distinct shingle from sh where doc_id % 11 = 0)
+select s.doc_id, s.shingle from sh s join probe p using (shingle)
+"""

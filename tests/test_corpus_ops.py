@@ -1147,6 +1147,7 @@ def test_rrf_fuse_tie_saturated_property(spark):
 @pytest.mark.parametrize("staged_name", [
     "hybrid_retrieval_docs",
     "bm25_index_append_docs",
+    "streaming_decontaminate_docs",
 ])
 def test_staged_r8_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-8 gate row end to end: the exact

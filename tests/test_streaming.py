@@ -300,3 +300,69 @@ def test_funnel_stream_detects_completion_and_rearms(spark, tmp_path):
         (1, "2024-01-01 00:00:03"),
         (1, "2024-01-01 00:02:00"),
     ]
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """The ingest-time decontamination leg is bit-identical to the
+    batch recipe: the (id, shingle) match stream, drained AvailableNow,
+    aggregates to exactly batch decontaminate_bloom's per-doc rows;
+    stateless (append mode, no watermark), so any micro-batch split
+    gives the same output."""
+    import uuid as _uuid
+
+    from dbt_core_spark.operators.dedup import decontaminate_bloom
+    from dbt_core_spark.streaming.structured import (
+        run_to_memory,
+        stream_source,
+        streaming_decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)  # multi-file → multi-batch-able
+    probes = docs.filter("doc_id % 11 = 0")
+
+    stream = stream_source(
+        spark, src, spark.read.parquet(src).schema, fmt="parquet",
+        options={"maxFilesPerTrigger": "2"},  # force >1 micro-batch
+    )
+    matches = streaming_decontaminate(stream, probes, n=5)
+    name = f"sdec_{_uuid.uuid4().hex[:8]}"
+    run_to_memory(matches, name)
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        tuple(r)
+        for r in spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"),
+             F.min("shingle").alias("sample_hit"))
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in decontaminate_bloom(docs, probes, n=5).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_decontaminate_empty_probes(spark, tmp_path):
+    """An empty probe corpus contaminates nothing: the match stream is
+    empty (and the plan never builds a bitset)."""
+    import uuid as _uuid
+
+    from dbt_core_spark.streaming.structured import (
+        run_to_memory,
+        stream_source,
+        streaming_decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_stream_e")
+    docs.limit(50).write.parquet(src)
+    stream = stream_source(
+        spark, src, spark.read.parquet(src).schema, fmt="parquet")
+    matches = streaming_decontaminate(
+        stream, docs.filter("doc_id < 0"), n=5)
+    name = f"sdece_{_uuid.uuid4().hex[:8]}"
+    run_to_memory(matches, name)
+    assert spark.table(name).count() == 0
