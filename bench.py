@@ -216,6 +216,13 @@ def main() -> None:
     os.makedirs("target", exist_ok=True)
     with open("target/bench_latest.json", "w") as fh:
         json.dump(out, fh, indent=1)
+    # target/ is gitignored, so ALSO refresh a tracked copy: without it
+    # the per-query medians don't survive to the next round and
+    # round-over-round comparisons degrade to totals (the r6→r7 trap —
+    # BENCH_r{N}.json's `tail` is truncated mid-JSON).  Sessions commit
+    # a per-round snapshot (BENCH_LOCAL_r{N}.json) from this file.
+    with open("BENCH_LOCAL_latest.json", "w") as fh:
+        json.dump(out, fh, indent=1)
     print(json.dumps(out))
     print(json.dumps({
         "metric": "bench_summary",

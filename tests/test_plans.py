@@ -487,6 +487,21 @@ def test_bm25_inverted_index_shape(spark, sf_dir):
     assert fmt.count("HashAggregate") >= 2
 
 
+def test_staged_r8_gates_are_wirable():
+    """Every ORACLES_STAGED_R8 key must resolve to a module callable and
+    collide with nothing live — so the r8 rotation is a pure dict move:
+    add the queries() entries, move the SQL into ORACLES, recompose the
+    window (never-verified rows lead)."""
+    import __spark_entry__ as e
+    from oracles import ORACLES, ORACLES_STAGED_R8
+
+    qs = e.queries()
+    for name in ORACLES_STAGED_R8:
+        assert callable(getattr(e, name, None)), name
+        assert name not in qs, f"{name} staged but already wired"
+        assert name not in ORACLES, f"{name} staged but already in ORACLES"
+
+
 def test_bm25_bucketed_query_prunes_partitions(spark, sf_dir, tmp_path):
     """A term-hash-bucketed index stored partitionBy("bucket") must let
     bm25_query prune the postings scan to the query terms' buckets —
