@@ -2876,8 +2876,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # TPC-H shapes — q4_order_priority / q13_customer_distribution /
     # q14_promo_revenue_ratio / q17_small_quantity_revenue — whose
     # join/agg/exists machinery was driver-green in the r6 window via
-    # 16 sibling TPC-H rows; they sit at positions 51-54 and
-    # mechanically lead round 8 as its mandatory staleness cohort.
+    # 16 sibling TPC-H rows; they sit at positions 51-54.
+    # ROUND-8 WINDOW PLAN: the 3 never-verified staged gates lead
+    # (hybrid_retrieval_docs, bm25_index_append_docs,
+    # streaming_decontaminate_docs — move their SQL from
+    # oracles.ORACLES_STAGED_R8 into ORACLES, add queries() entries;
+    # each is pre-verified end-to-end by
+    # tests/test_corpus_ops.py::test_staged_r8_gates_match_oracles),
+    # then the 4 displaced TPC-H rows, then 43 oldest r5-stale rows.
     return {
         # ---- never driver-verified: the r6 retrieval tier (r6 verdict
         # ---- item 1: these lead; oracles moved from ORACLES_STAGED_R7) ----

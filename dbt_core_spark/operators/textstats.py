@@ -1074,8 +1074,11 @@ def bm25_index_append(
     new_dl = new_tf.groupBy("id").agg(
         F.sum("tf").cast("bigint").alias("dl"))
     new_ids = new_dl.select("id")
+    # no forced broadcast: AQE broadcasts a small batch's id set (the
+    # common case — one scan of the index, no shuffle) and falls back
+    # to a shuffled semi join of two integer columns for a huge batch
     overlap = (
-        index.join(F.broadcast(new_ids), "id", "left_semi")
+        index.join(new_ids, "id", "left_semi")
         .select("id").limit(1).collect()
     )
     if overlap:
@@ -1163,6 +1166,10 @@ def bm25_query(
     n_docs, total, n_buckets = consts
     qterms = _bm25_qterms(queries, query_text_col, query_id_col)
     if n_buckets:
+        # sealed: the bucket collect below AND the postings join both
+        # consume qterms — without the seal the query batch tokenizes
+        # twice (the ≥2-branch lineage rule)
+        qterms = qterms.localCheckpoint(eager=False)
         # bucketed index: restrict the scan to the query terms' buckets
         # as a LITERAL IN on the partition column, so a partitionBy-
         # ("bucket") layout prunes at the file listing (PartitionFilters
