@@ -793,7 +793,17 @@ group by user_id
 """
 
 ORACLES["pandas_udf_text_features"] = """
-select doc_id, md5(reverse(text)) as rev_md5 from documents
+-- CODEPOINT-wise reversal, not DuckDB's native reverse(): utf8proc
+-- reverses by extended grapheme cluster (an NFD 'e'+U+0301 stays
+-- glued) while the Python kernel reverses by codepoint (the combining
+-- mark moves) — different bytes, different md5 (r7 fresh-seed fuzz
+-- find; cross-engine class 16).  regexp_split_to_array(text, '')
+-- splits per codepoint, so the reversal below mirrors Python's [::-1]
+-- exactly; NULL text stays NULL through the chain on both engines.
+select doc_id,
+       md5(list_aggregate(list_reverse(regexp_split_to_array(text, '')),
+           'string_agg', '')) as rev_md5
+from documents
 """
 
 ORACLES["set_ops_statuses"] = """

@@ -393,6 +393,26 @@ def test_heaviest_doc_gates_on_hostile_corpora(
     _check(spark, tmpdir, con, DOC_GATES_HEAVY2)
 
 
+def test_pandas_udf_gate_nfd_combining_marks(spark, tmp_path_factory):
+    """Deterministic pin of cross-engine class 16 (r7 fresh-seed fuzz
+    find): Python reverses strings by CODEPOINT while DuckDB's native
+    reverse() works by extended grapheme cluster, so NFD text ('e' +
+    U+0301) reversed to different byte sequences and the md5s diverged
+    — the oracle now mirrors the codepoint reversal via
+    regexp_split_to_array.  Pins precomposed-vs-combining, a combining
+    tail, and a ZWJ emoji cluster through the gate compare."""
+    rows = [
+        ("caf\u00e9 cafe\u0301 na\u00efve", "en"),
+        ("e" + "\u0301" * 12 + " plain", None),
+        ("\U0001f469\u200d\U0001f469\u200d\U0001f467 ok", "xx"),
+        (None, "en"),
+        ("", "de"),
+    ]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_nfd"))
+    con = _write_docs(tmpdir, rows)
+    _check(spark, tmpdir, con, ["pandas_udf_text_features"])
+
+
 def test_retrieval_gates_deterministic_hostile_classes(
     spark, tmp_path_factory
 ):
