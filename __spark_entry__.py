@@ -2851,6 +2851,30 @@ def streaming_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"), "shingle")
 
 
+def perceptron_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier TRAINING: a 3-epoch batch perceptron learns
+    English-vs-other from hashed bag-of-words counts (labels derived
+    from the lang column), then scores the whole corpus — train and
+    serve in one engine, no external ML stack.  Every epoch is an
+    order-free integer batch update, so the DuckDB oracle replays the
+    full training loop and the served scores bit-for-bit
+    (operators/textstats.py:perceptron_train,perceptron_apply; the
+    kmeans_fixed replayed-training precedent).
+
+    STAGED for the round-8 gate window (oracles.ORACLES_STAGED_R8; see
+    hybrid_retrieval_docs)."""
+    from dbt_core_spark.operators.textstats import (
+        perceptron_apply,
+        perceptron_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(-1))
+    model = perceptron_train(labeled, "y", dim=64, epochs=3)
+    return perceptron_apply(docs, model, dim=64)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2877,13 +2901,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q14_promo_revenue_ratio / q17_small_quantity_revenue — whose
     # join/agg/exists machinery was driver-green in the r6 window via
     # 16 sibling TPC-H rows; they sit at positions 51-54.
-    # ROUND-8 WINDOW PLAN: the 3 never-verified staged gates lead
+    # ROUND-8 WINDOW PLAN: the 4 never-verified staged gates lead
     # (hybrid_retrieval_docs, bm25_index_append_docs,
-    # streaming_decontaminate_docs — move their SQL from
-    # oracles.ORACLES_STAGED_R8 into ORACLES, add queries() entries;
-    # each is pre-verified end-to-end by
+    # streaming_decontaminate_docs, perceptron_language_docs — move
+    # their SQL from oracles.ORACLES_STAGED_R8 into ORACLES, add
+    # queries() entries; each is pre-verified end-to-end by
     # tests/test_corpus_ops.py::test_staged_r8_gates_match_oracles),
-    # then the 4 displaced TPC-H rows, then 43 oldest r5-stale rows.
+    # then the 4 displaced TPC-H rows, then 42 oldest r5-stale rows.
     return {
         # ---- never driver-verified: the r6 retrieval tier (r6 verdict
         # ---- item 1: these lead; oracles moved from ORACLES_STAGED_R7) ----

@@ -1539,3 +1539,132 @@ def lexical_stats(
             .cast("bigint").alias("entropy_micro"),
         )
     )
+
+
+def perceptron_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    epochs: int = 3,
+    seed: str = "clf",
+) -> DataFrame:
+    """Train a linear text classifier IN-ENGINE — the distributed BATCH
+    perceptron (fixed-increment batch variant of Rosenblatt 1958 /
+    Minsky-Papert 1969, public) over hashed bag-of-words counts: the
+    trainable complement of ``classifier_score`` (which only applies
+    weights), closing the corpus-quality-filter loop the way
+    ``kmeans_centroids`` closed clustering.
+
+    Integer-exact end to end, so training replays in SQL: features are
+    bucket COUNTS (``_bucket_of`` md5 hashing + a constant bias bucket
+    ``dim``), weights are bigints, and each epoch updates
+
+        w  +=  Σ_{misclassified docs}  y · x        (y ∈ {+1, −1})
+
+    where "misclassified" is ``y·(w·x) <= 0`` (zero counts as wrong —
+    epoch 1 therefore updates on every doc from w = 0).  The batch sum
+    is order-free — no per-sample sequential updates, so the epoch
+    parallelizes over any number of executors and two engines agree
+    bit-for-bit (the driver gate replays all epochs in DuckDB).
+
+    Plan shape per epoch: one groupBy(id) dot-product pass (current
+    weights enter as a ≤ dim+1 literal array — element_at, zero
+    broadcast machinery) + one groupBy(bucket) delta aggregation whose
+    output is ≤ dim+1 rows collected to the driver (the kmeans update
+    contract: driver state is model-sized, never corpus-sized).  The
+    featurized corpus is sealed once and reused by every epoch.
+
+    Returns the model as a (bucket int, w bigint) table — persist it
+    and serve with ``perceptron_apply`` (or feed classifier_score-style
+    pipelines).  Rows with NULL text or NULL label are excluded from
+    training; ``label_col`` must hold +1 / −1."""
+    spark = df.sparkSession
+    feats = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("bigint").alias("y"),
+            F.explode(
+                F.concat(
+                    F.transform(
+                        normalized_words(F.col(text_col)),
+                        lambda x: _bucket_of(x, dim, seed),
+                    ),
+                    F.array(F.lit(dim).cast("bigint")),  # bias bucket
+                )
+            ).alias("bucket"),
+        )
+        .groupBy("id", "y", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # reused by every epoch, twice
+    )
+    w = [0] * (dim + 1)
+    for _ in range(epochs):
+        wcol = F.lit(w)  # <= dim+1 ints — a tiny literal, rebuilt per epoch
+        dots = (
+            feats.groupBy("id", "y")
+            .agg(F.sum(
+                F.col("cnt")
+                * F.element_at(wcol, F.col("bucket").cast("int") + 1)
+            ).alias("dot"))
+        )
+        mis = dots.filter(F.col("y") * F.col("dot") <= 0).select("id")
+        delta = (
+            feats.join(mis, "id", "left_semi")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
+            .collect()  # <= dim+1 rows — bounded
+        )
+        if not delta:
+            break  # converged: nothing misclassified
+        for r in delta:
+            w[int(r["bucket"])] += int(r["d"])
+    return spark.createDataFrame(
+        [(b, int(wb)) for b, wb in enumerate(w)], "bucket int, w bigint")
+
+
+def perceptron_apply(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    seed: str = "clf",
+) -> DataFrame:
+    """Score a corpus with a ``perceptron_train`` model: hashed-count
+    dot product against the (bucket, w) table — the weights (≤ dim+1
+    rows) broadcast-join the exploded buckets, one groupBy(id) shuffle,
+    exactly the classifier_score production shape.  Returns
+    (id, score bigint, pred int) with pred = +1 iff score > 0 (the
+    training rule's tie side: 0 is negative)."""
+    feats = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.concat(
+                    F.transform(
+                        normalized_words(F.col(text_col)),
+                        lambda x: _bucket_of(x, dim, seed),
+                    ),
+                    F.array(F.lit(dim).cast("bigint")),
+                )
+            ).alias("bucket"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("score"))
+        .select(
+            F.col("id").alias(id_col),
+            "score",
+            F.when(F.col("score") > 0, F.lit(1))
+            .otherwise(F.lit(-1)).cast("int").alias("pred"),
+        )
+    )

@@ -3378,14 +3378,15 @@ group by 1
 # ---------------------------------------------------------------------------
 # STAGED FOR ROUND 8 (not in ORACLES — the r7 gate window is fully booked
 # by the r6 verdict's staleness mandate, and never-verified rows must lead
-# the window).  Three r7 gates carry pytest-level DuckDB equivalence this
+# the window).  Four r7 gates carry pytest-level DuckDB equivalence this
 # round (tests/test_corpus_ops.py::test_staged_r8_gates_match_oracles
 # drives each exact __spark_entry__ callable against its exact SQL through
 # the validator's compare): hybrid_retrieval_docs, bm25_index_append_docs,
-# and streaming_decontaminate_docs.  The r8 session: move these into
-# ORACLES under the same keys and put the three rows inside the 50-row
-# window, leading (never-verified first), ahead of the 4 displaced TPC-H
-# rows (q4/q13/q14/q17) and the oldest r5-stale fill.
+# streaming_decontaminate_docs, and perceptron_language_docs.  The r8
+# session: move these into ORACLES under the same keys and put the four
+# rows inside the 50-row window, leading (never-verified first), ahead of
+# the 4 displaced TPC-H rows (q4/q13/q14/q17) and the oldest r5-stale
+# fill.
 # ---------------------------------------------------------------------------
 ORACLES_STAGED_R8: dict[str, str] = {}
 
@@ -3469,3 +3470,76 @@ with sh as (
 probe as (select distinct shingle from sh where doc_id % 11 = 0)
 select s.doc_id, s.shingle from sh s join probe p using (shingle)
 """
+
+
+def _perceptron_sql(dim: int = 64, epochs: int = 3,
+                    label: str = "case when lang = 'en' then 1 else -1 end"
+                    ) -> str:
+    """Replay of the full batch-perceptron training loop + the serving
+    pass in one DuckDB query (the kmeans replayed-training precedent):
+    epoch 1 updates on every doc (w=0 ⇒ y·dot<=0 everywhere), later
+    epochs left-join the previous weight table (absent bucket ≡ 0),
+    and early Spark-side convergence is equivalent because an empty
+    misclassified set contributes an empty delta (w_e = w_{e-1}).  The
+    apply join is inner: a bucket absent from the weight table carries
+    implicit weight 0 and contributes nothing either way, and every
+    doc keeps its bias-bucket row."""
+    bucket = _hex2int("substr(md5('clf:' || word), 1, 15)", digits=15)
+    parts = [f"""
+with wds as (
+  select doc_id, cast({label} as bigint) as y, unnest({_WORDS}) as word
+  from documents where text is not null
+),
+f0 as (
+  select doc_id, y, ({bucket}) % {dim} as bucket,
+         cast(count(*) as bigint) as cnt
+  from wds group by 1, 2, 3
+  union all
+  select doc_id, cast({label} as bigint) as y,
+         cast({dim} as bigint) as bucket, cast(1 as bigint) as cnt
+  from documents where text is not null
+),
+w1 as (
+  select bucket, cast(sum(y * cnt) as bigint) as w from f0 group by 1
+)"""]
+    for e in range(2, epochs + 1):
+        parts.append(f""",
+dot{e} as (
+  select f.doc_id, f.y, sum(f.cnt * coalesce(w.w, 0)) as dot
+  from f0 f left join w{e - 1} w using (bucket) group by 1, 2
+),
+d{e} as (
+  select bucket, cast(sum(y * cnt) as bigint) as d from f0
+  where doc_id in (select doc_id from dot{e} where y * dot <= 0)
+  group by 1
+),
+w{e} as (
+  select coalesce(w.bucket, d.bucket) as bucket,
+         cast(coalesce(w.w, 0) + coalesce(d.d, 0) as bigint) as w
+  from w{e - 1} w full outer join d{e} d on w.bucket = d.bucket
+)""")
+    parts.append(f""",
+af as (
+  select doc_id, ({bucket}) % {dim} as bucket,
+         cast(count(*) as bigint) as cnt
+  from (select doc_id, unnest({_WORDS}) as word
+        from documents where text is not null) t
+  group by 1, 2
+  union all
+  select doc_id, cast({dim} as bigint) as bucket, cast(1 as bigint) as cnt
+  from documents where text is not null
+)
+select a.doc_id,
+       cast(sum(a.cnt * w.w) as bigint) as score,
+       cast(case when sum(a.cnt * w.w) > 0 then 1 else -1 end as int) as pred
+from af a join w{epochs} w using (bucket)
+group by a.doc_id""")
+    return "".join(parts)
+
+
+# in-engine classifier training: the gate replays all 3 perceptron
+# epochs and the serving pass in SQL — any divergence in feature
+# hashing, the y·dot<=0 rule, or the batch update surfaces as a
+# score/pred mismatch.
+ORACLES_STAGED_R8["perceptron_language_docs"] = _perceptron_sql(
+    dim=64, epochs=3)

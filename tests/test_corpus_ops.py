@@ -1148,6 +1148,7 @@ def test_rrf_fuse_tie_saturated_property(spark):
     "hybrid_retrieval_docs",
     "bm25_index_append_docs",
     "streaming_decontaminate_docs",
+    "perceptron_language_docs",
 ])
 def test_staged_r8_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-8 gate row end to end: the exact
@@ -1311,3 +1312,113 @@ from fused qualify rank <= 5
     con.execute(f"create view embs as select * from '{sf_dir}/embeddings.parquet'")
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     assert got == want and len(got) > 0
+
+
+def _perceptron_ref(rows, dim, epochs, seed="clf"):
+    """Pure-Python replica of perceptron_train/apply (md5 buckets,
+    batch updates, y·dot<=0 rule) — the cross-implementation reference
+    for the property test."""
+    import hashlib
+    import re
+
+    def bucket(word):
+        h = hashlib.md5(f"{seed}:{word}".encode()).hexdigest()
+        return int(h[:15], 16) % dim
+
+    def feats(text):
+        words = [w for w in re.sub(
+            r"[^a-z0-9 ]", " ",
+            text.replace("İ", "i").lower()).split() if w]
+        f = {}
+        for w in words:
+            b = bucket(w)
+            f[b] = f.get(b, 0) + 1
+        f[dim] = f.get(dim, 0) + 1  # bias
+        return f
+
+    train = [(i, y, feats(t)) for i, (t, y) in enumerate(rows)
+             if t is not None and y is not None]
+    w = [0] * (dim + 1)
+    for _ in range(epochs):
+        delta = {}
+        any_mis = False
+        for _i, y, f in train:
+            dot = sum(c * w[b] for b, c in f.items())
+            if y * dot <= 0:
+                any_mis = True
+                for b, c in f.items():
+                    delta[b] = delta.get(b, 0) + y * c
+        if not any_mis:
+            break
+        for b, d in delta.items():
+            w[b] += d
+    preds = {}
+    for i, (t, _y) in enumerate(rows):
+        if t is None:
+            continue
+        s = sum(c * w[b] for b, c in feats(t).items())
+        preds[i] = (s, 1 if s > 0 else -1)
+    return w, preds
+
+
+def test_perceptron_separable_sanity(spark):
+    """On a linearly separable corpus (disjoint vocabularies) the batch
+    perceptron converges and classifies every training doc correctly."""
+    from dbt_core_spark.operators.textstats import (
+        perceptron_apply,
+        perceptron_train,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, f"good clean quality prose {i % 3}", 1))
+        rows.append((100 + i, f"spam junk noise garbage {i % 3}", -1))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w = perceptron_train(df, "y", dim=32, epochs=8)
+    out = {r["doc_id"]: r["pred"]
+           for r in perceptron_apply(df, w, dim=32).collect()}
+    assert all(out[i] == 1 for i in range(10))
+    assert all(out[100 + i] == -1 for i in range(10))
+
+
+def test_perceptron_matches_python_reference(spark):
+    """Property: the distributed batch perceptron is bit-identical to a
+    sequential pure-Python replica — weights AND scores — on random
+    corpora with NULL text/labels and shared vocabulary (the order-free
+    integer-update claim)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dbt_core_spark.operators.textstats import (
+        perceptron_apply,
+        perceptron_train,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "NOISE", "x1"]
+    doc = st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(vocab), min_size=0, max_size=6).map(
+            " ".join),
+    )
+    rows_st = st.lists(
+        st.tuples(doc, st.one_of(st.none(), st.sampled_from([1, -1]))),
+        min_size=1, max_size=10,
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=rows_st)
+    def run(rows):
+        dim, epochs = 8, 3
+        df = spark.createDataFrame(
+            [(i, t, y) for i, (t, y) in enumerate(rows)],
+            "doc_id long, text string, y int")
+        wdf = perceptron_train(df, "y", dim=dim, epochs=epochs)
+        got_w = {r["bucket"]: r["w"] for r in wdf.collect()}
+        got = {r["doc_id"]: (r["score"], r["pred"])
+               for r in perceptron_apply(df, wdf, dim=dim).collect()}
+        want_w, want = _perceptron_ref(rows, dim, epochs)
+        assert got_w == {b: wb for b, wb in enumerate(want_w)}
+        assert got == want
+
+    run()
