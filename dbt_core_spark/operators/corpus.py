@@ -201,11 +201,16 @@ def ngram_lm_score(
             id_col,
             "n_bigrams",
             "sum_lp_micro",
-            F.round(
-                F.col("sum_lp_micro").cast("double")
-                / (F.col("n_bigrams") * MICRO),
-                6,
-            ).alias("avg_logprob"),
+            # floor-form rounding, NOT F.round: JVM round() rounds the
+            # SHORTEST-DECIMAL repr of the double (BigDecimal.valueOf)
+            # while C engines round the binary value, so integer-ratio
+            # quotients that terminate at a 6-dp half diverge by one ulp
+            # (r7 sf0.1 sweep find, cross-engine class 17).  floor of
+            # identical doubles is identical everywhere.
+            (F.floor(
+                F.col("sum_lp_micro").cast("double") / F.col("n_bigrams")
+                + F.lit(0.5)
+            ) / F.lit(float(MICRO))).alias("avg_logprob"),
         )
     )
 
@@ -484,11 +489,12 @@ def dsir_score(
             id_col,
             "n_tokens",
             "sum_lr_micro",
-            F.round(
-                F.col("sum_lr_micro").cast("double")
-                / (F.col("n_tokens") * MICRO),
-                6,
-            ).alias("avg_logratio"),
+            # floor-form rounding — see ngram_lm_score (class 17: this
+            # exact column diverged on 3/5000 docs at sf0.1)
+            (F.floor(
+                F.col("sum_lr_micro").cast("double") / F.col("n_tokens")
+                + F.lit(0.5)
+            ) / F.lit(float(MICRO))).alias("avg_logratio"),
         )
     )
 

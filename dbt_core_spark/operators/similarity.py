@@ -1537,9 +1537,11 @@ def pool_embeddings(
             # division scale rules differ across engines, double IEEE
             # division doesn't.  + 0.0 canonicalizes IEEE -0.0 (the
             # oracle's double path can produce it; decimal sums can't)
-            (F.round(
-                F.col("s").cast("double") / F.col("n"), 6
-            ) + F.lit(0.0)).alias("mean_val"),
+            # floor-form rounding (class 17, see corpus.ngram_lm_score)
+            (F.floor(
+                F.col("s").cast("double") / F.col("n")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0) + F.lit(0.0)).alias("mean_val"),
         )
     )
 

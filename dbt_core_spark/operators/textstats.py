@@ -847,12 +847,16 @@ def tfidf_cosine_pairs(
                            F.col("nsq").alias("nsq_b")), "id_b")
         .select(
             "id_a", "id_b",
-            F.round(
+            # floor-form rounding (class 17, see corpus.ngram_lm_score):
+            # integer dot/norms can yield quotients terminating at a
+            # 6-dp half, where JVM round() and the oracle's diverge
+            (F.floor(
                 F.col("dot").cast("double")
                 / (F.sqrt(F.col("nsq_a").cast("double"))
-                   * F.sqrt(F.col("nsq_b").cast("double"))),
-                6,
-            ).alias("cosine"),
+                   * F.sqrt(F.col("nsq_b").cast("double")))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ) / F.lit(1000000.0)).alias("cosine"),
         )
     )
     return cos.filter(F.col("cosine") >= threshold)

@@ -1776,8 +1776,11 @@ scored as (
 select doc_id,
        cast(sum(n_ij) as bigint) as n_bigrams,
        cast(sum(n_ij * lp_micro) as bigint) as sum_lp_micro,
-       round(cast(sum(n_ij * lp_micro) as double)
-             / (cast(sum(n_ij) as bigint) * 1000000), 6) as avg_logprob
+       -- floor-form rounding (class 17): round() here rounds the
+       -- binary value while Spark's rounds the shortest decimal —
+       -- integer-ratio quotients terminating at a 6-dp half diverge
+       floor(cast(sum(n_ij * lp_micro) as double)
+             / cast(sum(n_ij) as bigint) + 0.5) / 1000000.0 as avg_logprob
 from scored group by doc_id
 """
 
@@ -2063,7 +2066,9 @@ select label, pos,
        -- + 0.0 canonicalizes IEEE -0.0 (a tiny negative sum rounds to
        -- -0.0 here while Spark's DECIMAL sum has no signed zero) —
        -- gate-fuzz finding
-       round(cast(sum(vd) as double) / count(*), 6) + 0.0 as mean_val
+       -- floor-form rounding (class 17)
+       floor(cast(sum(vd) as double) / count(*) * 1000000 + 0.5)
+           / 1000000.0 + 0.0 as mean_val
 from e group by 1, 2
 """
 
@@ -2127,8 +2132,10 @@ db as (select doc_id, {_DSIR_B} as bucket, cast(count(*) as bigint) as n
 select db.doc_id,
        cast(sum(db.n) as bigint) as n_tokens,
        cast(sum(db.n * lr.lr_micro) as bigint) as sum_lr_micro,
-       round(cast(sum(db.n * lr.lr_micro) as double)
-             / (cast(sum(db.n) as bigint) * 1000000), 6) as avg_logratio
+       -- floor-form rounding (class 17 — this column diverged on
+       -- 3/5000 docs at sf0.1)
+       floor(cast(sum(db.n * lr.lr_micro) as double)
+             / cast(sum(db.n) as bigint) + 0.5) / 1000000.0 as avg_logratio
 from db join lr using (bucket)
 group by db.doc_id
 """
@@ -2931,7 +2938,9 @@ with w as (
 )
 select * from (
   select d.id_a, d.id_b,
-         round(d.dot * 1.0 / (sqrt(na.nsq * 1.0) * sqrt(nb.nsq * 1.0)), 6)
+         -- floor-form rounding (class 17)
+         floor(d.dot * 1.0 / (sqrt(na.nsq * 1.0) * sqrt(nb.nsq * 1.0))
+               * 1000000 + 0.5) / 1000000.0
              as cosine
   from dots d
   join norms na on na.id = d.id_a
