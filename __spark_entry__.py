@@ -984,8 +984,29 @@ def generate_series_powers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 def _fresh_engine_schema(spark: SparkSession, schema: str) -> None:
+    """Drop the gate's databases in BOTH the catalog and on disk.
+
+    ``DROP DATABASE … CASCADE`` only removes what the *current*
+    metastore knows about.  When a fresh driver session runs against a
+    warehouse directory that still holds ``<db>.db/<table>`` from a
+    previous process (driver r7: engine_compaction failed with
+    LOCATION_ALREADY_EXISTS on ``saveAsTable``), the catalog drop is a
+    no-op on disk.  Physically remove each schema's warehouse location
+    after the drop so every engine_* gate that ``saveAsTable``s is
+    idempotent across sessions.
+    """
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    wh_uri = spark.conf.get("spark.sql.warehouse.dir", "")
+    parsed = urlparse(wh_uri)
+    wh = unquote(parsed.path) if parsed.scheme in ("", "file") else ""
     for db in (schema, f"{schema}__sources", f"{schema}_dbt_test__audit"):
         spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+        if wh:
+            loc = os.path.join(wh, f"{db}.db")
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
 
 
 def engine_view_table_ephemeral(spark: SparkSession, sf_dir: str) -> DataFrame:

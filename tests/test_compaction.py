@@ -107,3 +107,34 @@ def test_compact_preserves_partition_layout(spark, schema):
     plan = spark.table(rel).filter("day = '2'") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan
+
+
+def test_fresh_engine_schema_clears_orphan_warehouse_dir(spark):
+    """Driver r7 repro (engine_compaction LOCATION_ALREADY_EXISTS): a
+    warehouse directory left behind by a PREVIOUS process — the fresh
+    metastore knows nothing about it, so ``DROP DATABASE`` is a no-op
+    on disk — must not break gates that ``saveAsTable``.
+    _fresh_engine_schema physically removes the on-disk location after
+    the catalog drop."""
+    import os
+    from urllib.parse import urlparse
+
+    import __spark_entry__ as entry
+
+    db = "t_orphan_gate"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, f"{db}.db", "orders_frag")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "part-00000.parquet"), "wb") as f:
+        f.write(b"stale bytes from a dead session")
+    # the catalog has never heard of this db: catalog-only drop can't help
+    assert not spark.catalog.databaseExists(db)
+
+    entry._fresh_engine_schema(spark, db)
+    assert not os.path.exists(os.path.join(wh, f"{db}.db"))
+
+    # and the gate's write pattern now succeeds where the driver failed
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    spark.range(5).write.mode("overwrite").saveAsTable(f"{db}.orders_frag")
+    assert spark.table(f"{db}.orders_frag").count() == 5
+    entry._fresh_engine_schema(spark, db)
