@@ -2769,12 +2769,8 @@ def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-unit scores, floor(1e9/(60+rank)) bigint RRF terms — so the
     fused ranking hashes identically across engines.
 
-    STAGED for the round-8 gate window (oracles.ORACLES_STAGED_R8;
-    never-verified rows must lead the window, and the r7 window is
-    fully booked by the r6 verdict's staleness mandate) — until wired,
-    correctness evidence is the pytest pre-verification that drives
-    this exact function against the staged SQL through the
-    validator's own compare."""
+    WIRED into the round-8 gate window (r7-staged; pre-verified in
+    pytest against the same SQL through the validator's compare)."""
     from dbt_core_spark.operators.similarity import cosine_topk
     from dbt_core_spark.operators.textstats import (
         bm25_index,
@@ -2805,8 +2801,7 @@ def bm25_index_append_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot BM25 over the union, so the gate pins
     append ≡ rebuild end to end.
 
-    STAGED for the round-8 gate window (oracles.ORACLES_STAGED_R8; the
-    r7 window is booked — see hybrid_retrieval_docs)."""
+    WIRED into the round-8 gate window (r7-staged, pre-verified)."""
     from dbt_core_spark.operators.textstats import (
         bm25_index,
         bm25_index_append,
@@ -2834,7 +2829,13 @@ def _docs_stream_path(spark: SparkSession, sf_dir: str) -> str:
     file → the AvailableNow drain really exercises micro-batching —
     the operator is stateless, so the split can't change results)."""
     if sf_dir not in _DOCS_STREAM_CACHE:
-        out = f"/tmp/docs_stream_{abs(hash(sf_dir)) % 10**8}"
+        # stable digest, NOT hash(): Python's str hash is per-process
+        # randomized, so hash(sf_dir) would mint a fresh /tmp copy every
+        # session and stale copies would accumulate (r7 advice)
+        import hashlib
+
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = f"/tmp/docs_stream_{digest}"
         _t(spark, sf_dir, "documents").repartition(4).write.mode(
             "overwrite").parquet(out)
         _DOCS_STREAM_CACHE[sf_dir] = out
@@ -2850,8 +2851,7 @@ def streaming_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic under ANY micro-batch split and equals the batch
     recipe's matches (streaming/structured.py:streaming_decontaminate).
 
-    STAGED for the round-8 gate window (oracles.ORACLES_STAGED_R8; see
-    hybrid_retrieval_docs)."""
+    WIRED into the round-8 gate window (r7-staged, pre-verified)."""
     from dbt_core_spark.streaming.structured import (
         run_to_memory,
         stream_source,
@@ -2882,8 +2882,7 @@ def perceptron_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.py:perceptron_train,perceptron_apply; the
     kmeans_fixed replayed-training precedent).
 
-    STAGED for the round-8 gate window (oracles.ORACLES_STAGED_R8; see
-    hybrid_retrieval_docs)."""
+    WIRED into the round-8 gate window (r7-staged, pre-verified)."""
     from dbt_core_spark.operators.textstats import (
         perceptron_apply,
         perceptron_train,
@@ -2904,96 +2903,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # keys (insertion order).  Rotation policy (pinned by the
     # rotation-guard tests in tests/test_plans.py): the window leads
-    # with (a) never-driver-verified queries, then (b) rows whose
-    # results or oracles changed this round, then (c) the
+    # with (a) never-driver-verified queries, then (b) the
     # least-recently-driver-green rows, OLDEST FIRST — the r5 verdict
-    # upgraded (c) to a mechanical invariant: with 154 queries and a
+    # upgraded (b) to a mechanical invariant: with 158 queries and a
     # 50-row gate the steady-state rotation period is ~3 rounds, so the
     # window must always be exactly the staleness cohort (no in-window
     # row may be fresher than any out-of-window ever-verified row).
-    # Round 7 window (mandated verbatim by the r6 verdict, item 1) =
-    # the 2 never-driver-verified retrieval rows (bm25_rank_docs /
-    # decontaminate_bloom_docs — r6-staged, oracles pre-verified in
-    # pytest) + the 5 rows last green in r3 (four rounds stale — the
-    # whole staleness debt: the ANN/SemDeDup family displaced from the
-    # r6 window) + 43 of the 47 rows last green in r4, oldest-first.
-    # The 4 displaced r4 rows (below the cap) are plain-relational
-    # TPC-H shapes — q4_order_priority / q13_customer_distribution /
-    # q14_promo_revenue_ratio / q17_small_quantity_revenue — whose
-    # join/agg/exists machinery was driver-green in the r6 window via
-    # 16 sibling TPC-H rows; they sit at positions 51-54.
-    # ROUND-8 WINDOW PLAN: the 4 never-verified staged gates lead
-    # (hybrid_retrieval_docs, bm25_index_append_docs,
-    # streaming_decontaminate_docs, perceptron_language_docs — move
-    # their SQL from oracles.ORACLES_STAGED_R8 into ORACLES, add
-    # queries() entries; each is pre-verified end-to-end by
-    # tests/test_corpus_ops.py::test_staged_r8_gates_match_oracles),
-    # then the 4 displaced TPC-H rows, then 42 oldest r5-stale rows.
+    # Round 8 window (mandated by the r7 verdict, items 1-2) = the 4
+    # never-driver-verified r7-staged gates (oracles moved from
+    # ORACLES_STAGED_R8 — each pre-verified end-to-end in pytest during
+    # r7), then the 5 rows whose last driver-green round is r4:
+    # engine_compaction (driver-ERR r7 on the harness idempotency
+    # defect fixed this round) and the 4 TPC-H rows displaced from the
+    # r7 window, then 41 of the 50 r5-green rows, oldest-first.  The 9
+    # displaced r5 rows sit at positions 51-59 and mechanically lead
+    # round 9, followed by the r6 cohort (ngram_lm_docs /
+    # pool_embeddings_by_label there carry the r7 floor-rounding oracle
+    # fix, locally re-verified at three scales — driver-verify in r9).
     return {
-        # ---- never driver-verified: the r6 retrieval tier (r6 verdict
-        # ---- item 1: these lead; oracles moved from ORACLES_STAGED_R7) ----
-        "bm25_rank_docs": bm25_rank_docs,
-        "decontaminate_bloom_docs": decontaminate_bloom_docs,
-        # ---- last green r3 — four rounds stale, the entire remaining
-        # ---- staleness debt (the ANN/SemDeDup family displaced r6) ----
-        "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
-        "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
-        "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
-        # ---- last green r4: 43 of 47, oldest-first fill ----
-        "zorder_orders": zorder_orders,
-        "skew_report_events": skew_report_events,
-        "event_transitions_events": event_transitions_events,
-        "lexical_stats_docs": lexical_stats_docs,
-        "classifier_score_docs": classifier_score_docs,
-        "cms_heavy_words": cms_heavy_words,
-        "pq_encode_embeddings": pq_encode_embeddings,
-        "pq_search_embeddings": pq_search_embeddings,
-        "normalize_text_docs": normalize_text_docs,
-        "gram_matrix_embeddings": gram_matrix_embeddings,
-        "random_projection_embeddings": random_projection_embeddings,
-        "bpe_token_counts_docs": bpe_token_counts_docs,
-        "streaming_cms_events": streaming_cms_events,
-        "kmv_jaccard_sources": kmv_jaccard_sources,
-        "count_anomalies_events": count_anomalies_events,
-        "pipeline_quality_docs": pipeline_quality_docs,
-        "ivfpq_search_embeddings": ivfpq_search_embeddings,
-        "multimodal_resize_ppm": multimodal_resize_ppm,
-        "wav_spectrogram_docs": wav_spectrogram_docs,
-        "curriculum_order_docs": curriculum_order_docs,
-        "pmi_collocations_docs": pmi_collocations_docs,
-        "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
-        "asof_tolerance_events": asof_tolerance_events,
-        "cohort_retention_events": cohort_retention_events,
+        # ---- never driver-verified: the r7-staged gates lead ----
+        "hybrid_retrieval_docs": hybrid_retrieval_docs,
+        "bm25_index_append_docs": bm25_index_append_docs,
+        "streaming_decontaminate_docs": streaming_decontaminate_docs,
+        "perceptron_language_docs": perceptron_language_docs,
+        # ---- last green r4 — four rounds stale entering r8, the whole
+        # ---- remaining staleness debt ----
         "engine_compaction": engine_compaction,
-        "detect_script_docs": detect_script_docs,
-        "cms_merge_halves": cms_merge_halves,
-        "journey_paths_events": journey_paths_events,
-        "percentiles_by_group": percentiles_by_group,
-        "q22_global_avg_filter": q22_global_avg_filter,
-        "hourly_event_rollup": hourly_event_rollup,
-        "map_struct_status_counts": map_struct_status_counts,
-        "running_revenue_by_customer": running_revenue_by_customer,
-        "rolling_7day_order_totals": rolling_7day_order_totals,
-        "multi_granularity_rollup": multi_granularity_rollup,
-        "stats_by_returnflag": stats_by_returnflag,
-        "dynamic_pivot_events": dynamic_pivot_events,
-        "q19_or_predicates": q19_or_predicates,
-        "customers_without_orders": customers_without_orders,
-        "rollup_quantity": rollup_quantity,
-        "unpivot_status_counts": unpivot_status_counts,
-        "set_ops_statuses": set_ops_statuses,
-        "generate_series_powers": generate_series_powers,
-        # ---------------- past the 50-query gate cap ----------------
-        # Displaced r4 rows (staleness 4 entering r8 — MANDATORY r8
-        # leads; machinery gate-verified r6 via the 16 in-window
-        # sibling TPC-H rows, see the policy note above).
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        # last green r5 (staleness 2 entering r7 — r8 fill, oldest-first)
+        # ---- last green r5: 41 of 50, oldest-first fill ----
         "kmeans_embeddings": kmeans_embeddings,
         "cluster_curation_embeddings": cluster_curation_embeddings,
         "kmeans_incremental_embeddings": kmeans_incremental_embeddings,
@@ -3035,6 +2975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "multimodal_features_docs": multimodal_features_docs,
         "quantile_sketch_events": quantile_sketch_events,
+        # ---------------- past the 50-query gate cap ----------------
+        # last green r5 remainder (staleness 4 entering r9 — MANDATORY
+        # r9 window leads)
         "dedup_embedding_docs": dedup_embedding_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "streaming_session_rollup": streaming_session_rollup,
@@ -3044,7 +2987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngram_docs": boilerplate_ngram_docs,
         "decontaminate_docs": decontaminate_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
-        # last green r6 (freshest — r9 horizon)
+        # last green r6 (r9 fill, oldest-first; ngram_lm_docs and
+        # pool_embeddings_by_label carry the r7 floor-rounding oracle
+        # fix — unverified by the driver since the change)
         "stratified_sample_docs": stratified_sample_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "xdb_datetime_functions": xdb_datetime_functions,
@@ -3095,6 +3040,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,
         "recursive_month_revenue": recursive_month_revenue,
         "window_top3_orders_per_customer": window_top3_orders_per_customer,
+        # last green r7 (freshest — r10 horizon)
+        "bm25_rank_docs": bm25_rank_docs,
+        "decontaminate_bloom_docs": decontaminate_bloom_docs,
+        "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
+        "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
+        "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
+        "zorder_orders": zorder_orders,
+        "skew_report_events": skew_report_events,
+        "event_transitions_events": event_transitions_events,
+        "lexical_stats_docs": lexical_stats_docs,
+        "classifier_score_docs": classifier_score_docs,
+        "cms_heavy_words": cms_heavy_words,
+        "pq_encode_embeddings": pq_encode_embeddings,
+        "pq_search_embeddings": pq_search_embeddings,
+        "normalize_text_docs": normalize_text_docs,
+        "gram_matrix_embeddings": gram_matrix_embeddings,
+        "random_projection_embeddings": random_projection_embeddings,
+        "bpe_token_counts_docs": bpe_token_counts_docs,
+        "streaming_cms_events": streaming_cms_events,
+        "kmv_jaccard_sources": kmv_jaccard_sources,
+        "count_anomalies_events": count_anomalies_events,
+        "pipeline_quality_docs": pipeline_quality_docs,
+        "ivfpq_search_embeddings": ivfpq_search_embeddings,
+        "multimodal_resize_ppm": multimodal_resize_ppm,
+        "wav_spectrogram_docs": wav_spectrogram_docs,
+        "curriculum_order_docs": curriculum_order_docs,
+        "pmi_collocations_docs": pmi_collocations_docs,
+        "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
+        "asof_tolerance_events": asof_tolerance_events,
+        "cohort_retention_events": cohort_retention_events,
+        "detect_script_docs": detect_script_docs,
+        "cms_merge_halves": cms_merge_halves,
+        "journey_paths_events": journey_paths_events,
+        "percentiles_by_group": percentiles_by_group,
+        "q22_global_avg_filter": q22_global_avg_filter,
+        "hourly_event_rollup": hourly_event_rollup,
+        "map_struct_status_counts": map_struct_status_counts,
+        "running_revenue_by_customer": running_revenue_by_customer,
+        "rolling_7day_order_totals": rolling_7day_order_totals,
+        "multi_granularity_rollup": multi_granularity_rollup,
+        "stats_by_returnflag": stats_by_returnflag,
+        "dynamic_pivot_events": dynamic_pivot_events,
+        "q19_or_predicates": q19_or_predicates,
+        "customers_without_orders": customers_without_orders,
+        "rollup_quantity": rollup_quantity,
+        "unpivot_status_counts": unpivot_status_counts,
+        "set_ops_statuses": set_ops_statuses,
+        "generate_series_powers": generate_series_powers,
     }
 
 

@@ -1035,6 +1035,7 @@ def bm25_index_append(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Append a document batch to a persisted BM25 index WITHOUT
     retokenizing corpus history — the lexical analog of
@@ -1064,8 +1065,29 @@ def bm25_index_append(
 
     consts = _bm25_constants(index)
     if consts is None:  # appending to an empty index is a build
-        return bm25_index(new_docs, text_col=text_col, id_col=id_col)
-    n_docs, total, n_buckets = consts
+        # an EMPTY index has no rows to read n_buckets from, but its
+        # schema still records whether it is bucketed — rebuilding
+        # unbucketed would silently drop the layout contract the
+        # serving path prunes on (r7 ADVICE), so require the caller's
+        # n_buckets in that case
+        if "n_buckets" in index.columns and n_buckets is None:
+            raise ExecutionError(
+                "bm25_index_append: the empty index is BUCKETED (its "
+                "schema carries bucket/n_buckets) but its n_buckets "
+                "value is unrecoverable from zero rows — pass "
+                "n_buckets=<same value as the original bm25_index "
+                "build> so the rebuild keeps the bucket mapping"
+            )
+        return bm25_index(new_docs, text_col=text_col, id_col=id_col,
+                          n_buckets=n_buckets)
+    idx_n_docs, idx_total, idx_buckets = consts
+    if n_buckets is not None and idx_buckets != n_buckets:
+        raise ExecutionError(
+            f"bm25_index_append: caller n_buckets={n_buckets} disagrees "
+            f"with the index's recorded n_buckets={idx_buckets} — the "
+            "bucket mapping is fixed at build time"
+        )
+    n_docs, total, n_buckets = idx_n_docs, idx_total, idx_buckets
 
     new_tf = (
         new_docs.filter(F.col(text_col).isNotNull())
@@ -1164,31 +1186,57 @@ def bm25_query(
     out_schema = (
         "query_id bigint, doc_id bigint, score_micro bigint, rank int"
     )
-    consts = _bm25_constants(index)
-    if consts is None:
-        return index.sparkSession.createDataFrame([], out_schema)
-    n_docs, total, n_buckets = consts
     qterms = _bm25_qterms(queries, query_text_col, query_id_col)
-    if n_buckets:
+    if "n_buckets" in index.columns:
+        # serving-cost contract (r7 ADVICE): do NOT run the full
+        # constants min/max scan over every partition BEFORE the bucket
+        # filter — that touches all N bucket directories per query batch
+        # and voids the advertised b/N pruning.  Sample n_buckets from
+        # one file (limit(1) scan), prune first, then validate the
+        # constants on the PRUNED postings only: every row that
+        # contributes to a score is still checked single-valued, and
+        # whole-index validation belongs at build/append time
+        # (bm25_index_append runs _bm25_constants over the full index).
+        probe = index.select("n_buckets").limit(1).collect()
+        if not probe:
+            return index.sparkSession.createDataFrame([], out_schema)
+        nb_sample = int(probe[0]["n_buckets"])
         # sealed: the bucket collect below AND the postings join both
         # consume qterms — without the seal the query batch tokenizes
         # twice (the ≥2-branch lineage rule)
         qterms = qterms.localCheckpoint(eager=False)
-        # bucketed index: restrict the scan to the query terms' buckets
-        # as a LITERAL IN on the partition column, so a partitionBy-
-        # ("bucket") layout prunes at the file listing (PartitionFilters
-        # in the scan — tests/test_plans.py).  The collect is bounded by
-        # n_buckets ints; batch cost becomes (buckets touched)/N of the
-        # postings files instead of all of them.
+        # restrict the scan to the query terms' buckets as a LITERAL IN
+        # on the partition column, so a partitionBy("bucket") layout
+        # prunes at the file listing (PartitionFilters in the scan —
+        # tests/test_plans.py).  The collect is bounded by n_buckets
+        # ints; batch cost becomes (buckets touched)/N of the postings
+        # files instead of all of them.
         hit = (
             qterms.select(
-                _bm25_bucket(F.col("term"), n_buckets).alias("bucket"))
+                _bm25_bucket(F.col("term"), nb_sample).alias("bucket"))
             .distinct().collect()
         )
         index = index.filter(
             F.col("bucket").isin([r["bucket"] for r in hit])
             if hit else F.lit(False)
         )
+        consts = _bm25_constants(index)
+        if consts is None:  # no postings in the touched buckets
+            return index.sparkSession.createDataFrame([], out_schema)
+        n_docs, total, n_buckets = consts
+        if n_buckets != nb_sample:
+            from dbt_core_spark.exceptions import ExecutionError
+
+            raise ExecutionError(
+                f"bm25_query: sampled n_buckets {nb_sample} disagrees "
+                f"with the pruned postings' constant {n_buckets} — the "
+                "index mixes bucket mappings; rebuild one snapshot"
+            )
+    else:
+        consts = _bm25_constants(index)
+        if consts is None:
+            return index.sparkSession.createDataFrame([], out_schema)
+        n_docs, total, n_buckets = consts
     # a small index arrives as ONE file → one scan task, and the whole
     # scoring pipeline (join + partial agg over Σ df(t) candidate rows)
     # would run on a single core regardless of cluster size; widen it

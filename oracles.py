@@ -3552,3 +3552,17 @@ group by a.doc_id""")
 # score/pred mismatch.
 ORACLES_STAGED_R8["perceptron_language_docs"] = _perceptron_sql(
     dim=64, epochs=3)
+
+
+# ---------------------------------------------------------------------------
+# ROUND 8: the four staged gates are wired (r7 verdict item 2) — the SQL
+# above moves into the live registry under the same keys; each row was
+# pre-verified end-to-end in pytest during r7 (the staged-gate compare
+# test) so the move introduces no new behavior.  Nothing is staged for
+# round 9 yet; new-operator gates that miss the r8 window go into
+# ORACLES_STAGED_R9 with the same pre-verification protocol.
+# ---------------------------------------------------------------------------
+ORACLES.update(ORACLES_STAGED_R8)
+ORACLES_STAGED_R8 = {}
+
+ORACLES_STAGED_R9: dict[str, str] = {}

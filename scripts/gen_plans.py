@@ -214,12 +214,14 @@ PICKS = {
         "tokenize/tf/idf pass."),
     "decontaminate_bloom_docs": (
         "Bloom-prefiltered decontamination — the probe shingle bitset "
-        "is ONE array<bigint> literal bound once inside a single "
-        "forall() membership filter that kills corpus shingles before "
-        "the confirm join; the join then sees ~fp·corpus rows, and "
-        "results stay bit-identical to exact decontaminate."),
+        "ships as a ONE-ROW broadcast frame (crossJoin(broadcast), no "
+        "py4j per-element literal conversion, no per-task re-serialize) "
+        "referenced once inside a single forall() membership filter "
+        "that kills corpus shingles before the confirm join; the join "
+        "then sees ~fp·corpus rows, and results stay bit-identical to "
+        "exact decontaminate."),
     "hybrid_retrieval_docs": (
-        "Composed hybrid retrieval (r8-staged) — bm25_index→bm25_query "
+        "Composed hybrid retrieval — bm25_index→bm25_query "
         "lexical top-k and dense cosine top-k fused by reciprocal-rank "
         "fusion: a union of two already-top-k-bounded frames, one "
         "(query,doc)-keyed aggregation with map-side partials, and a "
@@ -235,7 +237,7 @@ out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",
        "is a test failure, not just a slower run.", ""]
 qs = e.queries()
 for name, blurb in PICKS.items():
-    fn = qs.get(name) or getattr(e, name)  # r8-staged gates live on the module
+    fn = qs.get(name) or getattr(e, name)  # staged gates live on the module
     plan = fmt(fn(spark, sf))
     # keep the operator tree + the scan details; drop the (long) codegen ids
     lines = plan.splitlines()

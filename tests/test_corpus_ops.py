@@ -1144,25 +1144,25 @@ def test_rrf_fuse_tie_saturated_property(spark):
     run()
 
 
-@pytest.mark.parametrize("staged_name", [
+@pytest.mark.parametrize("gate_name", [
     "hybrid_retrieval_docs",
     "bm25_index_append_docs",
     "streaming_decontaminate_docs",
     "perceptron_language_docs",
 ])
-def test_staged_r8_gates_match_oracles(spark, sf_dir, staged_name):
-    """Pre-verifies every STAGED round-8 gate row end to end: the exact
-    __spark_entry__ callable vs the exact oracles.ORACLES_STAGED_R8 SQL,
-    through the validator's own compare (types + row hash), on the real
-    sf corpus — so wiring them into the r8 window is a pure dict move
-    with no new behavior."""
+def test_r8_wired_gates_match_oracles(spark, sf_dir, gate_name):
+    """The four r7-staged gates, wired into the live registry in r8:
+    keep the end-to-end pytest compare (exact __spark_entry__ callable
+    vs the exact oracles.ORACLES SQL, through the validator's own
+    compare — types + row hash — on the real sf corpus) so the rows
+    carry in-suite correctness evidence between driver runs."""
     import importlib.util
     import os
 
     import duckdb
 
     import __spark_entry__ as em
-    from oracles import ORACLES_STAGED_R8
+    from oracles import ORACLES
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
@@ -1175,8 +1175,8 @@ def test_staged_r8_gates_match_oracles(spark, sf_dir, staged_name):
         con.execute(
             f"create view {tbl} as select * from '{sf_dir}/{tbl}.parquet'")
     ok, msg = vo.compare(
-        staged_name, spark, con, sf_dir,
-        getattr(em, staged_name), ORACLES_STAGED_R8[staged_name])
+        gate_name, spark, con, sf_dir,
+        getattr(em, gate_name), ORACLES[gate_name])
     assert ok, msg
 
 
@@ -1212,6 +1212,80 @@ def test_bm25_bucketed_index_roundtrip_and_append(spark, sf_dir, tmp_path):
             "bucket", "n_buckets"]
     assert sorted(map(tuple, appended.select(cols).collect())) == sorted(
         map(tuple, rebuilt.select(cols).collect()))
+
+
+def test_bm25_append_to_empty_bucketed_index_keeps_bucketing(spark, sf_dir):
+    """r7 ADVICE: appending to an EMPTY bucketed index must not
+    silently degrade the schema to unbucketed — the n_buckets value is
+    unrecoverable from zero rows, so the operator demands it from the
+    caller (loud failure) and honors it on the rebuild; a mismatched
+    n_buckets against a NON-empty index also fails loudly."""
+    import pytest as _pytest
+
+    from dbt_core_spark.exceptions import ExecutionError
+    from dbt_core_spark.operators.textstats import (
+        bm25_index,
+        bm25_index_append,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    empty = bm25_index(docs.filter("false"), n_buckets=8)
+    assert "n_buckets" in empty.columns and empty.rdd.isEmpty()
+    with _pytest.raises(ExecutionError, match="BUCKETED"):
+        bm25_index_append(empty, docs.limit(20))
+    rebuilt = bm25_index_append(empty, docs.limit(20), n_buckets=8)
+    assert "bucket" in rebuilt.columns
+    assert rebuilt.select("n_buckets").distinct().collect()[0][0] == 8
+    # mismatched caller n_buckets vs a live index: loud failure
+    live = bm25_index(docs.limit(50), n_buckets=8).localCheckpoint()
+    batch = docs.filter("doc_id >= 900").limit(10)
+    with _pytest.raises(ExecutionError, match="disagrees"):
+        bm25_index_append(live, batch, n_buckets=16)
+
+
+def test_bm25_query_constants_check_scoped_to_touched_buckets(
+        spark, sf_dir, tmp_path):
+    """r7 ADVICE: the serving path must not pay a full-index constants
+    scan before the bucket filter.  Behavior pin: a poisoned constant
+    in a bucket the query TOUCHES still fails loudly, while a poisoned
+    constant in an untouched bucket no longer blocks serving (whole-
+    index validation belongs to build/append time)."""
+    import pytest as _pytest
+
+    from dbt_core_spark.exceptions import ExecutionError
+    from dbt_core_spark.operators.textstats import (
+        _bm25_bucket,
+        bm25_index,
+        bm25_query,
+        normalized_words,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25_scoped")
+    bm25_index(docs, n_buckets=16).write.partitionBy("bucket").parquet(path)
+    idx = spark.read.parquet(path)
+    # a term guaranteed present in the corpus vocabulary
+    term = (docs.select(F.explode(normalized_words(F.col("text")))
+                        .alias("t"))
+            .filter("t is not null and t != ''").first()["t"])
+    queries = spark.createDataFrame(
+        [(1, term)], "doc_id long, text string")
+    qbucket = idx.sparkSession.range(1).select(
+        _bm25_bucket(F.lit(term), 16).alias("b")).collect()[0]["b"]
+    # poison n_docs in ONE other bucket: serving must still succeed
+    poisoned = idx.withColumn(
+        "n_docs",
+        F.when(F.col("bucket") != qbucket, F.lit(999999999).cast("bigint"))
+        .otherwise(F.col("n_docs")))
+    assert bm25_query(poisoned, queries, top_k=3).count() > 0
+    # poison the TOUCHED bucket: loud failure survives the scoping
+    poisoned_hit = idx.withColumn(
+        "n_docs",
+        F.when((F.col("bucket") == qbucket) & (F.col("id") % 2 == 0),
+               F.lit(999999999).cast("bigint"))
+        .otherwise(F.col("n_docs")))
+    with _pytest.raises(ExecutionError, match="mixed"):
+        bm25_query(poisoned_hit, queries, top_k=3).count()
 
 
 def test_rrf_fuse_hand_computed(spark):

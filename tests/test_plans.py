@@ -446,26 +446,33 @@ def test_gate_window_max_staleness_invariant():
         )
 
 
-def test_gate_window_r7_composition():
-    """Pins the round-7 window (the r6 verdict, item 1, verbatim): the
-    2 never-driver-verified retrieval rows lead, then the 5
-    four-round-stale ANN/SemDeDup rows, then 43 of the 47 r4-stale
-    rows; the 4 displaced r4 rows are plain-relational TPC-H shapes
-    whose machinery was r6-gate-verified via 16 sibling TPC-H rows,
-    and they sit at positions 51-54 so they mechanically lead round 8."""
+def test_gate_window_r8_composition():
+    """Pins the round-8 window (the r7 verdict, items 1-2): the 4
+    never-driver-verified r7-staged gates lead, then the 5 rows whose
+    last driver-green round is r4 — engine_compaction (driver-ERR r7
+    on the harness idempotency defect fixed this round) and the 4
+    TPC-H rows displaced from the r7 window — then 41 r5-green rows
+    oldest-first; the 9 displaced r5 rows sit at positions 51-59 so
+    they mechanically lead round 9."""
     import __spark_entry__ as e
 
     qs = list(e.queries())
-    assert qs[:2] == ["bm25_rank_docs", "decontaminate_bloom_docs"]
-    assert qs[2:7] == [
-        "ann_ivf_topk_embeddings", "ann_ivf_blas_topk_embeddings",
-        "ann_lsh_topk_embeddings", "semantic_dedup_embeddings",
-        "semantic_dedup_blas_embeddings",
+    assert qs[:4] == [
+        "hybrid_retrieval_docs", "bm25_index_append_docs",
+        "streaming_decontaminate_docs", "perceptron_language_docs",
     ]
-    # the displaced cohort must lead round 8
-    assert qs[50:54] == [
-        "q4_order_priority", "q13_customer_distribution",
-        "q14_promo_revenue_ratio", "q17_small_quantity_revenue",
+    assert qs[4:9] == [
+        "engine_compaction", "q4_order_priority",
+        "q13_customer_distribution", "q14_promo_revenue_ratio",
+        "q17_small_quantity_revenue",
+    ]
+    # the displaced r5 cohort must lead round 9
+    assert qs[50:59] == [
+        "dedup_embedding_docs", "simhash_pairs_docs",
+        "streaming_session_rollup", "multimodal_frame_sample",
+        "gopher_repetition_docs", "source_cap_docs",
+        "boilerplate_ngram_docs", "decontaminate_docs",
+        "tfidf_top_terms_docs",
     ]
     # every registry row has an oracle (the exact-correctness invariant)
     assert set(e.oracle_sql()) == set(qs)
@@ -487,16 +494,16 @@ def test_bm25_inverted_index_shape(spark, sf_dir):
     assert fmt.count("HashAggregate") >= 2
 
 
-def test_staged_r8_gates_are_wirable():
-    """Every ORACLES_STAGED_R8 key must resolve to a module callable and
-    collide with nothing live — so the r8 rotation is a pure dict move:
+def test_staged_r9_gates_are_wirable():
+    """Every ORACLES_STAGED_R9 key must resolve to a module callable and
+    collide with nothing live — so the r9 rotation is a pure dict move:
     add the queries() entries, move the SQL into ORACLES, recompose the
     window (never-verified rows lead)."""
     import __spark_entry__ as e
-    from oracles import ORACLES, ORACLES_STAGED_R8
+    from oracles import ORACLES, ORACLES_STAGED_R9
 
     qs = e.queries()
-    for name in ORACLES_STAGED_R8:
+    for name in ORACLES_STAGED_R9:
         assert callable(getattr(e, name, None)), name
         assert name not in qs, f"{name} staged but already wired"
         assert name not in ORACLES, f"{name} staged but already in ORACLES"
