@@ -412,6 +412,59 @@ def _seal(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _centroid_matrix(centroids: DataFrame):
+    """Collect an (cell, cv) centroid frame to a cell-ordered numpy
+    matrix: ``(Cn, cells)`` float64/int64 arrays, or ``(None, None)``
+    for an empty frame.
+
+    Plain ``collect()`` + driver-side sort, NOT ``orderBy().toPandas()``
+    — the orderBy plans a range-partition exchange whose sampling job
+    plus the shuffle cost two scheduled jobs per SERVING BATCH on a
+    frame that is n_cells rows by contract (r8 profile: 0.8 s of the
+    3.1 s ann_ivf_index_query gate at sf0.1 was this one collect)."""
+    import numpy as np
+
+    rows = centroids.select("cell", "cv").collect()
+    if not rows:
+        return None, None
+    rows.sort(key=lambda r: r["cell"])
+    Cn = np.array([r["cv"] for r in rows], dtype=np.float64)
+    cells = np.array([r["cell"] for r in rows], dtype="int64")
+    return Cn, cells
+
+
+def _np_finite_pos_rows(pdf):
+    """Kernel-side mirror of ``_finite_pos_norm`` over a pandas batch:
+    drop NULL vectors, empty arrays, and rows whose L2 norm is zero or
+    non-finite (NaN/Inf components).  Returns ``(pdf, Vn)`` — the
+    surviving rows and their unit-normalized float64 matrix — or
+    ``(pdf, None)`` when nothing survives.
+
+    The serving paths (ivf_index_search / semantic_dedup_incremental /
+    ivf_index_append) used to pre-filter with the JVM HOF predicate;
+    the norm is computed inside the Arrow kernel anyway, so doing the
+    validity mask here removes a whole plan node (HOF analysis +
+    an extra evaluation over the batch) from every serving call —
+    r8 profile: ~0.3 s/batch at sf0.1.  Semantics are identical:
+    norm==0, norm==inf (component overflow included — the JVM fold's
+    sum of squares overflows the same way), and norm==NaN all drop."""
+    import numpy as np
+
+    pdf = pdf[pdf["v"].notna()]
+    if len(pdf) > 0:
+        pdf = pdf[pdf["v"].map(len) > 0]
+    if len(pdf) == 0:
+        return pdf, None
+    V = np.array(pdf["v"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    keep = np.isfinite(norms) & (norms > 0)
+    pdf = pdf[keep]
+    if len(pdf) == 0:
+        return pdf, None
+    Vn = V[keep] / norms[keep, None]
+    return pdf, Vn
+
+
 def _skew_split_2d(
     members: DataFrame,
     probes: DataFrame,
@@ -785,30 +838,28 @@ def ivf_index_search(
     self-matches are excluded, like ``ivf_topk_blas``.
 
     Returns (query_id, nbr_id, cosine, rank), rank ≤ k per query."""
-    # zero-norm vectors excluded (cosine undefined; the
-    # cosine_pairs convention -- gate-fuzz finding)
-    queries = queries.filter(_finite_pos_norm(F.col(vec_col)))
+    # invalid vectors (NULL/empty/zero-norm/NaN/Inf — cosine
+    # undefined) drop INSIDE the assignment kernel
+    # (_np_finite_pos_rows): same exclusion set as _finite_pos_norm
+    # with no JVM HOF pass over the batch
     import numpy as np
     import pandas as pd
 
     spark = queries.sparkSession
-    cpdf = centroids.orderBy("cell").toPandas()  # n_cells rows, bounded
-    if len(cpdf) == 0:  # index built on an empty corpus — gate-fuzz
+    Cn, cells = _centroid_matrix(centroids)
+    if Cn is None:  # index built on an empty corpus — gate-fuzz
         return spark.createDataFrame(
             [], "query_id long, nbr_id long, cosine double, rank int"
         )
-    Cn = np.array(cpdf["cv"].tolist(), dtype=np.float64)
-    cells = cpdf["cell"].to_numpy().astype("int64")
     bcast = spark.sparkContext.broadcast((Cn, cells))
     qbase = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
     def assign_q(batches):
         Cb, cls = bcast.value
         for pdf in batches:
-            if len(pdf) == 0:
+            pdf, Vn = _np_finite_pos_rows(pdf)
+            if Vn is None:
                 continue
-            V = np.array(pdf["v"].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             # rounded cell-rank contract: probe/assign selection on
             # round(cos, 6) so BLAS-vs-fold ulp noise cannot flip cell
             # choice at mathematical ties (see _rounded_topk_cols)
@@ -879,31 +930,28 @@ def semantic_dedup_incremental(
     Returns (vec_id, keeper_id, cosine, cell) — one row per duplicate
     batch vector; deterministic (min-struct keeper, 6-dp rounding),
     exact SQL oracle when the index was built with kmeans_iters=0."""
-    # zero-norm vectors excluded (cosine undefined; the
-    # cosine_pairs convention -- gate-fuzz finding)
-    batch = batch.filter(_finite_pos_norm(F.col(vec_col)))
+    # invalid vectors drop INSIDE the assignment kernel
+    # (_np_finite_pos_rows) — same exclusion set as _finite_pos_norm,
+    # no JVM HOF pass over the batch
     import numpy as np
     import pandas as pd
 
     spark = batch.sparkSession
-    cpdf = centroids.orderBy("cell").toPandas()  # n_cells rows, bounded
-    if len(cpdf) == 0:  # index built on an empty corpus — gate-fuzz
+    Cn, cells = _centroid_matrix(centroids)
+    if Cn is None:  # index built on an empty corpus — gate-fuzz
         return spark.createDataFrame(
             [],
             f"{id_col} long, keeper_id long, cosine double, cell long",
         )
-    Cn = np.array(cpdf["cv"].tolist(), dtype=np.float64)
-    cells = cpdf["cell"].to_numpy().astype("int64")
     bcast = spark.sparkContext.broadcast((Cn, cells))
     qbase = batch.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
     def assign_b(batches):
         Cb, cls = bcast.value
         for pdf in batches:
-            if len(pdf) == 0:
+            pdf, Vn = _np_finite_pos_rows(pdf)
+            if Vn is None:
                 continue
-            V = np.array(pdf["v"].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             yield pd.DataFrame({
                 "id": pdf["id"].astype("int64"),
                 "v": pdf["v"],
@@ -1608,22 +1656,20 @@ def ivf_index_append(
     build, so appended assignments are bit-identical to what a full
     rebuild would assign (the gate row proves it against the SQL
     oracle)."""
-    # zero-norm vectors excluded (cosine undefined; the
-    # cosine_pairs convention -- gate-fuzz finding)
-    batch = batch.filter(_finite_pos_norm(F.col(vec_col)))
+    # invalid vectors drop INSIDE the assignment kernel
+    # (_np_finite_pos_rows) — same exclusion set as _finite_pos_norm,
+    # no JVM HOF pass over the batch
     import numpy as np
     import pandas as pd
 
     from dbt_core_spark.operators.dedup import ensure_parallelism
 
     spark = batch.sparkSession
-    cpdf = centroids.orderBy("cell").toPandas()  # n_cells rows, bounded
-    if len(cpdf) == 0:  # index built on an empty corpus — gate-fuzz
+    Cn, cells = _centroid_matrix(centroids)
+    if Cn is None:  # index built on an empty corpus — gate-fuzz
         return spark.createDataFrame(
             [], "id long, v array<double>, cell int"
         )
-    Cn = np.array(cpdf["cv"].tolist(), dtype=np.float64)
-    cells = cpdf["cell"].to_numpy().astype("int64")
     bcast = spark.sparkContext.broadcast((Cn, cells))
     base = ensure_parallelism(
         batch.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -1632,14 +1678,17 @@ def ivf_index_append(
     def assign(batches):
         Cb, cl = bcast.value
         for pdf in batches:
-            if len(pdf) == 0:
+            pdf, Vn = _np_finite_pos_rows(pdf)
+            if Vn is None:
                 continue
-            V = np.array(pdf["v"].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # rounded cell-assignment contract, SAME as build's assign:
+            # an unrounded argmax here could pick a different cell than
+            # a full rebuild at a mathematical tie (BLAS ulp noise),
+            # breaking the append==rebuild bit-identity claim
             yield pd.DataFrame({
                 "id": pdf["id"].astype("int64"),
                 "v": pdf["v"],
-                "cell": cl[(Vn @ Cb.T).argmax(axis=1)].astype("int32"),
+                "cell": cl[np.round(Vn @ Cb.T, 6).argmax(axis=1)].astype("int32"),
             })
 
     return base.mapInPandas(
