@@ -1306,3 +1306,107 @@ def test_embedding_gates_with_nonfinite_components(
     tmpdir = str(tmp_path_factory.mktemp("fuzz_nonfin"))
     con = _write_embeddings(tmpdir, vecs)
     _check(spark, tmpdir, con, _ALL_EMB_GATES)
+
+
+# ---------------------------------------------------------------------------
+# round-8 tier: the four newly wired gates (r7 verdict item 3) — every
+# registry gate stays fuzz-covered as the window rotates
+# ---------------------------------------------------------------------------
+
+R8_DOC_GATES = ["bm25_index_append_docs", "perceptron_language_docs"]
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows,
+       skew=st.sampled_from(["as_drawn", "all_en", "no_en"]))
+def test_r8_doc_gates_on_hostile_corpora(spark, tmp_path_factory, rows, skew):
+    """bm25_index_append + perceptron training on hostile corpora.
+    Append: tiny corpora naturally produce empty standing indexes
+    (every id % 10 == 0) and empty batches; Unicode/NULL/empty texts
+    exercise the tokenizer merge.  Perceptron: label skew is forced —
+    all-one-class corpora (all 'en' / no 'en') must train and serve
+    identically in both engines, and NULL/empty texts give empty
+    feature vectors."""
+    if skew == "all_en":
+        rows = [(t, "en") for t, _ in rows]
+    elif skew == "no_en":
+        rows = [(t, lg if lg != "en" else "xx") for t, lg in rows]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r8doc"))
+    con = _write_docs(tmpdir, rows)
+    _check(spark, tmpdir, con, R8_DOC_GATES)
+
+
+def test_perceptron_gate_deterministic_hostile_classes(
+    spark, tmp_path_factory
+):
+    """Deterministic pins for the trainer: empty vocabulary (every text
+    NULL/empty/whitespace — zero feature rows, the model must still
+    serve), single-doc corpus, and the U+0130 case-mapping text
+    through the hashed tokenizer."""
+    for rows in (
+        [(None, "en"), ("", "de"), ("   ", None)],        # empty vocab
+        [("only one document here", "en")],               # 1-doc corpus
+        [("İstanbul İ recursion casefold", "en"),
+         ("plain filler words", "xx"), (None, None)],     # İ + NULL lang
+    ):
+        tmpdir = str(tmp_path_factory.mktemp("fuzz_perc"))
+        con = _write_docs(tmpdir, rows)
+        _check(spark, tmpdir, con, ["perceptron_language_docs"])
+
+
+def test_streaming_decontaminate_gate_hostile_unicode_multibatch(
+    spark, tmp_path_factory
+):
+    """The streaming gate on a hostile-Unicode corpus with a FORCED
+    multi-batch split: _docs_stream_path writes 4 files and the gate
+    triggers 2 files/micro-batch, so the drain runs >=2 batches — the
+    match stream must equal the batch recipe regardless of the split
+    (stateless-operator invariant).  Probes (doc_id % 11 == 0) land on
+    NULL text and on combining-mark/ZWJ rows."""
+    texts = list(_UNICODE_HOSTILE) * 3          # 24 rows, 4+ per file
+    texts[0] = None                             # NULL probe (doc 0)
+    texts[11] = "shared five gram run appears here too"  # probe w/ overlap
+    texts[12] = "shared five gram run appears here too"  # its corpus twin
+    texts[22] = ""
+    rows = [(t, "en") for t in texts]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_sdec"))
+    con = _write_docs(tmpdir, rows)
+    _check(spark, tmpdir, con, ["streaming_decontaminate_docs"])
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows, vecs=_emb_rows, tie=st.booleans())
+def test_hybrid_gate_on_hostile_corpora(
+    spark, tmp_path_factory, rows, vecs, tie
+):
+    """Hybrid retrieval (BM25 + dense cosine → RRF) with tie-saturated
+    rankings forced on BOTH legs: identical texts make integer-equal
+    BM25 scores and duplicated embeddings make cosine-equal neighbors,
+    so the rrf_nano fusion and its doc_id tie-breaks must hash
+    identically across engines."""
+    if tie and rows:
+        rows = [rows[0]] * 4 + rows      # identical texts: BM25 ties
+    if tie and vecs:
+        vecs = [vecs[0]] * 3 + vecs      # duplicate vectors: cosine ties
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_hyb"))
+    con = _write_docs(tmpdir, rows)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/embeddings.parquet")
+    con.execute(
+        f"create view embeddings as select * from '{tmpdir}/embeddings.parquet'"
+    )
+    _check(spark, tmpdir, con, ["hybrid_retrieval_docs"])
