@@ -2895,6 +2895,33 @@ def perceptron_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptron_apply(docs, model, dim=64)
 
 
+def perceptron_ovr_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-CLASS in-engine training (r8 perceptron-family depth step):
+    five one-vs-rest batch perceptrons — one per language — trained
+    jointly (one featurize pass, one dot pass per epoch with k
+    aggregate columns, one k-column delta aggregation), then the
+    corpus is routed to its argmax class (ties break by class name).
+    Integer-exact; the DuckDB oracle replays all five training loops
+    and the argmax serve bit-for-bit
+    (operators/textstats.py:perceptron_train_ovr,perceptron_apply_ovr).
+
+    STAGED for the round-9 gate window (oracles.ORACLES_STAGED_R9; the
+    r8 window is booked by the r7 verdict's staleness mandate) — until
+    wired, correctness evidence is the pytest pre-verification driving
+    this exact function against the staged SQL through the validator's
+    compare."""
+    from dbt_core_spark.operators.textstats import (
+        perceptron_apply_ovr,
+        perceptron_train_ovr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = perceptron_train_ovr(
+        docs, "lang", classes=["de", "en", "es", "fr", "zh"],
+        dim=64, epochs=3)
+    return perceptron_apply_ovr(docs, model, dim=64)
+
+
 # =========================================================================
 # registry
 # =========================================================================

@@ -1720,3 +1720,171 @@ def perceptron_apply(
             .otherwise(F.lit(-1)).cast("int").alias("pred"),
         )
     )
+
+
+def perceptron_train_ovr(
+    df: DataFrame,
+    class_col: str,
+    classes: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    epochs: int = 3,
+    seed: str = "clf",
+) -> DataFrame:
+    """MULTI-CLASS classifier training: one-vs-rest batch perceptrons,
+    one per class, trained JOINTLY in the same per-epoch plan shape as
+    the binary ``perceptron_train`` (language-ID / source-domain
+    routing — the multi-class step of the quality-classifier story).
+
+    Per-class result is BIT-IDENTICAL to running ``perceptron_train``
+    with ``y = +1 if class==c else −1`` (pytest-pinned), but the k
+    classifiers share the work: ONE featurize pass (sealed), and per
+    epoch ONE groupBy(id) dot pass computing all k dots as k aggregate
+    columns against a k×(dim+1) nested weight literal (the
+    centroid-literal convention — one `lit`, never k·dim scalar
+    expressions) plus ONE groupBy(bucket) delta aggregation with k
+    conditional sums, collected as ≤ dim+1 rows of k columns.  Driver
+    state is k·(dim+1) bigints — model-sized, the kmeans contract.
+
+    ``classes`` pins the classifier set (and the SQL oracle); when
+    None it is the sorted distinct non-NULL class values (one bounded
+    collect).  Docs whose class is not in ``classes`` still train —
+    as negatives for every classifier (standard OVR).  Returns
+    (cls string, bucket int, w bigint): k·(dim+1) rows; persist and
+    serve with ``perceptron_apply_ovr``."""
+    spark = df.sparkSession
+    if classes is None:
+        classes = sorted(
+            r[0]
+            for r in df.filter(F.col(class_col).isNotNull())
+            .select(F.col(class_col).cast("string")).distinct().collect()
+        )
+    classes = [str(c) for c in classes]
+    k = len(classes)
+    if k == 0:
+        return spark.createDataFrame([], "cls string, bucket int, w bigint")
+    feats = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(class_col).cast("string").alias("cls"),
+            F.explode(
+                F.concat(
+                    F.transform(
+                        normalized_words(F.col(text_col)),
+                        lambda x: _bucket_of(x, dim, seed),
+                    ),
+                    F.array(F.lit(dim).cast("bigint")),  # bias bucket
+                )
+            ).alias("bucket"),
+        )
+        .groupBy("id", "cls", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # reused by every epoch, twice
+    )
+
+    def _y(ci: int):
+        # NULL class is a negative for every classifier (NULL == never
+        # equal), matching the binary gate's `else -1` label rule
+        return (
+            F.when(F.col("cls") == F.lit(classes[ci]), F.lit(1))
+            .otherwise(F.lit(-1)).cast("bigint")
+        )
+
+    W = [[0] * (dim + 1) for _ in range(k)]
+    for _ in range(epochs):
+        wlit = F.lit(W)  # ONE k×(dim+1) nested literal
+        dots = feats.groupBy("id", "cls").agg(*[
+            F.sum(
+                F.col("cnt")
+                * F.element_at(
+                    F.element_at(wlit, ci + 1),
+                    F.col("bucket").cast("int") + 1,
+                )
+            ).alias(f"dot{ci}")
+            for ci in range(k)
+        ])
+        mis = dots.select(
+            "id",
+            *[(_y(ci) * F.col(f"dot{ci}") <= 0).alias(f"mis{ci}")
+              for ci in range(k)],
+        )
+        delta = (
+            feats.join(mis, "id")
+            .groupBy("bucket")
+            .agg(*[
+                F.sum(
+                    F.when(F.col(f"mis{ci}"), _y(ci) * F.col("cnt"))
+                ).alias(f"d{ci}")
+                for ci in range(k)
+            ])
+            .collect()  # <= dim+1 rows × k columns — bounded
+        )
+        moved = False
+        for r in delta:
+            b = int(r["bucket"])
+            for ci in range(k):
+                d = r[f"d{ci}"]
+                if d:
+                    W[ci][b] += int(d)
+                    moved = True
+        if not moved:
+            break  # every classifier converged
+    return spark.createDataFrame(
+        [
+            (classes[ci], b, int(wb))
+            for ci in range(k)
+            for b, wb in enumerate(W[ci])
+        ],
+        "cls string, bucket int, w bigint",
+    )
+
+
+def perceptron_apply_ovr(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    seed: str = "clf",
+) -> DataFrame:
+    """Serve a ``perceptron_train_ovr`` model: hashed-count features
+    broadcast-join the k·(dim+1) weight rows, per-(id, cls) integer
+    scores in one groupBy, winner by max score with ties broken by
+    class name ascending (a min-struct over (−score, cls) — exact and
+    SQL-replayable).  Returns (id, label string, score bigint)."""
+    feats = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.concat(
+                    F.transform(
+                        normalized_words(F.col(text_col)),
+                        lambda x: _bucket_of(x, dim, seed),
+                    ),
+                    F.array(F.lit(dim).cast("bigint")),
+                )
+            ).alias("bucket"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    scores = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("id", "cls")
+        .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("score"))
+    )
+    return (
+        scores.groupBy("id")
+        .agg(
+            F.min(F.struct((-F.col("score")).alias("ns"), "cls", "score"))
+            .alias("k")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("k.cls").alias("label"),
+            F.col("k.score").alias("score"),
+        )
+    )

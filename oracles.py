@@ -3566,3 +3566,88 @@ ORACLES.update(ORACLES_STAGED_R8)
 ORACLES_STAGED_R8 = {}
 
 ORACLES_STAGED_R9: dict[str, str] = {}
+
+
+def _perceptron_ovr_sql(dim: int = 64, epochs: int = 3,
+                        classes: tuple[str, ...] = ("de", "en", "es",
+                                                    "fr", "zh")) -> str:
+    """One-vs-rest replay: the binary _perceptron_sql training chain
+    duplicated per class over a SHARED feature CTE (f0 carries the raw
+    class value; each class's y is case when cls='<c>' then 1 else -1,
+    NULL class ≡ negative — the Spark trainer's rule), then an argmax
+    serve with ties broken by class name ascending.  The per-class
+    weight CTEs only hold training-SEEN buckets; absent buckets carry
+    implicit weight 0 and every doc keeps its bias-bucket row, so the
+    inner serving join is lossless (the binary oracle's argument)."""
+    bucket = _hex2int("substr(md5('clf:' || word), 1, 15)", digits=15)
+    parts = [f"""
+with wds as (
+  select doc_id, lang as cls, unnest({_WORDS}) as word
+  from documents where text is not null
+),
+f0 as (
+  select doc_id, cls, ({bucket}) % {dim} as bucket,
+         cast(count(*) as bigint) as cnt
+  from wds group by 1, 2, 3
+  union all
+  select doc_id, lang as cls, cast({dim} as bigint) as bucket,
+         cast(1 as bigint) as cnt
+  from documents where text is not null
+)"""]
+    for ci, c in enumerate(classes):
+        y = f"(case when cls = '{c}' then 1 else -1 end)"
+        parts.append(f""",
+w1_{ci} as (
+  select bucket, cast(sum({y} * cnt) as bigint) as w from f0 group by 1
+)""")
+        for e in range(2, epochs + 1):
+            parts.append(f""",
+dot{e}_{ci} as (
+  select f.doc_id, max({y}) as y, sum(f.cnt * coalesce(w.w, 0)) as dot
+  from f0 f left join w{e - 1}_{ci} w using (bucket) group by 1
+),
+d{e}_{ci} as (
+  select bucket, cast(sum({y} * cnt) as bigint) as d from f0
+  where doc_id in (select doc_id from dot{e}_{ci} where y * dot <= 0)
+  group by 1
+),
+w{e}_{ci} as (
+  select coalesce(w.bucket, d.bucket) as bucket,
+         cast(coalesce(w.w, 0) + coalesce(d.d, 0) as bigint) as w
+  from w{e - 1}_{ci} w full outer join d{e}_{ci} d on w.bucket = d.bucket
+)""")
+    parts.append(f""",
+af as (
+  select doc_id, ({bucket}) % {dim} as bucket,
+         cast(count(*) as bigint) as cnt
+  from (select doc_id, unnest({_WORDS}) as word
+        from documents where text is not null) t
+  group by 1, 2
+  union all
+  select doc_id, cast({dim} as bigint) as bucket, cast(1 as bigint) as cnt
+  from documents where text is not null
+),
+sc as (""")
+    legs = []
+    for ci, c in enumerate(classes):
+        legs.append(f"""
+  select a.doc_id, '{c}' as cls, cast(sum(a.cnt * w.w) as bigint) as score
+  from af a join w{epochs}_{ci} w using (bucket)
+  group by 1""")
+    parts.append("  union all".join(legs))
+    parts.append("""
+)
+select doc_id, cls as label, score
+from (select doc_id, cls, score,
+             row_number() over (partition by doc_id
+                                order by score desc, cls asc) as rn
+      from sc) ranked
+where rn = 1""")
+    return "".join(parts)
+
+
+# r8 perceptron-family depth (r7 verdict item 5): multi-class one-vs-
+# rest training, staged for the round-9 window — the gate replays all
+# five per-class training loops and the argmax routing in SQL.
+ORACLES_STAGED_R9["perceptron_ovr_language_docs"] = _perceptron_ovr_sql(
+    dim=64, epochs=3)

@@ -1496,3 +1496,106 @@ def test_perceptron_matches_python_reference(spark):
         assert got == want
 
     run()
+
+
+def test_perceptron_ovr_matches_per_class_binary(spark, sf_dir):
+    """The jointly-trained one-vs-rest model must be BIT-IDENTICAL,
+    class by class, to running the binary perceptron_train with
+    y = +1 if class==c else -1 — the joint epoch plan (k dot columns
+    against one nested weight literal, k conditional delta sums) is an
+    execution-shape optimization, never a semantics change."""
+    from dbt_core_spark.operators.textstats import (
+        perceptron_train,
+        perceptron_train_ovr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    classes = ["de", "en", "zh"]
+    ovr = {
+        (r["cls"], r["bucket"]): r["w"]
+        for r in perceptron_train_ovr(
+            docs, "lang", classes=classes, dim=32, epochs=3).collect()
+    }
+    for c in classes:
+        labeled = docs.withColumn(
+            "y", F.when(F.col("lang") == c, 1).otherwise(-1))
+        binary = {
+            r["bucket"]: r["w"]
+            for r in perceptron_train(
+                labeled, "y", dim=32, epochs=3).collect()
+        }
+        got = {b: w for (cls, b), w in ovr.items() if cls == c}
+        assert got == binary, f"class {c} diverged from the binary replica"
+
+
+def test_perceptron_ovr_apply_argmax_and_ties(spark):
+    """Serving: winner is max score; exact ties break by class name
+    ascending (the min-struct (-score, cls) contract)."""
+    from dbt_core_spark.operators.textstats import perceptron_apply_ovr
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha"), (2, None)], "doc_id long, text string")
+    # hand-built model: every bucket weight 1 for both classes → exact
+    # tie on every doc; class 'aa' must win over 'bb'
+    w = spark.createDataFrame(
+        [(c, b, 1) for c in ("bb", "aa") for b in range(33)],
+        "cls string, bucket int, w bigint")
+    out = perceptron_apply_ovr(docs, w, dim=32).collect()
+    assert len(out) == 1  # NULL text excluded
+    assert out[0]["label"] == "aa"
+
+
+def test_perceptron_ovr_label_skew_and_empty(spark):
+    """All-one-class and empty corpora: training must not error and
+    the model stays k x (dim+1) rows of exact integers."""
+    from dbt_core_spark.operators.textstats import (
+        perceptron_apply_ovr,
+        perceptron_train_ovr,
+    )
+
+    one_class = spark.createDataFrame(
+        [(1, "nur deutsch hier", "de"), (2, "immer noch deutsch", "de")],
+        "doc_id long, text string, lang string")
+    m = perceptron_train_ovr(one_class, "lang", classes=["de", "en"],
+                             dim=16, epochs=2)
+    assert m.count() == 2 * 17
+    served = perceptron_apply_ovr(one_class, m, dim=16)
+    assert served.count() == 2
+    empty = one_class.filter("false")
+    m0 = perceptron_train_ovr(empty, "lang", classes=["de"], dim=16)
+    assert m0.count() == 17 and m0.filter("w != 0").count() == 0
+    m_auto = perceptron_train_ovr(empty, "lang", dim=16)  # derived classes
+    assert m_auto.count() == 0
+
+
+@pytest.mark.parametrize("staged_name", [
+    "perceptron_ovr_language_docs",
+])
+def test_staged_r9_gates_match_oracles(spark, sf_dir, staged_name):
+    """Pre-verifies every STAGED round-9 gate row end to end: the exact
+    __spark_entry__ callable vs the exact oracles.ORACLES_STAGED_R9 SQL,
+    through the validator's own compare (types + row hash), on the real
+    sf corpus — so wiring them into the r9 window is a pure dict move
+    with no new behavior."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from oracles import ORACLES_STAGED_R9
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_vo_staged9", os.path.join(root, "scripts", "validate_oracles.py"))
+    vo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vo)
+
+    con = duckdb.connect()
+    for tbl in ("documents", "embeddings"):
+        con.execute(
+            f"create view {tbl} as select * from '{sf_dir}/{tbl}.parquet'")
+    ok, msg = vo.compare(
+        staged_name, spark, con, sf_dir,
+        getattr(em, staged_name), ORACLES_STAGED_R9[staged_name])
+    assert ok, msg
