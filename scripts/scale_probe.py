@@ -397,6 +397,56 @@ def main() -> None:
         print(f"== retrieval x{factor}: index build {ret_build[factor]}s, "
               f"batches {walls}", file=sys.stderr)
 
+    # ---- streaming-decontamination tier (r7 verdict item 6): the
+    # ingest-time leg of decontamination.  Probe set HELD FIXED
+    # (replica-0 doc_id % 11 == 0); the document STREAM scales
+    # ×1/×10/×100, written as fixed-size files (~1250 rows each) and
+    # drained AvailableNow at 2 files/trigger, so the micro-batch SIZE
+    # is constant and the batch COUNT carries the corpus growth.  The
+    # operator is stateless (broadcast Bloom bitset + stream-static
+    # confirm join, no state store, no watermark), so per-batch wall
+    # must stay ~flat across the decades — the bounded-state claim,
+    # measured. ----
+    from dbt_core_spark.streaming.structured import (
+        stream_source,
+        streaming_decontaminate,
+    )
+
+    sdec: dict[int, dict] = {}
+    sdec_probes = spark.read.parquet(replicate_docs(spark, 1)).filter(
+        "doc_id % 11 = 0")
+    for factor in SCALES:
+        src = f"/tmp/scale_probe_sdec_x{factor}"
+        if not os.path.exists(src):
+            spark.read.parquet(replicate_docs(spark, factor)) \
+                .repartition(4 * factor).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        import gc
+
+        gc.collect()
+        t0 = time.time()
+        stream = stream_source(spark, src, schema, fmt="parquet",
+                               options={"maxFilesPerTrigger": "2"})
+        matches = streaming_decontaminate(stream, sdec_probes, n=5)
+        name = f"sdec_probe_x{factor}"
+        q = (
+            matches.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        wall = round(time.time() - t0, 2)
+        n_batches = (q.lastProgress["batchId"] + 1) if q.lastProgress else 0
+        out_rows = spark.table(name).count()
+        sdec[factor] = {
+            "wall": wall,
+            "batches": n_batches,
+            "rows": out_rows,
+            "per_batch": round(wall / max(1, n_batches), 3),
+        }
+        print(f"== sdec x{factor}: {wall}s total, {n_batches} batches, "
+              f"{sdec[factor]['per_batch']}s/batch, {out_rows} matches",
+              file=sys.stderr)
+
     lines = [
         "# SCALING — ANN + dedup tiers, measured across two decades",
         "",
@@ -658,6 +708,45 @@ def main() -> None:
         "as RLE-constant columns) — `bm25_query` validates they are "
         "single-valued and refuses a mixed-snapshot union "
         "(tests/test_corpus_ops.py).",
+        "",
+        "## Streaming-decontamination tier (ingest-time, stateless)",
+        "",
+        "`streaming_decontaminate` flags contaminated documents at "
+        "INGEST instead of sweeping the lake afterwards.  Probe set "
+        "held fixed (replica-0 doc_id % 11); the document stream "
+        "scales ×1/×10/×100 as fixed-size files (~1250 rows each) "
+        "drained AvailableNow at 2 files/trigger — micro-batch SIZE "
+        "constant, batch COUNT carries the corpus growth.  Wall "
+        "includes the once-per-stream setup (probe shingle set + Bloom "
+        "bitset build), which inflates the ×1 per-batch figure; the "
+        "×10→×100 per-batch trend is the signal.",
+        "",
+        "| scale | stream rows | batches | total wall s | wall/batch s "
+        "| match rows |",
+        "|---|---|---|---|---|---|",
+    ]
+    for factor in SCALES:
+        d = sdec[factor]
+        lines.append(
+            f"| ×{factor} | {dedup_meta[factor]:,} | {d['batches']} "
+            f"| {d['wall']} | {d['per_batch']} | {d['rows']:,} |")
+    lines += [
+        "",
+        f"- **Per-batch cost is flat in corpus size**: "
+        f"{sdec[10]['per_batch']}s/batch at ×10 vs "
+        f"{sdec[100]['per_batch']}s/batch at ×100 "
+        f"({sdec[100]['per_batch'] / max(sdec[10]['per_batch'], 1e-9):.2f}×"
+        " for 10× the corpus) — the operator is STATELESS: each "
+        "micro-batch pays shingle-explode + 7 JVM hash probes against "
+        "the broadcast bitset + a confirm join bounded by ~fp·batch "
+        "rows, with zero state-store rows and no watermark; nothing "
+        "accumulates as the stream gets longer.",
+        "- **Total wall is linear in the corpus** (batch count × flat "
+        "per-batch cost) — the unavoidable floor for reading every "
+        "ingested document once.",
+        "- Match-stream determinism under ANY micro-batch split is "
+        "pinned separately (pytest: multi-batch drain ≡ batch recipe; "
+        "the driver gate runs the same invariant at 2 files/trigger).",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
