@@ -2922,6 +2922,31 @@ def perceptron_ovr_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptron_apply_ovr(docs, model, dim=64)
 
 
+def decontaminate_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL decontamination end to end (r8 depth step on the
+    decontamination family): detect every benchmark 5-gram span in the
+    training corpus (probe = doc_id % 11 == 0, the streaming gate's
+    split) with contamination_spans, then CUT the spans and keep the
+    documents via cut_dup_spans — the "remove the quoted benchmark
+    text, keep the doc" action real pipelines want instead of
+    whole-doc drops.  Returns (doc_id, text_clean, n_words,
+    n_removed); exact DuckDB oracle replays grams → probe membership →
+    island merge → positional cut.
+
+    STAGED for the round-9 gate window (oracles.ORACLES_STAGED_R9; see
+    perceptron_ovr_language_docs)."""
+    from dbt_core_spark.operators.dedup import (
+        contamination_spans,
+        cut_dup_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 11 != 0")
+    probes = docs.filter("doc_id % 11 = 0")
+    spans = contamination_spans(corpus, probes, n=5)
+    return cut_dup_spans(corpus, spans)
+
+
 # =========================================================================
 # registry
 # =========================================================================

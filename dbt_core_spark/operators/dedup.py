@@ -910,25 +910,7 @@ def dup_ngram_spans(
     windows order totally; md5 is engine-portable (DuckDB oracle is
     bit-exact).
     """
-    words = ensure_parallelism(
-        df.filter(F.col(text_col).isNotNull())
-    ).select(F.col(id_col), normalized_words(text_col).alias("ws"))
-    cnt = F.greatest(F.size("ws") - k + 1, F.lit(0))
-    z = F.slice(F.col("ws"), 1, cnt)
-    for j in range(1, k):
-        z = F.zip_with(z, F.slice(F.col("ws"), j + 1, cnt),
-                       lambda x, y: F.concat_ws(" ", x, y))
-    grams = (
-        words.filter(F.size("ws") >= k)
-        .select(F.col(id_col), F.posexplode(z).alias("p0", "gram"))
-        .select(
-            id_col,
-            (F.col("p0") + 1).cast("bigint").alias("start"),
-            F.md5("gram").alias("gh"),
-        )
-        # sealed: grams feeds the global dup-count AND the membership
-        # probe — unsealed, the tokenizer + k-gram HOF + md5 runs twice
-    ).localCheckpoint(eager=False)
+    grams = _positional_gram_hashes(df, text_col, id_col, k)
     dup = (
         grams.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("nd"))
@@ -938,6 +920,43 @@ def dup_ngram_spans(
     hits = grams.join(dup, "gh", "left_semi").select(
         id_col, "start", (F.col("start") + k - 1).alias("e")
     )
+    return _merge_gram_spans(hits, id_col)
+
+
+def _positional_gram_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Per-document positional k-gram hashes ``(id, start, gh)`` —
+    1-based word index into the normalized token stream, md5 of the
+    k-word gram.  The shifted-slice zip_with keeps it linear (no
+    element_at re-evaluation), the md5 happens BEFORE any shuffle so
+    downstream joins carry 16-byte keys, and the result is SEALED: it
+    feeds two branches in every caller (count + membership probe for
+    dup spans; probe join + span merge for contamination)."""
+    words = ensure_parallelism(
+        df.filter(F.col(text_col).isNotNull())
+    ).select(F.col(id_col), normalized_words(text_col).alias("ws"))
+    cnt = F.greatest(F.size("ws") - k + 1, F.lit(0))
+    z = F.slice(F.col("ws"), 1, cnt)
+    for j in range(1, k):
+        z = F.zip_with(z, F.slice(F.col("ws"), j + 1, cnt),
+                       lambda x, y: F.concat_ws(" ", x, y))
+    return (
+        words.filter(F.size("ws") >= k)
+        .select(F.col(id_col), F.posexplode(z).alias("p0", "gram"))
+        .select(
+            id_col,
+            (F.col("p0") + 1).cast("bigint").alias("start"),
+            F.md5("gram").alias("gh"),
+        )
+    ).localCheckpoint(eager=False)
+
+
+def _merge_gram_spans(hits: DataFrame, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of per-doc gram hits ``(id, start, e)``
+    into maximal spans — per-DOCUMENT windows (bounded by doc length,
+    never cross-document); positions are unique within a doc so the
+    ordering is total and the output deterministic."""
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("start")
@@ -976,6 +995,48 @@ def dup_ngram_spans(
             "n_grams",
         )
     )
+
+
+def contamination_spans(
+    df: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination — detect, per corpus
+    document, the merged word spans covered by n-grams that appear
+    ANYWHERE in the probe (benchmark) corpus.  Whole-doc
+    ``decontaminate`` drops every contaminated document; real training
+    pipelines usually want to CUT the quoted benchmark text and keep
+    the rest (the Lee-et-al substring-dedup action applied to
+    contamination) — feed this output to :func:`cut_dup_spans`, which
+    shares the span contract ``(doc_id, span_start, span_end,
+    span_words, n_grams)``.
+
+    Scale shape: corpus-side positional n-grams are the shared
+    ``_positional_gram_hashes`` pass (linear, 16-byte keys, sealed);
+    the probe side reduces to its DISTINCT shingle hashes — probe
+    corpora (benchmarks) are small relative to training corpora, so
+    the left-semi membership join broadcasts; span merging is the
+    shared per-document gaps-and-islands window.  Nothing quadratic,
+    no corpus self-join anywhere."""
+    grams = _positional_gram_hashes(df, text_col, id_col, n)
+    probe_sh = (
+        ensure_parallelism(probes.filter(F.col(probe_text_col).isNotNull()))
+        .select(
+            F.explode(
+                word_ngrams(normalized_words(F.col(probe_text_col)), n)
+            ).alias("shingle")
+        )
+        .select(F.md5("shingle").alias("gh"))
+        .distinct()
+    )
+    hits = grams.join(probe_sh, "gh", "left_semi").select(
+        id_col, "start", (F.col("start") + n - 1).alias("e")
+    )
+    return _merge_gram_spans(hits, id_col)
 
 
 def cut_dup_spans(

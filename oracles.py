@@ -3651,3 +3651,56 @@ where rn = 1""")
 # five per-class training loops and the argmax routing in SQL.
 ORACLES_STAGED_R9["perceptron_ovr_language_docs"] = _perceptron_ovr_sql(
     dim=64, epochs=3)
+
+
+# r8 decontamination-family depth: span-level decontamination — detect
+# probe 5-gram spans in the training corpus, cut them, keep the docs.
+# Staged for the round-9 window; replays grams → probe membership →
+# gaps-and-islands merge → positional cut (the dup_span_docs +
+# dup_span_cut_docs oracle machinery with probe membership in place of
+# the global dup count).
+ORACLES_STAGED_R9["decontaminate_cut_docs"] = f"""
+with w as (select doc_id, {_WORDS} as ws from documents
+           where text is not null and doc_id % 11 <> 0),
+g as (
+    select doc_id, cast(i as bigint) as start,
+           md5(array_to_string(ws[i:i+4], ' ')) as gh
+    from w, unnest(generate_series(1, len(ws) - 4)) as t(i)
+    where len(ws) >= 5
+),
+pw as (select {_WORDS} as ws from documents
+       where text is not null and doc_id % 11 = 0),
+ps as (
+    select distinct md5(array_to_string(ws[i:i+4], ' ')) as gh
+    from pw, unnest(generate_series(1, len(ws) - 4)) as t(i)
+    where len(ws) >= 5
+),
+h as (select g.doc_id, g.start, g.start + 4 as e from g join ps using (gh)),
+m as (select doc_id, start, e,
+        max(e) over (partition by doc_id order by start
+                     rows between unbounded preceding and 1 preceding) as pme
+      from h),
+i as (select doc_id, start, e,
+        sum(case when pme is null or start > pme + 1 then 1 else 0 end)
+          over (partition by doc_id order by start
+                rows between unbounded preceding and current row) as island
+      from m),
+spans as (select doc_id, min(start) as span_start, max(e) as span_end
+          from i group by doc_id, island),
+t as (
+    select doc_id, cast(i as bigint) as pos, ws[i] as w
+    from w, unnest(generate_series(1, len(ws))) as tt(i)
+),
+flag as (
+    select t.doc_id, t.pos, t.w, count(s.span_start) > 0 as cut
+    from t left join spans s
+      on s.doc_id = t.doc_id and t.pos between s.span_start and s.span_end
+    group by t.doc_id, t.pos, t.w
+)
+select doc_id,
+       coalesce(string_agg(w, ' ' order by pos) filter (where not cut), '')
+         as text_clean,
+       cast(count(*) as bigint) as n_words,
+       cast(sum(case when cut then 1 else 0 end) as bigint) as n_removed
+from flag group by doc_id
+"""

@@ -744,6 +744,11 @@ def main() -> None:
         "- **Total wall is linear in the corpus** (batch count × flat "
         "per-batch cost) — the unavoidable floor for reading every "
         "ingested document once.",
+        "- Match rows are CONSTANT across scales by construction: the "
+        "probe set is fixed and replica perturbation (vowel "
+        "substitution) keeps replica >0 vocabularies disjoint from the "
+        "probes, so the probe measures scan/probe cost at constant "
+        "match yield.",
         "- Match-stream determinism under ANY micro-batch split is "
         "pinned separately (pytest: multi-batch drain ≡ batch recipe; "
         "the driver gate runs the same invariant at 2 files/trigger).",

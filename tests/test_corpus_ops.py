@@ -1570,6 +1570,7 @@ def test_perceptron_ovr_label_skew_and_empty(spark):
 
 @pytest.mark.parametrize("staged_name", [
     "perceptron_ovr_language_docs",
+    "decontaminate_cut_docs",
 ])
 def test_staged_r9_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-9 gate row end to end: the exact

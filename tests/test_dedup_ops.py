@@ -487,3 +487,47 @@ def test_decontaminate_bloom_hostile(spark):
     out = decontaminate_bloom(corpus, empty_probes, n=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "n_hits", "sample_hit"]
+
+
+def test_contamination_spans_hand_computed(spark):
+    """A corpus doc quoting a probe passage: the merged span covers
+    exactly the quoted words (1-based inclusive), and cut_dup_spans
+    removes precisely those words."""
+    from dbt_core_spark.operators.dedup import (
+        contamination_spans,
+        cut_dup_spans,
+    )
+
+    probes = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "intro words here the quick brown fox jumps over the lazy "
+             "dog tonight outro words"),
+         (2, "completely unrelated text with no quoted passage at all"),
+         (3, None)],
+        "doc_id long, text string")
+    spans = contamination_spans(corpus, probes, n=5)
+    got = [tuple(r) for r in spans.collect()]
+    # corpus doc 1 tokens: intro(1) words(2) here(3) the(4) ... tonight(13)
+    # probe 5-grams hit starts 4..9 → merged span 4..13, 6 grams
+    assert got == [(1, 4, 13, 10, 6)]
+    cut = {r["doc_id"]: r for r in cut_dup_spans(corpus, spans).collect()}
+    assert cut[1]["text_clean"] == "intro words here outro words"
+    assert cut[1]["n_words"] == 15 and cut[1]["n_removed"] == 10
+    assert cut[2]["n_removed"] == 0
+    assert 3 not in cut  # NULL text never enters the token stream
+
+
+def test_contamination_spans_empty_probe_and_short_docs(spark):
+    """Empty probe corpus → no spans; docs shorter than n produce no
+    grams on either side (the len >= n contract both engines share)."""
+    from dbt_core_spark.operators.dedup import contamination_spans
+
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string")
+    empty = corpus.filter("false")
+    assert contamination_spans(corpus, empty, n=5).count() == 0
+    short_probe = spark.createDataFrame(
+        [(9, "one two three")], "doc_id long, text string")
+    assert contamination_spans(corpus, short_probe, n=5).count() == 0
