@@ -2947,6 +2947,55 @@ def decontaminate_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut_dup_spans(corpus, spans)
 
 
+def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff between two derived corpus snapshots:
+    old = docs without the %17==3 residue, new = docs without the
+    %17==5 residue with every %13==0 text amended — exercising all
+    four statuses (added/removed/changed/unchanged) through the single
+    hash-before-join full-outer plan (operators/corpus.py:corpus_diff).
+
+    STAGED for the round-9 gate window (oracles.ORACLES_STAGED_R9; see
+    perceptron_ovr_language_docs)."""
+    from dbt_core_spark.operators.corpus import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 17 != 3")
+    new = docs.filter("doc_id % 17 != 5").withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 13 == 0) & F.col("text").isNotNull(),
+            F.concat_ws(" ", F.col("text"), F.lit("v2")),
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+def ngram_loops_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition (model-loop) detection over a corpus with
+    deterministic loops injected: every %19==0 document gets its first
+    four normalized words prepended three times, creating a 4-gram
+    that repeats back-to-back ≥4 times (the prepended copies plus the
+    original opening), exactly the LLM loop failure shape.
+    ngram_loop_runs(n=4, min_repeats=3) must emit identical maximal
+    runs in both engines (operators/corpus.py:ngram_loop_runs).
+
+    STAGED for the round-9 gate window (oracles.ORACLES_STAGED_R9; see
+    perceptron_ovr_language_docs)."""
+    from dbt_core_spark.operators.corpus import ngram_loop_runs
+    from dbt_core_spark.operators.dedup import normalized_words
+
+    docs = _t(spark, sf_dir, "documents")
+    f4 = F.array_join(F.slice(normalized_words(F.col("text")), 1, 4), " ")
+    looped = docs.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 19 == 0) & F.col("text").isNotNull(),
+            F.concat_ws(" ", f4, f4, f4, F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return ngram_loop_runs(looped, n=4, min_repeats=3)
+
+
 # =========================================================================
 # registry
 # =========================================================================

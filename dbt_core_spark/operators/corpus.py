@@ -715,3 +715,134 @@ def pmi_collocations(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-
+    versioning verb an incremental training lake needs before every
+    re-train: which documents were ADDED, REMOVED, CHANGED, or
+    UNCHANGED between the snapshot a model trained on and today's
+    corpus.  (The engine's incremental/microbatch tiers answer "apply
+    the delta"; this answers "what IS the delta" for auditing,
+    retraining triggers, and cache-invalidation of derived tables.)
+
+    Content identity is the md5 of the raw text with a NULL marker
+    distinct from the empty string (a doc whose text became NULL is a
+    CHANGE, not an ambiguous empty).  Returns
+    ``(id, status string, old_md5, new_md5)`` with status ∈
+    {'added','removed','changed','unchanged'}.
+
+    Scale shape: ONE full-outer equi-join on the id — md5 is computed
+    per side BEFORE the join so only (id, 32-byte hash) rows shuffle,
+    never document text.  At 100 TB both snapshots live bucketed by id
+    and the join is co-partitioned with no exchange at all."""
+    def _fp(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.when(F.col(text_col).isNull(), F.lit("<null>"))
+            .otherwise(F.md5(F.col(text_col))).alias(out),
+        )
+
+    o = _fp(old, "old_md5")
+    n = _fp(new, "new_md5")
+    return (
+        o.join(n, "id", "full_outer")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("old_md5").isNull(), F.lit("added"))
+            .when(F.col("new_md5").isNull(), F.lit("removed"))
+            .when(F.col("old_md5") == F.col("new_md5"), F.lit("unchanged"))
+            .otherwise(F.lit("changed")).alias("status"),
+            "old_md5",
+            "new_md5",
+        )
+    )
+
+
+def ngram_loop_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_repeats: int = 3,
+) -> DataFrame:
+    """Degenerate-repetition detection: maximal runs where the SAME
+    n-gram repeats BACK-TO-BACK (stride exactly n) at least
+    ``min_repeats`` times — the "model loop" failure mode of synthetic
+    / LLM-generated text ("the cat sat the cat sat the cat sat …"),
+    which fraction-based filters (gopher_repetition) only catch once
+    the loop dominates the document.  Emits every run so callers can
+    filter docs OR cut the run spans (the contamination_spans /
+    cut_dup_spans span contract applies to ``run_start..span_end``).
+
+    Output: ``(doc_id, gram, run_start, repeats, span_end)`` —
+    1-based inclusive word positions; ``repeats`` counts gram copies,
+    ``span_end = run_start + repeats·n − 1``.
+
+    Scale shape: positional n-grams are one linear HOF pass; chain
+    detection is a per-(doc, phase) window over ``start`` (phase =
+    start mod n — back-to-back copies of an n-gram are exactly n
+    apart, so each arithmetic chain lives in one phase), bounded by
+    document length, never cross-document; runs aggregate with one
+    doc-keyed groupBy.  Zero joins, zero corpus-scale shuffles beyond
+    the single doc-keyed exchange."""
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), normalized_words(text_col).alias("ws")
+    )
+    cnt = F.greatest(F.size("ws") - n + 1, F.lit(0))
+    z = F.slice(F.col("ws"), 1, cnt)
+    for j in range(1, n):
+        z = F.zip_with(z, F.slice(F.col("ws"), j + 1, cnt),
+                       lambda x, y: F.concat_ws(" ", x, y))
+    grams = (
+        words.filter(F.size("ws") >= n)
+        .select(F.col(id_col), F.posexplode(z).alias("p0", "gram"))
+        .select(
+            id_col,
+            (F.col("p0") + 1).cast("bigint").alias("start"),
+            "gram",
+            ((F.col("p0") + 1) % n).cast("int").alias("phase"),
+        )
+    )
+    w_ord = Window.partitionBy(id_col, "phase").orderBy("start")
+    w_run = (
+        Window.partitionBy(id_col, "phase")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chains = (
+        grams.withColumn("pstart", F.lag("start").over(w_ord))
+        .withColumn("pgram", F.lag("gram").over(w_ord))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("pstart").isNull()
+                | (F.col("start") != F.col("pstart") + n)
+                | (F.col("gram") != F.col("pgram")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("run", F.sum("new_run").over(w_run))
+    )
+    return (
+        chains.groupBy(id_col, "phase", "run")
+        .agg(
+            F.min("gram").alias("gram"),
+            F.min("start").alias("run_start"),
+            F.count("*").cast("bigint").alias("repeats"),
+        )
+        .filter(F.col("repeats") >= min_repeats)
+        .select(
+            id_col,
+            "gram",
+            "run_start",
+            "repeats",
+            (F.col("run_start") + F.col("repeats") * n - 1)
+            .cast("bigint").alias("span_end"),
+        )
+    )

@@ -3704,3 +3704,73 @@ select doc_id,
        cast(sum(case when cut then 1 else 0 end) as bigint) as n_removed
 from flag group by doc_id
 """
+
+
+# r8 dataset-versioning verb: snapshot diff by content fingerprint —
+# hash per side BEFORE the full-outer join, NULL text marked distinct
+# from empty.  Staged for the round-9 window.
+ORACLES_STAGED_R9["corpus_diff_docs"] = """
+with o as (
+  select doc_id as id,
+         case when text is null then '<null>' else md5(text) end as old_md5
+  from documents where doc_id % 17 <> 3
+),
+n as (
+  select doc_id as id,
+         case when text is null then '<null>'
+              when doc_id % 13 = 0 then md5(text || ' v2')
+              else md5(text) end as new_md5
+  from documents where doc_id % 17 <> 5
+)
+select coalesce(o.id, n.id) as doc_id,
+       case when o.old_md5 is null then 'added'
+            when n.new_md5 is null then 'removed'
+            when o.old_md5 = n.new_md5 then 'unchanged'
+            else 'changed' end as status,
+       o.old_md5, n.new_md5
+from o full outer join n on o.id = n.id
+"""
+
+# r8 degenerate-repetition (model-loop) detection: deterministic loops
+# injected (%19 docs get their first four normalized words prepended
+# three times), then maximal stride-4 equal-gram runs via a
+# per-(doc, phase) lag window and gaps-and-islands.  Staged r9.
+ORACLES_STAGED_R9["ngram_loops_docs"] = f"""
+with base as (
+  select doc_id,
+         case when doc_id % 19 = 0 and text is not null then
+           array_to_string(({_WORDS})[1:4], ' ') || ' ' ||
+           array_to_string(({_WORDS})[1:4], ' ') || ' ' ||
+           array_to_string(({_WORDS})[1:4], ' ') || ' ' || text
+         else text end as text
+  from documents
+),
+w as (select doc_id, {_WORDS} as ws from base where text is not null),
+g as (
+  select doc_id, cast(i as bigint) as start,
+         array_to_string(ws[i:i+3], ' ') as gram,
+         cast(i % 4 as int) as phase
+  from w, unnest(generate_series(1, len(ws) - 3)) as t(i)
+  where len(ws) >= 4
+),
+c as (
+  select doc_id, start, gram, phase,
+         lag(start) over (partition by doc_id, phase order by start) as pstart,
+         lag(gram) over (partition by doc_id, phase order by start) as pgram
+  from g
+),
+r as (
+  select doc_id, start, gram, phase,
+         sum(case when pstart is null or start <> pstart + 4
+                    or gram is distinct from pgram
+                  then 1 else 0 end)
+           over (partition by doc_id, phase order by start
+                 rows between unbounded preceding and current row) as run
+  from c
+)
+select doc_id, min(gram) as gram, min(start) as run_start,
+       cast(count(*) as bigint) as repeats,
+       cast(min(start) + count(*) * 4 - 1 as bigint) as span_end
+from r group by doc_id, phase, run
+having count(*) >= 3
+"""

@@ -1571,6 +1571,8 @@ def test_perceptron_ovr_label_skew_and_empty(spark):
 @pytest.mark.parametrize("staged_name", [
     "perceptron_ovr_language_docs",
     "decontaminate_cut_docs",
+    "corpus_diff_docs",
+    "ngram_loops_docs",
 ])
 def test_staged_r9_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-9 gate row end to end: the exact
@@ -1600,3 +1602,42 @@ def test_staged_r9_gates_match_oracles(spark, sf_dir, staged_name):
         staged_name, spark, con, sf_dir,
         getattr(em, staged_name), ORACLES_STAGED_R9[staged_name])
     assert ok, msg
+
+
+def test_corpus_diff_hand_computed(spark):
+    """All four statuses on a tiny hand corpus; NULL text is a distinct
+    content state (NULL→text and text→NULL are CHANGES, NULL→NULL is
+    unchanged)."""
+    from dbt_core_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (4, None), (5, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (6, "fresh"), (4, None), (5, "born")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "changed", 6: "added"}
+
+
+def test_ngram_loop_runs_hand_computed(spark):
+    """The canonical LLM-loop text: a 3-gram repeated back-to-back 3
+    times is ONE maximal run (repeats=3, exact span); interleaved
+    phases don't double-report; non-looping text yields nothing."""
+    from dbt_core_spark.operators.corpus import ngram_loop_runs
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat the cat sat the cat sat done"),
+         (2, "all words here are different from each other entirely"),
+         (3, None)],
+        "doc_id long, text string")
+    got = [tuple(r) for r in ngram_loop_runs(
+        docs, n=3, min_repeats=3).collect()]
+    assert got == [(1, "the cat sat", 1, 3, 9)]
+    # a longer loop: 4 copies → repeats=4, and min_repeats prunes
+    docs4 = spark.createDataFrame(
+        [(1, "go on go on go on go on stop")], "doc_id long, text string")
+    r4 = ngram_loop_runs(docs4, n=2, min_repeats=4).collect()
+    assert [tuple(x) for x in r4] == [(1, "go on", 1, 4, 8)]
+    assert ngram_loop_runs(docs4, n=2, min_repeats=5).count() == 0

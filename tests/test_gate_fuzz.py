@@ -1410,3 +1410,33 @@ def test_hybrid_gate_on_hostile_corpora(
         f"create view embeddings as select * from '{tmpdir}/embeddings.parquet'"
     )
     _check(spark, tmpdir, con, ["hybrid_retrieval_docs"])
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows, dup=st.booleans())
+def test_staged_r9_doc_gates_on_hostile_corpora(
+    spark, tmp_path_factory, rows, dup
+):
+    """Fuzz the four STAGED round-9 gates ahead of their wiring (the
+    module callable vs ORACLES_STAGED_R9 SQL through the validator's
+    compare): span-cut decontamination on duplicate-heavy Unicode
+    corpora, snapshot diff with NULL/empty texts crossing the residue
+    splits, loop detection where the injected prefix meets hostile
+    text, and OVR training under whatever label skew hypothesis
+    draws."""
+    from oracles import ORACLES_STAGED_R9
+
+    if dup and rows:  # duplicated texts: probe/corpus twins for the cut
+        rows = rows + rows[: len(rows) // 2 + 1]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r9"))
+    con = _write_docs(tmpdir, rows)
+    for name in ("decontaminate_cut_docs", "corpus_diff_docs",
+                 "ngram_loops_docs", "perceptron_ovr_language_docs"):
+        ok, msg = _vo.compare(
+            name, spark, con, tmpdir,
+            getattr(em, name), ORACLES_STAGED_R9[name])
+        assert ok, f"{name}: {msg}"
