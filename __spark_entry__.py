@@ -2996,6 +2996,28 @@ def ngram_loops_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_loop_runs(looped, n=4, min_repeats=3)
 
 
+def vocab_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-distribution drift between the corpus_diff_docs snapshots
+    (old = %17!=3, new = %17!=5 with %13 texts amended): top-50 terms
+    by absolute contribution to KL(new‖old), micro-nat integers
+    (operators/corpus.py:vocab_drift).
+
+    STAGED for the round-9 gate window (oracles.ORACLES_STAGED_R9; see
+    perceptron_ovr_language_docs)."""
+    from dbt_core_spark.operators.corpus import vocab_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 17 != 3")
+    new = docs.filter("doc_id % 17 != 5").withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 13 == 0) & F.col("text").isNotNull(),
+            F.concat_ws(" ", F.col("text"), F.lit("v2")),
+        ).otherwise(F.col("text")),
+    )
+    return vocab_drift(old, new, top_k=50)
+
+
 # =========================================================================
 # registry
 # =========================================================================

@@ -846,3 +846,83 @@ def ngram_loop_runs(
             .cast("bigint").alias("span_end"),
         )
     )
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+    smoothing: int = 1,
+) -> DataFrame:
+    """Term-distribution drift between two corpus snapshots — the
+    monitoring verb behind "did the crawl change under us": per-term
+    frequency-share shift plus each term's contribution to
+    KL(new ‖ old), the standard drift score.  Run it between ingest
+    batches (or corpus_diff'ed snapshots) before retraining decisions.
+
+    Integer-exact cross-engine (the ngram_lm/dsir discipline): with
+    add-``smoothing`` counts over the UNION vocabulary,
+
+        contrib(t) = p_new(t) · ln(p_new(t) / p_old(t))
+
+    is evaluated as ONE deterministic double expression over exact
+    integer counts and floored to micro-nats; Σ contrib over ALL terms
+    is the exact KL, and the emitted top_k are the largest absolute
+    contributors (rank window over the vocabulary, never the corpus).
+    Returns (term, n_old, n_new, drift_micro, rank).
+
+    Scale shape: two wordcount-class shuffles (map-side combined) +
+    one vocabulary-sized full-outer join; the corpus never moves, the
+    ranking window runs over vocabulary rows only."""
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.explode(normalized_words(text_col)).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").cast("bigint").alias(out))
+        )
+
+    o = _counts(old, "n_old")
+    n = _counts(new, "n_new")
+    v = o.join(n, "term", "full_outer").select(
+        "term",
+        F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+    ).localCheckpoint(eager=False)  # totals agg + scoring both read it
+    tot = v.agg(
+        F.sum("n_old").alias("t_old"),
+        F.sum("n_new").alias("t_new"),
+        F.count("*").alias("vsz"),
+    ).collect()[0]
+    t_old, t_new, vsz = (int(tot["t_old"] or 0), int(tot["t_new"] or 0),
+                         int(tot["vsz"]))
+    if vsz == 0:
+        return old.sparkSession.createDataFrame(
+            [], "term string, n_old bigint, n_new bigint, "
+                "drift_micro bigint, rank int")
+    s = int(smoothing)
+    # p_new·ln(p_new/p_old) with add-s smoothing, as ONE double expr
+    # over exact integers, floored to micro-nats (deterministic both
+    # engines; no cross-row float accumulation anywhere)
+    pn = (F.col("n_new") + F.lit(s)).cast("double") / F.lit(
+        float(t_new + s * vsz))
+    ratio = (
+        (F.col("n_new") + F.lit(s)).cast("double")
+        * F.lit(float(t_old + s * vsz))
+    ) / (
+        (F.col("n_old") + F.lit(s)).cast("double")
+        * F.lit(float(t_new + s * vsz))
+    )
+    scored = v.select(
+        "term", "n_old", "n_new",
+        F.floor(pn * F.log(ratio) * 1_000_000).cast("bigint")
+        .alias("drift_micro"),
+    )
+    w = Window.orderBy(
+        F.abs("drift_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )

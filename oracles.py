@@ -3774,3 +3774,43 @@ select doc_id, min(gram) as gram, min(start) as run_start,
 from r group by doc_id, phase, run
 having count(*) >= 3
 """
+
+
+# r8 drift monitoring: per-term KL(new‖old) contributions in micro-nats
+# between the corpus_diff snapshots.  The double expression mirrors the
+# Spark operator's association exactly (double casts of exact integer
+# counts, one multiply per side, one divide, one ln, one final product
+# floored) so identical doubles floor identically.  Staged r9.
+ORACLES_STAGED_R9["vocab_drift_docs"] = f"""
+with osrc as (select text from documents
+              where doc_id % 17 <> 3 and text is not null),
+ow as (select unnest({_WORDS}) as term from osrc),
+oc as (select term, cast(count(*) as bigint) as n_old from ow group by 1),
+nsrc as (
+  select case when doc_id % 13 = 0 then text || ' v2' else text end as text
+  from documents where doc_id % 17 <> 5 and text is not null
+),
+nw as (select unnest({_WORDS}) as term from nsrc),
+nc as (select term, cast(count(*) as bigint) as n_new from nw group by 1),
+v as (
+  select coalesce(oc.term, nc.term) as term,
+         coalesce(n_old, 0) as n_old, coalesce(n_new, 0) as n_new
+  from oc full outer join nc on oc.term = nc.term
+),
+t as (select cast(sum(n_old) as bigint) as t_old,
+             cast(sum(n_new) as bigint) as t_new,
+             cast(count(*) as bigint) as vsz from v),
+s as (
+  select term, n_old, n_new,
+         cast(floor(
+           (cast(n_new + 1 as double) / cast(t.t_new + t.vsz as double))
+           * ln((cast(n_new + 1 as double) * cast(t.t_old + t.vsz as double))
+                / (cast(n_old + 1 as double) * cast(t.t_new + t.vsz as double)))
+           * 1000000) as bigint) as drift_micro
+  from v, t
+)
+select term, n_old, n_new, drift_micro, cast(rn as int) as rank
+from (select s.*, row_number() over (order by abs(drift_micro) desc, term) as rn
+      from s) ranked
+where rn <= 50
+"""

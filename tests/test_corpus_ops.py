@@ -1573,6 +1573,7 @@ def test_perceptron_ovr_label_skew_and_empty(spark):
     "decontaminate_cut_docs",
     "corpus_diff_docs",
     "ngram_loops_docs",
+    "vocab_drift_docs",
 ])
 def test_staged_r9_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-9 gate row end to end: the exact
@@ -1641,3 +1642,37 @@ def test_ngram_loop_runs_hand_computed(spark):
     r4 = ngram_loop_runs(docs4, n=2, min_repeats=4).collect()
     assert [tuple(x) for x in r4] == [(1, "go on", 1, 4, 8)]
     assert ngram_loop_runs(docs4, n=2, min_repeats=5).count() == 0
+
+
+def test_vocab_drift_python_reference(spark):
+    """drift_micro must equal the floored-micro-nat KL contribution of
+    a pure-Python replica (add-1 smoothing over the union vocabulary),
+    and a vanished/new term must rank at the top."""
+    import math
+
+    from dbt_core_spark.operators.corpus import vocab_drift
+
+    old = spark.createDataFrame(
+        [(1, "alpha alpha beta gamma"), (2, "alpha beta")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha beta beta delta delta delta"), (2, None)],
+        "doc_id long, text string")
+    got = {r["term"]: (r["n_old"], r["n_new"], r["drift_micro"])
+           for r in vocab_drift(old, new, top_k=10).collect()}
+    co = {"alpha": 3, "beta": 2, "gamma": 1}
+    cn = {"alpha": 1, "beta": 2, "delta": 3}
+    vocab = sorted(set(co) | set(cn))
+    t_old, t_new, vsz = sum(co.values()), sum(cn.values()), len(vocab)
+    for t in vocab:
+        pn = (cn.get(t, 0) + 1) / (t_new + vsz)
+        ratio = ((cn.get(t, 0) + 1) * (t_old + vsz)) / (
+            (co.get(t, 0) + 1) * (t_new + vsz))
+        want = math.floor(pn * math.log(ratio) * 1_000_000)
+        assert got[t] == (co.get(t, 0), cn.get(t, 0), want), t
+    # delta (0→3) must out-rank small shifts
+    ranks = {r["term"]: r["rank"]
+             for r in vocab_drift(old, new, top_k=10).collect()}
+    assert ranks["delta"] == 1
+    # empty corpora: empty contract frame
+    assert vocab_drift(old.filter("false"), new.filter("false")).count() == 0
