@@ -3018,6 +3018,49 @@ def vocab_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_drift(old, new, top_k=50)
 
 
+def streaming_bm25_serve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing index, STREAMING query workload: the documents table
+    streamed as micro-batches (2 files/trigger), its %13 residue
+    treated as a request stream and served per batch against a sealed
+    BM25 index via the foreachBatch pattern
+    (streaming/structured.py:stream_serve_foreach_batch).  Per-query
+    top-k is request-row-local, so the drained union is identical to
+    the one-shot batch ranking under ANY micro-batch split — the
+    oracle IS bm25_rank over the same corpus and queries.
+
+    STAGED for the round-9 gate window (oracles.ORACLES_STAGED_R9; see
+    perceptron_ovr_language_docs)."""
+    import tempfile
+
+    from dbt_core_spark.operators.textstats import bm25_index, bm25_query
+    from dbt_core_spark.streaming.structured import (
+        stream_serve_foreach_batch,
+        stream_source,
+    )
+
+    path = _docs_stream_path(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    # sealed: bm25_query consumes the ephemeral index per batch
+    # (constants agg + postings join) — the ≥2-branch lineage rule
+    index = bm25_index(docs).localCheckpoint(eager=False)
+    stream = stream_source(
+        spark, path, spark.read.parquet(path).schema, fmt="parquet",
+        options={"maxFilesPerTrigger": "2"},
+    )
+    work = tempfile.mkdtemp(prefix="bm25_serve_")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    stream_serve_foreach_batch(
+        stream.filter("doc_id % 13 = 0"),
+        lambda batch: bm25_query(index, batch, top_k=5),
+        out, ckpt,
+    )
+    if not os.path.isdir(out):  # no query rows arrived at all
+        return spark.createDataFrame(
+            [], "query_id bigint, doc_id bigint, score_micro bigint, "
+                "rank int")
+    return spark.read.parquet(out)
+
+
 # =========================================================================
 # registry
 # =========================================================================

@@ -289,3 +289,41 @@ def streaming_decontaminate(
     return candidates.join(probe_set, "shingle", "inner").select(
         id_col, "shingle"
     )
+
+
+def stream_serve_foreach_batch(
+    stream: DataFrame,
+    fn,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> None:
+    """Generic micro-batch SERVING: run ``fn(batch_df) -> DataFrame``
+    (a batch transform against standing state — ``bm25_query`` over a
+    persisted lexical index, ``ivf_index_search`` over a persisted ANN
+    index) on every micro-batch of a request stream and append the
+    results to a parquet sink — the foreachBatch pattern Structured
+    Streaming prescribes for transforms that need batch-only features
+    (multi-action plans, driver-side collects, arbitrary joins).
+
+    Results are SPLIT-INVARIANT whenever ``fn`` is per-request-row
+    local (each request row lives in exactly one micro-batch and its
+    output depends only on that row plus the static state), so the
+    drained union equals the one-shot batch run — the
+    streaming_decontaminate invariant, generalized.
+
+    The checkpoint gives at-least-once parquet appends on crash/retry
+    (Spark's documented foreachBatch contract — use batch_id-keyed
+    idempotent writes or Delta MERGE for exactly-once in production);
+    an AvailableNow drain in tests/backfills sees each batch once."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        fn(batch_df).write.mode("append").parquet(out_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()

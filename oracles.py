@@ -3814,3 +3814,10 @@ from (select s.*, row_number() over (order by abs(drift_micro) desc, term) as rn
       from s) ranked
 where rn <= 50
 """
+
+
+# r8 streaming serving: a standing BM25 index serving a query STREAM
+# via foreachBatch — per-query top-k is request-row-local, so the
+# drained union equals the one-shot ranking and the oracle IS
+# bm25_rank over the same corpus/queries.  Staged r9.
+ORACLES_STAGED_R9["streaming_bm25_serve_docs"] = ORACLES["bm25_rank_docs"]

