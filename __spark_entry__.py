@@ -2922,6 +2922,29 @@ def perceptron_ovr_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptron_apply_ovr(docs, model, dim=64)
 
 
+def perceptron_avg_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGED-perceptron training + serve (the second r8 depth step
+    on the in-engine classifier family): same 3-epoch English-vs-other
+    training loop as perceptron_language_docs, but served from the
+    bigint SUM of the per-epoch weight snapshots — Freund-Schapire
+    averaging without division, still integer-exact, the oracle
+    replays every epoch and sums the snapshot CTEs
+    (operators/textstats.py:perceptron_train_averaged).
+
+    STAGED for the round-9 gate window (oracles.ORACLES_STAGED_R9; see
+    perceptron_ovr_language_docs)."""
+    from dbt_core_spark.operators.textstats import (
+        perceptron_apply,
+        perceptron_train_averaged,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(-1))
+    model = perceptron_train_averaged(labeled, "y", dim=64, epochs=3)
+    return perceptron_apply(docs, model, dim=64)
+
+
 def decontaminate_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPAN-LEVEL decontamination end to end (r8 depth step on the
     decontamination family): detect every benchmark 5-gram span in the
@@ -3154,8 +3177,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         # last green r6 (r9 fill, oldest-first; ngram_lm_docs and
-        # pool_embeddings_by_label carry the r7 floor-rounding oracle
-        # fix — unverified by the driver since the change)
+        # pool_embeddings_by_label LEAD the cohort — they carry the r7
+        # floor-rounding oracle fix, unverified by the driver since the
+        # change, and within-cohort order is free under the staleness
+        # invariant)
+        "ngram_lm_docs": ngram_lm_docs,
+        "pool_embeddings_by_label": pool_embeddings_by_label,
         "stratified_sample_docs": stratified_sample_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "xdb_datetime_functions": xdb_datetime_functions,
@@ -3186,7 +3213,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": incremental_dedup_docs,
         "cc_dedup_docs": cc_dedup_docs,
         "line_dedup_docs": line_dedup_docs,
-        "ngram_lm_docs": ngram_lm_docs,
         "epoch_shuffle_docs": epoch_shuffle_docs,
         "bpe_pair_docs": bpe_pair_docs,
         "tokenize_docs": tokenize_docs,
@@ -3195,7 +3221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_events": hll_distinct_events,
         "kmv_distinct_users": kmv_distinct_users,
         "quantize_embeddings_int8": quantize_embeddings_int8,
-        "pool_embeddings_by_label": pool_embeddings_by_label,
         "mixture_sample_docs": mixture_sample_docs,
         "multimodal_decode_wav_ppm": multimodal_decode_wav_ppm,
         "pandas_udf_text_features": pandas_udf_text_features,

@@ -1722,6 +1722,84 @@ def perceptron_apply(
     )
 
 
+def perceptron_train_averaged(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    epochs: int = 3,
+    seed: str = "clf",
+) -> DataFrame:
+    """AVERAGED batch perceptron (Freund & Schapire 1999's averaging
+    applied to the batch variant): the served weights are the SUM of
+    the per-epoch weight snapshots w_1..w_E instead of the final w_E —
+    the classic variance reduction that makes perceptron quality
+    competitive for text filtering, and the natural next depth step on
+    ``perceptron_train``.
+
+    Integer-exact and SQL-replayable: every snapshot is already exact
+    bigints, so the sum is too (the sign of Σ_e w_e·x equals the sign
+    of the averaged score — no division anywhere).  The training loop
+    is byte-for-byte ``perceptron_train``'s (same featurize pass, same
+    epoch plan); only the returned table differs.  Serve with
+    ``perceptron_apply`` as usual.  Returns (bucket int, w bigint)
+    where w = Σ_e w_e[bucket]."""
+    spark = df.sparkSession
+    feats = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("bigint").alias("y"),
+            F.explode(
+                F.concat(
+                    F.transform(
+                        normalized_words(F.col(text_col)),
+                        lambda x: _bucket_of(x, dim, seed),
+                    ),
+                    F.array(F.lit(dim).cast("bigint")),
+                )
+            ).alias("bucket"),
+        )
+        .groupBy("id", "y", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    w = [0] * (dim + 1)
+    acc = [0] * (dim + 1)
+    for _ in range(epochs):
+        wcol = F.lit(w)
+        dots = (
+            feats.groupBy("id", "y")
+            .agg(F.sum(
+                F.col("cnt")
+                * F.element_at(wcol, F.col("bucket").cast("int") + 1)
+            ).alias("dot"))
+        )
+        mis = dots.filter(F.col("y") * F.col("dot") <= 0).select("id")
+        delta = (
+            feats.join(mis, "id", "left_semi")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
+            .collect()
+        )
+        for r in delta:
+            w[int(r["bucket"])] += int(r["d"])
+        for b in range(dim + 1):
+            acc[b] += w[b]
+        if not delta:
+            # converged: every remaining epoch's snapshot equals w, and
+            # the accumulator above already added THIS epoch's copy —
+            # add the rest so early exit equals running all E epochs
+            remaining = epochs - 1 - _
+            for b in range(dim + 1):
+                acc[b] += w[b] * remaining
+            break
+    return spark.createDataFrame(
+        [(b, int(a)) for b, a in enumerate(acc)], "bucket int, w bigint")
+
+
 def perceptron_train_ovr(
     df: DataFrame,
     class_col: str,

@@ -3482,8 +3482,8 @@ select s.doc_id, s.shingle from sh s join probe p using (shingle)
 
 
 def _perceptron_sql(dim: int = 64, epochs: int = 3,
-                    label: str = "case when lang = 'en' then 1 else -1 end"
-                    ) -> str:
+                    label: str = "case when lang = 'en' then 1 else -1 end",
+                    averaged: bool = False) -> str:
     """Replay of the full batch-perceptron training loop + the serving
     pass in one DuckDB query (the kmeans replayed-training precedent):
     epoch 1 updates on every doc (w=0 ⇒ y·dot<=0 everywhere), later
@@ -3527,6 +3527,20 @@ w{e} as (
          cast(coalesce(w.w, 0) + coalesce(d.d, 0) as bigint) as w
   from w{e - 1} w full outer join d{e} d on w.bucket = d.bucket
 )""")
+    if averaged:
+        # averaged perceptron: served weights are the SUM of the
+        # per-epoch snapshots w_1..w_E (sign-equivalent to the mean —
+        # no division, stays bigint); a converged epoch's w_e equals
+        # w_{e-1}, so summing every CTE matches the operator's
+        # early-exit accounting exactly
+        union = " union all ".join(
+            f"select * from w{e}" for e in range(1, epochs + 1))
+        parts.append(f""",
+wavg as (
+  select bucket, cast(sum(w) as bigint) as w
+  from ({union}) u group by 1
+)""")
+    serve = "wavg" if averaged else f"w{epochs}"
     parts.append(f""",
 af as (
   select doc_id, ({bucket}) % {dim} as bucket,
@@ -3541,7 +3555,7 @@ af as (
 select a.doc_id,
        cast(sum(a.cnt * w.w) as bigint) as score,
        cast(case when sum(a.cnt * w.w) > 0 then 1 else -1 end as int) as pred
-from af a join w{epochs} w using (bucket)
+from af a join {serve} w using (bucket)
 group by a.doc_id""")
     return "".join(parts)
 
@@ -3821,3 +3835,10 @@ where rn <= 50
 # drained union equals the one-shot ranking and the oracle IS
 # bm25_rank over the same corpus/queries.  Staged r9.
 ORACLES_STAGED_R9["streaming_bm25_serve_docs"] = ORACLES["bm25_rank_docs"]
+
+
+# r8 perceptron depth, second step: the AVERAGED batch perceptron —
+# served weights are the bigint sum of per-epoch snapshots (Freund &
+# Schapire averaging, sign-equivalent without division).  Staged r9.
+ORACLES_STAGED_R9["perceptron_avg_language_docs"] = _perceptron_sql(
+    dim=64, epochs=3, averaged=True)

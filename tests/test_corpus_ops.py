@@ -1575,6 +1575,7 @@ def test_perceptron_ovr_label_skew_and_empty(spark):
     "ngram_loops_docs",
     "vocab_drift_docs",
     "streaming_bm25_serve_docs",
+    "perceptron_avg_language_docs",
 ])
 def test_staged_r9_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-9 gate row end to end: the exact
@@ -1677,3 +1678,57 @@ def test_vocab_drift_python_reference(spark):
     assert ranks["delta"] == 1
     # empty corpora: empty contract frame
     assert vocab_drift(old.filter("false"), new.filter("false")).count() == 0
+
+
+def test_perceptron_averaged_matches_sequential_replica(spark):
+    """Averaged weights must equal the sum of per-epoch snapshots of a
+    pure-Python replica of the batch rule, including the early-
+    convergence accounting (remaining epochs contribute the converged
+    snapshot)."""
+    from dbt_core_spark.operators.textstats import (
+        _bucket_of,
+        perceptron_train_averaged,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good clean prose here", 1),
+         (2, "spam spam spam buy now", -1),
+         (3, "more nice text", 1),
+         (4, None, 1), (5, "unlabeled", None)],
+        "doc_id long, text string, y int")
+    dim, epochs = 16, 4
+    got = {r["bucket"]: r["w"] for r in perceptron_train_averaged(
+        docs, "y", dim=dim, epochs=epochs).collect()}
+
+    # python replica: featurize with the SAME hash buckets via Spark
+    feats = {}
+    rows = docs.filter("text is not null and y is not null").select(
+        "doc_id", "y", F.explode(F.concat(
+            F.transform(
+                __import__("dbt_core_spark.operators.dedup",
+                           fromlist=["normalized_words"]).normalized_words(
+                    F.col("text")),
+                lambda x: _bucket_of(x, dim, "clf")),
+            F.array(F.lit(dim).cast("bigint")))).alias("b")).collect()
+    for r in rows:
+        feats.setdefault((r["doc_id"], r["y"]), {})
+        feats[(r["doc_id"], r["y"])][r["b"]] = \
+            feats[(r["doc_id"], r["y"])].get(r["b"], 0) + 1
+    w = [0] * (dim + 1)
+    acc = [0] * (dim + 1)
+    for e in range(epochs):
+        mis = [(y, f) for (d, y), f in feats.items()
+               if y * sum(c * w[b] for b, c in f.items()) <= 0]
+        delta = {}
+        for y, f in mis:
+            for b, c in f.items():
+                delta[b] = delta.get(b, 0) + y * c
+        for b, d in delta.items():
+            w[b] += d
+        for b in range(dim + 1):
+            acc[b] += w[b]
+        if not delta:
+            acc = [a + w[b] * (epochs - 1 - e)
+                   for b, a in enumerate(acc)]
+            break
+    assert got == {b: a for b, a in enumerate(acc)}

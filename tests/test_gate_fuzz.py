@@ -1436,7 +1436,7 @@ def test_staged_r9_doc_gates_on_hostile_corpora(
     con = _write_docs(tmpdir, rows)
     for name in ("decontaminate_cut_docs", "corpus_diff_docs",
                  "ngram_loops_docs", "perceptron_ovr_language_docs",
-                 "vocab_drift_docs"):
+                 "vocab_drift_docs", "perceptron_avg_language_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R9[name])
