@@ -227,6 +227,36 @@ PICKS = {
         "(query,doc)-keyed aggregation with map-side partials, and a "
         "WindowGroupLimit — fusion cost is bounded by Σ|rankings|, "
         "never the corpus."),
+    "corpus_diff_docs": (
+        "Snapshot diff (r9-staged) — content md5 computed per side "
+        "BEFORE the full-outer join so only (id, 32-byte hash) rows "
+        "reach the exchange, never document text; on id-bucketed "
+        "snapshot tables the join co-partitions with no exchange at "
+        "all."),
+    "vocab_drift_docs": (
+        "Vocabulary drift (r9-staged) — two wordcount-class shuffles "
+        "with map-side partial aggregation, one vocabulary-sized "
+        "full-outer join, and a rank window over VOCABULARY rows "
+        "only; the corpus never moves and the KL contributions are "
+        "floored micro-nat integers."),
+    "ngram_loops_docs": (
+        "Degenerate-loop detection (r9-staged) — positional n-grams "
+        "from the shifted-slice HOF (no self-join), chain detection "
+        "as a per-(doc, phase) lag window bounded by document length, "
+        "runs aggregated with one doc-keyed groupBy; zero joins "
+        "anywhere."),
+    "decontaminate_cut_docs": (
+        "Span-level decontamination (r9-staged) — corpus positional "
+        "grams are the shared sealed 16-byte-key pass; probe "
+        "membership is one left-semi join against the distinct probe "
+        "shingle hashes; island merge and the positional cut stay in "
+        "per-document windows / doc-keyed aggregates."),
+    "perceptron_ovr_language_docs": (
+        "Jointly-trained one-vs-rest perceptrons (r9-staged) — the "
+        "SERVE plan: hashed-count features broadcast-join k·(dim+1) "
+        "weight rows, per-(id, cls) integer sums with map-side "
+        "partials, argmax via one min-struct aggregate — no window, "
+        "no per-class pass."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",
