@@ -567,3 +567,34 @@ def test_decontaminate_bloom_prefilter_shape(spark, sf_dir):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("forall") == 1
     assert analyzed.count("element_at") == 1
+
+
+def test_corpus_diff_shuffles_hashes_never_text(spark, sf_dir):
+    """Snapshot diff: the md5 projection must land BELOW both join
+    exchanges so only (id, 32-byte hash) rows shuffle — document text
+    crossing an exchange would be corpus-bytes-scale traffic at
+    100 TB."""
+    import re
+
+    from dbt_core_spark.operators.corpus import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = corpus_diff(docs.filter("doc_id % 17 != 5"),
+                     docs.filter("doc_id % 17 != 3"))
+    fmt = _formatted(df)
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", fmt)
+    assert exchanges, "expected at least one join exchange"
+    for cols in exchanges:
+        assert "text#" not in cols, f"document text crossed a shuffle: {cols}"
+
+
+def test_ngram_loop_runs_has_no_joins(spark, sf_dir):
+    """Loop detection: positional grams + per-(doc, phase) windows +
+    one doc-keyed aggregate — any Join node means the shape regressed."""
+    from dbt_core_spark.operators.corpus import ngram_loop_runs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(ngram_loop_runs(docs, n=3, min_repeats=3))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
