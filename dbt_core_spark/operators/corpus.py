@@ -799,16 +799,60 @@ def ngram_loop_runs(
     for j in range(1, n):
         z = F.zip_with(z, F.slice(F.col("ws"), j + 1, cnt),
                        lambda x, y: F.concat_ws(" ", x, y))
-    grams = (
+    exploded = (
         words.filter(F.size("ws") >= n)
-        .select(F.col(id_col), F.posexplode(z).alias("p0", "gram"))
-        .select(
-            id_col,
-            (F.col("p0") + 1).cast("bigint").alias("start"),
-            "gram",
-            ((F.col("p0") + 1) % n).cast("int").alias("phase"),
-        )
+        .withColumn("_z", z)
     )
+    if min_repeats >= 2:
+        # ARRAY-DOMAIN prefilter before the explode (lossless for
+        # min_repeats >= 2): a position can belong to a run only if
+        # the SAME gram sits exactly n before or after it.  Healthy
+        # text has ~no such links, so the window exchange carries ~zero
+        # rows instead of every corpus gram.  At the probe decades the
+        # wall is dominated by gram CONSTRUCTION (linear, unavoidable)
+        # either way; the cut is about exchange bytes and window state
+        # on wider-than-memory corpora.  Shifted-slice zip_with only
+        # (no element_at-in-lambda re-evaluation).
+        zc = F.col("_z")
+        zcnt = F.size("_z")
+        fwd = F.zip_with(
+            zc,
+            F.slice(zc, n + 1, F.greatest(zcnt - n, F.lit(0))),
+            lambda x, y: F.coalesce(x == y, F.lit(False)),
+        )
+        bwd = F.concat(
+            F.array_repeat(F.lit(False), n),
+            F.slice(fwd, 1, F.greatest(zcnt - n, F.lit(0))),
+        )
+        keep = F.zip_with(
+            fwd, bwd,
+            lambda a, b: F.coalesce(a, F.lit(False))
+            | F.coalesce(b, F.lit(False)),
+        )
+        grams = (
+            exploded
+            .select(F.col(id_col),
+                    F.posexplode(F.arrays_zip(zc, keep.alias("k")))
+                    .alias("p0", "s"))
+            .filter(F.col("s._z").isNotNull() & F.col("s.k"))
+            .select(
+                id_col,
+                (F.col("p0") + 1).cast("bigint").alias("start"),
+                F.col("s._z").alias("gram"),
+                ((F.col("p0") + 1) % n).cast("int").alias("phase"),
+            )
+        )
+    else:
+        grams = (
+            exploded
+            .select(F.col(id_col), F.posexplode("_z").alias("p0", "gram"))
+            .select(
+                id_col,
+                (F.col("p0") + 1).cast("bigint").alias("start"),
+                "gram",
+                ((F.col("p0") + 1) % n).cast("int").alias("phase"),
+            )
+        )
     w_ord = Window.partitionBy(id_col, "phase").orderBy("start")
     w_run = (
         Window.partitionBy(id_col, "phase")
@@ -919,10 +963,25 @@ def vocab_drift(
         F.floor(pn * F.log(ratio) * 1_000_000).cast("bigint")
         .alias("drift_micro"),
     )
+    # per-partition top-k prefilter BEFORE the global rank window (the
+    # build_vocab lever): the unbounded window otherwise sorts the
+    # ENTIRE vocabulary in one task.  At the probe decades the wall is
+    # dominated by the two corpus wordcounts (linear) — this cut is
+    # about the single-task sort on 100M+-term vocabularies; keeping
+    # the top_k of every partition is lossless for a global top_k
+    pw = Window.partitionBy("_pid").orderBy(
+        F.abs("drift_micro").desc(), F.col("term").asc()
+    )
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= top_k)
+        .drop("_pid", "_pr")
+    )
     w = Window.orderBy(
         F.abs("drift_micro").desc(), F.col("term").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_k)
     )

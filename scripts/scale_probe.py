@@ -447,6 +447,44 @@ def main() -> None:
               f"{sdec[factor]['per_batch']}s/batch, {out_rows} matches",
               file=sys.stderr)
 
+    # ---- dataset-management tier (r8): snapshot diff, vocabulary
+    # drift, and degenerate-loop detection over the same perturbed
+    # docs decades.  corpus_diff must stay hash-only through its one
+    # full-outer join (wall ~linear in rows); vocab_drift's rank
+    # window runs over VOCABULARY rows (the perturbed replicas grow
+    # the vocab ~linearly — worst case for it); ngram_loop_runs is a
+    # per-(doc, phase) window, no joins. ----
+    from dbt_core_spark.operators.corpus import (
+        corpus_diff,
+        ngram_loop_runs,
+        vocab_drift,
+    )
+
+    dm_results: dict[str, dict[int, tuple]] = {}
+    for factor in SCALES:
+        docs = spark.read.parquet(replicate_docs(spark, factor))
+        old = docs.filter("doc_id % 17 != 5")
+        new = docs.filter("doc_id % 17 != 3").withColumn(
+            "text",
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat_ws(" ", "text", F.lit("v2")))
+            .otherwise(F.col("text")),
+        )
+        print(f"== dataset-mgmt x{factor}: {dedup_meta[factor]} docs",
+              file=sys.stderr)
+        dm_results.setdefault("corpus_diff", {})[factor] = run_count(
+            lambda: corpus_diff(old, new))
+        dm_results.setdefault("vocab_drift (top-50)", {})[factor] = run(
+            lambda: vocab_drift(old, new, top_k=50))
+        dm_results.setdefault("ngram_loop_runs (n=3)", {})[factor] = \
+            run_count(lambda: ngram_loop_runs(docs, n=3, min_repeats=3))
+        for op, per in dm_results.items():
+            if factor in per:
+                rows, wall, a = per[factor]
+                print(f"  {op}: {wall}s, {rows} rows, "
+                      f"shuffle={fmt_bytes(a['shuffle_bytes'])}",
+                      file=sys.stderr)
+
     lines = [
         "# SCALING — ANN + dedup tiers, measured across two decades",
         "",
@@ -752,6 +790,43 @@ def main() -> None:
         "- Match-stream determinism under ANY micro-batch split is "
         "pinned separately (pytest: multi-batch drain ≡ batch recipe; "
         "the driver gate runs the same invariant at 2 files/trigger).",
+        "",
+        "## Dataset-management tier (snapshot diff / drift / loops)",
+        "",
+        "Same perturbed docs decades; old/new snapshots are the "
+        "%17-residue splits with %13 texts amended (the gate recipe).",
+        "",
+        "| operator | scale | wall s | out rows | final-job shuffle "
+        "| shuffle rows |",
+        "|---|---|---|---|---|---|",
+    ]
+    for op, per in dm_results.items():
+        for factor in SCALES:
+            rows, wall, a = per[factor]
+            lines.append(
+                f"| {op} | ×{factor} | {wall} | {rows:,} "
+                f"| {fmt_bytes(a['shuffle_bytes'])} "
+                f"| {a['shuffle_records']:,} |")
+    cd1 = dm_results["corpus_diff"][1]
+    cd100 = dm_results["corpus_diff"][100]
+    lines += [
+        "",
+        f"- **corpus_diff is hash-only and ~flat**: wall grows "
+        f"{cd100[1] / max(cd1[1], 0.01):.1f}× for 100× the docs "
+        f"({cd1[1]}s → {cd100[1]}s) — md5 is computed per side BELOW "
+        "the join (plan-pinned: document text never crosses an "
+        "exchange) and at probe scale AQE broadcasts the hash side "
+        "outright (final-job shuffle 0 B); on id-bucketed snapshot "
+        "tables the exchange disappears at any scale.",
+        "- **vocab_drift and ngram_loop_runs scale linearly** (~10× "
+        "wall per decade): the cost is the corpus wordcount / gram "
+        "construction, the unavoidable read-every-token floor.  Their "
+        "rank/lag windows are guarded against the super-linear "
+        "failure modes instead — drift's global top-k sorts only "
+        "per-partition-pruned candidates (the build_vocab lever) and "
+        "loop detection prefilters to stride-linked positions in the "
+        "ARRAY domain, so window exchanges stay ~empty on healthy "
+        "text.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
