@@ -2970,6 +2970,35 @@ def decontaminate_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut_dup_spans(corpus, spans)
 
 
+def ann_ivf_rebalance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE: a deliberately coarse index (4 cells over
+    the whole corpus) rebalanced with max_cell_rows=25 — every hot
+    cell splits into ceil(n/25) sub-cells seeded from its lowest-id
+    members, and ONLY hot-cell members re-assign (rounded-cosine
+    argmax); the emitted (vec_id, cell) table is the next index
+    snapshot, exact in both engines including the deterministic fresh
+    cell numbering (operators/similarity.py:ivf_index_rebalance —
+    completes the build/search/append lifecycle).
+
+    STAGED for the round-9 gate window (oracles.ORACLES_STAGED_R9; see
+    perceptron_ovr_language_docs)."""
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_rebalance,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, assigns = ivf_index_build(emb, n_cells=4, kmeans_iters=0)
+    # sealed: rebalance consumes the assignment pass four ways (counts,
+    # seeds, moved, cold) — the ≥2-branch lineage rule
+    assigns = assigns.localCheckpoint(eager=False)
+    _, assigns2 = ivf_index_rebalance(cents, assigns, max_cell_rows=25)
+    return assigns2.select(
+        F.col("id").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+
+
 def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-versioning diff between two derived corpus snapshots:
     old = docs without the %17==3 residue, new = docs without the

@@ -1696,6 +1696,108 @@ def ivf_index_append(
     )
 
 
+def ivf_index_rebalance(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    max_cell_rows: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Split HOT cells of a persisted IVF index WITHOUT rebuilding it —
+    the maintenance step the build/search/append lifecycle still
+    needed: appends concentrate in popular regions, hot cells blow
+    past ``max_cell_rows``, and per-cell search cost (the thing IVF
+    exists to bound) degrades.  A full rebuild re-assigns 100 TB; this
+    touches ONLY the hot cells' members.
+
+    Per hot cell c (count > max_cell_rows): k_c = ceil(count /
+    max_cell_rows) sub-centroids seeded from the cell's LOWEST-id
+    members (the deterministic kmeans_iters=0 convention — exact SQL
+    oracle), unit-normalized; the cell's members re-assign to their
+    own sub-centroids by rounded-cosine argmax (class-10 contract:
+    round(cos, 6), ties to the lowest sub index).  Cold cells and
+    their members are untouched — their rows pass through verbatim.
+
+    New cell numbering is deterministic: retired hot-cell ids are
+    replaced by fresh ids starting at max(cell)+1, enumerated in
+    (hot cell asc, sub index asc) order.
+
+    Scale shape: one tiny per-cell count aggregate; one bounded
+    Σ k_c-row collect (WindowGroupLimit on id per hot cell); one Arrow
+    pass over HOT-cell members only (broadcast sub-centroid matrices);
+    cold members never move.  Returns ``(centroids2, assignments2)``
+    with the ivf_index_build schemas — persist them as the next index
+    snapshot."""
+    import numpy as np
+    import pandas as pd
+
+    spark = assignments.sparkSession
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in assignments.groupBy("cell")
+        .agg(F.count("*").alias("n")).collect()
+    }  # bounded: n_cells rows
+    hot = {c: -(-n // max_cell_rows) for c, n in counts.items()
+           if n > max_cell_rows}
+    if not hot:
+        return centroids, assignments
+    hot_cells = sorted(hot)
+    w = Window.partitionBy("cell").orderBy("id")
+    seeds = (
+        assignments.filter(F.col("cell").isin(hot_cells))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= F.lit(max(hot.values())))
+        .collect()  # <= n_hot · max(k_c) rows — bounded, model-sized
+    )
+    base_id = max(counts) + 1
+    sub: dict[int, tuple] = {}
+    new_cent_rows = []
+    next_id = base_id
+    for c in hot_cells:
+        rows = sorted((r for r in seeds if r["cell"] == c),
+                      key=lambda r: r["_r"])[: hot[c]]
+        M = np.array([r["v"] for r in rows], dtype=np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ids = list(range(next_id, next_id + len(rows)))
+        next_id += len(rows)
+        sub[c] = (Mn, np.array(ids, dtype="int64"))
+        new_cent_rows += [
+            (int(i), [float(x) for x in Mn[j]]) for j, i in enumerate(ids)
+        ]
+    bcast = spark.sparkContext.broadcast(sub)
+
+    def reassign(batches):
+        table = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for c, grp in pdf.groupby("cell"):
+                Mn, ids = table[int(c)]
+                V = np.array(grp["v"].tolist(), dtype=np.float64)
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                # rounded cell-assignment contract (class 10): argmax
+                # on round(cos, 6); numpy argmax ties to the FIRST
+                # (lowest sub index), mirroring the oracle's rank
+                pick = np.round(Vn @ Mn.T, 6).argmax(axis=1)
+                out.append(pd.DataFrame({
+                    "id": grp["id"].astype("int64"),
+                    "v": grp["v"],
+                    "cell": ids[pick].astype("int32"),
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    moved = (
+        assignments.filter(F.col("cell").isin(hot_cells))
+        .mapInPandas(reassign, schema="id long, v array<double>, cell int")
+    )
+    cold = assignments.filter(~F.col("cell").isin(hot_cells))
+    centroids2 = (
+        centroids.filter(~F.col("cell").isin(hot_cells))
+        .unionByName(spark.createDataFrame(
+            new_cent_rows, "cell int, cv array<double>"))
+    )
+    return centroids2, cold.unionByName(moved)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (Jégou, Douze & Schmid 2011, "Product Quantization
 # for Nearest Neighbor Search") — the storage tier below IVF: each vector

@@ -3842,3 +3842,62 @@ ORACLES_STAGED_R9["streaming_bm25_serve_docs"] = ORACLES["bm25_rank_docs"]
 # Schapire averaging, sign-equivalent without division).  Staged r9.
 ORACLES_STAGED_R9["perceptron_avg_language_docs"] = _perceptron_sql(
     dim=64, epochs=3, averaged=True)
+
+
+# r8 IVF maintenance: hot-cell rebalance — replay build assignment
+# (4 seed cells), find hot cells (> 25 members), seed ceil(n/25)
+# sub-centroids per hot cell from its lowest-id members, re-assign
+# ONLY hot members by rounded-cosine argmax, and renumber fresh cells
+# deterministically from max(cell)+1 in (cell, sub_idx) order.  Cold
+# members pass through verbatim.  Staged r9.
+ORACLES_STAGED_R9["ann_ivf_rebalance_embeddings"] = f"""
+with v0 as (
+    select vec_id, embedding::DOUBLE[] as e from embeddings
+), v as (
+    select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
+    where {_dot_sql('e', 'e')} > 0
+      and {_dot_sql('e', 'e')} < 'infinity'::double
+), cents as (
+    select row_number() over (order by vec_id) - 1 as cell, e as ce, vn as cn
+    from (select * from v order by vec_id limit 4) s
+), rk as (
+    select v.vec_id as id, v.e, v.vn, c.cell,
+           row_number() over (partition by v.vec_id
+                              order by round({_dot_sql('v.e', 'c.ce')}
+                                             / (v.vn * c.cn), 6) desc,
+                                       c.cell) as r
+    from v, cents c
+), assign as (
+    select id, e, vn, cast(cell as bigint) as cell from rk where r = 1
+), cnt as (
+    select cell, cast(count(*) as bigint) as n from assign group by 1
+), hot as (
+    select cell, cast(ceil(n / 25.0) as bigint) as k_c
+    from cnt where n > 25
+), seeds as (
+    select a.cell, a.e as se, a.vn as sn,
+           row_number() over (partition by a.cell order by a.id) - 1
+             as sub_idx
+    from assign a join hot h using (cell)
+    qualify row_number() over (partition by a.cell order by a.id) <= h.k_c
+), numbered as (
+    select cell, se, sn, sub_idx,
+           (select max(cell) from cnt) + row_number()
+             over (order by cell, sub_idx) as new_cell
+    from seeds
+), moved as (
+    select a.id,
+           cast(n.new_cell as int) as cell,
+           row_number() over (partition by a.id
+                              order by round({_dot_sql('a.e', 'n.se')}
+                                             / (a.vn * n.sn), 6) desc,
+                                       n.sub_idx) as r
+    from assign a
+    join hot h using (cell)
+    join numbered n on n.cell = a.cell
+)
+select id as vec_id, cell from moved where r = 1
+union all
+select a.id as vec_id, cast(a.cell as int) as cell
+from assign a left join hot h using (cell) where h.cell is null
+"""

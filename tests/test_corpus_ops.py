@@ -1576,6 +1576,7 @@ def test_perceptron_ovr_label_skew_and_empty(spark):
     "vocab_drift_docs",
     "streaming_bm25_serve_docs",
     "perceptron_avg_language_docs",
+    "ann_ivf_rebalance_embeddings",
 ])
 def test_staged_r9_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-9 gate row end to end: the exact

@@ -1441,3 +1441,30 @@ def test_staged_r9_doc_gates_on_hostile_corpora(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R9[name])
         assert ok, f"{name}: {msg}"
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows_nullable, dup=st.booleans())
+def test_staged_r9_rebalance_gate_on_hostile_corpora(
+    spark, tmp_path_factory, vecs, dup
+):
+    """The staged IVF-rebalance gate on hostile embeddings: NULL /
+    zero-norm vectors (excluded by the build's entry contract on both
+    engines), duplicate vectors (argmax and seed-order ties), and tiny
+    corpora where no cell is hot (rebalance no-ops and the gate is the
+    plain build assignment)."""
+    from oracles import ORACLES_STAGED_R9
+
+    if dup and vecs:
+        vecs = vecs + vecs[:3]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r9reb"))
+    con = _write_embeddings(tmpdir, [v for v in vecs])
+    ok, msg = _vo.compare(
+        "ann_ivf_rebalance_embeddings", spark, con, tmpdir,
+        em.ann_ivf_rebalance_embeddings,
+        ORACLES_STAGED_R9["ann_ivf_rebalance_embeddings"])
+    assert ok, msg

@@ -690,3 +690,55 @@ def test_rounded_topk_cols_matches_bruteforce():
         r = np.round(s, 6)
         want = sorted(range(n), key=lambda i: (-r[i], i))[:k]
         assert got == want, (trial, s.tolist(), k, got, want)
+
+
+def test_ivf_index_rebalance_splits_only_hot_cells(spark, sf_dir):
+    """Rebalance: the member SET is preserved exactly, cold cells and
+    their rows pass through verbatim, retired hot ids disappear, new
+    sub-cells number deterministically from max(cell)+1, and the
+    rebalanced index still serves searches."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_rebalance,
+        ivf_index_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, assigns = ivf_index_build(emb, n_cells=4, kmeans_iters=0)
+    assigns = assigns.localCheckpoint(eager=True)
+    before = {r["id"]: r["cell"] for r in assigns.collect()}
+    counts = {}
+    for c in before.values():
+        counts[c] = counts.get(c, 0) + 1
+    mcr = 25
+    hot = {c for c, n in counts.items() if n > mcr}
+    assert hot, "test premise: some cell must be hot at this sf"
+
+    cents2, assigns2 = ivf_index_rebalance(cents, assigns,
+                                           max_cell_rows=mcr)
+    assigns2 = assigns2.localCheckpoint(eager=True)
+    after = {r["id"]: r["cell"] for r in assigns2.collect()}
+    assert set(after) == set(before)  # no member lost or invented
+    base = max(counts) + 1
+    for i, c in before.items():
+        if c in hot:
+            assert after[i] >= base  # moved to a fresh sub-cell id
+        else:
+            assert after[i] == c     # cold rows byte-identical
+    # retired ids gone from the centroid table; cold centroids kept
+    cells2 = {r["cell"] for r in cents2.select("cell").collect()}
+    assert not (cells2 & hot)
+    assert (set(counts) - hot) <= cells2
+    # deterministic: a second rebalance of the same input is identical
+    _, again = ivf_index_rebalance(cents, assigns, max_cell_rows=mcr)
+    assert {r["id"]: r["cell"] for r in again.collect()} == after
+    # the rebalanced index serves: every query gets k neighbors
+    queries = emb.filter("vec_id % 50 = 0")
+    res = ivf_index_search(cents2, assigns2, queries, k=3, n_probe=4)
+    got = res.groupBy("query_id").count().collect()
+    assert got and all(r["count"] == 3 for r in got)
+    # no-op below the threshold: inputs returned unchanged
+    c3, a3 = ivf_index_rebalance(cents, assigns, max_cell_rows=10**9)
+    assert a3 is assigns and c3 is cents
