@@ -3136,8 +3136,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r7 window, then 41 of the 50 r5-green rows, oldest-first.  The 9
     # displaced r5 rows sit at positions 51-59 and mechanically lead
     # round 9, followed by the r6 cohort (ngram_lm_docs /
-    # pool_embeddings_by_label there carry the r7 floor-rounding oracle
-    # fix, locally re-verified at three scales — driver-verify in r9).
+    # pool_embeddings_by_label lead it — they carry the r7
+    # floor-rounding oracle fix, locally re-verified at three scales).
+    # ROUND-9 WINDOW PLAN: the 8 never-verified staged gates lead
+    # (ORACLES_STAGED_R9: perceptron_ovr/avg, decontaminate_cut,
+    # corpus_diff, ngram_loops, vocab_drift, streaming_bm25_serve,
+    # ann_ivf_rebalance — move their SQL into ORACLES, add queries()
+    # entries; each is pre-verified at two scales AND fuzz-covered by
+    # tests/test_gate_fuzz.py::test_staged_r9_*), then the 9 displaced
+    # r5 rows (positions 51-59 below), then 33 r6 rows oldest-first.
     return {
         # ---- never driver-verified: the r7-staged gates lead ----
         "hybrid_retrieval_docs": hybrid_retrieval_docs,
