@@ -64,3 +64,22 @@ def test_oracle_no_decimal_outputs(con, name):
         f"type-tagged hash will mismatch Spark's int64/double — cast the "
         f"aggregate (e.g. cast(sum(...) as bigint)) per the repo convention"
     )
+
+
+# staged-for-next-round oracles get the same lint BEFORE they are
+# wired: a decimal output found at wiring time would cost a driver
+# round (the hash is type-tagged)
+from oracles import ORACLES_STAGED_R9  # noqa: E402
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES_STAGED_R9))
+def test_staged_oracle_no_decimal_outputs(con, name):
+    if not os.path.exists(f"{SF_DIR}/region.parquet"):
+        pytest.skip("testdata not present")
+    tbl = con.execute(ORACLES_STAGED_R9[name]).fetch_arrow_table()
+    bad = [
+        (f.name, str(f.type))
+        for f in tbl.schema
+        if _offending(f.type)
+    ]
+    assert not bad, f"{name}: decimal/hugeint outputs {bad}"
