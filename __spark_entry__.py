@@ -79,25 +79,69 @@ def _drop_stale_memory_sinks(spark: SparkSession, prefix: str) -> str:
     return f"{prefix}{_uuid.uuid4().hex[:8]}"
 
 
-_EVENTS_US_CACHE: dict[str, str] = {}
+_STABLE_COPY_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _stable_table_copy(sf_dir: str, table: str, prefix: str,
+                       write_fn: Callable[[str], None]) -> str:
+    """Write-once, cross-process-stable /tmp copy of a testdata table.
+
+    Two failure classes this helper closes (r7 + r8 verdicts):
+    - naming must NOT use Python ``hash()`` (per-process salted): a
+      Structured-Streaming checkpoint that outlives the process records
+      the old path and the next session dies with ``Wrong basePath``.
+      Name = md5 of (sf_dir, table, source size+mtime), so the path is
+      identical across sessions yet fresh when the driver regenerates
+      testdata.
+    - the write must be ATOMIC and at-most-once: the old
+      ``mode("overwrite")`` let a concurrent session (driver gate +
+      pytest) rewrite part files out from under the other's mid-drain
+      AvailableNow stream.  Build under a pid-unique temp dir, then
+      ``os.rename`` into the stable path; a loser of the race discards
+      its temp dir and reuses the winner's copy (byte-identical: same
+      deterministic transform of the same source file)."""
+    import hashlib
+    import shutil
+
+    key = (prefix, sf_dir)
+    if key in _STABLE_COPY_CACHE:
+        return _STABLE_COPY_CACHE[key]
+    src = f"{sf_dir}/{table}.parquet"
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        stamp = "nosrc"
+    digest = hashlib.md5(
+        f"{sf_dir}|{table}|{stamp}".encode()).hexdigest()[:12]
+    out = f"/tmp/{prefix}_{digest}"
+    if not os.path.exists(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_fn(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    _STABLE_COPY_CACHE[key] = out
+    return out
 
 
 def _events_us_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a µs-timestamp copy of events for Engine sources
     (external tables infer schema from the file, so the ns type must be
     rewritten once)."""
-    if sf_dir not in _EVENTS_US_CACHE:
-        out = f"/tmp/events_us_{abs(hash(sf_dir)) % 10**8}"
-        # coalesce(1): a SINGLE part file makes every AvailableNow drain
-        # one micro-batch, which funnel_stream_events' determinism
-        # argument requires (the stateful funnel sorts by ts WITHIN a
-        # batch; a multi-batch split with overlapping ts ranges could
-        # process a user's events out of global ts order).  Gate-scale
-        # data (≤100k rows) — no write-parallelism cost that matters.
-        _t(spark, sf_dir, "events").coalesce(1).write.mode(
-            "overwrite").parquet(out)
-        _EVENTS_US_CACHE[sf_dir] = out
-    return _EVENTS_US_CACHE[sf_dir]
+    # coalesce(1): a SINGLE part file makes every AvailableNow drain
+    # one micro-batch, which funnel_stream_events' determinism
+    # argument requires (the stateful funnel sorts by ts WITHIN a
+    # batch; a multi-batch split with overlapping ts ranges could
+    # process a user's events out of global ts order).  Gate-scale
+    # data (≤100k rows) — no write-parallelism cost that matters.
+    return _stable_table_copy(
+        sf_dir, "events", "events_us",
+        lambda tmp: _t(spark, sf_dir, "events").coalesce(1)
+        .write.parquet(tmp),
+    )
 
 
 # =========================================================================
@@ -1281,9 +1325,27 @@ def engine_streaming_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming_table materialization: the model runs as a checkpointed
     Structured Streaming pipeline (AvailableNow) over a stream source;
     re-runs are exactly-once no-ops until new files arrive."""
+    import shutil
+
     from dbt_core_spark import Engine, ProjectDef
 
     schema = "drv_stream"
+    # Reset CROSS-SESSION streaming state at gate entry (r8 verdict):
+    # the checkpoint under spark-warehouse/_streaming is keyed only by
+    # relation name and outlives the driver process; a prior session's
+    # checkpoint records that session's source part files, and replaying
+    # it against this session's source copy would either fail
+    # (basePath mismatch) or double-ingest renamed part files.  The
+    # exactly-once demonstration is the INTRA-gate second eng.run()
+    # below, which the reset does not touch.
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(
+        os.path.join(wh, "_streaming", f"{schema}__events_clean"),
+        ignore_errors=True,
+    )
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
     p = ProjectDef(name="drv")
     p.add_source("raw", "events", _events_us_path(spark, sf_dir), stream=True)
     p.models["events_clean"] = """
@@ -2820,26 +2882,19 @@ def bm25_index_append_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_query(merged, docs.filter("doc_id % 13 = 0"), top_k=5)
 
 
-_DOCS_STREAM_CACHE: dict[str, str] = {}
-
-
 def _docs_stream_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a multi-file copy of documents for the streaming
     decontamination gate (a file-stream source needs a directory; multi
     file → the AvailableNow drain really exercises micro-batching —
-    the operator is stateless, so the split can't change results)."""
-    if sf_dir not in _DOCS_STREAM_CACHE:
-        # stable digest, NOT hash(): Python's str hash is per-process
-        # randomized, so hash(sf_dir) would mint a fresh /tmp copy every
-        # session and stale copies would accumulate (r7 advice)
-        import hashlib
-
-        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out = f"/tmp/docs_stream_{digest}"
-        _t(spark, sf_dir, "documents").repartition(4).write.mode(
-            "overwrite").parquet(out)
-        _DOCS_STREAM_CACHE[sf_dir] = out
-    return _DOCS_STREAM_CACHE[sf_dir]
+    the operator is stateless, so the split can't change results).
+    Naming + write-once/atomic-rename discipline via
+    ``_stable_table_copy`` (r8 advice: the old per-key overwrite could
+    rewrite part files under a concurrent session's mid-drain stream)."""
+    return _stable_table_copy(
+        sf_dir, "documents", "docs_stream",
+        lambda tmp: _t(spark, sf_dir, "documents").repartition(4)
+        .write.parquet(tmp),
+    )
 
 
 def streaming_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,11 +38,99 @@ def _warehouse_dir(spark: "SparkSession") -> str:
     return d.removeprefix("file:")
 
 
+def _norm_path(p: str) -> str:
+    """Normalize a file URI / local path to a single-leading-slash local
+    path for comparison (Spark records ``file:///x`` or ``file:/x``)."""
+    import re
+
+    p = p.removeprefix("file:")
+    return re.sub(r"^/+", "/", p).rstrip("/")
+
+
+def _checkpoint_recorded_roots(ckpt: str) -> set:
+    """Parent directories of the input files a FileStreamSource
+    checkpoint has already committed (``<ckpt>/sources/<i>/<batch>``
+    compact logs: a version header line, then one JSON entry per file).
+    Only the earliest few batches per source are read — the root never
+    changes within one checkpoint."""
+    import json
+
+    roots: set = set()
+    src_dir = os.path.join(ckpt, "sources")
+    if not os.path.isdir(src_dir):
+        return roots
+    for sub in sorted(os.listdir(src_dir)):
+        d = os.path.join(src_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for fname in sorted(os.listdir(d))[:3]:
+            try:
+                with open(os.path.join(d, fname)) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line.startswith("{"):
+                            continue
+                        p = json.loads(line).get("path")
+                        if p:
+                            roots.add(_norm_path(os.path.dirname(p)))
+            except (OSError, ValueError):
+                continue
+    return roots
+
+
+def _check_source_locations(
+    spark: "SparkSession",
+    node: "Node",
+    base: str,
+    ckpt: str,
+    source_locations,
+) -> None:
+    """Fail fast (or reset, per config) when the checkpoint was built
+    against different source locations than the model now declares.
+
+    Without this, a user who repoints a ``stream: true`` source (or
+    whose location is environment-templated) gets Spark's opaque
+    ``Wrong basePath`` STREAM_FAILED on the next run — or, worse,
+    silent duplicate ingestion if the new location reuses the old
+    basePath with renamed part files.  dbt's posture is a clear,
+    actionable error (reference: on_schema_change-style config
+    surface).  Config ``on_source_change``: ``fail`` (default) |
+    ``reset`` (drop checkpoint + data and re-drain from scratch)."""
+    import shutil
+
+    if not source_locations:
+        return
+    recorded = _checkpoint_recorded_roots(ckpt)
+    if not recorded:
+        return
+    current = {_norm_path(loc) for loc in source_locations if loc}
+    # a recorded root is "covered" if it IS a current location or sits
+    # under one (partitioned/nested layouts record leaf dirs)
+    stale = {
+        r for r in recorded
+        if not any(r == c or r.startswith(c + "/") for c in current)
+    }
+    if not stale:
+        return
+    mode = (node.config or {}).get("on_source_change", "fail")
+    if mode == "reset":
+        shutil.rmtree(base, ignore_errors=True)
+        return
+    raise ExecutionError(
+        f"{node.name}: stream source location changed — the checkpoint "
+        f"at {ckpt} was built from {sorted(stale)} but the model now "
+        f"reads {sorted(current)}. Reset the checkpoint directory "
+        f"(delete {base}) or set on_source_change: reset on the model "
+        f"to re-drain from scratch."
+    )
+
+
 def materialize_streaming_table(
     spark: "SparkSession",
     node: "Node",
     rel: str,
     sql: str,
+    source_locations=None,
 ) -> int:
     """Run the compiled (streaming) SQL with Trigger.AvailableNow into a
     parquet location + checkpoint derived from the relation name, then
@@ -50,6 +138,7 @@ def materialize_streaming_table(
     base = os.path.join(_warehouse_dir(spark), "_streaming", rel.replace(".", "__"))
     out_path = os.path.join(base, "data")
     ckpt = os.path.join(base, "_checkpoint")
+    _check_source_locations(spark, node, base, ckpt, source_locations)
 
     df = spark.sql(sql)
     if not df.isStreaming:

@@ -373,7 +373,16 @@ class GraphRunner:
                     enforce_contract(self.spark, node,
                                      df=self.spark.sql(sql), check_constraints=False)
                     self.relations[node.unique_id] = rel
-                    materialize_streaming_table(self.spark, node, rel, sql)
+                    stream_locs = [
+                        src.external_location
+                        for dep in node.depends_on
+                        if (src := self.manifest.sources.get(dep)) is not None
+                        and src.config.get("stream")
+                    ]
+                    materialize_streaming_table(
+                        self.spark, node, rel, sql,
+                        source_locations=stream_locs,
+                    )
                     status, msg = "success", "streaming_table"
                 elif mat == "incremental" and node.config.get("incremental_strategy") == "microbatch":
                     batches = self._run_microbatch(node, rel)
