@@ -946,6 +946,16 @@ def vocab_drift(
             [], "term string, n_old bigint, n_new bigint, "
                 "drift_micro bigint, rank int")
     s = int(smoothing)
+    # smoothing must keep every smoothed count positive: with s = 0, a
+    # term absent from one snapshot divides by / logs zero, and the
+    # NULL drift_micro would silently sort LAST instead of erroring
+    # (and diverge from any oracle replay) — fail loudly (r9 advice)
+    if s < 1:
+        raise ValueError(
+            f"vocab_drift: smoothing must be >= 1 (got {smoothing}) — "
+            "add-s smoothing is what keeps p_old/p_new positive for "
+            "terms absent from one snapshot"
+        )
     # p_new·ln(p_new/p_old) with add-s smoothing, as ONE double expr
     # over exact integers, floored to micro-nats (deterministic both
     # engines; no cross-row float accumulation anywhere)

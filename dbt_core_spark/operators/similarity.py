@@ -1717,8 +1717,14 @@ def ivf_index_rebalance(
     their members are untouched — their rows pass through verbatim.
 
     New cell numbering is deterministic: retired hot-cell ids are
-    replaced by fresh ids starting at max(cell)+1, enumerated in
-    (hot cell asc, sub index asc) order.
+    replaced by fresh ids starting at max(centroid cell)+1, enumerated
+    in (hot cell asc, sub index asc) order.  The base is the CENTROIDS
+    frame's max cell, not the assignments': a centroid cell can
+    legitimately be empty (duplicate vectors tying at build's rounded
+    argmax, or rebalance itself seeding identical sub-centroids), and
+    basing fresh ids on max(assigned cell) would let a fresh id collide
+    with such an empty cell — two centroid rows for one id, silently
+    corrupting every later search (r8 advice).
 
     Scale shape: one tiny per-cell count aggregate; one bounded
     Σ k_c-row collect (WindowGroupLimit on id per hot cell); one Arrow
@@ -1747,7 +1753,15 @@ def ivf_index_rebalance(
         .filter(F.col("_r") <= F.lit(max(hot.values())))
         .collect()  # <= n_hot · max(k_c) rows — bounded, model-sized
     )
-    base_id = max(counts) + 1
+    cent_cells = {
+        int(r["cell"]) for r in centroids.select("cell").collect()
+    }  # bounded: n_cells rows
+    if not set(counts) <= cent_cells:
+        raise ValueError(
+            "assignments reference cells absent from the centroids "
+            f"frame: {sorted(set(counts) - cent_cells)[:5]}"
+        )
+    base_id = max(cent_cells) + 1
     sub: dict[int, tuple] = {}
     new_cent_rows = []
     next_id = base_id
@@ -1762,6 +1776,12 @@ def ivf_index_rebalance(
         new_cent_rows += [
             (int(i), [float(x) for x in Mn[j]]) for j, i in enumerate(ids)
         ]
+    fresh_ids = {i for i, _ in new_cent_rows}
+    surviving = cent_cells - set(hot_cells)
+    assert not (fresh_ids & surviving), (
+        f"fresh cell ids collide with surviving centroid cells: "
+        f"{sorted(fresh_ids & surviving)[:5]}"
+    )
     bcast = spark.sparkContext.broadcast(sub)
 
     def reassign(batches):

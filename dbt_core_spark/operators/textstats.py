@@ -1197,6 +1197,18 @@ def bm25_query(
         # contributes to a score is still checked single-valued, and
         # whole-index validation belongs at build/append time
         # (bm25_index_append runs _bm25_constants over the full index).
+        #
+        # Residual blind spot (accepted, r9 advice): a RAW union of two
+        # bucketed snapshots with DIFFERENT n_buckets can pass silently
+        # when every touched bucket number happens to hold rows from
+        # only one mapping — the other snapshot's postings for the same
+        # terms sit in differently-numbered buckets, are pruned away,
+        # and the batch scores against a partial index.  Mixed rows
+        # INSIDE a touched bucket still fail loudly (the n_buckets
+        # constant goes two-valued).  The supported multi-snapshot
+        # route is bm25_index_append, which full-validates the union's
+        # constants at append time; hand-unioning index DataFrames
+        # bypasses that contract.
         probe = index.select("n_buckets").limit(1).collect()
         if not probe:
             return index.sparkSession.createDataFrame([], out_schema)

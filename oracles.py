@@ -3848,8 +3848,11 @@ ORACLES_STAGED_R9["perceptron_avg_language_docs"] = _perceptron_sql(
 # (4 seed cells), find hot cells (> 25 members), seed ceil(n/25)
 # sub-centroids per hot cell from its lowest-id members, re-assign
 # ONLY hot members by rounded-cosine argmax, and renumber fresh cells
-# deterministically from max(cell)+1 in (cell, sub_idx) order.  Cold
-# members pass through verbatim.  Staged r9.
+# deterministically from max(CENTROID cell)+1 in (cell, sub_idx)
+# order — the base is the cents CTE, not the assignments, mirroring
+# the operator (a centroid cell with zero members must not collide
+# with a fresh id; r9 advice fix).  Cold members pass through
+# verbatim.  Staged r9.
 ORACLES_STAGED_R9["ann_ivf_rebalance_embeddings"] = f"""
 with v0 as (
     select vec_id, embedding::DOUBLE[] as e from embeddings
@@ -3882,7 +3885,7 @@ with v0 as (
     qualify row_number() over (partition by a.cell order by a.id) <= h.k_c
 ), numbered as (
     select cell, se, sn, sub_idx,
-           (select max(cell) from cnt) + row_number()
+           (select max(cell) from cents) + row_number()
              over (order by cell, sub_idx) as new_cell
     from seeds
 ), moved as (

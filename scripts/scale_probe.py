@@ -463,8 +463,13 @@ def main() -> None:
     dm_results: dict[str, dict[int, tuple]] = {}
     for factor in SCALES:
         docs = spark.read.parquet(replicate_docs(spark, factor))
-        old = docs.filter("doc_id % 17 != 5")
-        new = docs.filter("doc_id % 17 != 3").withColumn(
+        # the gate recipe exactly (corpus_diff_docs / vocab_drift_docs):
+        # old drops the %17==3 residue, new drops %17==5 and amends
+        # %13==0 texts — SCALING.md cites this as "the gate recipe", so
+        # the probe must measure the same thing (r9 advice: the two
+        # residues were swapped relative to the gate)
+        old = docs.filter("doc_id % 17 != 3")
+        new = docs.filter("doc_id % 17 != 5").withColumn(
             "text",
             F.when(F.col("doc_id") % 13 == 0,
                    F.concat_ws(" ", "text", F.lit("v2")))

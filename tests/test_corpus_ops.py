@@ -1679,6 +1679,12 @@ def test_vocab_drift_python_reference(spark):
     assert ranks["delta"] == 1
     # empty corpora: empty contract frame
     assert vocab_drift(old.filter("false"), new.filter("false")).count() == 0
+    # smoothing < 1 would divide/log zero for one-sided terms and emit
+    # NULL drift that silently sorts last — must fail loudly instead
+    import pytest
+
+    with pytest.raises(ValueError, match="smoothing must be >= 1"):
+        vocab_drift(old, new, smoothing=0)
 
 
 def test_perceptron_averaged_matches_sequential_replica(spark):

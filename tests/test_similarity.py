@@ -742,3 +742,47 @@ def test_ivf_index_rebalance_splits_only_hot_cells(spark, sf_dir):
     # no-op below the threshold: inputs returned unchanged
     c3, a3 = ivf_index_rebalance(cents, assigns, max_cell_rows=10**9)
     assert a3 is assigns and c3 is cents
+
+
+def test_ivf_index_rebalance_empty_centroid_cell_no_collision(spark):
+    """A centroid cell with ZERO members (duplicate vectors tying at
+    build's rounded argmax, or identical sub-centroid seeds) must not
+    collide with fresh sub-cell ids: numbering bases off the CENTROIDS
+    frame's max cell, so the empty cell's id is skipped and the
+    snapshot keeps one centroid row per cell id (r9 advice fix —
+    max-over-assignments would mint id 4 twice here)."""
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_rebalance,
+        ivf_index_search,
+    )
+
+    # cells 0..4 in the centroid table; cell 4 EMPTY in assignments
+    cent_rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+        (3, [0.7, 0.7, 0.0]),
+        (4, [0.5, 0.5, 0.7]),
+    ]
+    cents = spark.createDataFrame(cent_rows, "cell int, cv array<double>")
+    assign_rows = (
+        # cell 0 hot: 12 members > max_cell_rows=5 -> k_c = 3 sub-cells
+        [(i, [1.0, 0.01 * i, 0.002 * i], 0) for i in range(12)]
+        + [(100, [0.0, 1.0, 0.0], 1), (101, [0.0, 0.0, 1.0], 2),
+           (102, [0.7, 0.7, 0.0], 3)]
+    )
+    assigns = spark.createDataFrame(
+        assign_rows, "id long, v array<double>, cell int"
+    ).localCheckpoint(eager=True)
+
+    cents2, assigns2 = ivf_index_rebalance(cents, assigns, max_cell_rows=5)
+    cell_ids = [r["cell"] for r in cents2.select("cell").collect()]
+    assert len(cell_ids) == len(set(cell_ids)), cell_ids  # no dup rows
+    fresh = {r["cell"] for r in assigns2.collect()} - {1, 2, 3}
+    assert fresh and min(fresh) == 5, fresh  # numbering skips empty cell 4
+    assert 4 in cell_ids  # the empty cell's centroid survives untouched
+    # the snapshot still serves
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])],
+                              "vec_id long, embedding array<double>")
+    res = ivf_index_search(cents2, assigns2, q, k=2, n_probe=8)
+    assert res.count() == 2
