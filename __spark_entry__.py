@@ -3182,82 +3182,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-row gate the steady-state rotation period is ~3 rounds, so the
     # window must always be exactly the staleness cohort (no in-window
     # row may be fresher than any out-of-window ever-verified row).
-    # Round 8 window (mandated by the r7 verdict, items 1-2) = the 4
-    # never-driver-verified r7-staged gates (oracles moved from
-    # ORACLES_STAGED_R8 — each pre-verified end-to-end in pytest during
-    # r7), then the 5 rows whose last driver-green round is r4:
-    # engine_compaction (driver-ERR r7 on the harness idempotency
-    # defect fixed this round) and the 4 TPC-H rows displaced from the
-    # r7 window, then 41 of the 50 r5-green rows, oldest-first.  The 9
-    # displaced r5 rows sit at positions 51-59 and mechanically lead
-    # round 9, followed by the r6 cohort (ngram_lm_docs /
-    # pool_embeddings_by_label lead it — they carry the r7
-    # floor-rounding oracle fix, locally re-verified at three scales).
-    # ROUND-9 WINDOW PLAN: the 8 never-verified staged gates lead
-    # (ORACLES_STAGED_R9: perceptron_ovr/avg, decontaminate_cut,
-    # corpus_diff, ngram_loops, vocab_drift, streaming_bm25_serve,
-    # ann_ivf_rebalance — move their SQL into ORACLES, add queries()
-    # entries; each is pre-verified at two scales AND fuzz-covered by
-    # tests/test_gate_fuzz.py::test_staged_r9_*), then the 9 displaced
-    # r5 rows (positions 51-59 below), then 33 r6 rows oldest-first.
+    # ROUND-9 WINDOW (the r8 verdict, items 1-2): the 8 never-driver-
+    # verified r8-staged gates lead (their SQL moved from
+    # ORACLES_STAGED_R9 into ORACLES — each pre-verified at three
+    # scales, arrow-type-linted, and fuzz-covered before the move),
+    # then the ENTIRE r5-green cohort of 10: engine_streaming_table
+    # first (driver-ERR r8 on the cross-session checkpoint poisoning
+    # fixed this round — the engine_compaction precedent) plus the 9
+    # rows displaced from the r8 window, then 32 r6-green rows oldest-
+    # first (ngram_lm_docs / pool_embeddings_by_label lead the cohort —
+    # they carry the r7 floor-rounding oracle fix, still driver-
+    # unverified since the change).  The 18 remaining r6 rows sit at
+    # positions 51-68 and mechanically lead round 10, followed by the
+    # 49-row r7 cohort, then the 49-row r8 cohort (freshest).
     return {
-        # ---- never driver-verified: the r7-staged gates lead ----
-        "hybrid_retrieval_docs": hybrid_retrieval_docs,
-        "bm25_index_append_docs": bm25_index_append_docs,
-        "streaming_decontaminate_docs": streaming_decontaminate_docs,
-        "perceptron_language_docs": perceptron_language_docs,
-        # ---- last green r4 — four rounds stale entering r8, the whole
-        # ---- remaining staleness debt ----
-        "engine_compaction": engine_compaction,
-        "q4_order_priority": q4_order_priority,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        # ---- last green r5: 41 of 50, oldest-first fill ----
-        "kmeans_embeddings": kmeans_embeddings,
-        "cluster_curation_embeddings": cluster_curation_embeddings,
-        "kmeans_incremental_embeddings": kmeans_incremental_embeddings,
-        "dup_span_cut_docs": dup_span_cut_docs,
-        "containment_pairs_docs": containment_pairs_docs,
-        "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
-        "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
-        "webdataset_pipeline_docs": webdataset_pipeline_docs,
-        "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
-        "hash_embed_docs": hash_embed_docs,
-        "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
-        "dsir_score_docs": dsir_score_docs,
-        "dup_span_docs": dup_span_docs,
-        "interarrival_stats_events": interarrival_stats_events,
-        "funnel_stream_events": funnel_stream_events,
-        "range_join_events": range_join_events,
-        "contrastive_pairs_docs": contrastive_pairs_docs,
-        "funnel_events": funnel_events,
-        "engine_snapshot_scd2": engine_snapshot_scd2,
-        "engine_microbatch_day": engine_microbatch_day,
-        "engine_generic_test_failures": engine_generic_test_failures,
-        "engine_insert_overwrite": engine_insert_overwrite,
+        # ---- never driver-verified: the r8-staged gates lead ----
+        "perceptron_ovr_language_docs": perceptron_ovr_language_docs,
+        "perceptron_avg_language_docs": perceptron_avg_language_docs,
+        "decontaminate_cut_docs": decontaminate_cut_docs,
+        "corpus_diff_docs": corpus_diff_docs,
+        "ngram_loops_docs": ngram_loops_docs,
+        "vocab_drift_docs": vocab_drift_docs,
+        "streaming_bm25_serve_docs": streaming_bm25_serve_docs,
+        "ann_ivf_rebalance_embeddings": ann_ivf_rebalance_embeddings,
+        # ---- last green r5 — the whole 10-row staleness cohort;
+        # ---- engine_streaming_table leads (driver-ERR r8, root-caused
+        # ---- and fixed this round: needs driver evidence NOW) ----
         "engine_streaming_table": engine_streaming_table,
-        "engine_python_model": engine_python_model,
-        "engine_view_table_ephemeral": engine_view_table_ephemeral,
-        "dedup_exact_docs": dedup_exact_docs,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        "dedup_fingerprint_docs": dedup_fingerprint_docs,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
-        "winnow_fingerprint_docs": winnow_fingerprint_docs,
-        "pii_scrub_docs": pii_scrub_docs,
-        "chunk_documents_docs": chunk_documents_docs,
-        "assign_splits_docs": assign_splits_docs,
-        "text_quality_docs": text_quality_docs,
-        "language_id_docs": language_id_docs,
-        "token_counts_docs": token_counts_docs,
-        "cosine_pairs_embeddings": cosine_pairs_embeddings,
-        "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
-        "streaming_hourly_rollup": streaming_hourly_rollup,
-        "multimodal_features_docs": multimodal_features_docs,
-        "quantile_sketch_events": quantile_sketch_events,
-        # ---------------- past the 50-query gate cap ----------------
-        # last green r5 remainder (staleness 4 entering r9 — MANDATORY
-        # r9 window leads)
         "dedup_embedding_docs": dedup_embedding_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "streaming_session_rollup": streaming_session_rollup,
@@ -3267,11 +3218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngram_docs": boilerplate_ngram_docs,
         "decontaminate_docs": decontaminate_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
-        # last green r6 (r9 fill, oldest-first; ngram_lm_docs and
-        # pool_embeddings_by_label LEAD the cohort — they carry the r7
-        # floor-rounding oracle fix, unverified by the driver since the
-        # change, and within-cohort order is free under the staleness
-        # invariant)
+        # ---- last green r6: 32 of 50, oldest-first fill
+        # (ngram_lm_docs / pool_embeddings_by_label lead — r7 floor-
+        # rounding oracle fix, driver-unverified since the change) ----
         "ngram_lm_docs": ngram_lm_docs,
         "pool_embeddings_by_label": pool_embeddings_by_label,
         "stratified_sample_docs": stratified_sample_docs,
@@ -3304,6 +3253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": incremental_dedup_docs,
         "cc_dedup_docs": cc_dedup_docs,
         "line_dedup_docs": line_dedup_docs,
+        # ---------------- past the 50-query gate cap ----------------
+        # last green r6 remainder (18 rows — MANDATORY r10 window leads)
         "epoch_shuffle_docs": epoch_shuffle_docs,
         "bpe_pair_docs": bpe_pair_docs,
         "tokenize_docs": tokenize_docs,
@@ -3322,7 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,
         "recursive_month_revenue": recursive_month_revenue,
         "window_top3_orders_per_customer": window_top3_orders_per_customer,
-        # last green r7 (freshest — r10 horizon)
+        # last green r7 (49 rows)
         "bm25_rank_docs": bm25_rank_docs,
         "decontaminate_bloom_docs": decontaminate_bloom_docs,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
@@ -3372,6 +3323,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_status_counts": unpivot_status_counts,
         "set_ops_statuses": set_ops_statuses,
         "generate_series_powers": generate_series_powers,
+        # last green r8 (49 rows — freshest, r11+ horizon)
+        "hybrid_retrieval_docs": hybrid_retrieval_docs,
+        "bm25_index_append_docs": bm25_index_append_docs,
+        "streaming_decontaminate_docs": streaming_decontaminate_docs,
+        "perceptron_language_docs": perceptron_language_docs,
+        "engine_compaction": engine_compaction,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "kmeans_embeddings": kmeans_embeddings,
+        "cluster_curation_embeddings": cluster_curation_embeddings,
+        "kmeans_incremental_embeddings": kmeans_incremental_embeddings,
+        "dup_span_cut_docs": dup_span_cut_docs,
+        "containment_pairs_docs": containment_pairs_docs,
+        "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
+        "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
+        "webdataset_pipeline_docs": webdataset_pipeline_docs,
+        "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
+        "hash_embed_docs": hash_embed_docs,
+        "ann_ivf_index_query_embeddings": ann_ivf_index_query_embeddings,
+        "dsir_score_docs": dsir_score_docs,
+        "dup_span_docs": dup_span_docs,
+        "interarrival_stats_events": interarrival_stats_events,
+        "funnel_stream_events": funnel_stream_events,
+        "range_join_events": range_join_events,
+        "contrastive_pairs_docs": contrastive_pairs_docs,
+        "funnel_events": funnel_events,
+        "engine_snapshot_scd2": engine_snapshot_scd2,
+        "engine_microbatch_day": engine_microbatch_day,
+        "engine_generic_test_failures": engine_generic_test_failures,
+        "engine_insert_overwrite": engine_insert_overwrite,
+        "engine_python_model": engine_python_model,
+        "engine_view_table_ephemeral": engine_view_table_ephemeral,
+        "dedup_exact_docs": dedup_exact_docs,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "dedup_fingerprint_docs": dedup_fingerprint_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "chunk_documents_docs": chunk_documents_docs,
+        "assign_splits_docs": assign_splits_docs,
+        "text_quality_docs": text_quality_docs,
+        "language_id_docs": language_id_docs,
+        "token_counts_docs": token_counts_docs,
+        "cosine_pairs_embeddings": cosine_pairs_embeddings,
+        "cosine_topk_blas_embeddings": cosine_topk_blas_embeddings,
+        "streaming_hourly_rollup": streaming_hourly_rollup,
+        "multimodal_features_docs": multimodal_features_docs,
+        "quantile_sketch_events": quantile_sketch_events,
     }
 
 

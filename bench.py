@@ -91,6 +91,14 @@ HEADLINE = [
     "bm25_rank_docs",
     "decontaminate_bloom_docs",
     "hybrid_retrieval_docs",
+    # round-9 additions: the r8 operator families wired this round —
+    # dataset-management (snapshot diff + vocab drift), streaming
+    # index serving, and IVF hot-cell rebalance (NOTE: totals are not
+    # comparable to r8's 39-query set; compare per-query medians)
+    "corpus_diff_docs",
+    "vocab_drift_docs",
+    "streaming_bm25_serve_docs",
+    "ann_ivf_rebalance_embeddings",
 ]
 
 

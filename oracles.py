@@ -3904,3 +3904,15 @@ union all
 select a.id as vec_id, cast(a.cell as int) as cell
 from assign a left join hot h using (cell) where h.cell is null
 """
+
+
+# ---- round-9 rotation: the 8 staged gates are WIRED (the r8 window
+# precedent) — their SQL moves into ORACLES verbatim; each was
+# pre-verified at three scales, arrow-type-linted, and fuzz-covered
+# before this move, so the rotation adds no new behavior.  Gates
+# staged DURING round 9 land in ORACLES_STAGED_R10 with the same
+# pre-verification protocol.
+ORACLES.update(ORACLES_STAGED_R9)
+ORACLES_STAGED_R9 = {}
+
+ORACLES_STAGED_R10: dict[str, str] = {}

@@ -1578,19 +1578,19 @@ def test_perceptron_ovr_label_skew_and_empty(spark):
     "perceptron_avg_language_docs",
     "ann_ivf_rebalance_embeddings",
 ])
-def test_staged_r9_gates_match_oracles(spark, sf_dir, staged_name):
-    """Pre-verifies every STAGED round-9 gate row end to end: the exact
-    __spark_entry__ callable vs the exact oracles.ORACLES_STAGED_R9 SQL,
-    through the validator's own compare (types + row hash), on the real
-    sf corpus — so wiring them into the r9 window is a pure dict move
-    with no new behavior."""
+def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
+    """The 8 round-9-wired gate rows end to end: the exact
+    __spark_entry__ callable vs the exact ORACLES SQL, through the
+    validator's own compare (types + row hash), on the real sf corpus.
+    (Was the r9 pre-verification test; kept post-wiring as the pytest
+    anchor for the newest gate cohort.)"""
     import importlib.util
     import os
 
     import duckdb
 
     import __spark_entry__ as em
-    from oracles import ORACLES_STAGED_R9
+    from oracles import ORACLES
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
@@ -1604,7 +1604,7 @@ def test_staged_r9_gates_match_oracles(spark, sf_dir, staged_name):
             f"create view {tbl} as select * from '{sf_dir}/{tbl}.parquet'")
     ok, msg = vo.compare(
         staged_name, spark, con, sf_dir,
-        getattr(em, staged_name), ORACLES_STAGED_R9[staged_name])
+        getattr(em, staged_name), ORACLES[staged_name])
     assert ok, msg
 
 

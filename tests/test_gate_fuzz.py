@@ -1418,17 +1418,16 @@ def test_hybrid_gate_on_hostile_corpora(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=_docs_rows, dup=st.booleans())
-def test_staged_r9_doc_gates_on_hostile_corpora(
+def test_r9_doc_gates_on_hostile_corpora(
     spark, tmp_path_factory, rows, dup
 ):
-    """Fuzz the four STAGED round-9 gates ahead of their wiring (the
-    module callable vs ORACLES_STAGED_R9 SQL through the validator's
-    compare): span-cut decontamination on duplicate-heavy Unicode
-    corpora, snapshot diff with NULL/empty texts crossing the residue
-    splits, loop detection where the injected prefix meets hostile
-    text, and OVR training under whatever label skew hypothesis
-    draws."""
-    from oracles import ORACLES_STAGED_R9
+    """Fuzz the round-9-wired doc gates (the module callable vs the
+    ORACLES SQL through the validator's compare): span-cut
+    decontamination on duplicate-heavy Unicode corpora, snapshot diff
+    with NULL/empty texts crossing the residue splits, loop detection
+    where the injected prefix meets hostile text, and OVR training
+    under whatever label skew hypothesis draws."""
+    from oracles import ORACLES
 
     if dup and rows:  # duplicated texts: probe/corpus twins for the cut
         rows = rows + rows[: len(rows) // 2 + 1]
@@ -1439,7 +1438,7 @@ def test_staged_r9_doc_gates_on_hostile_corpora(
                  "vocab_drift_docs", "perceptron_avg_language_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
-            getattr(em, name), ORACLES_STAGED_R9[name])
+            getattr(em, name), ORACLES[name])
         assert ok, f"{name}: {msg}"
 
 
@@ -1449,15 +1448,15 @@ def test_staged_r9_doc_gates_on_hostile_corpora(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(vecs=_emb_rows_nullable, dup=st.booleans())
-def test_staged_r9_rebalance_gate_on_hostile_corpora(
+def test_r9_rebalance_gate_on_hostile_corpora(
     spark, tmp_path_factory, vecs, dup
 ):
-    """The staged IVF-rebalance gate on hostile embeddings: NULL /
-    zero-norm vectors (excluded by the build's entry contract on both
-    engines), duplicate vectors (argmax and seed-order ties), and tiny
-    corpora where no cell is hot (rebalance no-ops and the gate is the
-    plain build assignment)."""
-    from oracles import ORACLES_STAGED_R9
+    """The round-9-wired IVF-rebalance gate on hostile embeddings:
+    NULL / zero-norm vectors (excluded by the build's entry contract on
+    both engines), duplicate vectors (argmax and seed-order ties), and
+    tiny corpora where no cell is hot (rebalance no-ops and the gate is
+    the plain build assignment)."""
+    from oracles import ORACLES
 
     if dup and vecs:
         vecs = vecs + vecs[:3]
@@ -1466,5 +1465,5 @@ def test_staged_r9_rebalance_gate_on_hostile_corpora(
     ok, msg = _vo.compare(
         "ann_ivf_rebalance_embeddings", spark, con, tmpdir,
         em.ann_ivf_rebalance_embeddings,
-        ORACLES_STAGED_R9["ann_ivf_rebalance_embeddings"])
+        ORACLES["ann_ivf_rebalance_embeddings"])
     assert ok, msg

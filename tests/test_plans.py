@@ -446,34 +446,37 @@ def test_gate_window_max_staleness_invariant():
         )
 
 
-def test_gate_window_r8_composition():
-    """Pins the round-8 window (the r7 verdict, items 1-2): the 4
-    never-driver-verified r7-staged gates lead, then the 5 rows whose
-    last driver-green round is r4 — engine_compaction (driver-ERR r7
-    on the harness idempotency defect fixed this round) and the 4
-    TPC-H rows displaced from the r7 window — then 41 r5-green rows
-    oldest-first; the 9 displaced r5 rows sit at positions 51-59 so
-    they mechanically lead round 9."""
+def test_gate_window_r9_composition():
+    """Pins the round-9 window (the r8 verdict, items 1-2): the 8
+    never-driver-verified r8-staged gates lead, then the ENTIRE
+    r5-green staleness cohort of 10 — engine_streaming_table first
+    (driver-ERR r8 on the cross-session checkpoint poisoning fixed
+    this round) plus the 9 rows displaced from the r8 window — then 32
+    r6-green rows oldest-first (ngram_lm_docs /
+    pool_embeddings_by_label lead: r7 floor-rounding oracle fix,
+    driver-unverified since the change); the 18 remaining r6 rows sit
+    at positions 51-68 so they mechanically lead round 10."""
     import __spark_entry__ as e
 
     qs = list(e.queries())
-    assert qs[:4] == [
-        "hybrid_retrieval_docs", "bm25_index_append_docs",
-        "streaming_decontaminate_docs", "perceptron_language_docs",
+    assert qs[:8] == [
+        "perceptron_ovr_language_docs", "perceptron_avg_language_docs",
+        "decontaminate_cut_docs", "corpus_diff_docs",
+        "ngram_loops_docs", "vocab_drift_docs",
+        "streaming_bm25_serve_docs", "ann_ivf_rebalance_embeddings",
     ]
-    assert qs[4:9] == [
-        "engine_compaction", "q4_order_priority",
-        "q13_customer_distribution", "q14_promo_revenue_ratio",
-        "q17_small_quantity_revenue",
-    ]
-    # the displaced r5 cohort must lead round 9
-    assert qs[50:59] == [
+    assert qs[8:18] == [
+        "engine_streaming_table",
         "dedup_embedding_docs", "simhash_pairs_docs",
         "streaming_session_rollup", "multimodal_frame_sample",
         "gopher_repetition_docs", "source_cap_docs",
         "boilerplate_ngram_docs", "decontaminate_docs",
         "tfidf_top_terms_docs",
     ]
+    assert qs[18:20] == ["ngram_lm_docs", "pool_embeddings_by_label"]
+    # the r6 remainder must lead round 10
+    assert qs[50] == "epoch_shuffle_docs"
+    assert qs[67] == "window_top3_orders_per_customer"
     # every registry row has an oracle (the exact-correctness invariant)
     assert set(e.oracle_sql()) == set(qs)
 
@@ -494,16 +497,16 @@ def test_bm25_inverted_index_shape(spark, sf_dir):
     assert fmt.count("HashAggregate") >= 2
 
 
-def test_staged_r9_gates_are_wirable():
-    """Every ORACLES_STAGED_R9 key must resolve to a module callable and
-    collide with nothing live — so the r9 rotation is a pure dict move:
-    add the queries() entries, move the SQL into ORACLES, recompose the
-    window (never-verified rows lead)."""
+def test_staged_r10_gates_are_wirable():
+    """Every ORACLES_STAGED_R10 key must resolve to a module callable
+    and collide with nothing live — so the r10 rotation is a pure dict
+    move: add the queries() entries, move the SQL into ORACLES,
+    recompose the window (never-verified rows lead)."""
     import __spark_entry__ as e
-    from oracles import ORACLES, ORACLES_STAGED_R9
+    from oracles import ORACLES, ORACLES_STAGED_R10
 
     qs = e.queries()
-    for name in ORACLES_STAGED_R9:
+    for name in ORACLES_STAGED_R10:
         assert callable(getattr(e, name, None)), name
         assert name not in qs, f"{name} staged but already wired"
         assert name not in ORACLES, f"{name} staged but already in ORACLES"
