@@ -3165,7 +3165,10 @@ def streaming_bm25_serve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id bigint, doc_id bigint, score_micro bigint, "
                 "rank int")
-    return spark.read.parquet(out)
+    # the sink carries a batch_id partition column (the exactly-once
+    # batch_id-keyed layout) — emit the bm25_rank contract columns
+    return spark.read.parquet(out).select(
+        "query_id", "doc_id", "score_micro", "rank")
 
 
 # =========================================================================

@@ -291,6 +291,18 @@ def streaming_decontaminate(
     )
 
 
+def serve_write_batch(result: DataFrame, out_path: str,
+                      batch_id: int) -> None:
+    """The idempotent unit of ``stream_serve_foreach_batch``: write one
+    micro-batch's served results to ``out_path/batch_id=<id>``,
+    overwriting whatever a crashed earlier attempt for the SAME batch
+    left behind.  Module-level so retry semantics are directly
+    testable: replaying a committed batch_id must leave the sink
+    byte-identical, never duplicated."""
+    result.write.mode("overwrite").parquet(
+        f"{out_path}/batch_id={int(batch_id)}")
+
+
 def stream_serve_foreach_batch(
     stream: DataFrame,
     fn,
@@ -312,12 +324,17 @@ def stream_serve_foreach_batch(
     drained union equals the one-shot batch run — the
     streaming_decontaminate invariant, generalized.
 
-    The checkpoint gives at-least-once parquet appends on crash/retry
-    (Spark's documented foreachBatch contract — use batch_id-keyed
-    idempotent writes or Delta MERGE for exactly-once in production);
-    an AvailableNow drain in tests/backfills sees each batch once."""
+    Writes are EXACTLY-ONCE via batch_id-keyed idempotency (the
+    pattern Spark's foreachBatch docs prescribe): each micro-batch
+    lands at ``out_path/batch_id=<id>`` with mode("overwrite"), so a
+    crash between the write and the checkpoint commit makes the retry
+    OVERWRITE the same directory instead of appending a duplicate
+    copy (the raw ``mode("append")`` failure, r8 verdict).  The sink
+    therefore carries a ``batch_id`` bigint partition column on read —
+    select your contract columns, and downstream scans filtered by
+    batch range prune at the file listing."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        fn(batch_df).write.mode("append").parquet(out_path)
+        serve_write_batch(fn(batch_df), out_path, batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_process)

@@ -395,9 +395,34 @@ def test_stream_serve_foreach_batch_split_invariant(spark, tmp_path):
     stream = stream_source(spark, src, schema, fmt="parquet",
                            options={"maxFilesPerTrigger": "1"})
     stream_serve_foreach_batch(stream, fn, out, ckpt)
-    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    served = spark.read.parquet(out)
+    # the sink carries the batch_id partition column (exactly-once
+    # batch_id-keyed layout) alongside fn's contract columns
+    assert "batch_id" in served.columns
+    got = sorted(tuple(r) for r in
+                 served.select("doc_id", "served").collect())
     want = sorted(tuple(r) for r in fn(spark.read.parquet(src)).collect())
     assert got == want and len(got) == 40
+    # crash-retry idempotency: replaying a COMMITTED batch_id (a retry
+    # after a crash between the parquet write and the checkpoint
+    # commit) must overwrite, never duplicate
+    from dbt_core_spark.streaming.structured import serve_write_batch
+
+    batch0 = {int(r["batch_id"])
+              for r in served.select("batch_id").distinct().collect()}
+    replay_id = min(batch0)
+    # materialize the committed batch's request rows BEFORE overwriting
+    # the directory they live in (a real retry recomputes fn from the
+    # checkpointed source offsets, not from the sink)
+    committed = [
+        (int(r["doc_id"]), int(r["served"]) // 2)
+        for r in spark.read.parquet(f"{out}/batch_id={replay_id}").collect()
+    ]
+    replay_rows = fn(spark.createDataFrame(committed, "doc_id long, v long"))
+    serve_write_batch(replay_rows, out, replay_id)
+    again = sorted(tuple(r) for r in spark.read.parquet(out)
+                   .select("doc_id", "served").collect())
+    assert again == want, "batch replay duplicated or lost rows"
     # empty request stream: fn never produces files
     out2 = str(tmp_path / "out2"); ckpt2 = str(tmp_path / "ckpt2")
     stream2 = stream_source(spark, src, schema, fmt="parquet").filter(
