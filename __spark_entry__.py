@@ -3171,6 +3171,69 @@ def streaming_bm25_serve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", "score_micro", "rank")
 
 
+def _embs_stream_path(spark: SparkSession, sf_dir: str) -> str:
+    """Multi-file copy of embeddings for the streaming ANN serving
+    gate (same discipline as ``_docs_stream_path``: write-once atomic
+    stable path; 4 files so the AvailableNow drain really
+    micro-batches)."""
+    return _stable_table_copy(
+        sf_dir, "embeddings", "embs_stream",
+        lambda tmp: _t(spark, sf_dir, "embeddings").repartition(4)
+        .write.parquet(tmp),
+    )
+
+
+def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense serving parity with streaming_bm25_serve_docs: the
+    embeddings table streamed as micro-batches (2 files/trigger), its
+    %20 residue treated as a request stream of query vectors and
+    served per batch with ``ivf_index_search`` against a sealed
+    standing IVF index (build-once / serve-many — the index is never
+    rebuilt per batch; per-batch cost is the batch's probed cells
+    only).  Per-query top-k is request-row-local, so the drained union
+    is identical to the one-shot search under ANY micro-batch split —
+    the oracle IS ann_ivf_index_query_embeddings.
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10);
+    pre-verified at two scales + forced-split pin + hostile-corpus
+    fuzz before wiring (the r8→r9 staging protocol)."""
+    import tempfile
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from dbt_core_spark.streaming.structured import (
+        stream_serve_foreach_batch,
+        stream_source,
+    )
+
+    path = _embs_stream_path(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, assigns = ivf_index_build(emb, n_cells=16, kmeans_iters=0)
+    # sealed: every micro-batch's search probes the standing
+    # assignments — without the seal each batch would replay the
+    # whole build assignment pass (the ≥2-branch lineage rule)
+    assigns = assigns.localCheckpoint(eager=False)
+    stream = stream_source(
+        spark, path, spark.read.parquet(path).schema, fmt="parquet",
+        options={"maxFilesPerTrigger": "2"},
+    )
+    work = tempfile.mkdtemp(prefix="ann_serve_")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    stream_serve_foreach_batch(
+        stream.filter("vec_id % 20 = 0"),
+        lambda batch: ivf_index_search(cents, assigns, batch,
+                                       k=3, n_probe=4),
+        out, ckpt,
+    )
+    if not os.path.isdir(out):  # no query rows arrived at all
+        return spark.createDataFrame(
+            [], "query_id long, nbr_id long, cosine double, rank int")
+    return spark.read.parquet(out).select(
+        "query_id", "nbr_id", "cosine", "rank")
+
+
 # =========================================================================
 # registry
 # =========================================================================

@@ -3916,3 +3916,10 @@ ORACLES.update(ORACLES_STAGED_R9)
 ORACLES_STAGED_R9 = {}
 
 ORACLES_STAGED_R10: dict[str, str] = {}
+
+# r9 dense-serving parity: a standing IVF index serving a query-vector
+# STREAM via foreachBatch — per-query top-k is request-row-local, so
+# the drained union equals the one-shot search and the oracle IS
+# ann_ivf_index_query over the same corpus/queries.  Staged r10.
+ORACLES_STAGED_R10["streaming_ann_serve_embeddings"] = ORACLES[
+    "ann_ivf_index_query_embeddings"]

@@ -1467,3 +1467,30 @@ def test_r9_rebalance_gate_on_hostile_corpora(
         em.ann_ivf_rebalance_embeddings,
         ORACLES["ann_ivf_rebalance_embeddings"])
     assert ok, msg
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows_nullable, dup=st.booleans())
+def test_staged_r10_ann_serve_gate_on_hostile_corpora(
+    spark, tmp_path_factory, vecs, dup
+):
+    """The STAGED round-10 streaming ANN serve gate on hostile
+    embeddings: NULL / zero-norm / non-finite query vectors (dropped
+    inside the assignment kernel on the Spark side, by the v CTE in
+    the oracle), duplicate vectors (argmax ties), and corpora so small
+    that some micro-batches carry zero query rows."""
+    from oracles import ORACLES_STAGED_R10
+
+    if dup and vecs:
+        vecs = vecs + vecs[:3]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r10serve"))
+    con = _write_embeddings(tmpdir, [v for v in vecs])
+    ok, msg = _vo.compare(
+        "streaming_ann_serve_embeddings", spark, con, tmpdir,
+        em.streaming_ann_serve_embeddings,
+        ORACLES_STAGED_R10["streaming_ann_serve_embeddings"])
+    assert ok, msg

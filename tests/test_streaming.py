@@ -368,6 +368,54 @@ def test_streaming_decontaminate_empty_probes(spark, tmp_path):
     assert spark.table(name).count() == 0
 
 
+def test_streaming_ann_serve_forced_split_matches_one_shot(
+    spark, sf_dir, tmp_path
+):
+    """Dense serving split-invariance pin (the bm25-serve precedent):
+    ivf_index_search served per micro-batch under a forced
+    1-file-per-trigger split must equal the one-shot batch search over
+    the same standing index — per-query top-k is request-row-local."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from dbt_core_spark.streaming.structured import (
+        stream_serve_foreach_batch,
+        stream_source,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = str(tmp_path / "req_src")
+    emb.repartition(5).write.parquet(src)  # 5 files -> 5 micro-batches
+    cents, assigns = ivf_index_build(emb, n_cells=8, kmeans_iters=0)
+    assigns = assigns.localCheckpoint(eager=True)
+
+    stream = stream_source(
+        spark, src, spark.read.parquet(src).schema, fmt="parquet",
+        options={"maxFilesPerTrigger": "1"},
+    )
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+    stream_serve_foreach_batch(
+        stream.filter("vec_id % 20 = 0"),
+        lambda b: ivf_index_search(cents, assigns, b, k=3, n_probe=4),
+        out, ckpt,
+    )
+    served = sorted(
+        (r["query_id"], r["nbr_id"], round(r["cosine"], 9), r["rank"])
+        for r in spark.read.parquet(out)
+        .select("query_id", "nbr_id", "cosine", "rank").collect()
+    )
+    one_shot = sorted(
+        (r["query_id"], r["nbr_id"], round(r["cosine"], 9), r["rank"])
+        for r in ivf_index_search(
+            cents, assigns, emb.filter(F.col("vec_id") % 20 == 0),
+            k=3, n_probe=4).collect()
+    )
+    assert served == one_shot and len(served) > 0
+
+
 def test_stream_serve_foreach_batch_split_invariant(spark, tmp_path):
     """The generic foreachBatch serving drain equals the one-shot batch
     transform under a forced 1-file-per-trigger split (row-local fn),
