@@ -3171,6 +3171,38 @@ def streaming_bm25_serve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", "score_micro", "rank")
 
 
+def multimodal_phash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection — the dedup verb of the
+    multimodal tier: synthetic gradient PPMs (the %23==1 corpus
+    slice, bounded so the class-twin pair count stays gate-sized) plus
+    an exact CLONE of every image under shifted ids (the guaranteed
+    hamming-0 stratum), fingerprinted with the integer-exact aHash and
+    paired via lossless 4-band Hamming blocking at radius 3
+    (operators/multimodal.py:phash_media/phash_dup_pairs).  WAV rows
+    hash to NULL and drop.  Everything is integer, so the DuckDB
+    oracle replays the whole pipeline exactly from the gradient
+    formula.
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
+    see streaming_ann_serve_embeddings)."""
+    from dbt_core_spark.operators.multimodal import (
+        phash_dup_pairs,
+        phash_media,
+        synth_media,
+    )
+
+    corpus = _t(spark, sf_dir, "documents").filter("doc_id % 23 = 1")
+    media = synth_media(corpus, pattern="gradient")
+    clones = synth_media(corpus, pattern="gradient").select(
+        (F.col("media_id") + F.lit(10**9)).alias("media_id"), "data")
+    # sealed: the banded self-join consumes the hash frame on both
+    # sides — without the seal every side replays the Arrow decode
+    # pass (the ≥2-branch lineage rule)
+    hashes = phash_media(media.unionByName(clones)).localCheckpoint(
+        eager=False)
+    return phash_dup_pairs(hashes, max_hamming=3)
+
+
 def _embs_stream_path(spark: SparkSession, sf_dir: str) -> str:
     """Multi-file copy of embeddings for the streaming ANN serving
     gate (same discipline as ``_docs_stream_path``: write-once atomic

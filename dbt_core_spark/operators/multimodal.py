@@ -409,6 +409,155 @@ def resize_media(
     return ensure_parallelism(df).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("h0", T.IntegerType(), True),
+    T.StructField("h1", T.IntegerType(), True),
+    T.StructField("h2", T.IntegerType(), True),
+    T.StructField("h3", T.IntegerType(), True),
+])
+
+
+def phash_media(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    grid: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Perceptual image hash (average hash / aHash) over binary netpbm
+    payloads — the fingerprint half of multimodal near-duplicate
+    detection, INTEGER-EXACT by construction (no DCT, no float mean):
+
+    - grayscale = per-pixel CHANNEL SUM (3·v for P5 gray), never a
+      division;
+    - nearest-neighbor sample onto a grid×grid raster with the
+      resize_media index convention (sy = ty·h÷grid floor);
+    - bit(p) = [grid²·g(p) > Σ g]  (the mean comparison cleared of its
+      division; strict >, ties → 0);
+    - the grid² bits pack row-major into ``n_bands`` unsigned band
+      integers of grid²/n_bands bits each (h0..h3 at the 8×8/4
+      default) — the banded-key layout Hamming blocking joins on
+      (the SimHash blocking idea, dedup.py:simhash_pairs, re-keyed
+      for image rasters).
+
+    aHash is shift-brightness invariant (a constant offset moves every
+    pixel AND the mean) and resolution invariant under the fixed-grid
+    resample — the standard cheap near-dup fingerprint (pHash family,
+    public imagehash semantics).  Non-image / malformed payloads emit
+    NULL dims + NULL bands (the decode_media fallback contract) and
+    are excluded by ``phash_dup_pairs``.
+
+    Scale shape: one Arrow pass, project-only plan (the binary column
+    never shuffles); output is id + 6 small ints per image."""
+    if grid * grid % n_bands != 0:
+        raise ValueError(f"grid²={grid * grid} not divisible by "
+                         f"n_bands={n_bands}")
+    per = grid * grid // n_bands
+    if per > 31:
+        raise ValueError(
+            f"band width {per} bits exceeds 31 (int32 band values); "
+            f"raise n_bands")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[data_col]):
+                mid = int(mid)
+                b = bytes(payload) if payload is not None else None
+                hdr = _ppm_header(b) if b else None
+                bad = (mid, None, None, None, None, None, None)
+                if hdr is None or hdr[2] != 255:
+                    rows.append(bad)
+                    continue
+                w, h, _maxval, pos = hdr
+                ch = 3 if b[:2] == b"P6" else 1
+                need = w * h * ch
+                if w <= 0 or h <= 0 or len(b) - pos < need:
+                    rows.append(bad)
+                    continue
+                px = np.frombuffer(b, dtype="u1", count=need,
+                                   offset=pos).reshape(h, w, ch)
+                g = px.astype("i8").sum(axis=2)
+                if ch == 1:
+                    g = g * 3  # same scale as RGB channel sums
+                sy = (np.arange(grid) * h) // grid
+                sx = (np.arange(grid) * w) // grid
+                s = g[sy[:, None], sx[None, :]].ravel()
+                total = int(s.sum())
+                bits = (grid * grid) * s > total
+                bands = []
+                for k in range(n_bands):
+                    chunk = bits[k * per:(k + 1) * per]
+                    bands.append(int(sum(
+                        1 << i for i, v in enumerate(chunk) if v)))
+                rows.append((mid, int(w), int(h), *bands))
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in PHASH_SCHEMA])
+
+    from dbt_core_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate image pairs from ``phash_media`` fingerprints via
+    band-blocked Hamming join — the multimodal counterpart of the
+    text tier's SimHash blocking (dedup.py:simhash_pairs), and the
+    missing dedup verb of the multimodal tier.
+
+    Candidate pairs share at least one EQUAL band; by pigeonhole any
+    pair within Hamming distance < n_bands (= 4 in the phash_media
+    schema) differs in at most max_hamming < 4 bands and therefore
+    shares one — the blocking is LOSSLESS for ``max_hamming <= 3`` and
+    the operator refuses larger thresholds rather than silently
+    dropping pairs.  Exact Hamming distance confirms candidates:
+    Σ bit_count(h_k XOR h_k'), all integer.
+
+    Scale shape: one posexplode (4 rows/image) + one equi-join on the
+    (band, value) key — NEVER all-pairs; candidates are bounded by
+    Σ bucket² over 16-bit-key buckets.  At web scale (10⁹+ images) a
+    16-bit band saturates — widen ``grid`` (16×16 → 32-bit bands,
+    n_bands=8 int32 keys) so bucket sizes stay bounded; the pigeonhole
+    guarantee then covers max_hamming <= 7.  Returns
+    (id_a, id_b, hamming), id_a < id_b."""
+    n_bands = 4
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: band "
+            "blocking would drop pairs (pigeonhole bound); rehash with "
+            "a finer grid / more bands for larger radii")
+    valid = hashes.filter(F.col("h0").isNotNull()).select(
+        F.col(id_col).alias("_id"), "h0", "h1", "h2", "h3")
+    bands = valid.select(
+        "_id", "h0", "h1", "h2", "h3",
+        F.posexplode(F.array("h0", "h1", "h2", "h3")).alias("band", "bv"),
+    )
+    a = bands.select(*[F.col(c).alias(f"{c}_a") for c in
+                       ("_id", "h0", "h1", "h2", "h3")], "band", "bv")
+    b = bands.select(*[F.col(c).alias(f"{c}_b") for c in
+                       ("_id", "h0", "h1", "h2", "h3")], "band", "bv")
+    hamming = sum(
+        F.bit_count(F.col(f"h{k}_a").bitwiseXOR(F.col(f"h{k}_b")))
+        for k in range(n_bands)
+    ).cast("int")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .select(F.col("_id_a").alias("id_a"),
+                F.col("_id_b").alias("id_b"),
+                hamming.alias("hamming"))
+        .distinct()  # a pair sharing k bands appears k times
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def _wav_samples(payload: bytes) -> Optional["np.ndarray"]:
     """PCM16 samples of a RIFF/WAVE payload via the same chunk walk as
     decode_wav (mono 16-bit only), or None when not a valid WAV."""

@@ -3923,3 +3923,58 @@ ORACLES_STAGED_R10: dict[str, str] = {}
 # ann_ivf_index_query over the same corpus/queries.  Staged r10.
 ORACLES_STAGED_R10["streaming_ann_serve_embeddings"] = ORACLES[
     "ann_ivf_index_query_embeddings"]
+
+
+# r9 multimodal dedup: integer aHash over the synthetic gradient PPMs
+# (%23==1 corpus slice + exact clones under +1e9 ids), 8x8 nearest-
+# neighbor grid with the resize_media floor-index convention, gray =
+# channel sum = 3*(formula value), bit = 64*g > total, 4x16-bit bands,
+# band-blocked pairs confirmed at Hamming <= 3.  Mirrors
+# multimodal.phash_media + phash_dup_pairs exactly.  Staged r10.
+ORACLES_STAGED_R10["multimodal_phash_dedup_docs"] = """
+with corpus as (
+  select doc_id from documents where doc_id % 23 = 1 and doc_id % 2 = 1
+), img as (
+  select doc_id as media_id, doc_id as src,
+         4 + doc_id % 13 as w, 3 + doc_id % 7 as h
+  from corpus
+  union all
+  select doc_id + 1000000000, doc_id, 4 + doc_id % 13, 3 + doc_id % 7
+  from corpus
+), grid as (
+  select y.ty, x.tx, (y.ty * 8 + x.tx) as p
+  from (select unnest(range(8)) as ty) y
+  cross join (select unnest(range(8)) as tx) x
+), samp as (
+  select i.media_id, g.p,
+         3 * ((i.src + 3 * ((g.tx * i.w) // 8)
+                     + 7 * ((g.ty * i.h) // 8)) % 256) as gv
+  from img i cross join grid g
+), tot as (
+  select media_id, sum(gv) as s from samp group by 1
+), bands as (
+  select s.media_id, s.p // 16 as band,
+         cast(sum(case when 64 * s.gv > t.s
+                       then 1 << (s.p % 16) else 0 end) as int) as bv
+  from samp s join tot t using (media_id)
+  group by 1, 2
+), hashes as (
+  select media_id,
+         max(case when band = 0 then bv end) as h0,
+         max(case when band = 1 then bv end) as h1,
+         max(case when band = 2 then bv end) as h2,
+         max(case when band = 3 then bv end) as h3
+  from bands group by 1
+)
+select distinct a.media_id as id_a, b.media_id as id_b,
+       cast(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+          + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+            as int) as hamming
+from bands ba
+join bands bb on bb.band = ba.band and bb.bv = ba.bv
+             and bb.media_id > ba.media_id
+join hashes a on a.media_id = ba.media_id
+join hashes b on b.media_id = bb.media_id
+where bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3
+"""

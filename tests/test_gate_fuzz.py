@@ -1494,3 +1494,30 @@ def test_staged_r10_ann_serve_gate_on_hostile_corpora(
         em.streaming_ann_serve_embeddings,
         ORACLES_STAGED_R10["streaming_ann_serve_embeddings"])
     assert ok, msg
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows, dup=st.booleans())
+def test_staged_r10_phash_gate_on_hostile_corpora(
+    spark, tmp_path_factory, rows, dup
+):
+    """The STAGED round-10 multimodal phash dedup gate on hostile doc
+    corpora: tiny corpora where the %23 slice is empty (empty contract
+    frame), duplicated doc rows, and whatever ids hypothesis draws —
+    the hash depends only on doc_id (text feeds the WAV rows, which
+    hash NULL and drop)."""
+    from oracles import ORACLES_STAGED_R10
+
+    if dup and rows:
+        rows = rows + rows[: len(rows) // 2 + 1]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r10ph"))
+    con = _write_docs(tmpdir, rows)
+    ok, msg = _vo.compare(
+        "multimodal_phash_dedup_docs", spark, con, tmpdir,
+        em.multimodal_phash_dedup_docs,
+        ORACLES_STAGED_R10["multimodal_phash_dedup_docs"])
+    assert ok, msg

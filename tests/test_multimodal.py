@@ -183,3 +183,123 @@ def test_wav_spectrogram_skips_non_wav(spark):
 
     docs = spark.createDataFrame([(1, "img")], ["doc_id", "text"])  # odd -> PPM
     assert wav_spectrogram(synth_media(docs)).count() == 0
+
+
+def test_phash_media_matches_hand_computed_bits(spark):
+    """aHash of a hand-built 2x2 P6: the 8x8 grid samples four 16-cell
+    quadrant blocks; bit = 64*g > total, packed row-major into four
+    16-bit bands."""
+    import numpy as np
+
+    from dbt_core_spark.operators.multimodal import encode_ppm, phash_media
+
+    px = np.zeros((2, 2, 3), dtype="u1")
+    px[0, 0] = 10   # g=30  -> bit 0
+    px[0, 1] = 200  # g=600 -> bit 1 (only value above the mean)
+    px[1, 0] = 10
+    px[1, 1] = 10
+    df = spark.createDataFrame([(7, bytearray(encode_ppm(px)))],
+                               "media_id long, data binary")
+    row = phash_media(df).collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    # rows 0-3 x cols 4-7 are the only set bits: band0 rows 0-1
+    # (offsets 4-7 and 12-15), band1 rows 2-3 (same), bands 2-3 empty
+    want = 0b1111000011110000
+    assert (row["h0"], row["h1"], row["h2"], row["h3"]) == (
+        want, want, 0, 0)
+
+
+def test_phash_media_brightness_shift_invariant(spark):
+    """A constant brightness offset (no wrap) moves every pixel and the
+    mean together — the aHash must be identical."""
+    import numpy as np
+
+    from dbt_core_spark.operators.multimodal import encode_ppm, phash_media
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 200, size=(5, 9, 3)).astype("u1")
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(base))),
+         (2, bytearray(encode_ppm(base + 50)))],
+        "media_id long, data binary")
+    rows = {r["media_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+            for r in phash_media(df).collect()}
+    assert rows[1] == rows[2]
+
+
+def test_phash_media_python_reference(spark):
+    """Band values equal a pure-Python replica on arbitrary images,
+    including non-divisible dims (nearest-neighbor floor sampling)."""
+    import numpy as np
+
+    from dbt_core_spark.operators.multimodal import encode_ppm, phash_media
+
+    rng = np.random.RandomState(11)
+    imgs = {i: rng.randint(0, 256, size=(3 + i, 5 + 2 * i, 3)).astype("u1")
+            for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_ppm(px))) for i, px in imgs.items()],
+        "media_id long, data binary")
+    got = {r["media_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+           for r in phash_media(df).collect()}
+    for i, px in imgs.items():
+        g = px.astype("i8").sum(axis=2)
+        h, w = g.shape
+        sy = (np.arange(8) * h) // 8
+        sx = (np.arange(8) * w) // 8
+        s = g[sy[:, None], sx[None, :]].ravel()
+        bits = 64 * s > s.sum()
+        want = tuple(
+            int(sum(1 << j for j, v in enumerate(bits[k * 16:(k + 1) * 16])
+                    if v)) for k in range(4))
+        assert got[i] == want, i
+
+
+def test_phash_media_non_image_and_malformed_null(spark):
+    from dbt_core_spark.operators.multimodal import (
+        phash_dup_pairs,
+        phash_media,
+        synth_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(2, "a wav doc"), (4, "another wav")], ["doc_id", "text"])
+    hashes = phash_media(synth_media(docs))  # even ids -> WAVs
+    rows = hashes.collect()
+    assert len(rows) == 2 and all(r["h0"] is None for r in rows)
+    assert phash_dup_pairs(hashes).count() == 0
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"P6\n4 3\n255\nxx")),  # truncated
+         (2, None)],
+        "media_id long, data binary")
+    assert all(r["h0"] is None for r in phash_media(bad).collect())
+
+
+def test_phash_dup_pairs_blocking_and_hamming(spark):
+    """Hand-built fingerprints: hamming 0 (clone), 1, 3 pairs survive;
+    a hamming-4 pair is dropped by the threshold (it still shares no
+    band here); max_hamming >= n_bands refuses (pigeonhole bound)."""
+    import pytest
+
+    from dbt_core_spark.operators.multimodal import phash_dup_pairs
+
+    rows = [
+        (1, 5, 5, 100, 200, 300, 400),
+        (2, 5, 5, 100, 200, 300, 400),          # clone of 1 -> hamming 0
+        (3, 5, 5, 100, 200, 300, 400 ^ 1),      # 1 bit off -> hamming 1
+        (4, 5, 5, 100 ^ 3, 200 ^ 1, 300, 400),  # 3 bits across 2 bands
+        (5, 5, 5, 100 ^ 1, 200 ^ 1, 300 ^ 1, 400 ^ 1),  # hamming 4
+        (6, 5, 5, None, None, None, None),      # undecodable: excluded
+    ]
+    hashes = spark.createDataFrame(
+        rows, "media_id long, width int, height int, "
+              "h0 int, h1 int, h2 int, h3 int")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_dup_pairs(hashes, max_hamming=3).collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 4)] == 3
+    assert (1, 5) not in got  # hamming 4 > threshold
+    assert all(6 not in p for p in got)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_dup_pairs(hashes, max_hamming=4)

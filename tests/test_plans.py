@@ -572,6 +572,34 @@ def test_decontaminate_bloom_prefilter_shape(spark, sf_dir):
     assert analyzed.count("element_at") == 1
 
 
+def test_phash_dup_pairs_banded_join_never_cartesian(spark):
+    """Multimodal near-dup pairs: the candidate stage must be an
+    equi-join on the (band, value) key — an all-pairs image comparison
+    is corpus²-scale at 10⁹ images — and the binary payload column
+    must never cross an exchange (hashes are id + 6 small ints)."""
+    import re
+
+    from dbt_core_spark.operators.multimodal import (
+        phash_dup_pairs,
+        phash_media,
+        synth_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(2 * i + 1, "img") for i in range(30)], ["doc_id", "text"])
+    hashes = phash_media(synth_media(docs, pattern="gradient"))
+    df = phash_dup_pairs(hashes.localCheckpoint(eager=False))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+    fmt = _formatted(df)
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", fmt)
+    for cols in exchanges:
+        assert "data#" not in cols, f"binary payload crossed a shuffle: {cols}"
+
+
 def test_corpus_diff_shuffles_hashes_never_text(spark, sf_dir):
     """Snapshot diff: the md5 projection must land BELOW both join
     exchanges so only (id, 32-byte hash) rows shuffle — document text
