@@ -1731,7 +1731,14 @@ def ivf_index_rebalance(
     pass over HOT-cell members only (broadcast sub-centroid matrices);
     cold members never move.  Returns ``(centroids2, assignments2)``
     with the ivf_index_build schemas — persist them as the next index
-    snapshot."""
+    snapshot.
+
+    ONE round is not guaranteed to land every sub-cell under
+    ``max_cell_rows``: the lowest-id seeding splits by GEOMETRY, not
+    by count, so a dense sub-region can keep a sub-cell hot.  The
+    still-hot residue shrinks geometrically under re-application —
+    use ``ivf_index_rebalance_converged`` to iterate to the bound
+    (the r9 SCALING probe measures the trajectory)."""
     import numpy as np
     import pandas as pd
 
@@ -1814,8 +1821,49 @@ def ivf_index_rebalance(
         centroids.filter(~F.col("cell").isin(hot_cells))
         .unionByName(spark.createDataFrame(
             new_cent_rows, "cell int, cv array<double>"))
+        .coalesce(max(1, centroids.rdd.getNumPartitions()))
     )
-    return centroids2, cold.unionByName(moved)
+    # coalesce the union back to the INPUT's partition width: union
+    # concatenates both sides' partition lists (cold P + moved P = 2P),
+    # and iterated rebalance rounds would otherwise double the snapshot
+    # width per round — the r9 probe measured a 100→25k-partition
+    # snapshot whose every later serving batch drowned in empty-task
+    # overhead (20 s vs 2.4 s per batch).  coalesce merges partitions
+    # at read time with NO shuffle, so cold rows still never move.
+    assignments2 = cold.unionByName(moved).coalesce(
+        max(1, assignments.rdd.getNumPartitions()))
+    return centroids2, assignments2
+
+
+def ivf_index_rebalance_converged(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    max_cell_rows: int = 100_000,
+    max_rounds: int = 12,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Iterate ``ivf_index_rebalance`` until every cell holds at most
+    ``max_cell_rows`` members (or ``max_rounds`` is hit) — the
+    maintenance loop a production snapshot pipeline runs, since one
+    round splits by geometry and a dense sub-region can stay hot.
+
+    Each round's output is sealed (``localCheckpoint``) before the
+    next — the following round consumes it four ways (counts, seeds,
+    moved, cold) and would otherwise replay every earlier round per
+    branch.  Rounds touch only the still-hot residue, which shrinks
+    geometrically, so total work is a small constant factor over one
+    round.  Returns ``(centroids, assignments, rounds_run)``."""
+    c_cur, a_cur = centroids, assignments
+    for rounds in range(max_rounds):
+        over = (
+            a_cur.groupBy("cell").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_cell_rows).limit(1).collect()
+        )
+        if not over:
+            return c_cur, a_cur, rounds
+        c_cur, a_cur = ivf_index_rebalance(
+            c_cur, a_cur, max_cell_rows=max_cell_rows)
+        a_cur = a_cur.localCheckpoint(eager=False)
+    return c_cur, a_cur, max_rounds
 
 
 # ---------------------------------------------------------------------------

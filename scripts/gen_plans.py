@@ -228,35 +228,42 @@ PICKS = {
         "WindowGroupLimit — fusion cost is bounded by Σ|rankings|, "
         "never the corpus."),
     "corpus_diff_docs": (
-        "Snapshot diff (r9-staged) — content md5 computed per side "
+        "Snapshot diff (r9 gate) — content md5 computed per side "
         "BEFORE the full-outer join so only (id, 32-byte hash) rows "
         "reach the exchange, never document text; on id-bucketed "
         "snapshot tables the join co-partitions with no exchange at "
         "all."),
     "vocab_drift_docs": (
-        "Vocabulary drift (r9-staged) — two wordcount-class shuffles "
+        "Vocabulary drift (r9 gate) — two wordcount-class shuffles "
         "with map-side partial aggregation, one vocabulary-sized "
         "full-outer join, and a rank window over VOCABULARY rows "
         "only; the corpus never moves and the KL contributions are "
         "floored micro-nat integers."),
     "ngram_loops_docs": (
-        "Degenerate-loop detection (r9-staged) — positional n-grams "
+        "Degenerate-loop detection (r9 gate) — positional n-grams "
         "from the shifted-slice HOF (no self-join), chain detection "
         "as a per-(doc, phase) lag window bounded by document length, "
         "runs aggregated with one doc-keyed groupBy; zero joins "
         "anywhere."),
     "decontaminate_cut_docs": (
-        "Span-level decontamination (r9-staged) — corpus positional "
+        "Span-level decontamination (r9 gate) — corpus positional "
         "grams are the shared sealed 16-byte-key pass; probe "
         "membership is one left-semi join against the distinct probe "
         "shingle hashes; island merge and the positional cut stay in "
         "per-document windows / doc-keyed aggregates."),
     "perceptron_ovr_language_docs": (
-        "Jointly-trained one-vs-rest perceptrons (r9-staged) — the "
+        "Jointly-trained one-vs-rest perceptrons (r9 gate) — the "
         "SERVE plan: hashed-count features broadcast-join k·(dim+1) "
         "weight rows, per-(id, cls) integer sums with map-side "
         "partials, argmax via one min-struct aggregate — no window, "
         "no per-class pass."),
+    "multimodal_phash_dedup_docs": (
+        "Multimodal near-dup pairs (r10-staged) — fingerprinting is "
+        "one Arrow mapInPandas pass (project-only: the binary payload "
+        "never reaches an exchange); candidates are an equi-join on "
+        "the exploded (band, value) key — never a cartesian — and the "
+        "exact Hamming confirm is integer XOR/popcount on the carried "
+        "band columns."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",

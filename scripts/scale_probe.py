@@ -490,6 +490,169 @@ def main() -> None:
                       f"shuffle={fmt_bytes(a['shuffle_bytes'])}",
                       file=sys.stderr)
 
+    # ---- IVF maintenance tier (r9): hot-cell rebalance.  Appends
+    # concentrate in popular regions (here: a fixed 20% slice of the
+    # base corpus re-appended ×factor with re-keyed ids), the built
+    # 16-cell layout blows past max_cell_rows, and per-batch search
+    # cost degrades with the hot cells.  The probe measures the SAME
+    # fixed query batch on the skew-hot index BEFORE and AFTER
+    # ivf_index_rebalance — the before/after decade the r8 verdict
+    # asked for — plus the rebalance's own one-time cost. ----
+    from dbt_core_spark.operators.similarity import ivf_index_rebalance
+
+    REB_MAX_CELL = 300
+    reb: dict[int, dict] = {}
+    base_emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    hot_src = base_emb.filter("vec_id % 5 = 0")  # ~20% of the base
+    for factor in SCALES:
+        grown = base_emb
+        for i in range(1, factor):
+            # SMALL md5-derived per-(replica, component) offsets
+            # (amplitude 0.02 → replica cosine ≈ 0.99): the appends
+            # stay concentrated in the same cells (that is the skew
+            # being probed) but are NOT exact duplicates — identical
+            # vectors cannot be split by ANY geometric method, so an
+            # exact-copy corpus would measure a pathology, not the
+            # operator (first probe attempt did exactly that: a
+            # sub-cell inherited every copy of the dominant vector)
+            def _off(j, _i=i):
+                h = F.conv(F.substring(F.md5(F.concat(
+                    F.lit(f"reb:{_i}:"), j.cast("string"))), 1, 15),
+                    16, 10).cast("bigint")
+                return (F.pmod(h, F.lit(2001)) - 1000) / 1000.0 * 0.02
+
+            grown = grown.unionByName(hot_src.select(
+                (F.col("vec_id") + F.lit(i * KEY_STRIDE)).alias("vec_id"),
+                F.transform("embedding", lambda x, j: x + _off(j))
+                .alias("embedding"),
+                *[c for c in base_emb.columns
+                  if c not in ("vec_id", "embedding")],
+            ))
+        corpus = grown.repartition(max(4, factor)).localCheckpoint(
+            eager=True)
+        rows_total = corpus.count()
+        cents, assigns = ivf_index_build(corpus, n_cells=16,
+                                         kmeans_iters=0)
+        assigns = assigns.localCheckpoint(eager=True)
+
+        def _sizes(a):
+            return {int(r["cell"]): int(r["n"]) for r in
+                    a.groupBy("cell").agg(F.count("*").alias("n"))
+                    .collect()}
+
+        sizes = _sizes(assigns)
+        _, w_before, _ = run(
+            lambda: ivf_index_search(cents, assigns, queries,
+                                     k=3, n_probe=4))
+        import gc as _gc
+
+        # rebalance to CONVERGENCE (ivf_index_rebalance_converged
+        # semantics, unrolled here so the per-round max-cell
+        # trajectory can be recorded): one round splits each hot cell
+        # by k_c lowest-id seeds (the deterministic, oracle-exact
+        # seeding — NOT balanced), so a residue of still-hot sub-cells
+        # can survive; successive rounds split the residue
+        # geometrically.
+        _gc.collect()
+        t0 = time.time()
+        c_cur, a_cur, s_cur = cents, assigns, sizes
+        track, rounds = [max(sizes.values())], 0
+        while max(s_cur.values()) > REB_MAX_CELL and rounds < 12:
+            c_cur, a_cur = ivf_index_rebalance(
+                c_cur, a_cur, max_cell_rows=REB_MAX_CELL)
+            a_cur = a_cur.localCheckpoint(eager=True)
+            a_cur.count()
+            s_cur = _sizes(a_cur)
+            track.append(max(s_cur.values()))
+            rounds += 1
+        reb_wall = round(time.time() - t0, 2)
+        _, w_after, _ = run(
+            lambda: ivf_index_search(c_cur, a_cur, queries,
+                                     k=3, n_probe=4))
+        reb[factor] = {
+            "rows": rows_total,
+            "hot": sum(1 for n in sizes.values() if n > REB_MAX_CELL),
+            "cells_before": len(sizes), "cells_after": len(s_cur),
+            "rounds": rounds, "track": track,
+            "max_before": max(sizes.values()),
+            "max_after": max(s_cur.values()),
+            "w_before": w_before, "w_after": w_after,
+            "reb_wall": reb_wall,
+        }
+        print(f"== rebalance x{factor}: {reb[factor]}", file=sys.stderr)
+
+    # ---- multimodal dedup tier (r9): aHash fingerprints + banded
+    # Hamming pairs over synthetic PPM decades.  Replica images carry a
+    # replica-specific random spatial texture on top of the gradient:
+    # WITHIN-replica near-dup structure is preserved (the texture hits
+    # both members of a pair), across replicas hashes decorrelate — so
+    # pair density stays ~constant per replica (linear total) instead
+    # of the quadratic (w,h)-class clique blowup exact gradient
+    # replication would measure (the replicate_docs rule, re-derived
+    # for images). ----
+    from dbt_core_spark.operators.multimodal import (
+        encode_ppm,
+        phash_dup_pairs,
+        phash_media,
+    )
+
+    def replicate_phash_media(factor: int) -> str:
+        path = f"/tmp/scale_probe_phash_x{factor}"
+        if not os.path.exists(path):
+            import numpy as np
+            import pandas as pd
+
+            ids = spark.read.parquet(f"{BASE}/documents.parquet").filter(
+                "doc_id % 23 = 1 and doc_id % 2 = 1").select("doc_id")
+            grid = ids.crossJoin(
+                spark.range(factor).select(F.col("id").alias("rep"))
+            ).select(
+                (F.col("doc_id") + F.col("rep") * KEY_STRIDE)
+                .alias("media_id"),
+                F.col("doc_id").alias("src"), "rep",
+            )
+
+            def synth(batches):
+                tex: dict[int, "np.ndarray"] = {}
+                for pdf in batches:
+                    out = []
+                    for mid, src, rep in zip(pdf["media_id"], pdf["src"],
+                                             pdf["rep"]):
+                        src, rep = int(src), int(rep)
+                        w, h = 4 + src % 13, 3 + src % 7
+                        if rep not in tex:
+                            tex[rep] = np.random.RandomState(
+                                9000 + rep).randint(0, 256, size=(16, 24))
+                        T = tex[rep]
+                        xs = np.arange(w)[None, :] * 3
+                        ys = np.arange(h)[:, None] * 7
+                        plane = ((src + xs + ys + T[:h, :w]) % 256
+                                 ).astype("u1")
+                        px = np.repeat(plane[:, :, None], 3, axis=2)
+                        out.append((int(mid), encode_ppm(px)))
+                    yield pd.DataFrame(out, columns=["media_id", "data"])
+
+            grid.repartition(max(4, factor)).mapInPandas(
+                synth, "media_id long, data binary"
+            ).write.mode("overwrite").parquet(path)
+        return path
+
+    ph_results: dict[int, tuple] = {}
+    ph_meta: dict[int, int] = {}
+    for factor in SCALES:
+        media = spark.read.parquet(replicate_phash_media(factor))
+        ph_meta[factor] = media.count()
+
+        def ph_flow():
+            hashes = phash_media(media).localCheckpoint(eager=False)
+            return phash_dup_pairs(hashes, max_hamming=3)
+
+        ph_results[factor] = run_count(ph_flow)
+        rows, wall, a = ph_results[factor]
+        print(f"== phash x{factor}: {ph_meta[factor]} images, {wall}s, "
+              f"{rows} pairs, shuffle={fmt_bytes(a['shuffle_bytes'])}",
+              file=sys.stderr)
+
     lines = [
         "# SCALING — ANN + dedup tiers, measured across two decades",
         "",
@@ -832,6 +995,98 @@ def main() -> None:
         "loop detection prefilters to stride-linked positions in the "
         "ARRAY domain, so window exchanges stay ~empty on healthy "
         "text.",
+        "",
+        "## IVF maintenance tier (hot-cell rebalance)",
+        "",
+        "Appends concentrated in popular regions (a fixed 20% slice of "
+        "the base corpus re-appended ×factor with re-keyed ids) blow "
+        "past the built 16-cell layout; the probe serves the SAME "
+        f"fixed {n_queries}-query batch on the skew-hot index BEFORE "
+        f"and AFTER `ivf_index_rebalance(max_cell_rows={REB_MAX_CELL})`"
+        ", plus the rebalance's own one-time cost.",
+        "",
+        "| scale | rows | hot cells | max-cell trajectory "
+        "(per round) | cells before→after | rounds | rebalance s "
+        "(total, once) | batch s before→after (n_probe=4) |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for factor in SCALES:
+        d = reb[factor]
+        lines.append(
+            f"| ×{factor} | {d['rows']:,} | {d['hot']} "
+            f"| {' → '.join(f'{m:,}' for m in d['track'])} "
+            f"| {d['cells_before']} → {d['cells_after']} "
+            f"| {d['rounds']} | {d['reb_wall']} "
+            f"| {d['w_before']} → {d['w_after']} |")
+    r100 = reb[100]
+    lines += [
+        "",
+        f"- **Rebalance restores the per-cell bound**: at ×100 the "
+        f"hottest cell goes "
+        f"{' → '.join(f'{m:,}' for m in r100['track'])} members "
+        f"across {r100['rounds']} rounds (cap {REB_MAX_CELL}).  One "
+        "round is NOT guaranteed to land under the cap: sub-centroids "
+        "seed from each hot cell's lowest-id members (the "
+        "deterministic, oracle-exact convention), which splits by "
+        "geometry, not by count — the still-hot residue shrinks "
+        "geometrically and re-running converges.  The per-cell bound "
+        "is what caps the worst per-task candidate block "
+        f"(n_probe·max_cell: {4 * r100['max_before']:,} → "
+        f"{4 * r100['max_after']:,} rows) — the straggler-task and "
+        "kernel-memory contract the Arrow search kernels rely on.",
+        "- **Only hot members move**: cold cells and their rows pass "
+        "through verbatim (×1 has no hot cell and the call is a "
+        "no-op returning its inputs); driver state per round is one "
+        "Σk_c-row seed collect, never the corpus.",
+        "- Batch wall at probe scale is fixed-cost-dominated "
+        "(centroid collect + broadcast + window per call), so the "
+        "before→after wall moves little here; the structural signal "
+        "is the bounded per-cell block above.  Recall at fixed "
+        "n_probe shifts as cells multiply — production raises "
+        "n_probe with n_cells (the FAISS nprobe/nlist tradeoff); "
+        "search cost then scales with n_probe·max_cell_rows, which "
+        "rebalance is what keeps true under skewed appends.",
+        "- **The one-time cost amortizes**: a standing workload of B "
+        "batches pays rebalance + B·(bounded batch) instead of "
+        "B·(degraded straggler batch) — the bm25_index build-once "
+        "argument, applied to index maintenance.",
+        "",
+        "## Multimodal dedup tier (aHash + banded Hamming pairs)",
+        "",
+        "Synthetic PPM decades; replica images carry a replica-"
+        "specific random spatial texture on top of the gradient so "
+        "near-dup structure is WITHIN-replica only — pair density "
+        "stays ~constant per replica (linear total), the "
+        "`replicate_docs` rule re-derived for images.",
+        "",
+        "| scale | images | wall s | dup pairs (hamming ≤ 3) | "
+        "final-job shuffle | shuffle rows |",
+        "|---|---|---|---|---|---|",
+    ]
+    for factor in SCALES:
+        rows, wall, a = ph_results[factor]
+        lines.append(
+            f"| ×{factor} | {ph_meta[factor]:,} | {wall} | {rows:,} "
+            f"| {fmt_bytes(a['shuffle_bytes'])} "
+            f"| {a['shuffle_records']:,} |")
+    ph1, ph100 = ph_results[1], ph_results[100]
+    lines += [
+        "",
+        f"- **Banded blocking, never all-pairs**: wall grows "
+        f"{ph100[1] / max(ph1[1], 0.01):.1f}× for 100× the images "
+        f"({ph1[1]}s → {ph100[1]}s) — fingerprinting is one linear "
+        "Arrow pass (the binary column never shuffles; what moves is "
+        "id + four 16-bit band ints per image) and the candidate join "
+        "only meets images sharing a (band, value) bucket; an "
+        "all-pairs image comparison would have grown ~10,000×.",
+        f"- **Pair yield stays density-proportional**: "
+        f"{ph1[0]:,} → {ph100[0]:,} pairs across two decades "
+        "(~linear), because the blocking admits only same-bucket "
+        "candidates and the Hamming ≤ 3 confirm is exact.",
+        "- At web scale the 16-bit band keys saturate before the join "
+        "does — the operator docstring names the wider-grid rehash "
+        "(16×16 grid → 8 int32 bands) that keeps bucket sizes "
+        "bounded; the pigeonhole losslessness bound widens with it.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(

@@ -744,6 +744,55 @@ def test_ivf_index_rebalance_splits_only_hot_cells(spark, sf_dir):
     assert a3 is assigns and c3 is cents
 
 
+def test_ivf_index_rebalance_keeps_partition_width_and_converges(spark):
+    """(a) One rebalance round must not widen the snapshot: union
+    concatenates both sides' partition lists, and iterated rounds
+    would double the width per round — the r9 probe measured a
+    100→25k-partition snapshot whose serving batches drowned in
+    empty-task overhead.  (b) ivf_index_rebalance_converged iterates
+    until every cell is under the cap (one geometric round can leave
+    a dense sub-region hot)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_rebalance,
+        ivf_index_rebalance_converged,
+    )
+
+    rng = np.random.RandomState(5)
+    # a dense cloud around one direction (hot region) + scattered rest
+    rows = []
+    for i in range(300):
+        v = np.array([1.0, 0.0, 0.0, 0.0]) + rng.randn(4) * 0.02
+        rows.append((i, [float(x) for x in v]))
+    for i in range(300, 360):
+        v = rng.randn(4)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(8)
+    cents, assigns = ivf_index_build(emb, n_cells=4, kmeans_iters=0)
+    assigns = assigns.localCheckpoint(eager=True)
+    width = assigns.rdd.getNumPartitions()
+
+    _, a2 = ivf_index_rebalance(cents, assigns, max_cell_rows=40)
+    assert a2.rdd.getNumPartitions() <= width
+
+    c3, a3, rounds = ivf_index_rebalance_converged(
+        cents, assigns, max_cell_rows=40, max_rounds=12)
+    sizes = [r["n"] for r in a3.groupBy("cell")
+             .agg(F.count("*").alias("n")).collect()]
+    assert rounds >= 1 and max(sizes) <= 40, (rounds, max(sizes))
+    assert a3.rdd.getNumPartitions() <= width + 1
+    # member set preserved through the loop
+    assert {r["id"] for r in a3.select("id").collect()} == set(range(360))
+    # centroid table and assignment cells stay consistent
+    cell_ids = {r["cell"] for r in c3.select("cell").collect()}
+    assert {r["cell"] for r in a3.select("cell").distinct().collect()} \
+        <= cell_ids
+
+
 def test_ivf_index_rebalance_empty_centroid_cell_no_collision(spark):
     """A centroid cell with ZERO members (duplicate vectors tying at
     build's rounded argmax, or identical sub-centroid seeds) must not
