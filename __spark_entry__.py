@@ -3028,8 +3028,9 @@ def decontaminate_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_rebalance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index MAINTENANCE: a deliberately coarse index (4 cells over
     the whole corpus) rebalanced with max_cell_rows=25 — every hot
-    cell splits into ceil(n/25) sub-cells seeded from its lowest-id
-    members, and ONLY hot-cell members re-assign (rounded-cosine
+    cell splits into ceil(n/25) sub-cells seeded from its stride-
+    spread members (id-rank positions 0, s, 2s, … — r9 seeding), and
+    ONLY hot-cell members re-assign (rounded-cosine
     argmax); the emitted (vec_id, cell) table is the next index
     snapshot, exact in both engines including the deterministic fresh
     cell numbering (operators/similarity.py:ivf_index_rebalance —

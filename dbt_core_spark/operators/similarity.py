@@ -1709,12 +1709,17 @@ def ivf_index_rebalance(
     touches ONLY the hot cells' members.
 
     Per hot cell c (count > max_cell_rows): k_c = ceil(count /
-    max_cell_rows) sub-centroids seeded from the cell's LOWEST-id
-    members (the deterministic kmeans_iters=0 convention — exact SQL
-    oracle), unit-normalized; the cell's members re-assign to their
-    own sub-centroids by rounded-cosine argmax (class-10 contract:
-    round(cos, 6), ties to the lowest sub index).  Cold cells and
-    their members are untouched — their rows pass through verbatim.
+    max_cell_rows) sub-centroids seeded from the cell's STRIDE-SPREAD
+    members — id-rank positions 0, s, 2s, … with s = max(1, n_c //
+    k_c) — deterministic and exactly SQL-expressible like the
+    lowest-id convention, but sampling the whole id range: lowest-k
+    seeding drew k near-neighbors from one corner of a dense cell and
+    converged on a long geometric tail (r9 probe: 12 rounds and still
+    over cap).  Seeds are unit-normalized; the cell's members
+    re-assign to their own sub-centroids by rounded-cosine argmax
+    (class-10 contract: round(cos, 6), ties to the lowest sub index).
+    Cold cells and their members are untouched — their rows pass
+    through verbatim.
 
     New cell numbering is deterministic: retired hot-cell ids are
     replaced by fresh ids starting at max(centroid cell)+1, enumerated
@@ -1754,11 +1759,23 @@ def ivf_index_rebalance(
         return centroids, assignments
     hot_cells = sorted(hot)
     w = Window.partitionBy("cell").orderBy("id")
+    # per-cell seed positions 0, s, 2s, … (s = n_c // k_c): the stride
+    # filter runs DISTRIBUTED against a broadcast (cell, k_c, stride)
+    # spec, so the collect below still moves only Σ k_c seed rows even
+    # though seeds now come from deep id ranks
+    spec = spark.createDataFrame(
+        [(c, hot[c], max(1, counts[c] // hot[c])) for c in hot_cells],
+        "cell int, k_c int, stride int",
+    )
     seeds = (
         assignments.filter(F.col("cell").isin(hot_cells))
         .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= F.lit(max(hot.values())))
-        .collect()  # <= n_hot · max(k_c) rows — bounded, model-sized
+        .join(F.broadcast(spec), "cell")
+        .filter(
+            ((F.col("_r") - 1) % F.col("stride") == 0)
+            & (F.expr("(_r - 1) div stride") < F.col("k_c"))
+        )
+        .collect()  # exactly Σ k_c rows — bounded, model-sized
     )
     cent_cells = {
         int(r["cell"]) for r in centroids.select("cell").collect()
@@ -1862,7 +1879,14 @@ def ivf_index_rebalance_converged(
             return c_cur, a_cur, rounds
         c_cur, a_cur = ivf_index_rebalance(
             c_cur, a_cur, max_cell_rows=max_cell_rows)
+        # seal BOTH outputs: the assignment frame is consumed four
+        # ways next round, and the centroid frame's union-of-unions
+        # lineage otherwise deepens per round until a single serving
+        # collect on ~400 rows replays the whole history (r9 probe:
+        # 38.9 s for one _centroid_matrix collect after 12 unsealed
+        # rounds, 1.7 s materialized)
         a_cur = a_cur.localCheckpoint(eager=False)
+        c_cur = c_cur.localCheckpoint(eager=False)
     return c_cur, a_cur, max_rounds
 
 

@@ -3846,8 +3846,10 @@ ORACLES_STAGED_R9["perceptron_avg_language_docs"] = _perceptron_sql(
 
 # r8 IVF maintenance: hot-cell rebalance — replay build assignment
 # (4 seed cells), find hot cells (> 25 members), seed ceil(n/25)
-# sub-centroids per hot cell from its lowest-id members, re-assign
-# ONLY hot members by rounded-cosine argmax, and renumber fresh cells
+# sub-centroids per hot cell from its STRIDE-SPREAD members (id-rank
+# positions 0, s, 2s, … with s = n // k_c — the r9 seeding that
+# samples the whole id range instead of one corner), re-assign ONLY
+# hot members by rounded-cosine argmax, and renumber fresh cells
 # deterministically from max(CENTROID cell)+1 in (cell, sub_idx)
 # order — the base is the cents CTE, not the assignments, mirroring
 # the operator (a centroid cell with zero members must not collide
@@ -3878,11 +3880,14 @@ with v0 as (
     select cell, cast(ceil(n / 25.0) as bigint) as k_c
     from cnt where n > 25
 ), seeds as (
-    select a.cell, a.e as se, a.vn as sn,
-           row_number() over (partition by a.cell order by a.id) - 1
-             as sub_idx
-    from assign a join hot h using (cell)
-    qualify row_number() over (partition by a.cell order by a.id) <= h.k_c
+    select cell, se, sn, cast(rn // stride as bigint) as sub_idx
+    from (
+      select a.cell, a.e as se, a.vn as sn,
+             row_number() over (partition by a.cell order by a.id) - 1
+               as rn,
+             h.k_c, greatest(1, c.n // h.k_c) as stride
+      from assign a join hot h using (cell) join cnt c using (cell)
+    ) where rn % stride = 0 and rn // stride < k_c
 ), numbered as (
     select cell, se, sn, sub_idx,
            (select max(cell) from cents) + row_number()

@@ -549,10 +549,11 @@ def main() -> None:
         # rebalance to CONVERGENCE (ivf_index_rebalance_converged
         # semantics, unrolled here so the per-round max-cell
         # trajectory can be recorded): one round splits each hot cell
-        # by k_c lowest-id seeds (the deterministic, oracle-exact
-        # seeding — NOT balanced), so a residue of still-hot sub-cells
-        # can survive; successive rounds split the residue
-        # geometrically.
+        # by k_c stride-spread seeds — deterministic and oracle-exact,
+        # but geometric, so a residue of still-hot sub-cells can
+        # survive a round; successive rounds split the residue.  BOTH
+        # outputs are sealed per round (the wrapper's rule): the
+        # centroid frame's union lineage otherwise deepens per round.
         _gc.collect()
         t0 = time.time()
         c_cur, a_cur, s_cur = cents, assigns, sizes
@@ -562,6 +563,8 @@ def main() -> None:
                 c_cur, a_cur, max_cell_rows=REB_MAX_CELL)
             a_cur = a_cur.localCheckpoint(eager=True)
             a_cur.count()
+            c_cur = c_cur.localCheckpoint(eager=True)
+            c_cur.count()
             s_cur = _sizes(a_cur)
             track.append(max(s_cur.values()))
             rounds += 1
@@ -1026,10 +1029,11 @@ def main() -> None:
         f"{' → '.join(f'{m:,}' for m in r100['track'])} members "
         f"across {r100['rounds']} rounds (cap {REB_MAX_CELL}).  One "
         "round is NOT guaranteed to land under the cap: sub-centroids "
-        "seed from each hot cell's lowest-id members (the "
-        "deterministic, oracle-exact convention), which splits by "
-        "geometry, not by count — the still-hot residue shrinks "
-        "geometrically and re-running converges.  The per-cell bound "
+        "seed from each hot cell's stride-spread members "
+        "(deterministic, oracle-exact), which splits by geometry, not "
+        "by count — the still-hot residue shrinks geometrically and "
+        "re-running (`ivf_index_rebalance_converged`) converges.  "
+        "The per-cell bound "
         "is what caps the worst per-task candidate block "
         f"(n_probe·max_cell: {4 * r100['max_before']:,} → "
         f"{4 * r100['max_after']:,} rows) — the straggler-task and "
