@@ -3267,6 +3267,34 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         "query_id", "nbr_id", "cosine", "rank")
 
 
+def naive_bayes_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine multinomial Naive Bayes, trained AND served: fit on
+    the doc_id%3≠0 slice with label = lang (one aggregation pass — no
+    epochs), classify the held-out doc_id%3=0 slice.  Every learned
+    weight is a floor-rounded micro-nat bigint and serving scores are
+    exact bigint sums, so the DuckDB oracle replays training + serving
+    bit-for-bit (operators/textstats.py:naive_bayes_train/apply — the
+    count-based complement of the perceptron tier).
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
+    see streaming_ann_serve_embeddings)."""
+    from dbt_core_spark.operators.textstats import (
+        naive_bayes_apply,
+        naive_bayes_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter("doc_id % 3 != 0 AND lang IS NOT NULL")
+    weights, class_stats = naive_bayes_train(train, "lang")
+    # sealed: apply joins the weights frame twice (matched sum + the
+    # class cross-join reads class_stats) — without the seal each
+    # branch replays the training aggregation (≥2-branch lineage rule)
+    weights = weights.localCheckpoint(eager=False)
+    class_stats = class_stats.localCheckpoint(eager=False)
+    return naive_bayes_apply(docs.filter("doc_id % 3 = 0"),
+                             weights, class_stats)
+
+
 # =========================================================================
 # registry
 # =========================================================================

@@ -1978,3 +1978,189 @@ def perceptron_apply_ovr(
             F.col("k.score").alias("score"),
         )
     )
+
+
+def naive_bayes_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+    smoothing: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial Naive Bayes text classifier IN-ENGINE — the
+    count-based complement of the perceptron tier (McCallum & Nigam
+    1998, public): where the perceptron learns by iterative error
+    correction, NB is a SINGLE aggregation pass over the corpus, which
+    makes it the cheapest trainable quality/language filter at 100 TB
+    (two wordcount-class shuffles, no epochs, no driver loop).
+
+    Integer-exact cross-engine (the vocab_drift micro-nat discipline):
+    every learned quantity is a bigint of micro-nats,
+
+        w_micro(c, t)  = floor(1e6 * ln((n_ct + s) / (t_c + s*V)))
+        oov_micro(c)   = floor(1e6 * ln(      s     / (t_c + s*V)))
+        prior_micro(c) = floor(1e6 * ln(d_c / D))
+
+    each evaluated as ONE deterministic double expression over exact
+    integer counts (no cross-row float accumulation anywhere), so the
+    whole training pass replays in SQL and serving scores are exact
+    bigint sums.  A smoothed-zero (c, t) weight equals oov_micro(c)
+    exactly — the sparse model (observed pairs only) is therefore
+    LOSSLESS, and serving needs no vocabulary lookup at all:
+    unmatched tokens (in-vocab-unseen and out-of-vocab alike) score
+    the class's oov_micro.
+
+    ``vocab_size`` caps training counts to the top-N terms by corpus
+    count (ties to the lexically smaller term — the build_vocab
+    convention); tokens outside the cap are dropped from the count
+    tables (V, t_c shrink accordingly) but still score oov at serve
+    time, so the cap trades model size against per-token resolution
+    without breaking exactness.
+
+    Scale shape: one (cls, term) wordcount shuffle (map-side combined)
+    + one vocabulary-sized shuffle for the optional cap + a k-row
+    class-stats aggregate; driver state is k + 1 scalars (the kmeans
+    tiny-state contract).  Rows with NULL text or NULL label are
+    excluded from training entirely.
+
+    Returns ``(weights, class_stats)``:
+      weights     — (cls string, term string, w_micro bigint), sparse
+                    over observed (class, term) pairs;
+      class_stats — (cls string, n_docs bigint, prior_micro bigint,
+                    oov_micro bigint), one row per class.
+    Persist both and serve with ``naive_bayes_apply``."""
+    s = int(smoothing)
+    if s < 1:
+        raise ValueError(
+            f"naive_bayes_train: smoothing must be >= 1 (got {smoothing})"
+            " — add-s smoothing is what keeps every class-conditional"
+            " probability positive (the vocab_drift contract)")
+    spark = df.sparkSession
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
+    toks = base.select(
+        F.col(label_col).cast("string").alias("cls"),
+        F.explode(normalized_words(F.col(text_col))).alias("term"),
+    )
+    counts = (
+        toks.groupBy("cls", "term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    if vocab_size is not None:
+        # top-N terms by total count (ties -> lexically smaller term);
+        # per-partition prefilter before the global rank window is
+        # unnecessary here because the frame is already vocabulary-
+        # sized, not corpus-sized
+        tot = counts.groupBy("term").agg(F.sum("n").alias("tn"))
+        w_rank = Window.orderBy(F.col("tn").desc(), F.col("term").asc())
+        vocab = (
+            tot.withColumn("r", F.row_number().over(w_rank))
+            .filter(F.col("r") <= int(vocab_size)).select("term")
+        )
+        counts = counts.join(vocab, "term", "left_semi")
+    counts = counts.localCheckpoint(eager=False)  # read by V, t_c, weights
+    v_sz = counts.select("term").distinct().count()
+    # class totals over the (capped) vocab + doc counts for priors —
+    # k rows, never collected beyond scalars
+    d_stats = (
+        base.groupBy(F.col(label_col).cast("string").alias("cls"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    d_total = base.count()
+    t_c = counts.groupBy("cls").agg(F.sum("n").alias("t_c"))
+    denom = (F.col("t_c") + F.lit(s * v_sz)).cast("double")
+    class_stats = (
+        d_stats.join(t_c, "cls", "left").select(
+            "cls",
+            "n_docs",
+            F.floor(F.log(
+                F.col("n_docs").cast("double") / F.lit(float(d_total))
+            ) * 1_000_000).cast("bigint").alias("prior_micro"),
+            F.floor(F.log(
+                F.lit(float(s)) / (
+                    F.coalesce(F.col("t_c"), F.lit(0))
+                    + F.lit(s * v_sz)).cast("double")
+            ) * 1_000_000).cast("bigint").alias("oov_micro"),
+        )
+    )
+    weights = counts.join(t_c, "cls").select(
+        "cls",
+        "term",
+        F.floor(F.log(
+            (F.col("n") + F.lit(s)).cast("double") / denom
+        ) * 1_000_000).cast("bigint").alias("w_micro"),
+    )
+    return weights, class_stats
+
+
+def naive_bayes_apply(
+    df: DataFrame,
+    weights: DataFrame,
+    class_stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a ``naive_bayes_train`` model: per-document class scores
+    are exact bigint micro-nat sums
+
+        score(d, c) = prior_micro(c) + sum_t cnt(d, t) * w_micro(c, t)
+                      + (n_tokens(d) - matched(d, c)) * oov_micro(c)
+
+    — the sparse-model identity from the trainer (every unmatched
+    token scores oov_micro), so no vocabulary table is needed at serve
+    time.  Winner by max score, ties to the lexically smaller class
+    (the perceptron_apply_ovr min-struct idiom).
+
+    Scale shape: one (doc, term) wordcount, one term-keyed join
+    against the model (AQE broadcasts a capped-vocab model; an
+    uncapped one sort-merges on term — either way the corpus text
+    never moves again), one (doc, cls) aggregate, and a k-per-doc
+    argmax.  Zero-token documents score prior-only via the class
+    cross-join.  Returns (id_col, label string, score_micro bigint);
+    NULL-text rows are excluded (the perceptron contract)."""
+    docs = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        normalized_words(F.col(text_col)).alias("_w"),
+    )
+    n_tok = docs.select(
+        "id", F.size("_w").cast("bigint").alias("n_tokens"))
+    tok_counts = (
+        docs.select("id", F.explode("_w").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    matched = (
+        tok_counts.join(weights, "term")
+        .groupBy("id", "cls")
+        .agg(
+            F.sum(F.col("cnt") * F.col("w_micro")).alias("m_sum"),
+            F.sum("cnt").alias("m_cnt"),
+        )
+    )
+    scores = (
+        n_tok.crossJoin(
+            F.broadcast(class_stats.select("cls", "prior_micro",
+                                           "oov_micro")))
+        .join(matched, ["id", "cls"], "left")
+        .select(
+            "id", "cls",
+            (
+                F.col("prior_micro")
+                + F.coalesce(F.col("m_sum"), F.lit(0))
+                + (F.col("n_tokens") - F.coalesce(F.col("m_cnt"), F.lit(0)))
+                * F.col("oov_micro")
+            ).cast("bigint").alias("score_micro"),
+        )
+    )
+    return (
+        scores.groupBy("id")
+        .agg(F.min(F.struct(
+            (-F.col("score_micro")).alias("ns"), "cls", "score_micro"
+        )).alias("k"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("k.cls").alias("label"),
+            F.col("k.score_micro").alias("score_micro"),
+        )
+    )

@@ -3983,3 +3983,79 @@ join hashes b on b.media_id = bb.media_id
 where bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
     + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3
 """
+
+
+# r9 trainable-filter tier completion: multinomial Naive Bayes trained
+# on the doc_id%3<>0 slice (label = lang) and served on the held-out
+# doc_id%3=0 slice.  Training replays as plain wordcounts; weights,
+# priors, and the per-class OOV default are floor-rounded micro-nat
+# bigints evaluated as ONE double expression each (the vocab_drift
+# discipline); a smoothed-zero (class, term) weight equals the class
+# OOV default exactly, so the sparse weights table is lossless and the
+# serving identity needs no vocabulary lookup.  Winner by max score,
+# ties to the lexically smaller class.  Staged r10.
+ORACLES_STAGED_R10["naive_bayes_language_docs"] = f"""
+with train as (
+  select doc_id, lang, {_WORDS} as words from documents
+  where doc_id % 3 <> 0 and lang is not null and text is not null
+), counts as (
+  select lang as cls, term, cast(count(*) as bigint) as n
+  from (select lang, unnest(words) as term from train) t
+  group by 1, 2
+), vsz as (
+  select count(distinct term) as v from counts
+), dtot as (
+  select cast(count(*) as bigint) as d from train
+), dstats as (
+  select lang as cls, cast(count(*) as bigint) as n_docs
+  from train group by 1
+), tc as (
+  select cls, cast(sum(n) as bigint) as t_c from counts group by 1
+), cstats as (
+  select ds.cls, ds.n_docs,
+         cast(floor(ln(cast(ds.n_docs as double) / cast(dt.d as double))
+                    * 1000000) as bigint) as prior_micro,
+         cast(floor(ln(1.0 / cast(coalesce(t.t_c, 0) + v.v as double))
+                    * 1000000) as bigint) as oov_micro
+  from dstats ds
+  cross join dtot dt cross join vsz v
+  left join tc t using (cls)
+), weights as (
+  select c.cls, c.term,
+         cast(floor(ln(cast(c.n + 1 as double)
+                       / cast(t.t_c + v.v as double))
+                    * 1000000) as bigint) as w_micro
+  from counts c join tc t using (cls) cross join vsz v
+), test as (
+  select doc_id as id, {_WORDS} as words from documents
+  where doc_id % 3 = 0 and text is not null
+), ntok as (
+  select id, cast(len(words) as bigint) as n_tokens from test
+), tokc as (
+  select id, term, cast(count(*) as bigint) as cnt
+  from (select id, unnest(words) as term from test) t
+  group by 1, 2
+), matched as (
+  select t.id, w.cls,
+         cast(sum(t.cnt * w.w_micro) as bigint) as m_sum,
+         cast(sum(t.cnt) as bigint) as m_cnt
+  from tokc t join weights w using (term)
+  group by 1, 2
+), scores as (
+  select n.id, c.cls,
+         cast(c.prior_micro + coalesce(m.m_sum, 0)
+              + (n.n_tokens - coalesce(m.m_cnt, 0)) * c.oov_micro
+              as bigint) as score_micro
+  from ntok n
+  cross join cstats c
+  left join matched m on m.id = n.id and m.cls = c.cls
+)
+select id as doc_id, cls as label, score_micro
+from (
+  select id, cls, score_micro,
+         row_number() over (partition by id
+                            order by score_micro desc, cls asc) as r
+  from scores
+) ranked
+where r = 1
+"""

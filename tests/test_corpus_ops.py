@@ -1611,6 +1611,7 @@ def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
 @pytest.mark.parametrize("staged_name", [
     "streaming_ann_serve_embeddings",
     "multimodal_phash_dedup_docs",
+    "naive_bayes_language_docs",
 ])
 def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-10 gate row end to end: the
@@ -1773,3 +1774,157 @@ def test_perceptron_averaged_matches_sequential_replica(spark):
                    for b, a in enumerate(acc)]
             break
     assert got == {b: a for b, a in enumerate(acc)}
+
+
+# ---------------------------------------------------------------------------
+# naive bayes (r9): count-based trainable filter — single-pass training
+# ---------------------------------------------------------------------------
+
+def _nb_ref(train_rows, test_rows, vocab_size=None, smoothing=1):
+    """Pure-Python replica of naive_bayes_train/apply (floor micro-nat
+    weights, sparse-model OOV identity, lexical tie-break)."""
+    import math
+    import re
+
+    def words(t):
+        return [w for w in re.sub(r"[^a-z0-9 ]", " ", t.lower()).split() if w]
+
+    s = smoothing
+    tr = [(d, t, y) for d, t, y in train_rows
+          if t is not None and y is not None]
+    counts: dict[tuple, int] = {}
+    total: dict[str, int] = {}
+    for _, t, y in tr:
+        for w in words(t):
+            counts[(y, w)] = counts.get((y, w), 0) + 1
+            total[w] = total.get(w, 0) + 1
+    if vocab_size is not None:
+        keep = set(w for w, _ in sorted(
+            total.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size])
+        counts = {k: v for k, v in counts.items() if k[1] in keep}
+    vocab = set(w for _, w in counts)
+    V = len(vocab)
+    t_c: dict[str, int] = {}
+    for (y, _), n in counts.items():
+        t_c[y] = t_c.get(y, 0) + n
+    d_c: dict[str, int] = {}
+    for _, _, y in tr:
+        d_c[y] = d_c.get(y, 0) + 1
+    D = len(tr)
+    w_micro = {
+        (y, w): math.floor(math.log((n + s) / (t_c[y] + s * V)) * 1e6)
+        for (y, w), n in counts.items()}
+    prior = {y: math.floor(math.log(d / D) * 1e6) for y, d in d_c.items()}
+    oov = {y: math.floor(math.log(s / (t_c.get(y, 0) + s * V)) * 1e6)
+           for y in d_c}
+    out = {}
+    for d, t in test_rows:
+        if t is None:
+            continue
+        toks = words(t)
+        best = None
+        for y in sorted(d_c):
+            sc = prior[y]
+            for w in toks:
+                sc += w_micro.get((y, w), oov[y])
+            if best is None or sc > best[1]:
+                best = (y, sc)
+        out[d] = best
+    return out
+
+
+def test_naive_bayes_hand_computed(spark):
+    """Tiny symmetric corpus: exact micro-nat weights, NULL text/label
+    exclusion, zero-token doc scores prior-only with lexical tie."""
+    from dbt_core_spark.operators.textstats import (
+        naive_bayes_apply,
+        naive_bayes_train,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "le chat est sur le tapis", "fr"),
+        (3, "the dog and the cat", "en"),
+        (4, "le chien et le chat", "fr"),
+        (5, "the cat", None),      # NULL label: excluded from training
+        (6, None, "en"),            # NULL text: excluded everywhere
+        (7, "!!!", "en"),           # zero tokens: prior-only at serve
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w, cs = naive_bayes_train(df.filter("doc_id < 5"), "lang")
+    stats = {r["cls"]: r for r in cs.collect()}
+    # symmetric corpus: both classes share every class-level stat
+    assert stats["en"]["n_docs"] == stats["fr"]["n_docs"] == 2
+    assert stats["en"]["prior_micro"] == stats["fr"]["prior_micro"]
+    assert stats["en"]["oov_micro"] == stats["fr"]["oov_micro"]
+    import math
+    # V=14 (7 distinct terms/class), t_c=11 tokens/class
+    assert stats["en"]["oov_micro"] == math.floor(math.log(1 / 25) * 1e6)
+    got = {r["doc_id"]: (r["label"], r["score_micro"])
+           for r in naive_bayes_apply(df, w, cs).collect()}
+    assert 6 not in got                       # NULL text excluded
+    assert got[1][0] == "en" and got[2][0] == "fr"
+    assert got[1][1] == got[2][1]             # exact symmetry
+    assert got[3][0] == "en" and got[4][0] == "fr"
+    # zero-token doc: prior-only scores tie -> lexically smaller class
+    assert got[7] == ("en", stats["en"]["prior_micro"])
+    ref = _nb_ref([(d, t, y) for d, t, y in rows if d < 5],
+                  [(d, t) for d, t, y in rows])
+    for d, (lab, sc) in ref.items():
+        assert got[d] == (lab, sc), d
+
+
+def test_naive_bayes_matches_python_reference(spark):
+    """Skewed multi-class corpus vs the pure-Python replica — including
+    a class whose only doc has zero tokens (no term rows at all)."""
+    from dbt_core_spark.operators.textstats import (
+        naive_bayes_apply,
+        naive_bayes_train,
+    )
+
+    train = [
+        (1, "alpha beta beta gamma", "a"),
+        (2, "alpha alpha delta", "a"),
+        (3, "beta beta beta epsilon zeta", "b"),
+        (4, "zeta zeta", "b"),
+        (5, "eta theta iota kappa", "c"),
+        (6, "...", "d"),           # zero-token class: prior + pure-OOV
+    ]
+    test = [(10, "alpha beta"), (11, "zeta zeta zeta"),
+            (12, "theta kappa"), (13, "unseen words only"),
+            (14, "")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string, y string")
+    w, cs = naive_bayes_train(tdf, "y")
+    adf = spark.createDataFrame(test, "doc_id long, text string")
+    got = {r["doc_id"]: (r["label"], r["score_micro"])
+           for r in naive_bayes_apply(adf, w, cs).collect()}
+    ref = _nb_ref([(d, t, y) for d, t, y in train], test)
+    assert got == {d: v for d, v in ref.items()}
+
+
+def test_naive_bayes_vocab_cap_and_smoothing_guard(spark):
+    """vocab_size caps training counts to the top-N corpus terms
+    (ties lexically smaller) and stays exact vs the replica;
+    smoothing < 1 raises (the vocab_drift guard)."""
+    import pytest as _pytest
+
+    from dbt_core_spark.operators.textstats import (
+        naive_bayes_apply,
+        naive_bayes_train,
+    )
+
+    train = [
+        (1, "common common common rare1", "x"),
+        (2, "common common rare2 rare2", "y"),
+    ]
+    test = [(10, "common rare1 rare2 unseen")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string, y string")
+    w, cs = naive_bayes_train(tdf, "y", vocab_size=1)
+    assert set(r["term"] for r in w.collect()) == {"common"}
+    adf = spark.createDataFrame(test, "doc_id long, text string")
+    got = {r["doc_id"]: (r["label"], r["score_micro"])
+           for r in naive_bayes_apply(adf, w, cs).collect()}
+    ref = _nb_ref(train, test, vocab_size=1)
+    assert got == ref
+    with _pytest.raises(ValueError, match="smoothing"):
+        naive_bayes_train(tdf, "y", smoothing=0)
