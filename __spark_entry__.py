@@ -3267,6 +3267,41 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         "query_id", "nbr_id", "cosine", "rank")
 
 
+def audio_fingerprint_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO detection — the second media type of the
+    multimodal dedup tier (images: multimodal_phash_dedup_docs): the
+    %23==2 even-doc corpus synthesized as amplitude-varying WAVs (plus
+    exact clones under +1e9 ids), decoded to integer frame energies in
+    one Arrow pass, landmark-fingerprinted (strict energy peaks →
+    fan-out pairs → quantized keys — Wang 2003 constellation, integer-
+    exact), and matched on shared landmark keys — blocked by the key,
+    never all-pairs (operators/multimodal.py:audio_energy_frames/
+    audio_fingerprint/audio_dup_pairs).  Everything after the PCM16
+    decode is exact int64, so the DuckDB oracle replays the pipeline
+    from the 'am' synthesis formula.
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
+    see streaming_ann_serve_embeddings)."""
+    from dbt_core_spark.operators.multimodal import (
+        audio_dup_pairs,
+        audio_energy_frames,
+        audio_fingerprint,
+        synth_media,
+    )
+
+    corpus = _t(spark, sf_dir, "documents").filter(
+        "doc_id % 23 = 2 AND doc_id % 2 = 0")
+    media = synth_media(corpus, pattern="am")
+    clones = synth_media(corpus, pattern="am").select(
+        (F.col("media_id") + F.lit(10**9)).alias("media_id"), "data")
+    # sealed: the peaks self-join and the landmark-key join each
+    # consume the frame table on both sides — without the seal every
+    # side replays the Arrow decode pass (the ≥2-branch lineage rule)
+    frames = audio_energy_frames(
+        media.unionByName(clones)).localCheckpoint(eager=False)
+    return audio_dup_pairs(audio_fingerprint(frames))
+
+
 def naive_bayes_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine multinomial Naive Bayes, trained AND served: fit on
     the doc_id%3≠0 slice with label = lang (one aggregation pass — no

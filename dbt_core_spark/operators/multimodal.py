@@ -23,7 +23,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -303,9 +303,16 @@ def synth_media(df: DataFrame, text_col: str = "text",
     TOTAL function contract: NULL text synthesizes as EMPTY text
     (``len(text or "")``) — every document gets a payload.  This
     differs deliberately from ``attach_media``, which wraps an existing
-    column and so propagates NULL payloads to NULL features."""
-    if pattern not in ("const", "gradient"):
-        raise ValueError("pattern must be 'const' or 'gradient'")
+    column and so propagates NULL payloads to NULL features.
+
+    ``pattern='am'`` keeps the gradient PPM fill but replaces the WAV
+    square wave with an amplitude-varying pseudo-tone,
+    ``sample[i] = ((id + 5·i) mod 201) − 100`` — frame energies then
+    differ frame to frame (period 201 is coprime to every power-of-two
+    frame), which is what gives ``audio_fingerprint`` a non-degenerate
+    peak landscape while staying integer-exact and SQL-replayable."""
+    if pattern not in ("const", "gradient", "am"):
+        raise ValueError("pattern must be 'const', 'gradient' or 'am'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -313,13 +320,17 @@ def synth_media(df: DataFrame, text_col: str = "text",
             for mid, text in zip(pdf[id_col], pdf[text_col]):
                 mid = int(mid)
                 if mid % 2 == 0:
-                    amp = 100 + mid % 900
                     n = 8 * (len(text or "") % 50 + 1)
-                    samples = np.where(np.arange(n) % 2 == 0, amp, -amp)
+                    if pattern == "am":
+                        samples = (mid + 5 * np.arange(n)) % 201 - 100
+                    else:
+                        amp = 100 + mid % 900
+                        samples = np.where(
+                            np.arange(n) % 2 == 0, amp, -amp)
                     payload = encode_wav(samples, sample_rate=8000)
                 else:
                     w, h = 4 + mid % 13, 3 + mid % 7
-                    if pattern == "gradient":
+                    if pattern in ("gradient", "am"):
                         xs = np.arange(w)[None, :] * 3
                         ys = np.arange(h)[:, None] * 7
                         plane = ((mid + xs + ys) % 256).astype("u1")
@@ -630,3 +641,139 @@ def wav_spectrogram(
     from dbt_core_spark.operators.dedup import ensure_parallelism
 
     return ensure_parallelism(df).mapInPandas(run, schema=SPECTRO_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame", T.IntegerType(), False),
+    T.StructField("energy", T.LongType(), False),
+])
+
+
+def audio_energy_frames(
+    df: DataFrame,
+    frame: int = 8,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-frame PCM energy of WAV payloads — the decode boundary of
+    audio fingerprinting: one Arrow pass over the binary column emits
+    (media_id, frame, energy) with ``energy = Σ |sample|`` over each
+    non-overlapping ``frame``-sample window (trailing partial frames
+    dropped, the wav_spectrogram framing convention).
+
+    INTEGER-EXACT: PCM16 samples are int16, |x| sums are int64 — no
+    FFT, no floats — so the frame-energy table replays bit-for-bit in
+    SQL from a synthetic-formula corpus.  Non-WAV / malformed payloads
+    emit no rows (the spectrogram contract).
+
+    Scale shape: linear in samples, embarrassingly parallel,
+    project-only plan (the binary column never shuffles); output is
+    n_frames rows per clip, ~samples/frame compression before anything
+    JVM-side runs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[data_col]):
+                b = bytes(payload) if payload is not None else None
+                pcm = _wav_samples(b) if b else None
+                if pcm is None:
+                    continue
+                a = np.abs(pcm.astype("i8"))
+                nfr = len(a) // frame
+                if nfr == 0:
+                    continue
+                e = a[:nfr * frame].reshape(nfr, frame).sum(axis=1)
+                out.extend(
+                    (int(mid), f, int(v)) for f, v in enumerate(e))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame", "energy"])
+
+    from dbt_core_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(
+        run, schema=AUDIO_ENERGY_SCHEMA)
+
+
+def audio_fingerprint(
+    energies: DataFrame,
+    fanout: int = 3,
+    max_dt: int = 16,
+    quant: int = 64,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Landmark fingerprints from ``audio_energy_frames`` output — the
+    constellation idea of Wang 2003 (the public Shazam paper), reduced
+    to integer energy peaks so two engines agree bit-for-bit:
+
+    - PEAKS are frames whose energy strictly exceeds both neighbors
+      (lag/lead over the per-clip frame order; boundary frames never
+      peak — NULL neighbor fails the strict >);
+    - each peak anchors up to ``fanout`` landmark pairs with the next
+      peaks at frame distance 1..``max_dt`` (nearest first);
+    - the landmark KEY is (energy_a ÷ quant, energy_b ÷ quant, dt) —
+      integer-floor energy buckets make the key robust to small
+      amplitude jitter while staying exact.
+
+    Returns (media_id, f1, f2, eq1, eq2, dt) — one row per landmark.
+    All JVM window/join expressions: two per-clip windows + one
+    per-clip self-join bounded by peaks × fanout, never frames²."""
+    w = Window.partitionBy(id_col).orderBy("frame")
+    peaks = (
+        energies.select(
+            id_col, "frame", "energy",
+            F.lag("energy").over(w).alias("_pe"),
+            F.lead("energy").over(w).alias("_ne"),
+        )
+        .filter((F.col("energy") > F.col("_pe"))
+                & (F.col("energy") > F.col("_ne")))
+        .select(id_col, "frame", "energy")
+    )
+    a = peaks.select(
+        F.col(id_col), F.col("frame").alias("f1"),
+        F.col("energy").alias("e1"))
+    b = peaks.select(
+        F.col(id_col), F.col("frame").alias("f2"),
+        F.col("energy").alias("e2"))
+    wf = Window.partitionBy(id_col, "f1").orderBy("f2")
+    return (
+        a.join(b, id_col)
+        .filter((F.col("f2") > F.col("f1"))
+                & (F.col("f2") - F.col("f1") <= max_dt))
+        .withColumn("_r", F.row_number().over(wf))
+        .filter(F.col("_r") <= fanout)
+        .select(
+            id_col, "f1", "f2",
+            (F.col("e1") / quant).cast("bigint").alias("eq1"),
+            (F.col("e2") / quant).cast("bigint").alias("eq2"),
+            (F.col("f2") - F.col("f1")).cast("int").alias("dt"),
+        )
+    )
+
+
+def audio_dup_pairs(
+    fingerprints: DataFrame,
+    min_matches: int = 4,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate audio pairs: clips sharing ≥ ``min_matches``
+    DISTINCT landmark keys (eq1, eq2, dt) — the audio counterpart of
+    phash_dup_pairs, closing multimodal dedup across both media types.
+
+    Scale shape: per-clip key dedup first (so a looping clip cannot
+    inflate its own match counts), then ONE equi-join on the landmark
+    key — blocked, never all-pairs; candidates are bounded by
+    Σ bucket² over key buckets, and the (doc, doc) aggregate touches
+    only candidate pairs.  Returns (id_a, id_b, n_matches),
+    id_a < id_b."""
+    keys = fingerprints.select(id_col, "eq1", "eq2", "dt").distinct()
+    a = keys.select(F.col(id_col).alias("id_a"), "eq1", "eq2", "dt")
+    b = keys.select(F.col(id_col).alias("id_b"), "eq1", "eq2", "dt")
+    return (
+        a.join(b, ["eq1", "eq2", "dt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )

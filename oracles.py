@@ -4059,3 +4059,58 @@ from (
 ) ranked
 where r = 1
 """
+
+
+# r9 multimodal dedup, audio half: the %23==2 even-doc corpus as 'am'
+# WAVs (sample[i] = (src + 5i) % 201 - 100, n = 8*(len%50+1)) + exact
+# clones under +1e9 ids.  Frame energies are int64 Σ|sample| over
+# 8-sample frames; peaks are strict local maxima (boundaries never
+# peak); each peak fans out to <=3 landmark pairs within dt<=16; keys
+# quantize energies by //64; clips sharing >=4 DISTINCT keys are
+# near-dups.  Mirrors multimodal.audio_energy_frames/audio_fingerprint/
+# audio_dup_pairs exactly.  Staged r10.
+ORACLES_STAGED_R10["audio_fingerprint_dedup_docs"] = """
+with corpus as (
+  select doc_id, coalesce(length(text), 0) as tl from documents
+  where doc_id % 23 = 2 and doc_id % 2 = 0
+), clips as (
+  select doc_id as media_id, doc_id as src, 8 * (tl % 50 + 1) as n
+  from corpus
+  union all
+  select doc_id + 1000000000, doc_id, 8 * (tl % 50 + 1) from corpus
+), idx as (
+  select unnest(range(400)) as i
+), samp as (
+  select c.media_id, x.i, abs((c.src + 5 * x.i) % 201 - 100) as a
+  from clips c join idx x on x.i < c.n
+), fr as (
+  select media_id, cast(i // 8 as int) as frame,
+         cast(sum(a) as bigint) as energy
+  from samp group by 1, 2
+), pk as (
+  select media_id, frame, energy
+  from (
+    select media_id, frame, energy,
+           lag(energy) over w as pe, lead(energy) over w as ne
+    from fr window w as (partition by media_id order by frame)
+  ) t where energy > pe and energy > ne
+), pairs as (
+  select a.media_id, a.frame as f1, b.frame as f2,
+         a.energy as e1, b.energy as e2,
+         row_number() over (partition by a.media_id, a.frame
+                            order by b.frame) as r
+  from pk a join pk b on b.media_id = a.media_id
+       and b.frame > a.frame and b.frame - a.frame <= 16
+), keys as (
+  select distinct media_id, e1 // 64 as eq1, e2 // 64 as eq2,
+         cast(f2 - f1 as int) as dt
+  from pairs where r <= 3
+)
+select a.media_id as id_a, b.media_id as id_b,
+       cast(count(*) as bigint) as n_matches
+from keys a
+join keys b on a.eq1 = b.eq1 and a.eq2 = b.eq2 and a.dt = b.dt
+           and a.media_id < b.media_id
+group by 1, 2
+having count(*) >= 4
+"""

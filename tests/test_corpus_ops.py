@@ -1612,6 +1612,7 @@ def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
     "streaming_ann_serve_embeddings",
     "multimodal_phash_dedup_docs",
     "naive_bayes_language_docs",
+    "audio_fingerprint_dedup_docs",
 ])
 def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-10 gate row end to end: the

@@ -303,3 +303,126 @@ def test_phash_dup_pairs_blocking_and_hamming(spark):
     assert all(6 not in p for p in got)
     with pytest.raises(ValueError, match="pigeonhole"):
         phash_dup_pairs(hashes, max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint dedup (r9): landmark peaks over integer frame energies
+# ---------------------------------------------------------------------------
+
+def test_audio_energy_frames_hand_computed(spark):
+    """Exact int64 frame energies; trailing partial frame dropped;
+    non-WAV payloads emit no rows."""
+    import numpy as np
+
+    from dbt_core_spark.operators.multimodal import (
+        audio_energy_frames,
+        encode_ppm,
+        encode_wav,
+    )
+
+    samples = np.array([1, -2, 3, -4, 10, -10, 0, 7, 5], dtype="i2")
+    wav = encode_wav(samples)
+    ppm = encode_ppm(np.zeros((2, 2, 3), dtype="u1"))
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(ppm)), (3, None)],
+        "media_id long, data binary")
+    got = {(r["media_id"], r["frame"]): r["energy"]
+           for r in audio_energy_frames(df, frame=4).collect()}
+    # frames of 4: [1,2,3,4]=10, [10,10,0,7]=27; trailing [5] dropped
+    assert got == {(1, 0): 10, (1, 1): 27}
+
+
+def test_audio_fingerprint_peaks_and_fanout(spark):
+    """Strict local maxima only (boundaries and plateaus excluded);
+    each anchor fans out to the NEAREST <=fanout peaks within max_dt."""
+    from dbt_core_spark.operators.multimodal import audio_fingerprint
+
+    # energies: peaks at frames 2 (e=9), 5 (e=8), 7 (e=12); frame 9 is
+    # a plateau edge (8,8) -> not strict; frame 0/10 are boundaries
+    e = [5, 1, 9, 2, 3, 8, 1, 12, 8, 8, 6]
+    fr = spark.createDataFrame(
+        [(1, f, v) for f, v in enumerate(e)],
+        "media_id long, frame int, energy long")
+    fp = audio_fingerprint(fr, fanout=1, max_dt=16, quant=4)
+    rows = {(r["f1"], r["f2"]): (r["eq1"], r["eq2"], r["dt"])
+            for r in fp.collect()}
+    # fanout=1: 2->5 and 5->7 only (nearest next peak each)
+    assert rows == {(2, 5): (2, 2, 3), (5, 7): (2, 3, 2)}
+    fp2 = audio_fingerprint(fr, fanout=2, max_dt=16, quant=4)
+    assert {(r["f1"], r["f2"]) for r in fp2.collect()} == {
+        (2, 5), (2, 7), (5, 7)}
+    # max_dt excludes far targets
+    fp3 = audio_fingerprint(fr, fanout=2, max_dt=2, quant=4)
+    assert {(r["f1"], r["f2"]) for r in fp3.collect()} == {(5, 7)}
+
+
+def test_audio_dup_pairs_clone_and_threshold(spark):
+    """An exact clone matches on every distinct key; per-clip key dedup
+    stops a repeating clip from inflating its own counts; min_matches
+    gates the output."""
+    import numpy as np
+
+    from dbt_core_spark.operators.multimodal import (
+        audio_dup_pairs,
+        audio_energy_frames,
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    rng = (np.arange(320) * 37 + 11) % 199 - 99
+    wav = encode_wav(rng.astype("i2"))
+    other = encode_wav(((np.arange(320) * 53 + 7) % 181 - 90).astype("i2"))
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(wav)), (3, bytearray(other))],
+        "media_id long, data binary")
+    fp = audio_fingerprint(audio_energy_frames(df))
+    n_keys = (fp.filter("media_id = 1")
+              .select("eq1", "eq2", "dt").distinct().count())
+    assert n_keys >= 4
+    got = {(r["id_a"], r["id_b"]): r["n_matches"]
+           for r in audio_dup_pairs(fp, min_matches=4).collect()}
+    assert got.get((1, 2)) == n_keys
+    assert (1, 3) not in got and (2, 3) not in got
+    # raising the threshold above the key count drops the pair
+    assert audio_dup_pairs(fp, min_matches=n_keys + 1).count() == 0
+
+
+def test_audio_fingerprint_short_clip_no_rows(spark):
+    """A clip with <3 frames has no interior frame, hence no peak and
+    no fingerprint — and the dup join survives an empty side."""
+    import numpy as np
+
+    from dbt_core_spark.operators.multimodal import (
+        audio_dup_pairs,
+        audio_energy_frames,
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    wav = encode_wav(np.array([5] * 16, dtype="i2"))  # 2 frames of 8
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id long, data binary")
+    fp = audio_fingerprint(audio_energy_frames(df))
+    assert fp.count() == 0
+    assert audio_dup_pairs(fp).count() == 0
+
+
+def test_synth_media_am_pattern_formula(spark):
+    """pattern='am' WAV samples follow (id + 5i) % 201 - 100 exactly;
+    PPM branch keeps the gradient fill."""
+    from dbt_core_spark.operators.multimodal import (
+        decode_ppm,
+        synth_media,
+        _wav_samples,
+    )
+
+    df = spark.createDataFrame(
+        [(4, "x" * 10), (5, "y" * 3)], "doc_id long, text string")
+    rows = {r["media_id"]: bytes(r["data"])
+            for r in synth_media(df, pattern="am").collect()}
+    pcm = _wav_samples(rows[4])
+    assert len(pcm) == 8 * (10 % 50 + 1)
+    assert all(int(pcm[i]) == (4 + 5 * i) % 201 - 100
+               for i in range(len(pcm)))
+    img = decode_ppm(rows[5])
+    assert img is not None and img["width"] == 5 + 4  # 4 + 5%13
