@@ -3267,6 +3267,27 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         "query_id", "nbr_id", "cosine", "rank")
 
 
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage monitoring: a 500-term vocabulary built on the
+    even-doc slice, OOV counts/rate over EVERY document — rising OOV on
+    fresh slices is the retrain-the-tokenizer trigger
+    (operators/corpus.py:oov_rate on textstats.build_vocab output).
+    Pure integer arithmetic end to end (bigint div, no floats).
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
+    see streaming_ann_serve_embeddings)."""
+    from dbt_core_spark.operators.corpus import oov_rate
+    from dbt_core_spark.operators.textstats import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs.filter("doc_id % 2 = 0"), vocab_size=500)
+    # sealed: the anti-join consumes the vocabulary as a broadcast —
+    # without the seal the wordcount + double-window build replays
+    # under the broadcast exchange (the ≥2-branch lineage rule)
+    vocab = vocab.localCheckpoint(eager=False)
+    return oov_rate(docs, vocab)
+
+
 def audio_fingerprint_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate AUDIO detection — the second media type of the
     multimodal dedup tier (images: multimodal_phash_dedup_docs): the

@@ -995,3 +995,53 @@ def vocab_drift(
         pruned.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-coverage monitoring: per-document out-of-vocabulary
+    token counts and rate against a sealed vocabulary
+    (``textstats.build_vocab`` output or any (term, ...) table) — the
+    operational complement of ``vocab_drift``: drift says the corpus
+    moved, OOV rate says the TOKENIZER no longer covers it (rising OOV
+    on fresh crawl slices is the standard retrain-the-tokenizer
+    trigger).
+
+    PURE integer arithmetic — ``oov_micro = n_oov·1e6 div n_tokens``
+    (bigint division, no float anywhere), NULL for zero-token
+    documents; NULL-text rows are excluded (the family contract).
+
+    Scale shape: token counts are row-local; the only corpus shuffle
+    is the per-doc OOV aggregate, and the vocabulary joins as a
+    broadcast anti-join (vocabulary-sized side, ≤ a few 100k rows at
+    any corpus scale).  Returns (id_col, n_tokens, n_oov, oov_micro).
+    """
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        normalized_words(F.col(text_col)).alias("_w"),
+    )
+    base = words.select("id", F.size("_w").cast("bigint").alias("n_tokens"))
+    oov = (
+        words.select("id", F.explode("_w").alias("term"))
+        .join(F.broadcast(vocab.select("term")), "term", "left_anti")
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_oov"))
+    )
+    return (
+        base.join(oov, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_micro",
+            F.expr("case when n_tokens = 0 then null "
+                   "else (n_oov * 1000000) div n_tokens end")
+            .cast("bigint"),
+        )
+    )

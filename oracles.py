@@ -4114,3 +4114,40 @@ join keys b on a.eq1 = b.eq1 and a.eq2 = b.eq2 and a.dt = b.dt
 group by 1, 2
 having count(*) >= 4
 """
+
+
+# r9 tokenizer-coverage monitoring: build_vocab top-500 on the even-doc
+# slice (count desc, term asc), per-doc OOV counts over every document;
+# oov_micro = n_oov*1e6 div n_tokens in pure bigint arithmetic (NULL
+# for zero-token docs).  Mirrors corpus.oov_rate over
+# textstats.build_vocab.  Staged r10.
+ORACLES_STAGED_R10["oov_rate_docs"] = f"""
+with vcounts as (
+  select term, cast(count(*) as bigint) as n
+  from (
+    select unnest({_WORDS}) as term from documents
+    where doc_id % 2 = 0 and text is not null
+  ) t group by 1
+), vocab as (
+  select term from (
+    select term, row_number() over (order by n desc, term asc) as rn
+    from vcounts
+  ) r where rn <= 500
+), w as (
+  select doc_id as id, {_WORDS} as words from documents
+  where text is not null
+), base as (
+  select id, cast(len(words) as bigint) as n_tokens from w
+), oov as (
+  select id, cast(count(*) as bigint) as n_oov
+  from (select id, unnest(words) as term from w) t
+  where term not in (select term from vocab)
+  group by 1
+)
+select b.id as doc_id, b.n_tokens,
+       cast(coalesce(o.n_oov, 0) as bigint) as n_oov,
+       cast(case when b.n_tokens = 0 then null
+                 else (coalesce(o.n_oov, 0) * 1000000) // b.n_tokens
+            end as bigint) as oov_micro
+from base b left join oov o using (id)
+"""

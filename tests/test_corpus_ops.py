@@ -1613,6 +1613,7 @@ def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
     "multimodal_phash_dedup_docs",
     "naive_bayes_language_docs",
     "audio_fingerprint_dedup_docs",
+    "oov_rate_docs",
 ])
 def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-10 gate row end to end: the
@@ -1929,3 +1930,27 @@ def test_naive_bayes_vocab_cap_and_smoothing_guard(spark):
     assert got == ref
     with _pytest.raises(ValueError, match="smoothing"):
         naive_bayes_train(tdf, "y", smoothing=0)
+
+
+def test_oov_rate_hand_computed(spark):
+    """Exact integer OOV math: full coverage -> 0, zero-token -> NULL
+    rate, NULL text excluded, div-floor semantics pinned."""
+    from dbt_core_spark.operators.corpus import oov_rate
+
+    vocab = spark.createDataFrame(
+        [(0, "the"), (1, "cat")], "token_id long, term string")
+    docs = spark.createDataFrame([
+        (1, "the cat the cat"),        # 0 OOV of 4
+        (2, "the dog ate"),            # 2 OOV of 3 -> 666666
+        (3, "???"),                    # zero tokens -> NULL rate
+        (4, None),                     # excluded
+        (5, "zebra"),                  # all OOV -> 1000000
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_micro"])
+           for r in oov_rate(docs, vocab).collect()}
+    assert got == {
+        1: (4, 0, 0),
+        2: (3, 2, 666666),
+        3: (0, 0, None),
+        5: (1, 1, 1000000),
+    }
