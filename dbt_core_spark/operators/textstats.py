@@ -2070,6 +2070,18 @@ def naive_bayes_train(
     d_total = base.count()
     t_c = counts.groupBy("cls").agg(F.sum("n").alias("t_c"))
     denom = (F.col("t_c") + F.lit(s * v_sz)).cast("double")
+    # V = 0 (every training doc tokenizes empty): no class-conditional
+    # distribution exists — oov_micro pins to 0 so serving degenerates
+    # to priors-only instead of ln(s/0) = +Inf garbage (fuzz class;
+    # the oracle carries the same case guard)
+    oov_expr = (
+        F.lit(0).cast("bigint") if v_sz == 0
+        else F.floor(F.log(
+            F.lit(float(s)) / (
+                F.coalesce(F.col("t_c"), F.lit(0))
+                + F.lit(s * v_sz)).cast("double")
+        ) * 1_000_000).cast("bigint")
+    )
     class_stats = (
         d_stats.join(t_c, "cls", "left").select(
             "cls",
@@ -2077,11 +2089,7 @@ def naive_bayes_train(
             F.floor(F.log(
                 F.col("n_docs").cast("double") / F.lit(float(d_total))
             ) * 1_000_000).cast("bigint").alias("prior_micro"),
-            F.floor(F.log(
-                F.lit(float(s)) / (
-                    F.coalesce(F.col("t_c"), F.lit(0))
-                    + F.lit(s * v_sz)).cast("double")
-            ) * 1_000_000).cast("bigint").alias("oov_micro"),
+            oov_expr.alias("oov_micro"),
         )
     )
     weights = counts.join(t_c, "cls").select(

@@ -4015,8 +4015,10 @@ with train as (
   select ds.cls, ds.n_docs,
          cast(floor(ln(cast(ds.n_docs as double) / cast(dt.d as double))
                     * 1000000) as bigint) as prior_micro,
-         cast(floor(ln(1.0 / cast(coalesce(t.t_c, 0) + v.v as double))
-                    * 1000000) as bigint) as oov_micro
+         cast(case when v.v = 0 then 0
+                   else floor(ln(1.0 / cast(coalesce(t.t_c, 0) + v.v
+                                            as double)) * 1000000)
+              end as bigint) as oov_micro
   from dstats ds
   cross join dtot dt cross join vsz v
   left join tc t using (cls)

@@ -1954,3 +1954,29 @@ def test_oov_rate_hand_computed(spark):
         3: (0, 0, None),
         5: (1, 1, 1000000),
     }
+
+
+def test_naive_bayes_empty_vocabulary_priors_only(spark):
+    """V = 0 (every training doc tokenizes empty): oov_micro pins to 0
+    and serving degenerates to priors-only — no Inf/overflow garbage."""
+    import math
+
+    from dbt_core_spark.operators.textstats import (
+        naive_bayes_apply,
+        naive_bayes_train,
+    )
+
+    train = [(1, "!!!", "a"), (2, "???", "a"), (3, "...", "b")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string, y string")
+    w, cs = naive_bayes_train(tdf, "y")
+    assert w.count() == 0
+    stats = {r["cls"]: r for r in cs.collect()}
+    assert stats["a"]["oov_micro"] == 0 and stats["b"]["oov_micro"] == 0
+    assert stats["a"]["prior_micro"] == math.floor(math.log(2 / 3) * 1e6)
+    adf = spark.createDataFrame(
+        [(10, "anything at all"), (11, "")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["label"], r["score_micro"])
+           for r in naive_bayes_apply(adf, w, cs).collect()}
+    # priors only: class 'a' (2/3) beats 'b' (1/3) for every doc
+    assert got == {10: ("a", stats["a"]["prior_micro"]),
+                   11: ("a", stats["a"]["prior_micro"])}

@@ -1521,3 +1521,34 @@ def test_staged_r10_phash_gate_on_hostile_corpora(
         em.multimodal_phash_dedup_docs,
         ORACLES_STAGED_R10["multimodal_phash_dedup_docs"])
     assert ok, msg
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows, dup=st.booleans())
+def test_staged_r10_doc_gates_on_hostile_corpora(
+    spark, tmp_path_factory, rows, dup
+):
+    """The three r9-STAGED doc gates on hostile corpora: Naive Bayes
+    where hypothesis may draw all-NULL labels (empty training set →
+    empty output), all-empty-token training docs (V = 0 → priors-only
+    serving, the case guard on both engines), and label skew; OOV rate
+    where the even vocab slice may be empty (everything OOV) or docs
+    tokenize empty (NULL rate); audio fingerprint dedup where the
+    %23==2 even slice is usually empty on tiny corpora and clip
+    lengths hit the no-peak minimum."""
+    from oracles import ORACLES_STAGED_R10
+
+    if dup and rows:
+        rows = rows + rows[: len(rows) // 2 + 1]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r10doc"))
+    con = _write_docs(tmpdir, rows)
+    for name in ("naive_bayes_language_docs", "oov_rate_docs",
+                 "audio_fingerprint_dedup_docs"):
+        ok, msg = _vo.compare(
+            name, spark, con, tmpdir,
+            getattr(em, name), ORACLES_STAGED_R10[name])
+        assert ok, f"{name}: {msg}"
