@@ -3267,6 +3267,40 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         "query_id", "nbr_id", "cosine", "rank")
 
 
+def retrieval_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation closing the loop on the retrieval
+    tier: the bm25_rank_docs ranking (every 13th doc as a query, top-5)
+    scored against deterministic relevance judgments — a query's
+    relevant set is the doc_id%11==3 slice sharing its ``source`` —
+    with per-query MRR@5 / recall@5 / NDCG@5 in exact integer micro
+    units (operators/textstats.py:retrieval_metrics; discounts floored
+    per term, ratios as bigint division).
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
+    see streaming_ann_serve_embeddings)."""
+    from dbt_core_spark.operators.textstats import (
+        bm25_rank,
+        retrieval_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = docs.filter("doc_id % 13 = 0")
+    # sealed: the metrics join consumes the ranking twice conceptually
+    # (hits + first-rank agg) and the BM25 pipeline is expensive to
+    # replay (the bm25_rank internal seal covers the index; this seal
+    # covers the ranked output consumed by the eval join)
+    rankings = bm25_rank(docs, queries_df, top_k=5).localCheckpoint(
+        eager=False)
+    qrels = (
+        queries_df.select(F.col("doc_id").alias("query_id"), "source")
+        .join(docs.filter("doc_id % 11 = 3").select("doc_id", "source"),
+              "source")
+        .filter("query_id != doc_id")
+        .select("query_id", "doc_id")
+    )
+    return retrieval_metrics(rankings, qrels, k=5)
+
+
 def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-coverage monitoring: a 500-term vocabulary built on the
     even-doc slice, OOV counts/rate over EVERY document — rising OOV on

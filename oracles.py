@@ -4153,3 +4153,70 @@ select b.id as doc_id, b.n_tokens,
             end as bigint) as oov_micro
 from base b left join oov o using (id)
 """
+
+
+# r9 retrieval evaluation: the bm25_rank_docs ranking (%13 queries,
+# top-5) scored against deterministic qrels (same-source doc_id%11==3
+# docs).  Discounted gains are floored to micro-units PER TERM
+# (floor(1e6/log2(rank+1))), DCG/IDCG are exact bigint sums, and
+# MRR/recall/NDCG are bigint divisions — replays bit-for-bit.
+# Mirrors textstats.retrieval_metrics over bm25_rank.  Staged r10.
+ORACLES_STAGED_R10["retrieval_eval_docs"] = f"""
+with w as (select doc_id as id, unnest({_WORDS}) as term
+           from documents where text is not null),
+tf as (select id, term, cast(count(*) as bigint) as tf from w group by 1, 2),
+dl as (select id, cast(sum(tf) as bigint) as dl from tf group by 1),
+st as (select cast(count(*) as bigint) as n,
+              cast(sum(dl) as bigint) as total from dl),
+idf as (select term, cast(floor(ln(1.0 + (cast(st.n as double) - df_t + 0.5)
+                 / (df_t + 0.5)) * 1000) as bigint) as idf_milli
+        from (select term, cast(count(distinct id) as bigint) as df_t
+              from tf group by 1) d, st),
+qt as (select distinct doc_id as query_id, unnest({_WORDS}) as term
+       from documents where doc_id % 13 = 0 and text is not null),
+sc as (select q.query_id, p.id,
+              cast(sum(cast(floor(cast(idf_milli as double)
+                  * (44.0 * tf * total)
+                  / (20.0 * tf * total + 6.0 * total + 18.0 * dl * n)
+                  * 1000.0) as bigint)) as bigint) as score_micro
+       from qt q join tf p using (term) join idf using (term)
+       join dl on dl.id = p.id, st group by 1, 2),
+rk as (select query_id, doc_id, rank from (
+         select query_id, id as doc_id, score_micro,
+                cast(row_number() over (partition by query_id
+                     order by score_micro desc, id) as int) as rank
+         from sc) r where rank <= 5),
+qr as (select distinct q.doc_id as query_id, d.doc_id
+       from documents q join documents d on d.source = q.source
+       where q.doc_id % 13 = 0 and d.doc_id % 11 = 3
+         and d.doc_id <> q.doc_id),
+nrel as (select query_id, cast(count(*) as bigint) as n_rel
+         from qr group by 1),
+h as (select r.query_id,
+             cast(count(*) as bigint) as hits,
+             min(r.rank) as first_rank,
+             cast(sum(cast(floor(1000000.0 / log2(r.rank + 1))
+                           as bigint)) as bigint) as dcg_micro
+      from rk r join qr on qr.query_id = r.query_id
+                       and qr.doc_id = r.doc_id
+      group by 1),
+terms as (select unnest(range(1, 6)) as i),
+idcg as (select n.query_id,
+                cast(sum(cast(floor(1000000.0 / log2(t.i + 1))
+                              as bigint)) as bigint) as idcg_micro
+         from nrel n join terms t on t.i <= least(n.n_rel, 5)
+         group by 1)
+select n.query_id, n.n_rel,
+       cast(coalesce(h.hits, 0) as bigint) as hits,
+       cast(case when h.first_rank is null then 0
+                 else 1000000 // h.first_rank end as bigint) as mrr_micro,
+       cast((coalesce(h.hits, 0) * 1000000) // n.n_rel
+            as bigint) as recall_micro,
+       cast(coalesce(h.dcg_micro, 0) as bigint) as dcg_micro,
+       i.idcg_micro,
+       cast((coalesce(h.dcg_micro, 0) * 1000000) // i.idcg_micro
+            as bigint) as ndcg_micro
+from nrel n
+join idcg i using (query_id)
+left join h using (query_id)
+"""

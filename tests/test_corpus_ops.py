@@ -1614,6 +1614,7 @@ def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
     "naive_bayes_language_docs",
     "audio_fingerprint_dedup_docs",
     "oov_rate_docs",
+    "retrieval_eval_docs",
 ])
 def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-10 gate row end to end: the
@@ -1980,3 +1981,51 @@ def test_naive_bayes_empty_vocabulary_priors_only(spark):
     # priors only: class 'a' (2/3) beats 'b' (1/3) for every doc
     assert got == {10: ("a", stats["a"]["prior_micro"]),
                    11: ("a", stats["a"]["prior_micro"])}
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """Exact micro-unit IR triple: perfect ranking -> NDCG 1e6, a
+    no-hit labeled query -> zeros, a labeled query absent from the
+    rankings -> zeros, duplicate qrels deduped, k cutoff enforced."""
+    import math
+
+    from dbt_core_spark.operators.textstats import retrieval_metrics
+
+    rankings = spark.createDataFrame([
+        # q1: hits at ranks 1 and 2 (perfect for n_rel=2)
+        (1, 101, 1), (1, 102, 2), (1, 103, 3),
+        # q2: single hit at rank 3; second relevant never retrieved
+        (2, 201, 1), (2, 202, 2), (2, 103, 3),
+        # q3: no hits in top-k
+        (3, 301, 1), (3, 302, 2),
+        # q4: hit exists but only BEYOND the cutoff
+        (4, 401, 6),
+    ], "query_id long, doc_id long, rank int")
+    qrels = spark.createDataFrame([
+        (1, 101), (1, 102), (1, 102),       # dup row deduped
+        (2, 103), (2, 999),
+        (3, 888),
+        (4, 401),
+        (5, 777),                            # labeled, never ranked
+    ], "query_id long, doc_id long")
+    got = {r["query_id"]: r.asDict()
+           for r in retrieval_metrics(rankings, qrels, k=5).collect()}
+    d1 = math.floor(1e6 / math.log2(2))     # rank 1 -> 1000000
+    d2 = math.floor(1e6 / math.log2(3))
+    d3 = math.floor(1e6 / math.log2(4))     # rank 3 -> 500000
+    assert got[1] == {"query_id": 1, "n_rel": 2, "hits": 2,
+                      "mrr_micro": 1000000, "recall_micro": 1000000,
+                      "dcg_micro": d1 + d2, "idcg_micro": d1 + d2,
+                      "ndcg_micro": 1000000}
+    assert got[2]["hits"] == 1 and got[2]["mrr_micro"] == 333333
+    assert got[2]["recall_micro"] == 500000
+    assert got[2]["dcg_micro"] == d3
+    assert got[2]["idcg_micro"] == d1 + d2
+    assert got[2]["ndcg_micro"] == d3 * 1000000 // (d1 + d2)
+    for q in (3, 4, 5):
+        assert (got[q]["hits"], got[q]["mrr_micro"],
+                got[q]["ndcg_micro"]) == (0, 0, 0), q
+    # idcg caps at k: n_rel=1 -> idcg = d1 only
+    assert got[3]["idcg_micro"] == d1
+    # unlabeled queries never appear
+    assert set(got) == {1, 2, 3, 4, 5}
