@@ -99,6 +99,11 @@ HEADLINE = [
     "vocab_drift_docs",
     "streaming_bm25_serve_docs",
     "ann_ivf_rebalance_embeddings",
+    # round-9 second wave (r10-staged, resolved from the module): the
+    # single-pass trainable filter and the audio half of multimodal
+    # dedup (NOTE: totals grow again — compare per-query medians)
+    "naive_bayes_language_docs",
+    "audio_fingerprint_dedup_docs",
 ]
 
 

@@ -264,6 +264,30 @@ PICKS = {
         "the exploded (band, value) key — never a cartesian — and the "
         "exact Hamming confirm is integer XOR/popcount on the carried "
         "band columns."),
+    "naive_bayes_language_docs": (
+        "Naive Bayes train+serve (r10-staged) — training is ONE "
+        "(cls, term) wordcount shuffle with map-side partial agg; "
+        "serving joins token counts to the sparse weights on term and "
+        "broadcasts the k-row class stats (BroadcastNestedLoopJoin on "
+        "the deliberate doc×class expansion); text never crosses an "
+        "exchange."),
+    "audio_fingerprint_dedup_docs": (
+        "Audio near-dup pairs (r10-staged) — decode is one Arrow pass "
+        "emitting int64 frame energies (binary payload never reaches "
+        "an exchange); peaks/landmarks are per-clip windows + a "
+        "peaks×fanout self-join; candidates are an equi-join on the "
+        "(eq1, eq2, dt) landmark key — never a cartesian."),
+    "oov_rate_docs": (
+        "OOV-rate monitor (r10-staged) — token counts are row-local; "
+        "the vocabulary anti-joins as a BROADCAST, and the only "
+        "corpus-keyed exchange is the per-doc OOV aggregate (id rows, "
+        "never text)."),
+    "retrieval_eval_docs": (
+        "Retrieval evaluation (r10-staged) — downstream of the BM25 "
+        "ranking everything is queries×k-scale: qrels equi-join, "
+        "per-query aggregate, broadcast k-row discount table for "
+        "IDCG; discounts floored per term so DCG sums are exact "
+        "bigints."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",

@@ -629,3 +629,102 @@ def test_ngram_loop_runs_has_no_joins(spark, sf_dir):
     plan = _plan(ngram_loop_runs(docs, n=3, min_repeats=3))
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_audio_dup_pairs_landmark_join_never_cartesian(spark):
+    """Audio near-dup pairs: candidates must come from an equi-join on
+    the (eq1, eq2, dt) landmark key — all-pairs clip comparison is
+    corpus²-scale — and the binary payload must never cross an
+    exchange (frame energies are id + 2 ints + 1 bigint)."""
+    import re
+
+    from dbt_core_spark.operators.multimodal import (
+        audio_dup_pairs,
+        audio_energy_frames,
+        audio_fingerprint,
+        synth_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(2 * i, "clip text " * (i % 7)) for i in range(20)],
+        ["doc_id", "text"])
+    frames = audio_energy_frames(
+        synth_media(docs, pattern="am")).localCheckpoint(eager=False)
+    df = audio_dup_pairs(audio_fingerprint(frames))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+    fmt = _formatted(df)
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", fmt)
+    for cols in exchanges:
+        assert "data#" not in cols, f"binary payload crossed a shuffle: {cols}"
+
+
+def test_oov_rate_vocab_is_broadcast_anti_join(spark, sf_dir):
+    """OOV rate: the vocabulary must anti-join as a BROADCAST — a
+    corpus-keyed shuffle against a ≤100k-row vocab would move the
+    whole token stream twice — and document text must never cross an
+    exchange (only (id, term) wordcount rows shuffle)."""
+    import re
+
+    from dbt_core_spark.operators.corpus import oov_rate
+    from dbt_core_spark.operators.textstats import build_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = build_vocab(docs.filter("doc_id % 2 = 0"),
+                        vocab_size=500).localCheckpoint(eager=False)
+    df = oov_rate(docs, vocab)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(df)
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", fmt)
+    for cols in exchanges:
+        assert "text#" not in cols, f"document text crossed a shuffle: {cols}"
+
+
+def test_naive_bayes_apply_model_side_stays_small(spark, sf_dir):
+    """NB serving: the k-row class stats enter as a broadcast
+    (BroadcastNestedLoopJoin on the deliberate doc×class expansion is
+    fine — the right side is k rows); the weights join is an equi-join
+    on term; document text never crosses an exchange."""
+    import re
+
+    from dbt_core_spark.operators.textstats import (
+        naive_bayes_apply,
+        naive_bayes_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w, cs = naive_bayes_train(
+        docs.filter("doc_id % 3 != 0 AND lang IS NOT NULL"), "lang")
+    df = naive_bayes_apply(docs.filter("doc_id % 3 = 0"),
+                           w.localCheckpoint(eager=False),
+                           cs.localCheckpoint(eager=False))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(df)
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", fmt)
+    for cols in exchanges:
+        assert "text#" not in cols, f"document text crossed a shuffle: {cols}"
+
+
+def test_retrieval_metrics_no_corpus_scale_work(spark):
+    """Retrieval eval: everything downstream of the ranking table is
+    queries×k-scale — the IDCG discount table is a broadcast k-row
+    side and no node may be a cartesian product."""
+    from dbt_core_spark.operators.textstats import retrieval_metrics
+
+    rankings = spark.createDataFrame(
+        [(q, d, r + 1) for q in range(10) for r, d in enumerate(
+            range(q, q + 5))],
+        "query_id long, doc_id long, rank int")
+    qrels = spark.createDataFrame(
+        [(q, q + 2) for q in range(10)], "query_id long, doc_id long")
+    plan = _plan(retrieval_metrics(rankings, qrels, k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
