@@ -3267,6 +3267,38 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         "query_id", "nbr_id", "cosine", "rank")
 
 
+def naive_bayes_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NB training: sufficient statistics of the %3==1 and
+    %3==2 slices computed SEPARATELY (per ingest batch), merged by
+    exact bigint addition, finalized, and served on the held-out
+    %3==0 slice — bit-identical to retraining on the union, so the
+    oracle IS naive_bayes_language_docs (the bm25_index_append
+    append-≡-rebuild contract, applied to model training;
+    operators/textstats.py:naive_bayes_counts/merge/finalize).
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
+    see streaming_ann_serve_embeddings)."""
+    from dbt_core_spark.operators.textstats import (
+        naive_bayes_apply,
+        naive_bayes_counts,
+        naive_bayes_finalize,
+        naive_bayes_merge,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch_a = docs.filter("doc_id % 3 = 1 AND lang IS NOT NULL")
+    batch_b = docs.filter("doc_id % 3 = 2 AND lang IS NOT NULL")
+    tc, dc = naive_bayes_merge(
+        naive_bayes_counts(batch_a, "lang"),
+        naive_bayes_counts(batch_b, "lang"))
+    weights, class_stats = naive_bayes_finalize(
+        tc.localCheckpoint(eager=False), dc.localCheckpoint(eager=False))
+    weights = weights.localCheckpoint(eager=False)
+    class_stats = class_stats.localCheckpoint(eager=False)
+    return naive_bayes_apply(docs.filter("doc_id % 3 = 0"),
+                             weights, class_stats)
+
+
 def retrieval_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation closing the loop on the retrieval
     tier: the bm25_rank_docs ranking (every 13th doc as a query, top-5)

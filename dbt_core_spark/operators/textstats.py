@@ -2036,17 +2036,88 @@ def naive_bayes_train(
             f"naive_bayes_train: smoothing must be >= 1 (got {smoothing})"
             " — add-s smoothing is what keeps every class-conditional"
             " probability positive (the vocab_drift contract)")
-    spark = df.sparkSession
+    term_counts, doc_counts = naive_bayes_counts(
+        df, label_col, text_col=text_col, id_col=id_col)
+    return naive_bayes_finalize(
+        term_counts, doc_counts, vocab_size=vocab_size,
+        smoothing=smoothing)
+
+
+def naive_bayes_counts(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Sufficient statistics of a multinomial NB model — the
+    INCREMENTAL representation: because NB learns nothing but counts,
+    the statistics of two batches MERGE by addition
+    (``naive_bayes_merge``) and finalizing the merged counts is
+    bit-identical to retraining on the union (the bm25_index_append
+    append-≡-rebuild contract, applied to model training).  Persist
+    these two tables per ingest batch; never re-tokenize old data.
+
+    Returns ``(term_counts, doc_counts)``:
+      term_counts — (cls string, term string, n bigint);
+      doc_counts  — (cls string, n_docs bigint).
+    Rows with NULL text or NULL label are excluded (the trainer
+    contract)."""
     base = df.filter(
         F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
-    toks = base.select(
-        F.col(label_col).cast("string").alias("cls"),
-        F.explode(normalized_words(F.col(text_col))).alias("term"),
-    )
-    counts = (
-        toks.groupBy("cls", "term")
+    term_counts = (
+        base.select(
+            F.col(label_col).cast("string").alias("cls"),
+            F.explode(normalized_words(F.col(text_col))).alias("term"),
+        )
+        .groupBy("cls", "term")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+    doc_counts = (
+        base.groupBy(F.col(label_col).cast("string").alias("cls"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    return term_counts, doc_counts
+
+
+def naive_bayes_merge(
+    stats_a: tuple[DataFrame, DataFrame],
+    stats_b: tuple[DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two ``naive_bayes_counts`` statistics by exact bigint
+    addition — associative and commutative, so any batch arrival order
+    finalizes to the identical model.  One vocabulary-sized and one
+    k-row aggregate; nothing corpus-scale."""
+    ta, da = stats_a
+    tb, db = stats_b
+    term_counts = (
+        ta.unionByName(tb).groupBy("cls", "term")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    doc_counts = (
+        da.unionByName(db).groupBy("cls")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+    )
+    return term_counts, doc_counts
+
+
+def naive_bayes_finalize(
+    term_counts: DataFrame,
+    doc_counts: DataFrame,
+    vocab_size: int | None = None,
+    smoothing: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Turn NB sufficient statistics into the served model — the
+    ln/floor step of ``naive_bayes_train``, split out so incremental
+    count merges finalize without re-tokenizing (see
+    ``naive_bayes_counts``).  Same contract as the trainer: returns
+    ``(weights, class_stats)``, micro-nat bigints throughout."""
+    s = int(smoothing)
+    if s < 1:
+        raise ValueError(
+            f"naive_bayes_finalize: smoothing must be >= 1 (got "
+            f"{smoothing}) — add-s smoothing is what keeps every "
+            "class-conditional probability positive")
+    counts = term_counts
     if vocab_size is not None:
         # top-N terms by total count (ties -> lexically smaller term);
         # per-partition prefilter before the global rank window is
@@ -2063,11 +2134,9 @@ def naive_bayes_train(
     v_sz = counts.select("term").distinct().count()
     # class totals over the (capped) vocab + doc counts for priors —
     # k rows, never collected beyond scalars
-    d_stats = (
-        base.groupBy(F.col(label_col).cast("string").alias("cls"))
-        .agg(F.count("*").cast("bigint").alias("n_docs"))
-    )
-    d_total = base.count()
+    d_stats = doc_counts
+    d_total = int(
+        doc_counts.agg(F.sum("n_docs")).collect()[0][0] or 0)
     t_c = counts.groupBy("cls").agg(F.sum("n").alias("t_c"))
     denom = (F.col("t_c") + F.lit(s * v_sz)).cast("double")
     # V = 0 (every training doc tokenizes empty): no class-conditional

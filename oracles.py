@@ -4220,3 +4220,10 @@ from nrel n
 join idcg i using (query_id)
 left join h using (query_id)
 """
+
+
+# r9 incremental NB: batch statistics merged by exact bigint addition
+# finalize bit-identically to retraining on the union — the oracle IS
+# the one-shot training replay (the bm25_index_append precedent).
+ORACLES_STAGED_R10["naive_bayes_incremental_docs"] = ORACLES_STAGED_R10[
+    "naive_bayes_language_docs"]

@@ -1615,6 +1615,7 @@ def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
     "audio_fingerprint_dedup_docs",
     "oov_rate_docs",
     "retrieval_eval_docs",
+    "naive_bayes_incremental_docs",
 ])
 def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-10 gate row end to end: the
@@ -2029,3 +2030,41 @@ def test_retrieval_metrics_hand_computed(spark):
     assert got[3]["idcg_micro"] == d1
     # unlabeled queries never appear
     assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_naive_bayes_merge_equals_retrain_and_commutes(spark):
+    """Merged batch statistics finalize BIT-IDENTICALLY to one-shot
+    training on the union, in either merge order — the
+    append-≡-rebuild contract for model training."""
+    from dbt_core_spark.operators.textstats import (
+        naive_bayes_counts,
+        naive_bayes_finalize,
+        naive_bayes_merge,
+        naive_bayes_train,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "le chat est sur le tapis", "fr"),
+        (3, "the dog and the cat", "en"),
+        (4, "le chien et le chat", "fr"),
+        (5, "ein hund und eine katze", "de"),
+        (6, "!!!", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a, b = df.filter("doc_id % 2 = 0"), df.filter("doc_id % 2 = 1")
+    sa, sb = naive_bayes_counts(a, "lang"), naive_bayes_counts(b, "lang")
+
+    def model_rows(weights, class_stats):
+        return (sorted(map(tuple, weights.collect())),
+                sorted(map(tuple, class_stats.collect())))
+
+    want = model_rows(*naive_bayes_train(df, "lang"))
+    assert model_rows(*naive_bayes_finalize(
+        *naive_bayes_merge(sa, sb))) == want
+    assert model_rows(*naive_bayes_finalize(
+        *naive_bayes_merge(sb, sa))) == want
+    # vocab cap applies to the MERGED counts, same as retraining
+    want_cap = model_rows(*naive_bayes_train(df, "lang", vocab_size=3))
+    assert model_rows(*naive_bayes_finalize(
+        *naive_bayes_merge(sa, sb), vocab_size=3)) == want_cap

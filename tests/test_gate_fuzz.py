@@ -1547,7 +1547,8 @@ def test_staged_r10_doc_gates_on_hostile_corpora(
     tmpdir = str(tmp_path_factory.mktemp("fuzz_r10doc"))
     con = _write_docs(tmpdir, rows)
     for name in ("naive_bayes_language_docs", "oov_rate_docs",
-                 "audio_fingerprint_dedup_docs", "retrieval_eval_docs"):
+                 "audio_fingerprint_dedup_docs", "retrieval_eval_docs",
+                 "naive_bayes_incremental_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R10[name])
