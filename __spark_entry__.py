@@ -3441,9 +3441,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows displaced from the r8 window, then 32 r6-green rows oldest-
     # first (ngram_lm_docs / pool_embeddings_by_label lead the cohort —
     # they carry the r7 floor-rounding oracle fix, still driver-
-    # unverified since the change).  The 18 remaining r6 rows sit at
-    # positions 51-68 and mechanically lead round 10, followed by the
-    # 49-row r7 cohort, then the 49-row r8 cohort (freshest).
+    # unverified since the change).  ROUND-10 WINDOW PLAN: the 7
+    # r9-staged gates lead (ORACLES_STAGED_R10: streaming_ann_serve,
+    # multimodal_phash_dedup, naive_bayes_language,
+    # naive_bayes_incremental, audio_fingerprint_dedup, oov_rate,
+    # retrieval_eval — move their SQL into ORACLES and their names to
+    # the head of this dict), then the 18 remaining r6 rows at
+    # positions 51-68 (the staleness cohort), then 25 r7 rows
+    # oldest-first to fill 50; the rest of the r7 cohort and the
+    # r8/r9 cohorts follow in rounds 11-12.
     return {
         # ---- never driver-verified: the r8-staged gates lead ----
         "perceptron_ovr_language_docs": perceptron_ovr_language_docs,

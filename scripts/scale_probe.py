@@ -490,6 +490,50 @@ def main() -> None:
                       f"shuffle={fmt_bytes(a['shuffle_bytes'])}",
                       file=sys.stderr)
 
+    # ---- trainable-filter tier (r9): Naive Bayes train+serve and the
+    # OOV-rate monitor over the same perturbed docs decades.  NB
+    # training is ONE (cls, term) wordcount pass — wall must track the
+    # corpus wordcounts (~linear); serving adds the term-keyed join
+    # against the vocab-sized sparse model.  oov_rate is a row-local
+    # count + broadcast anti-join + one per-doc aggregate. ----
+    from dbt_core_spark.operators.corpus import oov_rate
+    from dbt_core_spark.operators.textstats import (
+        build_vocab,
+        naive_bayes_apply,
+        naive_bayes_train,
+    )
+
+    tf_results: dict[str, dict[int, tuple]] = {}
+    for factor in SCALES:
+        docs = spark.read.parquet(replicate_docs(spark, factor))
+        print(f"== trainable-filter x{factor}: {dedup_meta[factor]} docs",
+              file=sys.stderr)
+
+        def nb_flow():
+            w, cs = naive_bayes_train(
+                docs.filter("doc_id % 3 != 0 and lang is not null"),
+                "lang")
+            w = w.localCheckpoint(eager=False)
+            cs = cs.localCheckpoint(eager=False)
+            return naive_bayes_apply(docs.filter("doc_id % 3 = 0"), w, cs)
+
+        tf_results.setdefault("naive_bayes train+serve", {})[factor] = \
+            run_count(nb_flow)
+
+        def oov_flow():
+            vocab = build_vocab(docs.filter("doc_id % 2 = 0"),
+                                vocab_size=500)
+            return oov_rate(docs, vocab.localCheckpoint(eager=False))
+
+        tf_results.setdefault("oov_rate (500-term vocab)", {})[factor] = \
+            run_count(oov_flow)
+        for op, per in tf_results.items():
+            if factor in per:
+                rows, wall, a = per[factor]
+                print(f"  {op}: {wall}s, {rows} rows, "
+                      f"shuffle={fmt_bytes(a['shuffle_bytes'])}",
+                      file=sys.stderr)
+
     # ---- IVF maintenance tier (r9): hot-cell rebalance.  Appends
     # concentrate in popular regions (here: a fixed 20% slice of the
     # base corpus re-appended ×factor with re-keyed ids), the built
@@ -653,6 +697,75 @@ def main() -> None:
         ph_results[factor] = run_count(ph_flow)
         rows, wall, a = ph_results[factor]
         print(f"== phash x{factor}: {ph_meta[factor]} images, {wall}s, "
+              f"{rows} pairs, shuffle={fmt_bytes(a['shuffle_bytes'])}",
+              file=sys.stderr)
+
+    # ---- audio dedup tier (r9): landmark fingerprints + key-blocked
+    # pairs over synthetic WAV decades.  The replica-decorrelation rule
+    # again: each replica's clips synthesize from src + rep·7919 (any
+    # offset changes every sample under the mod-201 tone), so landmark
+    # keys decorrelate across replicas while each replica carries its
+    # own exact clone per clip — pair density ~constant, linear total.
+    from dbt_core_spark.operators.multimodal import (
+        audio_dup_pairs,
+        audio_energy_frames,
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    def replicate_audio_media(factor: int) -> str:
+        path = f"/tmp/scale_probe_audio_x{factor}"
+        if not os.path.exists(path):
+            import numpy as np
+            import pandas as pd
+
+            ids = spark.read.parquet(f"{BASE}/documents.parquet").filter(
+                "doc_id % 23 = 2 and doc_id % 2 = 0"
+            ).select("doc_id", F.coalesce(F.length("text"), F.lit(0))
+                     .alias("tl"))
+            grid = ids.crossJoin(
+                spark.range(factor).select(F.col("id").alias("rep"))
+            ).select(
+                (F.col("doc_id") + F.col("rep") * KEY_STRIDE)
+                .alias("media_id"),
+                F.col("doc_id").alias("src"), "tl", "rep",
+            )
+
+            def synth(batches):
+                for pdf in batches:
+                    out = []
+                    for mid, src, tl, rep in zip(
+                            pdf["media_id"], pdf["src"], pdf["tl"],
+                            pdf["rep"]):
+                        mid, src, rep = int(mid), int(src), int(rep)
+                        n = 8 * (int(tl) % 50 + 1)
+                        eff = src + rep * 7919
+                        samples = (eff + 5 * np.arange(n)) % 201 - 100
+                        payload = encode_wav(samples)
+                        out.append((mid, payload))
+                        out.append((mid + 500 * KEY_STRIDE, payload))
+                    yield pd.DataFrame(
+                        out, columns=["media_id", "data"])
+
+            grid.repartition(max(4, factor)).mapInPandas(
+                synth, "media_id long, data binary"
+            ).write.mode("overwrite").parquet(path)
+        return path
+
+    au_results: dict[int, tuple] = {}
+    au_meta: dict[int, int] = {}
+    for factor in SCALES:
+        media = spark.read.parquet(replicate_audio_media(factor))
+        au_meta[factor] = media.count()
+
+        def au_flow():
+            frames = audio_energy_frames(media).localCheckpoint(
+                eager=False)
+            return audio_dup_pairs(audio_fingerprint(frames))
+
+        au_results[factor] = run_count(au_flow)
+        rows, wall, a = au_results[factor]
+        print(f"== audio x{factor}: {au_meta[factor]} clips, {wall}s, "
               f"{rows} pairs, shuffle={fmt_bytes(a['shuffle_bytes'])}",
               file=sys.stderr)
 
@@ -1091,6 +1204,75 @@ def main() -> None:
         "does — the operator docstring names the wider-grid rehash "
         "(16×16 grid → 8 int32 bands) that keeps bucket sizes "
         "bounded; the pigeonhole losslessness bound widens with it.",
+        "",
+    ]
+    lines += [
+        "## Audio dedup tier (landmark fingerprints + key-blocked pairs)",
+        "",
+        "Synthetic WAV decades; each replica's clips synthesize from "
+        "src + rep·7919 under the mod-201 tone (any offset changes "
+        "every sample) and carry one exact clone per clip — landmark "
+        "keys decorrelate across replicas, pair density ~constant.",
+        "",
+        "| scale | clips | wall s | dup pairs (≥4 shared keys) | "
+        "final-job shuffle | shuffle rows |",
+        "|---|---|---|---|---|---|",
+    ]
+    for factor in SCALES:
+        rows, wall, a = au_results[factor]
+        lines.append(
+            f"| ×{factor} | {au_meta[factor]:,} | {wall} | {rows:,} "
+            f"| {fmt_bytes(a['shuffle_bytes'])} "
+            f"| {a['shuffle_records']:,} |")
+    au1, au100 = au_results[1], au_results[100]
+    lines += [
+        "",
+        f"- **Key-blocked, never all-pairs**: wall grows "
+        f"{au100[1] / max(au1[1], 0.01):.1f}× for 100× the clips "
+        f"({au1[1]}s → {au100[1]}s) — decode is one linear Arrow pass "
+        "(the payload never shuffles; what moves is id + 2 ints + a "
+        "bigint per frame), peaks/landmarks are per-clip windows, and "
+        "the candidate join only meets clips sharing an (eq1, eq2, dt) "
+        "landmark bucket.",
+        f"- **Pair yield stays density-proportional**: "
+        f"{au1[0]:,} → {au100[0]:,} pairs across two decades — the "
+        "per-replica clone structure is recovered at every scale and "
+        "cross-replica clips never collide on ≥4 keys.",
+        "- Production corpora widen the key space with real spectral "
+        "peaks (the same pipeline over wav_spectrogram bins) — the "
+        "frame-energy landmark here is the integer-exact reduction "
+        "that keeps the oracle replayable.",
+        "",
+        "## Trainable-filter tier (Naive Bayes + OOV monitor)",
+        "",
+        "Same perturbed docs decades (vocabulary grows ~linearly — "
+        "worst case for the model-sized joins).",
+        "",
+        "| scale | docs | NB train+serve wall s | NB rows | "
+        "oov_rate wall s | oov rows |",
+        "|---|---|---|---|---|---|",
+    ]
+    for factor in SCALES:
+        nb = tf_results["naive_bayes train+serve"][factor]
+        ov = tf_results["oov_rate (500-term vocab)"][factor]
+        lines.append(
+            f"| ×{factor} | {dedup_meta[factor]:,} | {nb[1]} | "
+            f"{nb[0]:,} | {ov[1]} | {ov[0]:,} |")
+    nb1 = tf_results["naive_bayes train+serve"][1]
+    nb100 = tf_results["naive_bayes train+serve"][100]
+    ov1 = tf_results["oov_rate (500-term vocab)"][1]
+    ov100 = tf_results["oov_rate (500-term vocab)"][100]
+    lines += [
+        "",
+        f"- **Single-pass training scales like a wordcount**: "
+        f"{nb1[1]}s → {nb100[1]}s across two decades "
+        f"({nb100[1] / max(nb1[1], 0.01):.1f}× for 100× docs) — no "
+        "epochs, no driver loop; the only corpus shuffles are the "
+        "(cls, term) count and the serving (doc, term)/(doc, cls) "
+        "aggregates, and the class-stats side is k rows.",
+        f"- **OOV monitoring is wordcount-bounded too**: {ov1[1]}s → "
+        f"{ov100[1]}s ({ov100[1] / max(ov1[1], 0.01):.1f}×); the "
+        "vocabulary rides a broadcast anti-join, text never moves.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
