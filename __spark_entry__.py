@@ -3267,6 +3267,37 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         "query_id", "nbr_id", "cosine", "rank")
 
 
+def credit_card_detect_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PII detection: every 5th document gets a
+    deterministic injected 16-digit number ((doc_id·7919) mod 1e16,
+    zero-padded; even docs carry it dash-grouped), then
+    detect_credit_cards extracts 13–19-digit candidate runs and
+    Luhn-verifies each — random digit strings fail the checksum, the
+    standard card-PII false-positive fix
+    (operators/textstats.py:detect_credit_cards; RE2-compatible regex
+    so DuckDB extracts identically, Luhn fold replayed in SQL).
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
+    see streaming_ann_serve_embeddings)."""
+    from dbt_core_spark.operators.textstats import detect_credit_cards
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        "doc_id % 5 = 0 AND text IS NOT NULL")
+    aug = docs.selectExpr(
+        "doc_id",
+        "lpad(cast((doc_id * 7919) % 10000000000000000 as string), 16, '0')"
+        " as num",
+        "text",
+    ).selectExpr(
+        "doc_id",
+        "concat(text, ' ', case when doc_id % 2 = 0"
+        " then concat(substr(num, 1, 4), '-', substr(num, 5, 4), '-',"
+        " substr(num, 9, 4), '-', substr(num, 13, 4))"
+        " else num end) as text",
+    )
+    return detect_credit_cards(aug)
+
+
 def naive_bayes_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NB training: sufficient statistics of the %3==1 and
     %3==2 slices computed SEPARATELY (per ingest batch), merged by

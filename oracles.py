@@ -4227,3 +4227,44 @@ left join h using (query_id)
 # the one-shot training replay (the bm25_index_append precedent).
 ORACLES_STAGED_R10["naive_bayes_incremental_docs"] = ORACLES_STAGED_R10[
     "naive_bayes_language_docs"]
+
+
+# r9 checksum-validated PII: injected 16-digit numbers ((doc_id*7919)
+# mod 1e16, dash-grouped on even docs) extracted by the RE2-compatible
+# candidate regex and Luhn-verified digit by digit (indexed fold from
+# the right, double-every-second, mod 10).  Mirrors
+# textstats.detect_credit_cards.  Staged r10.
+ORACLES_STAGED_R10["credit_card_detect_docs"] = r"""
+with aug as (
+  select doc_id,
+         text || ' ' || case when doc_id % 2 = 0
+           then substr(num, 1, 4) || '-' || substr(num, 5, 4) || '-'
+                || substr(num, 9, 4) || '-' || substr(num, 13, 4)
+           else num end as text
+  from (
+    select doc_id, text,
+           lpad(cast((doc_id * 7919) % 10000000000000000 as varchar),
+                16, '0') as num
+    from documents where doc_id % 5 = 0 and text is not null
+  ) t
+), spans as (
+  select doc_id,
+         unnest(regexp_extract_all(text, '\d(?:[ -]?\d){12,18}')) as span
+  from aug
+), d as (
+  select doc_id, span,
+         regexp_replace(span, '[^0-9]', '', 'g') as digits
+  from spans
+)
+select doc_id, span, digits,
+       cast(length(digits) as int) as n_digits,
+       (length(digits) between 13 and 19
+        and list_sum(list_transform(range(1, length(digits) + 1), i ->
+              case when i % 2 = 1
+                   then cast(substr(reverse(digits), i, 1) as int)
+                   when 2 * cast(substr(reverse(digits), i, 1) as int) > 9
+                   then 2 * cast(substr(reverse(digits), i, 1) as int) - 9
+                   else 2 * cast(substr(reverse(digits), i, 1) as int)
+              end)) % 10 = 0) as luhn_valid
+from d
+"""

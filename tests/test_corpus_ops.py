@@ -1616,6 +1616,7 @@ def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
     "oov_rate_docs",
     "retrieval_eval_docs",
     "naive_bayes_incremental_docs",
+    "credit_card_detect_docs",
 ])
 def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-10 gate row end to end: the
@@ -2068,3 +2069,68 @@ def test_naive_bayes_merge_equals_retrain_and_commutes(spark):
     want_cap = model_rows(*naive_bayes_train(df, "lang", vocab_size=3))
     assert model_rows(*naive_bayes_finalize(
         *naive_bayes_merge(sa, sb), vocab_size=3)) == want_cap
+
+
+def test_credit_card_detect_and_scrub(spark):
+    """Luhn validation pins: known-valid card accepted (plain and
+    dash/space-grouped), checksum-failing run rejected, 12-digit run
+    below the length floor emits no candidate, >19-digit runs yield a
+    19-digit (failing) candidate; scrub redacts ONLY validated spans."""
+    from dbt_core_spark.operators.textstats import (
+        detect_credit_cards,
+        scrub_credit_cards,
+    )
+
+    df = spark.createDataFrame([
+        (1, "pay 4532015112830366 now"),
+        (2, "fake 1234567890123456 id"),
+        (3, "grouped 4532-0151-1283-0366 and 4532 0151 1283 0366"),
+        (4, "short 123456789012 nope"),
+        (5, None),
+        (6, "run 12345678901234567890123 long"),
+        (7, "amex 378282246310005 ok"),          # 15-digit Luhn-valid
+    ], "doc_id long, text string")
+    got = {(r["doc_id"], r["span"]): (r["n_digits"], r["luhn_valid"])
+           for r in detect_credit_cards(df).collect()}
+    assert got[(1, "4532015112830366")] == (16, True)
+    assert got[(2, "1234567890123456")] == (16, False)
+    assert got[(3, "4532-0151-1283-0366")] == (16, True)
+    assert got[(3, "4532 0151 1283 0366")] == (16, True)
+    assert got[(7, "378282246310005")] == (15, True)
+    assert not any(d == 4 for d, _ in got)       # length floor
+    assert got[(6, "1234567890123456789")] == (19, False)
+    sc = {r["doc_id"]: (r["scrubbed"], r["n_cards"])
+          for r in scrub_credit_cards(df).collect()}
+    assert sc[1] == ("pay [CARD] now", 1)
+    assert sc[2] == ("fake 1234567890123456 id", 0)
+    assert sc[3] == ("grouped [CARD] and [CARD]", 2)
+    assert sc[7] == ("amex [CARD] ok", 1)
+
+
+def test_luhn_valid_python_reference(spark):
+    """The Luhn fold vs the textbook Python implementation over a
+    deterministic spread of digit strings."""
+    import pyspark.sql.functions as SF
+
+    from dbt_core_spark.operators.textstats import luhn_valid
+
+    def luhn_py(s):
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    nums = [str((k * 7919 + 11) % 10**16).zfill(16) for k in range(60)]
+    nums += ["4532015112830366", "378282246310005", "6011111111111117"]
+    df = spark.createDataFrame([(n,) for n in nums], "digits string")
+    got = {r["digits"]: r["v"]
+           for r in df.select("digits",
+                              luhn_valid(SF.col("digits")).alias("v"))
+           .collect()}
+    for n in nums:
+        assert got[n] == luhn_py(n), n
