@@ -3267,6 +3267,27 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         "query_id", "nbr_id", "cosine", "rank")
 
 
+def classifier_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation closing the loop on the trainer tier: the
+    naive_bayes_language_docs predictions on the held-out third scored
+    against the gold ``lang`` labels — per-class confusion counts and
+    precision/recall/F1 in exact integer micro units
+    (operators/textstats.py:classification_metrics; F1 via the
+    2tp/(2tp+fp+fn) identity so it stays one bigint division).
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
+    see streaming_ann_serve_embeddings)."""
+    from dbt_core_spark.operators.textstats import classification_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    preds = naive_bayes_language_docs(spark, sf_dir).localCheckpoint(
+        eager=False)  # consumed by both confusion aggregates
+    gold = docs.filter("doc_id % 3 = 0 AND lang IS NOT NULL").select(
+        "doc_id", "lang")
+    return classification_metrics(preds, gold, pred_col="label",
+                                  label_col="lang")
+
+
 def credit_card_detect_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-validated PII detection: every 5th document gets a
     deterministic injected 16-digit number ((doc_id·7919) mod 1e16,
@@ -3472,14 +3493,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows displaced from the r8 window, then 32 r6-green rows oldest-
     # first (ngram_lm_docs / pool_embeddings_by_label lead the cohort —
     # they carry the r7 floor-rounding oracle fix, still driver-
-    # unverified since the change).  ROUND-10 WINDOW PLAN: the 7
+    # unverified since the change).  ROUND-10 WINDOW PLAN: the 8
     # r9-staged gates lead (ORACLES_STAGED_R10: streaming_ann_serve,
     # multimodal_phash_dedup, naive_bayes_language,
     # naive_bayes_incremental, audio_fingerprint_dedup, oov_rate,
-    # retrieval_eval — move their SQL into ORACLES and their names to
-    # the head of this dict), then the 18 remaining r6 rows at
-    # positions 51-68 (the staleness cohort), then 25 r7 rows
-    # oldest-first to fill 50; the rest of the r7 cohort and the
+    # retrieval_eval, credit_card_detect — move their SQL into ORACLES
+    # and their names to the head of this dict), then the 18 remaining
+    # r6 rows at positions 51-68 (the staleness cohort), then 24 r7
+    # rows oldest-first to fill 50; the rest of the r7 cohort and the
     # r8/r9 cohorts follow in rounds 11-12.
     return {
         # ---- never driver-verified: the r8-staged gates lead ----

@@ -2419,3 +2419,80 @@ def scrub_credit_cards(
         ).alias("scrubbed"),
         F.size(valid).cast("bigint").alias("n_cards"),
     )
+
+
+def classification_metrics(
+    predictions: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "label",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-class evaluation of a classifier run — the measurement verb
+    for the trainer tier (perceptron/OvR/Naive Bayes), mirroring what
+    retrieval_metrics is to the retrieval tier: join predictions to
+    gold labels on the id and emit one row per class with the
+    confusion counts and precision / recall / F1.
+
+    Integer-exact: counts are bigints and every rate is bigint
+    division in micro units —
+
+        precision_micro = tp·1e6 div (tp + fp)      (0 when no preds)
+        recall_micro    = tp·1e6 div (tp + fn)      (0 when no golds)
+        f1_micro        = 2·tp·1e6 div (2·tp + fp + fn)
+
+    (the harmonic-mean identity F1 = 2tp/(2tp+fp+fn) keeps F1 a single
+    integer division — no float precision/recall intermediates).
+    Classes are the UNION of predicted and gold classes, so a class
+    the model never predicts (recall failure) and a class that never
+    occurs (precision failure) both get rows.  Only ids present in
+    BOTH frames are scored (the evaluation join); NULL classes on
+    either side are excluded.
+
+    Scale shape: one id-keyed equi-join + two class-sized aggregates —
+    the per-class frame is k rows, never corpus rows.  Returns
+    (cls, tp, fp, fn, n_gold, n_pred, precision_micro, recall_micro,
+    f1_micro)."""
+    p = predictions.select(
+        F.col(id_col).alias("_id"),
+        F.col(pred_col).cast("string").alias("_pred"),
+    ).filter(F.col("_pred").isNotNull())
+    g = labels.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("string").alias("_gold"),
+    ).filter(F.col("_gold").isNotNull())
+    j = p.join(g, "_id")
+    pred_stats = j.groupBy(F.col("_pred").alias("cls")).agg(
+        F.count("*").cast("bigint").alias("n_pred"),
+        F.sum(F.when(F.col("_pred") == F.col("_gold"), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+    )
+    gold_stats = j.groupBy(F.col("_gold").alias("cls")).agg(
+        F.count("*").cast("bigint").alias("n_gold"),
+    )
+    return (
+        pred_stats.join(gold_stats, "cls", "full_outer")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint").alias("fp"),
+            (F.coalesce("n_gold", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint").alias("fn"),
+            F.coalesce("n_gold", F.lit(0)).cast("bigint").alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+        )
+        .withColumn(
+            "precision_micro",
+            F.expr("case when tp + fp = 0 then 0 "
+                   "else (tp * 1000000) div (tp + fp) end").cast("bigint"))
+        .withColumn(
+            "recall_micro",
+            F.expr("case when tp + fn = 0 then 0 "
+                   "else (tp * 1000000) div (tp + fn) end").cast("bigint"))
+        .withColumn(
+            "f1_micro",
+            F.expr("case when 2 * tp + fp + fn = 0 then 0 "
+                   "else (2 * tp * 1000000) div (2 * tp + fp + fn) end")
+            .cast("bigint"))
+    )

@@ -4268,3 +4268,47 @@ select doc_id, span, digits,
               end)) % 10 = 0) as luhn_valid
 from d
 """
+
+
+# r9 classifier evaluation: the NB predictions replay (above) joined
+# to gold lang labels; per-class confusion + precision/recall/F1 as
+# bigint micro divisions (F1 = 2tp/(2tp+fp+fn), one division).
+# Mirrors textstats.classification_metrics.  Staged r10.
+ORACLES_STAGED_R10["classifier_eval_docs"] = f"""
+with preds as (
+  select * from ({ORACLES_STAGED_R10["naive_bayes_language_docs"]}) nbp
+), gold as (
+  select doc_id, lang as g from documents
+  where doc_id % 3 = 0 and lang is not null
+), j as (
+  select p.label as pred, g.g as gold
+  from preds p join gold g using (doc_id)
+), ps as (
+  select pred as cls, cast(count(*) as bigint) as n_pred,
+         cast(sum(case when pred = gold then 1 else 0 end) as bigint)
+           as tp
+  from j group by 1
+), gs as (
+  select gold as cls, cast(count(*) as bigint) as n_gold
+  from j group by 1
+), m as (
+  select cls,
+         cast(coalesce(tp, 0) as bigint) as tp,
+         cast(coalesce(n_pred, 0) - coalesce(tp, 0) as bigint) as fp,
+         cast(coalesce(n_gold, 0) - coalesce(tp, 0) as bigint) as fn,
+         cast(coalesce(n_gold, 0) as bigint) as n_gold,
+         cast(coalesce(n_pred, 0) as bigint) as n_pred
+  from ps full outer join gs using (cls)
+)
+select cls, tp, fp, fn, n_gold, n_pred,
+       cast(case when tp + fp = 0 then 0
+                 else (tp * 1000000) // (tp + fp) end as bigint)
+         as precision_micro,
+       cast(case when tp + fn = 0 then 0
+                 else (tp * 1000000) // (tp + fn) end as bigint)
+         as recall_micro,
+       cast(case when 2 * tp + fp + fn = 0 then 0
+                 else (2 * tp * 1000000) // (2 * tp + fp + fn) end
+            as bigint) as f1_micro
+from m
+"""

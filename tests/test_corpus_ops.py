@@ -1617,6 +1617,7 @@ def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
     "retrieval_eval_docs",
     "naive_bayes_incremental_docs",
     "credit_card_detect_docs",
+    "classifier_eval_docs",
 ])
 def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-10 gate row end to end: the
@@ -2134,3 +2135,39 @@ def test_luhn_valid_python_reference(spark):
            .collect()}
     for n in nums:
         assert got[n] == luhn_py(n), n
+
+
+def test_classification_metrics_hand_computed(spark):
+    """Exact confusion math: a never-predicted gold class (recall
+    failure), a never-gold predicted class (precision failure), ids
+    outside the join excluded, NULLs excluded, F1 identity pinned."""
+    from dbt_core_spark.operators.textstats import classification_metrics
+
+    preds = spark.createDataFrame([
+        (1, "en"), (2, "en"), (3, "fr"), (4, "en"),
+        (5, "xx"),             # predicted class that is never gold
+        (6, None),             # NULL pred excluded
+        (99, "en"),            # id not in gold: excluded by the join
+    ], "doc_id long, label string")
+    gold = spark.createDataFrame([
+        (1, "en"), (2, "fr"), (3, "fr"), (4, "de"),  # de never predicted
+        (5, "en"), (6, "en"),
+    ], "doc_id long, label string")
+    got = {r["cls"]: r.asDict()
+           for r in classification_metrics(preds, gold).collect()}
+    # en: predictions on ids 1,2,4 (99 dropped) -> tp=1 (id 1), fp=2;
+    #     gold en on scored ids 1,5 -> fn=1
+    assert got["en"] == {
+        "cls": "en", "tp": 1, "fp": 2, "fn": 1, "n_gold": 2, "n_pred": 3,
+        "precision_micro": 333333, "recall_micro": 500000,
+        "f1_micro": 2 * 1000000 // 5}
+    assert got["fr"]["tp"] == 1 and got["fr"]["fp"] == 0 \
+        and got["fr"]["fn"] == 1
+    # de: never predicted -> precision 0 (no preds), recall 0
+    assert got["de"] == {
+        "cls": "de", "tp": 0, "fp": 0, "fn": 1, "n_gold": 1, "n_pred": 0,
+        "precision_micro": 0, "recall_micro": 0, "f1_micro": 0}
+    # xx: predicted but never gold
+    assert got["xx"]["fp"] == 1 and got["xx"]["n_gold"] == 0 \
+        and got["xx"]["recall_micro"] == 0
+    assert set(got) == {"en", "fr", "de", "xx"}

@@ -1549,7 +1549,7 @@ def test_staged_r10_doc_gates_on_hostile_corpora(
     for name in ("naive_bayes_language_docs", "oov_rate_docs",
                  "audio_fingerprint_dedup_docs", "retrieval_eval_docs",
                  "naive_bayes_incremental_docs",
-                 "credit_card_detect_docs"):
+                 "credit_card_detect_docs", "classifier_eval_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R10[name])
