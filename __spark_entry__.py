@@ -3267,6 +3267,60 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         "query_id", "nbr_id", "cosine", "rank")
 
 
+def bm25_index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index deletion lifecycle: build the postings index once,
+    tombstone the doc_id%6==0 documents WITHOUT re-tokenizing (df/idf
+    and the two corpus scalars re-aggregate from surviving postings —
+    bit-identical to rebuilding on the remaining corpus, which is what
+    the oracle replays), then serve the %13 query batch from the
+    shrunken index (operators/textstats.py:bm25_index_delete).
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
+    see streaming_ann_serve_embeddings)."""
+    from dbt_core_spark.operators.textstats import (
+        bm25_index,
+        bm25_index_delete,
+        bm25_query,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = bm25_index(docs).localCheckpoint(eager=False)
+    shrunk = bm25_index_delete(
+        index, docs.filter("doc_id % 6 = 0").select("doc_id"))
+    shrunk = shrunk.localCheckpoint(eager=False)  # constants agg + join
+    return bm25_query(shrunk, docs.filter("doc_id % 13 = 0"), top_k=5)
+
+
+def ann_ivf_index_delete_embeddings(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index deletion lifecycle: build once, tombstone the
+    vec_id%6==0 vectors from the ASSIGNMENTS while the standing
+    centroids stay put (production delete semantics — no re-seeding,
+    no assignment shift; FAISS remove_ids), then serve the %20 query
+    batch — exactly the full-index ranking with deleted neighbors gone
+    (operators/similarity.py:ivf_index_delete; the oracle replays
+    standing-centroid semantics, not a rebuild).
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
+    see streaming_ann_serve_embeddings)."""
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_delete,
+        ivf_index_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, assigns = ivf_index_build(emb, n_cells=16, kmeans_iters=0)
+    assigns = ivf_index_delete(
+        assigns, emb.filter("vec_id % 6 = 0").select("vec_id"))
+    # sealed: every probe batch reads the standing assignments —
+    # without the seal the build assignment pass replays per consumer
+    assigns = assigns.localCheckpoint(eager=False)
+    return ivf_index_search(cents, assigns,
+                            emb.filter("vec_id % 20 = 0"),
+                            k=3, n_probe=4)
+
+
 def classifier_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation closing the loop on the trainer tier: the
     naive_bayes_language_docs predictions on the held-out third scored
@@ -3493,15 +3547,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows displaced from the r8 window, then 32 r6-green rows oldest-
     # first (ngram_lm_docs / pool_embeddings_by_label lead the cohort —
     # they carry the r7 floor-rounding oracle fix, still driver-
-    # unverified since the change).  ROUND-10 WINDOW PLAN: the 8
-    # r9-staged gates lead (ORACLES_STAGED_R10: streaming_ann_serve,
-    # multimodal_phash_dedup, naive_bayes_language,
-    # naive_bayes_incremental, audio_fingerprint_dedup, oov_rate,
-    # retrieval_eval, credit_card_detect — move their SQL into ORACLES
-    # and their names to the head of this dict), then the 18 remaining
-    # r6 rows at positions 51-68 (the staleness cohort), then 24 r7
-    # rows oldest-first to fill 50; the rest of the r7 cohort and the
-    # r8/r9 cohorts follow in rounds 11-12.
+    # unverified since the change).  ROUND-10 WINDOW PLAN: the
+    # r9-staged gates lead (every ORACLES_STAGED_R10 key — 9 as of
+    # this writing: streaming_ann_serve, multimodal_phash_dedup,
+    # naive_bayes_language, naive_bayes_incremental,
+    # audio_fingerprint_dedup, oov_rate, retrieval_eval,
+    # credit_card_detect, classifier_eval — move their SQL into
+    # ORACLES and their names to the head of this dict), then the 18
+    # remaining r6 rows at positions 51-68 (the staleness cohort),
+    # then r7 rows oldest-first to fill 50; the rest of the r7 cohort
+    # and the r8/r9 cohorts follow in rounds 11-12.
     return {
         # ---- never driver-verified: the r8-staged gates lead ----
         "perceptron_ovr_language_docs": perceptron_ovr_language_docs,

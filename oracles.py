@@ -4312,3 +4312,28 @@ select cls, tp, fp, fn, n_gold, n_pred,
             as bigint) as f1_micro
 from m
 """
+
+
+# r9 index deletion lifecycle.  BM25: delete ≡ rebuild on the
+# remaining corpus (per-doc tf/dl are independent; df/idf/N/total
+# re-aggregate from surviving postings) — the oracle IS the bm25_rank
+# replay over the tombstone-filtered corpus, full %13 query batch.
+_bm25_del = ORACLES["bm25_rank_docs"].replace(
+    "from documents where text is not null),",
+    "from documents where text is not null and doc_id % 6 <> 0),",
+    1)
+assert _bm25_del != ORACLES["bm25_rank_docs"]
+ORACLES_STAGED_R10["bm25_index_delete_docs"] = _bm25_del
+del _bm25_del
+
+# IVF: STANDING-centroid semantics — deleted ids leave the
+# assignments, the centroid seeds (which may include deleted ids) do
+# not move, and queries may themselves be deleted ids.  The oracle is
+# the ann_ivf_index_query replay with only the assign CTE filtered.
+_ivf_del = ORACLES["ann_ivf_index_query_embeddings"].replace(
+    "select id, cell from ranked where r = 1",
+    "select id, cell from ranked where r = 1 and id % 6 <> 0",
+    1)
+assert _ivf_del != ORACLES["ann_ivf_index_query_embeddings"]
+ORACLES_STAGED_R10["ann_ivf_index_delete_embeddings"] = _ivf_del
+del _ivf_del

@@ -1618,6 +1618,8 @@ def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
     "naive_bayes_incremental_docs",
     "credit_card_detect_docs",
     "classifier_eval_docs",
+    "bm25_index_delete_docs",
+    "ann_ivf_index_delete_embeddings",
 ])
 def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-10 gate row end to end: the
@@ -2171,3 +2173,74 @@ def test_classification_metrics_hand_computed(spark):
     assert got["xx"]["fp"] == 1 and got["xx"]["n_gold"] == 0 \
         and got["xx"]["recall_micro"] == 0
     assert set(got) == {"en", "fr", "de", "xx"}
+
+
+def test_bm25_index_delete_equals_rebuild(spark):
+    """Deletion re-aggregates df/idf/N/total from surviving postings
+    BIT-IDENTICALLY to rebuilding on the remaining corpus — plain and
+    bucketed; deleting everything yields the empty contract frame."""
+    from dbt_core_spark.operators.textstats import (
+        bm25_index,
+        bm25_index_delete,
+    )
+
+    rows = [(i, f"term{i % 5} shared common word{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ids = spark.createDataFrame([(i,) for i in range(0, 12, 3)],
+                                "doc_id long")
+    remaining = df.join(ids, "doc_id", "left_anti")
+    for nb in (None, 4):
+        got = sorted(map(tuple, bm25_index_delete(
+            bm25_index(df, n_buckets=nb).localCheckpoint(eager=False),
+            ids).collect()))
+        want = sorted(map(tuple,
+                          bm25_index(remaining, n_buckets=nb).collect()))
+        assert got == want, f"n_buckets={nb}"
+    empty = bm25_index_delete(
+        bm25_index(df).localCheckpoint(eager=False),
+        df.select("doc_id"))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "term", "id", "tf", "dl", "idf_milli", "n_docs", "total"]
+
+
+def test_ivf_index_delete_standing_centroids(spark):
+    """Deleting a vector that SEEDED a centroid must not move the
+    cell: surviving members keep their assignment and search ranks
+    shift only by the removed neighbors."""
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_delete,
+        ivf_index_search,
+    )
+
+    vecs = [(i, [float((i * 7 + j * 3) % 11 + 1) for j in range(4)])
+            for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents, assigns = ivf_index_build(emb, n_cells=4, kmeans_iters=0)
+    assigns = assigns.localCheckpoint(eager=False)
+    # delete vec 0..3 — the four centroid seeds themselves
+    shrunk = ivf_index_delete(
+        assigns, spark.createDataFrame([(i,) for i in range(4)],
+                                       "vec_id long"))
+    kept = {r["id"]: r["cell"] for r in shrunk.collect()}
+    orig = {r["id"]: r["cell"] for r in assigns.collect()}
+    assert set(kept) == set(orig) - {0, 1, 2, 3}
+    assert all(kept[i] == orig[i] for i in kept)  # nothing re-assigned
+    q = emb.filter("vec_id % 10 = 5")
+    full = ivf_index_search(cents, assigns, q, k=5, n_probe=4)
+    after = ivf_index_search(cents, shrunk.localCheckpoint(eager=False),
+                             q, k=5, n_probe=4)
+    got = {(r["query_id"], r["nbr_id"]) for r in after.collect()}
+    assert all(n not in (0, 1, 2, 3) for _, n in got)
+    # the after-ranking is the full ranking with deleted rows squeezed
+    surv = [(r["query_id"], r["nbr_id"]) for r in
+            full.orderBy("query_id", "rank").collect()
+            if r["nbr_id"] not in (0, 1, 2, 3)]
+    want_top = {}
+    for qid, nbr in surv:
+        want_top.setdefault(qid, []).append(nbr)
+    for qid, nbrs in want_top.items():
+        got_q = [n for qq, n in sorted(got) if qq == qid]
+        assert set(got_q) <= set(nbrs) | set(
+            n for qq, n in got if qq == qid)

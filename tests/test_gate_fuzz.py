@@ -1489,11 +1489,12 @@ def test_staged_r10_ann_serve_gate_on_hostile_corpora(
         vecs = vecs + vecs[:3]
     tmpdir = str(tmp_path_factory.mktemp("fuzz_r10serve"))
     con = _write_embeddings(tmpdir, [v for v in vecs])
-    ok, msg = _vo.compare(
-        "streaming_ann_serve_embeddings", spark, con, tmpdir,
-        em.streaming_ann_serve_embeddings,
-        ORACLES_STAGED_R10["streaming_ann_serve_embeddings"])
-    assert ok, msg
+    for name in ("streaming_ann_serve_embeddings",
+                 "ann_ivf_index_delete_embeddings"):
+        ok, msg = _vo.compare(
+            name, spark, con, tmpdir,
+            getattr(em, name), ORACLES_STAGED_R10[name])
+        assert ok, f"{name}: {msg}"
 
 
 @settings(
@@ -1549,7 +1550,8 @@ def test_staged_r10_doc_gates_on_hostile_corpora(
     for name in ("naive_bayes_language_docs", "oov_rate_docs",
                  "audio_fingerprint_dedup_docs", "retrieval_eval_docs",
                  "naive_bayes_incremental_docs",
-                 "credit_card_detect_docs", "classifier_eval_docs"):
+                 "credit_card_detect_docs", "classifier_eval_docs",
+                 "bm25_index_delete_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R10[name])
