@@ -3548,15 +3548,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first (ngram_lm_docs / pool_embeddings_by_label lead the cohort —
     # they carry the r7 floor-rounding oracle fix, still driver-
     # unverified since the change).  ROUND-10 WINDOW PLAN: the
-    # r9-staged gates lead (every ORACLES_STAGED_R10 key — 9 as of
+    # r9-staged gates lead (every ORACLES_STAGED_R10 key — 11 as of
     # this writing: streaming_ann_serve, multimodal_phash_dedup,
     # naive_bayes_language, naive_bayes_incremental,
     # audio_fingerprint_dedup, oov_rate, retrieval_eval,
-    # credit_card_detect, classifier_eval — move their SQL into
-    # ORACLES and their names to the head of this dict), then the 18
-    # remaining r6 rows at positions 51-68 (the staleness cohort),
-    # then r7 rows oldest-first to fill 50; the rest of the r7 cohort
-    # and the r8/r9 cohorts follow in rounds 11-12.
+    # credit_card_detect, classifier_eval, bm25_index_delete,
+    # ann_ivf_index_delete — move their SQL into ORACLES and their
+    # names to the head of this dict), then the 18 remaining r6 rows
+    # at positions 51-68 (the staleness cohort), then r7 rows
+    # oldest-first to fill 50; the rest of the r7 cohort and the
+    # r8/r9 cohorts follow in rounds 11-12.
     return {
         # ---- never driver-verified: the r8-staged gates lead ----
         "perceptron_ovr_language_docs": perceptron_ovr_language_docs,
