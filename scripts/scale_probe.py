@@ -702,10 +702,15 @@ def main() -> None:
 
     # ---- audio dedup tier (r9): landmark fingerprints + key-blocked
     # pairs over synthetic WAV decades.  The replica-decorrelation rule
-    # again: each replica's clips synthesize from src + rep·7919 (any
-    # offset changes every sample under the mod-201 tone), so landmark
-    # keys decorrelate across replicas while each replica carries its
-    # own exact clone per clip — pair density ~constant, linear total.
+    # again, with a WIDE-period tone: the gate's mod-201 formula has
+    # only 201 distinct waveforms per length — replicating it collides
+    # clips into exact-duplicate cliques (quadratic pairs, a probe
+    # artifact: the first probe run measured 299 → 4.0M pairs).  The
+    # probe synthesizes from (src·104729 + rep·7919) mod 32003 instead
+    # (prime ≫ max clip length; samples still int16), so clip
+    # signatures are effectively unique, landmark keys decorrelate
+    # across replicas, and each replica carries one exact clone per
+    # clip — pair density ~constant, linear total.
     from dbt_core_spark.operators.multimodal import (
         audio_dup_pairs,
         audio_energy_frames,
@@ -739,8 +744,8 @@ def main() -> None:
                             pdf["rep"]):
                         mid, src, rep = int(mid), int(src), int(rep)
                         n = 8 * (int(tl) % 50 + 1)
-                        eff = src + rep * 7919
-                        samples = (eff + 5 * np.arange(n)) % 201 - 100
+                        eff = src * 104729 + rep * 7919
+                        samples = (eff + 5 * np.arange(n)) % 32003 - 16001
                         payload = encode_wav(samples)
                         out.append((mid, payload))
                         out.append((mid + 500 * KEY_STRIDE, payload))
@@ -1209,10 +1214,12 @@ def main() -> None:
     lines += [
         "## Audio dedup tier (landmark fingerprints + key-blocked pairs)",
         "",
-        "Synthetic WAV decades; each replica's clips synthesize from "
-        "src + rep·7919 under the mod-201 tone (any offset changes "
-        "every sample) and carry one exact clone per clip — landmark "
-        "keys decorrelate across replicas, pair density ~constant.",
+        "Synthetic WAV decades under a wide-period tone "
+        "((src·104729 + rep·7919) mod 32003 — the gate's mod-201 "
+        "formula has only 201 waveforms per length and replicates "
+        "into exact-duplicate cliques, a probe artifact); one exact "
+        "clone per clip per replica — landmark keys decorrelate "
+        "across replicas, pair density ~constant.",
         "",
         "| scale | clips | wall s | dup pairs (≥4 shared keys) | "
         "final-job shuffle | shuffle rows |",
