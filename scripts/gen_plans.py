@@ -288,6 +288,19 @@ PICKS = {
         "per-query aggregate, broadcast k-row discount table for "
         "IDCG; discounts floored per term so DCG sums are exact "
         "bigints."),
+    "credit_card_detect_docs": (
+        "Luhn-validated card PII (r10-staged) — zero-shuffle row-local "
+        "map: regexp_extract_all candidates + the checksum fold all "
+        "inside WholeStageCodegen; no exchange anywhere."),
+    "bm25_index_delete_docs": (
+        "BM25 deletion (r10-staged) — one anti-join against the "
+        "tombstones, then the vocabulary-sized df/idf re-aggregation; "
+        "the corpus tokenize (the dominant build cost) is never "
+        "re-paid, and serving is the standard pruned postings join."),
+    "ann_ivf_index_delete_embeddings": (
+        "IVF deletion (r10-staged) — assignments anti-join with "
+        "standing centroids: no re-seeding pass, no assignment "
+        "shuffle; search probes only surviving cells."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",

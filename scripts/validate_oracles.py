@@ -138,6 +138,18 @@ def compare(name: str, spark, con, sf_dir: str, fn, sql: str) -> tuple[bool, str
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # argv footgun guards: `validate_oracles.py --sf <dir>` once ran 0
+    # queries and printed a VACUOUS 166/166 (the flag became sf_dir and
+    # the dir became a name filter matching nothing) — fail loudly on
+    # both halves instead
+    if not os.path.isdir(sf_dir):
+        print(f"ERROR: sf_dir {sf_dir!r} is not a directory "
+              "(usage: validate_oracles.py [SF_DIR] [QUERY ...])")
+        return 2
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"ERROR: unknown query filter(s): {sorted(unknown)}")
+        return 2
     spark = get_spark(
         app_name="oracle_validate",
         extra_conf={"spark.sql.warehouse.dir": f"/tmp/oracle_wh_{os.getpid()}"},
@@ -173,7 +185,10 @@ def main() -> int:
         print(f"  {'✓' if ok else '✗'} {name}: {msg}")
         if not ok:
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK; failures: {failures}")
+    ran = len([n for n in qs if not only or n in only])
+    print(f"\n{ran - len(failures)}/{ran} OK"
+          + (f" ({len(qs) - ran} filtered out)" if only else "")
+          + f"; failures: {failures}")
     return 1 if failures else 0
 
 
