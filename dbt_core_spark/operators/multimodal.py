@@ -718,7 +718,13 @@ def audio_fingerprint(
 
     Returns (media_id, f1, f2, eq1, eq2, dt) — one row per landmark.
     All JVM window/join expressions: two per-clip windows + one
-    per-clip self-join bounded by peaks × fanout, never frames²."""
+    dt-bucket-blocked self-join.  The pair join keys on
+    (clip, frame ÷ max_dt bucket) with each anchor probing its own and
+    the next bucket — a target within dt ≤ max_dt of its anchor is in
+    one of the two by construction, so blocking is LOSSLESS while the
+    join meets only peaks within ~2·max_dt frames of each other
+    (without it a P-peak clip builds P² intermediate rows before the
+    dt filter — hour-long clips made that frames²-scale)."""
     w = Window.partitionBy(id_col).orderBy("frame")
     peaks = (
         energies.select(
@@ -732,13 +738,20 @@ def audio_fingerprint(
     )
     a = peaks.select(
         F.col(id_col), F.col("frame").alias("f1"),
-        F.col("energy").alias("e1"))
+        F.col("energy").alias("e1"),
+        F.explode(F.array(
+            (F.col("frame") / max_dt).cast("bigint"),
+            (F.col("frame") / max_dt).cast("bigint") + 1,
+        )).alias("_blk"),
+    )
     b = peaks.select(
         F.col(id_col), F.col("frame").alias("f2"),
-        F.col("energy").alias("e2"))
+        F.col("energy").alias("e2"),
+        (F.col("frame") / max_dt).cast("bigint").alias("_blk"),
+    )
     wf = Window.partitionBy(id_col, "f1").orderBy("f2")
     return (
-        a.join(b, id_col)
+        a.join(b, [id_col, "_blk"])
         .filter((F.col("f2") > F.col("f1"))
                 & (F.col("f2") - F.col("f1") <= max_dt))
         .withColumn("_r", F.row_number().over(wf))

@@ -2461,14 +2461,22 @@ def classification_metrics(
         F.col(id_col).alias("_id"),
         F.col(label_col).cast("string").alias("_gold"),
     ).filter(F.col("_gold").isNotNull())
-    j = p.join(g, "_id")
-    pred_stats = j.groupBy(F.col("_pred").alias("cls")).agg(
-        F.count("*").cast("bigint").alias("n_pred"),
-        F.sum(F.when(F.col("_pred") == F.col("_gold"), 1).otherwise(0))
-        .cast("bigint").alias("tp"),
+    # ONE corpus-scale pass: the (pred, gold) confusion matrix is k²
+    # rows — both per-class views derive from it, and the seal keeps
+    # the id-join from recomputing per consumer (k² rows, safe)
+    cm = (
+        p.join(g, "_id")
+        .groupBy("_pred", "_gold")
+        .agg(F.count("*").cast("bigint").alias("_n"))
+        .localCheckpoint(eager=False)
     )
-    gold_stats = j.groupBy(F.col("_gold").alias("cls")).agg(
-        F.count("*").cast("bigint").alias("n_gold"),
+    pred_stats = cm.groupBy(F.col("_pred").alias("cls")).agg(
+        F.sum("_n").cast("bigint").alias("n_pred"),
+        F.sum(F.when(F.col("_pred") == F.col("_gold"), F.col("_n"))
+              .otherwise(0)).cast("bigint").alias("tp"),
+    )
+    gold_stats = cm.groupBy(F.col("_gold").alias("cls")).agg(
+        F.sum("_n").cast("bigint").alias("n_gold"),
     )
     return (
         pred_stats.join(gold_stats, "cls", "full_outer")
