@@ -702,15 +702,19 @@ def main() -> None:
 
     # ---- audio dedup tier (r9): landmark fingerprints + key-blocked
     # pairs over synthetic WAV decades.  The replica-decorrelation rule
-    # again, with a WIDE-period tone: the gate's mod-201 formula has
-    # only 201 distinct waveforms per length — replicating it collides
-    # clips into exact-duplicate cliques (quadratic pairs, a probe
-    # artifact: the first probe run measured 299 → 4.0M pairs).  The
-    # probe synthesizes from (src·104729 + rep·7919) mod 32003 instead
-    # (prime ≫ max clip length; samples still int16), so clip
-    # signatures are effectively unique, landmark keys decorrelate
-    # across replicas, and each replica carries one exact clone per
-    # clip — pair density ~constant, linear total.
+    # again, and it took three waveform designs to get an honest
+    # decade: the gate's mod-201 sawtooth has only 201 waveforms per
+    # length (replicas collide into exact-dup cliques — 299 → 4.0M
+    # pairs, quadratic, a probe artifact); a wide-period sawtooth
+    # (mod 32003) makes per-clip energies MONOTONIC (zero peaks, zero
+    # fingerprints).  The probe therefore synthesizes a Knuth-hash
+    # pseudo-random tone with per-clip amplitude: random per-frame
+    # energies give a dense peak landscape, the amplitude spread
+    # de-clusters peak-energy buckets across clips, and quant=16 (the
+    # operator's resolution knob, matched to the wider energy range)
+    # pushes chance >=4-key collisions below measurement (0 in a
+    # 44,850-random-pair check).  Each replica still carries one exact
+    # clone per clip — pair density ~constant, linear total.
     from dbt_core_spark.operators.multimodal import (
         audio_dup_pairs,
         audio_energy_frames,
@@ -745,7 +749,10 @@ def main() -> None:
                         mid, src, rep = int(mid), int(src), int(rep)
                         n = 8 * (int(tl) % 50 + 1)
                         eff = src * 104729 + rep * 7919
-                        samples = (eff + 5 * np.arange(n)) % 32003 - 16001
+                        amp = 500 + eff % 1553
+                        x = (eff + np.arange(n)) % (2 ** 31)
+                        samples = ((x * 2654435761) % (2 ** 31)) \
+                            % (2 * amp + 1) - amp
                         payload = encode_wav(samples)
                         out.append((mid, payload))
                         out.append((mid + 500 * KEY_STRIDE, payload))
@@ -766,7 +773,7 @@ def main() -> None:
         def au_flow():
             frames = audio_energy_frames(media).localCheckpoint(
                 eager=False)
-            return audio_dup_pairs(audio_fingerprint(frames))
+            return audio_dup_pairs(audio_fingerprint(frames, quant=16))
 
         au_results[factor] = run_count(au_flow)
         rows, wall, a = au_results[factor]
@@ -1214,12 +1221,14 @@ def main() -> None:
     lines += [
         "## Audio dedup tier (landmark fingerprints + key-blocked pairs)",
         "",
-        "Synthetic WAV decades under a wide-period tone "
-        "((src·104729 + rep·7919) mod 32003 — the gate's mod-201 "
-        "formula has only 201 waveforms per length and replicates "
-        "into exact-duplicate cliques, a probe artifact); one exact "
-        "clone per clip per replica — landmark keys decorrelate "
-        "across replicas, pair density ~constant.",
+        "Synthetic WAV decades under a Knuth-hash pseudo-random "
+        "tone with per-clip amplitude (the gate's mod-201 sawtooth "
+        "has only 201 waveforms per length and replicates into "
+        "exact-dup cliques; a wide-period sawtooth has monotonic "
+        "energies and zero peaks — both probe artifacts); quant=16 "
+        "matches the wider energy range, chance >=4-key collisions "
+        "measured 0 in 44,850 random pairs; one exact clone per clip "
+        "per replica — pair density ~constant.",
         "",
         "| scale | clips | wall s | dup pairs (≥4 shared keys) | "
         "final-job shuffle | shuffle rows |",
