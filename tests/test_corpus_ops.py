@@ -2244,3 +2244,104 @@ def test_ivf_index_delete_standing_centroids(spark):
         got_q = [n for qq, n in sorted(got) if qq == qid]
         assert set(got_q) <= set(nbrs) | set(
             n for qq, n in got if qq == qid)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 51])
+def test_retrieval_metrics_random_property(spark, seed):
+    """retrieval_metrics vs a pure-Python reference on pseudo-random
+    rankings/qrels (deterministic LCG — no test-run flakiness)."""
+    import math
+
+    def lcg(x):
+        while True:
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            yield x
+
+    g = lcg(seed)
+    rankings, qrels = [], []
+    for q in range(12):
+        docs = sorted({next(g) % 30 for _ in range(8)})
+        for r, d in enumerate(docs):
+            rankings.append((q, d, r + 1))
+        for _ in range(next(g) % 5):
+            qrels.append((q, next(g) % 30))
+    k = 5
+    rdf = spark.createDataFrame(rankings, "query_id long, doc_id long, rank int")
+    qdf = spark.createDataFrame(qrels or [(999, 999)],
+                                "query_id long, doc_id long")
+    got = {r["query_id"]: r.asDict()
+           for r in retrieval_metrics_import()(rdf, qdf, k=k).collect()}
+    # python reference
+    qr = {}
+    for q, d in (qrels or [(999, 999)]):
+        qr.setdefault(q, set()).add(d)
+    rk = {}
+    for q, d, r in rankings:
+        if r <= k:
+            rk.setdefault(q, []).append((r, d))
+    for q, rel in qr.items():
+        hits = sorted((r, d) for r, d in rk.get(q, []) if d in rel)
+        dcg = sum(math.floor(1e6 / math.log2(r + 1)) for r, _ in hits)
+        idcg = sum(math.floor(1e6 / math.log2(i + 1))
+                   for i in range(1, min(len(rel), k) + 1))
+        row = got[q]
+        assert row["n_rel"] == len(rel)
+        assert row["hits"] == len(hits)
+        assert row["mrr_micro"] == (1000000 // hits[0][0] if hits else 0)
+        assert row["recall_micro"] == len(hits) * 1000000 // len(rel)
+        assert row["dcg_micro"] == dcg
+        assert row["idcg_micro"] == idcg
+        assert row["ndcg_micro"] == dcg * 1000000 // idcg
+    assert set(got) == set(qr)
+
+
+def retrieval_metrics_import():
+    from dbt_core_spark.operators.textstats import retrieval_metrics
+    return retrieval_metrics
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_classification_metrics_random_property(spark, seed):
+    """classification_metrics vs a pure-Python confusion reference on
+    pseudo-random prediction/label tables."""
+    from dbt_core_spark.operators.textstats import classification_metrics
+
+    def lcg(x):
+        while True:
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            yield x
+
+    g = lcg(seed)
+    classes = ["a", "b", "c", "d"]
+    preds = [(i, classes[next(g) % 4]) for i in range(60)]
+    gold = [(i, classes[next(g) % 4]) for i in range(3, 55)]  # partial overlap
+    pdf = spark.createDataFrame(preds, "doc_id long, label string")
+    gdf = spark.createDataFrame(gold, "doc_id long, label string")
+    got = {r["cls"]: r.asDict()
+           for r in classification_metrics(pdf, gdf).collect()}
+    gm = dict(gold)
+    tp, fp, fn, np_, ng = ({c: 0 for c in classes} for _ in range(5))
+    for i, p in preds:
+        if i not in gm:
+            continue
+        np_[p] += 1
+        ng[gm[i]] += 1
+        if p == gm[i]:
+            tp[p] += 1
+        else:
+            fp[p] += 1
+            fn[gm[i]] += 1
+    for c in classes:
+        if np_[c] == 0 and ng[c] == 0:
+            assert c not in got
+            continue
+        row = got[c]
+        assert (row["tp"], row["fp"], row["fn"]) == (tp[c], fp[c], fn[c])
+        assert row["n_pred"] == np_[c] and row["n_gold"] == ng[c]
+        assert row["precision_micro"] == (
+            tp[c] * 1000000 // (tp[c] + fp[c]) if tp[c] + fp[c] else 0)
+        assert row["recall_micro"] == (
+            tp[c] * 1000000 // (tp[c] + fn[c]) if tp[c] + fn[c] else 0)
+        assert row["f1_micro"] == (
+            2 * tp[c] * 1000000 // (2 * tp[c] + fp[c] + fn[c])
+            if 2 * tp[c] + fp[c] + fn[c] else 0)
