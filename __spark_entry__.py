@@ -3267,6 +3267,37 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         "query_id", "nbr_id", "cosine", "rank")
 
 
+def multimodal_video_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection — the third media type of the
+    multimodal dedup tier (images: phash, audio: landmarks): the
+    %19==4 corpus synthesized as concatenated-netpbm clips (time-
+    shifted gradient frames; exact clones under +1e9 ids), container-
+    walked and aHashed per frame in one Arrow pass, then matched on
+    exact (frame position, 64-bit hash) keys — blocked by the key,
+    never all-pairs (operators/multimodal.py:synth_video/
+    video_frame_hashes/video_dup_pairs; the aHash core is shared with
+    phash_media).  Everything is integer, so the DuckDB oracle replays
+    the whole pipeline from the gradient formula.
+
+    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
+    see streaming_ann_serve_embeddings)."""
+    from dbt_core_spark.operators.multimodal import (
+        synth_video,
+        video_dup_pairs,
+        video_frame_hashes,
+    )
+
+    corpus = _t(spark, sf_dir, "documents").filter("doc_id % 19 = 4")
+    media = synth_video(corpus)
+    clones = synth_video(corpus).select(
+        (F.col("media_id") + F.lit(10**9)).alias("media_id"), "data")
+    # sealed: the key self-join consumes the hash frame on both sides
+    # — without the seal every side replays the Arrow container walk
+    hashes = video_frame_hashes(
+        media.unionByName(clones)).localCheckpoint(eager=False)
+    return video_dup_pairs(hashes)
+
+
 def bm25_index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 index deletion lifecycle: build the postings index once,
     tombstone the doc_id%6==0 documents WITHOUT re-tokenizing (df/idf
@@ -3548,16 +3579,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first (ngram_lm_docs / pool_embeddings_by_label lead the cohort —
     # they carry the r7 floor-rounding oracle fix, still driver-
     # unverified since the change).  ROUND-10 WINDOW PLAN: the
-    # r9-staged gates lead (every ORACLES_STAGED_R10 key — 11 as of
+    # r9-staged gates lead (every ORACLES_STAGED_R10 key — 12 as of
     # this writing: streaming_ann_serve, multimodal_phash_dedup,
     # naive_bayes_language, naive_bayes_incremental,
     # audio_fingerprint_dedup, oov_rate, retrieval_eval,
     # credit_card_detect, classifier_eval, bm25_index_delete,
-    # ann_ivf_index_delete — move their SQL into ORACLES and their
-    # names to the head of this dict), then the 18 remaining r6 rows
-    # at positions 51-68 (the staleness cohort), then r7 rows
-    # oldest-first to fill 50; the rest of the r7 cohort and the
-    # r8/r9 cohorts follow in rounds 11-12.
+    # ann_ivf_index_delete, multimodal_video_dedup — move their SQL
+    # into ORACLES and their names to the head of this dict), then the
+    # 18 remaining r6 rows at positions 51-68 (the staleness cohort),
+    # then r7 rows oldest-first to fill 50; the rest of the r7 cohort
+    # and the r8/r9 cohorts follow in rounds 11-12.
     return {
         # ---- never driver-verified: the r8-staged gates lead ----
         "perceptron_ovr_language_docs": perceptron_ovr_language_docs,

@@ -494,17 +494,8 @@ def phash_media(
                 g = px.astype("i8").sum(axis=2)
                 if ch == 1:
                     g = g * 3  # same scale as RGB channel sums
-                sy = (np.arange(grid) * h) // grid
-                sx = (np.arange(grid) * w) // grid
-                s = g[sy[:, None], sx[None, :]].ravel()
-                total = int(s.sum())
-                bits = (grid * grid) * s > total
-                bands = []
-                for k in range(n_bands):
-                    chunk = bits[k * per:(k + 1) * per]
-                    bands.append(int(sum(
-                        1 << i for i, v in enumerate(chunk) if v)))
-                rows.append((mid, int(w), int(h), *bands))
+                rows.append((mid, int(w), int(h),
+                             *_ahash_bands(g, grid=grid, n_bands=n_bands)))
             yield pd.DataFrame(rows, columns=[
                 f.name for f in PHASH_SCHEMA])
 
@@ -789,4 +780,160 @@ def audio_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_matches"))
         .filter(F.col("n_matches") >= min_matches)
+    )
+
+
+def _ahash_bands(g: "np.ndarray", grid: int = 8,
+                 n_bands: int = 4) -> list[int]:
+    """The integer aHash core shared by ``phash_media`` (still images)
+    and ``video_frame_hashes`` (per frame): nearest-neighbor sample
+    the channel-sum grayscale plane onto a grid×grid raster, bit =
+    [grid²·g > Σ g] (division-free mean compare, ties → 0), pack
+    row-major into ``n_bands`` band ints."""
+    h, w = g.shape
+    per = grid * grid // n_bands
+    sy = (np.arange(grid) * h) // grid
+    sx = (np.arange(grid) * w) // grid
+    s = g[sy[:, None], sx[None, :]].ravel()
+    total = int(s.sum())
+    bits = (grid * grid) * s > total
+    return [int(sum(1 << i for i, v in enumerate(bits[k * per:(k + 1) * per])
+                    if v)) for k in range(n_bands)]
+
+
+def synth_video(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VIDEO payload synthesis — the third media type of
+    the synthetic corpus: a clip is ``2 + id % 7`` concatenated binary
+    P6 frames of (4 + id%13)×(3 + id%7) pixels, frame ``f`` filled
+    with the time-shifted gradient ``(id + 3x + 7y + 11f) % 256``
+    across all channels — spatially AND temporally varying, so
+    frame-level features are analytically predictable and the REAL
+    container-walk decode path is oracle-checkable in SQL.  Every
+    document gets a payload (NULL text irrelevant — frames derive
+    from the id alone)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 13, 3 + mid % 7
+                frames = []
+                for f in range(2 + mid % 7):
+                    xs = np.arange(w)[None, :] * 3
+                    ys = np.arange(h)[:, None] * 7
+                    plane = ((mid + xs + ys + 11 * f) % 256).astype("u1")
+                    frames.append(encode_ppm(
+                        np.repeat(plane[:, :, None], 3, axis=2)))
+                out.append((mid, b"".join(frames)))
+            yield pd.DataFrame(out, columns=["media_id", "data"])
+
+    from dbt_core_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(
+        df.select(F.col(id_col))
+    ).mapInPandas(run, schema="media_id long, data binary")
+
+
+VIDEO_HASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("h0", T.IntegerType(), True),
+    T.StructField("h1", T.IntegerType(), True),
+    T.StructField("h2", T.IntegerType(), True),
+    T.StructField("h3", T.IntegerType(), True),
+])
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    grid: int = 8,
+    max_frames: int = 10_000,
+) -> DataFrame:
+    """Walk a concatenated-netpbm video container and aHash every
+    frame — the decode boundary of video near-duplicate detection:
+    one Arrow pass parses successive P6/P5 headers out of the binary
+    payload and emits (media_id, frame_idx, w, h, h0..h3) per frame
+    (the phash_media band layout, so all downstream blocking
+    machinery is shared).
+
+    A malformed tail (header parse failure or truncated pixel data)
+    stops the walk — frames before it are kept, the rest of the
+    payload is skipped (the decode_media fallback posture applied
+    mid-container); non-video/NULL payloads emit no rows.
+    ``max_frames`` bounds the walk against a pathological
+    header-bomb payload.
+
+    Scale shape: linear in payload bytes, project-only plan — the
+    binary column never reaches an exchange; what leaves the kernel
+    is 6 small ints per frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[data_col]):
+                mid = int(mid)
+                b = bytes(payload) if payload is not None else None
+                pos, idx = 0, 0
+                while b and pos < len(b) and idx < max_frames:
+                    hdr = _ppm_header(b[pos:])
+                    if hdr is None or hdr[2] != 255:
+                        break
+                    w, h, _maxval, off = hdr
+                    ch = 3 if b[pos:pos + 2] == b"P6" else 1
+                    need = w * h * ch
+                    if w <= 0 or h <= 0 or len(b) - pos - off < need:
+                        break
+                    px = np.frombuffer(
+                        b, dtype="u1", count=need, offset=pos + off
+                    ).reshape(h, w, ch)
+                    g = px.astype("i8").sum(axis=2)
+                    if ch == 1:
+                        g = g * 3
+                    rows.append((mid, idx, int(w), int(h),
+                                 *_ahash_bands(g, grid=grid)))
+                    pos += off + need
+                    idx += 1
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in VIDEO_HASH_SCHEMA])
+
+    from dbt_core_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(
+        run, schema=VIDEO_HASH_SCHEMA)
+
+
+def video_dup_pairs(
+    frame_hashes: DataFrame,
+    min_frames: int = 2,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate video pairs: clips sharing ≥ ``min_frames``
+    frame positions whose aHashes match EXACTLY — temporal alignment
+    plus the aHash's brightness/resolution invariance per frame, the
+    cheap-and-standard video dedup first pass (per-frame perceptual
+    hash + position join; full temporal-offset alignment would ride
+    the audio tier's landmark machinery instead).
+
+    Scale shape: one equi-join on the (frame_idx, h0..h3) key —
+    blocked by the full 64-bit hash + position, never all-pairs —
+    then one (a, b) count.  Returns (id_a, id_b, n_frames_matched),
+    id_a < id_b."""
+    keys = frame_hashes.filter(F.col("h0").isNotNull()).select(
+        id_col, "frame_idx", "h0", "h1", "h2", "h3").distinct()
+    a = keys.select(F.col(id_col).alias("id_a"), "frame_idx",
+                    "h0", "h1", "h2", "h3")
+    b = keys.select(F.col(id_col).alias("id_b"), "frame_idx",
+                    "h0", "h1", "h2", "h3")
+    return (
+        a.join(b, ["frame_idx", "h0", "h1", "h2", "h3"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= min_frames)
     )

@@ -4337,3 +4337,62 @@ _ivf_del = ORACLES["ann_ivf_index_query_embeddings"].replace(
 assert _ivf_del != ORACLES["ann_ivf_index_query_embeddings"]
 ORACLES_STAGED_R10["ann_ivf_index_delete_embeddings"] = _ivf_del
 del _ivf_del
+
+
+# r9 multimodal dedup, video half: the %19==4 corpus as concatenated
+# gradient clips (frame f pixel = (src + 3x + 7y + 11f) % 256, frames
+# = 2 + src%7, w/h the image formulas) + exact clones under +1e9 ids.
+# Per-frame aHash replays the phash grid math with the +11f term;
+# pairs share >=2 exact (frame position, h0..h3) keys.  Mirrors
+# multimodal.synth_video/video_frame_hashes/video_dup_pairs.
+# Staged r10.
+ORACLES_STAGED_R10["multimodal_video_dedup_docs"] = """
+with corpus as (
+  select doc_id from documents where doc_id % 19 = 4
+), clip as (
+  select doc_id as media_id, doc_id as src,
+         4 + doc_id % 13 as w, 3 + doc_id % 7 as h,
+         2 + doc_id % 7 as nf
+  from corpus
+  union all
+  select doc_id + 1000000000, doc_id, 4 + doc_id % 13,
+         3 + doc_id % 7, 2 + doc_id % 7
+  from corpus
+), frames as (
+  select c.media_id, c.src, c.w, c.h, f.f
+  from clip c join (select unnest(range(9)) as f) f on f.f < c.nf
+), grid as (
+  select y.ty, x.tx, (y.ty * 8 + x.tx) as p
+  from (select unnest(range(8)) as ty) y
+  cross join (select unnest(range(8)) as tx) x
+), samp as (
+  select fr.media_id, fr.f, g.p,
+         3 * ((fr.src + 3 * ((g.tx * fr.w) // 8)
+                      + 7 * ((g.ty * fr.h) // 8)
+                      + 11 * fr.f) % 256) as gv
+  from frames fr cross join grid g
+), tot as (
+  select media_id, f, sum(gv) as s from samp group by 1, 2
+), bands as (
+  select s.media_id, s.f, s.p // 16 as band,
+         cast(sum(case when 64 * s.gv > t.s
+                       then 1 << (s.p % 16) else 0 end) as int) as bv
+  from samp s join tot t on t.media_id = s.media_id and t.f = s.f
+  group by 1, 2, 3
+), hashes as (
+  select media_id, f,
+         max(case when band = 0 then bv end) as h0,
+         max(case when band = 1 then bv end) as h1,
+         max(case when band = 2 then bv end) as h2,
+         max(case when band = 3 then bv end) as h3
+  from bands group by 1, 2
+)
+select a.media_id as id_a, b.media_id as id_b,
+       cast(count(*) as bigint) as n_frames_matched
+from hashes a
+join hashes b on b.f = a.f and b.h0 = a.h0 and b.h1 = a.h1
+             and b.h2 = a.h2 and b.h3 = a.h3
+             and b.media_id > a.media_id
+group by 1, 2
+having count(*) >= 2
+"""

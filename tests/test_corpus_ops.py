@@ -1620,6 +1620,7 @@ def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
     "classifier_eval_docs",
     "bm25_index_delete_docs",
     "ann_ivf_index_delete_embeddings",
+    "multimodal_video_dedup_docs",
 ])
 def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     """Pre-verifies every STAGED round-10 gate row end to end: the

@@ -1551,7 +1551,8 @@ def test_staged_r10_doc_gates_on_hostile_corpora(
                  "audio_fingerprint_dedup_docs", "retrieval_eval_docs",
                  "naive_bayes_incremental_docs",
                  "credit_card_detect_docs", "classifier_eval_docs",
-                 "bm25_index_delete_docs"):
+                 "bm25_index_delete_docs",
+                 "multimodal_video_dedup_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R10[name])

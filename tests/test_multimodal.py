@@ -426,3 +426,114 @@ def test_synth_media_am_pattern_formula(spark):
                for i in range(len(pcm)))
     img = decode_ppm(rows[5])
     assert img is not None and img["width"] == 5 + 4  # 4 + 5%13
+
+
+# ---------------------------------------------------------------------------
+# video near-dup detection (r9): container walk + per-frame aHash
+# ---------------------------------------------------------------------------
+
+def test_video_frame_hashes_walk_and_malformed_tail(spark):
+    """The container walk parses successive frames, keeps frames before
+    a malformed tail, skips non-video payloads, and matches phash_media
+    band values frame-for-frame (shared aHash core)."""
+    import numpy as np
+
+    from dbt_core_spark.operators.multimodal import (
+        encode_ppm,
+        phash_media,
+        video_frame_hashes,
+    )
+
+    def frame(seed, w=6, h=5):
+        xs = np.arange(w)[None, :] * 3
+        ys = np.arange(h)[:, None] * 7
+        plane = ((seed + xs + ys) % 256).astype("u1")
+        return np.repeat(plane[:, :, None], 3, axis=2)
+
+    f0, f1 = frame(10), frame(77)
+    clip = encode_ppm(f0) + encode_ppm(f1)
+    truncated = encode_ppm(f0) + encode_ppm(f1)[:-7]  # torn second frame
+    df = spark.createDataFrame([
+        (1, bytearray(clip)),
+        (2, bytearray(truncated)),
+        (3, bytearray(b"not a clip")),
+        (4, None),
+    ], "media_id long, data binary")
+    got = {(r["media_id"], r["frame_idx"]): (r["h0"], r["h1"], r["h2"], r["h3"])
+           for r in video_frame_hashes(df).collect()}
+    assert set(got) == {(1, 0), (1, 1), (2, 0)}
+    stills = spark.createDataFrame(
+        [(10, bytearray(encode_ppm(f0))), (77, bytearray(encode_ppm(f1)))],
+        "media_id long, data binary")
+    ph = {r["media_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+          for r in phash_media(stills).collect()}
+    assert got[(1, 0)] == ph[10] and got[(1, 1)] == ph[77]
+    assert got[(2, 0)] == ph[10]
+
+
+def test_video_dup_pairs_alignment_and_threshold(spark):
+    """Exact clone matches on every frame; a clip sharing frames at
+    DIFFERENT positions does not match (temporal alignment); a
+    brightness-shifted clone still matches (aHash invariance);
+    min_frames gates the output."""
+    import numpy as np
+
+    from dbt_core_spark.operators.multimodal import (
+        encode_ppm,
+        video_dup_pairs,
+        video_frame_hashes,
+    )
+
+    def frame(seed, shift=0, w=9, h=7):
+        xs = np.arange(w)[None, :] * 5
+        ys = np.arange(h)[:, None] * 11
+        plane = (((seed + xs + ys) % 128) + shift).astype("u1")
+        return np.repeat(plane[:, :, None], 3, axis=2)
+
+    a = b"".join(encode_ppm(frame(s)) for s in (1, 50, 99))
+    shifted = b"".join(encode_ppm(frame(s, shift=40)) for s in (1, 50, 99))
+    rotated = b"".join(encode_ppm(frame(s)) for s in (99, 1, 50))
+    df = spark.createDataFrame([
+        (1, bytearray(a)), (2, bytearray(a)),          # exact clone
+        (3, bytearray(shifted)),                        # +40 every pixel
+        (4, bytearray(rotated)),                        # misaligned frames
+    ], "media_id long, data binary")
+    fh = video_frame_hashes(df).localCheckpoint(eager=False)
+    got = {(r["id_a"], r["id_b"]): r["n_frames_matched"]
+           for r in video_dup_pairs(fh, min_frames=2).collect()}
+    assert got[(1, 2)] == 3
+    assert got[(1, 3)] == 3 and got[(2, 3)] == 3   # brightness-invariant
+    assert (1, 4) not in got and (2, 4) not in got  # alignment enforced
+    assert video_dup_pairs(fh, min_frames=4).count() == 0
+
+
+def test_synth_video_formula_pin(spark):
+    """synth_video frames follow (id + 3x + 7y + 11f) % 256 with
+    2 + id%7 frames of the image-formula dimensions."""
+    import numpy as np
+
+    from dbt_core_spark.operators.multimodal import (
+        decode_ppm,
+        synth_video,
+        _ppm_header,
+    )
+
+    df = spark.createDataFrame([(9, "x")], "doc_id long, text string")
+    payload = bytes(synth_video(df).collect()[0]["data"])
+    w, h, nf = 4 + 9 % 13, 3 + 9 % 7, 2 + 9 % 7
+    pos = 0
+    for f in range(nf):
+        hdr = _ppm_header(payload[pos:])
+        assert hdr is not None
+        fw, fh_, _mx, off = hdr
+        assert (fw, fh_) == (w, h)
+        img = decode_ppm(payload[pos:pos + off + fw * fh_ * 3])
+        assert img is not None
+        px = np.frombuffer(payload, dtype="u1",
+                           count=fw * fh_ * 3,
+                           offset=pos + off).reshape(fh_, fw, 3)
+        for y in range(fh_):
+            for x in range(fw):
+                assert px[y, x, 0] == (9 + 3 * x + 7 * y + 11 * f) % 256
+        pos += off + fw * fh_ * 3
+    assert pos == len(payload)
