@@ -301,6 +301,11 @@ PICKS = {
         "IVF deletion (r10-staged) — assignments anti-join with "
         "standing centroids: no re-seeding pass, no assignment "
         "shuffle; search probes only surviving cells."),
+    "multimodal_video_dedup_docs": (
+        "Video near-dup pairs (r10-staged) — the container walk is "
+        "one Arrow pass (binary payload never reaches an exchange); "
+        "candidates equi-join on the exact (frame position, 64-bit "
+        "hash) key — never a cartesian."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",
