@@ -3568,87 +3568,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-row gate the steady-state rotation period is ~3 rounds, so the
     # window must always be exactly the staleness cohort (no in-window
     # row may be fresher than any out-of-window ever-verified row).
-    # ROUND-9 WINDOW (the r8 verdict, items 1-2): the 8 never-driver-
-    # verified r8-staged gates lead (their SQL moved from
-    # ORACLES_STAGED_R9 into ORACLES — each pre-verified at three
-    # scales, arrow-type-linted, and fuzz-covered before the move),
-    # then the ENTIRE r5-green cohort of 10: engine_streaming_table
-    # first (driver-ERR r8 on the cross-session checkpoint poisoning
-    # fixed this round — the engine_compaction precedent) plus the 9
-    # rows displaced from the r8 window, then 32 r6-green rows oldest-
-    # first (ngram_lm_docs / pool_embeddings_by_label lead the cohort —
-    # they carry the r7 floor-rounding oracle fix, still driver-
-    # unverified since the change).  ROUND-10 WINDOW PLAN: the
-    # r9-staged gates lead (every ORACLES_STAGED_R10 key — 12 as of
-    # this writing: streaming_ann_serve, multimodal_phash_dedup,
-    # naive_bayes_language, naive_bayes_incremental,
-    # audio_fingerprint_dedup, oov_rate, retrieval_eval,
-    # credit_card_detect, classifier_eval, bm25_index_delete,
-    # ann_ivf_index_delete, multimodal_video_dedup — move their SQL
-    # into ORACLES and their names to the head of this dict), then the
-    # 18 remaining r6 rows at positions 51-68 (the staleness cohort),
-    # then r7 rows oldest-first to fill 50; the rest of the r7 cohort
-    # and the r8/r9 cohorts follow in rounds 11-12.
+    # ROUND-10 WINDOW (the r9 verdict, item 1 — executed per the plan
+    # recorded there): the 12 never-driver-verified r9-staged gates
+    # lead (their SQL moved from ORACLES_STAGED_R10 into ORACLES —
+    # each pre-verified at multiple scales, arrow-type-linted,
+    # fuzz-covered, AND independently re-verified 12/12 by the r9
+    # judge before this move), then the 18-row r6-green remainder
+    # (epoch_shuffle_docs .. window_top3_orders_per_customer — the
+    # staleness cohort, 4 rounds stale entering r10, mandatory
+    # in-window), then 20 r7-green rows oldest-first to fill 50.
+    # ROUND-11 WINDOW PLAN: gates staged during round 10
+    # (ORACLES_STAGED_R11) lead, then the 29-row r7 remainder
+    # (kmv_jaccard_sources .. generate_series_powers), then r8 rows
+    # oldest-first to fill 50; the r8 remainder and the r9/r10 cohorts
+    # follow in rounds 12-13.
     return {
-        # ---- never driver-verified: the r8-staged gates lead ----
-        "perceptron_ovr_language_docs": perceptron_ovr_language_docs,
-        "perceptron_avg_language_docs": perceptron_avg_language_docs,
-        "decontaminate_cut_docs": decontaminate_cut_docs,
-        "corpus_diff_docs": corpus_diff_docs,
-        "ngram_loops_docs": ngram_loops_docs,
-        "vocab_drift_docs": vocab_drift_docs,
-        "streaming_bm25_serve_docs": streaming_bm25_serve_docs,
-        "ann_ivf_rebalance_embeddings": ann_ivf_rebalance_embeddings,
-        # ---- last green r5 — the whole 10-row staleness cohort;
-        # ---- engine_streaming_table leads (driver-ERR r8, root-caused
-        # ---- and fixed this round: needs driver evidence NOW) ----
-        "engine_streaming_table": engine_streaming_table,
-        "dedup_embedding_docs": dedup_embedding_docs,
-        "simhash_pairs_docs": simhash_pairs_docs,
-        "streaming_session_rollup": streaming_session_rollup,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "gopher_repetition_docs": gopher_repetition_docs,
-        "source_cap_docs": source_cap_docs,
-        "boilerplate_ngram_docs": boilerplate_ngram_docs,
-        "decontaminate_docs": decontaminate_docs,
-        "tfidf_top_terms_docs": tfidf_top_terms_docs,
-        # ---- last green r6: 32 of 50, oldest-first fill
-        # (ngram_lm_docs / pool_embeddings_by_label lead — r7 floor-
-        # rounding oracle fix, driver-unverified since the change) ----
-        "ngram_lm_docs": ngram_lm_docs,
-        "pool_embeddings_by_label": pool_embeddings_by_label,
-        "stratified_sample_docs": stratified_sample_docs,
-        "pack_sequences_docs": pack_sequences_docs,
-        "xdb_datetime_functions": xdb_datetime_functions,
-        "simhash_docs": simhash_docs,
-        "cosine_topk_embeddings": cosine_topk_embeddings,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q2_min_price_supplier": q2_min_price_supplier,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_priority_lines": q12_late_priority_lines,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_count": q16_supplier_count,
-        "q18_large_orders": q18_large_orders,
-        "q20_part_share_suppliers": q20_part_share_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "xdb_string_functions": xdb_string_functions,
-        "xdb_listagg_nations": xdb_listagg_nations,
-        "xdb_date_spine": xdb_date_spine,
-        "xdb_arrays": xdb_arrays,
-        "engine_incremental_merge": engine_incremental_merge,
-        "minhash_lsh_docs": minhash_lsh_docs,
-        "incremental_dedup_docs": incremental_dedup_docs,
-        "cc_dedup_docs": cc_dedup_docs,
-        "line_dedup_docs": line_dedup_docs,
-        # ---------------- past the 50-query gate cap ----------------
-        # last green r6 remainder (18 rows — MANDATORY r10 window leads)
+        # ---- never driver-verified: the 12 r9-staged gates lead
+        # ---- (ORACLES_STAGED_R10 wired this round — pre-verified at
+        # ---- multiple scales + independently 12/12 by the r9 judge) ----
+        "streaming_ann_serve_embeddings": streaming_ann_serve_embeddings,
+        "multimodal_phash_dedup_docs": multimodal_phash_dedup_docs,
+        "naive_bayes_language_docs": naive_bayes_language_docs,
+        "naive_bayes_incremental_docs": naive_bayes_incremental_docs,
+        "audio_fingerprint_dedup_docs": audio_fingerprint_dedup_docs,
+        "oov_rate_docs": oov_rate_docs,
+        "retrieval_eval_docs": retrieval_eval_docs,
+        "credit_card_detect_docs": credit_card_detect_docs,
+        "classifier_eval_docs": classifier_eval_docs,
+        "bm25_index_delete_docs": bm25_index_delete_docs,
+        "ann_ivf_index_delete_embeddings": ann_ivf_index_delete_embeddings,
+        "multimodal_video_dedup_docs": multimodal_video_dedup_docs,
+        # ---- last green r6: the 18-row remainder — the staleness
+        # ---- cohort (4 rounds stale entering r10, MANDATORY in-window
+        # ---- per the rotation invariant) ----
         "epoch_shuffle_docs": epoch_shuffle_docs,
         "bpe_pair_docs": bpe_pair_docs,
         "tokenize_docs": tokenize_docs,
@@ -3667,7 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,
         "recursive_month_revenue": recursive_month_revenue,
         "window_top3_orders_per_customer": window_top3_orders_per_customer,
-        # last green r7 (49 rows)
+        # ---- last green r7: 20 of 49, oldest-first fill to 50 ----
         "bm25_rank_docs": bm25_rank_docs,
         "decontaminate_bloom_docs": decontaminate_bloom_docs,
         "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
@@ -3688,6 +3640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection_embeddings": random_projection_embeddings,
         "bpe_token_counts_docs": bpe_token_counts_docs,
         "streaming_cms_events": streaming_cms_events,
+        # ---------------- past the 50-query gate cap ----------------
+        # ---- last green r7 remainder (29 rows — r11 window leads) ----
         "kmv_jaccard_sources": kmv_jaccard_sources,
         "count_anomalies_events": count_anomalies_events,
         "pipeline_quality_docs": pipeline_quality_docs,
@@ -3717,7 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_status_counts": unpivot_status_counts,
         "set_ops_statuses": set_ops_statuses,
         "generate_series_powers": generate_series_powers,
-        # last green r8 (49 rows — freshest, r11+ horizon)
+        # ---- last green r8 (49 rows) ----
         "hybrid_retrieval_docs": hybrid_retrieval_docs,
         "bm25_index_append_docs": bm25_index_append_docs,
         "streaming_decontaminate_docs": streaming_decontaminate_docs,
@@ -3767,6 +3721,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "multimodal_features_docs": multimodal_features_docs,
         "quantile_sketch_events": quantile_sketch_events,
+        # ---- last green r9 (50 rows — freshest, r12+ horizon) ----
+        "perceptron_ovr_language_docs": perceptron_ovr_language_docs,
+        "perceptron_avg_language_docs": perceptron_avg_language_docs,
+        "decontaminate_cut_docs": decontaminate_cut_docs,
+        "corpus_diff_docs": corpus_diff_docs,
+        "ngram_loops_docs": ngram_loops_docs,
+        "vocab_drift_docs": vocab_drift_docs,
+        "streaming_bm25_serve_docs": streaming_bm25_serve_docs,
+        "ann_ivf_rebalance_embeddings": ann_ivf_rebalance_embeddings,
+        "engine_streaming_table": engine_streaming_table,
+        "dedup_embedding_docs": dedup_embedding_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "streaming_session_rollup": streaming_session_rollup,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "gopher_repetition_docs": gopher_repetition_docs,
+        "source_cap_docs": source_cap_docs,
+        "boilerplate_ngram_docs": boilerplate_ngram_docs,
+        "decontaminate_docs": decontaminate_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "ngram_lm_docs": ngram_lm_docs,
+        "pool_embeddings_by_label": pool_embeddings_by_label,
+        "stratified_sample_docs": stratified_sample_docs,
+        "pack_sequences_docs": pack_sequences_docs,
+        "xdb_datetime_functions": xdb_datetime_functions,
+        "simhash_docs": simhash_docs,
+        "cosine_topk_embeddings": cosine_topk_embeddings,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q2_min_price_supplier": q2_min_price_supplier,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_priority_lines": q12_late_priority_lines,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_count": q16_supplier_count,
+        "q18_large_orders": q18_large_orders,
+        "q20_part_share_suppliers": q20_part_share_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "xdb_string_functions": xdb_string_functions,
+        "xdb_listagg_nations": xdb_listagg_nations,
+        "xdb_date_spine": xdb_date_spine,
+        "xdb_arrays": xdb_arrays,
+        "engine_incremental_merge": engine_incremental_merge,
+        "minhash_lsh_docs": minhash_lsh_docs,
+        "incremental_dedup_docs": incremental_dedup_docs,
+        "cc_dedup_docs": cc_dedup_docs,
+        "line_dedup_docs": line_dedup_docs,
     }
 
 

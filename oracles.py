@@ -4396,3 +4396,15 @@ join hashes b on b.f = a.f and b.h0 = a.h0 and b.h1 = a.h1
 group by 1, 2
 having count(*) >= 2
 """
+
+
+# ---- round-10 rotation: the 12 staged gates are WIRED (the r8/r9
+# window precedent) — their SQL moves into ORACLES verbatim; each was
+# pre-verified at multiple scales, arrow-type-linted, and fuzz-covered
+# before this move (and independently re-verified 12/12 by the r9
+# judge), so the rotation adds no new behavior.  Gates staged DURING
+# round 10 land in ORACLES_STAGED_R11 with the same protocol.
+ORACLES.update(ORACLES_STAGED_R10)
+ORACLES_STAGED_R10 = {}
+
+ORACLES_STAGED_R11: dict[str, str] = {}

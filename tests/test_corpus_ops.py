@@ -1623,18 +1623,17 @@ def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
     "multimodal_video_dedup_docs",
 ])
 def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
-    """Pre-verifies every STAGED round-10 gate row end to end: the
+    """Verifies every round-10-wired gate row end to end: the
     exact __spark_entry__ callable vs the exact
-    oracles.ORACLES_STAGED_R10 SQL, through the validator's own
-    compare (types + row hash), on the real sf corpus — so wiring them
-    into the r10 window is a pure dict move with no new behavior."""
+    oracle SQL (wired into ORACLES at the r10 rotation), through the validator's own
+    compare (types + row hash), on the real sf corpus — the same compare the r10 rotation shipped under."""
     import importlib.util
     import os
 
     import duckdb
 
     import __spark_entry__ as em
-    from oracles import ORACLES_STAGED_R10
+    from oracles import ORACLES as _R10_ORACLES
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
@@ -1648,7 +1647,7 @@ def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
             f"create view {tbl} as select * from '{sf_dir}/{tbl}.parquet'")
     ok, msg = vo.compare(
         staged_name, spark, con, sf_dir,
-        getattr(em, staged_name), ORACLES_STAGED_R10[staged_name])
+        getattr(em, staged_name), _R10_ORACLES[staged_name])
     assert ok, msg
 
 

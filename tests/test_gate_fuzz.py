@@ -1478,12 +1478,12 @@ def test_r9_rebalance_gate_on_hostile_corpora(
 def test_staged_r10_ann_serve_gate_on_hostile_corpora(
     spark, tmp_path_factory, vecs, dup
 ):
-    """The STAGED round-10 streaming ANN serve gate on hostile
+    """The round-10 (wired r10) streaming ANN serve gate on hostile
     embeddings: NULL / zero-norm / non-finite query vectors (dropped
     inside the assignment kernel on the Spark side, by the v CTE in
     the oracle), duplicate vectors (argmax ties), and corpora so small
     that some micro-batches carry zero query rows."""
-    from oracles import ORACLES_STAGED_R10
+    from oracles import ORACLES as _R10_ORACLES
 
     if dup and vecs:
         vecs = vecs + vecs[:3]
@@ -1493,7 +1493,7 @@ def test_staged_r10_ann_serve_gate_on_hostile_corpora(
                  "ann_ivf_index_delete_embeddings"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
-            getattr(em, name), ORACLES_STAGED_R10[name])
+            getattr(em, name), _R10_ORACLES[name])
         assert ok, f"{name}: {msg}"
 
 
@@ -1506,12 +1506,12 @@ def test_staged_r10_ann_serve_gate_on_hostile_corpora(
 def test_staged_r10_phash_gate_on_hostile_corpora(
     spark, tmp_path_factory, rows, dup
 ):
-    """The STAGED round-10 multimodal phash dedup gate on hostile doc
+    """The round-10 (wired r10) multimodal phash dedup gate on hostile doc
     corpora: tiny corpora where the %23 slice is empty (empty contract
     frame), duplicated doc rows, and whatever ids hypothesis draws —
     the hash depends only on doc_id (text feeds the WAV rows, which
     hash NULL and drop)."""
-    from oracles import ORACLES_STAGED_R10
+    from oracles import ORACLES as _R10_ORACLES
 
     if dup and rows:
         rows = rows + rows[: len(rows) // 2 + 1]
@@ -1520,7 +1520,7 @@ def test_staged_r10_phash_gate_on_hostile_corpora(
     ok, msg = _vo.compare(
         "multimodal_phash_dedup_docs", spark, con, tmpdir,
         em.multimodal_phash_dedup_docs,
-        ORACLES_STAGED_R10["multimodal_phash_dedup_docs"])
+        _R10_ORACLES["multimodal_phash_dedup_docs"])
     assert ok, msg
 
 
@@ -1533,7 +1533,7 @@ def test_staged_r10_phash_gate_on_hostile_corpora(
 def test_staged_r10_doc_gates_on_hostile_corpora(
     spark, tmp_path_factory, rows, dup
 ):
-    """The three r9-STAGED doc gates on hostile corpora: Naive Bayes
+    """The r9-built doc gates (wired r10) on hostile corpora: Naive Bayes
     where hypothesis may draw all-NULL labels (empty training set →
     empty output), all-empty-token training docs (V = 0 → priors-only
     serving, the case guard on both engines), and label skew; OOV rate
@@ -1541,7 +1541,7 @@ def test_staged_r10_doc_gates_on_hostile_corpora(
     tokenize empty (NULL rate); audio fingerprint dedup where the
     %23==2 even slice is usually empty on tiny corpora and clip
     lengths hit the no-peak minimum."""
-    from oracles import ORACLES_STAGED_R10
+    from oracles import ORACLES as _R10_ORACLES
 
     if dup and rows:
         rows = rows + rows[: len(rows) // 2 + 1]
@@ -1555,5 +1555,5 @@ def test_staged_r10_doc_gates_on_hostile_corpora(
                  "multimodal_video_dedup_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
-            getattr(em, name), ORACLES_STAGED_R10[name])
+            getattr(em, name), _R10_ORACLES[name])
         assert ok, f"{name}: {msg}"

@@ -446,37 +446,35 @@ def test_gate_window_max_staleness_invariant():
         )
 
 
-def test_gate_window_r9_composition():
-    """Pins the round-9 window (the r8 verdict, items 1-2): the 8
-    never-driver-verified r8-staged gates lead, then the ENTIRE
-    r5-green staleness cohort of 10 — engine_streaming_table first
-    (driver-ERR r8 on the cross-session checkpoint poisoning fixed
-    this round) plus the 9 rows displaced from the r8 window — then 32
-    r6-green rows oldest-first (ngram_lm_docs /
-    pool_embeddings_by_label lead: r7 floor-rounding oracle fix,
-    driver-unverified since the change); the 18 remaining r6 rows sit
-    at positions 51-68 so they mechanically lead round 10."""
+def test_gate_window_r10_composition():
+    """Pins the round-10 window (the r9 verdict, item 1 — executed per
+    the plan it recorded): the 12 never-driver-verified r9-staged
+    gates lead (wired from ORACLES_STAGED_R10; each pre-verified at
+    multiple scales AND independently 12/12 by the r9 judge), then the
+    ENTIRE 18-row r6-green remainder (the staleness cohort — 4 rounds
+    stale entering r10), then 20 r7-green rows oldest-first to 50; the
+    29-row r7 remainder sits at positions 51-79 so it mechanically
+    leads round 11."""
     import __spark_entry__ as e
 
     qs = list(e.queries())
-    assert qs[:8] == [
-        "perceptron_ovr_language_docs", "perceptron_avg_language_docs",
-        "decontaminate_cut_docs", "corpus_diff_docs",
-        "ngram_loops_docs", "vocab_drift_docs",
-        "streaming_bm25_serve_docs", "ann_ivf_rebalance_embeddings",
+    assert qs[:12] == [
+        "streaming_ann_serve_embeddings", "multimodal_phash_dedup_docs",
+        "naive_bayes_language_docs", "naive_bayes_incremental_docs",
+        "audio_fingerprint_dedup_docs", "oov_rate_docs",
+        "retrieval_eval_docs", "credit_card_detect_docs",
+        "classifier_eval_docs", "bm25_index_delete_docs",
+        "ann_ivf_index_delete_embeddings", "multimodal_video_dedup_docs",
     ]
-    assert qs[8:18] == [
-        "engine_streaming_table",
-        "dedup_embedding_docs", "simhash_pairs_docs",
-        "streaming_session_rollup", "multimodal_frame_sample",
-        "gopher_repetition_docs", "source_cap_docs",
-        "boilerplate_ngram_docs", "decontaminate_docs",
-        "tfidf_top_terms_docs",
-    ]
-    assert qs[18:20] == ["ngram_lm_docs", "pool_embeddings_by_label"]
-    # the r6 remainder must lead round 10
-    assert qs[50] == "epoch_shuffle_docs"
-    assert qs[67] == "window_top3_orders_per_customer"
+    # the whole r6 remainder is in-window (mandatory staleness cohort)
+    assert qs[12] == "epoch_shuffle_docs"
+    assert qs[29] == "window_top3_orders_per_customer"
+    # r7 oldest-first fill to exactly 50
+    assert qs[30] == "bm25_rank_docs"
+    assert qs[49] == "streaming_cms_events"
+    # the r7 remainder must lead round 11
+    assert qs[50] == "kmv_jaccard_sources"
+    assert qs[78] == "generate_series_powers"
     # every registry row has an oracle (the exact-correctness invariant)
     assert set(e.oracle_sql()) == set(qs)
 
@@ -497,16 +495,16 @@ def test_bm25_inverted_index_shape(spark, sf_dir):
     assert fmt.count("HashAggregate") >= 2
 
 
-def test_staged_r10_gates_are_wirable():
-    """Every ORACLES_STAGED_R10 key must resolve to a module callable
-    and collide with nothing live — so the r10 rotation is a pure dict
+def test_staged_r11_gates_are_wirable():
+    """Every ORACLES_STAGED_R11 key must resolve to a module callable
+    and collide with nothing live — so the r11 rotation is a pure dict
     move: add the queries() entries, move the SQL into ORACLES,
     recompose the window (never-verified rows lead)."""
     import __spark_entry__ as e
-    from oracles import ORACLES, ORACLES_STAGED_R10
+    from oracles import ORACLES, ORACLES_STAGED_R11
 
     qs = e.queries()
-    for name in ORACLES_STAGED_R10:
+    for name in ORACLES_STAGED_R11:
         assert callable(getattr(e, name, None)), name
         assert name not in qs, f"{name} staged but already wired"
         assert name not in ORACLES, f"{name} staged but already in ORACLES"
