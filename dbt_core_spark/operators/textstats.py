@@ -897,11 +897,54 @@ def _bm25_contrib(n_docs: int, total: int) -> Column:
 
 _BM25_INDEX_SCHEMA = (
     "term string, id bigint, tf bigint, dl bigint, idf_milli bigint, "
-    "n_docs bigint, total bigint"
+    "n_docs bigint, total bigint, snap_id bigint"
 )
 _BM25_INDEX_SCHEMA_BUCKETED = (
     _BM25_INDEX_SCHEMA + ", bucket int, n_buckets int"
 )
+
+
+def _bm25_snap_id(
+    chk: int, n_docs: int, total: int, n_buckets: int | None
+) -> int:
+    """Content-derived snapshot id (r9 verdict item 2): an md5 fold of
+    the postings checksum (bit_xor of hash(term, id, tf) — order-free,
+    so it is partitioning-invariant and append/delete can recompute it
+    from merged/surviving postings) with the corpus scalars.  Stamped
+    as a constant column at build/append/delete time, it makes
+    ``delete ≡ rebuild`` and ``append ≡ rebuild`` bit-identical INCLUDING
+    the stamp, while any hand-union of two different snapshots carries
+    two values and fails the `_bm25_constants` min/max invariant."""
+    import hashlib
+
+    digest = hashlib.md5(
+        f"bm25:{chk}:{n_docs}:{total}:{n_buckets or 0}".encode()
+    ).digest()
+    return int.from_bytes(digest[:8], "big", signed=True)
+
+
+# xor-fold of every posting's row hash; runs inside the existing
+# per-id groupBy (no extra job at build) and re-folds exactly under
+# append/delete because xor is associative and commutative
+_BM25_CHK_EXPR = "bit_xor(cast(hash(term, id, tf) as bigint))"
+
+
+def _bm25_sentinel(
+    spark, n_docs: int, total: int, snap_id: int, n_buckets: int
+) -> DataFrame:
+    """One sentinel posting pinned to BUCKET 0 of a bucketed index
+    (term '' — unreachable from normalized_words; tf 0 marks it, and
+    bm25_query drops tf=0 rows before scoring).  Bucket 0 exists under
+    EVERY n_buckets mapping, and bm25_query always scans it in
+    addition to the query terms' buckets — so a raw union of two
+    bucketed snapshots puts BOTH sentinels (two snap_id values) into
+    one scanned bucket and the pruned-postings constants check fails
+    loudly even when every query-touched bucket happens to hold rows
+    from only one mapping (the r9 blind spot, closed structurally)."""
+    return spark.createDataFrame(
+        [("", -1, 0, 0, 0, n_docs, total, snap_id, 0, n_buckets)],
+        _BM25_INDEX_SCHEMA_BUCKETED,
+    )
 
 
 def _bm25_bucket(term: Column, n_buckets: int) -> Column:
@@ -924,10 +967,14 @@ def bm25_index(
     without re-tokenizing 100 TB of history (the corpus tf/df rebuild
     is the dominant cost of bm25_rank at scale — SCALING.md).
 
-    One row per posting: (term, id, tf, dl, idf_milli, n_docs, total).
-    The two corpus scalars ride along as constant columns — columnar
-    RLE compresses them to nothing, and the index stays ONE
-    self-contained table.
+    One row per posting: (term, id, tf, dl, idf_milli, n_docs, total,
+    snap_id).  The corpus scalars and the content-derived snapshot id
+    ride along as constant columns — columnar RLE compresses them to
+    nothing, and the index stays ONE self-contained table.  Bucketed
+    indexes additionally carry a sentinel posting pinned to bucket 0
+    (`_bm25_sentinel`) so bm25_query's pruned-postings constants check
+    catches ANY hand-union of two snapshots, including ones whose
+    bucket numbering never collides (the r9 blind spot).
 
     ``n_buckets`` adds a term-hash ``bucket`` column (plus the
     ``n_buckets`` constant so query/append reuse the same mapping):
@@ -949,16 +996,24 @@ def bm25_index(
         .agg(F.count("*").cast("bigint").alias("tf"))
         .localCheckpoint(eager=False)  # feeds dl, df_t, and postings
     )
-    dl = tf.groupBy("id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dl = tf.groupBy("id").agg(
+        F.sum("tf").cast("bigint").alias("dl"),
+        # per-id xor fold; the snapshot checksum re-folds these below —
+        # same pass as dl, no extra job
+        F.expr(_BM25_CHK_EXPR).alias("chk_id"),
+    )
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total"),
+        F.expr("bit_xor(chk_id)").alias("chk"),
     ).collect()[0]
     n_docs, total = stats["n"], stats["total"]
     if n_docs == 0:
         return df.sparkSession.createDataFrame(
             [], _BM25_INDEX_SCHEMA_BUCKETED if n_buckets
             else _BM25_INDEX_SCHEMA)
+    snap = _bm25_snap_id(int(stats["chk"]), int(n_docs), int(total),
+                         n_buckets)
     idf = (
         tf.groupBy("term")
         .agg(F.countDistinct("id").cast("bigint").alias("df_t"))
@@ -976,11 +1031,12 @@ def bm25_index(
     )
     out = (
         tf.join(idf, "term")
-        .join(dl, "id")
+        .join(dl.select("id", "dl"), "id")
         .select(
             "term", "id", "tf", "dl", "idf_milli",
             F.lit(int(n_docs)).cast("bigint").alias("n_docs"),
             F.lit(int(total)).cast("bigint").alias("total"),
+            F.lit(snap).cast("bigint").alias("snap_id"),
         )
     )
     if n_buckets:
@@ -988,7 +1044,9 @@ def bm25_index(
             "*",
             _bm25_bucket(F.col("term"), n_buckets).alias("bucket"),
             F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
-        )
+        ).unionByName(_bm25_sentinel(
+            df.sparkSession, int(n_docs), int(total), snap,
+            int(n_buckets)))
     return out
 
 
@@ -1001,6 +1059,9 @@ def _bm25_constants(index: DataFrame) -> tuple[int, int, int | None] | None:
     from dbt_core_spark.exceptions import ExecutionError
 
     bucketed = "n_buckets" in index.columns
+    # legacy (pre-snap_id) persisted indexes lack the column; every
+    # build/append/delete path stamps it now
+    stamped = "snap_id" in index.columns
     aggs = [
         F.min("n_docs").alias("n_lo"), F.max("n_docs").alias("n_hi"),
         F.min("total").alias("t_lo"), F.max("total").alias("t_hi"),
@@ -1008,12 +1069,16 @@ def _bm25_constants(index: DataFrame) -> tuple[int, int, int | None] | None:
     if bucketed:
         aggs += [F.min("n_buckets").alias("b_lo"),
                  F.max("n_buckets").alias("b_hi")]
+    if stamped:
+        aggs += [F.min("snap_id").alias("s_lo"),
+                 F.max("snap_id").alias("s_hi")]
     stats = index.agg(*aggs).first()
     if stats["n_lo"] is None:
         return None
     mixed = (
         stats["n_lo"] != stats["n_hi"] or stats["t_lo"] != stats["t_hi"]
         or (bucketed and stats["b_lo"] != stats["b_hi"])
+        or (stamped and stats["s_lo"] != stats["s_hi"])
     )
     if mixed:
         raise ExecutionError(
@@ -1022,6 +1087,8 @@ def _bm25_constants(index: DataFrame) -> tuple[int, int, int | None] | None:
             f"{stats['t_lo']}..{stats['t_hi']}"
             + (f", n_buckets {stats['b_lo']}..{stats['b_hi']}"
                if bucketed else "")
+            + (f", snap_id {stats['s_lo']}..{stats['s_hi']}"
+               if stamped else "")
             + ") — it looks like a union of different index snapshots "
             "or a partial index; rebuild with bm25_index over ONE "
             "corpus snapshot, or merge batches with bm25_index_append"
@@ -1100,11 +1167,15 @@ def bm25_index_append(
     new_dl = new_tf.groupBy("id").agg(
         F.sum("tf").cast("bigint").alias("dl"))
     new_ids = new_dl.select("id")
+    # drop the bucket-0 sentinel (tf = 0) before merging: it is a
+    # per-snapshot stamp, not a posting — a fresh one is re-added for
+    # the merged snapshot below
+    real = index.filter(F.col("tf") > 0)
     # no forced broadcast: AQE broadcasts a small batch's id set (the
     # common case — one scan of the index, no shuffle) and falls back
     # to a shuffled semi join of two integer columns for a huge batch
     overlap = (
-        index.join(new_ids, "id", "left_semi")
+        real.join(new_ids, "id", "left_semi")
         .select("id").limit(1).collect()
     )
     if overlap:
@@ -1123,11 +1194,16 @@ def bm25_index_append(
     total2 = total + int(batch_stats["t"])
 
     merged = (
-        index.select("term", "id", "tf", "dl")
+        real.select("term", "id", "tf", "dl")
         .unionByName(new_tf.join(new_dl, "id")
                      .select("term", "id", "tf", "dl"))
         .localCheckpoint(eager=False)  # feeds df re-agg AND postings
     )
+    # merged-snapshot checksum: xor re-folds exactly, so this equals
+    # the full rebuild's checksum and append ≡ rebuild stays
+    # bit-identical including the snap_id stamp
+    chk2 = merged.agg(F.expr(_BM25_CHK_EXPR).alias("chk")).first()["chk"]
+    snap2 = _bm25_snap_id(int(chk2), n_docs2, total2, n_buckets)
     idf = (
         merged.groupBy("term")
         # (term, id) is unique in postings, so count(*) == df_t —
@@ -1151,6 +1227,7 @@ def bm25_index_append(
             "term", "id", "tf", "dl", "idf_milli",
             F.lit(n_docs2).cast("bigint").alias("n_docs"),
             F.lit(total2).cast("bigint").alias("total"),
+            F.lit(snap2).cast("bigint").alias("snap_id"),
         )
     )
     if n_buckets:
@@ -1160,7 +1237,8 @@ def bm25_index_append(
             "*",
             _bm25_bucket(F.col("term"), n_buckets).alias("bucket"),
             F.lit(n_buckets).cast("int").alias("n_buckets"),
-        )
+        ).unionByName(_bm25_sentinel(
+            index.sparkSession, n_docs2, total2, snap2, n_buckets))
     return out
 
 
@@ -1198,17 +1276,17 @@ def bm25_query(
         # whole-index validation belongs at build/append time
         # (bm25_index_append runs _bm25_constants over the full index).
         #
-        # Residual blind spot (accepted, r9 advice): a RAW union of two
-        # bucketed snapshots with DIFFERENT n_buckets can pass silently
-        # when every touched bucket number happens to hold rows from
-        # only one mapping — the other snapshot's postings for the same
-        # terms sit in differently-numbered buckets, are pruned away,
-        # and the batch scores against a partial index.  Mixed rows
-        # INSIDE a touched bucket still fail loudly (the n_buckets
-        # constant goes two-valued).  The supported multi-snapshot
-        # route is bm25_index_append, which full-validates the union's
-        # constants at append time; hand-unioning index DataFrames
-        # bypasses that contract.
+        # The r9 mixed-n_buckets blind spot is closed STRUCTURALLY
+        # (r9 verdict item 2): every bucketed snapshot carries a
+        # content-derived snap_id constant plus a sentinel posting
+        # pinned to BUCKET 0 (`_bm25_sentinel`), and the scan below
+        # always includes bucket 0 alongside the query terms' buckets.
+        # Bucket 0 exists under every mapping, so a raw union of two
+        # snapshots ALWAYS places both sentinels (two snap_id values)
+        # inside the pruned postings — the constants check fails
+        # loudly even when every query-touched bucket holds rows from
+        # only one mapping (previously silent-partial scoring).  Cost:
+        # one extra bucket directory per batch, same b/N order.
         probe = index.select("n_buckets").limit(1).collect()
         if not probe:
             return index.sparkSession.createDataFrame([], out_schema)
@@ -1229,7 +1307,9 @@ def bm25_query(
             .distinct().collect()
         )
         index = index.filter(
-            F.col("bucket").isin([r["bucket"] for r in hit])
+            # bucket 0 rides along for the sentinel check (see above)
+            F.col("bucket").isin(
+                sorted({0, *(r["bucket"] for r in hit)}))
             if hit else F.lit(False)
         )
         consts = _bm25_constants(index)
@@ -1249,6 +1329,8 @@ def bm25_query(
         if consts is None:
             return index.sparkSession.createDataFrame([], out_schema)
         n_docs, total, n_buckets = consts
+    # sentinel postings (tf = 0, bucket-0 snapshot stamps) never score
+    index = index.filter(F.col("tf") > 0)
     # a small index arrives as ONE file → one scan task, and the whole
     # scoring pipeline (join + partial agg over Σ df(t) candidate rows)
     # would run on a single core regardless of cluster size; widen it
@@ -2527,11 +2609,13 @@ def bm25_index_delete(
     dominant build cost (corpus tokenize) is never paid again.
     Bucketed indexes keep their bucket mapping (the term hash is
     unchanged)."""
-    surv = index.join(
+    surv = index.filter(F.col("tf") > 0).join(
+        # tf > 0 drops the bucket-0 sentinel stamp (not a posting; a
+        # fresh one for the shrunken snapshot is re-added below)
         ids.select(F.col(ids.columns[0] if id_col not in ids.columns
                          else id_col).alias("id")).distinct(),
         "id", "left_anti"
-    ).localCheckpoint(eager=False)  # read by scalars, idf, and output
+    ).localCheckpoint(eager=False)  # read by scalars, chk, idf, output
     docs = surv.select("id", "dl").distinct()
     stats = docs.agg(
         F.count("*").cast("bigint").alias("n"),
@@ -2543,6 +2627,13 @@ def bm25_index_delete(
         return index.sparkSession.createDataFrame(
             [], _BM25_INDEX_SCHEMA_BUCKETED if bucketed
             else _BM25_INDEX_SCHEMA)
+    # surviving-postings checksum: identical xor fold to bm25_index, so
+    # the recomputed snap_id equals the rebuild's stamp and
+    # delete ≡ rebuild stays bit-identical including snap_id
+    nb = (int(surv.select("n_buckets").first()["n_buckets"])
+          if bucketed else None)
+    chk = surv.agg(F.expr(_BM25_CHK_EXPR).alias("chk")).first()["chk"]
+    snap = _bm25_snap_id(int(chk), n_docs, total, nb)
     # identical idf expression shape to bm25_index — the rebuild
     # bit-identity depends on it
     idf = (
@@ -2560,10 +2651,16 @@ def bm25_index_delete(
             ).cast("bigint").alias("idf_milli"),
         )
     )
-    out = surv.drop("idf_milli", "n_docs", "total").join(idf, "term").select(
+    out = surv.drop(
+        "idf_milli", "n_docs", "total", "snap_id"
+    ).join(idf, "term").select(
         "term", "id", "tf", "dl", "idf_milli",
         F.lit(n_docs).cast("bigint").alias("n_docs"),
         F.lit(total).cast("bigint").alias("total"),
+        F.lit(snap).cast("bigint").alias("snap_id"),
         *(["bucket", "n_buckets"] if bucketed else []),
     )
+    if bucketed:
+        out = out.unionByName(_bm25_sentinel(
+            index.sparkSession, n_docs, total, snap, nb))
     return out

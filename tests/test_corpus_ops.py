@@ -1103,6 +1103,104 @@ def test_bm25_query_rejects_mixed_snapshot_index(spark):
         bm25_query(mixed, queries, top_k=3)
 
 
+def test_bm25_query_mixed_n_buckets_union_always_raises(spark, tmp_path):
+    """The r9 structural fix (verdict item 2): a RAW union of two
+    bucketed snapshots with DIFFERENT n_buckets must fail loudly in
+    ALL cases — including the formerly-silent one where every
+    query-touched bucket holds rows from only one mapping (the other
+    snapshot's postings sit in differently-numbered buckets and prune
+    away).  Closed by the bucket-0 sentinel: both snapshots stamp a
+    snap_id sentinel into bucket 0, bm25_query always scans bucket 0,
+    and the pruned-postings constants check sees two snap_ids.
+
+    The hostile case is constructed deterministically: probe every
+    corpus term for one whose bucket under the 16-mapping is >= 8 AND
+    whose bucket-16 directory contains no 8-snapshot rows — exactly
+    the configuration that scored silently against a partial index
+    before the sentinel."""
+    import pytest
+
+    from dbt_core_spark.exceptions import ExecutionError
+    from dbt_core_spark.operators.textstats import (
+        _bm25_bucket,
+        bm25_index,
+        bm25_query,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "zeta eta theta iota kappa"), (11, "lambda mu nu xi"),
+         (12, "omicron pi rho sigma tau")],
+        "doc_id long, text string")
+    idx8 = bm25_index(a, n_buckets=8)
+    idx16 = bm25_index(b, n_buckets=16)
+    union = idx8.unionByName(idx16)
+    # find a b-corpus term living in a bucket >= 8 under the
+    # 16-mapping: no 8-snapshot row can share that bucket number, so
+    # pre-sentinel the pruned postings were single-mapping (silent)
+    terms = [r["term"] for r in idx16.filter("tf > 0")
+             .select("term").distinct().collect()]
+    hostile = None
+    for t in terms:
+        bkt = spark.range(1).select(
+            _bm25_bucket(F.lit(t), 16).alias("b")).first()["b"]
+        if bkt >= 8:
+            hostile = t
+            break
+    assert hostile is not None, "corpus has no term in buckets 8..15"
+    queries = spark.createDataFrame(
+        [(100, hostile)], "doc_id long, text string")
+    with pytest.raises(ExecutionError, match="mixed corpus constants"):
+        bm25_query(union, queries, top_k=3).count()
+    # and the generic colliding-bucket direction still raises too
+    queries2 = spark.createDataFrame(
+        [(101, "alpha zeta")], "doc_id long, text string")
+    with pytest.raises(ExecutionError, match="mixed corpus constants"):
+        bm25_query(union, queries2, top_k=3).count()
+
+
+def test_bm25_snap_id_append_delete_rebuild_identity(spark):
+    """The snap_id stamp must be content-derived, not build-run-derived:
+    append ≡ rebuild and delete ≡ rebuild stay BIT-IDENTICAL including
+    the stamp (and the bucket-0 sentinel row), so the persisted-index
+    lifecycle never produces two different stamps for the same corpus."""
+    from dbt_core_spark.operators.textstats import (
+        bm25_index,
+        bm25_index_append,
+        bm25_index_delete,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "spark engine tuning"), (2, "pasta sauce recipe")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(3, "engine oil change")], "doc_id long, text string")
+    both = old.unionByName(batch)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for nb in (None, 8):
+        appended = bm25_index_append(
+            bm25_index(old, n_buckets=nb).localCheckpoint(eager=False),
+            batch, n_buckets=nb)
+        assert rows(appended) == rows(bm25_index(both, n_buckets=nb))
+        deleted = bm25_index_delete(
+            bm25_index(both, n_buckets=nb).localCheckpoint(eager=False),
+            spark.createDataFrame([(3,)], "id long"))
+        assert rows(deleted) == rows(bm25_index(old, n_buckets=nb))
+        # distinct corpora get distinct stamps
+        snaps = {r["snap_id"] for r in
+                 bm25_index(old, n_buckets=nb).select("snap_id")
+                 .distinct().collect()}
+        snaps2 = {r["snap_id"] for r in
+                  bm25_index(both, n_buckets=nb).select("snap_id")
+                  .distinct().collect()}
+        assert len(snaps) == 1 and len(snaps2) == 1 and snaps != snaps2
+
+
 def test_rrf_fuse_tie_saturated_property(spark):
     """Integer-exactness makes RRF immune to tie-saturated inputs (r6
     verdict item 3): random rankings — including many docs sharing the
@@ -1272,10 +1370,13 @@ def test_bm25_query_constants_check_scoped_to_touched_buckets(
         [(1, term)], "doc_id long, text string")
     qbucket = idx.sparkSession.range(1).select(
         _bm25_bucket(F.lit(term), 16).alias("b")).collect()[0]["b"]
-    # poison n_docs in ONE other bucket: serving must still succeed
+    # poison n_docs in every UNTOUCHED bucket (bucket 0 is always
+    # scanned now — it carries the snapshot sentinel): serving must
+    # still succeed
     poisoned = idx.withColumn(
         "n_docs",
-        F.when(F.col("bucket") != qbucket, F.lit(999999999).cast("bigint"))
+        F.when((F.col("bucket") != qbucket) & (F.col("bucket") != 0),
+               F.lit(999999999).cast("bigint"))
         .otherwise(F.col("n_docs")))
     assert bm25_query(poisoned, queries, top_k=3).count() > 0
     # poison the TOUCHED bucket: loud failure survives the scoping
@@ -2201,7 +2302,8 @@ def test_bm25_index_delete_equals_rebuild(spark):
         df.select("doc_id"))
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == [
-        "term", "id", "tf", "dl", "idf_milli", "n_docs", "total"]
+        "term", "id", "tf", "dl", "idf_milli", "n_docs", "total",
+        "snap_id"]
 
 
 def test_ivf_index_delete_standing_centroids(spark):

@@ -532,8 +532,9 @@ def test_bm25_bucketed_query_prunes_partitions(spark, sf_dir, tmp_path):
     plan = _plan(df)
     # the bucket restriction must be in the scan's PartitionFilters
     # (file-listing pruning), not a post-scan Filter; a single-term
-    # query touches exactly 1 bucket, which Catalyst renders as
-    # `bucket = k` (an IN over one literal folds to equality)
+    # query touches exactly 1 bucket PLUS bucket 0 (the snapshot
+    # sentinel ride-along — the r9 mixed-n_buckets structural fix), so
+    # the literal list carries at most 2 buckets out of 16
     import re as _re
 
     m = _re.search(
@@ -542,8 +543,12 @@ def test_bm25_bucketed_query_prunes_partitions(spark, sf_dir, tmp_path):
     pf = m.group(1)
     eq = _re.findall(r"bucket#\d+ = \d+", pf)
     inlist = _re.search(r"bucket#\d+ IN \(([^)]*)\)", pf)
-    assert (len(eq) == 1 and not inlist) or (
-        inlist and len(inlist.group(1).split(",")) == 1), pf
+    n_literals = (len(inlist.group(1).split(",")) if inlist
+                  else len(eq))
+    assert 1 <= n_literals <= 2, pf
+    # bucket 0 is among the scanned buckets (sentinel contract)
+    if inlist:
+        assert "0" in [s.strip() for s in inlist.group(1).split(",")], pf
 
 
 def test_decontaminate_bloom_prefilter_shape(spark, sf_dir):
