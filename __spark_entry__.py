@@ -3383,8 +3383,13 @@ def credit_card_detect_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.py:detect_credit_cards; RE2-compatible regex
     so DuckDB extracts identically, Luhn fold replayed in SQL).
 
-    STAGED for the round-10 gate window (oracles.ORACLES_STAGED_R10;
-    see streaming_ann_serve_embeddings)."""
+    The card is injected behind a ' #' delimiter (r9 ADVICE): the
+    candidate regex accepts single spaces between digit groups, so a
+    document whose text END in digits would otherwise merge with the
+    appended card into one >19-digit non-candidate and mask the
+    planted positive on both engines.
+
+    Wired in the round-10 gate window (r10 rotation)."""
     from dbt_core_spark.operators.textstats import detect_credit_cards
 
     docs = _t(spark, sf_dir, "documents").filter(
@@ -3396,7 +3401,7 @@ def credit_card_detect_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     ).selectExpr(
         "doc_id",
-        "concat(text, ' ', case when doc_id % 2 = 0"
+        "concat(text, ' #', case when doc_id % 2 = 0"
         " then concat(substr(num, 1, 4), '-', substr(num, 5, 4), '-',"
         " substr(num, 9, 4), '-', substr(num, 13, 4))"
         " else num end) as text",

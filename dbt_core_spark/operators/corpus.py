@@ -1016,10 +1016,13 @@ def oov_rate(
     documents; NULL-text rows are excluded (the family contract).
 
     Scale shape: token counts are row-local; the only corpus shuffle
-    is the per-doc OOV aggregate, and the vocabulary joins as a
-    broadcast anti-join (vocabulary-sized side, ≤ a few 100k rows at
-    any corpus scale).  Returns (id_col, n_tokens, n_oov, oov_micro).
-    """
+    is the per-doc OOV aggregate.  The vocabulary side carries no
+    forced broadcast hint (r9 ADVICE): a tokenizer vocabulary is
+    small (≤ a few 100k rows) and AQE broadcasts it from its measured
+    size, while a caller who passes a corpus-scale term table falls
+    back to Spark's size-based join selection instead of a forced
+    driver/executor OOM.  Returns (id_col, n_tokens, n_oov,
+    oov_micro)."""
     words = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         normalized_words(F.col(text_col)).alias("_w"),
@@ -1027,7 +1030,7 @@ def oov_rate(
     base = words.select("id", F.size("_w").cast("bigint").alias("n_tokens"))
     oov = (
         words.select("id", F.explode("_w").alias("term"))
-        .join(F.broadcast(vocab.select("term")), "term", "left_anti")
+        .join(vocab.select("term"), "term", "left_anti")
         .groupBy("id")
         .agg(F.count("*").cast("bigint").alias("n_oov"))
     )

@@ -181,13 +181,20 @@ def encode_ppm(pixels: "np.ndarray") -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + np.asarray(pixels, dtype="u1").tobytes()
 
 
-def _ppm_header(payload: bytes) -> Optional[tuple[int, int, int, int]]:
-    """Parse a netpbm P6/P5 header: whitespace-separated magic, width,
-    height, maxval tokens ('#' comments skipped), then a single
-    whitespace byte.  Returns (w, h, maxval, pixel_offset) or None."""
-    if payload is None or payload[:2] not in (b"P6", b"P5"):
+def _ppm_header(
+    payload: bytes, start: int = 0
+) -> Optional[tuple[int, int, int, int]]:
+    """Parse a netpbm P6/P5 header at byte offset ``start``:
+    whitespace-separated magic, width, height, maxval tokens ('#'
+    comments skipped), then a single whitespace byte.  Returns
+    (w, h, maxval, pixel_offset) with pixel_offset RELATIVE to
+    ``start``, or None.  The offset form exists for the container
+    walk in video_frame_hashes: parsing each frame header in place
+    keeps the walk linear in payload bytes instead of copying the
+    remaining tail per frame (r9 ADVICE)."""
+    if payload is None or payload[start:start + 2] not in (b"P6", b"P5"):
         return None
-    tokens, pos = [], 2
+    tokens, pos = [], start + 2
     while len(tokens) < 3 and pos < len(payload):
         c = payload[pos:pos + 1]
         if c == b"#":
@@ -196,13 +203,13 @@ def _ppm_header(payload: bytes) -> Optional[tuple[int, int, int, int]]:
         elif c.isspace():
             pos += 1
         else:
-            start = pos
+            tok = pos
             while pos < len(payload) and not payload[pos:pos + 1].isspace():
                 pos += 1
-            tokens.append(payload[start:pos])
+            tokens.append(payload[tok:pos])
     pos += 1  # the single whitespace after maxval
     try:
-        return int(tokens[0]), int(tokens[1]), int(tokens[2]), pos
+        return int(tokens[0]), int(tokens[1]), int(tokens[2]), pos - start
     except (ValueError, IndexError):
         return None
 
@@ -881,7 +888,8 @@ def video_frame_hashes(
                 b = bytes(payload) if payload is not None else None
                 pos, idx = 0, 0
                 while b and pos < len(b) and idx < max_frames:
-                    hdr = _ppm_header(b[pos:])
+                    # in-place header parse at offset pos — no tail copy
+                    hdr = _ppm_header(b, pos)
                     if hdr is None or hdr[2] != 255:
                         break
                     w, h, _maxval, off = hdr

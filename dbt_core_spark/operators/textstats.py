@@ -2359,6 +2359,11 @@ def retrieval_metrics(
     a broadcast k-row discount table for IDCG — nothing corpus-sized
     moves.  Returns (query_col, n_rel, hits, mrr_micro, recall_micro,
     dcg_micro, idcg_micro, ndcg_micro)."""
+    if k < 1:
+        # a k < 1 cutoff would yield an empty discount table, and the
+        # inner n_rel⋈idcg join would silently drop every labeled
+        # query instead of failing (r9 ADVICE)
+        raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
     spark = rankings.sparkSession
     qr = qrels.select(query_col, doc_col).distinct()
     n_rel = qr.groupBy(query_col).agg(

@@ -4237,7 +4237,7 @@ ORACLES_STAGED_R10["naive_bayes_incremental_docs"] = ORACLES_STAGED_R10[
 ORACLES_STAGED_R10["credit_card_detect_docs"] = r"""
 with aug as (
   select doc_id,
-         text || ' ' || case when doc_id % 2 = 0
+         text || ' #' || case when doc_id % 2 = 0
            then substr(num, 1, 4) || '-' || substr(num, 5, 4) || '-'
                 || substr(num, 9, 4) || '-' || substr(num, 13, 4)
            else num end as text

@@ -2089,6 +2089,22 @@ def test_naive_bayes_empty_vocabulary_priors_only(spark):
                    11: ("a", stats["a"]["prior_micro"])}
 
 
+def test_retrieval_metrics_rejects_k_below_one(spark):
+    """k < 1 must raise at entry (r9 ADVICE): an empty discount table
+    would silently drop every labeled query via the n_rel⋈idcg join."""
+    import pytest
+
+    from dbt_core_spark.operators.textstats import retrieval_metrics
+
+    rankings = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, doc_id long, rank int")
+    qrels = spark.createDataFrame(
+        [(1, 10)], "query_id long, doc_id long")
+    for bad_k in (0, -3):
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            retrieval_metrics(rankings, qrels, k=bad_k)
+
+
 def test_retrieval_metrics_hand_computed(spark):
     """Exact micro-unit IR triple: perfect ranking -> NDCG 1e6, a
     no-hit labeled query -> zeros, a labeled query absent from the

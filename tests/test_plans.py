@@ -666,10 +666,13 @@ def test_audio_dup_pairs_landmark_join_never_cartesian(spark):
 
 
 def test_oov_rate_vocab_is_broadcast_anti_join(spark, sf_dir):
-    """OOV rate: the vocabulary must anti-join as a BROADCAST — a
+    """OOV rate: a small vocabulary must anti-join as a BROADCAST — a
     corpus-keyed shuffle against a ≤100k-row vocab would move the
     whole token stream twice — and document text must never cross an
-    exchange (only (id, term) wordcount rows shuffle)."""
+    exchange (only (id, term) wordcount rows shuffle).  The broadcast
+    comes from Spark's size-based selection, NOT a forced hint (r9
+    ADVICE): a corpus-scale term table passed as the vocab falls back
+    to a shuffled join instead of a forced driver OOM."""
     import re
 
     from dbt_core_spark.operators.corpus import oov_rate
