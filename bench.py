@@ -104,6 +104,14 @@ HEADLINE = [
     # dedup (NOTE: totals grow again — compare per-query medians)
     "naive_bayes_language_docs",
     "audio_fingerprint_dedup_docs",
+    # round-10 additions (wired this round): the image and video
+    # halves of multimodal dedup, streaming dense serving, and the
+    # index-deletion lifecycle (NOTE: totals grow again — compare
+    # per-query medians)
+    "multimodal_phash_dedup_docs",
+    "multimodal_video_dedup_docs",
+    "streaming_ann_serve_embeddings",
+    "bm25_index_delete_docs",
 ]
 
 
@@ -207,6 +215,19 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     total_first = round(sum(firsts.values()), 3)
+    # box-noise discipline (r9 verdict item 4): a loaded driver box
+    # inflates FIRST runs far past the steady state (BENCH_r09 recorded
+    # pq_search at 43.4 s first vs a 1.97 s idle-box first) — flag any
+    # first-run > 5× its own median as an outlier so load can't
+    # masquerade as a regression (or hide one), and separate the
+    # outlier excess from the steady-state total in the summary
+    outliers = {
+        name: round(firsts[name] / times[name], 1)
+        for name in times
+        if times[name] > 0 and firsts[name] > 5 * times[name]
+    }
+    outlier_excess = round(
+        sum(firsts[n] - times[n] for n in outliers), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -217,6 +238,10 @@ def main() -> None:
         "parse_warm_ms_per_model": parse_warm_ms,
         "total_first_s": total_first,
         "queries_first": firsts,
+        # first-run > 5× median: name -> first/median ratio (box-load
+        # artifacts; judge the steady state by `value`, the medians)
+        "cold_outliers": outliers,
+        "cold_outlier_excess_s": outlier_excess,
     }
     if sigmas:
         out["queries_sigma"] = sigmas
@@ -245,6 +270,8 @@ def main() -> None:
         "repeats": repeats,
         "sf": sf,
         "n_queries": len(times),
+        "n_cold_outliers": len(outliers),
+        "cold_outlier_excess_s": outlier_excess,
     }))
 
 
