@@ -3298,6 +3298,36 @@ def multimodal_video_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_dup_pairs(hashes)
 
 
+def multimodal_video_align_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-offset video alignment (r9 verdict item 3): the %19==4
+    corpus as concatenated-netpbm clips plus TRIMMED clones (first
+    frame dropped, positions re-based, ids under +1e9) — the exact
+    configuration position-exact video_dup_pairs cannot see.
+    video_dup_pairs_aligned matches frame hashes WITHOUT position in
+    the key and groups candidates by their position delta (the audio
+    landmark dt machinery re-keyed), so every source/trimmed-clone
+    pair surfaces at one consistent offset with nf-1 matched frames
+    (operators/multimodal.py:video_dup_pairs_aligned).  All integer;
+    the DuckDB oracle replays hashes, offset grouping, and the
+    best-offset window from the gradient formula.
+
+    STAGED for the round-11 gate window (oracles.ORACLES_STAGED_R11)."""
+    from dbt_core_spark.operators.multimodal import (
+        synth_video,
+        video_dup_pairs_aligned,
+        video_frame_hashes,
+    )
+
+    corpus = _t(spark, sf_dir, "documents").filter("doc_id % 19 = 4")
+    media = synth_video(corpus)
+    trimmed = synth_video(corpus, frame_offset=1).select(
+        (F.col("media_id") + F.lit(10**9)).alias("media_id"), "data")
+    # sealed: the hash-key self-join consumes the frame on both sides
+    hashes = video_frame_hashes(
+        media.unionByName(trimmed)).localCheckpoint(eager=False)
+    return video_dup_pairs_aligned(hashes, min_frames=2)
+
+
 def bm25_index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 index deletion lifecycle: build the postings index once,
     tombstone the doc_id%6==0 documents WITHOUT re-tokenizing (df/idf

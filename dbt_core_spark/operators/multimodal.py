@@ -809,7 +809,8 @@ def _ahash_bands(g: "np.ndarray", grid: int = 8,
 
 
 def synth_video(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                frame_offset: int = 0) -> DataFrame:
     """Deterministic VIDEO payload synthesis — the third media type of
     the synthetic corpus: a clip is ``2 + id % 7`` concatenated binary
     P6 frames of (4 + id%13)×(3 + id%7) pixels, frame ``f`` filled
@@ -818,7 +819,14 @@ def synth_video(df: DataFrame, text_col: str = "text",
     frame-level features are analytically predictable and the REAL
     container-walk decode path is oracle-checkable in SQL.  Every
     document gets a payload (NULL text irrelevant — frames derive
-    from the id alone)."""
+    from the id alone).
+
+    ``frame_offset`` drops the first N frames (content frames
+    ``frame_offset .. nf-1``, container positions re-based to 0) — a
+    deterministic TRIMMED clip for exercising temporal-offset
+    alignment (video_dup_pairs_aligned): the trimmed clone's frame at
+    container position p has the content of the source's frame
+    p + frame_offset."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -827,7 +835,7 @@ def synth_video(df: DataFrame, text_col: str = "text",
                 mid = int(mid)
                 w, h = 4 + mid % 13, 3 + mid % 7
                 frames = []
-                for f in range(2 + mid % 7):
+                for f in range(frame_offset, 2 + mid % 7):
                     xs = np.arange(w)[None, :] * 3
                     ys = np.arange(h)[:, None] * 7
                     plane = ((mid + xs + ys + 11 * f) % 256).astype("u1")
@@ -944,4 +952,73 @@ def video_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_frames_matched"))
         .filter(F.col("n_frames_matched") >= min_frames)
+    )
+
+
+def video_dup_pairs_aligned(
+    frame_hashes: DataFrame,
+    min_frames: int = 2,
+    max_ids_per_hash: Optional[int] = None,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Temporal-offset-TOLERANT video near-duplicate pairs — the
+    alignment leg ``video_dup_pairs`` lacks (its docstring named this
+    route; r9 verdict item 3): clips sharing ≥ ``min_frames`` frames
+    whose aHashes match at ONE CONSISTENT temporal offset, so a clip
+    trimmed or shifted by any number of frames still pairs with its
+    source.  This is the audio tier's landmark machinery re-keyed
+    (audio_dup_pairs groups matched constellation keys by their
+    dt-bucket; here matched frame hashes group by their position
+    delta): a 64-bit-hash equi-join proposes (frame of A, frame of B)
+    candidates, Δ = pos_b − pos_a is the implied alignment, and a
+    per-(pair, Δ) count ≥ min_frames confirms a consistent overlap —
+    random single-frame hash collisions scatter across offsets and
+    never accumulate.
+
+    ``max_ids_per_hash`` drops frame hashes appearing in more than
+    that many clips BEFORE the pair join (title cards, black frames —
+    the boilerplate of video): at corpus scale a common frame is
+    evidence of nothing and would otherwise fan out quadratically
+    inside its hash block.  None (default) keeps every hash — exact
+    small-corpus behavior; production sets a cap so per-hash work is
+    bounded by cap².
+
+    Scale shape: one equi-join on the full 64-bit hash (never
+    all-pairs; the position is deliberately NOT in the key), one
+    (pair, Δ) count, one per-pair window for the best alignment.
+    Returns (id_a, id_b, offset, n_frames_matched) with id_a < id_b —
+    one row per pair at its best offset (ties: higher count, then
+    smaller offset)."""
+    keys = frame_hashes.filter(F.col("h0").isNotNull()).select(
+        id_col, "frame_idx", "h0", "h1", "h2", "h3").distinct()
+    if max_ids_per_hash is not None:
+        common = (
+            keys.groupBy("h0", "h1", "h2", "h3")
+            .agg(F.countDistinct(id_col).alias("_n_ids"))
+            .filter(F.col("_n_ids") > max_ids_per_hash)
+            .select("h0", "h1", "h2", "h3")
+        )
+        keys = keys.join(common, ["h0", "h1", "h2", "h3"], "left_anti")
+    a = keys.select(F.col(id_col).alias("id_a"),
+                    F.col("frame_idx").alias("pos_a"),
+                    "h0", "h1", "h2", "h3")
+    b = keys.select(F.col(id_col).alias("id_b"),
+                    F.col("frame_idx").alias("pos_b"),
+                    "h0", "h1", "h2", "h3")
+    by_offset = (
+        a.join(b, ["h0", "h1", "h2", "h3"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b",
+            (F.col("pos_b") - F.col("pos_a")).cast("int").alias("offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= min_frames)
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("n_frames_matched").desc(), F.col("offset"))
+    return (
+        by_offset.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id_a", "id_b", "offset", "n_frames_matched")
     )

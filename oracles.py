@@ -4408,3 +4408,70 @@ ORACLES.update(ORACLES_STAGED_R10)
 ORACLES_STAGED_R10 = {}
 
 ORACLES_STAGED_R11: dict[str, str] = {}
+
+
+# r10 temporal-offset video alignment: the video gate's gradient-clip
+# corpus plus TRIMMED clones (first frame dropped, container positions
+# re-based to 0, ids under +1e9).  Per-frame aHash replays the video
+# oracle's grid math with the CONTENT frame index (cf) driving the
+# gradient and the container POSITION (pos) driving the pair key;
+# candidates join on the full 64-bit hash with position deliberately
+# out of the key, group by the position delta, and keep the best
+# offset per pair (count desc, offset asc — the
+# video_dup_pairs_aligned window).  Staged r11.
+ORACLES_STAGED_R11["multimodal_video_align_docs"] = """
+with corpus as (
+  select doc_id from documents where doc_id % 19 = 4
+), clip as (
+  select doc_id as media_id, doc_id as src,
+         4 + doc_id % 13 as w, 3 + doc_id % 7 as h,
+         2 + doc_id % 7 as nf, 0 as f0
+  from corpus
+  union all
+  select doc_id + 1000000000, doc_id, 4 + doc_id % 13,
+         3 + doc_id % 7, 2 + doc_id % 7, 1
+  from corpus
+), frames as (
+  select c.media_id, c.src, c.w, c.h, f.f as cf, f.f - c.f0 as pos
+  from clip c join (select unnest(range(9)) as f) f
+    on f.f >= c.f0 and f.f < c.nf
+), grid as (
+  select y.ty, x.tx, (y.ty * 8 + x.tx) as p
+  from (select unnest(range(8)) as ty) y
+  cross join (select unnest(range(8)) as tx) x
+), samp as (
+  select fr.media_id, fr.pos, g.p,
+         3 * ((fr.src + 3 * ((g.tx * fr.w) // 8)
+                      + 7 * ((g.ty * fr.h) // 8)
+                      + 11 * fr.cf) % 256) as gv
+  from frames fr cross join grid g
+), tot as (
+  select media_id, pos, sum(gv) as s from samp group by 1, 2
+), bands as (
+  select s.media_id, s.pos, s.p // 16 as band,
+         cast(sum(case when 64 * s.gv > t.s
+                       then 1 << (s.p % 16) else 0 end) as int) as bv
+  from samp s join tot t on t.media_id = s.media_id and t.pos = s.pos
+  group by 1, 2, 3
+), hashes as (
+  select media_id, pos,
+         max(case when band = 0 then bv end) as h0,
+         max(case when band = 1 then bv end) as h1,
+         max(case when band = 2 then bv end) as h2,
+         max(case when band = 3 then bv end) as h3
+  from bands group by 1, 2
+), paired as (
+  select a.media_id as id_a, b.media_id as id_b,
+         cast(b.pos - a.pos as int) as "offset",
+         cast(count(*) as bigint) as n_frames_matched
+  from hashes a
+  join hashes b on b.h0 = a.h0 and b.h1 = a.h1 and b.h2 = a.h2
+               and b.h3 = a.h3 and b.media_id > a.media_id
+  group by 1, 2, 3
+  having count(*) >= 2
+)
+select id_a, id_b, "offset", n_frames_matched
+from paired
+qualify row_number() over (partition by id_a, id_b
+                           order by n_frames_matched desc, "offset") = 1
+"""

@@ -781,6 +781,86 @@ def main() -> None:
               f"{rows} pairs, shuffle={fmt_bytes(a['shuffle_bytes'])}",
               file=sys.stderr)
 
+    # ---- video alignment tier (r10): per-frame aHash + offset-
+    # grouped pairs over synthetic concatenated-netpbm decades.  The
+    # replica-decorrelation rule a third time: synth_video's pure
+    # gradient shares ONE aHash across every no-wrap frame of every
+    # same-dims clip (the threshold pattern is base-invariant), so
+    # replicas would collide into a corpus-wide hash clique (probe
+    # artifact, quadratic).  The probe therefore textures each frame
+    # with a Knuth-hash pseudo-random pattern keyed by (src, rep,
+    # frame); each replica carries a one-frame-TRIMMED clone per clip
+    # — the structure position-exact matching cannot see — so pair
+    # density stays ~constant and the total is linear.
+    from dbt_core_spark.operators.multimodal import (
+        encode_ppm,
+        video_dup_pairs_aligned,
+        video_frame_hashes,
+    )
+
+    def replicate_video_media(factor: int) -> str:
+        path = f"/tmp/scale_probe_video_x{factor}"
+        if not os.path.exists(path):
+            import numpy as np
+            import pandas as pd
+
+            ids = spark.read.parquet(f"{BASE}/documents.parquet").filter(
+                "doc_id % 19 = 4").select("doc_id")
+            grid = ids.crossJoin(
+                spark.range(factor).select(F.col("id").alias("rep"))
+            ).select(
+                (F.col("doc_id") + F.col("rep") * KEY_STRIDE)
+                .alias("media_id"),
+                F.col("doc_id").alias("src"), "rep",
+            )
+
+            def synth(batches):
+                for pdf in batches:
+                    out = []
+                    for mid, src, rep in zip(pdf["media_id"],
+                                             pdf["src"], pdf["rep"]):
+                        mid, src, rep = int(mid), int(src), int(rep)
+                        w, h = 4 + src % 13, 3 + src % 7
+                        nf = 3 + src % 5
+                        eff = src * 104729 + rep * 7919
+                        frames = []
+                        for f in range(nf):
+                            idx = np.arange(w * h, dtype="i8")
+                            x = eff + 131 * f + idx
+                            px = ((((x * 2654435761) % (2 ** 31))
+                                   // 65536) % 256).astype("u1")
+                            px = px.reshape(h, w)
+                            frames.append(encode_ppm(
+                                np.repeat(px[:, :, None], 3, axis=2)))
+                        out.append((mid, b"".join(frames)))
+                        # one-frame-trimmed clone
+                        out.append((mid + 500 * KEY_STRIDE,
+                                    b"".join(frames[1:])))
+                    yield pd.DataFrame(out, columns=["media_id", "data"])
+
+            grid.repartition(max(4, factor)).mapInPandas(
+                synth, "media_id long, data binary"
+            ).write.mode("overwrite").parquet(path)
+        return path
+
+    vd_results: dict[int, tuple] = {}
+    vd_meta: dict[int, int] = {}
+    for factor in SCALES:
+        media = spark.read.parquet(replicate_video_media(factor))
+        vd_meta[factor] = media.count()
+
+        def vd_flow():
+            hashes = video_frame_hashes(media).localCheckpoint(
+                eager=False)
+            return video_dup_pairs_aligned(hashes, min_frames=2)
+
+        vd_results[factor] = run_count(vd_flow)
+        rows, wall, a = vd_results[factor]
+        print(f"== video x{factor}: {vd_meta[factor]} clips, {wall}s, "
+              f"{rows} aligned pairs, "
+              f"shuffle={fmt_bytes(a['shuffle_bytes'])}",
+              file=sys.stderr)
+
     lines = [
         "# SCALING — ANN + dedup tiers, measured across two decades",
         "",
@@ -1258,6 +1338,48 @@ def main() -> None:
         "peaks (the same pipeline over wav_spectrogram bins) — the "
         "frame-energy landmark here is the integer-exact reduction "
         "that keeps the oracle replayable.",
+        "",
+        "## Video alignment tier (per-frame aHash + offset-grouped "
+        "pairs)",
+        "",
+        "Synthetic concatenated-netpbm decades under a Knuth-hash "
+        "per-frame texture (synth_video's pure gradient shares one "
+        "aHash across every no-wrap same-dims frame — replicas would "
+        "collide into a corpus-wide hash clique, a probe artifact); "
+        "each replica carries a one-frame-TRIMMED clone per clip — "
+        "the structure position-exact video_dup_pairs cannot see.",
+        "",
+        "| scale | clips | wall s | aligned pairs (>=2 frames @ one "
+        "offset) | final-job shuffle | shuffle rows |",
+        "|---|---|---|---|---|---|",
+    ]
+    for factor in SCALES:
+        rows, wall, a = vd_results[factor]
+        lines.append(
+            f"| ×{factor} | {vd_meta[factor]:,} | {wall} | {rows:,} "
+            f"| {fmt_bytes(a['shuffle_bytes'])} "
+            f"| {a['shuffle_records']:,} |")
+    vd1, vd100 = vd_results[1], vd_results[100]
+    lines += [
+        "",
+        f"- **Hash-blocked, never all-pairs**: wall grows "
+        f"{vd100[1] / max(vd1[1], 0.01):.1f}× for 100× the clips "
+        f"({vd1[1]}s → {vd100[1]}s) — the container walk is one "
+        "linear in-place Arrow pass (the payload never shuffles; what "
+        "moves is id + frame position + four 16-bit band ints per "
+        "frame), the candidate join only meets frames sharing a full "
+        "64-bit aHash, and the offset grouping confirms one "
+        "consistent Δ per pair.",
+        f"- **Alignment recovered at every scale**: "
+        f"{vd1[0]:,} → {vd100[0]:,} pairs — every source/trimmed-"
+        "clone pair surfaces at offset -1 with nf-1 matched frames; "
+        "random single-frame hash collisions scatter across offsets "
+        "and never reach min_frames at one Δ.",
+        "- Production corpora cap hash-block fanout with "
+        "max_ids_per_hash (off here): title cards and black frames "
+        "are the video boilerplate — a hash shared by hundreds of "
+        "clips is evidence of nothing and is dropped BEFORE the pair "
+        "join.",
         "",
         "## Trainable-filter tier (Naive Bayes + OOV monitor)",
         "",

@@ -1752,6 +1752,41 @@ def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     assert ok, msg
 
 
+def test_staged_r11_gates_match_oracles(spark, sf_dir):
+    """Pre-verifies every STAGED round-11 gate row end to end: the
+    exact __spark_entry__ callable vs the exact
+    oracles.ORACLES_STAGED_R11 SQL, through the validator's own
+    compare (types + row hash), on the real sf corpus — so wiring
+    them into the r11 window is a pure dict move with no new
+    behavior.  Iterates the dict (not a pinned param list) so gates
+    staged later this round are covered the moment they land."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from oracles import ORACLES_STAGED_R11
+
+    if not ORACLES_STAGED_R11:
+        pytest.skip("no staged r11 gates yet")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_vo_staged11", os.path.join(root, "scripts", "validate_oracles.py"))
+    vo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vo)
+
+    con = duckdb.connect()
+    for tbl in ("documents", "embeddings"):
+        con.execute(
+            f"create view {tbl} as select * from '{sf_dir}/{tbl}.parquet'")
+    for staged_name in ORACLES_STAGED_R11:
+        ok, msg = vo.compare(
+            staged_name, spark, con, sf_dir,
+            getattr(em, staged_name), ORACLES_STAGED_R11[staged_name])
+        assert ok, f"{staged_name}: {msg}"
+
+
 def test_corpus_diff_hand_computed(spark):
     """All four statuses on a tiny hand corpus; NULL text is a distinct
     content state (NULL→text and text→NULL are CHANGES, NULL→NULL is
