@@ -2950,6 +2950,33 @@ def perceptron_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptron_apply(docs, model, dim=64)
 
 
+def pr_curve_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold selection (r9 verdict item 5): the binary
+    perceptron language filter's scores swept over every distinct
+    threshold — predict positive iff score >= t — against the gold
+    en-language id set, yielding the full precision/recall/F1 curve
+    in ONE pass (operators/textstats.py:pr_curve; row-identical to
+    classification_metrics per threshold, pytest-pinned).  Cumulative
+    bigint confusion counts down the threshold lattice, micro-unit
+    ratios; the DuckDB oracle replays the perceptron training AND the
+    sweep's windows.
+
+    STAGED for the round-11 gate window (oracles.ORACLES_STAGED_R11)."""
+    from dbt_core_spark.operators.textstats import (
+        perceptron_apply,
+        perceptron_train,
+        pr_curve,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(-1))
+    model = perceptron_train(labeled, "y", dim=64, epochs=3)
+    scored = perceptron_apply(docs, model, dim=64)
+    pos = docs.filter("lang = 'en'").select("doc_id")
+    return pr_curve(scored, pos)
+
+
 def perceptron_ovr_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-CLASS in-engine training (r8 perceptron-family depth step):
     five one-vs-rest batch perceptrons — one per language — trained

@@ -2669,3 +2669,95 @@ def bm25_index_delete(
         out = out.unionByName(_bm25_sentinel(
             index.sparkSession, n_docs, total, snap, nb))
     return out
+
+
+def pr_curve(
+    scored: DataFrame,
+    positives: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    quantize: int | None = None,
+) -> DataFrame:
+    """Precision/recall as a function of score threshold — the
+    filter-threshold-selection verb the trainable tier was missing
+    (r9 verdict item 5): the perceptron and NB filters serve at a
+    fixed decision rule today, but picking an operating point for a
+    quality/PII/language filter needs the whole sweep.  One row per
+    DISTINCT score value t, evaluating the rule ``predict positive iff
+    score >= t`` over the scored corpus against the gold positive-id
+    set — row-identical to running ``classification_metrics`` once per
+    threshold and reading the positive class (pytest-pinned), at the
+    cost of ONE pass.
+
+    Integer-exact (the classification_metrics discipline): confusion
+    counts are cumulative bigint sums down the sorted threshold lattice
+    and every rate is bigint division in micro units
+    (f1 = 2·tp·1e6 div (2·tp + fp + fn)).
+
+    ``quantize`` coarsens scores onto a lattice (floor to a multiple
+    of ``quantize``) BEFORE the sweep — the scale lever: the
+    cumulative window runs over DISTINCT thresholds in one task, so a
+    score domain with unbounded cardinality (raw dot products over a
+    100 TB corpus) is capped to (score range)/quantize rows.  None
+    keeps every distinct score (exact sweep).
+
+    Gold positives are evaluated over the SCORED corpus (inner-id
+    semantics, the classification_metrics join): positive ids missing
+    from ``scored`` do not enter total_pos — score the full corpus if
+    coverage matters.
+
+    Scale shape: one left-semi-flag join (AQE broadcasts a small
+    positive set), one per-threshold aggregate (wordcount-shaped,
+    map-side partials), then the cumulative window over distinct
+    thresholds only — the corpus never enters a window.  Returns
+    (threshold, n_pred, tp, fp, fn, precision_micro, recall_micro,
+    f1_micro)."""
+    if quantize is not None and quantize < 1:
+        raise ValueError(f"pr_curve: quantize must be >= 1, got {quantize}")
+    pos = positives.select(
+        F.col(positives.columns[0] if id_col not in positives.columns
+              else id_col).alias("_id")
+    ).distinct().withColumn("_is_pos", F.lit(1))
+    thr_expr = F.col("_score") if quantize is None else F.expr(
+        # floor-to-lattice for signed ints (truncated % on both
+        # engines: subtract the positive residue)
+        f"_score - ((_score % {quantize}) + {quantize}) % {quantize}")
+    lab = (
+        scored.filter(F.col(score_col).isNotNull())
+        .select(F.col(id_col).alias("_id"),
+                F.col(score_col).cast("bigint").alias("_score"))
+        .join(pos, "_id", "left")
+        .select(thr_expr.cast("bigint").alias("threshold"),
+                F.coalesce("_is_pos", F.lit(0)).alias("_is_pos"))
+    )
+    per = lab.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("_is_pos").cast("bigint").alias("_np"),
+    )
+    # cumulative sums down the threshold lattice: rows here are
+    # DISTINCT thresholds (bounded by quantize), never the corpus
+    w_cum = Window.orderBy(F.col("threshold").desc())
+    w_all = Window.partitionBy()
+    return (
+        per.select(
+            "threshold",
+            F.sum("_n").over(w_cum).cast("bigint").alias("n_pred"),
+            F.sum("_np").over(w_cum).cast("bigint").alias("tp"),
+            F.sum("_np").over(w_all).cast("bigint").alias("_total_pos"),
+        )
+        .select(
+            "threshold", "n_pred", "tp",
+            (F.col("n_pred") - F.col("tp")).cast("bigint").alias("fp"),
+            (F.col("_total_pos") - F.col("tp")).cast("bigint").alias("fn"),
+            F.expr("(tp * 1000000) div n_pred").cast("bigint")
+            .alias("precision_micro"),
+            F.expr("case when _total_pos = 0 then 0 "
+                   "else (tp * 1000000) div _total_pos end").cast("bigint")
+            .alias("recall_micro"),
+            F.expr("case when 2 * tp + (n_pred - tp) "
+                   "+ (_total_pos - tp) = 0 then 0 "
+                   "else (2 * tp * 1000000) div (2 * tp + (n_pred - tp) "
+                   "+ (_total_pos - tp)) end").cast("bigint")
+            .alias("f1_micro"),
+        )
+    )

@@ -4475,3 +4475,45 @@ from paired
 qualify row_number() over (partition by id_a, id_b
                            order by n_frames_matched desc, "offset") = 1
 """
+
+
+# r10 threshold sweep / PR curve: the binary perceptron's served
+# scores (full training replay above) swept over every distinct
+# threshold against the gold en-language ids.  Cumulative bigint
+# confusion counts via desc-ordered windows over the DISTINCT
+# threshold lattice; micro-unit ratios with the classification_metrics
+# divisions (f1 = 2tp·1e6 div (2tp+fp+fn)).  Staged r11.
+ORACLES_STAGED_R11["pr_curve_language_docs"] = f"""
+with scored as (
+  select * from ({ORACLES["perceptron_language_docs"]}) s0
+), pos as (
+  select distinct doc_id from documents where lang = 'en'
+), lab as (
+  select s.score as threshold,
+         case when p.doc_id is not null then 1 else 0 end as is_pos
+  from scored s left join pos p using (doc_id)
+), per as (
+  select threshold, cast(count(*) as bigint) as n,
+         cast(sum(is_pos) as bigint) as np
+  from lab group by 1
+), cum as (
+  select threshold,
+         cast(sum(n) over (order by threshold desc) as bigint) as n_pred,
+         cast(sum(np) over (order by threshold desc) as bigint) as tp,
+         cast(sum(np) over () as bigint) as total_pos
+  from per
+)
+select threshold, n_pred, tp,
+       cast(n_pred - tp as bigint) as fp,
+       cast(total_pos - tp as bigint) as fn,
+       cast((tp * 1000000) // n_pred as bigint) as precision_micro,
+       cast(case when total_pos = 0 then 0
+                 else (tp * 1000000) // total_pos end as bigint)
+         as recall_micro,
+       cast(case when 2 * tp + (n_pred - tp) + (total_pos - tp) = 0
+                 then 0
+                 else (2 * tp * 1000000)
+                      // (2 * tp + (n_pred - tp) + (total_pos - tp))
+            end as bigint) as f1_micro
+from cum
+"""

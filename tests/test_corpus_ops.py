@@ -2498,3 +2498,72 @@ def test_classification_metrics_random_property(spark, seed):
         assert row["f1_micro"] == (
             2 * tp[c] * 1000000 // (2 * tp[c] + fp[c] + fn[c])
             if 2 * tp[c] + fp[c] + fn[c] else 0)
+
+
+def test_pr_curve_equals_classification_metrics_per_threshold(spark):
+    """pr_curve row-identity: at every distinct threshold t, the sweep
+    row equals classification_metrics of the rule `pos iff score >= t`
+    read at the positive class — confusion counts, precision, recall,
+    and F1, all micro-exact."""
+    from dbt_core_spark.operators.textstats import (
+        classification_metrics,
+        pr_curve,
+    )
+
+    # pseudo-random scores with ties and negatives; labels via LCG
+    rows = []
+    x = 7
+    for i in range(60):
+        x = (x * 1103515245 + 12345) % (2 ** 31)
+        rows.append((i, (x % 21) - 10, 1 if (x >> 8) % 3 == 0 else 0))
+    scored = spark.createDataFrame(
+        [(i, s) for i, s, _ in rows], "doc_id long, score long")
+    positives = spark.createDataFrame(
+        [(i,) for i, _, p in rows if p], "doc_id long")
+    curve = {r["threshold"]: r for r in pr_curve(scored, positives).collect()}
+    assert len(curve) == len({s for _, s, _ in rows})
+    gold = spark.createDataFrame(
+        [(i, "pos" if p else "neg") for i, _, p in rows],
+        "doc_id long, label string")
+    for t, row in curve.items():
+        preds = scored.select(
+            "doc_id",
+            F.when(F.col("score") >= t, F.lit("pos"))
+            .otherwise(F.lit("neg")).alias("label"))
+        ref = {r["cls"]: r
+               for r in classification_metrics(preds, gold).collect()}
+        want = ref.get("pos")
+        assert want is not None
+        assert (row["tp"], row["fp"], row["fn"]) == (
+            want["tp"], want["fp"], want["fn"]), t
+        assert row["n_pred"] == want["n_pred"], t
+        assert row["precision_micro"] == want["precision_micro"], t
+        assert row["recall_micro"] == want["recall_micro"], t
+        assert row["f1_micro"] == want["f1_micro"], t
+
+
+def test_pr_curve_quantize_and_guards(spark):
+    """quantize floors scores (negative included) onto the lattice and
+    bounds the threshold count; quantize < 1 raises; an empty positive
+    set yields recall/f1 0 with precision still exact."""
+    import pytest
+
+    from dbt_core_spark.operators.textstats import pr_curve
+
+    scored = spark.createDataFrame(
+        [(1, -7), (2, -1), (3, 0), (4, 2), (5, 9), (6, 9)],
+        "doc_id long, score long")
+    positives = spark.createDataFrame([(4,), (5,)], "doc_id long")
+    got = {r["threshold"]: r
+           for r in pr_curve(scored, positives, quantize=3).collect()}
+    # lattice: -7→-9, -1→-3, 0→0, 2→0, 9→9 — four thresholds
+    assert set(got) == {-9, -3, 0, 9}
+    assert got[9]["n_pred"] == 2 and got[9]["tp"] == 1
+    assert got[0]["n_pred"] == 4 and got[0]["tp"] == 2
+    assert got[0]["recall_micro"] == 1000000
+    with pytest.raises(ValueError, match="quantize"):
+        pr_curve(scored, positives, quantize=0)
+    none_pos = pr_curve(
+        scored, spark.createDataFrame([(99,)], "doc_id long")).collect()
+    assert all(r["recall_micro"] == 0 and r["f1_micro"] == 0
+               and r["tp"] == 0 for r in none_pos)
