@@ -3409,6 +3409,45 @@ def ann_ivf_index_delete_embeddings(
                             k=3, n_probe=4)
 
 
+def ann_ivf_lifecycle_embeddings(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED index-deletion lifecycle (r9 verdict item 6): build a
+    deliberately coarse IVF index (4 cells), DELETE the vec_id%6==0
+    tombstones from the assignments (standing centroids — FAISS
+    remove_ids semantics), REBALANCE the survivor-hot cells at
+    max_cell_rows=25 (sub-centroids seed from stride-spread SURVIVING
+    members; the empty-cell fresh-id guard is exactly the code path a
+    post-delete index exercises), then SERVE the %20 query batch on
+    the rebalanced snapshot.  Every step is the already-gated operator
+    — what this gate pins is their COMPOSITION: the oracle replays
+    delete → rebalance → search end-to-end in one SQL query
+    (operators/similarity.py:ivf_index_delete,ivf_index_rebalance,
+    ivf_index_search).
+
+    STAGED for the round-11 gate window (oracles.ORACLES_STAGED_R11)."""
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_delete,
+        ivf_index_rebalance,
+        ivf_index_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, assigns = ivf_index_build(emb, n_cells=4, kmeans_iters=0)
+    assigns = ivf_index_delete(
+        assigns, emb.filter("vec_id % 6 = 0").select("vec_id"))
+    # sealed: rebalance consumes the post-delete assignments four ways
+    # (counts, seeds, moved, cold) — the ≥2-branch lineage rule
+    assigns = assigns.localCheckpoint(eager=False)
+    cents2, assigns2 = ivf_index_rebalance(cents, assigns,
+                                           max_cell_rows=25)
+    # sealed: serving probes read the standing snapshot, not a replay
+    assigns2 = assigns2.localCheckpoint(eager=False)
+    return ivf_index_search(cents2, assigns2,
+                            emb.filter("vec_id % 20 = 0"),
+                            k=3, n_probe=4)
+
+
 def classifier_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation closing the loop on the trainer tier: the
     naive_bayes_language_docs predictions on the held-out third scored

@@ -4517,3 +4517,99 @@ select threshold, n_pred, tp,
             end as bigint) as f1_micro
 from cum
 """
+
+
+# r10 composed deletion lifecycle: delete -> rebalance -> serve on one
+# IVF index in a single replay.  assign is the standing-centroid
+# assignment MINUS the %6 tombstones (the delete gate's semantics);
+# the rebalance CTEs (cnt/hot/seeds/numbered/moved — max_cell_rows=25,
+# stride-spread survivor seeding, fresh ids from max(centroid cell)+1)
+# run over the SURVIVORS; the search replay then ranks the %20 query
+# batch against the post-rebalance centroid set (standing cold cells +
+# normalized sub-centroids) and probes 4 cells.  Staged r11.
+ORACLES_STAGED_R11["ann_ivf_lifecycle_embeddings"] = f"""
+with v0 as (
+    select vec_id, embedding::DOUBLE[] as e from embeddings
+), v as (
+    select vec_id, e, sqrt({_dot_sql('e', 'e')}) as vn from v0
+    where {_dot_sql('e', 'e')} > 0
+      and {_dot_sql('e', 'e')} < 'infinity'::double
+), cents as (
+    select row_number() over (order by vec_id) - 1 as cell, e as ce,
+           vn as cn
+    from (select * from v order by vec_id limit 4) s
+), rk as (
+    select v.vec_id as id, v.e, v.vn, c.cell,
+           row_number() over (partition by v.vec_id
+                              order by round({_dot_sql('v.e', 'c.ce')}
+                                             / (v.vn * c.cn), 6) desc,
+                                       c.cell) as r
+    from v, cents c
+), assign as (
+    select id, e, vn, cast(cell as bigint) as cell from rk
+    where r = 1 and id % 6 <> 0
+), cnt as (
+    select cell, cast(count(*) as bigint) as n from assign group by 1
+), hot as (
+    select cell, cast(ceil(n / 25.0) as bigint) as k_c
+    from cnt where n > 25
+), seeds as (
+    select cell, se, sn, cast(rn // stride as bigint) as sub_idx
+    from (
+      select a.cell, a.e as se, a.vn as sn,
+             row_number() over (partition by a.cell order by a.id) - 1
+               as rn,
+             h.k_c, greatest(1, c.n // h.k_c) as stride
+      from assign a join hot h using (cell) join cnt c using (cell)
+    ) where rn % stride = 0 and rn // stride < k_c
+), numbered as (
+    select cell, se, sn, sub_idx,
+           (select max(cell) from cents) + row_number()
+             over (order by cell, sub_idx) as new_cell
+    from seeds
+), moved as (
+    select a.id,
+           cast(n.new_cell as bigint) as cell,
+           row_number() over (partition by a.id
+                              order by round({_dot_sql('a.e', 'n.se')}
+                                             / (a.vn * n.sn), 6) desc,
+                                       n.sub_idx) as r
+    from assign a
+    join hot h using (cell)
+    join numbered n on n.cell = a.cell
+), newassign as (
+    select id, cell from moved where r = 1
+    union all
+    select a.id, a.cell
+    from assign a left join hot h using (cell) where h.cell is null
+), allcents as (
+    select c.cell, c.ce, c.cn
+    from cents c left join hot h using (cell) where h.cell is null
+    union all
+    select cast(n.new_cell as bigint), n.se, n.sn from numbered n
+), qrk as (
+    select q.vec_id as query_id, ac.cell,
+           row_number() over (partition by q.vec_id
+                              order by round({_dot_sql('q.e', 'ac.ce')}
+                                             / (q.vn * ac.cn), 6) desc,
+                                       ac.cell) as r
+    from v q, allcents ac
+    where q.vec_id % 20 = 0
+), probes as (
+    select query_id, cell from qrk where r <= 4
+), scored as (
+    select p.query_id, m.id as nbr_id,
+           {_dot_sql('q.e', 'mv.e')} / (q.vn * mv.vn) as cosine
+    from probes p
+    join newassign m using (cell)
+    join v q on q.vec_id = p.query_id
+    join v mv on mv.vec_id = m.id
+    where p.query_id <> m.id
+)
+select query_id, nbr_id, round(cosine, 6) as cosine,
+       cast(row_number() over (partition by query_id
+                               order by round(cosine, 6) desc, nbr_id)
+            as int) as rank
+from scored
+qualify rank <= 3
+"""

@@ -2567,3 +2567,34 @@ def test_pr_curve_quantize_and_guards(spark):
         scored, spark.createDataFrame([(99,)], "doc_id long")).collect()
     assert all(r["recall_micro"] == 0 and r["f1_micro"] == 0
                and r["tp"] == 0 for r in none_pos)
+
+
+def test_bm25_delete_then_append_equals_rebuild(spark):
+    """The BM25 half of the composed deletion lifecycle (r9 verdict
+    item 6): delete a document set, then append a new batch — the
+    result is BIT-IDENTICAL (snap_id and sentinel included) to
+    rebuilding on (corpus - deleted + batch), plain and bucketed."""
+    from dbt_core_spark.operators.textstats import (
+        bm25_index,
+        bm25_index_append,
+        bm25_index_delete,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"term{i % 4} shared common word{i}") for i in range(10)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(20, "shared fresh ingest"), (21, "term1 fresh")],
+        "doc_id long, text string")
+    dead = spark.createDataFrame([(0,), (3,), (6,)], "doc_id long")
+    final = corpus.join(dead, "doc_id", "left_anti").unionByName(batch)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for nb in (None, 4):
+        shrunk = bm25_index_delete(
+            bm25_index(corpus, n_buckets=nb).localCheckpoint(eager=False),
+            dead).localCheckpoint(eager=False)
+        composed = bm25_index_append(shrunk, batch, n_buckets=nb)
+        assert rows(composed) == rows(bm25_index(final, n_buckets=nb)), nb

@@ -835,3 +835,50 @@ def test_ivf_index_rebalance_empty_centroid_cell_no_collision(spark):
                               "vec_id long, embedding array<double>")
     res = ivf_index_search(cents2, assigns2, q, k=2, n_probe=8)
     assert res.count() == 2
+
+
+def test_ivf_rebalance_after_delete_never_trips_guards(spark):
+    """The composed deletion lifecycle (r9 verdict item 6): deleting
+    every member of one cell and most of a hot cell, then rebalancing,
+    must not trip the fresh-id collision assert — the emptied cell's
+    id is skipped by the centroids-frame numbering base — and the
+    post-rebalance snapshot must keep exactly the survivors, one
+    centroid row per cell id, and still serve."""
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_delete,
+        ivf_index_rebalance,
+        ivf_index_search,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+         (2, [0.0, 0.0, 1.0])],
+        "cell int, cv array<double>")
+    assign_rows = (
+        # cell 0: 14 members, 2 deleted -> 12 survivors, hot at cap 5
+        [(i, [1.0, 0.01 * i, 0.002 * i], 0) for i in range(14)]
+        # cell 1: every member tombstoned -> EMPTIES post-delete
+        + [(100, [0.0, 1.0, 0.0], 1), (101, [0.0, 1.0, 0.1], 1)]
+        # cell 2: cold survivor
+        + [(200, [0.0, 0.0, 1.0], 2)]
+    )
+    assigns = spark.createDataFrame(
+        assign_rows, "id long, v array<double>, cell int")
+    tombstones = spark.createDataFrame(
+        [(0,), (1,), (100,), (101,)], "vec_id long")
+    surv = ivf_index_delete(assigns, tombstones).localCheckpoint(
+        eager=True)
+    assert surv.filter("cell = 1").count() == 0  # cell 1 emptied
+    cents2, assigns2 = ivf_index_rebalance(cents, surv, max_cell_rows=5)
+    cell_ids = [r["cell"] for r in cents2.select("cell").collect()]
+    assert len(cell_ids) == len(set(cell_ids)), cell_ids
+    assert 1 in cell_ids  # the emptied cell's standing centroid survives
+    got_ids = {r["id"] for r in assigns2.collect()}
+    assert got_ids == {i for i in range(2, 14)} | {200}
+    # fresh sub-cells numbered past the CENTROIDS max (2), so the
+    # emptied cell id 1 is never re-minted
+    fresh = {r["cell"] for r in assigns2.collect()} - {0, 1, 2}
+    assert fresh and min(fresh) == 3, fresh
+    q = spark.createDataFrame([(999, [1.0, 0.0, 0.0])],
+                              "vec_id long, embedding array<double>")
+    assert ivf_index_search(cents2, assigns2, q, k=3, n_probe=8).count() == 3
