@@ -303,6 +303,12 @@ def serve_write_batch(result: DataFrame, out_path: str,
         f"{out_path}/batch_id={int(batch_id)}")
 
 
+# optional per-batch result hook, called as (result_df, batch_id)
+# BEFORE each batch write when set — a diagnostics seam only (plan
+# capture in scripts/gen_plans.py); never set in production
+_ON_BATCH_RESULT = None
+
+
 def stream_serve_foreach_batch(
     stream: DataFrame,
     fn,
@@ -334,7 +340,14 @@ def stream_serve_foreach_batch(
     select your contract columns, and downstream scans filtered by
     batch range prune at the file listing."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        serve_write_batch(fn(batch_df), out_path, batch_id)
+        result = fn(batch_df)
+        if _ON_BATCH_RESULT is not None:
+            # diagnostics hook (scripts/gen_plans.py): lets a plan
+            # audit EXPLAIN the inner fn's per-batch DataFrame —
+            # foreachBatch otherwise hides the serving plan from any
+            # outside-the-stream EXPLAIN (r9 verdict, missing #6)
+            _ON_BATCH_RESULT(result, batch_id)
+        serve_write_batch(result, out_path, batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_process)

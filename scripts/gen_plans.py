@@ -333,6 +333,96 @@ for name, blurb in PICKS.items():
     out.extend(keep)
     out.append("```")
     out.append("")
+
+# ---- streaming-serve INNER plans (r9 verdict, missing #6):
+# foreachBatch hides the serving plan from a naive EXPLAIN — the
+# _ON_BATCH_RESULT diagnostics hook captures the inner fn's per-batch
+# DataFrame plan from an actually-drained micro-batch.
+from dbt_core_spark.streaming import structured as _structured
+
+SERVE_PICKS = {
+    "streaming_bm25_serve_docs": (
+        "Inner per-batch plan of the BM25 serve gate (captured from a "
+        "drained micro-batch): the sealed index enters as a standing "
+        "relation, the batch tokenize + inverted-index join + "
+        "WindowGroupLimit top-k is the one-shot bm25_query plan — "
+        "nothing corpus-scale recomputes per batch."),
+    "streaming_ann_serve_embeddings": (
+        "Inner per-batch plan of the ANN serve gate (captured from a "
+        "drained micro-batch): the persisted IVF index serves each "
+        "request batch through the probed-cells search — centroid "
+        "ranking on the batch side, members join only on probed "
+        "cells."),
+}
+for name, blurb in SERVE_PICKS.items():
+    captured: list[str] = []
+    _structured._ON_BATCH_RESULT = (
+        lambda result, batch_id: captured.append(fmt(result))
+        if not captured else None)
+    try:
+        getattr(e, name)(spark, sf).count()
+    finally:
+        _structured._ON_BATCH_RESULT = None
+    out.append(f"## {name} — inner per-batch serving plan")
+    out.append("")
+    out.append(blurb)
+    out.append("")
+    out.append("```")
+    if captured:
+        out.extend(ln.rstrip() for ln in captured[0].splitlines()[:400])
+    else:
+        out.append("(no micro-batch drained — empty request stream)")
+    out.append("```")
+    out.append("")
+
+# the bucketed PRODUCTION serve shape: a persisted partitionBy(bucket)
+# index served per batch must keep PartitionFilters pruning INSIDE the
+# drained batch plan (the one-shot pin in tests/test_plans.py, proven
+# here on the streaming path too)
+import tempfile
+
+from dbt_core_spark.operators.textstats import bm25_index, bm25_query
+from dbt_core_spark.streaming.structured import (
+    stream_serve_foreach_batch,
+    stream_source,
+)
+
+docs = spark.read.parquet(f"{sf}/documents.parquet")
+idx_path = tempfile.mkdtemp(prefix="plans_bm25_bucketed_") + "/idx"
+bm25_index(docs, n_buckets=16).write.partitionBy("bucket").parquet(idx_path)
+bidx = spark.read.parquet(idx_path)
+work = tempfile.mkdtemp(prefix="plans_bm25_serve_")
+captured = []
+_structured._ON_BATCH_RESULT = (
+    lambda result, batch_id: captured.append(fmt(result))
+    if not captured else None)
+try:
+    stream_serve_foreach_batch(
+        stream_source(spark, f"{sf}/documents.parquet", docs.schema,
+                      fmt="parquet",
+                      options={"maxFilesPerTrigger": "2"}
+                      ).filter("doc_id % 13 = 0"),
+        lambda batch: bm25_query(bidx, batch, top_k=5),
+        f"{work}/out", f"{work}/ckpt",
+    )
+finally:
+    _structured._ON_BATCH_RESULT = None
+out.append("## streaming bm25_query over a PERSISTED bucketed index "
+           "— inner per-batch serving plan")
+out.append("")
+out.append(
+    "The production serving layout (bm25_index(n_buckets=16) written "
+    "partitionBy(bucket)): the drained batch's plan keeps the literal "
+    "bucket IN list in the scan's PartitionFilters — file-listing "
+    "pruning holds inside foreachBatch exactly as in the one-shot "
+    "plan pin (tests/test_plans.py).")
+out.append("")
+out.append("```")
+if captured:
+    out.extend(ln.rstrip() for ln in captured[0].splitlines()[:400])
+out.append("```")
+out.append("")
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("\n".join(out))
 print("PLANS.md written", sum(len(l) for l in out))
