@@ -2977,6 +2977,55 @@ def pr_curve_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(scored, pos)
 
 
+def auc_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free scorer evaluation (the pr_curve integral): exact
+    ROC-AUC of the binary perceptron language filter against the gold
+    en ids — Mann-Whitney U with midrank ties, all bigint (a constant
+    scorer yields exactly 500000)
+    (operators/textstats.py:auc_score).  The DuckDB oracle replays the
+    training, the distinct-score midrank windows, and the final fold.
+
+    STAGED for the round-11 gate window (oracles.ORACLES_STAGED_R11)."""
+    from dbt_core_spark.operators.textstats import (
+        auc_score,
+        perceptron_apply,
+        perceptron_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(-1))
+    model = perceptron_train(labeled, "y", dim=64, epochs=3)
+    scored = perceptron_apply(docs, model, dim=64)
+    pos = docs.filter("lang = 'en'").select("doc_id")
+    return auc_score(scored, pos)
+
+
+def calibration_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration table (reliability diagram) for the binary
+    perceptron language filter: 10 equal-width bigint score bins, one
+    row per non-empty bin with observed positive rate and floored mean
+    score — the does-the-score-mean-anything check run before a
+    pr_curve threshold is picked
+    (operators/textstats.py:score_calibration).  All integer; the
+    oracle replays binning, rates, and the floor-exact mean.
+
+    STAGED for the round-11 gate window (oracles.ORACLES_STAGED_R11)."""
+    from dbt_core_spark.operators.textstats import (
+        perceptron_apply,
+        perceptron_train,
+        score_calibration,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(-1))
+    model = perceptron_train(labeled, "y", dim=64, epochs=3)
+    scored = perceptron_apply(docs, model, dim=64)
+    pos = docs.filter("lang = 'en'").select("doc_id")
+    return score_calibration(scored, pos, n_bins=10)
+
+
 def perceptron_ovr_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-CLASS in-engine training (r8 perceptron-family depth step):
     five one-vs-rest batch perceptrons — one per language — trained

@@ -2761,3 +2761,139 @@ def pr_curve(
             .alias("f1_micro"),
         )
     )
+
+
+def auc_score(
+    scored: DataFrame,
+    positives: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact ROC-AUC of a scorer against a gold positive-id set — the
+    threshold-free summary completing the eval tier (pr_curve is the
+    per-threshold view; AUC integrates it): the Mann-Whitney U
+    statistic with MIDRANK tie handling, evaluated entirely in bigint
+    arithmetic.  With ascending-score midranks R,
+
+        auc = (Σ_pos R − P(P+1)/2) / (P·N)
+
+    and doubling clears the halves: per distinct-score group g with
+    n_g members (np_g positive) and cum_g rows strictly below it,
+    every member's doubled midrank is 2·cum_g + n_g + 1, so
+
+        auc_micro = (Σ_g np_g·(2·cum_g + n_g + 1) − P(P+1)) · 1e6
+                    div (2·P·N)
+
+    — one bigint expression, no floats, ties exact (a constant scorer
+    yields exactly 500000).  NULL when P = 0 or N = 0 (undefined).
+
+    Scale shape: the pr_curve discipline — one flag join, one
+    per-score aggregate, one cumulative window over DISTINCT scores
+    only, then a single global fold.  Returns ONE row
+    (n_pos, n_neg, auc_micro)."""
+    pos = positives.select(
+        F.col(positives.columns[0] if id_col not in positives.columns
+              else id_col).alias("_id")
+    ).distinct().withColumn("_is_pos", F.lit(1))
+    lab = (
+        scored.filter(F.col(score_col).isNotNull())
+        .select(F.col(id_col).alias("_id"),
+                F.col(score_col).cast("bigint").alias("_score"))
+        .join(pos, "_id", "left")
+        .select("_score", F.coalesce("_is_pos", F.lit(0)).alias("_is_pos"))
+    )
+    per = lab.groupBy("_score").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("_is_pos").cast("bigint").alias("_np"),
+    )
+    w_cum = Window.orderBy("_score").rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "_n", "_np",
+        F.coalesce(F.sum("_n").over(w_cum), F.lit(0))
+        .cast("bigint").alias("_cum"),
+    )
+    return ranked.agg(
+        F.sum("_np").cast("bigint").alias("n_pos"),
+        (F.sum("_n") - F.sum("_np")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("_np") * (F.lit(2) * F.col("_cum") + F.col("_n")
+                              + F.lit(1))).cast("bigint").alias("_r2"),
+    ).select(
+        "n_pos", "n_neg",
+        F.expr("case when n_pos = 0 or n_neg = 0 then null "
+               "else ((_r2 - n_pos * (n_pos + 1)) * 1000000) "
+               "div (2 * n_pos * n_neg) end").cast("bigint")
+        .alias("auc_micro"),
+    )
+
+
+def score_calibration(
+    scored: DataFrame,
+    positives: DataFrame,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reliability diagram / calibration table for a scorer: the score
+    range [min, max] split into ``n_bins`` equal-width integer bins,
+    one row per NON-EMPTY bin with its observed positive rate — the
+    standard check that a filter's score means what its magnitude
+    suggests before a pr_curve threshold is picked.
+
+    Integer-exact: bin edges are bigint lattice arithmetic on the
+    observed [lo, hi] (bin = min((score−lo)·n_bins div span, n_bins−1),
+    span = hi−lo; a constant scorer collapses to bin 0), rates are
+    bigint micro divisions, and the per-bin mean score is
+    score-sum div n (floored).
+
+    Scale shape: one flag join, a two-scalar min/max collect, then ONE
+    wordcount-shaped per-bin aggregate — nothing enters a window.
+    Returns (bin, lo_score, n, n_pos, pos_rate_micro, mean_score)."""
+    if n_bins < 1:
+        raise ValueError(f"score_calibration: n_bins must be >= 1, "
+                         f"got {n_bins}")
+    pos = positives.select(
+        F.col(positives.columns[0] if id_col not in positives.columns
+              else id_col).alias("_id")
+    ).distinct().withColumn("_is_pos", F.lit(1))
+    lab = (
+        scored.filter(F.col(score_col).isNotNull())
+        .select(F.col(id_col).alias("_id"),
+                F.col(score_col).cast("bigint").alias("_score"))
+        .join(pos, "_id", "left")
+        .select("_score", F.coalesce("_is_pos", F.lit(0)).alias("_is_pos"))
+        .localCheckpoint(eager=False)  # feeds the range scan AND bins
+    )
+    rng = lab.agg(F.min("_score").alias("lo"),
+                  F.max("_score").alias("hi")).first()
+    if rng["lo"] is None:
+        return scored.sparkSession.createDataFrame(
+            [], "bin int, lo_score bigint, n bigint, n_pos bigint, "
+                "pos_rate_micro bigint, mean_score bigint")
+    lo, hi = int(rng["lo"]), int(rng["hi"])
+    span = hi - lo
+    bin_expr = (F.lit(0).cast("int") if span == 0 else F.least(
+        F.expr(f"((_score - {lo}) * {n_bins}) div {span}"),
+        F.lit(n_bins - 1)).cast("int"))
+    return (
+        lab.withColumn("bin", bin_expr)
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_is_pos").cast("bigint").alias("n_pos"),
+            F.sum("_score").cast("bigint").alias("_ssum"),
+        )
+        .select(
+            "bin",
+            F.expr(f"cast({lo} + (cast(bin as bigint) * {span}) "
+                   f"div {n_bins} as bigint)").alias("lo_score"),
+            "n", "n_pos",
+            F.expr("(n_pos * 1000000) div n").cast("bigint")
+            .alias("pos_rate_micro"),
+            # FLOOR-exact mean under a possibly-negative sum: subtract
+            # the positive residue so the quotient is exact and immune
+            # to div-rounding-convention differences across engines
+            F.expr("(_ssum - ((_ssum % n) + n) % n) div n")
+            .cast("bigint").alias("mean_score"),
+        )
+    )

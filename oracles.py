@@ -4613,3 +4613,78 @@ select query_id, nbr_id, round(cosine, 6) as cosine,
 from scored
 qualify rank <= 3
 """
+
+
+# r10 exact ROC-AUC: Mann-Whitney with midrank ties over the binary
+# perceptron's served scores vs the gold en ids — doubled midranks
+# clear the halves, so AUC is one bigint expression; a constant scorer
+# yields exactly 500000.  Staged r11.
+ORACLES_STAGED_R11["auc_language_docs"] = f"""
+with scored as (
+  select * from ({ORACLES["perceptron_language_docs"]}) s0
+), pos as (
+  select distinct doc_id from documents where lang = 'en'
+), lab as (
+  select s.score as sc,
+         case when p.doc_id is not null then 1 else 0 end as is_pos
+  from scored s left join pos p using (doc_id)
+), per as (
+  select sc, cast(count(*) as bigint) as n,
+         cast(sum(is_pos) as bigint) as np
+  from lab group by 1
+), ranked as (
+  select n, np,
+         cast(coalesce(sum(n) over (order by sc
+                rows between unbounded preceding and 1 preceding), 0)
+              as bigint) as cum
+  from per
+), agg as (
+  select cast(sum(np) as bigint) as n_pos,
+         cast(sum(n) - sum(np) as bigint) as n_neg,
+         cast(sum(np * (2 * cum + n + 1)) as bigint) as r2
+  from ranked
+)
+select n_pos, n_neg,
+       cast(case when n_pos = 0 or n_neg = 0 then null
+                 else ((r2 - n_pos * (n_pos + 1)) * 1000000)
+                      // (2 * n_pos * n_neg) end as bigint) as auc_micro
+from agg
+"""
+
+
+# r10 calibration table: 10 equal-width bigint score bins over the
+# observed [lo, hi]; bigint micro positive rates and a FLOOR-exact
+# mean (positive-residue subtraction makes the quotient exact, immune
+# to div-rounding differences).  Staged r11.
+ORACLES_STAGED_R11["calibration_language_docs"] = f"""
+with scored as (
+  select * from ({ORACLES["perceptron_language_docs"]}) s0
+), pos as (
+  select distinct doc_id from documents where lang = 'en'
+), lab as (
+  select s.score as sc,
+         case when p.doc_id is not null then 1 else 0 end as is_pos
+  from scored s left join pos p using (doc_id)
+), rng as (
+  select min(sc) as lo, max(sc) as hi from lab
+), b as (
+  select cast(case when r.hi = r.lo then 0
+              else least(((l.sc - r.lo) * 10) // (r.hi - r.lo), 9)
+              end as int) as bin,
+         l.sc, l.is_pos
+  from lab l, rng r
+), g as (
+  select bin, cast(count(*) as bigint) as n,
+         cast(sum(is_pos) as bigint) as n_pos,
+         cast(sum(sc) as bigint) as ssum
+  from b group by 1
+)
+select g.bin,
+       cast(r.lo + (cast(g.bin as bigint) * (r.hi - r.lo)) // 10
+            as bigint) as lo_score,
+       g.n, g.n_pos,
+       cast((g.n_pos * 1000000) // g.n as bigint) as pos_rate_micro,
+       cast((g.ssum - ((g.ssum % g.n) + g.n) % g.n) // g.n as bigint)
+         as mean_score
+from g, rng r
+"""

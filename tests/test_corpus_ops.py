@@ -2598,3 +2598,85 @@ def test_bm25_delete_then_append_equals_rebuild(spark):
             dead).localCheckpoint(eager=False)
         composed = bm25_index_append(shrunk, batch, n_buckets=nb)
         assert rows(composed) == rows(bm25_index(final, n_buckets=nb)), nb
+
+
+def test_auc_score_vs_python_reference(spark):
+    """auc_score vs a pure-Python midrank reference on LCG-random
+    scores with heavy ties; a constant scorer is exactly 500000; a
+    perfect separator is exactly 1e6; one-class inputs yield NULL."""
+    from dbt_core_spark.operators.textstats import auc_score
+
+    rows, x = [], 11
+    for i in range(80):
+        x = (x * 1103515245 + 12345) % (2 ** 31)
+        rows.append((i, (x % 9) - 4, 1 if (x >> 7) % 3 == 0 else 0))
+
+    def ref_auc(data):
+        from collections import Counter
+
+        counts = Counter(s for _, s, _ in data)
+        order = sorted(counts)
+        cum, mid2 = 0, {}
+        for s in order:
+            mid2[s] = 2 * cum + counts[s] + 1
+            cum += counts[s]
+        P = sum(p for _, _, p in data)
+        N = len(data) - P
+        r2 = sum(mid2[s] for _, s, p in data if p)
+        return ((r2 - P * (P + 1)) * 1000000) // (2 * P * N)
+
+    scored = spark.createDataFrame(
+        [(i, s) for i, s, _ in rows], "doc_id long, score long")
+    positives = spark.createDataFrame(
+        [(i,) for i, _, p in rows if p], "doc_id long")
+    got = auc_score(scored, positives).collect()[0]
+    assert got["auc_micro"] == ref_auc(rows)
+    assert got["n_pos"] == sum(p for _, _, p in rows)
+    # constant scorer: every midrank ties -> exactly 1/2
+    const = spark.createDataFrame(
+        [(i, 7) for i, _, _ in rows], "doc_id long, score long")
+    assert auc_score(const, positives).collect()[0]["auc_micro"] == 500000
+    # perfect separator
+    perfect = spark.createDataFrame(
+        [(i, 100 + i if p else i - 1000) for i, _, p in rows],
+        "doc_id long, score long")
+    assert auc_score(perfect, positives).collect()[0]["auc_micro"] == 1000000
+    # one-class input: undefined -> NULL
+    nopos = auc_score(
+        scored, spark.createDataFrame([(999,)], "doc_id long")).collect()[0]
+    assert nopos["auc_micro"] is None and nopos["n_pos"] == 0
+
+
+def test_score_calibration_hand_computed(spark):
+    """Calibration bins on a hand corpus with negative scores: lattice
+    edges, micro rates, the floor-exact mean under a negative sum, the
+    hi-score row clamped into the last bin, constant-score collapse to
+    bin 0, and the n_bins guard."""
+    import pytest
+
+    from dbt_core_spark.operators.textstats import score_calibration
+
+    scored = spark.createDataFrame(
+        [(1, -10), (2, -9), (3, 0), (4, 5), (5, 10), (6, 10)],
+        "doc_id long, score long")
+    positives = spark.createDataFrame([(4,), (5,), (6,)], "doc_id long")
+    got = {r["bin"]: r
+           for r in score_calibration(scored, positives, n_bins=4).collect()}
+    # span 20, width 5: bins [-10,-5) [-5,0) [0,5) [5,10]; -9 -> bin 0,
+    # 0 -> bin 2, 5/10/10 -> bin 3 (hi clamps into the last bin)
+    assert set(got) == {0, 2, 3}
+    assert got[0]["n"] == 2 and got[0]["n_pos"] == 0
+    assert got[0]["lo_score"] == -10
+    # floor-exact mean of (-10, -9) = floor(-19/2) = -10
+    assert got[0]["mean_score"] == -10
+    assert got[2]["n"] == 1 and got[2]["lo_score"] == 0
+    assert got[3]["n"] == 3 and got[3]["n_pos"] == 3
+    assert got[3]["pos_rate_micro"] == 1000000
+    assert got[3]["lo_score"] == 5 and got[3]["mean_score"] == 8
+    # constant scorer collapses to one bin 0
+    const = spark.createDataFrame(
+        [(i, 42) for i in range(4)], "doc_id long, score long")
+    c = score_calibration(const, positives, n_bins=4).collect()
+    assert len(c) == 1 and c[0]["bin"] == 0 and c[0]["lo_score"] == 42
+    with pytest.raises(ValueError, match="n_bins"):
+        score_calibration(scored, positives, n_bins=0)
