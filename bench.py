@@ -112,6 +112,11 @@ HEADLINE = [
     "multimodal_video_dedup_docs",
     "streaming_ann_serve_embeddings",
     "bm25_index_delete_docs",
+    # round-10 second wave (r11-staged, resolved from the module):
+    # temporal-offset video alignment and the composed
+    # delete->rebalance->serve lifecycle
+    "multimodal_video_align_docs",
+    "ann_ivf_lifecycle_embeddings",
 ]
 
 
