@@ -827,8 +827,14 @@ def main() -> None:
                         for f in range(nf):
                             idx = np.arange(w * h, dtype="i8")
                             x = eff + 131 * f + idx
-                            px = ((((x * 2654435761) % (2 ** 31))
-                                   // 65536) % 256).astype("u1")
+                            # double-mix (multiply, xorshift, multiply):
+                            # one multiply leaves replicas affinely
+                            # related and aHash is shift-invariant —
+                            # the first probe run collided replicas
+                            # into quadratic pair growth
+                            y = (x * 2654435761) % (2 ** 31)
+                            z = ((y ^ (y >> 13)) * 1099087573) % (2 ** 31)
+                            px = ((z >> 16) % 256).astype("u1")
                             px = px.reshape(h, w)
                             frames.append(encode_ppm(
                                 np.repeat(px[:, :, None], 3, axis=2)))

@@ -734,3 +734,85 @@ def test_retrieval_metrics_no_corpus_scale_work(spark):
     plan = _plan(retrieval_metrics(rankings, qrels, k=5))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_video_dup_pairs_aligned_plan_shape(spark):
+    """Offset-tolerant video pairs: candidates equi-join on the full
+    64-bit hash (never cartesian), the binary payload never crosses an
+    exchange, and the best-offset window runs over (pair, offset)
+    AGGREGATE rows — frame-level columns never enter a window
+    exchange."""
+    import re
+
+    from dbt_core_spark.operators.multimodal import (
+        synth_video,
+        video_dup_pairs_aligned,
+        video_frame_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(12)], "doc_id long, text string")
+    fh = video_frame_hashes(synth_video(docs)).localCheckpoint(
+        eager=False)
+    df = video_dup_pairs_aligned(fh, min_frames=2)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    fmt = _formatted(df)
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", fmt)
+    for cols in exchanges:
+        assert "data#" not in cols, f"binary payload crossed a shuffle: {cols}"
+    # the window's exchange carries pair+offset aggregates only
+    win_inputs = re.findall(
+        r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", fmt)
+    assert win_inputs
+    for cols in win_inputs:
+        assert "frame_idx" not in cols and "pos_a" not in cols, cols
+
+
+def test_pr_curve_window_over_thresholds_only(spark, sf_dir):
+    """pr_curve: the corpus pays one flag join + one per-threshold
+    aggregate (map-side partials); the cumulative windows run over
+    DISTINCT-threshold aggregate rows only — no id-level column may
+    reach a Window input, and nothing is cartesian."""
+    import re
+
+    from dbt_core_spark.operators.textstats import pr_curve
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.selectExpr("doc_id", "doc_id % 97 as score")
+    pos = docs.filter("doc_id % 3 = 0").select("doc_id")
+    df = pr_curve(scored, pos)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    fmt = _formatted(df)
+    win_inputs = re.findall(
+        r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", fmt)
+    assert win_inputs
+    for cols in win_inputs:
+        assert "_id" not in cols and "doc_id" not in cols, cols
+    assert fmt.count("HashAggregate") >= 2  # map-side partials
+
+
+def test_auc_score_window_over_scores_only(spark, sf_dir):
+    """auc_score: same discipline — the midrank window sees only
+    per-distinct-score aggregate rows; the final fold is one scalar
+    aggregate."""
+    import re
+
+    from dbt_core_spark.operators.textstats import auc_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.selectExpr("doc_id", "doc_id % 53 as score")
+    pos = docs.filter("doc_id % 4 = 1").select("doc_id")
+    df = auc_score(scored, pos)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(df)
+    win_inputs = re.findall(
+        r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", fmt)
+    assert win_inputs
+    for cols in win_inputs:
+        assert "_id" not in cols and "doc_id" not in cols, cols
