@@ -932,9 +932,10 @@ def video_dup_pairs(
     """Near-duplicate video pairs: clips sharing ≥ ``min_frames``
     frame positions whose aHashes match EXACTLY — temporal alignment
     plus the aHash's brightness/resolution invariance per frame, the
-    cheap-and-standard video dedup first pass (per-frame perceptual
-    hash + position join; full temporal-offset alignment would ride
-    the audio tier's landmark machinery instead).
+    cheap-and-standard video dedup first pass.  A clip trimmed or
+    shifted by even one frame escapes this operator BY CONTRACT — run
+    ``video_dup_pairs_aligned`` (below) for temporal-offset-tolerant
+    matching; this position-exact pass stays the cheaper first filter.
 
     Scale shape: one equi-join on the (frame_idx, h0..h3) key —
     blocked by the full 64-bit hash + position, never all-pairs —
