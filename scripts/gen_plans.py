@@ -398,7 +398,7 @@ _structured._ON_BATCH_RESULT = (
     if not captured else None)
 try:
     stream_serve_foreach_batch(
-        stream_source(spark, f"{sf}/documents.parquet", docs.schema,
+        stream_source(spark, e._docs_stream_path(spark, sf), docs.schema,
                       fmt="parquet",
                       options={"maxFilesPerTrigger": "2"}
                       ).filter("doc_id % 13 = 0"),
