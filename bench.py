@@ -164,6 +164,23 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
+    # box calibration (r10): two FIXED workloads timed before any
+    # query, recorded in the JSON — round-over-round medians are only
+    # comparable after normalizing by these (the r10 snapshot's host
+    # ran untouched TPC-H q1 at 1.9x the r9 wall with zero code delta;
+    # without a calibration scalar that is indistinguishable from a
+    # regression)
+    t0 = time.time()
+    spark.range(512_000_000).selectExpr(
+        "sum(pmod(hash(id), 1000))").collect()  # ANSI-safe: <= 5.1e11
+    jvm_calib = round(time.time() - t0, 3)
+    t0 = time.time()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i * i
+    py_calib = round(time.time() - t0, 3)
+    print(f"# box calib: jvm {jvm_calib}s, python {py_calib}s",
+          file=sys.stderr)
     entrymod._reg(spark, sf_dir)
 
     qs = entrymod.queries()
@@ -247,6 +264,8 @@ def main() -> None:
         # artifacts; judge the steady state by `value`, the medians)
         "cold_outliers": outliers,
         "cold_outlier_excess_s": outlier_excess,
+        "box_jvm_calib_s": jvm_calib,
+        "box_py_calib_s": py_calib,
     }
     if sigmas:
         out["queries_sigma"] = sigmas
