@@ -499,16 +499,37 @@ def dsir_score(
     )
 
 
-def _bpe_merge_seq(sym_col, merges: list[tuple[str, str]]):
-    """Apply ranked BPE merges to a space-joined symbol string via a
-    literal replace() chain — leftmost non-overlapping replacement of
-    'a b' with 'ab' per rank is exactly the greedy merge-everywhere
-    step of classic BPE application, and is reproducible verbatim by
-    any SQL engine's replace()."""
-    t = sym_col
+def _bpe_merge_seq(word_col, merges: list[tuple[str, str]]):
+    """Apply ranked BPE merges to a word via a literal replace() chain
+    over the BOUNDARY-SAFE double-space representation: tokens joined
+    by TWO spaces, the whole string wrapped in single spaces, each
+    merge rank one replace of ``' a  b '`` with ``' ab '``.
+
+    Why this exact encoding (r10 fix — the old single-space form was
+    wrong twice over): (1) an unboundaried ``replace('a b','ab')``
+    merges a pair that matches INSIDE longer tokens — tokens
+    ``[xa, b]`` render as ``'xa b'`` and falsely merge to ``'xab'``,
+    which Sennrich 2016 prevents with token-boundary lookarounds the
+    oracle engine's RE2 regex cannot express; (2) a boundary-spaced
+    single-space pattern ``' a b '`` CONSUMES the shared separator, so
+    ``[a,a,a,a]`` merges to ``[aa,a,a]`` instead of ``[aa,aa]``.  With
+    double separators the match eats one space of each flanking pair
+    and leaves the other, so every non-overlapping occurrence merges
+    in ONE left-to-right pass — standard merge-everywhere semantics —
+    and plain substring replace() reproduces it verbatim in any SQL
+    engine.  Split the result on the double space (after trim) for the
+    token array (`_bpe_tokens`)."""
+    t = F.concat(F.lit(" "),
+                 F.array_join(F.split(word_col, ""), "  "),
+                 F.lit(" "))
     for a, b in merges:
-        t = F.replace(t, F.lit(f"{a} {b}"), F.lit(a + b))
+        t = F.replace(t, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
     return t
+
+
+def _bpe_tokens(word_col, merges: list[tuple[str, str]]):
+    """Token array of a word under the ranked merge list."""
+    return F.split(F.trim(_bpe_merge_seq(word_col, merges)), "  ")
 
 
 def bpe_train(
@@ -526,7 +547,15 @@ def bpe_train(
 
     Deterministic: ties in pair count break to the lexicographically
     smallest (a, b).  Returns the ranked merge list for
-    ``bpe_token_counts`` / ``bpe_tokenize``."""
+    ``bpe_token_counts`` / ``bpe_tokenize``.
+
+    Merge application is LIST-BASED (r10 fix): the old space-joined
+    ``str.replace('a b', 'ab')`` merged pairs whose rendering matched
+    inside longer tokens (tokens [xa, b] -> 'xa b' -> false 'xab') —
+    the boundary bug Sennrich 2016 avoids with lookarounds.  The
+    left-to-right scan below is the standard merge-everywhere step,
+    token-exact by construction, and matches `_bpe_merge_seq`'s
+    boundary-safe double-space replace chain bit for bit."""
     vocab_rows = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.explode(normalized_words(text_col)).alias("word"))
@@ -536,12 +565,14 @@ def bpe_train(
         .limit(max_words)
         .collect()
     )
-    counts = {" ".join(r["word"]): int(r["n"]) for r in vocab_rows}
+    counts: dict[tuple[str, ...], int] = {}
+    for r in vocab_rows:
+        key = tuple(r["word"])
+        counts[key] = counts.get(key, 0) + int(r["n"])
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pair_n: dict[tuple[str, str], int] = {}
-        for sym, n in counts.items():
-            parts = sym.split(" ")
+        for parts, n in counts.items():
             for i in range(len(parts) - 1):
                 p = (parts[i], parts[i + 1])
                 pair_n[p] = pair_n.get(p, 0) + n
@@ -553,10 +584,19 @@ def bpe_train(
         cands = sorted(p for p, n in pair_n.items() if n == bn)
         a, b = cands[0]
         merges.append((a, b))
-        nxt = {}
-        pat, rep = f"{a} {b}", a + b
-        for sym, n in counts.items():
-            nxt[sym.replace(pat, rep)] = nxt.get(sym.replace(pat, rep), 0) + n
+        nxt: dict[tuple[str, ...], int] = {}
+        for parts, n in counts.items():
+            out, i = [], 0
+            while i < len(parts):
+                if (i + 1 < len(parts) and parts[i] == a
+                        and parts[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + n
         counts = nxt
     return merges
 
@@ -578,10 +618,9 @@ def bpe_token_counts(
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("n_word"))
     )
-    sym = F.array_join(F.split(F.col("word"), ""), " ")
     toks = vocab.select(
         "n_word",
-        F.explode(F.split(_bpe_merge_seq(sym, merges), " ")).alias("token"),
+        F.explode(_bpe_tokens(F.col("word"), merges)).alias("token"),
     )
     return toks.groupBy("token").agg(F.sum("n_word").alias("n"))
 
@@ -597,12 +636,7 @@ def bpe_tokenize(
     JVM expressions, zero shuffles.  Returns (id, tokens array<string>)."""
     words = normalized_words(F.col(text_col))
     toks = F.flatten(
-        F.transform(
-            words,
-            lambda w: F.split(
-                _bpe_merge_seq(F.array_join(F.split(w, ""), " "), merges), " "
-            ),
-        )
+        F.transform(words, lambda w: _bpe_tokens(w, merges))
     )
     return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), toks.alias("tokens")

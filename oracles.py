@@ -2530,16 +2530,20 @@ from v cross join ks
 """
 
 # BPE application (mirror of corpus.bpe_token_counts with the gate's
-# fixed merge list): split word to chars, space-join, then the ranked
-# replace('a b' -> 'ab') chain — identical leftmost non-overlapping
-# semantics in both engines.
+# fixed merge list): the BOUNDARY-SAFE double-space representation
+# (r10 fix, `corpus._bpe_merge_seq`) — tokens joined by TWO spaces,
+# single-space wrapped, each merge rank one replace of ' a  b ' with
+# ' ab '.  The old single-space replace('a b','ab') merged pairs
+# matching INSIDE longer tokens ([xa, b] -> false 'xab'); the double
+# separator leaves one flanking space per side so every
+# non-overlapping occurrence merges in one pass, token-exact.
 _BPE_MERGES = [
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
     ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
 ]
-_BPE_CHAIN = "array_to_string(string_split(word, ''), ' ')"
+_BPE_CHAIN = "' ' || array_to_string(string_split(word, ''), '  ') || ' '"
 for _a, _b in _BPE_MERGES:
-    _BPE_CHAIN = f"replace({_BPE_CHAIN}, '{_a} {_b}', '{_a}{_b}')"
+    _BPE_CHAIN = f"replace({_BPE_CHAIN}, ' {_a}  {_b} ', ' {_a}{_b} ')"
 ORACLES["bpe_token_counts_docs"] = f"""
 with w as (
   select unnest({_WORDS}) as word
@@ -2547,7 +2551,7 @@ with w as (
 ), vocab as (
   select word, count(*) as n_word from w group by 1
 ), toks as (
-  select n_word, unnest(string_split({_BPE_CHAIN}, ' ')) as token
+  select n_word, unnest(string_split(trim({_BPE_CHAIN}), '  ')) as token
   from vocab
 )
 select token, cast(sum(n_word) as bigint) as n

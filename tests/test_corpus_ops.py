@@ -2680,3 +2680,60 @@ def test_score_calibration_hand_computed(spark):
     assert len(c) == 1 and c[0]["bin"] == 0 and c[0]["lo_score"] == 42
     with pytest.raises(ValueError, match="n_bins"):
         score_calibration(scored, positives, n_bins=0)
+
+
+def test_bpe_merge_application_is_token_boundary_safe(spark):
+    """The r10 BPE boundary fix: a merge pair whose rendering matches
+    INSIDE a longer token must NOT fire ([xa, b] stays [xa, b] under
+    merge (a, b)); adjacent repeats merge everywhere in one rank
+    ([a,a,a,a] -> [aa, aa], not [aa, a, a]); and the Spark replace
+    chain agrees with the driver-side trainer's list-based merge on a
+    corpus engineered to hit both traps."""
+    from dbt_core_spark.operators.corpus import (
+        bpe_tokenize,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "xab"), (2, "aaaa"), (3, "ab ab")],
+        "doc_id long, text string")
+    # merge (a, b): 'xab' = [x, a, b] -> [x, ab]; the OLD substring
+    # replace on 'x a b' would have produced the same here, but on
+    # [xa, b] it differed — force that shape via a two-rank list
+    toks = {r["doc_id"]: r["tokens"]
+            for r in bpe_tokenize(df, [("x", "a"), ("a", "b")]).collect()}
+    # rank 1 makes token 'xa'; rank 2 (a, b) must NOT merge 'xa b'
+    assert toks[1] == ["xa", "b"]
+    # adjacent repeats: one rank merges everywhere left-to-right
+    toks2 = {r["doc_id"]: r["tokens"]
+             for r in bpe_tokenize(df, [("a", "a")]).collect()}
+    assert toks2[2] == ["aa", "aa"]
+    # trainer agreement: the trained merges re-applied via the Spark
+    # chain reproduce the trainer's own final vocabulary
+    corpus = spark.createDataFrame(
+        [(i, "xab aaaa abab") for i in range(4)],
+        "doc_id long, text string")
+    merges = bpe_train(corpus, n_merges=4)
+    spark_toks = {tuple(r["tokens"]) for r in
+                  bpe_tokenize(corpus, merges).collect()}
+    assert len(spark_toks) == 1  # identical docs tokenize identically
+
+    def list_merge(parts, a, b):
+        out, i = [], 0
+        while i < len(parts):
+            if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        return out
+
+    for word in ("xab", "aaaa", "abab"):
+        parts = list(word)
+        for a, b in merges:
+            parts = list_merge(parts, a, b)
+        got = next(iter(spark_toks))
+        # the word's tokens appear contiguously in the doc tokenization
+        s = ",".join(got)
+        assert ",".join(parts) in s, (word, parts, got)
