@@ -1557,3 +1557,60 @@ def test_staged_r10_doc_gates_on_hostile_corpora(
             name, spark, con, tmpdir,
             getattr(em, name), _R10_ORACLES[name])
         assert ok, f"{name}: {msg}"
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows, dup=st.booleans())
+def test_staged_r11_doc_gates_on_hostile_corpora(
+    spark, tmp_path_factory, rows, dup
+):
+    """The STAGED round-11 doc gates on hostile corpora: the eval
+    trio (PR curve / AUC / calibration) over perceptron scores where
+    hypothesis may draw zero positives (recall/F1 zeros, AUC NULL),
+    all-NULL text (no scored rows — empty curves), constant scores
+    (one threshold row, AUC exactly 500000 when both classes exist),
+    and heavy ties; video alignment where the %19 slice is usually
+    empty and duplicated doc rows hit clone structure."""
+    from oracles import ORACLES_STAGED_R11
+
+    if dup and rows:
+        rows = rows + rows[: len(rows) // 2 + 1]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r11doc"))
+    con = _write_docs(tmpdir, rows)
+    for name in ("pr_curve_language_docs", "auc_language_docs",
+                 "calibration_language_docs",
+                 "multimodal_video_align_docs"):
+        ok, msg = _vo.compare(
+            name, spark, con, tmpdir,
+            getattr(em, name), ORACLES_STAGED_R11[name])
+        assert ok, f"{name}: {msg}"
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows_nullable, dup=st.booleans())
+def test_staged_r11_lifecycle_gate_on_hostile_corpora(
+    spark, tmp_path_factory, vecs, dup
+):
+    """The STAGED round-11 composed deletion-lifecycle gate on hostile
+    embeddings: NULL / empty / duplicate vectors, corpora small enough
+    that the %6 delete empties cells or leaves nothing hot, and query
+    batches that may be entirely tombstoned ids."""
+    from oracles import ORACLES_STAGED_R11
+
+    if dup and vecs:
+        vecs = vecs + vecs[:3]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r11life"))
+    con = _write_embeddings(tmpdir, [v for v in vecs])
+    ok, msg = _vo.compare(
+        "ann_ivf_lifecycle_embeddings", spark, con, tmpdir,
+        em.ann_ivf_lifecycle_embeddings,
+        ORACLES_STAGED_R11["ann_ivf_lifecycle_embeddings"])
+    assert ok, msg
