@@ -2977,6 +2977,27 @@ def pr_curve_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(scored, pos)
 
 
+def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine tokenizer TRAINING at corpus scale: 8 BPE merges
+    learned by the DISTRIBUTED trainer — per step one vocabulary-wide
+    pair-count aggregate + a single-row argmax collect; the vocabulary
+    never reaches the driver (operators/corpus.py:
+    bpe_train_distributed — the uncapped form of bpe_train, identical
+    output where the cap is not binding, pytest-pinned).  The DuckDB
+    oracle replays all 8 training steps: per-step zipped-unnest pair
+    counts, (count desc, lexicographic) argmax, and the boundary-safe
+    double-space merge replace.
+
+    STAGED for the round-11 gate window (oracles.ORACLES_STAGED_R11)."""
+    from dbt_core_spark.operators.corpus import bpe_train_distributed
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_distributed(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "step int, lhs string, rhs string, merged string")
+
+
 def auc_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-free scorer evaluation (the pr_curve integral): exact
     ROC-AUC of the binary perceptron language filter against the gold

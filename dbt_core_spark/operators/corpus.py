@@ -1082,3 +1082,79 @@ def oov_rate(
             .cast("bigint"),
         )
     )
+
+
+def bpe_train_distributed(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str]]:
+    """BPE merge training WITHOUT the driver-side vocabulary cap — the
+    100 TB form of ``bpe_train``: the corpus collapses to the
+    word-frequency vocabulary once (the only corpus-scale pass), and
+    every merge step is one DISTRIBUTED pair-count aggregate over the
+    full vocabulary plus a single-row TakeOrdered collect (argmax pair
+    by count desc, then lexicographic — the bpe_train tie rule).  The
+    winning merge applies to the vocabulary as the boundary-safe
+    double-space replace (`_bpe_merge_seq`'s rank step), so a
+    100-million-word vocabulary never reaches the driver.
+
+    Identical output to ``bpe_train`` whenever the cap there is not
+    binding (pytest-pinned), and SQL-replayable per step (the
+    perceptron replayed-training precedent): each step's argmax and
+    replace are plain aggregates and string ops.
+
+    ``checkpoint_every`` seals the evolving vocabulary lineage every k
+    steps — the replace chain otherwise re-derives the corpus
+    wordcount per step.  Returns the ranked merge list for
+    ``bpe_token_counts`` / ``bpe_tokenize``."""
+    state = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(normalized_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "n",
+            F.concat(F.lit(" "),
+                     F.array_join(F.split(F.col("word"), ""), "  "),
+                     F.lit(" ")).alias("seq"),
+        )
+        .localCheckpoint(eager=True)  # the one corpus-scale pass
+    )
+    merges: list[tuple[str, str]] = []
+    for step in range(n_merges):
+        toks = F.split(F.trim(F.col("seq")), "  ")
+        top = (
+            state.filter(F.size(toks) >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.struct(
+                            F.element_at(toks, i).alias("a"),
+                            F.element_at(toks, i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+            # TakeOrdered(1): no global sort materialization
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        state = state.select(
+            "n",
+            F.replace(F.col("seq"), F.lit(f" {a}  {b} "),
+                      F.lit(f" {a + b} ")).alias("seq"),
+        )
+        if (step + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=True)
+    return merges

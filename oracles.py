@@ -4692,3 +4692,55 @@ select g.bin,
          as mean_score
 from g, rng r
 """
+
+
+# r10 distributed BPE training replay (the perceptron replayed-training
+# precedent): v0 is the word-frequency vocabulary in the boundary-safe
+# double-space form; each step k counts adjacent token pairs (zipped
+# parallel unnest of the token list's two offset slices), takes the
+# (count desc, lexicographic) argmax, and applies the ' a  b ' ->
+# ' ab ' replace — guarded so a corpus that runs out of pairs carries
+# the vocabulary forward unchanged instead of NULLing it.  Staged r11.
+def _bpe_train_sql(n_steps: int = 8) -> str:
+    parts = [f"""
+with w as (
+  select unnest({_WORDS}) as word
+  from documents where text is not null
+), v0 as materialized (
+  select cast(count(*) as bigint) as n,
+         ' ' || array_to_string(string_split(word, ''), '  ') || ' '
+           as seq
+  from w group by word
+)"""]
+    for k in range(1, n_steps + 1):
+        parts.append(f""", p{k} as materialized (
+  select a, b, cast(sum(n) as bigint) as cnt from (
+    select n,
+           unnest(toks[1:len(toks) - 1]) as a,
+           unnest(toks[2:len(toks)]) as b
+    from (select n, string_split(trim(seq), '  ') as toks
+          from v{k - 1}) s
+    where len(toks) >= 2
+  ) pe group by 1, 2
+), m{k} as materialized (
+  select cast({k} as int) as step, a, b from p{k}
+  order by cnt desc, a, b limit 1
+), v{k} as materialized (
+  select n,
+         case when (select count(*) from m{k}) = 0 then seq
+              else replace(seq,
+                ' ' || (select a from m{k}) || '  '
+                    || (select b from m{k}) || ' ',
+                ' ' || (select a from m{k})
+                    || (select b from m{k}) || ' ')
+         end as seq
+  from v{k - 1}
+)""")
+    union = "\nunion all\n".join(
+        f"select step, a as lhs, b as rhs, a || b as merged from m{k}"
+        for k in range(1, n_steps + 1))
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+ORACLES_STAGED_R11["bpe_train_docs"] = _bpe_train_sql(8)

@@ -2737,3 +2737,26 @@ def test_bpe_merge_application_is_token_boundary_safe(spark):
         # the word's tokens appear contiguously in the doc tokenization
         s = ",".join(got)
         assert ",".join(parts) in s, (word, parts, got)
+
+
+def test_bpe_train_distributed_equals_driver_trainer(spark):
+    """The uncapped distributed trainer must reproduce bpe_train
+    exactly whenever the driver trainer's max_words cap is not binding
+    — same merges, same order, ties included — and keep going past the
+    point where a tiny corpus runs out of pairs."""
+    from dbt_core_spark.operators.corpus import (
+        bpe_train,
+        bpe_train_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the then there and other another xab aaaa")
+         for i in range(3)] + [(99, "zz qq zz")],
+        "doc_id long, text string")
+    for n in (3, 8):
+        assert (bpe_train_distributed(df, n_merges=n)
+                == bpe_train(df, n_merges=n, max_words=100_000)), n
+    # pair exhaustion: a one-word corpus stops early on both
+    tiny = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    assert (bpe_train_distributed(tiny, n_merges=5)
+            == bpe_train(tiny, n_merges=5))

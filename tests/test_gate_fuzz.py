@@ -1583,7 +1583,7 @@ def test_staged_r11_doc_gates_on_hostile_corpora(
     con = _write_docs(tmpdir, rows)
     for name in ("pr_curve_language_docs", "auc_language_docs",
                  "calibration_language_docs",
-                 "multimodal_video_align_docs"):
+                 "multimodal_video_align_docs", "bpe_train_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R11[name])
