@@ -3739,80 +3739,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-row gate the steady-state rotation period is ~3 rounds, so the
     # window must always be exactly the staleness cohort (no in-window
     # row may be fresher than any out-of-window ever-verified row).
-    # ROUND-10 WINDOW (the r9 verdict, item 1 — executed per the plan
-    # recorded there): the 12 never-driver-verified r9-staged gates
-    # lead (their SQL moved from ORACLES_STAGED_R10 into ORACLES —
-    # each pre-verified at multiple scales, arrow-type-linted,
-    # fuzz-covered, AND independently re-verified 12/12 by the r9
-    # judge before this move), then the 18-row r6-green remainder
-    # (epoch_shuffle_docs .. window_top3_orders_per_customer — the
-    # staleness cohort, 4 rounds stale entering r10, mandatory
-    # in-window), then 20 r7-green rows oldest-first to fill 50.
-    # ROUND-11 WINDOW PLAN: gates staged during round 10
-    # (ORACLES_STAGED_R11) lead, then the 29-row r7 remainder
-    # (kmv_jaccard_sources .. generate_series_powers), then r8 rows
-    # oldest-first to fill 50; the r8 remainder and the r9/r10 cohorts
-    # follow in rounds 12-13.
+    # ROUND-11 WINDOW (the r10 verdict, item 1 — executed per the plan
+    # recorded there and in the r10 registry comment): the 6
+    # never-driver-verified r10-staged gates lead (their SQL moved from
+    # ORACLES_STAGED_R11 into ORACLES — each pre-verified at multiple
+    # scales, arrow-type-linted, fuzz-covered, AND independently
+    # re-verified 6/6 by the r10 judge before this move), then the
+    # 29-row r7-green remainder (kmv_jaccard_sources ..
+    # generate_series_powers — the staleness cohort, 4 rounds stale
+    # entering r11, mandatory in-window), then 15 r8-green rows
+    # oldest-first to fill 50.
+    # ROUND-12 WINDOW PLAN: gates staged during round 11
+    # (ORACLES_STAGED_R12) lead, then the 34-row r8 remainder
+    # (ann_ivf_index_append_embeddings .. quantile_sketch_events), then
+    # r9 rows oldest-first to fill 50; the r9 remainder and the
+    # r10/r11 cohorts follow in rounds 13-14.
     return {
-        # ---- never driver-verified: the 12 r9-staged gates lead
-        # ---- (ORACLES_STAGED_R10 wired this round — pre-verified at
-        # ---- multiple scales + independently 12/12 by the r9 judge) ----
-        "streaming_ann_serve_embeddings": streaming_ann_serve_embeddings,
-        "multimodal_phash_dedup_docs": multimodal_phash_dedup_docs,
-        "naive_bayes_language_docs": naive_bayes_language_docs,
-        "naive_bayes_incremental_docs": naive_bayes_incremental_docs,
-        "audio_fingerprint_dedup_docs": audio_fingerprint_dedup_docs,
-        "oov_rate_docs": oov_rate_docs,
-        "retrieval_eval_docs": retrieval_eval_docs,
-        "credit_card_detect_docs": credit_card_detect_docs,
-        "classifier_eval_docs": classifier_eval_docs,
-        "bm25_index_delete_docs": bm25_index_delete_docs,
-        "ann_ivf_index_delete_embeddings": ann_ivf_index_delete_embeddings,
-        "multimodal_video_dedup_docs": multimodal_video_dedup_docs,
-        # ---- last green r6: the 18-row remainder — the staleness
-        # ---- cohort (4 rounds stale entering r10, MANDATORY in-window
+        # ---- never driver-verified: the 6 r10-staged gates lead
+        # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at
+        # ---- multiple scales + independently 6/6 by the r10 judge) ----
+        "multimodal_video_align_docs": multimodal_video_align_docs,
+        "pr_curve_language_docs": pr_curve_language_docs,
+        "ann_ivf_lifecycle_embeddings": ann_ivf_lifecycle_embeddings,
+        "auc_language_docs": auc_language_docs,
+        "calibration_language_docs": calibration_language_docs,
+        "bpe_train_docs": bpe_train_docs,
+        # ---- last green r7: the 29-row remainder — the staleness
+        # ---- cohort (4 rounds stale entering r11, MANDATORY in-window
         # ---- per the rotation invariant) ----
-        "epoch_shuffle_docs": epoch_shuffle_docs,
-        "bpe_pair_docs": bpe_pair_docs,
-        "tokenize_docs": tokenize_docs,
-        "build_vocab_docs": build_vocab_docs,
-        "bloom_membership_docs": bloom_membership_docs,
-        "hll_distinct_events": hll_distinct_events,
-        "kmv_distinct_users": kmv_distinct_users,
-        "quantize_embeddings_int8": quantize_embeddings_int8,
-        "mixture_sample_docs": mixture_sample_docs,
-        "multimodal_decode_wav_ppm": multimodal_decode_wav_ppm,
-        "pandas_udf_text_features": pandas_udf_text_features,
-        "sessionize_events": sessionize_events,
-        "asof_join_events_orders": asof_join_events_orders,
-        "pivot_status_by_priority": pivot_status_by_priority,
-        "json_extract_props": json_extract_props,
-        "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,
-        "recursive_month_revenue": recursive_month_revenue,
-        "window_top3_orders_per_customer": window_top3_orders_per_customer,
-        # ---- last green r7: 20 of 49, oldest-first fill to 50 ----
-        "bm25_rank_docs": bm25_rank_docs,
-        "decontaminate_bloom_docs": decontaminate_bloom_docs,
-        "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
-        "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
-        "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
-        "zorder_orders": zorder_orders,
-        "skew_report_events": skew_report_events,
-        "event_transitions_events": event_transitions_events,
-        "lexical_stats_docs": lexical_stats_docs,
-        "classifier_score_docs": classifier_score_docs,
-        "cms_heavy_words": cms_heavy_words,
-        "pq_encode_embeddings": pq_encode_embeddings,
-        "pq_search_embeddings": pq_search_embeddings,
-        "normalize_text_docs": normalize_text_docs,
-        "gram_matrix_embeddings": gram_matrix_embeddings,
-        "random_projection_embeddings": random_projection_embeddings,
-        "bpe_token_counts_docs": bpe_token_counts_docs,
-        "streaming_cms_events": streaming_cms_events,
-        # ---------------- past the 50-query gate cap ----------------
-        # ---- last green r7 remainder (29 rows — r11 window leads) ----
         "kmv_jaccard_sources": kmv_jaccard_sources,
         "count_anomalies_events": count_anomalies_events,
         "pipeline_quality_docs": pipeline_quality_docs,
@@ -3842,7 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_status_counts": unpivot_status_counts,
         "set_ops_statuses": set_ops_statuses,
         "generate_series_powers": generate_series_powers,
-        # ---- last green r8 (49 rows) ----
+        # ---- last green r8: 15 of 49, oldest-first fill to 50 ----
         "hybrid_retrieval_docs": hybrid_retrieval_docs,
         "bm25_index_append_docs": bm25_index_append_docs,
         "streaming_decontaminate_docs": streaming_decontaminate_docs,
@@ -3858,6 +3812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_cut_docs": dup_span_cut_docs,
         "containment_pairs_docs": containment_pairs_docs,
         "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
+        # ---------------- past the 50-query gate cap ----------------
+        # ---- last green r8 remainder (34 rows — r12 window leads) ----
         "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
@@ -3892,7 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "multimodal_features_docs": multimodal_features_docs,
         "quantile_sketch_events": quantile_sketch_events,
-        # ---- last green r9 (50 rows — freshest, r12+ horizon) ----
+        # ---- last green r9 (50 rows — r12 fill / r13 horizon) ----
         "perceptron_ovr_language_docs": perceptron_ovr_language_docs,
         "perceptron_avg_language_docs": perceptron_avg_language_docs,
         "decontaminate_cut_docs": decontaminate_cut_docs,
@@ -3943,6 +3899,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": incremental_dedup_docs,
         "cc_dedup_docs": cc_dedup_docs,
         "line_dedup_docs": line_dedup_docs,
+        # ---- last green r10 (50 rows — freshest, r13+ horizon) ----
+        "streaming_ann_serve_embeddings": streaming_ann_serve_embeddings,
+        "multimodal_phash_dedup_docs": multimodal_phash_dedup_docs,
+        "naive_bayes_language_docs": naive_bayes_language_docs,
+        "naive_bayes_incremental_docs": naive_bayes_incremental_docs,
+        "audio_fingerprint_dedup_docs": audio_fingerprint_dedup_docs,
+        "oov_rate_docs": oov_rate_docs,
+        "retrieval_eval_docs": retrieval_eval_docs,
+        "credit_card_detect_docs": credit_card_detect_docs,
+        "classifier_eval_docs": classifier_eval_docs,
+        "bm25_index_delete_docs": bm25_index_delete_docs,
+        "ann_ivf_index_delete_embeddings": ann_ivf_index_delete_embeddings,
+        "multimodal_video_dedup_docs": multimodal_video_dedup_docs,
+        "epoch_shuffle_docs": epoch_shuffle_docs,
+        "bpe_pair_docs": bpe_pair_docs,
+        "tokenize_docs": tokenize_docs,
+        "build_vocab_docs": build_vocab_docs,
+        "bloom_membership_docs": bloom_membership_docs,
+        "hll_distinct_events": hll_distinct_events,
+        "kmv_distinct_users": kmv_distinct_users,
+        "quantize_embeddings_int8": quantize_embeddings_int8,
+        "mixture_sample_docs": mixture_sample_docs,
+        "multimodal_decode_wav_ppm": multimodal_decode_wav_ppm,
+        "pandas_udf_text_features": pandas_udf_text_features,
+        "sessionize_events": sessionize_events,
+        "asof_join_events_orders": asof_join_events_orders,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "json_extract_props": json_extract_props,
+        "lateral_top3_orders_per_segment": lateral_top3_orders_per_segment,
+        "recursive_month_revenue": recursive_month_revenue,
+        "window_top3_orders_per_customer": window_top3_orders_per_customer,
+        "bm25_rank_docs": bm25_rank_docs,
+        "decontaminate_bloom_docs": decontaminate_bloom_docs,
+        "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
+        "ann_ivf_blas_topk_embeddings": ann_ivf_blas_topk_embeddings,
+        "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "semantic_dedup_blas_embeddings": semantic_dedup_blas_embeddings,
+        "zorder_orders": zorder_orders,
+        "skew_report_events": skew_report_events,
+        "event_transitions_events": event_transitions_events,
+        "lexical_stats_docs": lexical_stats_docs,
+        "classifier_score_docs": classifier_score_docs,
+        "cms_heavy_words": cms_heavy_words,
+        "pq_encode_embeddings": pq_encode_embeddings,
+        "pq_search_embeddings": pq_search_embeddings,
+        "normalize_text_docs": normalize_text_docs,
+        "gram_matrix_embeddings": gram_matrix_embeddings,
+        "random_projection_embeddings": random_projection_embeddings,
+        "bpe_token_counts_docs": bpe_token_counts_docs,
+        "streaming_cms_events": streaming_cms_events,
     }
 
 

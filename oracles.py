@@ -4744,3 +4744,16 @@ with w as (
 
 
 ORACLES_STAGED_R11["bpe_train_docs"] = _bpe_train_sql(8)
+
+
+# ---- round-11 rotation: the 6 staged gates are WIRED (the r8/r9/r10
+# window precedent) — their SQL moves into ORACLES verbatim; each was
+# pre-verified at multiple scales, arrow-type-linted, fuzz-covered
+# (tests/test_fuzz_staged_r11.py), AND independently re-verified 6/6
+# by the r10 judge before this move, so the rotation adds no new
+# behavior.  Gates staged DURING round 11 land in ORACLES_STAGED_R12
+# with the same protocol.
+ORACLES.update(ORACLES_STAGED_R11)
+ORACLES_STAGED_R11 = {}
+
+ORACLES_STAGED_R12: dict[str, str] = {}

@@ -1752,24 +1752,28 @@ def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     assert ok, msg
 
 
-def test_staged_r11_gates_match_oracles(spark, sf_dir):
-    """Pre-verifies every STAGED round-11 gate row end to end: the
-    exact __spark_entry__ callable vs the exact
-    oracles.ORACLES_STAGED_R11 SQL, through the validator's own
-    compare (types + row hash), on the real sf corpus — so wiring
-    them into the r11 window is a pure dict move with no new
-    behavior.  Iterates the dict (not a pinned param list) so gates
-    staged later this round are covered the moment they land."""
+@pytest.mark.parametrize("staged_name", [
+    "multimodal_video_align_docs",
+    "pr_curve_language_docs",
+    "ann_ivf_lifecycle_embeddings",
+    "auc_language_docs",
+    "calibration_language_docs",
+    "bpe_train_docs",
+])
+def test_staged_r11_gates_match_oracles(spark, sf_dir, staged_name):
+    """Verifies every round-11-wired gate row end to end: the exact
+    __spark_entry__ callable vs the exact oracle SQL (wired into
+    ORACLES at the r11 rotation), through the validator's own compare
+    (types + row hash), on the real sf corpus — the same compare the
+    r11 rotation shipped under."""
     import importlib.util
     import os
 
     import duckdb
 
     import __spark_entry__ as em
-    from oracles import ORACLES_STAGED_R11
+    from oracles import ORACLES as _R11_ORACLES
 
-    if not ORACLES_STAGED_R11:
-        pytest.skip("no staged r11 gates yet")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
         "_vo_staged11", os.path.join(root, "scripts", "validate_oracles.py"))
@@ -1780,10 +1784,44 @@ def test_staged_r11_gates_match_oracles(spark, sf_dir):
     for tbl in ("documents", "embeddings"):
         con.execute(
             f"create view {tbl} as select * from '{sf_dir}/{tbl}.parquet'")
-    for staged_name in ORACLES_STAGED_R11:
+    ok, msg = vo.compare(
+        staged_name, spark, con, sf_dir,
+        getattr(em, staged_name), _R11_ORACLES[staged_name])
+    assert ok, msg
+
+
+def test_staged_r12_gates_match_oracles(spark, sf_dir):
+    """Pre-verifies every STAGED round-12 gate row end to end: the
+    exact __spark_entry__ callable vs the exact
+    oracles.ORACLES_STAGED_R12 SQL, through the validator's own
+    compare (types + row hash), on the real sf corpus — so wiring
+    them into the r12 window is a pure dict move with no new
+    behavior.  Iterates the dict (not a pinned param list) so gates
+    staged later this round are covered the moment they land."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from oracles import ORACLES_STAGED_R12
+
+    if not ORACLES_STAGED_R12:
+        pytest.skip("no staged r12 gates yet")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_vo_staged12", os.path.join(root, "scripts", "validate_oracles.py"))
+    vo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vo)
+
+    con = duckdb.connect()
+    for tbl in ("documents", "embeddings"):
+        con.execute(
+            f"create view {tbl} as select * from '{sf_dir}/{tbl}.parquet'")
+    for staged_name in ORACLES_STAGED_R12:
         ok, msg = vo.compare(
             staged_name, spark, con, sf_dir,
-            getattr(em, staged_name), ORACLES_STAGED_R11[staged_name])
+            getattr(em, staged_name), ORACLES_STAGED_R12[staged_name])
         assert ok, f"{staged_name}: {msg}"
 
 

@@ -1568,14 +1568,15 @@ def test_staged_r10_doc_gates_on_hostile_corpora(
 def test_staged_r11_doc_gates_on_hostile_corpora(
     spark, tmp_path_factory, rows, dup
 ):
-    """The STAGED round-11 doc gates on hostile corpora: the eval
+    """The round-11-wired doc gates on hostile corpora: the eval
     trio (PR curve / AUC / calibration) over perceptron scores where
     hypothesis may draw zero positives (recall/F1 zeros, AUC NULL),
     all-NULL text (no scored rows — empty curves), constant scores
     (one threshold row, AUC exactly 500000 when both classes exist),
     and heavy ties; video alignment where the %19 slice is usually
-    empty and duplicated doc rows hit clone structure."""
-    from oracles import ORACLES_STAGED_R11
+    empty and duplicated doc rows hit clone structure.  (SQL moved
+    into ORACLES at the r11 rotation — same strings.)"""
+    from oracles import ORACLES as _R11_ORACLES
 
     if dup and rows:
         rows = rows + rows[: len(rows) // 2 + 1]
@@ -1586,7 +1587,7 @@ def test_staged_r11_doc_gates_on_hostile_corpora(
                  "multimodal_video_align_docs", "bpe_train_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
-            getattr(em, name), ORACLES_STAGED_R11[name])
+            getattr(em, name), _R11_ORACLES[name])
         assert ok, f"{name}: {msg}"
 
 
@@ -1599,11 +1600,12 @@ def test_staged_r11_doc_gates_on_hostile_corpora(
 def test_staged_r11_lifecycle_gate_on_hostile_corpora(
     spark, tmp_path_factory, vecs, dup
 ):
-    """The STAGED round-11 composed deletion-lifecycle gate on hostile
+    """The round-11-wired composed deletion-lifecycle gate on hostile
     embeddings: NULL / empty / duplicate vectors, corpora small enough
     that the %6 delete empties cells or leaves nothing hot, and query
-    batches that may be entirely tombstoned ids."""
-    from oracles import ORACLES_STAGED_R11
+    batches that may be entirely tombstoned ids.  (SQL moved into
+    ORACLES at the r11 rotation — same string.)"""
+    from oracles import ORACLES as _R11_ORACLES
 
     if dup and vecs:
         vecs = vecs + vecs[:3]
@@ -1612,5 +1614,5 @@ def test_staged_r11_lifecycle_gate_on_hostile_corpora(
     ok, msg = _vo.compare(
         "ann_ivf_lifecycle_embeddings", spark, con, tmpdir,
         em.ann_ivf_lifecycle_embeddings,
-        ORACLES_STAGED_R11["ann_ivf_lifecycle_embeddings"])
+        _R11_ORACLES["ann_ivf_lifecycle_embeddings"])
     assert ok, msg

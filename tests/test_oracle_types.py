@@ -69,19 +69,19 @@ def test_oracle_no_decimal_outputs(con, name):
 # staged-for-next-round oracles get the same lint BEFORE they are
 # wired: a decimal output found at wiring time would cost a driver
 # round (the hash is type-tagged)
-from oracles import ORACLES_STAGED_R11  # noqa: E402
+from oracles import ORACLES_STAGED_R12  # noqa: E402
 
 
 @pytest.mark.parametrize(
     "name",
-    sorted(ORACLES_STAGED_R11) or [None],  # param list may be empty
+    sorted(ORACLES_STAGED_R12) or [None],  # param list may be empty
 )
 def test_staged_oracle_no_decimal_outputs(con, name):
     if name is None:
         pytest.skip("no staged oracles yet this round")
     if not os.path.exists(f"{SF_DIR}/region.parquet"):
         pytest.skip("testdata not present")
-    tbl = con.execute(ORACLES_STAGED_R11[name]).fetch_arrow_table()
+    tbl = con.execute(ORACLES_STAGED_R12[name]).fetch_arrow_table()
     bad = [
         (f.name, str(f.type))
         for f in tbl.schema

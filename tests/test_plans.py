@@ -446,35 +446,32 @@ def test_gate_window_max_staleness_invariant():
         )
 
 
-def test_gate_window_r10_composition():
-    """Pins the round-10 window (the r9 verdict, item 1 — executed per
-    the plan it recorded): the 12 never-driver-verified r9-staged
-    gates lead (wired from ORACLES_STAGED_R10; each pre-verified at
-    multiple scales AND independently 12/12 by the r9 judge), then the
-    ENTIRE 18-row r6-green remainder (the staleness cohort — 4 rounds
-    stale entering r10), then 20 r7-green rows oldest-first to 50; the
-    29-row r7 remainder sits at positions 51-79 so it mechanically
-    leads round 11."""
+def test_gate_window_r11_composition():
+    """Pins the round-11 window (the r10 verdict, item 1 — executed per
+    the plan it recorded): the 6 never-driver-verified r10-staged
+    gates lead (wired from ORACLES_STAGED_R11; each pre-verified at
+    multiple scales AND independently 6/6 by the r10 judge), then the
+    ENTIRE 29-row r7-green remainder (the staleness cohort — 4 rounds
+    stale entering r11), then 15 r8-green rows oldest-first to 50; the
+    34-row r8 remainder sits at positions 51-84 so it mechanically
+    leads round 12."""
     import __spark_entry__ as e
 
     qs = list(e.queries())
-    assert qs[:12] == [
-        "streaming_ann_serve_embeddings", "multimodal_phash_dedup_docs",
-        "naive_bayes_language_docs", "naive_bayes_incremental_docs",
-        "audio_fingerprint_dedup_docs", "oov_rate_docs",
-        "retrieval_eval_docs", "credit_card_detect_docs",
-        "classifier_eval_docs", "bm25_index_delete_docs",
-        "ann_ivf_index_delete_embeddings", "multimodal_video_dedup_docs",
+    assert qs[:6] == [
+        "multimodal_video_align_docs", "pr_curve_language_docs",
+        "ann_ivf_lifecycle_embeddings", "auc_language_docs",
+        "calibration_language_docs", "bpe_train_docs",
     ]
-    # the whole r6 remainder is in-window (mandatory staleness cohort)
-    assert qs[12] == "epoch_shuffle_docs"
-    assert qs[29] == "window_top3_orders_per_customer"
-    # r7 oldest-first fill to exactly 50
-    assert qs[30] == "bm25_rank_docs"
-    assert qs[49] == "streaming_cms_events"
-    # the r7 remainder must lead round 11
-    assert qs[50] == "kmv_jaccard_sources"
-    assert qs[78] == "generate_series_powers"
+    # the whole r7 remainder is in-window (mandatory staleness cohort)
+    assert qs[6] == "kmv_jaccard_sources"
+    assert qs[34] == "generate_series_powers"
+    # r8 oldest-first fill to exactly 50
+    assert qs[35] == "hybrid_retrieval_docs"
+    assert qs[49] == "ann_recall_ivf_embeddings"
+    # the r8 remainder must lead round 12
+    assert qs[50] == "ann_ivf_index_append_embeddings"
+    assert qs[83] == "quantile_sketch_events"
     # every registry row has an oracle (the exact-correctness invariant)
     assert set(e.oracle_sql()) == set(qs)
 
@@ -495,16 +492,16 @@ def test_bm25_inverted_index_shape(spark, sf_dir):
     assert fmt.count("HashAggregate") >= 2
 
 
-def test_staged_r11_gates_are_wirable():
-    """Every ORACLES_STAGED_R11 key must resolve to a module callable
-    and collide with nothing live — so the r11 rotation is a pure dict
+def test_staged_r12_gates_are_wirable():
+    """Every ORACLES_STAGED_R12 key must resolve to a module callable
+    and collide with nothing live — so the r12 rotation is a pure dict
     move: add the queries() entries, move the SQL into ORACLES,
     recompose the window (never-verified rows lead)."""
     import __spark_entry__ as e
-    from oracles import ORACLES, ORACLES_STAGED_R11
+    from oracles import ORACLES, ORACLES_STAGED_R12
 
     qs = e.queries()
-    for name in ORACLES_STAGED_R11:
+    for name in ORACLES_STAGED_R12:
         assert callable(getattr(e, name, None)), name
         assert name not in qs, f"{name} staged but already wired"
         assert name not in ORACLES, f"{name} staged but already in ORACLES"
