@@ -2979,20 +2979,24 @@ def pr_curve_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine tokenizer TRAINING at corpus scale: 8 BPE merges
-    learned by the DISTRIBUTED trainer — per step one vocabulary-wide
-    pair-count aggregate + a single-row argmax collect; the vocabulary
-    never reaches the driver (operators/corpus.py:
-    bpe_train_distributed — the uncapped form of bpe_train, identical
-    output where the cap is not binding, pytest-pinned).  The DuckDB
-    oracle replays all 8 training steps: per-step zipped-unnest pair
-    counts, (count desc, lexicographic) argmax, and the boundary-safe
-    double-space merge replace.
+    learned by the BATCHED distributed trainer (r11: up to
+    batch_size=8 provably-exact merges per vocabulary-wide pair-count
+    scan instead of one Spark job per merge — the production-vocab
+    throughput fix, r10 verdict item 2; merge-for-merge identical to
+    bpe_train_distributed, pytest-pinned incl. the created-pair
+    adversarial corpus a naive independent-set batcher gets wrong).
+    The vocabulary never reaches the driver (operators/corpus.py:
+    bpe_train_batched — collects ≤ scan_top_k pair rows per scan).
+    The DuckDB oracle replays all 8 training steps ONE MERGE AT A
+    TIME: per-step zipped-unnest pair counts, (count desc,
+    lexicographic) argmax, and the boundary-safe double-space merge
+    replace — so the gate cross-checks the batching itself.
 
-    STAGED for the round-11 gate window (oracles.ORACLES_STAGED_R11)."""
-    from dbt_core_spark.operators.corpus import bpe_train_distributed
+    Wired into the round-11 gate window (r11 rotation)."""
+    from dbt_core_spark.operators.corpus import bpe_train_batched
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train_distributed(docs, n_merges=8)
+    merges = bpe_train_batched(docs, n_merges=8, batch_size=8)
     return spark.createDataFrame(
         [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "step int, lhs string, rhs string, merged string")

@@ -1109,43 +1109,12 @@ def bpe_train_distributed(
     steps — the replace chain otherwise re-derives the corpus
     wordcount per step.  Returns the ranked merge list for
     ``bpe_token_counts`` / ``bpe_tokenize``."""
-    state = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.explode(normalized_words(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").cast("bigint").alias("n"))
-        .select(
-            "n",
-            F.concat(F.lit(" "),
-                     F.array_join(F.split(F.col("word"), ""), "  "),
-                     F.lit(" ")).alias("seq"),
-        )
-        .localCheckpoint(eager=True)  # the one corpus-scale pass
-    )
+    state = _bpe_vocab_state(df, text_col)
     merges: list[tuple[str, str]] = []
     for step in range(n_merges):
-        toks = F.split(F.trim(F.col("seq")), "  ")
-        top = (
-            state.filter(F.size(toks) >= 2)
-            .select(
-                "n",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - 1),
-                        lambda i: F.struct(
-                            F.element_at(toks, i).alias("a"),
-                            F.element_at(toks, i + 1).alias("b"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("n").alias("cnt"))
-            # TakeOrdered(1): no global sort materialization
-            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
-            .limit(1)
-            .collect()
-        )
+        # TakeOrdered(1): no global sort materialization
+        top = _bpe_pair_counts(state).orderBy(
+            F.col("cnt").desc(), F.col("a"), F.col("b")).limit(1).collect()
         if not top:
             break
         a, b = top[0]["a"], top[0]["b"]
@@ -1158,3 +1127,184 @@ def bpe_train_distributed(
         if (step + 1) % checkpoint_every == 0:
             state = state.localCheckpoint(eager=True)
     return merges
+
+
+def _bpe_vocab_state(df: DataFrame, text_col: str) -> DataFrame:
+    """The one corpus-scale pass shared by the distributed/batched BPE
+    trainers: collapse the corpus to its word-frequency vocabulary with
+    each word exploded to a double-space token sequence (the
+    boundary-safe `_bpe_merge_seq` encoding), sealed."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(normalized_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "n",
+            F.concat(F.lit(" "),
+                     F.array_join(F.split(F.col("word"), ""), "  "),
+                     F.lit(" ")).alias("seq"),
+        )
+        .localCheckpoint(eager=True)  # the one corpus-scale pass
+    )
+
+
+def _bpe_pair_counts(state: DataFrame) -> DataFrame:
+    """Adjacent-pair counts (a, b, cnt) over the evolving vocabulary
+    state — one distributed aggregate, vocabulary-bounded."""
+    toks = F.split(F.trim(F.col("seq")), "  ")
+    return (
+        state.filter(F.size(toks) >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("a"),
+                        F.element_at(toks, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def bpe_train_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    batch_size: int = 8,
+    scan_top_k: int = 256,
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str]]:
+    """``bpe_train_distributed`` with PROVABLY-EXACT merge batching —
+    the production-throughput form (r10 verdict, item 2): a 32k-merge
+    tokenizer run as one Spark job per merge is ~32k sequential
+    vocabulary-scale jobs; this trainer applies up to ``batch_size``
+    merges per pair-count scan and stays merge-for-merge identical to
+    the 1-merge-per-step form (pytest-pinned on gate and adversarial
+    corpora).
+
+    Exactness rule — note a plain greedy independent set ("top-B pairs
+    sharing no token") is NOT sufficient: merging (a,b) can CREATE a
+    pair, e.g. (x, ab), whose count exceeds the next disjoint pair's
+    (corpus "x a b"×10 + "c d"×9: sequential merges (a,b) then (x,ab),
+    never (c,d)).  A batch is the longest prefix of the
+    (cnt desc, a, b)-ordered pair list such that
+
+      (1) the prefix is mutually token-disjoint — the FIRST pair that
+          shares a token with an accepted merge ends the batch (its
+          own post-merge count is unknowable without a rescan, and it
+          upper-bounds every pair the accepted merges can create or
+          shrink at a count ≥ every later candidate's);
+      (2) each accepted merge's count is STRICTLY greater than the
+          count of every collected pair adjacent to earlier accepted
+          merges and strictly greater than the collection horizon
+          (the K-th collected count) — any pair created by an earlier
+          accepted merge (x,a)·(a,b) → (x,ab) occurs at most
+          cnt(x,a) ≤ that bound times, and strictness kills the
+          lexicographic-tie hazard ((a⊕b) can sort before an accepted
+          token even when (b,·) sorts after it).
+
+    Under (1)+(2), after applying accepted merges 1..j-1 the true
+    sequential argmax is exactly accepted merge j: unaccepted disjoint
+    pairs kept their scanned counts and sort after it; adjacent pairs
+    only shrank below it; created pairs are bounded below it.  ∎
+
+    Batch sizes are corpus-dependent (adjacent top pairs end batches
+    early on natural text); the scan count is reported by
+    ``bpe_train_batched_stats`` and measured in SCALING.md.  Collects
+    ≤ ``scan_top_k`` rows per scan — driver-bounded, no vocabulary cap.
+    """
+    merges, _scans = _bpe_train_batched_impl(
+        df, text_col, n_merges, batch_size, scan_top_k, checkpoint_every)
+    return merges
+
+
+def bpe_train_batched_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    batch_size: int = 8,
+    scan_top_k: int = 256,
+    checkpoint_every: int = 4,
+) -> tuple[list[tuple[str, str]], int]:
+    """``bpe_train_batched`` returning ``(merges, n_scans)`` — the
+    scheduling-cost observable for SCALING.md (jobs ≈ n_merges / B̄)."""
+    return _bpe_train_batched_impl(
+        df, text_col, n_merges, batch_size, scan_top_k, checkpoint_every)
+
+
+def _bpe_train_batched_impl(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    batch_size: int,
+    scan_top_k: int,
+    checkpoint_every: int,
+) -> tuple[list[tuple[str, str]], int]:
+    if batch_size < 1:
+        raise ValueError(f"bpe_train_batched: batch_size must be >= 1, "
+                         f"got {batch_size}")
+    state = _bpe_vocab_state(df, text_col)
+    merges: list[tuple[str, str]] = []
+    scans = 0
+    since_seal = 0  # merges applied since the last lineage seal
+    while len(merges) < n_merges:
+        k = max(scan_top_k, batch_size)
+        rows = (
+            _bpe_pair_counts(state)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(k)
+            .collect()
+        )
+        scans += 1
+        if not rows:
+            break
+        # horizon: pairs below the K-th collected row exist only when
+        # the scan returned exactly K rows; they count at most floor
+        floor = int(rows[-1]["cnt"]) if len(rows) == k else 0
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for i, r in enumerate(rows):
+            a, b, cnt = r["a"], r["b"], int(r["cnt"])
+            if a in used or b in used:
+                break  # rule (1): first overlap ends the batch
+            if accepted:
+                # rule (2): strict dominance over every pair adjacent
+                # to the already-accepted merges (all such pairs sort
+                # at or below this candidate — anything above would
+                # have ended the batch at rule (1)) and the horizon
+                adj = max(
+                    (int(q["cnt"]) for q in rows[i + 1:]
+                     if q["a"] in used or q["b"] in used),
+                    default=0,
+                )
+                if cnt <= max(adj, floor):
+                    break
+            accepted.append((a, b, cnt))
+            used.update((a, b))
+            if len(accepted) >= min(batch_size,
+                                    n_merges - len(merges)):
+                break
+        if not accepted:
+            break  # cannot certify even one... unreachable: m1 is free
+        seq = F.col("seq")
+        for a, b, _ in accepted:
+            merges.append((a, b))
+            seq = F.replace(seq, F.lit(f" {a}  {b} "),
+                            F.lit(f" {a + b} "))
+        state = state.select("n", seq.alias("seq"))
+        # seal by MERGES applied, not scans: a batch stacks up to
+        # batch_size replaces, and every subsequent scan re-executes
+        # the unsealed replace chain — scan-cadence sealing let the
+        # chain grow to checkpoint_every·batch_size string passes
+        # (measured 60% slower than sequential at sf0.1 before this)
+        since_seal += len(accepted)
+        if since_seal >= checkpoint_every:
+            state = state.localCheckpoint(eager=True)
+            since_seal = 0
+    return merges, scans

@@ -2150,6 +2150,7 @@ def naive_bayes_counts(
     label_col: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Sufficient statistics of a multinomial NB model — the
     INCREMENTAL representation: because NB learns nothing but counts,
@@ -2163,13 +2164,16 @@ def naive_bayes_counts(
       term_counts — (cls string, term string, n bigint);
       doc_counts  — (cls string, n_docs bigint).
     Rows with NULL text or NULL label are excluded (the trainer
-    contract)."""
+    contract).  ``tokenizer`` (Column → array<string> Column) defaults
+    to word tokens (``normalized_words``); pass ``char_ngrams`` for
+    the langid feature space — serving MUST use the same tokenizer."""
+    tok = tokenizer if tokenizer is not None else normalized_words
     base = df.filter(
         F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
     term_counts = (
         base.select(
             F.col(label_col).cast("string").alias("cls"),
-            F.explode(normalized_words(F.col(text_col))).alias("term"),
+            F.explode(tok(F.col(text_col))).alias("term"),
         )
         .groupBy("cls", "term")
         .agg(F.count("*").cast("bigint").alias("n"))
