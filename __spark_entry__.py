@@ -3729,6 +3729,51 @@ def naive_bayes_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              weights, class_stats)
 
 
+def langid_nb_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language identification (r10 verdict item 3): char-
+    TRIGRAM multinomial NB fit on the doc_id%3≠0 slice with label =
+    lang, serving the held-out %3=0 slice — the real-operator upgrade
+    over the 4-language stopword heuristic (language_id_docs): the
+    feature space is every character trigram of the normalized text
+    (boundary-padded), so the model covers ANY labeled language, not a
+    hand-picked stopword list.  Every learned weight is a
+    floor-rounded micro-nat bigint and serving scores are exact bigint
+    sums, so the DuckDB oracle replays training + serving bit-for-bit
+    (operators/textstats.py:char_ngrams/langid_train/langid_apply —
+    naive_bayes_train with the char-n-gram tokenizer).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.textstats import langid_apply, langid_train
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter("doc_id % 3 != 0 AND lang IS NOT NULL")
+    weights, class_stats = langid_train(train)
+    # sealed: apply joins weights + class_stats across ≥2 branches
+    weights = weights.localCheckpoint(eager=False)
+    class_stats = class_stats.localCheckpoint(eager=False)
+    return langid_apply(docs.filter("doc_id % 3 = 0"),
+                        weights, class_stats)
+
+
+def langid_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation row for the trained langid: the langid_nb_docs
+    predictions on the held-out third scored against the gold ``lang``
+    labels — per-class confusion counts and precision/recall/F1 in
+    exact integer micro units (the classifier_eval_docs lattice,
+    closing the eval loop on the r11 langid upgrade).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.textstats import classification_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    preds = langid_nb_docs(spark, sf_dir).localCheckpoint(
+        eager=False)  # consumed by both confusion aggregates
+    gold = docs.filter("doc_id % 3 = 0 AND lang IS NOT NULL").select(
+        "doc_id", "lang")
+    return classification_metrics(preds, gold, pred_col="label",
+                                  label_col="lang")
+
+
 # =========================================================================
 # registry
 # =========================================================================

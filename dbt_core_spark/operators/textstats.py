@@ -2089,6 +2089,7 @@ def naive_bayes_train(
     id_col: str = "doc_id",
     vocab_size: int | None = None,
     smoothing: int = 1,
+    tokenizer=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train a multinomial Naive Bayes text classifier IN-ENGINE — the
     count-based complement of the perceptron tier (McCallum & Nigam
@@ -2139,7 +2140,8 @@ def naive_bayes_train(
             " — add-s smoothing is what keeps every class-conditional"
             " probability positive (the vocab_drift contract)")
     term_counts, doc_counts = naive_bayes_counts(
-        df, label_col, text_col=text_col, id_col=id_col)
+        df, label_col, text_col=text_col, id_col=id_col,
+        tokenizer=tokenizer)
     return naive_bayes_finalize(
         term_counts, doc_counts, vocab_size=vocab_size,
         smoothing=smoothing)
@@ -2283,6 +2285,7 @@ def naive_bayes_apply(
     class_stats: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
 ) -> DataFrame:
     """Serve a ``naive_bayes_train`` model: per-document class scores
     are exact bigint micro-nat sums
@@ -2301,10 +2304,12 @@ def naive_bayes_apply(
     never moves again), one (doc, cls) aggregate, and a k-per-doc
     argmax.  Zero-token documents score prior-only via the class
     cross-join.  Returns (id_col, label string, score_micro bigint);
-    NULL-text rows are excluded (the perceptron contract)."""
+    NULL-text rows are excluded (the perceptron contract).
+    ``tokenizer`` must match the one the model was trained with."""
+    tok = tokenizer if tokenizer is not None else normalized_words
     docs = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        normalized_words(F.col(text_col)).alias("_w"),
+        tok(F.col(text_col)).alias("_w"),
     )
     n_tok = docs.select(
         "id", F.size("_w").cast("bigint").alias("n_tokens"))
@@ -2347,6 +2352,80 @@ def naive_bayes_apply(
             F.col("k.score_micro").alias("score_micro"),
         )
     )
+
+
+def char_ngrams(col: str | Column, n: int = 3) -> Column:
+    """Character n-grams over the SPACE-JOINED normalized words, padded
+    with one boundary space each side — the langid feature space
+    (Cavnar & Trenkle 1994 n-gram text categorization, public): word
+    boundaries become part of the grams (' th' vs 'th ' are distinct
+    features) while the alphabet stays the [a-z0-9 ] the word
+    normalizer already makes cross-engine-safe (normalized_words' İ
+    sweep — no new Unicode lowering surface).  A corpus with no words
+    yields an empty array (two pad spaces < n — never a pad-only
+    gram).  JVM-side throughout: one transform over a sequence of
+    substrings, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.concat(F.lit(" "), F.array_join(normalized_words(c), " "),
+                 F.lit(" "))
+    return F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+            lambda i: F.substring(s, i, F.lit(n)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+
+def langid_train(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    vocab_size: int | None = None,
+    smoothing: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """TRAINED language identification — multinomial NB over character
+    n-grams (``char_ngrams``), the real-operator upgrade over the
+    4-language stopword heuristic ``detect_language`` (r10 verdict,
+    item 3): char n-grams see morphology and function-word shapes in
+    ANY language present in the training labels, not a hand-picked
+    stopword list, and the model is the same single-aggregation-pass
+    NB the trainer tier already replays exactly in SQL.
+
+    Pure composition: ``naive_bayes_train`` with the char-n-gram
+    tokenizer — every learned weight is the same floor-rounded
+    micro-nat bigint, so training AND serving replay in DuckDB
+    bit-for-bit (the perceptron replayed-training precedent).  The
+    n-gram vocabulary is alphabet-bounded (≤ 37^n forms; ~50k observed
+    trigrams on real text) — broadcast-sized at serve time regardless
+    of corpus scale.
+
+    Returns ``(weights, class_stats)`` — serve with ``langid_apply``
+    (NOT ``naive_bayes_apply`` directly: the tokenizer must match)."""
+    return naive_bayes_train(
+        df, label_col, text_col=text_col, id_col=id_col,
+        vocab_size=vocab_size, smoothing=smoothing,
+        tokenizer=lambda c: char_ngrams(c, n=n))
+
+
+def langid_apply(
+    df: DataFrame,
+    weights: DataFrame,
+    class_stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Serve a ``langid_train`` model: per-document language scores as
+    exact bigint micro-nat sums over the document's char n-grams —
+    ``naive_bayes_apply`` with the matching tokenizer.  ``n`` must
+    equal the training value.  Returns (id_col, label string,
+    score_micro bigint)."""
+    return naive_bayes_apply(
+        df, weights, class_stats, text_col=text_col, id_col=id_col,
+        tokenizer=lambda c: char_ngrams(c, n=n))
 
 
 def retrieval_metrics(

@@ -4757,3 +4757,138 @@ ORACLES.update(ORACLES_STAGED_R11)
 ORACLES_STAGED_R11 = {}
 
 ORACLES_STAGED_R12: dict[str, str] = {}
+
+
+# r11 TRAINED language ID: multinomial NB over char TRIGRAMS of the
+# space-joined normalized words, one pad space each side (textstats.py:
+# char_ngrams/langid_train/langid_apply — Cavnar & Trenkle n-gram
+# categorization over the NB trainer's micro-nat lattice).  The oracle
+# replays training AND serving bit-for-bit: same add-1 smoothing, same
+# floor(ln·1e6) weights, same sparse-model oov identity, same
+# (score desc, cls asc) argmax.  A no-words document yields zero grams
+# (two pad spaces < 3) and scores prior-only.  Staged r12.
+_CNG3 = (
+    "case when length(s) >= 3 then "
+    "[substring(s, i, 3) for i in generate_series(1, length(s) - 2)] "
+    "else [] end"
+)
+
+ORACLES_STAGED_R12["langid_nb_docs"] = f"""
+with train0 as (
+  select doc_id, lang,
+         ' ' || array_to_string({_WORDS}, ' ') || ' ' as s
+  from documents
+  where doc_id % 3 <> 0 and lang is not null and text is not null
+), train as (
+  select doc_id, lang, {_CNG3} as grams from train0
+), counts as (
+  select lang as cls, term, cast(count(*) as bigint) as n
+  from (select lang, unnest(grams) as term from train) t
+  group by 1, 2
+), vsz as (
+  select count(distinct term) as v from counts
+), dtot as (
+  select cast(count(*) as bigint) as d from train
+), dstats as (
+  select lang as cls, cast(count(*) as bigint) as n_docs
+  from train group by 1
+), tc as (
+  select cls, cast(sum(n) as bigint) as t_c from counts group by 1
+), cstats as (
+  select ds.cls, ds.n_docs,
+         cast(floor(ln(cast(ds.n_docs as double) / cast(dt.d as double))
+                    * 1000000) as bigint) as prior_micro,
+         cast(case when v.v = 0 then 0
+                   else floor(ln(1.0 / cast(coalesce(t.t_c, 0) + v.v
+                                            as double)) * 1000000)
+              end as bigint) as oov_micro
+  from dstats ds
+  cross join dtot dt cross join vsz v
+  left join tc t using (cls)
+), weights as (
+  select c.cls, c.term,
+         cast(floor(ln(cast(c.n + 1 as double)
+                       / cast(t.t_c + v.v as double))
+                    * 1000000) as bigint) as w_micro
+  from counts c join tc t using (cls) cross join vsz v
+), test0 as (
+  select doc_id as id,
+         ' ' || array_to_string({_WORDS}, ' ') || ' ' as s
+  from documents
+  where doc_id % 3 = 0 and text is not null
+), test as (
+  select id, {_CNG3} as grams from test0
+), ntok as (
+  select id, cast(len(grams) as bigint) as n_tokens from test
+), tokc as (
+  select id, term, cast(count(*) as bigint) as cnt
+  from (select id, unnest(grams) as term from test) t
+  group by 1, 2
+), matched as (
+  select t.id, w.cls,
+         cast(sum(t.cnt * w.w_micro) as bigint) as m_sum,
+         cast(sum(t.cnt) as bigint) as m_cnt
+  from tokc t join weights w using (term)
+  group by 1, 2
+), scores as (
+  select n.id, c.cls,
+         cast(c.prior_micro + coalesce(m.m_sum, 0)
+              + (n.n_tokens - coalesce(m.m_cnt, 0)) * c.oov_micro
+              as bigint) as score_micro
+  from ntok n
+  cross join cstats c
+  left join matched m on m.id = n.id and m.cls = c.cls
+)
+select id as doc_id, cls as label, score_micro
+from (
+  select id, cls, score_micro,
+         row_number() over (partition by id
+                            order by score_micro desc, cls asc) as r
+  from scores
+) ranked
+where r = 1
+"""
+
+
+# r11 langid evaluation: classification_metrics over the trained
+# langid predictions vs gold lang on the held-out third — the same
+# confusion/P/R/F1 micro lattice as classifier_eval_docs, closing the
+# eval loop on the langid upgrade.  Staged r12.
+ORACLES_STAGED_R12["langid_eval_docs"] = f"""
+with preds as (
+  select * from ({ORACLES_STAGED_R12["langid_nb_docs"]}) lp
+), gold as (
+  select doc_id, lang as g from documents
+  where doc_id % 3 = 0 and lang is not null
+), j as (
+  select p.label as pred, g.g as gold
+  from preds p join gold g using (doc_id)
+), ps as (
+  select pred as cls, cast(count(*) as bigint) as n_pred,
+         cast(sum(case when pred = gold then 1 else 0 end) as bigint)
+           as tp
+  from j group by 1
+), gs as (
+  select gold as cls, cast(count(*) as bigint) as n_gold
+  from j group by 1
+), m as (
+  select cls,
+         cast(coalesce(tp, 0) as bigint) as tp,
+         cast(coalesce(n_pred, 0) - coalesce(tp, 0) as bigint) as fp,
+         cast(coalesce(n_gold, 0) - coalesce(tp, 0) as bigint) as fn,
+         cast(coalesce(n_gold, 0) as bigint) as n_gold,
+         cast(coalesce(n_pred, 0) as bigint) as n_pred
+  from ps full outer join gs using (cls)
+)
+select cls, tp, fp, fn, n_gold, n_pred,
+       cast(case when tp + fp = 0 then 0
+                 else (tp * 1000000) // (tp + fp) end as bigint)
+         as precision_micro,
+       cast(case when tp + fn = 0 then 0
+                 else (tp * 1000000) // (tp + fn) end as bigint)
+         as recall_micro,
+       cast(case when 2 * tp + fp + fn = 0 then 0
+                 else (2 * tp * 1000000) // (2 * tp + fp + fn) end
+            as bigint) as f1_micro
+from m
+"""

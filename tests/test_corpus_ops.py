@@ -2953,3 +2953,72 @@ def test_bpe_train_batched_fuzz_vs_sequential(spark):
         seq = bpe_train_distributed(df, n_merges=10)
         got = bpe_train_batched(df, n_merges=10, batch_size=6)
         assert got == seq, (trial, got, seq)
+
+
+def test_char_ngrams_hand_verified(spark):
+    """char_ngrams edges: boundary pads around the space-joined
+    normalized words, one-word corpus keeps its two pads, no-word /
+    NULL text yields ZERO grams (two pad spaces < n, never a pad-only
+    gram), and punctuation normalizes away before gramming."""
+    from dbt_core_spark.operators.textstats import char_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "Hello AB"), (2, ""), (3, None), (4, "x"), (5, "a,b!")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["g"] for r in
+           df.select("doc_id", char_ngrams("text").alias("g")).collect()}
+    assert got[1] == [" he", "hel", "ell", "llo", "lo ", "o a", " ab",
+                      "ab "]
+    assert got[2] == [] and got[3] == []
+    assert got[4] == [" x "]
+    assert got[5] == [" a ", "a b", " b "]  # 'a,b!' -> words [a, b]
+
+
+def test_langid_trained_beats_stopword_heuristic(spark):
+    """The r10 verdict item 3 upgrade, demonstrated: on a synthetic
+    trilingual corpus whose third language (pseudo-Italian) is OUTSIDE
+    detect_language's 4-language stopword list, the char-trigram NB
+    langid classifies the held-out slice near-perfectly while the
+    heuristic structurally cannot (it never emits 'it'), and the
+    trained model must also win on overall accuracy."""
+    from dbt_core_spark.operators.textstats import (
+        detect_language,
+        langid_apply,
+        langid_train,
+    )
+
+    en = ["the cat sat on the mat and the dog ran",
+          "this is the house that jack built with wood",
+          "where there is smoke there is fire burning"]
+    fr = ["le chat est sur le tapis et le chien court",
+          "c est la maison que jacques a construite en bois",
+          "ou il y a de la fumee il y a du feu qui brule"]
+    it = ["il gatto sta sul tappeto e il cane corre via",
+          "questa e la casa che giacomo ha costruito con il legno",
+          "dove c e fumo c e anche il fuoco che brucia"]
+    rows = []
+    i = 0
+    for lang, texts in (("en", en), ("fr", fr), ("it", it)):
+        for t in texts:
+            for rep in range(4):  # 12 docs per language
+                rows.append((i, f"{t} {t.split()[rep % 3]}", lang))
+                i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.filter("doc_id % 3 != 0")
+    test = df.filter("doc_id % 3 = 0")
+    w, cs = langid_train(train)
+    w = w.localCheckpoint(eager=False)
+    cs = cs.localCheckpoint(eager=False)
+    pred = langid_apply(test, w, cs).join(
+        test.select("doc_id", "lang"), "doc_id")
+    n_test = test.count()
+    trained_acc = pred.filter("label = lang").count() / n_test
+    heur = detect_language(test, "text", "doc_id").join(
+        test.select("doc_id", "lang"), "doc_id")
+    heur_acc = heur.filter("detected_lang = lang").count() / n_test
+    assert trained_acc >= 0.9, trained_acc
+    assert trained_acc > heur_acc, (trained_acc, heur_acc)
+    # the heuristic can never say 'it'; the trained model must
+    it_right = pred.filter("lang = 'it' and label = 'it'").count()
+    assert it_right == test.filter("lang = 'it'").count()
+    assert heur.filter("detected_lang = 'it'").count() == 0
