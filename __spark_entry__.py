@@ -3729,6 +3729,33 @@ def naive_bayes_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              weights, class_stats)
 
 
+def minhash_index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash index DELETION lifecycle (r10 verdict item 4 — the
+    missing delete leg of the near-dup index): build the corpus index
+    (doc_id < 400), tombstone the %6==0 ids
+    (dedup.py:minhash_index_delete — one anti-join; signature rows are
+    per-document so delete ≡ rebuild bit-identically, pytest-pinned),
+    then match the doc_id >= 400 batch against the SHRUNK index through
+    the banded candidate join + exact-Jaccard verify.  The DuckDB
+    oracle replays the match over the surviving corpus — a tombstoned
+    doc appearing in any pair fails the gate.
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.dedup import (
+        minhash_index,
+        minhash_index_delete,
+        minhash_match,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus_ix = minhash_index(docs.filter("doc_id < 400"))
+    dead = docs.filter("doc_id < 400 AND doc_id % 6 = 0") \
+        .select(F.col("doc_id").alias("id"))
+    shrunk = minhash_index_delete(corpus_ix, dead)
+    batch_ix = minhash_index(docs.filter("doc_id >= 400"))
+    return minhash_match(batch_ix, shrunk, threshold=0.7)
+
+
 def langid_nb_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED language identification (r10 verdict item 3): char-
     TRIGRAM multinomial NB fit on the doc_id%3≠0 slice with label =

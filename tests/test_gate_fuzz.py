@@ -1627,19 +1627,22 @@ def test_staged_r11_lifecycle_gate_on_hostile_corpora(
 def test_staged_r12_langid_gates_on_hostile_corpora(
     spark, tmp_path_factory, rows, dup
 ):
-    """The STAGED round-12 trained-langid gates on hostile corpora:
-    all-NULL labels (empty training set → empty output), documents
-    whose text normalizes to zero words (ZERO char grams — never a
-    pad-only gram; V = 0 pins priors-only serving on both engines),
-    label skew, duplicated rows, and unicode draws exercising the
-    lower/İ normalization shared with the word tier."""
+    """The STAGED round-12 doc gates on hostile corpora: trained
+    langid with all-NULL labels (empty training set → empty output),
+    documents whose text normalizes to zero words (ZERO char grams —
+    never a pad-only gram; V = 0 pins priors-only serving on both
+    engines), label skew, duplicated rows, and unicode draws
+    exercising the lower/İ normalization; MinHash index deletion
+    where the corpus slice, the tombstone slice, or the batch slice
+    is usually empty on tiny corpora."""
     from oracles import ORACLES_STAGED_R12
 
     if dup and rows:
         rows = rows + rows[: len(rows) // 2 + 1]
     tmpdir = str(tmp_path_factory.mktemp("fuzz_r12langid"))
     con = _write_docs(tmpdir, rows)
-    for name in ("langid_nb_docs", "langid_eval_docs"):
+    for name in ("langid_nb_docs", "langid_eval_docs",
+                 "minhash_index_delete_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R12[name])
