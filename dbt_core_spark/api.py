@@ -154,10 +154,14 @@ class Engine:
             self.project, cli_vars=self.cli_vars, cache=self.manifest)
         if self.project.project_root:
             from dbt_core_spark.plans.partial import write_partial_parse
+            from dbt_core_spark.run.artifacts import write_perf_info
 
             write_partial_parse(
                 self.manifest, self.project.project_root,
                 cli_vars=self.cli_vars)
+            # the `parse` verb's performance artifact (ref:
+            # cli/main.py:539 write_perf_info=True)
+            write_perf_info(self.manifest, self.project.project_root)
         return self.manifest.reparse_count
 
     def compile_analyses(self) -> dict[str, str]:

@@ -201,6 +201,10 @@ class Manifest:
     groups: dict[str, dict] = field(default_factory=dict)  # name -> {owner: ...}
     restricted_packages: set[str] = field(default_factory=set)  # restrict-access
     reparse_count: int = 0
+    # per-phase parse timings (ref: ManifestLoaderInfo,
+    # parser/manifest.py:199-221) — written to target/perf_info.json
+    # by the `parse` verb
+    perf_info: dict[str, Any] = field(default_factory=dict)
 
     # --state / result / source_status selector inputs, attached by
     # Engine.set_state (ref: previous-state loading task/base.py +

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 from typing import Any
 
 from dbt_core_spark.exceptions import ParsingError
@@ -34,7 +35,15 @@ def parse_project(
     parser/partial.py:68-1090): nodes whose raw_code is byte-identical to
     the cached manifest's skip the Jinja parse-render and copy their
     recorded refs/sources/config.  A macro change invalidates the whole
-    cache (the reference forces a full reparse too)."""
+    cache (the reference forces a full reparse too).
+
+    Phase timings accumulate in ``manifest.perf_info`` mirroring the
+    reference's ManifestLoaderInfo (parser/manifest.py:199-221):
+    load_macros (macro/vars setup + cache validity), read_files (node
+    collection from the project + metadata nodes), render (the
+    parse-time Jinja pass), resolve (grants + depends_on resolution) —
+    the CLI ``parse`` verb writes them to target/perf_info.json."""
+    t_start = time.perf_counter()
     manifest = Manifest(project_name=project.name)
     # package vars are that package's defaults; the root project's vars
     # win globally (ref: Var resolution, context/base.py:139-184)
@@ -58,6 +67,7 @@ def parse_project(
         # or the next write would drop the invalidation inputs
         manifest.used_env_vars.update(cache.used_env_vars)
     manifest.reparse_count = 0
+    t_macros = time.perf_counter()
 
     # root project resources parse first so bare-name ref() collisions
     # resolve to the root node (ref: RefableLookup search order); then
@@ -146,6 +156,8 @@ def parse_project(
         manifest.add_node(qnode)
     # groups accumulate in _parse_package (root first, then packages)
 
+    t_read = time.perf_counter()
+
     # -- parse-time render: capture refs/sources/config ----------------------
     for node in list(manifest.nodes.values()):
         if node.raw_code and node.language == "sql":
@@ -169,6 +181,8 @@ def parse_project(
             # (ref: context_config.py precedence)
             node.captured_config = dict(ctx.captured_config)
             _apply_captured_config(node, ctx.captured_config)
+
+    t_render = time.perf_counter()
 
     # grants finalize to {privilege: [grantees]} once all layers merged
     # (append markers are a merge-time notation, not config state)
@@ -212,6 +226,19 @@ def parse_project(
             raise ParsingError(f"seed {node.name} cannot have dependencies")
         node.depends_on = sorted(set(deps))
 
+    t_end = time.perf_counter()
+    manifest.perf_info = {
+        "phases": {
+            "load_macros": t_macros - t_start,
+            "read_files": t_read - t_macros,
+            "render": t_render - t_read,
+            "resolve": t_end - t_render,
+        },
+        "elapsed": t_end - t_start,
+        "node_count": len(manifest.nodes),
+        "parsed_node_count": manifest.reparse_count,
+        "is_partial_parse": cache is not None,
+    }
     return manifest
 
 

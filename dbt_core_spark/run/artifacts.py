@@ -26,6 +26,30 @@ if TYPE_CHECKING:  # pragma: no cover
     from dbt_core_spark.run.runner import RunResults
 
 
+def write_perf_info(manifest, project_root: str) -> str:
+    """target/perf_info.json — the `dbt parse` performance artifact
+    (ref: cli/main.py:539 requires.manifest(write_perf_info=True) →
+    ManifestLoaderInfo, parser/manifest.py:199-221): per-phase parse
+    timings + node counts, so parse regressions are observable without
+    an external stopwatch (bench.py measures the same path externally;
+    this is the in-band record)."""
+    doc = {
+        "metadata": {
+            "generated_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "invocation_id": _invocation_id(),
+            "dbt_schema_version":
+                "https://schemas.getdbt.com/dbt/perf-info/v1.json",
+        },
+        **(manifest.perf_info or {}),
+    }
+    target = os.path.join(project_root, "target")
+    os.makedirs(target, exist_ok=True)
+    path = os.path.join(target, "perf_info.json")
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    return path
+
+
 def write_run_results(results: "RunResults", path: str, elapsed: float | None = None) -> str:
     """run_results.json analog (ref: artifacts/schemas/run/)."""
     doc = {

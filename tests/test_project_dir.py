@@ -300,3 +300,48 @@ saved_queries:
     up = set(eng.ls(select="+saved_query:weekly"))
     assert {"saved_query.sl.weekly", "metric.sl.n_rows",
             "model.sl.mart"} <= up
+
+
+def test_parse_writes_perf_info(tmp_path, spark, schema):
+    """The `parse` verb emits target/perf_info.json (ref: cli/main.py
+    write_perf_info=True → ManifestLoaderInfo): four phases that sum to
+    the recorded elapsed, true node counts, and the partial-parse flag
+    flipping between the cold and warm parse."""
+    import json
+
+    from dbt_core_spark import Engine, ProjectDef, SparkbtRunner
+
+    root = str(tmp_path / "pi")
+    os.makedirs(os.path.join(root, "models"))
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: pi\n")
+    for i in range(3):
+        with open(os.path.join(root, "models", f"m{i}.sql"), "w") as f:
+            f.write(f"select {i} as x")
+    eng = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    r = SparkbtRunner(spark=spark, project=eng.project, schema=schema,
+                      engine=eng)
+    assert r.invoke(["parse"]).success
+    path = os.path.join(root, "target", "perf_info.json")
+    with open(path) as f:
+        doc = json.load(f)
+    assert set(doc["phases"]) == {"load_macros", "read_files", "render",
+                                  "resolve"}
+    assert all(v >= 0 for v in doc["phases"].values())
+    assert abs(sum(doc["phases"].values()) - doc["elapsed"]) \
+        <= 0.01 * max(doc["elapsed"], 1e-9)
+    assert doc["node_count"] == 3
+    # the runner's reparse hit the Engine-parse cache -> partial
+    assert doc["is_partial_parse"] is True
+    assert doc["parsed_node_count"] == 0  # nothing changed since load
+    # a model edit reparses exactly the changed node
+    with open(os.path.join(root, "models", "m0.sql"), "w") as f:
+        f.write("select 99 as x")
+    eng2 = Engine(spark, ProjectDef.from_dir(root), schema=schema)
+    r2 = SparkbtRunner(spark=spark, project=eng2.project, schema=schema,
+                       engine=eng2)
+    assert r2.invoke(["parse"]).success
+    with open(path) as f:
+        doc2 = json.load(f)
+    assert doc2["node_count"] == 3
+    assert "generated_at" in doc2["metadata"]
