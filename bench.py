@@ -18,6 +18,7 @@ reference's only published benchmark (dbt parse of 2000 trivial models,
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -117,6 +118,16 @@ HEADLINE = [
     # delete->rebalance->serve lifecycle
     "multimodal_video_align_docs",
     "ann_ivf_lifecycle_embeddings",
+    # r11 additions: the newly wired r11 eval/training gates plus the
+    # staged r12 gates (langid tier + minhash delete) — staged gates
+    # are benched the round they are built so their first driver BENCH
+    # rows land the round they are wired (the staged-gate convention)
+    "pr_curve_language_docs",
+    "auc_language_docs",
+    "bpe_train_docs",
+    "langid_nb_docs",
+    "langid_eval_docs",
+    "minhash_index_delete_docs",
 ]
 
 
@@ -250,6 +261,35 @@ def main() -> None:
     }
     outlier_excess = round(
         sum(firsts[n] - times[n] for n in outliers), 3)
+    # calib-normalized medians (r10 verdict item 7): BENCH_LOCAL r8→r10
+    # showed a UNIFORM ~+0.7s inflation on untouched queries — box
+    # load, not regression.  Each query is also reported as
+    # median ÷ box_jvm_calib so cross-round deltas survive a loaded
+    # box, and regressions are flagged against the LATEST committed
+    # BENCH_LOCAL_r* snapshot in normalized units only.
+    norm = {
+        name: round(times[name] / jvm_calib, 4) for name in times
+    } if jvm_calib > 0 else {}
+    normalized_regressions: dict[str, dict] = {}
+    prev_path = sorted(glob.glob("BENCH_LOCAL_r*.json"))
+    if prev_path and norm:
+        try:
+            with open(prev_path[-1]) as fh:
+                prev = json.load(fh)
+            prev_calib = float(prev.get("box_jvm_calib_s") or 0)
+            for name, med in (prev.get("queries") or {}).items():
+                if name not in norm or prev_calib <= 0 or med <= 0:
+                    continue
+                p_norm = med / prev_calib
+                if norm[name] > 1.25 * p_norm:
+                    normalized_regressions[name] = {
+                        "prev_norm": round(p_norm, 4),
+                        "curr_norm": norm[name],
+                        "ratio": round(norm[name] / p_norm, 2),
+                        "vs": os.path.basename(prev_path[-1]),
+                    }
+        except (OSError, ValueError, KeyError):
+            pass  # a malformed snapshot must not fail the bench
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -266,6 +306,14 @@ def main() -> None:
         "cold_outlier_excess_s": outlier_excess,
         "box_jvm_calib_s": jvm_calib,
         "box_py_calib_s": py_calib,
+        # median ÷ box_jvm_calib: the box-load-invariant view; compare
+        # THESE across rounds (raw medians only within one snapshot)
+        "queries_norm": norm,
+        "total_norm": round(sum(norm.values()), 3) if norm else None,
+        # normalized regressions vs the latest committed BENCH_LOCAL
+        # snapshot (>25% in calib-normalized units — raw deltas inside
+        # the box-noise envelope do NOT appear here)
+        "normalized_regressions": normalized_regressions,
     }
     if sigmas:
         out["queries_sigma"] = sigmas
@@ -296,6 +344,8 @@ def main() -> None:
         "n_queries": len(times),
         "n_cold_outliers": len(outliers),
         "cold_outlier_excess_s": outlier_excess,
+        "total_norm": out["total_norm"],
+        "n_normalized_regressions": len(normalized_regressions),
     }))
 
 

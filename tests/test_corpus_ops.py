@@ -2957,9 +2957,11 @@ def test_bpe_train_batched_fuzz_vs_sequential(spark):
 
 def test_char_ngrams_hand_verified(spark):
     """char_ngrams edges: boundary pads around the space-joined
-    normalized words, one-word corpus keeps its two pads, no-word /
-    NULL text yields ZERO grams (two pad spaces < n, never a pad-only
-    gram), and punctuation normalizes away before gramming."""
+    normalized words, one-word corpus keeps its two pads, no-word text
+    yields ZERO grams (two pad spaces < n, never a pad-only gram),
+    NULL text stays NULL (the normalized_words contract — operators
+    filter NULLs before tokenizing), and punctuation normalizes away
+    before gramming."""
     from dbt_core_spark.operators.textstats import char_ngrams
 
     df = spark.createDataFrame(
@@ -2969,7 +2971,7 @@ def test_char_ngrams_hand_verified(spark):
            df.select("doc_id", char_ngrams("text").alias("g")).collect()}
     assert got[1] == [" he", "hel", "ell", "llo", "lo ", "o a", " ab",
                       "ab "]
-    assert got[2] == [] and got[3] == []
+    assert got[2] == [] and got[3] is None
     assert got[4] == [" x "]
     assert got[5] == [" a ", "a b", " b "]  # 'a,b!' -> words [a, b]
 
