@@ -306,6 +306,24 @@ PICKS = {
         "one Arrow pass (binary payload never reaches an exchange); "
         "candidates equi-join on the exact (frame position, 64-bit "
         "hash) key — never a cartesian."),
+    "langid_nb_docs": (
+        "Trained char-trigram langid (r11) — grams are linear zip_with "
+        "slices (no per-position re-eval); training is ONE (cls, term) "
+        "wordcount with partial aggregation; serving joins the "
+        "alphabet-bounded model by term (AQE broadcast) and the k-row "
+        "class stats by explicit broadcast cross join — corpus text "
+        "never moves twice."),
+    "bpe_train_docs": (
+        "Batched BPE training (r11) — the corpus collapses to the "
+        "word-frequency vocabulary once; each scan is one "
+        "vocabulary-scale pair aggregate + TakeOrderedAndProject "
+        "(top-K collect, driver-bounded), applying up to 8 "
+        "provably-exact merges per scan."),
+    "minhash_index_delete_docs": (
+        "MinHash index deletion (r11-staged) — tombstones anti-join "
+        "the per-document signature rows (delete ≡ rebuild "
+        "bit-identically); the batch match stays a banded candidate "
+        "equi-join + exact-Jaccard verify, never corpus×corpus."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",
