@@ -2977,6 +2977,31 @@ def pr_curve_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(scored, pos)
 
 
+def threshold_select_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection closing the eval tier (r11): the
+    F1-optimal threshold off the perceptron language filter's
+    pr_curve sweep — one row, ties to the lowest threshold (prefer
+    recall at equal F1; operators/textstats.py:select_threshold —
+    one min-struct aggregate over the distinct-threshold-sized
+    curve).  The DuckDB oracle replays the training, the sweep, and
+    the argmax.
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.textstats import (
+        perceptron_apply,
+        perceptron_train,
+        select_threshold,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(-1))
+    model = perceptron_train(labeled, "y", dim=64, epochs=3)
+    scored = perceptron_apply(docs, model, dim=64)
+    pos = docs.filter("lang = 'en'").select("doc_id")
+    return select_threshold(scored, pos)
+
+
 def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine tokenizer TRAINING at corpus scale: 8 BPE merges
     learned by the BATCHED distributed trainer (r11: up to

@@ -128,6 +128,7 @@ HEADLINE = [
     "langid_nb_docs",
     "langid_eval_docs",
     "minhash_index_delete_docs",
+    "threshold_select_language_docs",
 ]
 
 

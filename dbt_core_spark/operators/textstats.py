@@ -2870,6 +2870,39 @@ def pr_curve(
     )
 
 
+def select_threshold(
+    scored: DataFrame,
+    positives: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    quantize: int | None = None,
+) -> DataFrame:
+    """Operating-point selection — the eval tier's conclusion: the
+    F1-OPTIMAL decision threshold off the ``pr_curve`` sweep, as ONE
+    row (threshold, n_pred, tp, fp, fn, precision_micro, recall_micro,
+    f1_micro).  Ties break to the LOWEST threshold (equal F1 → prefer
+    the higher-recall operating point — deterministic, the min-struct
+    idiom).  This is the verb a filter-deployment pipeline actually
+    calls: sweep once, pin the threshold, serve with a constant.
+
+    Scale shape: the ``pr_curve`` pass (corpus never enters a window)
+    plus one min-struct aggregate over the DISTINCT-threshold-sized
+    curve — nothing new touches the corpus.  Empty curve (no non-NULL
+    scores) returns an empty frame."""
+    curve = pr_curve(scored, positives, id_col=id_col,
+                     score_col=score_col, quantize=quantize)
+    cols = ["threshold", "n_pred", "tp", "fp", "fn",
+            "precision_micro", "recall_micro", "f1_micro"]
+    return (
+        curve.agg(F.min(F.struct(
+            (-F.col("f1_micro")).alias("_nf"),
+            *[F.col(c) for c in cols],
+        )).alias("k"))
+        .filter(F.col("k").isNotNull())  # empty curve -> empty frame
+        .select(*[F.col(f"k.{c}").alias(c) for c in cols])
+    )
+
+
 def auc_score(
     scored: DataFrame,
     positives: DataFrame,

@@ -4924,3 +4924,16 @@ join shn nc on nc.id = s.corpus_id
 join shn nb on nb.id = s.batch_id
 where s.shared / (nc.n_sh + nb.n_sh - s.shared) >= 0.7
 """
+
+
+# r11 operating-point selection: the F1-argmax row of the perceptron
+# language filter's pr_curve sweep, ties to the LOWEST threshold
+# (prefer recall at equal F1) — the oracle wraps the (already exact)
+# pr_curve replay in the deterministic argmax.  Staged r12.
+ORACLES_STAGED_R12["threshold_select_language_docs"] = f"""
+select threshold, n_pred, tp, fp, fn,
+       precision_micro, recall_micro, f1_micro
+from ({ORACLES["pr_curve_language_docs"]}) curve
+order by f1_micro desc, threshold asc
+limit 1
+"""

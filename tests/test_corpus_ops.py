@@ -3024,3 +3024,42 @@ def test_langid_trained_beats_stopword_heuristic(spark):
     it_right = pred.filter("lang = 'it' and label = 'it'").count()
     assert it_right == test.filter("lang = 'it'").count()
     assert heur.filter("detected_lang = 'it'").count() == 0
+
+
+def test_select_threshold_argmax_and_ties(spark):
+    """select_threshold returns exactly the pr_curve row with maximal
+    f1_micro, ties to the LOWEST threshold; empty-score input yields an
+    empty frame."""
+    from dbt_core_spark.operators.textstats import pr_curve, select_threshold
+
+    # scores engineered so two thresholds tie on F1: positives = {1,2};
+    # t=10: tp=1 fp=1 fn=1 -> f1 = 2/(2+1+1) = 500000; t=5: tp=2 fp=4
+    # fn=0 -> f1 = 4/(4+4+0) = 500000 — a genuine tie; lowest
+    # threshold (higher recall) wins
+    scored = spark.createDataFrame(
+        [(1, 10), (3, 10), (2, 5), (4, 5), (5, 5), (6, 5)],
+        "doc_id long, score long")
+    pos = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    curve = {r["threshold"]: r for r in pr_curve(scored, pos).collect()}
+    assert curve[10]["f1_micro"] == curve[5]["f1_micro"] == 500000
+    got = select_threshold(scored, pos).collect()
+    assert len(got) == 1 and got[0]["threshold"] == 5
+    assert got[0]["tp"] == 2 and got[0]["fp"] == 4 and got[0]["fn"] == 0
+
+    # generic argmax property on an LCG corpus
+    rows, x = [], 3
+    for i in range(60):
+        x = (x * 1103515245 + 12345) % (2 ** 31)
+        rows.append((i, (x % 17) - 8, (x >> 9) % 4 == 0))
+    scored2 = spark.createDataFrame(
+        [(i, s) for i, s, _ in rows], "doc_id long, score long")
+    pos2 = spark.createDataFrame(
+        [(i,) for i, _, p in rows if p], "doc_id long")
+    full = pr_curve(scored2, pos2).collect()
+    best = sorted(full, key=lambda r: (-r["f1_micro"], r["threshold"]))[0]
+    got2 = select_threshold(scored2, pos2).collect()[0]
+    assert tuple(got2) == tuple(best)
+
+    # empty scores -> empty result
+    empty = spark.createDataFrame([], "doc_id long, score long")
+    assert select_threshold(empty, pos).count() == 0

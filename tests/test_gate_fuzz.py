@@ -1642,7 +1642,8 @@ def test_staged_r12_langid_gates_on_hostile_corpora(
     tmpdir = str(tmp_path_factory.mktemp("fuzz_r12langid"))
     con = _write_docs(tmpdir, rows)
     for name in ("langid_nb_docs", "langid_eval_docs",
-                 "minhash_index_delete_docs"):
+                 "minhash_index_delete_docs",
+                 "threshold_select_language_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R12[name])
