@@ -2513,6 +2513,39 @@ def ivfpq_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                         m=4, ks=16, dim=64)
 
 
+def ivfpq_index_lifecycle_embeddings(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVFPQ deletion lifecycle (r11 — the compressed tier
+    gains the build-once/serve-many/delete form the flat IVF index
+    already has): build (cents, codebook, integer code table) once,
+    tombstone the vec_id%6==0 codes while the STANDING centroids and
+    codebook stay put (FAISS IndexIVFPQ.remove_ids — trained
+    artifacts never re-seed on delete), then serve the %50 query
+    batch through the probed-cells ADC scan
+    (operators/similarity.py:ivfpq_index_build/delete/search).  The
+    oracle is the ivfpq_search replay with only the candidate scan
+    filtered to survivors — standing-model semantics, not a rebuild.
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_delete,
+        ivfpq_index_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, cb, codes = ivfpq_index_build(emb, n_cells=16, m=4, ks=16,
+                                         dim=64)
+    codes = ivfpq_index_delete(
+        codes, emb.filter("vec_id % 6 = 0").select("vec_id"))
+    # sealed: the LUT join reads the standing code table — without the
+    # seal the build encode pass replays per consumer
+    codes = codes.localCheckpoint(eager=False)
+    return ivfpq_index_search(cents, cb, codes,
+                              emb.filter("vec_id % 50 = 0"),
+                              k=3, n_probe=4, m=4, dim=64)
+
+
 def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image geometry: gradient-pattern PPM synthesis → nearest-
     neighbor 8×6 resize (integer index sampling) → pixel stats, all

@@ -129,6 +129,7 @@ HEADLINE = [
     "langid_eval_docs",
     "minhash_index_delete_docs",
     "threshold_select_language_docs",
+    "ivfpq_index_lifecycle_embeddings",
 ]
 
 

@@ -2294,48 +2294,76 @@ def ivfpq_search(
     corpus-scale passes are the assignment argmin (one groupBy) and the
     residual encode (one groupBy); scoring joins the integer code table
     to the broadcast (query, cell) LUT on (cell, sub, code) — raw
-    vectors are never shuffled or rescanned at query time."""
-    sd = dim // m
-    # NULL vectors excluded on BOTH sides at entry (the kmeans
-    # precedent): a NULL centroid/seed poisons every downstream code,
-    # and a NULL query has no defined LUT
-    df = df.filter(F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
-    queries = queries.filter(F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
+    vectors are never shuffled or rescanned at query time.
 
+    One-shot composition of ``ivfpq_index_build`` + ``ivfpq_index_search``
+    (r11: the persisted-index lifecycle split, the ivf_index_build/search
+    precedent) — results identical by construction."""
+    cents, cb, codes = ivfpq_index_build(
+        df, n_cells=n_cells, m=m, ks=ks, dim=dim,
+        vec_col=vec_col, id_col=id_col)
+    return ivfpq_index_search(
+        cents, cb, codes, queries, k=k, n_probe=n_probe, m=m, dim=dim,
+        vec_col=vec_col, id_col=id_col, query_id_col=query_id_col)
+
+
+def _ivfpq_assign(frame: DataFrame, fid: str, keep_rank: int,
+                  cents: DataFrame, vec_col: str) -> DataFrame:
+    """(id, cell[, rank]) by ascending L2² to each broadcast centroid —
+    ties to the lower cell (the IVFADC convention)."""
+    ex = frame.select(F.col(fid), F.col(vec_col).alias("_v")).crossJoin(
+        F.broadcast(cents)
+    )
+    scored = ex.select(
+        F.col(fid), "cell",
+        F.struct(_l2sq(F.col("_v"), F.col("cvec")).alias("d"),
+                 F.col("cell").alias("c")).alias("_dc"),
+    )
+    if keep_rank == 1:
+        return (
+            scored.groupBy(fid).agg(F.min("_dc").alias("_best"))
+            .select(F.col(fid), F.col("_best.c").alias("cell"))
+        )
+    w = Window.partitionBy(fid).orderBy(F.col("_dc.d").asc(),
+                                        F.col("_dc.c").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= keep_rank)
+        .select(F.col(fid), "cell")
+    )
+
+
+def ivfpq_index_build(
+    df: DataFrame,
+    n_cells: int = 16,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the PERSISTED IVFADC index (r11 — the compressed tier's
+    build-once/serve-many form, completing the lifecycle the flat IVF
+    index already has): returns ``(cents, cb, codes)`` —
+    cents (cell, cvec) and cb (sub, code, cvec) are the model-sized
+    broadcast sides; codes (id, sub, code, cell) is the integer code
+    table, m·1 byte-scale per vector — the ONLY corpus-sized artifact,
+    ~dim·4/m smaller than the raw vectors (the 100 TB memory lever;
+    FAISS IndexIVFPQ storage).  Write all three once; serve forever
+    with ``ivfpq_index_search``; delete with ``ivfpq_index_delete``."""
+    # NULL vectors excluded at entry (the kmeans precedent): a NULL
+    # centroid/seed poisons every downstream code
+    df = df.filter(F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
     cents = df.orderBy(id_col).limit(n_cells).select(
         (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
         F.col(vec_col).alias("cvec"),
     )
-
-    def assign(frame: DataFrame, fid: str, keep_rank: int) -> DataFrame:
-        """(id, cell[, rank]) by ascending L2² to each centroid."""
-        ex = frame.select(F.col(fid), F.col(vec_col).alias("_v")).crossJoin(
-            F.broadcast(cents)
-        )
-        scored = ex.select(
-            F.col(fid), "cell",
-            F.struct(_l2sq(F.col("_v"), F.col("cvec")).alias("d"),
-                     F.col("cell").alias("c")).alias("_dc"),
-        )
-        if keep_rank == 1:
-            return (
-                scored.groupBy(fid).agg(F.min("_dc").alias("_best"))
-                .select(F.col(fid), F.col("_best.c").alias("cell"))
-            )
-        w = Window.partitionBy(fid).orderBy(F.col("_dc.d").asc(),
-                                            F.col("_dc.c").asc())
-        return (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= keep_rank)
-            .select(F.col(fid), "cell")
-        )
-
     # corpus: cell assignment + residuals (one broadcast join each).
     # assigned feeds resid AND the code/cell join; resid feeds the
     # codebook seeds AND the encode — seal both so the corpus-scale
     # assignment executes once, not once per consumer (the BLAS-kernel
     # lesson, see _seal)
-    assigned = _seal(assign(df, id_col, 1))
+    assigned = _seal(_ivfpq_assign(df, id_col, 1, cents, vec_col))
     resid = _seal(
         df.join(assigned, id_col)
         .join(F.broadcast(cents), "cell")
@@ -2350,11 +2378,58 @@ def ivfpq_search(
     codes = pq_encode(resid, cb, vec_col, id_col, dim=dim, m=m).join(
         assigned, id_col
     )
+    return cents, cb, codes
+
+
+def ivfpq_index_delete(
+    codes: DataFrame,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Remove vectors from a persisted IVFPQ index — STANDING-model
+    semantics (FAISS IndexIVFPQ.remove_ids; the ivf_index_delete /
+    minhash_index_delete pattern): tombstones anti-join the code
+    table; the coarse centroids and the PQ codebook stay put (they are
+    trained artifacts, not per-vector state), so surviving codes are
+    untouched and post-delete search equals the full-index ranking
+    with deleted neighbors gone (the gate's oracle replays exactly
+    that).  One broadcast-sized anti-join; codes never re-encode."""
+    return codes.join(
+        ids.select(
+            F.col(ids.columns[0] if id_col not in ids.columns
+                  else id_col).alias(id_col)
+        ).distinct(),
+        id_col, "left_anti",
+    )
+
+
+def ivfpq_index_search(
+    cents: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Serve a query batch against a persisted IVFPQ index: probe
+    ``n_probe`` cells per query, build the per-(query, cell) residual
+    ADC LUT against the broadcast codebook, and scan ONLY the probed
+    cells' integer codes — raw vectors never rescanned (they are not
+    even part of the index).  Same determinism contract as
+    ``ivfpq_search``."""
+    sd = dim // m
+    queries = queries.filter(
+        F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
 
     # queries: probe cells + per-(query, cell) residual LUTs
-    probes = assign(queries, id_col, n_probe).withColumnRenamed(
-        id_col, query_id_col
-    )
+    probes = _ivfpq_assign(
+        queries, id_col, n_probe, cents, vec_col
+    ).withColumnRenamed(id_col, query_id_col)
     qres = (
         queries.select(F.col(id_col).alias(query_id_col),
                        F.col(vec_col).alias("_q"))

@@ -4937,3 +4937,17 @@ from ({ORACLES["pr_curve_language_docs"]}) curve
 order by f1_micro desc, threshold asc
 limit 1
 """
+
+
+# r11 persisted-IVFPQ deletion lifecycle: STANDING-model semantics —
+# deleted ids leave the integer code table; the coarse centroids and
+# the PQ codebook (trained artifacts, seeded from the FULL corpus) do
+# not move.  The oracle is the ivfpq_search replay with only the
+# candidate scan filtered to survivors.  Staged r12.
+_ivfpq_del = ORACLES["ivfpq_search_embeddings"].replace(
+    "where l.query_id <> e.vec_id",
+    "where l.query_id <> e.vec_id and e.vec_id % 6 <> 0",
+    1)
+assert _ivfpq_del != ORACLES["ivfpq_search_embeddings"]
+ORACLES_STAGED_R12["ivfpq_index_lifecycle_embeddings"] = _ivfpq_del
+del _ivfpq_del

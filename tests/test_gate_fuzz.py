@@ -1648,3 +1648,31 @@ def test_staged_r12_langid_gates_on_hostile_corpora(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R12[name])
         assert ok, f"{name}: {msg}"
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows_nullable, dup=st.booleans())
+def test_staged_r12_ivfpq_lifecycle_on_hostile_corpora(
+    spark, tmp_path_factory, vecs, dup
+):
+    """The STAGED round-12 persisted-IVFPQ deletion lifecycle on
+    hostile embeddings: NULL / non-finite / duplicate vectors, corpora
+    smaller than n_cells or ks (degenerate centroid/codebook seeds),
+    %6 deletes that empty cells, and query batches that may be
+    entirely tombstoned ids — standing-model semantics on both
+    engines."""
+    from oracles import ORACLES_STAGED_R12
+
+    if dup and vecs:
+        vecs = vecs + vecs[:3]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r12ipql"))
+    con = _write_embeddings(tmpdir, [v for v in vecs])
+    ok, msg = _vo.compare(
+        "ivfpq_index_lifecycle_embeddings", spark, con, tmpdir,
+        em.ivfpq_index_lifecycle_embeddings,
+        ORACLES_STAGED_R12["ivfpq_index_lifecycle_embeddings"])
+    assert ok, msg

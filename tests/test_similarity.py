@@ -882,3 +882,41 @@ def test_ivf_rebalance_after_delete_never_trips_guards(spark):
     q = spark.createDataFrame([(999, [1.0, 0.0, 0.0])],
                               "vec_id long, embedding array<double>")
     assert ivf_index_search(cents2, assigns2, q, k=3, n_probe=8).count() == 3
+
+
+def test_ivfpq_index_lifecycle_matches_transient_and_deletes(spark, sf_dir):
+    """The r11 persisted-IVFPQ split: build+search composes to exactly
+    the transient ivfpq_search; deletion is standing-model (centroids
+    and codebook untouched — surviving codes byte-identical) and the
+    post-delete ranking never contains a tombstoned neighbor."""
+    from dbt_core_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_delete,
+        ivfpq_index_search,
+        ivfpq_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 50 = 0")
+    cents, cb, codes = ivfpq_index_build(emb, n_cells=16, m=4, ks=16,
+                                         dim=64)
+    codes = codes.localCheckpoint(eager=False)
+    via_index = sorted(map(tuple, ivfpq_index_search(
+        cents, cb, codes, queries, k=3, n_probe=4, m=4, dim=64).collect()))
+    transient = sorted(map(tuple, ivfpq_search(
+        emb, queries, k=3, n_cells=16, n_probe=4, m=4, ks=16,
+        dim=64).collect()))
+    assert via_index == transient and len(via_index) > 0
+
+    dead = emb.filter("vec_id % 6 = 0").select("vec_id")
+    shrunk = ivfpq_index_delete(codes, dead)
+    # standing model: surviving codes are the anti-join, bit-identical
+    survivors = sorted(map(tuple, shrunk.collect()))
+    expect = sorted(map(tuple,
+                        codes.filter("vec_id % 6 != 0").collect()))
+    assert survivors == expect
+    served = ivfpq_index_search(cents, cb,
+                                shrunk.localCheckpoint(eager=False),
+                                queries, k=3, n_probe=4, m=4, dim=64)
+    assert served.filter("nbr_id % 6 = 0").count() == 0
+    assert served.count() > 0
