@@ -2546,6 +2546,39 @@ def ivfpq_index_lifecycle_embeddings(
                               k=3, n_probe=4, m=4, dim=64)
 
 
+def ivfpq_index_append_embeddings(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVFPQ ingest lifecycle (r11): build the index on the
+    vec_id%7≠0 history, APPEND the %7=0 batch through the STANDING
+    centroids and codebook (FAISS IndexIVFPQ.add — trained artifacts
+    never re-train on ingest; only the batch is assigned/encoded),
+    then serve the %50 query batch over the merged code table
+    (operators/similarity.py:ivfpq_index_append).  The oracle replays
+    the search with the coarse seeds and codebook seeds drawn from
+    the HISTORY slice only, while assignment/encode/scan cover the
+    full corpus — standing-model ingest semantics.
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, cb, codes = ivfpq_index_build(
+        emb.filter("vec_id % 7 != 0"), n_cells=16, m=4, ks=16, dim=64)
+    # sealed: cents/cb feed the append AND the search (≥2 branches)
+    cents = cents.localCheckpoint(eager=False)
+    cb = cb.localCheckpoint(eager=False)
+    merged = ivfpq_index_append(
+        cents, cb, codes, emb.filter("vec_id % 7 = 0"), m=4, dim=64)
+    merged = merged.localCheckpoint(eager=False)
+    return ivfpq_index_search(cents, cb, merged,
+                              emb.filter("vec_id % 50 = 0"),
+                              k=3, n_probe=4, m=4, dim=64)
+
+
 def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image geometry: gradient-pattern PPM synthesis → nearest-
     neighbor 8×6 resize (integer index sampling) → pixel stats, all

@@ -130,6 +130,7 @@ HEADLINE = [
     "minhash_index_delete_docs",
     "threshold_select_language_docs",
     "ivfpq_index_lifecycle_embeddings",
+    "ivfpq_index_append_embeddings",
 ]
 
 

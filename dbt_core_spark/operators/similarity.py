@@ -2381,6 +2381,45 @@ def ivfpq_index_build(
     return cents, cb, codes
 
 
+def ivfpq_index_append(
+    cents: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    batch: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Append a vector batch to a persisted IVFPQ index — the ingest
+    leg (FAISS IndexIVFPQ.add): assign the BATCH to the standing
+    coarse centroids, encode its residuals against the STANDING
+    codebook (trained artifacts never re-train on ingest — recall
+    drift is monitored separately via ann_recall and a rebuild is an
+    explicit operation), and union the new integer codes onto the code
+    table.  Only the batch is ever assigned/encoded; corpus history
+    never re-encodes — the bm25_index_append / ivf_index_append
+    contract for the compressed tier.  Returns the merged code table
+    (same schema as ``ivfpq_index_build``'s codes)."""
+    batch = batch.filter(
+        F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
+    assigned = _seal(_ivfpq_assign(batch, id_col, 1, cents, vec_col))
+    resid = (
+        batch.join(assigned, id_col)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            F.col(id_col), "cell",
+            F.zip_with(F.col(vec_col), F.col("cvec"),
+                       lambda x, y: x.cast("double") - y.cast("double"))
+            .alias(vec_col),
+        )
+    )
+    new_codes = pq_encode(resid, cb, vec_col, id_col, dim=dim, m=m).join(
+        assigned, id_col
+    )
+    return codes.unionByName(new_codes)
+
+
 def ivfpq_index_delete(
     codes: DataFrame,
     ids: DataFrame,

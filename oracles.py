@@ -4951,3 +4951,23 @@ _ivfpq_del = ORACLES["ivfpq_search_embeddings"].replace(
 assert _ivfpq_del != ORACLES["ivfpq_search_embeddings"]
 ORACLES_STAGED_R12["ivfpq_index_lifecycle_embeddings"] = _ivfpq_del
 del _ivfpq_del
+
+
+# r11 persisted-IVFPQ ingest lifecycle: standing-model APPEND — the
+# coarse seeds and the codebook seeds draw from the HISTORY slice
+# (vec_id % 7 <> 0) only, while assignment, encode, and the candidate
+# scan cover the full corpus (history + appended batch).  The oracle
+# is the ivfpq_search replay with just the two seed CTEs filtered.
+# Staged r12.
+_ivfpq_app = ORACLES["ivfpq_search_embeddings"].replace(
+    "from (select * from v0 order by vec_id limit 16)",
+    "from (select * from v0 where vec_id % 7 <> 0 "
+    "order by vec_id limit 16)",
+    1).replace(
+    "from (select * from resid order by vec_id limit 16)",
+    "from (select * from resid where vec_id % 7 <> 0 "
+    "order by vec_id limit 16)",
+    1)
+assert _ivfpq_app.count("% 7 <> 0") == 2
+ORACLES_STAGED_R12["ivfpq_index_append_embeddings"] = _ivfpq_app
+del _ivfpq_app

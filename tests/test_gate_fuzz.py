@@ -1671,8 +1671,9 @@ def test_staged_r12_ivfpq_lifecycle_on_hostile_corpora(
         vecs = vecs + vecs[:3]
     tmpdir = str(tmp_path_factory.mktemp("fuzz_r12ipql"))
     con = _write_embeddings(tmpdir, [v for v in vecs])
-    ok, msg = _vo.compare(
-        "ivfpq_index_lifecycle_embeddings", spark, con, tmpdir,
-        em.ivfpq_index_lifecycle_embeddings,
-        ORACLES_STAGED_R12["ivfpq_index_lifecycle_embeddings"])
-    assert ok, msg
+    for name in ("ivfpq_index_lifecycle_embeddings",
+                 "ivfpq_index_append_embeddings"):
+        ok, msg = _vo.compare(
+            name, spark, con, tmpdir,
+            getattr(em, name), ORACLES_STAGED_R12[name])
+        assert ok, f"{name}: {msg}"

@@ -920,3 +920,41 @@ def test_ivfpq_index_lifecycle_matches_transient_and_deletes(spark, sf_dir):
                                 queries, k=3, n_probe=4, m=4, dim=64)
     assert served.filter("nbr_id % 6 = 0").count() == 0
     assert served.count() > 0
+
+
+def test_ivfpq_index_append_only_encodes_batch(spark, sf_dir):
+    """Append semantics: the merged code table equals encoding the full
+    corpus under the HISTORY-trained model (standing cents + codebook),
+    history codes are byte-identical before and after the append (no
+    re-encode), and post-append search surfaces appended neighbors."""
+    from dbt_core_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hist = emb.filter("vec_id % 7 != 0")
+    batch = emb.filter("vec_id % 7 = 0")
+    cents, cb, codes = ivfpq_index_build(hist, n_cells=16, m=4, ks=16,
+                                         dim=64)
+    cents = cents.localCheckpoint(eager=False)
+    cb = cb.localCheckpoint(eager=False)
+    codes = codes.localCheckpoint(eager=False)
+    merged = ivfpq_index_append(cents, cb, codes, batch, m=4, dim=64)
+
+    def rows(df, pred="true"):
+        return sorted(map(tuple, df.filter(pred).collect()))
+
+    # history codes untouched by the append
+    assert rows(merged, "vec_id % 7 != 0") == rows(codes)
+    # the appended half is present and encoded under the standing model:
+    # re-appending the same batch to an EMPTY slice reproduces it
+    again = ivfpq_index_append(cents, cb, codes.limit(0), batch,
+                               m=4, dim=64)
+    assert rows(merged, "vec_id % 7 = 0") == rows(again)
+    # served ranking can reach appended neighbors
+    served = ivfpq_index_search(
+        cents, cb, merged.localCheckpoint(eager=False),
+        emb.filter("vec_id % 50 = 0"), k=3, n_probe=4, m=4, dim=64)
+    assert served.filter("nbr_id % 7 = 0").count() > 0
