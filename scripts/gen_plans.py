@@ -324,6 +324,17 @@ PICKS = {
         "the per-document signature rows (delete ≡ rebuild "
         "bit-identically); the batch match stays a banded candidate "
         "equi-join + exact-Jaccard verify, never corpus×corpus."),
+    "ivfpq_index_lifecycle_embeddings": (
+        "Persisted-IVFPQ deletion lifecycle (r11-staged) — tombstones "
+        "anti-join the integer code table; standing centroids + "
+        "codebook broadcast; the ADC scan joins codes to the "
+        "(query, cell) LUT on (cell, sub, code) — raw vectors never "
+        "rescanned at query time."),
+    "threshold_select_language_docs": (
+        "F1-optimal threshold (r11-staged) — the pr_curve pass "
+        "(corpus never enters a window; cumulative sums over DISTINCT "
+        "thresholds only) closed by one min-struct argmax aggregate "
+        "over the curve."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",
