@@ -3916,11 +3916,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # generate_series_powers — the staleness cohort, 4 rounds stale
     # entering r11, mandatory in-window), then 15 r8-green rows
     # oldest-first to fill 50.
-    # ROUND-12 WINDOW PLAN: gates staged during round 11
-    # (ORACLES_STAGED_R12) lead, then the 34-row r8 remainder
-    # (ann_ivf_index_append_embeddings .. quantile_sketch_events), then
-    # r9 rows oldest-first to fill 50; the r9 remainder and the
-    # r10/r11 cohorts follow in rounds 13-14.
+    # ROUND-12 WINDOW PLAN: the 6 gates staged during round 11 lead
+    # (ORACLES_STAGED_R12: langid_nb_docs, langid_eval_docs,
+    # minhash_index_delete_docs, threshold_select_language_docs,
+    # ivfpq_index_lifecycle_embeddings, ivfpq_index_append_embeddings —
+    # each pre-verified at 3 scales + TZ/fuzz this round), then the
+    # ENTIRE 34-row r8 remainder (ann_ivf_index_append_embeddings ..
+    # quantile_sketch_events — the staleness cohort), then 10 r9 rows
+    # oldest-first (perceptron_ovr_language_docs ..
+    # dedup_embedding_docs) to fill 50; the 40-row r9 remainder and
+    # the r10/r11 cohorts follow in rounds 13-14.
     return {
         # ---- never driver-verified: the 6 r10-staged gates lead
         # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at
