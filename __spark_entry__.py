@@ -3892,6 +3892,78 @@ def langid_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   label_col="lang")
 
 
+def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding column (r11 — the
+    non-parametric member of the trainable-filter tier, and the
+    semi-supervised curation verb: propagate the vec_id%3≠0 slice's
+    labels onto the held-out %3=0 slice by majority vote of the k=5
+    nearest neighbors by cosine).  Neighbor search is the exact
+    matmul-batched ``cosine_topk_blas`` path (round-9dp rank
+    contract); the vote tie-break is pinned votes DESC → best rank
+    ASC → label ASC, so the DuckDB oracle replays search + vote
+    bit-for-bit (operators/similarity.py:knn_classify).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = emb.filter("vec_id % 3 != 0")
+    queries = emb.filter("vec_id % 3 = 0")
+    return knn_classify(labeled, queries, k=5)
+
+
+def knn_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation row for the kNN classifier: the knn_classify
+    predictions on the held-out third scored against the gold
+    ``label`` column — per-class confusion counts and
+    precision/recall/F1 in exact integer micro units (the
+    classifier_eval_docs lattice closing the eval loop on the kNN
+    family, as langid_eval does for the trained langid).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.textstats import classification_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+    preds = (
+        knn_classify_embeddings(spark, sf_dir)
+        .withColumnRenamed("query_id", "vec_id")
+        # consumed by both confusion aggregates
+        .localCheckpoint(eager=False)
+    )
+    gold = emb.filter("vec_id % 3 = 0 AND label IS NOT NULL").select(
+        "vec_id", "label")
+    return classification_metrics(preds, gold, id_col="vec_id",
+                                  pred_col="pred_label",
+                                  label_col="label")
+
+
+def knn_classify_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-accelerated kNN classification (r11 — the 100 TB shape of
+    knn_classify_embeddings): the labeled corpus is indexed ONCE with
+    the persisted IVF build (kmeans_iters=0 pins the centroid seeds
+    so the composition has an exact SQL oracle, the
+    ann_ivf_index_query precedent), the held-out query batch searches
+    only its n_probe=4 nearest cells, and the majority vote runs over
+    the ANN neighbor frame — classification cost per query drops by
+    ~n_cells/n_probe with no corpus pass at serve time
+    (operators/similarity.py:ivf_index_build/ivf_index_search/
+    knn_classify with ``neighbors=``).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        knn_classify,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = emb.filter("vec_id % 3 != 0 AND label IS NOT NULL")
+    queries = emb.filter("vec_id % 3 = 0")
+    cents, assigns = ivf_index_build(labeled, n_cells=16, kmeans_iters=0)
+    nbrs = ivf_index_search(cents, assigns, queries, k=5, n_probe=4)
+    return knn_classify(labeled, queries, neighbors=nbrs)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -3916,16 +3988,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # generate_series_powers — the staleness cohort, 4 rounds stale
     # entering r11, mandatory in-window), then 15 r8-green rows
     # oldest-first to fill 50.
-    # ROUND-12 WINDOW PLAN: the 6 gates staged during round 11 lead
+    # ROUND-12 WINDOW PLAN: the gates staged during round 11 lead
     # (ORACLES_STAGED_R12: langid_nb_docs, langid_eval_docs,
     # minhash_index_delete_docs, threshold_select_language_docs,
-    # ivfpq_index_lifecycle_embeddings, ivfpq_index_append_embeddings —
-    # each pre-verified at 3 scales + TZ/fuzz this round), then the
-    # ENTIRE 34-row r8 remainder (ann_ivf_index_append_embeddings ..
-    # quantile_sketch_events — the staleness cohort), then 10 r9 rows
-    # oldest-first (perceptron_ovr_language_docs ..
-    # dedup_embedding_docs) to fill 50; the 40-row r9 remainder and
-    # the r10/r11 cohorts follow in rounds 13-14.
+    # ivfpq_index_lifecycle_embeddings, ivfpq_index_append_embeddings,
+    # knn_classify_embeddings, knn_eval_embeddings,
+    # knn_classify_ivf_embeddings — each pre-verified at 3 scales +
+    # TZ/fuzz this round), then the ENTIRE 34-row r8 remainder
+    # (ann_ivf_index_append_embeddings .. quantile_sketch_events —
+    # the staleness cohort), then 7 r9 rows oldest-first
+    # (perceptron_ovr_language_docs .. streaming_bm25_serve_docs) to
+    # fill 50; the remaining r9 rows and the r10/r11 cohorts follow
+    # in rounds 13-14.
     return {
         # ---- never driver-verified: the 6 r10-staged gates lead
         # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at

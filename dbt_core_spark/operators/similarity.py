@@ -2541,3 +2541,74 @@ def ivf_index_delete(
     return assignments.join(
         ids.select(F.col(dcol).alias(id_col)).distinct(),
         id_col, "left_anti")
+
+
+def knn_classify(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor classification over an embedding column —
+    the non-parametric member of the trainable-filter tier (NB /
+    perceptron / stump train a model; kNN *is* its labeled corpus):
+    label each query vector by majority vote of its ``k`` nearest
+    labeled neighbors by cosine.  The semi-supervised curation verb —
+    propagate a small set of human quality/domain labels onto an
+    unlabeled corpus through embedding space (reference has no
+    counterpart; the label-propagation framing is standard, e.g.
+    Zhu & Ghahramani 2002).
+
+    Neighbor search defaults to ``cosine_topk_blas`` (exact,
+    matmul-batched, auto-sharded — the production exact path).  For
+    ANN-accelerated classification at scale, pass ``neighbors=``
+    any (query_id, nbr_id, cosine, rank) frame — e.g. the output of
+    ``ivf_index_search`` over a persisted index — and only the vote
+    runs here (the knn_classify_ivf gate pins that composition).
+
+    Vote tie-break is pinned for determinism and SQL-replayability:
+    votes DESC, then best (lowest) neighbor rank ASC — a tied label
+    holding the closer neighbor wins — then label ASC.  NULL-labeled
+    corpus rows are excluded BEFORE search (they cannot vote, and
+    must not displace votable neighbors from the top-k).  Queries
+    whose vector is invalid (NULL/empty/zero-norm/NaN/Inf) get no
+    row, the cosine-tier exclusion contract.
+
+    Scale shape: the vote is queries·k rows grouped to
+    queries·distinct-labels — never corpus-scale; the label join is
+    an id-equi-join against the (id, label) projection (broadcast
+    when the labeled set is small, AQE otherwise).  Returns
+    (query_id, pred_label, votes, best_rank)."""
+    lab = labeled.filter(F.col(label_col).isNotNull())
+    if neighbors is None:
+        neighbors = cosine_topk_blas(
+            lab, vec_col=vec_col, id_col=id_col, k=k, queries=queries
+        )
+    votes = (
+        neighbors.join(
+            lab.select(F.col(id_col).alias("nbr_id"),
+                       F.col(label_col).alias("_lbl")),
+            "nbr_id",
+        )
+        .groupBy("query_id", "_lbl")
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.min("rank").alias("best_rank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("best_rank").asc(), F.col("_lbl").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("_lbl").alias("pred_label"),
+            "votes",
+            "best_rank",
+        )
+    )

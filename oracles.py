@@ -4971,3 +4971,152 @@ _ivfpq_app = ORACLES["ivfpq_search_embeddings"].replace(
 assert _ivfpq_app.count("% 7 <> 0") == 2
 ORACLES_STAGED_R12["ivfpq_index_append_embeddings"] = _ivfpq_app
 del _ivfpq_app
+
+
+# r11 kNN classification: exact matmul path — search replays the
+# cosine_topk_blas round-9dp rank contract over the labeled/query
+# split, then the majority vote with the pinned tie-break (votes DESC
+# → best rank ASC → label ASC).  NULL-labeled corpus rows are
+# excluded BEFORE search (they cannot vote and must not displace
+# votable neighbors from the top-k).  Staged r12.
+_KNN_VOTE = """
+votes as (
+    select query_id, lbl, count(*) as votes, min(rank) as best_rank
+    from topk group by 1, 2
+)
+select query_id, lbl as pred_label, cast(votes as bigint) as votes,
+       cast(best_rank as int) as best_rank
+from votes
+qualify row_number() over (partition by query_id
+                           order by votes desc, best_rank, lbl) = 1
+"""
+
+ORACLES_STAGED_R12["knn_classify_embeddings"] = f"""
+with v0 as (
+    select vec_id, embedding::DOUBLE[] as e, label from embeddings
+), v as (
+    select vec_id, e, label, sqrt({_dot_sql('e', 'e')}) as vn from v0
+    where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
+      and {_dot_sql('e', 'e')} < 'infinity'::double  -- finite contract
+), lab as (
+    select vec_id, e, label, vn from v
+    where vec_id % 3 <> 0 and label is not null
+), q as (
+    select vec_id, e, vn from v where vec_id % 3 = 0
+), scored as (
+    select q.vec_id as query_id, c.vec_id as nbr_id, c.label as lbl,
+           round({_dot_sql('q.e', 'c.e')} / (q.vn * c.vn), 9) as cosine
+    from q join lab c on q.vec_id <> c.vec_id
+), topk as (
+    select query_id, nbr_id, lbl,
+           row_number() over (partition by query_id
+                              order by cosine desc, nbr_id) as rank
+    from scored
+    qualify rank <= 5
+), {_KNN_VOTE}
+"""
+
+
+# r11 kNN evaluation: the knn_classify predictions on the held-out
+# third vs the gold label column — the classifier_eval_docs
+# confusion/P/R/F1 micro lattice.  Staged r12.
+ORACLES_STAGED_R12["knn_eval_embeddings"] = f"""
+with preds as (
+  select query_id as vec_id, pred_label
+  from ({ORACLES_STAGED_R12["knn_classify_embeddings"]}) kp
+), gold as (
+  select vec_id, label as g from embeddings
+  where vec_id % 3 = 0 and label is not null
+), j as (
+  select cast(p.pred_label as varchar) as pred,
+         cast(g.g as varchar) as gold
+  from preds p join gold g using (vec_id)
+), ps as (
+  select pred as cls, cast(count(*) as bigint) as n_pred,
+         cast(sum(case when pred = gold then 1 else 0 end) as bigint)
+           as tp
+  from j group by 1
+), gs as (
+  select gold as cls, cast(count(*) as bigint) as n_gold
+  from j group by 1
+), m as (
+  select cls,
+         cast(coalesce(tp, 0) as bigint) as tp,
+         cast(coalesce(n_pred, 0) - coalesce(tp, 0) as bigint) as fp,
+         cast(coalesce(n_gold, 0) - coalesce(tp, 0) as bigint) as fn,
+         cast(coalesce(n_gold, 0) as bigint) as n_gold,
+         cast(coalesce(n_pred, 0) as bigint) as n_pred
+  from ps full outer join gs using (cls)
+)
+select cls, tp, fp, fn, n_gold, n_pred,
+       cast(case when tp + fp = 0 then 0
+                 else (tp * 1000000) // (tp + fp) end as bigint)
+         as precision_micro,
+       cast(case when tp + fn = 0 then 0
+                 else (tp * 1000000) // (tp + fn) end as bigint)
+         as recall_micro,
+       cast(case when 2 * tp + fp + fn = 0 then 0
+                 else (2 * tp * 1000000) // (2 * tp + fp + fn) end
+            as bigint) as f1_micro
+from m
+"""
+
+
+# r11 ANN-accelerated kNN classification: the ann_ivf_index_query
+# replay (kmeans_iters=0 centroid seeds, round-6dp assignment and
+# ranking) with seeds/assignments drawn from the LABELED slice only,
+# probes from the query batch, k=5 / n_probe=4 — then the same
+# pinned majority vote over the ANN neighbor frame.  Staged r12.
+ORACLES_STAGED_R12["knn_classify_ivf_embeddings"] = f"""
+with v0 as (
+    select vec_id, embedding::DOUBLE[] as e, label from embeddings
+), v as (
+    select vec_id, e, label, sqrt({_dot_sql('e', 'e')}) as vn from v0
+    where {_dot_sql('e', 'e')} > 0  -- zero-norm excluded (cosine undefined)
+      and {_dot_sql('e', 'e')} < 'infinity'::double  -- finite contract
+), lab as (
+    select vec_id, e, label, vn from v
+    where vec_id % 3 <> 0 and label is not null
+), cents as (
+    select vec_id as cell, e as ce, vn as cn
+    from lab order by vec_id limit 16
+), rk_a as (
+    select l.vec_id as id, c.cell,
+           {_dot_sql('l.e', 'c.ce')} / (l.vn * c.cn) as cos
+    from lab l, cents c
+), assign as (
+    select id, cell from (
+        select id, cell,
+               row_number() over (partition by id
+                                  order by round(cos, 6) desc, cell) as r
+        from rk_a
+    ) where r = 1
+), q as (
+    select vec_id, e, vn from v where vec_id % 3 = 0
+), rk_q as (
+    select q.vec_id as id, c.cell,
+           {_dot_sql('q.e', 'c.ce')} / (q.vn * c.cn) as cos
+    from q, cents c
+), probes as (
+    select id as query_id, cell from (
+        select id, cell,
+               row_number() over (partition by id
+                                  order by round(cos, 6) desc, cell) as r
+        from rk_q
+    ) where r <= 4
+), scored as (
+    select p.query_id, a.id as nbr_id, m.label as lbl,
+           {_dot_sql('qq.e', 'm.e')} / (qq.vn * m.vn) as cosine
+    from probes p
+    join assign a using (cell)
+    join q qq on qq.vec_id = p.query_id
+    join lab m on m.vec_id = a.id
+    where p.query_id <> a.id
+), topk as (
+    select query_id, nbr_id, lbl,
+           row_number() over (partition by query_id
+                              order by round(cosine, 6) desc, nbr_id) as rank
+    from scored
+    qualify rank <= 5
+), {_KNN_VOTE}
+"""

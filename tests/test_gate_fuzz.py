@@ -764,13 +764,15 @@ _emb_rows = st.lists(
 )
 
 
-def _write_embeddings(tmpdir, vecs):
+def _write_embeddings(tmpdir, vecs, labels=None):
     tbl = pa.table(
         {
             "vec_id": pa.array(range(len(vecs)), pa.int64()),
             "embedding": pa.array(vecs, pa.list_(pa.float32())),
             "label": pa.array(
-                [i % 3 for i in range(len(vecs))], pa.int32()
+                labels if labels is not None
+                else [i % 3 for i in range(len(vecs))],
+                pa.int32(),
             ),
         }
     )
@@ -1673,6 +1675,42 @@ def test_staged_r12_ivfpq_lifecycle_on_hostile_corpora(
     con = _write_embeddings(tmpdir, [v for v in vecs])
     for name in ("ivfpq_index_lifecycle_embeddings",
                  "ivfpq_index_append_embeddings"):
+        ok, msg = _vo.compare(
+            name, spark, con, tmpdir,
+            getattr(em, name), ORACLES_STAGED_R12[name])
+        assert ok, f"{name}: {msg}"
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_emb_rows_nullable, label_seed=st.integers(0, 7),
+       dup=st.booleans())
+def test_staged_r12_knn_gates_on_hostile_corpora(
+    spark, tmp_path_factory, vecs, label_seed, dup
+):
+    """The STAGED round-12 kNN-classification gates on hostile
+    embeddings: NULL / empty / non-finite / duplicate vectors, NULL
+    labels scattered through the corpus (possibly ALL labels NULL —
+    empty votable corpus → empty predictions and an empty eval
+    lattice on both engines), corpora smaller than k or n_cells, and
+    query slices that may be entirely invalid vectors."""
+    from oracles import ORACLES_STAGED_R12
+
+    if dup and vecs:
+        vecs = vecs + vecs[:3]
+    labels = [
+        None if (i + label_seed) % 4 == 0 else (i + label_seed) % 3
+        for i in range(len(vecs))
+    ]
+    if label_seed == 7:  # all-NULL-labels decade
+        labels = [None] * len(vecs)
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r12knn"))
+    con = _write_embeddings(tmpdir, vecs, labels=labels)
+    for name in ("knn_classify_embeddings", "knn_eval_embeddings",
+                 "knn_classify_ivf_embeddings"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R12[name])

@@ -958,3 +958,105 @@ def test_ivfpq_index_append_only_encodes_batch(spark, sf_dir):
         cents, cb, merged.localCheckpoint(eager=False),
         emb.filter("vec_id % 50 = 0"), k=3, n_probe=4, m=4, dim=64)
     assert served.filter("nbr_id % 7 = 0").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# kNN classification (r11)
+# ---------------------------------------------------------------------------
+
+
+def _knn_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_knn_classify_majority_vote(spark):
+    """3 of 5 neighbors share a label → that label wins."""
+    from dbt_core_spark.operators.similarity import knn_classify
+
+    labeled = _knn_frame(spark, [
+        (1, [1.0, 0.0], 7), (2, [0.99, 0.1], 7), (3, [0.98, 0.2], 7),
+        (4, [0.0, 1.0], 8), (5, [0.1, 1.0], 8),
+    ])
+    q = _knn_frame(spark, [(100, [1.0, 0.05], None)])
+    out = knn_classify(labeled, q, k=5).collect()
+    assert len(out) == 1
+    assert out[0].pred_label == 7 and out[0].votes == 3
+
+
+def test_knn_classify_tiebreak_best_rank_then_label(spark):
+    """Vote tie (2 vs 2 with k=4): the label holding the CLOSER
+    neighbor (lower best rank) wins; with best_rank also tied, the
+    smaller label wins — the pinned deterministic order."""
+    from dbt_core_spark.operators.similarity import knn_classify
+
+    labeled = _knn_frame(spark, [
+        (1, [1.0, 0.0], 9),     # rank 1 → label 9 best_rank 1
+        (2, [0.9, 0.3], 5),     # rank 2
+        (3, [0.8, 0.4], 5),     # rank 3
+        (4, [0.7, 0.5], 9),     # rank 4
+    ])
+    q = _knn_frame(spark, [(100, [1.0, 0.0], None)])
+    out = knn_classify(labeled, q, k=4).collect()
+    assert out[0].pred_label == 9 and out[0].best_rank == 1
+
+    # mirror pair at identical (round-9dp) cosine: the rank tie breaks
+    # by nbr_id ASC, so vec 1 (label 5) takes rank 1 and label 5 wins
+    # on best_rank — the within-query label-ASC leg is unreachable
+    # (per-label min(rank) values are distinct since ranks are a
+    # permutation), kept as a determinism backstop only
+    labeled2 = _knn_frame(spark, [
+        (1, [1.0, 0.1], 5), (2, [1.0, -0.1], 3),
+    ])
+    out2 = knn_classify(labeled2, q.select("vec_id",
+                                           "embedding", "label"), k=2)
+    row = out2.collect()[0]
+    assert row.pred_label == 5 and row.votes == 1 and row.best_rank == 1
+
+
+def test_knn_classify_null_labels_cannot_vote_or_displace(spark):
+    """A NULL-labeled corpus row must be excluded BEFORE search: even
+    when it is the nearest vector it neither votes nor occupies a
+    top-k slot that would displace a votable neighbor."""
+    from dbt_core_spark.operators.similarity import knn_classify
+
+    labeled = _knn_frame(spark, [
+        (1, [1.0, 0.0], None),  # nearest, unlabeled
+        (2, [0.9, 0.1], 4), (3, [0.8, 0.2], 4),
+    ])
+    q = _knn_frame(spark, [(100, [1.0, 0.0], None)])
+    out = knn_classify(labeled, q, k=2).collect()
+    assert out[0].pred_label == 4 and out[0].votes == 2
+
+
+def test_knn_classify_injected_neighbors_path(spark):
+    """The ANN-accelerated composition: passing a precomputed
+    (query_id, nbr_id, cosine, rank) frame must produce the same
+    votes as the default exact search when the frames agree."""
+    from dbt_core_spark.operators.similarity import (
+        cosine_topk_blas,
+        knn_classify,
+    )
+
+    labeled = _knn_frame(spark, [
+        (i, [float(i % 3 + 1), float(i % 5)], i % 2) for i in range(1, 13)
+    ])
+    q = _knn_frame(spark, [(100, [2.0, 1.0], None), (101, [1.0, 4.0], None)])
+    nbrs = cosine_topk_blas(labeled, "embedding", "vec_id", k=4, queries=q)
+    a = sorted(map(tuple, knn_classify(labeled, q, k=4).collect()))
+    b = sorted(map(tuple,
+                   knn_classify(labeled, q, neighbors=nbrs).collect()))
+    assert a == b and len(a) == 2
+
+
+def test_knn_classify_empty_labeled_corpus(spark):
+    """All-NULL labels → no votable corpus → empty output with the
+    contract schema (gate-fuzz shape)."""
+    from dbt_core_spark.operators.similarity import knn_classify
+
+    labeled = _knn_frame(spark, [(1, [1.0, 0.0], None)])
+    q = _knn_frame(spark, [(100, [1.0, 0.0], None)])
+    out = knn_classify(labeled, q, k=3)
+    assert out.columns == ["query_id", "pred_label", "votes", "best_rank"]
+    assert out.count() == 0
