@@ -3964,6 +3964,57 @@ def knn_classify_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_classify(labeled, queries, neighbors=nbrs)
 
 
+def _stump_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared doc-stat feature frame for the stump gates: two exact
+    integer features (n_chars from the table, n_words via the
+    normalized-words pipeline — the token_counts parity chain) and a
+    binary is-English label (NULL lang → NULL label, dropped by
+    training)."""
+    from dbt_core_spark.operators.dedup import normalized_words
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(normalized_words("text")).cast("bigint").alias("n_words"),
+        F.when(F.col("lang").isNull(), F.lit(None).cast("int"))
+        .when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        .alias("y"),
+    )
+
+
+def stump_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training (r11 — the tree-family member of the
+    trainable-filter tier): exhaustive exact split search over the
+    (n_chars, n_words) doc stats on the doc_id%3≠0 slice, label =
+    is-English; every split statistic is a bigint count and the
+    tie-break is pinned (error ASC → feature ASC → threshold ASC),
+    so the DuckDB oracle replays the whole search bit-for-bit — the
+    learned-threshold upgrade over hand-set Gopher-style cutoffs
+    (operators/textstats.py:stump_train).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.textstats import stump_train
+
+    feats = _stump_features(spark, sf_dir).filter("doc_id % 3 != 0")
+    return stump_train(feats, ["n_chars", "n_words"], label_col="y")
+
+
+def stump_classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stump serving (r11): the trained 1-row model broadcast-routes
+    the held-out doc_id%3=0 slice through the learned
+    ``value <= threshold`` rule — whole-stage-codegen CASE, no
+    driver collect, NULL chosen-feature → NULL pred (surfaced, not
+    guessed) (operators/textstats.py:stump_apply).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.textstats import stump_apply
+
+    stump = stump_train_docs(spark, sf_dir)
+    held = _stump_features(spark, sf_dir).filter("doc_id % 3 = 0")
+    return stump_apply(held, stump, ["n_chars", "n_words"])
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -3993,13 +4044,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # minhash_index_delete_docs, threshold_select_language_docs,
     # ivfpq_index_lifecycle_embeddings, ivfpq_index_append_embeddings,
     # knn_classify_embeddings, knn_eval_embeddings,
-    # knn_classify_ivf_embeddings — each pre-verified at 3 scales +
-    # TZ/fuzz this round), then the ENTIRE 34-row r8 remainder
+    # knn_classify_ivf_embeddings, stump_train_docs,
+    # stump_classify_docs — each pre-verified at 3 scales + TZ/fuzz
+    # this round), then the ENTIRE 34-row r8 remainder
     # (ann_ivf_index_append_embeddings .. quantile_sketch_events —
-    # the staleness cohort), then 7 r9 rows oldest-first
-    # (perceptron_ovr_language_docs .. streaming_bm25_serve_docs) to
-    # fill 50; the remaining r9 rows and the r10/r11 cohorts follow
-    # in rounds 13-14.
+    # the staleness cohort), then 5 r9 rows oldest-first
+    # (perceptron_ovr_language_docs .. ngram_loops_docs) to fill 50;
+    # the remaining r9 rows and the r10/r11 cohorts follow in rounds
+    # 13-14.
     return {
         # ---- never driver-verified: the 6 r10-staged gates lead
         # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at

@@ -3046,3 +3046,132 @@ def score_calibration(
             .cast("bigint").alias("mean_score"),
         )
     )
+
+
+def stump_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+) -> DataFrame:
+    """Train a decision stump (depth-1 tree) over integer feature
+    columns — the simplest tree-family member of the trainable-filter
+    tier (NB and perceptron are linear in feature space; the stump is
+    the axis-aligned threshold rule a quality-filter cascade actually
+    deploys, cf. the Gopher/RefinedWeb hand-set thresholds — this
+    learns the threshold instead of hand-picking it).
+
+    Exhaustive exact split search, all-bigint: for every feature and
+    every distinct observed value v (candidate rule ``value <= v``),
+    the left/right class counts come from one cumulative window over
+    the per-value aggregate, each leaf predicts its majority class
+    (tie → 1), and the split minimizing total misclassification
+    error wins.  Tie-break pinned: error ASC → feature name ASC →
+    threshold ASC.  NULL labels drop rows; a NULL feature value drops
+    that row for THAT feature only (per-feature candidate sets are
+    independent).  Every quantity is a bigint count, so the DuckDB
+    oracle replays training bit-for-bit (the replayed-training
+    precedent: perceptron / langid / NB).
+
+    Scale shape: one corpus-scale explode to (feature, value, y) →
+    per-(feature, value) partial-aggregated groupBy (candidate frame
+    is Σ distinct values per feature, NOT corpus rows) → per-feature
+    cumulative window → per-feature argmin → |features|-row global
+    argmin.  At 100 TB with near-continuous features, pre-bucket
+    values (histogram binning, the LightGBM design) to bound the
+    candidate frame; with integer doc-stat features the distinct set
+    is already small.  Returns ONE row: (feature, threshold,
+    left_label, right_label, train_error)."""
+    y = F.col(label_col).cast("int")
+    longf = (
+        df.filter(y.isNotNull())
+        .select(
+            y.alias("y"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    F.col(c).cast("bigint").alias("value"),
+                )
+                for c in feature_cols
+            ])).alias("fv"),
+        )
+        .select("fv.feature", "fv.value", "y")
+        .filter(F.col("value").isNotNull())
+    )
+    per_val = longf.groupBy("feature", "value").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg"),
+    )
+    cum = (
+        Window.partitionBy("feature").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("feature")
+    cand = per_val.select(
+        "feature",
+        F.col("value").alias("threshold"),
+        F.sum("pos").over(cum).alias("lp"),
+        F.sum("neg").over(cum).alias("ln"),
+        (F.sum("pos").over(tot) - F.sum("pos").over(cum)).alias("rp"),
+        (F.sum("neg").over(tot) - F.sum("neg").over(cum)).alias("rn"),
+    )
+    scored = cand.select(
+        "feature",
+        "threshold",
+        F.when(F.col("lp") >= F.col("ln"), F.lit(1)).otherwise(F.lit(0))
+        .alias("left_label"),
+        F.when(F.col("rp") >= F.col("rn"), F.lit(1)).otherwise(F.lit(0))
+        .alias("right_label"),
+        (
+            F.col("lp") + F.col("ln")
+            - F.greatest(F.col("lp"), F.col("ln"))
+            + F.col("rp") + F.col("rn")
+            - F.greatest(F.col("rp"), F.col("rn"))
+        ).cast("bigint").alias("train_error"),
+    )
+    per_feat = Window.partitionBy("feature").orderBy(
+        F.col("train_error").asc(), F.col("threshold").asc()
+    )
+    best_per_feat = (
+        scored.withColumn("_r", F.row_number().over(per_feat))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    # global argmin runs over |features| rows only — the single-
+    # partition window is model-sized by construction
+    overall = Window.orderBy(
+        F.col("train_error").asc(), F.col("feature").asc(),
+        F.col("threshold").asc()
+    )
+    return (
+        best_per_feat.withColumn("_r", F.row_number().over(overall))
+        .filter(F.col("_r") == 1)
+        .select("feature", "threshold", "left_label", "right_label",
+                "train_error")
+    )
+
+
+def stump_apply(
+    df: DataFrame,
+    stump: DataFrame,
+    feature_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a trained stump: route each row by the learned
+    (feature, threshold) rule — ``value <= threshold`` → left leaf's
+    label, else right's.  The one-row model joins as a broadcast
+    cross join (no driver collect, the centroid-literal convention);
+    the CASE chain over ``feature_cols`` keeps the plan whole-stage
+    codegen with zero Python.  A NULL value in the CHOSEN feature
+    yields a NULL prediction (the row cannot be routed — surfaced,
+    not guessed).  Returns (id_col, pred int)."""
+    joined = df.crossJoin(F.broadcast(stump))
+    pred = F.lit(None).cast("int")
+    for c in feature_cols:
+        pred = F.when(
+            F.col("feature") == c,
+            F.when(F.col(c).isNull(), F.lit(None).cast("int"))
+            .when(F.col(c).cast("bigint") <= F.col("threshold"),
+                  F.col("left_label"))
+            .otherwise(F.col("right_label")),
+        ).otherwise(pred)
+    return joined.select(F.col(id_col), pred.cast("int").alias("pred"))

@@ -5120,3 +5120,85 @@ with v0 as (
     qualify rank <= 5
 ), {_KNN_VOTE}
 """
+
+
+# r11 decision stump: exhaustive exact split search over two bigint
+# doc-stat features, label = is-English, trained on the %3≠0 slice.
+# The oracle replays the whole search: per-(feature, value) class
+# counts → cumulative left/right counts → majority leaves (tie → 1)
+# → misclassification error → pinned argmin (error ASC → feature ASC
+# → threshold ASC).  Staged r12.
+_STUMP_FEATS = f"""
+feats as (
+    select doc_id,
+           cast(n_chars as bigint) as n_chars,
+           cast(len({_WORDS}) as bigint) as n_words,
+           case when lang is null then null
+                when lang = 'en' then 1 else 0 end as y
+    from documents
+)
+"""
+
+_STUMP_TRAIN = f"""
+with {_STUMP_FEATS}, longf as (
+    select feature, value, y from (
+        select y, 'n_chars' as feature, n_chars as value
+        from feats where doc_id % 3 <> 0
+        union all
+        select y, 'n_words' as feature, n_words as value
+        from feats where doc_id % 3 <> 0
+    ) where y is not null and value is not null
+), per_val as (
+    select feature, value,
+           cast(sum(y) as bigint) as pos,
+           cast(sum(1 - y) as bigint) as neg
+    from longf group by 1, 2
+), cand as (
+    select feature, value as threshold,
+           cast(sum(pos) over (partition by feature order by value
+                rows between unbounded preceding and current row)
+                as bigint) as lp,
+           cast(sum(neg) over (partition by feature order by value
+                rows between unbounded preceding and current row)
+                as bigint) as ln,
+           cast(sum(pos) over (partition by feature) as bigint) as tp,
+           cast(sum(neg) over (partition by feature) as bigint) as tn
+    from per_val
+), scored as (
+    select feature, threshold,
+           case when lp >= ln then 1 else 0 end as left_label,
+           case when (tp - lp) >= (tn - ln) then 1 else 0 end
+             as right_label,
+           cast(lp + ln - greatest(lp, ln)
+                + (tp - lp) + (tn - ln)
+                - greatest(tp - lp, tn - ln) as bigint) as train_error
+    from cand
+)
+select feature, threshold,
+       cast(left_label as int) as left_label,
+       cast(right_label as int) as right_label,
+       train_error
+from scored
+qualify row_number() over (order by train_error, feature, threshold) = 1
+"""
+
+ORACLES_STAGED_R12["stump_train_docs"] = _STUMP_TRAIN
+
+ORACLES_STAGED_R12["stump_classify_docs"] = f"""
+with stump as (
+    select * from ({_STUMP_TRAIN}) s
+), {_STUMP_FEATS.strip()}
+select f.doc_id,
+       cast(case
+         when s.feature = 'n_chars' then
+           case when f.n_chars is null then null
+                when f.n_chars <= s.threshold then s.left_label
+                else s.right_label end
+         when s.feature = 'n_words' then
+           case when f.n_words is null then null
+                when f.n_words <= s.threshold then s.left_label
+                else s.right_label end
+       end as int) as pred
+from feats f cross join stump s
+where f.doc_id % 3 = 0
+"""

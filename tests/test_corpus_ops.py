@@ -3063,3 +3063,75 @@ def test_select_threshold_argmax_and_ties(spark):
     # empty scores -> empty result
     empty = spark.createDataFrame([], "doc_id long, score long")
     assert select_threshold(empty, pos).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# decision stump (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_stump_train_finds_separating_threshold(spark):
+    """Perfectly separable data: the stump must find a zero-error
+    split at the class boundary."""
+    from dbt_core_spark.operators.textstats import stump_apply, stump_train
+
+    rows = [(i, i, 0 if i <= 10 else 1) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, f long, y int")
+    s = stump_train(df, ["f"], label_col="y").collect()[0]
+    assert s.train_error == 0
+    assert s.feature == "f" and s.threshold == 10
+    assert s.left_label == 0 and s.right_label == 1
+
+    preds = stump_apply(
+        df, stump_train(df, ["f"], label_col="y"), ["f"]
+    ).collect()
+    assert all(p.pred == (0 if p.doc_id <= 10 else 1) for p in preds)
+
+
+def test_stump_train_picks_better_feature_and_tiebreak(spark):
+    """Two features: noise vs informative — the informative one must
+    win; with identical error, feature name ASC then threshold ASC."""
+    from dbt_core_spark.operators.textstats import stump_train
+
+    rows = [(i, i % 2, i, 0 if i <= 5 else 1) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, noise long, sig long, y int")
+    s = stump_train(df, ["noise", "sig"], label_col="y").collect()[0]
+    assert s.feature == "sig" and s.train_error == 0
+
+    # duplicated feature under two names → equal error; 'a' < 'b'
+    rows2 = [(i, i, i, 0 if i <= 5 else 1) for i in range(1, 11)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, b long, a long, y int")
+    s2 = stump_train(df2, ["b", "a"], label_col="y").collect()[0]
+    assert s2.feature == "a"
+
+
+def test_stump_null_handling(spark):
+    """NULL label drops the row; NULL value drops the row for that
+    feature only; NULL chosen-feature at serve time → NULL pred."""
+    from dbt_core_spark.operators.textstats import stump_apply, stump_train
+
+    rows = [
+        (1, 1, None, 0), (2, 2, 5, 0), (3, 3, 6, None),
+        (4, 10, 7, 1), (5, 11, 8, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, f long, g long, y int")
+    model = stump_train(df, ["f", "g"], label_col="y")
+    s = model.collect()[0]
+    assert s.train_error == 0 and s.feature == "f"
+
+    served = spark.createDataFrame(
+        [(9, None, 1)], "doc_id long, f long, g long")
+    out = stump_apply(served, model, ["f", "g"]).collect()
+    assert out[0].pred is None
+
+
+def test_stump_majority_tie_prefers_positive(spark):
+    """A leaf with equal class counts predicts 1 (pinned tie rule)."""
+    from dbt_core_spark.operators.textstats import stump_train
+
+    rows = [(1, 1, 0), (2, 1, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, f long, y int")
+    s = stump_train(df, ["f"], label_col="y").collect()[0]
+    # single candidate threshold (f=1): left has {0,1} → tie → 1
+    assert s.left_label == 1 and s.train_error == 1

@@ -1715,3 +1715,30 @@ def test_staged_r12_knn_gates_on_hostile_corpora(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R12[name])
         assert ok, f"{name}: {msg}"
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows, dup=st.booleans())
+def test_staged_r12_stump_gates_on_hostile_corpora(
+    spark, tmp_path_factory, rows, dup
+):
+    """The STAGED round-12 decision-stump gates on hostile corpora:
+    all-NULL langs (empty training set → empty model → empty
+    predictions), single-class labels (every split has equal error —
+    the pinned argmin must agree), NULL/empty texts (NULL n_words
+    drops the row for that feature only), and duplicated rows."""
+    from oracles import ORACLES_STAGED_R12
+
+    if dup and rows:
+        rows = rows + rows[: len(rows) // 2 + 1]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r12stump"))
+    con = _write_docs(tmpdir, rows)
+    for name in ("stump_train_docs", "stump_classify_docs"):
+        ok, msg = _vo.compare(
+            name, spark, con, tmpdir,
+            getattr(em, name), ORACLES_STAGED_R12[name])
+        assert ok, f"{name}: {msg}"
