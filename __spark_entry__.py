@@ -4015,6 +4015,27 @@ def stump_classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stump_apply(held, stump, ["n_chars", "n_words"])
 
 
+def group_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (r11): split by the
+    NEAR-DUPLICATE-CLUSTER root instead of the doc id, so every
+    member of a Jaccard≥0.5 cluster lands in the same split — the
+    within-corpus contamination channel per-doc hashed splits leave
+    open (Lee et al. 2022 §6).  Exact connected components over the
+    n-gram-Jaccard pair graph give the roots (the cc_dedup
+    machinery); singletons hash as their own group, so the
+    distribution degrades exactly to assign_splits as the pair graph
+    thins (operators/textstats.py:group_split).  Oracle = recursive-
+    CTE components + the shared md5-bucket lattice.
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.dedup import ngram_jaccard_pairs
+    from dbt_core_spark.operators.textstats import group_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return group_split(docs, pairs)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -4045,13 +4066,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivfpq_index_lifecycle_embeddings, ivfpq_index_append_embeddings,
     # knn_classify_embeddings, knn_eval_embeddings,
     # knn_classify_ivf_embeddings, stump_train_docs,
-    # stump_classify_docs — each pre-verified at 3 scales + TZ/fuzz
-    # this round), then the ENTIRE 34-row r8 remainder
-    # (ann_ivf_index_append_embeddings .. quantile_sketch_events —
-    # the staleness cohort), then 5 r9 rows oldest-first
-    # (perceptron_ovr_language_docs .. ngram_loops_docs) to fill 50;
-    # the remaining r9 rows and the r10/r11 cohorts follow in rounds
-    # 13-14.
+    # stump_classify_docs, group_split_docs — each pre-verified at 3
+    # scales + TZ/fuzz this round), then the ENTIRE 34-row r8
+    # remainder (ann_ivf_index_append_embeddings ..
+    # quantile_sketch_events — the staleness cohort), then 4 r9 rows
+    # oldest-first (perceptron_ovr_language_docs .. corpus_diff_docs)
+    # to fill 50; the remaining r9 rows and the r10/r11 cohorts
+    # follow in rounds 13-14.
     return {
         # ---- never driver-verified: the 6 r10-staged gates lead
         # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at

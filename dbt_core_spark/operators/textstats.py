@@ -205,12 +205,21 @@ def assign_splits(
     """Deterministic train/val/test assignment by hashed id — stable
     across runs, engines, and cluster sizes (md5 arithmetic, no RNG).
     Buckets 0..9999 cut by cumulative weights."""
+    w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket, expr = _split_exprs(F.col(id_col), w, salt)
+    return df.select(F.col(id_col), bucket.cast("bigint").alias("bucket"),
+                     expr.alias("split"))
+
+
+def _split_exprs(key: Column, w: dict[str, float], salt: str):
+    """Shared (bucket, split-name) expressions for the hashed-key
+    split family (assign_splits hashes the doc id; group_split hashes
+    the duplicate-cluster root)."""
     from dbt_core_spark.operators.dedup import _hex_to_int
 
-    w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     bucket = F.pmod(
         _hex_to_int(F.md5(F.concat(F.lit(salt + ":"),
-                                   F.col(id_col).cast("string")))),
+                                   key.cast("string")))),
         F.lit(10000),
     )
     cum = 0.0
@@ -221,8 +230,62 @@ def assign_splits(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     # float-sum shortfall: last listed split absorbs the remainder
     expr = expr.otherwise(list(w)[-1])
-    return df.select(F.col(id_col), bucket.cast("bigint").alias("bucket"),
-                     expr.alias("split"))
+    return bucket, expr
+
+
+def group_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "gsplit",
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: hash the duplicate-
+    CLUSTER root, not the document id, so every member of a
+    near-duplicate cluster lands in the SAME split.  Per-doc hashed
+    splits (``assign_splits``) leak: two near-identical documents
+    routinely straddle train and test, and the eval set silently
+    contains training data — the contamination channel
+    decontamination closes against EXTERNAL benchmarks, closed here
+    WITHIN the corpus's own splits (Lee et al. 2022 §6 measure the
+    effect; standard GroupShuffleSplit semantics with learned dup
+    groups).
+
+    ``pairs`` is any near-duplicate pair frame (n-gram Jaccard /
+    MinHash-LSH / SimHash — the dedup tier's outputs).  Exact
+    connected components give each doc its cluster root (min member
+    id); singletons (docs in no pair) are their own group, which
+    makes the assignment degrade EXACTLY to ``assign_splits``'s
+    distribution as the pair graph thins.  The split expression is
+    the shared md5-bucket lattice — deterministic across runs,
+    engines, and cluster sizes.
+
+    Scale shape: connected-components cost (iterative min-label over
+    the PAIR graph only — dup pairs, not the corpus) + one left join
+    corpus⋈components on id + a per-row hash; no extra shuffle over
+    assign_splits beyond the components join.  Returns
+    (id_col, grp, bucket, split)."""
+    from dbt_core_spark.operators.dedup import connected_components
+
+    w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    comps = connected_components(pairs, a=a, b=b).withColumnRenamed(
+        "id", id_col)
+    grouped = (
+        df.select(F.col(id_col))
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col))
+            .cast("bigint").alias("grp"),
+        )
+    )
+    bucket, expr = _split_exprs(F.col("grp"), w, salt)
+    return grouped.select(
+        F.col(id_col), "grp", bucket.cast("bigint").alias("bucket"),
+        expr.alias("split"),
+    )
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",

@@ -5202,3 +5202,37 @@ select f.doc_id,
 from feats f cross join stump s
 where f.doc_id % 3 = 0
 """
+
+
+# r11 leakage-safe group split: the cc_dedup recursive-CTE components
+# give each doc its Jaccard≥0.5 cluster root (singletons = own id),
+# then the shared md5-bucket lattice hashes the ROOT — every cluster
+# member lands in the same split.  Staged r12.
+_GSPLIT_BUCKET = _hex2int("md5('gsplit:' || cast(grp as varchar))")
+
+ORACLES_STAGED_R12["group_split_docs"] = f"""
+with recursive pairs as (
+    select id_a, id_b from ({_JACCARD_BASE.format(thr=0.5)}) tp
+), edges as (
+    select id_a as src, id_b as dst from pairs
+    union
+    select id_b as src, id_a as dst from pairs
+), reach(node, lab) as (
+    select distinct src, src from edges
+    union
+    select e.dst, r.lab from edges e join reach r on e.src = r.node
+), comp as (
+    select node as doc_id, min(lab) as component
+    from reach group by node
+), grouped as (
+    select d.doc_id,
+           cast(coalesce(c.component, d.doc_id) as bigint) as grp
+    from documents d left join comp c using (doc_id)
+)
+select doc_id, grp,
+       cast(({_GSPLIT_BUCKET}) % 10000 as bigint) as bucket,
+       case when ({_GSPLIT_BUCKET}) % 10000 < 9000 then 'train'
+            when ({_GSPLIT_BUCKET}) % 10000 < 9500 then 'val'
+            else 'test' end as split
+from grouped
+"""

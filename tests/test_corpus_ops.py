@@ -3135,3 +3135,40 @@ def test_stump_majority_tie_prefers_positive(spark):
     s = stump_train(df, ["f"], label_col="y").collect()[0]
     # single candidate threshold (f=1): left has {0,1} → tie → 1
     assert s.left_label == 1 and s.train_error == 1
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe group split (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_group_split_cluster_members_share_split(spark):
+    """The leakage property: every member of a connected dup cluster
+    (even via a chain A~B, B~C with A!~C) gets the same split."""
+    from dbt_core_spark.operators.textstats import group_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    out = group_split(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 10
+    assert by_id[1].split == by_id[2].split == by_id[3].split
+    assert by_id[1].grp == by_id[2].grp == by_id[3].grp == 1
+    assert by_id[7].split == by_id[9].split and by_id[7].grp == 7
+
+
+def test_group_split_singletons_match_assign_splits_buckets(spark):
+    """With an empty pair graph every doc is its own group: buckets
+    equal assign_splits' buckets under the same salt (the degrade-to-
+    per-doc contract)."""
+    from dbt_core_spark.operators.textstats import assign_splits, group_split
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    g = {r.doc_id: (r.bucket, r.split)
+         for r in group_split(docs, empty_pairs, salt="s").collect()}
+    a = {r.doc_id: (r.bucket, r.split)
+         for r in assign_splits(docs, salt="s").collect()}
+    assert g == a

@@ -1742,3 +1742,29 @@ def test_staged_r12_stump_gates_on_hostile_corpora(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R12[name])
         assert ok, f"{name}: {msg}"
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_rows, dup=st.booleans())
+def test_staged_r12_group_split_on_hostile_corpora(
+    spark, tmp_path_factory, rows, dup
+):
+    """The STAGED round-12 leakage-safe split gate on hostile corpora:
+    empty/NULL texts (no pairs → all singletons), duplicated rows
+    (dense clusters), and tiny corpora where the pair graph is empty
+    — recursive-CTE components + md5 lattice must agree with Spark's
+    iterative propagation + hash on every draw."""
+    from oracles import ORACLES_STAGED_R12
+
+    if dup and rows:
+        rows = rows + rows[: len(rows) // 2 + 1]
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_r12gsplit"))
+    con = _write_docs(tmpdir, rows)
+    ok, msg = _vo.compare(
+        "group_split_docs", spark, con, tmpdir,
+        em.group_split_docs, ORACLES_STAGED_R12["group_split_docs"])
+    assert ok, f"group_split_docs: {msg}"
