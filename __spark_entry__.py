@@ -4036,6 +4036,27 @@ def group_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_split(docs, pairs)
 
 
+def classifier_summary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row scoreboard for the trainer tier (r11): micro accuracy +
+    MACRO-averaged P/R/F1 over the naive_bayes held-out predictions —
+    the imbalance-robust roll-up of classifier_eval_docs (micro
+    accuracy alone rewards majority-class prediction).  Exact integer
+    identities over the per-class frame: Σtp·1e6 div Σn_gold and
+    per-class-micro means with floor division
+    (operators/textstats.py:classification_summary).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.textstats import classification_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    preds = naive_bayes_language_docs(spark, sf_dir).localCheckpoint(
+        eager=False)  # consumed by both confusion aggregates
+    gold = docs.filter("doc_id % 3 = 0 AND lang IS NOT NULL").select(
+        "doc_id", "lang")
+    return classification_summary(preds, gold, pred_col="label",
+                                  label_col="lang")
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -4066,13 +4087,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivfpq_index_lifecycle_embeddings, ivfpq_index_append_embeddings,
     # knn_classify_embeddings, knn_eval_embeddings,
     # knn_classify_ivf_embeddings, stump_train_docs,
-    # stump_classify_docs, group_split_docs — each pre-verified at 3
-    # scales + TZ/fuzz this round), then the ENTIRE 34-row r8
-    # remainder (ann_ivf_index_append_embeddings ..
-    # quantile_sketch_events — the staleness cohort), then 4 r9 rows
-    # oldest-first (perceptron_ovr_language_docs .. corpus_diff_docs)
-    # to fill 50; the remaining r9 rows and the r10/r11 cohorts
-    # follow in rounds 13-14.
+    # stump_classify_docs, group_split_docs, classifier_summary_docs
+    # — each pre-verified at 3 scales + TZ/fuzz this round), then the
+    # ENTIRE 34-row r8 remainder (ann_ivf_index_append_embeddings ..
+    # quantile_sketch_events — the staleness cohort), then 3 r9 rows
+    # oldest-first (perceptron_ovr_language_docs ..
+    # decontaminate_cut_docs) to fill 50; the remaining r9 rows and
+    # the r10/r11 cohorts follow in rounds 13-14.
     return {
         # ---- never driver-verified: the 6 r10-staged gates lead
         # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at

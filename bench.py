@@ -131,6 +131,13 @@ HEADLINE = [
     "threshold_select_language_docs",
     "ivfpq_index_lifecycle_embeddings",
     "ivfpq_index_append_embeddings",
+    # r11 second wave (r12-staged): kNN classification (exact + the
+    # IVF-accelerated serve shape), the decision-stump trained filter,
+    # and the leakage-safe group split
+    "knn_classify_embeddings",
+    "knn_classify_ivf_embeddings",
+    "stump_classify_docs",
+    "group_split_docs",
 ]
 
 

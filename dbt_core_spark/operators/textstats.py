@@ -2763,6 +2763,54 @@ def classification_metrics(
     )
 
 
+def classification_summary(
+    predictions: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "label",
+    label_col: str = "label",
+) -> DataFrame:
+    """ONE-row roll-up of ``classification_metrics`` — the
+    scoreboard number for a trained filter: micro accuracy plus
+    MACRO-averaged precision/recall/F1 (unweighted mean over classes
+    — the standard imbalance-robust summary; micro accuracy alone
+    rewards predicting the majority class).
+
+    Exact integer identities over the per-class frame:
+    ``accuracy_micro = Σtp·1e6 div Σn_gold`` (every scored id has
+    exactly one gold class, so Σn_gold = n_scored), and each macro
+    metric is ``Σ per-class micro value div n_classes`` (floor
+    division, matching the per-class micro convention; classes =
+    union of predicted and gold classes, the metrics contract).
+    Always returns exactly one row; an empty evaluation yields
+    all-zero counts.  Headroom: Σtp·1e6 fits int64 below ~9.2e12
+    scored rows — beyond the corpus sizes even the 100 TB framing
+    implies for labeled eval sets.
+
+    Scale shape: the class-sized metrics frame collapses through one
+    tiny aggregate — nothing corpus-scale beyond the metrics join
+    itself."""
+    m = classification_metrics(predictions, labels, id_col=id_col,
+                               pred_col=pred_col, label_col=label_col)
+    return m.agg(
+        F.coalesce(F.sum("n_gold"), F.lit(0)).cast("bigint")
+        .alias("n_scored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.expr("case when coalesce(sum(n_gold), 0) = 0 then 0 "
+               "else (sum(tp) * 1000000) div sum(n_gold) end")
+        .cast("bigint").alias("accuracy_micro"),
+        F.expr("case when count(*) = 0 then 0 "
+               "else sum(precision_micro) div count(*) end")
+        .cast("bigint").alias("macro_precision_micro"),
+        F.expr("case when count(*) = 0 then 0 "
+               "else sum(recall_micro) div count(*) end")
+        .cast("bigint").alias("macro_recall_micro"),
+        F.expr("case when count(*) = 0 then 0 "
+               "else sum(f1_micro) div count(*) end")
+        .cast("bigint").alias("macro_f1_micro"),
+    )
+
+
 def bm25_index_delete(
     index: DataFrame,
     ids: DataFrame,

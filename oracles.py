@@ -5236,3 +5236,30 @@ select doc_id, grp,
             else 'test' end as split
 from grouped
 """
+
+
+# r11 classifier summary: the classifier_eval per-class lattice rolled
+# into one row — micro accuracy (Σtp·1e6 div Σn_gold; Σn_gold =
+# n_scored since each scored id has exactly one gold class) and
+# macro P/R/F1 (floor-div mean of the per-class micro values over the
+# union class set).  Staged r12.
+ORACLES_STAGED_R12["classifier_summary_docs"] = f"""
+with m as (
+  select * from ({ORACLES["classifier_eval_docs"]}) cm
+)
+select cast(coalesce(sum(n_gold), 0) as bigint) as n_scored,
+       cast(count(*) as bigint) as n_classes,
+       cast(case when coalesce(sum(n_gold), 0) = 0 then 0
+                 else (sum(tp) * 1000000) // sum(n_gold) end as bigint)
+         as accuracy_micro,
+       cast(case when count(*) = 0 then 0
+                 else sum(precision_micro) // count(*) end as bigint)
+         as macro_precision_micro,
+       cast(case when count(*) = 0 then 0
+                 else sum(recall_micro) // count(*) end as bigint)
+         as macro_recall_micro,
+       cast(case when count(*) = 0 then 0
+                 else sum(f1_micro) // count(*) end as bigint)
+         as macro_f1_micro
+from m
+"""

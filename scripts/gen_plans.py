@@ -335,6 +335,29 @@ PICKS = {
         "(corpus never enters a window; cumulative sums over DISTINCT "
         "thresholds only) closed by one min-struct argmax aggregate "
         "over the curve."),
+    "knn_classify_embeddings": (
+        "kNN classification (r11-staged) — ONE Arrow mapInPandas "
+        "matmul search pass; the label join is hash-equi on the id "
+        "(AQE broadcast at model scale); the vote window runs over "
+        "(query, label) AGGREGATE rows — nothing corpus-scale in the "
+        "final exchange."),
+    "knn_classify_ivf_embeddings": (
+        "ANN-accelerated kNN classification (r11-staged) — persisted "
+        "IVF index (broadcast centroids, probed-cells-only scoring) "
+        "feeds the same aggregate-rows vote; serve cost per query "
+        "drops by ~n_cells/n_probe with no corpus pass."),
+    "stump_classify_docs": (
+        "Decision-stump train+serve (r11-staged) — candidate frame is "
+        "Σ distinct values (never corpus rows) via one partial-agg "
+        "groupBy + per-feature cumulative windows; the per-feature "
+        "argmin shrinks to |features| rows before the only global "
+        "window; serving is a broadcast nested-loop cross join of the "
+        "1-row model with a pure-codegen CASE."),
+    "group_split_docs": (
+        "Leakage-safe group split (r11-staged) — connected components "
+        "iterate over the PAIR graph only; the corpus sees one "
+        "id-equi left join + a per-row md5 lattice (no Python, no "
+        "window, no extra shuffle over assign_splits)."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",

@@ -3172,3 +3172,34 @@ def test_group_split_singletons_match_assign_splits_buckets(spark):
     a = {r.doc_id: (r.bucket, r.split)
          for r in assign_splits(docs, salt="s").collect()}
     assert g == a
+
+
+def test_classification_summary_exact_macro(spark):
+    """Hand-checkable confusion: macro metrics are the floor-div mean
+    of the per-class micro values; accuracy is Σtp/Σgold."""
+    from dbt_core_spark.operators.textstats import classification_summary
+
+    preds = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "doc_id long, label string")
+    gold = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "b")], "doc_id long, label string")
+    row = classification_summary(preds, gold).collect()[0]
+    # tp: a=1 (id1), b=2 (ids 3,4); n_scored=4 → accuracy 750000
+    assert row.n_scored == 4 and row.n_classes == 2
+    assert row.accuracy_micro == 750_000
+    # per-class precision: a=1/2, b=2/2 → macro (500000+1000000)//2
+    assert row.macro_precision_micro == 750_000
+    # per-class recall: a=1/1, b=2/3 → (1000000+666666)//2 = 833333
+    assert row.macro_recall_micro == 833_333
+    # per-class f1: a=2/3→666666, b=4/5→800000 → 733333
+    assert row.macro_f1_micro == 733_333
+
+
+def test_classification_summary_empty_is_one_zero_row(spark):
+    from dbt_core_spark.operators.textstats import classification_summary
+
+    preds = spark.createDataFrame([], "doc_id long, label string")
+    gold = spark.createDataFrame([], "doc_id long, label string")
+    rows = classification_summary(preds, gold).collect()
+    assert len(rows) == 1
+    assert rows[0].n_scored == 0 and rows[0].accuracy_micro == 0

@@ -1730,14 +1730,17 @@ def test_staged_r12_stump_gates_on_hostile_corpora(
     all-NULL langs (empty training set → empty model → empty
     predictions), single-class labels (every split has equal error —
     the pinned argmin must agree), NULL/empty texts (NULL n_words
-    drops the row for that feature only), and duplicated rows."""
+    drops the row for that feature only), and duplicated rows; the
+    classifier summary must keep its exactly-one-row contract with
+    all-zero counts on an empty evaluation."""
     from oracles import ORACLES_STAGED_R12
 
     if dup and rows:
         rows = rows + rows[: len(rows) // 2 + 1]
     tmpdir = str(tmp_path_factory.mktemp("fuzz_r12stump"))
     con = _write_docs(tmpdir, rows)
-    for name in ("stump_train_docs", "stump_classify_docs"):
+    for name in ("stump_train_docs", "stump_classify_docs",
+                 "classifier_summary_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R12[name])

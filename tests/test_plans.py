@@ -813,3 +813,61 @@ def test_auc_score_window_over_scores_only(spark, sf_dir):
     assert win_inputs
     for cols in win_inputs:
         assert "_id" not in cols and "doc_id" not in cols, cols
+
+
+def test_knn_classify_plan_shape(spark):
+    """kNN vote: the label join is hash-equi (broadcast under AQE
+    stats), never cartesian; the exact search is ONE Arrow
+    mapInPandas pass; the vote window runs over (query, label)
+    AGGREGATE rows, so nothing corpus-scale enters the final
+    exchange."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_spark.operators.similarity import knn_classify
+
+    labeled = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(1, 40)],
+        "vec_id long, embedding array<float>, label int")
+    q = spark.createDataFrame(
+        [(100 + i, [1.0, float(i)]) for i in range(5)],
+        "vec_id long, embedding array<float>")
+    df = knn_classify(labeled, q.withColumn("label", F.lit(None).cast("int")),
+                      k=3)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan
+    # one Arrow search pass (formatted explain names the node twice:
+    # tree + details)
+    assert plan.count("MapInPandas") == 2
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan \
+        or "SortMergeJoin" in plan
+
+
+def test_stump_apply_plan_shape(spark):
+    """Stump serving: the 1-row model joins as a broadcast nested-loop
+    cross join and the CASE routing stays whole-stage codegen — no
+    Python eval, no cartesian against a non-broadcast side."""
+    from dbt_core_spark.operators.textstats import stump_apply, stump_train
+
+    df = spark.createDataFrame(
+        [(i, i, 0 if i <= 10 else 1) for i in range(1, 21)],
+        "doc_id long, f long, y int")
+    model = stump_train(df, ["f"], label_col="y")
+    plan = _formatted(stump_apply(df, model, ["f"]))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the routing CASE is pure JVM expression — no Python eval node
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_group_split_plan_shape(spark):
+    """Leakage-safe split: the components join is id-equi (broadcast
+    or hash — never nested-loop against the corpus) and the md5
+    bucket lattice is pure codegen, no Python anywhere."""
+    from dbt_core_spark.operators.textstats import group_split
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    plan = _formatted(group_split(docs, pairs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
