@@ -4057,6 +4057,58 @@ def classifier_summary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   label_col="lang")
 
 
+def strip_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (r11): each document is deterministically
+    wrapped in markup (tags + a script block with JS content + a
+    comment + double-escaped entities + a style block on even ids —
+    the synth_media convention for exercising a decoder without
+    external fixtures), then strip_html must recover the prose:
+    script/style/comment contents gone, tags → spaces, the six
+    standard entities decoded with &amp; last (double-escape rule),
+    whitespace collapsed.  Pure JVM regexp chain, zero shuffles
+    (operators/textstats.py:strip_html).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.textstats import strip_html
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("<style>p { color: red }</style>"))
+        .otherwise(F.lit("")),
+        F.lit('<div class="d"><p>'), F.col("text"),
+        F.lit('</p>\n<script type="t">var x = 1 &lt; 2;</script>'
+              "<!-- hidden -->&amp;amp; &quot;q&#39;s&quot;&nbsp;"
+              "<br/></div>"),
+    )
+    return strip_html(docs.select("doc_id", html.alias("text")))
+
+
+def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the duplicate-similarity graph
+    (r11): the Jaccard≥0.5 pair graph symmetrized to directed edges,
+    nodes = ALL documents (singletons settle at the (1-d) floor),
+    3 sweeps at d=0.85 in micro units with floor division — the
+    centrality signal for canonical-representative selection inside
+    dup clusters (the graph-tier verb on top of
+    connected_components).  Fixed-iteration integer semantics make
+    the DuckDB oracle an exact 3-step unroll — float PageRank has no
+    such oracle (operators/graphs.py:pagerank).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.dedup import ngram_jaccard_pairs
+    from dbt_core_spark.operators.graphs import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return pagerank(edges, nodes=docs.select("doc_id"), iters=3) \
+        .selectExpr("node as doc_id", "pagerank_micro")
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -4087,13 +4139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivfpq_index_lifecycle_embeddings, ivfpq_index_append_embeddings,
     # knn_classify_embeddings, knn_eval_embeddings,
     # knn_classify_ivf_embeddings, stump_train_docs,
-    # stump_classify_docs, group_split_docs, classifier_summary_docs
-    # — each pre-verified at 3 scales + TZ/fuzz this round), then the
-    # ENTIRE 34-row r8 remainder (ann_ivf_index_append_embeddings ..
-    # quantile_sketch_events — the staleness cohort), then 3 r9 rows
-    # oldest-first (perceptron_ovr_language_docs ..
-    # decontaminate_cut_docs) to fill 50; the remaining r9 rows and
-    # the r10/r11 cohorts follow in rounds 13-14.
+    # stump_classify_docs, group_split_docs, classifier_summary_docs,
+    # strip_html_docs, pagerank_docs — 15 gates, each pre-verified at
+    # 3 scales + TZ/fuzz this round), then the ENTIRE 34-row r8
+    # remainder (ann_ivf_index_append_embeddings ..
+    # quantile_sketch_events — the staleness cohort), then 1 r9 row
+    # (perceptron_ovr_language_docs) to fill 50; the remaining r9
+    # rows and the r10/r11 cohorts follow in rounds 13-14.
     return {
         # ---- never driver-verified: the 6 r10-staged gates lead
         # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at

@@ -138,6 +138,9 @@ HEADLINE = [
     "knn_classify_ivf_embeddings",
     "stump_classify_docs",
     "group_split_docs",
+    "classifier_summary_docs",
+    "strip_html_docs",
+    "pagerank_docs",
 ]
 
 

@@ -5263,3 +5263,98 @@ select cast(coalesce(sum(n_gold), 0) as bigint) as n_scored,
          as macro_f1_micro
 from m
 """
+
+
+# r11 HTML→text extraction: the gate wraps each doc in deterministic
+# markup (style block on even ids, script with JS content, comment,
+# double-escaped entities), and the oracle replays the identical
+# regexp/replace chain — blocks-with-content first, tag count on the
+# block-stripped intermediate, tags → spaces, entities with &amp;
+# LAST, whitespace collapse.  NULL text propagates NULL throughout
+# (|| and regexp on NULL are NULL on both engines).  Staged r12.
+ORACLES_STAGED_R12["strip_html_docs"] = r"""
+with h as (
+    select doc_id,
+           (case when doc_id % 2 = 0
+                 then '<style>p { color: red }</style>' else '' end)
+           || '<div class="d"><p>' || text
+           || '</p>' || chr(10)
+           || '<script type="t">var x = 1 &lt; 2;</script>'
+           || '<!-- hidden -->&amp;amp; &quot;q&#39;s&quot;&nbsp;<br/></div>'
+             as html
+    from documents
+), s1 as (
+    select doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g') as t
+    from h
+), s2 as (
+    select doc_id,
+           cast(len(regexp_extract_all(t, '<[^>]*>')) as bigint) as n_tags,
+           regexp_replace(t, '<[^>]*>', ' ', 'g') as t2
+    from s1
+), s3 as (
+    select doc_id, n_tags,
+           replace(replace(replace(replace(replace(replace(
+             t2, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') as t3
+    from s2
+)
+select doc_id,
+       trim(regexp_replace(t3, '\s+', ' ', 'g')) as text_clean,
+       n_tags
+from s3
+"""
+
+
+# r11 integer PageRank: the Jaccard≥0.5 pair graph symmetrized, nodes
+# = all documents, 3 sweeps at d=850000 micro with floor division —
+# the oracle is an exact per-sweep unroll (give = pr // out_deg;
+# pr' = 150000 + (850000 · Σ give) // 1e6; dangling mass evaporates).
+# HUGEINT carries the damped product exactly, mirroring the Spark
+# side's decimal(38,0).  Staged r12.
+ORACLES_STAGED_R12["pagerank_docs"] = f"""
+with pairs as (
+    select id_a, id_b from ({_JACCARD_BASE.format(thr=0.5)}) tp
+), edges as (
+    select id_a as s, id_b as d from pairs
+    union all
+    select id_b as s, id_a as d from pairs
+), nodes as (
+    select doc_id as node from documents
+), deg as (
+    select s, cast(count(*) as bigint) as dg from edges group by s
+), ewd as (
+    select e.s, e.d, deg.dg from edges e join deg using (s)
+), pr0 as (
+    select node, cast(1000000 as bigint) as pr from nodes
+), c1 as (
+    select ewd.d as node, sum(pr // dg) as s_in
+    from ewd join pr0 on ewd.s = pr0.node group by 1
+), pr1 as (
+    select n.node,
+           cast(150000 + (850000 * coalesce(s_in, 0)) // 1000000
+                as bigint) as pr
+    from nodes n left join c1 using (node)
+), c2 as (
+    select ewd.d as node, sum(pr // dg) as s_in
+    from ewd join pr1 on ewd.s = pr1.node group by 1
+), pr2 as (
+    select n.node,
+           cast(150000 + (850000 * coalesce(s_in, 0)) // 1000000
+                as bigint) as pr
+    from nodes n left join c2 using (node)
+), c3 as (
+    select ewd.d as node, sum(pr // dg) as s_in
+    from ewd join pr2 on ewd.s = pr2.node group by 1
+), pr3 as (
+    select n.node,
+           cast(150000 + (850000 * coalesce(s_in, 0)) // 1000000
+                as bigint) as pr
+    from nodes n left join c3 using (node)
+)
+select node as doc_id, pr as pagerank_micro from pr3
+"""

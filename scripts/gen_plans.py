@@ -358,6 +358,16 @@ PICKS = {
         "iterate over the PAIR graph only; the corpus sees one "
         "id-equi left join + a per-row md5 lattice (no Python, no "
         "window, no extra shuffle over assign_splits)."),
+    "pagerank_docs": (
+        "Integer PageRank (r11-staged) — per sweep: one src-keyed "
+        "equi-join + one dst-keyed partial-aggregated groupBy + a "
+        "left join onto the node set, sealed per round "
+        "(localCheckpoint) so sweep N never replays sweeps 1..N-1; "
+        "damped sums carried in decimal(38,0)."),
+    "strip_html_docs": (
+        "HTML→text extraction (r11-staged) — pure JVM regexp/replace "
+        "chain in one whole-stage-codegen project over the scan: "
+        "zero exchanges, zero Python."),
 }
 
 out = ["# PLANS — captured physical-plan evidence (sf0.1, local[32])",

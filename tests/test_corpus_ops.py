@@ -3203,3 +3203,25 @@ def test_classification_summary_empty_is_one_zero_row(spark):
     rows = classification_summary(preds, gold).collect()
     assert len(rows) == 1
     assert rows[0].n_scored == 0 and rows[0].accuracy_micro == 0
+
+
+def test_strip_html_semantics(spark):
+    from dbt_core_spark.operators.textstats import strip_html
+
+    rows = [
+        (1, '<p>Hello <b>world</b></p>'),
+        (2, '<script>var x = "<p>not text</p>";</script>after'),
+        (3, 'A&amp;B &amp;lt; stays-escaped &lt; decoded'),
+        (4, 'a<br/>b'),          # tag must become a word boundary
+        (5, None),
+        (6, '<style media="x">h1 {}</style>text<!-- gone -->'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_html(df).collect()}
+    assert out[1].text_clean == "Hello world" and out[1].n_tags == 4
+    assert out[2].text_clean == "after"
+    # double-escape rule: &amp;lt; -> &lt; (NOT <); bare &lt; -> <
+    assert out[3].text_clean == "A&B &lt; stays-escaped < decoded"
+    assert out[4].text_clean == "a b"
+    assert out[5].text_clean is None and out[5].n_tags is None
+    assert out[6].text_clean == "text"

@@ -1732,7 +1732,8 @@ def test_staged_r12_stump_gates_on_hostile_corpora(
     the pinned argmin must agree), NULL/empty texts (NULL n_words
     drops the row for that feature only), and duplicated rows; the
     classifier summary must keep its exactly-one-row contract with
-    all-zero counts on an empty evaluation."""
+    all-zero counts on an empty evaluation; strip_html must agree on
+    texts that themselves contain <, >, & and entity-like runs."""
     from oracles import ORACLES_STAGED_R12
 
     if dup and rows:
@@ -1740,7 +1741,7 @@ def test_staged_r12_stump_gates_on_hostile_corpora(
     tmpdir = str(tmp_path_factory.mktemp("fuzz_r12stump"))
     con = _write_docs(tmpdir, rows)
     for name in ("stump_train_docs", "stump_classify_docs",
-                 "classifier_summary_docs"):
+                 "classifier_summary_docs", "strip_html_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R12[name])
@@ -1760,14 +1761,17 @@ def test_staged_r12_group_split_on_hostile_corpora(
     empty/NULL texts (no pairs → all singletons), duplicated rows
     (dense clusters), and tiny corpora where the pair graph is empty
     — recursive-CTE components + md5 lattice must agree with Spark's
-    iterative propagation + hash on every draw."""
+    iterative propagation + hash on every draw; integer PageRank over
+    the same pair graph must match the oracle's exact 3-sweep unroll
+    (empty edge sets → every node at the damping floor)."""
     from oracles import ORACLES_STAGED_R12
 
     if dup and rows:
         rows = rows + rows[: len(rows) // 2 + 1]
     tmpdir = str(tmp_path_factory.mktemp("fuzz_r12gsplit"))
     con = _write_docs(tmpdir, rows)
-    ok, msg = _vo.compare(
-        "group_split_docs", spark, con, tmpdir,
-        em.group_split_docs, ORACLES_STAGED_R12["group_split_docs"])
-    assert ok, f"group_split_docs: {msg}"
+    for name in ("group_split_docs", "pagerank_docs"):
+        ok, msg = _vo.compare(
+            name, spark, con, tmpdir,
+            getattr(em, name), ORACLES_STAGED_R12[name])
+        assert ok, f"{name}: {msg}"

@@ -871,3 +871,29 @@ def test_group_split_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_strip_html_plan_is_exchange_free(spark):
+    """HTML extraction is a pure row-local regexp/replace chain: no
+    exchange, no Python eval anywhere in the plan."""
+    from dbt_core_spark.operators.textstats import strip_html
+
+    df = spark.createDataFrame(
+        [(1, "<p>a</p>")], "doc_id long, text string")
+    plan = _formatted(strip_html(df))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_sweeps_are_sealed(spark):
+    """Each PageRank sweep reads the previous ranks as a sealed scan
+    (localCheckpoint), so the final plan contains no repeated edge
+    aggregation cascade — and no cartesian/nested-loop joins."""
+    from dbt_core_spark.operators.graphs import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    plan = _formatted(pagerank(e, iters=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the sealed previous-round ranks appear as an ExistingRDD scan
+    assert "ExistingRDD" in plan
