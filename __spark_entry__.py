@@ -4109,6 +4109,48 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("node as doc_id", "pagerank_micro")
 
 
+def ppr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (r11): random walk with restart over the
+    same Jaccard pair graph, teleporting only to the doc_id%10=0 seed
+    set — rank the corpus by graph proximity to a trusted seed set
+    (the curation query: 'more documents like these'; Haveliwala
+    2002).  Seeds start at 1e6 micro and carry the restart term;
+    non-seeds earn mass only through in-edges, so disconnected
+    non-seeds stay exactly 0 (operators/graphs.py:pagerank with
+    ``seeds=``).  Oracle = the same exact 3-sweep unroll with the
+    seed predicate in the base/restart terms.
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.dedup import ngram_jaccard_pairs
+    from dbt_core_spark.operators.graphs import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    seeds = docs.filter("doc_id % 10 = 0").select("doc_id")
+    return pagerank(edges, nodes=docs.select("doc_id"), iters=3,
+                    seeds=seeds) \
+        .selectExpr("node as doc_id", "pagerank_micro")
+
+
+def group_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold assignment (r11): fold = md5 bucket of the
+    duplicate-cluster root mod 5 — GroupKFold semantics over learned
+    dup groups, the cross-validation sibling of group_split_docs
+    (operators/textstats.py:group_kfold).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.dedup import ngram_jaccard_pairs
+    from dbt_core_spark.operators.textstats import group_kfold
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return group_kfold(docs, pairs, k=5)
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -4140,12 +4182,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # knn_classify_embeddings, knn_eval_embeddings,
     # knn_classify_ivf_embeddings, stump_train_docs,
     # stump_classify_docs, group_split_docs, classifier_summary_docs,
-    # strip_html_docs, pagerank_docs — 15 gates, each pre-verified at
-    # 3 scales + TZ/fuzz this round), then the ENTIRE 34-row r8
-    # remainder (ann_ivf_index_append_embeddings ..
-    # quantile_sketch_events — the staleness cohort), then 1 r9 row
-    # (perceptron_ovr_language_docs) to fill 50; the remaining r9
-    # rows and the r10/r11 cohorts follow in rounds 13-14.
+    # strip_html_docs, pagerank_docs, ppr_docs, group_kfold_docs —
+    # 17 gates, each pre-verified at 3 scales + TZ/fuzz this round),
+    # then 33 rows of the 34-row r8 remainder oldest-first
+    # (ann_ivf_index_append_embeddings ..) to fill 50; the last r8
+    # row, the r9 cohort, and the r10/r11 cohorts follow in rounds
+    # 13-14.
     return {
         # ---- never driver-verified: the 6 r10-staged gates lead
         # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at

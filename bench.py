@@ -141,6 +141,8 @@ HEADLINE = [
     "classifier_summary_docs",
     "strip_html_docs",
     "pagerank_docs",
+    "ppr_docs",
+    "group_kfold_docs",
 ]
 
 

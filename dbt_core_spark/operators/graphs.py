@@ -25,6 +25,7 @@ def pagerank(
     damping_micro: int = 850_000,
     src: str = "src",
     dst: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """INTEGER-exact PageRank, fixed ``iters`` sweeps — deterministic
     across engines and partitionings, so a SQL oracle can replay it
@@ -56,7 +57,14 @@ def pagerank(
     aggregation — partial aggregation bounds it at
     partitions·1 row; skewed OUT-degree fans the join, the same
     blocking knobs as any hot equi-join (AQE skew split).  Returns
-    (node, pagerank_micro)."""
+    (node, pagerank_micro).
+
+    ``seeds``: PERSONALIZED PageRank (random walk with restart) —
+    teleport mass lands only on the seed set: pr_0 = 1e6 for seeds /
+    0 elsewhere, and the (1e6-d) restart term applies to seeds only
+    (unnormalized — the ordering-signal convention above).  The
+    curation verb: rank the whole corpus by graph proximity to a
+    trusted/labeled seed set (Haveliwala 2002, public)."""
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if nodes is None:
         node_df = (
@@ -66,13 +74,30 @@ def pagerank(
         )
     else:
         node_df = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+
+    base = MICRO - damping_micro
+    if seeds is not None:
+        seed_df = seeds.select(
+            F.col(seeds.columns[0]).alias("node")
+        ).distinct().withColumn("_is_seed", F.lit(True))
+        node_df = (
+            node_df.join(seed_df, "node", "left")
+            .select("node",
+                    F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"))
+        )
+    else:
+        node_df = node_df.withColumn("_is_seed", F.lit(True))
     node_df = node_df.localCheckpoint(eager=False)
+    base_col = F.when(F.col("_is_seed"), F.lit(base)).otherwise(F.lit(0))
 
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     ewd = e.join(deg, "_s").localCheckpoint(eager=False)
 
-    base = MICRO - damping_micro
-    pr = node_df.withColumn("pagerank_micro", F.lit(MICRO).cast("bigint"))
+    pr = node_df.select(
+        "node",
+        F.when(F.col("_is_seed"), F.lit(MICRO)).otherwise(F.lit(0))
+        .cast("bigint").alias("pagerank_micro"),
+    )
     for _ in range(max(iters, 0)):
         contrib = (
             ewd.join(pr, ewd["_s"] == pr["node"])
@@ -89,7 +114,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(
                         f"cast({damping_micro} as decimal(38,0)) "
                         "* coalesce(_s_in, cast(0 as decimal(38,0))) "
@@ -99,4 +124,4 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return pr
+    return pr.select("node", "pagerank_micro")

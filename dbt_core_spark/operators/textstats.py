@@ -288,6 +288,41 @@ def group_split(
     )
 
 
+def group_kfold(
+    df: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "gfold",
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe K-FOLD assignment — ``group_split``'s
+    cross-validation sibling (GroupKFold semantics): fold =
+    md5-bucket of the duplicate-cluster root mod k, so every member
+    of a near-duplicate cluster shares a fold and no fold's holdout
+    leaks into its training complement.  Same components + hash
+    lattice as group_split; returns (id_col, grp, fold int)."""
+    from dbt_core_spark.operators.dedup import connected_components
+
+    comps = connected_components(pairs, a=a, b=b).withColumnRenamed(
+        "id", id_col)
+    grouped = (
+        df.select(F.col(id_col))
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col))
+            .cast("bigint").alias("grp"),
+        )
+    )
+    bucket, _ = _split_exprs(F.col("grp"), {"train": 1.0}, salt)
+    return grouped.select(
+        F.col(id_col), "grp",
+        F.pmod(bucket, F.lit(k)).cast("int").alias("fold"),
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, public): per

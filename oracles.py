@@ -5358,3 +5358,74 @@ with pairs as (
 )
 select node as doc_id, pr as pagerank_micro from pr3
 """
+
+
+# r11 personalized PageRank: same exact 3-sweep unroll as
+# pagerank_docs with the teleport confined to the doc_id%10=0 seed
+# set — seeds start at 1e6 and carry the 150000 restart term;
+# non-seeds start at 0 and earn mass only through in-edges.
+# Staged r12.
+def _ppr_sweep(prev: str, out: str) -> str:
+    return f"""c_{out} as (
+    select ewd.d as node, sum(pr // dg) as s_in
+    from ewd join {prev} on ewd.s = {prev}.node group by 1
+), {out} as (
+    select n.node,
+           cast((case when n.node % 10 = 0 then 150000 else 0 end)
+                + (850000 * coalesce(s_in, 0)) // 1000000
+                as bigint) as pr
+    from nodes n left join c_{out} using (node)
+)"""
+
+
+ORACLES_STAGED_R12["ppr_docs"] = f"""
+with pairs as (
+    select id_a, id_b from ({_JACCARD_BASE.format(thr=0.5)}) tp
+), edges as (
+    select id_a as s, id_b as d from pairs
+    union all
+    select id_b as s, id_a as d from pairs
+), nodes as (
+    select doc_id as node from documents
+), deg as (
+    select s, cast(count(*) as bigint) as dg from edges group by s
+), ewd as (
+    select e.s, e.d, deg.dg from edges e join deg using (s)
+), pr0 as (
+    select node,
+           cast(case when node % 10 = 0 then 1000000 else 0 end
+                as bigint) as pr
+    from nodes
+), {_ppr_sweep('pr0', 'pr1')}, {_ppr_sweep('pr1', 'pr2')},
+   {_ppr_sweep('pr2', 'pr3')}
+select node as doc_id, pr as pagerank_micro from pr3
+"""
+
+
+# r11 leakage-safe k-fold: the group_split components lattice with
+# fold = md5('gfold:' || root) % 10000 % 5.  Staged r12.
+_GFOLD_BUCKET = _hex2int("md5('gfold:' || cast(grp as varchar))")
+
+ORACLES_STAGED_R12["group_kfold_docs"] = f"""
+with recursive pairs as (
+    select id_a, id_b from ({_JACCARD_BASE.format(thr=0.5)}) tp
+), edges as (
+    select id_a as src, id_b as dst from pairs
+    union
+    select id_b as src, id_a as dst from pairs
+), reach(node, lab) as (
+    select distinct src, src from edges
+    union
+    select e.dst, r.lab from edges e join reach r on e.src = r.node
+), comp as (
+    select node as doc_id, min(lab) as component
+    from reach group by node
+), grouped as (
+    select d.doc_id,
+           cast(coalesce(c.component, d.doc_id) as bigint) as grp
+    from documents d left join comp c using (doc_id)
+)
+select doc_id, grp,
+       cast((({_GFOLD_BUCKET}) % 10000) % 5 as int) as fold
+from grouped
+"""

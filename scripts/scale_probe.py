@@ -1419,6 +1419,87 @@ def main() -> None:
         "vocabulary rides a broadcast anti-join, text never moves.",
         "",
     ]
+    # ---- r11 tier: kNN classification (ANN serve path) + integer
+    # PageRank — label propagation cost vs corpus decades, and
+    # per-sweep graph shuffles vs edge decades
+    from dbt_core_spark.operators.graphs import pagerank
+    from dbt_core_spark.operators.similarity import knn_classify
+
+    knn_results: dict[int, tuple] = {}
+    pr_results: dict[int, tuple] = {}
+    pr_meta: dict[int, int] = {}
+    for factor in SCALES:
+        labeled = spark.read.parquet(replicate(spark, factor))
+        corpus_rows = labeled.count()
+        n_cells = max(16, -(-corpus_rows // MAX_CELL_ROWS))
+
+        def knn_flow():
+            cents, assigns = ivf_index_build(
+                labeled, n_cells=n_cells, kmeans_iters=0)
+            assigns = assigns.localCheckpoint(eager=False)
+            nbrs = ivf_index_search(cents, assigns, queries, k=5,
+                                    n_probe=4)
+            return knn_classify(labeled, queries, neighbors=nbrs)
+
+        knn_results[factor] = run(knn_flow)
+        print(f"  x{factor} knn_classify(ivf): "
+              f"{knn_results[factor][1]}s", file=sys.stderr)
+
+        # synthetic fixed-out-degree-2 graph over N = 5000·factor
+        # nodes: i → (i·7 mod N), i → (i+1 mod N) — density held
+        # constant so the decades measure per-sweep join/agg cost
+        n_nodes = 5_000 * factor
+        pr_meta[factor] = n_nodes
+        base_nodes = spark.range(n_nodes).select(
+            F.col("id").cast("bigint").alias("id"))
+        edges = base_nodes.selectExpr(
+            "id as src", f"(id * 7) % {n_nodes} as dst").union(
+            base_nodes.selectExpr(
+                "id as src", f"(id + 1) % {n_nodes} as dst")
+        ).localCheckpoint(eager=True)
+        pr_results[factor] = run_count(
+            lambda: pagerank(edges, nodes=base_nodes, iters=3))
+        print(f"  x{factor} pagerank(3 sweeps, {2 * n_nodes} edges): "
+              f"{pr_results[factor][1]}s", file=sys.stderr)
+
+    lines += [
+        "## kNN classification + PageRank tier (r11)",
+        "",
+        "kNN label propagation through the PERSISTED-IVF serve path "
+        "(fixed 40-query batch, corpus decades — the semi-supervised "
+        "curation shape: a big labeled corpus classifying a bounded "
+        "serving batch), and integer PageRank over a fixed-out-"
+        "degree-2 synthetic graph (node decades, density constant).",
+        "",
+        "| scale | labeled rows | kNN(ivf) wall s | preds | "
+        "final-job shuffle | graph nodes | PR wall s (3 sweeps) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for factor in SCALES:
+        kr, kw, ka = knn_results[factor]
+        pr_rows, pw, _pa = pr_results[factor]
+        lines.append(
+            f"| ×{factor} | {meta[factor][0]:,} | {kw} | {kr:,} "
+            f"| {fmt_bytes(ka['shuffle_bytes'])} "
+            f"| {pr_meta[factor]:,} | {pw} |")
+    k1, k100 = knn_results[1], knn_results[100]
+    p1, p100 = pr_results[1], pr_results[100]
+    lines += [
+        "",
+        f"- **Classification cost is query-batch-bounded, not "
+        f"corpus-bounded**: wall grows {k100[1] / max(k1[1], 0.01):.1f}× "
+        f"for 100× the labeled corpus ({k1[1]}s → {k100[1]}s) — the "
+        "corpus-scale work is the one-off index assignment pass "
+        "(amortized across batches in production); the per-batch vote "
+        "is queries·k rows grouped to queries·labels, unchanged by "
+        "corpus growth.",
+        f"- **PageRank sweeps scale like three wordcounts**: "
+        f"{p1[1]}s → {p100[1]}s ({p100[1] / max(p1[1], 0.01):.1f}× for "
+        "100× nodes at constant degree) — each sweep is one src-keyed "
+        "equi-join + one dst-keyed partial-aggregated groupBy, sealed "
+        "per round; no global sort, nothing quadratic in components.",
+        "",
+    ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.md"), "w") as f:
         f.write("\n".join(lines))

@@ -3225,3 +3225,13 @@ def test_strip_html_semantics(spark):
     assert out[4].text_clean == "a b"
     assert out[5].text_clean is None and out[5].n_tags is None
     assert out[6].text_clean == "text"
+
+
+def test_group_kfold_cluster_members_share_fold(spark):
+    from dbt_core_spark.operators.textstats import group_kfold
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 5)], "id_a long, id_b long")
+    out = {r.doc_id: r for r in group_kfold(docs, pairs, k=3).collect()}
+    assert out[1].fold == out[2].fold == out[5].fold
+    assert all(0 <= r.fold < 3 for r in out.values())

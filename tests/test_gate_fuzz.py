@@ -1770,7 +1770,8 @@ def test_staged_r12_group_split_on_hostile_corpora(
         rows = rows + rows[: len(rows) // 2 + 1]
     tmpdir = str(tmp_path_factory.mktemp("fuzz_r12gsplit"))
     con = _write_docs(tmpdir, rows)
-    for name in ("group_split_docs", "pagerank_docs"):
+    for name in ("group_split_docs", "pagerank_docs", "ppr_docs",
+                 "group_kfold_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R12[name])

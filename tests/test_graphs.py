@@ -61,3 +61,31 @@ def test_zero_iters_returns_uniform(spark):
     pr = {r.node: r.pagerank_micro
           for r in pagerank(_edges(spark, [(1, 2)]), iters=0).collect()}
     assert pr == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_personalized_pagerank_seed_confinement(spark):
+    """Seeds carry restart mass; a node with no path from the seed
+    set stays exactly 0; a neighbor of a seed earns mass only via
+    its in-edge."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    e = _edges(spark, [(1, 2), (3, 4)])  # two components
+    nodes = _edges(spark, [(i, i) for i in range(1, 5)]).select(
+        "src").withColumnRenamed("src", "id").distinct()
+    seeds = nodes.filter("id = 1")
+    pr = {r.node: r.pagerank_micro
+          for r in pagerank(e, nodes=nodes, iters=2,
+                            seeds=seeds).collect()}
+    assert pr[1] == 150_000          # seed keeps restart, gives all away
+    assert pr[3] == 0 and pr[4] == 0  # unreachable from seed set
+    # node 2 at sweep 2: 0 restart + d·(pr1(1)//1)//1e6
+    assert pr[2] == (850_000 * 150_000) // 1_000_000
+
+
+def test_seeds_none_equals_all_seeds(spark):
+    """Default pagerank ≡ personalized with seeds = every node."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3)])
+    nodes = e.select("src").withColumnRenamed("src", "id").distinct()
+    a = sorted(map(tuple, pagerank(e, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(e, iters=3, seeds=nodes).collect()))
+    assert a == b
