@@ -4151,6 +4151,63 @@ def group_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_kfold(docs, pairs, k=5)
 
 
+def streaming_knn_serve_embeddings(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CLASSIFICATION serving (r11) — the trainable-filter
+    tier joins the exactly-once serving family (BM25 ranks, dense
+    ANN): the %3=0 residue streamed as micro-batched classification
+    requests, each batch searched against the SEALED standing
+    labeled-IVF index and majority-voted per query
+    (knn_classify with injected ivf_index_search neighbors).  The
+    vote is request-row-local, so the drained union is identical to
+    the one-shot classification under ANY micro-batch split — the
+    oracle IS knn_classify_ivf_embeddings' 3-scale-verified replay
+    (operators/similarity.py + streaming/structured.py:
+    stream_serve_foreach_batch — batch_id-keyed idempotent writes).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    import tempfile
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        knn_classify,
+    )
+    from dbt_core_spark.streaming.structured import (
+        stream_serve_foreach_batch,
+        stream_source,
+    )
+
+    path = _embs_stream_path(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = emb.filter("vec_id % 3 != 0 AND label IS NOT NULL")
+    cents, assigns = ivf_index_build(labeled, n_cells=16, kmeans_iters=0)
+    # sealed: every micro-batch probes the standing assignments (the
+    # ≥2-branch lineage rule — without the seal each batch replays
+    # the corpus assignment pass)
+    assigns = assigns.localCheckpoint(eager=False)
+    stream = stream_source(
+        spark, path, spark.read.parquet(path).schema, fmt="parquet",
+        options={"maxFilesPerTrigger": "2"},
+    )
+    work = tempfile.mkdtemp(prefix="knn_serve_")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    stream_serve_foreach_batch(
+        stream.filter("vec_id % 3 = 0"),
+        lambda batch: knn_classify(
+            labeled, batch,
+            neighbors=ivf_index_search(cents, assigns, batch,
+                                       k=5, n_probe=4)),
+        out, ckpt,
+    )
+    if not os.path.isdir(out):  # no request rows arrived at all
+        return spark.createDataFrame(
+            [], "query_id long, pred_label int, votes bigint, "
+                "best_rank int")
+    return spark.read.parquet(out).select(
+        "query_id", "pred_label", "votes", "best_rank")
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -4182,12 +4239,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # knn_classify_embeddings, knn_eval_embeddings,
     # knn_classify_ivf_embeddings, stump_train_docs,
     # stump_classify_docs, group_split_docs, classifier_summary_docs,
-    # strip_html_docs, pagerank_docs, ppr_docs, group_kfold_docs —
-    # 17 gates, each pre-verified at 3 scales + TZ/fuzz this round),
-    # then 33 rows of the 34-row r8 remainder oldest-first
-    # (ann_ivf_index_append_embeddings ..) to fill 50; the last r8
-    # row, the r9 cohort, and the r10/r11 cohorts follow in rounds
-    # 13-14.
+    # strip_html_docs, pagerank_docs, ppr_docs, group_kfold_docs,
+    # streaming_knn_serve_embeddings — 18 gates, each pre-verified at
+    # 3 scales + TZ/fuzz this round), then 32 rows of the 34-row r8
+    # remainder oldest-first (ann_ivf_index_append_embeddings ..) to
+    # fill 50; the last 2 r8 rows, the r9 cohort, and the r10/r11
+    # cohorts follow in rounds 13-14.
     return {
         # ---- never driver-verified: the 6 r10-staged gates lead
         # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at

@@ -143,6 +143,7 @@ HEADLINE = [
     "pagerank_docs",
     "ppr_docs",
     "group_kfold_docs",
+    "streaming_knn_serve_embeddings",
 ]
 
 

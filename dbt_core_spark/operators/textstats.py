@@ -3239,6 +3239,7 @@ def stump_train(
     df: DataFrame,
     feature_cols: list[str],
     label_col: str = "label",
+    max_bins: int | None = None,
 ) -> DataFrame:
     """Train a decision stump (depth-1 tree) over integer feature
     columns — the simplest tree-family member of the trainable-filter
@@ -3263,10 +3264,18 @@ def stump_train(
     per-(feature, value) partial-aggregated groupBy (candidate frame
     is Σ distinct values per feature, NOT corpus rows) → per-feature
     cumulative window → per-feature argmin → |features|-row global
-    argmin.  At 100 TB with near-continuous features, pre-bucket
-    values (histogram binning, the LightGBM design) to bound the
-    candidate frame; with integer doc-stat features the distinct set
-    is already small.  Returns ONE row: (feature, threshold,
+    argmin.  At 100 TB with near-continuous features, pass
+    ``max_bins``: values histogram into ≤ max_bins equal-WIDTH
+    buckets per feature (the LightGBM design) computed from a tiny
+    broadcast (feature → min/max) frame — the bin id is a pure
+    map-side expression (decimal-carried so huge value ranges cannot
+    overflow the product), candidate thresholds become each bin's
+    max OBSERVED value (always a real value — an arithmetic upper
+    bound can fall below the bin's content on degenerate ranges),
+    and the cumulative/argmin frame is bounded at
+    features·max_bins rows.  When ``max_bins`` covers every
+    feature's value range the result is IDENTICAL to the exact
+    search (pytest-pinned).  Returns ONE row: (feature, threshold,
     left_label, right_label, train_error)."""
     y = F.col(label_col).cast("int")
     longf = (
@@ -3288,6 +3297,24 @@ def stump_train(
         F.sum("y").alias("pos"),
         F.sum(F.lit(1) - F.col("y")).alias("neg"),
     )
+    if max_bins is not None:
+        rng = longf.groupBy("feature").agg(
+            F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+        per_val = (
+            per_val.join(F.broadcast(rng), "feature")
+            .withColumn(
+                "_bin",
+                F.expr(f"cast(cast((value - _lo) as decimal(38,0)) "
+                       f"* {int(max_bins)} div (_hi - _lo + 1) as bigint)"),
+            )
+            .groupBy("feature", "_bin")
+            .agg(
+                F.max("value").alias("value"),
+                F.sum("pos").alias("pos"),
+                F.sum("neg").alias("neg"),
+            )
+            .drop("_bin")
+        )
     cum = (
         Window.partitionBy("feature").orderBy("value")
         .rowsBetween(Window.unboundedPreceding, 0)

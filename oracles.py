@@ -5429,3 +5429,11 @@ select doc_id, grp,
        cast((({_GFOLD_BUCKET}) % 10000) % 5 as int) as fold
 from grouped
 """
+
+
+# r11 streaming kNN classification serving: the per-query vote is
+# request-row-local, so the drained foreachBatch union equals the
+# one-shot ANN-served classification under any micro-batch split —
+# the oracle IS the knn_classify_ivf replay.  Staged r12.
+ORACLES_STAGED_R12["streaming_knn_serve_embeddings"] = \
+    ORACLES_STAGED_R12["knn_classify_ivf_embeddings"]

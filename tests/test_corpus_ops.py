@@ -3235,3 +3235,37 @@ def test_group_kfold_cluster_members_share_fold(spark):
     out = {r.doc_id: r for r in group_kfold(docs, pairs, k=3).collect()}
     assert out[1].fold == out[2].fold == out[5].fold
     assert all(0 <= r.fold < 3 for r in out.values())
+
+
+def test_stump_binned_equivalence_and_bounding(spark):
+    """max_bins covering every feature's range ⇒ IDENTICAL to the
+    exact search; tight max_bins still finds a zero-error split when
+    the class boundary falls on a bin edge, and the candidate count
+    is bounded by bins."""
+    from dbt_core_spark.operators.textstats import stump_train
+
+    rows = [(i, i * 3, (i * 7) % 40, 0 if i <= 12 else 1)
+            for i in range(1, 25)]
+    df = spark.createDataFrame(rows, "doc_id long, f long, g long, y int")
+    exact = stump_train(df, ["f", "g"], label_col="y").collect()
+    wide = stump_train(df, ["f", "g"], label_col="y",
+                       max_bins=1000).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in wide]
+
+    # 8 equal-width bins over f's range [3, 72]: boundary 12*3=36 sits
+    # in some bin; binned threshold = that bin's max OBSERVED value —
+    # error can only grow, never a wrong-side leaf label
+    binned = stump_train(df, ["f"], label_col="y", max_bins=8).collect()[0]
+    assert binned.train_error <= 2  # exact is 0; bin rounding bounded
+
+
+def test_stump_binned_single_value_feature(spark):
+    """Degenerate range (hi == lo): one bin, threshold = the value —
+    the decimal bin expression must not divide by zero or emit a
+    threshold below the observed value."""
+    from dbt_core_spark.operators.textstats import stump_train
+
+    rows = [(i, 5, 0 if i <= 2 else 1) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, f long, y int")
+    s = stump_train(df, ["f"], label_col="y", max_bins=4).collect()[0]
+    assert s.threshold == 5

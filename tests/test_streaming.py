@@ -514,3 +514,48 @@ def test_stream_serve_on_batch_result_parameter(spark, tmp_path):
     assert len(param_hits) >= 1
     assert all(cols == ["id", "v1"] for _, cols in param_hits)
     assert global_hits == []  # the parameter suppressed the global
+
+
+def test_streaming_knn_serve_forced_split_matches_one_shot(
+    spark, sf_dir, tmp_path
+):
+    """Classification serving split-invariance pin (the ann-serve
+    precedent): kNN votes served per micro-batch under a forced
+    1-file-per-trigger split must equal the one-shot ANN-served
+    classification — the vote is request-row-local."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        knn_classify,
+    )
+    from dbt_core_spark.streaming.structured import (
+        stream_serve_foreach_batch,
+        stream_source,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labeled = emb.filter("vec_id % 3 != 0 AND label IS NOT NULL")
+    src = str(tmp_path / "req_src")
+    emb.repartition(5).write.parquet(src)
+    cents, assigns = ivf_index_build(labeled, n_cells=8, kmeans_iters=0)
+    assigns = assigns.localCheckpoint(eager=True)
+
+    def serve(b):
+        return knn_classify(
+            labeled, b,
+            neighbors=ivf_index_search(cents, assigns, b, k=5, n_probe=4))
+
+    stream = stream_source(
+        spark, src, spark.read.parquet(src).schema, fmt="parquet",
+        options={"maxFilesPerTrigger": "1"},
+    )
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+    stream_serve_foreach_batch(stream.filter("vec_id % 3 = 0"),
+                               serve, out, ckpt)
+    served = sorted(map(tuple, spark.read.parquet(out).select(
+        "query_id", "pred_label", "votes", "best_rank").collect()))
+    one_shot = sorted(map(tuple, serve(
+        emb.filter(F.col("vec_id") % 3 == 0)).collect()))
+    assert served == one_shot and len(served) > 0
