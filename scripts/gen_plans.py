@@ -415,6 +415,13 @@ SERVE_PICKS = {
         "request batch through the probed-cells search — centroid "
         "ranking on the batch side, members join only on probed "
         "cells."),
+    "streaming_knn_serve_embeddings": (
+        "Inner per-batch plan of the kNN classification serve gate "
+        "(r11-staged, captured from a drained micro-batch): the "
+        "probed-cells ANN search feeds the (query, label) vote "
+        "aggregate + 1-row-per-query window — the label join rides "
+        "the standing labeled projection, nothing corpus-scale per "
+        "batch."),
 }
 for name, blurb in SERVE_PICKS.items():
     captured: list[str] = []
