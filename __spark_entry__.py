@@ -4208,6 +4208,21 @@ def streaming_knn_serve_embeddings(
         "query_id", "pred_label", "votes", "best_rank")
 
 
+def corpus_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card row (r11): volume / length / exact-dup
+    / language-mix statistics per source, every one an exact integer
+    (mean and dup-rate as floor divisions) — the profile a corpus
+    registry publishes next to each source and diffs across snapshots
+    (operators/corpus.py:corpus_profile; datasheets-for-datasets
+    practice).  A NULL source profiles as its own group; its top_lang
+    is NULL via standard join semantics on both engines.
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.corpus import corpus_profile
+
+    return corpus_profile(_t(spark, sf_dir, "documents"))
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -4240,11 +4255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # knn_classify_ivf_embeddings, stump_train_docs,
     # stump_classify_docs, group_split_docs, classifier_summary_docs,
     # strip_html_docs, pagerank_docs, ppr_docs, group_kfold_docs,
-    # streaming_knn_serve_embeddings — 18 gates, each pre-verified at
-    # 3 scales + TZ/fuzz this round), then 32 rows of the 34-row r8
-    # remainder oldest-first (ann_ivf_index_append_embeddings ..) to
-    # fill 50; the last 2 r8 rows, the r9 cohort, and the r10/r11
-    # cohorts follow in rounds 13-14.
+    # streaming_knn_serve_embeddings, corpus_profile_docs — 19 gates,
+    # each pre-verified at 3 scales + TZ/fuzz this round), then 31
+    # rows of the 34-row r8 remainder oldest-first
+    # (ann_ivf_index_append_embeddings ..) to fill 50; the last 3 r8
+    # rows, the r9 cohort, and the r10/r11 cohorts follow in rounds
+    # 13-14.
     return {
         # ---- never driver-verified: the 6 r10-staged gates lead
         # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at

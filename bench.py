@@ -144,6 +144,7 @@ HEADLINE = [
     "ppr_docs",
     "group_kfold_docs",
     "streaming_knn_serve_embeddings",
+    "corpus_profile_docs",
 ]
 
 

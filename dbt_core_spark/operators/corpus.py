@@ -1308,3 +1308,67 @@ def _bpe_train_batched_impl(
             state = state.localCheckpoint(eager=True)
             since_seal = 0
     return merges, scans
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source dataset-card statistics — the PROFILE verb a corpus
+    registry publishes next to every source (the 'datasheets for
+    datasets' practice, Gebru et al. 2021): one row per source with
+    volume, length, exact-duplicate, and language-mix signals, each
+    an exact integer so the row is replayable and diffable across
+    snapshots (compose with corpus_diff for drift).
+
+    Columns: n_docs (all rows), n_texts (non-NULL texts),
+    n_chars_total, mean_chars (floor over non-NULL texts),
+    n_distinct_texts (md5), dup_rate_micro ((n_texts − distinct)·1e6
+    div n_texts — the within-source exact-dup rate), n_langs
+    (non-NULL), top_lang (most frequent; ties → lang ASC; NULL when
+    the source has no labeled rows).  NULL sources profile as their
+    own group (both engines group NULLs together).
+
+    Scale shape: ONE corpus pass into a per-(source, lang) partial
+    aggregate plus a per-source distinct-md5 count — the costliest
+    leg, count(distinct) over 16-byte keys, the dedup_exact shuffle
+    shape; the lang argmax runs over the (sources × langs)-sized
+    frame, never corpus rows."""
+    t = F.col(text_col)
+    per_source = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(t).cast("bigint").alias("n_texts"),
+        F.coalesce(F.sum(F.length(t)), F.lit(0)).cast("bigint")
+        .alias("n_chars_total"),
+        F.countDistinct(F.md5(t)).cast("bigint")
+        .alias("n_distinct_texts"),
+        F.countDistinct(F.col(lang_col)).cast("bigint").alias("n_langs"),
+    ).withColumn(
+        "mean_chars",
+        F.expr("case when n_texts = 0 then 0 "
+               "else n_chars_total div n_texts end").cast("bigint"),
+    ).withColumn(
+        "dup_rate_micro",
+        F.expr("case when n_texts = 0 then 0 else "
+               "((n_texts - n_distinct_texts) * 1000000) div n_texts end")
+        .cast("bigint"),
+    )
+    lang_counts = (
+        df.filter(F.col(lang_col).isNotNull())
+        .groupBy(F.col(source_col).alias("source"),
+                 F.col(lang_col).alias("top_lang"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("_n").desc(), F.col("top_lang").asc())
+    top = (
+        lang_counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1).select("source", "top_lang")
+    )
+    return per_source.join(top, "source", "left").select(
+        "source", "n_docs", "n_texts", "n_chars_total", "mean_chars",
+        "n_distinct_texts", "dup_rate_micro", "n_langs", "top_lang",
+    )

@@ -5437,3 +5437,45 @@ from grouped
 # the oracle IS the knn_classify_ivf replay.  Staged r12.
 ORACLES_STAGED_R12["streaming_knn_serve_embeddings"] = \
     ORACLES_STAGED_R12["knn_classify_ivf_embeddings"]
+
+
+# r11 per-source dataset-card profile: exact integer volume / length
+# / exact-dup / language-mix statistics per source; top_lang ties →
+# lang ASC; a NULL source groups alone and takes a NULL top_lang via
+# standard (non-null-safe) join semantics on both engines.
+# Staged r12.
+ORACLES_STAGED_R12["corpus_profile_docs"] = """
+with per_source as (
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(count(text) as bigint) as n_texts,
+           cast(coalesce(sum(length(text)), 0) as bigint)
+             as n_chars_total,
+           cast(count(distinct md5(text)) as bigint)
+             as n_distinct_texts,
+           cast(count(distinct lang) as bigint) as n_langs
+    from documents group by source
+), ext as (
+    select *,
+           cast(case when n_texts = 0 then 0
+                     else n_chars_total // n_texts end as bigint)
+             as mean_chars,
+           cast(case when n_texts = 0 then 0
+                     else ((n_texts - n_distinct_texts) * 1000000)
+                          // n_texts end as bigint) as dup_rate_micro
+    from per_source
+), lc as (
+    select source, lang as top_lang, count(*) as _n
+    from documents where lang is not null group by 1, 2
+), top as (
+    select source, top_lang from (
+        select source, top_lang,
+               row_number() over (partition by source
+                                  order by _n desc, top_lang) as _r
+        from lc
+    ) where _r = 1
+)
+select e.source, e.n_docs, e.n_texts, e.n_chars_total, e.mean_chars,
+       e.n_distinct_texts, e.dup_rate_micro, e.n_langs, t.top_lang
+from ext e left join top t on e.source = t.source
+"""

@@ -3269,3 +3269,35 @@ def test_stump_binned_single_value_feature(spark):
     df = spark.createDataFrame(rows, "doc_id long, f long, y int")
     s = stump_train(df, ["f"], label_col="y", max_bins=4).collect()[0]
     assert s.threshold == 5
+
+
+def test_corpus_profile_exact_stats(spark):
+    from dbt_core_spark.operators.corpus import corpus_profile
+
+    rows = [
+        (1, "aa", "en", "web"), (2, "aa", "en", "web"),
+        (3, "bbbb", "fr", "web"), (4, None, None, "web"),
+        (5, "x", "de", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = {r.source: r for r in corpus_profile(df).collect()}
+    web = out["web"]
+    assert web.n_docs == 4 and web.n_texts == 3
+    assert web.n_chars_total == 8 and web.mean_chars == 2   # 8 div 3
+    assert web.n_distinct_texts == 2
+    # (3-2)*1e6 div 3 = 333333
+    assert web.dup_rate_micro == 333_333
+    assert web.n_langs == 2 and web.top_lang == "en"
+    # NULL source: own group, NULL top_lang via join semantics
+    ns = out[None]
+    assert ns.n_docs == 1 and ns.top_lang is None
+
+
+def test_corpus_profile_top_lang_tie_breaks_asc(spark):
+    from dbt_core_spark.operators.corpus import corpus_profile
+
+    rows = [(1, "a", "fr", "s"), (2, "b", "en", "s")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    assert corpus_profile(df).collect()[0].top_lang == "en"

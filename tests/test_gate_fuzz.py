@@ -1741,7 +1741,8 @@ def test_staged_r12_stump_gates_on_hostile_corpora(
     tmpdir = str(tmp_path_factory.mktemp("fuzz_r12stump"))
     con = _write_docs(tmpdir, rows)
     for name in ("stump_train_docs", "stump_classify_docs",
-                 "classifier_summary_docs", "strip_html_docs"):
+                 "classifier_summary_docs", "strip_html_docs",
+                 "corpus_profile_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R12[name])
