@@ -3957,7 +3957,8 @@ def knn_classify_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    labeled = emb.filter("vec_id % 3 != 0 AND label IS NOT NULL")
+    labeled = emb.filter("vec_id % 3 != 0 AND label IS NOT NULL") \
+        .localCheckpoint(eager=False)  # feeds build AND the vote join
     queries = emb.filter("vec_id % 3 = 0")
     cents, assigns = ivf_index_build(labeled, n_cells=16, kmeans_iters=0)
     nbrs = ivf_index_search(cents, assigns, queries, k=5, n_probe=4)
@@ -4180,7 +4181,8 @@ def streaming_knn_serve_embeddings(
 
     path = _embs_stream_path(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    labeled = emb.filter("vec_id % 3 != 0 AND label IS NOT NULL")
+    labeled = emb.filter("vec_id % 3 != 0 AND label IS NOT NULL") \
+        .localCheckpoint(eager=False)  # feeds build AND per-batch votes
     cents, assigns = ivf_index_build(labeled, n_cells=16, kmeans_iters=0)
     # sealed: every micro-batch probes the standing assignments (the
     # ≥2-branch lineage rule — without the seal each batch replays

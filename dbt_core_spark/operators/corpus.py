@@ -1313,7 +1313,6 @@ def _bpe_train_batched_impl(
 def corpus_profile(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     source_col: str = "source",
     lang_col: str = "lang",
 ) -> DataFrame:

@@ -2584,6 +2584,12 @@ def knn_classify(
     (query_id, pred_label, votes, best_rank)."""
     lab = labeled.filter(F.col(label_col).isNotNull())
     if neighbors is None:
+        # sealed: lab feeds BOTH the search and the vote join (the
+        # ≥2-branch lineage rule — without the seal the labeled scan
+        # replays per consumer; code-review finding).  The injected-
+        # neighbors path leaves sealing to the caller, who owns the
+        # index build lineage.
+        lab = lab.localCheckpoint(eager=False)
         neighbors = cosine_topk_blas(
             lab, vec_col=vec_col, id_col=id_col, k=k, queries=queries
         )

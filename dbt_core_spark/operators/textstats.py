@@ -266,25 +266,36 @@ def group_split(
     the PAIR graph only — dup pairs, not the corpus) + one left join
     corpus⋈components on id + a per-row hash; no extra shuffle over
     assign_splits beyond the components join.  Returns
-    (id_col, grp, bucket, split)."""
-    from dbt_core_spark.operators.dedup import connected_components
-
+    (id_col, grp, bucket, split); ``grp`` keeps the id column's own
+    type (string ids hash on their string form, exactly like
+    assign_splits — a bigint cast here would NULL/throw on them,
+    code-review finding)."""
     w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    comps = connected_components(pairs, a=a, b=b).withColumnRenamed(
-        "id", id_col)
-    grouped = (
-        df.select(F.col(id_col))
-        .join(comps, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("component"), F.col(id_col))
-            .cast("bigint").alias("grp"),
-        )
-    )
+    grouped = _group_roots(df, pairs, id_col, a, b)
     bucket, expr = _split_exprs(F.col("grp"), w, salt)
     return grouped.select(
         F.col(id_col), "grp", bucket.cast("bigint").alias("bucket"),
         expr.alias("split"),
+    )
+
+
+def _group_roots(
+    df: DataFrame, pairs: DataFrame, id_col: str, a: str, b: str
+) -> DataFrame:
+    """Shared (id, grp) frame for the leakage-safe split family: the
+    duplicate-cluster root via exact connected components, singletons
+    rooted at their own id, the id's type preserved."""
+    from dbt_core_spark.operators.dedup import connected_components
+
+    comps = connected_components(pairs, a=a, b=b).withColumnRenamed(
+        "id", id_col)
+    return (
+        df.select(F.col(id_col))
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("grp"),
+        )
     )
 
 
@@ -302,20 +313,9 @@ def group_kfold(
     md5-bucket of the duplicate-cluster root mod k, so every member
     of a near-duplicate cluster shares a fold and no fold's holdout
     leaks into its training complement.  Same components + hash
-    lattice as group_split; returns (id_col, grp, fold int)."""
-    from dbt_core_spark.operators.dedup import connected_components
-
-    comps = connected_components(pairs, a=a, b=b).withColumnRenamed(
-        "id", id_col)
-    grouped = (
-        df.select(F.col(id_col))
-        .join(comps, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("component"), F.col(id_col))
-            .cast("bigint").alias("grp"),
-        )
-    )
+    lattice as group_split (the shared ``_group_roots`` frame);
+    returns (id_col, grp, fold int)."""
+    grouped = _group_roots(df, pairs, id_col, a, b)
     bucket, _ = _split_exprs(F.col("grp"), {"train": 1.0}, salt)
     return grouped.select(
         F.col(id_col), "grp",
@@ -905,17 +905,25 @@ def strip_html(
     tag regex is the pragmatic ``<[^>]*>`` (a bare '<' in prose only
     mis-eats when a '>' follows — acceptable for corpus curation,
     identical on both engines so the oracle replays exactly).
-    Returns (id, text_clean, n_tags)."""
+    Engine-portability (code-review finding): tag-name matching uses
+    EXPLICIT case classes, not ``(?i)`` — RE2 (DuckDB) case-folds
+    Unicode under (?i) (ſ matches s) where Java folds ASCII only —
+    and the whitespace collapse uses an explicit ASCII class, not
+    ``\\s`` — Java's \\s includes \\x0B, RE2's does not.  Returns
+    (id, text_clean, n_tags)."""
+    scr = "[sS][cC][rR][iI][pP][tT]"
+    sty = "[sS][tT][yY][lL][eE]"
+    ws = "[ \\t\\n\\x0B\\f\\r]+"
     t0 = F.col(text_col)
-    t = F.regexp_replace(t0, r"(?is)<script[^>]*>.*?</script>", " ")
-    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t0, f"(?s)<{scr}[^>]*>.*?</{scr}>", " ")
+    t = F.regexp_replace(t, f"(?s)<{sty}[^>]*>.*?</{sty}>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     n_tags = F.regexp_count(t, F.lit("<[^>]*>")).cast("bigint")
     t = F.regexp_replace(t, "<[^>]*>", " ")
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
         t = F.replace(t, F.lit(ent), F.lit(ch))
-    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    t = F.trim(F.regexp_replace(t, ws, " "))
     return df.select(
         F.col(id_col),
         t.alias("text_clean"),
@@ -3298,14 +3306,20 @@ def stump_train(
         F.sum(F.lit(1) - F.col("y")).alias("neg"),
     )
     if max_bins is not None:
-        rng = longf.groupBy("feature").agg(
+        # bounds from the MODEL-sized per-value aggregate, not the
+        # corpus-scale exploded frame (identical min/max, one less
+        # corpus pass); every term decimal-carried BEFORE subtracting
+        # — value ranges wider than int64 would overflow the bigint
+        # difference itself (both: code-review findings)
+        rng = per_val.groupBy("feature").agg(
             F.min("value").alias("_lo"), F.max("value").alias("_hi"))
         per_val = (
             per_val.join(F.broadcast(rng), "feature")
             .withColumn(
                 "_bin",
-                F.expr(f"cast(cast((value - _lo) as decimal(38,0)) "
-                       f"* {int(max_bins)} div (_hi - _lo + 1) as bigint)"),
+                F.expr(f"cast((cast(value as decimal(38,0)) - _lo) "
+                       f"* {int(max_bins)} div "
+                       f"(cast(_hi as decimal(38,0)) - _lo + 1) as bigint)"),
             )
             .groupBy("feature", "_bin")
             .agg(

@@ -5284,11 +5284,15 @@ with h as (
              as html
     from documents
 ), s1 as (
+    -- explicit case classes + ASCII whitespace class (NOT (?i)/\s):
+    -- RE2 case-folds Unicode under (?i) and excludes \x0B from \s
+    -- where Java does the opposite (code-review finding)
     select doc_id,
            regexp_replace(
              regexp_replace(
-               regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               regexp_replace(html,
+                 '(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]>', ' ', 'g'),
+               '(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]>', ' ', 'g'),
              '(?s)<!--.*?-->', ' ', 'g') as t
     from h
 ), s2 as (
@@ -5304,7 +5308,7 @@ with h as (
     from s2
 )
 select doc_id,
-       trim(regexp_replace(t3, '\s+', ' ', 'g')) as text_clean,
+       trim(regexp_replace(t3, '[ \t\n\x0B\f\r]+', ' ', 'g')) as text_clean,
        n_tags
 from s3
 """

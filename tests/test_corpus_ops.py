@@ -3301,3 +3301,45 @@ def test_corpus_profile_top_lang_tie_breaks_asc(spark):
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string")
     assert corpus_profile(df).collect()[0].top_lang == "en"
+
+
+def test_strip_html_engine_portable_whitespace_and_case(spark):
+    """Code-review regression pins: a vertical tab (Java \\s includes
+    \\x0B, RE2 does not — both engines now use the explicit ASCII
+    class) and a mixed-case script tag (explicit case classes, no
+    (?i) Unicode folding divergence)."""
+    from dbt_core_spark.operators.textstats import strip_html
+
+    rows = [(1, "a\x0bb"), (2, "<SCRIPT>x</SCRIPT>after"),
+            (3, "ſcript is prose <p>t</p>")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text_clean for r in strip_html(df).collect()}
+    assert out[1] == "a b"
+    assert out[2] == "after"
+    assert out[3] == "ſcript is prose t"
+
+
+def test_group_split_string_ids(spark):
+    """String ids must hash on their string form (the assign_splits
+    contract) — the former bigint cast NULLed/threw on them."""
+    from dbt_core_spark.operators.textstats import assign_splits, group_split
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(20)], "doc_id string")
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    g = {r.doc_id: r.split
+         for r in group_split(docs, empty, salt="s").collect()}
+    a = {r.doc_id: r.split for r in assign_splits(docs, salt="s").collect()}
+    assert g == a and len(set(g.values())) >= 2
+
+
+def test_stump_binned_extreme_range_no_overflow(spark):
+    """Feature range wider than int64 (hi - lo overflows bigint):
+    the decimal-carried bin expression must still train."""
+    from dbt_core_spark.operators.textstats import stump_train
+
+    lo, hi = -6_000_000_000_000_000_000, 6_000_000_000_000_000_000
+    rows = [(1, lo, 0), (2, lo + 10, 0), (3, hi - 10, 1), (4, hi, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, f long, y int")
+    s = stump_train(df, ["f"], label_col="y", max_bins=4).collect()[0]
+    assert s.train_error == 0
