@@ -4225,6 +4225,26 @@ def corpus_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_profile(_t(spark, sf_dir, "documents"))
 
 
+def centroid_classify_embeddings(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification (r11): one integer
+    prototype per label from the vec_id%3≠0 slice (fixed-point
+    floor(x·1000+0.5) quantization + floor-exact per-position means),
+    the %3=0 slice served by nearest prototype under bigint squared
+    L2 — the train-k-prototypes/serve-k·dim classifier completing
+    the embedding-classifier family (kNN = corpus search; this =
+    constant-size model).  Integer-exact end-to-end, oracle replays
+    training + serving bit-for-bit
+    (operators/similarity.py:centroid_classify).
+
+    STAGED for the round-12 gate window (oracles.ORACLES_STAGED_R12)."""
+    from dbt_core_spark.operators.similarity import centroid_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_classify(
+        emb.filter("vec_id % 3 != 0"), emb.filter("vec_id % 3 = 0"))
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -4257,12 +4277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # knn_classify_ivf_embeddings, stump_train_docs,
     # stump_classify_docs, group_split_docs, classifier_summary_docs,
     # strip_html_docs, pagerank_docs, ppr_docs, group_kfold_docs,
-    # streaming_knn_serve_embeddings, corpus_profile_docs — 19 gates,
-    # each pre-verified at 3 scales + TZ/fuzz this round), then 31
-    # rows of the 34-row r8 remainder oldest-first
-    # (ann_ivf_index_append_embeddings ..) to fill 50; the last 3 r8
-    # rows, the r9 cohort, and the r10/r11 cohorts follow in rounds
-    # 13-14.
+    # streaming_knn_serve_embeddings, corpus_profile_docs,
+    # centroid_classify_embeddings — 20 gates, each pre-verified at
+    # 3 scales + TZ/fuzz this round), then 30 rows of the 34-row r8
+    # remainder oldest-first (ann_ivf_index_append_embeddings ..) to
+    # fill 50; the last 4 r8 rows, the r9 cohort, and the r10/r11
+    # cohorts follow in rounds 13-14.
     return {
         # ---- never driver-verified: the 6 r10-staged gates lead
         # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at

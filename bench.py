@@ -145,6 +145,7 @@ HEADLINE = [
     "group_kfold_docs",
     "streaming_knn_serve_embeddings",
     "corpus_profile_docs",
+    "centroid_classify_embeddings",
 ]
 
 

@@ -2618,3 +2618,93 @@ def knn_classify(
             "best_rank",
         )
     )
+
+
+def centroid_classify(
+    labeled: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification — the third member
+    of the embedding-classifier family (kNN votes over neighbors;
+    this trains one PROTOTYPE per class and serves by nearest
+    prototype under squared L2): the classic cheap-and-strong
+    baseline when classes are compact in embedding space, and the
+    serving cost is k·dim per query instead of a corpus search.
+
+    INTEGER-exact end-to-end, so the DuckDB oracle replays training
+    + serving bit-for-bit: vectors fix-point quantize to
+    ``floor(x·scale + 0.5)`` (the quantize_embeddings rounding
+    convention — engine-independent), prototypes are
+    per-position TRUNCATED integer means (Spark's `div` and DuckDB's
+    `//` both truncate toward zero — verified on negative sums), and
+    distances are bigint Σ(q−p)² carried in decimal(38,0) (dim·(2·
+    scale·max|x|)² outgrows int64 on wide/hot vectors).  Tie-break:
+    distance ASC → label ASC.  NULL labels drop before training;
+    non-finite vectors drop on both sides (quantization is undefined
+    for them); zero vectors are legitimate under L2.
+
+    Scale shape: prototypes are k·dim rows from ONE corpus-long-form
+    aggregate (map-side partial); serving explodes each query to dim
+    rows and joins the broadcast prototype frame on position —
+    queries·dim·k intermediate rows, two-level partial-aggregated —
+    linear in queries, corpus appears only in training.  Returns
+    (query_id, pred_label)."""
+    qmax = F.lit(float(scale))
+
+    def fixq(frame: DataFrame, idc: str, keep_label: bool):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        finite = F.aggregate(
+            v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        )
+        cols = [F.col(idc).alias("_id"),
+                F.transform(
+                    v, lambda x: F.floor(x * qmax + F.lit(0.5))
+                    .cast("bigint")).alias("_q")]
+        if keep_label:
+            cols.append(F.col(label_col).alias("_lbl"))
+        return (
+            frame.withColumn("_fin", finite)
+            .filter(F.col("_fin") < F.lit(float("inf")))
+            .select(*cols)
+        )
+
+    lab = fixq(labeled.filter(F.col(label_col).isNotNull()),
+               id_col, keep_label=True)
+    lab_long = lab.select(
+        "_lbl", F.posexplode("_q").alias("pos", "qv"))
+    protos = (
+        lab_long.groupBy("_lbl", "pos")
+        .agg(F.sum("qv").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        # truncated mean: Spark's bigint `div` and DuckDB's `//`
+        # BOTH truncate toward zero (verified: -7//2 = -3 on both),
+        # so the plain quotient replays exactly — a floor-div
+        # identity here would diverge on negative sums
+        .select(
+            "_lbl", "pos",
+            F.expr("_s div _n").cast("bigint").alias("pv"),
+        )
+    )
+    q_long = fixq(queries, id_col, keep_label=False).select(
+        F.col("_id").alias("query_id"),
+        F.posexplode("_q").alias("pos", "qv"))
+    scored = (
+        q_long.join(F.broadcast(protos), "pos")
+        .groupBy("query_id", "_lbl")
+        .agg(
+            F.sum(
+                ((F.col("qv") - F.col("pv"))
+                 * (F.col("qv") - F.col("pv"))).cast("decimal(38,0)")
+            ).alias("_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("_lbl").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("_lbl").alias("pred_label"))
+    )

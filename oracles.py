@@ -5483,3 +5483,48 @@ select e.source, e.n_docs, e.n_texts, e.n_chars_total, e.mean_chars,
        e.n_distinct_texts, e.dup_rate_micro, e.n_langs, t.top_lang
 from ext e left join top t on e.source = t.source
 """
+
+
+# r11 nearest-centroid (Rocchio) classification: integer-exact replay
+# — fixed-point floor(x·1000+0.5) quantization, TRUNCATED
+# per-position prototype means (Spark `div` and DuckDB `//` both
+# truncate toward zero — verified), bigint squared-L2 serving,
+# ties → distance ASC then label ASC.  Empty vectors keep the fold's
+# init-0 finiteness (coalesce) and contribute no positions on either
+# engine.  Staged r12.
+ORACLES_STAGED_R12["centroid_classify_embeddings"] = """
+with v as (
+  select vec_id, label,
+         list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+), f as (
+  select vec_id, label, e from v
+  where coalesce(list_max(list_transform(e, x -> abs(x))), 0)
+        < 'infinity'::double
+), q0 as (
+  select vec_id, label,
+         list_transform(e, x -> cast(floor(x * 1000 + 0.5) as bigint))
+           as q
+  from f
+), lab_long as (
+  select label as lbl,
+         unnest(generate_series(0, len(q) - 1)) as pos,
+         unnest(q) as qv
+  from q0 where vec_id % 3 <> 0 and label is not null
+), protos as (
+  select lbl, pos, cast(sum(qv) // count(*) as bigint) as pv
+  from lab_long group by 1, 2
+), q_long as (
+  select vec_id as query_id,
+         unnest(generate_series(0, len(q) - 1)) as pos,
+         unnest(q) as qv
+  from q0 where vec_id % 3 = 0
+), scored as (
+  select query_id, lbl, sum((qv - pv) * (qv - pv)) as d2
+  from q_long join protos using (pos)
+  group by 1, 2
+)
+select query_id, lbl as pred_label from scored
+qualify row_number() over (partition by query_id
+                           order by d2, lbl) = 1
+"""

@@ -1710,7 +1710,8 @@ def test_staged_r12_knn_gates_on_hostile_corpora(
     tmpdir = str(tmp_path_factory.mktemp("fuzz_r12knn"))
     con = _write_embeddings(tmpdir, vecs, labels=labels)
     for name in ("knn_classify_embeddings", "knn_eval_embeddings",
-                 "knn_classify_ivf_embeddings"):
+                 "knn_classify_ivf_embeddings",
+                 "centroid_classify_embeddings"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
             getattr(em, name), ORACLES_STAGED_R12[name])

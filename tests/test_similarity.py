@@ -1060,3 +1060,68 @@ def test_knn_classify_empty_labeled_corpus(spark):
     out = knn_classify(labeled, q, k=3)
     assert out.columns == ["query_id", "pred_label", "votes", "best_rank"]
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# nearest-centroid (Rocchio) classification (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_classify_separable(spark):
+    """Two compact classes: every held-out query lands with its
+    cluster's prototype."""
+    from dbt_core_spark.operators.similarity import centroid_classify
+
+    labeled = _knn_frame(spark, [
+        (1, [1.0, 0.0], 7), (2, [1.1, 0.1], 7), (3, [0.9, -0.1], 7),
+        (4, [-1.0, 5.0], 8), (5, [-1.1, 5.2], 8),
+    ])
+    q = _knn_frame(spark, [(100, [1.05, 0.0], None),
+                           (101, [-1.0, 5.1], None)])
+    out = {r.query_id: r.pred_label
+           for r in centroid_classify(labeled, q).collect()}
+    assert out == {100: 7, 101: 8}
+
+
+def test_centroid_classify_negative_mean_truncation(spark):
+    """Negative coordinate sums: prototype means truncate toward
+    zero on BOTH engines (the -7 div 2 = -3 convention) — pin the
+    Spark side's value directly."""
+    from dbt_core_spark.operators.similarity import centroid_classify
+
+    # sum of quantized coords for label 1 at pos 0: -3500+(-4000) =
+    # -7500; mean over 2 = -3750 exactly (no rounding); make an
+    # odd split instead: three vectors summing to -7 at milli scale
+    labeled = _knn_frame(spark, [
+        (1, [-0.001, 0.0], 1), (2, [-0.003, 0.0], 1),
+        (3, [-0.003, 0.0], 1),
+        (4, [5.0, 5.0], 2),
+    ])
+    # label-1 prototype pos0: sum=-7, n=3 → trunc(-7/3) = -2 (floor
+    # would give -3); query at exactly -0.002 distances: label1
+    # (−2−(−2))²=0 vs label2 far → label 1
+    q = _knn_frame(spark, [(100, [-0.002, 0.0], None)])
+    out = centroid_classify(labeled, q).collect()
+    assert out[0].pred_label == 1
+
+
+def test_centroid_classify_tiebreak_label_asc(spark):
+    """Equidistant prototypes → smaller label wins."""
+    from dbt_core_spark.operators.similarity import centroid_classify
+
+    labeled = _knn_frame(spark, [
+        (1, [1.0, 0.0], 9), (2, [-1.0, 0.0], 3),
+    ])
+    q = _knn_frame(spark, [(100, [0.0, 0.0], None)])
+    out = centroid_classify(labeled, q).collect()
+    assert out[0].pred_label == 3
+
+
+def test_centroid_classify_empty_training(spark):
+    from dbt_core_spark.operators.similarity import centroid_classify
+
+    labeled = _knn_frame(spark, [(1, [1.0, 0.0], None)])
+    q = _knn_frame(spark, [(100, [1.0, 0.0], None)])
+    out = centroid_classify(labeled, q)
+    assert out.columns == ["query_id", "pred_label"]
+    assert out.count() == 0
