@@ -2386,37 +2386,55 @@ def naive_bayes_finalize(
         )
         counts = counts.join(vocab, "term", "left_semi")
     counts = counts.localCheckpoint(eager=False)  # read by V, t_c, weights
-    v_sz = counts.select("term").distinct().count()
-    # class totals over the (capped) vocab + doc counts for priors —
-    # k rows, never collected beyond scalars
+    # vocabulary size V and the doc total D stay IN-PLAN as broadcast
+    # 1-row aggregates instead of blocking driver actions: the previous
+    # shape paid one distinct().count() job + one collect() job before
+    # the model plan even existed — two driver round-trip barriers per
+    # training call, on every NB/langid gate (optimization r11; the
+    # numeric expressions are unchanged, literal → 1-row column).
+    v_frame = counts.agg(
+        F.count_distinct("term").cast("bigint").alias("_v"))
+    d_frame = doc_counts.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("_dt"))
     d_stats = doc_counts
-    d_total = int(
-        doc_counts.agg(F.sum("n_docs")).collect()[0][0] or 0)
     t_c = counts.groupBy("cls").agg(F.sum("n").alias("t_c"))
-    denom = (F.col("t_c") + F.lit(s * v_sz)).cast("double")
+    denom = (F.col("t_c") + F.lit(s) * F.col("_v")).cast("double")
     # V = 0 (every training doc tokenizes empty): no class-conditional
     # distribution exists — oov_micro pins to 0 so serving degenerates
     # to priors-only instead of ln(s/0) = +Inf garbage (fuzz class;
     # the oracle carries the same case guard)
-    oov_expr = (
-        F.lit(0).cast("bigint") if v_sz == 0
-        else F.floor(F.log(
+    oov_expr = F.when(F.col("_v") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(F.log(
             F.lit(float(s)) / (
                 F.coalesce(F.col("t_c"), F.lit(0))
-                + F.lit(s * v_sz)).cast("double")
+                + F.lit(s) * F.col("_v")).cast("double")
         ) * 1_000_000).cast("bigint")
     )
-    class_stats = (
-        d_stats.join(t_c, "cls", "left").select(
-            "cls",
-            "n_docs",
-            F.floor(F.log(
-                F.col("n_docs").cast("double") / F.lit(float(d_total))
-            ) * 1_000_000).cast("bigint").alias("prior_micro"),
-            oov_expr.alias("oov_micro"),
-        )
+    # ONE sealed k-row class frame carries (t_c, _v, _dt): class_stats
+    # and weights both read it, so the scalar aggregates and the
+    # per-class totals are computed once, not once per consumer (the
+    # first in-plan cut cross-joined v_frame into both branches and
+    # duplicated the count_distinct subtree — +6 AQE stages measured)
+    cls_frame = (
+        d_stats.join(t_c, "cls", "left")
+        .crossJoin(F.broadcast(v_frame))
+        .crossJoin(F.broadcast(d_frame))
+        .localCheckpoint(eager=False)
     )
-    weights = counts.join(t_c, "cls").select(
+    class_stats = cls_frame.select(
+        "cls",
+        "n_docs",
+        F.floor(F.log(
+            F.col("n_docs").cast("double") / F.col("_dt").cast("double")
+        ) * 1_000_000).cast("bigint").alias("prior_micro"),
+        oov_expr.alias("oov_micro"),
+    )
+    # every cls in term_counts appears in doc_counts (both aggregate
+    # the same base rows), so this inner join keeps every counts row
+    # with its non-null t_c — ≡ the old counts⋈t_c join
+    weights = counts.join(
+        F.broadcast(cls_frame.select("cls", "t_c", "_v")), "cls"
+    ).select(
         "cls",
         "term",
         F.floor(F.log(
@@ -2445,28 +2463,38 @@ def naive_bayes_apply(
     time.  Winner by max score, ties to the lexically smaller class
     (the perceptron_apply_ovr min-struct idiom).
 
-    Scale shape: one (doc, term) wordcount, one term-keyed join
-    against the model (AQE broadcasts a capped-vocab model; an
+    Scale shape: ONE tokenize+explode pass over the corpus feeding ONE
+    (doc, term) wordcount exchange shared by both consumers (n_tokens
+    and the model join — the n_tokens branch reads the same shuffle
+    through ReusedExchange, so the tokenizer expression is evaluated
+    exactly once per document; the previous shape re-evaluated the
+    full tokenizer in a second corpus pass just to take ``size()``,
+    measured ~2 s of the 3.9 s langid gate at sf0.1), one term-keyed
+    join against the model (AQE broadcasts a capped-vocab model; an
     uncapped one sort-merges on term — either way the corpus text
     never moves again), one (doc, cls) aggregate, and a k-per-doc
-    argmax.  Zero-token documents score prior-only via the class
-    cross-join.  Returns (id_col, label string, score_micro bigint);
-    NULL-text rows are excluded (the perceptron contract).
-    ``tokenizer`` must match the one the model was trained with."""
+    argmax.  Zero-token documents keep their prior-only score via an
+    ``explode_outer`` placeholder row (NULL term — excluded from both
+    the token count and the model join).  Returns (id_col, label
+    string, score_micro bigint); NULL-text rows are excluded (the
+    perceptron contract).  ``tokenizer`` must match the one the model
+    was trained with."""
     tok = tokenizer if tokenizer is not None else normalized_words
-    docs = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        tok(F.col(text_col)).alias("_w"),
-    )
-    n_tok = docs.select(
-        "id", F.size("_w").cast("bigint").alias("n_tokens"))
     tok_counts = (
-        docs.select("id", F.explode("_w").alias("term"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(tok(F.col(text_col))).alias("term"),
+        )
         .groupBy("id", "term")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+    n_tok = tok_counts.groupBy("id").agg(
+        F.sum(F.when(F.col("term").isNotNull(), F.col("cnt"))
+              .otherwise(F.lit(0)))
+        .cast("bigint").alias("n_tokens"))
     matched = (
-        tok_counts.join(weights, "term")
+        tok_counts.filter(F.col("term").isNotNull()).join(weights, "term")
         .groupBy("id", "cls")
         .agg(
             F.sum(F.col("cnt") * F.col("w_micro")).alias("m_sum"),

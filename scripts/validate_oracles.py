@@ -146,7 +146,17 @@ def main() -> int:
         print(f"ERROR: sf_dir {sf_dir!r} is not a directory "
               "(usage: validate_oracles.py [SF_DIR] [QUERY ...])")
         return 2
-    unknown = only - set(entrymod.queries())
+    # staged-for-next-round gates are real module callables with
+    # oracles in ORACLES_STAGED_R12 — allow validating them by name
+    # (the optimization rounds touch operator internals shared by
+    # wired AND staged gates; both must stay oracle-green)
+    from oracles import ORACLES_STAGED_R12
+    staged = {
+        n: getattr(entrymod, n)
+        for n in (only & set(ORACLES_STAGED_R12))
+        if n not in entrymod.queries() and hasattr(entrymod, n)
+    }
+    unknown = only - set(entrymod.queries()) - set(staged)
     if unknown:
         print(f"ERROR: unknown query filter(s): {sorted(unknown)}")
         return 2
@@ -155,8 +165,10 @@ def main() -> int:
         extra_conf={"spark.sql.warehouse.dir": f"/tmp/oracle_wh_{os.getpid()}"},
     )
     con = duck_connect(sf_dir)
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    qs.update(staged)
+    oracles.update({n: ORACLES_STAGED_R12[n] for n in staged})
     import gc
 
     failures = []
