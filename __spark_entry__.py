@@ -3961,6 +3961,11 @@ def knn_classify_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds build AND the vote join
     queries = emb.filter("vec_id % 3 = 0")
     cents, assigns = ivf_index_build(labeled, n_cells=16, kmeans_iters=0)
+    # sealed: the search consumes the standing assignments ≥2 ways
+    # (skew-split cell counts + the member block side) — without the
+    # seal the corpus assignment Arrow pass replays per consumer, the
+    # same rule every other IVF gate already applies (optimization r11)
+    assigns = assigns.localCheckpoint(eager=False)
     nbrs = ivf_index_search(cents, assigns, queries, k=5, n_probe=4)
     return knn_classify(labeled, queries, neighbors=nbrs)
 
