@@ -801,7 +801,10 @@ def minhash_index(
         .select(F.col(id_col).alias("id"), normalized_words(text_col).alias("words"))
         .filter(F.size("words") >= n)
         .select("id", word_ngrams(F.col("words"), n).alias("shingles"))
-        .localCheckpoint()
+        # lazy: the index seal below materializes shingles + signatures
+        # in ONE job (eager here scheduled a dedicated tokenize job per
+        # index build; optimization r11)
+        .localCheckpoint(eager=False)
     )
     ex = shingled.select("id", F.explode("shingles").alias("sh")).select(
         "id", F.pmod(F.xxhash64("sh"), F.lit(p)).alias("h")
@@ -812,7 +815,16 @@ def minhash_index(
             for i, (a, b) in enumerate(_minhash_coefs(num_perm))
         ]
     )
-    return shingled.join(sig, "id")
+    # sealed: every consumer (minhash_match reads each index TWICE —
+    # the banded candidate side AND the exact-Jaccard shingle side;
+    # delete anti-joins then matches) replayed the explode + 64-way min
+    # aggregation per reference otherwise — the before plan of the
+    # delete gate carried SIX Generate and FOURTEEN HashAggregate nodes
+    # (4 signature replays), 61.9 s isolated at sf0.1 (optimization
+    # r11; same rule minhash_lsh_pairs already applies to its sig).
+    # This IS the "persistable index" contract: one materialization,
+    # signature rows never recomputed.
+    return shingled.join(sig, "id").localCheckpoint(eager=False)
 
 
 def _banded(index: DataFrame, num_perm: int, bands: int) -> DataFrame:
