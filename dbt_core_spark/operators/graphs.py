@@ -65,7 +65,12 @@ def pagerank(
     (unnormalized — the ordering-signal convention above).  The
     curation verb: rank the whole corpus by graph proximity to a
     trusted/labeled seed set (Haveliwala 2002, public)."""
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # sealed: e feeds the out-degree aggregate AND the join side of
+    # ewd (≥2 consumers) — without the seal the caller's edge-building
+    # lineage (e.g. a Jaccard pair graph) replays once per consumer
+    # (optimization r11)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
+        .localCheckpoint(eager=False)
     if nodes is None:
         node_df = (
             e.select(F.col("_s").alias("node"))

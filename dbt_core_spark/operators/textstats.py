@@ -6,6 +6,8 @@ WholeStageCodegen and scales linearly with partitions.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1882,12 +1884,18 @@ def perceptron_train(
     parallelizes over any number of executors and two engines agree
     bit-for-bit (the driver gate replays all epochs in DuckDB).
 
-    Plan shape per epoch: one groupBy(id) dot-product pass (current
-    weights enter as a ≤ dim+1 literal array — element_at, zero
-    broadcast machinery) + one groupBy(bucket) delta aggregation whose
-    output is ≤ dim+1 rows collected to the driver (the kmeans update
-    contract: driver state is model-sized, never corpus-sized).  The
-    featurized corpus is sealed once and reused by every epoch.
+    Plan shape per epoch (optimization r11 — ZERO corpus-scale
+    shuffles; the old shape exchanged the featurized corpus twice per
+    epoch, once for the groupBy(id) dot pass and once for the
+    misclassified-id semi-join): the tokenized per-doc bucket ARRAY is
+    sealed once (one row per doc, never exploded across an exchange);
+    each epoch computes the dot product NARROWLY per doc with a
+    higher-order ``aggregate`` against the ≤ dim+1 weight literal
+    (element_at, zero broadcast machinery), filters misclassified docs
+    in the same stage, and reduces the per-bucket delta through one
+    map-side-partial ``groupBy(bucket)`` whose exchange carries
+    ≤ dim+1 rows per task, collected to the driver (the kmeans update
+    contract: driver state is model-sized, never corpus-sized).
 
     Returns the model as a (bucket int, w bigint) table — persist it
     and serve with ``perceptron_apply`` (or feed classifier_score-style
@@ -1898,37 +1906,31 @@ def perceptron_train(
         df.filter(
             F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
         .select(
-            F.col(id_col).alias("id"),
             F.col(label_col).cast("bigint").alias("y"),
-            F.explode(
-                F.concat(
-                    F.transform(
-                        normalized_words(F.col(text_col)),
-                        lambda x: _bucket_of(x, dim, seed),
-                    ),
-                    F.array(F.lit(dim).cast("bigint")),  # bias bucket
-                )
-            ).alias("bucket"),
+            F.concat(
+                F.transform(
+                    normalized_words(F.col(text_col)),
+                    lambda x: _bucket_of(x, dim, seed),
+                ),
+                F.array(F.lit(dim).cast("bigint")),  # bias bucket
+            ).alias("bkts"),
         )
-        .groupBy("id", "y", "bucket")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=False)  # reused by every epoch, twice
+        .localCheckpoint(eager=False)  # tokenized once, reused per epoch
     )
     w = [0] * (dim + 1)
     for _ in range(epochs):
         wcol = F.lit(w)  # <= dim+1 ints — a tiny literal, rebuilt per epoch
-        dots = (
-            feats.groupBy("id", "y")
-            .agg(F.sum(
-                F.col("cnt")
-                * F.element_at(wcol, F.col("bucket").cast("int") + 1)
-            ).alias("dot"))
+        # dot = sum over tokens of w[bucket] ≡ the old sum(cnt·w[bucket])
+        dot = F.aggregate(
+            "bkts", F.lit(0).cast("bigint"),
+            lambda acc, b: acc + F.element_at(wcol, b.cast("int") + 1),
         )
-        mis = dots.filter(F.col("y") * F.col("dot") <= 0).select("id")
         delta = (
-            feats.join(mis, "id", "left_semi")
+            feats.withColumn("_dot", dot)
+            .filter(F.col("y") * F.col("_dot") <= 0)
+            .select("y", F.explode("bkts").alias("bucket"))
             .groupBy("bucket")
-            .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
+            .agg(F.sum("y").alias("d"))  # Σ_tokens y ≡ Σ_docs y·cnt
             .collect()  # <= dim+1 rows — bounded
         )
         if not delta:
@@ -1948,38 +1950,49 @@ def perceptron_apply(
     seed: str = "clf",
 ) -> DataFrame:
     """Score a corpus with a ``perceptron_train`` model: hashed-count
-    dot product against the (bucket, w) table — the weights (≤ dim+1
-    rows) broadcast-join the exploded buckets, one groupBy(id) shuffle,
-    exactly the classifier_score production shape.  Returns
-    (id, score bigint, pred int) with pred = +1 iff score > 0 (the
-    training rule's tie side: 0 is negative)."""
-    feats = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.concat(
-                    F.transform(
-                        normalized_words(F.col(text_col)),
-                        lambda x: _bucket_of(x, dim, seed),
-                    ),
-                    F.array(F.lit(dim).cast("bigint")),
-                )
-            ).alias("bucket"),
-        )
-        .groupBy("id", "bucket")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+    dot product against the (bucket, w) table.  Optimization r11 —
+    ZERO-shuffle serving (the old shape exploded tokens across a
+    groupBy(id, bucket) exchange, broadcast-joined the weights, then
+    exchanged again for the groupBy(id) sum): the model is model-sized
+    by contract (≤ dim+1 rows), so it is collected once and enters the
+    plan as a literal array; each doc's score is a NARROW higher-order
+    ``aggregate`` over its token buckets — whole-stage codegen, no
+    exchange, no join, the kmeans broadcast-literal-assignment shape.
+    Join semantics are preserved exactly: duplicate bucket rows sum
+    (the old join multiplied the row), and a doc appears in the output
+    iff ≥ 1 of its buckets has a weights row (with a trained model —
+    all dim+1 buckets present — that is every non-NULL-text doc).
+    Returns (id, score bigint, pred int) with pred = +1 iff score > 0
+    (the training rule's tie side: 0 is negative)."""
+    wmap: dict[int, int] = {}
+    for r in weights.collect():  # model-sized by contract: <= dim+1 rows
+        b = int(r["bucket"])
+        wmap[b] = wmap.get(b, 0) + int(r["w"])  # dup rows sum, as the join did
+    warr = F.lit([wmap.get(b, 0) for b in range(dim + 1)])
+    bkts = F.concat(
+        F.transform(
+            normalized_words(F.col(text_col)),
+            lambda x: _bucket_of(x, dim, seed),
+        ),
+        F.array(F.lit(dim).cast("bigint")),
     )
-    return (
-        feats.join(F.broadcast(weights), "bucket")
-        .groupBy("id")
-        .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("score"))
-        .select(
-            F.col("id").alias(id_col),
-            "score",
-            F.when(F.col("score") > 0, F.lit(1))
-            .otherwise(F.lit(-1)).cast("int").alias("pred"),
-        )
+    score = F.aggregate(
+        "_bkts", F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.element_at(warr, b.cast("int") + 1),
+    )
+    out = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), bkts.alias("_bkts"))
+    if set(wmap) < set(range(dim + 1)):
+        # sparse model: the old inner join dropped docs having NO
+        # bucket in the weights table — preserve that contract
+        present = F.lit(sorted(wmap)).cast("array<bigint>")
+        out = out.filter(F.arrays_overlap(F.col("_bkts"), present))
+    return out.select(
+        F.col("id").alias(id_col), score.alias("score")
+    ).select(
+        id_col, "score",
+        F.when(F.col("score") > 0, F.lit(1))
+        .otherwise(F.lit(-1)).cast("int").alias("pred"),
     )
 
 
@@ -2011,38 +2024,31 @@ def perceptron_train_averaged(
         df.filter(
             F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
         .select(
-            F.col(id_col).alias("id"),
             F.col(label_col).cast("bigint").alias("y"),
-            F.explode(
-                F.concat(
-                    F.transform(
-                        normalized_words(F.col(text_col)),
-                        lambda x: _bucket_of(x, dim, seed),
-                    ),
-                    F.array(F.lit(dim).cast("bigint")),
-                )
-            ).alias("bucket"),
+            F.concat(
+                F.transform(
+                    normalized_words(F.col(text_col)),
+                    lambda x: _bucket_of(x, dim, seed),
+                ),
+                F.array(F.lit(dim).cast("bigint")),
+            ).alias("bkts"),
         )
-        .groupBy("id", "y", "bucket")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # tokenized once, reused per epoch
     )
     w = [0] * (dim + 1)
     acc = [0] * (dim + 1)
     for _ in range(epochs):
         wcol = F.lit(w)
-        dots = (
-            feats.groupBy("id", "y")
-            .agg(F.sum(
-                F.col("cnt")
-                * F.element_at(wcol, F.col("bucket").cast("int") + 1)
-            ).alias("dot"))
+        dot = F.aggregate(
+            "bkts", F.lit(0).cast("bigint"),
+            lambda a, b: a + F.element_at(wcol, b.cast("int") + 1),
         )
-        mis = dots.filter(F.col("y") * F.col("dot") <= 0).select("id")
         delta = (
-            feats.join(mis, "id", "left_semi")
+            feats.withColumn("_dot", dot)
+            .filter(F.col("y") * F.col("_dot") <= 0)
+            .select("y", F.explode("bkts").alias("bucket"))
             .groupBy("bucket")
-            .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
+            .agg(F.sum("y").alias("d"))
             .collect()
         )
         for r in delta:
@@ -2078,13 +2084,16 @@ def perceptron_train_ovr(
 
     Per-class result is BIT-IDENTICAL to running ``perceptron_train``
     with ``y = +1 if class==c else −1`` (pytest-pinned), but the k
-    classifiers share the work: ONE featurize pass (sealed), and per
-    epoch ONE groupBy(id) dot pass computing all k dots as k aggregate
-    columns against a k×(dim+1) nested weight literal (the
-    centroid-literal convention — one `lit`, never k·dim scalar
-    expressions) plus ONE groupBy(bucket) delta aggregation with k
-    conditional sums, collected as ≤ dim+1 rows of k columns.  Driver
-    state is k·(dim+1) bigints — model-sized, the kmeans contract.
+    classifiers share the work: ONE featurize pass (the per-doc bucket
+    array, sealed), and per epoch all k dots computed NARROWLY per doc
+    by higher-order ``aggregate`` against a k×(dim+1) nested weight
+    literal (the centroid-literal convention — one `lit`, never k·dim
+    scalar expressions; optimization r11: zero corpus-scale exchanges
+    per epoch, where the old shape paid a groupBy(id) pass plus a
+    mis-flag join) plus ONE map-side-partial groupBy(bucket) delta
+    aggregation with k conditional sums, collected as ≤ dim+1 rows of
+    k columns.  Driver state is k·(dim+1) bigints — model-sized, the
+    kmeans contract.
 
     ``classes`` pins the classifier set (and the SQL oracle); when
     None it is the sorted distinct non-NULL class values (one bounded
@@ -2106,21 +2115,16 @@ def perceptron_train_ovr(
     feats = (
         df.filter(F.col(text_col).isNotNull())
         .select(
-            F.col(id_col).alias("id"),
             F.col(class_col).cast("string").alias("cls"),
-            F.explode(
-                F.concat(
-                    F.transform(
-                        normalized_words(F.col(text_col)),
-                        lambda x: _bucket_of(x, dim, seed),
-                    ),
-                    F.array(F.lit(dim).cast("bigint")),  # bias bucket
-                )
-            ).alias("bucket"),
+            F.concat(
+                F.transform(
+                    normalized_words(F.col(text_col)),
+                    lambda x: _bucket_of(x, dim, seed),
+                ),
+                F.array(F.lit(dim).cast("bigint")),  # bias bucket
+            ).alias("bkts"),
         )
-        .groupBy("id", "cls", "bucket")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=False)  # reused by every epoch, twice
+        .localCheckpoint(eager=False)  # tokenized once, reused per epoch
     )
 
     def _y(ci: int):
@@ -2134,27 +2138,35 @@ def perceptron_train_ovr(
     W = [[0] * (dim + 1) for _ in range(k)]
     for _ in range(epochs):
         wlit = F.lit(W)  # ONE k×(dim+1) nested literal
-        dots = feats.groupBy("id", "cls").agg(*[
-            F.sum(
-                F.col("cnt")
-                * F.element_at(
-                    F.element_at(wlit, ci + 1),
-                    F.col("bucket").cast("int") + 1,
-                )
-            ).alias(f"dot{ci}")
-            for ci in range(k)
-        ])
-        mis = dots.select(
-            "id",
-            *[(_y(ci) * F.col(f"dot{ci}") <= 0).alias(f"mis{ci}")
+        # all k dots per doc, NARROW (optimization r11 — the old shape
+        # exchanged the featurized corpus twice per epoch: the
+        # groupBy(id) dot pass + the mis-flag join); delta reduces
+        # through one map-side-partial groupBy(bucket) whose exchange
+        # carries <= dim+1 rows per task
+        def _dot(ci: int) -> Column:
+            wrow = F.element_at(wlit, ci + 1)
+            return F.aggregate(
+                "bkts", F.lit(0).cast("bigint"),
+                lambda a, b: a + F.element_at(wrow, b.cast("int") + 1),
+            )
+
+        flagged = feats.select(
+            "cls", "bkts",
+            *[(_y(ci) * _dot(ci) <= 0).alias(f"mis{ci}")
               for ci in range(k)],
         )
         delta = (
-            feats.join(mis, "id")
+            flagged.filter(
+                functools.reduce(
+                    lambda x, y: x | y,
+                    [F.col(f"mis{ci}") for ci in range(k)]))
+            .select("cls",
+                    *[f"mis{ci}" for ci in range(k)],
+                    F.explode("bkts").alias("bucket"))
             .groupBy("bucket")
             .agg(*[
                 F.sum(
-                    F.when(F.col(f"mis{ci}"), _y(ci) * F.col("cnt"))
+                    F.when(F.col(f"mis{ci}"), _y(ci))
                 ).alias(f"d{ci}")
                 for ci in range(k)
             ])
@@ -2188,43 +2200,80 @@ def perceptron_apply_ovr(
     dim: int = 64,
     seed: str = "clf",
 ) -> DataFrame:
-    """Serve a ``perceptron_train_ovr`` model: hashed-count features
-    broadcast-join the k·(dim+1) weight rows, per-(id, cls) integer
-    scores in one groupBy, winner by max score with ties broken by
-    class name ascending (a min-struct over (−score, cls) — exact and
-    SQL-replayable).  Returns (id, label string, score bigint)."""
-    feats = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.concat(
-                    F.transform(
-                        normalized_words(F.col(text_col)),
-                        lambda x: _bucket_of(x, dim, seed),
-                    ),
-                    F.array(F.lit(dim).cast("bigint")),
-                )
-            ).alias("bucket"),
+    """Serve a ``perceptron_train_ovr`` model: per-class hashed-count
+    dot products, winner by max score with ties broken by class name
+    ascending (a min-struct over (−score, cls) — exact and
+    SQL-replayable).  Optimization r11 — ZERO-shuffle serving (the
+    old shape exploded tokens across a groupBy(id, bucket) exchange,
+    broadcast-joined the k·(dim+1) weight rows, then exchanged twice
+    more for the per-(id, cls) scores and the winner): the model is
+    model-sized by contract, so it is collected once and each class's
+    score is a NARROW higher-order ``aggregate`` over the doc's token
+    buckets against a k×(dim+1) nested literal; the winner is an
+    ``array_min`` over the k per-class structs in the same projection.
+    Join semantics are preserved exactly: duplicate (cls, bucket) rows
+    sum, and a (doc, class) pair competes iff ≥ 1 of the doc's buckets
+    has a weights row for that class (with a trained model that is
+    every pair).  Returns (id, label string, score bigint)."""
+    per_cls: dict[str, dict[int, int]] = {}
+    for r in weights.collect():  # model-sized by contract: k·(dim+1) rows
+        cw = per_cls.setdefault(str(r["cls"]), {})
+        b = int(r["bucket"])
+        cw[b] = cw.get(b, 0) + int(r["w"])  # dup rows sum, as the join did
+    classes = sorted(per_cls)
+    if not classes:
+        idtype = dict(df.dtypes).get(id_col, "string")
+        return df.sparkSession.createDataFrame(
+            [], f"`{id_col}` {idtype}, label string, score bigint")
+    full = set(range(dim + 1))
+    wlit = F.lit([[per_cls[c].get(b, 0) for b in range(dim + 1)]
+                  for c in classes])
+    bkts = F.concat(
+        F.transform(
+            normalized_words(F.col(text_col)),
+            lambda x: _bucket_of(x, dim, seed),
+        ),
+        F.array(F.lit(dim).cast("bigint")),
+    )
+
+    def _score(ci: int) -> Column:
+        wrow = F.element_at(wlit, ci + 1)
+        return F.aggregate(
+            "_bkts", F.lit(0).cast("bigint"),
+            lambda a, b: a + F.element_at(wrow, b.cast("int") + 1),
         )
-        .groupBy("id", "bucket")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+
+    def _competes(ci: int) -> Column:
+        # class ci competes for a doc iff >= 1 doc bucket has a weights
+        # row for it (the old inner-join presence semantics)
+        if set(per_cls[classes[ci]]) >= full:
+            return F.lit(True)
+        present = F.lit(sorted(per_cls[classes[ci]])).cast("array<bigint>")
+        return F.arrays_overlap(F.col("_bkts"), present)
+
+    cand = F.filter(
+        F.array(*[
+            F.struct(
+                _competes(ci).alias("ok"),
+                (-_score(ci)).alias("ns"),
+                F.lit(classes[ci]).alias("cls"),
+                _score(ci).alias("score"),
+            ) for ci in range(len(classes))
+        ]),
+        lambda x: x["ok"],
     )
-    scores = (
-        feats.join(F.broadcast(weights), "bucket")
-        .groupBy("id", "cls")
-        .agg(F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("score"))
-    )
+    best = F.array_min(F.transform(
+        cand, lambda x: F.struct(x["ns"].alias("ns"), x["cls"].alias("cls"),
+                                 x["score"].alias("score"))))
     return (
-        scores.groupBy("id")
-        .agg(
-            F.min(F.struct((-F.col("score")).alias("ns"), "cls", "score"))
-            .alias("k")
-        )
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), bkts.alias("_bkts"))
+        .select("id", best.alias("_k"))
+        .filter(F.col("_k").isNotNull())  # no class competes -> no row
         .select(
             F.col("id").alias(id_col),
-            F.col("k.cls").alias("label"),
-            F.col("k.score").alias("score"),
+            F.col("_k.cls").alias("label"),
+            F.col("_k.score").alias("score"),
         )
     )
 
