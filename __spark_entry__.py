@@ -3427,6 +3427,7 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     from dbt_core_spark.operators.similarity import (
         ivf_index_build,
         ivf_index_search,
+        ivf_member_counts,
     )
     from dbt_core_spark.streaming.structured import (
         stream_serve_foreach_batch,
@@ -3440,6 +3441,10 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     # assignments — without the seal each batch would replay the
     # whole build assignment pass (the ≥2-branch lineage rule)
     assigns = assigns.localCheckpoint(eager=False)
+    # per-cell populations once per snapshot, not once per batch
+    # (optimization r11): the skew blocking inside the search otherwise
+    # re-scans the standing assignment table every micro-batch
+    mcounts = ivf_member_counts(assigns)
     stream = stream_source(
         spark, path, spark.read.parquet(path).schema, fmt="parquet",
         options={"maxFilesPerTrigger": "2"},
@@ -3449,7 +3454,8 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     stream_serve_foreach_batch(
         stream.filter("vec_id % 20 = 0"),
         lambda batch: ivf_index_search(cents, assigns, batch,
-                                       k=3, n_probe=4),
+                                       k=3, n_probe=4,
+                                       member_counts=mcounts),
         out, ckpt,
     )
     if not os.path.isdir(out):  # no query rows arrived at all
@@ -4177,6 +4183,7 @@ def streaming_knn_serve_embeddings(
     from dbt_core_spark.operators.similarity import (
         ivf_index_build,
         ivf_index_search,
+        ivf_member_counts,
         knn_classify,
     )
     from dbt_core_spark.streaming.structured import (
@@ -4193,6 +4200,9 @@ def streaming_knn_serve_embeddings(
     # ≥2-branch lineage rule — without the seal each batch replays
     # the corpus assignment pass)
     assigns = assigns.localCheckpoint(eager=False)
+    # per-cell populations once per snapshot, not once per batch
+    # (optimization r11; see streaming_ann_serve_embeddings)
+    mcounts = ivf_member_counts(assigns)
     stream = stream_source(
         spark, path, spark.read.parquet(path).schema, fmt="parquet",
         options={"maxFilesPerTrigger": "2"},
@@ -4204,7 +4214,8 @@ def streaming_knn_serve_embeddings(
         lambda batch: knn_classify(
             labeled, batch,
             neighbors=ivf_index_search(cents, assigns, batch,
-                                       k=5, n_probe=4)),
+                                       k=5, n_probe=4,
+                                       member_counts=mcounts)),
         out, ckpt,
     )
     if not os.path.isdir(out):  # no request rows arrived at all

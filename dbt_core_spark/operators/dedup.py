@@ -307,8 +307,12 @@ def minhash_lsh_pairs(
         # seal the shingle table: three consumers below (signatures +
         # both sides of candidate verification) would each re-tokenize
         # and re-n-gram the corpus otherwise.  At warehouse scale this
-        # materialization is the LSH "index build" stage.
-        .localCheckpoint()
+        # materialization is the LSH "index build" stage.  Lazy: the
+        # signature aggregate (the first action to touch it)
+        # materializes and persists the partitions in the same job —
+        # one job instead of an eager checkpoint job + the aggregate
+        # (the connected_components discipline; optimization r11).
+        .localCheckpoint(eager=False)
     )
     # Aggregate-form signature: explode shingles, take num_perm mins per
     # doc, computed in parallel across the exploded rows with map-side
@@ -730,7 +734,10 @@ def decontaminate_bloom(
             ).alias("shingle")
         )
         .distinct()
-        .localCheckpoint()
+        # lazy seal: the count() right below materializes and persists
+        # the shingle set in the SAME job — an eager checkpoint paid a
+        # separate full job first (optimization r11)
+        .localCheckpoint(eager=False)
     )
     n_keys = probe_set.count()
     out_schema = (

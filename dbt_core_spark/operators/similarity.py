@@ -470,6 +470,7 @@ def _skew_split_2d(
     probes: DataFrame,
     max_cell_rows: int,
     counts: DataFrame | None = None,
+    member_counts: DataFrame | None = None,
 ) -> DataFrame:
     """2-D block a per-cell member × probe pairing so every pandas
     frame's EXPECTED population is ≤ ``max_cell_rows`` rows per side,
@@ -502,11 +503,18 @@ def _skew_split_2d(
     ``counts`` may supply a precomputed (cell, _mc, _pc) frame so the
     caller can derive both sides' counts in ONE pass over its sealed
     input (both kernels do) instead of two aggregate scans here.
+    ``member_counts`` may supply just the (cell, _mc) side — the
+    standing-index serving case: the member population is fixed across
+    query batches, so a serve-many caller aggregates it ONCE instead
+    of re-scanning the assignment table per batch (optimization r11;
+    guide §1.2 — at 100 TB that per-batch scan is a full pass over
+    the index's cell metadata).
 
     Returns the union frame (id, v, cell, msub, psub, is_member) to be
     grouped by ``("cell", "msub", "psub")``."""
     if counts is None:
-        mc = members.groupBy("cell").agg(F.count("*").alias("_mc"))
+        mc = (member_counts if member_counts is not None
+              else members.groupBy("cell").agg(F.count("*").alias("_mc")))
         pc = probes.groupBy("cell").agg(F.count("*").alias("_pc"))
         counts = mc.join(pc, "cell", "full_outer")
     blocks = counts.select(
@@ -824,9 +832,16 @@ def ivf_index_search(
     k: int = 5,
     n_probe: int = 4,
     max_cell_rows: int = 100_000,
+    member_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Search a prebuilt IVF index (``ivf_index_build`` output, usually
     reloaded from tables) with a query batch — NO corpus pass.
+
+    ``member_counts`` — optional precomputed (cell, _mc) populations of
+    the assignment table (``ivf_member_counts``).  A serve-many caller
+    (the streaming gates) computes it once per index snapshot so each
+    query batch skips the per-batch assignment-table count scan that
+    the skew blocking otherwise needs (optimization r11).
 
     The centroid matrix is collected to the driver (n_cells rows —
     bounded, the MLlib-KMeans precedent) and broadcast; queries get
@@ -883,7 +898,8 @@ def ivf_index_search(
         qbase.mapInPandas(assign_q, schema="id long, v array<double>, cell int")
     )
     grouped = _skew_split_2d(
-        assignments.select("id", "v", "cell"), probes, max_cell_rows
+        assignments.select("id", "v", "cell"), probes, max_cell_rows,
+        member_counts=member_counts,
     )
     scored = grouped.groupBy("cell", "msub", "psub").applyInPandas(
         _topk_score_kernel(k, int(_MATMUL_BUDGET)),
@@ -898,6 +914,20 @@ def ivf_index_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def ivf_member_counts(assignments: DataFrame) -> DataFrame:
+    """Per-cell population of an IVF assignment table, materialized
+    tiny (n_cells rows by contract — the centroid-table size class).
+
+    Serve-many callers compute this ONCE per index snapshot and pass
+    it to every ``ivf_index_search(member_counts=...)`` call: the skew
+    blocking needs the member-side counts, and deriving them inside
+    the search costs one full scan of the assignment table PER QUERY
+    BATCH — per-batch cost at 100 TB should be the probed cells only
+    (optimization r11; guide §1.2)."""
+    return _materialize_tiny(
+        assignments.groupBy("cell").agg(F.count("*").alias("_mc")))
 
 
 def semantic_dedup_incremental(
@@ -1953,6 +1983,10 @@ def pq_codebook(
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
             F.col(vec_col).alias("_v"),
         )
+        # left LAZY deliberately (optimization r11): see the matching
+        # note on ivfpq_index_build's cents — broadcast-exchange reuse
+        # already deduplicates the seed TakeOrdered within an action,
+        # and an eager materialize measured as pure added jobs
         return seeds.select(
             "code",
             F.posexplode(
@@ -2354,6 +2388,12 @@ def ivfpq_index_build(
     # NULL vectors excluded at entry (the kmeans precedent): a NULL
     # centroid/seed poisons every downstream code
     df = df.filter(F.col(vec_col).isNotNull() & _finite_components(F.col(vec_col)))
+    # left LAZY deliberately (optimization r11): an eager
+    # _materialize_tiny here measured +2 jobs / +248 tasks on the
+    # append gate — within one action Spark's broadcast-exchange reuse
+    # already deduplicates the identical TakeOrdered subtrees, so the
+    # eager collect only ADDED a scheduled job per build (guide §1.1:
+    # the "ideal" plan lost to the empirical loop)
     cents = df.orderBy(id_col).limit(n_cells).select(
         (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
         F.col(vec_col).alias("cvec"),

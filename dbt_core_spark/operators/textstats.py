@@ -2443,8 +2443,6 @@ def naive_bayes_finalize(
     # numeric expressions are unchanged, literal → 1-row column).
     v_frame = counts.agg(
         F.count_distinct("term").cast("bigint").alias("_v"))
-    d_frame = doc_counts.agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("_dt"))
     d_stats = doc_counts
     t_c = counts.groupBy("cls").agg(F.sum("n").alias("t_c"))
     denom = (F.col("t_c") + F.lit(s) * F.col("_v")).cast("double")
@@ -2463,11 +2461,19 @@ def naive_bayes_finalize(
     # and weights both read it, so the scalar aggregates and the
     # per-class totals are computed once, not once per consumer (the
     # first in-plan cut cross-joined v_frame into both branches and
-    # duplicated the count_distinct subtree — +6 AQE stages measured)
+    # duplicated the count_distinct subtree — +6 AQE stages measured).
+    # _dt (the doc total) is a window-sum over this k-row frame, NOT a
+    # second aggregate over doc_counts: that aggregate re-ran the
+    # corpus label scan as its own broadcast subtree (one extra corpus
+    # pass per training call; optimization r11, guide §1.2).  The
+    # left join keeps exactly one row per class and v_frame is one
+    # row, so sum(n_docs) over the frame ≡ sum over doc_counts.
     cls_frame = (
         d_stats.join(t_c, "cls", "left")
         .crossJoin(F.broadcast(v_frame))
-        .crossJoin(F.broadcast(d_frame))
+        .withColumn(
+            "_dt",
+            F.sum("n_docs").over(Window.partitionBy()).cast("bigint"))
         .localCheckpoint(eager=False)
     )
     class_stats = cls_frame.select(
@@ -2999,14 +3005,29 @@ def bm25_index_delete(
         ids.select(F.col(ids.columns[0] if id_col not in ids.columns
                          else id_col).alias("id")).distinct(),
         "id", "left_anti"
-    ).localCheckpoint(eager=False)  # read by scalars, chk, idf, output
-    docs = surv.select("id", "dl").distinct()
-    stats = docs.agg(
+    ).localCheckpoint(eager=False)  # read by scalars, idf, output
+    bucketed = "n_buckets" in surv.columns
+    # ONE driver barrier for all four scalars (n_docs, total, chk,
+    # n_buckets) — the bm25_index build shape: per-id re-fold (dl and
+    # n_buckets are constant per id; the xor checksum re-folds exactly
+    # because xor is associative/commutative), then one k-row aggregate.
+    # The previous shape paid THREE blocking driver actions (distinct
+    # docs agg + n_buckets first() + checksum agg), i.e. three separate
+    # passes over the surviving postings before the output plan existed
+    # (optimization r11; guide §5 — the driver should do almost no
+    # data work, and §1.2 — count the passes).
+    per_id = surv.groupBy("id").agg(
+        F.first("dl").alias("dl"),
+        F.expr(_BM25_CHK_EXPR).alias("chk_id"),
+        *([F.first("n_buckets").alias("nb")] if bucketed else []),
+    )
+    stats = per_id.agg(
         F.count("*").cast("bigint").alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total"),
+        F.expr("bit_xor(chk_id)").alias("chk"),
+        *([F.first("nb").alias("nb")] if bucketed else []),
     ).collect()[0]
     n_docs, total = int(stats["n"]), int(stats["total"])
-    bucketed = "n_buckets" in surv.columns
     if n_docs == 0:
         return index.sparkSession.createDataFrame(
             [], _BM25_INDEX_SCHEMA_BUCKETED if bucketed
@@ -3014,10 +3035,8 @@ def bm25_index_delete(
     # surviving-postings checksum: identical xor fold to bm25_index, so
     # the recomputed snap_id equals the rebuild's stamp and
     # delete ≡ rebuild stays bit-identical including snap_id
-    nb = (int(surv.select("n_buckets").first()["n_buckets"])
-          if bucketed else None)
-    chk = surv.agg(F.expr(_BM25_CHK_EXPR).alias("chk")).first()["chk"]
-    snap = _bm25_snap_id(int(chk), n_docs, total, nb)
+    nb = int(stats["nb"]) if bucketed else None
+    snap = _bm25_snap_id(int(stats["chk"]), n_docs, total, nb)
     # identical idf expression shape to bm25_index — the rebuild
     # bit-identity depends on it
     idf = (

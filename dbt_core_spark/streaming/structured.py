@@ -268,7 +268,9 @@ def streaming_decontaminate(
             ).alias("shingle")
         )
         .distinct()
-        .localCheckpoint()
+        # lazy seal: the count() right below materializes and persists
+        # the shingle set in the SAME job (optimization r11)
+        .localCheckpoint(eager=False)
     )
     n_keys = probe_set.count()
     shingled = stream.select(

@@ -126,6 +126,39 @@ def test_ivf_index_build_search_matches_oneshot(spark):
     assert via_index == oneshot and len(via_index) == 16 * 3
 
 
+def test_ivf_index_search_precomputed_member_counts(spark):
+    """``member_counts=`` (the serve-many fast path: per-cell
+    populations aggregated once per index snapshot instead of once per
+    query batch — optimization r11) must be result-invariant: the
+    counts only parameterize the skew blocking, never the scores."""
+    import math
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        ivf_member_counts,
+    )
+
+    rows = [(i, [math.sin(i * 0.37 + d) for d in range(6)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigns = ivf_index_build(df, n_cells=8, kmeans_iters=0)
+    assigns = assigns.localCheckpoint(eager=False)
+    batch = df.filter("vec_id % 5 = 0")
+    mcounts = ivf_member_counts(assigns)
+    with_counts = sorted(map(tuple, ivf_index_search(
+        cents, assigns, batch, k=3, n_probe=3,
+        member_counts=mcounts).collect()))
+    without = sorted(map(tuple, ivf_index_search(
+        cents, assigns, batch, k=3, n_probe=3).collect()))
+    assert with_counts == without and len(with_counts) == 16 * 3
+    # ... including under a tiny cap that actually exercises the 2-D
+    # blocking with multiplied member/probe sub-blocks
+    capped_with = sorted(map(tuple, ivf_index_search(
+        cents, assigns, batch, k=3, n_probe=3, max_cell_rows=4,
+        member_counts=mcounts).collect()))
+    assert capped_with == without
+
+
 def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     """The index survives a parquet roundtrip (the actual production
     lifecycle: build -> save -> reload in a later job -> search)."""
