@@ -3332,7 +3332,11 @@ def streaming_bm25_serve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     perceptron_ovr_language_docs)."""
     import tempfile
 
-    from dbt_core_spark.operators.textstats import bm25_index, bm25_query
+    from dbt_core_spark.operators.textstats import (
+        _bm25_constants,
+        bm25_index,
+        bm25_query,
+    )
     from dbt_core_spark.streaming.structured import (
         stream_serve_foreach_batch,
         stream_source,
@@ -3343,6 +3347,10 @@ def streaming_bm25_serve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sealed: bm25_query consumes the ephemeral index per batch
     # (constants agg + postings join) — the ≥2-branch lineage rule
     index = bm25_index(docs).localCheckpoint(eager=False)
+    # validate the snapshot's constants ONCE, serve many: each batch
+    # otherwise re-scans the full index for the invariant check
+    # (optimization r11; the ivf_member_counts precedent)
+    consts = _bm25_constants(index)
     stream = stream_source(
         spark, path, spark.read.parquet(path).schema, fmt="parquet",
         options={"maxFilesPerTrigger": "2"},
@@ -3351,7 +3359,7 @@ def streaming_bm25_serve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, ckpt = f"{work}/out", f"{work}/ckpt"
     stream_serve_foreach_batch(
         stream.filter("doc_id % 13 = 0"),
-        lambda batch: bm25_query(index, batch, top_k=5),
+        lambda batch: bm25_query(index, batch, top_k=5, consts=consts),
         out, ckpt,
     )
     if not os.path.isdir(out):  # no query rows arrived at all

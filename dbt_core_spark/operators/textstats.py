@@ -1417,6 +1417,7 @@ def bm25_query(
     query_text_col: str = "text",
     query_id_col: str = "doc_id",
     top_k: int = 10,
+    consts: tuple[int, int, int | None] | None = None,
 ) -> DataFrame:
     """BM25 retrieval against a PERSISTED ``bm25_index`` table: the
     per-batch cost is tokenizing the batch plus one inverted-index join
@@ -1429,12 +1430,46 @@ def bm25_query(
     or a filtered index would otherwise silently score against one
     snapshot's constants (r6 ADVICE) — ``_bm25_constants``'s min/max
     invariant check (one cheap scan of two RLE-constant parquet
-    columns) fails loudly instead."""
+    columns) fails loudly instead.
+
+    ``consts`` — the validated ``_bm25_constants(index)`` tuple, for
+    SERVE-MANY callers (the streaming gates): run the invariant check
+    once per index snapshot and pass the tuple; each per-batch call
+    then skips the full-index constants scan — per-batch cost at
+    100 TB should be the query terms' postings only, not an index
+    metadata pass per micro-batch (optimization r11; the
+    ivf_member_counts precedent).  None (the default) keeps the
+    per-call validation — the right choice for one-shot callers and
+    any index not validated this session."""
     out_schema = (
         "query_id bigint, doc_id bigint, score_micro bigint, rank int"
     )
     qterms = _bm25_qterms(queries, query_text_col, query_id_col)
-    if "n_buckets" in index.columns:
+    if consts is not None:
+        n_docs, total, n_buckets = consts
+        if "n_buckets" in index.columns:
+            if n_buckets is None:
+                from dbt_core_spark.exceptions import ExecutionError
+
+                raise ExecutionError(
+                    "bm25_query: consts carries n_buckets=None but the "
+                    "index schema is bucketed — pass the tuple exactly "
+                    "as _bm25_constants returned it"
+                )
+            # bucket pruning exactly as the validated path below —
+            # only the per-batch probe/validation scans are skipped
+            qterms = qterms.localCheckpoint(eager=False)
+            hit = (
+                qterms.select(
+                    _bm25_bucket(F.col("term"), n_buckets).alias("bucket"))
+                .distinct().collect()
+            )
+            index = index.filter(
+                F.col("bucket").isin(
+                    sorted({0, *(r["bucket"] for r in hit)}))
+                if hit else F.lit(False)
+            )
+    elif "n_buckets" in index.columns:
         # serving-cost contract (r7 ADVICE): do NOT run the full
         # constants min/max scan over every partition BEFORE the bucket
         # filter — that touches all N bucket directories per query batch

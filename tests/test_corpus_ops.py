@@ -1103,6 +1103,36 @@ def test_bm25_query_rejects_mixed_snapshot_index(spark):
         bm25_query(mixed, queries, top_k=3)
 
 
+def test_bm25_query_precomputed_consts_result_invariant(spark):
+    """``consts=`` (the serve-many fast path: validate the snapshot's
+    constants once, skip the per-batch full-index scan — optimization
+    r11) must be result-invariant for bucketed AND unbucketed indexes,
+    including the bucket pruning it re-derives from the supplied
+    n_buckets."""
+    from dbt_core_spark.operators.textstats import (
+        _bm25_constants,
+        bm25_index,
+        bm25_query,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "spark engine tuning"), (2, "pasta sauce recipe"),
+         (3, "engine oil change"), (4, "tomato sauce engine")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "engine sauce"), (101, "pasta")],
+        "doc_id long, text string")
+    for nb in (None, 8):
+        index = bm25_index(corpus, n_buckets=nb).localCheckpoint(
+            eager=False)
+        consts = _bm25_constants(index)
+        fast = sorted(map(tuple, bm25_query(
+            index, queries, top_k=3, consts=consts).collect()))
+        checked = sorted(map(tuple, bm25_query(
+            index, queries, top_k=3).collect()))
+        assert fast == checked and len(fast) > 0
+
+
 def test_bm25_query_mixed_n_buckets_union_always_raises(spark, tmp_path):
     """The r9 structural fix (verdict item 2): a RAW union of two
     bucketed snapshots with DIFFERENT n_buckets must fail loudly in
