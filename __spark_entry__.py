@@ -3433,6 +3433,7 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     import tempfile
 
     from dbt_core_spark.operators.similarity import (
+        ivf_centroid_matrix,
         ivf_index_build,
         ivf_index_search,
         ivf_member_counts,
@@ -3449,10 +3450,14 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     # assignments — without the seal each batch would replay the
     # whole build assignment pass (the ≥2-branch lineage rule)
     assigns = assigns.localCheckpoint(eager=False)
-    # per-cell populations once per snapshot, not once per batch
-    # (optimization r11): the skew blocking inside the search otherwise
-    # re-scans the standing assignment table every micro-batch
+    # snapshot-constant state once per snapshot, not once per batch:
+    # per-cell populations (optimization r11) AND the driver-side
+    # centroid matrix (optimization r12 — the in-search collect was one
+    # scheduled job per micro-batch); bounded_batch then drops the
+    # per-batch probe-count aggregate + probe split (trigger-bounded
+    # micro-batches are the declaration's exact use case)
     mcounts = ivf_member_counts(assigns)
+    cmat = ivf_centroid_matrix(cents)
     stream = stream_source(
         spark, path, spark.read.parquet(path).schema, fmt="parquet",
         options={"maxFilesPerTrigger": "2"},
@@ -3463,7 +3468,9 @@ def streaming_ann_serve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         stream.filter("vec_id % 20 = 0"),
         lambda batch: ivf_index_search(cents, assigns, batch,
                                        k=3, n_probe=4,
-                                       member_counts=mcounts),
+                                       member_counts=mcounts,
+                                       centroid_matrix=cmat,
+                                       bounded_batch=True),
         out, ckpt,
     )
     if not os.path.isdir(out):  # no query rows arrived at all
@@ -4189,6 +4196,7 @@ def streaming_knn_serve_embeddings(
     import tempfile
 
     from dbt_core_spark.operators.similarity import (
+        ivf_centroid_matrix,
         ivf_index_build,
         ivf_index_search,
         ivf_member_counts,
@@ -4208,9 +4216,20 @@ def streaming_knn_serve_embeddings(
     # ≥2-branch lineage rule — without the seal each batch replays
     # the corpus assignment pass)
     assigns = assigns.localCheckpoint(eager=False)
-    # per-cell populations once per snapshot, not once per batch
-    # (optimization r11; see streaming_ann_serve_embeddings)
+    # snapshot-constant state hoisted out of the per-batch plan:
+    # per-cell populations (r11) + the centroid matrix, and the
+    # bounded-batch probe fast path (optimization r12; see
+    # streaming_ann_serve_embeddings)
     mcounts = ivf_member_counts(assigns)
+    cmat = ivf_centroid_matrix(cents)
+    # the per-batch vote join needs only (vec_id, label) — a sealed
+    # 2-column projection, so each micro-batch scans narrow label
+    # blocks instead of the full-row (embedding-carrying) corpus seal
+    # (optimization r12; guide §2.3 — project before the per-batch
+    # join).  knn_classify only touches the vector column when it has
+    # to run its own search; neighbors are injected here.
+    labels = labeled.select("vec_id", "label").localCheckpoint(
+        eager=False)
     stream = stream_source(
         spark, path, spark.read.parquet(path).schema, fmt="parquet",
         options={"maxFilesPerTrigger": "2"},
@@ -4220,10 +4239,12 @@ def streaming_knn_serve_embeddings(
     stream_serve_foreach_batch(
         stream.filter("vec_id % 3 = 0"),
         lambda batch: knn_classify(
-            labeled, batch,
+            labels, batch,
             neighbors=ivf_index_search(cents, assigns, batch,
                                        k=5, n_probe=4,
-                                       member_counts=mcounts)),
+                                       member_counts=mcounts,
+                                       centroid_matrix=cmat,
+                                       bounded_batch=True)),
         out, ckpt,
     )
     if not os.path.isdir(out):  # no request rows arrived at all
@@ -4283,90 +4304,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-row gate the steady-state rotation period is ~3 rounds, so the
     # window must always be exactly the staleness cohort (no in-window
     # row may be fresher than any out-of-window ever-verified row).
-    # ROUND-11 WINDOW (the r10 verdict, item 1 — executed per the plan
-    # recorded there and in the r10 registry comment): the 6
-    # never-driver-verified r10-staged gates lead (their SQL moved from
-    # ORACLES_STAGED_R11 into ORACLES — each pre-verified at multiple
-    # scales, arrow-type-linted, fuzz-covered, AND independently
-    # re-verified 6/6 by the r10 judge before this move), then the
-    # 29-row r7-green remainder (kmv_jaccard_sources ..
-    # generate_series_powers — the staleness cohort, 4 rounds stale
-    # entering r11, mandatory in-window), then 15 r8-green rows
-    # oldest-first to fill 50.
-    # ROUND-12 WINDOW PLAN: the gates staged during round 11 lead
-    # (ORACLES_STAGED_R12: langid_nb_docs, langid_eval_docs,
-    # minhash_index_delete_docs, threshold_select_language_docs,
-    # ivfpq_index_lifecycle_embeddings, ivfpq_index_append_embeddings,
-    # knn_classify_embeddings, knn_eval_embeddings,
-    # knn_classify_ivf_embeddings, stump_train_docs,
-    # stump_classify_docs, group_split_docs, classifier_summary_docs,
-    # strip_html_docs, pagerank_docs, ppr_docs, group_kfold_docs,
-    # streaming_knn_serve_embeddings, corpus_profile_docs,
-    # centroid_classify_embeddings — 20 gates, each pre-verified at
-    # 3 scales + TZ/fuzz this round), then 30 rows of the 34-row r8
-    # remainder oldest-first (ann_ivf_index_append_embeddings ..) to
-    # fill 50; the last 4 r8 rows, the r9 cohort, and the r10/r11
-    # cohorts follow in rounds 13-14.
+    # ROUND-12 WINDOW (executed this round, r11 verdict item 4): all 20
+    # round-11-staged gates are WIRED (ORACLES_STAGED_R12 moved into
+    # ORACLES — each pre-verified at 3 scales + TZ/fuzz); the window
+    # leads with the optimizer-touched families the driver never
+    # re-oracled post-r11-change — the 11 never-driver-verified staged
+    # gates among them plus the 5 touched r9-green rows — then the
+    # ENTIRE 34-row r8-green remainder (the staleness cohort, 4 rounds
+    # stale entering r12, mandatory in-window).  The original "20
+    # staged + 30 r8" plan recorded here in r11 would have left 4
+    # rows ≥4 rounds driver-stale outside the window (the hard
+    # staleness bound); the executed composition keeps both rotation
+    # invariants exactly while still leading with 16 of the verdict's
+    # 22 touched rows.  The 5 touched r10-green rows rotate in with
+    # the r10 cohort (r14); the r9 cohort leads r13.
     return {
-        # ---- never driver-verified: the 6 r10-staged gates lead
-        # ---- (ORACLES_STAGED_R11 wired this round — pre-verified at
-        # ---- multiple scales + independently 6/6 by the r10 judge) ----
-        "multimodal_video_align_docs": multimodal_video_align_docs,
-        "pr_curve_language_docs": pr_curve_language_docs,
-        "ann_ivf_lifecycle_embeddings": ann_ivf_lifecycle_embeddings,
-        "auc_language_docs": auc_language_docs,
-        "calibration_language_docs": calibration_language_docs,
-        "bpe_train_docs": bpe_train_docs,
-        # ---- last green r7: the 29-row remainder — the staleness
-        # ---- cohort (4 rounds stale entering r11, MANDATORY in-window
-        # ---- per the rotation invariant) ----
-        "kmv_jaccard_sources": kmv_jaccard_sources,
-        "count_anomalies_events": count_anomalies_events,
-        "pipeline_quality_docs": pipeline_quality_docs,
-        "ivfpq_search_embeddings": ivfpq_search_embeddings,
-        "multimodal_resize_ppm": multimodal_resize_ppm,
-        "wav_spectrogram_docs": wav_spectrogram_docs,
-        "curriculum_order_docs": curriculum_order_docs,
-        "pmi_collocations_docs": pmi_collocations_docs,
-        "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
-        "asof_tolerance_events": asof_tolerance_events,
-        "cohort_retention_events": cohort_retention_events,
-        "detect_script_docs": detect_script_docs,
-        "cms_merge_halves": cms_merge_halves,
-        "journey_paths_events": journey_paths_events,
-        "percentiles_by_group": percentiles_by_group,
-        "q22_global_avg_filter": q22_global_avg_filter,
-        "hourly_event_rollup": hourly_event_rollup,
-        "map_struct_status_counts": map_struct_status_counts,
-        "running_revenue_by_customer": running_revenue_by_customer,
-        "rolling_7day_order_totals": rolling_7day_order_totals,
-        "multi_granularity_rollup": multi_granularity_rollup,
-        "stats_by_returnflag": stats_by_returnflag,
-        "dynamic_pivot_events": dynamic_pivot_events,
-        "q19_or_predicates": q19_or_predicates,
-        "customers_without_orders": customers_without_orders,
-        "rollup_quantity": rollup_quantity,
-        "unpivot_status_counts": unpivot_status_counts,
-        "set_ops_statuses": set_ops_statuses,
-        "generate_series_powers": generate_series_powers,
-        # ---- last green r8: 15 of 49, oldest-first fill to 50 ----
-        "hybrid_retrieval_docs": hybrid_retrieval_docs,
-        "bm25_index_append_docs": bm25_index_append_docs,
-        "streaming_decontaminate_docs": streaming_decontaminate_docs,
-        "perceptron_language_docs": perceptron_language_docs,
-        "engine_compaction": engine_compaction,
-        "q4_order_priority": q4_order_priority,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "kmeans_embeddings": kmeans_embeddings,
-        "cluster_curation_embeddings": cluster_curation_embeddings,
-        "kmeans_incremental_embeddings": kmeans_incremental_embeddings,
-        "dup_span_cut_docs": dup_span_cut_docs,
-        "containment_pairs_docs": containment_pairs_docs,
-        "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
-        # ---------------- past the 50-query gate cap ----------------
-        # ---- last green r8 remainder (34 rows — r12 window leads) ----
+        # ---- ROUND-12 WINDOW (r11 verdict item 4): leads with the
+        # ---- optimizer-touched families the driver never re-oracled
+        # ---- post-change — 11 never-driver-verified staged gates +
+        # ---- 5 touched r9-green rows.  The 5 touched r10-green rows
+        # ---- (naive_bayes_language/incremental, bm25_index_delete,
+        # ---- bm25_rank, streaming_ann_serve) CANNOT enter without
+        # ---- violating the oldest-first invariant while r9 rows wait
+        # ---- (test_gate_window_max_staleness_invariant); they rotate
+        # ---- in with the r10 cohort.  minhash_lsh_docs (r9, touched
+        # ---- only by the entry-9 lazy seal; its machinery is covered
+        # ---- in-window by incremental_dedup + minhash_index_delete)
+        # ---- yields its slot and leads the r13 window at 51. ----
+        "langid_nb_docs": langid_nb_docs,
+        "langid_eval_docs": langid_eval_docs,
+        "classifier_summary_docs": classifier_summary_docs,
+        "threshold_select_language_docs": threshold_select_language_docs,
+        "cc_dedup_docs": cc_dedup_docs,
+        "group_split_docs": group_split_docs,
+        "group_kfold_docs": group_kfold_docs,
+        "incremental_dedup_docs": incremental_dedup_docs,
+        "minhash_index_delete_docs": minhash_index_delete_docs,
+        "pagerank_docs": pagerank_docs,
+        "ppr_docs": ppr_docs,
+        "streaming_bm25_serve_docs": streaming_bm25_serve_docs,
+        "streaming_knn_serve_embeddings": streaming_knn_serve_embeddings,
+        "knn_classify_ivf_embeddings": knn_classify_ivf_embeddings,
+        "perceptron_ovr_language_docs": perceptron_ovr_language_docs,
+        "perceptron_avg_language_docs": perceptron_avg_language_docs,
+        # ---- last green r8: the ENTIRE 34-row remainder — the
+        # ---- staleness cohort (4 rounds stale entering r12,
+        # ---- MANDATORY in-window per the rotation invariant) ----
         "ann_ivf_index_append_embeddings": ann_ivf_index_append_embeddings,
         "webdataset_pipeline_docs": webdataset_pipeline_docs,
         "semantic_dedup_incremental_embeddings": semantic_dedup_incremental_embeddings,
@@ -4401,14 +4384,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "multimodal_features_docs": multimodal_features_docs,
         "quantile_sketch_events": quantile_sketch_events,
-        # ---- last green r9 (50 rows — r12 fill / r13 horizon) ----
-        "perceptron_ovr_language_docs": perceptron_ovr_language_docs,
-        "perceptron_avg_language_docs": perceptron_avg_language_docs,
+        # ---------------- past the 50-query gate cap ----------------
+        # ---- r13 window leads: the touched r9 row that did not fit,
+        # ---- then the 9 remaining never-verified gates wired this
+        # ---- round (pre-verified at 3 scales + fuzz before wiring),
+        # ---- then the r9 cohort oldest-first ----
+        "minhash_lsh_docs": minhash_lsh_docs,
+        "ivfpq_index_lifecycle_embeddings": ivfpq_index_lifecycle_embeddings,
+        "ivfpq_index_append_embeddings": ivfpq_index_append_embeddings,
+        "knn_classify_embeddings": knn_classify_embeddings,
+        "knn_eval_embeddings": knn_eval_embeddings,
+        "stump_train_docs": stump_train_docs,
+        "stump_classify_docs": stump_classify_docs,
+        "strip_html_docs": strip_html_docs,
+        "corpus_profile_docs": corpus_profile_docs,
+        "centroid_classify_embeddings": centroid_classify_embeddings,
+        # ---- remaining rows, prior order (r11-green window rows,
+        # ---- then the r9 and r10 cohorts) ----
+        "multimodal_video_align_docs": multimodal_video_align_docs,
+        "pr_curve_language_docs": pr_curve_language_docs,
+        "ann_ivf_lifecycle_embeddings": ann_ivf_lifecycle_embeddings,
+        "auc_language_docs": auc_language_docs,
+        "calibration_language_docs": calibration_language_docs,
+        "bpe_train_docs": bpe_train_docs,
+        "kmv_jaccard_sources": kmv_jaccard_sources,
+        "count_anomalies_events": count_anomalies_events,
+        "pipeline_quality_docs": pipeline_quality_docs,
+        "ivfpq_search_embeddings": ivfpq_search_embeddings,
+        "multimodal_resize_ppm": multimodal_resize_ppm,
+        "wav_spectrogram_docs": wav_spectrogram_docs,
+        "curriculum_order_docs": curriculum_order_docs,
+        "pmi_collocations_docs": pmi_collocations_docs,
+        "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
+        "asof_tolerance_events": asof_tolerance_events,
+        "cohort_retention_events": cohort_retention_events,
+        "detect_script_docs": detect_script_docs,
+        "cms_merge_halves": cms_merge_halves,
+        "journey_paths_events": journey_paths_events,
+        "percentiles_by_group": percentiles_by_group,
+        "q22_global_avg_filter": q22_global_avg_filter,
+        "hourly_event_rollup": hourly_event_rollup,
+        "map_struct_status_counts": map_struct_status_counts,
+        "running_revenue_by_customer": running_revenue_by_customer,
+        "rolling_7day_order_totals": rolling_7day_order_totals,
+        "multi_granularity_rollup": multi_granularity_rollup,
+        "stats_by_returnflag": stats_by_returnflag,
+        "dynamic_pivot_events": dynamic_pivot_events,
+        "q19_or_predicates": q19_or_predicates,
+        "customers_without_orders": customers_without_orders,
+        "rollup_quantity": rollup_quantity,
+        "unpivot_status_counts": unpivot_status_counts,
+        "set_ops_statuses": set_ops_statuses,
+        "generate_series_powers": generate_series_powers,
+        "hybrid_retrieval_docs": hybrid_retrieval_docs,
+        "bm25_index_append_docs": bm25_index_append_docs,
+        "streaming_decontaminate_docs": streaming_decontaminate_docs,
+        "perceptron_language_docs": perceptron_language_docs,
+        "engine_compaction": engine_compaction,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "kmeans_embeddings": kmeans_embeddings,
+        "cluster_curation_embeddings": cluster_curation_embeddings,
+        "kmeans_incremental_embeddings": kmeans_incremental_embeddings,
+        "dup_span_cut_docs": dup_span_cut_docs,
+        "containment_pairs_docs": containment_pairs_docs,
+        "ann_recall_ivf_embeddings": ann_recall_ivf_embeddings,
         "decontaminate_cut_docs": decontaminate_cut_docs,
         "corpus_diff_docs": corpus_diff_docs,
         "ngram_loops_docs": ngram_loops_docs,
         "vocab_drift_docs": vocab_drift_docs,
-        "streaming_bm25_serve_docs": streaming_bm25_serve_docs,
         "ann_ivf_rebalance_embeddings": ann_ivf_rebalance_embeddings,
         "engine_streaming_table": engine_streaming_table,
         "dedup_embedding_docs": dedup_embedding_docs,
@@ -4448,11 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xdb_date_spine": xdb_date_spine,
         "xdb_arrays": xdb_arrays,
         "engine_incremental_merge": engine_incremental_merge,
-        "minhash_lsh_docs": minhash_lsh_docs,
-        "incremental_dedup_docs": incremental_dedup_docs,
-        "cc_dedup_docs": cc_dedup_docs,
         "line_dedup_docs": line_dedup_docs,
-        # ---- last green r10 (50 rows — freshest, r13+ horizon) ----
         "streaming_ann_serve_embeddings": streaming_ann_serve_embeddings,
         "multimodal_phash_dedup_docs": multimodal_phash_dedup_docs,
         "naive_bayes_language_docs": naive_bayes_language_docs,

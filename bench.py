@@ -219,10 +219,21 @@ def main() -> None:
     # this box's noise (the r2/r3/r4 verdicts all asked for this);
     # export SPARK_GRAFT_REPEATS=1 for a quick single-shot loop
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "5")))
+    # noop-sink timing (guide §1.4; r11 verdict item 9 — the transition
+    # round): EVERY query is timed BOTH ways this round — the
+    # historical `.count()` action (so BENCH_r12 medians stay
+    # comparable to BENCH_r11) and the noop sink, which computes every
+    # column of every row and so cannot be flattered by count-only
+    # column pruning.  `queries`/`value` keep their r4..r11 meaning
+    # (count-based); the noop view lands in `queries_noop` /
+    # `total_noop_s`.  Next round drops `.count()` and promotes noop.
+    noop_repeats = max(0, int(os.environ.get(
+        "SPARK_GRAFT_NOOP_REPEATS", str(min(repeats, 3)))))
     only = [q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q]
     times: dict[str, float] = {}
     firsts: dict[str, float] = {}
     sigmas: dict[str, float] = {}
+    noops: dict[str, float] = {}
     import gc
 
     for name in only or HEADLINE:
@@ -230,6 +241,7 @@ def main() -> None:
         # real module callables — bench them so their first driver
         # BENCH row lands the same round they're wired
         fn = qs.get(name) or getattr(entrymod, name)
+        spark.sparkContext.setJobDescription(f"bench:{name}")  # guide §1.5
         samples = []
         for _ in range(repeats):
             # drop dangling DataFrame refs so the ContextCleaner can
@@ -256,8 +268,22 @@ def main() -> None:
             mean = sum(samples) / len(samples)
             sigmas[name] = round(
                 (sum((s - mean) ** 2 for s in samples) / len(samples)) ** 0.5, 3)
+        nsamples = []
+        spark.sparkContext.setJobDescription(f"bench-noop:{name}")
+        for _ in range(noop_repeats):
+            df = None
+            gc.collect()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            nsamples.append(time.time() - t0)
+        if nsamples:
+            nsamples.sort()
+            noops[name] = round(nsamples[len(nsamples) // 2], 3)
+        spark.sparkContext.setJobDescription(None)
         print(f"# {name}: {times[name]}s ({n} rows) first={firsts[name]}s"
-              + (f" sigma={sigmas[name]}s n={repeats}" if repeats > 1 else ""),
+              + (f" sigma={sigmas[name]}s n={repeats}" if repeats > 1 else "")
+              + (f" noop={noops[name]}s n={noop_repeats}" if nsamples else ""),
               file=sys.stderr)
 
     parse_ms, parse_warm_ms = (round(x, 3) for x in bench_parse(2000))
@@ -344,6 +370,13 @@ def main() -> None:
     if sigmas:
         out["queries_sigma"] = sigmas
         out["repeats"] = repeats
+    if noops:
+        # noop-sink medians (guide §1.4): the full-materialization view
+        # — compare to `queries` to see where count-only column pruning
+        # flattered a query; becomes the primary action next round
+        out["queries_noop"] = noops
+        out["total_noop_s"] = round(sum(noops.values()), 3)
+        out["noop_repeats"] = noop_repeats
     # Durable copy + compact summary: the r5 driver's tail capture
     # truncated the (very long) per-query JSON line and lost the
     # headline total (BENCH_r05 `parsed: null` — r5 verdict item 2).
@@ -360,10 +393,20 @@ def main() -> None:
     with open("BENCH_LOCAL_latest.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
+    # compact per-query medians as their OWN one-line record (r11
+    # verdict item 8): the driver's tail capture truncates the full
+    # JSON above mid-`queries`, which left PERF_r11's per-query
+    # comparison empty — this line is ~10× smaller (medians only, 2dp,
+    # no spaces) so a short tail still carries per-query data
+    print(json.dumps({
+        "metric": "bench_queries",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+    }, separators=(",", ":")))
     print(json.dumps({
         "metric": "bench_summary",
         "total_s": total,
         "total_first_s": total_first,
+        "total_noop_s": out.get("total_noop_s"),
         "parse_ms": parse_ms,
         "repeats": repeats,
         "sf": sf,

@@ -374,6 +374,13 @@ def _sharded_topk_blas(
 # holds.  Module-level so tests can shrink it to force chunking.
 _MATMUL_BUDGET = 16_000_000
 
+# _skew_split_2d's serve-many fast path inlines per-cell block counts
+# as a literal map when the index has at most this many cells — two
+# ints per cell keeps the expression tree ~KBs; bigger indexes keep the
+# broadcast-join shape (a multi-MB literal would bloat every per-batch
+# plan and slow analysis, guide §7.3)
+_BLOCKS_INLINE_MAX_CELLS = 4096
+
 
 def _resolve_n_cells(
     df: DataFrame, n_cells: int | None, max_cell_rows: int
@@ -471,6 +478,7 @@ def _skew_split_2d(
     max_cell_rows: int,
     counts: DataFrame | None = None,
     member_counts: DataFrame | None = None,
+    bounded_probes: bool = False,
 ) -> DataFrame:
     """2-D block a per-cell member × probe pairing so every pandas
     frame's EXPECTED population is ≤ ``max_cell_rows`` rows per side,
@@ -508,15 +516,75 @@ def _skew_split_2d(
     query batches, so a serve-many caller aggregates it ONCE instead
     of re-scanning the assignment table per batch (optimization r11;
     guide §1.2 — at 100 TB that per-batch scan is a full pass over
-    the index's cell metadata).
+    the index's cell metadata).  TRUST CONTRACT (r11 ADVICE):
+    ``member_counts`` MUST be derived from the same assignments
+    snapshot as ``members`` — a stale/partial counts frame degrades
+    silently (a hot cell missing from it gets _ns=1 and loses its
+    blocking; member rows in cells absent from the blocks join drop).
+    ``ivf_member_counts`` over the sealed assignments is the one
+    supported producer.
+
+    ``bounded_probes`` declares the probe side's per-cell population
+    ≤ ``max_cell_rows`` (the serve-many fast path: a micro-batch is
+    trigger-bounded by construction), so probes never split (_np = 1)
+    and the per-batch probe-side count aggregate disappears entirely
+    (optimization r12; guide §1.2).  Result-invariant by construction:
+    probe blocking only PARTITIONS probes across psub groups — every
+    (probe, member) pair still meets in exactly one group — and a
+    probe row in a cell with no members (absent from member_counts)
+    produced no pairs anyway, so dropping it at the inner blocks join
+    changes nothing.  Only the kernel frame's probe-side row bound
+    relies on the declaration.
 
     Returns the union frame (id, v, cell, msub, psub, is_member) to be
     grouped by ``("cell", "msub", "psub")``."""
+    if counts is None and bounded_probes and member_counts is not None:
+        # serve-many fast path: member_counts is a LocalRelation by
+        # contract (ivf_member_counts materializes tiny), so for
+        # plan-literal-sized indexes the per-cell block counts inline
+        # as a LITERAL map — the per-batch broadcast build + two
+        # broadcast joins disappear from the micro-batch plan
+        # (optimization r12; guide §1.2).  The collect here is a
+        # LocalTableScan (driver-only, no cluster job).  Probe rows in
+        # cells absent from the map get a NULL sequence and drop at
+        # the explode — exactly the rows the inner blocks join dropped
+        # (memberless cells, zero pairs either way).  Indexes past the
+        # literal budget keep the broadcast-join shape below.
+        rows = member_counts.collect()
+        if len(rows) <= _BLOCKS_INLINE_MAX_CELLS:
+            ns = {
+                int(r["cell"]): max(1, -(-int(r["_mc"]) // max_cell_rows))
+                for r in rows
+            }
+            pairs: list = []
+            for c in sorted(ns):
+                pairs.extend((F.lit(c), F.lit(ns[c])))
+            ns_map = F.create_map(*pairs) if pairs else F.create_map()
+            m = members.select(
+                "id", "v", "cell",
+                F.pmod(F.xxhash64("id"),
+                       F.element_at(ns_map, F.col("cell")))
+                .cast("int").alias("msub"),
+                F.lit(0).alias("psub"),
+                F.lit(True).alias("is_member"),
+            )
+            p = probes.select(
+                "id", "v", "cell",
+                F.explode(F.sequence(
+                    F.lit(0), F.element_at(ns_map, F.col("cell")) - 1))
+                .alias("msub"),
+                F.lit(0).alias("psub"),
+                F.lit(False).alias("is_member"),
+            )
+            return m.unionByName(p)
     if counts is None:
         mc = (member_counts if member_counts is not None
               else members.groupBy("cell").agg(F.count("*").alias("_mc")))
-        pc = probes.groupBy("cell").agg(F.count("*").alias("_pc"))
-        counts = mc.join(pc, "cell", "full_outer")
+        if bounded_probes:
+            counts = mc.withColumn("_pc", F.lit(None).cast("bigint"))
+        else:
+            pc = probes.groupBy("cell").agg(F.count("*").alias("_pc"))
+            counts = mc.join(pc, "cell", "full_outer")
     blocks = counts.select(
         "cell",
         F.greatest(
@@ -833,6 +901,8 @@ def ivf_index_search(
     n_probe: int = 4,
     max_cell_rows: int = 100_000,
     member_counts: DataFrame | None = None,
+    centroid_matrix=None,
+    bounded_batch: bool = False,
 ) -> DataFrame:
     """Search a prebuilt IVF index (``ivf_index_build`` output, usually
     reloaded from tables) with a query batch — NO corpus pass.
@@ -841,7 +911,23 @@ def ivf_index_search(
     the assignment table (``ivf_member_counts``).  A serve-many caller
     (the streaming gates) computes it once per index snapshot so each
     query batch skips the per-batch assignment-table count scan that
-    the skew blocking otherwise needs (optimization r11).
+    the skew blocking otherwise needs (optimization r11).  It MUST be
+    derived from the same assignments snapshot (the _skew_split_2d
+    trust contract — stale counts silently degrade the blocking).
+
+    ``centroid_matrix`` — the ``ivf_centroid_matrix(centroids)`` tuple,
+    precollected once per index snapshot: without it every query batch
+    pays one centroid-table collect job before its plan exists
+    (optimization r12; the member_counts precedent — the centroid
+    table is n_cells rows, snapshot-constant).
+
+    ``bounded_batch`` declares the query batch bounded (per probed
+    cell ≤ ``max_cell_rows`` probe rows — true of any trigger-bounded
+    micro-batch): the probe side then skips the per-batch cell-count
+    aggregate AND the probe-side skew split (result-invariant — probe
+    blocking only partitions probes; see _skew_split_2d), and the
+    probe frame, now single-consumer, skips its localCheckpoint seal
+    (optimization r12; ~2 fewer stages per micro-batch).
 
     The centroid matrix is collected to the driver (n_cells rows —
     bounded, the MLlib-KMeans precedent) and broadcast; queries get
@@ -861,7 +947,8 @@ def ivf_index_search(
     import pandas as pd
 
     spark = queries.sparkSession
-    Cn, cells = _centroid_matrix(centroids)
+    Cn, cells = (centroid_matrix if centroid_matrix is not None
+                 else _centroid_matrix(centroids))
     if Cn is None:  # index built on an empty corpus — gate-fuzz
         return spark.createDataFrame(
             [], "query_id long, nbr_id long, cosine double, rank int"
@@ -893,13 +980,16 @@ def ivf_index_search(
     # ASSIGNMENTS side is caller-owned and usually table-backed (re-scan
     # is a columnar read); when composing build+search in one job, seal
     # it yourself (localCheckpoint) or write it out first — otherwise
-    # the build's assignment pass replays per branch.
-    probes = _seal(
-        qbase.mapInPandas(assign_q, schema="id long, v array<double>, cell int")
-    )
+    # the build's assignment pass replays per branch.  Under
+    # bounded_batch the probe frame has exactly ONE consumer (no count
+    # branch, no probe split) — the seal would only add a persist pass.
+    probes = qbase.mapInPandas(
+        assign_q, schema="id long, v array<double>, cell int")
+    if not bounded_batch:
+        probes = _seal(probes)
     grouped = _skew_split_2d(
         assignments.select("id", "v", "cell"), probes, max_cell_rows,
-        member_counts=member_counts,
+        member_counts=member_counts, bounded_probes=bounded_batch,
     )
     scored = grouped.groupBy("cell", "msub", "psub").applyInPandas(
         _topk_score_kernel(k, int(_MATMUL_BUDGET)),
@@ -928,6 +1018,18 @@ def ivf_member_counts(assignments: DataFrame) -> DataFrame:
     (optimization r11; guide §1.2)."""
     return _materialize_tiny(
         assignments.groupBy("cell").agg(F.count("*").alias("_mc")))
+
+
+def ivf_centroid_matrix(centroids: DataFrame):
+    """Collect an IVF centroid table to the driver-side ``(Cn, cells)``
+    numpy pair ``ivf_index_search(centroid_matrix=...)`` consumes —
+    once per index snapshot, the ``ivf_member_counts`` counterpart for
+    the centroid side: the table is n_cells rows by contract
+    (MLlib-KMeans tiny-state precedent), but collecting it INSIDE the
+    search costs one scheduled driver job per query batch
+    (optimization r12; guide §1.2 — hoist snapshot-constant work out
+    of the per-batch plan)."""
+    return _centroid_matrix(centroids)
 
 
 def semantic_dedup_incremental(

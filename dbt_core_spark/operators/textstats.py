@@ -1456,6 +1456,22 @@ def bm25_query(
                     "index schema is bucketed — pass the tuple exactly "
                     "as _bm25_constants returned it"
                 )
+            # stale-consts guard (r11 ADVICE): consts from a DIFFERENT
+            # snapshot (different n_buckets) would prune with the wrong
+            # bucket mapping and silently drop postings — keep the
+            # cheap one-file limit(1) probe (NOT the full constants
+            # scan this fast path exists to skip) and fail loudly on
+            # disagreement, the repo's snapshot-mismatch discipline
+            probe = index.select("n_buckets").limit(1).collect()
+            if probe and int(probe[0]["n_buckets"]) != n_buckets:
+                from dbt_core_spark.exceptions import ExecutionError
+
+                raise ExecutionError(
+                    f"bm25_query: consts n_buckets {n_buckets} disagrees "
+                    f"with the index's {int(probe[0]['n_buckets'])} — the "
+                    "consts tuple is from a different snapshot; recompute "
+                    "_bm25_constants for this index"
+                )
             # bucket pruning exactly as the validated path below —
             # only the per-batch probe/validation scans are skipped
             qterms = qterms.localCheckpoint(eager=False)
@@ -1468,6 +1484,17 @@ def bm25_query(
                 F.col("bucket").isin(
                     sorted({0, *(r["bucket"] for r in hit)}))
                 if hit else F.lit(False)
+            )
+        elif n_buckets is not None:
+            # inverse mismatch (r11 ADVICE): bucketed consts against an
+            # unbucketed index schema — the tuple is from some other
+            # snapshot; scoring would silently use its n_docs/total
+            from dbt_core_spark.exceptions import ExecutionError
+
+            raise ExecutionError(
+                f"bm25_query: consts carries n_buckets={n_buckets} but "
+                "the index schema is unbucketed — pass the tuple "
+                "_bm25_constants returned for THIS index"
             )
     elif "n_buckets" in index.columns:
         # serving-cost contract (r7 ADVICE): do NOT run the full
@@ -2554,12 +2581,13 @@ def naive_bayes_apply(
     (the perceptron_apply_ovr min-struct idiom).
 
     Scale shape: ONE tokenize+explode pass over the corpus feeding ONE
-    (doc, term) wordcount exchange shared by both consumers (n_tokens
-    and the model join — the n_tokens branch reads the same shuffle
-    through ReusedExchange, so the tokenizer expression is evaluated
-    exactly once per document; the previous shape re-evaluated the
-    full tokenizer in a second corpus pass just to take ``size()``,
-    measured ~2 s of the 3.9 s langid gate at sf0.1), one term-keyed
+    sealed (doc, term, cnt) wordcount frame read by both consumers
+    (n_tokens and the model join).  The seal is load-bearing: without
+    it catalyst pushes the model-join branch's ``term IS NOT NULL``
+    filter below that branch's aggregate, the two consumers' exchange
+    subtrees stop being identical, ReusedExchange does not fire, and
+    the corpus is tokenized+exploded TWICE (the r11 after-plan carried
+    two Generate nodes — optimization r12, guide §2.4/§5.3), one term-keyed
     join against the model (AQE broadcasts a capped-vocab model; an
     uncapped one sort-merges on term — either way the corpus text
     never moves again), one (doc, cls) aggregate, and a k-per-doc
@@ -2578,6 +2606,7 @@ def naive_bayes_apply(
         )
         .groupBy("id", "term")
         .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # one tokenize pass, two consumers
     )
     n_tok = tok_counts.groupBy("id").agg(
         F.sum(F.when(F.col("term").isNotNull(), F.col("cnt"))

@@ -5528,3 +5528,10 @@ select query_id, lbl as pred_label from scored
 qualify row_number() over (partition by query_id
                            order by d2, lbl) = 1
 """
+
+# ---- round-12 rotation (r11 verdict item 4): every r11-staged gate is
+# wired — its SQL becomes a first-class ORACLES row and the staged dict
+# empties, so the staged-gate tests (wirability, type lint, sf fuzz)
+# fall through to the live registry from here on.
+ORACLES.update(ORACLES_STAGED_R12)
+ORACLES_STAGED_R12 = {}

@@ -40,17 +40,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def serve_once(spark, src, schema, cents, assigns, files_per_trigger,
-               predicate) -> tuple[float, int, int]:
+               predicate, search_kwargs=None) -> tuple[float, int, int]:
     work = tempfile.mkdtemp(prefix="serve_probe_")
     stream = stream_source(
         spark, src, schema, fmt="parquet",
         options={"maxFilesPerTrigger": str(files_per_trigger)},
     )
+    kw = search_kwargs or {}
     batches: list[int] = []
     t0 = time.time()
     stream_serve_foreach_batch(
         stream.filter(predicate),
-        lambda b: ivf_index_search(cents, assigns, b, k=3, n_probe=4),
+        lambda b: ivf_index_search(cents, assigns, b, k=3, n_probe=4, **kw),
         f"{work}/out", f"{work}/ckpt",
         on_batch_result=lambda r, bid: batches.append(bid),
     )
@@ -78,12 +79,28 @@ def main() -> None:
     # warm one full serve so JVM/stream codepaths don't bias batch 1
     serve_once(spark, src, schema, cents, assigns, n_files, "vec_id % 20 = 0")
 
+    # SPARK_GRAFT_SERVE_FAST=1 probes the r12 gate-equivalent fast path
+    # (snapshot-constant member counts + centroid matrix, declared-
+    # bounded batches); default probes the plain per-batch path so the
+    # r10/r11 numbers stay comparable
+    kw = {}
+    if os.environ.get("SPARK_GRAFT_SERVE_FAST") == "1":
+        from dbt_core_spark.operators.similarity import (
+            ivf_centroid_matrix,
+            ivf_member_counts,
+        )
+
+        kw = {
+            "member_counts": ivf_member_counts(assigns),
+            "centroid_matrix": ivf_centroid_matrix(cents),
+            "bounded_batch": True,
+        }
     w_setup, b_setup, _ = serve_once(
-        spark, src, schema, cents, assigns, n_files, "vec_id < 0")
+        spark, src, schema, cents, assigns, n_files, "vec_id < 0", kw)
     w_one, b_one, rows1 = serve_once(
-        spark, src, schema, cents, assigns, n_files, "vec_id % 20 = 0")
+        spark, src, schema, cents, assigns, n_files, "vec_id % 20 = 0", kw)
     w_many, b_many, rows_n = serve_once(
-        spark, src, schema, cents, assigns, 1, "vec_id % 20 = 0")
+        spark, src, schema, cents, assigns, 1, "vec_id % 20 = 0", kw)
     assert rows1 == rows_n, (rows1, rows_n)
     per_batch = (w_many - w_one) / max(b_many - b_one, 1)
     data_cost = w_one - per_batch * b_one - max(

@@ -1133,6 +1133,46 @@ def test_bm25_query_precomputed_consts_result_invariant(spark):
         assert fast == checked and len(fast) > 0
 
 
+def test_bm25_query_stale_consts_fail_loudly(spark):
+    """The r11 ADVICE guards on the consts fast path: a consts tuple
+    from a DIFFERENT snapshot must raise, never silently prune with
+    the wrong bucket mapping or score with the wrong scalars —
+    (a) bucketed consts whose n_buckets disagrees with the index's
+    (the cheap limit(1) probe, not the full scan the fast path skips);
+    (b) bucketed consts against an UNBUCKETED index schema (the
+    inverse of the pre-existing n_buckets=None-vs-bucketed check)."""
+    import pytest
+
+    from dbt_core_spark.exceptions import ExecutionError
+    from dbt_core_spark.operators.textstats import (
+        _bm25_constants,
+        bm25_index,
+        bm25_query,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "spark engine tuning"), (2, "pasta sauce recipe"),
+         (3, "engine oil change"), (4, "tomato sauce engine")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "engine sauce")], "doc_id long, text string")
+    idx8 = bm25_index(corpus, n_buckets=8).localCheckpoint(eager=False)
+    idx16 = bm25_index(corpus, n_buckets=16).localCheckpoint(eager=False)
+    idx_flat = bm25_index(corpus).localCheckpoint(eager=False)
+    consts16 = _bm25_constants(idx16)
+    # (a) n_buckets mismatch: consts of the 16-bucket snapshot against
+    # the 8-bucket index
+    with pytest.raises(ExecutionError, match="different snapshot"):
+        bm25_query(idx8, queries, top_k=3, consts=consts16).collect()
+    # (b) bucketed consts, unbucketed index schema
+    with pytest.raises(ExecutionError, match="unbucketed"):
+        bm25_query(idx_flat, queries, top_k=3, consts=consts16).collect()
+    # pre-existing inverse: unbucketed consts, bucketed index
+    with pytest.raises(ExecutionError, match="bucketed"):
+        bm25_query(idx8, queries, top_k=3,
+                   consts=_bm25_constants(idx_flat)).collect()
+
+
 def test_bm25_query_mixed_n_buckets_union_always_raises(spark, tmp_path):
     """The r9 structural fix (verdict item 2): a RAW union of two
     bucketed snapshots with DIFFERENT n_buckets must fail loudly in

@@ -1637,7 +1637,9 @@ def test_staged_r12_langid_gates_on_hostile_corpora(
     exercising the lower/İ normalization; MinHash index deletion
     where the corpus slice, the tombstone slice, or the batch slice
     is usually empty on tiny corpora."""
-    from oracles import ORACLES_STAGED_R12
+    # wired in round 12: staged SQL lives in ORACLES now (the dict
+    # empties at wiring time) — fall through to the live registry
+    from oracles import ORACLES, ORACLES_STAGED_R12
 
     if dup and rows:
         rows = rows + rows[: len(rows) // 2 + 1]
@@ -1648,7 +1650,8 @@ def test_staged_r12_langid_gates_on_hostile_corpora(
                  "threshold_select_language_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
-            getattr(em, name), ORACLES_STAGED_R12[name])
+            getattr(em, name),
+            ORACLES_STAGED_R12.get(name) or ORACLES[name])
         assert ok, f"{name}: {msg}"
 
 
@@ -1667,7 +1670,9 @@ def test_staged_r12_ivfpq_lifecycle_on_hostile_corpora(
     %6 deletes that empty cells, and query batches that may be
     entirely tombstoned ids — standing-model semantics on both
     engines."""
-    from oracles import ORACLES_STAGED_R12
+    # wired in round 12: staged SQL lives in ORACLES now (the dict
+    # empties at wiring time) — fall through to the live registry
+    from oracles import ORACLES, ORACLES_STAGED_R12
 
     if dup and vecs:
         vecs = vecs + vecs[:3]
@@ -1677,7 +1682,8 @@ def test_staged_r12_ivfpq_lifecycle_on_hostile_corpora(
                  "ivfpq_index_append_embeddings"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
-            getattr(em, name), ORACLES_STAGED_R12[name])
+            getattr(em, name),
+            ORACLES_STAGED_R12.get(name) or ORACLES[name])
         assert ok, f"{name}: {msg}"
 
 
@@ -1697,7 +1703,9 @@ def test_staged_r12_knn_gates_on_hostile_corpora(
     empty votable corpus → empty predictions and an empty eval
     lattice on both engines), corpora smaller than k or n_cells, and
     query slices that may be entirely invalid vectors."""
-    from oracles import ORACLES_STAGED_R12
+    # wired in round 12: staged SQL lives in ORACLES now (the dict
+    # empties at wiring time) — fall through to the live registry
+    from oracles import ORACLES, ORACLES_STAGED_R12
 
     if dup and vecs:
         vecs = vecs + vecs[:3]
@@ -1714,7 +1722,8 @@ def test_staged_r12_knn_gates_on_hostile_corpora(
                  "centroid_classify_embeddings"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
-            getattr(em, name), ORACLES_STAGED_R12[name])
+            getattr(em, name),
+            ORACLES_STAGED_R12.get(name) or ORACLES[name])
         assert ok, f"{name}: {msg}"
 
 
@@ -1735,7 +1744,9 @@ def test_staged_r12_stump_gates_on_hostile_corpora(
     classifier summary must keep its exactly-one-row contract with
     all-zero counts on an empty evaluation; strip_html must agree on
     texts that themselves contain <, >, & and entity-like runs."""
-    from oracles import ORACLES_STAGED_R12
+    # wired in round 12: staged SQL lives in ORACLES now (the dict
+    # empties at wiring time) — fall through to the live registry
+    from oracles import ORACLES, ORACLES_STAGED_R12
 
     if dup and rows:
         rows = rows + rows[: len(rows) // 2 + 1]
@@ -1746,7 +1757,8 @@ def test_staged_r12_stump_gates_on_hostile_corpora(
                  "corpus_profile_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
-            getattr(em, name), ORACLES_STAGED_R12[name])
+            getattr(em, name),
+            ORACLES_STAGED_R12.get(name) or ORACLES[name])
         assert ok, f"{name}: {msg}"
 
 
@@ -1766,7 +1778,9 @@ def test_staged_r12_group_split_on_hostile_corpora(
     iterative propagation + hash on every draw; integer PageRank over
     the same pair graph must match the oracle's exact 3-sweep unroll
     (empty edge sets → every node at the damping floor)."""
-    from oracles import ORACLES_STAGED_R12
+    # wired in round 12: staged SQL lives in ORACLES now (the dict
+    # empties at wiring time) — fall through to the live registry
+    from oracles import ORACLES, ORACLES_STAGED_R12
 
     if dup and rows:
         rows = rows + rows[: len(rows) // 2 + 1]
@@ -1776,5 +1790,6 @@ def test_staged_r12_group_split_on_hostile_corpora(
                  "group_kfold_docs"):
         ok, msg = _vo.compare(
             name, spark, con, tmpdir,
-            getattr(em, name), ORACLES_STAGED_R12[name])
+            getattr(em, name),
+            ORACLES_STAGED_R12.get(name) or ORACLES[name])
         assert ok, f"{name}: {msg}"

@@ -446,34 +446,40 @@ def test_gate_window_max_staleness_invariant():
         )
 
 
-def test_gate_window_r11_composition():
-    """Pins the round-11 window (the r10 verdict, item 1 — executed per
-    the plan it recorded): the 6 never-driver-verified r10-staged
-    gates lead (wired from ORACLES_STAGED_R11; each pre-verified at
-    multiple scales AND independently 6/6 by the r10 judge), then the
-    ENTIRE 29-row r7-green remainder (the staleness cohort — 4 rounds
-    stale entering r11), then 15 r8-green rows oldest-first to 50; the
-    34-row r8 remainder sits at positions 51-84 so it mechanically
-    leads round 12."""
+def test_gate_window_r12_composition():
+    """Pins the round-12 window (the r11 verdict, item 4 — lead with
+    the optimizer-touched families the driver never re-oracled after
+    their r11 rewrite): 11 never-driver-verified staged gates + the 5
+    touched r9-green rows lead, then the ENTIRE 34-row r8-green
+    remainder (the staleness cohort — 4 rounds stale entering r12,
+    mandatory in-window).  The 5 touched r10-green rows stay out (they
+    cannot enter without breaking the oldest-first invariant while r9
+    rows wait) and rotate in with the r10 cohort; minhash_lsh_docs
+    (r9, touched only by a lazy-seal; covered in-window by
+    incremental_dedup + minhash_index_delete) sits at 51 so it leads
+    round 13 with the 9 remaining newly wired gates behind it."""
     import __spark_entry__ as e
 
     qs = list(e.queries())
-    assert qs[:6] == [
-        "multimodal_video_align_docs", "pr_curve_language_docs",
-        "ann_ivf_lifecycle_embeddings", "auc_language_docs",
-        "calibration_language_docs", "bpe_train_docs",
+    assert qs[:16] == [
+        "langid_nb_docs", "langid_eval_docs", "classifier_summary_docs",
+        "threshold_select_language_docs", "cc_dedup_docs",
+        "group_split_docs", "group_kfold_docs", "incremental_dedup_docs",
+        "minhash_index_delete_docs", "pagerank_docs", "ppr_docs",
+        "streaming_bm25_serve_docs", "streaming_knn_serve_embeddings",
+        "knn_classify_ivf_embeddings", "perceptron_ovr_language_docs",
+        "perceptron_avg_language_docs",
     ]
-    # the whole r7 remainder is in-window (mandatory staleness cohort)
-    assert qs[6] == "kmv_jaccard_sources"
-    assert qs[34] == "generate_series_powers"
-    # r8 oldest-first fill to exactly 50
-    assert qs[35] == "hybrid_retrieval_docs"
-    assert qs[49] == "ann_recall_ivf_embeddings"
-    # the r8 remainder must lead round 12
-    assert qs[50] == "ann_ivf_index_append_embeddings"
-    assert qs[83] == "quantile_sketch_events"
+    # the whole r8 remainder is in-window (mandatory staleness cohort)
+    assert qs[16] == "ann_ivf_index_append_embeddings"
+    assert qs[49] == "quantile_sketch_events"
+    # r13 leads: the yielded r9 row, then the newly wired remainder
+    assert qs[50] == "minhash_lsh_docs"
+    assert qs[51] == "ivfpq_index_lifecycle_embeddings"
+    assert qs[59] == "centroid_classify_embeddings"
     # every registry row has an oracle (the exact-correctness invariant)
     assert set(e.oracle_sql()) == set(qs)
+    assert len(qs) == 204  # 184 + the 20 r11-staged gates wired
 
 
 def test_bm25_inverted_index_shape(spark, sf_dir):

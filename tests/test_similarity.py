@@ -159,6 +159,52 @@ def test_ivf_index_search_precomputed_member_counts(spark):
     assert capped_with == without
 
 
+def test_ivf_index_search_bounded_batch_fast_path(spark):
+    """``bounded_batch=True`` + ``centroid_matrix=`` (the r12 serve
+    fast path: no per-batch centroid collect, no per-batch probe-side
+    count aggregate, no probe split, no probe seal) must be
+    result-invariant — probe blocking only PARTITIONS probes across
+    psub groups, and a probe row in a memberless cell produced no
+    pairs anyway — including under a tiny member-side cap that forces
+    real member-block multiplication, and on an empty batch."""
+    import math
+
+    from dbt_core_spark.operators.similarity import (
+        ivf_centroid_matrix,
+        ivf_index_build,
+        ivf_index_search,
+        ivf_member_counts,
+    )
+
+    rows = [(i, [math.sin(i * 0.37 + d) for d in range(6)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigns = ivf_index_build(df, n_cells=8, kmeans_iters=0)
+    assigns = assigns.localCheckpoint(eager=False)
+    batch = df.filter("vec_id % 5 = 0")
+    mcounts = ivf_member_counts(assigns)
+    cmat = ivf_centroid_matrix(cents)
+    base = sorted(map(tuple, ivf_index_search(
+        cents, assigns, batch, k=3, n_probe=3).collect()))
+    fast = sorted(map(tuple, ivf_index_search(
+        cents, assigns, batch, k=3, n_probe=3,
+        member_counts=mcounts, centroid_matrix=cmat,
+        bounded_batch=True).collect()))
+    assert fast == base and len(fast) == 16 * 3
+    # member-side blocking still engages under the fast path (the cap
+    # splits members; probes stay unsplit by declaration)
+    capped = sorted(map(tuple, ivf_index_search(
+        cents, assigns, batch, k=3, n_probe=3, max_cell_rows=4,
+        member_counts=mcounts, centroid_matrix=cmat,
+        bounded_batch=True).collect()))
+    assert capped == base
+    # empty batch: schema-stable empty result, no jobs against members
+    empty = ivf_index_search(
+        cents, assigns, batch.filter("vec_id < 0"), k=3, n_probe=3,
+        member_counts=mcounts, centroid_matrix=cmat,
+        bounded_batch=True).collect()
+    assert empty == []
+
+
 def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     """The index survives a parquet roundtrip (the actual production
     lifecycle: build -> save -> reload in a later job -> search)."""
