@@ -4304,19 +4304,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-row gate the steady-state rotation period is ~3 rounds, so the
     # window must always be exactly the staleness cohort (no in-window
     # row may be fresher than any out-of-window ever-verified row).
-    # ROUND-12 WINDOW (executed this round, r11 verdict item 4): all 20
-    # round-11-staged gates are WIRED (ORACLES_STAGED_R12 moved into
-    # ORACLES — each pre-verified at 3 scales + TZ/fuzz); the window
-    # leads with the optimizer-touched families the driver never
-    # re-oracled post-r11-change — the 11 never-driver-verified staged
-    # gates among them plus the 5 touched r9-green rows — then the
-    # ENTIRE 34-row r8-green remainder (the staleness cohort, 4 rounds
-    # stale entering r12, mandatory in-window).  The original "20
-    # staged + 30 r8" plan recorded here in r11 would have left 4
-    # rows ≥4 rounds driver-stale outside the window (the hard
-    # staleness bound); the executed composition keeps both rotation
-    # invariants exactly while still leading with 16 of the verdict's
-    # 22 touched rows.  The 5 touched r10-green rows rotate in with
+    # ROUND-12 WINDOW (executed this round, r11 verdict item 4): the 11
+    # staged gates on optimizer-touched code paths are WIRED (their SQL
+    # moved from ORACLES_STAGED_R12 into ORACLES — each pre-verified at
+    # 3 scales + TZ/fuzz); the window leads with the optimizer-touched
+    # families the driver never re-oracled post-r11-change — those 11
+    # plus the 5 touched r9-green rows — then the ENTIRE 34-row
+    # r8-green remainder (the staleness cohort, 4 rounds stale entering
+    # r12, mandatory in-window).  The original "20 staged + 30 r8" plan
+    # recorded here in r11 is NOT executable under the rotation guards:
+    # every never-verified wired row must sit in-window AND the whole
+    # r8 cohort must too — 20 + 34 > 50 (and 30 r8 in-window leaves 4
+    # rows ≥4 rounds stale outside, the hard bound).  The 9 untouched
+    # staged gates therefore stay in ORACLES_STAGED_R12 and wire with
+    # the r13 rotation.  The 5 touched r10-green rows rotate in with
     # the r10 cohort (r14); the r9 cohort leads r13.
     return {
         # ---- ROUND-12 WINDOW (r11 verdict item 4): leads with the
@@ -4385,20 +4386,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_docs": multimodal_features_docs,
         "quantile_sketch_events": quantile_sketch_events,
         # ---------------- past the 50-query gate cap ----------------
-        # ---- r13 window leads: the touched r9 row that did not fit,
-        # ---- then the 9 remaining never-verified gates wired this
-        # ---- round (pre-verified at 3 scales + fuzz before wiring),
-        # ---- then the r9 cohort oldest-first ----
+        # ---- r13 window leads: the touched r9 row that did not fit
+        # ---- (the 9 remaining staged gates stay in ORACLES_STAGED_R12
+        # ---- — wiring them now would strand never-verified rows
+        # ---- outside the window, see the oracles.py rotation note —
+        # ---- and wire with the r13 rotation), then the r9 cohort ----
         "minhash_lsh_docs": minhash_lsh_docs,
-        "ivfpq_index_lifecycle_embeddings": ivfpq_index_lifecycle_embeddings,
-        "ivfpq_index_append_embeddings": ivfpq_index_append_embeddings,
-        "knn_classify_embeddings": knn_classify_embeddings,
-        "knn_eval_embeddings": knn_eval_embeddings,
-        "stump_train_docs": stump_train_docs,
-        "stump_classify_docs": stump_classify_docs,
-        "strip_html_docs": strip_html_docs,
-        "corpus_profile_docs": corpus_profile_docs,
-        "centroid_classify_embeddings": centroid_classify_embeddings,
         # ---- remaining rows, prior order (r11-green window rows,
         # ---- then the r9 and r10 cohorts) ----
         "multimodal_video_align_docs": multimodal_video_align_docs,

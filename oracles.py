@@ -5529,9 +5529,19 @@ qualify row_number() over (partition by query_id
                            order by d2, lbl) = 1
 """
 
-# ---- round-12 rotation (r11 verdict item 4): every r11-staged gate is
-# wired — its SQL becomes a first-class ORACLES row and the staged dict
-# empties, so the staged-gate tests (wirability, type lint, sf fuzz)
-# fall through to the live registry from here on.
-ORACLES.update(ORACLES_STAGED_R12)
-ORACLES_STAGED_R12 = {}
+# ---- round-12 rotation (r11 verdict item 4): the 11 staged gates on
+# optimizer-touched code paths are wired (their SQL becomes first-class
+# ORACLES rows) so the driver window can lead with them.  The other 9
+# staged gates CANNOT be wired this round: the rotation guards require
+# every never-driver-verified wired query inside the 50-row window AND
+# the entire 34-row r8 staleness cohort inside it — 20 + 34 > 50.  They
+# stay staged (pre-verified, fuzz-covered) and wire with the r13
+# rotation, where the re-greened r12 window frees the slots.
+for _n in (
+    "langid_nb_docs", "langid_eval_docs", "classifier_summary_docs",
+    "threshold_select_language_docs", "group_split_docs",
+    "group_kfold_docs", "minhash_index_delete_docs", "pagerank_docs",
+    "ppr_docs", "streaming_knn_serve_embeddings",
+    "knn_classify_ivf_embeddings",
+):
+    ORACLES[_n] = ORACLES_STAGED_R12.pop(_n)

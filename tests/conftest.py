@@ -39,3 +39,30 @@ def schema(spark):
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: builder-floor tier (fuzz sweeps, cross-engine replays, "
+        "multi-second compositions) — deselected by default so the "
+        "driver's budgeted gate runs the quick tier; run everything "
+        "with SPARK_GRAFT_FULL_TESTS=1 or select with -m slow "
+        "(see tests/_slowmark.py)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default = quick tier (r11 verdict item 3: the 41-minute full
+    suite exceeds the driver's pytest budget and xdist is unavailable).
+    SPARK_GRAFT_FULL_TESTS=1 or an explicit -m expression runs exactly
+    what was asked."""
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
+        return
+    if config.getoption("-m"):
+        return
+    selected, deselected = [], []
+    for item in items:
+        (deselected if "slow" in item.keywords else selected).append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected

@@ -58,6 +58,7 @@ def test_asof_no_cartesian_plan(spark):
 # ---------------- range_join ----------------
 
 from dbt_core_spark.operators.asof import range_join  # noqa: E402
+from _slowmark import _mark_slow  # noqa: E402
 
 
 def _range_fixtures(spark):
@@ -83,6 +84,7 @@ def _naive(pts, rng, on=None):
     return sorted((r["pid"], r["rid"]) for r in out.collect())
 
 
+@_mark_slow
 def test_range_join_matches_naive(spark):
     pts, rng = _range_fixtures(spark)
     got = range_join(pts, rng.select("rid", "start", "end"),

@@ -1,3 +1,4 @@
+from _slowmark import _mark_slow  # noqa: E402
 """Integer-exact k-means + cluster curation (operators/clustering.py).
 
 The exactness claim is the whole point: the distributed Lloyd loop
@@ -76,6 +77,7 @@ def _round_half_away(x):
     return f if x >= 0 else -f
 
 
+@_mark_slow
 @settings(
     max_examples=15,
     deadline=None,
@@ -238,6 +240,7 @@ def test_sample_and_outliers_deterministic_and_bounded(spark, sf_dir):
     assert top == mx
 
 
+@_mark_slow
 def test_centroids_plus_apply_equals_fixed(spark, sf_dir):
     """Persisted-model path: kmeans_centroids -> (write/read round
     trip) -> kmeans_apply over the SAME corpus must reproduce
@@ -299,6 +302,7 @@ def test_truncdiv_matches_engines(a, b, want):
     assert _truncdiv(a, b) == want
 
 
+@_mark_slow
 @settings(
     max_examples=8,
     deadline=None,

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from dbt_core_spark.operators import corpus as C
 from dbt_core_spark.operators.similarity import semantic_dedup
+from _slowmark import _mark_slow  # noqa: E402
 
 
 @pytest.fixture()
@@ -25,6 +26,7 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id int, text string")
 
 
+@_mark_slow
 def test_line_dedup_removes_cross_doc_lines(docs):
     out = {r["doc_id"]: r for r in C.line_dedup(docs, min_docs=3).collect()}
     # 'cookie banner' appears (normalized) in docs 1,2,3 -> removed
@@ -172,6 +174,7 @@ def test_tokenize_with_vocab(spark):
     }
 
 
+@_mark_slow
 def test_semantic_dedup_blas_matches_fold(spark):
     import math
     # deterministic pseudo-random corpus with planted near-dup clusters
@@ -195,6 +198,7 @@ def test_semantic_dedup_blas_matches_fold(spark):
     assert fold == blas and len(fold) >= 6  # the planted dups are found
 
 
+@_mark_slow
 def test_semantic_dedup_blas_skew_cap(spark):
     # 90% of vectors in ONE direction cluster -> one hot cell; the cap
     # re-splits it and the pair set must stay complete
@@ -245,6 +249,7 @@ def test_auto_n_cells_scales_with_corpus(spark):
     assert _resolve_n_cells(big, 7, 100) == (7, None)
 
 
+@_mark_slow
 def test_auto_n_cells_end_to_end(spark):
     import math
 
@@ -269,6 +274,7 @@ def test_auto_n_cells_end_to_end(spark):
     assert blas == pinned
 
 
+@_mark_slow
 def test_semantic_dedup_scale_warning(spark, caplog):
     """An explicit n_cells that leaves rows/n_cells > max_cell_rows must
     log the brute-force-scale warning (parity with cosine_pairs'
@@ -292,6 +298,7 @@ def test_semantic_dedup_scale_warning(spark, caplog):
     assert not any("brute-force" in r.message for r in caplog.records)
 
 
+@_mark_slow
 def test_mixture_sample_zero_weight_dropped_not_divided(spark):
     """A weight of 0 (or negative) in weights_ppm means 'drop the
     source' — it must not reach the budget division (null / ANSI
@@ -311,6 +318,7 @@ def test_mixture_sample_zero_weight_dropped_not_divided(spark):
     assert C.mixture_sample(df, {"a": 0, "b": -5}).count() == 0
 
 
+@_mark_slow
 def test_hash_embed_feeds_ann(spark):
     """hash_embed closes the text->vector->ANN loop in-engine: its
     output is unit-norm, matches a pure-Python hashing-trick reference,
@@ -881,6 +889,7 @@ def test_contrastive_pairs_unique_index_stays_null(spark):
     assert got[(0, 1)] is None  # only doc 0 has a chunk at idx 1
 
 
+@_mark_slow
 def test_contrastive_pairs_deterministic(spark):
     from dbt_core_spark.operators.textstats import (
         chunk_documents, contrastive_pairs)
@@ -934,6 +943,7 @@ def test_bm25_rank_hand_computed(spark):
     assert all(r["query_id"] == 100 for r in out)
 
 
+@_mark_slow
 def test_bm25_rank_matches_duckdb_oracle(spark, sf_dir):
     """Full cross-engine equivalence on the real documents table — the
     exact integer-score discipline must make every (query, doc, score,
@@ -986,6 +996,7 @@ from sc qualify rank <= 5
     assert got == want and len(got) > 0
 
 
+@_mark_slow
 def test_bm25_index_parquet_roundtrip_matches_rank(spark, sf_dir, tmp_path):
     """The build-once/search-many contract: an index WRITTEN to parquet
     and reloaded serves queries row-identically to the one-shot
@@ -1015,6 +1026,7 @@ def test_bm25_index_parquet_roundtrip_matches_rank(spark, sf_dir, tmp_path):
     ]
 
 
+@_mark_slow
 def test_bm25_index_append_matches_full_rebuild(spark, sf_dir):
     """The incremental-index contract (the ivf_index_append precedent,
     lexical leg): appending a batch to an index built on the rest of
@@ -1045,6 +1057,7 @@ def test_bm25_index_append_matches_full_rebuild(spark, sf_dir):
     assert got_q == want_q and len(got_q) > 0
 
 
+@_mark_slow
 def test_bm25_index_append_edges(spark):
     """Empty-index append degrades to a build; an empty or all-NULL
     batch returns the index unchanged; an id already present in the
@@ -1103,6 +1116,7 @@ def test_bm25_query_rejects_mixed_snapshot_index(spark):
         bm25_query(mixed, queries, top_k=3)
 
 
+@_mark_slow
 def test_bm25_query_precomputed_consts_result_invariant(spark):
     """``consts=`` (the serve-many fast path: validate the snapshot's
     constants once, skip the per-batch full-index scan — optimization
@@ -1133,6 +1147,7 @@ def test_bm25_query_precomputed_consts_result_invariant(spark):
         assert fast == checked and len(fast) > 0
 
 
+@_mark_slow
 def test_bm25_query_stale_consts_fail_loudly(spark):
     """The r11 ADVICE guards on the consts fast path: a consts tuple
     from a DIFFERENT snapshot must raise, never silently prune with
@@ -1173,6 +1188,7 @@ def test_bm25_query_stale_consts_fail_loudly(spark):
                    consts=_bm25_constants(idx_flat)).collect()
 
 
+@_mark_slow
 def test_bm25_query_mixed_n_buckets_union_always_raises(spark, tmp_path):
     """The r9 structural fix (verdict item 2): a RAW union of two
     bucketed snapshots with DIFFERENT n_buckets must fail loudly in
@@ -1231,6 +1247,7 @@ def test_bm25_query_mixed_n_buckets_union_always_raises(spark, tmp_path):
         bm25_query(union, queries2, top_k=3).count()
 
 
+@_mark_slow
 def test_bm25_snap_id_append_delete_rebuild_identity(spark):
     """The snap_id stamp must be content-derived, not build-run-derived:
     append ≡ rebuild and delete ≡ rebuild stay BIT-IDENTICAL including
@@ -1271,6 +1288,7 @@ def test_bm25_snap_id_append_delete_rebuild_identity(spark):
         assert len(snaps) == 1 and len(snaps2) == 1 and snaps != snaps2
 
 
+@_mark_slow
 def test_rrf_fuse_tie_saturated_property(spark):
     """Integer-exactness makes RRF immune to tie-saturated inputs (r6
     verdict item 3): random rankings — including many docs sharing the
@@ -1318,6 +1336,7 @@ def test_rrf_fuse_tie_saturated_property(spark):
     "streaming_decontaminate_docs",
     "perceptron_language_docs",
 ])
+@_mark_slow
 def test_r8_wired_gates_match_oracles(spark, sf_dir, gate_name):
     """The four r7-staged gates, wired into the live registry in r8:
     keep the end-to-end pytest compare (exact __spark_entry__ callable
@@ -1348,6 +1367,7 @@ def test_r8_wired_gates_match_oracles(spark, sf_dir, gate_name):
     assert ok, msg
 
 
+@_mark_slow
 def test_bm25_bucketed_index_roundtrip_and_append(spark, sf_dir, tmp_path):
     """Term-hash-bucketed index (n_buckets): query results are
     row-identical to the unbucketed one-shot, survive a
@@ -1382,6 +1402,7 @@ def test_bm25_bucketed_index_roundtrip_and_append(spark, sf_dir, tmp_path):
         map(tuple, rebuilt.select(cols).collect()))
 
 
+@_mark_slow
 def test_bm25_append_to_empty_bucketed_index_keeps_bucketing(spark, sf_dir):
     """r7 ADVICE: appending to an EMPTY bucketed index must not
     silently degrade the schema to unbucketed — the n_buckets value is
@@ -1411,6 +1432,7 @@ def test_bm25_append_to_empty_bucketed_index_keeps_bucketing(spark, sf_dir):
         bm25_index_append(live, batch, n_buckets=16)
 
 
+@_mark_slow
 def test_bm25_query_constants_check_scoped_to_touched_buckets(
         spark, sf_dir, tmp_path):
     """r7 ADVICE: the serving path must not pay a full-index constants
@@ -1479,6 +1501,7 @@ def test_rrf_fuse_hand_computed(spark):
     assert out[13][1] == 3 and out[12][1] == 4   # tie? no — 16129032 > 15873015
 
 
+@_mark_slow
 def test_rrf_fuse_hybrid_matches_duckdb(spark, sf_dir):
     """End-to-end hybrid retrieval (BM25 lexical + exact dense cosine)
     fused with RRF, verified against one DuckDB query replaying both
@@ -1626,6 +1649,7 @@ def test_perceptron_separable_sanity(spark):
     assert all(out[100 + i] == -1 for i in range(10))
 
 
+@_mark_slow
 def test_perceptron_matches_python_reference(spark):
     """Property: the distributed batch perceptron is bit-identical to a
     sequential pure-Python replica — weights AND scores — on random
@@ -1669,6 +1693,7 @@ def test_perceptron_matches_python_reference(spark):
     run()
 
 
+@_mark_slow
 def test_perceptron_ovr_matches_per_class_binary(spark, sf_dir):
     """The jointly-trained one-vs-rest model must be BIT-IDENTICAL,
     class by class, to running the binary perceptron_train with
@@ -1716,6 +1741,7 @@ def test_perceptron_ovr_apply_argmax_and_ties(spark):
     assert out[0]["label"] == "aa"
 
 
+@_mark_slow
 def test_perceptron_ovr_label_skew_and_empty(spark):
     """All-one-class and empty corpora: training must not error and
     the model stays k x (dim+1) rows of exact integers."""
@@ -1749,6 +1775,7 @@ def test_perceptron_ovr_label_skew_and_empty(spark):
     "perceptron_avg_language_docs",
     "ann_ivf_rebalance_embeddings",
 ])
+@_mark_slow
 def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
     """The 8 round-9-wired gate rows end to end: the exact
     __spark_entry__ callable vs the exact ORACLES SQL, through the
@@ -1793,6 +1820,7 @@ def test_r9_wired_gates_match_oracles(spark, sf_dir, staged_name):
     "ann_ivf_index_delete_embeddings",
     "multimodal_video_dedup_docs",
 ])
+@_mark_slow
 def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     """Verifies every round-10-wired gate row end to end: the
     exact __spark_entry__ callable vs the exact
@@ -1830,6 +1858,7 @@ def test_staged_r10_gates_match_oracles(spark, sf_dir, staged_name):
     "calibration_language_docs",
     "bpe_train_docs",
 ])
+@_mark_slow
 def test_staged_r11_gates_match_oracles(spark, sf_dir, staged_name):
     """Verifies every round-11-wired gate row end to end: the exact
     __spark_entry__ callable vs the exact oracle SQL (wired into
@@ -1860,6 +1889,7 @@ def test_staged_r11_gates_match_oracles(spark, sf_dir, staged_name):
     assert ok, msg
 
 
+@_mark_slow
 def test_staged_r12_gates_match_oracles(spark, sf_dir):
     """Pre-verifies every STAGED round-12 gate row end to end: the
     exact __spark_entry__ callable vs the exact
@@ -1934,6 +1964,7 @@ def test_ngram_loop_runs_hand_computed(spark):
     assert ngram_loop_runs(docs4, n=2, min_repeats=5).count() == 0
 
 
+@_mark_slow
 def test_vocab_drift_python_reference(spark):
     """drift_micro must equal the floored-micro-nat KL contribution of
     a pure-Python replica (add-1 smoothing over the union vocabulary),
@@ -2296,6 +2327,7 @@ def test_retrieval_metrics_hand_computed(spark):
     assert set(got) == {1, 2, 3, 4, 5}
 
 
+@_mark_slow
 def test_naive_bayes_merge_equals_retrain_and_commutes(spark):
     """Merged batch statistics finalize BIT-IDENTICALLY to one-shot
     training on the union, in either merge order — the
@@ -2435,6 +2467,7 @@ def test_classification_metrics_hand_computed(spark):
     assert set(got) == {"en", "fr", "de", "xx"}
 
 
+@_mark_slow
 def test_bm25_index_delete_equals_rebuild(spark):
     """Deletion re-aggregates df/idf/N/total from surviving postings
     BIT-IDENTICALLY to rebuilding on the remaining corpus — plain and
@@ -2465,6 +2498,7 @@ def test_bm25_index_delete_equals_rebuild(spark):
         "snap_id"]
 
 
+@_mark_slow
 def test_ivf_index_delete_standing_centroids(spark):
     """Deleting a vector that SEEDED a centroid must not move the
     cell: surviving members keep their assignment and search ranks
@@ -2608,6 +2642,7 @@ def test_classification_metrics_random_property(spark, seed):
             if 2 * tp[c] + fp[c] + fn[c] else 0)
 
 
+@_mark_slow
 def test_pr_curve_equals_classification_metrics_per_threshold(spark):
     """pr_curve row-identity: at every distinct threshold t, the sweep
     row equals classification_metrics of the rule `pos iff score >= t`
@@ -2677,6 +2712,7 @@ def test_pr_curve_quantize_and_guards(spark):
                and r["tp"] == 0 for r in none_pos)
 
 
+@_mark_slow
 def test_bm25_delete_then_append_equals_rebuild(spark):
     """The BM25 half of the composed deletion lifecycle (r9 verdict
     item 6): delete a document set, then append a new batch — the
@@ -2708,6 +2744,7 @@ def test_bm25_delete_then_append_equals_rebuild(spark):
         assert rows(composed) == rows(bm25_index(final, n_buckets=nb)), nb
 
 
+@_mark_slow
 def test_auc_score_vs_python_reference(spark):
     """auc_score vs a pure-Python midrank reference on LCG-random
     scores with heavy ties; a constant scorer is exactly 500000; a
@@ -2847,6 +2884,7 @@ def test_bpe_merge_application_is_token_boundary_safe(spark):
         assert ",".join(parts) in s, (word, parts, got)
 
 
+@_mark_slow
 def test_bpe_train_distributed_equals_driver_trainer(spark):
     """The uncapped distributed trainer must reproduce bpe_train
     exactly whenever the driver trainer's max_words cap is not binding
@@ -2903,6 +2941,7 @@ def test_auc_score_no_int64_overflow_past_2m_rows(spark):
     assert got["auc_micro"] == expect
 
 
+@_mark_slow
 def test_bm25_constants_rejects_unstamped_rows_and_self_union(spark):
     """The r10 ADVICE snap_id blind spots, closed: (a) a legacy
     pre-snap_id index unioned in via
@@ -2949,6 +2988,7 @@ def test_bm25_constants_rejects_unstamped_rows_and_self_union(spark):
     assert _bm25_constants(bidx) is not None
 
 
+@_mark_slow
 def test_bpe_train_batched_equals_sequential(spark, sf_dir):
     """The r10 verdict item 2 'Done' pin: bpe_train_batched(B=8) is
     merge-for-merge identical to bpe_train_distributed on the GATE
@@ -2977,6 +3017,7 @@ def test_bpe_train_batched_equals_sequential(spark, sf_dir):
     assert bpe_train_batched(mixed, n_merges=12, batch_size=8) == seq2
 
 
+@_mark_slow
 def test_bpe_train_batched_rejects_naive_independent_set(spark):
     """The adversarial corpus where a plain greedy independent set
     DIVERGES from sequential BPE: word 'xab'×10 + word 'cd'×9.  Scan-1
@@ -3001,6 +3042,7 @@ def test_bpe_train_batched_rejects_naive_independent_set(spark):
     assert bpe_train_batched(df, n_merges=4, batch_size=1) == seq
 
 
+@_mark_slow
 def test_bpe_train_batched_fuzz_vs_sequential(spark):
     """LCG-random tiny corpora (heavy ties, repeated chars, shared
     tokens between frequent words) — batched must equal sequential on
@@ -3046,6 +3088,7 @@ def test_char_ngrams_hand_verified(spark):
     assert got[5] == [" a ", "a b", " b "]  # 'a,b!' -> words [a, b]
 
 
+@_mark_slow
 def test_langid_trained_beats_stopword_heuristic(spark):
     """The r10 verdict item 3 upgrade, demonstrated: on a synthetic
     trilingual corpus whose third language (pseudo-Italian) is OUTSIDE
@@ -3096,6 +3139,7 @@ def test_langid_trained_beats_stopword_heuristic(spark):
     assert heur.filter("detected_lang = 'it'").count() == 0
 
 
+@_mark_slow
 def test_select_threshold_argmax_and_ties(spark):
     """select_threshold returns exactly the pr_curve row with maximal
     f1_micro, ties to the LOWEST threshold; empty-score input yields an
@@ -3307,6 +3351,7 @@ def test_group_kfold_cluster_members_share_fold(spark):
     assert all(0 <= r.fold < 3 for r in out.values())
 
 
+@_mark_slow
 def test_stump_binned_equivalence_and_bounding(spark):
     """max_bins covering every feature's range ⇒ IDENTICAL to the
     exact search; tight max_bins still finds a zero-error split when

@@ -18,6 +18,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from dbt_core_spark.operators import corpus as C
+from _slowmark import _mark_slow  # noqa: E402
 
 WORD = st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "y2", "the"])
 TEXT = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
@@ -38,6 +39,7 @@ def _words(text: str) -> list[str]:
     return [w for w in re.split(r"\s+", cleaned) if w]
 
 
+@_mark_slow
 @given(st.lists(TEXT, min_size=2, max_size=25))
 @settings(**SETTINGS)
 def test_ngram_lm_matches_python_reference(spark, texts):
@@ -71,6 +73,7 @@ def test_ngram_lm_matches_python_reference(spark, texts):
     assert got == want
 
 
+@_mark_slow
 @given(st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
        st.integers(0, 99), st.sampled_from([1, 3, 8]))
 @settings(**SETTINGS)
@@ -90,6 +93,7 @@ def test_epoch_shuffle_matches_python_reference(spark, ids, seed, shards):
     assert got == want
 
 
+@_mark_slow
 @given(st.lists(st.sampled_from(["web", "code", "books"]),
                 min_size=3, max_size=40),
        st.sampled_from([{"web": 600_000, "code": 300_000, "books": 100_000},
@@ -114,6 +118,7 @@ def test_mixture_sample_matches_python_reference(spark, sources, weights):
     assert got == want
 
 
+@_mark_slow
 @given(st.lists(TEXT, min_size=1, max_size=25))
 @settings(**SETTINGS)
 def test_bpe_pairs_match_python_reference(spark, texts):
@@ -135,6 +140,7 @@ def test_bpe_pairs_match_python_reference(spark, texts):
     assert got == want
 
 
+@_mark_slow
 @given(st.lists(TEXT, min_size=1, max_size=20), st.sampled_from([2, 3]))
 @settings(**SETTINGS)
 def test_line_dedup_matches_python_reference(spark, texts, min_docs):
@@ -163,6 +169,7 @@ def test_line_dedup_matches_python_reference(spark, texts, min_docs):
     assert got == want
 
 
+@_mark_slow
 @given(
     m_cells=st.lists(st.integers(0, 3), min_size=1, max_size=25),
     p_cells=st.lists(st.integers(0, 3), min_size=1, max_size=25),
@@ -219,6 +226,7 @@ def test_skew_split_2d_every_pair_exactly_once(spark, m_cells, p_cells, cap):
 
 # ---------------- session-5 operators ----------------
 
+@_mark_slow
 @given(st.lists(st.tuples(st.integers(0, 3600), st.integers(0, 3000),
                           st.integers(1, 900)),
                 min_size=1, max_size=25),
@@ -250,6 +258,7 @@ def test_range_join_equals_naive_on_random_intervals(spark, rows, width):
     assert got == exp
 
 
+@_mark_slow
 @given(st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]),
                 min_size=1, max_size=60),
        st.integers(2, 4), st.sampled_from([8, 64]))
@@ -269,6 +278,7 @@ def test_cms_estimate_bounds_property(spark, values, depth, width):
         assert t <= est[v] <= len(values)
 
 
+@_mark_slow
 @given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 500)),
                 min_size=1, max_size=40, unique=True),
        st.integers(2, 6))
@@ -301,6 +311,7 @@ def test_zorder_code_interleave_property(spark, pairs, bits):
         assert got[i] == morton(scale(a, amin, amax), scale(b, bmin, bmax))
 
 
+@_mark_slow
 @given(st.lists(TEXT, min_size=1, max_size=20), st.integers(8, 64))
 @settings(**SETTINGS)
 def test_classifier_score_matches_python_reference_property(spark, texts, dim):
@@ -332,6 +343,7 @@ _FUNNEL_EVENT = st.tuples(
 )
 
 
+@_mark_slow
 @given(st.lists(_FUNNEL_EVENT, min_size=1, max_size=40))
 @settings(**SETTINGS)
 def test_funnel_fold_equals_kpass_property(spark, events):

@@ -3,6 +3,7 @@
 from pyspark.sql import functions as F
 
 from dbt_core_spark.operators.dedup import connected_components
+from _slowmark import _mark_slow  # noqa: E402
 
 
 def test_connected_components_chain(spark):
@@ -90,6 +91,7 @@ def test_decontaminate(spark):
     assert out[3]["sample_hit"] == "the quick brown"
 
 
+@_mark_slow
 def test_minhash_index_match_incremental(spark):
     """minhash_index → minhash_match finds batch-vs-corpus near-dups
     without a corpus self-join, matching exact Jaccard semantics."""
@@ -279,6 +281,7 @@ def test_sketches_ignore_nulls(spark):
         assert a == b
 
 
+@_mark_slow
 def test_minhash_prefilter_before_exact_verify(spark, sf_dir):
     """The exact-Jaccard verify must be fed through the signature-
     agreement prefilter (zip_with equality fold over the two signature
@@ -533,6 +536,7 @@ def test_contamination_spans_empty_probe_and_short_docs(spark):
     assert contamination_spans(corpus, short_probe, n=5).count() == 0
 
 
+@_mark_slow
 def test_minhash_index_delete_equals_rebuild(spark, sf_dir):
     """The r10 verdict item 4 pin: minhash_index_delete(index, ids) is
     BIT-IDENTICAL to rebuilding the index from the surviving docs —

@@ -27,6 +27,11 @@ from hypothesis import strategies as st
 
 import __spark_entry__ as em
 
+# the whole fuzz module is builder-floor tier: ~14 min of hypothesis
+# sweeps, the single largest block of the 41-minute suite (r11 verdict
+# item 3 — see tests/_slowmark.py for the tier contract)
+pytestmark = pytest.mark.slow
+
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _spec = importlib.util.spec_from_file_location(
     "_validate_oracles_for_fuzz",

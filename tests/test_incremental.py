@@ -7,6 +7,7 @@ import pytest
 
 from dbt_core_spark import Engine, ProjectDef
 from dbt_core_spark.plans.nodes import NodeType
+from _slowmark import _mark_slow  # noqa: E402
 
 
 def _seed_project(rows):
@@ -178,6 +179,7 @@ def _table_files(spark, rel, subdir=""):
     return out
 
 
+@_mark_slow
 def test_partition_scoped_merge_untouched_bytes(spark, schema):
     """A merge whose increment touches one partition must leave the other
     partitions' files byte-identical (no full-table rewrite)."""
@@ -269,6 +271,7 @@ def test_partition_scoped_merge_quoted_partition_value(spark, schema):
     assert rows == {(1, "moved"): 5, (2, "plain"): 1}
 
 
+@_mark_slow
 def test_unpartitioned_merge_warns_full_rewrite(spark, schema, caplog):
     """An incremental merge without partition_by on a target past the
     size threshold must warn (once) that every run rewrites the whole
@@ -328,6 +331,7 @@ _kv_rows = _st.lists(
 )
 
 
+@_mark_slow
 @_settings(max_examples=12, deadline=None,
            suppress_health_check=[_HC.function_scoped_fixture])
 @_given(tgt=_kv_rows, src=_kv_rows)
@@ -365,6 +369,7 @@ def test_merge_frames_null_and_duplicate_keys(spark, tgt, src):
         [v for k, v in tgt if k is None] + [v for k, v in src if k is None])
 
 
+@_mark_slow
 @_settings(max_examples=6, deadline=None,
            suppress_health_check=[_HC.function_scoped_fixture])
 @_given(tgt=_kv_rows, src=_kv_rows)
@@ -390,6 +395,7 @@ def test_merge_frames_delete_insert_keeps_all_source_rows(spark, tgt, src):
 _col_pool = ["a", "b", "c"]
 
 
+@_mark_slow
 @_settings(max_examples=8, deadline=None,
            suppress_health_check=[_HC.function_scoped_fixture])
 @_given(

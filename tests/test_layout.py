@@ -3,6 +3,7 @@
 from pyspark.sql import functions as F
 
 from dbt_core_spark.operators.layout import zorder_code, zorder_repartition
+from _slowmark import _mark_slow  # noqa: E402
 
 
 def _grid(spark, n=16):
@@ -63,6 +64,7 @@ def test_zorder_scaling_uses_global_range(spark):
     assert got == {1: m(0, 0), 2: m(1, 0), 3: m(3, 3)}
 
 
+@_mark_slow
 def test_zorder_repartition_tightens_bounding_boxes(spark):
     """The data-skipping proxy: per-partition (a, b) bounding boxes under
     z-order cover far less area than under a single-column sort."""

@@ -1,3 +1,4 @@
+from _slowmark import _mark_slow  # noqa: E402
 """Multimodal decode kernels: real WAV/PPM codecs (dependency-free) and
 the Arrow-batched dispatch (engine extension, driver north star)."""
 
@@ -39,6 +40,7 @@ def test_ppm_roundtrip():
     assert decode_ppm(b"JFIF...") is None
 
 
+@_mark_slow
 def test_decode_media_dispatch(spark, sf_dir):
     import __spark_entry__ as em
 
@@ -356,6 +358,7 @@ def test_audio_fingerprint_peaks_and_fanout(spark):
     assert {(r["f1"], r["f2"]) for r in fp3.collect()} == {(5, 7)}
 
 
+@_mark_slow
 def test_audio_dup_pairs_clone_and_threshold(spark):
     """An exact clone matches on every distinct key; per-clip key dedup
     stops a repeating clip from inflating its own counts; min_matches
@@ -387,6 +390,7 @@ def test_audio_dup_pairs_clone_and_threshold(spark):
     assert audio_dup_pairs(fp, min_matches=n_keys + 1).count() == 0
 
 
+@_mark_slow
 def test_audio_fingerprint_short_clip_no_rows(spark):
     """A clip with <3 frames has no interior frame, hence no peak and
     no fingerprint — and the dup join survives an empty side."""
@@ -591,6 +595,7 @@ def test_video_dup_pairs_aligned_trim_shift_truncate(spark):
     assert video_dup_pairs_aligned(fh, min_frames=5).count() == 0
 
 
+@_mark_slow
 def test_video_dup_pairs_aligned_interleaved_and_cap(spark):
     """Interleaved containers (a foreign frame spliced mid-clip) still
     align on the consistent-offset majority; max_ids_per_hash drops a

@@ -22,6 +22,7 @@ import pyarrow as pa
 import pytest
 
 from oracles import ORACLES
+from _slowmark import _mark_slow  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
 TABLES = ("region nation customer supplier part orders lineitem events "
@@ -49,6 +50,7 @@ def con():
     c.close()
 
 
+@_mark_slow
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_no_decimal_outputs(con, name):
     if not os.path.exists(f"{SF_DIR}/region.parquet"):

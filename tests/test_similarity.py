@@ -4,6 +4,7 @@ and ANN recall sanity (engine extension, driver north star)."""
 import pytest
 
 import __spark_entry__ as em
+from _slowmark import _mark_slow  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -11,6 +12,7 @@ def emb(spark, sf_dir):
     return em._t(spark, sf_dir, "embeddings")
 
 
+@_mark_slow
 def test_blas_topk_matches_fold_topk(spark, sf_dir):
     """The Arrow+BLAS kernel must select the same neighbors in the same
     order as the zip_with/aggregate fold (ties broken by nbr_id)."""
@@ -37,6 +39,7 @@ def test_blas_topk_is_distributed(spark, sf_dir, emb):
     assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
 
 
+@_mark_slow
 def test_ivf_recall_reasonable(spark, sf_dir):
     """IVF with 4/16 probes should keep a majority of true neighbors
     (sanity floor — exact value is data-dependent)."""
@@ -45,6 +48,7 @@ def test_ivf_recall_reasonable(spark, sf_dir):
     assert len(ivf & exact) / len(exact) > 0.4
 
 
+@_mark_slow
 def test_ivf_blas_recall_and_shape(spark, sf_dir):
     """The BLAS IVF path must keep recall parity with the JVM IVF and
     emit at most k neighbors per query with valid ranks."""
@@ -99,6 +103,7 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark, emb):
             assert abs(q * step - float(x)) <= step / 2 + 1e-9
 
 
+@_mark_slow
 def test_ivf_index_build_search_matches_oneshot(spark):
     """The persisted-index path must return exactly what ivf_topk_blas
     returns for the same queries: same centroids, same corpus
@@ -126,6 +131,7 @@ def test_ivf_index_build_search_matches_oneshot(spark):
     assert via_index == oneshot and len(via_index) == 16 * 3
 
 
+@_mark_slow
 def test_ivf_index_search_precomputed_member_counts(spark):
     """``member_counts=`` (the serve-many fast path: per-cell
     populations aggregated once per index snapshot instead of once per
@@ -159,6 +165,7 @@ def test_ivf_index_search_precomputed_member_counts(spark):
     assert capped_with == without
 
 
+@_mark_slow
 def test_ivf_index_search_bounded_batch_fast_path(spark):
     """``bounded_batch=True`` + ``centroid_matrix=`` (the r12 serve
     fast path: no per-batch centroid collect, no per-batch probe-side
@@ -205,6 +212,7 @@ def test_ivf_index_search_bounded_batch_fast_path(spark):
     assert empty == []
 
 
+@_mark_slow
 def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     """The index survives a parquet roundtrip (the actual production
     lifecycle: build -> save -> reload in a later job -> search)."""
@@ -284,6 +292,7 @@ def test_ann_recall_math(spark):
     assert out[2]["n_hit"] == 0 and out[2]["recall"] == 0.0
 
 
+@_mark_slow
 def test_ann_recall_perfect_when_probing_all_cells(spark, emb):
     from dbt_core_spark.operators.similarity import (
         ann_recall,
@@ -528,6 +537,7 @@ def test_random_projection_matches_python(spark):
     assert got == exp
 
 
+@_mark_slow
 def test_random_projection_preserves_distances_roughly(spark):
     """JL property sanity: relative pairwise distances correlate."""
     import numpy as np
@@ -568,6 +578,7 @@ def test_random_projection_zero_shuffle(spark):
 
 # ---------------- IVFPQ (IVFADC) ----------------
 
+@_mark_slow
 def test_ivfpq_search_matches_reference(spark):
     import numpy as np
 
@@ -645,6 +656,7 @@ def test_ivfpq_plan_broadcasts_and_never_reshuffles_vectors(spark):
     assert "BroadcastHashJoin" in plan  # LUT side broadcast
 
 
+@_mark_slow
 def test_ivfpq_finds_planted_near_duplicates(spark):
     """Recall on structure that matters: for each query vector a planted
     near-copy exists; IVFPQ must surface it in the top-3 for most
@@ -690,6 +702,7 @@ def test_gram_merge_equals_whole(spark):
     assert merged == direct  # bit-identical shard rollup
 
 
+@_mark_slow
 def test_pq_codebook_lloyd_reduces_distortion(spark):
     """Trained codebooks must quantize no worse than seed sampling, and
     encode/search contracts stay intact."""
@@ -771,6 +784,7 @@ def test_rounded_topk_cols_matches_bruteforce():
         assert got == want, (trial, s.tolist(), k, got, want)
 
 
+@_mark_slow
 def test_ivf_index_rebalance_splits_only_hot_cells(spark, sf_dir):
     """Rebalance: the member SET is preserved exactly, cold cells and
     their rows pass through verbatim, retired hot ids disappear, new
@@ -823,6 +837,7 @@ def test_ivf_index_rebalance_splits_only_hot_cells(spark, sf_dir):
     assert a3 is assigns and c3 is cents
 
 
+@_mark_slow
 def test_ivf_index_rebalance_keeps_partition_width_and_converges(spark):
     """(a) One rebalance round must not widen the snapshot: union
     concatenates both sides' partition lists, and iterated rounds
@@ -872,6 +887,7 @@ def test_ivf_index_rebalance_keeps_partition_width_and_converges(spark):
         <= cell_ids
 
 
+@_mark_slow
 def test_ivf_index_rebalance_empty_centroid_cell_no_collision(spark):
     """A centroid cell with ZERO members (duplicate vectors tying at
     build's rounded argmax, or identical sub-centroid seeds) must not
@@ -916,6 +932,7 @@ def test_ivf_index_rebalance_empty_centroid_cell_no_collision(spark):
     assert res.count() == 2
 
 
+@_mark_slow
 def test_ivf_rebalance_after_delete_never_trips_guards(spark):
     """The composed deletion lifecycle (r9 verdict item 6): deleting
     every member of one cell and most of a hot cell, then rebalancing,
@@ -963,6 +980,7 @@ def test_ivf_rebalance_after_delete_never_trips_guards(spark):
     assert ivf_index_search(cents2, assigns2, q, k=3, n_probe=8).count() == 3
 
 
+@_mark_slow
 def test_ivfpq_index_lifecycle_matches_transient_and_deletes(spark, sf_dir):
     """The r11 persisted-IVFPQ split: build+search composes to exactly
     the transient ivfpq_search; deletion is standing-model (centroids
@@ -1001,6 +1019,7 @@ def test_ivfpq_index_lifecycle_matches_transient_and_deletes(spark, sf_dir):
     assert served.count() > 0
 
 
+@_mark_slow
 def test_ivfpq_index_append_only_encodes_batch(spark, sf_dir):
     """Append semantics: the merged code table equals encoding the full
     corpus under the HISTORY-trained model (standing cents + codebook),
@@ -1064,6 +1083,7 @@ def test_knn_classify_majority_vote(spark):
     assert out[0].pred_label == 7 and out[0].votes == 3
 
 
+@_mark_slow
 def test_knn_classify_tiebreak_best_rank_then_label(spark):
     """Vote tie (2 vs 2 with k=4): the label holding the CLOSER
     neighbor (lower best rank) wins; with best_rank also tied, the
@@ -1109,6 +1129,7 @@ def test_knn_classify_null_labels_cannot_vote_or_displace(spark):
     assert out[0].pred_label == 4 and out[0].votes == 2
 
 
+@_mark_slow
 def test_knn_classify_injected_neighbors_path(spark):
     """The ANN-accelerated composition: passing a precomputed
     (query_id, nbr_id, cosine, rank) frame must produce the same

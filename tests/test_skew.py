@@ -3,6 +3,7 @@
 from pyspark.sql import functions as F
 
 from dbt_core_spark.operators.skew import salted_aggregate, salted_join
+from _slowmark import _mark_slow  # noqa: E402
 
 
 def test_salted_aggregate_matches_plain(spark, sf_dir):
@@ -65,6 +66,7 @@ def test_kmv_sketch_accuracy(spark):
     assert r["kmv_estimate"] == 10.0 and r["n_hashes"] == 10
 
 
+@_mark_slow
 def test_ivf_blas_hot_cell_resplit_exact(spark):
     """Adversarially skewed corpus (≈90% of vectors cluster into one IVF
     cell): with a tiny max_cell_rows the hot cell re-splits into
@@ -116,6 +118,7 @@ def test_blas_kernels_seal_assign_pass(spark):
         assert "Scan ExistingRDD" in plan  # the sealed assign output
 
 
+@_mark_slow
 def test_blas_chunked_matmul_exact(spark, monkeypatch):
     """Shrinking _MATMUL_BUDGET to force many probe chunks must not
     change any result (chunking only bounds peak matrix memory)."""

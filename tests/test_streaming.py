@@ -1,3 +1,4 @@
+from _slowmark import _mark_slow  # noqa: E402
 """Structured Streaming surface: file source → watermark+window →
 memory/parquet sink with AvailableNow (SURVEY §2.E streaming stretch)."""
 
@@ -168,6 +169,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert "a-dup" not in rows.values() and "b-dup" not in rows.values()
 
 
+@_mark_slow
 def test_stream_stream_interval_join(spark, tmp_path):
     """Click → purchase attribution: purchases join the preceding click
     with the same user within 30 minutes, as a stream-stream join with
@@ -208,6 +210,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert rows == {(1, "a", 5)}
 
 
+@_mark_slow
 def test_streaming_session_rollup_matches_batch_islands(spark, sf_dir):
     """session_window sessions closed by the final watermark must equal
     the batch islands-and-gaps sessionization with the same gap."""
@@ -231,6 +234,7 @@ def test_streaming_session_rollup_matches_batch_islands(spark, sf_dir):
             assert s2 >= e1  # next session starts after previous closed
 
 
+@_mark_slow
 def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
     """Window sketches from the stream are bit-identical to batch
     cms_build over the same window's rows — the merge contract."""
@@ -266,6 +270,7 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
     assert got == exp
 
 
+@_mark_slow
 def test_funnel_stream_detects_completion_and_rearms(spark, tmp_path):
     import uuid as _uuid
 
@@ -302,6 +307,7 @@ def test_funnel_stream_detects_completion_and_rearms(spark, tmp_path):
     ]
 
 
+@_mark_slow
 def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     """The ingest-time decontamination leg is bit-identical to the
     batch recipe: the (id, shingle) match stream, drained AvailableNow,
@@ -368,6 +374,7 @@ def test_streaming_decontaminate_empty_probes(spark, tmp_path):
     assert spark.table(name).count() == 0
 
 
+@_mark_slow
 def test_streaming_ann_serve_forced_split_matches_one_shot(
     spark, sf_dir, tmp_path
 ):
@@ -416,6 +423,7 @@ def test_streaming_ann_serve_forced_split_matches_one_shot(
     assert served == one_shot and len(served) > 0
 
 
+@_mark_slow
 def test_stream_serve_foreach_batch_split_invariant(spark, tmp_path):
     """The generic foreachBatch serving drain equals the one-shot batch
     transform under a forced 1-file-per-trigger split (row-local fn),
@@ -516,6 +524,7 @@ def test_stream_serve_on_batch_result_parameter(spark, tmp_path):
     assert global_hits == []  # the parameter suppressed the global
 
 
+@_mark_slow
 def test_streaming_knn_serve_forced_split_matches_one_shot(
     spark, sf_dir, tmp_path
 ):

@@ -8,6 +8,7 @@ import datetime as dt
 from dbt_core_spark import Engine, ProjectDef
 from dbt_core_spark.plans.nodes import ColumnInfo
 from dbt_core_spark.sources.freshness import check_freshness
+from _slowmark import _mark_slow  # noqa: E402
 
 
 def base_project(sf_dir):
@@ -22,6 +23,7 @@ def base_project(sf_dir):
 
 # -- unit tests -------------------------------------------------------------
 
+@_mark_slow
 def test_unit_test_pass_and_fail(spark, schema, sf_dir):
     p = base_project(sf_dir)
     p.models["summary"] = """
@@ -464,6 +466,7 @@ def test_exposure_graph_selection(spark, schema, sf_dir):
         "model.exp.base", "model.exp.mart", "model.exp.unrelated"}
 
 
+@_mark_slow
 def test_unit_tests_in_dag(spark, schema, sf_dir):
     """Unit tests are graph nodes (dbt 1.8 semantics): they run during
     test(), ride along with their model via indirect selection, and in

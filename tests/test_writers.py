@@ -2,8 +2,10 @@
 
 import glob
 import os
+from _slowmark import _mark_slow  # noqa: E402
 
 
+@_mark_slow
 def test_write_training_shards_fixed_count_and_deterministic(spark, sf_dir, tmp_path):
     import __spark_entry__ as em
     from dbt_core_spark.sources.writers import write_training_shards
